@@ -1,0 +1,16 @@
+"""Operator library (SURVEY.md §2).
+
+Most of §2's relational surface (select/rename/filter/equi-join/hash-agg/
+window/CASE) maps 1:1 onto ``pyspark.sql`` primitives — those are used
+directly and exercised through the query registry.  This package hosts the
+operators that need real implementation work:
+
+* :mod:`windows` — scalable global percentile ranking, top-k per group
+* :mod:`joins` — alias-disciplined disambiguated joins
+* :mod:`dedup` — exact / MinHash-LSH / SimHash / n-gram-Jaccard / embedding
+  near-dup  [EXT]
+* :mod:`similarity` — brute-force + LSH-bucketed cosine top-k  [EXT]
+* :mod:`text` — language-ID, quality scoring, token counting,
+  fingerprinting  [EXT]
+* :mod:`multimodal` — binary-column decode/feature plumbing  [EXT]
+"""

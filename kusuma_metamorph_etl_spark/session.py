@@ -1,0 +1,80 @@
+"""Shared SparkSession factory.
+
+The reference creates and tears down one session *per Airflow task*
+(``/root/reference/ETL-Airflow/dags/tasks/transform_utils.py:12-32,110-113``
+— anti-pattern A5 in SURVEY.md §4).  The engine instead keeps one long-lived
+session per process, configured for scale:
+
+* AQE on (runtime coalescing, skew-join splitting, dynamic join strategy) —
+  at 100 TB the static plan is always wrong somewhere; AQE re-plans from
+  observed shuffle statistics.
+* ``spark.sql.shuffle.partitions`` sized to the local core count for tests;
+  on a real cluster this should be ~2-3× total executor cores (AQE coalesces
+  down, so err high).
+* Arrow enabled so the few Pandas-UDF operators (similarity, multimodal)
+  move batches, not rows.
+* Session timezone pinned to UTC so timestamp semantics are stable across
+  driver machines (and match the DuckDB oracle used by the test harness).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are correct for BOTH local[N] testing and a large cluster.
+# Cluster-shape-dependent knobs (shuffle partitions, memory) are resolved in
+# get_session() so they can follow the environment.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dims in this domain (suppliers/products/nation/region) are tiny; let
+    # Spark map-side them aggressively.  32 MB is safe with 4 GB+ executors.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    # 128 MB input splits — the parquet-scan default that keeps one task's
+    # input comfortably in memory at any total data size.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(
+    app_name: str = "kusuma_metamorph_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) the process-wide SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no cluster master is configured — on a real deployment the master
+    comes from spark-submit and this argument is ignored.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else (os.cpu_count() or 8)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for key, value in _BASE_CONF.items():
+        builder = builder.config(key, value)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session(spark: SparkSession) -> None:
+    """Stop the session.  Only for process shutdown — transformations share
+    one session (unlike the reference's per-task lifecycle)."""
+    spark.stop()

@@ -1,0 +1,121 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registered query at sf0.01 through Spark AND its DuckDB oracle,
+then compares row count, lowercase column names, and an order-insensitive
+value hash (values normalized: floats rounded to 6 significant decimals,
+dates/timestamps ISO-formatted).  Usage:
+
+    python tools/check_correctness.py [query_id ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(value):
+    import datetime as dt
+    from decimal import Decimal
+
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, Decimal):
+        value = float(value)
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return f"{value:.6g}"
+    if isinstance(value, dt.datetime):
+        return value.isoformat()
+    if isinstance(value, dt.date):
+        return value.isoformat()
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(normalize(v) for v in value) + "]"
+    return str(value)
+
+
+def table_hash(rows, columns):
+    ordered = sorted(columns)
+    lines = sorted(
+        "|".join(normalize(row[c]) for c in ordered) for row in rows
+    )
+    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return digest
+
+
+def main() -> int:
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
+    from kusuma_metamorph_etl_spark.session import get_session
+
+    spark = get_session("correctness-check")
+    con = duckdb.connect()
+    for table in TABLES:
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{SF_DIR}/{table}.parquet')"
+        )
+
+    all_queries = queries()
+    oracles = oracle_sql()
+    selected = sys.argv[1:] or list(all_queries)
+    failures = []
+    for name in selected:
+        try:
+            sdf = all_queries[name](spark, SF_DIR)
+            srows = [r.asDict() for r in sdf.collect()]
+            scols = [c.lower() for c in sdf.columns]
+            if name not in oracles:
+                print(f"  {name}: rows-only (no oracle) rows={len(srows)}")
+                continue
+            orel = con.execute(oracles[name])
+            ocols = [d[0].lower() for d in orel.description]
+            orows = [dict(zip(ocols, row)) for row in orel.fetchall()]
+            problems = []
+            if len(srows) != len(orows):
+                problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+            if sorted(scols) != sorted(ocols):
+                problems.append(f"columns spark={sorted(scols)} duck={sorted(ocols)}")
+            else:
+                sh = table_hash(srows, scols)
+                oh = table_hash(orows, ocols)
+                if sh != oh:
+                    problems.append("value hash mismatch")
+                    shown = 0
+                    slines = sorted(
+                        "|".join(normalize(r[c]) for c in sorted(scols)) for r in srows
+                    )
+                    olines = sorted(
+                        "|".join(normalize(r[c]) for c in sorted(ocols)) for r in orows
+                    )
+                    for a, b in zip(slines, olines):
+                        if a != b and shown < 3:
+                            print(f"    spark: {a}\n    duck : {b}")
+                            shown += 1
+            if problems:
+                failures.append(name)
+                print(f"  {name}: FAIL ({'; '.join(problems)})")
+            else:
+                print(f"  {name}: OK rows={len(srows)}")
+        except Exception:
+            failures.append(name)
+            print(f"  {name}: ERROR")
+            traceback.print_exc()
+    print(f"\n{len(selected) - len(failures)}/{len(selected)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
