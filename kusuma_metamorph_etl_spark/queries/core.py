@@ -1,4 +1,771 @@
 """SURVEY.md §2 relational operator inventory — one oracle-checked query per
-✔ row.  Filled in operator-by-operator (registry ids match §2's ID column)."""
+✔ row (registry ids match §2's ID column).
+
+Every query is a small, idiomatic DataFrame program over the driver test
+tables paired with equivalent DuckDB SQL.  Cross-engine conventions
+(lowercase output names, decimal-safe money rounding, BIGINT casts for
+DuckDB's HUGEINT sums / month()/year()) are documented in registry.py.
+"""
 
 from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.functions.naming import normalize_column_names
+from kusuma_metamorph_etl_spark.functions.numeric import decimal_round
+from kusuma_metamorph_etl_spark.operators.joins import equi_join
+from kusuma_metamorph_etl_spark.operators.windows import global_percent_rank, top_k_per_group
+from kusuma_metamorph_etl_spark.registry import RUN_DATE, register
+from kusuma_metamorph_etl_spark.sources.catalog import load_table as t
+from kusuma_metamorph_etl_spark.sources.csv import read_csv
+from kusuma_metamorph_etl_spark.sources.sinks import dual_write, stamp_snapshot
+
+SCRATCH = "/root/repo/.tmp"
+
+
+# ---------------------------------------------------------------- §2.1 sources/sinks
+
+@register("src_parquet_scan", "SELECT r_regionkey, r_name FROM region")
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain parquet table scan (column pruning visible in ReadSchema)."""
+    return t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register("src_csv_infer", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def src_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV roundtrip with header + schema inference (reference
+    `ingestion_task.py:227-232`); prod path uses declared schemas."""
+    path = os.path.join(SCRATCH, "csv_infer", os.path.basename(sf_dir))
+    nation = t(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    return read_csv(spark, path, infer_schema=True).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "snk_dual_write",
+    f"SELECT n_nationkey, n_name, n_regionkey, DATE '{RUN_DATE}' AS day_dt FROM nation",
+)
+def snk_dual_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-write raw (no DAY_DT) + legacy (stamped) off one persisted frame;
+    returns the re-read legacy sink — validates the write, not the plan."""
+    base = os.path.join(SCRATCH, "dual_write", os.path.basename(sf_dir))
+    nation = t(spark, sf_dir, "nation")
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "legacy"), ignore_errors=True)
+    dual_write(nation, f"{base}/raw", f"{base}/legacy", run_date=RUN_DATE)
+    legacy = spark.read.parquet(f"{base}/legacy")
+    return legacy.select(
+        "n_nationkey", "n_name", "n_regionkey", F.col("DAY_DT").alias("day_dt")
+    )
+
+
+# ---------------------------------------------------------------- §2.2 projection
+
+@register("proj_select", "SELECT c_custkey, c_name, c_mktsegment FROM customer")
+def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register("proj_rename", "SELECT r_regionkey AS region_id, r_name AS region_name FROM region")
+def proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "region")
+        .withColumnRenamed("r_regionkey", "region_id")
+        .withColumnRenamed("r_name", "region_name")
+    )
+
+
+@register("proj_normalize_names", "SELECT r_regionkey, r_name FROM region")
+def proj_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trim+upper+spaces→underscores over messy column names
+    (reference `ingestion_task.py:8-12`); output lowered by contract."""
+    messy = t(spark, sf_dir, "region").toDF(" r_RegionKey ", "r name")
+    normalized = normalize_column_names(messy)  # R_REGIONKEY, R_NAME
+    return normalized.toDF(*[c.lower() for c in normalized.columns])
+
+
+@register("proj_alias", "SELECT p_partkey AS product_id, p_name AS product_name FROM part")
+def proj_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("product_id"), F.col("p_name").alias("product_name")
+    )
+
+
+@register(
+    "expr_arith",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS net_price,
+              l_quantity * l_tax AS tax_units
+       FROM lineitem""",
+)
+def expr_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Raw IEEE products compare bit-identically cross-engine; rounding here
+    # would reintroduce the half-penny divergence (see functions/numeric.py).
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (F.col("l_quantity") * F.col("l_tax")).alias("tax_units"),
+    )
+
+
+@register(
+    "expr_discount_amount",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6)), 2) AS DOUBLE) AS charge
+       FROM lineitem""",
+)
+def expr_discount_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound percent arithmetic (reference SALE_AMOUNT shape,
+    `customer_sales_report_task.py:96`) with decimal-safe rounding."""
+    li = t(spark, sf_dir, "lineitem")
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.select(
+        "l_orderkey", "l_linenumber", decimal_round(charge, 2).alias("charge")
+    )
+
+
+@register(
+    "proj_cast",
+    """SELECT CAST(p_partkey AS VARCHAR) AS product_id,
+              CAST(TRUNC(p_retailprice) AS INTEGER) AS price_int
+       FROM part""",
+)
+def proj_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark double→int truncates toward zero while DuckDB CAST rounds to
+    # nearest, so the oracle TRUNCs explicitly to pin both at truncation.
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").cast("string").alias("product_id"),
+        F.col("p_retailprice").cast("int").alias("price_int"),
+    )
+
+
+@register(
+    "proj_drop",
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders""",
+)
+def proj_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").drop("o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "expr_lit",
+    "SELECT s_suppkey, s_name, 'DAILY' AS load_mode, 1 AS priority FROM supplier",
+)
+def expr_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey",
+        "s_name",
+        F.lit("DAILY").alias("load_mode"),
+        F.lit(1).alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------- §2.3 filters
+
+@register(
+    "fil_neq",
+    "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'",
+)
+def fil_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "fil_isin",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+)
+def fil_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@register(
+    "fil_cmp",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000",
+)
+def fil_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "fil_conj",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+       WHERE (l_discount > 0.05 AND l_quantity < 10) OR l_returnflag = 'R'""",
+)
+def fil_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    predicate = ((F.col("l_discount") > 0.05) & (F.col("l_quantity") < 10)) | (
+        F.col("l_returnflag") == "R"
+    )
+    return li.filter(predicate).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+@register(
+    "fil_isnull",
+    """SELECT c.c_custkey, c.c_name FROM customer c
+       LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+         ON c.c_custkey = o.o_custkey
+       WHERE o.o_custkey IS NULL""",
+)
+def fil_isnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — the outer-join null predicate."""
+    customer = t(spark, sf_dir, "customer")
+    order_keys = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        customer.join(
+            order_keys, customer.c_custkey == order_keys.o_custkey, "left"
+        )
+        .filter(F.col("o_custkey").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------- §2.4 joins
+
+@register(
+    "join_left_equi",
+    """SELECT o.o_orderkey, o.o_totalprice, c.c_name
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def join_left_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return (
+        orders.alias("o")
+        .join(customer.alias("c"), F.col("o.o_custkey") == F.col("c.c_custkey"), "left")
+        .select("o.o_orderkey", "o.o_totalprice", "c.c_name")
+    )
+
+
+@register(
+    "join_right_equi",
+    """SELECT p.p_partkey, p.p_name, l.l_orderkey, l.l_quantity
+       FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey""",
+)
+def join_right_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right join keeps unsold parts (reference keeps all suppliers,
+    `supplier_performance_task.py:64-69`)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.alias("l")
+        .join(part.alias("p"), F.col("l.l_partkey") == F.col("p.p_partkey"), "right")
+        .select("p.p_partkey", "p.p_name", "l.l_orderkey", "l.l_quantity")
+    )
+
+
+@register(
+    "join_inner_equi",
+    """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return (
+        orders.alias("o")
+        .join(customer.alias("c"), F.col("o.o_custkey") == F.col("c.c_custkey"), "inner")
+        .select("o.o_orderkey", "c.c_name", "o.o_totalprice")
+    )
+
+
+@register(
+    "join_broadcast",
+    """SELECT c.c_custkey, n.n_name AS nation_name
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint for the small dim (`join_broadcast`) — the
+    plan must show BroadcastHashJoin, no shuffle of the fact side."""
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        customer.alias("c")
+        .join(
+            F.broadcast(nation.alias("n")),
+            F.col("c.c_nationkey") == F.col("n.n_nationkey"),
+        )
+        .select("c.c_custkey", F.col("n.n_name").alias("nation_name"))
+    )
+
+
+@register(
+    "join_disambig",
+    """SELECT c.c_custkey AS customer_id, s.s_suppkey AS supplier_id,
+              c.c_acctbal AS customer_balance, s.s_acctbal AS supplier_balance
+       FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey""",
+)
+def join_disambig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colliding column names (both sides carry `acctbal`, `nation_key`)
+    resolved by alias discipline (`operators/joins.py`)."""
+    customer = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supplier = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_nationkey").alias("nation_key"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return equi_join(
+        customer,
+        supplier,
+        on="nation_key",
+        how="inner",
+        select={
+            "customer_id": "l.entity_id",
+            "supplier_id": "r.entity_id",
+            "customer_balance": "l.acctbal",
+            "supplier_balance": "r.acctbal",
+        },
+        broadcast_right=True,
+    )
+
+
+@register(
+    "join_semi_anti",
+    """SELECT 'has_orders' AS segment, COUNT(*) AS n_customers FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       UNION ALL
+       SELECT 'no_orders' AS segment, COUNT(*) AS n_customers FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) + left_anti (NOT EXISTS) — the orphan-key audit
+    ([EXT] row in SURVEY §2.4).  Semi/anti never widen rows, so they beat
+    join+distinct at scale."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    semi = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("has_orders").alias("segment"), "n_customers")
+    )
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("no_orders").alias("segment"), "n_customers")
+    )
+    return semi.unionAll(anti)
+
+
+# ---------------------------------------------------------------- §2.5 aggregations
+
+@register(
+    "agg_groupby_single",
+    """SELECT l_suppkey,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              SUM(l_quantity) AS total_qty,
+              COUNT(DISTINCT l_partkey) AS n_parts
+       FROM lineitem GROUP BY l_suppkey""",
+)
+def agg_groupby_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.sum("l_quantity").alias("total_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register(
+    "agg_groupby_multi",
+    """SELECT l_returnflag, l_linestatus,
+              SUM(l_quantity) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(AVG(l_quantity), 4) AS avg_qty,
+              ROUND(AVG(l_discount), 6) AS avg_disc,
+              COUNT(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-key hash agg with 6 measures — partial
+    (map-side) aggregation collapses before the shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_sum_expr",
+    """SELECT l_returnflag, ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+              AS sum_charge
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_sum_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag").agg(F.round(F.sum(charge), 2).alias("sum_charge"))
+
+
+@register(
+    "agg_avg",
+    """SELECT o_orderpriority, ROUND(AVG(o_totalprice), 4) AS avg_price
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (reference semantics).  At 100 TB prefer
+    approx_count_distinct — exact distinct is a second shuffle."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+
+
+@register(
+    "agg_count_star",
+    "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+)
+def agg_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("agg_global_count", "SELECT COUNT(*) AS n_rows FROM lineitem")
+def agg_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "agg_rollup_cube",
+    """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------- §2.6 windows
+
+@register(
+    "win_rownum_topk",
+    """SELECT p_brand, p_partkey, p_name, p_retailprice FROM (
+         SELECT p_brand, p_partkey, p_name, p_retailprice,
+                ROW_NUMBER() OVER (PARTITION BY p_brand
+                                   ORDER BY p_retailprice DESC, p_partkey) AS rn
+         FROM part) WHERE rn <= 3""",
+)
+def win_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return top_k_per_group(
+        part.select("p_brand", "p_partkey", "p_name", "p_retailprice"),
+        partition_by=["p_brand"],
+        order_by=[F.desc("p_retailprice"), F.asc("p_partkey")],
+        k=3,
+    )
+
+
+@register(
+    "win_rownum_flag",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+              (ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) = 1)
+              AS is_top_order
+       FROM orders""",
+)
+def win_rownum_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    window = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.row_number().over(window) == 1).alias("is_top_order"),
+    )
+
+
+@register(
+    "win_percent_rank",
+    """SELECT o_orderkey, o_totalprice,
+              PERCENT_RANK() OVER (ORDER BY o_totalprice DESC) AS pr
+       FROM orders""",
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable exact global percent_rank (see operators/windows.py) — the
+    oracle uses the classic single-window formulation."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_percent_rank(orders, "o_totalprice", out_col="pr", descending=True)
+
+
+@register(
+    "win_frame_agg",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+              SUM(l_quantity) OVER (PARTITION BY l_suppkey
+                                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS running_qty
+       FROM lineitem""",
+)
+def win_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame aggregate ([EXT] row): running per-supplier quantity.
+    Frame sums integer-valued doubles so cross-engine association order
+    cannot perturb the value."""
+    li = t(spark, sf_dir, "lineitem")
+    window = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(window).alias("running_qty"),
+    )
+
+
+# ---------------------------------------------------------------- §2.7 conditionals / nulls
+
+@register(
+    "cond_when_chain",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 250000 THEN 'LARGE'
+                   WHEN o_totalprice > 100000 THEN 'MEDIUM'
+                   ELSE 'SMALL' END AS order_size
+       FROM orders""",
+)
+def cond_when_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 250000, F.lit("LARGE"))
+        .when(F.col("o_totalprice") > 100000, F.lit("MEDIUM"))
+        .otherwise(F.lit("SMALL"))
+        .alias("order_size"),
+    )
+
+
+@register(
+    "cond_null_default",
+    """SELECT c.c_custkey, COALESCE(agg.n_orders, 0) AS n_orders,
+              COALESCE(CAST(agg.last_status AS VARCHAR), 'No orders') AS last_status
+       FROM customer c LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_orderstatus) AS last_status
+            FROM orders GROUP BY o_custkey) agg
+         ON c.c_custkey = agg.o_custkey""",
+)
+def cond_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL → default after an outer join (the "No sales" pattern,
+    `supplier_performance_task.py:138-144`)."""
+    customer = t(spark, sf_dir, "customer")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("o_orderstatus").alias("last_status"),
+        )
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("last_status").cast("string"), F.lit("No orders")).alias(
+                "last_status"
+            ),
+        )
+    )
+
+
+@register(
+    "null_fillna_map",
+    """SELECT c.c_custkey,
+              COALESCE(agg.n_orders, 0) AS n_orders,
+              COALESCE(ROUND(agg.total_spend, 2), 0.0) AS total_spend
+       FROM customer c LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total_spend
+            FROM orders GROUP BY o_custkey) agg
+         ON c.c_custkey = agg.o_custkey""",
+)
+def null_fillna_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk dict fillna (`supplier_performance_task.py:148-152`)."""
+    customer = t(spark, sf_dir, "customer")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select("c_custkey", "n_orders", "total_spend")
+        .fillna({"n_orders": 0, "total_spend": 0.0})
+    )
+
+
+# ---------------------------------------------------------------- §2.8 scalar functions
+
+@register(
+    "fn_date_math",
+    """SELECT o_orderkey,
+              CAST(o_orderdate AS DATE) AS order_date,
+              CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+              CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+              CAST(o_orderdate AS DATE) - 1 AS prev_day,
+              CAST(ROUND(CAST(o_totalprice * 0.1 AS DECIMAL(18,6)), 2) AS DOUBLE)
+                  AS fee
+       FROM orders""",
+)
+def fn_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_sub / month / year / round (`customer_sales_report_task.py:91-96`)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.date_sub(F.col("o_orderdate").cast("date"), 1).alias("prev_day"),
+        decimal_round(F.col("o_totalprice") * 0.1, 2).alias("fee"),
+    )
+
+
+@register(
+    "fn_str_value",
+    """SELECT p_partkey,
+              UPPER(TRIM(p_name)) AS name_norm,
+              REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_snake,
+              CAST(p_partkey AS VARCHAR) || ':' || p_brand AS part_ref
+       FROM part""",
+)
+def fn_str_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level string functions (the reference only normalizes column
+    *names*; `fn_str_norm` in SURVEY §2.8)."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.trim(F.col("p_name"))).alias("name_norm"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat_ws(":", F.col("p_partkey"), F.col("p_brand")).alias("part_ref"),
+    )
+
+
+# ---------------------------------------------------------------- §2.9 quality / snapshot
+
+@register(
+    "dq_duplicate_gate",
+    """SELECT l_orderkey, COUNT(*) AS duplicate_count
+       FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1""",
+)
+def dq_duplicate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate's detection plan (multi-line orders ARE duplicates at the
+    order-key grain, so this returns the violating keys the exception would
+    carry)."""
+    from kusuma_metamorph_etl_spark.plans.quality import find_duplicates
+
+    li = t(spark, sf_dir, "lineitem")
+    return find_duplicates(li, ["l_orderkey"])
+
+
+@register(
+    "dq_snapshot_stamp",
+    f"""SELECT s_suppkey, s_name, DATE '{RUN_DATE}' AS day_dt FROM supplier""",
+)
+def dq_snapshot_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return stamp_snapshot(sup, RUN_DATE).withColumnRenamed("DAY_DT", "day_dt")
+
+
+# ---------------------------------------------------------------- §2.10 set ops / sort-limit
+
+@register(
+    "setop_union",
+    """SELECT c_nationkey AS nation_key FROM customer
+       UNION SELECT s_nationkey FROM supplier""",
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
+    return cust.union(supp).distinct()
+
+
+@register(
+    "setop_intersect",
+    """SELECT c_nationkey AS nation_key FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier""",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
+    return cust.intersect(supp)
+
+
+@register(
+    "setop_except",
+    """SELECT c_nationkey AS nation_key FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier""",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subtract() is SQL EXCEPT (set semantics); exceptAll() is EXCEPT ALL.
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
+    return cust.subtract(supp)
+
+
+@register(
+    "sort_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k via orderBy+limit — Spark executes TakeOrderedAndProject (a
+    per-partition heap + driver merge), never a global sort."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).limit(10)
