@@ -1,0 +1,81 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<id>": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the `noop` sink (full computation on
+executors, no driver-side serialization), which is the honest measure of
+plan cost.  The headline set spans the surfaces that dominate at scale:
+the reference's three marts (join+agg+window pipelines), the heaviest
+relational primitives, and the [EXT] training-data operators (dedup,
+similarity, text, event-time sessionization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "mart_supplier_performance",
+    "mart_product_performance",
+    "mart_customer_sales_report",
+    "agg_groupby_multi",
+    "win_percent_rank",
+    "win_rownum_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "txt_quality",
+    "stream_session",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from kusuma_metamorph_etl_spark import registry
+    from kusuma_metamorph_etl_spark.session import get_session
+
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # Warm the JVM/codegen once so q1 doesn't absorb session startup.
+    qs["agg_groupby_single"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        start = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,339 @@
+"""[EXT] Deduplication operators for training-data pipelines
+(SURVEY.md §2.10 north-star): exact, n-gram-Jaccard, MinHash+LSH, SimHash.
+
+Scale design — the point of each variant:
+
+* **exact**: hash-groupBy on a content fingerprint.  One shuffle of
+  (fingerprint, id) pairs, never of document bodies.
+* **n-gram Jaccard**: *exact* pairwise similarity via an inverted index
+  (explode shingles → self-join on shingle → count common).  Quadratic in
+  the worst case — correct reference semantics at test scale and the
+  verifier for the approximate methods.
+* **MinHash + LSH**: the 100 TB path.  Signatures are fixed-size (H mins),
+  banding turns near-dup search into an equi-join on (band, band_hash) —
+  candidates only, verified by exact Jaccard afterwards.  All built-in
+  column expressions (sequence/transform/xxhash64/array_min); no UDFs.
+* **SimHash**: 64-bit signature whose Hamming distance tracks cosine
+  similarity of token sets; blocking on signature chunks gives the
+  candidate join.
+
+Cited parity: the reference has only the PK duplicate *gate*
+(`/root/reference/ETL-Airflow/dags/tasks/transform_utils.py:79-92`); these
+operators extend it to content-level dedup per the project north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators.text import fingerprint, words
+
+
+# ----------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative per exact content fingerprint.
+
+    groupBy(md5) shuffles only (hash, id) pairs; the winning ids then
+    semi-join the original frame, so bodies move at most once.
+    """
+    keep = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ----------------------------------------------------------------- shingles
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (0-based transform over the token
+    array; all JVM-side).  Documents with fewer than ``n`` tokens yield an
+    empty set — guarded explicitly because ``sequence(0, -1)`` would count
+    *down* and index 0 is invalid under ANSI semantics."""
+    toks = words(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + k + 1)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted-index rows."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ----------------------------------------------------------------- exact Jaccard
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a < b) with
+    |A∩B| / |A∪B| ≥ threshold.
+
+    Inverted-index plan: explode shingles, self-join on shingle (common
+    count), join per-doc shingle counts, derive Jaccard.  The shingle join
+    is the scale hazard (hot shingles fan out) — production path prefilters
+    with :func:`minhash_lsh_candidates` and verifies only candidates.
+    """
+    shingles = shingle_table(df, text_col, id_col, n)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    left = shingles.toDF("a", "shingle")
+    right = shingles.toDF("b", "shingle")
+    common = (
+        left.join(right, on="shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.toDF("a", "na")
+    sb = sizes.toDF("b", "nb")
+    return (
+        common.join(sa, on="a")
+        .join(sb, on="b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "n_common", "na", "nb", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- MinHash + LSH
+
+def minhash_signature(text: Column, n_hashes: int = 16, n: int = 3) -> Column:
+    """MinHash signature as a single Column expression: for seed j, min
+    over shingles of xxhash64(j, shingle).
+
+    Convenience form only — it embeds the shingle expression ``n_hashes``
+    times, so Spark re-tokenizes per seed (Catalyst's CollapseProject
+    inlines any aliased intermediate).  The hot path is
+    :func:`minhash_signatures`, which shingles exactly once.
+    """
+    shingles = word_shingles(text, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(j), s)))
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig) MinHash signatures, shingling each document exactly once.
+
+    Plan: explode shingles → one groupBy(id) with ``n_hashes``
+    ``min(xxhash64(seed, shingle))`` aggregates.  min() is
+    partial-aggregatable, so the shuffle carries one ``n_hashes``-long row
+    per (id, map partition), not per shingle — this is the 100 TB shape.
+    Documents with fewer than ``n`` tokens have no shingles and drop out
+    (they cannot be shingle-near-dups of anything).
+    """
+    shingles = shingle_table(df, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"m{j}")
+        for j in range(n_hashes)
+    ]
+    return (
+        shingles.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array(*[F.col(f"m{j}") for j in range(n_hashes)]).alias("sig"),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding (a < b, distinct).
+
+    Signature split into ``bands`` rows of ``n_hashes // bands`` values;
+    docs agreeing on ANY full band collide.  The plan is: narrow signature
+    projection → explode bands (fixed fan-out) → equi-join on
+    (band_idx, band_hash).  Probability-of-candidacy follows the classic
+    (1 - (1 - j^r)^b) S-curve.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, n)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    left = banded.toDF("a", "band_idx", "band_hash")
+    right = banded.toDF("b", "band_idx", "band_hash")
+    return (
+        left.join(right, on=["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard — the full near-dup
+    pipeline (generate cheaply, verify exactly)."""
+    candidates = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, n)
+    shingles = shingle_table(df, text_col, id_col, n)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = shingles.toDF("a", "shingle")
+    sb = shingles.toDF("b", "shingle")
+    verified = (
+        candidates.join(sa, on="a")
+        .join(sb, on=["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.toDF("a", "na"), on="a")
+        .join(sizes.toDF("b", "nb"), on="b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("a", "b", "jaccard")
+
+
+# ----------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 48) -> DataFrame:
+    """Per-document frequency-weighted SimHash signature (Charikar 2002;
+    ``bits`` wide, ≤ 62 to stay in a signed long).
+
+    Votes are weighted by term frequency — unweighted distinct-token
+    SimHash degenerates when documents share a small vocabulary (every
+    long doc covers the whole vocab → identical signatures), which is
+    exactly the corpus shape of web-scale training data.  Plan: explode
+    tokens → one (id, token) count agg → hash each distinct term once →
+    one groupBy(id) with per-bit ±weight votes.  Shuffles only
+    (id, term-hash, weight) triples, never document bodies.
+    """
+    if bits > 62:
+        raise ValueError("bits must be ≤ 62 (signed-long reassembly)")
+    tokens = (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")
+            ).otherwise(-F.col("w"))
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    voted = tokens.groupBy(id_col).agg(*votes)
+    signature = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        signature = bit if signature is None else (signature + bit)
+    return voted.select(F.col(id_col), signature.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bit flips of each other.
+
+    Scale plan — pigeonhole chunk blocking, no cross join: split the
+    signature into ``max_hamming + 1`` chunks; any pair within
+    ``max_hamming`` flips must agree exactly on at least one chunk, so
+    candidates come from an equi-join on (chunk_idx, chunk_value) and only
+    candidates pay the exact Hamming check.  Fan-out per row is the fixed
+    chunk count, so the join input is O(n · (m+1)) rows.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    if chunk_bits == 0:
+        raise ValueError("bits must be >= max_hamming + 1")
+    sigs = simhash(df, text_col, id_col, bits)
+
+    def chunked(frame: DataFrame, id_out: str, sig_out: str) -> DataFrame:
+        # Last chunk absorbs the remainder bits so all bits are covered.
+        exprs = []
+        for c in range(n_chunks):
+            width = chunk_bits if c < n_chunks - 1 else bits - chunk_bits * (n_chunks - 1)
+            mask = (1 << width) - 1
+            exprs.append(
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.shiftright(F.col(sig_out), c * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk_val"),
+                )
+            )
+        return frame.select(
+            id_out, sig_out, F.explode(F.array(*exprs)).alias("ch")
+        ).select(id_out, sig_out, "ch.chunk_idx", "ch.chunk_val")
+
+    a = chunked(sigs.toDF("a", "sig_a"), "a", "sig_a")
+    b = chunked(sigs.toDF("b", "sig_b"), "b", "sig_b")
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,159 @@
+"""[EXT] Similarity search over embedding columns (SURVEY.md §2.10
+north-star): brute-force cosine top-k as the exact baseline, and an
+LSH-bucketed approximate variant as the scale path.
+
+Embeddings are ``array<float>`` columns.  All math is built-in column
+expressions (``zip_with`` + ``aggregate``) — JVM-side, no Python per row.
+Floats are cast to double BEFORE arithmetic so results are bit-stable and
+reproducible in the SQL oracle (same element order, same IEEE ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators.windows import top_k_per_group
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i via zip_with + aggregate (left-to-right fold, matching the
+    SQL oracle's summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query set against the
+    corpus, one narrow pass computing cosines, then top-k per query.
+
+    Scale shape: corpus stays partitioned (never shuffled); queries
+    broadcast (must be the small side); the top-k window partitions by
+    query id over corpus-size × |Q| rows — for large |Q|, pre-aggregate
+    per-partition heaps via AQE or switch to :func:`lsh_topk`.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup
+    detection.  Exhaustive at test scale; the scale path buckets with
+    :func:`hyperplane_signature` first."""
+    a = df.select(F.col(id_col).alias("a"), as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, n_planes: int = 16, dim: int = 64, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH signature (sign pattern of ``n_planes`` dot
+    products) packed into a long.  Planes are pseudo-random but fully
+    deterministic: component (j, i) = (xxhash64(seed, j, i) % 1001 - 500),
+    computed JVM-side at plan build — no RNG state, reproducible across
+    runs and engines."""
+    total = None
+    v = as_double(vec)
+    for j in range(n_planes):
+        plane = F.array(
+            *[
+                (F.xxhash64(F.lit(seed), F.lit(j), F.lit(i)) % 1001 - 500).cast(
+                    "double"
+                )
+                for i in range(dim)
+            ]
+        )
+        bit = F.when(dot(v, plane) >= 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        total = bit if total is None else (total + bit)
+    return total
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: compare only vectors sharing the
+    hyperplane-sign bucket.  The crossJoin becomes an equi-join on
+    ``bucket`` — at 1000-executor scale this is the difference between
+    |Q|×|C| and |Q|×|C|/2^planes comparisons.  Recall < 1.0 by design;
+    multi-probe (flipping low-margin bits) is the standard extension."""
+    sig = lambda df, out: df.select(  # noqa: E731
+        F.col(id_col).alias(out),
+        as_double(F.col(vec_col)).alias(f"{out}_v"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = sig(queries, "query_id")
+    c = sig(corpus, "neighbor_id")
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+    )

@@ -1,0 +1,120 @@
+"""[EXT] Text-analysis operators for training-data pipelines
+(SURVEY.md §2.10 north-star ops): tokenization, token counting,
+language ID, quality scoring, document fingerprinting.
+
+Everything here is built-in ``pyspark.sql.functions`` column expressions —
+JVM-side, codegen'd, no Python in the hot path — so each operator scales as
+a plain projection (narrow, no shuffle) over arbitrarily many documents.
+Formulas are written to be reproducible in ANSI SQL for the oracle
+(matching operation ORDER matters for float results; see registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small and public-domain-obvious; real pipelines
+# plug in fastText-style models via mapInPandas (multimodal.py pattern).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+}
+
+# A BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (split keeps a trailing '')."""
+    return F.filter(F.split(text, " "), lambda w: w != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Regex token count approximating a BPE pre-tokenizer's segment count."""
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    stop = STOPWORDS[lang]
+    return F.size(F.filter(words(F.lower(text)), lambda w: w.isin(*stop)))
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-vote language ID.  Ties break in a fixed language order so
+    the result is deterministic (and SQL-reproducible)."""
+    counts = {lang: stopword_count(text, lang) for lang in STOPWORDS}
+    en, es, fr, de = counts["en"], counts["es"], counts["fr"], counts["de"]
+    return (
+        F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= fr) & (es >= de) & (es > 0), F.lit("es"))
+        .when((fr >= de) & (fr > 0), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-length features + a composite
+    quality score in [0, 1] — the classic cheap pre-filter before expensive
+    dedup/model scoring in a training-data pipeline."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = words(text)
+    n_tokens = F.size(toks)
+    n_punct = F.regexp_count(text, F.lit(r"[.,!?;:]"))
+    n_stop = stopword_count(text, "en")
+    return (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn(
+            "avg_word_len",
+            F.when(
+                n_tokens > 0,
+                (n_chars - (n_tokens - 1)).cast("double") / n_tokens,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+                + 0.3 * F.col("stopword_ratio")
+                + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))),
+                6,
+            ),
+        )
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Full-content md5 fingerprint (cross-engine-stable; exact-dup key)."""
+    return F.md5(text)
+
+
+def sketch_fingerprint(text: Column, probe: int = 64) -> Column:
+    """Cheap locality sketch: md5 over (length, head, middle, tail) probes.
+    At 100 TB this avoids hashing multi-MB documents end-to-end while still
+    keying exact dups with overwhelming probability."""
+    n = F.length(text)
+    head = F.substring(text, 1, probe)
+    middle = F.substr(text, (n / 2).cast("int") + 1, F.lit(probe))
+    tail = F.substr(text, F.greatest(n - probe + 1, F.lit(1)), F.lit(probe))
+    return F.md5(F.concat_ws("|", n.cast("string"), head, middle, tail))

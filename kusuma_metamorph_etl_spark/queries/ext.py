@@ -1,4 +1,372 @@
 """[EXT] north-star operators — dedup, similarity search, text analysis,
-streaming analogs — as oracle-checked queries (SURVEY.md §2.10)."""
+multimodal plumbing, event-time windows — as oracle-checked queries
+(SURVEY.md §2.10).
+
+Oracle notes specific to this module:
+
+* DuckDB replicates word-shingling with ``list_transform(range(...))`` and
+  the engine's exact token rule (``string_split(' ')`` + drop empties), so
+  shingle sets are identical cross-engine.
+* MinHash/SimHash/hyperplane-LSH queries hash with ``xxhash64`` — there is
+  no DuckDB equivalent, so those register with ``oracle=None`` and take the
+  driver's rows-only check; their *exact* counterparts (``dedup_ngram_jaccard``,
+  ``sim_cosine_pairs``/``sim_cosine_topk``) are fully oracle-checked and are
+  the semantics the approximate paths are validated against in tests/.
+* Float policy: single divisions are bit-identical cross-engine and ship
+  raw; anything summed (cosine, windowed sums) is rounded identically on
+  both sides (registry.py conventions).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators import dedup, multimodal, similarity, text
+from kusuma_metamorph_etl_spark.registry import register
+from kusuma_metamorph_etl_spark.sources.catalog import load_table as t
+from kusuma_metamorph_etl_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+# Tokenization building blocks, shared across text/dedup oracles.  Must stay
+# textually in sync with operators/text.py::words.
+_W = "list_filter(string_split({src}, ' '), x -> x <> '')"
+_W_LOWER = _W.format(src="lower(text)")
+_W_TEXT = _W.format(src="text")
+
+_SHINGLES = (
+    "list_distinct(list_transform(range(len(w) - 2),"
+    " i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))"
+)
+
+
+# ---------------------------------------------------------------- text analysis
+
+@register(
+    "txt_token_count",
+    f"""SELECT doc_id,
+               len({_W_TEXT}) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                   AS n_bpe_tokens
+        FROM documents""",
+)
+def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts (`operators/text.py`)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "txt_quality",
+    f"""WITH q AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len({_W_TEXT}) AS n_tokens,
+                 len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                 len(list_filter({_W_LOWER},
+                     x -> x IN ('the','a','and','of','to','in','is','it')))
+                     AS n_stop
+          FROM documents)
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+                    ELSE 0.0 END AS avg_word_len,
+               CASE WHEN n_chars > 0
+                    THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END
+                   AS punct_ratio,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END
+                   AS stopword_ratio,
+               round(0.4 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN n_tokens > 0
+                                   THEN CAST(n_stop AS DOUBLE) / n_tokens
+                                   ELSE 0.0 END)
+                     + 0.3 * (1.0 - least((CASE WHEN n_chars > 0
+                                                THEN CAST(n_punct AS DOUBLE) / n_chars
+                                                ELSE 0.0 END) * 10.0, 1.0)), 6)
+                   AS quality_score
+        FROM q""",
+)
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/stopword features + composite quality score."""
+    docs = t(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "avg_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "txt_language_id",
+    f"""WITH v AS (
+          SELECT doc_id, {_W_LOWER} AS w FROM documents),
+        c AS (
+          SELECT doc_id,
+                 len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS en,
+                 len(list_filter(w, x -> x IN ('el','la','de','que','y','los','en','un'))) AS es,
+                 len(list_filter(w, x -> x IN ('le','la','de','et','les','des','un','une'))) AS fr,
+                 len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu','den'))) AS de
+          FROM v)
+        SELECT doc_id,
+               CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+                    WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+                    WHEN fr >= de AND fr > 0 THEN 'fr'
+                    WHEN de > 0 THEN 'de'
+                    ELSE 'und' END AS lang_pred
+        FROM c""",
+)
+def txt_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (deterministic tiebreak order)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.language_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "txt_fingerprint",
+    """SELECT doc_id,
+              md5(text) AS fp,
+              md5(concat_ws('|',
+                  CAST(length(text) AS VARCHAR),
+                  substring(text, 1, 64),
+                  substring(text, length(text) // 2 + 1, 64),
+                  substring(text, greatest(length(text) - 63, 1), 64)))
+                  AS sketch_fp
+       FROM documents""",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-content md5 + (length, head, middle, tail) locality sketch."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.sketch_fingerprint(F.col("text")).alias("sketch_fp"),
+    )
+
+
+# ---------------------------------------------------------------- deduplication
+
+@register(
+    "dedup_exact",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup — lowest-id representative per fingerprint."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH s AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)),
+        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+          FROM e l JOIN e r USING (shingle)
+          WHERE l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(sa.n AS BIGINT) AS na,
+               CAST(sb.n AS BIGINT) AS nb,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.1 via inverted-index self-join."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, threshold=0.1).select(
+        "a", "b", "n_common", "na", "nb", "jaccard"
+    )
+
+
+@register("dedup_minhash_lsh", None)  # xxhash64-based — no DuckDB equivalent
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard ≥ 0.3 (the scale
+    path; recall vs `dedup_ngram_jaccard` is asserted in tests/)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.3)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_simhash", None)  # xxhash64-based — no DuckDB equivalent
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted SimHash near-dup pairs (48-bit signatures,
+    Hamming ≤ 3, pigeonhole chunk-blocked join — no cross join)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, bits=48, max_hamming=3)
+
+
+# ---------------------------------------------------------------- similarity
+
+_COSINE = (
+    "list_dot_product(a.e, b.e)"
+    " / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+@register(
+    "sim_cosine_topk",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {_COSINE} AS cosine
+          FROM v a JOIN v b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % 25 = 0),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+        FROM ranked WHERE rn <= 5""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for every 25th vector as query."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.cosine_topk(queries, emb, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "sim_cosine_pairs",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b, round({_COSINE}, 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {_COSINE} >= 0.3""",
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.3, exhaustive at test scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_pairs(emb, threshold=0.3)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+@register("sim_lsh_topk", None)  # xxhash64-derived hyperplanes — rows-only
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing (recall asserted
+    against `sim_cosine_topk` in tests/)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.lsh_topk(queries, emb, k=5, n_planes=8)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------- multimodal
+
+@register(
+    "mm_binary_features",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
+              md5(text) AS content_md5
+       FROM documents""",
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic fake decoder; real decoders plug in the same seam)."""
+    docs = t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    return multimodal.extract_binary_features(payloads, decoder=multimodal.fake_decode)
+
+
+@register(
+    "mm_frame_sample",
+    """SELECT doc_id,
+              CAST(frame_idx AS INTEGER) AS frame_idx,
+              lower(hex(encode(substring(text, frame_idx * 64 + 1, 8))))
+                  AS frame_hex
+       FROM (SELECT doc_id, text,
+                    unnest(range(least(length(text) // 64, 7) + 1)) AS frame_idx
+             FROM documents)""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-slice 'frame sampling' over binary payloads (video stand-in)."""
+    docs = t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    frames = multimodal.sample_frames(payloads, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.lower(F.hex(F.col("frame_bytes"))).alias("frame_hex"),
+    )
+
+
+# ------------------------------------------------------- event-time windows
+# Batch/stream polymorphic transforms (streaming/windows.py); the oracle
+# checks batch semantics, tests/ drive the same plans through availableNow
+# streaming with watermarks.
+
+@register(
+    "stream_tumbling",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+              event_type,
+              count(*) AS n_events,
+              round(sum(value), 2) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type."""
+    return tumbling_agg(t(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding",
+    """WITH w AS (
+         SELECT event_type, ts,
+                time_bucket(INTERVAL '30 minutes', ts)
+                  - unnest([INTERVAL '0 minutes', INTERVAL '30 minutes'])
+                  AS window_start
+         FROM events)
+       SELECT window_start, event_type, count(*) AS n_events
+       FROM w GROUP BY 1, 2""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (each event in 2 windows)."""
+    return sliding_agg(t(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session",
+    """WITH o AS (
+         SELECT user_id, ts, value,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL '10 minutes'
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       s AS (
+         SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM o)
+       SELECT min(ts) AS session_start,
+              max(ts) + INTERVAL '10 minutes' AS session_end,
+              user_id,
+              count(*) AS n_events,
+              round(sum(value), 2) AS total_value
+       FROM s GROUP BY user_id, session_id""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-minute inactivity gap) per user."""
+    return session_agg(t(spark, sf_dir, "events"), gap="10 minutes")

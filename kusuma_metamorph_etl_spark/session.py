@@ -40,6 +40,10 @@ _BASE_CONF: dict[str, str] = {
     # input comfortably in memory at any total data size.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # The events test table carries TIMESTAMP(NANOS) parquet, which Spark
+    # refuses natively; read the raw int64 and convert in the catalog
+    # (sources/catalog.py truncates ns→µs, matching DuckDB's cast).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -25,10 +25,21 @@ TABLES: tuple[str, ...] = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one catalog table.  Lazy — no job runs until an action."""
+    """Scan one catalog table.  Lazy — no job runs until an action.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as raw
+    int64 nanos (``nanosAsLong``, set in session.py); the catalog converts
+    it to a proper µs TimestampType by floor-division — the same ns→µs
+    truncation DuckDB applies when casting TIMESTAMP_NS.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

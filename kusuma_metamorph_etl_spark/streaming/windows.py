@@ -1,0 +1,117 @@
+"""Event-time windowed aggregations, batch/stream polymorphic.
+
+Each transform is a pure DataFrame function usable on either
+``spark.read`` or ``spark.readStream`` input — Structured Streaming's
+contract is exactly that the same logical plan runs incrementally.  Tests
+drive them through a memory-sink streaming query (``availableNow``); the
+correctness oracle checks them in batch mode against DuckDB.
+
+Scale notes: event-time windows shuffle on (window, keys); the watermark
+bounds state (late data beyond it is dropped), which is what makes the
+operator viable on an unbounded 100 TB/day stream.  ``session_window``
+state grows with open sessions per key — the gap duration is the lever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw ns (nanosAsLong) — converted below
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (parquet directory source) with the
+    same ns→µs conversion the batch catalog applies."""
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(
+    events: DataFrame, duration: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time windows per event_type: count + sum(value)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding windows (each event lands in duration/slide windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessionization per user: a session closes after ``gap`` of
+    inactivity.  Streaming uses the native ``session_window`` state
+    operator; the same call works in batch."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming frame to completion against the bounded test
+    source (availableNow) and land results in an in-memory table — the
+    smoke path for streaming tests."""
+    query = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
