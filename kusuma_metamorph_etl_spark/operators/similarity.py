@@ -95,25 +95,29 @@ def cosine_pairs(
     )
 
 
+def _plane(seed: int, j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components (Mersenne Twister
+    seeded by (seed, j) — stable across runs and platforms)."""
+    import random
+
+    rng = random.Random(seed * 1_000_003 + j)
+    return [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+
+
 def hyperplane_signature(
     vec: Column, n_planes: int = 16, dim: int = 64, seed: int = 42
 ) -> Column:
     """Random-hyperplane LSH signature (sign pattern of ``n_planes`` dot
-    products) packed into a long.  Planes are pseudo-random but fully
-    deterministic: component (j, i) = (xxhash64(seed, j, i) % 1001 - 500),
-    computed JVM-side at plan build — no RNG state, reproducible across
-    runs and engines."""
+    products) packed into a long.
+
+    Each plane ships as ONE array<double> literal (components generated
+    driver-side) — building them element-by-element as column expressions
+    costs thousands of plan-construction round trips and dominated wall
+    clock before any row was processed."""
     total = None
     v = as_double(vec)
     for j in range(n_planes):
-        plane = F.array(
-            *[
-                (F.xxhash64(F.lit(seed), F.lit(j), F.lit(i)) % 1001 - 500).cast(
-                    "double"
-                )
-                for i in range(dim)
-            ]
-        )
+        plane = F.lit(_plane(seed, j, dim))
         bit = F.when(dot(v, plane) >= 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -127,29 +131,58 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate cosine top-k: compare only vectors sharing the
-    hyperplane-sign bucket.  The crossJoin becomes an equi-join on
-    ``bucket`` — at 1000-executor scale this is the difference between
-    |Q|×|C| and |Q|×|C|/2^planes comparisons.  Recall < 1.0 by design;
-    multi-probe (flipping low-margin bits) is the standard extension."""
-    sig = lambda df, out: df.select(  # noqa: E731
-        F.col(id_col).alias(out),
-        as_double(F.col(vec_col)).alias(f"{out}_v"),
-        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
+    """Approximate cosine top-k via multi-table hyperplane LSH.
+
+    ``n_tables`` independent tables of ``n_planes`` hyperplanes each (table
+    t's planes are seeded by t); a corpus vector is a candidate for a query
+    if they share ANY table's bucket.  Recall for a pair at angle θ is
+    1 − (1 − (1 − θ/π)^planes)^tables — the OR-of-ANDs S-curve; one table
+    of many planes (the naive setup) over-partitions and recall collapses
+    when buckets hold fewer than k vectors.
+
+    Plan shape: fixed fan-out explode (one row per table) → equi-join on
+    (table, bucket) against the broadcast queries → per-pair dedup via
+    groupBy (cosine is scored once per surviving pair) → top-k window over
+    candidates only.  Comparisons drop from |Q|×|C| to the bucket-collision
+    count, which is the 100 TB lever.
+    """
+
+    def sig(df: DataFrame, out: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_signature(
+                        F.col(vec_col), n_planes, dim, seed=42 + t
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out),
+            as_double(F.col(vec_col)).alias(f"{out}_v"),
+            F.explode(tables).alias("tb"),
+        ).select(out, f"{out}_v", "tb.tbl", "tb.bucket")
+
     q = sig(queries, "query_id")
     c = sig(corpus, "neighbor_id")
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cosine"),
         )
+        # A pair colliding in several tables appears once per table with an
+        # identical cosine; max() is just the dedup.
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     return top_k_per_group(
         scored,

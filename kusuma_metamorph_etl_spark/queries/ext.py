@@ -264,11 +264,11 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_lsh_topk", None)  # xxhash64-derived hyperplanes — rows-only
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane bucketing (recall asserted
-    against `sim_cosine_topk` in tests/)."""
+    """Approximate top-k via multi-table random-hyperplane bucketing
+    (recall asserted against `sim_cosine_topk` in tests/)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    out = similarity.lsh_topk(queries, emb, k=5, n_planes=8)
+    out = similarity.lsh_topk(queries, emb, k=5, n_planes=4, n_tables=8)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 

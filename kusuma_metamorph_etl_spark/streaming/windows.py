@@ -40,7 +40,9 @@ EVENT_SCHEMA = StructType(
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (parquet directory source) with the
     same ns→µs conversion the batch catalog applies."""
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    # FileStreamSource needs a directory or glob (a bare file path fails
+    # basePath validation); the glob resolves to the single test file.
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(f"{sf_dir}/events.parque[t]")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

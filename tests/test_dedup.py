@@ -1,0 +1,80 @@
+"""Dedup operator tests: exact dedup semantics, the approximate paths
+(MinHash-LSH, SimHash) validated against the exact Jaccard ground truth —
+the recall contract promised in queries/ext.py docstrings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators import dedup
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_exact_dedup_removes_content_duplicates(spark, sf_small):
+    docs = _docs(spark, sf_small)
+    # Inject exact duplicates under fresh ids.
+    dupes = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dupes = docs.unionByName(dupes)
+    kept = dedup.exact_dedup(with_dupes)
+    # Every injected copy collapses onto its (lower-id) original.
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    # No two surviving docs share content.
+    n_distinct = kept.select(F.md5("text")).distinct().count()
+    assert kept.count() == n_distinct
+
+
+def test_word_shingles_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three"), (3, "")], ["doc_id", "text"]
+    )
+    out = df.select(
+        "doc_id", F.size(dedup.word_shingles(F.col("text"), n=3)).alias("n")
+    ).collect()
+    by_id = {r["doc_id"]: r["n"] for r in out}
+    assert by_id[1] == 0  # fewer tokens than n → empty, not an error
+    assert by_id[2] == 1
+    assert by_id[3] == 0
+
+
+def test_minhash_lsh_recall_against_exact(spark, sf_small):
+    docs = _docs(spark, sf_small)
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    # Precision is 1.0 by construction (candidates verified exactly)…
+    assert approx <= exact
+    # …and banding recall on strong pairs must be high.
+    assert exact, "test corpus must contain near-duplicate pairs"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall} below contract"
+
+
+def test_simhash_finds_injected_near_duplicates(spark, sf_small):
+    docs = _docs(spark, sf_small)
+    # An exact copy has Hamming distance 0 — always within any threshold.
+    copies = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_copies = docs.unionByName(copies)
+    pairs = dedup.simhash_near_dups(with_copies, bits=48, max_hamming=3)
+    found = {
+        (r["a"], r["b"])
+        for r in pairs.filter(F.col("b") >= 1_000_000).collect()
+    }
+    expected = {
+        (r["doc_id"], r["doc_id"] + 1_000_000) for r in docs.limit(3).collect()
+    }
+    assert expected <= found
+
+
+def test_simhash_pair_symmetry_and_bounds(spark, sf_small):
+    pairs = dedup.simhash_near_dups(_docs(spark, sf_small), bits=48, max_hamming=3)
+    rows = pairs.collect()
+    assert all(r["a"] < r["b"] for r in rows)
+    assert all(0 <= r["hamming"] <= 3 for r in rows)

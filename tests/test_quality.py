@@ -1,0 +1,55 @@
+"""Property tests for the quality gates (SURVEY.md §5 test strategy #4):
+the duplicate gate fires iff a PK collision exists, errors carry the
+offending keys (fixes reference bug B5), and the null/schema contracts
+fail fast."""
+
+from __future__ import annotations
+
+import pytest
+
+from kusuma_metamorph_etl_spark.plans.quality import (
+    DuplicateKeyError,
+    NullPolicyError,
+    SchemaMismatchError,
+    assert_schema,
+    duplicate_gate,
+    null_policy,
+)
+
+
+def test_duplicate_gate_passes_on_unique_keys(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
+    assert duplicate_gate(df, ["id"]) is df
+
+
+def test_duplicate_gate_raises_with_offending_keys(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["id", "v"])
+    with pytest.raises(DuplicateKeyError) as err:
+        duplicate_gate(df, ["id"])
+    assert err.value.keys == ["id"]
+    assert err.value.samples[0]["id"] == 1
+    assert err.value.samples[0]["duplicate_count"] == 2
+
+
+def test_duplicate_gate_composite_key(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0), (1, "x", 3.0)], ["id", "k", "v"]
+    )
+    with pytest.raises(DuplicateKeyError):
+        duplicate_gate(df, ["id", "k"])
+    # The same frame is fine under the wider key.
+    duplicate_gate(df, ["id", "k", "v"])
+
+
+def test_null_policy(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "v"])
+    null_policy(df, ["id"])
+    with pytest.raises(NullPolicyError):
+        null_policy(df, ["id", "v"])
+
+
+def test_assert_schema(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    assert_schema(df, ["id", "v"])
+    with pytest.raises(SchemaMismatchError):
+        assert_schema(df, ["v", "id"])  # order is part of the contract

@@ -1,0 +1,59 @@
+"""Similarity-search tests: exact cosine math sanity, and the multi-table
+hyperplane LSH validated for recall against the brute-force ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators import similarity
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cosine_identity(spark, sf_small):
+    emb = _emb(spark, sf_small)
+    v = F.col("embedding")
+    out = emb.select(similarity.cosine(
+        similarity.as_double(v), similarity.as_double(v)
+    ).alias("c")).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-12 for r in out)
+
+
+def test_cosine_topk_shape_and_ordering(spark, sf_small):
+    emb = _emb(spark, sf_small)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.cosine_topk(queries, emb, k=5).collect()
+    per_query: dict[int, list[float]] = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        per_query.setdefault(r["query_id"], []).append(r["cosine"])
+    assert all(len(v) == 5 for v in per_query.values())
+    # row_number ordering: cosines per query arrive non-increasing.
+    assert all(v == sorted(v, reverse=True) for v in per_query.values())
+
+
+def test_lsh_topk_recall(spark, sf_small):
+    emb = _emb(spark, sf_small)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(queries, emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # Multi-table OR-amplification: measured 0.74 at sf0.001 with the
+    # default 8 tables × 4 planes; 0.5 is the regression floor.
+    assert recall >= 0.5, f"lsh recall {recall} below contract"
+
+
+def test_cosine_pairs_threshold(spark, sf_small):
+    pairs = similarity.cosine_pairs(_emb(spark, sf_small), threshold=0.3)
+    rows = pairs.collect()
+    assert rows, "corpus should contain correlated vectors"
+    assert all(r["cosine"] >= 0.3 for r in rows)
+    assert all(r["a"] < r["b"] for r in rows)

@@ -1,0 +1,59 @@
+"""Sink tests: dual-write layout (raw has no DAY_DT — fixes reference
+quirk B2; legacy is DAY_DT-partitioned history) and idempotent dynamic
+partition overwrite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.sources.sinks import (
+    dual_write,
+    enable_dynamic_partition_overwrite,
+    stamp_snapshot,
+    write_parquet_snapshot,
+)
+
+
+def test_dual_write_layout(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    raw = str(tmp_path / "raw")
+    legacy = str(tmp_path / "legacy")
+
+    dual_write(df, raw, legacy, run_date="2024-06-01")
+
+    raw_df = spark.read.parquet(raw)
+    assert set(raw_df.columns) == {"id", "v"}  # no DAY_DT in raw (B2 fixed)
+    assert raw_df.count() == 2
+
+    legacy_df = spark.read.parquet(legacy)
+    assert "DAY_DT" in legacy_df.columns
+    assert legacy_df.count() == 2
+    assert {str(r["DAY_DT"]) for r in legacy_df.collect()} == {"2024-06-01"}
+
+    # Next day appends; history accumulates by snapshot date.
+    dual_write(df, raw, legacy, run_date="2024-06-02")
+    assert spark.read.parquet(raw).count() == 2  # raw overwritten
+    legacy_df = spark.read.parquet(legacy)
+    assert legacy_df.count() == 4
+    assert legacy_df.select("DAY_DT").distinct().count() == 2
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
+    enable_dynamic_partition_overwrite(spark)
+    path = str(tmp_path / "snap")
+
+    day1 = stamp_snapshot(
+        spark.createDataFrame([(1,)], ["id"]), run_date="2024-06-01"
+    )
+    day2 = stamp_snapshot(
+        spark.createDataFrame([(2,)], ["id"]), run_date="2024-06-02"
+    )
+    write_parquet_snapshot(day1, path, mode="overwrite")
+    write_parquet_snapshot(day2, path, mode="overwrite")
+    # Re-run day 2 (reprocessing) — must replace, not duplicate, and must
+    # leave day 1 untouched.
+    write_parquet_snapshot(day2, path, mode="overwrite")
+
+    out = spark.read.parquet(path)
+    assert out.count() == 2
+    assert out.filter(F.col("DAY_DT") == "2024-06-02").count() == 1

@@ -1,0 +1,40 @@
+"""Streaming tests: the batch/stream-polymorphic window transforms produce
+IDENTICAL results when driven through Structured Streaming (availableNow,
+memory sink) as in batch — the core Structured Streaming contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from kusuma_metamorph_etl_spark.sources.catalog import load_table
+from kusuma_metamorph_etl_spark.streaming.windows import (
+    run_to_memory_sink,
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "transform,name",
+    [(tumbling_agg, "t_tumble"), (sliding_agg, "t_slide")],
+)
+def test_stream_matches_batch(spark, sf_small, transform, name):
+    batch = transform(load_table(spark, sf_small, "events"))
+    stream = transform(stream_events(spark, sf_small))
+    assert stream.isStreaming
+    run_to_memory_sink(stream, name, output_mode="complete")
+    got = _rows(spark.table(name))
+    assert got == _rows(batch)
+
+
+def test_session_stream_matches_batch(spark, sf_small):
+    batch = session_agg(load_table(spark, sf_small, "events"), gap="10 minutes")
+    stream = session_agg(stream_events(spark, sf_small), gap="10 minutes")
+    run_to_memory_sink(stream, "t_session", output_mode="complete")
+    assert _rows(spark.table("t_session")) == _rows(batch)
