@@ -77,37 +77,46 @@ def supplier_performance(
         )
     )
 
-    # JNR_2: ⟖ suppliers — right join keeps suppliers with no sales.
-    jnr_suppliers = (
-        jnr_products.alias("l")
-        .join(
-            suppliers.alias("r"),
-            on=F.col("l.SUPPLIER_ID") == F.col("r.SUPPLIER_ID"),
-            how="right",
-        )
-        .select(
-            F.col("r.SUPPLIER_ID").alias("SUPPLIER_ID"),
-            F.col("r.SUPPLIER_NAME").alias("SUPPLIER_NAME"),
-            F.col("l.PRODUCT_ID").alias("PRODUCT_ID"),
-            F.col("l.PRODUCT_NAME").alias("PRODUCT_NAME"),
-            F.col("l.QUANTITY").alias("QUANTITY"),
-            # EXP: REVENUE = QUANTITY * SELLING_PRICE
-            (F.col("l.QUANTITY") * F.col("l.SELLING_PRICE")).alias("REVENUE"),
-        )
+    # EXP: REVENUE = QUANTITY * SELLING_PRICE on the fact grain.
+    fact = jnr_products.withColumn(
+        "REVENUE", F.col("QUANTITY") * F.col("SELLING_PRICE")
     )
 
-    # AGG: per-supplier totals (map-side partial agg collapses before the
-    # shuffle; countDistinct is exact as in the reference).
-    agg = jnr_suppliers.groupBy("SUPPLIER_ID", "SUPPLIER_NAME").agg(
+    # AGG FIRST, join the supplier dim after: the reference's fact ⟖
+    # suppliers right-join runs BEFORE aggregation, which forces a
+    # full-fact SortMergeJoin (an outer join cannot broadcast its
+    # preserved side).  Aggregating to supplier grain first collapses the
+    # fact to dim cardinality, so the outer join below broadcasts.  Rows
+    # whose supplier is absent from the dim drop out either way; idle
+    # suppliers surface as nulls and take the fillna defaults — identical
+    # output, one fewer fact-sized shuffle.
+    agg_fact = fact.groupBy("SUPPLIER_ID").agg(
         F.sum("REVENUE").alias("TOTAL_REVENUE"),
         F.countDistinct("PRODUCT_ID").alias("TOTAL_PRODUCTS_SOLD"),
         F.sum("QUANTITY").alias("TOTAL_STOCK_SOLD"),
     )
 
+    # JNR_2: suppliers ⟕ per-supplier totals (keeps suppliers w/o sales).
+    agg = (
+        suppliers.alias("r")
+        .join(
+            maybe_broadcast(agg_fact.alias("l")),
+            on=F.col("r.SUPPLIER_ID") == F.col("l.SUPPLIER_ID"),
+            how="left",
+        )
+        .select(
+            F.col("r.SUPPLIER_ID").alias("SUPPLIER_ID"),
+            F.col("r.SUPPLIER_NAME").alias("SUPPLIER_NAME"),
+            F.col("l.TOTAL_REVENUE").alias("TOTAL_REVENUE"),
+            F.col("l.TOTAL_PRODUCTS_SOLD").alias("TOTAL_PRODUCTS_SOLD"),
+            F.col("l.TOTAL_STOCK_SOLD").alias("TOTAL_STOCK_SOLD"),
+        )
+    )
+
     # WIN: top product per supplier over a per-(supplier, product)
     # pre-aggregation; revenue desc, product name as deterministic tiebreak.
     per_product = (
-        jnr_suppliers.filter(F.col("PRODUCT_ID").isNotNull())
+        fact.filter(F.col("PRODUCT_ID").isNotNull())
         .groupBy("SUPPLIER_ID", "PRODUCT_NAME")
         .agg(F.sum("REVENUE").alias("PRODUCT_REVENUE"))
     )
