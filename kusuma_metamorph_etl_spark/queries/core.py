@@ -46,6 +46,55 @@ def src_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POPULATION_ROWS = [
+    ("01", "United States", 2020, 331449281),
+    ("01", "United States", 2021, 331893745),
+    ("01", "United States", 2022, 333287557),
+]
+_POPULATION_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{i}', '{n}', {y}, {p})" for i, n, y, p in _POPULATION_ROWS)
+    + ") AS t(id_nation, nation, year, population)"
+)
+
+
+@register("src_inline_schema", _POPULATION_SQL)
+def src_inline_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory rows + explicit StructType (reference `dag.py:63-82`,
+    the DataUSA population shape)."""
+    from kusuma_metamorph_etl_spark.sources.memory import dataframe_from_records
+
+    return dataframe_from_records(
+        spark,
+        _POPULATION_ROWS,
+        "id_nation string, nation string, year int, population long",
+    )
+
+
+@register("src_rest_json", _POPULATION_SQL)
+def src_rest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST-payload landing-zone pattern (`transform_utils.py:35-75`
+    re-architected): records land as ndjson, then a distributed
+    declared-schema read — no driver-memory-bound createDataFrame."""
+    from kusuma_metamorph_etl_spark.sources.rest import (
+        land_json_records,
+        read_landed_json,
+    )
+
+    landing = os.path.join(SCRATCH, "rest_landing", os.path.basename(sf_dir))
+    import shutil
+
+    shutil.rmtree(landing, ignore_errors=True)
+    records = [
+        {"id_nation": i, "nation": n, "year": y, "population": p}
+        for i, n, y, p in _POPULATION_ROWS
+    ]
+    land_json_records(records, landing)
+    return read_landed_json(
+        spark, landing, "id_nation string, nation string, year int, population long"
+    )
+
+
 @register(
     "snk_dual_write",
     f"SELECT n_nationkey, n_name, n_regionkey, DATE '{RUN_DATE}' AS day_dt FROM nation",

@@ -1,0 +1,92 @@
+"""Source tests: declared-schema CSV, the REST landing-zone pattern (with
+a real in-process HTTP server), and fail-fast auth (reference bug B4)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from kusuma_metamorph_etl_spark.sources.csv import read_csv
+from kusuma_metamorph_etl_spark.sources.memory import dataframe_from_records
+from kusuma_metamorph_etl_spark.sources.rest import (
+    fetch_to_landing,
+    land_json_records,
+    read_landed_json,
+)
+
+RECORDS = [
+    {"id": 1, "name": "alpha"},
+    {"id": 2, "name": "beta"},
+    {"id": 3, "name": "gamma"},
+]
+
+
+class _Api(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 (http.server API)
+        if self.path == "/v1/things":
+            if self.headers.get("Authorization") != "Bearer tok":
+                self.send_response(401)
+                self.end_headers()
+                return
+            body = json.dumps({"data": RECORDS}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def log_message(self, *args):  # silence test output
+        pass
+
+
+@pytest.fixture(scope="module")
+def api_server():
+    server = HTTPServer(("127.0.0.1", 0), _Api)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def test_csv_declared_schema_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    path = str(tmp_path / "csv")
+    df.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, schema="id long, v string")
+    assert back.schema.simpleString() == "struct<id:bigint,v:string>"
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_land_and_read_json(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    paths = land_json_records(RECORDS, landing, records_per_file=2)
+    assert len(paths) == 2  # pagination honored
+    df = read_landed_json(spark, landing, "id long, name string")
+    assert {tuple(r) for r in df.collect()} == {(1, "alpha"), (2, "beta"), (3, "gamma")}
+
+
+def test_fetch_to_landing_http(spark, api_server, tmp_path):
+    requests = pytest.importorskip("requests")  # noqa: F841
+    landing = str(tmp_path / "landed")
+    fetch_to_landing(api_server, "/v1/things", landing, token="tok")
+    df = read_landed_json(spark, landing, "id long, name string")
+    assert df.count() == 3
+
+
+def test_fetch_fails_fast_on_auth_error(api_server, tmp_path):
+    requests = pytest.importorskip("requests")
+    with pytest.raises(requests.HTTPError):
+        fetch_to_landing(api_server, "/v1/things", str(tmp_path / "x"), token=None)
+
+
+def test_inline_schema_records(spark):
+    df = dataframe_from_records(
+        spark, [(1, "x")], "id int, v string"
+    )
+    assert df.schema.simpleString() == "struct<id:int,v:string>"
+    assert df.collect()[0].asDict() == {"id": 1, "v": "x"}
