@@ -370,3 +370,21 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (10-minute inactivity gap) per user."""
     return session_agg(t(spark, sf_dir, "events"), gap="10 minutes")
+
+
+@register(
+    "stream_dedup_first",
+    """SELECT user_id, event_type, event_id, ts, value
+       FROM (SELECT user_id, event_type, event_id, ts, value,
+                    row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS rn
+             FROM events)
+       WHERE rn = 1""",
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) — batch twin of the custom
+    `applyInPandasWithState` streaming dedup (streaming/stateful.py);
+    stream==batch equality is asserted in tests/."""
+    from kusuma_metamorph_etl_spark.streaming.stateful import first_event_batch
+
+    return first_event_batch(t(spark, sf_dir, "events"))

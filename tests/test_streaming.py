@@ -38,3 +38,25 @@ def test_session_stream_matches_batch(spark, sf_small):
     stream = session_agg(stream_events(spark, sf_small), gap="10 minutes")
     run_to_memory_sink(stream, "t_session", output_mode="complete")
     assert _rows(spark.table("t_session")) == _rows(batch)
+
+
+def test_stateful_dedup_stream_matches_batch(spark, sf_small):
+    from kusuma_metamorph_etl_spark.streaming.stateful import (
+        first_event_batch,
+        first_event_stream,
+    )
+
+    batch = first_event_batch(load_table(spark, sf_small, "events"))
+    stream = first_event_stream(stream_events(spark, sf_small))
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "t_dedup", output_mode="update")
+    got = _rows(spark.table("t_dedup"))
+    assert got == _rows(batch)
+    # Dedup really deduplicates: one row per key.
+    n_keys = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert len(got) == n_keys
