@@ -95,6 +95,93 @@ def cosine_pairs(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Classic two-level ANN: partition the corpus into ``n_centroids``
+    Voronoi cells, then each query scans only its ``n_probe`` nearest
+    cells.  Centroids here are corpus vectors picked by a deterministic
+    id-stride (k-means refinement is an orthogonal upgrade; the *plan
+    shape* — broadcast centroids → argmin assignment → equi-join on
+    cell id — is what scales).
+
+    Plan: centroids broadcast everywhere (they are tiny); corpus pays one
+    narrow pass to compute its cell id (no shuffle of vectors — the
+    assignment is a map); queries explode to ``n_probe`` (query, cell)
+    rows; the candidate join is an equi-join on cell id.  Comparisons drop
+    to ~``n_probe / n_centroids`` of brute force.
+    """
+    total = corpus.count()
+    stride = max(total // n_centroids, 1)
+    centroid_rows = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(as_double(F.col(vec_col)).alias("centroid"))
+        .collect()
+    )
+    # The index is tiny by construction — embed it as ONE plan literal so
+    # cell assignment is a pure map (no shuffle, no window, no join).
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("cell"), F.lit(r["centroid"]).alias("centroid"))
+            for i, r in enumerate(centroid_rows)
+        ]
+    )
+
+    def assign(df: DataFrame, out: str, probes: int) -> DataFrame:
+        """Per row: cosine against every centroid, sort, keep ``probes``
+        cells — all inside one projected expression."""
+        v = as_double(F.col(vec_col))
+        sims = F.transform(
+            cells,
+            lambda s: F.struct(
+                s["cell"].alias("cell"), cosine(v, s["centroid"]).alias("sim")
+            ),
+        )
+        ranked = F.array_sort(
+            sims,
+            lambda l, r: F.when(l["sim"] > r["sim"], -1)
+            .when(l["sim"] < r["sim"], 1)
+            .otherwise(l["cell"] - r["cell"]),
+        )
+        return df.select(
+            F.col(id_col).alias(out),
+            v.alias(f"{out}_v"),
+            F.explode(
+                F.transform(F.slice(ranked, 1, probes), lambda s: s["cell"])
+            ).alias("cell"),
+        )
+
+    c = assign(corpus, "neighbor_id", 1)  # each corpus vector lives in 1 cell
+    q = assign(queries, "query_id", n_probe)
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cosine"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+    )
+
+
 def _plane(seed: int, j: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane components (Mersenne Twister
     seeded by (seed, j) — stable across runs and platforms)."""

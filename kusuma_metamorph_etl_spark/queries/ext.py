@@ -262,6 +262,16 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+@register("sim_ivf_topk", None)  # index-dependent candidates — rows-only
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index (16 cells, probe 4): each query
+    scans ~1/4 of the corpus (recall asserted in tests/)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
 @register("sim_lsh_topk", None)  # xxhash64-derived hyperplanes — rows-only
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane bucketing
