@@ -56,6 +56,7 @@ def customer_sales_report(
     run_ts: dt.datetime | str | None = None,
     yesterday_quirk: bool = False,
     broadcast_dims: bool = True,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """Build the customer-sales-report mart (one row per qualifying sale)."""
     maybe_broadcast = F.broadcast if broadcast_dims else (lambda df: df)
@@ -123,6 +124,18 @@ def customer_sales_report(
         )
         .withColumn("LOAD_TSTMP", load_ts)
     )
+
+    # The enriched fact feeds BOTH the rank-map aggregation inside
+    # global_percent_rank and the final row stream (diamond DAG).  Measured
+    # at sf0.1, recomputing the branch is FASTER than persisting: the rank
+    # branch is pruned to 3 columns through the joins, while a persist
+    # materializes the full row width and blocks that pruning (4.0s vs
+    # 6.5s end-to-end).  The knob exists for genuinely expensive upstreams
+    # (remote scans, UDF-derived columns) where recompute dominates.
+    if persist_intermediate:
+        from pyspark.storagelevel import StorageLevel
+
+        exp = exp.persist(StorageLevel.MEMORY_AND_DISK)
 
     # WIN 1: global percentile tiers — scalable exact percent_rank.
     tiered = global_percent_rank(exp, "SALE_AMOUNT", out_col="__pr", descending=True)

@@ -155,7 +155,14 @@ def minhash_signatures(
     Documents with fewer than ``n`` tokens have no shingles and drop out
     (they cannot be shingle-near-dups of anything).
     """
-    shingles = shingle_table(df, text_col, id_col, n)
+    return _signatures_from_shingles(
+        shingle_table(df, text_col, id_col, n), id_col, n_hashes
+    )
+
+
+def _signatures_from_shingles(
+    shingles: DataFrame, id_col: str, n_hashes: int
+) -> DataFrame:
     mins = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"m{j}")
         for j in range(n_hashes)
@@ -186,8 +193,16 @@ def minhash_lsh_candidates(
     (band_idx, band_hash).  Probability-of-candidacy follows the classic
     (1 - (1 - j^r)^b) S-curve.
     """
+    return _lsh_candidates_from_shingles(
+        shingle_table(df, text_col, id_col, n), id_col, n_hashes, bands
+    )
+
+
+def _lsh_candidates_from_shingles(
+    shingles: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
     rows = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, n)
+    sig = _signatures_from_shingles(shingles, id_col, n_hashes)
     banded = sig.select(
         "id",
         F.explode(
@@ -224,9 +239,16 @@ def minhash_near_dups(
     threshold: float = 0.5,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the full near-dup
-    pipeline (generate cheaply, verify exactly)."""
-    candidates = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, n)
+    pipeline (generate cheaply, verify exactly).
+
+    The shingle table feeds three branches (signatures, left verify side,
+    right verify side).  Persisting it was measured SLOWER at bench scale
+    than recomputing (cache materialization beats three cheap tokenize
+    passes only when documents are long or the scan is remote), so the
+    plan recomputes; at 100 TB, persist the shingle frame before calling.
+    """
     shingles = shingle_table(df, text_col, id_col, n)
+    candidates = _lsh_candidates_from_shingles(shingles, id_col, n_hashes, bands)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = shingles.toDF("a", "shingle")
     sb = shingles.toDF("b", "shingle")
