@@ -17,8 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
 
 
-def jdbc_reader(
-    spark: SparkSession,
+def reader_options(
     url: str,
     table: str,
     user: str,
@@ -29,53 +28,58 @@ def jdbc_reader(
     num_partitions: int = 8,
     fetchsize: int = 10_000,
     driver: str = "org.postgresql.Driver",
-) -> DataFrameReader:
-    """A JDBC reader with partitioned scan options.
+) -> dict[str, str]:
+    """Assemble partitioned-scan JDBC options (pure → unit-testable).
 
     With ``partition_column`` (a numeric/date PK) Spark issues
     ``num_partitions`` concurrent range queries instead of one full-table
     scan; bounds should come from a cheap ``SELECT min(pk), max(pk)``.
     """
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
-        .option("driver", driver)
-        .option("fetchsize", str(fetchsize))
-    )
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "driver": driver,
+        "fetchsize": str(fetchsize),
+    }
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError("partitioned JDBC read needs lower_bound and upper_bound")
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions))
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
         )
-    return reader
+    return opts
 
 
-def jdbc_writer(
-    df: DataFrame,
+def writer_options(
     url: str,
     table: str,
     user: str,
     password: str,
-    mode: str = "append",
     batchsize: int = 10_000,
     driver: str = "org.postgresql.Driver",
-) -> DataFrameWriter:
-    """A JDBC writer with batched inserts (reference writes row-at-a-time
+) -> dict[str, str]:
+    """Batched-insert JDBC options (reference writes with row-at-a-time
     defaults; `transform_utils.py:95-107`)."""
-    return (
-        df.write.format("jdbc")
-        .mode(mode)
-        .option("url", url)
-        .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
-        .option("driver", driver)
-        .option("batchsize", str(batchsize))
-    )
+    return {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "driver": driver,
+        "batchsize": str(batchsize),
+    }
+
+
+def jdbc_reader(spark: SparkSession, **kwargs) -> DataFrameReader:
+    """A JDBC reader with partitioned scan options (see reader_options)."""
+    return spark.read.format("jdbc").options(**reader_options(**kwargs))
+
+
+def jdbc_writer(df: DataFrame, mode: str = "append", **kwargs) -> DataFrameWriter:
+    """A JDBC writer with batched inserts (see writer_options)."""
+    return df.write.format("jdbc").mode(mode).options(**writer_options(**kwargs))
