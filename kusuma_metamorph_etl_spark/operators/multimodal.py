@@ -83,6 +83,59 @@ def extract_binary_features(
     return narrow.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, payload_kind string"
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resizer: truncates/pads bytes to width*height —
+    preserves the batch/schema contract a real resampler would use."""
+    target = width * height
+    return payload[:target].ljust(target, b"\x00")
+
+
+def resize(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched resize over binary payloads (image stand-in).
+
+    Same ``mapInPandas`` seam as feature extraction; output carries the
+    resized payload plus its dimensions as typed metadata.  Without an
+    injected ``resizer`` this raises ``NotImplementedError`` — the real
+    implementation needs an image library absent from this container.
+    """
+    if resizer is None:
+        raise NotImplementedError(
+            "image resize requires an image library not present in this "
+            "container; inject one via resize(resizer=...) — tests use "
+            "fake_resize"
+        )
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = pd.DataFrame(
+                {
+                    id_col: batch[id_col].values,
+                    payload_col: [
+                        resizer(p, width, height) for p in batch[payload_col]
+                    ],
+                }
+            )
+            out["width"] = width
+            out["height"] = height
+            out["payload_kind"] = "image/resized"
+            yield out
+
+    narrow = df.select(id_col, payload_col)
+    return narrow.mapInPandas(do_resize, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     every_n_bytes: int = 64,

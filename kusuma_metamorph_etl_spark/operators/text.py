@@ -118,3 +118,19 @@ def sketch_fingerprint(text: Column, probe: int = 64) -> Column:
     middle = F.substr(text, (n / 2).cast("int") + 1, F.lit(probe))
     tail = F.substr(text, F.greatest(n - probe + 1, F.lit(1)), F.lit(probe))
     return F.md5(F.concat_ws("|", n.cast("string"), head, middle, tail))
+
+
+def rolling_fingerprint(text: Column, window: int = 32, stride: int = 7) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style): minimum md5
+    over ``window``-char substrings sampled every ``stride`` chars.
+
+    Unlike the full-content hash, this survives content *movement*: a
+    document that gains a prefix keeps most of its windows, so the min
+    usually survives (classic k-gram winnowing).  Whole expression is
+    JVM-side: sequence → transform(substring → md5) → array_min.
+    """
+    last = F.greatest(F.length(text) - (window - 1), F.lit(1))
+    positions = F.sequence(F.lit(1), last, F.lit(stride))
+    return F.array_min(
+        F.transform(positions, lambda i: F.md5(F.substr(text, i, F.lit(window))))
+    )

@@ -157,6 +157,42 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt_rolling_fingerprint",
+    """SELECT doc_id,
+              list_min(list_transform(
+                  range(1, greatest(length(text) - 31, 1) + 1, 7),
+                  i -> md5(substring(text, i, 32)))) AS rolling_fp
+       FROM documents""",
+)
+def txt_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (min md5 over sampled
+    32-char windows) — stable under content movement."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.rolling_fingerprint(F.col("text"), window=32, stride=7).alias(
+            "rolling_fp"
+        ),
+    )
+
+
+@register(
+    "fn_json_extract",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+       FROM events""",
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON value extraction from the event props column (§2.8 gap — the
+    reference flattens JSON driver-side, `transform_utils.py:69`)."""
+    events = t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
 # ---------------------------------------------------------------- deduplication
 
 @register(
@@ -319,6 +355,31 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.lower(F.hex(F.col("frame_bytes"))).alias("frame_hex"),
+    )
+
+
+@register(
+    "mm_resize",
+    """SELECT doc_id,
+              rpad(lower(hex(encode(substring(text, 1, 64)))), 128, '0')
+                  AS resized_hex,
+              64 AS n_bytes,
+              CAST(8 AS INTEGER) AS width,
+              CAST(8 AS INTEGER) AS height
+       FROM documents""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched 'resize' over binary payloads (8x8 target, fake
+    resampler — real image libs plug into the same mapInPandas seam)."""
+    docs = t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    resized = multimodal.resize(payloads, 8, 8, resizer=multimodal.fake_resize)
+    return resized.select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("resized_hex"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        "width",
+        "height",
     )
 
 
