@@ -11,7 +11,7 @@ output projection, so every join has an explicit, collision-free schema
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,3 +45,80 @@ def equi_join(
         F.col(source).alias(output) for output, source in select.items()
     ]
     return joined.select(*projection)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with
+    the greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` keys
+    (SQL ``ASOF LEFT JOIN``; the operator Spark's DataFrame API lacks).
+
+    Scale shape — the union-merge pattern, NOT a range join: a range
+    condition join explodes to |L|·|R| per key before filtering, while
+    this plan is one union, one shuffle on ``on`` keys, one ordered window
+    pass (right values carried forward with ``last(ignorenulls)`` over a
+    running frame).  Memory is O(1) per row — the classic merge-join
+    formulation of as-of.
+
+    Right rows tie-break deterministically: at equal timestamps the
+    largest right row (by ``value_cols`` struct order) wins, and rights
+    sort before lefts so ``right_ts == left_ts`` matches (inclusive).
+
+    ``tolerance`` (e.g. ``"1 hour"``): matches older than
+    ``left_ts - tolerance`` are discarded (nulled), bounding how stale an
+    attached value may be.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (*on, right_ts)
+    ]
+    payload = [c for c in left.columns if c not in on]  # left's own columns
+    packed = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        packed.alias("__rv"),
+    )
+    rv_type = r.schema["__rv"].dataType
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rv_type).alias("__rv"),
+        *payload,
+    )
+    r_padded = r.select(
+        "*",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in payload
+        ],
+    )
+    merged = l.unionByName(r_padded)
+    window = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc("__ts"), F.asc("__side"), F.asc("__rv"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn(
+        "__match", F.last("__rv", ignorenulls=True).over(window)
+    ).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        fresh = F.col("__match.__rts") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        carried = carried.withColumn(
+            "__match", F.when(fresh, F.col("__match"))
+        )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [F.col(f"__match.{c}").alias(c) for c in value_cols]
+    return carried.select(*out_cols)

@@ -444,6 +444,53 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof",
+    """WITH purchases AS (
+         SELECT event_id, user_id, ts, value FROM events
+         WHERE event_type = 'purchase'),
+       clicks AS (
+         SELECT event_id AS click_id, user_id, ts, value AS click_value
+         FROM events WHERE event_type = 'click'
+         QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                    ORDER BY click_id DESC) = 1)
+       SELECT l.event_id, l.user_id, l.ts, l.value, r.click_id, r.click_value
+       FROM purchases l
+       ASOF LEFT JOIN clicks r
+         ON l.user_id = r.user_id AND r.ts <= l.ts""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.py::asof_join): each purchase
+    picks the user's most recent click at-or-before it — checked against
+    DuckDB's native ASOF LEFT JOIN."""
+    from kusuma_metamorph_etl_spark.operators.joins import asof_join
+    from kusuma_metamorph_etl_spark.operators.windows import top_k_per_group
+
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = top_k_per_group(
+        events.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("click_value"),
+        ),
+        partition_by=["user_id", "ts"],
+        order_by=[F.desc("click_id")],
+        k=1,
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id", "click_value"],
+    )
+
+
+@register(
     "stream_dedup_first",
     """SELECT user_id, event_type, event_id, ts, value
        FROM (SELECT user_id, event_type, event_id, ts, value,

@@ -1,0 +1,54 @@
+"""asof_join unit tests on hand-checkable fixtures: backward semantics,
+inclusive equality, no-match nulls, and the staleness tolerance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from kusuma_metamorph_etl_spark.operators.joins import asof_join
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 6, 1, 12, minute, 0)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(10)), (2, "A", _ts(30)), (3, "B", _ts(5))],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(9), 100.0),
+            ("A", _ts(10), 101.0),  # equality — must match trade 1
+            ("A", _ts(29), 102.0),
+            ("B", _ts(50), 200.0),  # only AFTER trade 3 — no match
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inclusive(spark, frames):
+    trades, quotes = frames
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(trades, quotes, on=["sym"], value_cols=["px"]).collect()
+    }
+    assert out == {1: 101.0, 2: 102.0, 3: None}
+
+
+def test_asof_tolerance(spark, frames):
+    trades, quotes = frames
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on=["sym"], value_cols=["px"], tolerance="30 seconds"
+        ).collect()
+    }
+    # Trade 2 at 12:30's best quote (12:29) is older than 30s → nulled;
+    # trade 1's exact-time quote survives.
+    assert out == {1: 101.0, 2: None, 3: None}
