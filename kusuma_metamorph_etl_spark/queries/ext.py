@@ -252,6 +252,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(docs, bits=48, max_hamming=3)
 
 
+@register("agg_approx_distinct", None)  # HLL sketches differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct per event_type — the sketch-based scale path
+    for `agg_count_distinct` (exact-vs-approx error bounded in tests/)."""
+    events = t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 # ---------------------------------------------------------------- similarity
 
 _COSINE = (

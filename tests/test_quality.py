@@ -53,3 +53,21 @@ def test_assert_schema(spark):
     assert_schema(df, ["id", "v"])
     with pytest.raises(SchemaMismatchError):
         assert_schema(df, ["v", "id"])  # order is part of the contract
+
+
+def test_approx_count_distinct_error_bound(spark, sf_small):
+    """The sketch path must stay within ~3x its configured rsd of exact."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_small}/events.parquet")
+    merged = (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    for row in merged:
+        rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
+        assert rel_err <= 0.06, row

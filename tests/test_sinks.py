@@ -10,6 +10,7 @@ from kusuma_metamorph_etl_spark.sources.sinks import (
     dual_write,
     enable_dynamic_partition_overwrite,
     stamp_snapshot,
+    write_bucketed,
     write_parquet_snapshot,
 )
 
@@ -57,3 +58,37 @@ def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 2
     assert out.filter(F.col("DAY_DT") == "2024-06-02").count() == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small):
+    """Two tables bucketed on the join key must join with ZERO shuffles —
+    the whole point of paying the bucketing shuffle at write time."""
+    lineitem = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), "t_li_b", ["l_orderkey"], 4
+    )
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey"), "t_o_b", ["o_orderkey"], 4
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force the shuffle-based join path (small test tables would be
+        # broadcast, which also disables bucketed scans) — the point is
+        # what bucketing saves when broadcasting is NOT possible.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_li_b").join(
+            spark.table("t_o_b"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # And the join still computes the right thing.
+        assert joined.count() == lineitem.join(
+            orders, on=F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")
