@@ -47,6 +47,54 @@ def equi_join(
     return joined.select(*projection)
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lower_col: str,
+    upper_col: str,
+    on: list[str] | None = None,
+    chunk_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: point ∈ [lower, upper) within ``on``
+    keys — the range join Spark's planner turns into a nested-loop unless
+    helped.
+
+    Scale shape — chunked equi-join: bucket the time axis into
+    ``chunk_seconds`` chunks; each interval explodes to the chunks it
+    covers (fan-out = interval length / chunk, bounded for short
+    intervals), each point maps to exactly ONE chunk, so the match runs as
+    an equi-join on (keys, chunk) and only co-bucketed pairs pay the
+    refine predicate.  Because a point lives in a single chunk, no pair
+    duplicates — no distinct needed.  Chunk size should be ≥ the typical
+    interval length (fan-out ≈ 1-2) and ≤ the key-hour data volume a task
+    can refine.
+    """
+    keys = on or []
+    chunk = F.lit(chunk_seconds)
+    p = points.withColumn(
+        "__chunk", F.floor(F.unix_timestamp(F.col(point_col)) / chunk)
+    )
+    i = intervals.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lower_col)) / chunk),
+                F.floor(F.unix_timestamp(F.col(upper_col)) / chunk),
+            )
+        ),
+    )
+    return (
+        p.join(i, on=[*keys, "__chunk"], how=how)
+        .filter(
+            (F.col(point_col) >= F.col(lower_col))
+            & (F.col(point_col) < F.col(upper_col))
+        )
+        .drop("__chunk")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

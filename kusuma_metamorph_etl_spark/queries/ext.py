@@ -501,6 +501,52 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range",
+    """WITH o AS (
+         SELECT user_id, ts, value,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL '10 minutes'
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       s AS (
+         SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM o),
+       sessions AS (
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL '10 minutes' AS session_end
+         FROM s GROUP BY user_id, session_id)
+       SELECT e.event_id, e.user_id, e.ts, s.session_start
+       FROM events e
+       JOIN sessions s
+         ON e.user_id = s.user_id
+        AND e.ts >= s.session_start AND e.ts < s.session_end""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operators/joins.py::range_join): every
+    event located inside its user's session window — chunked equi-join
+    instead of the planner's nested loop."""
+    from kusuma_metamorph_etl_spark.operators.joins import range_join
+
+    events = t(spark, sf_dir, "events")
+    sessions = session_agg(events, gap="10 minutes").select(
+        "user_id", "session_start", "session_end"
+    )
+    points = events.select("event_id", "user_id", "ts")
+    return range_join(
+        points,
+        sessions,
+        point_col="ts",
+        lower_col="session_start",
+        upper_col="session_end",
+        on=["user_id"],
+        chunk_seconds=3600,
+    ).select("event_id", "user_id", "ts", "session_start")
+
+
+@register(
     "stream_dedup_first",
     """SELECT user_id, event_type, event_id, ts, value
        FROM (SELECT user_id, event_type, event_id, ts, value,

@@ -7,7 +7,7 @@ import datetime as dt
 
 import pytest
 
-from kusuma_metamorph_etl_spark.operators.joins import asof_join
+from kusuma_metamorph_etl_spark.operators.joins import asof_join, range_join
 
 
 def _ts(minute: int) -> dt.datetime:
@@ -52,3 +52,41 @@ def test_asof_tolerance(spark, frames):
     # Trade 2 at 12:30's best quote (12:29) is older than 30s → nulled;
     # trade 1's exact-time quote survives.
     assert out == {1: 101.0, 2: None, 3: None}
+
+
+def test_range_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [
+            (1, "u", _ts(10)),  # == lower → in  ([lower, upper) semantics)
+            (2, "u", _ts(20)),  # == upper → out
+            (3, "u", _ts(15)),  # inside
+            (4, "u", _ts(40)),  # outside everything
+            (5, "v", _ts(15)),  # right time, wrong key
+        ],
+        "id long, k string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("u", _ts(10), _ts(20), "w1")],
+        "k string, lo timestamp, hi timestamp, label string",
+    )
+    out = range_join(
+        points, intervals, "ts", "lo", "hi", on=["k"], chunk_seconds=60
+    )
+    assert {r["id"] for r in out.collect()} == {1, 3}
+
+
+def test_range_join_interval_spanning_chunks(spark):
+    # Interval longer than the chunk: must still match points in EVERY
+    # covered chunk exactly once.
+    points = spark.createDataFrame(
+        [(i, "u", _ts(i)) for i in range(0, 60, 7)],
+        "id long, k string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("u", _ts(0), _ts(59), "big")],
+        "k string, lo timestamp, hi timestamp, label string",
+    )
+    out = range_join(
+        points, intervals, "ts", "lo", "hi", on=["k"], chunk_seconds=120
+    ).collect()
+    assert sorted(r["id"] for r in out) == list(range(0, 59, 7))
