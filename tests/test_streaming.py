@@ -40,6 +40,27 @@ def test_session_stream_matches_batch(spark, sf_small):
     assert _rows(spark.table("t_session")) == _rows(batch)
 
 
+def test_stream_dual_write(spark, sf_small, tmp_path):
+    from kusuma_metamorph_etl_spark.streaming.sink import stream_dual_write
+
+    events = stream_events(spark, sf_small)
+    stream_dual_write(
+        events,
+        raw_path=str(tmp_path / "raw"),
+        legacy_path=str(tmp_path / "legacy"),
+        checkpoint_dir=str(tmp_path / "cp"),
+        run_date="2024-06-01",
+    )
+    n_events = load_table(spark, sf_small, "events").count()
+    raw = spark.read.parquet(str(tmp_path / "raw"))
+    legacy = spark.read.parquet(str(tmp_path / "legacy"))
+    assert "DAY_DT" not in raw.columns
+    assert legacy.count() == n_events  # every micro-batch appended
+    assert {str(r["DAY_DT"]) for r in legacy.select("DAY_DT").distinct().collect()} == {
+        "2024-06-01"
+    }
+
+
 def test_stateful_dedup_stream_matches_batch(spark, sf_small):
     from kusuma_metamorph_etl_spark.streaming.stateful import (
         first_event_batch,
