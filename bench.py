@@ -34,6 +34,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "txt_quality",
     "stream_session",
+    "join_asof",
+    "join_range",
 ]
 
 

@@ -275,14 +275,22 @@ def fil_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fil_isnull",
     """SELECT c.c_custkey, c.c_name FROM customer c
-       LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+       LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_totalprice > 449000) o
          ON c.c_custkey = o.o_custkey
        WHERE o.o_custkey IS NULL""",
 )
 def fil_isnull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — the outer-join null predicate."""
+    """Customers with no large order — the outer-join null predicate (the
+    price floor keeps the result non-empty at test scale, so the check
+    actually exercises null rows)."""
     customer = t(spark, sf_dir, "customer")
-    order_keys = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    order_keys = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 449000)
+        .select("o_custkey")
+        .distinct()
+    )
     return (
         customer.join(
             order_keys, customer.c_custkey == order_keys.o_custkey, "left"
