@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
+    "sim_cosine_topk_np",
     "txt_quality",
     "stream_session",
     "join_asof",

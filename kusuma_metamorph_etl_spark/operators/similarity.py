@@ -76,6 +76,60 @@ def cosine_topk(
     )
 
 
+def cosine_topk_np(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k, vectorized: queries collect to a NumPy
+    matrix (they must be the small side anyway — same constraint as the
+    broadcast in :func:`cosine_topk`), corpus partitions stream through
+    ``mapInPandas`` and each Arrow batch does ONE BLAS matmul against the
+    query matrix, emitting per-batch top-k candidates; a final window
+    reduces batch-local top-k to global top-k.
+
+    This is the documented exception to "stay JVM-side": Spark's
+    higher-order-function fold is interpreted per element, so dense
+    linear algebra belongs in a vectorized Pandas UDF.  Same results as
+    :func:`cosine_topk` up to float-summation order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for batch in batches:
+            ids = batch[id_col].to_numpy()
+            c_mat = np.array(list(batch[vec_col]), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # |batch| × |Q|
+            # Batch-local top-(k+1) per query (+1 absorbs the self-match).
+            take = min(k + 1, sims.shape[0])
+            top = np.argpartition(-sims, take - 1, axis=0)[:take]
+            out = {
+                "query_id": np.repeat(q_ids, take),
+                "neighbor_id": ids[top].T.ravel(),
+                "cosine": np.take_along_axis(sims, top, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    return top_k_per_group(
+        candidates.filter(F.col("query_id") != F.col("neighbor_id")),
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -51,6 +51,20 @@ def test_lsh_topk_recall(spark, sf_small):
     assert recall >= 0.5, f"lsh recall {recall} below contract"
 
 
+def test_cosine_topk_np_matches_jvm(spark, sf_small):
+    emb = _emb(spark, sf_small)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    jvm = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(queries, emb, k=5).collect()
+    }
+    np_ = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_np(queries, emb, k=5).collect()
+    }
+    assert jvm == np_  # identical neighbor sets; only float tails differ
+
+
 def test_ivf_topk_recall(spark, sf_small):
     emb = _emb(spark, sf_small)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
