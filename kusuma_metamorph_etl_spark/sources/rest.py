@@ -68,6 +68,32 @@ def read_landed_json(
     return spark.read.schema(schema).json(f"{landing_dir}/*.ndjson")
 
 
+def fetch_token(
+    base_url: str,
+    username: str,
+    password: str,
+    token_endpoint: str = "/token",
+    timeout: int = 30,
+) -> str:
+    """OAuth2-password-flow token fetch (the reference server's contract,
+    ``/root/reference/server/server.py:89-93``).  Fails fast on any error —
+    the reference swallows exceptions and proceeds with ``None``, silently
+    downgrading to unauthenticated calls (bug B4,
+    ``transform_utils.py:59-60``)."""
+    try:
+        import requests
+    except ImportError as exc:  # pragma: no cover - requests is optional
+        raise NotImplementedError("token fetch needs the 'requests' package") from exc
+
+    response = requests.post(
+        f"{base_url}{token_endpoint}",
+        data={"username": username, "password": password},
+        timeout=timeout,
+    )
+    response.raise_for_status()
+    return response.json()["access_token"]
+
+
 def fetch_to_landing(
     base_url: str,
     endpoint: str,

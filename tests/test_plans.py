@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises — predicate pushdown, column pruning, broadcast dims, no
+sort-merge joins in the marts — asserted against the executed plan, so a
+refactor that silently loses one fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from kusuma_metamorph_etl_spark.queries.marts import (
+    mart_customer_sales_report,
+    mart_supplier_performance,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def supplier_plan(spark, sf_small) -> str:
+    return _plan(mart_supplier_performance(spark, sf_small))
+
+
+def test_filter_pushed_to_scan(supplier_plan):
+    # The cancelled-sales filter must reach the parquet scan.
+    assert "PushedFilters" in supplier_plan
+    assert "IsNotNull(l_suppkey)" in supplier_plan
+
+
+def test_columns_pruned_at_scan(supplier_plan):
+    # The fact scan must read only the needed columns, never the full row
+    # (l_comment is the widest lineitem column — its absence is the tell).
+    assert "l_comment" not in supplier_plan
+    assert "ReadSchema" in supplier_plan
+
+
+def test_supplier_mart_joins_broadcast(supplier_plan):
+    assert "BroadcastHashJoin" in supplier_plan
+    assert "SortMergeJoin" not in supplier_plan
+
+
+def test_customer_report_single_fact_shuffle(spark, sf_small):
+    plan = _plan(mart_customer_sales_report(spark, sf_small))
+    assert "SortMergeJoin" not in plan
+    # All dim joins broadcast; the only exchanges are the rank-map
+    # aggregation and the per-customer window partitioning.
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_whole_stage_codegen_active(spark, sf_small):
+    # Expressions stay inside codegen spans (JVM-side, not interpreted).
+    # AQE only materializes codegen stage markers in the FINAL plan, so
+    # run the query first.
+    df = mart_supplier_performance(spark, sf_small)
+    df.collect()  # a write would clone the QueryExecution; collect finalizes this one
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # Codegen'd operators carry the "*(stageId)" prefix in plan strings.
+    assert "*(" in plan

@@ -13,6 +13,7 @@ from kusuma_metamorph_etl_spark.sources.csv import read_csv
 from kusuma_metamorph_etl_spark.sources.memory import dataframe_from_records
 from kusuma_metamorph_etl_spark.sources.rest import (
     fetch_to_landing,
+    fetch_token,
     land_json_records,
     read_landed_json,
 )
@@ -25,6 +26,23 @@ RECORDS = [
 
 
 class _Api(BaseHTTPRequestHandler):
+    def do_POST(self):  # noqa: N802 (http.server API)
+        if self.path == "/token":
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length).decode()
+            if "username=admin" in body and "password=pw" in body:
+                payload = json.dumps({"access_token": "tok"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(payload)
+            else:
+                self.send_response(401)
+                self.end_headers()
+        else:
+            self.send_response(404)
+            self.end_headers()
+
     def do_GET(self):  # noqa: N802 (http.server API)
         if self.path == "/v1/things":
             if self.headers.get("Authorization") != "Bearer tok":
@@ -82,6 +100,18 @@ def test_fetch_fails_fast_on_auth_error(api_server, tmp_path):
     requests = pytest.importorskip("requests")
     with pytest.raises(requests.HTTPError):
         fetch_to_landing(api_server, "/v1/things", str(tmp_path / "x"), token=None)
+
+
+def test_token_flow_end_to_end(spark, api_server, tmp_path):
+    requests = pytest.importorskip("requests")
+    token = fetch_token(api_server, "admin", "pw")
+    assert token == "tok"
+    landing = str(tmp_path / "authed")
+    fetch_to_landing(api_server, "/v1/things", landing, token=token)
+    assert read_landed_json(spark, landing, "id long, name string").count() == 3
+    # Wrong credentials fail fast (reference bug B4: silent None token).
+    with pytest.raises(requests.HTTPError):
+        fetch_token(api_server, "admin", "wrong")
 
 
 def test_inline_schema_records(spark):
