@@ -46,6 +46,36 @@ def src_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+              round(SUM(l_extendedprice), 2) AS sum_base_price,
+              round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(AVG(l_quantity), 6) AS avg_qty,
+              CAST(COUNT(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark SQL API surface (`spark.sql` over registered views) — a
+    TPC-H-Q1-shaped pricing summary run as pure SQL text.  Same Catalyst
+    plan as the DataFrame DSL; this entry pins the SQL entry point works."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                  round(SUM(l_extendedprice), 2) AS sum_base_price,
+                  round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                  round(AVG(l_quantity), 6) AS avg_qty,
+                  COUNT(*) AS count_order
+           FROM lineitem_v
+           WHERE l_shipdate <= DATE '1998-09-02'
+           GROUP BY l_returnflag, l_linestatus"""
+    )
+
+
 _POPULATION_ROWS = [
     ("01", "United States", 2020, 331449281),
     ("01", "United States", 2021, 331893745),

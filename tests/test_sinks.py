@@ -60,6 +60,20 @@ def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
     assert out.filter(F.col("DAY_DT") == "2024-06-02").count() == 1
 
 
+def test_partition_pruning_at_scan(spark, tmp_path):
+    """A DAY_DT filter over a partitioned table must prune partitions at
+    the scan (PartitionFilters), not read-then-filter."""
+    for day, n in (("2024-06-01", 3), ("2024-06-02", 5)):
+        df = stamp_snapshot(spark.range(n).toDF("id"), run_date=day)
+        write_parquet_snapshot(df, str(tmp_path / "t"), mode="append")
+    scan = spark.read.parquet(str(tmp_path / "t")).filter(
+        F.col("DAY_DT") == "2024-06-02"
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "DAY_DT" in plan.split("PartitionFilters")[1][:120]
+    assert scan.count() == 5
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_small):
     """Two tables bucketed on the join key must join with ZERO shuffles —
     the whole point of paying the bucketing shuffle at write time."""
