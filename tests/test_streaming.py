@@ -61,6 +61,76 @@ def test_stream_dual_write(spark, sf_small, tmp_path):
     }
 
 
+def test_watermark_finalized_window_drops_laggard(spark, tmp_path):
+    """The append-mode watermark guarantee: once the watermark passes a
+    window's end and the window EMITS, its state is evicted and any
+    laggard for it is dropped — the window never emits twice and state
+    stays bounded.  (Data merely older than the watermark whose window is
+    still live MAY still be admitted — Spark's drop is best-effort until
+    finalization, so that is deliberately not asserted.)"""
+    import datetime
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name: str, rows, mtime: float):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage" / name))
+        part = next(
+            p
+            for p in (tmp_path / "stage" / name).iterdir()
+            if p.name.endswith(".parquet")
+        )
+        target = src / f"{name}.parquet"
+        part.rename(target)
+        os.utime(target, (mtime, mtime))
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def at(hours: float):
+        return t0 + datetime.timedelta(hours=hours)
+
+    now = time.time()
+    # Batch 1: 12:10 event + 15:00 event → watermark 14:00 at batch end,
+    # so the [12:00, 13:00) window finalizes, emits (1, 1.0), state evicted.
+    write_file("b1", [(1, at(0.17), 1.0), (2, at(3), 1.0)], now - 120)
+    # Batch 2: on-time event keeps the stream moving.
+    write_file("b2", [(3, at(3.5), 1.0)], now - 60)
+    # Batch 3: a 12:12-timestamped laggard for the FINALIZED window.
+    write_file("b3", [(4, at(0.2), 99.0)], now)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "n", "total")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = [
+        (r["n"], r["total"])
+        for r in spark.table("t_late").collect()
+        if str(r["ws"]) == "2024-06-01 12:00:00"
+    ]
+    # Exactly one emission, without the laggard's 99.0.
+    assert emitted == [(1, 1.0)], emitted
+
+
 def test_stateful_dedup_stream_matches_batch(spark, sf_small):
     from kusuma_metamorph_etl_spark.streaming.stateful import (
         first_event_batch,
