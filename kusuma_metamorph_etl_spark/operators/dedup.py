@@ -237,21 +237,30 @@ def minhash_near_dups(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    prefilter_candidates: bool = False,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the full near-dup
     pipeline (generate cheaply, verify exactly).
 
     The shingle table feeds three branches (signatures, left verify side,
-    right verify side).  Persisting it was measured SLOWER at bench scale
-    than recomputing (cache materialization beats three cheap tokenize
-    passes only when documents are long or the scan is remote), so the
-    plan recomputes; at 100 TB, persist the shingle frame before calling.
+    right verify side).  Persisting it OR the candidate pairs was measured
+    SLOWER at bench scale than plain recomputation (11.4-12.0s persisted
+    vs 8.9-9.8s recomputed at sf0.1 — cache materialization plus the extra
+    job boundary beat three cheap tokenize passes), so the default plan
+    recomputes.  ``prefilter_candidates`` semi-joins both verify sides
+    down to candidate documents first — the right shape when candidates
+    are a vanishing fraction of a huge corpus (persist the shingle frame
+    before calling in that regime); at test scale the two extra joins cost
+    more than they save, hence opt-in.
     """
     shingles = shingle_table(df, text_col, id_col, n)
     candidates = _lsh_candidates_from_shingles(shingles, id_col, n_hashes, bands)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = shingles.toDF("a", "shingle")
     sb = shingles.toDF("b", "shingle")
+    if prefilter_candidates:
+        sa = sa.join(candidates.select("a").distinct(), on="a", how="left_semi")
+        sb = sb.join(candidates.select("b").distinct(), on="b", how="left_semi")
     verified = (
         candidates.join(sa, on="a")
         .join(sb, on=["b", "shingle"])
