@@ -46,41 +46,70 @@ def first_event_batch(events: DataFrame) -> DataFrame:
     )
 
 
-def first_event_stream(events: DataFrame) -> DataFrame:
+def first_event_stream(events: DataFrame, state_ttl: str | None = None) -> DataFrame:
     """Streaming first-occurrence dedup via ``applyInPandasWithState``.
 
     Each micro-batch: a key's rows arrive as pandas chunks; the handler
     picks the (ts, event_id)-minimal row, emits it only if the key's state
     says nothing was emitted before, then flips the flag.  Output mode is
     ``update`` (one row per newly-seen key per batch).
+
+    ``state_ttl`` (e.g. ``"1 hour"``) bounds the state store on unbounded
+    keyspaces: the input must carry a watermark, the operator runs with
+    ``EventTimeTimeout``, and a key idle past the TTL is forgotten — a
+    later event for it emits again.  Dedup-within-TTL is the honest
+    contract at 100 TB/day; unbounded exact dedup means unbounded state.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = None
+    if state_ttl is not None:
+        parts = state_ttl.split()
+        unit_ms = {
+            "second": 1_000, "seconds": 1_000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+        }[parts[1]]
+        ttl_ms = int(parts[0]) * unit_ms
 
     def handle(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        if state.exists:
-            return  # key already emitted its first event
+        if state.hasTimedOut:
+            state.remove()  # key forgotten; next event re-emits
+            return
+        already_emitted = state.exists
         best: pd.DataFrame | None = None
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"]).head(1)
-            if best is None:
-                best = pdf
-            else:
-                both = pd.concat([best, pdf]).sort_values(["ts", "event_id"])
-                best = both.head(1)
-        if best is not None:
+        if not already_emitted:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values(["ts", "event_id"]).head(1)
+                if best is None:
+                    best = pdf
+                else:
+                    both = pd.concat([best, pdf]).sort_values(["ts", "event_id"])
+                    best = both.head(1)
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        if best is not None and not already_emitted:
             state.update((1,))
             yield best[["user_id", "event_type", "event_id", "ts", "value"]]
 
-    return events.groupBy(*KEYS).applyInPandasWithState(
+    src = events
+    timeout_conf = GroupStateTimeout.NoTimeout
+    if state_ttl is not None:
+        # EventTimeTimeout requires a watermark; zero delay means the
+        # timeout clock is simply the max observed event time.
+        src = events.withWatermark("ts", "0 seconds")
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+
+    return src.groupBy(*KEYS).applyInPandasWithState(
         handle,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )

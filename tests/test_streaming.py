@@ -131,6 +131,67 @@ def test_watermark_finalized_window_drops_laggard(spark, tmp_path):
     assert emitted == [(1, 1.0)], emitted
 
 
+def test_stateful_dedup_ttl_forgets_idle_keys(spark, tmp_path):
+    """With a state TTL, a key idle past the TTL is evicted and its next
+    event emits AGAIN — dedup-within-TTL, the bounded-state contract."""
+    import datetime
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name: str, rows, mtime: float):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage" / name))
+        part = next(
+            p for p in (tmp_path / "stage" / name).iterdir() if p.name.endswith(".parquet")
+        )
+        target = src / f"{name}.parquet"
+        part.rename(target)
+        os.utime(target, (mtime, mtime))
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def at(hours: float):
+        return t0 + datetime.timedelta(hours=hours)
+
+    now = time.time()
+    # Batch 1: first event for (1, 'click') → emits; watermark → 12:00.
+    write_file("b1", [(1, at(0), 1, "click", 1.0)], now - 120)
+    # Batch 2: watermark jumps 5h past the 1h TTL → key times out.
+    write_file("b2", [(2, at(5), 2, "view", 1.0)], now - 60)
+    # Batch 3: the SAME key again — state was evicted, so it re-emits.
+    write_file("b3", [(3, at(5.5), 1, "click", 7.0)], now)
+
+    from kusuma_metamorph_etl_spark.streaming.stateful import first_event_stream
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = first_event_stream(stream, state_ttl="1 hour")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_ttl")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = [
+        r["event_id"]
+        for r in spark.table("t_ttl").collect()
+        if (r["user_id"], r["event_type"]) == (1, "click")
+    ]
+    assert sorted(emitted) == [1, 3], emitted
+
+
 def test_stateful_dedup_stream_matches_batch(spark, sf_small):
     from kusuma_metamorph_etl_spark.streaming.stateful import (
         first_event_batch,
