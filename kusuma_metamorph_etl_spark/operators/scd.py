@@ -1,0 +1,109 @@
+"""Slowly-changing-dimension type 2 merge (no Delta required).
+
+The reference keeps history as daily full snapshots (``legacy.*`` +
+``DAY_DT``, ``/root/reference/ETL-Airflow/dags/tasks/ingestion_task.py:
+45-66``) — storage grows with table size × days even when nothing
+changes.  SCD2 keeps one row per key *version* with an effective-date
+range, growing only with actual change volume: the standard upgrade for a
+dimension history layer.
+
+Without a transactional table format, MERGE is emulated with pure
+DataFrame ops (anti-join + union): one broadcast-able join against the
+incoming batch per run.  Idempotence note: re-running the same batch for
+the same ``effective_date`` is a no-op because unchanged rows are
+detected by attribute comparison.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPEN_END = "9999-12-31"
+
+
+def scd2_init(
+    snapshot: DataFrame, key: list[str], effective_date: dt.date | str
+) -> DataFrame:
+    """Turn a first snapshot into an SCD2 table: every row current."""
+    return (
+        snapshot.withColumn("valid_from", F.lit(str(effective_date)).cast("date"))
+        .withColumn("valid_to", F.lit(OPEN_END).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: list[str],
+    attrs: list[str],
+    effective_date: dt.date | str,
+) -> DataFrame:
+    """Apply an update batch to an SCD2 dimension.
+
+    * changed keys: the open row closes (``valid_to`` = effective date,
+      ``is_current`` = false) and a new open version appends;
+    * new keys: insert as open rows;
+    * unchanged keys and closed history: pass through untouched.
+
+    Plan shape: history rows never shuffle (they only union); the change
+    detection is one join of the CURRENT slice against the update batch —
+    broadcast the updates when the batch is small (the usual case).
+    """
+    eff = F.lit(str(effective_date)).cast("date")
+    current = dim.filter(F.col("is_current")).withColumn("__c", F.lit(1))
+    history = dim.filter(~F.col("is_current"))
+
+    cmp = current.alias("c").join(
+        updates.withColumn("__u", F.lit(1)).alias("u"), on=key, how="full"
+    )
+    # Presence markers — attribute values may legitimately be null, so
+    # existence must not be inferred from them.
+    exists_c = F.col("c.__c").isNotNull()
+    exists_u = F.col("u.__u").isNotNull()
+    changed = None
+    for a in attrs:
+        diff = ~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}"))
+        changed = diff if changed is None else (changed | diff)
+
+    u_cols = [*key, *[F.col(f"u.{a}").alias(a) for a in attrs]]
+    c_cols = [*key, *[F.col(f"c.{a}").alias(a) for a in attrs]]
+    c_from = F.col("c.valid_from").alias("valid_from")
+
+    # A full-join row falls into exactly one case:
+    case_changed = exists_c & exists_u & changed
+    closed_now = (
+        cmp.filter(case_changed)
+        .select(*c_cols, c_from)
+        .withColumn("valid_to", eff)
+        .withColumn("is_current", F.lit(False))
+    )
+    new_open = (
+        cmp.filter(case_changed)
+        .select(*u_cols, eff.alias("valid_from"))
+        .withColumn("valid_to", F.lit(OPEN_END).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    unchanged = (
+        cmp.filter(exists_c & (~exists_u | ~changed))
+        .select(*c_cols, c_from)
+        .withColumn("valid_to", F.lit(OPEN_END).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    inserted = (
+        cmp.filter(~exists_c & exists_u)
+        .select(*u_cols, eff.alias("valid_from"))
+        .withColumn("valid_to", F.lit(OPEN_END).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    out_cols = [*key, *attrs, "valid_from", "valid_to", "is_current"]
+    return (
+        history.select(*out_cols)
+        .unionByName(closed_now.select(*out_cols))
+        .unionByName(unchanged.select(*out_cols))
+        .unionByName(new_open.select(*out_cols))
+        .unionByName(inserted.select(*out_cols))
+    )

@@ -465,6 +465,69 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_merge",
+    """WITH dim AS (
+         SELECT s_suppkey AS id, s_nationkey AS nation FROM supplier),
+       upd AS (
+         SELECT s_suppkey AS id,
+                CASE WHEN s_suppkey % 3 = 0 THEN s_nationkey + 1
+                     ELSE s_nationkey END AS nation
+         FROM supplier WHERE s_suppkey % 2 = 0
+         UNION ALL
+         SELECT s_suppkey + 100000 AS id, s_nationkey AS nation
+         FROM supplier WHERE s_suppkey % 7 = 0),
+       changed AS (
+         SELECT d.id, d.nation AS old_nation, u.nation AS new_nation
+         FROM dim d JOIN upd u USING (id)
+         WHERE d.nation IS DISTINCT FROM u.nation)
+       SELECT id, old_nation AS nation,
+              DATE '2024-01-01' AS valid_from, DATE '2024-02-01' AS valid_to,
+              FALSE AS is_current
+       FROM changed
+       UNION ALL
+       SELECT id, new_nation AS nation,
+              DATE '2024-02-01', DATE '9999-12-31', TRUE
+       FROM changed
+       UNION ALL
+       SELECT d.id, d.nation, DATE '2024-01-01', DATE '9999-12-31', TRUE
+       FROM dim d WHERE d.id NOT IN (SELECT id FROM changed)
+       UNION ALL
+       SELECT u.id, u.nation, DATE '2024-02-01', DATE '9999-12-31', TRUE
+       FROM upd u WHERE u.id NOT IN (SELECT id FROM dim)""",
+)
+def scd2_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (operators/scd.py): a synthetic update batch
+    changes every 3rd-key supplier's nation, re-sends half unchanged, and
+    introduces new keys — versions, closures and inserts all exercised."""
+    from kusuma_metamorph_etl_spark.operators.scd import scd2_init, scd2_merge
+
+    supplier = t(spark, sf_dir, "supplier")
+    dim = scd2_init(
+        supplier.select(
+            F.col("s_suppkey").alias("id"), F.col("s_nationkey").alias("nation")
+        ),
+        ["id"],
+        "2024-01-01",
+    )
+    updates = (
+        supplier.filter(F.col("s_suppkey") % 2 == 0)
+        .select(
+            F.col("s_suppkey").alias("id"),
+            F.when(
+                F.col("s_suppkey") % 3 == 0, F.col("s_nationkey") + 1
+            ).otherwise(F.col("s_nationkey")).alias("nation"),
+        )
+        .unionByName(
+            supplier.filter(F.col("s_suppkey") % 7 == 0).select(
+                (F.col("s_suppkey") + 100000).alias("id"),
+                F.col("s_nationkey").alias("nation"),
+            )
+        )
+    )
+    return scd2_merge(dim, updates, ["id"], ["nation"], "2024-02-01")
+
+
+@register(
     "join_asof",
     """WITH purchases AS (
          SELECT event_id, user_id, ts, value FROM events

@@ -1,0 +1,75 @@
+"""SCD2 merge tests: change closes the old version and opens a new one,
+absent keys stay open, new keys insert, re-running the same batch is a
+no-op (idempotence), and nulls compare null-safely."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators.scd import OPEN_END, scd2_init, scd2_merge
+
+KEY = ["id"]
+ATTRS = ["city", "tier"]
+
+
+def _by_version(df):
+    return {
+        (r["id"], str(r["valid_from"])): (
+            r["city"],
+            r["tier"],
+            str(r["valid_to"]),
+            r["is_current"],
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    snap = spark.createDataFrame(
+        [(1, "London", "Gold"), (2, "NYC", "Silver"), (3, None, "Bronze")],
+        "id long, city string, tier string",
+    )
+    return scd2_init(snap, KEY, "2024-01-01")
+
+
+def test_init_all_current(dim):
+    rows = dim.collect()
+    assert all(r["is_current"] and str(r["valid_to"]) == OPEN_END for r in rows)
+
+
+def test_merge_change_new_absent_and_null(spark, dim):
+    updates = spark.createDataFrame(
+        # id 1 changes city; id 3 unchanged (null city null-safe); id 4 new.
+        [(1, "Paris", "Gold"), (3, None, "Bronze"), (4, "Tokyo", "Gold")],
+        "id long, city string, tier string",
+    )
+    out = scd2_merge(dim, updates, KEY, ATTRS, "2024-02-01")
+    v = _by_version(out)
+
+    # id 1: old version closed at the effective date, new open version.
+    assert v[(1, "2024-01-01")] == ("London", "Gold", "2024-02-01", False)
+    assert v[(1, "2024-02-01")] == ("Paris", "Gold", OPEN_END, True)
+    # id 2 absent from the batch: untouched, still open.
+    assert v[(2, "2024-01-01")] == ("NYC", "Silver", OPEN_END, True)
+    # id 3 present but identical (incl. null city): no new version.
+    assert v[(3, "2024-01-01")] == (None, "Bronze", OPEN_END, True)
+    assert (3, "2024-02-01") not in v
+    # id 4: brand new key inserted open.
+    assert v[(4, "2024-02-01")] == ("Tokyo", "Gold", OPEN_END, True)
+
+    # Exactly one current row per key.
+    per_key = (
+        out.filter(F.col("is_current")).groupBy("id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in per_key)
+
+
+def test_merge_idempotent(spark, dim):
+    updates = spark.createDataFrame(
+        [(1, "Paris", "Gold")], "id long, city string, tier string"
+    )
+    once = scd2_merge(dim, updates, KEY, ATTRS, "2024-02-01")
+    twice = scd2_merge(once, updates, KEY, ATTRS, "2024-02-01")
+    assert _by_version(twice) == _by_version(once)
