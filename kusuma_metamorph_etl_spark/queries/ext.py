@@ -465,6 +465,67 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_pivot",
+    """SELECT l_returnflag,
+              round(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+                  AS qty_o,
+              round(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+                  AS qty_f
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): quantity by return flag × line status.  Explicit
+    value list — without it Spark runs an extra distinct job to discover
+    columns, and the output schema becomes data-dependent."""
+    li = t(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum(
+        "l_quantity"
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("O", 2).alias("qty_o"),
+        F.round("F", 2).alias("qty_f"),
+    )
+
+
+@register(
+    "proj_unpivot",
+    """SELECT n_nationkey, 'name' AS attr, n_name AS value FROM nation
+       UNION ALL
+       SELECT n_nationkey, 'region_key' AS attr,
+              CAST(n_regionkey AS VARCHAR) AS value
+       FROM nation""",
+)
+def proj_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack() — one generated row per attribute,
+    no shuffle."""
+    nation = t(spark, sf_dir, "nation")
+    return nation.selectExpr(
+        "n_nationkey",
+        "stack(2, 'name', n_name, 'region_key', CAST(n_regionkey AS STRING))"
+        " AS (attr, value)",
+    )
+
+
+@register(
+    "agg_percentile",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+              round(quantile_cont(l_quantity, 0.95), 6) AS p95
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`F.percentile`); the
+    sketch path for huge groups is `percentile_approx` (rows-only sibling
+    of `agg_approx_distinct`)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@register(
     "scd2_merge",
     """WITH dim AS (
          SELECT s_suppkey AS id, s_nationkey AS nation FROM supplier),
