@@ -1,0 +1,95 @@
+"""Hypothesis property tests for the custom algorithms: the union-merge
+as-of join against a brute-force Python oracle, and the distributed
+global percent_rank against Spark's own single-partition window."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators.joins import asof_join
+from kusuma_metamorph_etl_spark.operators.windows import global_percent_rank
+
+_spark = None
+
+
+def _session():
+    global _spark
+    if _spark is None:
+        from kusuma_metamorph_etl_spark.session import get_session
+
+        _spark = get_session()
+        _spark.sparkContext.setLogLevel("ERROR")
+    return _spark
+
+
+def _ts(minutes: int) -> dt.datetime:
+    return dt.datetime(2024, 6, 1) + dt.timedelta(minutes=minutes)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    rights=st.dictionaries(
+        st.tuples(st.integers(0, 1), st.integers(0, 50)),
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_bruteforce(lefts, rights):
+    """For every left row: the attached value is the right row with the
+    greatest ts ≤ left ts within the key (or null) — checked against a
+    direct Python scan over all generated rows."""
+    spark = _session()
+    left = spark.createDataFrame(
+        [(i, k, _ts(m)) for i, (k, m) in enumerate(lefts)],
+        "row_id long, k long, ts timestamp",
+    )
+    right_rows = [(k, _ts(m), v) for (k, m), v in rights.items()]
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)],
+        "k long, ts timestamp, px double",
+    ).filter(F.col("k").isNotNull())
+
+    got = {
+        r["row_id"]: r["px"]
+        for r in asof_join(left, right, on=["k"], value_cols=["px"]).collect()
+    }
+
+    for i, (k, m) in enumerate(lefts):
+        candidates = [
+            (mm, v) for (kk, mm), v in rights.items() if kk == k and mm <= m
+        ]
+        expected = max(candidates)[1] if candidates else None
+        assert got[i] == expected, (i, k, m, candidates, got[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    values=st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=1, max_size=30
+    )
+)
+def test_global_percent_rank_matches_window(values):
+    """The distributed two-pass percent_rank equals Spark's own
+    single-partition window, including tie semantics."""
+    spark = _session()
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(values)], "i long, v double")
+    scalable = {
+        r["i"]: r["pr"]
+        for r in global_percent_rank(df, "v", out_col="pr", descending=True).collect()
+    }
+    reference = {
+        r["i"]: r["pr"]
+        for r in df.withColumn(
+            "pr", F.percent_rank().over(Window.orderBy(F.desc("v")))
+        ).collect()
+    }
+    assert scalable == reference
