@@ -84,21 +84,6 @@ def customer_sales_report(
         )
     )
 
-    # JNR_2: ⟕ customers for name/city (`proj_alias`: NAME → CUSTOMER_NAME).
-    jnr_customers = (
-        jnr_products.alias("l")
-        .join(
-            maybe_broadcast(customers.alias("c")),
-            on=F.col("l.CUSTOMER_ID") == F.col("c.CUSTOMER_ID"),
-            how="left",
-        )
-        .select(
-            "l.*",
-            F.col("c.NAME").alias("CUSTOMER_NAME"),
-            F.col("c.CITY").alias("CITY"),
-        )
-    )
-
     # EXP: dates + amounts.  B3 quirk (sale date := yesterday) opt-in only.
     sale_date = (
         F.date_sub(F.current_date(), 1) if yesterday_quirk else F.col("SALE_DATE")
@@ -109,7 +94,7 @@ def customer_sales_report(
         else F.lit(str(run_ts)).cast("timestamp")
     )
     exp = (
-        jnr_customers.withColumn("SALE_DATE", sale_date)
+        jnr_products.withColumn("SALE_DATE", sale_date)
         .withColumn("SALE_MONTH", F.month("SALE_DATE"))
         .withColumn("SALE_YEAR", F.year("SALE_DATE"))
         .withColumn("PRICE", F.round("PRICE", 2))
@@ -156,4 +141,23 @@ def customer_sales_report(
         .drop("__rn", "__pr", "DISCOUNT")  # `proj_drop`
     )
 
-    return stamp_snapshot(flagged, run_date).select(*FINAL_COLUMNS)
+    # JNR_2 LAST: ⟕ customers for name/city.  The dim is PK-gated
+    # (duplicate_gate on CUSTOMER_ID is the warehouse contract), so the
+    # join preserves cardinality and commutes past the windows — and the
+    # percent-rank branch, which re-derives the SALE_AMOUNT distribution,
+    # no longer pays a customer join it would only throw away.
+    jnr_customers = (
+        flagged.alias("l")
+        .join(
+            maybe_broadcast(customers.alias("c")),
+            on=F.col("l.CUSTOMER_ID") == F.col("c.CUSTOMER_ID"),
+            how="left",
+        )
+        .select(
+            "l.*",
+            F.col("c.NAME").alias("CUSTOMER_NAME"),
+            F.col("c.CITY").alias("CITY"),
+        )
+    )
+
+    return stamp_snapshot(jnr_customers, run_date).select(*FINAL_COLUMNS)
