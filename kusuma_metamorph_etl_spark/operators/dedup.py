@@ -255,7 +255,13 @@ def minhash_near_dups(
     """
     shingles = shingle_table(df, text_col, id_col, n)
     candidates = _lsh_candidates_from_shingles(shingles, id_col, n_hashes, bands)
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # Per-doc shingle counts as a ROW expression — deriving them from the
+    # exploded table would cost a 4th tokenize pass plus a groupBy shuffle
+    # for a number already known per row.
+    sizes = df.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), n)).alias("n_shingles"),
+    )
     sa = shingles.toDF("a", "shingle")
     sb = shingles.toDF("b", "shingle")
     if prefilter_candidates:
