@@ -682,6 +682,28 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_attribution_join",
+    """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+              p.event_id AS purchase_id, p.ts AS purchase_ts,
+              p.value AS purchase_value
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR""",
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution join (streaming/joins.py) in batch mode;
+    the genuine two-stream watermarked path is asserted equal in tests/."""
+    from kusuma_metamorph_etl_spark.streaming.joins import attribution_join
+
+    events = t(spark, sf_dir, "events")
+    return attribution_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
     "stream_dedup_first",
     """SELECT user_id, event_type, event_id, ts, value
        FROM (SELECT user_id, event_type, event_id, ts, value,

@@ -131,6 +131,24 @@ def test_watermark_finalized_window_drops_laggard(spark, tmp_path):
     assert emitted == [(1, 1.0)], emitted
 
 
+def test_stream_stream_join_matches_batch(spark, sf_small):
+    from kusuma_metamorph_etl_spark.streaming.joins import attribution_join
+
+    events_b = load_table(spark, sf_small, "events")
+    batch = attribution_join(
+        events_b.filter(events_b.event_type == "click"),
+        events_b.filter(events_b.event_type == "purchase"),
+    )
+    events_s = stream_events(spark, sf_small)
+    stream = attribution_join(
+        events_s.filter(events_s.event_type == "click"),
+        events_s.filter(events_s.event_type == "purchase"),
+    )
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "t_attr", output_mode="append")
+    assert _rows(spark.table("t_attr")) == _rows(batch)
+
+
 def test_stateful_dedup_ttl_forgets_idle_keys(spark, tmp_path):
     """With a state TTL, a key idle past the TTL is evicted and its next
     event emits AGAIN — dedup-within-TTL, the bounded-state contract."""
