@@ -39,6 +39,14 @@ class NullPolicyError(Exception):
     pass
 
 
+class RowCountError(Exception):
+    pass
+
+
+class FreshnessError(Exception):
+    pass
+
+
 def find_duplicates(df: DataFrame, keys: list[str]) -> DataFrame:
     """Groups violating PK uniqueness, with their multiplicities.
 
@@ -71,6 +79,52 @@ def assert_schema(df: DataFrame, expected_columns: list[str]) -> DataFrame:
     if actual != list(expected_columns):
         raise SchemaMismatchError(
             f"schema contract violated: expected {list(expected_columns)}, got {actual}"
+        )
+    return df
+
+
+def row_count_gate(
+    df: DataFrame, min_rows: int = 1, max_rows: int | None = None
+) -> DataFrame:
+    """Fail when the frame's row count leaves [min_rows, max_rows] — the
+    empty-feed / exploding-feed tripwire a daily pipeline needs before
+    overwriting its raw layer.
+
+    Scale note: when only the lower bound matters, ``limit(min_rows)``
+    caps the scan instead of counting everything.
+    """
+    if max_rows is None:
+        seen = df.limit(min_rows).count()
+        if seen < min_rows:
+            raise RowCountError(f"expected ≥ {min_rows} rows, found {seen}")
+        return df
+    n = df.count()
+    if not (min_rows <= n <= max_rows):
+        raise RowCountError(
+            f"row count {n} outside [{min_rows}, {max_rows}]"
+        )
+    return df
+
+
+def freshness_gate(
+    df: DataFrame,
+    ts_col: str,
+    max_age: str,
+    now: str | None = None,
+) -> DataFrame:
+    """Fail when the newest ``ts_col`` value is older than ``max_age``
+    (e.g. ``"2 hours"``) relative to ``now`` (injectable for tests; wall
+    clock otherwise) — the stalled-upstream tripwire.
+    """
+    now_expr = F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
+    row = df.select(
+        F.max(ts_col).alias("newest"),
+        (now_expr - F.expr(f"INTERVAL {max_age}")).alias("cutoff"),
+    ).collect()[0]
+    if row["newest"] is None or row["newest"] < row["cutoff"]:
+        raise FreshnessError(
+            f"newest {ts_col} = {row['newest']} is older than {max_age} "
+            f"(cutoff {row['cutoff']})"
         )
     return df
 

@@ -9,11 +9,15 @@ import pytest
 
 from kusuma_metamorph_etl_spark.plans.quality import (
     DuplicateKeyError,
+    FreshnessError,
     NullPolicyError,
+    RowCountError,
     SchemaMismatchError,
     assert_schema,
     duplicate_gate,
+    freshness_gate,
     null_policy,
+    row_count_gate,
 )
 
 
@@ -53,6 +57,31 @@ def test_assert_schema(spark):
     assert_schema(df, ["id", "v"])
     with pytest.raises(SchemaMismatchError):
         assert_schema(df, ["v", "id"])  # order is part of the contract
+
+
+def test_row_count_gate(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    row_count_gate(df, min_rows=1)
+    row_count_gate(df, min_rows=3, max_rows=3)
+    with pytest.raises(RowCountError):
+        row_count_gate(df, min_rows=4)
+    with pytest.raises(RowCountError):
+        row_count_gate(df, min_rows=1, max_rows=2)
+    with pytest.raises(RowCountError):
+        row_count_gate(df.filter("id > 99"), min_rows=1)  # empty feed
+
+
+def test_freshness_gate(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 11, 0))], "id long, ts timestamp"
+    )
+    freshness_gate(df, "ts", "2 hours", now="2024-06-01 12:00:00")
+    with pytest.raises(FreshnessError):
+        freshness_gate(df, "ts", "30 minutes", now="2024-06-01 12:00:00")
+    with pytest.raises(FreshnessError):  # empty frame is stale by definition
+        freshness_gate(df.filter("id > 9"), "ts", "2 hours", now="2024-06-01 12:00:00")
 
 
 def test_approx_count_distinct_error_bound(spark, sf_small):
