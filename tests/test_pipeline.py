@@ -35,6 +35,40 @@ def test_pipeline_gate_failure_propagates(spark):
         p.run(df)
 
 
+def test_named_stage_mart_equals_function_mart(spark, sf_small):
+    """The Pipeline-expressed supplier mart (reference node names) must
+    produce the identical frame to the plain-function mart."""
+    from kusuma_metamorph_etl_spark.marts import supplier_performance
+    from kusuma_metamorph_etl_spark.marts.pipelines import (
+        supplier_performance_pipeline,
+    )
+    from kusuma_metamorph_etl_spark.marts.tpch_adapter import (
+        products_from_part,
+        sales_from_lineitem,
+        suppliers_from_supplier,
+    )
+
+    sales = sales_from_lineitem(
+        spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    )
+    products = products_from_part(spark.read.parquet(f"{sf_small}/part.parquet"))
+    suppliers = suppliers_from_supplier(
+        spark.read.parquet(f"{sf_small}/supplier.parquet")
+    )
+
+    via_fn = supplier_performance(
+        sales, products, suppliers, run_date="2024-06-01", supplier_key_from="sales"
+    )
+    via_pipe = supplier_performance_pipeline(
+        products, suppliers, run_date="2024-06-01"
+    ).run(sales)
+
+    assert via_pipe.columns == via_fn.columns
+    assert sorted(map(tuple, via_pipe.collect())) == sorted(
+        map(tuple, via_fn.collect())
+    )
+
+
 def test_pipeline_is_lazy(spark):
     calls = []
 
