@@ -15,6 +15,7 @@ import datetime as dt
 
 from pyspark.sql import DataFrame
 
+from kusuma_metamorph_etl_spark.operators.scd import scd2_init, scd2_merge
 from kusuma_metamorph_etl_spark.sources.sinks import dual_write
 
 
@@ -37,6 +38,62 @@ def stream_dual_write(
         dual_write(batch_df, raw_path, legacy_path, run_date)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query
+
+
+def stream_scd2_upsert(
+    updates_stream: DataFrame,
+    dim_path: str,
+    checkpoint_dir: str,
+    key: list[str],
+    attrs: list[str],
+    effective_from_col: str,
+    available_now: bool = True,
+):
+    """Maintain an SCD2 dimension from a stream of update records.
+
+    Each micro-batch collapses to one record per key (latest by
+    ``effective_from_col``), merges into the parquet-backed dimension via
+    :func:`operators.scd.scd2_merge`, and rewrites it.  The
+    read-merge-rewrite is the no-transactional-format trade-off: atomicity
+    comes from the parquet overwrite + checkpoint (a replayed batch
+    re-merges idempotently because unchanged attributes are detected).
+    At Delta/Iceberg-backed scale the same merge logic drives MERGE INTO.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        window = Window.partitionBy(*key).orderBy(F.desc(effective_from_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(window))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        eff = str(latest.agg(F.max(effective_from_col)).collect()[0][0])[:10]
+        try:
+            dim = spark.read.parquet(dim_path)
+        except Exception:
+            scd2_init(latest.select(*key, *attrs), key, eff).write.parquet(dim_path)
+            return
+        merged = scd2_merge(dim, latest.select(*key, *attrs), key, attrs, eff)
+        # Rewrite via a staging collect-free cycle: parquet can't overwrite
+        # its own input, so land to a sibling then swap.
+        staging = f"{dim_path}__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(dim_path)
+
+    writer = updates_stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

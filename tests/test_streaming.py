@@ -131,6 +131,59 @@ def test_watermark_finalized_window_drops_laggard(spark, tmp_path):
     assert emitted == [(1, 1.0)], emitted
 
 
+def test_stream_scd2_upsert(spark, tmp_path):
+    """A two-batch update stream maintains the SCD2 dimension: batch 1
+    initializes, batch 2 versions a changed key and inserts a new one."""
+    import datetime
+    import os
+    import time
+
+    from kusuma_metamorph_etl_spark.streaming.sink import stream_scd2_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "id long, city string, eff timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage" / name))
+        part = next(
+            p for p in (tmp_path / "stage" / name).iterdir() if p.name.endswith(".parquet")
+        )
+        target = src / f"{name}.parquet"
+        part.rename(target)
+        os.utime(target, (mtime, mtime))
+
+    d1 = datetime.datetime(2024, 1, 1)
+    d2 = datetime.datetime(2024, 2, 1)
+    now = time.time()
+    write_file("b1", [(1, "London", d1), (2, "NYC", d1)], now - 60)
+    write_file("b2", [(1, "Paris", d2), (3, "Tokyo", d2)], now)
+
+    stream = (
+        spark.readStream.schema("id long, city string, eff timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    stream_scd2_upsert(
+        stream,
+        dim_path=str(tmp_path / "dim"),
+        checkpoint_dir=str(tmp_path / "cp"),
+        key=["id"],
+        attrs=["city"],
+        effective_from_col="eff",
+    )
+
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+    rows = {
+        (r["id"], str(r["valid_from"])): (r["city"], r["is_current"])
+        for r in dim.collect()
+    }
+    assert rows[(1, "2024-01-01")] == ("London", False)  # closed version
+    assert rows[(1, "2024-02-01")] == ("Paris", True)
+    assert rows[(2, "2024-01-01")] == ("NYC", True)  # untouched
+    assert rows[(3, "2024-02-01")] == ("Tokyo", True)  # inserted
+
+
 def test_stream_stream_join_matches_batch(spark, sf_small):
     from kusuma_metamorph_etl_spark.streaming.joins import attribution_join
 
