@@ -374,3 +374,96 @@ def simhash_near_dups(
         .select("a", "b", "hamming")
         .distinct()
     )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b, cosine ≥ threshold) via multi-table
+    hyperplane LSH blocking + exact cosine verify.
+
+    The 100 TB shape: each vector explodes to ``n_tables`` (table, bucket)
+    rows; the self-join is an equi-join on (table, bucket), so comparisons
+    drop from |N|² to bucket collisions.  Verification is exact, so the
+    only approximation is *recall* — a true pair colliding in no table is
+    missed (bound: 1 − (1 − (1 − θ/π)^planes)^tables).
+    """
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        as_double,
+        cosine,
+        hyperplane_signature,
+    )
+
+    def sig(frame: DataFrame, out: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_signature(
+                        F.col(vec_col), n_planes, dim, seed=42 + t
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return frame.select(
+            F.col(id_col).alias(out),
+            as_double(F.col(vec_col)).alias(f"{out}_v"),
+            F.explode(tables).alias("tb"),
+        ).select(out, f"{out}_v", "tb.tbl", "tb.bucket")
+
+    a = sig(df, "a")
+    b = sig(df, "b")
+    return (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("a_v"), F.col("b_v")).alias("cosine"))
+        # A pair colliding in several tables repeats with identical cosine;
+        # max() is just the dedup.
+        .groupBy("a", "b")
+        .agg(F.max("cosine").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefilter: str | None = None,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: drop every row whose cosine to a
+    LOWER-id row is ≥ threshold (greedy lowest-id-wins — same winner rule
+    as :func:`exact_dedup`; near-duplicate is not an equivalence relation,
+    so the tie rule is declared, not derived).
+
+    ``prefilter=None`` scores all pairs exactly (test scale; the oracle
+    semantics).  ``prefilter="lsh"`` blocks candidates with
+    :func:`embedding_lsh_pairs` first — missed candidates mean missed
+    drops, so the LSH result is always a superset of the exact survivors
+    (recall asserted in tests).
+    """
+    from kusuma_metamorph_etl_spark.operators.similarity import cosine_pairs
+
+    if prefilter is None:
+        pairs = cosine_pairs(df, threshold, id_col, vec_col)
+    elif prefilter == "lsh":
+        pairs = embedding_lsh_pairs(
+            df, threshold, id_col, vec_col, n_planes, n_tables, dim
+        )
+    else:
+        raise ValueError(f"unknown prefilter {prefilter!r}")
+    dups = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(dups, on=id_col, how="left_anti")

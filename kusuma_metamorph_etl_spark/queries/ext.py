@@ -252,6 +252,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(docs, bits=48, max_hamming=3)
 
 
+@register(
+    "dedup_embedding",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        dups AS (
+          SELECT DISTINCT b.vec_id FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))) >= 0.3)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT vec_id FROM dups)""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal: drop rows with a lower-id
+    neighbor at cosine ≥ 0.3 (exact all-pairs here; the LSH-blocked scale
+    path's recall is asserted in tests/)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup.embedding_dedup(emb, threshold=0.3).select("vec_id", "label")
+
+
 @register("agg_approx_distinct", None)  # HLL sketches differ per engine
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct per event_type — the sketch-based scale path

@@ -78,3 +78,54 @@ def test_simhash_pair_symmetry_and_bounds(spark, sf_small):
     rows = pairs.collect()
     assert all(r["a"] < r["b"] for r in rows)
     assert all(0 <= r["hamming"] <= 3 for r in rows)
+
+
+# ------------------------------------------------- embedding near-dup
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_embedding_dedup_matches_numpy_ground_truth(spark, sf_small):
+    """A row is dropped iff some lower-id row has cosine ≥ τ with it."""
+    import numpy as np
+
+    emb = _emb(spark, sf_small)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)[order]
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    tau = 0.3
+    expected = {
+        int(ids[j])
+        for j in range(len(ids))
+        if not any(sims[i, j] >= tau for i in range(j))
+    }
+
+    got = {r.vec_id for r in dedup.embedding_dedup(emb, threshold=tau).collect()}
+    # Float-summation order differs between the numpy matmul and the Spark
+    # fold; pairs landing exactly on τ may flip.  Allow only such boundary
+    # disagreements.
+    sym_diff = got ^ expected
+    assert not sym_diff, f"survivor sets differ: {sorted(sym_diff)[:10]}"
+
+
+def test_embedding_dedup_lsh_is_superset_with_recall(spark, sf_small):
+    """LSH blocking can only MISS pairs, so its survivors are a superset of
+    the exact survivors; the dropped set keeps decent recall."""
+    emb = _emb(spark, sf_small)
+    exact = {r.vec_id for r in dedup.embedding_dedup(emb, threshold=0.3).collect()}
+    lsh = {
+        r.vec_id
+        for r in dedup.embedding_dedup(emb, threshold=0.3, prefilter="lsh").collect()
+    }
+    assert lsh >= exact
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    dropped_exact = all_ids - exact
+    dropped_lsh = all_ids - lsh
+    if dropped_exact:
+        recall = len(dropped_lsh & dropped_exact) / len(dropped_exact)
+        assert recall >= 0.5, recall
