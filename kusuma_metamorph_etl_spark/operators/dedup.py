@@ -242,38 +242,40 @@ def minhash_near_dups(
     """LSH candidates verified by exact Jaccard — the full near-dup
     pipeline (generate cheaply, verify exactly).
 
-    The shingle table feeds three branches (signatures, left verify side,
-    right verify side).  Persisting it OR the candidate pairs was measured
-    SLOWER at bench scale than plain recomputation (11.4-12.0s persisted
-    vs 8.9-9.8s recomputed at sf0.1 — cache materialization plus the extra
-    job boundary beat three cheap tokenize passes), so the default plan
-    recomputes.  ``prefilter_candidates`` semi-joins both verify sides
-    down to candidate documents first — the right shape when candidates
-    are a vanishing fraction of a huge corpus (persist the shingle frame
-    before calling in that regime); at test scale the two extra joins cost
-    more than they save, hence opt-in.
+    Verification intersects the two documents' distinct-shingle ARRAYS
+    (``array_intersect``) instead of re-joining the exploded shingle
+    table: the shingle-level join + groupBy("a","b") shuffle it replaces
+    was the dominant bench cost (10.8s vs 6.9s at sf0.1, identical rows).
+    Each candidate pair carries two shingle arrays through two narrow
+    equi-joins; the intersection runs JVM-side inside codegen.  Persisting
+    the shingle table was also measured SLOWER than recomputation
+    (11.4-12.0s persisted vs 8.9-9.8s recomputed — cache materialization
+    plus the extra job boundary beat cheap tokenize passes), so the plan
+    recomputes.  ``prefilter_candidates`` semi-joins the array side down
+    to candidate documents first — the right shape when candidates are a
+    vanishing fraction of a huge corpus; at test scale the extra joins
+    cost more than they save, hence opt-in.
     """
     shingles = shingle_table(df, text_col, id_col, n)
     candidates = _lsh_candidates_from_shingles(shingles, id_col, n_hashes, bands)
-    # Per-doc shingle counts as a ROW expression — deriving them from the
-    # exploded table would cost a 4th tokenize pass plus a groupBy shuffle
-    # for a number already known per row.
-    sizes = df.select(
-        F.col(id_col),
-        F.size(word_shingles(F.col(text_col), n)).alias("n_shingles"),
-    )
-    sa = shingles.toDF("a", "shingle")
-    sb = shingles.toDF("b", "shingle")
+    # word_shingles is already distinct per doc, so |intersect| is the
+    # exact common-shingle count and |array| the per-doc set size.
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
+    sa = sh.toDF("a", "sha")
+    sb = sh.toDF("b", "shb")
     if prefilter_candidates:
         sa = sa.join(candidates.select("a").distinct(), on="a", how="left_semi")
         sb = sb.join(candidates.select("b").distinct(), on="b", how="left_semi")
     verified = (
         candidates.join(sa, on="a")
-        .join(sb, on=["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(sizes.toDF("a", "na"), on="a")
-        .join(sizes.toDF("b", "nb"), on="b")
+        .join(sb, on="b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
