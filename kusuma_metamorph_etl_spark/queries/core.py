@@ -654,6 +654,61 @@ def win_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "win_lag_lead",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+              lag(l_shipdate) OVER w AS prev_ship,
+              lead(l_shipdate) OVER w AS next_ship
+       FROM lineitem
+       WINDOW w AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets ([EXT] row): neighbouring ship dates per supplier —
+    the inter-arrival building block for cadence/gap analysis."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.lag("l_shipdate").over(w).alias("prev_ship"),
+        F.lead("l_shipdate").over(w).alias("next_ship"),
+    )
+
+
+@register(
+    "win_ntile",
+    """SELECT o_orderkey,
+              ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+       FROM orders""",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles ([EXT] row): equal-count bucketing by order value.
+    The global orderBy is the same single-partition hazard as
+    `win_percent_rank` — acceptable for mart-sized frames; tiebreak on
+    o_orderkey makes bucket assignment deterministic cross-engine."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "proj_explode",
+    """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+       FROM part""",
+)
+def proj_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode ([EXT] row): one output row per element — the lateral
+    fan-out primitive under the shingle/token pipelines."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+
+
 # ---------------------------------------------------------------- §2.7 conditionals / nulls
 
 @register(
