@@ -34,6 +34,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_cosine_topk_np",
     "txt_quality",
+    "txt_tfidf",
+    "txt_chunk",
     "stream_session",
     "join_asof",
     "join_range",

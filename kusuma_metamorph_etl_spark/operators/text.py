@@ -104,6 +104,69 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tf_idf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(document, term) TF-IDF over lowercase whitespace tokens.
+
+    Classic corpus-statistics operator for training-data curation (rare-term
+    weighting, boilerplate detection).  Shuffle profile at scale: one
+    explode (narrow) + groupBy(doc, term) with map-side partial counts, one
+    groupBy(term) for document frequency, one shuffle join on ``term``, and
+    the corpus size joined as a broadcast single-row frame — no driver-side
+    action anywhere.  idf = ln((N + 1) / (df + 1)) (smoothed).
+    """
+    tok = df.select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping ``window``-token chunks every
+    ``stride`` tokens — the standard context-length pre-processing step for
+    LLM training data.  Pure JVM expressions (split → sequence → explode →
+    slice → array_join): a narrow fan-out, no shuffle, so it scales as a
+    projection.  Chunk count = 1 if n ≤ window else ceil((n-window)/stride)+1
+    (the last chunk may be short; every token lands in ≥1 chunk)."""
+    w = words(F.col(text_col))
+    n = F.size(w)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - window) / F.lit(float(stride))) + 1
+    )
+    out = df.select(
+        F.col(id_col),
+        w.alias("__w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("__w"), F.col("chunk_idx") * stride + 1, window)
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Full-content md5 fingerprint (cross-engine-stable; exact-dup key)."""
     return F.md5(text)

@@ -573,6 +573,71 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ([EXT] generalization of rollup/cube): the
+    three aggregation grains in one pass (single shuffle, expand-then-agg)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_stats",
+    """SELECT l_returnflag,
+              round(stddev_samp(l_quantity), 6) AS sd_qty,
+              round(var_samp(l_quantity), 6) AS var_qty,
+              round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+              round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical profiling aggregates ([EXT]): stddev/variance/correlation/
+    covariance per group — single-pass, map-side partials, one shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "agg_histogram",
+    """SELECT CAST(least(floor(l_extendedprice / 10000.0), 10) AS BIGINT) AS bucket,
+              COUNT(*) AS n,
+              round(SUM(l_extendedprice), 2) AS sum_price
+       FROM lineitem GROUP BY bucket""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning ([EXT] profiling): arithmetic bucket id
+    (floor/least — engine-portable, unlike width_bucket) + per-bin count and
+    mass.  Bin count is tiny, so the post-shuffle side is trivially small."""
+    li = t(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 10000.0), F.lit(10)).cast(
+        "long"
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 # ---------------------------------------------------------------- §2.6 windows
 
 @register(
@@ -706,6 +771,28 @@ def proj_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     return part.select(
         "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+
+
+@register(
+    "win_rank_dense",
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+              rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+       FROM lineitem
+       WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)""",
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank ([EXT] row): gap vs gapless ranking under ties —
+    deterministic without a full tiebreak because equal keys share a rank."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
     )
 
 

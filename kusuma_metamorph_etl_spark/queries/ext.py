@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kusuma_metamorph_etl_spark.operators import dedup, multimodal, similarity, text
+from kusuma_metamorph_etl_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from kusuma_metamorph_etl_spark.registry import register
 from kusuma_metamorph_etl_spark.sources.catalog import load_table as t
 from kusuma_metamorph_etl_spark.streaming.windows import (
@@ -174,6 +180,66 @@ def txt_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.rolling_fingerprint(F.col("text"), window=32, stride=7).alias(
             "rolling_fp"
         ),
+    )
+
+
+@register(
+    "txt_tfidf",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({_W_LOWER}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n""",
+)
+def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF ([EXT] text analysis): smoothed idf, broadcast corpus
+    size, term-keyed shuffle join (`operators/text.py::tf_idf`)."""
+    docs = t(spark, sf_dir, "documents")
+    return text.tf_idf(docs)
+
+
+@register(
+    "txt_chunk",
+    f"""WITH tok AS (
+          SELECT doc_id, {_W_TEXT} AS w FROM documents),
+        idx AS (
+          SELECT doc_id, w,
+                 unnest(range(CASE WHEN len(w) <= 64 THEN 1
+                              ELSE CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1
+                              END)) AS chunk_idx
+          FROM tok)
+        SELECT doc_id, chunk_idx,
+               CAST(len(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+                   AS n_tokens,
+               array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+                   AS chunk_text
+        FROM idx""",
+)
+def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token / stride-48 chunking ([EXT]): the LLM
+    context-window prep step (`operators/text.py::chunk_tokens`)."""
+    docs = t(spark, sf_dir, "documents")
+    return text.chunk_tokens(docs, window=64, stride=48)
+
+
+@register(
+    "samp_deterministic",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders
+       WHERE substr(md5('42|' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'""",
+)
+def samp_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash deterministic ~10% sample ([EXT]): reproducible across
+    engines/partitionings, unlike Bernoulli `df.sample`
+    (`operators/sampling.py::deterministic_sample`)."""
+    orders = t(spark, sf_dir, "orders")
+    return sampling.deterministic_sample(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        key=F.col("o_orderkey"),
+        rate=0.1,
     )
 
 

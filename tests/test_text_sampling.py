@@ -1,0 +1,114 @@
+"""Tests for TF-IDF, token chunking, and deterministic sampling
+(`operators/text.py::tf_idf/chunk_tokens`, `operators/sampling.py`)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators import sampling, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTfIdf:
+    def test_known_corpus(self, spark):
+        df = _docs(
+            spark,
+            [(1, "a b a"), (2, "a c"), (3, "c c c")],
+        )
+        out = {
+            (r.doc_id, r.term): r
+            for r in text.tf_idf(df).collect()
+        }
+        # 'a' appears in docs 1 (tf=2) and 2 (tf=1): df=2, idf=ln(4/3).
+        assert out[(1, "a")].tf == 2 and out[(1, "a")].df == 2
+        assert out[(1, "a")].tfidf == round(2 * math.log(4 / 3), 6)
+        # 'b' is unique to doc 1: df=1, idf=ln(4/2).
+        assert out[(1, "b")].tfidf == round(math.log(2.0), 6)
+        assert (3, "a") not in out
+
+    def test_empty_text_produces_no_terms(self, spark):
+        df = _docs(spark, [(1, ""), (2, "x")])
+        rows = text.tf_idf(df).collect()
+        assert {r.doc_id for r in rows} == {2}
+
+
+class TestChunkTokens:
+    def test_short_doc_single_chunk(self, spark):
+        df = _docs(spark, [(1, "a b c")])
+        [row] = text.chunk_tokens(df, window=5, stride=3).collect()
+        assert (row.chunk_idx, row.n_tokens, row.chunk_text) == (0, 3, "a b c")
+
+    def test_overlap_and_tail(self, spark):
+        toks = [f"t{i}" for i in range(10)]
+        df = _docs(spark, [(1, " ".join(toks))])
+        rows = sorted(
+            text.chunk_tokens(df, window=4, stride=3).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # n=10, w=4, s=3 -> ceil(6/3)+1 = 3 chunks; starts 0,3,6.
+        assert [r.chunk_text.split() for r in rows] == [
+            toks[0:4],
+            toks[3:7],
+            toks[6:10],
+        ]
+        # Every token covered at least once.
+        covered = {w for r in rows for w in r.chunk_text.split()}
+        assert covered == set(toks)
+
+    def test_empty_doc_yields_one_empty_chunk(self, spark):
+        df = _docs(spark, [(1, "")])
+        [row] = text.chunk_tokens(df).collect()
+        assert (row.chunk_idx, row.n_tokens, row.chunk_text) == (0, 0, "")
+
+
+class TestDeterministicSampling:
+    def test_reproducible_across_partitionings(self, spark, sf_small):
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+        key = F.col("o_orderkey")
+        a = sampling.deterministic_sample(orders, key, rate=0.1)
+        b = sampling.deterministic_sample(orders.repartition(7), key, rate=0.1)
+        ka = {r.o_orderkey for r in a.select("o_orderkey").collect()}
+        kb = {r.o_orderkey for r in b.select("o_orderkey").collect()}
+        assert ka == kb and ka  # identical rows, not just identical counts
+
+    def test_rate_roughly_holds(self, spark, sf_small):
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+        n = orders.count()
+        k = sampling.deterministic_sample(
+            orders, F.col("o_orderkey"), rate=0.25
+        ).count()
+        assert 0.15 * n < k < 0.35 * n
+
+    def test_split_disjoint_exhaustive(self, spark, sf_small):
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+        train, hold = sampling.split_train_holdout(
+            orders, F.col("o_orderkey"), holdout=0.2
+        )
+        n, nt, nh = orders.count(), train.count(), hold.count()
+        assert nt + nh == n
+        overlap = train.select("o_orderkey").intersect(
+            hold.select("o_orderkey")
+        )
+        assert overlap.count() == 0
+
+    def test_seed_changes_selection(self, spark, sf_small):
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+        key = F.col("o_orderkey")
+        a = {
+            r.o_orderkey
+            for r in sampling.deterministic_sample(orders, key, rate=0.2, seed="1")
+            .select("o_orderkey")
+            .collect()
+        }
+        b = {
+            r.o_orderkey
+            for r in sampling.deterministic_sample(orders, key, rate=0.2, seed="2")
+            .select("o_orderkey")
+            .collect()
+        }
+        assert a != b
