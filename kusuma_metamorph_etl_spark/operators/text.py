@@ -104,6 +104,47 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept to portable regex (no lookaround): email addresses and
+# phone-ish digit runs (≥7 chars of digits/separators, digit-bounded).
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+NUMBER_REGEX = r"[0-9(][0-9 ()\-]{5,}[0-9]"
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings.  Empty array when the document
+    has fewer than ``n`` tokens (guarded: Spark's ``sequence(1, 0)`` would
+    count *down*, not produce an empty range)."""
+    w = words(text)
+    cnt = F.size(w) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(n)]
+        ),
+    )
+    return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(text: Column, n: int = 2) -> Column:
+    """Fraction of duplicated word n-grams, the Gopher-style intra-document
+    repetition signal (high value → boilerplate/spam; standard pre-training
+    filter).  0.0 for documents with no n-grams."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, F.round(1.0 - distinct.cast("double") / total, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails then phone-ish digit runs with typed placeholders.
+    Both patterns are portable across Java regex and RE2 so the exact same
+    scrub is reproducible in ANSI-SQL engines."""
+    no_email = F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>")
+    return F.regexp_replace(no_email, NUMBER_REGEX, "<NUM>")
+
+
 def tf_idf(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

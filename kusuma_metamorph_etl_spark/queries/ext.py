@@ -226,6 +226,61 @@ def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_repetition",
+    f"""WITH tok AS (SELECT doc_id, {_W_TEXT} AS w FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                i -> concat_ws(' ', w[i], w[i+1])) AS g2,
+                 list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g3
+          FROM tok)
+        SELECT doc_id,
+               CAST(len(g2) AS BIGINT) AS n_2grams,
+               CASE WHEN len(g2) > 0
+                    THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+                    ELSE 0.0 END AS dup_2gram_frac,
+               CASE WHEN len(g3) > 0
+                    THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+                    ELSE 0.0 END AS dup_3gram_frac
+        FROM g""",
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition fractions over word 2/3-grams
+    ([EXT] quality filter; `operators/text.py::ngram_repetition`).  Pure
+    narrow projection — no shuffle, scales as a scan."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(text.word_ngrams(F.col("text"), 2)).cast("long").alias("n_2grams"),
+        text.ngram_repetition(F.col("text"), 2).alias("dup_2gram_frac"),
+        text.ngram_repetition(F.col("text"), 3).alias("dup_3gram_frac"),
+    )
+
+
+@register(
+    "txt_pii_scrub",
+    f"""SELECT doc_id,
+               len(regexp_extract_all(text, '{text.EMAIL_REGEX}')) AS n_emails,
+               len(regexp_extract_all(text, '{text.NUMBER_REGEX}')) AS n_numbers,
+               md5(regexp_replace(regexp_replace(text, '{text.EMAIL_REGEX}', '<EMAIL>', 'g'),
+                                  '{text.NUMBER_REGEX}', '<NUM>', 'g')) AS scrub_fp
+        FROM documents""",
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction ([EXT]): emails / phone-ish digit runs → typed
+    placeholders, with match counts; fingerprint keeps the compare compact
+    (`operators/text.py::scrub_pii`)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(text.EMAIL_REGEX)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(text.NUMBER_REGEX)).cast("long").alias("n_numbers"),
+        F.md5(text.scrub_pii(F.col("text"))).alias("scrub_fp"),
+    )
+
+
+@register(
     "samp_deterministic",
     """SELECT o_orderkey, o_custkey, o_totalprice
        FROM orders

@@ -58,3 +58,33 @@ def test_whole_stage_codegen_active(spark, sf_small):
     assert "isFinalPlan=true" in plan
     # Codegen'd operators carry the "*(stageId)" prefix in plan strings.
     assert "*(" in plan
+
+
+def test_text_ops_are_narrow(spark, sf_small):
+    # Chunking and repetition are per-row projections: any Exchange in the
+    # plan means someone introduced an accidental shuffle.
+    from kusuma_metamorph_etl_spark.queries.ext import txt_chunk, txt_repetition
+
+    for q in (txt_chunk, txt_repetition):
+        plan = _plan(q(spark, sf_small))
+        assert "Exchange" not in plan, q.__name__
+
+
+def test_deterministic_sample_prunes_columns(spark, sf_small):
+    # The hash filter is computed, not pushable — but column pruning must
+    # still reach the scan (only the 3 selected columns are read).
+    from kusuma_metamorph_etl_spark.queries.ext import samp_deterministic
+
+    plan = _plan(samp_deterministic(spark, sf_small))
+    assert "o_comment" not in plan
+    assert "Exchange" not in plan
+
+
+def test_tfidf_broadcasts_corpus_size(spark, sf_small):
+    # The single-row corpus count must join as a broadcast, and the
+    # term-frequency/document-frequency join must not degrade to a
+    # cartesian or sort-merge on this shape.
+    from kusuma_metamorph_etl_spark.queries.ext import txt_tfidf
+
+    plan = _plan(txt_tfidf(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

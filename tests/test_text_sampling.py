@@ -66,6 +66,39 @@ class TestChunkTokens:
         assert (row.chunk_idx, row.n_tokens, row.chunk_text) == (0, 0, "")
 
 
+class TestRepetition:
+    def test_known_fractions(self, spark):
+        # "a b a b a" -> 2-grams: [a b, b a, a b, b a] -> 2 distinct of 4.
+        df = _docs(spark, [(1, "a b a b a"), (2, "x y z"), (3, "q")])
+        out = {r.doc_id: r for r in df.select(
+            "doc_id",
+            text.ngram_repetition(F.col("text"), 2).alias("dup2"),
+        ).collect()}
+        assert out[1].dup2 == 0.5
+        assert out[2].dup2 == 0.0
+        assert out[3].dup2 == 0.0  # fewer than 2 tokens -> no grams -> 0.0
+
+    def test_ngrams_empty_guard(self, spark):
+        df = _docs(spark, [(1, "only")])
+        [row] = df.select(text.word_ngrams(F.col("text"), 3).alias("g")).collect()
+        assert row.g == []
+
+
+class TestPiiScrub:
+    def test_email_and_phone_redacted(self, spark):
+        df = _docs(
+            spark,
+            [(1, "mail bob.smith+x@example.co.uk or call (555) 867-5309 now")],
+        )
+        [row] = df.select(text.scrub_pii(F.col("text")).alias("s")).collect()
+        assert row.s == "mail <EMAIL> or call <NUM> now"
+
+    def test_short_numbers_survive(self, spark):
+        df = _docs(spark, [(1, "room 42 on floor 123")])
+        [row] = df.select(text.scrub_pii(F.col("text")).alias("s")).collect()
+        assert row.s == "room 42 on floor 123"
+
+
 class TestDeterministicSampling:
     def test_reproducible_across_partitionings(self, spark, sf_small):
         orders = spark.read.parquet(f"{sf_small}/orders.parquet")
