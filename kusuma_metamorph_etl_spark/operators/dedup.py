@@ -49,6 +49,26 @@ def exact_dedup(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop rows of ``new_df`` whose content fingerprint already exists in
+    ``history_df`` — the daily-snapshot shape of dedup: each ingest batch
+    checks only against accumulated history, never all-pairs.  At scale the
+    history side is a fingerprint-only table (one md5 column, precomputed
+    and bucketed by fingerprint), so the anti-join shuffles 16-byte keys,
+    not document bodies."""
+    hist = history_df.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    return (
+        new_df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .join(hist, on="__fp", how="left_anti")
+        .drop("__fp")
+    )
+
+
 # ----------------------------------------------------------------- shingles
 
 def word_shingles(text: Column, n: int = 3) -> Column:

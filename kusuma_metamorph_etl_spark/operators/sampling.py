@@ -19,6 +19,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def rate_threshold(rate: float) -> str:
+    """Hex-string threshold for ``hash_bucket < threshold`` at ~``rate``.
+    Rate 1.0 needs a string ABOVE every 2-hex-char bucket — "g" sorts
+    after "ff" in any codepoint collation (3-char "100" would sort
+    *before* "ab" and silently keep nothing)."""
+    n = round(max(0.0, min(1.0, rate)) * 256)
+    if n >= 256:
+        return "g"
+    return format(n, "02x")
+
+
 def hash_bucket(key: Column, seed: str = "42") -> Column:
     """First byte of md5(seed|key) as a lowercase 2-hex-char string.
 
@@ -37,8 +48,26 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep rows whose hash bucket falls below ``round(rate*256)`` — a
     reproducible ~``rate`` sample keyed on content, not partition layout."""
-    threshold = format(max(0, min(256, round(rate * 256))), "02x")
-    return df.filter(hash_bucket(key, seed) < F.lit(threshold))
+    return df.filter(hash_bucket(key, seed) < F.lit(rate_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "42",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    sources hard, keep rare high-quality sources whole) — the quota knob
+    of training-data mixing.  Same hash-bucket mechanism, one threshold
+    per stratum via a CASE chain, so it stays a narrow codegen'd filter."""
+    bucket = hash_bucket(key, seed)
+    threshold: Column = F.lit(rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(stratum == value, F.lit(rate_threshold(rate))).otherwise(threshold)
+    return df.filter(bucket < threshold)
 
 
 def split_train_holdout(
@@ -46,7 +75,7 @@ def split_train_holdout(
 ) -> tuple[DataFrame, DataFrame]:
     """Disjoint, exhaustive (train, holdout) split on the same hash —
     the reproducible-split primitive for eval-set hygiene at scale."""
-    threshold = format(max(0, min(256, round(holdout * 256))), "02x")
+    threshold = rate_threshold(holdout)
     bucket = hash_bucket(key, seed)
     return (
         df.filter(bucket >= F.lit(threshold)),

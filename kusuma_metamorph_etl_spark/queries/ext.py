@@ -299,6 +299,45 @@ def samp_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_stratified",
+    """SELECT doc_id, source FROM documents
+       WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 2) <
+             CASE source WHEN 'src0' THEN 'g'
+                         WHEN 'src1' THEN '80'
+                         ELSE '1a' END""",
+)
+def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling ([EXT]): keep all of src0, half
+    of src1, ~10% of the rest — the training-mix quota knob
+    (`operators/sampling.py::stratified_sample`)."""
+    docs = t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs.select("doc_id", "source"),
+        key=F.col("doc_id"),
+        stratum=F.col("source"),
+        rates={"src0": 1.0, "src1": 0.5},
+        default_rate=0.1,
+    )
+
+
+@register(
+    "dedup_incremental",
+    """SELECT d.doc_id, d.source FROM documents d
+       WHERE d.source = 'src0'
+         AND NOT EXISTS (SELECT 1 FROM documents h
+                         WHERE h.source <> 'src0'
+                           AND md5(h.text) = md5(d.text))""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup ([EXT]): today's batch (src0) anti-joined
+    against history fingerprints (`operators/dedup.py::incremental_dedup`)."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") == "src0")
+    history = docs.filter(F.col("source") != "src0")
+    return dedup.incremental_dedup(new, history).select("doc_id", "source")
+
+
+@register(
     "fn_json_extract",
     """SELECT event_id,
               CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k

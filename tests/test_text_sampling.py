@@ -129,6 +129,41 @@ class TestDeterministicSampling:
         )
         assert overlap.count() == 0
 
+    def test_rate_one_keeps_everything(self, spark, sf_small):
+        # Regression: a 3-hex-char threshold ("100") would sort before
+        # "ab" and silently keep nothing at rate=1.0.
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+        n = orders.count()
+        assert sampling.deterministic_sample(
+            orders, F.col("o_orderkey"), rate=1.0
+        ).count() == n
+        assert sampling.deterministic_sample(
+            orders, F.col("o_orderkey"), rate=0.0
+        ).count() == 0
+
+    def test_stratified_rates(self, spark):
+        rows = [(i, "keep" if i % 2 else "drop") for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        out = sampling.stratified_sample(
+            df,
+            key=F.col("id"),
+            stratum=F.col("src"),
+            rates={"keep": 1.0},
+            default_rate=0.0,
+        )
+        got = {(r.id, r.src) for r in out.collect()}
+        assert got == {(i, s) for i, s in rows if s == "keep"}
+
+    def test_incremental_dedup_drops_known_content(self, spark):
+        from kusuma_metamorph_etl_spark.operators import dedup
+
+        new = _docs(spark, [(10, "fresh text"), (11, "seen before")])
+        hist = _docs(spark, [(1, "seen before"), (2, "other")])
+        kept = dedup.incremental_dedup(new, hist).collect()
+        assert [r.doc_id for r in kept] == [10]
+        # Schema passes through unchanged (no helper column leaks).
+        assert {c for r in kept for c in r.asDict()} == {"doc_id", "text"}
+
     def test_seed_changes_selection(self, spark, sf_small):
         orders = spark.read.parquet(f"{sf_small}/orders.parquet")
         key = F.col("o_orderkey")
