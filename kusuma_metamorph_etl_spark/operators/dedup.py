@@ -183,6 +183,13 @@ def minhash_signatures(
 def _signatures_from_shingles(
     shingles: DataFrame, id_col: str, n_hashes: int
 ) -> DataFrame:
+    # Measured (sf0.1, same session, 3 reps each): this explode+groupBy
+    # formulation runs the full near-dup pipeline in ~4.2-4.7s; replacing
+    # it with a shuffle-free row expression
+    # (array_min(transform(sh, s -> xxhash64(j, s))) per permutation)
+    # is ~8.2-9.2s — 16 intermediate long-arrays per row lose to
+    # codegen'd map-side partial mins despite the extra shuffle.  Don't
+    # "optimize" this back to the narrow form without re-measuring.
     mins = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"m{j}")
         for j in range(n_hashes)
