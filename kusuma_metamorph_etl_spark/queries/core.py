@@ -796,6 +796,39 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "win_cume_dist",
+    """SELECT o_orderkey, o_orderpriority,
+              round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice), 6) AS cd
+       FROM orders""",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist ([EXT] row): fraction of peers at or below each value —
+    per-priority, so the window parallelizes across partitions (unlike the
+    reference's global percent_rank, A4)."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register("agg_approx_quantile", None)  # sketch-dependent — rows-only
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx ([EXT] scale path of `agg_percentile`): Greenwald-
+    Khanna sketch, mergeable map-side — the 100 TB alternative to exact
+    interpolated percentiles.  Error bound vs exact asserted in tests/."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "approx_pcts"
+        )
+    )
+
+
 # ---------------------------------------------------------------- §2.7 conditionals / nulls
 
 @register(

@@ -180,3 +180,31 @@ class TestDeterministicSampling:
             .collect()
         }
         assert a != b
+
+
+class TestApproxQuantile:
+    def test_error_bound_vs_exact(self, spark, sf_small):
+        li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        approx = {
+            r.l_returnflag: r.approx_pcts
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.percentile_approx(
+                    "l_extendedprice", [0.5, 0.95, 0.99], 10000
+                ).alias("approx_pcts")
+            )
+            .collect()
+        }
+        exact = {
+            r.l_returnflag: r.pcts
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.expr(
+                    "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+                ).alias("pcts")
+            )
+            .collect()
+        }
+        for flag, ap in approx.items():
+            for a, e in zip(ap, exact[flag]):
+                assert abs(a - e) / e < 0.05  # within 5% at accuracy=10000
