@@ -24,3 +24,35 @@ def decimal_round(col: Column, scale: int = 2, capture_scale: int = 6) -> Column
     Returns double so downstream schemas stay uniform.
     """
     return F.round(col.cast(f"decimal(18,{capture_scale})"), scale).cast("double")
+
+
+def decimal_sum(col: Column, scale: int = 2, capture_scale: int = 6) -> Column:
+    """Order-independent money sum: ``round(sum(decimal(term)), scale)``.
+
+    Rounding a *double* sum is not enough — the double sum's last ulp
+    depends on partition/combine order (nondeterministic across runs and
+    across engines), so a group whose true sum sits on a half-cent boundary
+    rounds differently run-to-run (the r1 ``agg_groupby_single`` hash-fail).
+    Casting each term to decimal first makes the sum exact decimal
+    arithmetic: associative, order-independent, identical in Spark and
+    DuckDB.  Oracle mirror::
+
+        CAST(ROUND(SUM(CAST(term AS DECIMAL(18,6))), scale) AS DOUBLE)
+
+    Aggregate helper — use inside ``groupBy().agg(...)``.
+    """
+    return F.round(F.sum(col.cast(f"decimal(18,{capture_scale})")), scale).cast(
+        "double"
+    )
+
+
+def decimal_avg(col: Column, scale: int = 4, capture_scale: int = 6) -> Column:
+    """Order-independent rounded average: exact decimal sum, then one
+    deterministic double division.  Oracle mirror::
+
+        ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x), scale)
+
+    ``COUNT(col)`` (not ``COUNT(*)``) so null handling matches ``AVG``.
+    """
+    total = F.sum(col.cast(f"decimal(18,{capture_scale})")).cast("double")
+    return F.round(total / F.count(col), scale)

@@ -21,6 +21,7 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kusuma_metamorph_etl_spark.functions.numeric import decimal_avg, decimal_sum
 from kusuma_metamorph_etl_spark.sources.sinks import stamp_snapshot
 
 FINAL_COLUMNS = [
@@ -78,12 +79,13 @@ def product_performance(
     agg = jnr.groupBy(
         "PRODUCT_ID", "PRODUCT_NAME", "CATEGORY", "STOCK_QUANTITY", "REORDER_LEVEL"
     ).agg(
-        F.round(F.sum(F.col("QUANTITY") * F.col("SELLING_PRICE")), 2).alias(
+        # exact decimal money sums: order-independent across partitions
+        decimal_sum(F.col("QUANTITY") * F.col("SELLING_PRICE"), 2).alias(
             "TOTAL_SALES_AMOUNT"
         ),
         F.sum("QUANTITY").alias("TOTAL_QUANTITY_SOLD"),
-        F.round(F.avg("SELLING_PRICE"), 2).alias("AVG_SALE_PRICE"),
-        F.round(F.sum("ROW_PROFIT"), 2).alias("PROFIT"),
+        decimal_avg(F.col("SELLING_PRICE"), 2).alias("AVG_SALE_PRICE"),
+        decimal_sum(F.col("ROW_PROFIT"), 2).alias("PROFIT"),
     )
 
     # CASE: stock status vs reorder threshold (`cond_when_chain`).

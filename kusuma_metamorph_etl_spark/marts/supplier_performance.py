@@ -21,6 +21,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
 from kusuma_metamorph_etl_spark.sources.sinks import stamp_snapshot
 
 FINAL_COLUMNS = [
@@ -91,7 +92,8 @@ def supplier_performance(
     # suppliers surface as nulls and take the fillna defaults — identical
     # output, one fewer fact-sized shuffle.
     agg_fact = fact.groupBy("SUPPLIER_ID").agg(
-        F.sum("REVENUE").alias("TOTAL_REVENUE"),
+        # exact decimal sum: order-independent across partitions/engines
+        decimal_sum(F.col("REVENUE"), 2).alias("TOTAL_REVENUE"),
         F.countDistinct("PRODUCT_ID").alias("TOTAL_PRODUCTS_SOLD"),
         F.sum("QUANTITY").alias("TOTAL_STOCK_SOLD"),
     )
@@ -115,10 +117,13 @@ def supplier_performance(
 
     # WIN: top product per supplier over a per-(supplier, product)
     # pre-aggregation; revenue desc, product name as deterministic tiebreak.
+    # Exact decimal revenue here too: PRODUCT_REVENUE only orders the
+    # window, but a last-ulp difference between two products' double sums
+    # would flip the top-product pick nondeterministically.
     per_product = (
         fact.filter(F.col("PRODUCT_ID").isNotNull())
         .groupBy("SUPPLIER_ID", "PRODUCT_NAME")
-        .agg(F.sum("REVENUE").alias("PRODUCT_REVENUE"))
+        .agg(F.sum(F.col("REVENUE").cast("decimal(18,6)")).alias("PRODUCT_REVENUE"))
     )
     top_window = Window.partitionBy("SUPPLIER_ID").orderBy(
         F.desc("PRODUCT_REVENUE"), F.asc("PRODUCT_NAME")
@@ -138,7 +143,6 @@ def supplier_performance(
             F.coalesce(F.col("TOP_SELLING_PRODUCT").cast("string"), F.lit("No sales")),
         )
         .fillna({"TOTAL_REVENUE": 0.0, "TOTAL_PRODUCTS_SOLD": 0, "TOTAL_STOCK_SOLD": 0})
-        .withColumn("TOTAL_REVENUE", F.round("TOTAL_REVENUE", 2))
     )
 
     return stamp_snapshot(enriched, run_date).select(*FINAL_COLUMNS)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kusuma_metamorph_etl_spark.functions.numeric import decimal_round
+
 
 def sales_from_lineitem(lineitem: DataFrame) -> DataFrame:
     """lineitem → sales (SALE_ID, PRODUCT_ID, SUPPLIER_ID, QUANTITY,
@@ -64,7 +66,10 @@ def products_from_part(part: DataFrame) -> DataFrame:
         F.col("p_name").alias("PRODUCT_NAME"),
         F.col("p_type").alias("CATEGORY"),
         F.col("p_retailprice").alias("SELLING_PRICE"),
-        F.round(F.col("p_retailprice") * F.lit(0.7), 2).alias("COST_PRICE"),
+        # decimal-exact: price*0.7 is a 3-decimal value, so plain
+        # round(double, 2) sits on a half-cent boundary for ~10% of parts
+        # and Spark/DuckDB double rounding diverge there.
+        decimal_round(F.col("p_retailprice") * F.lit(0.7), 2).alias("COST_PRICE"),
         (F.col("p_size") * F.lit(100)).alias("STOCK_QUANTITY"),
         (F.col("p_size") * F.lit(40)).alias("REORDER_LEVEL"),
     )

@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kusuma_metamorph_etl_spark.functions.naming import normalize_column_names
-from kusuma_metamorph_etl_spark.functions.numeric import decimal_round
+from kusuma_metamorph_etl_spark.functions.numeric import (
+    decimal_avg,
+    decimal_round,
+    decimal_sum,
+)
 from kusuma_metamorph_etl_spark.operators.joins import equi_join
 from kusuma_metamorph_etl_spark.operators.windows import global_percent_rank, top_k_per_group
 from kusuma_metamorph_etl_spark.registry import RUN_DATE, register
@@ -465,17 +469,19 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_groupby_single",
     """SELECT l_suppkey,
-              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
               SUM(l_quantity) AS total_qty,
               COUNT(DISTINCT l_partkey) AS n_parts
        FROM lineitem GROUP BY l_suppkey""",
 )
 def agg_groupby_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-key hash agg; revenue summed in exact decimal (r1 hash-fail
+    was round-of-double-sum whose last ulp is summation-order-dependent)."""
     li = t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        decimal_sum(revenue, 2).alias("revenue"),
         F.sum("l_quantity").alias("total_qty"),
         F.countDistinct("l_partkey").alias("n_parts"),
     )
@@ -485,50 +491,58 @@ def agg_groupby_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_groupby_multi",
     """SELECT l_returnflag, l_linestatus,
               SUM(l_quantity) AS sum_qty,
-              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-              ROUND(AVG(l_quantity), 4) AS avg_qty,
-              ROUND(AVG(l_discount), 6) AS avg_disc,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                   AS DOUBLE) AS sum_base_price,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(l_quantity), 4) AS avg_qty,
+              ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(l_discount), 6) AS avg_disc,
               COUNT(*) AS count_order
        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 )
 def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: multi-key hash agg with 6 measures — partial
-    (map-side) aggregation collapses before the shuffle."""
+    (map-side) aggregation collapses before the shuffle.  Money/rate sums
+    in exact decimal so results are summation-order-independent."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        decimal_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        decimal_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+        ).alias("sum_disc_price"),
+        decimal_avg(F.col("l_quantity"), 4).alias("avg_qty"),
+        decimal_avg(F.col("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
 
 @register(
     "agg_sum_expr",
-    """SELECT l_returnflag, ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-              AS sum_charge
+    """SELECT l_returnflag,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge
        FROM lineitem GROUP BY l_returnflag""",
 )
 def agg_sum_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    return li.groupBy("l_returnflag").agg(F.round(F.sum(charge), 2).alias("sum_charge"))
+    return li.groupBy("l_returnflag").agg(decimal_sum(charge, 2).alias("sum_charge"))
 
 
 @register(
     "agg_avg",
-    """SELECT o_orderpriority, ROUND(AVG(o_totalprice), 4) AS avg_price
+    """SELECT o_orderpriority,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(o_totalprice), 4) AS avg_price
        FROM orders GROUP BY o_orderpriority""",
 )
 def agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+        decimal_avg(F.col("o_totalprice"), 4).alias("avg_price")
     )
 
 
@@ -621,7 +635,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram",
     """SELECT CAST(least(floor(l_extendedprice / 10000.0), 10) AS BIGINT) AS bucket,
               COUNT(*) AS n,
-              round(SUM(l_extendedprice), 2) AS sum_price
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                   AS DOUBLE) AS sum_price
        FROM lineitem GROUP BY bucket""",
 )
 def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,7 +649,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        decimal_sum(F.col("l_extendedprice"), 2).alias("sum_price"),
     )
 
 
@@ -820,12 +835,15 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx ([EXT] scale path of `agg_percentile`): Greenwald-
     Khanna sketch, mergeable map-side — the 100 TB alternative to exact
-    interpolated percentiles.  Error bound vs exact asserted in tests/."""
+    interpolated percentiles.  Error bound vs exact asserted in tests/.
+
+    Scalar columns (not array<double>) so rows-only harnesses can hash the
+    output — r1's array column broke the driver's canonicalizer."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "approx_pcts"
-        )
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
     )
 
 
@@ -887,9 +905,11 @@ def cond_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_fillna_map",
     """SELECT c.c_custkey,
               COALESCE(agg.n_orders, 0) AS n_orders,
-              COALESCE(ROUND(agg.total_spend, 2), 0.0) AS total_spend
+              COALESCE(agg.total_spend, 0.0) AS total_spend
        FROM customer c LEFT JOIN (
-            SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total_spend
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS total_spend
             FROM orders GROUP BY o_custkey) agg
          ON c.c_custkey = agg.o_custkey""",
 )
@@ -901,7 +921,7 @@ def null_fillna_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            decimal_sum(F.col("o_totalprice"), 2).alias("total_spend"),
         )
     )
     return (

@@ -41,7 +41,8 @@ products AS (
            p_name AS product_name,
            p_type AS category,
            p_retailprice AS selling_price,
-           ROUND(p_retailprice * 0.7, 2) AS cost_price,
+           CAST(ROUND(CAST(p_retailprice * 0.7 AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS cost_price,
            p_size * 100 AS stock_quantity,
            p_size * 40 AS reorder_level
     FROM part
@@ -78,14 +79,16 @@ joined AS (
 ),
 agg AS (
     SELECT sup.supplier_id, sup.supplier_name,
-           SUM(j.revenue) AS total_revenue,
+           CAST(ROUND(SUM(CAST(j.revenue AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_revenue,
            COUNT(DISTINCT j.product_id) AS total_products_sold,
            SUM(j.quantity) AS total_stock_sold
     FROM suppliers sup LEFT JOIN joined j ON j.supplier_id = sup.supplier_id
     GROUP BY 1, 2
 ),
 per_product AS (
-    SELECT supplier_id, product_name, SUM(revenue) AS product_revenue
+    SELECT supplier_id, product_name,
+           SUM(CAST(revenue AS DECIMAL(18,6))) AS product_revenue
     FROM joined WHERE product_id IS NOT NULL
     GROUP BY 1, 2
 ),
@@ -100,7 +103,7 @@ top AS (
 SELECT DATE '{RUN_DATE}' AS day_dt,
        a.supplier_id,
        a.supplier_name,
-       ROUND(COALESCE(a.total_revenue, 0), 2) AS total_revenue,
+       COALESCE(a.total_revenue, 0.0) AS total_revenue,
        COALESCE(a.total_products_sold, 0) AS total_products_sold,
        COALESCE(a.total_stock_sold, 0) AS total_stock_sold,
        COALESCE(t.product_name, 'No sales') AS top_selling_product
@@ -128,13 +131,16 @@ jnr AS (
     FROM fil s LEFT JOIN products p USING (product_id)
 )
 SELECT product_id, product_name,
-       ROUND(SUM(quantity * selling_price), 2) AS total_sales_amount,
+       CAST(ROUND(SUM(CAST(quantity * selling_price AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS total_sales_amount,
        SUM(quantity) AS total_quantity_sold,
-       ROUND(AVG(selling_price), 2) AS avg_sale_price,
+       ROUND(CAST(SUM(CAST(selling_price AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(selling_price), 2) AS avg_sale_price,
        stock_quantity, reorder_level,
        CASE WHEN stock_quantity < reorder_level THEN 'Below Reorder Level'
             ELSE 'Sufficient Stock' END AS stock_level_status,
-       ROUND(SUM(row_profit), 2) AS profit,
+       CAST(ROUND(SUM(CAST(row_profit AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS profit,
        category,
        DATE '{RUN_DATE}' AS day_dt
 FROM jnr
