@@ -123,7 +123,12 @@ def customer_sales_report(
         exp = exp.persist(StorageLevel.MEMORY_AND_DISK)
 
     # WIN 1: global percentile tiers — scalable exact percent_rank.
-    tiered = global_percent_rank(exp, "SALE_AMOUNT", out_col="__pr", descending=True)
+    # SALE_AMOUNT is near-continuous money (distinct ≈ rows at scale), so
+    # force the range-partitioned path: the broadcast rank map would be
+    # O(n) and its "tiny" window a single-task sort of ~n values.
+    tiered = global_percent_rank(
+        exp, "SALE_AMOUNT", out_col="__pr", descending=True, low_cardinality=False
+    )
     tiered = tiered.withColumn(
         "LOYALTY_TIER",
         F.when(F.col("__pr") <= 0.2, F.lit("Gold"))

@@ -6,11 +6,11 @@ dataset with an unpartitioned ``Window.orderBy(...)``
 (``/root/reference/ETL-Airflow/dags/tasks/customer_sales_report_task.py:
 101-106``, anti-pattern A4) — Spark executes that as a single task holding
 every row.  :func:`global_percent_rank` computes the *exact* same values
-scalably: rank only the distinct values (a frame that is orders of magnitude
-smaller), derive each value's ``percent_rank`` from cumulative counts, and
-broadcast-join it back.  Ties receive identical percent_rank either way
-(SQL ``percent_rank = (rank - 1) / (n - 1)`` with ``rank`` = 1 + count of
-rows sorting strictly before).
+scalably, picking between two regimes: a broadcast rank map over the
+distinct values (low cardinality) or rank-within-quantile-buckets with
+prefix-summed offsets (continuous keys).  Ties receive identical
+percent_rank either way (SQL ``percent_rank = (rank - 1) / (n - 1)`` with
+``rank`` = 1 + count of rows sorting strictly before).
 """
 
 from __future__ import annotations
@@ -45,19 +45,43 @@ def global_percent_rank(
     value_col: str,
     out_col: str = "percent_rank",
     descending: bool = True,
+    low_cardinality: bool | None = None,
+    cardinality_threshold: int = 100_000,
 ) -> DataFrame:
     """Exact global ``percent_rank`` without a single-partition window.
 
-    Algorithm (3 narrow steps instead of one all-rows sort into 1 task):
-      1. ``groupBy(value)`` → distinct values + multiplicities (shuffle of
-         collapsed groups; distinct-value cardinality ≪ row count).
-      2. Tiny window over the distinct values → cumulative count of rows
-         sorting strictly before each value; ``n`` via a global sum.
-      3. Broadcast-join the (value → percent_rank) map back onto ``df``.
+    Two scale regimes, both exact (SQL ``PERCENT_RANK() OVER (ORDER BY
+    value [DESC])`` incl. tie semantics — ``(rows strictly before) /
+    (n - 1)``):
 
-    Matches SQL ``PERCENT_RANK() OVER (ORDER BY value [DESC])`` exactly,
-    including tie semantics.
+    * **low cardinality** (distinct values ≪ rows — flags, tiers, small
+      enums): rank the distinct-value frame in one tiny window and
+      broadcast the (value → percent_rank) map back.  O(d) broadcast.
+    * **high cardinality** (near-continuous keys — money amounts, floats,
+      timestamps): the rank map is O(n), so broadcasting it back is an OOM
+      and the "tiny" window a single-task sort of ~n rows.  Instead:
+      bucket rows by deterministic quantile bounds, rank *within* buckets,
+      and prefix-sum the ≤P per-bucket totals (genuinely tiny) for global
+      offsets.  No O(n) broadcast, no map-back join, no single task
+      holding more than ~n/P rows.
+
+    ``low_cardinality=None`` picks the regime from a one-pass
+    ``approx_count_distinct`` probe vs ``cardinality_threshold``.  Callers
+    that know their key shape (e.g. the customer-sales mart's continuous
+    SALE_AMOUNT) should pass it explicitly and skip the probe.
     """
+    if low_cardinality is None:
+        probe = df.agg(F.approx_count_distinct(value_col).alias("d")).first()
+        low_cardinality = (probe["d"] or 0) <= cardinality_threshold
+    if low_cardinality:
+        return _percent_rank_broadcast_map(df, value_col, out_col, descending)
+    return _percent_rank_range_partitioned(df, value_col, out_col, descending)
+
+
+def _percent_rank_broadcast_map(
+    df: DataFrame, value_col: str, out_col: str, descending: bool
+) -> DataFrame:
+    """Low-cardinality path: tiny distinct-value window + broadcast map."""
     order = F.desc(value_col) if descending else F.asc(value_col)
     counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     # The distinct-value frame is small; this window is cheap by design.
@@ -79,3 +103,99 @@ def global_percent_rank(
         .alias(out_col),
     )
     return df.join(F.broadcast(ranked), on=value_col, how="left")
+
+
+
+def _percent_rank_range_partitioned(
+    df: DataFrame, value_col: str, out_col: str, descending: bool
+) -> DataFrame:
+    """High-cardinality path: rank within value-range buckets + tiny offsets.
+
+    The bucket id must be a *deterministic function of the value*:
+    ``repartitionByRange`` re-samples its boundaries on every recompute,
+    so in a diamond plan (the ranks branch and the per-bucket-totals
+    branch both read the bucketed frame) the two branches can observe
+    *different* partitionings and produce wrong global ranks -- measured
+    on this repo: two counts of the same range-partitioned frame
+    disagreed on every partition.  Instead: one bounded driver collect of
+    ~P approximate quantiles (``approxQuantile``, P = shuffle
+    parallelism) fixes the bucket bounds for the whole plan, and a
+    ``Bucketizer`` (JVM binary search, narrow -- no shuffle) assigns each
+    row its bucket.
+
+    Equal values land in one bucket by construction, so ``rank()``
+    *within* a bucket is exact and adding the rows of earlier buckets
+    turns it into the global rank.  The per-bucket totals are a <=P-row
+    frame -- the only unpartitioned window in the plan -- and the only
+    broadcast is that <=P-row offset table.  One full-width shuffle total
+    (the per-bucket window); no O(n) rank map, no map-back join, no
+    single task holding more than ~n/P rows (quantile bounds balance the
+    buckets even under value skew).
+
+    Nulls get bucket -1: first for ascending, last for descending --
+    exactly Spark's window null order -- and tie among themselves, so the
+    output matches ``PERCENT_RANK() OVER (ORDER BY value [DESC])``
+    including null rows (the broadcast-map path instead leaves nulls
+    unranked, a join-on-null artifact).
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    spark = df.sparkSession
+    num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    order = F.col(value_col).desc() if descending else F.col(value_col).asc()
+
+    # Deterministic, skew-balancing bucket bounds; bounded driver collect
+    # (<= P doubles).  Bounds need not be exact quantiles -- only fixed.
+    probs = [i / num_parts for i in range(1, num_parts)]
+    bounds = sorted(set(df.stat.approxQuantile(value_col, probs, 0.001)))
+    splits = [float("-inf"), *bounds, float("inf")]
+    bucketizer = Bucketizer(
+        splits=splits,
+        inputCol=value_col,
+        outputCol="__raw_bkt",
+        handleInvalid="keep",  # nulls/NaN pass through; remapped below
+    )
+    bucketed = bucketizer.transform(df).withColumn(
+        "__bkt",
+        F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+            F.col("__raw_bkt").cast("int")
+        ),
+    )
+
+    bkt_window = Window.partitionBy("__bkt").orderBy(order)
+    local = bucketed.withColumn("__rank_in_bkt", F.rank().over(bkt_window))
+
+    # <=P-row frame: rows per bucket -> prefix-sum offsets + grand total,
+    # walked in rank order (desc: high buckets first; bucket -1 sorts
+    # last for desc and first for asc, matching the null order above).
+    bkt_order = F.col("__bkt").desc() if descending else F.col("__bkt").asc()
+    offset_window = Window.orderBy(bkt_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total_window = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        bucketed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__bkt_rows"))
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__bkt_rows").over(offset_window), F.lit(0)).alias(
+                "__bkt_offset"
+            ),
+            F.sum("__bkt_rows").over(total_window).alias("__total"),
+        )
+    )
+
+    return (
+        local.join(F.broadcast(offsets), on="__bkt")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__total") > 1,
+                (F.col("__bkt_offset") + F.col("__rank_in_bkt") - 1)
+                / (F.col("__total") - 1),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__bkt", "__raw_bkt", "__rank_in_bkt", "__bkt_offset", "__total")
+    )

@@ -88,3 +88,34 @@ def test_tfidf_broadcasts_corpus_size(spark, sf_small):
 
     plan = _plan(txt_tfidf(spark, sf_small))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_percent_rank_range_path_scales(spark, sf_small):
+    # The continuous-key percent_rank path must not broadcast an O(n) rank
+    # map and must not sort all rows in one task: the only broadcast is the
+    # <=P-row bucket-offset table, and the big window is partitioned by the
+    # quantile bucket.  A SinglePartition exchange may appear only in the
+    # offsets branch (<=P rows).
+    from kusuma_metamorph_etl_spark.operators.windows import global_percent_rank
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = _plan(
+        global_percent_rank(
+            orders, "o_totalprice", out_col="pr", descending=True,
+            low_cardinality=False,
+        )
+    )
+    assert plan.count("BroadcastExchange") == 1  # offsets only, never the map
+    assert "windowspecdefinition(__bkt" in plan  # rank window is partitioned
+    assert plan.count("Exchange SinglePartition") == 1  # offsets branch only
+    assert "SortMergeJoin" not in plan  # no map-back join at all
+
+
+def test_customer_mart_uses_range_percent_rank(spark, sf_small):
+    # The mart ranks near-continuous SALE_AMOUNT: it must go through the
+    # bucketed path (no O(n) broadcast rank map, no global value window).
+    plan = _plan(mart_customer_sales_report(spark, sf_small))
+    assert "__bkt" in plan
+    assert "windowspecdefinition(SALE_AMOUNT" not in plan

@@ -78,18 +78,22 @@ def test_asof_join_matches_bruteforce(lefts, rights):
     )
 )
 def test_global_percent_rank_matches_window(values):
-    """The distributed two-pass percent_rank equals Spark's own
-    single-partition window, including tie semantics."""
+    """Both percent_rank paths (broadcast rank map, range-partitioned
+    prefix-sum) equal Spark's own single-partition window, including tie
+    semantics."""
     spark = _session()
     df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(values)], "i long, v double")
-    scalable = {
-        r["i"]: r["pr"]
-        for r in global_percent_rank(df, "v", out_col="pr", descending=True).collect()
-    }
     reference = {
         r["i"]: r["pr"]
         for r in df.withColumn(
             "pr", F.percent_rank().over(Window.orderBy(F.desc("v")))
         ).collect()
     }
-    assert scalable == reference
+    for low_card in (True, False):
+        got = {
+            r["i"]: r["pr"]
+            for r in global_percent_rank(
+                df, "v", out_col="pr", descending=True, low_cardinality=low_card
+            ).collect()
+        }
+        assert got == reference, f"low_cardinality={low_card}"
