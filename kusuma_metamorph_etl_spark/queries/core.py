@@ -148,6 +148,49 @@ def snk_dual_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snk_jdbc_roundtrip",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def snk_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JDBC write→read round-trip (`snk_jdbc_overwrite` + `src_jdbc`):
+    batched overwrite into embedded Derby (the sandbox stand-in for the
+    reference's Postgres endpoint, `transform_utils.py:95-129`), then a
+    *partitioned* range read back — 4 concurrent bound queries on the
+    numeric PK, the scale shape the reference's single-connection
+    read/write lacks (anti-pattern A3)."""
+    import shutil
+
+    from kusuma_metamorph_etl_spark.sources.jdbc import (
+        DERBY_EMBEDDED_DRIVER,
+        embedded_derby_url,
+        jdbc_reader,
+        jdbc_writer,
+    )
+
+    db_dir = os.path.join(SCRATCH, "derby", os.path.basename(sf_dir))
+    shutil.rmtree(db_dir, ignore_errors=True)  # clear stale locks/state
+    url = embedded_derby_url(db_dir)
+    creds = {"user": "app", "password": "app", "driver": DERBY_EMBEDDED_DRIVER}
+
+    sup = t(spark, sf_dir, "supplier")
+    jdbc_writer(
+        sup, mode="overwrite", url=url, table="supplier_rt", **creds
+    ).save()
+
+    lo, hi = sup.agg(F.min("s_suppkey"), F.max("s_suppkey")).first()
+    return jdbc_reader(
+        spark,
+        url=url,
+        table="supplier_rt",
+        partition_column="s_suppkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi),
+        num_partitions=4,
+        **creds,
+    ).load()
+
+
 # ---------------------------------------------------------------- §2.2 projection
 
 @register("proj_select", "SELECT c_custkey, c_name, c_mktsegment FROM customer")

@@ -96,6 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_json_extract",
     "dq_duplicate_gate",
     "dq_snapshot_stamp",
+    # real JDBC round-trip (embedded Derby; src_jdbc + snk_jdbc evidence)
+    "snk_jdbc_roundtrip",
     "setop_union",
     "setop_intersect",
     "setop_except",
@@ -136,8 +138,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_percentile",
     "join_asof",
     "join_range",
-    "scd2_merge",
     # past the 50-cut: driver evidence deferred; pytest holds the line
+    # (test_scd.py for scd2_merge, np==JVM equality, stream==batch)
+    "scd2_merge",
     "sim_cosine_topk_np",
     "stream_tumbling",
     "stream_sliding",

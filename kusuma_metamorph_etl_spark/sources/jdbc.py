@@ -7,14 +7,26 @@ anti-pattern A3): at scale that serializes the entire table through one
 executor.  The engine builds *partitioned* JDBC reads (N concurrent range
 queries) and batched writes.
 
-No database is available in the test environment, so these helpers only
-construct the reader/writer; tests cover option assembly, not round-trips.
+No Postgres is available in the test environment, but Spark ships the
+embedded Derby engine (for the Hive metastore), so real write→read
+round-trips — including partitioned range reads and batched writes — are
+exercised against ``jdbc:derby:`` (see :func:`embedded_derby_url`,
+``tests/test_sinks.py``, and the ``snk_jdbc_roundtrip`` driver query).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+# Ships in Spark's own jars/ (derby + derbytools); autoloads via JDBC SPI.
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def embedded_derby_url(db_dir: str) -> str:
+    """URL for an embedded (in-process, file-backed) Derby database —
+    the sandbox stand-in for the reference's Postgres endpoint."""
+    return f"jdbc:derby:{db_dir};create=true"
 
 
 def reader_options(
