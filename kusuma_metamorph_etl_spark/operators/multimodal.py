@@ -1,12 +1,17 @@
-"""[EXT] Multimodal column plumbing (SURVEY.md §2.10 north-star).
+"""[EXT] Multimodal columns (SURVEY.md §2.10 north-star).
 
 Images/audio/video ride through the engine as opaque ``binary`` columns
 with typed metadata; decode / feature-extract / resize / frame-sample run
-as Arrow-batched Pandas functions over ``mapInPandas``.  The Spark-side
-plumbing — schema contracts, batch iteration, partition sizing — is real
-and tested; the actual media decode is STUBBED (the image/audio libraries
-are not in this container): ``decode_image`` raises ``NotImplementedError``
-unless handed the deterministic fake decoder used by the tests.
+as Arrow-batched Pandas functions over ``mapInPandas``.
+
+The image codecs are REAL: pure numpy encoders/decoders for binary
+PPM/PGM (P6/P5) and uncompressed 24-bit BMP — no external media library
+needed.  Compressed formats (PNG/JPEG) raise ``NotImplementedError``
+(their codecs are not in this container) through the same seam a
+production decoder would plug into.  The container also has no real image
+*data*, so tests and driver queries synthesize deterministic PPM payloads
+from document text (:func:`synthesize_ppm`) — the data is synthetic, the
+decode path is not.
 
 Scale notes: binary payloads are heavy — keep them out of shuffles
 (derive features, then drop the payload before any wide operation), and
@@ -17,42 +22,214 @@ memory is batch-sized, not partition-sized.
 
 from __future__ import annotations
 
+import hashlib
+import struct
 from collections.abc import Callable, Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id long, n_bytes long, header_hex string, content_md5 string"
+    "doc_id long, format string, width int, height int, channels int, "
+    "n_bytes long, mean_value double, content_md5 string"
 )
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary column (UTF-8 bytes of the text column —
-    the test stand-in for an image/audio payload) plus typed metadata."""
+    the stand-in for an arbitrary media payload) plus typed metadata."""
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
         "payload_kind", F.lit("text/utf-8")
     )
 
 
-def decode_image(payload: bytes) -> Any:
-    """STUB — media decoding needs PIL/ffmpeg, not present in this
-    environment.  Production wires a real decoder here; tests inject
-    :func:`fake_decode`."""
-    raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
-        "container; inject a decoder via extract_binary_features(decoder=...)"
+# ------------------------------------------------------------- image codecs
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6, HxWx3) / PGM (P5, HxW) encoder."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    elif arr.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected HxW or HxWx3 uint8 array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + arr.tobytes()
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    magic = payload[:2]
+    channels = 3 if magic == b"P6" else 1
+    # Header: magic, whitespace-separated width/height/maxval ('#' comments
+    # allowed per spec), one whitespace byte, then raw samples.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM/PGM supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=pos)
+    return data.reshape((h, w, 3)) if channels == 3 else data.reshape((h, w))
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BMP encoder (BI_RGB, bottom-up rows, BGR,
+    rows padded to 4 bytes)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("BMP encoder expects an HxWx3 RGB array")
+    h, w = arr.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    image_size = row_size * h
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + rows.tobytes()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if header_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)
+    arr = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return arr[::-1] if bottom_up else arr
+
+
+_COMPRESSED_MAGICS = {
+    b"\x89PN": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"GIF": "gif",
+}
+
+
+def decode_image(payload: bytes) -> dict[str, Any]:
+    """Decode a binary image payload → ``{format, width, height, channels,
+    pixels}`` with ``pixels`` a uint8 numpy array.
+
+    Real pure-numpy decode for PPM/PGM and uncompressed 24-bit BMP;
+    compressed formats raise ``NotImplementedError`` (no PNG/JPEG codec in
+    this container — production injects one through the same decoder
+    seam); anything unrecognized raises ``ValueError``.
+    """
+    if payload[:2] in (b"P6", b"P5"):
+        pixels = _decode_ppm(payload)
+        fmt = "ppm" if payload[:2] == b"P6" else "pgm"
+    elif payload[:2] == b"BM":
+        pixels = _decode_bmp(payload)
+        fmt = "bmp"
+    else:
+        for magic, name in _COMPRESSED_MAGICS.items():
+            if payload[: len(magic)] == magic:
+                raise NotImplementedError(
+                    f"{name} decode requires a codec not present in this "
+                    "container; inject one via "
+                    "extract_binary_features(decoder=...)"
+                )
+        raise ValueError("unrecognized image payload (not PPM/PGM/BMP)")
+    channels = 1 if pixels.ndim == 2 else pixels.shape[2]
+    return {
+        "format": fmt,
+        "width": pixels.shape[1],
+        "height": pixels.shape[0],
+        "channels": channels,
+        "pixels": pixels,
+    }
+
+
+def image_features(payload: bytes) -> dict[str, Any]:
+    """Default feature extractor: real decode + summary stats."""
+    img = decode_image(payload)
+    return {
+        "format": img["format"],
+        "width": img["width"],
+        "height": img["height"],
+        "channels": img["channels"],
+        "n_bytes": len(payload),
+        "mean_value": float(img["pixels"].mean()),
+        "content_md5": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize: decode, resample with numpy index
+    arithmetic, re-encode in the source format."""
+    img = decode_image(payload)
+    pixels = img["pixels"]
+    src_h, src_w = pixels.shape[:2]
+    rows = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
+    cols = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
+    resized = pixels[rows][:, cols]
+    return encode_bmp(resized) if img["format"] == "bmp" else encode_ppm(resized)
+
+
+def synthesize_ppm(text: str) -> bytes:
+    """Deterministic synthetic P6 payload derived from document text — the
+    container has no real image data, so tests and driver queries
+    manufacture one per document: dimensions from the text's byte length,
+    pixels from its repeated md5 digest.  Oracle-reproducible: n_bytes =
+    9 + len(str(w)) + len(str(h)) + w*h*3."""
+    raw = text.encode("utf-8")
+    w = 4 + len(raw) % 5
+    h = 4 + (7 * len(raw)) % 5
+    digest = hashlib.md5(raw).digest()
+    need = w * h * 3
+    pix = np.frombuffer(
+        (digest * (need // len(digest) + 1))[:need], dtype=np.uint8
+    ).reshape(h, w, 3)
+    return encode_ppm(pix)
+
+
+def attach_image_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesized-image payload column (Arrow-batched pandas UDF), typed
+    ``image/ppm``."""
+
+    @F.pandas_udf("binary")
+    def make_ppm(texts: pd.Series) -> pd.Series:
+        return texts.map(synthesize_ppm)
+
+    return df.withColumn("payload", make_ppm(F.col(text_col))).withColumn(
+        "payload_kind", F.lit("image/ppm")
     )
 
 
-def fake_decode(payload: bytes) -> dict[str, Any]:
-    """Deterministic fake decoder: pretends the first 4 bytes are a header
-    and derives 'features' from the raw bytes only."""
-    import hashlib
+FAKE_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, header_hex string, content_md5 string"
+)
 
+
+def fake_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic byte-level 'decoder' for arbitrary (non-image)
+    payloads: header peek + digest.  Pairs with ``FAKE_FEATURE_SCHEMA``."""
     return {
         "n_bytes": len(payload),
         "header_hex": payload[:4].hex(),
@@ -62,25 +239,31 @@ def fake_decode(payload: bytes) -> dict[str, Any]:
 
 def extract_binary_features(
     df: DataFrame,
-    decoder: Callable[[bytes], dict[str, Any]] = decode_image,
+    decoder: Callable[[bytes], dict[str, Any]] = image_features,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    schema: str = FEATURE_SCHEMA,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` keeps the Python boundary batch-at-a-time: each pandas
     DataFrame holds one Arrow record batch; the payload column is dropped
-    from the output so downstream shuffles never carry blobs.
+    from the output so downstream shuffles never carry blobs.  ``schema``
+    must list ``id_col`` first, then the decoder's feature keys.
     """
+    feature_cols = [
+        f.split()[0] for f in schema.split(",")[1:]
+    ]  # schema minus the id column
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             features = [decoder(p) for p in batch[payload_col]]
-            out = pd.DataFrame(features)
+            out = pd.DataFrame(features, columns=feature_cols)
             out.insert(0, id_col, batch[id_col].values)
             yield out
 
     narrow = df.select(id_col, payload_col)
-    return narrow.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    return narrow.mapInPandas(extract, schema=schema)
 
 
 RESIZE_SCHEMA = (
@@ -99,23 +282,17 @@ def resize(
     df: DataFrame,
     width: int,
     height: int,
-    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    resizer: Callable[[bytes, int, int], bytes] = resize_image,
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Arrow-batched resize over binary payloads (image stand-in).
+    """Arrow-batched resize over binary payloads.
 
     Same ``mapInPandas`` seam as feature extraction; output carries the
-    resized payload plus its dimensions as typed metadata.  Without an
-    injected ``resizer`` this raises ``NotImplementedError`` — the real
-    implementation needs an image library absent from this container.
+    resized payload plus its dimensions as typed metadata.  The default
+    ``resizer`` is the real nearest-neighbor PPM/BMP implementation;
+    production codecs (PNG/JPEG) inject through the same parameter.
     """
-    if resizer is None:
-        raise NotImplementedError(
-            "image resize requires an image library not present in this "
-            "container; inject one via resize(resizer=...) — tests use "
-            "fake_resize"
-        )
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

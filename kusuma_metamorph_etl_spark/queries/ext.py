@@ -523,17 +523,27 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_binary_features",
     """SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
-              md5(text) AS content_md5
+              'ppm' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              CAST(9 + length(CAST(4 + octet_length(encode(text)) % 5 AS VARCHAR))
+                     + length(CAST(4 + (7 * octet_length(encode(text))) % 5 AS VARCHAR))
+                     + (4 + octet_length(encode(text)) % 5)
+                       * (4 + (7 * octet_length(encode(text))) % 5) * 3
+                   AS BIGINT) AS n_bytes
        FROM documents""",
 )
 def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (deterministic fake decoder; real decoders plug in the same seam)."""
+    """REAL image decode over mapInPandas: per-document synthesized PPM
+    payloads (no image data ships in the container) run through the pure-
+    numpy PPM decoder; the oracle recomputes the expected dimensions and
+    payload size from the synthesis contract (operators/multimodal.py
+    ``synthesize_ppm``).  A mis-parsed header fails the hash."""
     docs = t(spark, sf_dir, "documents")
-    payloads = multimodal.attach_binary_payload(docs)
-    return multimodal.extract_binary_features(payloads, decoder=multimodal.fake_decode)
+    payloads = multimodal.attach_image_payload(docs)
+    feats = multimodal.extract_binary_features(payloads)
+    return feats.select("doc_id", "format", "width", "height", "channels", "n_bytes")
 
 
 @register(
@@ -561,22 +571,22 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_resize",
     """SELECT doc_id,
-              rpad(lower(hex(encode(substring(text, 1, 64)))), 128, '0')
-                  AS resized_hex,
-              64 AS n_bytes,
+              CAST(203 AS BIGINT) AS n_bytes,
               CAST(8 AS INTEGER) AS width,
               CAST(8 AS INTEGER) AS height
        FROM documents""",
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched 'resize' over binary payloads (8x8 target, fake
-    resampler — real image libs plug into the same mapInPandas seam)."""
+    """REAL nearest-neighbor resize over mapInPandas: synthesized PPM
+    payloads resampled to 8x8 and re-encoded (decode → numpy index
+    resample → encode).  The oracle pins the exact output payload size
+    (P6 header "P6\\n8 8\\n255\\n" = 11 bytes + 192 pixel bytes); pixel
+    placement is asserted in tests/test_multimodal.py."""
     docs = t(spark, sf_dir, "documents")
-    payloads = multimodal.attach_binary_payload(docs)
-    resized = multimodal.resize(payloads, 8, 8, resizer=multimodal.fake_resize)
+    payloads = multimodal.attach_image_payload(docs)
+    resized = multimodal.resize(payloads, 8, 8)
     return resized.select(
         "doc_id",
-        F.lower(F.hex("payload")).alias("resized_hex"),
         F.octet_length("payload").cast("long").alias("n_bytes"),
         "width",
         "height",

@@ -1,10 +1,13 @@
-"""Multimodal plumbing tests: the decode/resize stubs are gated with
-NotImplementedError (no media libs in this container), the injected fakes
-keep the Arrow batch/schema contract, and payloads never survive into
-downstream outputs wider than they must."""
+"""Multimodal tests: REAL pure-numpy image codecs (PPM/PGM/BMP round-trips,
+nearest-neighbor resize pixel placement), NotImplementedError gating for
+compressed formats, the Arrow batch/schema contract over mapInPandas, and
+payloads never surviving into downstream outputs wider than they must."""
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -17,31 +20,122 @@ def payloads(spark, sf_small):
     return multimodal.attach_binary_payload(docs)
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+@pytest.fixture(scope="module")
+def image_payloads(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
+    return multimodal.attach_image_payload(docs)
 
 
-def test_resize_requires_injected_resizer(payloads):
-    with pytest.raises(NotImplementedError):
-        multimodal.resize(payloads, 8, 8)
-
-
-def test_resize_contract(payloads):
-    out = multimodal.resize(payloads, 8, 8, resizer=multimodal.fake_resize)
-    rows = out.collect()
-    assert all(len(r["payload"]) == 64 for r in rows)
-    assert all((r["width"], r["height"]) == (8, 8) for r in rows)
-    assert all(r["payload_kind"] == "image/resized" for r in rows)
-
-
-def test_features_drop_payload(payloads):
-    out = multimodal.extract_binary_features(
-        payloads, decoder=multimodal.fake_decode
+def _gradient(h, w):
+    return (
+        (np.arange(h * w * 3, dtype=np.int64) * 7 % 256)
+        .astype(np.uint8)
+        .reshape(h, w, 3)
     )
+
+
+class TestCodecs:
+    def test_ppm_roundtrip(self):
+        arr = _gradient(5, 9)
+        img = multimodal.decode_image(multimodal.encode_ppm(arr))
+        assert (img["format"], img["width"], img["height"], img["channels"]) == (
+            "ppm", 9, 5, 3,
+        )
+        assert np.array_equal(img["pixels"], arr)
+
+    def test_pgm_roundtrip(self):
+        arr = _gradient(4, 6)[:, :, 0]
+        img = multimodal.decode_image(multimodal.encode_ppm(arr))
+        assert (img["format"], img["channels"]) == ("pgm", 1)
+        assert np.array_equal(img["pixels"], arr)
+
+    def test_bmp_roundtrip(self):
+        # Width 5: the 15-byte rows force BMP's 4-byte row padding path.
+        arr = _gradient(3, 5)
+        img = multimodal.decode_image(multimodal.encode_bmp(arr))
+        assert (img["format"], img["width"], img["height"]) == ("bmp", 5, 3)
+        assert np.array_equal(img["pixels"], arr)
+
+    def test_ppm_comment_header(self):
+        arr = _gradient(2, 2)
+        payload = b"P6\n# a comment\n2 2\n255\n" + arr.tobytes()
+        assert np.array_equal(multimodal.decode_image(payload)["pixels"], arr)
+
+    def test_compressed_formats_gated(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\xff\xd8\xff\xe0rest")
+
+    def test_unknown_payload_rejected(self):
+        with pytest.raises(ValueError):
+            multimodal.decode_image(b"not an image")
+
+    def test_resize_pixel_placement(self):
+        # 2x2 checkerboard -> 4x4: each source pixel becomes a 2x2 block.
+        arr = np.zeros((2, 2, 3), dtype=np.uint8)
+        arr[0, 1] = arr[1, 0] = 255
+        out = multimodal.decode_image(
+            multimodal.resize_image(multimodal.encode_ppm(arr), 4, 4)
+        )["pixels"]
+        expect = arr.repeat(2, axis=0).repeat(2, axis=1)
+        assert np.array_equal(out, expect)
+
+    def test_resize_identity(self):
+        arr = _gradient(6, 7)
+        payload = multimodal.encode_ppm(arr)
+        assert multimodal.resize_image(payload, 7, 6) == payload
+
+    def test_resize_preserves_bmp_format(self):
+        arr = _gradient(4, 4)
+        out = multimodal.resize_image(multimodal.encode_bmp(arr), 2, 2)
+        assert out[:2] == b"BM"
+
+    def test_synthesize_matches_oracle_contract(self):
+        text = "hello multimodal"
+        raw = text.encode()
+        img = multimodal.decode_image(multimodal.synthesize_ppm(text))
+        assert img["width"] == 4 + len(raw) % 5
+        assert img["height"] == 4 + (7 * len(raw)) % 5
+
+
+def test_real_decode_features(image_payloads):
+    out = multimodal.extract_binary_features(image_payloads)
     assert "payload" not in out.columns  # blobs never reach a shuffle
+    rows = out.collect()
+    assert all(r["format"] == "ppm" for r in rows)
+    assert all(4 <= r["width"] <= 8 and 4 <= r["height"] <= 8 for r in rows)
+    assert all(0.0 <= r["mean_value"] <= 255.0 for r in rows)
+    assert all(len(r["content_md5"]) == 32 for r in rows)
+
+
+def test_features_md5_matches_payload(image_payloads):
+    got = {
+        r["doc_id"]: r["content_md5"]
+        for r in multimodal.extract_binary_features(image_payloads).collect()
+    }
+    for r in image_payloads.select("doc_id", "payload").collect():
+        assert got[r["doc_id"]] == hashlib.md5(bytes(r["payload"])).hexdigest()
+
+
+def test_fake_decoder_contract(payloads):
+    # Arbitrary (non-image) payloads still flow through the same seam with
+    # an injected decoder + schema.
+    out = multimodal.extract_binary_features(
+        payloads,
+        decoder=multimodal.fake_decode,
+        schema=multimodal.FAKE_FEATURE_SCHEMA,
+    )
     row = out.limit(1).collect()[0]
     assert row["n_bytes"] > 0 and len(row["content_md5"]) == 32
+
+
+def test_resize_contract(image_payloads):
+    out = multimodal.resize(image_payloads, 8, 8)
+    rows = out.collect()
+    assert all(len(r["payload"]) == 11 + 192 for r in rows)  # header + 8*8*3
+    assert all((r["width"], r["height"]) == (8, 8) for r in rows)
+    assert all(r["payload_kind"] == "image/resized" for r in rows)
 
 
 def test_frame_sample_counts(payloads):
