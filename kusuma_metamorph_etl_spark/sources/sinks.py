@@ -60,19 +60,26 @@ def dual_write(
     raw_path: str,
     legacy_path: str,
     run_date: dt.date | str | None = None,
+    stamp_raw_quirk: bool = False,
 ) -> DataFrame:
     """Overwrite the ``raw`` working copy and append the stamped ``legacy``
     snapshot from ONE persisted frame (reference pattern at
     ``ingestion_task.py:63-66`` minus anti-patterns A2/B2).
+
+    ``stamp_raw_quirk=True`` reproduces reference quirk B2 byte-for-byte
+    (``ingestion_task.py:283`` writes the *stamped* frame to
+    ``raw.sales_pre``, unlike the ``:63`` path) for parity migrations;
+    default off — raw is a working copy and should not carry ``DAY_DT``.
 
     Returns the stamped legacy frame (still persisted) so callers can gate
     or inspect it; caller unpersists.
     """
     df = df.persist()
     try:
-        # raw: current-day working copy, no snapshot column (fixes B2).
-        df.write.mode("overwrite").parquet(raw_path)
         stamped = stamp_snapshot(df, run_date)
+        # raw: current-day working copy — no snapshot column unless the
+        # B2 parity quirk is requested.
+        (stamped if stamp_raw_quirk else df).write.mode("overwrite").parquet(raw_path)
         write_parquet_snapshot(stamped, legacy_path, mode="append")
         return stamped
     finally:

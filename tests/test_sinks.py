@@ -39,6 +39,23 @@ def test_dual_write_layout(spark, tmp_path):
     assert legacy_df.select("DAY_DT").distinct().count() == 2
 
 
+def test_dual_write_b2_parity_quirk(spark, tmp_path):
+    # Reference quirk B2 (`ingestion_task.py:283`): raw.sales_pre receives
+    # the DAY_DT-stamped frame.  Opt-in only, for parity migrations.
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    raw = str(tmp_path / "raw")
+    legacy = str(tmp_path / "legacy")
+
+    dual_write(df, raw, legacy, run_date="2024-06-01", stamp_raw_quirk=True)
+
+    raw_df = spark.read.parquet(raw)
+    assert "DAY_DT" in raw_df.columns  # B2 reproduced
+    assert {str(r["DAY_DT"]) for r in raw_df.collect()} == {"2024-06-01"}
+    # Legacy layout is identical with or without the quirk.
+    legacy_df = spark.read.parquet(legacy)
+    assert "DAY_DT" in legacy_df.columns and legacy_df.count() == 2
+
+
 def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
     enable_dynamic_partition_overwrite(spark)
     path = str(tmp_path / "snap")
