@@ -25,14 +25,31 @@ OPEN_END = "9999-12-31"
 
 
 def scd2_init(
-    snapshot: DataFrame, key: list[str], effective_date: dt.date | str
+    snapshot: DataFrame,
+    key: list[str],
+    effective_date: dt.date | str | None = None,
+    *,
+    effective_col: str | None = None,
 ) -> DataFrame:
-    """Turn a first snapshot into an SCD2 table: every row current."""
-    return (
-        snapshot.withColumn("valid_from", F.lit(str(effective_date)).cast("date"))
+    """Turn a first snapshot into an SCD2 table: every row current.
+
+    ``effective_date`` stamps every row with one batch-level date;
+    ``effective_col`` instead takes each row's own date from that column
+    (consumed into ``valid_from`` and dropped).  Exactly one required.
+    """
+    if (effective_date is None) == (effective_col is None):
+        raise ValueError("pass exactly one of effective_date / effective_col")
+    val = (
+        F.col(effective_col).cast("date")
+        if effective_col
+        else F.lit(str(effective_date)).cast("date")
+    )
+    out = (
+        snapshot.withColumn("valid_from", val)
         .withColumn("valid_to", F.lit(OPEN_END).cast("date"))
         .withColumn("is_current", F.lit(True))
     )
+    return out.drop(effective_col) if effective_col else out
 
 
 def scd2_merge(
@@ -40,7 +57,9 @@ def scd2_merge(
     updates: DataFrame,
     key: list[str],
     attrs: list[str],
-    effective_date: dt.date | str,
+    effective_date: dt.date | str | None = None,
+    *,
+    effective_col: str | None = None,
 ) -> DataFrame:
     """Apply an update batch to an SCD2 dimension.
 
@@ -49,11 +68,22 @@ def scd2_merge(
     * new keys: insert as open rows;
     * unchanged keys and closed history: pass through untouched.
 
+    The effective date is either one batch-level ``effective_date`` or,
+    with ``effective_col``, each update row's own date from that column —
+    so a micro-batch mixing keys with different effective dates versions
+    each key correctly (exactly one of the two must be passed).
+
     Plan shape: history rows never shuffle (they only union); the change
     detection is one join of the CURRENT slice against the update batch —
     broadcast the updates when the batch is small (the usual case).
     """
-    eff = F.lit(str(effective_date)).cast("date")
+    if (effective_date is None) == (effective_col is None):
+        raise ValueError("pass exactly one of effective_date / effective_col")
+    eff = (
+        F.col(f"u.{effective_col}").cast("date")
+        if effective_col
+        else F.lit(str(effective_date)).cast("date")
+    )
     current = dim.filter(F.col("is_current")).withColumn("__c", F.lit(1))
     history = dim.filter(~F.col("is_current"))
 
@@ -76,9 +106,9 @@ def scd2_merge(
     # A full-join row falls into exactly one case:
     case_changed = exists_c & exists_u & changed
     closed_now = (
+        # eff must resolve inside this select (it may reference ``u.``).
         cmp.filter(case_changed)
-        .select(*c_cols, c_from)
-        .withColumn("valid_to", eff)
+        .select(*c_cols, c_from, eff.alias("valid_to"))
         .withColumn("is_current", F.lit(False))
     )
     new_open = (

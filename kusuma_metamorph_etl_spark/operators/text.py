@@ -29,8 +29,11 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokens with empties dropped (split keeps a trailing '')."""
-    return F.filter(F.split(text, " "), lambda w: w != F.lit(""))
+    """Whitespace tokens with empties dropped (split keeps leading/trailing
+    '').  Splits on runs of any whitespace (``\\s+``) so tabs/newlines
+    separate tokens too — mirrored in the oracle via
+    ``regexp_split_to_array`` (queries/ext.py ``_W``)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
 
 
 def token_count(text: Column) -> Column:

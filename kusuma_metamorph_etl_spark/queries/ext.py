@@ -38,8 +38,9 @@ from kusuma_metamorph_etl_spark.streaming.windows import (
 )
 
 # Tokenization building blocks, shared across text/dedup oracles.  Must stay
-# textually in sync with operators/text.py::words.
-_W = "list_filter(string_split({src}, ' '), x -> x <> '')"
+# textually in sync with operators/text.py::words (any-whitespace split,
+# empties dropped).
+_W = r"list_filter(regexp_split_to_array({src}, '\s+'), x -> x <> '')"
 _W_LOWER = _W.format(src="lower(text)")
 _W_TEXT = _W.format(src="text")
 

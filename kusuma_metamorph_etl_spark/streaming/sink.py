@@ -61,7 +61,10 @@ def stream_scd2_upsert(
 
     Each micro-batch collapses to one record per key (latest by
     ``effective_from_col``), merges into the parquet-backed dimension via
-    :func:`operators.scd.scd2_merge`, and rewrites it.  The
+    :func:`operators.scd.scd2_merge`, and rewrites it.  Each key's
+    ``valid_from``/``valid_to`` comes from its OWN record's effective
+    date (``effective_col`` merge), so a micro-batch mixing keys with
+    different effective dates versions each correctly.  The
     read-merge-rewrite is the no-transactional-format trade-off: atomicity
     comes from the parquet overwrite + checkpoint (a replayed batch
     re-merges idempotently because unchanged attributes are detected).
@@ -69,6 +72,12 @@ def stream_scd2_upsert(
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    def _rm(spark, path: str) -> None:
+        # Hadoop FS delete — works for any scheme, not just local paths.
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -80,18 +89,23 @@ def stream_scd2_upsert(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        eff = str(latest.agg(F.max(effective_from_col)).collect()[0][0])[:10]
+        upd = latest.select(*key, *attrs, effective_from_col)
         try:
             dim = spark.read.parquet(dim_path)
         except Exception:
-            scd2_init(latest.select(*key, *attrs), key, eff).write.parquet(dim_path)
+            scd2_init(upd, key, effective_col=effective_from_col).write.parquet(
+                dim_path
+            )
             return
-        merged = scd2_merge(dim, latest.select(*key, *attrs), key, attrs, eff)
+        merged = scd2_merge(
+            dim, upd, key, attrs, effective_col=effective_from_col
+        )
         # Rewrite via a staging collect-free cycle: parquet can't overwrite
-        # its own input, so land to a sibling then swap.
+        # its own input, so land to a sibling, swap, then drop the staging.
         staging = f"{dim_path}__staging"
         merged.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).write.mode("overwrite").parquet(dim_path)
+        _rm(spark, staging)
 
     writer = updates_stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -182,6 +182,66 @@ def test_stream_scd2_upsert(spark, tmp_path):
     assert rows[(1, "2024-02-01")] == ("Paris", True)
     assert rows[(2, "2024-01-01")] == ("NYC", True)  # untouched
     assert rows[(3, "2024-02-01")] == ("Tokyo", True)  # inserted
+    # The staging sibling is cleaned up after the swap.
+    assert not (tmp_path / "dim__staging").exists()
+
+
+def test_stream_scd2_per_key_effective_dates(spark, tmp_path):
+    """Keys with DIFFERENT effective dates inside one micro-batch each get
+    their own valid_from/valid_to — not one batch-level max date."""
+    import datetime
+
+    from kusuma_metamorph_etl_spark.streaming.sink import stream_scd2_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    d1 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "London", d1), (2, "NYC", d1)], "id long, city string, eff timestamp"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+    # Batch 1 initializes the dimension.
+    stream = spark.readStream.schema("id long, city string, eff timestamp").parquet(
+        str(src / "b1")
+    )
+    stream_scd2_upsert(
+        stream,
+        dim_path=str(tmp_path / "dim"),
+        checkpoint_dir=str(tmp_path / "cp1"),
+        key=["id"],
+        attrs=["city"],
+        effective_from_col="eff",
+    )
+
+    # Batch 2: both keys change, with different per-record effective dates.
+    d2a, d2b = datetime.datetime(2024, 3, 1), datetime.datetime(2024, 3, 15)
+    upd = spark.createDataFrame(
+        [(1, "Paris", d2a), (2, "Boston", d2b)], "id long, city string, eff timestamp"
+    )
+    upd.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    stream = spark.readStream.schema("id long, city string, eff timestamp").parquet(
+        str(src / "b2")
+    )
+    stream_scd2_upsert(
+        stream,
+        dim_path=str(tmp_path / "dim"),
+        checkpoint_dir=str(tmp_path / "cp2"),
+        key=["id"],
+        attrs=["city"],
+        effective_from_col="eff",
+    )
+
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+    rows = {
+        (r["id"], str(r["valid_from"])): (r["city"], str(r["valid_to"]), r["is_current"])
+        for r in dim.collect()
+    }
+    # Each key versions on its OWN date: 1 on 03-01, 2 on 03-15.
+    assert rows[(1, "2024-01-01")] == ("London", "2024-03-01", False)
+    assert rows[(1, "2024-03-01")] == ("Paris", "9999-12-31", True)
+    assert rows[(2, "2024-01-01")] == ("NYC", "2024-03-15", False)
+    assert rows[(2, "2024-03-15")] == ("Boston", "9999-12-31", True)
 
 
 def test_stream_stream_join_matches_batch(spark, sf_small):
