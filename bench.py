@@ -31,6 +31,8 @@ HEADLINE = [
     "win_rownum_topk",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
+    "samp_stratified",
     "sim_cosine_topk",
     "sim_cosine_topk_np",
     "txt_quality",

@@ -432,6 +432,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dedup(emb, threshold=0.3).select("vec_id", "label")
 
 
+@register("dedup_embedding_lsh", None)  # xxhash64 hyperplanes — rows-only
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of `dedup_embedding`: hyperplane-LSH candidate
+    blocking before exact cosine verification (equi-join on (table,
+    bucket) instead of all pairs).  Superset-of-exact-survivors and recall
+    contracts asserted in tests/; benched in bench.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup.embedding_dedup(emb, threshold=0.3, prefilter="lsh").select(
+        "vec_id", "label"
+    )
+
+
 @register("agg_approx_distinct", None)  # HLL sketches differ per engine
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct per event_type — the sketch-based scale path
