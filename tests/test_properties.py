@@ -97,3 +97,31 @@ def test_global_percent_rank_matches_window(values):
             ).collect()
         }
         assert got == reference, f"low_cardinality={low_card}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+        min_size=1,
+        max_size=200,
+    ),
+    parts=st.sampled_from([1, 7, 32]),
+)
+def test_decimal_sum_is_order_independent(cents, parts):
+    """decimal_sum equals the exact Python Decimal result bit-for-bit under
+    ANY partitioning — the property round(sum(double)) lacks (its last ulp
+    depends on partition combine order, the r1 agg_groupby_single fail)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+
+    spark = _session()
+    values = [c / 100.0 for c in cents]  # 2-dp money values
+    expected = float(
+        sum(Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP) for v in values)
+        .quantize(Decimal("0.01"), ROUND_HALF_UP)
+    )
+    df = spark.createDataFrame([(v,) for v in values], "v double").repartition(parts)
+    got = df.agg(decimal_sum(F.col("v"), 2).alias("s")).first()["s"]
+    assert got == expected
