@@ -504,3 +504,62 @@ def embedding_dedup(
         raise ValueError(f"unknown prefilter {prefilter!r}")
     dups = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(dups, on=id_col, how="left_anti")
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Corpus documents sharing ANY word n-gram with a benchmark set —
+    test-set decontamination for training corpora (the published
+    13-gram-collision rule used for LLM training-data hygiene; lowered
+    ``n`` tightens it).
+
+    Scale shape: the benchmark side collapses to distinct grams and
+    BROADCASTS (benchmarks are MB-scale; the corpus is the 100 TB side);
+    corpus grams explode narrowly into the broadcast join, and only hit
+    *ids* reach the one shuffle (distinct).  ``hash_grams`` joins on
+    xxhash64(gram) instead of the gram text — 8 bytes instead of ~100 —
+    at a vanishing false-positive risk; disable for an engine-portable
+    (oracle-reproducible) exact-string join.
+
+    Returns distinct contaminated ``id_col`` rows.
+    """
+    gram = F.explode(word_shingles(F.lower(F.col(text_col)), n))
+
+    def key(col: Column) -> Column:
+        return F.xxhash64(col) if hash_grams else col
+
+    bench_grams = (
+        benchmark.select(gram.alias("__gram"))
+        .select(key(F.col("__gram")).alias("__gram"))
+        .distinct()
+    )
+    # explode in its own projection — a generator cannot nest inside the
+    # hash expression.
+    corpus_grams = corpus.select(F.col(id_col), gram.alias("__gram")).select(
+        id_col, key(F.col("__gram")).alias("__gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), on="__gram")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Drop corpus documents that collide with the benchmark
+    (:func:`ngram_contamination`); anti-join on the contaminated ids."""
+    hits = ngram_contamination(corpus, benchmark, n, id_col, text_col, hash_grams)
+    return corpus.join(hits, on=id_col, how="left_anti")

@@ -81,3 +81,27 @@ def split_train_holdout(
         df.filter(bucket >= F.lit(threshold)),
         df.filter(bucket < F.lit(threshold)),
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    seed: str = "42",
+    key_cols: list[str] | None = None,
+    key_out: str = "shuffle_key",
+) -> DataFrame:
+    """Reproducible global pseudo-random ordering for training-data runs:
+    sort by ``md5(seed | key)``.
+
+    ``DataFrame.orderBy(rand(seed))`` is partition-layout-dependent (same
+    trap as ``sample``); a content-hash sort key reproduces the same order
+    on any cluster, any partitioning, any md5-capable engine.  The sort is
+    Spark's ordinary range-partitioned global sort — parallel, no single
+    task — and downstream writers preserve it per output file.  Different
+    seeds give statistically independent permutations (epoch reshuffling:
+    seed per epoch).
+    """
+    keys = key_cols or df.columns
+    key = F.md5(
+        F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys])
+    )
+    return df.withColumn(key_out, key).orderBy(key_out)

@@ -322,6 +322,54 @@ def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_shuffle",
+    """SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+       FROM documents ORDER BY shuffle_key LIMIT 100""",
+)
+def samp_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle ([EXT]): content-hash
+    sort key, reproducible on any partitioning/engine (unlike
+    orderBy(rand)); range-partitioned parallel sort + TakeOrdered head
+    (`operators/sampling.py::deterministic_shuffle`)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.deterministic_shuffle(
+        docs, seed="42", key_cols=["doc_id"]
+    ).limit(100)
+
+
+@register(
+    "dedup_decontaminate",
+    r"""WITH w AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x <> '') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(len(w) - 4),
+                         i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4],
+                                        w[i+5])))) AS gram
+              FROM w WHERE len(w) >= 5),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+                 WHERE g.doc_id % 20 <> 0)
+        SELECT doc_id, source FROM documents
+        WHERE doc_id % 20 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM hits)""",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination ([EXT]): drop corpus docs sharing any
+    word 5-gram with a held-out 'benchmark' slice (docs with id % 20 == 0
+    stand in) — the n-gram-collision test-set hygiene rule for LLM
+    training corpora (`operators/dedup.py::decontaminate`).  String grams
+    here for oracle parity; production uses hash_grams=True."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(corpus, bench, n=5, hash_grams=False).select(
+        "doc_id", "source"
+    )
+
+
+@register(
     "dedup_incremental",
     """SELECT d.doc_id, d.source FROM documents d
        WHERE d.source = 'src0'

@@ -129,3 +129,50 @@ def test_embedding_dedup_lsh_is_superset_with_recall(spark, sf_small):
     if dropped_exact:
         recall = len(dropped_lsh & dropped_exact) / len(dropped_exact)
         assert recall >= 0.5, recall
+
+
+class TestDecontamination:
+    def test_planted_overlap_flagged(self, spark):
+        from kusuma_metamorph_etl_spark.operators.dedup import (
+            decontaminate,
+            ngram_contamination,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog tonight")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # contains a verbatim 13-token window from the benchmark? no —
+                # 5-gram rule here: shares "quick brown fox jumps over"
+                (1, "she saw the Quick Brown fox JUMPS over and laughed"),
+                (2, "completely unrelated text about spark physical plans"),
+                (3, "quick brown dogs do not jump over anything fast"),
+            ],
+            "doc_id long, text string",
+        )
+        hits = {
+            r["doc_id"]
+            for r in ngram_contamination(corpus, bench, n=5).collect()
+        }
+        assert hits == {1}  # case-insensitive verbatim 5-gram collision
+        clean = {r["doc_id"] for r in decontaminate(corpus, bench, n=5).collect()}
+        assert clean == {2, 3}
+
+    def test_hashed_and_string_grams_agree(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.dedup import ngram_contamination
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        corpus = docs.filter(F.col("doc_id") % 20 != 0)
+        bench = docs.filter(F.col("doc_id") % 20 == 0)
+        a = {r["doc_id"] for r in ngram_contamination(corpus, bench, n=5, hash_grams=True).collect()}
+        b = {r["doc_id"] for r in ngram_contamination(corpus, bench, n=5, hash_grams=False).collect()}
+        assert a == b
+
+    def test_short_docs_never_contaminate(self, spark):
+        from kusuma_metamorph_etl_spark.operators.dedup import ngram_contamination
+
+        bench = spark.createDataFrame([(1, "too few words")], "doc_id long, text string")
+        corpus = spark.createDataFrame([(2, "too few words")], "doc_id long, text string")
+        assert ngram_contamination(corpus, bench, n=5).count() == 0

@@ -208,3 +208,32 @@ class TestApproxQuantile:
         for flag, ap in approx.items():
             for a, e in zip(ap, exact[flag]):
                 assert abs(a - e) / e < 0.05  # within 5% at accuracy=10000
+
+
+class TestDeterministicShuffle:
+    def test_order_invariant_under_partitioning(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id")
+        a = [
+            r["doc_id"]
+            for r in deterministic_shuffle(docs.repartition(1), seed="7").collect()
+        ]
+        b = [
+            r["doc_id"]
+            for r in deterministic_shuffle(docs.repartition(13), seed="7").collect()
+        ]
+        assert a == b  # same permutation on any layout
+
+    def test_seed_changes_permutation(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id")
+        a = [r["doc_id"] for r in deterministic_shuffle(docs, seed="1").collect()]
+        b = [r["doc_id"] for r in deterministic_shuffle(docs, seed="2").collect()]
+        assert a != b
+        assert sorted(a) == sorted(b)
