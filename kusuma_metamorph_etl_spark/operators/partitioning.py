@@ -1,0 +1,79 @@
+"""Deterministic value-range bucketing — the shared scaffold for global
+order-statistics operators (`global_percent_rank`, `pack_sequences`).
+
+Why not ``repartitionByRange``: its boundaries re-sample on every
+recompute, so a diamond plan's branches can observe *different*
+partitionings (measured on this repo — every partition count disagreed
+between two counts of the same frame).  A bucket id must be a pure
+function of the value: quantile bounds are collected ONCE on the driver
+(bounded ≤P doubles) and applied via ``Bucketizer`` — JVM binary search,
+narrow, no shuffle, identical on every recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantile_bucket(
+    df: DataFrame, numeric_col: str, num_buckets: int, out_col: str = "__bkt"
+) -> DataFrame:
+    """Add a deterministic range-bucket id (int) for ``numeric_col``.
+
+    Bounds come from one ``approxQuantile`` pass (bounded driver collect);
+    equal values always share a bucket; nulls get bucket -1.  Bounds need
+    not be exact quantiles — only fixed — so the 0.001 relative error is
+    irrelevant to correctness, it only shifts bucket balance slightly.
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(numeric_col, probs, 0.001)))
+    splits = [float("-inf"), *bounds, float("inf")]
+    bucketizer = Bucketizer(
+        splits=splits,
+        inputCol=numeric_col,
+        outputCol=f"{out_col}_raw",
+        handleInvalid="keep",  # nulls/NaN pass through; remapped below
+    )
+    return (
+        bucketizer.transform(df)
+        .withColumn(
+            out_col,
+            F.when(F.col(numeric_col).isNull(), F.lit(-1)).otherwise(
+                F.col(f"{out_col}_raw").cast("int")
+            ),
+        )
+        .drop(f"{out_col}_raw")
+    )
+
+
+def bucket_offsets(
+    bucketed: DataFrame,
+    bucket_col: str,
+    weight: Column,
+    ascending: bool = True,
+) -> DataFrame:
+    """≤P-row frame of (bucket, prefix-sum of earlier buckets' weight,
+    grand total) — the tiny broadcastable side of a two-level prefix sum.
+    The only unpartitioned window here runs over ≤P rows.
+    """
+    order = F.col(bucket_col).asc() if ascending else F.col(bucket_col).desc()
+    offset_window = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total_window = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        bucketed.groupBy(bucket_col)
+        .agg(F.sum(weight).alias("__bkt_weight"))
+        .select(
+            bucket_col,
+            F.coalesce(F.sum("__bkt_weight").over(offset_window), F.lit(0)).alias(
+                "__bkt_offset"
+            ),
+            F.sum("__bkt_weight").over(total_window).alias("__total"),
+        )
+    )

@@ -105,3 +105,77 @@ def deterministic_shuffle(
         F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys])
     )
     return df.withColumn(key_out, key).orderBy(key_out)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    seed: str = "42",
+    key_cols: list[str] | None = None,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training pack.
+
+    Documents are laid out in the deterministic shuffle order
+    (md5(seed|key), see :func:`deterministic_shuffle`) and cut into packs
+    by prefix sum: ``pack_id = floor((tokens before this doc) / budget)``
+    — the streaming-pack rule, where a pack may overflow by at most one
+    document (real pipelines then truncate/split the straddler).  The
+    result is a pure function of (data, seed, budget): identical on any
+    partitioning and reproducible in ANSI SQL.
+
+    Scale shape — a global running sum WITHOUT a single-task window:
+    bucket rows by deterministic quantile bounds over the numeric prefix
+    of the sort hash (`operators/partitioning.py`), cumulative-sum within
+    buckets, prefix-sum the ≤P per-bucket token totals for global
+    offsets.  One full-width shuffle (the per-bucket window), one ≤P-row
+    broadcast.  Ordering note: buckets cut on the numeric value of the
+    first 15 hex chars; rows tying on that prefix share a bucket, and the
+    within-bucket sort uses the full 32-char hash — so (bucket, hash) is
+    exactly global hash order.
+    """
+    from kusuma_metamorph_etl_spark.operators.partitioning import (
+        bucket_offsets,
+        quantile_bucket,
+    )
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    keys = key_cols or df.columns
+    h = F.md5(
+        F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys])
+    )
+    keyed = df.withColumn("__h", h).withColumn(
+        # 15 hex chars = 60 bits: exact as double (< 2^53 would be safer,
+        # but bucket bounds only need monotone consistency with the string
+        # order, which fixed-width lowercase hex gives at any precision).
+        "__hnum",
+        F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("double"),
+    )
+    bucketed = quantile_bucket(keyed, "__hnum", num_parts)
+
+    in_bucket = (
+        Window.partitionBy("__bkt")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn(
+        "__cum", F.sum(F.col(token_col)).over(in_bucket)
+    )
+    offsets = bucket_offsets(bucketed, "__bkt", F.col(token_col), ascending=True)
+
+    return (
+        local.join(F.broadcast(offsets), on="__bkt")
+        .withColumn(
+            out_col,
+            F.floor(
+                (F.col("__bkt_offset") + F.col("__cum") - F.col(token_col))
+                / F.lit(budget)
+            ).cast("long"),
+        )
+        .drop("__bkt", "__h", "__hnum", "__cum", "__bkt_offset", "__total")
+    )

@@ -138,53 +138,24 @@ def _percent_rank_range_partitioned(
     including null rows (the broadcast-map path instead leaves nulls
     unranked, a join-on-null artifact).
     """
-    from pyspark.ml.feature import Bucketizer
+    from kusuma_metamorph_etl_spark.operators.partitioning import (
+        bucket_offsets,
+        quantile_bucket,
+    )
 
     spark = df.sparkSession
     num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     order = F.col(value_col).desc() if descending else F.col(value_col).asc()
 
-    # Deterministic, skew-balancing bucket bounds; bounded driver collect
-    # (<= P doubles).  Bounds need not be exact quantiles -- only fixed.
-    probs = [i / num_parts for i in range(1, num_parts)]
-    bounds = sorted(set(df.stat.approxQuantile(value_col, probs, 0.001)))
-    splits = [float("-inf"), *bounds, float("inf")]
-    bucketizer = Bucketizer(
-        splits=splits,
-        inputCol=value_col,
-        outputCol="__raw_bkt",
-        handleInvalid="keep",  # nulls/NaN pass through; remapped below
-    )
-    bucketed = bucketizer.transform(df).withColumn(
-        "__bkt",
-        F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
-            F.col("__raw_bkt").cast("int")
-        ),
-    )
-
+    bucketed = quantile_bucket(df, value_col, num_parts)
     bkt_window = Window.partitionBy("__bkt").orderBy(order)
     local = bucketed.withColumn("__rank_in_bkt", F.rank().over(bkt_window))
 
     # <=P-row frame: rows per bucket -> prefix-sum offsets + grand total,
     # walked in rank order (desc: high buckets first; bucket -1 sorts
-    # last for desc and first for asc, matching the null order above).
-    bkt_order = F.col("__bkt").desc() if descending else F.col("__bkt").asc()
-    offset_window = Window.orderBy(bkt_order).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    total_window = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = (
-        bucketed.groupBy("__bkt")
-        .agg(F.count(F.lit(1)).alias("__bkt_rows"))
-        .select(
-            "__bkt",
-            F.coalesce(F.sum("__bkt_rows").over(offset_window), F.lit(0)).alias(
-                "__bkt_offset"
-            ),
-            F.sum("__bkt_rows").over(total_window).alias("__total"),
-        )
+    # last for desc and first for asc, matching the null order).
+    offsets = bucket_offsets(
+        bucketed, "__bkt", F.lit(1), ascending=not descending
     )
 
     return (
@@ -197,5 +168,5 @@ def _percent_rank_range_partitioned(
                 / (F.col("__total") - 1),
             ).otherwise(F.lit(0.0)),
         )
-        .drop("__bkt", "__raw_bkt", "__rank_in_bkt", "__bkt_offset", "__total")
+        .drop("__bkt", "__rank_in_bkt", "__bkt_offset", "__total")
     )

@@ -338,6 +338,30 @@ def samp_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_pack",
+    """WITH o AS (SELECT doc_id, n_chars,
+                         md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents)
+       SELECT doc_id,
+              CAST(FLOOR((SUM(n_chars) OVER (ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_chars) / 4096) AS BIGINT) AS pack_id
+       FROM o""",
+)
+def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing ([EXT]): documents cut into ~4096-
+    token training packs along the deterministic shuffle order — a global
+    prefix sum with no single-task window
+    (`operators/sampling.py::pack_sequences`); the oracle is the classic
+    one-window formulation."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = sampling.pack_sequences(
+        docs, budget=4096, token_col="n_chars", seed="42", key_cols=["doc_id"]
+    )
+    return packed.select("doc_id", "pack_id")
+
+
+@register(
     "dedup_decontaminate",
     r"""WITH w AS (SELECT doc_id,
                           list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -237,3 +237,59 @@ class TestDeterministicShuffle:
         b = [r["doc_id"] for r in deterministic_shuffle(docs, seed="2").collect()]
         assert a != b
         assert sorted(a) == sorted(b)
+
+
+class TestPackSequences:
+    def test_matches_single_window_and_layout_invariant(self, spark, sf_small):
+        from pyspark.sql import Window
+        from kusuma_metamorph_etl_spark.operators.sampling import pack_sequences
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+        h = F.md5(F.concat_ws("|", F.lit("7"), F.col("doc_id").cast("string")))
+        w = Window.orderBy("__h").rowsBetween(Window.unboundedPreceding, 0)
+        reference = {
+            r["doc_id"]: r["pack_id"]
+            for r in docs.withColumn("__h", h)
+            .withColumn(
+                "pack_id",
+                F.floor(
+                    (F.sum("n_chars").over(w) - F.col("n_chars")) / F.lit(1000)
+                ).cast("long"),
+            )
+            .collect()
+        }
+        for parts in (1, 13):
+            got = {
+                r["doc_id"]: r["pack_id"]
+                for r in pack_sequences(
+                    docs.repartition(parts),
+                    budget=1000,
+                    token_col="n_chars",
+                    seed="7",
+                    key_cols=["doc_id"],
+                ).collect()
+            }
+            assert got == reference, f"parts={parts}"
+
+    def test_packs_respect_budget_plus_straddler(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.sampling import pack_sequences
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+        budget = 1000
+        packed = pack_sequences(
+            docs, budget=budget, token_col="n_chars", key_cols=["doc_id"]
+        )
+        per_pack = packed.groupBy("pack_id").agg(
+            F.sum("n_chars").alias("tok"), F.max("n_chars").alias("mx")
+        )
+        # streaming-pack bound: a pack holds < budget + its largest doc
+        # (a straddler may overflow; nothing else fits after the boundary).
+        assert per_pack.filter(F.col("tok") >= budget + F.col("mx")).count() == 0
+        # packing is a partition: every doc lands in exactly one pack.
+        assert packed.count() == docs.count()
+        total = docs.agg(F.sum("n_chars")).first()[0]
+        assert per_pack.agg(F.sum("tok")).first()[0] == total
