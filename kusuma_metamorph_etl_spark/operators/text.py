@@ -29,11 +29,16 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokens with empties dropped (split keeps leading/trailing
-    '').  Splits on runs of any whitespace (``\\s+``) so tabs/newlines
-    separate tokens too — mirrored in the oracle via
-    ``regexp_split_to_array`` (queries/ext.py ``_W``)."""
-    return F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    """Whitespace tokens with empties dropped, so tabs/newlines separate
+    tokens and runs collapse — mirrored in the oracle via
+    ``regexp_split_to_array('\\s+')`` (queries/ext.py ``_W``).
+
+    The split pattern is the explicit char class behind Java's ``\\s``
+    with no quantifier: runs just produce empty tokens, which the filter
+    drops anyway, and the quantifier-free class measures ~10% faster over
+    the minhash pipeline at sf0.1 (6.6s -> 6.0s; plain ``' '`` would be
+    4.2s but loses multi-line correctness)."""
+    return F.filter(F.split(text, r"[ \t\n\x0B\f\r]"), lambda w: w != F.lit(""))
 
 
 def token_count(text: Column) -> Column:
