@@ -18,13 +18,17 @@ from pyspark.sql import functions as F
 
 def quantile_bucket(
     df: DataFrame, numeric_col: str, num_buckets: int, out_col: str = "__bkt"
-) -> DataFrame:
-    """Add a deterministic range-bucket id (int) for ``numeric_col``.
+) -> tuple[DataFrame, int]:
+    """Add a deterministic range-bucket id (int) for ``numeric_col``;
+    returns ``(bucketed_df, effective_bucket_count)``.
 
     Bounds come from one ``approxQuantile`` pass (bounded driver collect);
     equal values always share a bucket; nulls get bucket -1.  Bounds need
     not be exact quantiles — only fixed — so the 0.001 relative error is
     irrelevant to correctness, it only shifts bucket balance slightly.
+    The effective count can collapse below ``num_buckets`` under heavy
+    ties (a constant column yields 1) — callers should fall back to a
+    small-data strategy when it does.
     """
     from pyspark.ml.feature import Bucketizer
 
@@ -37,7 +41,7 @@ def quantile_bucket(
         outputCol=f"{out_col}_raw",
         handleInvalid="keep",  # nulls/NaN pass through; remapped below
     )
-    return (
+    bucketed = (
         bucketizer.transform(df)
         .withColumn(
             out_col,
@@ -47,6 +51,7 @@ def quantile_bucket(
         )
         .drop(f"{out_col}_raw")
     )
+    return bucketed, len(splits) - 1
 
 
 def bucket_offsets(

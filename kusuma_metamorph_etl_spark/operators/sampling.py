@@ -156,7 +156,9 @@ def pack_sequences(
         "__hnum",
         F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("double"),
     )
-    bucketed = quantile_bucket(keyed, "__hnum", num_parts)
+    # md5 hashes are uniform, so the bucket count only collapses for tiny
+    # inputs — where the single-bucket window is one small task anyway.
+    bucketed, _ = quantile_bucket(keyed, "__hnum", num_parts)
 
     in_bucket = (
         Window.partitionBy("__bkt")

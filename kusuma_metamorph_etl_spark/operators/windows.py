@@ -147,7 +147,12 @@ def _percent_rank_range_partitioned(
     num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     order = F.col(value_col).desc() if descending else F.col(value_col).asc()
 
-    bucketed = quantile_bucket(df, value_col, num_parts)
+    bucketed, n_buckets = quantile_bucket(df, value_col, num_parts)
+    if n_buckets <= 1:
+        # (Near-)constant column: every quantile collapses to one value, so
+        # bucketing degenerates to a single-task window — but a constant
+        # column IS low-cardinality, where the broadcast map is tiny.
+        return _percent_rank_broadcast_map(df, value_col, out_col, descending)
     bkt_window = Window.partitionBy("__bkt").orderBy(order)
     local = bucketed.withColumn("__rank_in_bkt", F.rank().over(bkt_window))
 

@@ -125,3 +125,14 @@ def test_decimal_sum_is_order_independent(cents, parts):
     df = spark.createDataFrame([(v,) for v in values], "v double").repartition(parts)
     got = df.agg(decimal_sum(F.col("v"), 2).alias("s")).first()["s"]
     assert got == expected
+
+
+def test_percent_rank_constant_column_falls_back():
+    """A constant column collapses every quantile bound; the range path
+    must fall back to the broadcast map instead of a one-bucket window."""
+    spark = _session()
+    df = spark.createDataFrame([(i, 5.0) for i in range(10)], "i long, v double")
+    rows = global_percent_rank(
+        df, "v", out_col="pr", descending=True, low_cardinality=False
+    ).collect()
+    assert all(r["pr"] == 0.0 for r in rows)  # all tied -> rank 1 -> pr 0
