@@ -170,3 +170,56 @@ def asof_join(
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [F.col(f"__match.{c}").alias(c) for c in value_cols]
     return carried.select(*out_cols)
+
+
+def deletion_variants(key: Column) -> Column:
+    """The key plus every single-character-deletion of it (distinct).
+
+    SymSpell blocking property: two strings are within Levenshtein
+    distance 1 iff their deletion neighborhoods intersect (substitution →
+    both drop the differing char; insert/delete → the longer side's
+    deletion equals the shorter string).  All JVM expressions.
+    """
+    deletes = F.transform(
+        F.sequence(F.lit(0), F.length(key) - 1),
+        lambda i: F.concat(
+            F.substring(key, F.lit(1), i), F.substring(key, i + 2, F.length(key))
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(key), deletes))
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Pairs (a < b) whose ``key_col`` values are within Levenshtein
+    distance 1 — near-duplicate key reconciliation (titles, URLs, names).
+
+    Scale shape: each key explodes to ~len(key) deletion variants (ids
+    only — no payload rides the explode), the self-join is an equi-join
+    on the variant, candidates dedupe BEFORE the exact `levenshtein`
+    verify (same candidates-then-verify discipline as the LSH families;
+    blocking is exact for d=1, so recall is 1.0 — asserted in tests).
+    All-pairs never happens.
+    """
+    variants = df.select(
+        F.col(id_col), F.col(key_col), F.explode(deletion_variants(F.col(key_col))).alias("__var")
+    ).select(F.col(id_col), F.col("__var"))
+    cand = (
+        variants.toDF("a", "__var")
+        .join(variants.toDF("b", "__var"), on="__var")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ka = df.select(F.col(id_col).alias("a"), F.col(key_col).alias("__ka"))
+    kb = df.select(F.col(id_col).alias("b"), F.col(key_col).alias("__kb"))
+    return (
+        cand.join(ka, on="a")
+        .join(kb, on="b")
+        .withColumn("distance", F.levenshtein(F.col("__ka"), F.col("__kb")))
+        .filter(F.col("distance") <= 1)
+        .select("a", "b", "distance")
+    )

@@ -956,6 +956,24 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_fuzzy",
+    """SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+              CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS distance
+       FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+       WHERE levenshtein(a.s_name, b.s_name) <= 1""",
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 key reconciliation ([EXT]): SymSpell deletion-
+    neighborhood blocking + exact levenshtein verify — candidates, never
+    all pairs (`operators/joins.py::fuzzy_self_pairs`); the oracle is the
+    brute-force cross join at test scale."""
+    from kusuma_metamorph_etl_spark.operators.joins import fuzzy_self_pairs
+
+    supplier = t(spark, sf_dir, "supplier")
+    return fuzzy_self_pairs(supplier, key_col="s_name", id_col="s_suppkey")
+
+
+@register(
     "stream_attribution_join",
     """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
               p.event_id AS purchase_id, p.ts AS purchase_ts,

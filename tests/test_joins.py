@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from kusuma_metamorph_etl_spark.operators.joins import asof_join, range_join
 
@@ -90,3 +91,47 @@ def test_range_join_interval_spanning_chunks(spark):
         points, intervals, "ts", "lo", "hi", on=["k"], chunk_seconds=120
     ).collect()
     assert sorted(r["id"] for r in out) == list(range(0, 59, 7))
+
+
+class TestFuzzyJoin:
+    def test_deletion_variants(self, spark):
+        from kusuma_metamorph_etl_spark.operators.joins import deletion_variants
+
+        df = spark.createDataFrame([("abc",)], "k string")
+        got = set(df.select(deletion_variants(F.col("k"))).first()[0])
+        assert got == {"abc", "bc", "ac", "ab"}
+
+    def test_blocking_is_exact_for_d1(self, spark, sf_small):
+        # SymSpell deletion blocking has recall 1.0 at distance 1: the
+        # candidate-verified result must EQUAL the brute-force cross join.
+        from kusuma_metamorph_etl_spark.operators.joins import fuzzy_self_pairs
+
+        sup = spark.read.parquet(f"{sf_small}/supplier.parquet")
+        got = {
+            (r["a"], r["b"])
+            for r in fuzzy_self_pairs(sup, "s_name", "s_suppkey").collect()
+        }
+        a = sup.select(F.col("s_suppkey").alias("a"), F.col("s_name").alias("ka"))
+        b = sup.select(F.col("s_suppkey").alias("b"), F.col("s_name").alias("kb"))
+        brute = {
+            (r["a"], r["b"])
+            for r in a.join(b, F.col("a") < F.col("b"))
+            .filter(F.levenshtein("ka", "kb") <= 1)
+            .collect()
+        }
+        assert got == brute and brute  # equal, and non-trivially non-empty
+
+    def test_substitution_insert_delete_all_covered(self, spark):
+        from kusuma_metamorph_etl_spark.operators.joins import fuzzy_self_pairs
+
+        df = spark.createDataFrame(
+            [(1, "spark"), (2, "sparc"), (3, "sparks"), (4, "spak"), (5, "flink")],
+            "id long, k string",
+        )
+        pairs = {
+            (r["a"], r["b"]) for r in fuzzy_self_pairs(df, "k", "id").collect()
+        }
+        assert (1, 2) in pairs  # substitution
+        assert (1, 3) in pairs  # insertion
+        assert (1, 4) in pairs  # deletion
+        assert not any(5 in p for p in pairs)  # flink matches nothing
