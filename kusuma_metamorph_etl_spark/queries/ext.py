@@ -956,6 +956,30 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+)
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis ([EXT]): view → click → purchase, earliest
+    time per stage at-or-after the previous stage
+    (`operators/events.py::funnel`); k-1 co-keyed user joins, no window
+    over raw events."""
+    from kusuma_metamorph_etl_spark.operators.events import funnel
+
+    events = t(spark, sf_dir, "events")
+    return funnel(events, stages=["view", "click", "purchase"])
+
+
+@register(
     "join_fuzzy",
     """SELECT a.s_suppkey AS a, b.s_suppkey AS b,
               CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS distance

@@ -135,3 +135,38 @@ class TestFuzzyJoin:
         assert (1, 3) in pairs  # insertion
         assert (1, 4) in pairs  # deletion
         assert not any(5 in p for p in pairs)  # flink matches nothing
+
+
+class TestFunnel:
+    def test_ordered_stages_and_breaks(self, spark):
+        from kusuma_metamorph_etl_spark.operators.events import funnel
+
+        t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+        def m(minute):
+            return t0 + dt.timedelta(minutes=minute)
+
+        rows = [
+            # user 1: clean v(0) -> c(5) -> p(9)
+            (1, m(0), "view"), (1, m(5), "click"), (1, m(9), "purchase"),
+            # user 2: purchase BEFORE click -> funnel breaks at purchase
+            (2, m(0), "view"), (2, m(3), "purchase"), (2, m(6), "click"),
+            # user 3: click before the first view -> breaks at click
+            (3, m(2), "click"), (3, m(4), "view"),
+            # user 4: never viewed -> not in the funnel at all
+            (4, m(1), "click"), (4, m(2), "purchase"),
+            # user 5: same-instant click counts (>= rule)
+            (5, m(0), "view"), (5, m(0), "click"),
+        ]
+        events = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
+            for r in funnel(events, ["view", "click", "purchase"]).collect()
+        }
+        assert set(got) == {1, 2, 3, 5}
+        assert got[1] == (m(0), m(5), m(9))
+        assert got[2] == (m(0), m(6), None)  # click at 6, no purchase after
+        assert got[3] == (m(4), None, None)
+        assert got[5] == (m(0), m(0), None)
