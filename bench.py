@@ -60,8 +60,11 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
+        # Time construction + execution: some operators do bounded eager
+        # work while building (e.g. the percent_rank quantile-bound probe)
+        # and that pass is part of the honest cost.
         start = time.perf_counter()
+        df = qs[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - start, 3)
 

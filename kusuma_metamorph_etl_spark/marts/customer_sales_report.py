@@ -56,9 +56,13 @@ def customer_sales_report(
     run_ts: dt.datetime | str | None = None,
     yesterday_quirk: bool = False,
     broadcast_dims: bool = True,
-    persist_intermediate: bool = False,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
-    """Build the customer-sales-report mart (one row per qualifying sale)."""
+    """Build the customer-sales-report mart (one row per qualifying sale).
+
+    ``persist_intermediate`` caches the enriched fact before the tiering
+    step; the cache lives until Spark's LRU evicts it (callers looping
+    over many marts in one session can pass ``False``)."""
     maybe_broadcast = F.broadcast if broadcast_dims else (lambda df: df)
 
     # FIL: status IN ('Delivered', 'Shipped')  (`fil_isin`).
@@ -110,13 +114,13 @@ def customer_sales_report(
         .withColumn("LOAD_TSTMP", load_ts)
     )
 
-    # The enriched fact feeds BOTH the rank-map aggregation inside
-    # global_percent_rank and the final row stream (diamond DAG).  Measured
-    # at sf0.1, recomputing the branch is FASTER than persisting: the rank
-    # branch is pruned to 3 columns through the joins, while a persist
-    # materializes the full row width and blocks that pruning (4.0s vs
-    # 6.5s end-to-end).  The knob exists for genuinely expensive upstreams
-    # (remote scans, UDF-derived columns) where recompute dominates.
+    # The enriched fact feeds the percent_rank quantile probe, the rank
+    # window, the bucket-offsets branch AND the final row stream.  With 2
+    # consumers (r1 shape) recompute beat persist (4.0s vs 6.5s — the rank
+    # branch pruned to 3 columns); with the probe making it 3+ passes the
+    # trade-off flips: persist wins 1.1s vs 2.3s warm / 3.2s vs 7.0s cold
+    # at sf0.1 (3-rep A/B, this VM).  Re-measure if the consumer count
+    # changes again.
     if persist_intermediate:
         from pyspark.storagelevel import StorageLevel
 
