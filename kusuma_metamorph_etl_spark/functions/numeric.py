@@ -23,7 +23,7 @@ def decimal_round(col: Column, scale: int = 2, capture_scale: int = 6) -> Column
     2-decimal prices, integer-ish quantities and 2-decimal rates, 6 is ample.
     Returns double so downstream schemas stay uniform.
     """
-    return F.round(col.cast(f"decimal(18,{capture_scale})"), scale).cast("double")
+    return F.round(col.cast(f"decimal(38,{capture_scale})"), scale).cast("double")
 
 
 def decimal_sum(col: Column, scale: int = 2, capture_scale: int = 6) -> Column:
@@ -37,11 +37,11 @@ def decimal_sum(col: Column, scale: int = 2, capture_scale: int = 6) -> Column:
     arithmetic: associative, order-independent, identical in Spark and
     DuckDB.  Oracle mirror::
 
-        CAST(ROUND(SUM(CAST(term AS DECIMAL(18,6))), scale) AS DOUBLE)
+        CAST(ROUND(SUM(CAST(term AS DECIMAL(38,6))), scale) AS DOUBLE)
 
     Aggregate helper — use inside ``groupBy().agg(...)``.
     """
-    return F.round(F.sum(col.cast(f"decimal(18,{capture_scale})")), scale).cast(
+    return F.round(F.sum(col.cast(f"decimal(38,{capture_scale})")), scale).cast(
         "double"
     )
 
@@ -50,9 +50,9 @@ def decimal_avg(col: Column, scale: int = 4, capture_scale: int = 6) -> Column:
     """Order-independent rounded average: exact decimal sum, then one
     deterministic double division.  Oracle mirror::
 
-        ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x), scale)
+        ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x), scale)
 
     ``COUNT(col)`` (not ``COUNT(*)``) so null handling matches ``AVG``.
     """
-    total = F.sum(col.cast(f"decimal(18,{capture_scale})")).cast("double")
+    total = F.sum(col.cast(f"decimal(38,{capture_scale})")).cast("double")
     return F.round(total / F.count(col), scale)

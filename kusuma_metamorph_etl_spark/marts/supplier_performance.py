@@ -123,7 +123,7 @@ def supplier_performance(
     per_product = (
         fact.filter(F.col("PRODUCT_ID").isNotNull())
         .groupBy("SUPPLIER_ID", "PRODUCT_NAME")
-        .agg(F.sum(F.col("REVENUE").cast("decimal(18,6)")).alias("PRODUCT_REVENUE"))
+        .agg(F.sum(F.col("REVENUE").cast("decimal(38,6)")).alias("PRODUCT_REVENUE"))
     )
     top_window = Window.partitionBy("SUPPLIER_ID").orderBy(
         F.desc("PRODUCT_REVENUE"), F.asc("PRODUCT_NAME")

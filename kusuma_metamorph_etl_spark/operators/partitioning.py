@@ -34,6 +34,14 @@ def quantile_bucket(
 
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(set(df.stat.approxQuantile(numeric_col, probs, 0.001)))
+    if not bounds:
+        # Empty or all-null column: Bucketizer would reject the 2-split
+        # spec; a single bucket is trivially correct.
+        single = df.withColumn(
+            out_col,
+            F.when(F.col(numeric_col).isNull(), F.lit(-1)).otherwise(F.lit(0)),
+        )
+        return single, 1
     splits = [float("-inf"), *bounds, float("inf")]
     bucketizer = Bucketizer(
         splits=splits,

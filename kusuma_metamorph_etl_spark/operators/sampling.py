@@ -100,11 +100,26 @@ def deterministic_shuffle(
     seeds give statistically independent permutations (epoch reshuffling:
     seed per epoch).
     """
-    keys = key_cols or df.columns
-    key = F.md5(
-        F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys])
-    )
+    key = row_sort_key(str(seed), key_cols or df.columns)
     return df.withColumn(key_out, key).orderBy(key_out)
+
+
+def row_sort_key(seed: str, key_cols: list[str]) -> Column:
+    """Collision-safe deterministic sort key: md5 over the seed plus one
+    fixed-width md5 digest PER key column.
+
+    A naive ``md5(concat_ws('|', seed, *cols))`` collides for distinct
+    rows two ways: ``concat_ws`` silently skips nulls (('x', NULL) ==
+    (NULL, 'x')) and a '|' inside a value injects (('a|b','c') ==
+    ('a','b|c')).  Fixed 32-char digest blocks admit neither; nulls take
+    a 32-dash sentinel no real digest can equal.  Oracle mirror (non-null
+    single key): ``md5(seed || md5(CAST(key AS VARCHAR)))``.
+    """
+    parts = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-" * 32))
+        for c in key_cols
+    ]
+    return F.md5(F.concat(F.lit(seed), *parts))
 
 
 def pack_sequences(
@@ -145,10 +160,7 @@ def pack_sequences(
     spark = df.sparkSession
     num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    keys = key_cols or df.columns
-    h = F.md5(
-        F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys])
-    )
+    h = row_sort_key(str(seed), key_cols or df.columns)
     keyed = df.withColumn("__h", h).withColumn(
         # 15 hex chars = 60 bits: exact as double (< 2^53 would be safer,
         # but bucket bounds only need monotone consistency with the string

@@ -33,12 +33,14 @@ def words(text: Column) -> Column:
     tokens and runs collapse — mirrored in the oracle via
     ``regexp_split_to_array('\\s+')`` (queries/ext.py ``_W``).
 
-    The split pattern is the explicit char class behind Java's ``\\s``
-    with no quantifier: runs just produce empty tokens, which the filter
-    drops anyway, and the quantifier-free class measures ~10% faster over
-    the minhash pipeline at sf0.1 (6.6s -> 6.0s; plain ``' '`` would be
-    4.2s but loses multi-line correctness)."""
-    return F.filter(F.split(text, r"[ \t\n\x0B\f\r]"), lambda w: w != F.lit(""))
+    The split pattern is the explicit char class of RE2's ``\\s``
+    (``[\\t\\n\\f\\r ]`` — NOT Java's, which adds ``\\x0B``; the oracle
+    engine is RE2-based, so vertical tab must not be a separator on either
+    side) with no quantifier: runs just produce empty tokens, which the
+    filter drops anyway, and the quantifier-free class measures ~10%
+    faster over the minhash pipeline at sf0.1 (6.6s -> 6.0s; plain
+    ``' '`` would be 4.2s but loses multi-line correctness)."""
+    return F.filter(F.split(text, r"[ \t\n\f\r]"), lambda w: w != F.lit(""))
 
 
 def token_count(text: Column) -> Column:

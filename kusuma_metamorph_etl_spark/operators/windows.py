@@ -148,10 +148,12 @@ def _percent_rank_range_partitioned(
     order = F.col(value_col).desc() if descending else F.col(value_col).asc()
 
     bucketed, n_buckets = quantile_bucket(df, value_col, num_parts)
-    if n_buckets <= 1:
-        # (Near-)constant column: every quantile collapses to one value, so
-        # bucketing degenerates to a single-task window — but a constant
-        # column IS low-cardinality, where the broadcast map is tiny.
+    if n_buckets <= 2:
+        # A (near-)constant column yields at most ONE distinct quantile
+        # bound (a constant c gives splits [-inf, c, inf]: two buckets, all
+        # rows in [c, inf)) — bucketing degenerates to a single-task
+        # window.  But such a column IS low-cardinality, where the
+        # broadcast rank map is tiny; use that path instead.
         return _percent_rank_broadcast_map(df, value_col, out_col, descending)
     bkt_window = Window.partitionBy("__bkt").orderBy(order)
     local = bucketed.withColumn("__rank_in_bkt", F.rank().over(bkt_window))

@@ -166,9 +166,14 @@ def snk_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedded_derby_url,
         jdbc_reader,
         jdbc_writer,
+        shutdown_embedded_derby,
     )
 
     db_dir = os.path.join(SCRATCH, "derby", os.path.basename(sf_dir))
+    # Unboot before deleting: rmtree of a still-booted database leaves a
+    # stale in-JVM registry entry that corrupts the next create=true boot
+    # (re-running this query in one session would otherwise fail).
+    shutdown_embedded_derby(spark, db_dir)
     shutil.rmtree(db_dir, ignore_errors=True)  # clear stale locks/state
     url = embedded_derby_url(db_dir)
     creds = {"user": "app", "password": "app", "driver": DERBY_EMBEDDED_DRIVER}
@@ -247,7 +252,7 @@ def expr_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expr_discount_amount",
     """SELECT l_orderkey, l_linenumber,
               CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(18,6)), 2) AS DOUBLE) AS charge
+                         AS DECIMAL(38,6)), 2) AS DOUBLE) AS charge
        FROM lineitem""",
 )
 def expr_discount_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,7 +518,7 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_groupby_single",
     """SELECT l_suppkey,
               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+                             AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
               SUM(l_quantity) AS total_qty,
               COUNT(DISTINCT l_partkey) AS n_parts
        FROM lineitem GROUP BY l_suppkey""",
@@ -534,13 +539,13 @@ def agg_groupby_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_groupby_multi",
     """SELECT l_returnflag, l_linestatus,
               SUM(l_quantity) AS sum_qty,
-              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
                    AS DOUBLE) AS sum_base_price,
               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
-              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                             AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
                     / COUNT(l_quantity), 4) AS avg_qty,
-              ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+              ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
                     / COUNT(l_discount), 6) AS avg_disc,
               COUNT(*) AS count_order
        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
@@ -566,7 +571,7 @@ def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sum_expr",
     """SELECT l_returnflag,
               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge
+                             AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge
        FROM lineitem GROUP BY l_returnflag""",
 )
 def agg_sum_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,7 +583,7 @@ def agg_sum_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_avg",
     """SELECT o_orderpriority,
-              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
                     / COUNT(o_totalprice), 4) AS avg_price
        FROM orders GROUP BY o_orderpriority""",
 )
@@ -678,7 +683,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram",
     """SELECT CAST(least(floor(l_extendedprice / 10000.0), 10) AS BIGINT) AS bucket,
               COUNT(*) AS n,
-              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
                    AS DOUBLE) AS sum_price
        FROM lineitem GROUP BY bucket""",
 )
@@ -955,7 +960,7 @@ def cond_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
               COALESCE(agg.total_spend, 0.0) AS total_spend
        FROM customer c LEFT JOIN (
             SELECT o_custkey, COUNT(*) AS n_orders,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
                         AS DOUBLE) AS total_spend
             FROM orders GROUP BY o_custkey) agg
          ON c.c_custkey = agg.o_custkey""",
@@ -987,7 +992,7 @@ def null_fillna_map(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
               CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
               CAST(o_orderdate AS DATE) - 1 AS prev_day,
-              CAST(ROUND(CAST(o_totalprice * 0.1 AS DECIMAL(18,6)), 2) AS DOUBLE)
+              CAST(ROUND(CAST(o_totalprice * 0.1 AS DECIMAL(38,6)), 2) AS DOUBLE)
                   AS fee
        FROM orders""",
 )

@@ -5,8 +5,10 @@ multimodal plumbing, event-time windows — as oracle-checked queries
 Oracle notes specific to this module:
 
 * DuckDB replicates word-shingling with ``list_transform(range(...))`` and
-  the engine's exact token rule (``string_split(' ')`` + drop empties), so
-  shingle sets are identical cross-engine.
+  the engine's exact token rule (any-whitespace split via
+  ``regexp_split_to_array('\\s+')`` + drop empties — see ``_W`` below and
+  ``operators/text.py::words``), so shingle sets are identical
+  cross-engine.
 * MinHash/SimHash/hyperplane-LSH queries hash with ``xxhash64`` — there is
   no DuckDB equivalent, so those register with ``oracle=None`` and take the
   driver's rows-only check; their *exact* counterparts (``dedup_ngram_jaccard``,
@@ -323,7 +325,7 @@ def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "samp_shuffle",
-    """SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    """SELECT doc_id, md5('42' || md5(CAST(doc_id AS VARCHAR))) AS shuffle_key
        FROM documents ORDER BY shuffle_key LIMIT 100""",
 )
 def samp_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,7 +342,7 @@ def samp_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "samp_pack",
     """WITH o AS (SELECT doc_id, n_chars,
-                         md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+                         md5('42' || md5(CAST(doc_id AS VARCHAR))) AS h
                   FROM documents)
        SELECT doc_id,
               CAST(FLOOR((SUM(n_chars) OVER (ORDER BY h

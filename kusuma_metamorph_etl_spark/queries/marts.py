@@ -41,7 +41,7 @@ products AS (
            p_name AS product_name,
            p_type AS category,
            p_retailprice AS selling_price,
-           CAST(ROUND(CAST(p_retailprice * 0.7 AS DECIMAL(18,6)), 2)
+           CAST(ROUND(CAST(p_retailprice * 0.7 AS DECIMAL(38,6)), 2)
                 AS DOUBLE) AS cost_price,
            p_size * 100 AS stock_quantity,
            p_size * 40 AS reorder_level
@@ -79,7 +79,7 @@ joined AS (
 ),
 agg AS (
     SELECT sup.supplier_id, sup.supplier_name,
-           CAST(ROUND(SUM(CAST(j.revenue AS DECIMAL(18,6))), 2) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(j.revenue AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS total_revenue,
            COUNT(DISTINCT j.product_id) AS total_products_sold,
            SUM(j.quantity) AS total_stock_sold
@@ -88,7 +88,7 @@ agg AS (
 ),
 per_product AS (
     SELECT supplier_id, product_name,
-           SUM(CAST(revenue AS DECIMAL(18,6))) AS product_revenue
+           SUM(CAST(revenue AS DECIMAL(38,6))) AS product_revenue
     FROM joined WHERE product_id IS NOT NULL
     GROUP BY 1, 2
 ),
@@ -131,15 +131,15 @@ jnr AS (
     FROM fil s LEFT JOIN products p USING (product_id)
 )
 SELECT product_id, product_name,
-       CAST(ROUND(SUM(CAST(quantity * selling_price AS DECIMAL(18,6))), 2)
+       CAST(ROUND(SUM(CAST(quantity * selling_price AS DECIMAL(38,6))), 2)
             AS DOUBLE) AS total_sales_amount,
        SUM(quantity) AS total_quantity_sold,
-       ROUND(CAST(SUM(CAST(selling_price AS DECIMAL(18,6))) AS DOUBLE)
+       ROUND(CAST(SUM(CAST(selling_price AS DECIMAL(38,6))) AS DOUBLE)
              / COUNT(selling_price), 2) AS avg_sale_price,
        stock_quantity, reorder_level,
        CASE WHEN stock_quantity < reorder_level THEN 'Below Reorder Level'
             ELSE 'Sufficient Stock' END AS stock_level_status,
-       CAST(ROUND(SUM(CAST(row_profit AS DECIMAL(18,6))), 2) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(row_profit AS DECIMAL(38,6))), 2) AS DOUBLE)
            AS profit,
        category,
        DATE '{RUN_DATE}' AS day_dt
@@ -184,7 +184,7 @@ exp AS (
     SELECT *,
            MONTH(sale_date) AS sale_month,
            YEAR(sale_date) AS sale_year,
-           CAST(ROUND(CAST(quantity * price * (1 - discount / 100) AS DECIMAL(18,6)), 2)
+           CAST(ROUND(CAST(quantity * price * (1 - discount / 100) AS DECIMAL(38,6)), 2)
                 AS DOUBLE) AS sale_amount
     FROM jnr
 ),

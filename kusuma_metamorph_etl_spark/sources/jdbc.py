@@ -29,6 +29,24 @@ def embedded_derby_url(db_dir: str) -> str:
     return f"jdbc:derby:{db_dir};create=true"
 
 
+def shutdown_embedded_derby(spark: SparkSession, db_dir: str | None = None) -> None:
+    """Cleanly unboot an embedded Derby database (or, with no ``db_dir``,
+    the whole in-JVM Derby engine) so its files can be deleted.
+
+    Embedded Derby keeps a database booted in the JVM until an explicit
+    ``shutdown=true`` connection; deleting a booted database's files
+    leaves a stale registry entry that corrupts the next ``create=true``
+    boot of the same path.  Derby signals a *successful* shutdown by
+    raising SQLException (08006 / XJ015) — swallowed here along with the
+    'not booted' case.
+    """
+    target = f"jdbc:derby:{db_dir};shutdown=true" if db_dir else "jdbc:derby:;shutdown=true"
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(target)
+    except Exception:
+        pass  # shutdown signals via SQLException; not-booted also lands here
+
+
 def reader_options(
     url: str,
     table: str,

@@ -128,11 +128,16 @@ def test_decimal_sum_is_order_independent(cents, parts):
 
 
 def test_percent_rank_constant_column_falls_back():
-    """A constant column collapses every quantile bound; the range path
-    must fall back to the broadcast map instead of a one-bucket window."""
+    """A constant column yields at most one distinct quantile bound; the
+    range path must fall back to the broadcast map instead of running a
+    degenerate one-bucket window — asserted on the PLAN (both paths give
+    the same values, so a value check alone cannot catch a dead guard)."""
     spark = _session()
     df = spark.createDataFrame([(i, 5.0) for i in range(10)], "i long, v double")
-    rows = global_percent_rank(
+    out = global_percent_rank(
         df, "v", out_col="pr", descending=True, low_cardinality=False
-    ).collect()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" not in plan  # broadcast-map path, not the bucketed one
+    rows = out.collect()
     assert all(r["pr"] == 0.0 for r in rows)  # all tied -> rank 1 -> pr 0

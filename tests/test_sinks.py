@@ -193,3 +193,14 @@ class TestJdbcRoundTrip:
         jdbc_writer(b, mode="overwrite", url=url, table="t", **self._creds()).save()
         back = jdbc_reader(spark, url=url, table="t", **self._creds()).load()
         assert sorted(r["id"] for r in back.collect()) == [9, 10]
+
+    def test_roundtrip_query_reruns_in_one_session(self, spark):
+        # The registered query's shutdown -> rmtree -> create lifecycle
+        # must survive a second invocation in the same JVM (embedded Derby
+        # keeps databases booted; deleting a booted db corrupts re-boot).
+        from kusuma_metamorph_etl_spark import registry
+
+        q = registry.queries()["snk_jdbc_roundtrip"]
+        a = q(spark, "/root/testdata/sf0.001").count()
+        b = q(spark, "/root/testdata/sf0.001").count()
+        assert a == b and a > 0

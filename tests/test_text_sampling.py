@@ -247,7 +247,7 @@ class TestPackSequences:
         docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
             "doc_id", "n_chars"
         )
-        h = F.md5(F.concat_ws("|", F.lit("7"), F.col("doc_id").cast("string")))
+        h = F.md5(F.concat(F.lit("7"), F.md5(F.col("doc_id").cast("string"))))
         w = Window.orderBy("__h").rowsBetween(Window.unboundedPreceding, 0)
         reference = {
             r["doc_id"]: r["pack_id"]
