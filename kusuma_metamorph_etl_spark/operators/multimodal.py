@@ -4,14 +4,15 @@ Images/audio/video ride through the engine as opaque ``binary`` columns
 with typed metadata; decode / feature-extract / resize / frame-sample run
 as Arrow-batched Pandas functions over ``mapInPandas``.
 
-The image codecs are REAL: pure numpy encoders/decoders for binary
-PPM/PGM (P6/P5) and uncompressed 24-bit BMP — no external media library
-needed.  Compressed formats (PNG/JPEG) raise ``NotImplementedError``
-(their codecs are not in this container) through the same seam a
-production decoder would plug into.  The container also has no real image
-*data*, so tests and driver queries synthesize deterministic PPM payloads
-from document text (:func:`synthesize_ppm`) — the data is synthetic, the
-decode path is not.
+The image and audio codecs are REAL: pure numpy encoders/decoders for
+binary PPM/PGM (P6/P5), uncompressed 24-bit BMP, and PCM16 WAV — no
+external media library needed.  Compressed formats (PNG/JPEG, non-PCM
+audio) raise ``NotImplementedError`` (their codecs are not in this
+container) through the same seam a production decoder would plug into.
+The container also has no real media *data*, so tests and driver queries
+synthesize deterministic PPM/WAV payloads from document text
+(:func:`synthesize_ppm` / :func:`synthesize_wav`) — the data is
+synthetic, the decode paths are not.
 
 Scale notes: binary payloads are heavy — keep them out of shuffles
 (derive features, then drop the payload before any wide operation), and
@@ -340,4 +341,118 @@ def sample_frames(
     )
     return df.select(F.col(id_col), F.explode(frames).alias("f")).select(
         id_col, "f.frame_idx", "f.frame_bytes"
+    )
+
+
+# ------------------------------------------------------------- audio codec
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Canonical 44-byte-header PCM16 WAV encoder (mono HxW... 1-D int16,
+    or 2-D (n, channels))."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    data = arr.tobytes()  # interleaved little-endian int16
+    byte_rate = sample_rate * channels * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def decode_audio(payload: bytes) -> dict[str, Any]:
+    """Real PCM16 WAV decode → ``{format, sample_rate, channels,
+    n_samples, duration_ms, samples}`` (numpy int16, shape (n, channels)).
+
+    Walks RIFF chunks (fmt/data may be preceded by LIST etc.); only
+    uncompressed PCM16 is supported — compressed audio raises
+    ``NotImplementedError`` through the same seam a production codec
+    plugs into; non-WAV payloads raise ``ValueError``.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("unrecognized audio payload (not RIFF/WAVE)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            "only uncompressed PCM16 WAV supported; inject a codec via "
+            "extract_binary_features(decoder=...)"
+        )
+    samples = np.frombuffer(
+        data, dtype="<i2", count=(len(data) // (2 * channels)) * channels
+    ).reshape(-1, channels)
+    return {
+        "format": "wav",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_samples": samples.shape[0],
+        "duration_ms": int(samples.shape[0] * 1000 / sample_rate),
+        "samples": samples,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, format string, sample_rate int, channels int, "
+    "n_samples long, duration_ms long, n_bytes long, rms double"
+)
+
+
+def audio_features(payload: bytes) -> dict[str, Any]:
+    """Default audio feature extractor: real decode + summary stats."""
+    audio = decode_audio(payload)
+    samples = audio["samples"].astype(np.float64)
+    return {
+        "format": audio["format"],
+        "sample_rate": audio["sample_rate"],
+        "channels": audio["channels"],
+        "n_samples": audio["n_samples"],
+        "duration_ms": audio["duration_ms"],
+        "n_bytes": len(payload),
+        "rms": float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0,
+    }
+
+
+def synthesize_wav(text: str, sample_rate: int = 16000) -> bytes:
+    """Deterministic synthetic mono PCM16 payload from document text (no
+    audio data ships in the container): sample count from the text's byte
+    length, samples from its repeated md5 digest.  Oracle-reproducible:
+    n_bytes = 44 + n_samples*2, n_samples = 64 + byte_length % 128."""
+    raw = text.encode("utf-8")
+    n = 64 + len(raw) % 128
+    digest = hashlib.md5(raw).digest()
+    pcm = np.frombuffer(
+        (digest * (2 * n // len(digest) + 1))[: 2 * n], dtype="<i2"
+    )
+    return encode_wav(pcm, sample_rate)
+
+
+def attach_audio_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesized-audio payload column (Arrow-batched pandas UDF), typed
+    ``audio/wav``."""
+
+    @F.pandas_udf("binary")
+    def make_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(synthesize_wav)
+
+    return df.withColumn("payload", make_wav(F.col(text_col))).withColumn(
+        "payload_kind", F.lit("audio/wav")
     )

@@ -634,6 +634,39 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_features",
+    """SELECT doc_id,
+              'wav' AS format,
+              CAST(16000 AS INTEGER) AS sample_rate,
+              CAST(1 AS INTEGER) AS channels,
+              CAST(64 + octet_length(encode(text)) % 128 AS BIGINT) AS n_samples,
+              CAST((64 + octet_length(encode(text)) % 128) * 1000 // 16000
+                   AS BIGINT) AS duration_ms,
+              CAST(44 + (64 + octet_length(encode(text)) % 128) * 2 AS BIGINT)
+                  AS n_bytes
+       FROM documents""",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over mapInPandas: per-document synthesized PCM16
+    WAV payloads run through the pure-numpy RIFF/WAVE parser; the oracle
+    recomputes sample counts and byte sizes from the synthesis contract
+    (operators/multimodal.py ``synthesize_wav``) — a mis-parsed header
+    fails the hash.  RMS energy is decode-only (not SQL-expressible) and
+    is asserted in tests instead."""
+    docs = t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_audio_payload(docs)
+    feats = multimodal.extract_binary_features(
+        payloads,
+        decoder=multimodal.audio_features,
+        schema=multimodal.AUDIO_FEATURE_SCHEMA,
+    )
+    return feats.select(
+        "doc_id", "format", "sample_rate", "channels", "n_samples",
+        "duration_ms", "n_bytes",
+    )
+
+
+@register(
     "mm_frame_sample",
     """SELECT doc_id,
               CAST(frame_idx AS INTEGER) AS frame_idx,

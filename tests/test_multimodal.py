@@ -143,3 +143,53 @@ def test_frame_sample_counts(payloads):
     counts = frames.groupBy("doc_id").count().collect()
     assert all(1 <= r["count"] <= 8 for r in counts)
     assert frames.filter(F.octet_length("frame_bytes") > 8).count() == 0
+
+
+class TestAudioCodec:
+    def test_wav_roundtrip_mono(self):
+        pcm = (np.arange(300, dtype=np.int64) * 211 % 65536 - 32768).astype(np.int16)
+        audio = multimodal.decode_audio(multimodal.encode_wav(pcm, 8000))
+        assert (audio["format"], audio["sample_rate"], audio["channels"]) == (
+            "wav", 8000, 1,
+        )
+        assert audio["n_samples"] == 300
+        assert np.array_equal(audio["samples"][:, 0], pcm)
+
+    def test_wav_roundtrip_stereo(self):
+        pcm = np.stack(
+            [np.arange(100, dtype=np.int16), np.arange(100, dtype=np.int16) * -1],
+            axis=1,
+        )
+        audio = multimodal.decode_audio(multimodal.encode_wav(pcm, 44100))
+        assert audio["channels"] == 2 and audio["n_samples"] == 100
+        assert np.array_equal(audio["samples"], pcm)
+
+    def test_extra_riff_chunks_skipped(self):
+        payload = multimodal.encode_wav(np.ones(10, dtype=np.int16), 16000)
+        # Splice a LIST chunk between 'WAVE' and 'fmt ' — parsers must walk.
+        extra = b"LIST" + (7).to_bytes(4, "little") + b"INFOxyz" + b"\x00"
+        spliced = payload[:12] + extra + payload[12:]
+        assert multimodal.decode_audio(spliced)["n_samples"] == 10
+
+    def test_non_pcm_gated_and_unknown_rejected(self):
+        import struct as st
+
+        payload = bytearray(multimodal.encode_wav(np.ones(4, dtype=np.int16)))
+        st.pack_into("<H", payload, 20, 3)  # audio_format=3 (IEEE float)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(bytes(payload))
+        with pytest.raises(ValueError):
+            multimodal.decode_audio(b"not audio at all")
+
+    def test_synthesized_features(self, spark, sf_small):
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
+        payloads = multimodal.attach_audio_payload(docs)
+        rows = multimodal.extract_binary_features(
+            payloads,
+            decoder=multimodal.audio_features,
+            schema=multimodal.AUDIO_FEATURE_SCHEMA,
+        ).collect()
+        assert all(r["format"] == "wav" for r in rows)
+        assert all(64 <= r["n_samples"] < 192 for r in rows)
+        assert all(r["n_bytes"] == 44 + r["n_samples"] * 2 for r in rows)
+        assert all(0.0 < r["rms"] < 32768.0 for r in rows)
