@@ -90,3 +90,56 @@ def bucket_offsets(
             F.sum("__bkt_weight").over(total_window).alias("__total"),
         )
     )
+
+
+def zorder_value(bucket_cols: list[Column], bits: int = 8) -> Column:
+    """Interleave the low ``bits`` of each (already bucketized) column into
+    one Z-order (Morton) value — pure shift/mask expressions, JVM-side.
+
+    Rows close in Z-value are close in EVERY interleaved dimension, so
+    sorting a file layout by Z-value gives parquet row groups tight
+    min/max ranges on all the columns at once — multi-column data
+    skipping where a plain sort only serves its leading column.
+    """
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        for i, c in enumerate(bucket_cols):
+            bit = F.shiftright(c.cast("long"), k).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, k * n + i))
+    return z
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Return ``df`` laid out in Z-order over ``cols`` — write the result
+    to get multi-column row-group data skipping (the single-table
+    complement of partition pruning and bucketing).
+
+    Each column is quantile-bucketized to ``2^bits`` levels
+    (:func:`quantile_bucket` — deterministic bounds, one bounded driver
+    collect per column), the bucket ids interleave into a Z-value, and
+    the frame is range-partitioned + sorted on it.  The Z-column is
+    dropped; only the row ORDER carries the clustering.  Value-ordering
+    content is unchanged (pure reordering).
+    """
+    num_files = num_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    levels = 2**bits
+    out = df
+    bucket_cols = []
+    for idx, c in enumerate(cols):
+        out, _ = quantile_bucket(out, c, levels, out_col=f"__zb{idx}")
+        bucket_cols.append(F.greatest(F.col(f"__zb{idx}"), F.lit(0)))  # null→0
+    out = out.withColumn("__z", zorder_value(bucket_cols, bits))
+    out = (
+        out.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__zb{i}" for i in range(len(cols))])
+    )
+    return out

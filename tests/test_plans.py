@@ -6,6 +6,7 @@ refactor that silently loses one fails CI."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from kusuma_metamorph_etl_spark.queries.marts import (
     mart_customer_sales_report,
@@ -119,3 +120,56 @@ def test_customer_mart_uses_range_percent_rank(spark, sf_small):
     plan = _plan(mart_customer_sales_report(spark, sf_small))
     assert "__bkt" in plan
     assert "windowspecdefinition(SALE_AMOUNT" not in plan
+
+
+def test_zorder_layout_skips_row_groups(spark, sf_small, tmp_path):
+    """Z-order clustering must give parquet row groups tight min/max boxes
+    on BOTH interleaved columns: for a two-sided range predicate, far
+    fewer row groups overlap the predicate box than with the natural
+    layout — the footer-stats measure of multi-column data skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kusuma_metamorph_etl_spark.operators.partitioning import cluster_by_zorder
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    li.repartition(16).write.parquet(plain)
+    cluster_by_zorder(li, ["l_partkey", "l_suppkey"], bits=4, num_files=16).write.parquet(zed)
+
+    # Content is a pure reordering.
+    assert (
+        spark.read.parquet(zed).groupBy().sum("l_quantity").first()[0]
+        == li.groupBy().sum("l_quantity").first()[0]
+    )
+
+    pk_hi = li.agg(F.max("l_partkey")).first()[0]
+    sk_hi = li.agg(F.max("l_suppkey")).first()[0]
+    box = (1, pk_hi // 4, 1, sk_hi // 4)  # a 1/16-area corner box
+
+    def overlap_fraction(path):
+        total = hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                md = meta.row_group(rg)
+                stats = {
+                    md.column(i).path_in_schema: md.column(i).statistics
+                    for i in range(md.num_columns)
+                }
+                pk, sk = stats["l_partkey"], stats["l_suppkey"]
+                total += 1
+                if (
+                    pk.min <= box[1] and pk.max >= box[0]
+                    and sk.min <= box[3] and sk.max >= box[2]
+                ):
+                    hit += 1
+        return hit / total
+
+    plain_frac, zed_frac = overlap_fraction(plain), overlap_fraction(zed)
+    # Natural layout: essentially every row group spans the box.  Z-order:
+    # only the corner's neighborhood does.
+    assert zed_frac <= 0.5 * plain_frac, (plain_frac, zed_frac)
