@@ -76,6 +76,13 @@ _LOADED = False
 # families.  Queries with strong independent pytest evidence (stream ==
 # batch equality, np == JVM equality) and the r1-green trivia follow.
 # Names not listed keep their module registration order at the end.
+#
+# ROTATION PLAN (r3+): once CORRECTNESS_r02 lands, demote its green rows
+# and promote everything still driver-unchecked — the streaming five,
+# sim_cosine_topk_np, scd2_merge, and the round-2 additions
+# (samp_shuffle, samp_pack, dedup_decontaminate, dedup_embedding_lsh,
+# join_fuzzy, evt_funnel, mm_audio_features) — so cumulative driver
+# evidence reaches the whole registry by r3.
 _PRIORITY: tuple[str, ...] = (
     # r1 driver failures, fixed this round
     "agg_groupby_single",
