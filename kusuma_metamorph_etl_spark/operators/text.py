@@ -33,14 +33,28 @@ def words(text: Column) -> Column:
     tokens and runs collapse — mirrored in the oracle via
     ``regexp_split_to_array('\\s+')`` (queries/ext.py ``_W``).
 
-    The split pattern is the explicit char class of RE2's ``\\s``
-    (``[\\t\\n\\f\\r ]`` — NOT Java's, which adds ``\\x0B``; the oracle
-    engine is RE2-based, so vertical tab must not be a separator on either
-    side) with no quantifier: runs just produce empty tokens, which the
-    filter drops anyway, and the quantifier-free class measures ~10%
-    faster over the minhash pipeline at sf0.1 (6.6s -> 6.0s; plain
-    ``' '`` would be 4.2s but loses multi-line correctness)."""
-    return F.filter(F.split(text, r"[ \t\n\f\r]"), lambda w: w != F.lit(""))
+    Two per-row paths with identical semantics: rows containing a
+    non-space separator take the regex class split; the common case
+    (space-only text) takes the literal single-char split, which skips
+    the regex engine entirely.  Measured over the minhash pipeline at
+    sf0.1: always-regex is 6.0-6.6s, the literal path 4.2s — the
+    ``contains`` probes are memchr-cheap, so mostly-plain corpora keep
+    literal-split speed without losing multi-line correctness.
+
+    The class is RE2's ``\\s`` (``[\\t\\n\\f\\r ]`` — NOT Java's, which
+    adds ``\\x0B``; the oracle engine is RE2-based, so vertical tab must
+    not separate on either side); no quantifier — runs just produce empty
+    tokens, which the filter drops anyway."""
+    exotic = (
+        text.contains("\t")
+        | text.contains("\n")
+        | text.contains("\f")
+        | text.contains("\r")
+    )
+    toks = F.when(exotic, F.split(text, r"[ \t\n\f\r]")).otherwise(
+        F.split(text, " ")
+    )
+    return F.filter(toks, lambda w: w != F.lit(""))
 
 
 def token_count(text: Column) -> Column:
