@@ -461,12 +461,31 @@ def embedding_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("a"), as_double(F.col(vec_col)).alias("a_v"))
-    vb = df.select(F.col(id_col).alias("b"), as_double(F.col(vec_col)).alias("b_v"))
+    # Norms precompute per VECTOR in the attach projections (materialized
+    # by the join exchange — once per row, not once per pair), so each
+    # candidate costs one dot fold instead of dot + two norm folds.
+    from kusuma_metamorph_etl_spark.operators.similarity import dot, norm
+
+    va = df.select(
+        F.col(id_col).alias("a"),
+        as_double(F.col(vec_col)).alias("a_v"),
+        norm(as_double(F.col(vec_col))).alias("a_n"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("b"),
+        as_double(F.col(vec_col)).alias("b_v"),
+        norm(as_double(F.col(vec_col))).alias("b_n"),
+    )
     return (
         cand.join(va, on="a")
         .join(vb, on="b")
-        .select("a", "b", cosine(F.col("a_v"), F.col("b_v")).alias("cosine"))
+        .select(
+            "a",
+            "b",
+            (dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))).alias(
+                "cosine"
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
