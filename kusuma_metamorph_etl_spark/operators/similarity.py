@@ -149,6 +149,71 @@ def cosine_pairs(
     )
 
 
+def ivf_build(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Pick the IVF centroid set: corpus vectors at a deterministic
+    id-stride (k-means refinement is an orthogonal upgrade; the plan
+    shape is what scales).  Bounded driver collect — the index IS tiny
+    by construction."""
+    total = corpus.count()
+    stride = max(total // n_centroids, 1)
+    rows = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(as_double(F.col(vec_col)).alias("centroid"))
+        .collect()
+    )
+    return [list(r["centroid"]) for r in rows]
+
+
+def _centroid_cells(centroids: list[list[float]]) -> Column:
+    """The centroid set as ONE plan literal so cell assignment is a pure
+    map (no shuffle, no window, no join)."""
+    return F.array(
+        *[
+            F.struct(F.lit(i).alias("cell"), F.lit(c).alias("centroid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def _assign_cells(
+    df: DataFrame,
+    cells: Column,
+    out: str,
+    probes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per row: cosine against every centroid, sort, keep ``probes``
+    cells — all inside one projected expression."""
+    v = as_double(F.col(vec_col))
+    sims = F.transform(
+        cells,
+        lambda s: F.struct(
+            s["cell"].alias("cell"), cosine(v, s["centroid"]).alias("sim")
+        ),
+    )
+    ranked = F.array_sort(
+        sims,
+        lambda l, r: F.when(l["sim"] > r["sim"], -1)
+        .when(l["sim"] < r["sim"], 1)
+        .otherwise(l["cell"] - r["cell"]),
+    )
+    return df.select(
+        F.col(id_col).alias(out),
+        v.alias(f"{out}_v"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, probes), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -162,61 +227,19 @@ def ivf_topk(
 
     Classic two-level ANN: partition the corpus into ``n_centroids``
     Voronoi cells, then each query scans only its ``n_probe`` nearest
-    cells.  Centroids here are corpus vectors picked by a deterministic
-    id-stride (k-means refinement is an orthogonal upgrade; the *plan
-    shape* — broadcast centroids → argmin assignment → equi-join on
-    cell id — is what scales).
+    cells.
 
     Plan: centroids broadcast everywhere (they are tiny); corpus pays one
     narrow pass to compute its cell id (no shuffle of vectors — the
     assignment is a map); queries explode to ``n_probe`` (query, cell)
     rows; the candidate join is an equi-join on cell id.  Comparisons drop
-    to ~``n_probe / n_centroids`` of brute force.
+    to ~``n_probe / n_centroids`` of brute force.  For a REUSED index,
+    :func:`write_ivf_index` + :func:`ivf_search` persist the assignment
+    as a cell-partitioned layout and partition-prune each search.
     """
-    total = corpus.count()
-    stride = max(total // n_centroids, 1)
-    centroid_rows = (
-        corpus.filter(F.col(id_col) % stride == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(as_double(F.col(vec_col)).alias("centroid"))
-        .collect()
-    )
-    # The index is tiny by construction — embed it as ONE plan literal so
-    # cell assignment is a pure map (no shuffle, no window, no join).
-    cells = F.array(
-        *[
-            F.struct(F.lit(i).alias("cell"), F.lit(r["centroid"]).alias("centroid"))
-            for i, r in enumerate(centroid_rows)
-        ]
-    )
-
-    def assign(df: DataFrame, out: str, probes: int) -> DataFrame:
-        """Per row: cosine against every centroid, sort, keep ``probes``
-        cells — all inside one projected expression."""
-        v = as_double(F.col(vec_col))
-        sims = F.transform(
-            cells,
-            lambda s: F.struct(
-                s["cell"].alias("cell"), cosine(v, s["centroid"]).alias("sim")
-            ),
-        )
-        ranked = F.array_sort(
-            sims,
-            lambda l, r: F.when(l["sim"] > r["sim"], -1)
-            .when(l["sim"] < r["sim"], 1)
-            .otherwise(l["cell"] - r["cell"]),
-        )
-        return df.select(
-            F.col(id_col).alias(out),
-            v.alias(f"{out}_v"),
-            F.explode(
-                F.transform(F.slice(ranked, 1, probes), lambda s: s["cell"])
-            ).alias("cell"),
-        )
-
-    c = assign(corpus, "neighbor_id", 1)  # each corpus vector lives in 1 cell
-    q = assign(queries, "query_id", n_probe)
+    cells = _centroid_cells(ivf_build(corpus, n_centroids, id_col, vec_col))
+    c = _assign_cells(corpus, cells, "neighbor_id", 1, id_col, vec_col)
+    q = _assign_cells(queries, cells, "query_id", n_probe, id_col, vec_col)
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -322,6 +345,94 @@ def lsh_topk(
         )
         # A pair colliding in several tables appears once per table with an
         # identical cosine; max() is just the dedup.
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Persist an IVF index: the corpus written ``partitionBy(cell)`` plus
+    the centroid set as JSON alongside.
+
+    This is the at-scale shape for a REUSED index (training-data dedup /
+    retrieval runs query the same corpus many times): paying the
+    assignment pass once turns every subsequent search's candidate scan
+    into a partition-pruned read of ``n_probe/n_centroids`` of the files
+    (:func:`ivf_search`), instead of re-assigning 100 TB per query batch.
+    """
+    import json
+    import os
+
+    centroids = ivf_build(corpus, n_centroids, id_col, vec_col)
+    cells = _centroid_cells(centroids)
+    assigned = _assign_cells(corpus, cells, id_col, 1, id_col, vec_col)
+    (
+        assigned.withColumnRenamed(f"{id_col}_v", vec_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k against a persisted IVF index (:func:`write_ivf_index`).
+
+    The probed cell set is collected (bounded by ``n_centroids``) and
+    pushed as a STATIC partition filter, so the corpus scan reads only
+    the probed cells' files — partition pruning doing the work the
+    assignment map did in :func:`ivf_topk`.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        centroids = json.load(f)
+    cells = _centroid_cells(centroids)
+    q = _assign_cells(queries, cells, "query_id", n_probe, id_col, vec_col)
+
+    probed = sorted(
+        r["cell"] for r in q.select("cell").distinct().collect()
+    )  # bounded: <= n_centroids
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))  # static partition pruning
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("neighbor_id_v"),
+            "cell",
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cosine"),
+        )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine").alias("cosine"))
     )

@@ -88,3 +88,32 @@ def test_cosine_pairs_threshold(spark, sf_small):
     assert rows, "corpus should contain correlated vectors"
     assert all(r["cosine"] >= 0.3 for r in rows)
     assert all(r["a"] < r["b"] for r in rows)
+
+
+class TestPersistedIvf:
+    def test_search_matches_inline_ivf_and_prunes(self, spark, sf_small, tmp_path):
+        from kusuma_metamorph_etl_spark.operators.similarity import (
+            ivf_search,
+            ivf_topk,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") % 25 == 0)
+        path = str(tmp_path / "ivf")
+        write_ivf_index(emb, path, n_centroids=16)
+
+        inline = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4).collect()
+        }
+        searched_df = ivf_search(spark, path, queries, k=5, n_probe=4)
+        searched = {
+            (r["query_id"], r["neighbor_id"]) for r in searched_df.collect()
+        }
+        assert searched == inline  # same index definition -> same answers
+
+        # The corpus scan must partition-prune to the probed cells.
+        plan = searched_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
