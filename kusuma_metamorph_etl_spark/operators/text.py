@@ -262,3 +262,56 @@ def rolling_fingerprint(text: Column, window: int = 32, stride: int = 7) -> Colu
     return F.array_min(
         F.transform(positions, lambda i: F.md5(F.substr(text, i, F.lit(window))))
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_avg_word_len: float = 2.0,
+    max_avg_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.12,
+    min_stopword_ratio: float = 0.02,
+    max_repetition: float = 0.6,
+) -> DataFrame:
+    """Gopher-style rule-based document filter: compose the cheap text
+    signals into a keep/drop verdict with the FIRST failing rule named.
+
+    The published heritage is the Gopher/MassiveText quality heuristics
+    (token-count window, mean-word-length window, symbol ratio, stopword
+    presence, duplicate-n-gram fraction); thresholds are knobs because
+    every corpus tunes them.  One narrow projection — no shuffle, no
+    Python — so it runs at scan speed in front of expensive dedup/model
+    scoring.  Adds ``keep`` (boolean) and ``reject_reason`` (null when
+    kept); callers filter or route on them.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = words(text)
+    n_tokens = F.size(toks)
+    avg_wl = F.when(
+        n_tokens > 0, (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.regexp_count(text, F.lit(r"[#@<>{}\[\]\\|~^]"))
+    symbol_ratio = F.when(
+        n_chars > 0, n_symbols.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0,
+        stopword_count(text, "en").cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    rep = ngram_repetition(text, 2)
+
+    reason = (
+        F.when(n_tokens < min_tokens, F.lit("too_few_tokens"))
+        .when(n_tokens > max_tokens, F.lit("too_many_tokens"))
+        .when(avg_wl < min_avg_word_len, F.lit("avg_word_len_low"))
+        .when(avg_wl > max_avg_word_len, F.lit("avg_word_len_high"))
+        .when(symbol_ratio > max_symbol_ratio, F.lit("symbol_ratio_high"))
+        .when(stop_ratio < min_stopword_ratio, F.lit("stopword_ratio_low"))
+        .when(rep > max_repetition, F.lit("repetition_high"))
+    )
+    return df.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull()
+    )

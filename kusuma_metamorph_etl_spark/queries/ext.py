@@ -229,6 +229,63 @@ def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_gopher_filter",
+    f"""WITH tok AS (SELECT doc_id, text, {_W_TEXT} AS w,
+                            {_W_LOWER} AS wl
+                     FROM documents),
+        m AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len(w) AS n_tokens,
+                 CASE WHEN len(w) > 0
+                      THEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+                      ELSE 0.0 END AS avg_wl,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(len(regexp_extract_all(text,
+                               '[#@<>{{}}\\[\\]\\\\|~^]')) AS DOUBLE)
+                           / length(text)
+                      ELSE 0.0 END AS sym_ratio,
+                 CASE WHEN len(w) > 0
+                      THEN CAST(len(list_filter(wl,
+                               x -> x IN ('the','a','and','of','to','in','is','it')))
+                               AS DOUBLE) / len(w)
+                      ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN greatest(len(w) - 1, 0) > 0
+                      THEN round(1.0 - CAST(len(list_distinct(
+                               list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                              i -> concat_ws(' ', w[i], w[i+1]))))
+                               AS DOUBLE) / (len(w) - 1), 6)
+                      ELSE 0.0 END AS rep2
+          FROM tok)
+        SELECT doc_id,
+               CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+                    WHEN n_tokens > 100000 THEN 'too_many_tokens'
+                    WHEN avg_wl < 2.0 THEN 'avg_word_len_low'
+                    WHEN avg_wl > 12.0 THEN 'avg_word_len_high'
+                    WHEN sym_ratio > 0.12 THEN 'symbol_ratio_high'
+                    WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low'
+                    WHEN rep2 > 0.6 THEN 'repetition_high'
+                    END AS reject_reason,
+               (CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+                     WHEN n_tokens > 100000 THEN 'too_many_tokens'
+                     WHEN avg_wl < 2.0 THEN 'avg_word_len_low'
+                     WHEN avg_wl > 12.0 THEN 'avg_word_len_high'
+                     WHEN sym_ratio > 0.12 THEN 'symbol_ratio_high'
+                     WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low'
+                     WHEN rep2 > 0.6 THEN 'repetition_high'
+                     END) IS NULL AS keep
+        FROM m""",
+)
+def txt_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style composite quality filter ([EXT]): the
+    cheap text signals composed into keep/drop with the first failing
+    rule named (`operators/text.py::gopher_filter`).  One narrow
+    projection — runs at scan speed in front of dedup/model scoring."""
+    docs = t(spark, sf_dir, "documents")
+    return text.gopher_filter(docs).select("doc_id", "reject_reason", "keep")
+
+
+@register(
     "txt_repetition",
     f"""WITH tok AS (SELECT doc_id, {_W_TEXT} AS w FROM documents),
         g AS (

@@ -293,3 +293,30 @@ class TestPackSequences:
         assert packed.count() == docs.count()
         total = docs.agg(F.sum("n_chars")).first()[0]
         assert per_pack.agg(F.sum("tok")).first()[0] == total
+
+
+def test_gopher_filter_rules(spark):
+    from kusuma_metamorph_etl_spark.operators.text import gopher_filter
+
+    good = "the quick brown fox jumps over a lazy dog and it runs to the barn in the rain of march morning light"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short"),
+            (3, "the " + "#@{} " * 30 + "of it " * 10),
+            (4, "the cat sat in the barn and it is fine " + "again again " * 40),
+            (5, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+            (6, "the " + "pneumonoultramicroscopics " * 30),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in gopher_filter(docs).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (False, "too_few_tokens")
+    assert got[3] == (False, "symbol_ratio_high")
+    assert got[4] == (False, "repetition_high")
+    assert got[5] == (False, "stopword_ratio_low")
+    assert got[6] == (False, "avg_word_len_high")
