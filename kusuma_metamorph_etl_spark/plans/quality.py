@@ -145,3 +145,40 @@ def null_policy(df: DataFrame, not_null: list[str], sample: int = 20) -> DataFra
             f"{[row.asDict() for row in offenders[:5]]}"
         )
     return df
+
+
+class ReferentialIntegrityError(Exception):
+    pass
+
+
+def find_orphans(
+    fact: DataFrame, dim: DataFrame, fk: str, pk: str | None = None
+) -> DataFrame:
+    """Fact rows whose foreign key has no match in the dimension (null FKs
+    are not orphans — null means 'no reference', not 'bad reference').
+
+    Plan: left_anti against the DISTINCT key projection of the dim — the
+    anti-join shuffles keys, never dim payload, and broadcasts when the
+    key set is small."""
+    keys = dim.select(F.col(pk or fk).alias(fk)).distinct()
+    return fact.filter(F.col(fk).isNotNull()).join(keys, on=fk, how="left_anti")
+
+
+def referential_gate(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk: str,
+    pk: str | None = None,
+    sample: int = 20,
+) -> DataFrame:
+    """Raise :class:`ReferentialIntegrityError` when fact rows reference a
+    key absent from the dimension — the FK companion of the reference's
+    PK `duplicate_gate` (`transform_utils.py:79-92`); pass-through when
+    clean."""
+    offenders = find_orphans(fact, dim, fk, pk).limit(sample).collect()
+    if offenders:
+        raise ReferentialIntegrityError(
+            f"fact rows reference missing {fk}: "
+            f"{[row.asDict() for row in offenders[:5]]}"
+        )
+    return fact

@@ -58,3 +58,24 @@ def attribution_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def dim_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream–static enrichment join: attach dimension attributes to a
+    stream (the streaming analog of the marts' broadcast dim joins).
+
+    Stream–static joins keep NO state — each micro-batch joins against
+    the current dim snapshot, so there is nothing to watermark and the
+    dim may be swapped between batches (a slowly-refreshing parquet dim
+    picks up new files automatically).  Broadcast keeps the fact side
+    un-shuffled, exactly like the batch marts; the same call works on a
+    batch frame, which is what the stream==batch test asserts.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)

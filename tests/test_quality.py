@@ -100,3 +100,33 @@ def test_approx_count_distinct_error_bound(spark, sf_small):
     for row in merged:
         rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
         assert rel_err <= 0.06, row
+
+
+def test_referential_gate_passes_when_clean(spark):
+    from kusuma_metamorph_etl_spark.plans.quality import referential_gate
+
+    fact = spark.createDataFrame([(1, 10), (2, 20)], "id long, fk long")
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    out = referential_gate(fact, dim, fk="fk", pk="pk")
+    assert out.count() == 2  # pass-through
+
+
+def test_referential_gate_raises_on_orphans(spark):
+    from kusuma_metamorph_etl_spark.plans.quality import (
+        ReferentialIntegrityError,
+        referential_gate,
+    )
+
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "id long, fk long")
+    dim = spark.createDataFrame([(10,)], "pk long")
+    with pytest.raises(ReferentialIntegrityError) as err:
+        referential_gate(fact, dim, fk="fk", pk="pk")
+    assert "99" in str(err.value)  # offending sample surfaced
+
+
+def test_referential_gate_null_fk_is_not_orphan(spark):
+    from kusuma_metamorph_etl_spark.plans.quality import find_orphans
+
+    fact = spark.createDataFrame([(1, None), (2, 10)], "id long, fk long")
+    dim = spark.createDataFrame([(10,)], "pk long")
+    assert find_orphans(fact, dim, fk="fk", pk="pk").count() == 0

@@ -343,3 +343,28 @@ def test_stateful_dedup_stream_matches_batch(spark, sf_small):
         .count()
     )
     assert len(got) == n_keys
+
+
+def test_stream_dim_enrich_matches_batch(spark, sf_small):
+    """Stream-static broadcast enrichment: same transform, same results,
+    batch and stream — and no state/watermark needed."""
+    from kusuma_metamorph_etl_spark.streaming.joins import dim_enrich
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"), ("view", "engagement"),
+         ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    events_b = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type"
+    )
+    batch = dim_enrich(events_b, dim, on="event_type")
+    stream = dim_enrich(
+        stream_events(spark, sf_small).select("event_id", "event_type"),
+        dim,
+        on="event_type",
+    )
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "t_enrich", output_mode="append")
+    assert _rows(spark.table("t_enrich")) == _rows(batch)
