@@ -32,7 +32,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "dedup_decontaminate",
     "samp_stratified",
+    "samp_pack",
     "sim_cosine_topk",
     "sim_cosine_topk_np",
     "txt_quality",
@@ -41,6 +43,8 @@ HEADLINE = [
     "stream_session",
     "join_asof",
     "join_range",
+    "join_fuzzy",
+    "evt_funnel",
 ]
 
 

@@ -71,12 +71,19 @@ def incremental_dedup(
 
 # ----------------------------------------------------------------- shingles
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (0-based transform over the token
-    array; all JVM-side).  Documents with fewer than ``n`` tokens yield an
-    empty set — guarded explicitly because ``sequence(0, -1)`` would count
-    *down* and index 0 is invalid under ANSI semantics."""
-    toks = words(text)
+def token_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles over an ALREADY-MATERIALIZED token array
+    (0-based transform; all JVM-side).  Documents with fewer than ``n``
+    tokens yield an empty set — guarded explicitly because
+    ``sequence(0, -1)`` would count *down* and index 0 is invalid under
+    ANSI semantics.
+
+    Pass a materialized column, not the ``words(...)`` expression:
+    higher-order-function lambdas re-evaluate captured outer expressions
+    PER ELEMENT (no cross-lambda subexpression elimination), so an inline
+    tokenizer would re-split the document once per gram per ``element_at``
+    — measured 12.8s → 0.8s on the 5-gram decontamination sweep at sf0.1
+    after materializing tokens in the projection below the explode."""
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -89,12 +96,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience form for
+    single-use expressions.  Hot paths (anything exploding shingles)
+    should materialize tokens first and use :func:`token_shingles`."""
+    return token_shingles(words(text), n)
+
+
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) inverted-index rows."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) inverted-index rows.  Tokens materialize in their own
+    projection under the explode Generate — see :func:`token_shingles` for
+    why inlining the tokenizer into the lambda is pathological."""
+    toked = df.select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
+    return toked.select(
+        F.col(id_col), F.explode(token_shingles(F.col("__toks"), n)).alias("shingle")
     )
 
 
@@ -548,21 +565,22 @@ def ngram_contamination(
 
     Returns distinct contaminated ``id_col`` rows.
     """
-    gram = F.explode(word_shingles(F.lower(F.col(text_col)), n))
-
     def key(col: Column) -> Column:
         return F.xxhash64(col) if hash_grams else col
 
-    bench_grams = (
-        benchmark.select(gram.alias("__gram"))
-        .select(key(F.col("__gram")).alias("__gram"))
-        .distinct()
-    )
-    # explode in its own projection — a generator cannot nest inside the
-    # hash expression.
-    corpus_grams = corpus.select(F.col(id_col), gram.alias("__gram")).select(
-        id_col, key(F.col("__gram")).alias("__gram")
-    )
+    def grams_of(df: DataFrame, *cols: str) -> DataFrame:
+        # Tokens materialize under the explode (token_shingles docstring),
+        # and the hash applies in a projection above it — a generator
+        # cannot nest inside the hash expression.
+        toked = df.select(
+            *cols, words(F.lower(F.col(text_col))).alias("__toks")
+        )
+        return toked.select(
+            *cols, F.explode(token_shingles(F.col("__toks"), n)).alias("__g")
+        ).select(*cols, key(F.col("__g")).alias("__gram"))
+
+    bench_grams = grams_of(benchmark).distinct()
+    corpus_grams = grams_of(corpus, id_col)
     return (
         corpus_grams.join(F.broadcast(bench_grams), on="__gram")
         .select(id_col)
