@@ -347,8 +347,8 @@ def sample_frames(
 # ------------------------------------------------------------- audio codec
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """Canonical 44-byte-header PCM16 WAV encoder (mono HxW... 1-D int16,
-    or 2-D (n, channels))."""
+    """Canonical 44-byte-header PCM16 WAV encoder.  ``samples``: 1-D int16
+    (mono) or 2-D ``(n_samples, channels)`` interleaved on write."""
     arr = np.asarray(samples, dtype=np.int16)
     if arr.ndim == 1:
         arr = arr[:, None]

@@ -127,15 +127,35 @@ def cluster_by_zorder(
     dropped; only the row ORDER carries the clustering.  Value-ordering
     content is unchanged (pure reordering).
     """
+    from pyspark.ml.feature import Bucketizer
+
     num_files = num_files or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     levels = 2**bits
+    # ONE multi-column approxQuantile pass over the raw input — a
+    # per-column quantile_bucket chain would launch one full-scan driver
+    # job per column, each re-executing the previous columns' transforms.
+    probs = [i / levels for i in range(1, levels)]
+    all_bounds = df.stat.approxQuantile(list(cols), probs, 0.001)
     out = df
     bucket_cols = []
-    for idx, c in enumerate(cols):
-        out, _ = quantile_bucket(out, c, levels, out_col=f"__zb{idx}")
-        bucket_cols.append(F.greatest(F.col(f"__zb{idx}"), F.lit(0)))  # null→0
+    for idx, (c, col_bounds) in enumerate(zip(cols, all_bounds)):
+        bounds = sorted(set(col_bounds))
+        splits = [float("-inf"), *bounds, float("inf")]
+        if len(splits) < 3:  # constant/all-null column: single bucket
+            out = out.withColumn(f"__zb{idx}", F.lit(0))
+        else:
+            out = Bucketizer(
+                splits=splits, inputCol=c, outputCol=f"__zb{idx}_raw",
+                handleInvalid="keep",
+            ).transform(out).withColumn(
+                f"__zb{idx}",
+                F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                    F.col(f"__zb{idx}_raw").cast("int")
+                ),
+            ).drop(f"__zb{idx}_raw")
+        bucket_cols.append(F.col(f"__zb{idx}"))
     out = out.withColumn("__z", zorder_value(bucket_cols, bits))
     out = (
         out.repartitionByRange(num_files, "__z")

@@ -90,7 +90,8 @@ def deterministic_shuffle(
     key_out: str = "shuffle_key",
 ) -> DataFrame:
     """Reproducible global pseudo-random ordering for training-data runs:
-    sort by ``md5(seed | key)``.
+    sort by :func:`row_sort_key` (md5 over the seed plus one fixed-width
+    per-column digest — see there for the collision story).
 
     ``DataFrame.orderBy(rand(seed))`` is partition-layout-dependent (same
     trap as ``sample``); a content-hash sort key reproduces the same order
@@ -133,7 +134,7 @@ def pack_sequences(
     """Assign each document to a fixed-token-budget training pack.
 
     Documents are laid out in the deterministic shuffle order
-    (md5(seed|key), see :func:`deterministic_shuffle`) and cut into packs
+    (:func:`row_sort_key`, see :func:`deterministic_shuffle`) and cut into packs
     by prefix sum: ``pack_id = floor((tokens before this doc) / budget)``
     — the streaming-pack rule, where a pack may overflow by at most one
     document (real pipelines then truncate/split the straddler).  The

@@ -373,7 +373,6 @@ def write_ivf_index(
     (:func:`ivf_search`), instead of re-assigning 100 TB per query batch.
     """
     import json
-    import os
 
     centroids = ivf_build(corpus, n_centroids, id_col, vec_col)
     cells = _centroid_cells(centroids)
@@ -384,8 +383,13 @@ def write_ivf_index(
         .partitionBy("cell")
         .parquet(path)
     )
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    # Sidecar written through Spark so any filesystem works (local open()
+    # would break on hdfs://s3a:// URIs); the leading underscore hides the
+    # directory from parquet readers of `path`.
+    spark = corpus.sparkSession
+    spark.createDataFrame([(json.dumps(centroids),)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/_ivf_centroids")
     return centroids
 
 
@@ -406,16 +410,20 @@ def ivf_search(
     assignment map did in :func:`ivf_topk`.
     """
     import json
-    import os
 
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        centroids = json.load(f)
+    centroids = json.loads(
+        spark.read.text(f"{path}/_ivf_centroids").first()["value"]
+    )
     cells = _centroid_cells(centroids)
-    q = _assign_cells(queries, cells, "query_id", n_probe, id_col, vec_col)
+    # One pass over the query side: the assignment rows are bounded by
+    # |Q| x n_probe (queries must be the small/broadcast side), so collect
+    # once and rebuild locally instead of re-running the source scan +
+    # centroid scoring for the probed-cells set AND again for the join.
+    q_rows = _assign_cells(queries, cells, "query_id", n_probe, id_col, vec_col)
+    collected = q_rows.collect()
+    q = spark.createDataFrame(collected, q_rows.schema)
 
-    probed = sorted(
-        r["cell"] for r in q.select("cell").distinct().collect()
-    )  # bounded: <= n_centroids
+    probed = sorted({r["cell"] for r in collected})  # bounded: <= n_centroids
     corpus = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(probed))  # static partition pruning

@@ -81,7 +81,13 @@ def global_percent_rank(
 def _percent_rank_broadcast_map(
     df: DataFrame, value_col: str, out_col: str, descending: bool
 ) -> DataFrame:
-    """Low-cardinality path: tiny distinct-value window + broadcast map."""
+    """Low-cardinality path: tiny distinct-value window + broadcast map.
+
+    The map joins back with NULL-SAFE equality so null values receive
+    their rank like any other group (Spark's window ranks nulls — last
+    for desc, first for asc — and the distinct-value window here orders
+    them identically); a plain equi-join would leave null rows unranked.
+    """
     order = F.desc(value_col) if descending else F.asc(value_col)
     counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     # The distinct-value frame is small; this window is cheap by design.
@@ -93,16 +99,20 @@ def _percent_rank_broadcast_map(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     ranked = counts.select(
-        value_col,
+        F.col(value_col).alias("__rank_value"),
         F.coalesce(F.sum("__cnt").over(tiny_window), F.lit(0)).alias("__before"),
         F.sum("__cnt").over(total_window).alias("__total"),
     ).select(
-        value_col,
+        "__rank_value",
         F.when(F.col("__total") > 1, F.col("__before") / (F.col("__total") - 1))
         .otherwise(F.lit(0.0))
         .alias(out_col),
     )
-    return df.join(F.broadcast(ranked), on=value_col, how="left")
+    return df.join(
+        F.broadcast(ranked),
+        on=F.col(value_col).eqNullSafe(F.col("__rank_value")),
+        how="left",
+    ).drop("__rank_value")
 
 
 

@@ -74,7 +74,9 @@ def test_asof_join_matches_bruteforce(lefts, rights):
 @settings(max_examples=10, deadline=None)
 @given(
     values=st.lists(
-        st.integers(min_value=-5, max_value=5), min_size=1, max_size=30
+        st.one_of(st.integers(min_value=-5, max_value=5), st.none()),
+        min_size=1,
+        max_size=30,
     )
 )
 def test_global_percent_rank_matches_window(values):
@@ -82,7 +84,10 @@ def test_global_percent_rank_matches_window(values):
     prefix-sum) equal Spark's own single-partition window, including tie
     semantics."""
     spark = _session()
-    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(values)], "i long, v double")
+    df = spark.createDataFrame(
+        [(i, None if v is None else float(v)) for i, v in enumerate(values)],
+        "i long, v double",
+    )
     reference = {
         r["i"]: r["pr"]
         for r in df.withColumn(
