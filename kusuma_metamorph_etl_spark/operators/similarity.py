@@ -450,3 +450,44 @@ def ivf_search(
         order_by=[F.desc("cosine"), F.asc("neighbor_id")],
         k=k,
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q = round(x * 127 /
+    max_abs)``, stored with its ``scale = max_abs / 127`` — the standard
+    4× storage/bandwidth reduction for large embedding corpora (dot
+    products on int8 then rescale; recall loss is bounded by the per-
+    component rounding).  Pure column expressions; zero vectors keep
+    scale 0 and quantize to zeros.
+
+    Output: ``(id, qvec array<int>, scale double)`` — int8-ranged values
+    in an int array (parquet stores them dictionary/RLE-compressed;
+    Spark has no int8 array element type).
+    """
+    v = as_double(F.col(vec_col))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    qvec = F.when(
+        max_abs > 0,
+        F.transform(v, lambda x: F.round(x * 127.0 / max_abs).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(F.col(id_col), qvec.alias("qvec"), scale.alias("scale"))
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x ≈ q * scale``."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
+        ).alias("embedding"),
+    )

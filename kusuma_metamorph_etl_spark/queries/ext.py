@@ -652,6 +652,47 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 
+@register(
+    "sim_quantize",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        m AS (SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) AS ma
+              FROM v),
+        q AS (SELECT vec_id, ma,
+                     CASE WHEN ma > 0
+                          THEN list_transform(e,
+                               x -> CAST(round(x * 127 / ma) AS BIGINT))
+                          ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                          END AS qv
+              FROM m)
+        SELECT vec_id,
+               CAST(len(qv) AS BIGINT) AS n_dims,
+               ma / 127.0 AS scale,
+               CAST(list_min(qv) AS BIGINT) AS q_min,
+               CAST(list_max(qv) AS BIGINT) AS q_max,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum
+        FROM q""",
+)
+def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization ([EXT]): the 4x storage
+    reduction for embedding corpora (`operators/similarity.py::
+    quantize_embeddings`).  Scalar summaries (dims, scale, min/max/sum of
+    the quantized components) because rows-only harnesses cannot hash
+    array values; round-trip error bounds are pinned in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.size("qvec").cast("long").alias("n_dims"),
+        "scale",
+        F.array_min("qvec").cast("long").alias("q_min"),
+        F.array_max("qvec").cast("long").alias("q_max"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+    )
+
+
 @register("sim_lsh_topk", None)  # xxhash64-derived hyperplanes — rows-only
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane bucketing

@@ -117,3 +117,55 @@ class TestPersistedIvf:
         plan = searched_df._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan
         assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+class TestQuantization:
+    def test_roundtrip_error_bounded(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.similarity import (
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(100)
+        q = quantize_embeddings(emb)
+        back = dequantize_embeddings(q)
+        joined = {
+            r["vec_id"]: (r["orig"], r["deq"], r["scale"])
+            for r in emb.select(
+                "vec_id", F.col("embedding").alias("orig")
+            )
+            .join(
+                back.select("vec_id", F.col("embedding").alias("deq")).join(
+                    q.select("vec_id", "scale"), on="vec_id"
+                ),
+                on="vec_id",
+            )
+            .collect()
+        }
+        for orig, deq, scale in joined.values():
+            # per-component error <= scale/2 (+eps for double noise)
+            for o, d in zip(orig, deq):
+                assert abs(float(o) - d) <= scale / 2 + 1e-9
+
+    def test_int8_range_and_extremes(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        q = quantize_embeddings(emb).collect()
+        for r in q:
+            assert all(-127 <= x <= 127 for x in r["qvec"])
+            # the max-abs component maps to exactly +/-127
+            assert max(abs(x) for x in r["qvec"]) == 127 or r["scale"] == 0.0
+
+    def test_zero_vector(self, spark):
+        from kusuma_metamorph_etl_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        [r] = quantize_embeddings(df).collect()
+        assert r["qvec"] == [0, 0, 0] and r["scale"] == 0.0
