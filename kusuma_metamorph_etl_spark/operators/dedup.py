@@ -302,9 +302,14 @@ def minhash_near_dups(
     """
     shingles = shingle_table(df, text_col, id_col, n)
     candidates = _lsh_candidates_from_shingles(shingles, id_col, n_hashes, bands)
-    # word_shingles is already distinct per doc, so |intersect| is the
-    # exact common-shingle count and |array| the per-doc set size.
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
+    # Shingle sets are distinct per doc, so |intersect| is the exact
+    # common-shingle count and |array| the per-doc set size.  Tokens
+    # materialize in their own select — token_shingles embeds its input
+    # expression ~5x, and an inlined tokenizer evaluates per copy
+    # (measured 4.4s -> 0.2s for this projection at sf0.1).
+    sh = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), token_shingles(F.col("__toks"), n).alias("sh"))
     sa = sh.toDF("a", "sha")
     sb = sh.toDF("b", "shb")
     if prefilter_candidates:

@@ -134,11 +134,15 @@ EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 NUMBER_REGEX = r"[0-9(][0-9 ()\-]{5,}[0-9]"
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Word n-grams as space-joined strings.  Empty array when the document
-    has fewer than ``n`` tokens (guarded: Spark's ``sequence(1, 0)`` would
-    count *down*, not produce an empty range)."""
-    w = words(text)
+def token_ngrams(w: Column, n: int) -> Column:
+    """Word n-grams over an ALREADY-MATERIALIZED token array.  Empty array
+    when the document has fewer than ``n`` tokens (guarded: Spark's
+    ``sequence(1, 0)`` would count *down*, not produce an empty range).
+
+    The input expression is embedded ``n + 2`` times — pass a cheap
+    attribute reference, not the tokenizer expression, or every copy
+    re-evaluates (the 18x trap documented at
+    ``operators/dedup.py::token_shingles``)."""
     cnt = F.size(w) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), cnt),
@@ -147,6 +151,12 @@ def word_ngrams(text: Column, n: int) -> Column:
         ),
     )
     return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """N-grams straight from a text column — single-use convenience; hot
+    paths materialize tokens first and use :func:`token_ngrams`."""
+    return token_ngrams(words(text), n)
 
 
 def ngram_repetition(text: Column, n: int = 2) -> Column:
@@ -281,14 +291,21 @@ def gopher_filter(
     The published heritage is the Gopher/MassiveText quality heuristics
     (token-count window, mean-word-length window, symbol ratio, stopword
     presence, duplicate-n-gram fraction); thresholds are knobs because
-    every corpus tunes them.  One narrow projection — no shuffle, no
-    Python — so it runs at scan speed in front of expensive dedup/model
-    scoring.  Adds ``keep`` (boolean) and ``reject_reason`` (null when
-    kept); callers filter or route on them.
+    every corpus tunes them.  Narrow (no shuffle, no Python) so it runs
+    at scan speed in front of expensive dedup/model scoring.  Adds
+    ``keep`` (boolean) and ``reject_reason`` (null when kept); callers
+    filter or route on them.
+
+    Tokens materialize in their own projection: the rule expressions
+    reference them ~10 times, and inlining the tokenizer per reference
+    measured 8.5s vs 0.4s for the sweep at sf0.1 (the
+    ``token_shingles`` trap).
     """
     text = F.col(text_col)
+    toked = df.select("*", words(text).alias("__toks"))
+    toks = F.col("__toks")
+
     n_chars = F.length(text)
-    toks = words(text)
     n_tokens = F.size(toks)
     avg_wl = F.when(
         n_tokens > 0, (n_chars - (n_tokens - 1)).cast("double") / n_tokens
@@ -297,11 +314,21 @@ def gopher_filter(
     symbol_ratio = F.when(
         n_chars > 0, n_symbols.cast("double") / n_chars
     ).otherwise(F.lit(0.0))
+    stop = STOPWORDS["en"]
+    n_stop = F.size(
+        F.filter(
+            F.transform(toks, lambda w: F.lower(w)), lambda w: w.isin(*stop)
+        )
+    )
     stop_ratio = F.when(
-        n_tokens > 0,
-        stopword_count(text, "en").cast("double") / n_tokens,
+        n_tokens > 0, n_stop.cast("double") / n_tokens
     ).otherwise(F.lit(0.0))
-    rep = ngram_repetition(text, 2)
+    grams = token_ngrams(toks, 2)
+    total = F.size(grams)
+    rep = F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)).cast("double") / total, 6),
+    ).otherwise(F.lit(0.0))
 
     reason = (
         F.when(n_tokens < min_tokens, F.lit("too_few_tokens"))
@@ -312,6 +339,8 @@ def gopher_filter(
         .when(stop_ratio < min_stopword_ratio, F.lit("stopword_ratio_low"))
         .when(rep > max_repetition, F.lit("repetition_high"))
     )
-    return df.withColumn("reject_reason", reason).withColumn(
-        "keep", F.col("reject_reason").isNull()
+    return (
+        toked.withColumn("reject_reason", reason)
+        .withColumn("keep", F.col("reject_reason").isNull())
+        .drop("__toks")
     )
