@@ -154,11 +154,20 @@ def ivf_build(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> list[list[float]]:
     """Pick the IVF centroid set: corpus vectors at a deterministic
-    id-stride (k-means refinement is an orthogonal upgrade; the plan
-    shape is what scales).  Bounded driver collect — the index IS tiny
-    by construction."""
+    id-stride, optionally refined with ``refine_iters`` Lloyd (k-means)
+    iterations.  Bounded driver collects only — the index IS tiny by
+    construction.
+
+    Each Lloyd iteration is one distributed pass: broadcast-literal cell
+    assignment (narrow map), then per-(cell, dimension) means via
+    ``posexplode`` + one keyed aggregation — the shuffle carries
+    (cell, pos, partial-sum) triples, never whole vectors; the collect
+    is ``n_centroids x dim`` doubles.  Empty cells keep their previous
+    centroid (the deterministic stride seed makes that rare).
+    """
     total = corpus.count()
     stride = max(total // n_centroids, 1)
     rows = (
@@ -168,7 +177,24 @@ def ivf_build(
         .select(as_double(F.col(vec_col)).alias("centroid"))
         .collect()
     )
-    return [list(r["centroid"]) for r in rows]
+    centroids = [list(r["centroid"]) for r in rows]
+    for _ in range(refine_iters):
+        cells = _centroid_cells(centroids)
+        assigned = _assign_cells(corpus, cells, "rid", 1, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode("rid_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )  # bounded: n_centroids x dim rows
+        updated = {c: dict() for c in range(len(centroids))}
+        for r in means:
+            updated[r["cell"]][r["pos"]] = r["m"]
+        centroids = [
+            [updated[c][p] for p in sorted(updated[c])] if updated[c] else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
 
 
 def _centroid_cells(centroids: list[list[float]]) -> Column:
@@ -362,6 +388,7 @@ def write_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> list[list[float]]:
     """Persist an IVF index: the corpus written ``partitionBy(cell)`` plus
     the centroid set as JSON alongside.
@@ -374,7 +401,7 @@ def write_ivf_index(
     """
     import json
 
-    centroids = ivf_build(corpus, n_centroids, id_col, vec_col)
+    centroids = ivf_build(corpus, n_centroids, id_col, vec_col, refine_iters)
     cells = _centroid_cells(centroids)
     assigned = _assign_cells(corpus, cells, id_col, 1, id_col, vec_col)
     (

@@ -169,3 +169,30 @@ class TestQuantization:
         )
         [r] = quantize_embeddings(df).collect()
         assert r["qvec"] == [0, 0, 0] and r["scale"] == 0.0
+
+
+def test_ivf_lloyd_refinement_improves_objective(spark, sf_small):
+    """k-means refinement must not worsen (and in practice improves) the
+    within-cell quantization objective (mean 1 - cosine to the assigned
+    centroid) versus the raw stride seed."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.similarity import ivf_build
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    rows = emb.select("embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def objective(centroids):
+        c = np.array(centroids, dtype=np.float64)
+        c_n = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = mat_n @ c_n.T
+        return float(np.mean(1.0 - sims.max(axis=1)))
+
+    seed = ivf_build(emb, n_centroids=8)
+    refined = ivf_build(emb, n_centroids=8, refine_iters=3)
+    assert len(refined) == len(seed)
+    assert objective(refined) <= objective(seed) + 1e-9
+    # Refinement actually moved centroids off the seed vectors.
+    assert refined != seed
