@@ -28,12 +28,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table.  Lazy — no job runs until an action.
 
     ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as raw
-    int64 nanos (``nanosAsLong``, set in session.py); the catalog converts
-    it to a proper µs TimestampType by floor-division — the same ns→µs
-    truncation DuckDB applies when casting TIMESTAMP_NS.
+    int64 nanos (``nanosAsLong``); the catalog converts it to a proper µs
+    TimestampType by floor-division — the same ns→µs truncation DuckDB
+    applies when casting TIMESTAMP_NS.
+
+    The nanosAsLong conf is set HERE, at runtime, not only in session.py's
+    builder conf: callers (e.g. an external harness) may hand us a bare
+    SparkSession built without ``_BASE_CONF``, and the conf is
+    runtime-settable on this Spark, so the catalog is self-sufficient.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
