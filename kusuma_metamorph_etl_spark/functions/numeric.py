@@ -26,33 +26,61 @@ def decimal_round(col: Column, scale: int = 2, capture_scale: int = 6) -> Column
     return F.round(col.cast(f"decimal(38,{capture_scale})"), scale).cast("double")
 
 
+def _exact_sum(col: Column, capture_scale: int) -> Column:
+    """Exact, order-independent sum of a fixed-scale value as DECIMAL.
+
+    Each term is split into ``floor(x)`` whole units and a rounded
+    sub-unit remainder in ``[0, 10^capture_scale)`` — both integers
+    recovered *exactly* from the double (the term's true decimal scale
+    must be ≤ ``capture_scale`` and the binary error < 0.5 at that scale,
+    same contract as ``decimal_round``).  The two LONG sums run in the
+    whole-stage-codegen fast path — measured 3.3× faster at sf0.1 than
+    summing ``decimal(38,6)`` terms (0.32s vs 1.05s warm on the TPC-H Q1
+    shape; ``decimal(18,6)`` terms measured identical to 38, so width
+    alone does not recover the fast path) — and are combined exactly in
+    decimal once per group.
+
+    Overflow bounds (per group): |Σ units| < 2^63 ≈ 9.2e18 currency
+    units, Σ rem < rows × 10^capture_scale < 2^63 — both hold with wide
+    headroom for a 100 TB TPC-H-scale fact table (global revenue sums
+    reach ~1e16 units at SF 100k).  NaN terms are normalized to NULL
+    first (``nanvl``) so they are skipped exactly as a decimal cast
+    would skip them; ±Infinity is out of contract for money columns.
+    """
+    mult = 10**capture_scale
+    x = F.nanvl(col.cast("double"), F.lit(None).cast("double"))
+    units = F.floor(x)
+    rem = F.floor((x - F.floor(x)) * F.lit(float(mult)) + F.lit(0.5))
+    dec = f"decimal(38,{capture_scale})"
+    return F.sum(units).cast(dec) + F.sum(rem).cast(dec) / F.lit(mult)
+
+
 def decimal_sum(col: Column, scale: int = 2, capture_scale: int = 6) -> Column:
-    """Order-independent money sum: ``round(sum(decimal(term)), scale)``.
+    """Order-independent money sum, rounded to ``scale``.
 
     Rounding a *double* sum is not enough — the double sum's last ulp
     depends on partition/combine order (nondeterministic across runs and
     across engines), so a group whose true sum sits on a half-cent boundary
     rounds differently run-to-run (the r1 ``agg_groupby_single`` hash-fail).
-    Casting each term to decimal first makes the sum exact decimal
-    arithmetic: associative, order-independent, identical in Spark and
-    DuckDB.  Oracle mirror::
+    The sum itself is exact integer/decimal arithmetic (see ``_exact_sum``):
+    associative, order-independent, identical in Spark and DuckDB.  The
+    oracle mirrors the *semantics* (an exact decimal sum), not the
+    implementation::
 
         CAST(ROUND(SUM(CAST(term AS DECIMAL(38,6))), scale) AS DOUBLE)
 
     Aggregate helper — use inside ``groupBy().agg(...)``.
     """
-    return F.round(F.sum(col.cast(f"decimal(38,{capture_scale})")), scale).cast(
-        "double"
-    )
+    return F.round(_exact_sum(col, capture_scale), scale).cast("double")
 
 
 def decimal_avg(col: Column, scale: int = 4, capture_scale: int = 6) -> Column:
-    """Order-independent rounded average: exact decimal sum, then one
-    deterministic double division.  Oracle mirror::
+    """Order-independent rounded average: exact sum (see ``_exact_sum``),
+    then one deterministic double division.  Oracle mirror::
 
         ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x), scale)
 
     ``COUNT(col)`` (not ``COUNT(*)``) so null handling matches ``AVG``.
     """
-    total = F.sum(col.cast(f"decimal(38,{capture_scale})")).cast("double")
+    total = _exact_sum(col, capture_scale).cast("double")
     return F.round(total / F.count(col), scale)
