@@ -506,7 +506,12 @@ def embedding_lsh_pairs(
             )
             yield out[out["cosine"] >= threshold]
 
-    return attached.mapInPandas(score, schema="a long, b long, cosine double")
+    # Preserve the caller's id type (string doc ids, ints, ...) — a
+    # hard-coded `long` would make Arrow reject or coerce non-bigint ids.
+    id_type = df.schema[id_col].dataType.simpleString()
+    return attached.mapInPandas(
+        score, schema=f"a {id_type}, b {id_type}, cosine double"
+    )
 
 
 def embedding_dedup(

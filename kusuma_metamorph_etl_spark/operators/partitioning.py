@@ -23,23 +23,36 @@ def quantile_bucket(
     returns ``(bucketed_df, effective_bucket_count)``.
 
     Bounds come from one ``approxQuantile`` pass (bounded driver collect);
-    equal values always share a bucket; nulls get bucket -1.  Bounds need
-    not be exact quantiles — only fixed — so the 0.001 relative error is
-    irrelevant to correctness, it only shifts bucket balance slightly.
-    The effective count can collapse below ``num_buckets`` under heavy
-    ties (a constant column yields 1) — callers should fall back to a
-    small-data strategy when it does.
+    equal values always share a bucket; nulls AND NaN get bucket -1 (NaN
+    has no order position — leaving it to Bucketizer's ``keep`` handling
+    would park it in a phantom bucket == effective count, and a NaN that
+    leaked into the collected bounds would make the splits non-increasing
+    and throw).  Bounds need not be exact quantiles — only fixed — so the
+    0.001 relative error is irrelevant to correctness, it only shifts
+    bucket balance slightly.  The effective count can collapse below
+    ``num_buckets`` under heavy ties (a constant column yields 1) —
+    callers should fall back to a small-data strategy when it does.
     """
+    import math
+
     from pyspark.ml.feature import Bucketizer
 
+    invalid = F.col(numeric_col).isNull() | F.isnan(
+        F.col(numeric_col).cast("double")
+    )
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(numeric_col, probs, 0.001)))
+    bounds = sorted(
+        {
+            b
+            for b in df.stat.approxQuantile(numeric_col, probs, 0.001)
+            if not math.isnan(b)
+        }
+    )
     if not bounds:
-        # Empty or all-null column: Bucketizer would reject the 2-split
-        # spec; a single bucket is trivially correct.
+        # Empty or all-null/NaN column: Bucketizer would reject the
+        # 2-split spec; a single bucket is trivially correct.
         single = df.withColumn(
-            out_col,
-            F.when(F.col(numeric_col).isNull(), F.lit(-1)).otherwise(F.lit(0)),
+            out_col, F.when(invalid, F.lit(-1)).otherwise(F.lit(0))
         )
         return single, 1
     splits = [float("-inf"), *bounds, float("inf")]
@@ -53,7 +66,7 @@ def quantile_bucket(
         bucketizer.transform(df)
         .withColumn(
             out_col,
-            F.when(F.col(numeric_col).isNull(), F.lit(-1)).otherwise(
+            F.when(invalid, F.lit(-1)).otherwise(
                 F.col(f"{out_col}_raw").cast("int")
             ),
         )
@@ -136,13 +149,18 @@ def cluster_by_zorder(
     # ONE multi-column approxQuantile pass over the raw input — a
     # per-column quantile_bucket chain would launch one full-scan driver
     # job per column, each re-executing the previous columns' transforms.
+    import math
+
     probs = [i / levels for i in range(1, levels)]
     all_bounds = df.stat.approxQuantile(list(cols), probs, 0.001)
     out = df
     bucket_cols = []
     for idx, (c, col_bounds) in enumerate(zip(cols, all_bounds)):
-        bounds = sorted(set(col_bounds))
+        bounds = sorted({b for b in col_bounds if not math.isnan(b)})
         splits = [float("-inf"), *bounds, float("inf")]
+        # NaN sorts with no order position: route it to bucket 0 with the
+        # nulls (clustering quality only, never correctness).
+        invalid = F.col(c).isNull() | F.isnan(F.col(c).cast("double"))
         if len(splits) < 3:  # constant/all-null column: single bucket
             out = out.withColumn(f"__zb{idx}", F.lit(0))
         else:
@@ -151,7 +169,7 @@ def cluster_by_zorder(
                 handleInvalid="keep",
             ).transform(out).withColumn(
                 f"__zb{idx}",
-                F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                F.when(invalid, F.lit(0)).otherwise(
                     F.col(f"__zb{idx}_raw").cast("int")
                 ),
             ).drop(f"__zb{idx}_raw")

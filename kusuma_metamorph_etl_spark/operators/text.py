@@ -330,8 +330,12 @@ def gopher_filter(
         F.round(1.0 - F.size(F.array_distinct(grams)).cast("double") / total, 6),
     ).otherwise(F.lit(0.0))
 
+    # NULL text is rejected explicitly: without the guard Spark's
+    # size(null)=-1 would route it to too_few_tokens while a SQL CASE over
+    # NULL comparisons would keep it — pin the semantics instead.
     reason = (
-        F.when(n_tokens < min_tokens, F.lit("too_few_tokens"))
+        F.when(text.isNull(), F.lit("null_text"))
+        .when(n_tokens < min_tokens, F.lit("too_few_tokens"))
         .when(n_tokens > max_tokens, F.lit("too_many_tokens"))
         .when(avg_wl < min_avg_word_len, F.lit("avg_word_len_low"))
         .when(avg_wl > max_avg_word_len, F.lit("avg_word_len_high"))

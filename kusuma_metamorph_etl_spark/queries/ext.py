@@ -235,6 +235,7 @@ def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      FROM documents),
         m AS (
           SELECT doc_id,
+                 (text IS NULL) AS is_null_text,
                  length(text) AS n_chars,
                  len(w) AS n_tokens,
                  CASE WHEN len(w) > 0
@@ -258,7 +259,8 @@ def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE 0.0 END AS rep2
           FROM tok)
         SELECT doc_id,
-               CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+               CASE WHEN is_null_text THEN 'null_text'
+                    WHEN n_tokens < 20 THEN 'too_few_tokens'
                     WHEN n_tokens > 100000 THEN 'too_many_tokens'
                     WHEN avg_wl < 2.0 THEN 'avg_word_len_low'
                     WHEN avg_wl > 12.0 THEN 'avg_word_len_high'
@@ -266,7 +268,8 @@ def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low'
                     WHEN rep2 > 0.6 THEN 'repetition_high'
                     END AS reject_reason,
-               (CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+               (CASE WHEN is_null_text THEN 'null_text'
+                    WHEN n_tokens < 20 THEN 'too_few_tokens'
                      WHEN n_tokens > 100000 THEN 'too_many_tokens'
                      WHEN avg_wl < 2.0 THEN 'avg_word_len_low'
                      WHEN avg_wl > 12.0 THEN 'avg_word_len_high'

@@ -131,6 +131,21 @@ def test_embedding_dedup_lsh_is_superset_with_recall(spark, sf_small):
         assert recall >= 0.5, recall
 
 
+def test_embedding_lsh_pairs_preserves_string_id_type(spark, sf_small):
+    """The mapInPandas verify schema derives the id type from the input —
+    string doc ids must come back as strings, not coerced bigints."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_small).withColumn(
+        "vec_id", F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+    )
+    pairs = dedup.embedding_lsh_pairs(emb, threshold=0.3)
+    schema = dict((f.name, f.dataType.simpleString()) for f in pairs.schema.fields)
+    assert schema == {"a": "string", "b": "string", "cosine": "double"}
+    rows = pairs.limit(5).collect()
+    assert all(r.a.startswith("doc-") and r.b.startswith("doc-") for r in rows)
+
+
 class TestDecontamination:
     def test_planted_overlap_flagged(self, spark):
         from kusuma_metamorph_etl_spark.operators.dedup import (

@@ -1,0 +1,68 @@
+"""quantile_bucket contract tests — determinism and invalid-value routing.
+
+The bucket id must be a pure function of the value (SCALE.md: why this
+exists instead of ``repartitionByRange``), nulls and NaN must land in the
+sentinel bucket -1, and NaN in the data must never reach the Bucketizer
+splits (non-increasing splits throw).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators.partitioning import quantile_bucket
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(values)], "id long, x double")
+
+
+def test_nan_routes_to_sentinel_bucket(spark):
+    vals = [float(i) for i in range(100)] + [float("nan")] * 5 + [None] * 3
+    df = _df(spark, vals)
+    bucketed, n = quantile_bucket(df, "x", 4)
+    rows = bucketed.collect()
+    by_id = {r.id: r.__bkt for r in rows}
+    for i in range(100, 105):  # NaN rows
+        assert by_id[i] == -1
+    for i in range(105, 108):  # null rows
+        assert by_id[i] == -1
+    # valid rows stay inside [0, n)
+    assert all(0 <= by_id[i] < n for i in range(100))
+
+
+def test_mostly_nan_column_does_not_throw(spark):
+    """NaN-heavy columns put NaN into approxQuantile's result — it must be
+    dropped from the splits rather than producing a broken Bucketizer."""
+    vals = [float("nan")] * 50 + [1.0, 2.0, 3.0]
+    df = _df(spark, vals)
+    bucketed, n = quantile_bucket(df, "x", 4)
+    assert n >= 1
+    got = {r.id: r.__bkt for r in bucketed.collect()}
+    assert all(got[i] == -1 for i in range(50))
+    assert all(got[i] >= 0 for i in (50, 51, 52))
+
+
+def test_all_nan_column_single_bucket(spark):
+    df = _df(spark, [float("nan")] * 10)
+    bucketed, n = quantile_bucket(df, "x", 4)
+    assert n == 1
+    assert all(r.__bkt == -1 for r in bucketed.collect())
+
+
+def test_bucket_id_deterministic_across_recompute(spark):
+    df = _df(spark, [float(i % 37) * 1.5 for i in range(500)])
+    bucketed, _ = quantile_bucket(df, "x", 8)
+    a = sorted((r.id, r.__bkt) for r in bucketed.collect())
+    b = sorted((r.id, r.__bkt) for r in bucketed.collect())
+    assert a == b
+
+
+def test_integer_column_supported(spark):
+    """isnan guard must not break non-fractional input columns."""
+    df = spark.createDataFrame([(i, i % 13) for i in range(200)], "id long, x long")
+    bucketed, n = quantile_bucket(df, "x", 4)
+    assert bucketed.filter(F.col("__bkt") < 0).count() == 0
+    assert 1 <= n <= 4 + 1

@@ -307,6 +307,7 @@ def test_gopher_filter_rules(spark):
             (4, "the cat sat in the barn and it is fine " + "again again " * 40),
             (5, "alpha beta gamma delta epsilon zeta eta theta " * 4),
             (6, "the " + "pneumonoultramicroscopics " * 30),
+            (7, None),
         ],
         "doc_id long, text string",
     )
@@ -320,3 +321,7 @@ def test_gopher_filter_rules(spark):
     assert got[4] == (False, "repetition_high")
     assert got[5] == (False, "stopword_ratio_low")
     assert got[6] == (False, "avg_word_len_high")
+    # NULL text is pinned to an explicit reject, not the incidental
+    # size(null)=-1 → too_few_tokens path (and not keep=true as a SQL
+    # CASE over NULL comparisons would yield).
+    assert got[7] == (False, "null_text")
