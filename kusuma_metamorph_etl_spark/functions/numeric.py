@@ -43,12 +43,15 @@ def _exact_sum(col: Column, capture_scale: int) -> Column:
     Overflow bounds (per group): |Σ units| < 2^63 ≈ 9.2e18 currency
     units, Σ rem < rows × 10^capture_scale < 2^63 — both hold with wide
     headroom for a 100 TB TPC-H-scale fact table (global revenue sums
-    reach ~1e16 units at SF 100k).  NaN terms are normalized to NULL
-    first (``nanvl``) so they are skipped exactly as a decimal cast
-    would skip them; ±Infinity is out of contract for money columns.
+    reach ~1e16 units at SF 100k).  NaN and ±Infinity terms are
+    normalized to NULL first so they are skipped exactly as a decimal
+    cast would skip them — without the infinity guard,
+    ``floor(double)->long`` maps +inf to Long.MaxValue and the units sum
+    silently corrupts instead of loudly skipping the term.
     """
     mult = 10**capture_scale
-    x = F.nanvl(col.cast("double"), F.lit(None).cast("double"))
+    d = col.cast("double")
+    x = F.when(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), None).otherwise(d)
     units = F.floor(x)
     rem = F.floor((x - F.floor(x)) * F.lit(float(mult)) + F.lit(0.5))
     dec = f"decimal(38,{capture_scale})"

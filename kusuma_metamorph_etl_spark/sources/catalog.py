@@ -36,10 +36,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     builder conf: callers (e.g. an external harness) may hand us a bare
     SparkSession built without ``_BASE_CONF``, and the conf is
     runtime-settable on this Spark, so the catalog is self-sufficient.
+    It is scoped to the ``events`` read (the only nanos table) because it
+    is session-wide and sticky: once set, any later TIMESTAMP(NANOS)
+    parquet the caller reads comes back as bigint instead of raising
+    PARQUET_TYPE_ILLEGAL.  Scoping to this call shrinks the leak to
+    sessions that actually read events.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

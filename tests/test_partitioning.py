@@ -24,7 +24,7 @@ def test_nan_routes_to_sentinel_bucket(spark):
     df = _df(spark, vals)
     bucketed, n = quantile_bucket(df, "x", 4)
     rows = bucketed.collect()
-    by_id = {r.id: r.__bkt for r in rows}
+    by_id = {r["id"]: r["__bkt"] for r in rows}
     for i in range(100, 105):  # NaN rows
         assert by_id[i] == -1
     for i in range(105, 108):  # null rows
@@ -40,7 +40,7 @@ def test_mostly_nan_column_does_not_throw(spark):
     df = _df(spark, vals)
     bucketed, n = quantile_bucket(df, "x", 4)
     assert n >= 1
-    got = {r.id: r.__bkt for r in bucketed.collect()}
+    got = {r["id"]: r["__bkt"] for r in bucketed.collect()}
     assert all(got[i] == -1 for i in range(50))
     assert all(got[i] >= 0 for i in (50, 51, 52))
 
@@ -49,14 +49,14 @@ def test_all_nan_column_single_bucket(spark):
     df = _df(spark, [float("nan")] * 10)
     bucketed, n = quantile_bucket(df, "x", 4)
     assert n == 1
-    assert all(r.__bkt == -1 for r in bucketed.collect())
+    assert all(r["__bkt"] == -1 for r in bucketed.collect())
 
 
 def test_bucket_id_deterministic_across_recompute(spark):
     df = _df(spark, [float(i % 37) * 1.5 for i in range(500)])
     bucketed, _ = quantile_bucket(df, "x", 8)
-    a = sorted((r.id, r.__bkt) for r in bucketed.collect())
-    b = sorted((r.id, r.__bkt) for r in bucketed.collect())
+    a = sorted((r["id"], r["__bkt"]) for r in bucketed.collect())
+    b = sorted((r["id"], r["__bkt"]) for r in bucketed.collect())
     assert a == b
 
 
