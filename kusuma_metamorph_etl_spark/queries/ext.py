@@ -588,6 +588,55 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_distinct_err",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+       FROM events GROUP BY event_type""",
+)
+def agg_approx_distinct_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `agg_approx_distinct`: the HLL estimate
+    itself is engine-specific (no DuckDB mirror), so this emits the
+    oracle-computable exact count and keeps a row only while the sketch
+    stays within 2.5x the configured rsd (2% -> 5% bound).  A sketch
+    regression drops rows, turning the driver's row-count/hash compare red
+    — the estimate is hash-bound without ever being hashed."""
+    events = t(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    rel_err = F.abs(agg.approx_users - agg.exact_users) / agg.exact_users
+    return agg.filter(rel_err <= 0.05).select("event_type", "exact_users")
+
+
+@register(
+    "agg_approx_quantile_err",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+              round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_approx_quantile_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `agg_approx_quantile` (same pattern as
+    `agg_approx_distinct_err`): emits the exact interpolated percentiles
+    (which DuckDB's quantile_cont mirrors bit-for-bit, cf `agg_percentile`)
+    and keeps a row only while the Greenwald-Khanna sketch sits within 1%
+    relative error of them.  With accuracy=10000 the GK rank error is
+    <= n/10000 ranks — far inside 1% on this value distribution — so a
+    dropped row means a real sketch regression."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("exact_p95"),
+    )
+    ok = (F.abs(agg.a50 - agg.exact_p50) / agg.exact_p50 <= 0.01) & (
+        F.abs(agg.a95 - agg.exact_p95) / agg.exact_p95 <= 0.01
+    )
+    return agg.filter(ok).select("l_returnflag", "exact_p50", "exact_p95")
+
+
 # ---------------------------------------------------------------- similarity
 
 _COSINE = (

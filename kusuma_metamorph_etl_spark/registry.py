@@ -72,73 +72,76 @@ _LOADED = False
 # (r1 ∪ r2 ∪ …) is what the judge tracks, so each round the window
 # rotates toward whatever has the least evidence.
 #
-# ROUND-3 WINDOW (this is the rotation planned in the r2 comment):
-#   1. the four events-based queries that erred under the driver's bare
-#      session in r2 (nanos conf now set in the catalog — must re-prove);
-#   2. the 16 queries that have never had a driver row: the streaming
-#      batch twins, scd2_merge, sim_cosine_topk_np, and the nine round-2
-#      additions whose DuckDB oracles the harness has never parsed;
-#   3. new round-3 registrations (inserted as they land);
-#   4. refresh tail: r1-green queries not re-checked since r1 — the
-#      aggregate/window rows moved onto exact decimal sums in r2 first.
-# Everything r2-green is demoted below the cut; names not listed keep
-# their module registration order at the end.
+# ROUND-5 WINDOW (the rotation VERDICT r4 Next #1 ordered; the r3/r4
+# window — events fixes, never-checked r2 additions, streaming twins —
+# is all green as of CORRECTNESS_r04 and demoted below the cut):
+#   1. the 9 decimal_sum/decimal_avg consumers whose `_exact_sum` kernel
+#      was rewritten in r3 (commit 48cf391) and re-guarded in r4 but last
+#      oracle-checked in r2, on the old kernel;
+#   2. new round-5 registrations (the oracle-bound approx companions);
+#   3. the 13 rows whose only evidence is round 1;
+#   4. r2-only oracle-bearing rows, oldest-first by family.
+# Deferred to the r6 window (rows-only rechecks add least evidence, and
+# the window is exactly 50): agg_approx_quantile, dedup_minhash_lsh,
+# dedup_simhash, sim_ivf_topk, sim_lsh_topk (all rows-only by design)
+# plus the six cheapest unchanged txt_* rows (chunk, fingerprint,
+# rolling_fingerprint, repetition, token_count, language_id).  r6 should
+# front-load those 11, then the oldest r4 rows.
 _PRIORITY: tuple[str, ...] = (
-    # (1) r2 driver errors — events scans, fixed via runtime nanos conf
-    "fn_json_extract",
-    "agg_approx_distinct",
-    "join_asof",
-    "join_range",
-    # (2) never driver-checked: round-2 additions (oracle never parsed)
-    "txt_gopher_filter",
-    "samp_shuffle",
-    "samp_pack",
-    "dedup_decontaminate",
-    "dedup_embedding_lsh",
-    "sim_quantize",
-    "mm_audio_features",
-    "evt_funnel",
-    "join_fuzzy",
-    # (2) never driver-checked: stateful / equivalence families
-    "scd2_merge",
-    "sim_cosine_topk_np",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_attribution_join",
-    "stream_dedup_first",
-    # (3) round-3 registrations land here
-    # (4) refresh tail — r1-only evidence, decimal-affected rows first
-    "agg_count_distinct",
-    "agg_count_star",
-    "agg_global_count",
-    "agg_rollup_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "expr_discount_amount",
-    "expr_arith",
-    "win_percent_rank",
-    "win_frame_agg",
-    "win_lag_lead",
-    "win_ntile",
-    "win_cume_dist",
-    "win_rank_dense",
-    "win_rownum_topk",
-    "win_rownum_flag",
-    "sql_pricing_summary",
-    "src_parquet_scan",
-    "src_csv_infer",
-    "src_rest_json",
-    "src_inline_schema",
-    "snk_dual_write",
-    "join_broadcast",
-    "join_semi_anti",
-    "join_disambig",
-    "proj_explode",
-    "proj_normalize_names",
-    "cond_when_chain",
-    "cond_null_default",
-    "proj_cast",
+    # (1) decimal-sum consumers — kernel changed r3+r4, evidence from r2
+    "agg_groupby_single",
+    "agg_groupby_multi",
+    "agg_sum_expr",
+    "agg_avg",
+    "agg_histogram",
+    "null_fillna_map",
+    "mart_supplier_performance",
+    "mart_product_performance",
+    "mart_customer_sales_report",
+    # (2) new round-5 registrations: approx family, now oracle-bound
+    "agg_approx_distinct_err",
+    "agg_approx_quantile_err",
+    # (3) r1-only evidence
+    "proj_select",
+    "proj_rename",
+    "proj_alias",
+    "proj_drop",
+    "expr_lit",
+    "fil_neq",
+    "fil_isin",
+    "fil_cmp",
+    "fil_conj",
+    "fil_isnull",
+    "join_left_equi",
+    "join_right_equi",
+    "join_inner_equi",
+    # (4) r2-only evidence, oracle-bearing
+    "agg_percentile",
+    "agg_pivot",
+    "proj_unpivot",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "sort_limit",
+    "dq_duplicate_gate",
+    "dq_snapshot_stamp",
+    "fn_date_math",
+    "fn_str_value",
+    "snk_jdbc_roundtrip",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "sim_cosine_topk",
+    "sim_cosine_pairs",
+    "samp_deterministic",
+    "samp_stratified",
+    "mm_binary_features",
+    "mm_resize",
+    "mm_frame_sample",
+    "txt_quality",
+    "txt_pii_scrub",
+    "txt_tfidf",
 )
 
 
