@@ -45,6 +45,8 @@ HEADLINE = [
     "join_range",
     "join_fuzzy",
     "evt_funnel",
+    "scd2_merge",
+    "stream_dedup_first",
 ]
 
 

@@ -44,10 +44,16 @@ def _exact_sum(col: Column, capture_scale: int) -> Column:
     units, Σ rem < rows × 10^capture_scale < 2^63 — both hold with wide
     headroom for a 100 TB TPC-H-scale fact table (global revenue sums
     reach ~1e16 units at SF 100k).  NaN and ±Infinity terms are
-    normalized to NULL first so they are skipped exactly as a decimal
-    cast would skip them — without the infinity guard,
-    ``floor(double)->long`` maps +inf to Long.MaxValue and the units sum
-    silently corrupts instead of loudly skipping the term.
+    normalized to NULL first so they are skipped exactly as Spark's
+    non-ANSI double→decimal cast would skip them — without the infinity
+    guard, ``floor(double)->long`` maps +inf to Long.MaxValue and the
+    units sum silently corrupts instead of loudly skipping the term.
+    Non-finite inputs remain OUT OF CONTRACT for oracle comparison: the
+    documented DuckDB mirror ``SUM(CAST(term AS DECIMAL(38,6)))`` raises
+    a conversion error on inf rather than skipping, so the guard only
+    prevents silent Spark-side corruption; money columns feeding an
+    oracle-checked query must be finite (they are — every consumer sums
+    products of finite prices/rates).
     """
     mult = 10**capture_scale
     d = col.cast("double")

@@ -40,6 +40,29 @@ class FeedSpec:
     raw_path: str
     legacy_path: str
 
+    @staticmethod
+    def dated_source_path(
+        base: str, feed: str, run_date: dt.date | str | None = None
+    ) -> str:
+        """Per-day source path ``{base}/{YYYYMMDD}/{feed}_{YYYYMMDD}.csv``.
+
+        The reference rebuilds this path inline in every ingestion task from
+        ``datetime.today()`` (``ingestion_task.py:222-227`` — e.g.
+        ``gs://…/{20250824}/sales_20250824.csv``); here the date is
+        injectable so a backfill or a reproducible test names an exact day,
+        with ``None`` keeping the reference's run-today behavior.
+        """
+        if run_date is None:
+            run_date = dt.date.today()
+        elif isinstance(run_date, str):
+            run_date = dt.date.fromisoformat(run_date)
+        day = run_date.strftime("%Y%m%d")
+        return f"{base.rstrip('/')}/{day}/{feed}_{day}.csv"
+
+    def for_run_date(self, base: str, run_date: dt.date | str | None = None) -> str:
+        """This feed's dated source path for one run day."""
+        return self.dated_source_path(base, self.name, run_date)
+
 
 def ingest_feed(
     source: DataFrame,

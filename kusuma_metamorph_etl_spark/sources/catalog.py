@@ -24,30 +24,47 @@ TABLES: tuple[str, ...] = (
 )
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table.  Lazy — no job runs until an action.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as raw
-    int64 nanos (``nanosAsLong``); the catalog converts it to a proper µs
-    TimestampType by floor-division — the same ns→µs truncation DuckDB
-    applies when casting TIMESTAMP_NS.
+    ``events.ts`` may ship as TIMESTAMP(NANOS) parquet, which Spark only
+    reads as raw int64 nanos (``nanosAsLong``); the catalog converts it to
+    a proper µs TimestampType by floor-division — the same ns→µs
+    truncation DuckDB applies when casting TIMESTAMP_NS.  Files already
+    carrying µs/ms timestamps pass through untouched (the conversion keys
+    off the surfaced dtype, not the table name alone).
 
     The nanosAsLong conf is set HERE, at runtime, not only in session.py's
     builder conf: callers (e.g. an external harness) may hand us a bare
     SparkSession built without ``_BASE_CONF``, and the conf is
     runtime-settable on this Spark, so the catalog is self-sufficient.
-    It is scoped to the ``events`` read (the only nanos table) because it
-    is session-wide and sticky: once set, any later TIMESTAMP(NANOS)
-    parquet the caller reads comes back as bigint instead of raising
-    PARQUET_TYPE_ILLEGAL.  Scoping to this call shrinks the leak to
-    sessions that actually read events.
+    The prior value is snapshotted and restored right after the DataFrame
+    is created: schema inference (the only consumer of the conf) runs
+    eagerly inside ``spark.read.parquet``, and scan *execution* does not
+    re-read it — verified empirically by executing a TIMESTAMP(NANOS)
+    scan after unsetting the conf (pinned by
+    ``tests/test_bare_session.py::test_nanos_parquet_roundtrip``) — so a
+    caller's later TIMESTAMP(NANOS) reads keep their own session's
+    behavior (no sticky session-wide leak).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name != "events":
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    prior = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    finally:
+        if prior is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prior)
+    if dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

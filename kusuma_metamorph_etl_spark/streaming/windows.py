@@ -16,34 +16,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
-
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw ns (nanosAsLong) — converted below
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as an unbounded stream (parquet directory source) with the
-    same ns→µs conversion the batch catalog applies."""
+    """events as an unbounded stream (parquet directory source), ``ts``
+    normalized to µs TimestampType whatever physical type the files carry
+    — the same adaptive conversion the batch catalog applies.
+
+    FileStreamSource requires an explicit schema; it comes from a batch
+    read of the same path (footer metadata only, no scan), so the stream
+    sees exactly what ``load_table`` sees: TIMESTAMP(NANOS) files surface
+    ``ts`` as raw int64 under ``nanosAsLong`` (converted here by
+    floor-division, DuckDB's ns→µs truncation), native µs/ms timestamp
+    files pass through untouched.  A hardcoded LongType schema would read
+    a µs file's values as raw longs and mis-scale them 1000× — the
+    batch/stream twin tests pin this against the live test data.
+    """
+    path = f"{sf_dir}/events.parquet"
+    from kusuma_metamorph_etl_spark.sources.catalog import _NANOS_CONF
+
+    prior = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        batch_schema = spark.read.parquet(path).schema
+    finally:
+        if prior is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prior)
+    if any(f.name == "ts" and f.dataType.typeName() == "long" for f in batch_schema):
+        # TIMESTAMP(NANOS) files: micro-batch planning re-reads footers on
+        # every trigger, so the conf must stay set for the stream's whole
+        # lifetime — accept the session-wide conf for nanos streams only.
+        spark.conf.set(_NANOS_CONF, "true")
     # FileStreamSource needs a directory or glob (a bare file path fails
     # basePath validation); the glob resolves to the single test file.
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(f"{sf_dir}/events.parque[t]")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(batch_schema).parquet(f"{sf_dir}/events.parque[t]")
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # µs-no-tz parquet infers TIMESTAMP_NTZ, but watermarks/event-time
+        # require TIMESTAMP; the session TZ is pinned UTC (session.py) so
+        # this cast is a wall-clock identity, keeping stream == batch.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_agg(

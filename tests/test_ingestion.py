@@ -44,6 +44,30 @@ def test_ingest_feed_end_to_end(spark, tmp_path, feed_csv):
     assert history.count() == 2 and "DAY_DT" in history.columns
 
 
+def test_dated_source_path_matches_reference_template():
+    """`{base}/{YYYYMMDD}/{feed}_{YYYYMMDD}.csv` — the reference's per-day
+    source layout (ingestion_task.py:222-227), date injectable."""
+    import datetime as dt
+
+    got = FeedSpec.dated_source_path("s3://lake/feeds", "sales", "2025-08-24")
+    assert got == "s3://lake/feeds/20250824/sales_20250824.csv"
+    # date object, trailing-slash base, and the instance-bound form agree
+    spec = FeedSpec(
+        name="sales",
+        target_columns=["SALE_ID"],
+        primary_key=["SALE_ID"],
+        raw_path="unused",
+        legacy_path="unused",
+    )
+    assert (
+        spec.for_run_date("s3://lake/feeds/", dt.date(2025, 8, 24))
+        == "s3://lake/feeds/20250824/sales_20250824.csv"
+    )
+    # None keeps the reference's run-today behavior
+    today = dt.date.today().strftime("%Y%m%d")
+    assert FeedSpec.dated_source_path("x", "f") == f"x/{today}/f_{today}.csv"
+
+
 def test_ingest_feed_duplicate_pk_fails_before_write(spark, tmp_path):
     source = spark.createDataFrame([(1, "x"), (1, "y")], ["id", "v"])
     spec = FeedSpec(

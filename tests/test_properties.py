@@ -132,6 +132,81 @@ def test_decimal_sum_is_order_independent(cents, parts):
     assert got == expected
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    terms=st.lists(
+        st.one_of(
+            # scale-6 values up to ~1e7 units: binary error ~1e-9 < 0.5e-6,
+            # inside the documented _exact_sum contract
+            st.integers(min_value=-10_000_000_000_000, max_value=10_000_000_000_000),
+            st.sampled_from(["nan", "inf", "-inf", None]),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    parts=st.sampled_from([1, 7, 32]),
+)
+def test_decimal_sum_skips_nonfinite(terms, parts):
+    """The r4 infinity guard's contract (functions/numeric.py): NaN and ±inf
+    terms are normalized to NULL and skipped — the sum over the remaining
+    finite scale-6 terms equals the exact Python Decimal result bit-for-bit
+    under any partitioning.  Without the guard, floor(+inf)->long silently
+    contributes Long.MaxValue to the units sum."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+
+    spark = _session()
+    values = [
+        None if t is None else float(t) if isinstance(t, str) else t / 1e6
+        for t in terms
+    ]
+    finite = [v for v in values if v is not None and not (v != v or abs(v) == float("inf"))]
+    expected = (
+        float(
+            sum(Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP) for v in finite)
+            .quantize(Decimal("0.01"), ROUND_HALF_UP)
+        )
+        if finite
+        else None  # all-null/non-finite group: SUM over no finite terms is NULL
+    )
+    df = spark.createDataFrame([(v,) for v in values], "v double").repartition(parts)
+    got = df.agg(decimal_sum(F.col("v"), 2).alias("s")).first()["s"]
+    assert got == expected, (values, got, expected)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    units=st.lists(
+        # integer magnitudes at the top of double's exact-integer range:
+        # 2^52 ± k is exactly representable, ulp = 0.5..1, so only scale-0
+        # terms are in-contract here — the test pins that the whole-units
+        # long-sum path carries them without overflow or drift
+        st.integers(min_value=2**52 - 1000, max_value=2**52 + 1000).map(
+            lambda n: n if n % 2 else -n
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    parts=st.sampled_from([1, 32]),
+)
+def test_decimal_sum_near_2_52_integers(units, parts):
+    """Near-2^52 whole-unit magnitudes sum exactly (the long units path has
+    2^63 headroom; 50 × 2^52 ≈ 2^57.6 stays far inside it)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+
+    spark = _session()
+    values = [float(n) for n in units]
+    expected = float(
+        sum(Decimal(v) for v in values).quantize(Decimal("0.01"), ROUND_HALF_UP)
+    )
+    df = spark.createDataFrame([(v,) for v in values], "v double").repartition(parts)
+    got = df.agg(decimal_sum(F.col("v"), 2).alias("s")).first()["s"]
+    assert got == expected, (values, got, expected)
+
+
 def test_percent_rank_constant_column_falls_back():
     """A constant column yields at most one distinct quantile bound; the
     range path must fall back to the broadcast map instead of running a
