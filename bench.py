@@ -47,7 +47,15 @@ HEADLINE = [
     "evt_funnel",
     "scd2_merge",
     "stream_dedup_first",
+    "mm_binary_features",  # Arrow mapInPandas decode path (VERDICT r5 #6)
 ]
+
+# Reps per query: a single-shot bench cannot distinguish a code regression
+# from a noisy shared host (the BENCH_r05 false alarm — a uniform 1.8x that
+# was entirely environmental).  The headline value is the per-query MEDIAN
+# of REPS runs; per-rep values ship in the JSON so cross-round comparison
+# has an in-file noise estimate.
+REPS = 3
 
 
 def main() -> int:
@@ -65,14 +73,19 @@ def main() -> int:
     ).save()
 
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         # Time construction + execution: some operators do bounded eager
         # work while building (e.g. the percent_rank quantile-bound probe)
         # and that pass is part of the honest cost.
-        start = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        runs: list[float] = []
+        for _ in range(REPS):
+            start = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(round(time.perf_counter() - start, 3))
+        reps[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]  # median
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -86,6 +99,7 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "sf": sf_val,
             }
         )

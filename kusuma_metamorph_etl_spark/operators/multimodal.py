@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -124,8 +125,121 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return arr[::-1] if bottom_up else arr
 
 
+# ------------------------------------------------------------------ PNG
+# Stdlib-only codec: zlib inflate + numpy scanline unfilter.  Scope: 8-bit
+# greyscale / RGB / RGBA (color types 0/2/6 — the overwhelming majority of
+# real corpora), non-interlaced.  Palette (3), 16-bit, and interlaced
+# images raise NotImplementedError through the injectable-decoder seam.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels → color type
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """8-bit non-interlaced PNG encoder (greyscale HxW, grey+alpha HxWx2,
+    RGB HxWx3, RGBA HxWx4).  Scanlines use filter type 0 — zlib does the
+    compressing; filter search is a size optimization, not a correctness
+    requirement."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in _PNG_COLOR_TYPE:
+        raise ValueError(f"expected HxW or HxWx{{2,3,4}} uint8 array, got {arr.shape}")
+    h, w, channels = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0)
+    raw = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+    raw[:, 1:] = arr.reshape(h, w * channels)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter_row(
+    ftype: int, line: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline (int32 in, mod-256 out) per RFC 2083 §6."""
+    stride = line.shape[0]
+    if ftype == 0:  # None
+        return line % 256
+    if ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] — a per-lane
+        # prefix sum: mod distributes over +, so cumsum-then-mod is exact.
+        return (line.reshape(-1, bpp).cumsum(axis=0) % 256).reshape(stride)
+    if ftype == 2:  # Up
+        return (line + prev) % 256
+    rec = np.zeros(stride, dtype=np.int32)
+    if ftype == 3:  # Average — left-neighbor dependency is sequential
+        for x in range(stride):
+            left = rec[x - bpp] if x >= bpp else 0
+            rec[x] = (line[x] + (left + prev[x]) // 2) % 256
+        return rec
+    if ftype == 4:  # Paeth
+        for x in range(stride):
+            a = rec[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            rec[x] = (line[x] + pred) % 256
+        return rec
+    raise NotImplementedError(f"PNG filter type {ftype}")
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":  # image data may span many chunks
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced greyscale/RGB(A) PNG supported; "
+            "palette/16-bit/interlaced need a codec injected via "
+            "extract_binary_features(decoder=...)"
+        )
+    channels = _PNG_CHANNELS[color]
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG data size does not match IHDR dimensions")
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        out[y] = _png_unfilter_row(
+            int(raw[y, 0]), raw[y, 1:].astype(np.int32), prev, channels
+        )
+    arr = out.astype(np.uint8).reshape(h, w, channels)
+    return arr[:, :, 0] if channels == 1 else arr
+
+
 _COMPRESSED_MAGICS = {
-    b"\x89PN": "png",
     b"\xff\xd8\xff": "jpeg",
     b"GIF": "gif",
 }
@@ -135,10 +249,12 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     """Decode a binary image payload → ``{format, width, height, channels,
     pixels}`` with ``pixels`` a uint8 numpy array.
 
-    Real pure-numpy decode for PPM/PGM and uncompressed 24-bit BMP;
-    compressed formats raise ``NotImplementedError`` (no PNG/JPEG codec in
-    this container — production injects one through the same decoder
-    seam); anything unrecognized raises ``ValueError``.
+    Real pure-numpy decode for PPM/PGM, uncompressed 24-bit BMP, and 8-bit
+    non-interlaced PNG (stdlib zlib inflate + scanline unfilter).  JPEG/GIF
+    are explicitly out of scope — lossy/LZW decode needs a real codec
+    library, injected through the same decoder seam
+    (``extract_binary_features(decoder=...)``); anything unrecognized
+    raises ``ValueError``.
     """
     if payload[:2] in (b"P6", b"P5"):
         pixels = _decode_ppm(payload)
@@ -146,6 +262,9 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     elif payload[:2] == b"BM":
         pixels = _decode_bmp(payload)
         fmt = "bmp"
+    elif payload[:8] == _PNG_SIG:
+        pixels = _decode_png(payload)
+        fmt = "png"
     else:
         for magic, name in _COMPRESSED_MAGICS.items():
             if payload[: len(magic)] == magic:
@@ -154,7 +273,7 @@ def decode_image(payload: bytes) -> dict[str, Any]:
                     "container; inject one via "
                     "extract_binary_features(decoder=...)"
                 )
-        raise ValueError("unrecognized image payload (not PPM/PGM/BMP)")
+        raise ValueError("unrecognized image payload (not PPM/PGM/BMP/PNG)")
     channels = 1 if pixels.ndim == 2 else pixels.shape[2]
     return {
         "format": fmt,
@@ -188,24 +307,41 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     rows = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
     cols = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
     resized = pixels[rows][:, cols]
-    return encode_bmp(resized) if img["format"] == "bmp" else encode_ppm(resized)
+    if img["format"] == "bmp":
+        return encode_bmp(resized)
+    if img["format"] == "png":
+        return encode_png(resized)
+    return encode_ppm(resized)
 
 
-def synthesize_ppm(text: str) -> bytes:
-    """Deterministic synthetic P6 payload derived from document text — the
-    container has no real image data, so tests and driver queries
-    manufacture one per document: dimensions from the text's byte length,
-    pixels from its repeated md5 digest.  Oracle-reproducible: n_bytes =
-    9 + len(str(w)) + len(str(h)) + w*h*3."""
+def _synthesize_pixels(text: str) -> np.ndarray:
+    """Deterministic RGB pixel array from document text: dimensions from
+    the byte length, pixels from the repeated md5 digest — the shared
+    contract behind :func:`synthesize_ppm` and :func:`synthesize_png`
+    (identical pixels, so cross-format decode must agree)."""
     raw = text.encode("utf-8")
     w = 4 + len(raw) % 5
     h = 4 + (7 * len(raw)) % 5
     digest = hashlib.md5(raw).digest()
     need = w * h * 3
-    pix = np.frombuffer(
+    return np.frombuffer(
         (digest * (need // len(digest) + 1))[:need], dtype=np.uint8
     ).reshape(h, w, 3)
-    return encode_ppm(pix)
+
+
+def synthesize_ppm(text: str) -> bytes:
+    """Deterministic synthetic P6 payload derived from document text — the
+    container has no real image data, so tests and driver queries
+    manufacture one per document (:func:`_synthesize_pixels`).
+    Oracle-reproducible: n_bytes = 9 + len(str(w)) + len(str(h)) + w*h*3."""
+    return encode_ppm(_synthesize_pixels(text))
+
+
+def synthesize_png(text: str) -> bytes:
+    """Deterministic synthetic PNG payload — same pixel contract as
+    :func:`synthesize_ppm`, so the PNG inflate+unfilter path must decode to
+    the exact pixels the PPM path yields (the `mm_png_features` gate)."""
+    return encode_png(_synthesize_pixels(text))
 
 
 def attach_image_payload(
@@ -220,6 +356,21 @@ def attach_image_payload(
 
     return df.withColumn("payload", make_ppm(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/ppm")
+    )
+
+
+def attach_png_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesized-PNG payload column (Arrow-batched pandas UDF), typed
+    ``image/png``."""
+
+    @F.pandas_udf("binary")
+    def make_png(texts: pd.Series) -> pd.Series:
+        return texts.map(synthesize_png)
+
+    return df.withColumn("payload", make_png(F.col(text_col))).withColumn(
+        "payload_kind", F.lit("image/png")
     )
 
 

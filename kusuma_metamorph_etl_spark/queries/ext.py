@@ -645,9 +645,10 @@ _COSINE = (
 )
 
 
-@register(
-    "sim_cosine_topk",
-    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+# Exact cosine top-5 (every 25th vector as query) — shared by
+# `sim_cosine_topk` and the `_err` companions of its approximate paths,
+# whose gated output IS this exact baseline.
+_TOPK_ORACLE = f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         scored AS (
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                  {_COSINE} AS cosine
@@ -659,8 +660,10 @@ _COSINE = (
                      ORDER BY cosine DESC, neighbor_id) AS rn
           FROM scored)
         SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
-        FROM ranked WHERE rn <= 5""",
-)
+        FROM ranked WHERE rn <= 5"""
+
+
+@register("sim_cosine_topk", _TOPK_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for every 25th vector as query."""
     emb = t(spark, sf_dir, "embeddings")
@@ -755,6 +758,197 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 
+# ------------------------------------------- approx-path oracle binding
+# The `_err` pattern (cf `agg_approx_distinct_err`): the approximate /
+# hash-seeded operator's QUALITY gates the row count of an exact,
+# oracle-computable result.  Healthy code emits the exact baseline and the
+# driver's row/hash compare goes green; a recall regression empties the
+# output and the compare turns red — the engine-specific values themselves
+# are never hashed.  Gate bounds mirror the pytest contracts in
+# tests/test_dedup.py / tests/test_similarity.py.
+
+
+def _gate(out: DataFrame, stats: DataFrame, cond) -> DataFrame:
+    """Emit ``out`` unchanged while ``cond`` holds over the single-row
+    ``stats`` frame; emit ZERO rows otherwise."""
+    open_gate = stats.filter(cond).select(F.lit(1).alias("__gate"))
+    return out.crossJoin(F.broadcast(open_gate)).drop("__gate")
+
+
+def _n(df: DataFrame, name: str) -> DataFrame:
+    return df.agg(F.count(F.lit(1)).alias(name))
+
+
+@register(
+    "dedup_minhash_lsh_err",
+    f"""WITH s AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)),
+        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+          FROM e l JOIN e r USING (shingle)
+          WHERE l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5""",
+)
+def dedup_minhash_lsh_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `dedup_minhash_lsh`: emits the EXACT
+    Jaccard-≥0.5 pairs (DuckDB-computable) gated on the banded MinHash
+    path recovering ≥ 80% of them — the tests/test_dedup.py contract,
+    now driver-checked per round."""
+    docs = t(spark, sf_dir, "documents")
+    exact = dedup.jaccard_pairs(docs, threshold=0.5).select("a", "b")
+    approx = dedup.minhash_near_dups(docs, threshold=0.5).select("a", "b")
+    hit = exact.join(approx, ["a", "b"], "left_semi")
+    stats = _n(exact, "n_exact").crossJoin(_n(hit, "n_hit"))
+    ok = (F.col("n_exact") > 0) & (F.col("n_hit") >= 0.8 * F.col("n_exact"))
+    return _gate(exact, stats, ok)
+
+
+@register(
+    "dedup_simhash_err",
+    """SELECT doc_id AS a, doc_id + 1000000 AS b
+       FROM documents WHERE doc_id % 7 = 0""",
+)
+def dedup_simhash_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `dedup_simhash`: plant verbatim copies
+    of every 7th document under shifted ids — identical text hashes to an
+    identical SimHash signature (Hamming 0), so every planted pair MUST
+    surface within any Hamming budget.  Output is the planted-pair list
+    (oracle-computable), gated on zero misses."""
+    docs = t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 7 == 0)
+    copies = planted.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pairs = dedup.simhash_near_dups(
+        docs.unionByName(copies), bits=48, max_hamming=3
+    ).select("a", "b")
+    expected = planted.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1_000_000).alias("b")
+    )
+    missed = expected.join(pairs, ["a", "b"], "left_anti")
+    stats = _n(expected, "n_exp").crossJoin(_n(missed, "n_miss"))
+    ok = (F.col("n_exp") > 0) & (F.col("n_miss") == 0)
+    return _gate(expected, stats, ok)
+
+
+@register(
+    "dedup_embedding_lsh_err",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        dups AS (
+          SELECT DISTINCT b.vec_id FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))) >= 0.3)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT vec_id FROM dups)""",
+)
+def dedup_embedding_lsh_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `dedup_embedding_lsh`: emits the EXACT
+    survivor set (same oracle as `dedup_embedding`) gated on the two LSH
+    contracts from tests/test_dedup.py — survivors are a superset of the
+    exact survivors (blocking can only MISS pairs), and ≥ 50% of the
+    exactly-dropped rows are still dropped under LSH blocking."""
+    emb = t(spark, sf_dir, "embeddings")
+    exact = dedup.embedding_dedup(emb, threshold=0.3).select("vec_id", "label")
+    lsh = dedup.embedding_dedup(emb, threshold=0.3, prefilter="lsh").select("vec_id")
+    superset_viol = exact.select("vec_id").join(lsh, "vec_id", "left_anti")
+    stats = (
+        _n(emb, "n_all")
+        .crossJoin(_n(exact, "n_exact"))
+        .crossJoin(_n(lsh, "n_lsh"))
+        .crossJoin(_n(superset_viol, "n_viol"))
+    )
+    # Given the superset holds, |dropped_lsh ∩ dropped_exact| = n_all - n_lsh.
+    ok = (F.col("n_viol") == 0) & (
+        (F.col("n_all") == F.col("n_exact"))
+        | (
+            (F.col("n_all") - F.col("n_lsh"))
+            >= 0.5 * (F.col("n_all") - F.col("n_exact"))
+        )
+    )
+    return _gate(exact, stats, ok)
+
+
+def _topk_err(
+    spark: SparkSession, sf_dir: str, approx_pairs: DataFrame, bound: float
+) -> DataFrame:
+    """Shared body of the top-k `_err` companions: exact cosine top-5
+    (the `sim_cosine_topk` baseline and oracle), gated on the approximate
+    path's pair-recall against it."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    hit = exact.select("query_id", "neighbor_id").join(
+        approx_pairs.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    stats = _n(exact, "n_exact").crossJoin(_n(hit, "n_hit"))
+    ok = (F.col("n_exact") > 0) & (F.col("n_hit") >= bound * F.col("n_exact"))
+    out = exact.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+    return _gate(out, stats, ok)
+
+
+@register("sim_lsh_topk_err", _TOPK_ORACLE)
+def sim_lsh_topk_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `sim_lsh_topk`: exact top-5 baseline
+    gated on hyperplane-LSH recall ≥ 0.5 (tests/test_similarity.py
+    contract; measured 0.74 at sf0.001)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    approx = similarity.lsh_topk(queries, emb, k=5, n_planes=4, n_tables=8)
+    return _topk_err(spark, sf_dir, approx, bound=0.5)
+
+
+@register("sim_ivf_topk_err", _TOPK_ORACLE)
+def sim_ivf_topk_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `sim_ivf_topk`: exact top-5 baseline
+    gated on IVF (16 cells, probe 4) recall ≥ 0.35
+    (tests/test_similarity.py contract; measured 0.55 at sf0.001)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    approx = similarity.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    return _topk_err(spark, sf_dir, approx, bound=0.35)
+
+
+@register("sim_cosine_topk_np_err", _TOPK_ORACLE)
+def sim_cosine_topk_np_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `sim_cosine_topk_np`: the vectorized
+    path must return the IDENTICAL neighbor set as the JVM fold (only
+    float tails may differ — tests/test_similarity.py), so the gate is
+    set equality in both directions, not a recall bound."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    np_ = similarity.cosine_topk_np(queries, emb, k=5)
+    e_pairs = exact.select("query_id", "neighbor_id")
+    n_pairs = np_.select("query_id", "neighbor_id")
+    missed = e_pairs.join(n_pairs, ["query_id", "neighbor_id"], "left_anti")
+    spurious = n_pairs.join(e_pairs, ["query_id", "neighbor_id"], "left_anti")
+    stats = (
+        _n(e_pairs, "n_exact")
+        .crossJoin(_n(missed, "n_miss"))
+        .crossJoin(_n(spurious, "n_spur"))
+    )
+    ok = (
+        (F.col("n_exact") > 0)
+        & (F.col("n_miss") == 0)
+        & (F.col("n_spur") == 0)
+    )
+    out = exact.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+    return _gate(out, stats, ok)
+
+
 # ---------------------------------------------------------------- multimodal
 
 @register(
@@ -781,6 +975,36 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.attach_image_payload(docs)
     feats = multimodal.extract_binary_features(payloads)
     return feats.select("doc_id", "format", "width", "height", "channels", "n_bytes")
+
+
+@register(
+    "mm_png_features",
+    """SELECT doc_id,
+              'png' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels
+       FROM documents""",
+)
+def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: per-document synthetic PNG payloads
+    (zlib deflate at write, inflate + scanline unfilter at read —
+    operators/multimodal.py ``encode_png``/``_decode_png``) run through the
+    feature extractor.  The oracle recomputes dimensions from the synthesis
+    contract; additionally the PNG pixel MEAN must equal the PPM decode of
+    the identical pixel array (`_synthesize_pixels`), so a wrong inflate or
+    unfilter drops rows and turns the driver compare red — PNG byte size
+    itself is zlib-version-dependent and deliberately not emitted."""
+    docs = t(spark, sf_dir, "documents")
+    png = multimodal.extract_binary_features(multimodal.attach_png_payload(docs))
+    ppm = multimodal.extract_binary_features(
+        multimodal.attach_image_payload(docs)
+    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
+    return (
+        png.join(ppm, "doc_id")
+        .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 1e-12)
+        .select("doc_id", "format", "width", "height", "channels")
+    )
 
 
 @register(
@@ -1156,12 +1380,14 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analysis ([EXT]): view → click → purchase, earliest
     time per stage at-or-after the previous stage
-    (`operators/events.py::funnel`); k-1 co-keyed user joins, no window
-    over raw events."""
-    from kusuma_metamorph_etl_spark.operators.events import funnel
+    (`operators/events.py::funnel_one_scan`): ONE scan of the events fact
+    pivoted to per-(user, stage) sorted timestamp arrays, then pure array
+    expressions — measured ~2x the k-join twin at sf0.1 (A/B note
+    in-code)."""
+    from kusuma_metamorph_etl_spark.operators.events import funnel_one_scan
 
     events = t(spark, sf_dir, "events")
-    return funnel(events, stages=["view", "click", "purchase"])
+    return funnel_one_scan(events, stages=["view", "click", "purchase"])
 
 
 @register(

@@ -72,76 +72,73 @@ _LOADED = False
 # (r1 ∪ r2 ∪ …) is what the judge tracks, so each round the window
 # rotates toward whatever has the least evidence.
 #
-# ROUND-5 WINDOW (the rotation VERDICT r4 Next #1 ordered; the r3/r4
-# window — events fixes, never-checked r2 additions, streaming twins —
-# is all green as of CORRECTNESS_r04 and demoted below the cut):
-#   1. the 9 decimal_sum/decimal_avg consumers whose `_exact_sum` kernel
-#      was rewritten in r3 (commit 48cf391) and re-guarded in r4 but last
-#      oracle-checked in r2, on the old kernel;
-#   2. new round-5 registrations (the oracle-bound approx companions);
-#   3. the 13 rows whose only evidence is round 1;
-#   4. r2-only oracle-bearing rows, oldest-first by family.
-# Deferred to the r6 window (rows-only rechecks add least evidence, and
-# the window is exactly 50): agg_approx_quantile, dedup_minhash_lsh,
-# dedup_simhash, sim_ivf_topk, sim_lsh_topk (all rows-only by design)
-# plus the six cheapest unchanged txt_* rows (chunk, fingerprint,
-# rolling_fingerprint, repetition, token_count, language_id).  r6 should
-# front-load those 11, then the oldest r4 rows.
+# ROUND-6 WINDOW (the rotation VERDICT r5 Next #1 ordered; the r5 window
+# is all green as of CORRECTNESS_r05 and demoted below the cut):
+#   1. the 11 rows whose latest evidence is round 2 — the rows-only
+#      approx/ANN family plus the six cheap txt_* rows deferred from r5;
+#   2. new round-6 registrations: the `_err` recall companions that
+#      oracle-bind the rows-only family (VERDICT r5 Next #2), plus the
+#      PNG-decode query (mm_png_features, VERDICT r5 Next #4);
+#   3. oldest r4-window rows: the r3/r4 events + streaming-twins block,
+#      then the r3 agg/window rows, until the window holds 50.
+# Deferred to the r7 window: the remaining r4 rows (win_cume_dist,
+# win_rank_dense, win_rownum_topk/flag, sql_pricing_summary, the src_*/
+# snk_dual_write/join_broadcast/semi_anti/disambig/proj_* block) — all
+# green in r4 and untouched since.
 _PRIORITY: tuple[str, ...] = (
-    # (1) decimal-sum consumers — kernel changed r3+r4, evidence from r2
-    "agg_groupby_single",
-    "agg_groupby_multi",
-    "agg_sum_expr",
-    "agg_avg",
-    "agg_histogram",
-    "null_fillna_map",
-    "mart_supplier_performance",
-    "mart_product_performance",
-    "mart_customer_sales_report",
-    # (2) new round-5 registrations: approx family, now oracle-bound
-    "agg_approx_distinct_err",
-    "agg_approx_quantile_err",
-    # (3) r1-only evidence
-    "proj_select",
-    "proj_rename",
-    "proj_alias",
-    "proj_drop",
-    "expr_lit",
-    "fil_neq",
-    "fil_isin",
-    "fil_cmp",
-    "fil_conj",
-    "fil_isnull",
-    "join_left_equi",
-    "join_right_equi",
-    "join_inner_equi",
-    # (4) r2-only evidence, oracle-bearing
-    "agg_percentile",
-    "agg_pivot",
-    "proj_unpivot",
-    "setop_union",
-    "setop_intersect",
-    "setop_except",
-    "sort_limit",
-    "dq_duplicate_gate",
-    "dq_snapshot_stamp",
-    "fn_date_math",
-    "fn_str_value",
-    "snk_jdbc_roundtrip",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "sim_cosine_topk",
-    "sim_cosine_pairs",
-    "samp_deterministic",
-    "samp_stratified",
-    "mm_binary_features",
-    "mm_resize",
-    "mm_frame_sample",
-    "txt_quality",
-    "txt_pii_scrub",
-    "txt_tfidf",
+    # (1) r2-only evidence
+    "agg_approx_quantile",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "txt_chunk",
+    "txt_fingerprint",
+    "txt_rolling_fingerprint",
+    "txt_repetition",
+    "txt_token_count",
+    "txt_language_id",
+    # (2) new round-6 registrations: the rows-only family, oracle-bound
+    "dedup_minhash_lsh_err",
+    "dedup_simhash_err",
+    "dedup_embedding_lsh_err",
+    "sim_lsh_topk_err",
+    "sim_ivf_topk_err",
+    "sim_cosine_topk_np_err",
+    "mm_png_features",
+    # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
+    "fn_json_extract",
+    "agg_approx_distinct",
+    "join_asof",
+    "join_range",
+    "txt_gopher_filter",
+    "samp_shuffle",
+    "samp_pack",
+    "dedup_decontaminate",
+    "dedup_embedding_lsh",
+    "sim_quantize",
+    "mm_audio_features",
+    "evt_funnel",
+    "join_fuzzy",
+    "scd2_merge",
+    "sim_cosine_topk_np",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_attribution_join",
+    "stream_dedup_first",
+    "agg_count_distinct",
+    "agg_count_star",
+    "agg_global_count",
+    "agg_rollup_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "expr_discount_amount",
+    "expr_arith",
+    "win_percent_rank",
+    "win_frame_agg",
+    "win_lag_lead",
+    "win_ntile",
 )
 
 

@@ -170,3 +170,18 @@ class TestFunnel:
         assert got[2] == (m(0), m(6), None)  # click at 6, no purchase after
         assert got[3] == (m(4), None, None)
         assert got[5] == (m(0), m(0), None)
+
+    def test_one_scan_equals_k_join(self, spark, sf_small):
+        """funnel_one_scan (the evt_funnel implementation — one fact scan,
+        pivot to sorted arrays) must produce the identical user-grain frame
+        as the k-join funnel on real event data."""
+        from kusuma_metamorph_etl_spark.operators.events import (
+            funnel,
+            funnel_one_scan,
+        )
+
+        events = spark.read.parquet(f"{sf_small}/events.parquet")
+        stages = ["view", "click", "purchase"]
+        k_join = {tuple(r) for r in funnel(events, stages).collect()}
+        one_scan = {tuple(r) for r in funnel_one_scan(events, stages).collect()}
+        assert k_join and one_scan == k_join

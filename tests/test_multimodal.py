@@ -62,10 +62,12 @@ class TestCodecs:
         assert np.array_equal(multimodal.decode_image(payload)["pixels"], arr)
 
     def test_compressed_formats_gated(self):
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+        # JPEG/GIF stay behind the injectable-codec seam (lossy/LZW decode
+        # is out of scope); PNG now decodes for real (TestPng).
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\xff\xd8\xff\xe0rest")
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"GIF89arest")
 
     def test_unknown_payload_rejected(self):
         with pytest.raises(ValueError):
@@ -97,6 +99,104 @@ class TestCodecs:
         img = multimodal.decode_image(multimodal.synthesize_ppm(text))
         assert img["width"] == 4 + len(raw) % 5
         assert img["height"] == 4 + (7 * len(raw)) % 5
+
+
+class TestPng:
+    """Stdlib PNG codec: zlib inflate + numpy scanline unfilter
+    (VERDICT r5 Next #4 — the compressed-image decode gap)."""
+
+    def test_roundtrip_gray_rgb_rgba(self):
+        rng = np.random.RandomState(7)
+        for shape in [(5, 9), (7, 4, 3), (6, 5, 4)]:
+            arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+            img = multimodal.decode_image(multimodal.encode_png(arr))
+            assert img["format"] == "png"
+            assert np.array_equal(img["pixels"], arr), shape
+
+    def test_all_filter_types_and_chunked_idat(self):
+        """Decode a PNG whose five scanlines use filter types 0-4 (our
+        encoder only emits 0, so the filtered payload is hand-built) and
+        whose IDAT stream is split across two chunks."""
+        import struct
+        import zlib
+
+        rng = np.random.RandomState(11)
+        arr = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        h, w, ch = arr.shape
+        bpp = ch
+        flat = arr.reshape(h, w * ch).astype(np.int64)
+        lines = []
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            cur = flat[y]
+            prev = flat[y - 1] if y else np.zeros(w * ch, np.int64)
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            if ftype == 0:
+                filt = cur
+            elif ftype == 1:
+                filt = (cur - left) % 256
+            elif ftype == 2:
+                filt = (cur - prev) % 256
+            elif ftype == 3:
+                filt = (cur - (left + prev) // 2) % 256
+            else:  # Paeth
+                filt = np.zeros(w * ch, np.int64)
+                for x in range(w * ch):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[x] = (cur[x] - pred) % 256
+            lines.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        comp = zlib.compress(b"".join(lines))
+        mid = len(comp) // 2
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", comp[:mid])
+            + multimodal._png_chunk(b"IDAT", comp[mid:])
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(multimodal._decode_png(payload), arr)
+
+    def test_unsupported_variants_gated(self):
+        """Palette, 16-bit, and interlaced PNGs stay behind the seam."""
+        import struct
+        import zlib
+
+        arr = np.zeros((2, 2, 3), dtype=np.uint8)
+        comp = zlib.compress(b"\x00" * (2 * 7))
+        for depth, color, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+            payload = (
+                multimodal._PNG_SIG
+                + multimodal._png_chunk(b"IHDR", ihdr)
+                + multimodal._png_chunk(b"IDAT", comp)
+                + multimodal._png_chunk(b"IEND", b"")
+            )
+            with pytest.raises(NotImplementedError):
+                multimodal._decode_png(payload)
+        # Truncated / chunkless payloads are malformed, not unsupported.
+        with pytest.raises(ValueError):
+            multimodal.decode_image(multimodal._PNG_SIG)
+
+    def test_synthesize_png_pixel_parity_with_ppm(self):
+        """synthesize_png and synthesize_ppm share the pixel contract — the
+        in-query gate of mm_png_features."""
+        text = "hello compressed world"
+        png = multimodal.decode_image(multimodal.synthesize_png(text))
+        ppm = multimodal.decode_image(multimodal.synthesize_ppm(text))
+        assert np.array_equal(png["pixels"], ppm["pixels"])
+        assert (png["width"], png["height"]) == (ppm["width"], ppm["height"])
+
+    def test_png_resize_reencodes_png(self):
+        arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3) % 256
+        out = multimodal.resize_image(multimodal.encode_png(arr), 3, 2)
+        img = multimodal.decode_image(out)
+        assert img["format"] == "png"
+        assert (img["width"], img["height"]) == (3, 2)
 
 
 def test_real_decode_features(image_payloads):
