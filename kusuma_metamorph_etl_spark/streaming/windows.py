@@ -31,23 +31,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     files pass through untouched.  A hardcoded LongType schema would read
     a µs file's values as raw longs and mis-scale them 1000× — the
     batch/stream twin tests pin this against the live test data.
+
+    .. warning:: For TIMESTAMP(NANOS) files ONLY, this sets
+       ``spark.sql.legacy.parquet.nanosAsLong=true`` SESSION-WIDE for the
+       stream's whole lifetime, overriding any prior value: micro-batch
+       planning re-reads parquet footers on every trigger, so a scoped
+       set/restore would break the running stream.  Consequence: while
+       (and after) such a stream runs, the session's other
+       TIMESTAMP(NANOS) batch reads surface ``ts`` as bigint instead of
+       raising.  Callers needing a pristine session for nanos streams
+       should pass ``spark.newSession()`` (its conf is independent).
+       µs/ms files — the common case — leave the session untouched.
     """
     path = f"{sf_dir}/events.parquet"
-    from kusuma_metamorph_etl_spark.sources.catalog import _NANOS_CONF
+    from kusuma_metamorph_etl_spark.sources.catalog import (
+        _NANOS_CONF,
+        read_parquet_nanos_safe,
+    )
 
-    prior = spark.conf.get(_NANOS_CONF, None)
-    spark.conf.set(_NANOS_CONF, "true")
-    try:
-        batch_schema = spark.read.parquet(path).schema
-    finally:
-        if prior is None:
-            spark.conf.unset(_NANOS_CONF)
-        else:
-            spark.conf.set(_NANOS_CONF, prior)
+    batch_schema = read_parquet_nanos_safe(spark, path).schema
     if any(f.name == "ts" and f.dataType.typeName() == "long" for f in batch_schema):
-        # TIMESTAMP(NANOS) files: micro-batch planning re-reads footers on
-        # every trigger, so the conf must stay set for the stream's whole
-        # lifetime — accept the session-wide conf for nanos streams only.
+        # Session-wide on purpose — see the docstring warning.
         spark.conf.set(_NANOS_CONF, "true")
     # FileStreamSource needs a directory or glob (a bare file path fails
     # basePath validation); the glob resolves to the single test file.

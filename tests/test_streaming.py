@@ -33,6 +33,17 @@ def test_stream_matches_batch(spark, sf_small, transform, name):
     assert got == _rows(batch)
 
 
+def test_batch_stream_ts_schema_parity(spark, sf_small):
+    """Batch load_table and stream_events must surface the IDENTICAL ts
+    type (TimestampType) whatever the files carry — µs-NTZ files used to
+    stay timestamp_ntz on the batch side only, so twins of one table
+    differed in schema (matched on values only because the session TZ is
+    pinned UTC)."""
+    batch_ts = dict(load_table(spark, sf_small, "events").dtypes)["ts"]
+    stream_ts = dict(stream_events(spark, sf_small).dtypes)["ts"]
+    assert batch_ts == stream_ts == "timestamp"
+
+
 def test_session_stream_matches_batch(spark, sf_small):
     batch = session_agg(load_table(spark, sf_small, "events"), gap="10 minutes")
     stream = session_agg(stream_events(spark, sf_small), gap="10 minutes")
