@@ -373,27 +373,28 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return voted.select(F.col(id_col), signature.alias("simhash"))
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    text_col: str = "text",
+def hamming_blocked_pairs(
+    sigs: DataFrame,
+    bits: int,
+    max_hamming: int,
     id_col: str = "doc_id",
-    bits: int = 48,
-    max_hamming: int = 3,
+    sig_col: str = "sig",
 ) -> DataFrame:
-    """Pairs within ``max_hamming`` bit flips of each other.
+    """All (a < b, hamming) pairs within ``max_hamming`` bit flips over a
+    (id, long-signature) frame — the shared scale kernel behind SimHash
+    text dedup and pHash image dedup.
 
-    Scale plan — pigeonhole chunk blocking, no cross join: split the
-    signature into ``max_hamming + 1`` chunks; any pair within
-    ``max_hamming`` flips must agree exactly on at least one chunk, so
-    candidates come from an equi-join on (chunk_idx, chunk_value) and only
-    candidates pay the exact Hamming check.  Fan-out per row is the fixed
-    chunk count, so the join input is O(n · (m+1)) rows.
+    Pigeonhole chunk blocking, no cross join: split the signature into
+    ``max_hamming + 1`` chunks; any pair within ``max_hamming`` flips must
+    agree exactly on at least one chunk, so candidates come from an
+    equi-join on (chunk_idx, chunk_value) and only candidates pay the
+    exact Hamming check.  Fan-out per row is the fixed chunk count, so
+    the join input is O(n · (m+1)) rows.
     """
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     if chunk_bits == 0:
         raise ValueError("bits must be >= max_hamming + 1")
-    sigs = simhash(df, text_col, id_col, bits)
 
     def chunked(frame: DataFrame, id_out: str, sig_out: str) -> DataFrame:
         # Last chunk absorbs the remainder bits so all bits are covered.
@@ -413,8 +414,9 @@ def simhash_near_dups(
             id_out, sig_out, F.explode(F.array(*exprs)).alias("ch")
         ).select(id_out, sig_out, "ch.chunk_idx", "ch.chunk_val")
 
-    a = chunked(sigs.toDF("a", "sig_a"), "a", "sig_a")
-    b = chunked(sigs.toDF("b", "sig_b"), "b", "sig_b")
+    base = sigs.select(F.col(id_col), F.col(sig_col))
+    a = chunked(base.toDF("a", "sig_a"), "a", "sig_a")
+    b = chunked(base.toDF("b", "sig_b"), "b", "sig_b")
     return (
         a.join(b, on=["chunk_idx", "chunk_val"])
         .filter(F.col("a") < F.col("b"))
@@ -425,6 +427,19 @@ def simhash_near_dups(
         .select("a", "b", "hamming")
         .distinct()
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bit flips of each other
+    (:func:`hamming_blocked_pairs` over :func:`simhash` signatures)."""
+    sigs = simhash(df, text_col, id_col, bits)
+    return hamming_blocked_pairs(sigs, bits, max_hamming, id_col, "simhash")
 
 
 # ------------------------------------------------- embedding near-dup

@@ -495,6 +495,80 @@ def sample_frames(
     )
 
 
+# --------------------------------------------------- perceptual image hash
+
+_PHASH_BITS = 63  # 8x8 DCT block minus the DC coefficient; fits a signed long
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (``D @ x`` is the 1-D DCT of x)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT_32 = _dct_matrix(32)
+
+
+def phash(payload: bytes, hash_size: int = 8) -> int:
+    """DCT-based perceptual hash (classic pHash): decode, grayscale,
+    nearest-neighbor downsample to ``4*hash_size`` square, 2-D DCT-II,
+    keep the top-left ``hash_size``² low-frequency block, threshold each
+    coefficient at the block median (DC dropped) → 63-bit signature.
+
+    Near-duplicate IMAGES (re-encodes, small edits, resizes) land within
+    a few bit flips; unrelated images differ in ~half the bits.  Pure
+    numpy — the DCT is two matmuls against a precomputed basis.
+    """
+    img = decode_image(payload)
+    px = img["pixels"].astype(np.float64)
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    size = hash_size * 4
+    src_h, src_w = px.shape
+    rows = np.minimum((np.arange(size) * src_h) // size, src_h - 1)
+    cols = np.minimum((np.arange(size) * src_w) // size, src_w - 1)
+    small = px[rows][:, cols]
+    d = _DCT_32 if size == 32 else _dct_matrix(size)
+    coeffs = d @ small @ d.T
+    block = coeffs[:hash_size, :hash_size].ravel()[1:]  # drop DC
+    bits = block > np.median(block)
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def phash_signatures(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image pHash as a long column (Arrow-batched pandas UDF over the
+    real decoders — PPM/PGM/BMP/PNG)."""
+
+    @F.pandas_udf("long")
+    def ph(payloads: pd.Series) -> pd.Series:
+        return payloads.map(phash)
+
+    return df.select(F.col(id_col), ph(F.col(payload_col)).alias("phash"))
+
+
+def phash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image near-dup pairs within ``max_hamming`` pHash bit flips — the
+    visual twin of SimHash text dedup, sharing its pigeonhole chunk
+    blocking (`operators/dedup.py::hamming_blocked_pairs`): one decode
+    pass per image, then equi-join blocking over 63-bit signatures; no
+    cross join, payloads never shuffle.
+    """
+    from kusuma_metamorph_etl_spark.operators.dedup import hamming_blocked_pairs
+
+    sigs = phash_signatures(df, id_col, payload_col)
+    return hamming_blocked_pairs(sigs, _PHASH_BITS, max_hamming, id_col, "phash")
+
+
 # ------------------------------------------------------------- audio codec
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

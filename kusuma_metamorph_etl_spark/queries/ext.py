@@ -1008,6 +1008,36 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_phash_dedup",
+    """SELECT doc_id AS a, doc_id + 1000000 AS b
+       FROM documents WHERE doc_id % 9 = 0""",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup ([EXT]): DCT pHash signatures over
+    REAL decodes, paired by the SimHash pigeonhole blocking
+    (`operators/multimodal.py::phash_near_dups`).  Same `_err` gate shape
+    as `dedup_simhash_err`: every 9th document's synthetic image is
+    planted again under a shifted id — identical pixels hash identically
+    (Hamming 0, cross-format invariant), so every planted pair MUST
+    surface; output is the oracle-computable planted list, gated on zero
+    misses."""
+    docs = t(spark, sf_dir, "documents")
+    imgs = multimodal.attach_image_payload(docs).select("doc_id", "payload")
+    planted = imgs.filter(F.col("doc_id") % 9 == 0)
+    copies = planted.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pairs = multimodal.phash_near_dups(
+        imgs.unionByName(copies), max_hamming=2
+    ).select("a", "b")
+    expected = planted.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1_000_000).alias("b")
+    )
+    missed = expected.join(pairs, ["a", "b"], "left_anti")
+    stats = _n(expected, "n_exp").crossJoin(_n(missed, "n_miss"))
+    ok = (F.col("n_exp") > 0) & (F.col("n_miss") == 0)
+    return _gate(expected, stats, ok)
+
+
+@register(
     "mm_audio_features",
     """SELECT doc_id,
               'wav' AS format,

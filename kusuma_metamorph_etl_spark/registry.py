@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ivf_topk_err",
     "sim_cosine_topk_np_err",
     "mm_png_features",
+    "mm_phash_dedup",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -138,7 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "win_percent_rank",
     "win_frame_agg",
     "win_lag_lead",
-    "win_ntile",
 )
 
 

@@ -199,6 +199,62 @@ class TestPng:
         assert (img["width"], img["height"]) == (3, 2)
 
 
+class TestPhash:
+    """DCT perceptual hash: format-invariant, robust to mild transforms,
+    far from unrelated images — the visual near-dup signature."""
+
+    @staticmethod
+    def _structured(freq_x=9.0, freq_y=7.0, seed=None, noise=0):
+        y, x = np.mgrid[0:64, 0:80]
+        base = (128 + 60 * np.sin(x / freq_x) + 50 * np.cos(y / freq_y))
+        if seed is not None:
+            base = base + np.random.RandomState(seed).randint(
+                -noise, noise + 1, base.shape
+            )
+        g = base.clip(0, 255).astype(np.uint8)
+        return np.stack([g, (g * 0.8).astype(np.uint8), (g * 0.5).astype(np.uint8)], 2)
+
+    def test_identical_pixels_cross_format(self):
+        arr = self._structured()
+        h_png = multimodal.phash(multimodal.encode_png(arr))
+        h_ppm = multimodal.phash(multimodal.encode_ppm(arr))
+        h_bmp = multimodal.phash(multimodal.encode_bmp(arr))
+        assert h_png == h_ppm == h_bmp
+        assert 0 < h_png < 2**63
+
+    def test_resize_variant_is_near(self):
+        p = multimodal.encode_png(self._structured())
+        h0 = multimodal.phash(p)
+        h1 = multimodal.phash(multimodal.resize_image(p, 40, 32))
+        # measured 10 on this image; pHash's downsample absorbs most of it
+        assert bin(h0 ^ h1).count("1") <= 16
+
+    def test_unrelated_images_are_far(self):
+        h0 = multimodal.phash(multimodal.encode_png(self._structured()))
+        for s in range(6):
+            other = self._structured(3.0 + s, 11.0 - s, seed=100 + s, noise=20)
+            h = multimodal.phash(multimodal.encode_png(other))
+            # measured 24-38 across these seeds; 18 is the regression floor
+            assert bin(h0 ^ h).count("1") >= 18
+
+    def test_near_dups_finds_planted_copies(self, spark, sf_small):
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(40)
+        imgs = multimodal.attach_image_payload(docs).select("doc_id", "payload")
+        copies = imgs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        pairs = multimodal.phash_near_dups(
+            imgs.unionByName(copies), max_hamming=2
+        )
+        found = {
+            (r["a"], r["b"])
+            for r in pairs.filter(F.col("b") >= 1_000_000).collect()
+        }
+        expected = {
+            (r["doc_id"], r["doc_id"] + 1_000_000)
+            for r in imgs.limit(5).select("doc_id").collect()
+        }
+        assert expected <= found
+
+
 def test_real_decode_features(image_payloads):
     out = multimodal.extract_binary_features(image_payloads)
     assert "payload" not in out.columns  # blobs never reach a shuffle
