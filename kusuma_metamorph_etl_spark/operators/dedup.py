@@ -156,6 +156,46 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT join: pairs (a < b) where
+    |A∩B| / min(|A|, |B|) ≥ threshold — the doc-inside-doc detector.
+
+    Jaccard misses subset duplication (a page quoted inside a much longer
+    page scores |A|/|B| ≈ 0 Jaccard but containment 1.0), which is a
+    common shape in web-scale training corpora (boilerplate wrappers,
+    quote farms, aggregators).  Same inverted-index plan and scale hazard
+    as :func:`jaccard_pairs`; the production path prefilters with MinHash
+    candidates and verifies containment on candidates only.
+    """
+    shingles = shingle_table(df, text_col, id_col, n)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    left = shingles.toDF("a", "shingle")
+    right = shingles.toDF("b", "shingle")
+    common = (
+        left.join(right, on="shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.toDF("a", "na")
+    sb = sizes.toDF("b", "nb")
+    return (
+        common.join(sa, on="a")
+        .join(sb, on="b")
+        .withColumn(
+            "containment", F.col("n_common") / F.least(F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "n_common", "na", "nb", "containment")
+    )
+
+
 # ----------------------------------------------------------------- MinHash + LSH
 
 def minhash_signature(text: Column, n_hashes: int = 16, n: int = 3) -> Column:

@@ -681,3 +681,84 @@ def attach_audio_payload(
     return df.withColumn("payload", make_wav(F.col(text_col))).withColumn(
         "payload_kind", F.lit("audio/wav")
     )
+
+
+# ------------------------------------------------------- audio DSP features
+
+_TONE_N = 1024  # samples per synthetic tone; FFT bin width = sr / _TONE_N
+
+
+def tone_hz(byte_length: int, sample_rate: int = 16000) -> float:
+    """The synthesis contract for :func:`synthesize_tone`: frequency from
+    the text's byte length, always an EXACT FFT-bin multiple (bin width
+    sr/1024 = 15.625 Hz at 16 kHz; 1000 and 125 are both multiples), so
+    the spectral peak lands in a single bin and the oracle can recompute
+    it: ``1000 + (byte_length % 40) * 125``."""
+    return 1000.0 + (byte_length % 40) * 125.0 * (sample_rate / 16000)
+
+
+def synthesize_tone(text: str, sample_rate: int = 16000) -> bytes:
+    """Deterministic pure-sine PCM16 payload at :func:`tone_hz` of the
+    text's byte length — the known-answer input for the FFT path."""
+    f = tone_hz(len(text.encode("utf-8")), sample_rate)
+    n = np.arange(_TONE_N)
+    pcm = (8000 * np.sin(2 * np.pi * f * n / sample_rate)).astype(np.int16)
+    return encode_wav(pcm, sample_rate)
+
+
+SPECTRAL_SCHEMA = (
+    "doc_id long, peak_hz double, spectral_centroid double, zcr double"
+)
+
+
+def spectral_features(payload: bytes) -> dict[str, Any]:
+    """Real DSP over the decoded waveform: rFFT magnitude spectrum →
+    dominant-bin frequency + spectral centroid, plus time-domain
+    zero-crossing rate.  Multi-channel audio is averaged to mono first."""
+    audio = decode_audio(payload)
+    mono = audio["samples"].astype(np.float64).mean(axis=1)
+    sr = audio["sample_rate"]
+    if mono.size == 0:
+        return {"peak_hz": 0.0, "spectral_centroid": 0.0, "zcr": 0.0}
+    mag = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(mono.size, d=1.0 / sr)
+    mag[0] = 0.0  # ignore DC — a constant offset is not a pitch
+    total = mag.sum()
+    return {
+        "peak_hz": float(freqs[int(np.argmax(mag))]),
+        "spectral_centroid": float((freqs * mag).sum() / total) if total else 0.0,
+        "zcr": float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))),
+    }
+
+
+def extract_spectral_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched spectral feature extraction (same ``mapInPandas``
+    seam as :func:`extract_binary_features`; payloads dropped from the
+    output so downstream shuffles never carry audio)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = [spectral_features(p) for p in batch[payload_col]]
+            out = pd.DataFrame(feats, columns=["peak_hz", "spectral_centroid", "zcr"])
+            out.insert(0, id_col, batch[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, schema=SPECTRAL_SCHEMA
+    )
+
+
+def attach_tone_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesized pure-tone payload column, typed ``audio/wav``."""
+
+    @F.pandas_udf("binary")
+    def make_tone(texts: pd.Series) -> pd.Series:
+        return texts.map(synthesize_tone)
+
+    return df.withColumn("payload", make_tone(F.col(text_col))).withColumn(
+        "payload_kind", F.lit("audio/wav")
+    )

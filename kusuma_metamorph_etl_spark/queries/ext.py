@@ -530,6 +530,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    f"""WITH s AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)),
+        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+          FROM e l JOIN e r USING (shingle)
+          WHERE l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.4""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs ≥ 0.4 ([EXT]): catches
+    doc-inside-doc duplication that Jaccard scores near zero
+    (`operators/dedup.py::containment_pairs`)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.4).select(
+        "a", "b", "n_common", "containment"
+    )
+
+
 @register("dedup_minhash_lsh", None)  # xxhash64-based — no DuckDB equivalent
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ 0.3 (the scale
@@ -1035,6 +1065,25 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = _n(expected, "n_exp").crossJoin(_n(missed, "n_miss"))
     ok = (F.col("n_exp") > 0) & (F.col("n_miss") == 0)
     return _gate(expected, stats, ok)
+
+
+@register(
+    "mm_audio_spectral",
+    """SELECT doc_id,
+              1000.0 + (octet_length(encode(text)) % 40) * 125.0 AS peak_hz
+       FROM documents""",
+)
+def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP: per-document pure sine tones at a known frequency
+    (an exact FFT-bin multiple — `operators/multimodal.py::tone_hz`) run
+    through WAV decode → rFFT → dominant-bin pitch detection over
+    mapInPandas.  The oracle recomputes the synthesized frequency from the
+    byte-length contract; a wrong decode, FFT, or bin→Hz mapping shifts
+    the peak and fails the hash (bin frequencies are exact binary
+    fractions, so equality is bit-for-bit)."""
+    docs = t(spark, sf_dir, "documents")
+    tones = multimodal.attach_tone_payload(docs)
+    return multimodal.extract_spectral_features(tones).select("doc_id", "peak_hz")
 
 
 @register(

@@ -81,10 +81,12 @@ _LOADED = False
 #      PNG-decode query (mm_png_features, VERDICT r5 Next #4);
 #   3. oldest r4-window rows: the r3/r4 events + streaming-twins block,
 #      then the r3 agg/window rows, until the window holds 50.
-# Deferred to the r7 window: the remaining r4 rows (win_cume_dist,
-# win_rank_dense, win_rownum_topk/flag, sql_pricing_summary, the src_*/
-# snk_dual_write/join_broadcast/semi_anti/disambig/proj_* block) — all
-# green in r4 and untouched since.
+# Deferred to the r7 window: the remaining r4 rows (win_frame_agg,
+# win_lag_lead, win_ntile, win_cume_dist, win_rank_dense,
+# win_rownum_topk/flag, sql_pricing_summary, the src_*/snk_dual_write/
+# join_broadcast/semi_anti/disambig/proj_* block) — all green in r4 and
+# untouched since; they ceded slots to the round-6 registrations, which
+# have no evidence at all yet.
 _PRIORITY: tuple[str, ...] = (
     # (1) r2-only evidence
     "agg_approx_quantile",
@@ -107,6 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk_np_err",
     "mm_png_features",
     "mm_phash_dedup",
+    "mm_audio_spectral",
+    "dedup_containment",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -137,8 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "expr_discount_amount",
     "expr_arith",
     "win_percent_rank",
-    "win_frame_agg",
-    "win_lag_lead",
 )
 
 

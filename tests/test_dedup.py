@@ -80,6 +80,28 @@ def test_simhash_pair_symmetry_and_bounds(spark, sf_small):
     assert all(0 <= r["hamming"] <= 3 for r in rows)
 
 
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc quoted verbatim inside a long doc: Jaccard near zero,
+    containment 1.0 — the asymmetric detector's whole point."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, f"{filler} {short} {filler}"), (3, "unrelated text entirely here today")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["a"], r["b"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert not any(3 in p for p in cont)
+    jac = {
+        (r["a"], r["b"])
+        for r in dedup.jaccard_pairs(df, threshold=0.2).collect()
+    }
+    assert (1, 2) not in jac  # Jaccard misses the subset duplication
+
+
 # ------------------------------------------------- embedding near-dup
 
 def _emb(spark, sf_dir):

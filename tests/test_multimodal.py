@@ -255,6 +255,35 @@ class TestPhash:
         assert expected <= found
 
 
+class TestSpectral:
+    """FFT pitch detection over real WAV decode: known-answer sine tones."""
+
+    def test_pure_tone_peak_is_exact(self):
+        for length in (0, 7, 39, 40, 123):
+            payload = multimodal.synthesize_tone("x" * length)
+            feats = multimodal.spectral_features(payload)
+            assert feats["peak_hz"] == multimodal.tone_hz(length)
+            # a pure sine crosses zero twice per period
+            expect_zcr = 2 * multimodal.tone_hz(length) / 16000
+            assert abs(feats["zcr"] - expect_zcr) < 0.01
+
+    def test_centroid_tracks_pitch(self):
+        low = multimodal.spectral_features(multimodal.synthesize_tone("x" * 0))
+        high = multimodal.spectral_features(multimodal.synthesize_tone("x" * 39))
+        assert low["spectral_centroid"] < high["spectral_centroid"]
+        # exact-bin sines leak almost nothing: centroid ~= peak
+        assert abs(low["spectral_centroid"] - low["peak_hz"]) < 20.0
+
+    def test_stereo_payload_averages_to_mono(self):
+        import numpy as np
+
+        n = np.arange(1024)
+        pcm = (8000 * np.sin(2 * np.pi * 2000 * n / 16000)).astype(np.int16)
+        stereo = np.stack([pcm, pcm], axis=1)
+        feats = multimodal.spectral_features(multimodal.encode_wav(stereo))
+        assert feats["peak_hz"] == 2000.0
+
+
 def test_real_decode_features(image_payloads):
     out = multimodal.extract_binary_features(image_payloads)
     assert "payload" not in out.columns  # blobs never reach a shuffle
