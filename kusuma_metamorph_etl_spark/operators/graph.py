@@ -1,0 +1,124 @@
+"""[EXT] Distributed connected components — the clustering step every
+near-dup pipeline needs between PAIRS (MinHash/SimHash/pHash/embedding
+output) and ACTIONS (keep one representative per duplicate cluster).
+
+Algorithm: iterative min-label propagation with pointer doubling,
+expressed as DataFrame joins — each round every node adopts the smallest
+label among itself and its neighbors (one hop of propagation), then
+follows its label's label (halving every label path, as in Hash-to-Min —
+Rastogi et al., "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds", ICDE'13).  The combination converges in
+O(log diameter) rounds; a fixed point means labels equal the
+per-component minimum node id.  Large-star/small-star (Kiveris et al.,
+SoCC'14) is the documented upgrade if per-round edge duplication ever
+becomes the bottleneck.
+
+Scale shape per round: one equi-join of the symmetric edge list against
+current labels + one min-aggregation, both keyed on node id — shuffles
+carry (node, label) pairs only, never payloads.  Lineage is truncated
+every round with ``localCheckpoint`` (an iterative plan otherwise grows
+exponentially in the optimizer); the convergence probe is one bounded
+count per round, and the loop is capped by ``max_iter``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``, with ``component``
+    the minimum node id of its connected component.
+
+    ``edges`` is an undirected pair list; direction and duplicates are
+    normalized away here.  Raises ``RuntimeError`` if ``max_iter`` rounds
+    do not reach the fixed point (i.e. component diameter exceeded the
+    budget) rather than returning silently-wrong partial labels.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("src"),
+                    F.col("component").alias("src_component"),
+                ),
+                on="src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src_component").alias("neighbor_component"))
+        )
+        propagated = labels.join(neighbor_min, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce("neighbor_component", "component"),
+            ).alias("component"),
+        )
+        # Pointer doubling: follow component → that node's component.
+        # Labels only ever decrease, so L(L(x)) ≤ L(x) and every label
+        # path halves per round — O(log diameter) total.
+        updated = (
+            propagated.join(
+                propagated.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("grandparent"),
+                ),
+                on="component",
+                how="left",
+            )
+            .select(
+                "node",
+                F.coalesce("grandparent", "component").alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter (diameter-bound) or switch to large-star/small-star"
+    )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Collapse near-dup PAIRS into one surviving row per duplicate
+    cluster: rows never appearing in ``pairs`` survive untouched; within
+    each connected component only the minimum-id row survives (the same
+    declared lowest-id-wins rule as ``dedup.exact_dedup``, now applied
+    transitively — A≈B and B≈C drops both B and C even when A≉C
+    directly)."""
+    components = connected_components(pairs, a_col, b_col)
+    losers = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

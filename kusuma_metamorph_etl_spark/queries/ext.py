@@ -560,6 +560,68 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact Jaccard-≥0.3 pair list as DuckDB CTE bodies — the edge set for the
+# connected-components queries (threshold chosen so clusters of size > 2
+# exist in the test corpus).
+_CC_EDGES = f"""
+  s AS (
+    SELECT doc_id, {_SHINGLES} AS sh
+    FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)),
+  e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+  sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+  common AS (
+    SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+    FROM e l JOIN e r USING (shingle)
+    WHERE l.doc_id < r.doc_id
+    GROUP BY 1, 2),
+  pairs AS (
+    SELECT a, b FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3),
+  sym AS (SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b, a FROM pairs),
+  reach(node, r) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT reach.node, s2.dst FROM reach JOIN sym s2 ON reach.r = s2.src),
+  cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)"""
+
+
+@register(
+    "dedup_cc_clusters",
+    f"""WITH RECURSIVE {_CC_EDGES}
+        SELECT node, component FROM cc""",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact Jaccard-≥0.3 near-dup graph
+    ([EXT]): every paired doc labeled with its cluster's minimum id via
+    iterative min-label propagation (`operators/graph.py`); the oracle is
+    DuckDB's recursive-CTE transitive closure."""
+    from kusuma_metamorph_etl_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    edges = dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
+    return connected_components(edges).select("node", "component")
+
+
+@register(
+    "dedup_cc_representatives",
+    f"""WITH RECURSIVE {_CC_EDGES}
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)""",
+)
+def dedup_cc_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-collapse dedup ([EXT]): one surviving row per duplicate
+    cluster (transitive lowest-id-wins — A≈B≈C drops B AND C even when
+    A≉C directly, which pairwise dedup cannot express)."""
+    from kusuma_metamorph_etl_spark.operators.graph import cluster_representatives
+
+    docs = t(spark, sf_dir, "documents")
+    edges = dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
+    return cluster_representatives(docs, edges).select("doc_id", "source")
+
+
 @register("dedup_minhash_lsh", None)  # xxhash64-based — no DuckDB equivalent
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ 0.3 (the scale

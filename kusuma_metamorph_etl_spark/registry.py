@@ -111,6 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_phash_dedup",
     "mm_audio_spectral",
     "dedup_containment",
+    "dedup_cc_clusters",
+    "dedup_cc_representatives",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -139,8 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_grouping_sets",
     "agg_stats",
     "expr_discount_amount",
-    "expr_arith",
-    "win_percent_rank",
 )
 
 

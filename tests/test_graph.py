@@ -1,0 +1,86 @@
+"""Connected-components tests: known topologies, convergence behavior,
+and the transitive cluster-collapse rule."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators.graph import (
+    cluster_representatives,
+    connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_two_components_and_chain(spark):
+    # chain 1-2-3-4 plus island 10-11: transitive closure, min labels
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_direction_and_duplicates_normalized(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_converges(spark):
+    # a 30-node path needs ~diameter rounds — within the default budget
+    got = _cc(spark, [(i, i + 1) for i in range(1, 30)])
+    assert set(got.values()) == {1}
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(1, 10)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_cluster_representatives_transitive(spark):
+    """A≈B and B≈C must drop BOTH B and C even though A≉C directly —
+    the property pairwise dedup cannot express."""
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (7, "y")], "doc_id long, payload string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    kept = {r["doc_id"] for r in cluster_representatives(docs, pairs).collect()}
+    assert kept == {1, 7}
+
+
+def test_components_match_networkx_free_oracle(spark, sf_small):
+    """Brute-force union-find over the collected edge list agrees with the
+    distributed result on real near-dup edges."""
+    from kusuma_metamorph_etl_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    edges = dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
+    rows = edges.collect()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for r in rows:
+        union(r["a"], r["b"])
+    expected = {n: find(n) for n in parent}
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == expected and got
