@@ -122,6 +122,51 @@ def test_customer_mart_uses_range_percent_rank(spark, sf_small):
     assert "windowspecdefinition(SALE_AMOUNT" not in plan
 
 
+def test_funnel_one_scan_reads_fact_once(spark, sf_small):
+    # The whole point of funnel_one_scan: exactly ONE parquet scan of the
+    # events fact, where the k-join twin pays one per stage.
+    from kusuma_metamorph_etl_spark.operators.events import funnel, funnel_one_scan
+
+    events = spark.read.parquet(f"{sf_small}/events.parquet")
+    stages = ["view", "click", "purchase"]
+    one = _plan(funnel_one_scan(events, stages))
+    k = _plan(funnel(events, stages))
+    assert one.count("Scan parquet") == 1
+    # The k-join twin pays AT LEAST one scan per stage (in practice more:
+    # each stage join re-evaluates the accumulated funnel lineage — 7
+    # scans at 3 stages).
+    assert k.count("Scan parquet") >= len(stages)
+
+
+def test_hamming_blocking_never_cross_joins(spark, sf_small):
+    # Pigeonhole blocking must stay an equi-join on (chunk_idx, chunk_val)
+    # for BOTH consumers (SimHash text, pHash images) — a cartesian or
+    # nested-loop join here is the all-pairs plan the operator exists to
+    # avoid.
+    from kusuma_metamorph_etl_spark.operators import multimodal
+    from kusuma_metamorph_etl_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(50)
+    text_plan = _plan(simhash_near_dups(docs, bits=48, max_hamming=3))
+    imgs = multimodal.attach_image_payload(docs).select("doc_id", "payload")
+    img_plan = _plan(multimodal.phash_near_dups(imgs, max_hamming=2))
+    for plan in (text_plan, img_plan):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_payloads_never_shuffle(spark, sf_small):
+    # Binary payloads must be projected away before the blocking join:
+    # no Exchange in the plan may carry the payload column.
+    from kusuma_metamorph_etl_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(50)
+    imgs = multimodal.attach_image_payload(docs).select("doc_id", "payload")
+    plan = _plan(multimodal.phash_near_dups(imgs, max_hamming=2))
+    for segment in plan.split("Exchange")[1:]:
+        assert "payload" not in segment.split("\n")[0]
+
+
 def test_zorder_layout_skips_row_groups(spark, sf_small, tmp_path):
     """Z-order clustering must give parquet row groups tight min/max boxes
     on BOTH interleaved columns: for a two-sided range predicate, far
