@@ -207,6 +207,91 @@ def test_decimal_sum_near_2_52_integers(units, parts):
     assert got == expected, (values, got, expected)
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    shape=st.tuples(
+        st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 2, 3, 4])
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(shape, seed):
+    """decode(encode(pixels)) is the identity for every 8-bit image shape
+    the codec claims (gray / gray+alpha / RGB / RGBA, any dimensions)."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators import multimodal
+
+    h, w, ch = shape
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, ch) if ch > 1 else (h, w), dtype=np.uint8)
+    back = multimodal.decode_image(multimodal.encode_png(arr))
+    assert back["format"] == "png"
+    expect = arr if ch != 1 else arr.reshape(h, w)
+    assert np.array_equal(back["pixels"], expect), (shape, seed)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sigs=st.lists(st.integers(0, 2**48 - 1), min_size=2, max_size=20, unique=True),
+    max_hamming=st.integers(1, 4),
+)
+def test_hamming_blocking_is_exhaustive(sigs, max_hamming):
+    """Pigeonhole chunk blocking must find EVERY pair within the Hamming
+    budget (it may never miss — the pigeonhole guarantee), matching the
+    brute-force pair scan exactly."""
+    from kusuma_metamorph_etl_spark.operators.dedup import hamming_blocked_pairs
+
+    spark = _session()
+    rows = list(enumerate(sigs))
+    brute = {
+        (a_id, b_id, bin(a ^ b).count("1"))
+        for a_id, a in rows
+        for b_id, b in rows
+        if a_id < b_id and bin(a ^ b).count("1") <= max_hamming
+    }
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in hamming_blocked_pairs(df, 48, max_hamming).collect()
+    }
+    assert got == brute, (sigs, max_hamming)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(edges):
+    """Distributed min-label propagation equals driver-side union-find on
+    arbitrary small graphs (cliques, chains, self-parallel edges...)."""
+    from kusuma_metamorph_etl_spark.operators.graph import connected_components
+
+    spark = _session()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected, edges
+
+
 def test_percent_rank_constant_column_falls_back():
     """A constant column yields at most one distinct quantile bound; the
     range path must fall back to the broadcast map instead of running a
