@@ -116,3 +116,64 @@ def funnel_one_scan(
     return current.filter(F.col(f"t_{stages[0]}").isNotNull()).select(
         user_col, *[f"t_{s}" for s in stages]
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Label every EVENT with its per-user session index (1-based): a new
+    session starts when the gap to the previous event exceeds
+    ``gap_seconds`` (strictly greater; the rule is declared).
+
+    The event-grain complement of ``streaming/windows.py::session_agg``
+    (which aggregates per session) — downstream features often need the
+    session id ON the event rows (sequence models, per-session ordering).
+
+    Plan: lag + running sum over a window PARTITIONED BY user (shuffles
+    once on the user key, no global window, no single task).  Gap compare
+    runs on integer microseconds (``unix_micros``) so there is no float
+    boundary ambiguity; ties order by (ts, event id) for determinism.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_session = (
+        prev_us.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev_us) > gap_seconds * 1_000_000)
+    ).cast("int")
+    session_idx = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        user_col, id_col, ts_col, session_idx.alias("session_idx")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted per (cohort_day, day_offset) they return on.
+
+    Plan: one user-grain min-date aggregation, joined back on the user
+    key (both sides shuffle on the same key — co-partitioned), then one
+    (cohort, offset) aggregation with map-side partial distinct-count.
+    """
+    first = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_day")
+    )
+    return (
+        events.select(user_col, F.to_date(ts_col).alias("day"))
+        .join(first, on=user_col)
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )

@@ -128,6 +128,44 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Shannon entropy (bits) of each document's character n-gram
+    distribution — the cheap information-theoretic quality feature:
+    keyboard mash and repeated boilerplate score low, natural prose sits
+    in a narrow band, encrypted/compressed junk scores near the maximum.
+
+    ``H = log2(N) − (Σ c·log2 c) / N`` over per-document gram counts, so
+    one explode + two keyed aggregations — all JVM-side, shuffling
+    (id, gram) pairs then (id) partials; documents shorter than ``n``
+    characters produce no grams and drop from the output (declared).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(text_col) >= n,
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {n - 1}),"
+                    f" i -> substr({text_col}, i, {n}))"
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    return counts.groupBy(id_col).agg(
+        F.round(
+            F.log2(total) - F.sum(F.col("c") * F.log2("c")) / total, 6
+        ).alias("entropy"),
+        total.cast("long").alias("n_grams"),
+    )
+
+
 # PII patterns kept to portable regex (no lookaround): email addresses and
 # phone-ish digit runs (≥7 chars of digits/separators, digit-bounded).
 EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

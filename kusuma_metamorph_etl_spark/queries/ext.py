@@ -531,6 +531,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_char_entropy",
+    """WITH g AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, length(text)),
+                                      i -> substr(text, i, 2))) AS gram
+         FROM documents WHERE length(text) >= 2),
+       c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+       SELECT doc_id,
+              round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy,
+              CAST(sum(c) AS BIGINT) AS n_grams
+       FROM c GROUP BY doc_id""",
+)
+def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document ([EXT]) — the
+    information-theoretic junk detector (`operators/text.py::char_entropy`):
+    mash and boilerplate score low, natural prose mid-band, compressed
+    noise near max."""
+    docs = t(spark, sf_dir, "documents")
+    return text.char_entropy(docs, n=2)
+
+
+@register(
     "dedup_containment",
     f"""WITH s AS (
           SELECT doc_id, {_SHINGLES} AS sh
@@ -1529,6 +1551,53 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = t(spark, sf_dir, "events")
     return funnel_one_scan(events, stages=["view", "click", "purchase"])
+
+
+@register(
+    "evt_sessionize",
+    """WITH x AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS ns
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, event_id, ts,
+              CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS session_idx
+       FROM x""",
+)
+def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-grain sessionization ([EXT]): every event labeled with its
+    per-user session index (30-min gap rule, integer-µs compare —
+    `operators/events.py::sessionize`); the complement of the
+    session_window AGGREGATE the streaming family provides."""
+    from kusuma_metamorph_etl_spark.operators.events import sessionize
+
+    events = t(spark, sf_dir, "events")
+    return sessionize(events, gap_seconds=1800)
+
+
+@register(
+    "evt_retention",
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                  FROM events GROUP BY 1)
+       SELECT f.cohort_day,
+              CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                   AS INTEGER) AS day_offset,
+              COUNT(DISTINCT e.user_id) AS n_users
+       FROM events e JOIN f USING (user_id)
+       GROUP BY 1, 2""",
+)
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle ([EXT]): first-activity-day cohorts ×
+    return-day offsets (`operators/events.py::retention_cohorts`)."""
+    from kusuma_metamorph_etl_spark.operators.events import retention_cohorts
+
+    events = t(spark, sf_dir, "events")
+    return retention_cohorts(events)
 
 
 @register(

@@ -113,6 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "dedup_cc_clusters",
     "dedup_cc_representatives",
+    "evt_sessionize",
+    "evt_retention",
+    "txt_char_entropy",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -138,9 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_count_star",
     "agg_global_count",
     "agg_rollup_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "expr_discount_amount",
 )
 
 

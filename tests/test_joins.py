@@ -171,6 +171,50 @@ class TestFunnel:
         assert got[3] == (m(4), None, None)
         assert got[5] == (m(0), m(0), None)
 
+    def test_sessionize_gap_rule(self, spark):
+        from kusuma_metamorph_etl_spark.operators.events import sessionize
+
+        t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+        def m(minute):
+            return t0 + dt.timedelta(minutes=minute)
+
+        rows = [
+            # user 1: events at 0, 10, 41 min with 30-min gap: the 31-min
+            # jump starts session 2; exactly-30-min gaps do NOT (strict >)
+            (1, 100, m(0)), (1, 101, m(10)), (1, 102, m(41)),
+            (1, 103, m(71)),  # 30:00.000000 exactly after 41 -> same session
+            (2, 200, m(5)),
+        ]
+        events = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp"
+        )
+        got = {
+            r["event_id"]: r["session_idx"]
+            for r in sessionize(events, gap_seconds=1800).collect()
+        }
+        assert got == {100: 1, 101: 1, 102: 2, 103: 2, 200: 1}
+
+    def test_retention_cohorts(self, spark):
+        from kusuma_metamorph_etl_spark.operators.events import retention_cohorts
+
+        d = dt.datetime
+        rows = [
+            (1, d(2024, 6, 1, 9)), (1, d(2024, 6, 3, 8)),   # cohort 6/1: day 0, 2
+            (2, d(2024, 6, 1, 23)), (2, d(2024, 6, 3, 1)),  # cohort 6/1: day 0, 2
+            (3, d(2024, 6, 3, 12)),                          # cohort 6/3: day 0
+        ]
+        events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+            for r in retention_cohorts(events).collect()
+        }
+        assert got == {
+            ("2024-06-01", 0): 2,
+            ("2024-06-01", 2): 2,
+            ("2024-06-03", 0): 1,
+        }
+
     def test_one_scan_equals_k_join(self, spark, sf_small):
         """funnel_one_scan (the evt_funnel implementation — one fact scan,
         pivot to sorted arrays) must produce the identical user-grain frame

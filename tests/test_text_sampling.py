@@ -295,6 +295,43 @@ class TestPackSequences:
         assert per_pack.agg(F.sum("tok")).first()[0] == total
 
 
+def test_char_entropy_known_values(spark):
+    """Hand-computed bigram entropies: a constant string has one gram
+    (H = 0); 'abab' has counts {ab: 2, ba: 1} so
+    H = log2(3) - (2*log2(2) + 1*log2(1))/3 = 0.918296; one-char docs
+    drop (no grams)."""
+    import math
+
+    from kusuma_metamorph_etl_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "x")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["entropy"], r["n_grams"])
+        for r in char_entropy(df, n=2).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (0.0, 3)
+    assert got[2] == (round(math.log2(3) - 2 / 3, 6), 3)
+
+
+def test_char_entropy_orders_junk_below_prose(spark):
+    """The feature's point: repeated boilerplate < natural prose < noise."""
+    from kusuma_metamorph_etl_spark.operators.text import char_entropy
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain stays mainly on the plain"
+    )
+    noise = "".join(chr(33 + (i * 47) % 90) for i in range(100))
+    df = spark.createDataFrame(
+        [(1, "spam " * 20), (2, prose), (3, noise)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["entropy"] for r in char_entropy(df).collect()}
+    assert got[1] < got[2] < got[3]
+
+
 def test_gopher_filter_rules(spark):
     from kusuma_metamorph_etl_spark.operators.text import gopher_filter
 
