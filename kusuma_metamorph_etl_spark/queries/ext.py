@@ -1152,6 +1152,36 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_video_frames",
+    """WITH d AS (SELECT doc_id,
+                         8 + octet_length(encode(text)) % 5 AS w,
+                         4 + octet_length(encode(text)) % 3 AS h,
+                         2 + octet_length(encode(text)) % 4 AS nf
+                  FROM documents)
+       SELECT doc_id,
+              CAST(unnest(range(nf)) AS INTEGER) AS frame_idx,
+              CAST(w AS INTEGER) AS width,
+              CAST(h AS INTEGER) AS height,
+              CAST(nf AS INTEGER) AS n_frames
+       FROM d""",
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode: per-document synthetic Y4M streams
+    (the standard uncompressed YUV4MPEG2 format) walked frame-by-frame —
+    header parse, FRAME markers, fixed-size plane reads
+    (`operators/multimodal.py::decode_video`); one row per decoded frame.
+    The oracle recomputes dims/frame-count from the synthesis contract; a
+    mis-parsed header or mis-sized plane read either shifts the row count
+    or raises, turning the driver row red.  Pixel-level round-trip
+    equality is pinned in tests/."""
+    docs = t(spark, sf_dir, "documents")
+    videos = multimodal.attach_video_payload(docs)
+    return multimodal.extract_video_frames(videos).select(
+        "doc_id", "frame_idx", "width", "height", "n_frames"
+    )
+
+
+@register(
     "mm_audio_spectral",
     """SELECT doc_id,
               1000.0 + (octet_length(encode(text)) % 40) * 125.0 AS peak_hz

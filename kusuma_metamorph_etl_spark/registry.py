@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_png_features",
     "mm_phash_dedup",
     "mm_audio_spectral",
+    "mm_video_frames",
     "dedup_containment",
     "dedup_cc_clusters",
     "dedup_cc_representatives",
@@ -140,7 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_count_distinct",
     "agg_count_star",
     "agg_global_count",
-    "agg_rollup_cube",
 )
 
 

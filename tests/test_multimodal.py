@@ -255,6 +255,68 @@ class TestPhash:
         assert expected <= found
 
 
+class TestY4m:
+    """Real YUV4MPEG2 container walk: header, FRAME markers, plane reads."""
+
+    def test_mono_roundtrip(self):
+        rng = np.random.RandomState(5)
+        frames = rng.randint(0, 256, size=(3, 4, 6), dtype=np.uint8)
+        video = multimodal.decode_video(multimodal.encode_y4m(frames))
+        assert (video["width"], video["height"], video["n_frames"]) == (6, 4, 3)
+        assert video["colorspace"].startswith("mono")
+        for k in range(3):
+            assert np.array_equal(video["frames"][k]["y"], frames[k])
+
+    def test_yuv444_roundtrip(self):
+        rng = np.random.RandomState(6)
+        frames = rng.randint(0, 256, size=(2, 3, 4, 6), dtype=np.uint8)
+        video = multimodal.decode_video(
+            multimodal.encode_y4m(frames, colorspace="444")
+        )
+        assert video["n_frames"] == 2
+        for k in range(2):
+            for i, plane in enumerate(("y", "u", "v")):
+                assert np.array_equal(video["frames"][k][plane], frames[k, i])
+
+    def test_c420_plane_sizes(self):
+        # hand-built C420 stream: 4x4 luma + 2x2 chroma per frame
+        y = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        u = np.full((2, 2), 100, dtype=np.uint8)
+        v = np.full((2, 2), 200, dtype=np.uint8)
+        payload = (
+            b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\n"
+            + b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+        )
+        video = multimodal.decode_video(payload)
+        assert np.array_equal(video["frames"][0]["y"], y)
+        assert np.array_equal(video["frames"][0]["u"], u)
+        assert np.array_equal(video["frames"][0]["v"], v)
+
+    def test_malformed_streams_raise(self):
+        frames = np.zeros((1, 2, 2), dtype=np.uint8)
+        good = multimodal.encode_y4m(frames)
+        with pytest.raises(ValueError):
+            multimodal.decode_video(b"not a video")
+        with pytest.raises(ValueError):
+            multimodal.decode_video(good[:-2])  # truncated plane
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_video(
+                b"YUV4MPEG2 W2 H2 F25:1 C422\nFRAME\n" + b"\x00" * 8
+            )
+
+    def test_synthesis_contract_and_distinct_frames(self):
+        text = "hello video world"
+        raw = text.encode()
+        video = multimodal.decode_video(multimodal.synthesize_y4m(text))
+        assert video["width"] == 8 + len(raw) % 5
+        assert video["height"] == 4 + len(raw) % 3
+        assert video["n_frames"] == 2 + len(raw) % 4
+        # rotated-digest frames must differ (frame-boundary bugs can't hide)
+        assert not np.array_equal(
+            video["frames"][0]["y"], video["frames"][1]["y"]
+        )
+
+
 class TestSpectral:
     """FFT pitch detection over real WAV decode: known-answer sine tones."""
 
