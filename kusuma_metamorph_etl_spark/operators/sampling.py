@@ -51,6 +51,30 @@ def deterministic_sample(
     return df.filter(hash_bucket(key, seed) < F.lit(rate_threshold(rate)))
 
 
+def fixed_size_sample(
+    df: DataFrame, key: Column, k: int, seed: str = "42"
+) -> DataFrame:
+    """EXACTLY ``k`` rows (fewer only if the input is smaller), sampled
+    uniformly and reproducibly: the k smallest full md5(seed|key) values.
+
+    The rate-based sampler gives a binomially-varying count; budgeted jobs
+    (eval sets, human-review batches) need an exact size.  Hashing then
+    taking the global top-k is a distributed uniform draw with the same
+    content-keyed determinism as :func:`deterministic_sample` — and Spark
+    executes ``orderBy(h).limit(k)`` as TakeOrderedAndProject: per-
+    partition k-heaps merged on the driver, no global sort, no single-task
+    shuffle.  Ties on the full 32-hex digest require identical (seed, key)
+    — break them with a unique key if the key column can repeat.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h")
+        .limit(k)
+        .drop("__h")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key: Column,

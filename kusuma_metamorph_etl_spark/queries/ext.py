@@ -362,6 +362,56 @@ def samp_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_fixed_k",
+    """SELECT o_orderkey, o_totalprice FROM (
+         SELECT o_orderkey, o_totalprice,
+                md5('42|' || CAST(o_orderkey AS VARCHAR)) AS h
+         FROM orders ORDER BY h LIMIT 500)""",
+)
+def samp_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k deterministic uniform sample ([EXT]): the k smallest full
+    content hashes (`operators/sampling.py::fixed_size_sample`) — budgeted
+    eval/review sets need an exact size, which the rate-based sampler's
+    binomial count cannot give.  Executes as TakeOrderedAndProject
+    (per-partition heaps, no global sort)."""
+    orders = t(spark, sf_dir, "orders")
+    return sampling.fixed_size_sample(
+        orders.select("o_orderkey", "o_totalprice"),
+        key=F.col("o_orderkey"),
+        k=500,
+    )
+
+
+@register(
+    "agg_mode",
+    """WITH c AS (SELECT user_id, event_type, count(*) AS n
+                  FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                          PARTITION BY user_id
+                          ORDER BY n DESC, event_type) AS rn
+              FROM c)
+       SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n
+       FROM r WHERE rn = 1""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value; ties break to the smallest
+    value — declared, since engines' native mode() tie rules differ):
+    count-then-rank, all map-side-combinable."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
+
+
+@register(
     "samp_stratified",
     """SELECT doc_id, source FROM documents
        WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 2) <

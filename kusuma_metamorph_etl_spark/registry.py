@@ -117,6 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "evt_sessionize",
     "evt_retention",
     "txt_char_entropy",
+    "samp_fixed_k",
+    "agg_mode",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -139,8 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_attribution_join",
     "stream_dedup_first",
     "agg_count_distinct",
-    "agg_count_star",
-    "agg_global_count",
 )
 
 

@@ -295,6 +295,56 @@ class TestPackSequences:
         assert per_pack.agg(F.sum("tok")).first()[0] == total
 
 
+class TestFixedSizeSample:
+    def test_exact_size_and_partition_invariance(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.sampling import (
+            fixed_size_sample,
+        )
+
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+            "o_orderkey"
+        )
+        a = {
+            r["o_orderkey"]
+            for r in fixed_size_sample(orders, F.col("o_orderkey"), k=37).collect()
+        }
+        b = {
+            r["o_orderkey"]
+            for r in fixed_size_sample(
+                orders.repartition(17), F.col("o_orderkey"), k=37
+            ).collect()
+        }
+        assert len(a) == 37 and a == b  # exact size, layout-independent
+
+    def test_k_larger_than_input(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sampling import (
+            fixed_size_sample,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(5)], "k long")
+        assert fixed_size_sample(df, F.col("k"), k=100).count() == 5
+
+    def test_seed_changes_draw(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.sampling import (
+            fixed_size_sample,
+        )
+
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+            "o_orderkey"
+        )
+        a = {
+            r["o_orderkey"]
+            for r in fixed_size_sample(orders, F.col("o_orderkey"), 50).collect()
+        }
+        c = {
+            r["o_orderkey"]
+            for r in fixed_size_sample(
+                orders, F.col("o_orderkey"), 50, seed="7"
+            ).collect()
+        }
+        assert a != c
+
+
 def test_char_entropy_known_values(spark):
     """Hand-computed bigram entropies: a constant string has one gram
     (H = 0); 'abab' has counts {ab: 2, ba: 1} so
