@@ -95,6 +95,59 @@ def range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    on: list[str] | None = None,
+    chunk_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-INTERVAL overlap join: pairs whose half-open spans
+    intersect (``l.start < r.end AND r.start < l.end``) within ``on``
+    keys — sessions × campaigns, downtime × orders, any two span sets.
+
+    Scale shape: BOTH sides explode to the time chunks they cover and the
+    match runs as an equi-join on (keys, chunk) with the exact overlap
+    predicate as the refine — the same trick as :func:`range_join`, which
+    cannot express this (a point lives in one chunk; an interval pair may
+    share several).  Pair duplication across shared chunks is eliminated
+    WITHOUT a distinct: a pair is kept only in the first chunk both cover
+    (``floor(max(starts)/chunk)``), so no wide dedup shuffle exists in
+    the plan.  Non-key column names must not collide across sides (select
+    /alias before joining).
+    """
+    keys = on or []
+    ll, lu = left_bounds
+    rl, ru = right_bounds
+    chunk = F.lit(chunk_seconds)
+
+    def chunked(frame: DataFrame, lo: str, hi: str) -> DataFrame:
+        return frame.withColumn(
+            "__chunk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(lo)) / chunk),
+                    F.floor(F.unix_timestamp(F.col(hi)) / chunk),
+                )
+            ),
+        )
+
+    first_shared = F.floor(
+        F.greatest(
+            F.unix_timestamp(F.col(ll)), F.unix_timestamp(F.col(rl))
+        )
+        / chunk
+    )
+    return (
+        chunked(left, ll, lu)
+        .join(chunked(right, rl, ru), on=[*keys, "__chunk"])
+        .filter((F.col(ll) < F.col(ru)) & (F.col(rl) < F.col(lu)))
+        .filter(F.col("__chunk") == first_shared)
+        .drop("__chunk")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

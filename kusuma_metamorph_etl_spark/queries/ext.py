@@ -753,6 +753,37 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_mergeable",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+       FROM events GROUP BY event_type""",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the 100 TB pattern
+    `approx_count_distinct` cannot express: per-(type, day) HLL sketches
+    built once (`hll_sketch_agg`, a pre-aggregable binary column you'd
+    persist in a daily rollup table), then `hll_union_agg` merges days
+    into the full-range estimate WITHOUT re-scanning raw events.  Same
+    `_err` oracle-binding as `agg_approx_distinct_err`: emits the exact
+    count, drops rows if the merged estimate strays beyond 5% — so both
+    the sketch build and the union path are driver-checked."""
+    events = t(spark, sf_dir, "events")
+    daily = events.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    joined = merged.join(exact, "event_type")
+    rel_err = (
+        F.abs(joined.approx_users - joined.exact_users) / joined.exact_users
+    )
+    return joined.filter(rel_err <= 0.05).select("event_type", "exact_users")
+
+
+@register(
     "agg_approx_distinct_err",
     """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
        FROM events GROUP BY event_type""",
@@ -1696,6 +1727,46 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     supplier = t(spark, sf_dir, "supplier")
     return fuzzy_self_pairs(supplier, key_col="s_name", id_col="s_suppkey")
+
+
+@register(
+    "join_overlap",
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND c.ts < p.ts + INTERVAL 30 MINUTE
+        AND p.ts < c.ts + INTERVAL 30 MINUTE""",
+)
+def join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join ([EXT]): 30-minute activity spans
+    around clicks × purchases per user, matched by the chunked equi-join
+    with first-shared-chunk dedup (`operators/joins.py::
+    interval_overlap_join`) — the span-intersection operator `join_range`
+    (point-in-interval) cannot express."""
+    from kusuma_metamorph_etl_spark.operators.joins import interval_overlap_join
+
+    events = t(spark, sf_dir, "events")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + half_hour).alias("c_end"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + half_hour).alias("p_end"),
+    )
+    return interval_overlap_join(
+        clicks,
+        purchases,
+        left_bounds=("c_start", "c_end"),
+        right_bounds=("p_start", "p_end"),
+        on=["user_id"],
+    ).select("user_id", "click_id", "purchase_id")
 
 
 @register(

@@ -119,6 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "txt_char_entropy",
     "samp_fixed_k",
     "agg_mode",
+    "agg_hll_mergeable",
+    "join_overlap",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -139,8 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_sliding",
     "stream_session",
     "stream_attribution_join",
-    "stream_dedup_first",
-    "agg_count_distinct",
 )
 
 

@@ -137,6 +137,69 @@ class TestFuzzyJoin:
         assert not any(5 in p for p in pairs)  # flink matches nothing
 
 
+class TestIntervalOverlap:
+    def test_overlap_semantics_and_chunk_dedup(self, spark):
+        from kusuma_metamorph_etl_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+        def h(hours):
+            return t0 + dt.timedelta(hours=hours)
+
+        # left interval 1 spans 3 chunks (0-3h); right interval 10 overlaps
+        # it in two shared chunks — must appear ONCE; touching endpoints
+        # (half-open) must NOT match; disjoint must not match.
+        left = spark.createDataFrame(
+            [(1, h(0), h(3)), (2, h(5), h(6))],
+            "lid long, ls timestamp, le timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, h(1), h(4)),   # overlaps interval 1 across 2 chunks
+                (11, h(3), h(4)),   # touches interval 1 at 3h -> no match
+                (12, h(6), h(7)),   # touches interval 2 at 6h -> no match
+                (13, h(5), h(5, )),  # empty interval inside 2 -> no match
+            ],
+            "rid long, rs timestamp, re timestamp",
+        )
+        rows = interval_overlap_join(
+            left, right, ("ls", "le"), ("rs", "re"), chunk_seconds=3600
+        ).collect()
+        pairs = [(r["lid"], r["rid"]) for r in rows]
+        assert pairs == [(1, 10)]  # once, despite two shared chunks
+
+    def test_matches_brute_force_on_events(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        events = spark.read.parquet(f"{sf_small}/events.parquet")
+        half_hour = F.expr("INTERVAL 30 MINUTES")
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("cid"),
+            F.col("ts").alias("cs"), (F.col("ts") + half_hour).alias("ce"),
+        )
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("pid"),
+            F.col("ts").alias("ps"), (F.col("ts") + half_hour).alias("pe"),
+        )
+        got = {
+            (r["cid"], r["pid"])
+            for r in interval_overlap_join(
+                clicks, purchases, ("cs", "ce"), ("ps", "pe"), on=["user_id"]
+            ).collect()
+        }
+        brute = {
+            (r["cid"], r["pid"])
+            for r in clicks.join(purchases, on="user_id")
+            .filter((F.col("cs") < F.col("pe")) & (F.col("ps") < F.col("ce")))
+            .collect()
+        }
+        assert got == brute and brute
+
+
 class TestFunnel:
     def test_ordered_stages_and_breaks(self, spark):
         from kusuma_metamorph_etl_spark.operators.events import funnel
