@@ -76,17 +76,19 @@ _LOADED = False
 # is all green as of CORRECTNESS_r05 and demoted below the cut):
 #   1. the 11 rows whose latest evidence is round 2 — the rows-only
 #      approx/ANN family plus the six cheap txt_* rows deferred from r5;
-#   2. new round-6 registrations: the `_err` recall companions that
-#      oracle-bind the rows-only family (VERDICT r5 Next #2), plus the
-#      PNG-decode query (mm_png_features, VERDICT r5 Next #4);
-#   3. oldest r4-window rows: the r3/r4 events + streaming-twins block,
-#      then the r3 agg/window rows, until the window holds 50.
-# Deferred to the r7 window: the remaining r4 rows (win_frame_agg,
-# win_lag_lead, win_ntile, win_cume_dist, win_rank_dense,
-# win_rownum_topk/flag, sql_pricing_summary, the src_*/snk_dual_write/
+#   2. the 21 new round-6 registrations, all with zero prior evidence:
+#      the `_err` recall companions that oracle-bind the rows-only family
+#      (VERDICT r5 Next #2), the PNG/pHash/spectral/video multimodal
+#      queries, containment + connected-components dedup, sessionize/
+#      retention event analytics, char-entropy, fixed-k sampling, mode,
+#      mergeable-HLL rollup, and the interval-overlap join;
+#   3. oldest r4-window rows (events + streaming twins + r3 leftovers)
+#      until the window holds exactly 50.
+# Deferred to the r7 window: the remaining r4 rows (agg_count_star/
+# global_count/rollup_cube/grouping_sets/stats, expr_*, the win_* block,
+# sql_pricing_summary, stream_dedup_first, the src_*/snk_dual_write/
 # join_broadcast/semi_anti/disambig/proj_* block) — all green in r4 and
-# untouched since; they ceded slots to the round-6 registrations, which
-# have no evidence at all yet.
+# untouched since; they ceded slots to zero-evidence registrations.
 _PRIORITY: tuple[str, ...] = (
     # (1) r2-only evidence
     "agg_approx_quantile",
