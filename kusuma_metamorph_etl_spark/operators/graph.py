@@ -18,7 +18,11 @@ current labels + one min-aggregation, both keyed on node id — shuffles
 carry (node, label) pairs only, never payloads.  Lineage is truncated
 every round with ``localCheckpoint`` (an iterative plan otherwise grows
 exponentially in the optimizer); the convergence probe is one bounded
-count per round, and the loop is capped by ``max_iter``.
+count per round, and the loop is capped by ``max_iter``.  Caveat for
+long-lived cluster runs: ``localCheckpoint`` blocks live on executors,
+so losing an executor (dynamic allocation, spot nodes) loses them — set
+``spark.sparkContext.setCheckpointDir(...)`` and swap in reliable
+``checkpoint()`` when running under preemption.
 """
 
 from __future__ import annotations

@@ -113,3 +113,52 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory as
+    ``ceil(bytes / target_file_mb)`` right-sized files; returns the file
+    count written.
+
+    The operational must-have for long-lived ingest paths — streaming
+    sinks and per-batch appends accumulate thousands of KB-scale files,
+    and at 100 TB the scan's task-scheduling + footer overhead dominates
+    before a byte of data is read.  Sizing uses the SOURCE's actual
+    on-disk bytes (compressed), not row counts, so the result holds for
+    any schema.  ``sort_cols`` optionally restores clustering during the
+    rewrite (compaction is the natural moment to re-sort for data
+    skipping).  Same-path in-place rewrite is deliberately unsupported:
+    overwrite-while-reading corrupts the source on failure — write aside,
+    then swap atomically at the metastore/manifest layer.
+    """
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    path = jvm.Path(src_path)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(path).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        # Range partitioning restores global clustering; the shuffle is
+        # the price of re-sorting, paid on purpose.
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        # coalesce never shuffles: it only merges partitions downward,
+        # which is exactly compaction (a source already at or below the
+        # target count passes through unchanged).
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -113,3 +113,86 @@ def first_event_stream(events: DataFrame, state_ttl: str | None = None) -> DataF
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, session_idx long"
+SESSION_STATE_SCHEMA = "last_ns long, idx long"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators/events.py::sessionize``: label every
+    event on an UNBOUNDED stream with its per-user session index via
+    ``applyInPandasWithState``.
+
+    State per user: ``(last event-time ns, current session index)`` — two
+    longs, O(1) per key.  Each micro-batch a user's rows sort by
+    (ts, event_id) and continue the gap rule from state; output mode is
+    ``append`` (every event emitted exactly once, labeled).
+
+    Semantics contract: identical to the batch twin when each user's
+    events arrive in event-time order ACROSS micro-batches (within a
+    batch, order is restored by the sort).  An event older than the
+    user's state watermark gets labeled in arrival order — the standard
+    streaming-sessionization caveat; bound disorder with the source
+    watermark and ``state_ttl`` (idle users are forgotten and restart at
+    session 1, same TTL machinery as :func:`first_event_stream`).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = gap_seconds * 1_000_000_000
+    ttl_ms = None
+    if state_ttl is not None:
+        parts = state_ttl.split()
+        unit_ms = {
+            "second": 1_000, "seconds": 1_000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+        }[parts[1]]
+        ttl_ms = int(parts[0]) * unit_ms
+
+    def handle(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [p for p in pdfs if not p.empty]
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        if not chunks:
+            return
+        df = pd.concat(chunks).sort_values(["ts", "event_id"])
+        last_ns, idx = state.get if state.exists else (None, 0)
+        # Force ns so the integer gap compare is unit-exact whatever
+        # resolution Arrow handed pandas (us vs ns).
+        ts_ns = df["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        labels = []
+        for t in ts_ns:
+            if last_ns is None or t - last_ns > gap_ns:
+                idx += 1
+            labels.append(idx)
+            last_ns = int(t)
+        state.update((last_ns, int(idx)))
+        out = df[["user_id", "event_id", "ts"]].copy()
+        out["session_idx"] = labels
+        yield out
+
+    src = events
+    timeout_conf = GroupStateTimeout.NoTimeout
+    if state_ttl is not None:
+        src = events.withWatermark("ts", "0 seconds")
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        handle,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

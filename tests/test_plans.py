@@ -167,6 +167,30 @@ def test_phash_payloads_never_shuffle(spark, sf_small):
         assert "payload" not in segment.split("\n")[0]
 
 
+def test_interval_overlap_is_equi_join(spark, sf_small):
+    # The chunked overlap join must plan as a hash equi-join on
+    # (keys, chunk) — a nested-loop or cartesian means the range condition
+    # leaked into the join itself.
+    from kusuma_metamorph_etl_spark.operators.joins import interval_overlap_join
+
+    events = spark.read.parquet(f"{sf_small}/events.parquet")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cs"), (F.col("ts") + half_hour).alias("ce")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ps"), (F.col("ts") + half_hour).alias("pe")
+    )
+    plan = _plan(
+        interval_overlap_join(
+            clicks, purchases, ("cs", "ce"), ("ps", "pe"), on=["user_id"]
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__chunk" in plan
+
+
 def test_zorder_layout_skips_row_groups(spark, sf_small, tmp_path):
     """Z-order clustering must give parquet row groups tight min/max boxes
     on BOTH interleaved columns: for a two-sided range predicate, far

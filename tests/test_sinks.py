@@ -125,6 +125,40 @@ def test_bucketed_join_has_no_exchange(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS t_o_b")
 
 
+class TestCompaction:
+    def test_small_files_merge_and_rows_survive(self, spark, sf_small, tmp_path):
+        from kusuma_metamorph_etl_spark.sources.sinks import compact_parquet
+
+        src = str(tmp_path / "fragmented")
+        dst = str(tmp_path / "compacted")
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+        orders.repartition(40).write.parquet(src)  # simulate streaming litter
+        import glob
+
+        assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+        n = compact_parquet(spark, src, dst, target_file_mb=256)
+        files = glob.glob(f"{dst}/part-*.parquet")
+        assert len(files) == n == 1  # tiny table -> one right-sized file
+        back = spark.read.parquet(dst)
+        assert back.count() == orders.count()
+        assert {r["o_orderkey"] for r in back.select("o_orderkey").collect()} == {
+            r["o_orderkey"] for r in orders.select("o_orderkey").collect()
+        }
+
+    def test_sorted_compaction_restores_clustering(self, spark, sf_small, tmp_path):
+        from kusuma_metamorph_etl_spark.sources.sinks import compact_parquet
+
+        src = str(tmp_path / "frag2")
+        dst = str(tmp_path / "sorted")
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+        orders.repartition(20).write.parquet(src)
+        compact_parquet(spark, src, dst, target_file_mb=256, sort_cols=["o_orderkey"])
+        back = spark.read.parquet(dst)
+        keys = [r["o_orderkey"] for r in back.select("o_orderkey").collect()]
+        # single output file + sortWithinPartitions -> globally sorted rows
+        assert keys == sorted(keys)
+
+
 class TestJdbcRoundTrip:
     """Real JDBC integration against embedded Derby (ships in Spark's own
     jars/): the sandbox stand-in for the reference's Postgres sink/source

@@ -356,6 +356,70 @@ def test_stateful_dedup_stream_matches_batch(spark, sf_small):
     assert len(got) == n_keys
 
 
+def test_stateful_sessionize_stream_matches_batch(spark, sf_small):
+    from kusuma_metamorph_etl_spark.operators.events import sessionize
+    from kusuma_metamorph_etl_spark.streaming.stateful import sessionize_stream
+
+    batch = sessionize(load_table(spark, sf_small, "events"), gap_seconds=1800)
+    stream = sessionize_stream(stream_events(spark, sf_small), gap_seconds=1800)
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "t_sess", output_mode="append")
+    got = _rows(spark.table("t_sess"))
+    assert got == _rows(batch) and got
+
+
+def test_stateful_sessionize_continues_across_micro_batches(spark, tmp_path):
+    """Session state must survive micro-batch boundaries: the second
+    batch's events continue (or gap-break) the session the first batch
+    left in state, exactly as the batch twin labels the union."""
+    import datetime as dt
+
+    from kusuma_metamorph_etl_spark.operators.events import sessionize
+    from kusuma_metamorph_etl_spark.streaming.stateful import sessionize_stream
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def m(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    schema = "user_id long, event_id long, ts timestamp"
+    batch1 = [(1, 100, m(0)), (1, 101, m(10)), (2, 200, m(0))]
+    batch2 = [(1, 102, m(20)), (1, 103, m(120)), (2, 201, m(90))]
+    src = tmp_path / "sess_src"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+    stream = sessionize_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*"),
+        gap_seconds=1800,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["session_idx"] for r in spark.table("t_sess_mb").collect()
+    }
+    expected = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(
+            spark.createDataFrame(batch1 + batch2, schema), gap_seconds=1800
+        ).collect()
+    }
+    # user 1: 0,10,20 min one session; 120 min breaks -> session 2.
+    # user 2: 0 then 90 min -> sessions 1 and 2.
+    assert expected == {100: 1, 101: 1, 102: 1, 103: 2, 200: 1, 201: 2}
+    assert got == expected
+
+
 def test_stream_dim_enrich_matches_batch(spark, sf_small):
     """Stream-static broadcast enrichment: same transform, same results,
     batch and stream — and no state/watermark needed."""
