@@ -48,6 +48,9 @@ HEADLINE = [
     "scd2_merge",
     "stream_dedup_first",
     "mm_binary_features",  # Arrow mapInPandas decode path (VERDICT r5 #6)
+    "mm_phash_dedup",  # decode + DCT + Hamming blocking end-to-end
+    "dedup_cc_representatives",  # pairs -> components -> survivors
+    "evt_sessionize",  # user-partitioned window sessionization
 ]
 
 # Reps per query: a single-shot bench cannot distinguish a code regression
