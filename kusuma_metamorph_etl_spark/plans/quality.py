@@ -147,6 +147,54 @@ def null_policy(df: DataFrame, not_null: list[str], sample: int = 20) -> DataFra
     return df
 
 
+class VolumeAnomalyError(Exception):
+    """Today's row count is a statistical outlier versus history."""
+
+
+def volume_anomaly_gate(
+    df: DataFrame,
+    history_counts: DataFrame,
+    z: float = 3.0,
+    count_col: str = "n_rows",
+    min_history: int = 7,
+) -> DataFrame:
+    """Fail when the frame's row count sits more than ``z`` standard
+    deviations from the mean of ``history_counts`` (a tiny per-run count
+    table the pipeline appends to — e.g. one row per DAY_DT).
+
+    The gate the static ``row_count_gate`` bounds cannot give: a feed
+    that doubles or halves is anomalous RELATIVE to its own history even
+    when inside absolute limits.  With fewer than ``min_history`` runs
+    the gate passes open (a 2-run stddev trips on noise); a zero-variance
+    history accepts only an exact repeat.
+
+    Cost: one bounded 2-value aggregate over the (tiny) history table +
+    one count of ``df`` — no wide operation.
+    """
+    stats = history_counts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.avg(count_col).alias("mu"),
+        F.stddev_pop(count_col).alias("sigma"),
+    ).first()
+    n = df.count()
+    if stats["k"] < min_history:
+        return df
+    mu, sigma = stats["mu"], stats["sigma"]
+    if sigma == 0.0:
+        if n != mu:
+            raise VolumeAnomalyError(
+                f"row count {n} != constant history {mu:.0f}"
+            )
+        return df
+    score = abs(n - mu) / sigma
+    if score > z:
+        raise VolumeAnomalyError(
+            f"row count {n} is {score:.1f}σ from history mean {mu:.0f} "
+            f"(σ={sigma:.0f}, z-limit {z})"
+        )
+    return df
+
+
 class ReferentialIntegrityError(Exception):
     pass
 

@@ -130,3 +130,35 @@ def test_referential_gate_null_fk_is_not_orphan(spark):
     fact = spark.createDataFrame([(1, None), (2, 10)], "id long, fk long")
     dim = spark.createDataFrame([(10,)], "pk long")
     assert find_orphans(fact, dim, fk="fk", pk="pk").count() == 0
+
+
+def test_volume_anomaly_gate(spark):
+    from kusuma_metamorph_etl_spark.plans.quality import (
+        VolumeAnomalyError,
+        volume_anomaly_gate,
+    )
+
+    df100 = spark.range(100)
+    # steady history around 100 -> 100 passes, 500 trips
+    hist = spark.createDataFrame(
+        [(c,) for c in (98, 101, 99, 103, 100, 97, 102, 100)], "n_rows long"
+    )
+    assert volume_anomaly_gate(df100, hist, z=3.0).count() == 100
+    with pytest.raises(VolumeAnomalyError) as err:
+        volume_anomaly_gate(spark.range(500), hist, z=3.0)
+    assert "500" in str(err.value)
+
+
+def test_volume_anomaly_gate_short_or_constant_history(spark):
+    from kusuma_metamorph_etl_spark.plans.quality import (
+        VolumeAnomalyError,
+        volume_anomaly_gate,
+    )
+
+    df = spark.range(500)
+    short = spark.createDataFrame([(100,), (101,)], "n_rows long")
+    assert volume_anomaly_gate(df, short).count() == 500  # passes open
+    const = spark.createDataFrame([(100,)] * 8, "n_rows long")
+    assert volume_anomaly_gate(spark.range(100), const).count() == 100
+    with pytest.raises(VolumeAnomalyError):
+        volume_anomaly_gate(spark.range(101), const)
