@@ -1,0 +1,140 @@
+"""[EXT] Byte-pair encoding: a REAL trainable subword tokenizer (Sennrich
+et al. 2016 — the algorithm behind GPT/Llama-family vocabularies), not the
+regex approximation `text.py::bpe_ish_token_count` uses for cheap counts.
+
+Training-data pipelines need actual tokenization for budget accounting
+(`sampling.py::pack_sequences` packs by token count) and for length
+filtering that matches what the downstream model will see.
+
+Scale split, same pattern as `similarity.py::ivf_build`:
+* TRAIN is a bounded driver-side loop over an aggregated word-frequency
+  table (the corpus reduces to ≤ ``max_words`` (word, count) rows — at
+  100 TB that aggregation is one shuffle; the merge loop itself touches
+  only the tiny frequency dict).
+* ENCODE is distributed: merges broadcast inside an Arrow-batched pandas
+  UDF; cost is per-token and embarrassingly parallel.
+
+Determinism: pair ties break lexicographically, so the same sample yields
+the same vocabulary on every run/platform — required for the
+oracle-gated round-trip query.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marks the end of each word so merges never cross word boundaries and
+# decoding can restore the original whitespace split losslessly.
+END = "▁"  # LOWER ONE EIGHTH BLOCK, the sentencepiece convention
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 256,
+    max_words: int = 5000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus word-frequency table.
+
+    The distributed part is one tokenize+count aggregation truncated to
+    the ``max_words`` most frequent words (a bounded collect — rare-tail
+    words contribute negligible pair mass); the merge loop is classic
+    driver-side BPE over that dict.
+    """
+    from kusuma_metamorph_etl_spark.operators.text import words
+
+    rows = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]) + (END,): r["c"] for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for word, count in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += count
+        if not pairs:
+            break
+        # max count, ties to the lexicographically smallest pair —
+        # deterministic across runs and platforms
+        pair, freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < 2:
+            break
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, count in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and (word[i], word[i + 1]) == pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + count
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first BPE encode of one word (the standard
+    inference algorithm: repeatedly merge the best-ranked adjacent pair)."""
+    parts = list(word) + [END]
+    while len(parts) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(parts) - 1):
+            rank = ranks.get((parts[i], parts[i + 1]))
+            if rank is not None and (best_rank is None or rank < best_rank):
+                best_rank, best_i = rank, i
+        if best_i is None:
+            break
+        parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Distributed encode: tokens as ``array<string>`` via an Arrow-batched
+    pandas UDF; the merge table ships once in the UDF closure (broadcast
+    by Spark's task serialization — it is KBs)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> list[str]:
+            out: list[str] = []
+            for w in t.split():
+                out.extend(encode_word(w, ranks))
+            return out
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def bpe_decode(tokens: Column) -> Column:
+    """Invert :func:`bpe_encode` up to whitespace normalization: join
+    subwords, then every END marker becomes a single space.  Pure column
+    expression."""
+    return F.rtrim(
+        F.replace(
+            F.array_join(tokens, ""), F.lit(END), F.lit(" ")
+        )
+    )

@@ -581,6 +581,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_bpe_roundtrip",
+    r"""SELECT doc_id,
+              CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                   AS BIGINT) AS n_norm_chars
+       FROM documents""",
+)
+def txt_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenization ([EXT], `operators/bpe.py`): merges trained
+    on the corpus word-frequency table (bounded driver loop, the
+    ivf_build pattern), every document encoded to subwords distributed,
+    then decoded back.  Losslessness is the gate: a row survives only if
+    decode(encode(text)) equals the whitespace-normalized text, so a
+    merge-table or encoder bug drops rows and the driver compare turns
+    red; the emitted normalized length is oracle-computable."""
+    from kusuma_metamorph_etl_spark.operators import bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=200)
+    encoded = bpe.bpe_encode(docs, merges)
+    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return (
+        encoded.withColumn("__norm", normalized)
+        .filter(bpe.bpe_decode(F.col("tokens")) == F.col("__norm"))
+        .select(
+            "doc_id", F.length("__norm").cast("long").alias("n_norm_chars")
+        )
+    )
+
+
+@register(
     "txt_char_entropy",
     """WITH g AS (
          SELECT doc_id,

@@ -123,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_mode",
     "agg_hll_mergeable",
     "join_overlap",
+    "txt_bpe_roundtrip",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -142,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
-    "stream_attribution_join",
 )
 
 

@@ -1,0 +1,58 @@
+"""BPE tokenizer tests: merge learning on a known corpus, greedy encode
+semantics, lossless round-trip, and distributed==local agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators import bpe
+
+
+def test_train_learns_frequent_pair_first(spark):
+    # 'aaab' x10: the dominant pair is (a, a) — must be merge #1.
+    df = spark.createDataFrame([("aaab " * 10,)], ["text"])
+    merges = bpe.bpe_train(df, n_merges=3)
+    assert merges[0] == ("a", "a")
+
+
+def test_encode_uses_merge_ranks_greedily(spark):
+    # a a a b ▁ --(rank 0 at leftmost)--> aa a b ▁ ; the remaining (a, b)
+    # and (aa, a) have no rank, and (aa, b) is not adjacent -> stop.
+    ranks = {("a", "a"): 0, ("aa", "b"): 1}
+    assert bpe.encode_word("aaab", ranks) == ["aa", "a", "b", bpe.END]
+    # with (aa, a) ranked, the chain continues: aa a b ▁ -> aaa b ▁ -> stop
+    ranks2 = {("a", "a"): 0, ("aa", "a"): 1}
+    assert bpe.encode_word("aaab", ranks2) == ["aaa", "b", bpe.END]
+
+
+def test_roundtrip_lossless_on_corpus(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    merges = bpe.bpe_train(docs, n_merges=100)
+    assert len(merges) > 10  # real corpus yields a real merge table
+    encoded = bpe.bpe_encode(docs, merges)
+    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    bad = encoded.filter(bpe.bpe_decode(F.col("tokens")) != normalized)
+    assert bad.count() == 0
+    # merges actually compress: fewer tokens than characters
+    stats = encoded.select(
+        F.avg(F.size("tokens")).alias("t"),
+        F.avg(F.length("text")).alias("c"),
+    ).first()
+    assert stats["t"] < stats["c"]
+
+
+def test_distributed_encode_matches_local(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
+    merges = bpe.bpe_train(docs, n_merges=50)
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = bpe.bpe_encode(docs, merges).select("doc_id", "text", "tokens").collect()
+    for r in rows:
+        local: list[str] = []
+        for w in r["text"].split():
+            local.extend(bpe.encode_word(w, ranks))
+        assert r["tokens"] == local, r["doc_id"]
+
+
+def test_train_deterministic(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    assert bpe.bpe_train(docs, n_merges=60) == bpe.bpe_train(docs, n_merges=60)
