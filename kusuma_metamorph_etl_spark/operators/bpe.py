@@ -56,15 +56,27 @@ def bpe_train(
         .limit(max_words)
         .collect()
     )
-    vocab: dict[tuple[str, ...], int] = {
-        tuple(r["w"]) + (END,): r["c"] for r in rows
-    }
+    # words as mutable symbol lists + incremental pair bookkeeping: each
+    # merge touches ONLY the words containing the merged pair (via the
+    # pair→word index), so the loop costs O(occurrences of merged pairs)
+    # instead of the textbook recount's O(n_merges × total vocabulary
+    # chars) — the difference that matters at max_words=5000 real-text
+    # vocabularies (the test corpus has ~31 distinct words, where both are
+    # sub-second; the Spark word-count job dominates either way).  Merge
+    # order is pinned identical to the naive recount in tests/test_bpe.py.
+    words_syms: list[list[str]] = [list(r["w"]) + [END] for r in rows]
+    word_counts: list[int] = [r["c"] for r in rows]
+    pairs: Counter = Counter()
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words_syms):
+        c = word_counts[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pairs[p] += c
+            index.setdefault(p, set()).add(wi)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for word, count in vocab.items():
-            for i in range(len(word) - 1):
-                pairs[(word[i], word[i + 1])] += count
         if not pairs:
             break
         # max count, ties to the lexicographically smallest pair —
@@ -74,18 +86,33 @@ def bpe_train(
             break
         merges.append(pair)
         merged = pair[0] + pair[1]
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for word, count in vocab.items():
+        for wi in sorted(index.get(pair, ())):
+            syms, c = words_syms[wi], word_counts[wi]
+            # retract this word's old pair contributions
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] -= c
+                if pairs[p] <= 0:
+                    del pairs[p]
+                if p != pair:
+                    idx = index.get(p)
+                    if idx is not None:
+                        idx.discard(wi)
             out, i = [], 0
-            while i < len(word):
-                if i < len(word) - 1 and (word[i], word[i + 1]) == pair:
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
                     out.append(merged)
                     i += 2
                 else:
-                    out.append(word[i])
+                    out.append(syms[i])
                     i += 1
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + count
-        vocab = new_vocab
+            words_syms[wi] = out
+            # add the rewritten word's contributions back
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pairs[p] += c
+                index.setdefault(p, set()).add(wi)
+        index.pop(pair, None)
     return merges
 
 

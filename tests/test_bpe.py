@@ -56,3 +56,47 @@ def test_distributed_encode_matches_local(spark, sf_small):
 def test_train_deterministic(spark, sf_small):
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     assert bpe.bpe_train(docs, n_merges=60) == bpe.bpe_train(docs, n_merges=60)
+
+
+def test_incremental_train_equals_naive_recount(spark, sf_small):
+    """The indexed incremental trainer must produce the EXACT merge
+    sequence of the textbook full-recount algorithm."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    rows = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(5000)
+        .collect()
+    )
+    vocab = {tuple(r["w"]) + (bpe.END,): r["c"] for r in rows}
+    naive: list[tuple[str, str]] = []
+    for _ in range(60):
+        pairs: Counter = Counter()
+        for word, count in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += count
+        if not pairs:
+            break
+        pair, freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < 2:
+            break
+        naive.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: dict[tuple, int] = {}
+        for word, count in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and (word[i], word[i + 1]) == pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + count
+        vocab = new_vocab
+    assert bpe.bpe_train(docs, n_merges=60) == naive
