@@ -51,6 +51,7 @@ HEADLINE = [
     "mm_phash_dedup",  # decode + DCT + Hamming blocking end-to-end
     "dedup_cc_representatives",  # pairs -> components -> survivors
     "evt_sessionize",  # user-partitioned window sessionization
+    "txt_bpe_roundtrip",  # BPE train + distributed encode + decode gate
 ]
 
 # Reps per query: a single-shot bench cannot distinguish a code regression
