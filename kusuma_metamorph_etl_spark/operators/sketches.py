@@ -1,0 +1,101 @@
+"""[EXT] Mergeable summary sketches beyond what Spark aggregates offer.
+
+Spark's ``percentile_approx`` (Greenwald-Khanna) is accurate but its
+state cannot be persisted and merged across pre-aggregations — the thing
+a 100 TB pipeline actually needs: write a tiny sketch per (key, day) at
+ingest, then answer any-range quantile queries by MERGING sketches
+instead of re-scanning raw data (the same pattern `hll_sketch_agg` /
+`hll_union_agg` give distinct counts, cf `agg_hll_mergeable`).
+
+The fixed-bin histogram sketch here is the simplest mergeable quantile
+summary: merging is a bin-wise sum (associative, commutative), the
+estimate error is bounded by one bin width, and the whole thing is plain
+DataFrame ops — a (keys, bin, n) long-form table that parquet stores
+RLE-compressed.  Trade-off versus t-digest/KLL: bounds must be known
+up front and accuracy is uniform over the range rather than adaptive at
+the tails; within those limits it is exact-cost-model, oracle-checkable,
+and trivially mergeable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram sketch: ``(keys..., bin, n)`` counts with
+    values clamped into ``[lo, hi]`` (out-of-range mass lands in the edge
+    bins — choose bounds generously; production derives them from one
+    min/max aggregation).  One map + one keyed count — a normal shuffle.
+    """
+    keys = keys or []
+    width = (hi - lo) / n_bins
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.select(*keys, bin_col.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histograms(
+    sketches: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Merge sketches that share bounds/bins: bin-wise sum.  This is the
+    whole point — any set of per-day/per-source sketches collapses into
+    one without touching raw data."""
+    keys = keys or []
+    return sketches.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a (merged) sketch: ``(keys..., q, est)``
+    with linear interpolation inside the chosen bin; error ≤ one bin
+    width by construction.
+
+    Plan: one cumulative window per key over ≤ ``n_bins`` rows (bounded —
+    this is sketch-sized, not data-sized), explode the probe quantiles,
+    and pick each q's first bin with cumulative mass ≥ q·total via a
+    min-struct aggregation.  Everything downstream of the sketch is
+    sketch-cardinality work.
+    """
+    keys = keys or []
+    width = (hi - lo) / n_bins
+    w_cum = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bin")
+    w_all = Window.partitionBy(*[F.col(k) for k in keys])
+    cum = sketch.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "tot", F.sum("n").over(w_all)
+    )
+    probes = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    )
+    hit = (
+        probes.filter(F.col("cum") >= F.col("q") * F.col("tot"))
+        .groupBy(*keys, "q")
+        .agg(F.min(F.struct("bin", "cum", "n", "tot")).alias("s"))
+    )
+    frac = (
+        F.col("s.tot") * F.col("q") - (F.col("s.cum") - F.col("s.n"))
+    ) / F.col("s.n")
+    est = F.lit(lo) + (F.col("s.bin") + frac) * F.lit(width)
+    return hit.select(*keys, "q", est.alias("est"))

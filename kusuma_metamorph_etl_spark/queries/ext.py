@@ -814,6 +814,52 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_quantile_mergeable",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+              round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches (`operators/sketches.py`) — the
+    quantile twin of `agg_hll_mergeable`: fixed-bin histogram sketches
+    built per (returnflag, ship-month) as a daily rollup would, merged
+    bin-wise across months, quantiles interpolated from the MERGED sketch
+    only.  `_err` gate: emits the oracle-computable exact percentiles and
+    keeps a row only while both sketch estimates sit within two bin
+    widths of them — a binning, merge, or interpolation bug empties the
+    output."""
+    from kusuma_metamorph_etl_spark.operators import sketches
+
+    lo, hi, n_bins = 900.0, 110_000.0, 2000
+    width = (hi - lo) / n_bins
+    li = t(spark, sf_dir, "lineitem")
+    per_month = sketches.histogram_sketch(
+        li.withColumn("month", F.trunc("l_shipdate", "month")),
+        "l_extendedprice",
+        lo, hi, n_bins,
+        keys=["l_returnflag", "month"],
+    )
+    merged = sketches.merge_histograms(per_month, keys=["l_returnflag"])
+    ests = sketches.histogram_quantiles(
+        merged, [0.5, 0.95], lo, hi, n_bins, keys=["l_returnflag"]
+    )
+    wide = ests.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("e50"),
+        F.max(F.when(F.col("q") == 0.95, F.col("est"))).alias("e95"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("exact_p95"),
+    )
+    joined = wide.join(exact, "l_returnflag")
+    ok = (F.abs(joined.e50 - joined.exact_p50) <= 2 * width) & (
+        F.abs(joined.e95 - joined.exact_p95) <= 2 * width
+    )
+    return joined.filter(ok).select("l_returnflag", "exact_p50", "exact_p95")
+
+
+@register(
     "agg_approx_distinct_err",
     """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
        FROM events GROUP BY event_type""",

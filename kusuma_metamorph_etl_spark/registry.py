@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_hll_mergeable",
     "join_overlap",
     "txt_bpe_roundtrip",
+    "agg_quantile_mergeable",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -142,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk_np",
     "stream_tumbling",
     "stream_sliding",
-    "stream_session",
 )
 
 

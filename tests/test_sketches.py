@@ -1,0 +1,71 @@
+"""Histogram sketch tests: merge associativity, quantile accuracy bound,
+and edge-bin clamping."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators import sketches
+
+
+def _vals(spark, values, extra=None):
+    rows = [(v,) if extra is None else (v, extra) for v in values]
+    schema = "v double" if extra is None else "v double, g string"
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_equals_sketch_of_union(spark):
+    """Sketching two shards then merging must equal sketching the union —
+    the mergeability contract, exactly (bin counts are integers)."""
+    a = _vals(spark, [float(i) for i in range(0, 500)])
+    b = _vals(spark, [float(i) for i in range(500, 1000)])
+    both = _vals(spark, [float(i) for i in range(0, 1000)])
+    sk_a = sketches.histogram_sketch(a, "v", 0.0, 1000.0, 50)
+    sk_b = sketches.histogram_sketch(b, "v", 0.0, 1000.0, 50)
+    merged = sketches.merge_histograms(sk_a.unionByName(sk_b))
+    direct = sketches.histogram_sketch(both, "v", 0.0, 1000.0, 50)
+    as_map = lambda df: {r["bin"]: r["n"] for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(direct)
+
+
+def test_quantiles_within_bin_width(spark):
+    """Uniform 0..9999: every estimated quantile must sit within one bin
+    width of the true value."""
+    vals = [float(i) for i in range(10_000)]
+    df = _vals(spark, vals)
+    n_bins = 200
+    width = 10_000.0 / n_bins
+    sk = sketches.histogram_sketch(df, "v", 0.0, 10_000.0, n_bins)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = {
+        r["q"]: r["est"]
+        for r in sketches.histogram_quantiles(
+            sk, qs, 0.0, 10_000.0, n_bins
+        ).collect()
+    }
+    for q in qs:
+        assert abs(got[q] - q * 10_000.0) <= width, (q, got[q])
+
+
+def test_out_of_range_values_clamp_to_edge_bins(spark):
+    df = _vals(spark, [-50.0, 0.5, 99.5, 500.0])
+    sk = sketches.histogram_sketch(df, "v", 0.0, 100.0, 10)
+    counts = {r["bin"]: r["n"] for r in sk.collect()}
+    assert counts[0] == 2  # -50 clamped down, 0.5 in range
+    assert counts[9] == 2  # 99.5 in range, 500 clamped up
+
+
+def test_keyed_quantiles_independent(spark):
+    lo = _vals(spark, [float(i) for i in range(100)], extra="lo")
+    hi = _vals(spark, [float(i) for i in range(900, 1000)], extra="hi")
+    sk = sketches.histogram_sketch(
+        lo.unionByName(hi), "v", 0.0, 1000.0, 100, keys=["g"]
+    )
+    got = {
+        (r["g"], r["q"]): r["est"]
+        for r in sketches.histogram_quantiles(
+            sk, [0.5], 0.0, 1000.0, 100, keys=["g"]
+        ).collect()
+    }
+    assert abs(got[("lo", 0.5)] - 50.0) <= 10.0
+    assert abs(got[("hi", 0.5)] - 950.0) <= 10.0
