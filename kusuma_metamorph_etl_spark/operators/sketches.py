@@ -99,3 +99,83 @@ def histogram_quantiles(
     ) / F.col("s.n")
     est = F.lit(lo) + (F.col("s.bin") + frac) * F.lit(width)
     return hit.select(*keys, "q", est.alias("est"))
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Count-min sketch as a long-form ``(keys..., d, slot, n)`` table:
+    ``depth`` independent hash rows of ``width`` counters (Cormode &
+    Muthukrishnan 2005).  Point-count estimates are never UNDER the true
+    count and overshoot by at most ``ε·N`` (ε = e/width) with probability
+    1 − e^−depth — the mergeable frequency summary for heavy-hitter
+    tracking over pre-aggregated rollups.
+
+    Build is one explode(depth) + keyed count; rows are hashed with
+    ``xxhash64(value, d)`` so every engine/partitioning agrees.
+    """
+    keys = keys or []
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    F.xxhash64(F.col(value_col), F.lit(d)), F.lit(width)
+                ).cast("int").alias("slot"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(*keys, F.explode(rows).alias("r"))
+        .groupBy(*keys, "r.d", "r.slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_cms(sketches: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Merge compatible (same depth/width) sketches: counter-wise sum."""
+    keys = keys or []
+    return sketches.groupBy(*keys, "d", "slot").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Point-count estimates for every probe value: min over the sketch's
+    ``depth`` counters at the value's hash slots.  The probe side fans out
+    to ``depth`` rows and equi-joins the sketch on (keys, d, slot) —
+    sketch-cardinality work; missing counters read as zero (a value the
+    sketch never saw estimates 0, not null)."""
+    keys = keys or []
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    F.xxhash64(F.col(value_col), F.lit(d)), F.lit(width)
+                ).cast("int").alias("slot"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probe_rows = probes.select(*keys, value_col, F.explode(rows).alias("r")).select(
+        *keys, value_col, "r.d", "r.slot"
+    )
+    return (
+        probe_rows.join(sketch, on=[*keys, "d", "slot"], how="left")
+        .groupBy(*keys, value_col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est"))
+    )

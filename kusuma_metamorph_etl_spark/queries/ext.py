@@ -860,6 +860,43 @@ def agg_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cms_counts",
+    """SELECT event_type, count(*) AS exact_n
+       FROM events GROUP BY event_type""",
+)
+def agg_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE count-min frequency sketches (`operators/sketches.py`):
+    per-(day) sketches of the event-type stream merged counter-wise, then
+    point-count estimates for every observed type from the MERGED sketch
+    only.  `_err` gate on the CMS guarantee — estimates may never
+    undershoot and must overshoot by < e/width of the stream size — so a
+    hashing, merge, or min-reduction bug empties the oracle-computable
+    exact counts this emits."""
+    import math
+
+    from kusuma_metamorph_etl_spark.operators import sketches
+
+    depth, width = 4, 256
+    events = t(spark, sf_dir, "events")
+    per_day = sketches.cms_sketch(
+        events.withColumn("day", F.to_date("ts")),
+        "event_type", depth, width, keys=["day"],
+    )
+    merged = sketches.merge_cms(per_day.drop("day"))
+    exact = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = sketches.cms_estimate(
+        merged, exact.select("event_type"), "event_type", depth, width
+    )
+    total = events.agg(F.count(F.lit(1)).alias("__total"))
+    joined = est.join(exact, "event_type").crossJoin(F.broadcast(total))
+    ok = (F.col("est") >= F.col("exact_n")) & (
+        F.col("est")
+        <= F.col("exact_n") + F.lit(math.e / width) * F.col("__total")
+    )
+    return joined.filter(ok).select("event_type", "exact_n")
+
+
+@register(
     "agg_approx_distinct_err",
     """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
        FROM events GROUP BY event_type""",

@@ -55,6 +55,32 @@ def test_out_of_range_values_clamp_to_edge_bins(spark):
     assert counts[9] == 2  # 99.5 in range, 500 clamped up
 
 
+def test_cms_never_undercounts_and_merge_equals_union(spark):
+    vals = ["a"] * 500 + ["b"] * 300 + ["c"] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    half1 = spark.createDataFrame([(v,) for v in vals[:400]], "v string")
+    half2 = spark.createDataFrame([(v,) for v in vals[400:]], "v string")
+    merged = sketches.merge_cms(
+        sketches.cms_sketch(half1, "v").unionByName(
+            sketches.cms_sketch(half2, "v")
+        )
+    )
+    direct = sketches.cms_sketch(df, "v")
+    as_map = lambda d: {(r["d"], r["slot"]): r["n"] for r in d.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(direct)
+
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "v string")
+    est = {
+        r["v"]: r["est"]
+        for r in sketches.cms_estimate(merged, probes, "v").collect()
+    }
+    exact = {"a": 500, "b": 300, "c": 10, "zzz": 0}
+    n = len(vals)
+    for v, true_n in exact.items():
+        assert est[v] >= true_n, v  # CMS never undercounts
+        assert est[v] <= true_n + (2.718281828 / 256) * n + 1, v
+
+
 def test_keyed_quantiles_independent(spark):
     lo = _vals(spark, [float(i) for i in range(100)], extra="lo")
     hi = _vals(spark, [float(i) for i in range(900, 1000)], extra="hi")
