@@ -129,6 +129,54 @@ def deterministic_shuffle(
     return df.withColumn(key_out, key).orderBy(key_out)
 
 
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key: Column,
+    seed: str = "42",
+    pos_out: str = "mix_pos",
+) -> DataFrame:
+    """Deterministic mixture interleaving — the training-data "data mix"
+    order: every prefix of the output contains sources in proportion to
+    ``weights`` (stride scheduling: a source with weight w occupies
+    positions (k − 0.5)/w for k = 1, 2, …, so doubling a weight doubles a
+    source's density anywhere in the stream).
+
+    Within each source, rows order by the content-hash key (same
+    partition-invariant determinism as :func:`deterministic_shuffle` —
+    reshuffling the cluster cannot change the curriculum).  Sources
+    missing from ``weights`` are dropped (weight 0), declared.
+
+    Plan: one window rank per source partition + pure arithmetic; the
+    global sort on ``pos_out`` is Spark's ordinary range-partitioned
+    sort.  Emitting the position rather than materializing the order
+    keeps the operator composable (filter a prefix for a token budget,
+    then sort once at write time).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.concat_ws("|", F.lit(seed), key.cast("string"))), key
+    )
+    weight_expr = None
+    for src, wt in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        weight_expr = (
+            F.when(cond, F.lit(float(wt)))
+            if weight_expr is None
+            else weight_expr.when(cond, F.lit(float(wt)))
+        )
+    weight_expr = weight_expr.otherwise(F.lit(None))
+    rank = F.row_number().over(w)
+    return (
+        df.withColumn("__w", weight_expr)
+        .filter(F.col("__w").isNotNull())
+        .withColumn(pos_out, (rank - F.lit(0.5)) / F.col("__w"))
+        .drop("__w")
+    )
+
+
 def row_sort_key(seed: str, key_cols: list[str]) -> Column:
     """Collision-safe deterministic sort key: md5 over the seed plus one
     fixed-width md5 digest PER key column.

@@ -412,6 +412,34 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_interleave",
+    """SELECT doc_id, source,
+              round((row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
+                     - 0.5)
+                    / CASE source WHEN 'src0' THEN 0.6
+                                  WHEN 'src1' THEN 0.3
+                                  ELSE 0.1 END, 6) AS mix_pos
+       FROM documents
+       WHERE source IN ('src0', 'src1', 'src2')""",
+)
+def samp_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture interleaving ([EXT]): stride-scheduled
+    training order where every prefix holds sources ∝ the weight map
+    (60/30/10 here) — `operators/sampling.py::interleave_sources`; the
+    within-source order is the partition-invariant content hash."""
+    docs = t(spark, sf_dir, "documents")
+    out = sampling.interleave_sources(
+        docs,
+        "source",
+        {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        key=F.col("doc_id"),
+    )
+    return out.select("doc_id", "source", F.round("mix_pos", 6).alias("mix_pos"))
+
+
+@register(
     "samp_stratified",
     """SELECT doc_id, source FROM documents
        WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 2) <

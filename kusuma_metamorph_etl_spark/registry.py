@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "txt_bpe_roundtrip",
     "agg_quantile_mergeable",
     "agg_cms_counts",
+    "samp_interleave",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -142,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_fuzzy",
     "scd2_merge",
     "sim_cosine_topk_np",
-    "stream_tumbling",
 )
 
 

@@ -345,6 +345,51 @@ class TestFixedSizeSample:
         assert a != c
 
 
+class TestInterleave:
+    def test_prefix_mixture_matches_weights(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.sampling import (
+            interleave_sources,
+        )
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        out = interleave_sources(
+            docs, "source", {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+            key=F.col("doc_id"),
+        )
+        rows = sorted(
+            out.select("source", "mix_pos").collect(), key=lambda r: r["mix_pos"]
+        )
+        # any decent prefix holds sources roughly in 6:3:1 — check the
+        # first 20 of ~75 rows (sf0.001 has 25 docs/source)
+        prefix = [r["source"] for r in rows[:20]]
+        assert 9 <= prefix.count("src0") <= 15
+        assert 4 <= prefix.count("src1") <= 9
+        assert prefix.count("src2") <= 4
+        # unweighted sources are dropped entirely
+        assert {r["source"] for r in rows} == {"src0", "src1", "src2"}
+
+    def test_deterministic_under_repartition(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.sampling import (
+            interleave_sources,
+        )
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        weights = {"src0": 0.5, "src1": 0.5}
+        a = {
+            (r["doc_id"], r["mix_pos"])
+            for r in interleave_sources(
+                docs, "source", weights, key=F.col("doc_id")
+            ).collect()
+        }
+        b = {
+            (r["doc_id"], r["mix_pos"])
+            for r in interleave_sources(
+                docs.repartition(13), "source", weights, key=F.col("doc_id")
+            ).collect()
+        }
+        assert a == b
+
+
 def test_char_entropy_known_values(spark):
     """Hand-computed bigram entropies: a constant string has one gram
     (H = 0); 'abab' has counts {ab: 2, ba: 1} so
