@@ -149,6 +149,24 @@ def snk_dual_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_orc_roundtrip",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read round-trip: Spark's second first-class columnar
+    format (built-in, no package), with the same pushdown/pruning
+    machinery as parquet — warehouses standardized on ORC can interchange
+    with this engine directly.  The oracle checks the round-tripped
+    values against the parquet-sourced table."""
+    base = os.path.join(SCRATCH, "orc_roundtrip", os.path.basename(sf_dir))
+    customer = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    customer.write.mode("overwrite").orc(base)
+    return spark.read.orc(base)
+
+
+@register(
     "snk_jdbc_roundtrip",
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
 )

@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_quantile_mergeable",
     "agg_cms_counts",
     "samp_interleave",
+    "src_orc_roundtrip",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -142,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "evt_funnel",
     "join_fuzzy",
     "scd2_merge",
-    "sim_cosine_topk_np",
 )
 
 

@@ -120,3 +120,24 @@ def test_inline_schema_records(spark):
     )
     assert df.schema.simpleString() == "struct<id:int,v:string>"
     assert df.collect()[0].asDict() == {"id": 1, "v": "x"}
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
+    """ORC is the second first-class columnar source: values survive the
+    round-trip and filters push to the ORC scan just as with parquet."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orders_orc")
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.write.orc(path)
+    back = spark.read.orc(path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in orders.collect()}
+    plan = (
+        back.filter(F.col("o_totalprice") > 1000.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_totalprice" in plan
