@@ -156,26 +156,34 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with
-    the greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` keys
-    (SQL ``ASOF LEFT JOIN``; the operator Spark's DataFrame API lacks).
+    """As-of join: for each left row, attach the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` (``direction="backward"``, the
+    SQL ``ASOF LEFT JOIN`` default) or the smallest ``right_ts`` ≥
+    ``left_ts`` (``direction="forward"`` — next quote / next maintenance
+    window) within the same ``on`` keys; the operator Spark's DataFrame
+    API lacks.
 
     Scale shape — the union-merge pattern, NOT a range join: a range
     condition join explodes to |L|·|R| per key before filtering, while
     this plan is one union, one shuffle on ``on`` keys, one ordered window
-    pass (right values carried forward with ``last(ignorenulls)`` over a
-    running frame).  Memory is O(1) per row — the classic merge-join
-    formulation of as-of.
+    pass (right values carried with ``last(ignorenulls)`` over a running
+    frame; forward simply traverses time descending).  Memory is O(1) per
+    row — the classic merge-join formulation of as-of.
 
-    Right rows tie-break deterministically: at equal timestamps the
-    largest right row (by ``value_cols`` struct order) wins, and rights
-    sort before lefts so ``right_ts == left_ts`` matches (inclusive).
+    Ties are deterministic and inclusive both ways: rights sort before
+    lefts at equal timestamps so ``right_ts == left_ts`` matches;
+    among equal-timestamp rights, backward keeps the LARGEST value
+    struct and forward the SMALLEST (the row "nearest" from each
+    traversal direction).
 
-    ``tolerance`` (e.g. ``"1 hour"``): matches older than
-    ``left_ts - tolerance`` are discarded (nulled), bounding how stale an
-    attached value may be.
+    ``tolerance`` (e.g. ``"1 hour"``): matches farther than that from
+    ``left_ts`` (older for backward, later for forward) are nulled,
+    bounding staleness/lookahead.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (*on, right_ts)
     ]
@@ -205,18 +213,24 @@ def asof_join(
         ],
     )
     merged = l.unionByName(r_padded)
+    if direction == "backward":
+        order = [F.asc("__ts"), F.asc("__side"), F.asc("__rv")]
+    else:  # forward: walk time backwards so "last seen" = next at-or-after
+        order = [F.desc("__ts"), F.asc("__side"), F.desc("__rv")]
     window = (
         Window.partitionBy(*on)
-        .orderBy(F.asc("__ts"), F.asc("__side"), F.asc("__rv"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.withColumn(
         "__match", F.last("__rv", ignorenulls=True).over(window)
     ).filter(F.col("__side") == 1)
     if tolerance is not None:
-        fresh = F.col("__match.__rts") >= F.col("__ts") - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        delta = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            fresh = F.col("__match.__rts") >= F.col("__ts") - delta
+        else:
+            fresh = F.col("__match.__rts") <= F.col("__ts") + delta
         carried = carried.withColumn(
             "__match", F.when(fresh, F.col("__match"))
         )

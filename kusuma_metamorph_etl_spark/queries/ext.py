@@ -1734,6 +1734,58 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    """WITH clicks AS (
+         SELECT event_id, user_id, ts, value FROM events
+         WHERE event_type = 'click'),
+       purchases AS (
+         SELECT event_id AS purchase_id, user_id, ts,
+                value AS purchase_value
+         FROM events WHERE event_type = 'purchase'
+         QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                    ORDER BY purchase_id) = 1)
+       SELECT l.event_id, l.user_id, l.ts, l.value,
+              r.purchase_id, r.purchase_value
+       FROM clicks l
+       ASOF LEFT JOIN purchases r
+         ON l.user_id = r.user_id AND r.ts >= l.ts""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (`asof_join(direction="forward")`): each click
+    picks the user's next purchase at-or-after it — the lookahead twin of
+    `join_asof`, checked against DuckDB's native forward ASOF (>=);
+    equal-timestamp rights pre-deduped to the smallest id, matching the
+    operator's declared forward tie rule."""
+    from kusuma_metamorph_etl_spark.operators.joins import asof_join
+    from kusuma_metamorph_etl_spark.operators.windows import top_k_per_group
+
+    events = t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = top_k_per_group(
+        events.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+        ),
+        partition_by=["user_id", "ts"],
+        order_by=[F.asc("purchase_id")],
+        k=1,
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_id", "purchase_value"],
+        direction="forward",
+    )
+
+
+@register(
     "join_range",
     """WITH o AS (
          SELECT user_id, ts, value,

@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_cms_counts",
     "samp_interleave",
     "src_orc_roundtrip",
+    "join_asof_forward",
     # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
     "fn_json_extract",
     "agg_approx_distinct",
@@ -142,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_features",
     "evt_funnel",
     "join_fuzzy",
-    "scd2_merge",
 )
 
 

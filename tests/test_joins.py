@@ -55,6 +55,43 @@ def test_asof_tolerance(spark, frames):
     assert out == {1: 101.0, 2: None, 3: None}
 
 
+def test_asof_forward_inclusive_and_tolerance(spark, frames):
+    trades, quotes = frames
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on=["sym"], value_cols=["px"], direction="forward"
+        ).collect()
+    }
+    # trade 1 @12:10 -> exact-time quote 101 (inclusive); trade 2 @12:30 ->
+    # no A quote at-or-after -> null; trade 3 @12:05 -> B quote @12:50.
+    assert out == {1: 101.0, 2: None, 3: 200.0}
+    bounded = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on=["sym"], value_cols=["px"],
+            direction="forward", tolerance="10 minutes",
+        ).collect()
+    }
+    assert bounded == {1: 101.0, 2: None, 3: None}  # 45-min lookahead nulled
+
+
+def test_asof_forward_tie_picks_smallest(spark):
+    left = spark.createDataFrame(
+        [(1, "A", _ts(10))], "id long, sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", _ts(10), 5.0), ("A", _ts(10), 7.0)],
+        "sym string, ts timestamp, px double",
+    )
+    fwd = asof_join(
+        left, right, on=["sym"], value_cols=["px"], direction="forward"
+    ).collect()
+    bwd = asof_join(left, right, on=["sym"], value_cols=["px"]).collect()
+    assert fwd[0]["px"] == 5.0  # forward: smallest value struct
+    assert bwd[0]["px"] == 7.0  # backward: largest value struct
+
+
 def test_range_join_boundaries(spark):
     points = spark.createDataFrame(
         [
