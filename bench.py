@@ -1,9 +1,13 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+The LAST stdout line is ONE compact medians-only JSON line (the driver
+contract — it parses the tail of stdout):
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<id>": sec, ...}, "sf": <sf>}
+Per-rep values are emitted on a PRECEDING line and mirrored to
+BENCH_REPS.json so noise estimates stay recoverable without bloating the
+final line.
 
 Each query is forced end-to-end with the `noop` sink (full computation on
 executors, no driver-side serialization), which is the honest measure of
@@ -96,6 +100,20 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Per-rep values go to a sidecar file + a PRECEDING stdout line; the
+    # LAST line stays a compact medians-only JSON.  BENCH_r06 taught us the
+    # driver keeps only the tail of stdout — a reps-laden final line
+    # overflowed its capture and left "parsed": null (VERDICT r6 Next #2).
+    reps_line = json.dumps({"reps": reps, "sf": sf_val})
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REPS.json"),
+            "w",
+        ) as fh:
+            fh.write(reps_line + "\n")
+    except OSError:
+        pass  # sidecar is best-effort; the medians line below is the contract
+    print(reps_line)
     print(
         json.dumps(
             {
@@ -103,7 +121,6 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "reps": reps,
                 "sf": sf_val,
             }
         )

@@ -140,15 +140,35 @@ def bpe_encode(
 ) -> DataFrame:
     """Distributed encode: tokens as ``array<string>`` via an Arrow-batched
     pandas UDF; the merge table ships once in the UDF closure (broadcast
-    by Spark's task serialization — it is KBs)."""
+    by Spark's task serialization — it is KBs).
+
+    Input containing the END sentinel is REJECTED (raised, task fails):
+    decode maps every END to a space, so encoding it would make the
+    round-trip silently lossy.  The sentinel is a block-drawing codepoint
+    real text corpora do not contain; a corpus that does needs a
+    different sentinel, not silent corruption.  Word splitting uses the
+    same ``[\\t\\n\\f\\r ]+`` class as :func:`~.text.words` / the oracle
+    regex — NOT Python ``str.split()``, whose Unicode whitespace (NBSP,
+    vertical tab, …) would disagree with the training tokenization.
+    """
+    import re
+
     ranks = {pair: i for i, pair in enumerate(merges)}
+    split_ws = re.compile("[\t\n\f\r ]+")
 
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
         def one(t: str) -> list[str]:
+            if END in t:
+                raise ValueError(
+                    f"bpe_encode: input contains the END sentinel {END!r}; "
+                    "round-trip would be lossy — pre-clean the corpus or "
+                    "choose a different sentinel"
+                )
             out: list[str] = []
-            for w in t.split():
-                out.extend(encode_word(w, ranks))
+            for w in split_ws.split(t):
+                if w:
+                    out.extend(encode_word(w, ranks))
             return out
 
         return texts.map(one)

@@ -18,11 +18,13 @@ current labels + one min-aggregation, both keyed on node id — shuffles
 carry (node, label) pairs only, never payloads.  Lineage is truncated
 every round with ``localCheckpoint`` (an iterative plan otherwise grows
 exponentially in the optimizer); the convergence probe is one bounded
-count per round, and the loop is capped by ``max_iter``.  Caveat for
-long-lived cluster runs: ``localCheckpoint`` blocks live on executors,
-so losing an executor (dynamic allocation, spot nodes) loses them — set
-``spark.sparkContext.setCheckpointDir(...)`` and swap in reliable
-``checkpoint()`` when running under preemption.
+count per round, and the loop is capped by ``max_iter``.
+``localCheckpoint`` blocks live on executors, so losing an executor
+(dynamic allocation, spot/preemptible nodes) loses them — pass
+``checkpoint_dir`` to swap in reliable ``checkpoint()`` backed by a
+fault-tolerant filesystem for those clusters (costs one write+read of
+the (node, label) frame per round; label frames are id-pairs only, so
+this is small relative to the join shuffle it protects).
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``, with ``component``
     the minimum node id of its connected component.
@@ -44,22 +47,36 @@ def connected_components(
     normalized away here.  Raises ``RuntimeError`` if ``max_iter`` rounds
     do not reach the fixed point (i.e. component diameter exceeded the
     budget) rather than returning silently-wrong partial labels.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    RELIABLE ``checkpoint()`` into that directory (survives executor
+    loss — use on preemptible/dynamic-allocation clusters) instead of
+    executor-local ``localCheckpoint`` blocks.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     # Materialize the symmetric edge list ONCE: every round's join would
     # otherwise re-evaluate the upstream edge lineage (for near-dup edges
     # that is the whole shingle/LSH pipeline — measured 10.7s → ~4s warm
     # at sf0.1 on exact-Jaccard edges from this one checkpoint).
-    sym = (
+    sym = _ckpt(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -96,8 +113,8 @@ def connected_components(
                 "node",
                 F.coalesce("grandparent", "component").alias("component"),
             )
-            .localCheckpoint()
         )
+        updated = _ckpt(updated)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), on="node")

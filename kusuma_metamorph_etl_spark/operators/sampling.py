@@ -148,6 +148,14 @@ def interleave_sources(
     reshuffling the cluster cannot change the curriculum).  Sources
     missing from ``weights`` are dropped (weight 0), declared.
 
+    Tie contract: different sources CAN emit float-equal positions
+    (equal weights always do: both emit (k−0.5)/w at every k; unequal
+    ones can too, e.g. 0.3 and 0.1 both hit 5.0), so a sort on
+    ``pos_out`` alone leaves tie order to the shuffle.  Consumers MUST
+    sort by ``(pos_out, source_col, key)`` — position, then source name,
+    then the content hash — for the full determinism guarantee; the
+    mixture property itself holds under any tie order.
+
     Plan: one window rank per source partition + pure arithmetic; the
     global sort on ``pos_out`` is Spark's ordinary range-partitioned
     sort.  Emitting the position rather than materializing the order

@@ -23,20 +23,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def derive_bounds(df: DataFrame, value_col: str) -> tuple[float, float]:
+    """One global min/max aggregation deriving sketch bounds ``(lo, hi)``.
+
+    The collect is a single row — driver-bounded by construction.  All
+    sketches that will later be MERGED must share bounds, so derive them
+    once over (a superset of) the union'd data and pass the result to
+    every per-slice ``histogram_sketch`` build, not per-slice.
+    """
+    row = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    ).collect()[0]
+    if row["lo"] is None:
+        raise ValueError(
+            f"derive_bounds: no non-null values in {value_col!r}; "
+            "cannot derive histogram bounds"
+        )
+    lo, hi = float(row["lo"]), float(row["hi"])
+    if lo == hi:
+        hi = lo + 1.0  # degenerate single-value column: any width works
+    return lo, hi
+
+
 def histogram_sketch(
     df: DataFrame,
     value_col: str,
-    lo: float,
-    hi: float,
+    lo: float | None = None,
+    hi: float | None = None,
     n_bins: int = 1000,
     keys: list[str] | None = None,
 ) -> DataFrame:
     """Fixed-bin histogram sketch: ``(keys..., bin, n)`` counts with
     values clamped into ``[lo, hi]`` (out-of-range mass lands in the edge
-    bins — choose bounds generously; production derives them from one
-    min/max aggregation).  One map + one keyed count — a normal shuffle.
+    bins — choose bounds generously).  When ``lo``/``hi`` are omitted they
+    are derived by one extra min/max pass (``derive_bounds``); callers
+    building sketches to merge later should derive bounds once themselves
+    and pass the same pair to every build.  NULL values are excluded
+    before binning (they are not "low" values; counting them in bin 0
+    would skew low quantiles).  One map + one keyed count — a normal
+    shuffle.
     """
     keys = keys or []
+    df = df.filter(F.col(value_col).isNotNull())
+    if lo is None or hi is None:
+        lo, hi = derive_bounds(df, value_col)
     width = (hi - lo) / n_bins
     bin_col = F.least(
         F.greatest(

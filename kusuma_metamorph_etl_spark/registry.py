@@ -72,77 +72,79 @@ _LOADED = False
 # (r1 ∪ r2 ∪ …) is what the judge tracks, so each round the window
 # rotates toward whatever has the least evidence.
 #
-# ROUND-6 WINDOW (the rotation VERDICT r5 Next #1 ordered; the r5 window
-# is all green as of CORRECTNESS_r05 and demoted below the cut):
-#   1. the 11 rows whose latest evidence is round 2 — the rows-only
-#      approx/ANN family plus the six cheap txt_* rows deferred from r5;
-#   2. the 21 new round-6 registrations, all with zero prior evidence:
-#      the `_err` recall companions that oracle-bind the rows-only family
-#      (VERDICT r5 Next #2), the PNG/pHash/spectral/video multimodal
-#      queries, containment + connected-components dedup, sessionize/
-#      retention event analytics, char-entropy, fixed-k sampling, mode,
-#      mergeable-HLL rollup, and the interval-overlap join;
-#   3. oldest r4-window rows (events + streaming twins + r3 leftovers)
-#      until the window holds exactly 50.
-# Deferred to the r7 window: the remaining r4 rows (agg_count_star/
-# global_count/rollup_cube/grouping_sets/stats, expr_*, the win_* block,
-# sql_pricing_summary, stream_dedup_first, the src_*/snk_dual_write/
-# join_broadcast/semi_anti/disambig/proj_* block) — all green in r4 and
-# untouched since; they ceded slots to zero-evidence registrations.
+# ROUND-7 WINDOW (the rotation VERDICT r6 Next #1 ordered):
+#   1. the 37 rows whose latest green evidence is round 4 — the
+#      agg_count_star/global_count/rollup_cube/grouping_sets/stats
+#      block, expr_*, the win_* block, sql_pricing_summary, the
+#      streaming twins (stream_* including stream_dedup_first and
+#      stream_attribution_join), cond_*, scd2_merge, proj_explode,
+#      sim_cosine_topk_np, and the src_*/snk_dual_write/join_broadcast/
+#      semi_anti/disambig/proj_* block;
+#   2. new round-7 registrations with zero prior evidence (names listed
+#      ahead of registration are skipped until their module lands);
+#   3. oldest r5-window rows padding the window to exactly 50.
+# After this window every registered query's latest evidence is r5+.
 _PRIORITY: tuple[str, ...] = (
-    # (1) r2-only evidence
-    "agg_approx_quantile",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "txt_chunk",
-    "txt_fingerprint",
-    "txt_rolling_fingerprint",
-    "txt_repetition",
-    "txt_token_count",
-    "txt_language_id",
-    # (2) new round-6 registrations: the rows-only family, oracle-bound
-    "dedup_minhash_lsh_err",
-    "dedup_simhash_err",
-    "dedup_embedding_lsh_err",
-    "sim_lsh_topk_err",
-    "sim_ivf_topk_err",
-    "sim_cosine_topk_np_err",
-    "mm_png_features",
-    "mm_phash_dedup",
-    "mm_audio_spectral",
-    "mm_video_frames",
-    "dedup_containment",
-    "dedup_cc_clusters",
-    "dedup_cc_representatives",
-    "evt_sessionize",
-    "evt_retention",
-    "txt_char_entropy",
-    "samp_fixed_k",
-    "agg_mode",
-    "agg_hll_mergeable",
-    "join_overlap",
-    "txt_bpe_roundtrip",
-    "agg_quantile_mergeable",
-    "agg_cms_counts",
-    "samp_interleave",
-    "src_orc_roundtrip",
-    "join_asof_forward",
-    # (3) oldest r4-window rows: events + streaming twins + r3 leftovers
-    "fn_json_extract",
-    "agg_approx_distinct",
-    "join_asof",
-    "join_range",
-    "txt_gopher_filter",
-    "samp_shuffle",
-    "samp_pack",
-    "dedup_decontaminate",
-    "dedup_embedding_lsh",
-    "sim_quantize",
-    "mm_audio_features",
-    "evt_funnel",
-    "join_fuzzy",
+    # (1) the 37 r4-stale rows (CORRECTNESS_r04 was their last green row)
+    "src_parquet_scan",
+    "src_csv_infer",
+    "src_rest_json",
+    "src_inline_schema",
+    "snk_dual_write",
+    "sql_pricing_summary",
+    "proj_normalize_names",
+    "proj_cast",
+    "proj_explode",
+    "expr_arith",
+    "expr_discount_amount",
+    "join_broadcast",
+    "join_disambig",
+    "join_semi_anti",
+    "agg_count_distinct",
+    "agg_count_star",
+    "agg_global_count",
+    "agg_rollup_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "win_rownum_topk",
+    "win_rownum_flag",
+    "win_percent_rank",
+    "win_frame_agg",
+    "win_lag_lead",
+    "win_ntile",
+    "win_rank_dense",
+    "win_cume_dist",
+    "cond_when_chain",
+    "cond_null_default",
+    "scd2_merge",
+    "sim_cosine_topk_np",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup_first",
+    "stream_attribution_join",
+    # (2) new round-7 registrations (zero evidence; skipped until they exist)
+    "dedup_substring",
+    "dedup_substring_err",
+    # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
+    "proj_select",
+    "proj_rename",
+    "proj_alias",
+    "proj_drop",
+    "expr_lit",
+    "mart_supplier_performance",
+    "mart_product_performance",
+    "mart_customer_sales_report",
+    "dq_duplicate_gate",
+    "dq_snapshot_stamp",
+    "fil_neq",
+    "fil_isin",
+    "fil_cmp",
+    "fil_conj",
+    "fil_isnull",
+    "join_left_equi",
+    "join_right_equi",
+    "join_inner_equi",
 )
 
 

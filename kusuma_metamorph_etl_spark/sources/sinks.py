@@ -155,10 +155,25 @@ def compact_parquet(
         df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
+    elif df.rdd.getNumPartitions() < n_files:
+        # A source read into FEWER partitions than the target (few huge
+        # files) cannot be split by coalesce — repartition's round-robin
+        # shuffle is required to hit target_file_mb-sized outputs.
+        df = df.repartition(n_files)
     else:
         # coalesce never shuffles: it only merges partitions downward,
-        # which is exactly compaction (a source already at or below the
-        # target count passes through unchanged).
+        # which is exactly compaction (a source already at the target
+        # count passes through unchanged).
         df = df.coalesce(n_files)
     df.write.mode("overwrite").parquet(dst_path)
-    return n_files
+    # Count what was actually written rather than trusting the plan:
+    # empty partitions write no file, so the real count can undershoot.
+    dst = jvm.Path(dst_path)
+    dst_fs = dst.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    it = dst_fs.listFiles(dst, True)
+    written = 0
+    while it.hasNext():
+        f = it.next().getPath().getName()
+        if f.endswith(".parquet"):
+            written += 1
+    return written

@@ -41,6 +41,24 @@ def test_roundtrip_lossless_on_corpus(spark, sf_small):
     assert stats["t"] < stats["c"]
 
 
+def test_sentinel_input_rejected_and_split_is_ascii_ws(spark):
+    """Text containing END must fail LOUDLY (a silent round-trip loss
+    otherwise — ADVICE r6), and word splitting must use the same
+    [\\t\\n\\f\\r ]+ class as training: NBSP is NOT a separator."""
+    import pytest
+
+    merges = [("a", "a")]
+    poisoned = spark.createDataFrame([(f"ok {bpe.END}bad",)], ["text"])
+    with pytest.raises(Exception, match="END sentinel"):
+        bpe.bpe_encode(poisoned, merges).collect()
+
+    # NBSP (U+00A0) splits under Python str.split() but not under \s+ —
+    # it must stay inside one word here, matching words()/the oracle.
+    nbsp = spark.createDataFrame([("aa\u00a0aa",)], ["text"])
+    toks = bpe.bpe_encode(nbsp, merges).select("tokens").first()["tokens"]
+    assert toks == ["aa", "\u00a0", "aa", bpe.END]
+
+
 def test_distributed_encode_matches_local(spark, sf_small):
     docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
     merges = bpe.bpe_train(docs, n_merges=50)

@@ -54,6 +54,40 @@ def test_cluster_representatives_transitive(spark):
     assert kept == {1, 7}
 
 
+def test_star_graph_skew_converges_fast(spark):
+    """Star graph: one hub, 500 spokes — a single huge component with the
+    hottest possible join key (every edge shares the hub).  Must converge,
+    and in few rounds: the star has diameter 2, so min-label propagation +
+    pointer doubling needs ≤3 rounds (max_iter=3 proves the round count,
+    not just eventual convergence)."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 501)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=3).collect()
+    }
+    assert len(got) == 501 and set(got.values()) == {0}
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir swaps localCheckpoint for reliable checkpoint():
+    same labels, and checkpoint files actually land in the directory."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    wrote = any(files for _, _, files in os.walk(ckpt))
+    assert wrote, "reliable checkpoint() wrote nothing under checkpoint_dir"
+
+
 def test_components_match_networkx_free_oracle(spark, sf_small):
     """Brute-force union-find over the collected edge list agrees with the
     distributed result on real near-dup edges."""

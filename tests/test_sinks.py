@@ -145,6 +145,31 @@ class TestCompaction:
             r["o_orderkey"] for r in orders.select("o_orderkey").collect()
         }
 
+    def test_oversized_source_splits_up(self, spark, sf_small, tmp_path):
+        """A source in FEWER partitions than the byte-derived target must
+        be split (repartition), not passed through — coalesce alone can
+        only merge downward (ADVICE r6).  target_file_mb=0 is illegal, so
+        force the split with a tiny 1 MB target over a 1-file source."""
+        from kusuma_metamorph_etl_spark.sources.sinks import compact_parquet
+
+        src = str(tmp_path / "one_big")
+        dst = str(tmp_path / "split")
+        # Incompressible payload so the single source file is a few MB.
+        big = spark.range(150_000).select(
+            "id",
+            F.md5(F.col("id").cast("string")).alias("h1"),
+            F.md5(F.concat_ws("x", F.col("id").cast("string"))).alias("h2"),
+        )
+        big.coalesce(1).write.parquet(src)
+        import glob
+
+        assert len(glob.glob(f"{src}/part-*.parquet")) == 1
+        n = compact_parquet(spark, src, dst, target_file_mb=1)
+        files = glob.glob(f"{dst}/part-*.parquet")
+        assert n == len(files)  # returns files actually written
+        assert n > 1  # source was split upward
+        assert spark.read.parquet(dst).count() == 150_000
+
     def test_sorted_compaction_restores_clustering(self, spark, sf_small, tmp_path):
         from kusuma_metamorph_etl_spark.sources.sinks import compact_parquet
 

@@ -81,6 +81,50 @@ def test_cms_never_undercounts_and_merge_equals_union(spark):
         assert est[v] <= true_n + (2.718281828 / 256) * n + 1, v
 
 
+def test_auto_bounds_quantiles_within_bin_width(spark):
+    """Omitting lo/hi derives them via one min/max pass; quantile accuracy
+    holds at the same ≤1-bin-width gate as the explicit-bounds path."""
+    vals = [float(i) for i in range(10_000)]
+    df = _vals(spark, vals)
+    n_bins = 200
+    lo, hi = sketches.derive_bounds(df, "v")
+    assert lo == 0.0 and hi == 9999.0
+    width = (hi - lo) / n_bins
+    sk = sketches.histogram_sketch(df, "v", n_bins=n_bins)  # bounds omitted
+    got = {
+        r["q"]: r["est"]
+        for r in sketches.histogram_quantiles(sk, [0.1, 0.5, 0.9], lo, hi, n_bins).collect()
+    }
+    for q in [0.1, 0.5, 0.9]:
+        assert abs(got[q] - q * 9999.0) <= width, (q, got[q])
+
+
+def test_nulls_excluded_and_degenerate_bounds(spark):
+    """NULLs must not be counted as lo-edge mass (ADVICE r6), and a
+    single-distinct-value column still yields usable auto bounds."""
+    df = spark.createDataFrame(
+        [(None,), (0.5,), (None,), (99.5,)], "v double"
+    )
+    sk = sketches.histogram_sketch(df, "v", 0.0, 100.0, 10)
+    counts = {r["bin"]: r["n"] for r in sk.collect()}
+    assert counts == {0: 1, 9: 1}  # the two nulls contribute nothing
+
+    const = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    lo, hi = sketches.derive_bounds(const, "v")
+    assert lo == 7.0 and hi == 8.0  # widened so width > 0
+    got = sketches.histogram_quantiles(
+        sketches.histogram_sketch(const, "v", lo, hi, 10), [0.5], lo, hi, 10
+    ).collect()[0]["est"]
+    assert abs(got - 7.0) <= (hi - lo) / 10
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no non-null"):
+        sketches.derive_bounds(
+            spark.createDataFrame([(None,)], "v double"), "v"
+        )
+
+
 def test_keyed_quantiles_independent(spark):
     lo = _vals(spark, [float(i) for i in range(100)], extra="lo")
     hi = _vals(spark, [float(i) for i in range(900, 1000)], extra="hi")
