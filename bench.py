@@ -56,7 +56,36 @@ HEADLINE = [
     "dedup_cc_representatives",  # pairs -> components -> survivors
     "evt_sessionize",  # user-partitioned window sessionization
     "txt_bpe_roundtrip",  # BPE train + distributed encode + decode gate
+    "agg_hll_mergeable",  # sketch build + merge rollup (VERDICT r6 #6)
+    "agg_quantile_mergeable",  # histogram sketch build/merge/quantiles
+    "agg_cms_counts",  # count-min build/merge/estimate
+    "dedup_substring",  # winnowing anchors + candidate span extension
+    "stream_sessionize_stateful",  # applyInPandasWithState twin (r6 #7)
 ]
+
+
+def _bench_sessionize_stream(spark, sf_dir: str) -> None:
+    """Wall-time for the STATEFUL streaming sessionize twin end-to-end:
+    parquet file-stream source -> applyInPandasWithState -> noop sink,
+    one availableNow pass over the sf events table (the batch-twin row
+    `evt_sessionize` measures the window-function plan; this measures
+    the streaming state machinery)."""
+    from kusuma_metamorph_etl_spark.streaming.stateful import sessionize_stream
+    from kusuma_metamorph_etl_spark.streaming.windows import stream_events
+
+    q = (
+        sessionize_stream(stream_events(spark, sf_dir), gap_seconds=1800)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# Non-query benchmarks: callables the registry cannot express (streaming
+# jobs manage their own sink/trigger instead of a noop batch write).
+EXTRA = {"stream_sessionize_stateful": _bench_sessionize_stream}
 
 # Reps per query: a single-shot bench cannot distinguish a code regression
 # from a noisy shared host (the BENCH_r05 false alarm — a uniform 1.8x that
@@ -89,8 +118,11 @@ def main() -> int:
         runs: list[float] = []
         for _ in range(REPS):
             start = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            if name in EXTRA:
+                EXTRA[name](spark, sf_dir)
+            else:
+                df = qs[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
             runs.append(round(time.perf_counter() - start, 3))
         reps[name] = runs
         timings[name] = sorted(runs)[len(runs) // 2]  # median

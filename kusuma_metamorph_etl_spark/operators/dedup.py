@@ -24,6 +24,8 @@ operators extend it to content-level dedup per the project north star.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -662,3 +664,195 @@ def decontaminate(
     (:func:`ngram_contamination`); anti-join on the contaminated ids."""
     hits = ngram_contamination(corpus, benchmark, n, id_col, text_col, hash_grams)
     return corpus.join(hits, on=id_col, how="left_anti")
+
+
+# ------------------------------------------------- exact substring spans
+
+
+def _winnow_fingerprints_udf(k: int, w: int):
+    """Arrow-batched UDF: per document, the winnowed set of k-gram
+    rolling-hash fingerprints as ``array<struct<h:long, pos:int>>``.
+
+    Hashing is a degree-(k−1) polynomial over code points mod 2^64
+    (numpy uint64 wrap — one vectorized multiply-sum per document, no
+    per-gram digest calls); winnowing selects the first-minimum hash in
+    every window of ``w`` consecutive gram positions (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03).  The selection rule is content-
+    determined, so two documents sharing any substring of length
+    ≥ w + k − 1 select at least one identical (hash, in-span offset)
+    fingerprint — the recall guarantee the caller's blocking join
+    relies on.  Expected density is 2/(w+1) fingerprints per position:
+    the per-document sketch is sub-linear and the downstream shuffle
+    carries (hash, id, pos) triples only, never text.
+    """
+    import numpy as np
+
+    B = np.uint64(1099511628211)  # FNV-1a prime, odd -> full period mod 2^64
+    powers = np.empty(k, dtype=np.uint64)
+    p = np.uint64(1)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash design
+        for i in range(k - 1, -1, -1):
+            powers[i] = p
+            p = p * B
+    swv = np.lib.stride_tricks.sliding_window_view
+
+    @F.pandas_udf("array<struct<h: long, pos: int>>")
+    def fp(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> list[dict]:
+            n = len(t)
+            if n < k:
+                return []
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+                np.uint64
+            )
+            with np.errstate(over="ignore"):
+                h = (swv(codes, k) * powers).sum(axis=1)  # uint64 wrap
+            m = h.shape[0]
+            if m <= w:
+                sel = np.array([int(h.argmin())])
+            else:
+                sel = np.unique(
+                    swv(h, w).argmin(axis=1) + np.arange(m - w + 1)
+                )
+            signed = h.view(np.int64)
+            return [
+                {"h": int(signed[i]), "pos": int(i)} for i in sel
+            ]
+
+        return texts.map(one)
+
+    return fp
+
+
+def _extend_match_udf(k: int):
+    """Arrow-batched UDF: maximal equal span around a verified k-gram
+    anchor — ``struct<a_start:int, b_start:int, length:int>`` (0-based
+    character offsets), or length 0 for a hash-collision false anchor
+    (polynomial hashes collide; extension is the exactness check, so
+    collisions cost a comparison, never a wrong pair)."""
+
+    def common_prefix_len(x: str, y: str, chunk: int = 256) -> int:
+        n = min(len(x), len(y))
+        i = 0
+        while i < n:
+            j = min(i + chunk, n)
+            if x[i:j] == y[i:j]:
+                i = j
+                continue
+            while i < n and x[i] == y[i]:
+                i += 1
+            break
+        return i
+
+    @F.pandas_udf("struct<a_start: int, b_start: int, length: int>")
+    def extend(
+        ta: pd.Series, tb: pd.Series, pa: pd.Series, pb: pd.Series
+    ) -> pd.DataFrame:
+        out = {"a_start": [], "b_start": [], "length": []}
+        for t_a, t_b, p_a, p_b in zip(ta, tb, pa, pb):
+            p_a, p_b = int(p_a), int(p_b)
+            if t_a[p_a : p_a + k] != t_b[p_b : p_b + k]:
+                out["a_start"].append(0)
+                out["b_start"].append(0)
+                out["length"].append(0)
+                continue
+            left = common_prefix_len(t_a[p_a - 1 :: -1], t_b[p_b - 1 :: -1])
+            right = common_prefix_len(t_a[p_a + k :], t_b[p_b + k :])
+            out["a_start"].append(p_a - left)
+            out["b_start"].append(p_b - left)
+            out["length"].append(left + k + right)
+        return pd.DataFrame(out)
+
+    return extend
+
+
+def substring_pairs(
+    df: DataFrame,
+    min_len: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+    max_df: int = 50,
+) -> DataFrame:
+    """Cross-document EXACT repeated substrings of ≥ ``min_len``
+    characters: ``(a, b, a_start, b_start, length)`` rows, one per
+    maximal shared span, 0-based offsets, ``a < b`` — substring-level
+    dedup in the Lee et al. style ("Deduplicating Training Data Makes
+    Language Models Better", ACL'22), where document-level near-dup
+    misses the paragraph copied into an otherwise-novel page.
+
+    Spark-first shape instead of their suffix array (a global
+    sequential structure Spark cannot build incrementally):
+
+    1. per-document winnowed rolling-hash fingerprints
+       (:func:`_winnow_fingerprints_udf`; k-gram size ``k`` defaults to
+       ``min_len // 2``, winnow window ``w = min_len − k + 1`` — any
+       shared span of ≥ ``min_len`` chars shares a fingerprint, the
+       winnowing theorem);
+    2. candidate anchors by fingerprint equi-join (``a < b``), after a
+       stop-fingerprint cap: hashes present in > ``max_df`` documents
+       are dropped as boilerplate (license headers), bounding the join
+       fan-out the way stop-words bound an inverted index — spans ONLY
+       shared by hyper-common blocks are the declared recall trade;
+    3. candidate-only verify: texts join in by id for candidate pairs
+       alone, and :func:`_extend_match_udf` grows each anchor to its
+       maximal equal span (hash collisions die here).  Anchors inside
+       one span all extend to the same maximum, collapsed by distinct.
+
+    Shuffles carry fingerprints and candidate ids; document bodies move
+    only for candidate pairs (the embedding-LSH verify economics).
+    """
+    k = k or max(8, min_len // 2)
+    if k > min_len:
+        raise ValueError(f"k={k} must be <= min_len={min_len}")
+    w = min_len - k + 1
+    fp = _winnow_fingerprints_udf(k, w)
+    fps = (
+        df.select(F.col(id_col), fp(F.col(text_col)).alias("f"))
+        .select(id_col, F.explode("f").alias("f"))
+        .select(id_col, "f.h", "f.pos")
+        # The sketch feeds THREE consumers (hot-hash count, both sides
+        # of the candidate self-join); without caching, Catalyst
+        # re-runs the text scan + fingerprint UDF for each.  The
+        # cached frame is (id, hash, pos) triples — sketch-sized,
+        # ~2/(w+1) rows per character, far smaller than the corpus.
+        .persist()
+    )
+    hot = (
+        fps.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_df)
+        .select("h")
+    )
+    fps = fps.join(F.broadcast(hot), on="h", how="left_anti")
+    left = fps.select(
+        F.col("h"), F.col(id_col).alias("a"), F.col("pos").alias("pos_a")
+    )
+    right = fps.select(
+        F.col("h"), F.col(id_col).alias("b"), F.col("pos").alias("pos_b")
+    )
+    cand = (
+        left.join(right, on="h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "pos_a", "pos_b")
+    )
+    texts_a = df.select(
+        F.col(id_col).alias("a"), F.col(text_col).alias("__ta")
+    )
+    texts_b = df.select(
+        F.col(id_col).alias("b"), F.col(text_col).alias("__tb")
+    )
+    extend = _extend_match_udf(k)
+    return (
+        cand.join(texts_a, on="a")
+        .join(texts_b, on="b")
+        .withColumn(
+            "s",
+            extend(
+                F.col("__ta"), F.col("__tb"), F.col("pos_a"), F.col("pos_b")
+            ),
+        )
+        .select("a", "b", "s.a_start", "s.b_start", "s.length")
+        .filter(F.col("length") >= min_len)
+        .distinct()
+    )

@@ -2000,3 +2000,74 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kusuma_metamorph_etl_spark.streaming.stateful import first_event_batch
 
     return first_event_batch(t(spark, sf_dir, "events"))
+
+
+@register("dedup_substring", None)  # maximal-repeat spans — not SQL-expressible
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. ACL'22 style): maximal
+    cross-document shared spans of ≥ 64 chars via winnowed rolling-hash
+    anchors + candidate-only extension — the paragraph-grain duplication
+    document-level near-dup misses (`operators/dedup.py::substring_pairs`).
+    Companion `dedup_substring_err` oracle-binds the recall contract."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.substring_pairs(docs, min_len=64)
+
+
+@register(
+    "dedup_substring_err",
+    """SELECT doc_id AS a, doc_id + 1000000 AS b
+       FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 200""",
+)
+def dedup_substring_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `dedup_substring`: plant a 120-char
+    mid-document paragraph of every 7th document inside uppercase filler
+    (disjoint from the lowercase corpus vocabulary) under a shifted id.
+    Emits the planted-pair list (oracle-computable) gated on (1) every
+    planted pair recovered with a span ≥ the 120 planted chars — the
+    winnowing guarantee exercised end-to-end — and (2) every emitted
+    span passing literal substring-equality re-verification (zero false
+    spans, checked over the whole output, not just the plants)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    eligible = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.length("text") >= 200)
+    )
+    planted = eligible.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("QWJX ZVKP " * 12),  # 120 chars of disjoint filler
+            F.substring("text", 41, 120),
+            F.lit(" PKVZ XJWQ" * 12),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    pairs = dedup.substring_pairs(corpus, min_len=64)
+    expected = eligible.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1_000_000).alias("b")
+    )
+    recovered = pairs.filter(F.col("length") >= 120).select("a", "b")
+    missed = expected.join(recovered, ["a", "b"], "left_anti")
+    bad_spans = (
+        pairs.join(
+            corpus.select(F.col("doc_id").alias("a"), F.col("text").alias("ta")),
+            on="a",
+        )
+        .join(
+            corpus.select(F.col("doc_id").alias("b"), F.col("text").alias("tb")),
+            on="b",
+        )
+        .filter(
+            F.expr("substring(ta, a_start + 1, length)")
+            != F.expr("substring(tb, b_start + 1, length)")
+        )
+    )
+    stats = (
+        _n(expected, "n_exp")
+        .crossJoin(_n(missed, "n_miss"))
+        .crossJoin(_n(bad_spans, "n_bad"))
+    )
+    ok = (
+        (F.col("n_exp") > 0)
+        & (F.col("n_miss") == 0)
+        & (F.col("n_bad") == 0)
+    )
+    return _gate(expected, stats, ok)

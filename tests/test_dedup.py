@@ -213,3 +213,114 @@ class TestDecontamination:
         bench = spark.createDataFrame([(1, "too few words")], "doc_id long, text string")
         corpus = spark.createDataFrame([(2, "too few words")], "doc_id long, text string")
         assert ngram_contamination(corpus, bench, n=5).count() == 0
+
+
+class TestSubstringPairs:
+    """Exact substring-level dedup (Lee et al. style): planted-paragraph
+    recall at 100%, zero false pairs, maximal-extension offsets."""
+
+    PARA = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "gray geese graze in the quiet meadow beside the old stone mill "
+        "and nobody notices the slow river turning the wheel at dawn "
+        "every single day of the long wet autumn season"
+    )  # 229 chars, vocabulary disjoint from the fillers below
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_paragraph_found_with_exact_span(self, spark):
+        filler_a = "AAAA BBBB CCCC DDDD " * 10  # 200 chars
+        filler_b = "WWWW XXXX YYYY ZZZZ " * 15  # 300 chars
+        docs = self._docs(
+            spark,
+            [
+                (1, filler_a + self.PARA + " EEEE FFFF"),
+                (2, filler_b + self.PARA + " GGGG HHHH"),
+                (3, "IIII JJJJ KKKK LLLL " * 20),
+            ],
+        )
+        got = dedup.substring_pairs(docs, min_len=64).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["a"], r["b"]) == (1, 2)
+        # maximal extension: the paragraph plus BOTH shared boundary
+        # spaces (each filler ends with ' ', and ' ' follows the
+        # paragraph on both sides) — extension must find the true max
+        assert r["a_start"] == len(filler_a) - 1
+        assert r["b_start"] == len(filler_b) - 1
+        assert r["length"] == len(self.PARA) + 2
+
+    def test_no_false_pairs_on_disjoint_docs(self, spark):
+        docs = self._docs(
+            spark,
+            [
+                (1, "alpha beta gamma delta " * 20),
+                (2, "epsilon zeta etaa theta " * 20),
+                (3, "iotaa kappa lambda muuu " * 20),
+            ],
+        )
+        assert dedup.substring_pairs(docs, min_len=64).count() == 0
+
+    def test_boundary_exact_min_len(self, spark):
+        # fillers end/start with DISTINCT chars so the shared span is
+        # exactly the planted run — no accidental boundary extension
+        shared = "x" * 64
+        docs = self._docs(
+            spark,
+            [
+                (1, "A" * 80 + shared + "C" * 10),
+                (2, "B" * 80 + shared + "D" * 10),
+            ],
+        )
+        got = dedup.substring_pairs(docs, min_len=64).collect()
+        assert len(got) == 1 and got[0]["length"] == 64
+
+        short = "y" * 63
+        docs2 = self._docs(
+            spark,
+            [
+                (1, "A" * 80 + short + "C" * 10),
+                (2, "B" * 80 + short + "D" * 10),
+            ],
+        )
+        assert dedup.substring_pairs(docs2, min_len=64).count() == 0
+
+    def test_corpus_spans_all_verify_and_planted_copy_caught(
+        self, spark, sf_small
+    ):
+        """Over the real corpus + one planted full copy: every emitted
+        span must satisfy literal substring equality (exactness), and the
+        planted pair must surface with a full-document span."""
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        src = docs.orderBy("doc_id").limit(1)
+        copy = src.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        corpus = docs.unionByName(copy)
+        pairs = dedup.substring_pairs(corpus, min_len=64)
+        with_texts = (
+            pairs.join(
+                corpus.select(F.col("doc_id").alias("a"), F.col("text").alias("ta")),
+                on="a",
+            )
+            .join(
+                corpus.select(F.col("doc_id").alias("b"), F.col("text").alias("tb")),
+                on="b",
+            )
+        )
+        bad = with_texts.filter(
+            F.expr("substring(ta, a_start + 1, length)")
+            != F.expr("substring(tb, b_start + 1, length)")
+        )
+        assert bad.count() == 0
+        src_row = src.collect()[0]
+        planted = pairs.filter(
+            (F.col("a") == src_row["doc_id"])
+            & (F.col("b") == src_row["doc_id"] + 1_000_000)
+        ).collect()
+        assert planted and max(r["length"] for r in planted) == len(
+            src_row["text"]
+        )
