@@ -756,7 +756,11 @@ def _extend_match_udf(k: int):
                 out["b_start"].append(0)
                 out["length"].append(0)
                 continue
-            left = common_prefix_len(t_a[p_a - 1 :: -1], t_b[p_b - 1 :: -1])
+            # guard p==0: t[-1::-1] would wrap to the reversed WHOLE
+            # string and "extend" left past the document start
+            rev_a = t_a[p_a - 1 :: -1] if p_a > 0 else ""
+            rev_b = t_b[p_b - 1 :: -1] if p_b > 0 else ""
+            left = common_prefix_len(rev_a, rev_b)
             right = common_prefix_len(t_a[p_a + k :], t_b[p_b + k :])
             out["a_start"].append(p_a - left)
             out["b_start"].append(p_b - left)
@@ -856,3 +860,90 @@ def substring_pairs(
         .filter(F.col("length") >= min_len)
         .distinct()
     )
+
+
+def remove_substring_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`substring_pairs` output: CUT each duplicated span out
+    of the higher-id document of its pair (the lower id keeps the only
+    copy — the same lowest-id-wins rule as ``exact_dedup``, at span
+    grain).  Returns ``df`` with ``text_col`` rewritten plus
+    ``n_spans_removed`` / ``chars_removed`` accounting columns.
+
+    Per-document span lists merge overlaps before cutting (two pairs can
+    claim intersecting ranges of one document; cutting them naively
+    would double-delete), then splice the survivors — a bounded
+    ``collect_list`` per document (span counts are candidate-bounded,
+    the same economics as the pair search) feeding one Arrow-batched
+    rewrite.  Documents in no pair pass through untouched.
+
+    One pass removes every DETECTED span, but cutting joins the text on
+    either side of each cut, and that new junction can itself form a
+    fresh ≥ min_len repeat with another document (Lee et al.'s suffix
+    array sees all repeats in one structure and doesn't have this
+    seam).  Callers needing a true fixpoint iterate search → remove;
+    in practice junction repeats are rare and one extra pass settles.
+    """
+    doc_spans = (
+        spans.select(
+            F.col("b").alias(id_col),
+            F.struct(
+                F.col("b_start").alias("start"), F.col("length").alias("length")
+            ).alias("span"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("span").alias("__spans"))
+    )
+
+    @F.pandas_udf("struct<text: string, n_spans: int, chars: int>")
+    def cut(texts: pd.Series, span_lists: pd.Series) -> pd.DataFrame:
+        out = {"text": [], "n_spans": [], "chars": []}
+        for t, sl in zip(texts, span_lists):
+            if sl is None or len(sl) == 0:
+                # ArrowEvalPython runs the UDF for every row even under
+                # F.when — no-span documents must pass through here too
+                out["text"].append(t)
+                out["n_spans"].append(0)
+                out["chars"].append(0)
+                continue
+            ranges = sorted((s["start"], s["start"] + s["length"]) for s in sl)
+            merged: list[list[int]] = []
+            for lo, hi in ranges:
+                if merged and lo <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], hi)
+                else:
+                    merged.append([lo, hi])
+            pieces, cursor = [], 0
+            for lo, hi in merged:
+                pieces.append(t[cursor:lo])
+                cursor = hi
+            pieces.append(t[cursor:])
+            out["text"].append("".join(pieces))
+            out["n_spans"].append(len(merged))
+            out["chars"].append(sum(hi - lo for lo, hi in merged))
+        return pd.DataFrame(out)
+
+    others = [c for c in df.columns if c != text_col]
+    cleaned = (
+        df.join(doc_spans, on=id_col, how="left")
+        .withColumn(
+            "__cut",
+            F.when(
+                F.col("__spans").isNotNull(),
+                cut(F.col(text_col), F.col("__spans")),
+            ),
+        )
+        .select(
+            *others,
+            F.coalesce(F.col("__cut.text"), F.col(text_col)).alias(text_col),
+            F.coalesce(F.col("__cut.n_spans"), F.lit(0)).alias(
+                "n_spans_removed"
+            ),
+            F.coalesce(F.col("__cut.chars"), F.lit(0)).alias("chars_removed"),
+        )
+    )
+    return cleaned

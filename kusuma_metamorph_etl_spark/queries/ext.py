@@ -2071,3 +2071,72 @@ def dedup_substring_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_bad") == 0)
     )
     return _gate(expected, stats, ok)
+
+
+@register("dedup_substring_removal", None)  # rewritten text — not SQL-expressible
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span REMOVAL accounting (Lee et al. remove the repeated
+    spans, not just find them): cut every cross-document duplicated span
+    out of the higher-id document, keep it in the lowest — emits
+    deterministic per-document (n_spans_removed, chars_removed) rows
+    (`operators/dedup.py::remove_substring_spans`).  The fixpoint contract
+    (a second search over the cleaned corpus finds nothing) is gated by
+    `dedup_substring_removal_err`."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.substring_pairs(docs, min_len=64)
+    cleaned = dedup.remove_substring_spans(docs, pairs)
+    return cleaned.select("doc_id", "n_spans_removed", "chars_removed")
+
+
+@register(
+    "dedup_substring_removal_err",
+    """SELECT doc_id AS a, doc_id + 1000000 AS b
+       FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 200""",
+)
+def dedup_substring_removal_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `dedup_substring_removal`: plant a
+    copied 150-char paragraph of every 9th document under a shifted id,
+    remove spans, then GATE on the removal semantics — no planted copy
+    may still contain its paragraph afterwards (the copy is the higher
+    id of its pair, so removal must have cut the paragraph out of it).
+    Emits the oracle-computable planted-pair list while that holds.
+    A global one-pass fixpoint would be too strong: cut junctions can
+    form fresh repeats (see ``remove_substring_spans`` docstring)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    eligible = docs.filter(
+        (F.col("doc_id") % 9 == 0) & (F.length("text") >= 200)
+    )
+    planted = eligible.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("JQZX VWKP " * 10),
+            F.substring("text", 31, 150),
+            F.lit(" PXWV KZQJ" * 10),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    pairs = dedup.substring_pairs(corpus, min_len=64)
+    cleaned = dedup.remove_substring_spans(corpus, pairs).select(
+        "doc_id", "text"
+    )
+    still_there = (
+        cleaned.filter(F.col("doc_id") >= 1_000_000)
+        .select(
+            (F.col("doc_id") - 1_000_000).alias("src_id"),
+            F.col("text").alias("cleaned_text"),
+        )
+        .join(
+            eligible.select(
+                F.col("doc_id").alias("src_id"),
+                F.substring("text", 31, 150).alias("para"),
+            ),
+            on="src_id",
+        )
+        .filter(F.instr(F.col("cleaned_text"), F.col("para")) > 0)
+    )
+    expected = eligible.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1_000_000).alias("b")
+    )
+    stats = _n(expected, "n_exp").crossJoin(_n(still_there, "n_kept"))
+    ok = (F.col("n_exp") > 0) & (F.col("n_kept") == 0)
+    return _gate(expected, stats, ok)

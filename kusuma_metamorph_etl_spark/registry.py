@@ -126,6 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     # (2) new round-7 registrations (zero evidence; skipped until they exist)
     "dedup_substring",
     "dedup_substring_err",
+    "dedup_substring_removal",
+    "dedup_substring_removal_err",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

@@ -324,3 +324,75 @@ class TestSubstringPairs:
         assert planted and max(r["length"] for r in planted) == len(
             src_row["text"]
         )
+
+    def test_span_removal_reaches_fixpoint(self, spark):
+        """Removal keeps the span only in the lowest-id doc of each
+        cluster; re-running the pair search on the cleaned corpus finds
+        nothing — the Lee et al. removal semantics end-to-end."""
+        filler = [
+            "AAAA BBBB CCCC DDDD " * 10,
+            "WWWW XXXX YYYY ZZZZ " * 12,
+            "IIII JJJJ KKKK LLLL " * 14,
+        ]
+        docs = self._docs(
+            spark,
+            [
+                (1, filler[0] + self.PARA + " EEEE"),
+                (2, filler[1] + self.PARA + " GGGG"),
+                (3, filler[2] + self.PARA + " MMMM"),
+            ],
+        )
+        pairs = dedup.substring_pairs(docs, min_len=64)
+        cleaned = dedup.remove_substring_spans(docs, pairs)
+        rows = {r["doc_id"]: r for r in cleaned.collect()}
+        assert self.PARA in rows[1]["text"]  # lowest id keeps the copy
+        assert self.PARA not in rows[2]["text"]
+        assert self.PARA not in rows[3]["text"]
+        assert rows[1]["n_spans_removed"] == 0 and rows[1]["chars_removed"] == 0
+        assert rows[2]["n_spans_removed"] == 1
+        assert rows[2]["chars_removed"] >= len(self.PARA)
+        # fixpoint: nothing shared >= min_len remains
+        again = cleaned.select("doc_id", "text")
+        assert dedup.substring_pairs(again, min_len=64).count() == 0
+
+    def test_span_removal_merges_overlaps(self, spark):
+        """Two pairs claiming intersecting ranges of one doc must merge
+        before cutting — naive sequential cuts would corrupt offsets."""
+        core = "qq ww ee rr tt yy uu ii oo pp " * 4  # 120 chars
+        left_ext = "aa ss dd ff gg hh jj kk ll zz " * 3 + core  # 90 + core
+        right_ext = core + "xx cc vv bb nn mm qa ws ed rf " * 3
+        docs = self._docs(
+            spark,
+            [
+                (1, left_ext + " 1111"),  # shares left_ext's tail + core with 3
+                (2, right_ext + " 2222"),  # shares core + right_ext's head with 3
+                (3, "PPPP QQQQ " * 5 + left_ext + right_ext[len(core):] + " RRRR"),
+            ],
+        )
+        pairs = dedup.substring_pairs(docs, min_len=64)
+        # doc 3 is claimed by both (1,3) and (2,3) with overlapping spans
+        assert pairs.filter((F.col("b") == 3)).count() >= 2
+        cleaned = dedup.remove_substring_spans(docs, pairs)
+        r3 = {r["doc_id"]: r for r in cleaned.collect()}[3]
+        assert core not in r3["text"]
+        assert r3["n_spans_removed"] >= 1
+        # overlap merged: chars_removed equals the UNION of the claimed
+        # ranges, which the fixpoint below would catch if double-counted
+        assert dedup.substring_pairs(
+            cleaned.select("doc_id", "text"), min_len=64
+        ).count() == 0
+
+    def test_shared_prefix_anchor_at_position_zero(self, spark):
+        """Docs sharing their PREFIX anchor at position 0 — regression
+        for the reversed-slice bug where t[-1::-1] wrapped around and
+        'extended' left past the document start (negative offsets)."""
+        shared = "zz yy xx ww vv uu tt ss rr qq " * 3  # 90 chars
+        docs = self._docs(
+            spark,
+            [(1, shared + "AAAA BBBB" * 5), (2, shared + "CCCC DDDD" * 5)],
+        )
+        got = dedup.substring_pairs(docs, min_len=64).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["a_start"] == 0 and r["b_start"] == 0
+        assert r["length"] == len(shared)
