@@ -274,3 +274,36 @@ def pack_sequences(
         )
         .drop("__bkt", "__h", "__hnum", "__cum", "__bkt_offset", "__total")
     )
+
+
+def group_fixed_size_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    k: int,
+    seed: str = "42",
+) -> DataFrame:
+    """At most ``k`` rows PER GROUP (exactly ``k`` when the group has
+    that many), drawn uniformly and reproducibly — the balanced-quota
+    twin of :func:`fixed_size_sample` (global k) and
+    :func:`stratified_sample` (rate-based): training mixes that need "k
+    examples from every source/language/domain" regardless of group
+    skew.
+
+    One window ``row_number`` per group ordered by the content hash:
+    partition-invariant (the hash depends on (seed, key), never on
+    layout), one shuffle keyed on the group columns.  Per-group sort
+    cost is the usual window price; groups far hotter than their peers
+    sort more data — at extreme skew, pre-filter with a rate-based
+    sample slightly above k/|group| and top up, the same two-pass trick
+    as percent_rank's quantile-bucket path.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h, key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -137,3 +137,50 @@ def scd2_merge(
         .unionByName(new_open.select(*out_cols))
         .unionByName(inserted.select(*out_cols))
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change log to a snapshot: the latest change per key
+    wins (``seq_col`` orders changes — a log offset, LSN, or timestamp),
+    ``op_col`` ∈ {'I', 'U', 'D'} inserts/updates (upsert) or deletes.
+    Returns the post-log snapshot with the snapshot's columns.
+
+    The standard lakehouse ingest pattern (Debezium/binlog replication
+    without a transactional table format): compact the log, then one
+    set-reconciliation against the snapshot.
+
+    Plan shape for 100 TB: log compaction is ONE aggregation — per key,
+    ``max_by(struct(payload, op), seq)`` — no window sort, map-side
+    partial aggregation does the heavy lifting since change logs are
+    key-skewed (hot rows change often, and partial aggs collapse them
+    before the shuffle).  Then one anti-join (snapshot minus touched
+    keys) and a union of surviving upserts.  Change volume is typically
+    ≪ snapshot volume, so the anti-join broadcast-builds on the compacted
+    key set.
+
+    Ties on ``seq_col`` within a key are broken arbitrarily — feed a
+    unique sequence (offset), not a low-resolution timestamp.
+    """
+    payload_cols = [c for c in snapshot.columns]
+    missing = [c for c in payload_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes missing snapshot columns: {missing}")
+    latest = changes.groupBy(*key).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols if c not in key], F.col(op_col)),
+            F.col(seq_col),
+        ).alias("__last")
+    )
+    touched_keys = latest.select(*key)
+    survivors = snapshot.join(touched_keys, on=key, how="left_anti")
+    upserts = latest.filter(F.col(f"__last.{op_col}") != "D").select(
+        *key,
+        *[F.col(f"__last.{c}").alias(c) for c in payload_cols if c not in key],
+    ).select(*payload_cols)
+    return survivors.select(*payload_cols).unionByName(upserts)

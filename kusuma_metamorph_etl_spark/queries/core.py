@@ -1121,3 +1121,21 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select("o_orderkey", "o_totalprice").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     ).limit(10)
+
+
+@register(
+    "src_json_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write→read round-trip: the interchange format REST/event
+    landing zones actually use (`sources/rest.py` lands ndjson the same
+    way).  Read back with the DECLARED schema — production contract per
+    SURVEY.md §1 (inference drifts; anti-pattern A7) — and oracle-checked
+    against the parquet-sourced table."""
+    base = os.path.join(SCRATCH, "json_roundtrip", os.path.basename(sf_dir))
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").json(base)
+    return spark.read.schema(nation.schema).json(base)

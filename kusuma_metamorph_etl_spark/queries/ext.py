@@ -2140,3 +2140,71 @@ def dedup_substring_removal_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = _n(expected, "n_exp").crossJoin(_n(still_there, "n_kept"))
     ok = (F.col("n_exp") > 0) & (F.col("n_kept") == 0)
     return _gate(expected, stats, ok)
+
+
+@register(
+    "cdc_apply",
+    """WITH ch AS (
+         SELECT o_custkey AS c_custkey,
+                'cdc-' || CAST(o_custkey AS VARCHAR) AS c_name,
+                o_totalprice AS c_acctbal,
+                o_orderkey AS seq,
+                CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+                     WHEN o_orderkey % 10 < 6 THEN 'U'
+                     ELSE 'I' END AS op
+         FROM orders),
+       latest AS (
+         SELECT * FROM (
+           SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                                           ORDER BY seq DESC) AS rn
+           FROM ch) WHERE rn = 1)
+       SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+       FROM customer
+       WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+       UNION ALL
+       SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+       FROM latest WHERE op <> 'D'""",
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log application (`operators/scd.py::cdc_apply`): a
+    synthetic Debezium-style log derived from orders (upserts + deletes,
+    o_orderkey as the LSN) applied to the customer snapshot — log
+    compaction by one max_by aggregation (no window sort), then
+    anti-join + union.  The lakehouse ingest primitive the reference's
+    overwrite-everything `raw.*_pre` pattern cannot express
+    (`ingestion_task.py:63`)."""
+    from kusuma_metamorph_etl_spark.operators.scd import cdc_apply as apply_log
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    orders = t(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(mod10 < 2, "D").when(mod10 < 6, "U").otherwise("I").alias("op"),
+    )
+    out = apply_log(cust, changes, key=["c_custkey"], seq_col="seq", op_col="op")
+    return out.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
+@register(
+    "samp_group_k",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+                ) AS rn
+         FROM documents) WHERE rn <= 20""",
+)
+def samp_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exactly-k deterministic sampling ([EXT]): 20 uniform
+    rows from every source regardless of group skew — the balanced-quota
+    knob (`operators/sampling.py::group_fixed_size_sample`); content-hash
+    ordered, partition-invariant."""
+    docs = t(spark, sf_dir, "documents")
+    return sampling.group_fixed_size_sample(
+        docs.select("doc_id", "source"), ["source"], F.col("doc_id"), 20
+    )

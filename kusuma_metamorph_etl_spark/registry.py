@@ -128,6 +128,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_substring_err",
     "dedup_substring_removal",
     "dedup_substring_removal_err",
+    "cdc_apply",
+    "samp_group_k",
+    "src_json_roundtrip",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

@@ -73,3 +73,55 @@ def test_merge_idempotent(spark, dim):
     once = scd2_merge(dim, updates, KEY, ATTRS, "2024-02-01")
     twice = scd2_merge(once, updates, KEY, ATTRS, "2024-02-01")
     assert _by_version(twice) == _by_version(once)
+
+
+class TestCdcApply:
+    def _snap(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, bal double",
+        )
+
+    def test_latest_change_wins_and_ops_apply(self, spark):
+        from kusuma_metamorph_etl_spark.operators.scd import cdc_apply
+
+        changes = spark.createDataFrame(
+            [
+                (1, "a1", 11.0, 100, "U"),   # older update to k=1
+                (1, "a2", 12.0, 200, "U"),   # newer update wins
+                (2, "b", 20.0, 150, "D"),    # delete k=2
+                (4, "d", 40.0, 120, "I"),    # insert new key
+                (5, "e", 50.0, 110, "I"),    # insert then delete -> gone
+                (5, "e", 50.0, 130, "D"),
+            ],
+            "k long, name string, bal double, seq long, op string",
+        )
+        out = cdc_apply(self._snap(spark), changes, key=["k"])
+        got = {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
+        assert got == {1: ("a2", 12.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    def test_missing_payload_column_raises(self, spark):
+        import pytest
+
+        from kusuma_metamorph_etl_spark.operators.scd import cdc_apply
+
+        changes = spark.createDataFrame(
+            [(1, 9.0, 1, "U")], "k long, bal double, seq long, op string"
+        )
+        with pytest.raises(ValueError, match="missing snapshot columns"):
+            cdc_apply(self._snap(spark), changes, key=["k"])
+
+    def test_rerun_is_idempotent(self, spark):
+        """Applying the same compacted log twice lands on the same
+        snapshot — the replay-safety CDC consumers rely on."""
+        from kusuma_metamorph_etl_spark.operators.scd import cdc_apply
+
+        changes = spark.createDataFrame(
+            [(1, "a9", 99.0, 10, "U"), (2, "b", 0.0, 11, "D")],
+            "k long, name string, bal double, seq long, op string",
+        )
+        once = cdc_apply(self._snap(spark), changes, key=["k"])
+        twice = cdc_apply(once, changes, key=["k"])
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect())
+        )

@@ -457,3 +457,18 @@ def test_gopher_filter_rules(spark):
     # size(null)=-1 → too_few_tokens path (and not keep=true as a SQL
     # CASE over NULL comparisons would yield).
     assert got[7] == (False, "null_text")
+
+
+def test_group_fixed_size_sample_quota_and_invariance(spark):
+    from kusuma_metamorph_etl_spark.operators.sampling import (
+        group_fixed_size_sample,
+    )
+
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = group_fixed_size_sample(df, ["source"], F.col("doc_id"), k=10)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 10, "small": 3}  # quota met; small kept whole
+    # partition-invariance: same selected ids under a different layout
+    again = group_fixed_size_sample(df.repartition(13), ["source"], F.col("doc_id"), k=10)
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
