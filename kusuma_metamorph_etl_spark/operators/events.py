@@ -177,3 +177,90 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(user_col).alias("n_users"))
     )
+
+
+def dedup_within_window(
+    events: DataFrame,
+    keys: list[str],
+    window_seconds: int,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Drop events repeating the same ``keys`` within ``window_seconds``
+    of the PREVIOUS occurrence, chained — telemetry/ingest-retry dedup
+    (at-least-once producers emit the same logical event seconds apart;
+    exact dedup by id misses them because retries mint fresh ids).
+
+    Semantics: per key group, events sort by (ts, id) and link into
+    BURSTS — consecutive events whose gap is ≤ ``window_seconds``
+    (strictly-greater breaks, same declared boundary as ``sessionize``);
+    only the first event of each burst survives.  A retry storm chains
+    into one burst and collapses to its first arrival however long it
+    runs (the chain rule); this deliberately differs from a
+    tumbling-from-last-kept rule, which would re-admit an evenly spaced
+    storm every window.  Burst identity IS session identity, so the
+    plan is sessionize's: one lag + running-sum window partitioned by
+    the keys (single shuffle, no global window), then keep
+    ``row_number() == 1`` per (keys, burst).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_burst = (
+        prev_us.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev_us) > window_seconds * 1_000_000)
+    ).cast("int")
+    burst = F.sum(new_burst).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_burst = Window.partitionBy(*keys, "__burst").orderBy(ts_col, id_col)
+    return (
+        events.withColumn("__burst", burst)
+        .withColumn("__rn", F.row_number().over(w_burst))
+        .filter(F.col("__rn") == 1)
+        .drop("__burst", "__rn")
+    )
+
+
+def event_paths(
+    events: DataFrame,
+    depth: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top entry paths: per user, the first ``depth`` event types in time
+    order joined with '>' — then path frequencies across users
+    (``(path, n_users)``).  The onboarding-funnel exploration view every
+    product-analytics stack ships (GA "path exploration" shape).
+
+    Plan: ONE aggregation — per user, ``min(struct(ts, id, type))`` ×
+    ``depth`` ranks via sorted ``collect_list`` is avoided; instead the
+    first events materialize through a bounded sort_array over the
+    per-user collected (ts, id, type) structs, sliced to ``depth``.  The
+    collect_list is per-user bounded by the same argument as
+    ``funnel_one_scan`` (`events.py:82-84`): user event counts are
+    bounded in practice and the slice happens inside the same
+    projection.  One shuffle on the user key + one on the path.
+    """
+    per_user = events.groupBy(user_col).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))
+                )
+            ),
+            1,
+            depth,
+        ).alias("__first")
+    )
+    path = F.array_join(
+        F.transform(F.col("__first"), lambda s: s[type_col]), ">"
+    )
+    return (
+        per_user.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -2208,3 +2208,58 @@ def samp_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.group_fixed_size_sample(
         docs.select("doc_id", "source"), ["source"], F.col("doc_id"), 20
     )
+
+
+@register(
+    "evt_dedup_window",
+    """WITH g AS (
+         SELECT *, CASE WHEN lag_us IS NULL OR us - lag_us > 600000000
+                        THEN 1 ELSE 0 END AS nb
+         FROM (SELECT *, epoch_us(ts) AS us,
+                      lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS lag_us
+               FROM events)),
+       b AS (SELECT *, sum(nb) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS burst
+             FROM g)
+       SELECT event_id, ts, user_id, event_type, value
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type, burst
+               ORDER BY ts, event_id) AS rn FROM b)
+       WHERE rn = 1""",
+)
+def evt_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window event dedup ([EXT]): collapse retry bursts — same
+    (user, type) within 10 minutes, chained — to their first arrival
+    (`operators/events.py::dedup_within_window`); the at-least-once
+    ingest cleanup exact-id dedup cannot do."""
+    from kusuma_metamorph_etl_spark.operators.events import dedup_within_window
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return dedup_within_window(
+        events, keys=["user_id", "event_type"], window_seconds=600
+    )
+
+
+@register(
+    "evt_paths",
+    """SELECT path, count(*) AS n_users FROM (
+         SELECT user_id,
+                array_to_string(
+                  (list(event_type ORDER BY ts, event_id))[1:3], '>'
+                ) AS path
+         FROM events GROUP BY user_id)
+       GROUP BY path""",
+)
+def evt_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths ([EXT] event analytics): each user's first three
+    event types in time order as a '>'-joined path, counted across users
+    (`operators/events.py::event_paths`) — the GA-style path-exploration
+    view; one user-keyed aggregation + one path count."""
+    from kusuma_metamorph_etl_spark.operators.events import event_paths
+
+    return event_paths(t(spark, sf_dir, "events"), depth=3)

@@ -131,6 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     "cdc_apply",
     "samp_group_k",
     "src_json_roundtrip",
+    "evt_dedup_window",
+    "evt_paths",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

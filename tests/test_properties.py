@@ -306,3 +306,51 @@ def test_percent_rank_constant_column_falls_back():
     assert "__bkt" not in plan  # broadcast-map path, not the bucketed one
     rows = out.collect()
     assert all(r["pr"] == 0.0 for r in rows)  # all tied -> rank 1 -> pr 0
+
+
+class TestEventDedupWindow:
+    def test_burst_chain_collapses_to_first(self, spark):
+        """An evenly spaced retry storm (gaps < w) must collapse to ONE
+        event — the chain rule; and a gap > w starts a fresh burst."""
+        import datetime as dt
+
+        from kusuma_metamorph_etl_spark.operators.events import (
+            dedup_within_window,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # storm: 5 retries 400s apart (every consecutive gap <= 600)
+            *[(i, t0 + dt.timedelta(seconds=400 * i), 1, "click") for i in range(5)],
+            # next burst starts 2000s after the storm's last event
+            (9, t0 + dt.timedelta(seconds=400 * 4 + 2000), 1, "click"),
+            # different type: untouched
+            (20, t0 + dt.timedelta(seconds=100), 1, "view"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        kept = dedup_within_window(
+            df, keys=["user_id", "event_type"], window_seconds=600
+        )
+        ids = sorted(r["event_id"] for r in kept.collect())
+        assert ids == [0, 9, 20]
+
+    def test_event_paths_orders_by_time(self, spark):
+        import datetime as dt
+
+        from kusuma_metamorph_etl_spark.operators.events import event_paths
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0 + dt.timedelta(seconds=30), 1, "b"),
+            (2, t0 + dt.timedelta(seconds=10), 1, "a"),
+            (3, t0 + dt.timedelta(seconds=50), 1, "c"),
+            (4, t0 + dt.timedelta(seconds=70), 1, "d"),  # beyond depth 3
+            (5, t0, 2, "a"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        got = {r["path"]: r["n_users"] for r in event_paths(df, depth=3).collect()}
+        assert got == {"a>b>c": 1, "a": 1}
