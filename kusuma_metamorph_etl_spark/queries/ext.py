@@ -2263,3 +2263,73 @@ def evt_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kusuma_metamorph_etl_spark.operators.events import event_paths
 
     return event_paths(t(spark, sf_dir, "events"), depth=3)
+
+
+def _pagerank_oracle(n_iter: int = 15, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as one DuckDB CTE chain.
+
+    Iterative algorithms aren't single-query SQL in general, but a FIXED
+    round count is: each round is one CTE reading the previous one, with
+    the dangling-mass scalar and 1/N as subqueries — the exact same
+    synchronous-update semantics `operators/graph.py::pagerank` declares.
+    """
+    d = damping
+    parts = [
+        """WITH ed AS MATERIALIZED (
+             SELECT prev AS src, event_type AS dst, count(*)::DOUBLE AS w
+             FROM (SELECT event_type,
+                          lag(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   FROM events)
+             WHERE prev IS NOT NULL GROUP BY 1, 2),
+           norm AS MATERIALIZED (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+                    FROM ed),
+           nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed
+                     UNION SELECT DISTINCT dst FROM ed),
+           nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+           r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+              SELECT nodes.node,
+                     {1.0 - d} / (SELECT n FROM nn)
+                     + {d} * (coalesce(c.contrib, 0)
+                              + (SELECT coalesce(sum(pr), 0) FROM r{i - 1}
+                                 WHERE node NOT IN (SELECT DISTINCT src FROM ed))
+                                / (SELECT n FROM nn)) AS pr
+              FROM nodes
+              LEFT JOIN (SELECT e.dst AS node, sum(r.pr * e.p) AS contrib
+                         FROM norm e JOIN r{i - 1} r ON r.node = e.src
+                         GROUP BY e.dst) c USING (node))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS event_type, round(pr, 6) AS pr FROM r{n_iter}"
+    )
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph ([EXT]
+    graph analytics; `operators/graph.py::pagerank`) — the crawl-graph
+    quality-weighting primitive, exercised here on the Markov chain of
+    per-user event transitions.  Exact oracle: 15 synchronous rounds
+    unrolled as a DuckDB CTE chain (`_pagerank_oracle`)."""
+    from pyspark.sql import Window
+
+    from kusuma_metamorph_etl_spark.operators.graph import pagerank
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(edges, weight_col="w", damping=0.85, n_iter=15)
+    return pr.select(
+        F.col("node").alias("event_type"), F.round("pr", 6).alias("pr")
+    )

@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "src_json_roundtrip",
     "evt_dedup_window",
     "evt_paths",
+    "graph_pagerank",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

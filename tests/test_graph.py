@@ -118,3 +118,68 @@ def test_components_match_networkx_free_oracle(spark, sf_small):
         r["node"]: r["component"] for r in connected_components(edges).collect()
     }
     assert got == expected and got
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _np_pagerank(edges, damping=0.85, n_iter=15):
+    """Dense power iteration with the exact same declared semantics
+    (weighted transitions, uniform dangling redistribution, fixed
+    synchronous rounds) — the independent oracle."""
+    import numpy as np
+
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for a, b, w in edges:
+        P[idx[a], idx[b]] += w
+    out = P.sum(axis=1)
+    dangling = out == 0
+    with np.errstate(invalid="ignore"):
+        P = np.where(out[:, None] > 0, P / np.where(out == 0, 1, out)[:, None], 0)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        mass = pr[dangling].sum()
+        pr = (1 - damping) / n + damping * (pr @ P + mass / n)
+    return {nodes[i]: pr[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from kusuma_metamorph_etl_spark.operators.graph import pagerank
+
+    import random
+
+    rng = random.Random(7)
+    edges = list(
+        {
+            (rng.randrange(12), rng.randrange(12))
+            for _ in range(40)
+        }
+    )
+    weighted = [(a, b, float(1 + (a + b) % 3)) for a, b in edges if a != b]
+    df = spark.createDataFrame(weighted, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, weight_col="w", n_iter=15).collect()
+    }
+    want = _np_pagerank(weighted)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # dangling mass conserved
+
+
+def test_pagerank_dangling_and_star_shape(spark):
+    """Star graph: hub receives all mass; leaves (dangling) redistribute.
+    Ranks must sum to 1 and the hub must dominate every leaf."""
+    from kusuma_metamorph_etl_spark.operators.graph import pagerank
+
+    leaves = list(range(1, 8))
+    df = spark.createDataFrame([(l, 0) for l in leaves], ["src", "dst"])
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=15).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(got[0] > got[l] for l in leaves)
+    want = _np_pagerank([(l, 0, 1.0) for l in leaves])
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
