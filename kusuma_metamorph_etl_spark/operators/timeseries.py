@@ -1,0 +1,138 @@
+"""[EXT] Time-series operators: calendar gap-fill (forward fill + linear
+interpolation) and range-interval rolling aggregates.
+
+The metrics-pipeline primitives missing from plain GROUP BY analytics:
+a daily series with silent holes poisons every downstream rate/trend
+calculation, and "7-day rolling" over a SPARSE series is wrong under a
+ROWS frame (7 physical rows can span months) — it needs a RANGE frame
+over real time.
+
+Scale shape:
+
+* ``gapfill``: the calendar spine is ``sequence()`` + ``explode`` per
+  key — array length is bounded by the key's calendar span, not by data
+  volume, and the explode runs key-parallel.  The fill windows partition
+  by key; per-partition row count is calendar-bounded (days between the
+  key's first and last observation), so no single-task global window
+  exists anywhere.
+* ``rolling``: one window per key ordered by epoch-day with a
+  ``rangeBetween`` frame — Spark's native sliding-frame aggregation, one
+  shuffle on the key.
+
+Cross-engine determinism: values aggregated into the series use the
+exact-decimal sum (``functions/numeric.py::decimal_sum`` semantics), and
+the interpolation formula is a single non-reassociated double expression
+— bit-identical in any IEEE-754 engine given identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EPOCH = "1970-01-01"
+
+
+def _epoch_day(date_col: Column) -> Column:
+    return F.datediff(date_col, F.to_date(F.lit(EPOCH)))
+
+
+def gapfill(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Fill calendar holes in a per-key daily series.
+
+    Input: one row per (keys..., date) with a value; output: one row per
+    (keys..., EVERY date between the key's min and max), adding
+
+    * ``{value}_ffill`` — last observed value at-or-before the date
+      (step-function carry-forward), NULL before the first observation;
+    * ``{value}_interp`` — linear interpolation between the surrounding
+      observations; edges fall back to the nearest observation
+      (back-fill before the first, carry-forward after the last).
+
+    The original ``value_col`` stays NULL on filled rows so consumers can
+    distinguish observed from imputed.
+    """
+    v, d = value_col, date_col
+    spine = (
+        df.groupBy(*key_cols)
+        .agg(F.min(d).alias("_lo"), F.max(d).alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(F.expr("sequence(_lo, _hi, interval 1 day)")).alias(d),
+        )
+    )
+    joined = spine.join(df, on=[*key_cols, d], how="left")
+
+    back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(d)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(d)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col(v).isNotNull(), _epoch_day(F.col(d)))
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_d = F.last(obs_day, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_d = F.first(obs_day, ignorenulls=True).over(fwd)
+    # Single non-reassociated expression: engines agree bit-for-bit.
+    linear = prev_v + (next_v - prev_v) * (
+        (_epoch_day(F.col(d)) - prev_d).cast("double")
+        / (next_d - prev_d).cast("double")
+    )
+    interp = (
+        F.when(F.col(v).isNotNull(), F.col(v))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(linear)
+    )
+    return joined.select(
+        *key_cols,
+        d,
+        v,
+        prev_v.alias(f"{v}_ffill"),
+        interp.alias(f"{v}_interp"),
+    )
+
+
+def rolling(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    value_col: str,
+    days: int,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """Trailing ``days``-day rolling sum/count/avg per key over a daily
+    series — a RANGE frame on epoch-day, so sparse series window over
+    real time (the ROWS-frame twin is ``win_frame_agg``).
+
+    ``value_col`` may be DECIMAL for exact (order-independent) rolling
+    sums; the emitted sum/avg are cast to double for schema uniformity.
+    """
+    p = out_prefix or f"{value_col}_{days}d"
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(_epoch_day(F.col(date_col)))
+        .rangeBetween(-(days - 1), 0)
+    )
+    roll_sum = F.sum(value_col).over(w)
+    roll_n = F.count(value_col).over(w)
+    return df.select(
+        *key_cols,
+        date_col,
+        value_col,
+        roll_sum.cast("double").alias(f"{p}_sum"),
+        roll_n.alias(f"{p}_n"),
+        # Divide in DOUBLE (one deterministic division), not in decimal —
+        # decimal-division result scale is engine-specific.
+        (roll_sum.cast("double") / roll_n).alias(f"{p}_avg"),
+    )

@@ -2333,3 +2333,95 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("event_type"), F.round("pr", 6).alias("pr")
     )
+
+
+_EPOCHD = "date_diff('day', DATE '1970-01-01', day_dt)"
+
+@register(
+    "ts_gapfill",
+    f"""WITH agg AS MATERIALIZED (
+          SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day_dt,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                      AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1, 2),
+        spine AS (
+          SELECT priority,
+                 unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day_dt
+          FROM (SELECT priority, min(day_dt) AS lo, max(day_dt) AS hi
+                FROM agg GROUP BY priority)),
+        j AS (SELECT s.priority, s.day_dt, a.revenue
+              FROM spine s LEFT JOIN agg a USING (priority, day_dt)),
+        w AS (
+          SELECT priority, day_dt, revenue,
+            last_value(revenue IGNORE NULLS) OVER (
+              PARTITION BY priority ORDER BY day_dt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+            last_value(CASE WHEN revenue IS NOT NULL THEN {_EPOCHD} END
+                       IGNORE NULLS) OVER (
+              PARTITION BY priority ORDER BY day_dt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+            first_value(revenue IGNORE NULLS) OVER (
+              PARTITION BY priority ORDER BY day_dt
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+            first_value(CASE WHEN revenue IS NOT NULL THEN {_EPOCHD} END
+                        IGNORE NULLS) OVER (
+              PARTITION BY priority ORDER BY day_dt
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+          FROM j)
+        SELECT priority, day_dt, revenue, prev_v AS revenue_ffill,
+          CASE WHEN revenue IS NOT NULL THEN revenue
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               ELSE prev_v + (next_v - prev_v) *
+                    (CAST({_EPOCHD} - prev_d AS DOUBLE)
+                     / CAST(next_d - prev_d AS DOUBLE)) END AS revenue_interp
+        FROM w""",
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with forward fill + linear interpolation ([EXT]
+    time-series; `operators/timeseries.py::gapfill`): the daily
+    per-priority revenue series with every calendar hole filled —
+    imputed rows keep ``revenue`` NULL so observed vs filled stays
+    distinguishable."""
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+    from kusuma_metamorph_etl_spark.operators.timeseries import gapfill
+
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day_dt"),
+    ).agg(decimal_sum(F.col("o_totalprice")).alias("revenue"))
+    return gapfill(daily, ["priority"], "day_dt", "revenue")
+
+
+@register(
+    "ts_rolling",
+    """WITH agg AS MATERIALIZED (
+         SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day_dt,
+                ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS revenue
+         FROM orders GROUP BY 1, 2)
+       SELECT custkey, day_dt, CAST(revenue AS DOUBLE) AS revenue,
+              CAST(sum(revenue) OVER w AS DOUBLE) AS roll7_sum,
+              count(revenue) OVER w AS roll7_n,
+              CAST(sum(revenue) OVER w AS DOUBLE) / (count(revenue) OVER w)
+                  AS roll7_avg
+       FROM agg
+       WINDOW w AS (PARTITION BY custkey ORDER BY day_dt
+                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""",
+)
+def ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling revenue per customer ([EXT] time-series;
+    `operators/timeseries.py::rolling`): RANGE frame over epoch-day, so
+    the sparse per-customer series windows over real time — 7 CALENDAR
+    days, not 7 physical rows.  Rolling sums run in exact decimal
+    (order-independent) and surface as double."""
+    from kusuma_metamorph_etl_spark.functions.numeric import _exact_sum
+    from kusuma_metamorph_etl_spark.operators.timeseries import rolling
+
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("day_dt"),
+    ).agg(F.round(_exact_sum(F.col("o_totalprice"), 6), 2).alias("revenue"))
+    out = rolling(daily, ["custkey"], "day_dt", "revenue", days=7, out_prefix="roll7")
+    return out.withColumn("revenue", F.col("revenue").cast("double"))

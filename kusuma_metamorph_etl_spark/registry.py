@@ -134,6 +134,8 @@ _PRIORITY: tuple[str, ...] = (
     "evt_dedup_window",
     "evt_paths",
     "graph_pagerank",
+    "ts_gapfill",
+    "ts_rolling",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

@@ -1,0 +1,91 @@
+"""Gap-fill and range-frame rolling: hand-computed expectations on a
+tiny series with holes, plus the sparse-series RANGE-vs-ROWS contract."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators.timeseries import gapfill, rolling
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        [(k, dt.date.fromisoformat(d), float(v)) for k, d, v in rows],
+        ["k", "d", "v"],
+    )
+
+
+def test_gapfill_fills_every_calendar_day(spark):
+    df = _series(
+        spark,
+        [("a", "2024-01-01", 10.0), ("a", "2024-01-04", 40.0),
+         ("a", "2024-01-06", 20.0), ("b", "2024-02-01", 5.0)],
+    )
+    out = {
+        (r["k"], r["d"].isoformat()): r
+        for r in gapfill(df, ["k"], "d", "v").collect()
+    }
+    assert len(out) == 6 + 1  # a: Jan 1..6 inclusive; b: single day
+    # observed rows keep v; filled rows have v NULL
+    assert out[("a", "2024-01-01")]["v"] == 10.0
+    assert out[("a", "2024-01-02")]["v"] is None
+    # forward fill carries the last observation
+    assert out[("a", "2024-01-02")]["v_ffill"] == 10.0
+    assert out[("a", "2024-01-03")]["v_ffill"] == 10.0
+    assert out[("a", "2024-01-05")]["v_ffill"] == 40.0
+    # linear interpolation between (Jan1,10) and (Jan4,40): 10 + 10/day
+    assert abs(out[("a", "2024-01-02")]["v_interp"] - 20.0) < 1e-12
+    assert abs(out[("a", "2024-01-03")]["v_interp"] - 30.0) < 1e-12
+    # between (Jan4,40) and (Jan6,20): midpoint 30
+    assert abs(out[("a", "2024-01-05")]["v_interp"] - 30.0) < 1e-12
+    # observed rows pass through interp unchanged
+    assert out[("a", "2024-01-06")]["v_interp"] == 20.0
+    assert out[("b", "2024-02-01")]["v_interp"] == 5.0
+
+
+def test_gapfill_edges_backfill_and_carry(spark):
+    # leading hole: interp backfills from the first observation
+    df = _series(
+        spark, [("a", "2024-01-02", 8.0), ("a", "2024-01-05", 2.0)]
+    )
+    filled = gapfill(df, ["k"], "d", "v")
+    spine = filled.filter(F.col("v").isNull()).count()
+    assert spine == 2  # Jan 3, Jan 4
+    rows = {r["d"].isoformat(): r for r in filled.collect()}
+    assert rows["2024-01-02"]["v_ffill"] == 8.0
+    assert rows["2024-01-03"]["v_ffill"] == 8.0
+    assert abs(rows["2024-01-03"]["v_interp"] - 6.0) < 1e-12
+    assert abs(rows["2024-01-04"]["v_interp"] - 4.0) < 1e-12
+
+
+def test_rolling_range_frame_windows_calendar_days(spark):
+    # Sparse series: Jan 1, Jan 5, Mar 1.  A 7-day RANGE frame must pair
+    # Jan 5 with Jan 1 but NOT Mar 1 with either (a 3-ROWS frame would).
+    df = _series(
+        spark,
+        [("a", "2024-01-01", 10.0), ("a", "2024-01-05", 30.0),
+         ("a", "2024-03-01", 100.0)],
+    )
+    out = {
+        r["d"].isoformat(): r
+        for r in rolling(df, ["k"], "d", "v", days=7, out_prefix="r7").collect()
+    }
+    assert out["2024-01-01"]["r7_sum"] == 10.0 and out["2024-01-01"]["r7_n"] == 1
+    assert out["2024-01-05"]["r7_sum"] == 40.0 and out["2024-01-05"]["r7_n"] == 2
+    assert out["2024-03-01"]["r7_sum"] == 100.0 and out["2024-03-01"]["r7_n"] == 1
+    assert abs(out["2024-01-05"]["r7_avg"] - 20.0) < 1e-12
+
+
+def test_rolling_trailing_window_is_inclusive_days(spark):
+    # Exactly 6 days apart is IN the 7-day trailing window; 7 days is out.
+    df = _series(
+        spark,
+        [("a", "2024-01-01", 1.0), ("a", "2024-01-07", 2.0),
+         ("a", "2024-01-08", 4.0)],
+    )
+    out = {
+        r["d"].isoformat(): r
+        for r in rolling(df, ["k"], "d", "v", days=7).collect()
+    }
+    assert out["2024-01-07"]["v_7d_sum"] == 3.0  # Jan 1 still inside
+    assert out["2024-01-08"]["v_7d_sum"] == 6.0  # Jan 1 aged out
