@@ -284,12 +284,13 @@ def minhash_lsh_candidates(
     )
 
 
-def _lsh_candidates_from_shingles(
-    shingles: DataFrame, id_col: str, n_hashes: int, bands: int
-) -> DataFrame:
+def _band_table(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, band_idx, band_hash) rows from an (id, sig) signature frame —
+    the joinable LSH index representation (this is also the frame a
+    production pipeline PERSISTS as its corpus index: append-only,
+    partitionable by band_idx)."""
     rows = n_hashes // bands
-    sig = _signatures_from_shingles(shingles, id_col, n_hashes)
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -305,6 +306,13 @@ def _lsh_candidates_from_shingles(
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
+
+
+def _lsh_candidates_from_shingles(
+    shingles: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    sig = _signatures_from_shingles(shingles, id_col, n_hashes)
+    banded = _band_table(sig, n_hashes, bands)
     left = banded.toDF("a", "band_idx", "band_hash")
     right = banded.toDF("b", "band_idx", "band_hash")
     return (
@@ -374,6 +382,92 @@ def minhash_near_dups(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("a", "b", "jaccard")
+
+
+def incremental_minhash_near_dups(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Incremental near-dup detection: check a NEW batch against an
+    existing corpus without ever re-pairing history against itself.
+
+    The growing-corpus shape every crawl refresh hits: history is 100 TB
+    and already internally deduped; tonight's batch is 0.1% of that.
+    Recomputing all-pairs LSH over the union redoes 99.9% of yesterday's
+    work — the incremental plan only joins the new batch's band table
+    against the history band table (plus, with ``include_new_pairs``, the
+    new batch against itself), so cost scales with |new| × collision
+    rate, not |corpus|².  In production the history band table is the
+    PERSISTED index (`_band_table` output, partitionable by band_idx,
+    append-only: tonight's new bands become tomorrow's history).
+
+    Returns (new_id, match_id, jaccard, against) where ``against`` is
+    'history' or 'new'; pairs are exact-Jaccard-verified on candidates
+    only, same verify plan as :func:`minhash_near_dups`.  The same
+    id must not appear on both sides.
+    """
+    new_sig = _signatures_from_shingles(
+        shingle_table(new_df, text_col, id_col, n), id_col, n_hashes
+    )
+    hist_sig = _signatures_from_shingles(
+        shingle_table(history_df, text_col, id_col, n), id_col, n_hashes
+    )
+    new_bands = _band_table(new_sig, n_hashes, bands)
+    hist_bands = _band_table(hist_sig, n_hashes, bands)
+
+    cross = (
+        new_bands.toDF("new_id", "band_idx", "band_hash")
+        .join(hist_bands.toDF("match_id", "band_idx", "band_hash"),
+              on=["band_idx", "band_hash"])
+        .select("new_id", "match_id")
+        .distinct()
+        .withColumn("against", F.lit("history"))
+    )
+    candidates = cross
+    if include_new_pairs:
+        l = new_bands.toDF("new_id", "band_idx", "band_hash")
+        r = new_bands.toDF("match_id", "band_idx", "band_hash")
+        within = (
+            l.join(r, on=["band_idx", "band_hash"])
+            .filter(F.col("new_id") < F.col("match_id"))
+            .select("new_id", "match_id")
+            .distinct()
+            .withColumn("against", F.lit("new"))
+        )
+        candidates = candidates.unionByName(within)
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), words(F.col(text_col)).alias("__toks")
+        ).select(F.col(id_col), token_shingles(F.col("__toks"), n).alias("sh"))
+
+    sa = _sh(new_df).toDF("new_id", "sha")
+    sb = _sh(new_df.unionByName(history_df)).toDF("match_id", "shb")
+    return (
+        candidates.join(sa, on="new_id")
+        .join(sb, on="match_id")
+        .select(
+            "new_id",
+            "match_id",
+            "against",
+            F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "match_id", "against", "jaccard")
+    )
 
 
 # ----------------------------------------------------------------- SimHash

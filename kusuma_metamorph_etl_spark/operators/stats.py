@@ -1,0 +1,81 @@
+"""[EXT] Robust statistics: per-group winsorization and IQR outlier
+flagging.
+
+Feature-pipeline hygiene ops: clamp heavy tails before scaling/training
+(winsorize) and flag rows outside Tukey fences for quality review.  Both
+run as one exact-percentile aggregation per group + one broadcastable
+join back — group cardinality is the dimension cardinality (small), the
+fact side streams through codegen untouched.
+
+Percentiles use Spark's exact interpolated ``percentile`` (the DuckDB
+mirror is ``quantile_cont``) — identical linear interpolation on the
+sorted per-group values, so bounds agree cross-engine to float noise.
+The scale path for HUGE group counts is the histogram sketch
+(`operators/sketches.py`); these exact forms are for the usual case of
+few groups × many rows, where Spark's percentile aggregate is a single
+shuffle with partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _group_quantiles(
+    df: DataFrame, group_cols: list[str], value_col: str, probs: list[float]
+) -> DataFrame:
+    qcols = [
+        F.expr(f"percentile({value_col}, {p})").alias(f"_q{i}")
+        for i, p in enumerate(probs)
+    ]
+    return df.groupBy(*group_cols).agg(*qcols)
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp ``value_col`` into its per-group [lower, upper] exact
+    percentile band; adds ``{value}_winsorized`` (original column kept)."""
+    out = out_col or f"{value_col}_winsorized"
+    bounds = _group_quantiles(df, group_cols, value_col, [lower, upper])
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(bounds), on=group_cols)
+        .withColumn(
+            out,
+            F.when(v < F.col("_q0"), F.col("_q0"))
+            .when(v > F.col("_q1"), F.col("_q1"))
+            .otherwise(v),
+        )
+        .drop("_q0", "_q1")
+    )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 1.5,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Tukey-fence outlier flag per group: outside
+    [q1 − k·IQR, q3 + k·IQR] (k=1.5 is the classic fence; 3.0 flags
+    only extremes).  Adds a boolean column; rows pass through."""
+    bounds = _group_quantiles(df, group_cols, value_col, [0.25, 0.75])
+    v = F.col(value_col)
+    iqr = F.col("_q1") - F.col("_q0")
+    return (
+        df.join(F.broadcast(bounds), on=group_cols)
+        .withColumn(
+            flag_col,
+            (v < F.col("_q0") - F.lit(k) * iqr)
+            | (v > F.col("_q1") + F.lit(k) * iqr),
+        )
+        .drop("_q0", "_q1")
+    )

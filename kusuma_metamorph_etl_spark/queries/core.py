@@ -1139,3 +1139,36 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation.write.mode("overwrite").json(base)
     return spark.read.schema(nation.schema).json(base)
+
+
+@register(
+    "src_schema_evolution",
+    """SELECT o_orderkey, o_totalprice,
+              CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                  AS o_orderpriority
+       FROM orders""",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an old batch written WITHOUT a column and a
+    new batch written WITH it, read as one dataset via ``mergeSchema`` —
+    the additive-column evolution every long-lived landing zone hits.
+    Old rows surface the new column as NULL; column order is normalized
+    by a final select.  Type CHANGES (int→string etc.) are deliberately
+    out of scope: mergeSchema fails fast on incompatible types, which is
+    the correct production behavior (schema registry migration, not a
+    silent cast).  Spark's parquet reader does schema reconciliation
+    per-file at scale — no rewrite of old batches."""
+    base = os.path.join(SCRATCH, "schema_evolution", os.path.basename(sf_dir))
+    orders = t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
+    )
+    return merged.select("o_orderkey", "o_totalprice", "o_orderpriority")

@@ -2425,3 +2425,122 @@ def ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.round(_exact_sum(F.col("o_totalprice"), 6), 2).alias("revenue"))
     out = rolling(daily, ["custkey"], "day_dt", "revenue", days=7, out_prefix="roll7")
     return out.withColumn("revenue", F.col("revenue").cast("double"))
+
+
+@register("dedup_minhash_incr", None)  # xxhash64 banding — rows-only
+def dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check of a 'tonight's batch' (doc_id%5==0)
+    against the standing corpus (`operators/dedup.py::
+    incremental_minhash_near_dups`): new×history + new×new band joins
+    only — history is never re-paired against itself."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    out = dedup.incremental_minhash_near_dups(new, hist, threshold=0.5)
+    return out.select(
+        "new_id", "match_id", "against", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_minhash_incr_err",
+    f"""WITH s AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)),
+        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+          FROM e l JOIN e r USING (shingle)
+          WHERE l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+          AND NOT (a % 5 <> 0 AND b % 5 <> 0)""",
+)
+def dedup_minhash_incr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `dedup_minhash_incr`: the exact
+    Jaccard-≥0.5 pairs TOUCHING the new batch (both-history pairs are
+    out of incremental scope by design), gated on the incremental path
+    recovering ≥ 80% of them — mirrors the tests/test_dedup.py
+    incremental==full equivalence contract."""
+    docs = t(spark, sf_dir, "documents")
+    exact = (
+        dedup.jaccard_pairs(docs, threshold=0.5)
+        .filter(~((F.col("a") % 5 != 0) & (F.col("b") % 5 != 0)))
+        .select("a", "b")
+    )
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    approx = (
+        dedup.incremental_minhash_near_dups(new, hist, threshold=0.5)
+        .select(
+            F.least("new_id", "match_id").alias("a"),
+            F.greatest("new_id", "match_id").alias("b"),
+        )
+    )
+    hit = exact.join(approx, ["a", "b"], "left_semi")
+    stats = _n(exact, "n_exact").crossJoin(_n(hit, "n_hit"))
+    ok = (F.col("n_exact") > 0) & (F.col("n_hit") >= 0.8 * F.col("n_exact"))
+    return _gate(exact, stats, ok)
+
+
+@register(
+    "fn_winsorize",
+    """WITH b AS (
+         SELECT o_orderpriority AS priority,
+                quantile_cont(o_totalprice, 0.05) AS lo,
+                quantile_cont(o_totalprice, 0.95) AS hi
+         FROM orders GROUP BY 1)
+       SELECT o_orderkey, priority, o_totalprice AS price,
+              round(CASE WHEN o_totalprice < lo THEN lo
+                         WHEN o_totalprice > hi THEN hi
+                         ELSE o_totalprice END, 6) AS price_winsorized
+       FROM orders JOIN b ON o_orderpriority = b.priority""",
+)
+def fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization ([EXT] robust stats; `operators/stats.py::
+    winsorize`): clamp order prices into the per-priority 5th–95th exact
+    percentile band — the tail-taming step before scaling/training.  One
+    percentile agg over few groups + one broadcast join back."""
+    from kusuma_metamorph_etl_spark.operators.stats import winsorize
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+    )
+    out = winsorize(orders, ["priority"], "price")
+    return out.select(
+        "o_orderkey", "priority", "price",
+        F.round("price_winsorized", 6).alias("price_winsorized"),
+    )
+
+
+@register(
+    "dq_outlier_flag",
+    """WITH b AS (
+         SELECT o_orderpriority AS priority,
+                quantile_cont(o_totalprice, 0.25) AS q1,
+                quantile_cont(o_totalprice, 0.75) AS q3
+         FROM orders GROUP BY 1)
+       SELECT o_orderkey, priority, o_totalprice AS price,
+              (o_totalprice < q1 - 1.5 * (q3 - q1)
+               OR o_totalprice > q3 + 1.5 * (q3 - q1)) AS is_outlier
+       FROM orders JOIN b ON o_orderpriority = b.priority""",
+)
+def dq_outlier_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence IQR outlier flag per group ([EXT] robust stats;
+    `operators/stats.py::iqr_outliers`) — the review-queue feeder for
+    value-level data quality."""
+    from kusuma_metamorph_etl_spark.operators.stats import iqr_outliers
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return iqr_outliers(orders, ["priority"], "price")

@@ -136,6 +136,11 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "ts_gapfill",
     "ts_rolling",
+    "dedup_minhash_incr",
+    "dedup_minhash_incr_err",
+    "src_schema_evolution",
+    "fn_winsorize",
+    "dq_outlier_flag",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

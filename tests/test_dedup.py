@@ -396,3 +396,43 @@ class TestSubstringPairs:
         r = got[0]
         assert r["a_start"] == 0 and r["b_start"] == 0
         assert r["length"] == len(shared)
+
+
+def test_incremental_minhash_equals_full_run_restricted(spark, sf_small):
+    """Incremental (new×history + new×new) must find EXACTLY the pairs a
+    full-corpus run finds, minus the history-internal ones: signatures,
+    banding, and exact-verify are identical — only the pairing scope
+    shrinks."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    incr = {
+        (min(r["new_id"], r["match_id"]), max(r["new_id"], r["match_id"]))
+        for r in dedup.incremental_minhash_near_dups(
+            new, hist, threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_near_dups(docs, threshold=0.5).collect()
+        if not (r["a"] % 5 != 0 and r["b"] % 5 != 0)
+    }
+    assert incr == full and incr
+
+
+def test_incremental_minhash_labels_sides(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    rows = dedup.incremental_minhash_near_dups(new, hist, threshold=0.5).collect()
+    for r in rows:
+        assert r["new_id"] % 5 == 0
+        if r["against"] == "history":
+            assert r["match_id"] % 5 != 0
+        else:
+            assert r["against"] == "new" and r["match_id"] % 5 == 0
+        assert r["jaccard"] >= 0.5

@@ -141,3 +141,16 @@ def test_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
+def test_schema_evolution_merges_additive_column(spark, sf_small):
+    from kusuma_metamorph_etl_spark.queries.core import src_schema_evolution
+    from pyspark.sql import functions as F
+
+    out = src_schema_evolution(spark, sf_small)
+    assert out.columns == ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    old = out.filter(F.col("o_orderkey") % 2 == 0)
+    new = out.filter(F.col("o_orderkey") % 2 == 1)
+    assert old.filter(F.col("o_orderpriority").isNotNull()).count() == 0
+    assert new.filter(F.col("o_orderpriority").isNull()).count() == 0
+    assert old.count() > 0 and new.count() > 0
