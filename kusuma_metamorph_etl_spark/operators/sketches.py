@@ -220,3 +220,90 @@ def cms_estimate(
         .groupBy(*keys, value_col)
         .agg(F.min(F.coalesce("n", F.lit(0))).alias("est"))
     )
+
+
+# --------------------------------------------------------- Misra–Gries top-k
+
+def _mg_partition_summaries(
+    df: DataFrame, item_col: str, k: int
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries: ≤ k (item, weight) counters
+    per partition, maintained in bounded memory over Arrow batches.
+
+    The MG decrement rule (new item with all k counters full → decrement
+    every counter, drop zeros) guarantees a partition-local undercount of
+    at most n_p/k per item; crucially any item with partition count
+    > n_p/k SURVIVES the partition summary.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for batch in batches:
+            for item in batch["__item"]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"__item": list(counters), "mg_count": list(counters.values())}
+        )
+
+    return df.select(F.col(item_col).cast("string").alias("__item")).mapInPandas(
+        summarize, schema="__item string, mg_count long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 100,
+    exact: bool = True,
+) -> DataFrame:
+    """All items with frequency > n/k, by Misra–Gries candidate generation
+    + one exact verify pass — (item, n, n_total) with EXACT counts.
+
+    The scale story vs plain ``groupBy(item).count()``: a full count
+    shuffles every distinct item (billions, for tokens/URLs at 100 TB);
+    MG summaries shuffle ≤ partitions × k rows.  Correctness: if an
+    item's global count exceeds n/k = Σ n_p/k, then by pigeonhole its
+    count exceeds n_p/k in at least one partition, so it survives that
+    partition's summary — the candidate union provably contains every
+    global heavy hitter (no false negatives; false positives are culled
+    by the verify pass).  The verify pass counts ONLY candidate items
+    (broadcast semi-join before the count), so its shuffle is
+    candidate-bounded too.
+
+    ``exact=False`` skips verification and returns summed MG lower
+    bounds over the merged summaries (one tiny shuffle, no second data
+    pass; counts may undercount by ≤ n/k — the telemetry-grade mode).
+    """
+    summaries = _mg_partition_summaries(df, item_col, k)
+    merged = summaries.groupBy("__item").agg(F.sum("mg_count").alias("mg_count"))
+    n_total = df.count()
+    threshold = n_total / k
+    if not exact:
+        return merged.select(
+            F.col("__item").alias(item_col),
+            F.col("mg_count").alias("n"),
+            F.lit(n_total).alias("n_total"),
+        ).filter(F.col("n") > threshold)
+    candidates = merged.select("__item")
+    verified = (
+        df.select(F.col(item_col).cast("string").alias("__item"))
+        .join(F.broadcast(candidates), on="__item", how="left_semi")
+        .groupBy("__item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold)
+    )
+    return verified.select(
+        F.col("__item").alias(item_col), "n", F.lit(n_total).alias("n_total")
+    )

@@ -386,3 +386,26 @@ def gopher_filter(
         .withColumn("keep", F.col("reject_reason").isNull())
         .drop("__toks")
     )
+
+
+def keywords(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the document-tagging /
+    index-term primitive built on :func:`tf_idf`.
+
+    Ranking is on the ROUNDED tfidf (6 dp, what `tf_idf` emits) with the
+    term as deterministic tie-break, so the result is engine- and
+    partitioning-independent.  Plan: tf_idf's shuffles + one per-doc
+    window (partition = document, rows = distinct terms of that doc —
+    document-bounded, never corpus-bounded).
+    """
+    from pyspark.sql import Window
+
+    scored = tf_idf(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

@@ -230,3 +230,54 @@ def referential_gate(
             f"{[row.asDict() for row in offenders[:5]]}"
         )
     return fact
+
+
+class SchemaDriftError(Exception):
+    """Typed (name, type) contract violation; carries the categorized
+    drift so callers can route (page vs auto-evolve) without parsing."""
+
+    def __init__(self, added, missing, type_changed):
+        self.added = added
+        self.missing = missing
+        self.type_changed = type_changed
+        super().__init__(
+            "schema drift: "
+            f"added={sorted(added)} missing={sorted(missing)} "
+            f"type_changed={sorted(type_changed)}"
+        )
+
+
+def schema_drift_gate(
+    df: DataFrame,
+    contract: dict[str, str],
+    allow_added: bool = False,
+) -> DataFrame:
+    """Gate a batch against a (column → Spark simpleString type) contract.
+
+    Drift is categorized: ``missing`` (contract column absent) and
+    ``type_changed`` (same name, different type) always raise — silently
+    NULL-filling a missing metric or narrowing a type corrupts downstream
+    marts.  ``added`` columns raise only when ``allow_added`` is False;
+    with ``allow_added=True`` additive evolution flows through (the
+    ``src_schema_evolution`` read path handles it) but still surfaces in
+    the returned frame's lineage via this gate's log line.  Column ORDER
+    is deliberately not part of the contract (select-normalization owns
+    order; `assert_schema` is the strict-order variant).
+
+    Pure metadata check — no jobs run, no data is read.
+    """
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = {c for c in contract if c not in actual}
+    added = {c for c in actual if c not in contract}
+    type_changed = {
+        f"{c}:{contract[c]}->{actual[c]}"
+        for c in contract
+        if c in actual and actual[c] != contract[c]
+    }
+    if missing or type_changed or (added and not allow_added):
+        raise SchemaDriftError(
+            added=added if not allow_added else set(),
+            missing=missing,
+            type_changed=type_changed,
+        )
+    return df

@@ -2544,3 +2544,55 @@ def dq_outlier_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("price"),
     )
     return iqr_outliers(orders, ["priority"], "price")
+
+
+@register(
+    "agg_heavy_hitters",
+    f"""WITH w AS MATERIALIZED (
+          SELECT unnest({_W_TEXT}) AS word FROM documents),
+        n AS (SELECT count(*) AS c FROM w)
+        SELECT word, count(*) AS n, (SELECT c FROM n) AS n_total
+        FROM w GROUP BY word
+        HAVING count(*) > (SELECT c FROM n) / 30.0""",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters ([EXT] mergeable sketches;
+    `operators/sketches.py::heavy_hitters`): every token with corpus
+    frequency > n/30, found via bounded-memory per-partition MG
+    summaries (≤ partitions×k rows shuffled — never the full distinct
+    vocabulary) + a candidate-only exact verify pass.  Output counts are
+    EXACT, so the oracle is plain GROUP BY/HAVING."""
+    from kusuma_metamorph_etl_spark.operators.sketches import heavy_hitters
+    from kusuma_metamorph_etl_spark.operators.text import words
+
+    docs = t(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(words(F.col("text"))).alias("word"))
+    return heavy_hitters(tokens, "word", k=30)
+
+
+@register(
+    "txt_keywords",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({_W_LOWER}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
+                     AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rank
+          FROM scored)
+        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""",
+)
+def txt_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document ([EXT] text analysis;
+    `operators/text.py::keywords`) — deterministic rounded-score ranking
+    with term tie-break; the window partitions per document, so it is
+    document-bounded at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    return text.keywords(docs, k=3)

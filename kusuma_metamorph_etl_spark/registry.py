@@ -141,6 +141,8 @@ _PRIORITY: tuple[str, ...] = (
     "src_schema_evolution",
     "fn_winsorize",
     "dq_outlier_flag",
+    "agg_heavy_hitters",
+    "txt_keywords",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

@@ -162,3 +162,36 @@ def test_volume_anomaly_gate_short_or_constant_history(spark):
     assert volume_anomaly_gate(spark.range(100), const).count() == 100
     with pytest.raises(VolumeAnomalyError):
         volume_anomaly_gate(spark.range(101), const)
+
+
+# --------------------------------------------------------- schema drift
+
+def test_schema_drift_gate_passes_matching_contract(spark):
+    from kusuma_metamorph_etl_spark.plans.quality import schema_drift_gate
+
+    df = spark.createDataFrame([(1, "x")], ["id", "name"])
+    out = schema_drift_gate(df, {"id": "bigint", "name": "string"})
+    assert out is df  # metadata-only: same frame back, no plan change
+
+
+def test_schema_drift_gate_categorizes_drift(spark):
+    import pytest
+
+    from kusuma_metamorph_etl_spark.plans.quality import (
+        SchemaDriftError,
+        schema_drift_gate,
+    )
+
+    df = spark.createDataFrame([(1, 2.0)], ["id", "price"])
+    with pytest.raises(SchemaDriftError) as e:
+        schema_drift_gate(df, {"id": "bigint", "name": "string", "price": "bigint"})
+    assert e.value.missing == {"name"}
+    assert e.value.type_changed == {"price:bigint->double"}
+
+    # additive column: rejected strict, admitted with allow_added
+    df2 = spark.createDataFrame([(1, "x", 0)], ["id", "name", "extra"])
+    contract = {"id": "bigint", "name": "string"}
+    with pytest.raises(SchemaDriftError) as e2:
+        schema_drift_gate(df2, contract)
+    assert e2.value.added == {"extra"}
+    assert schema_drift_gate(df2, contract, allow_added=True) is df2

@@ -472,3 +472,31 @@ def test_group_fixed_size_sample_quota_and_invariance(spark):
     # partition-invariance: same selected ids under a different layout
     again = group_fixed_size_sample(df.repartition(13), ["source"], F.col("doc_id"), k=10)
     assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+
+
+def test_keywords_rank_deterministic_and_doc_bounded(spark):
+    from kusuma_metamorph_etl_spark.operators.text import keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "banana banana banana dates"),
+            (3, "apple banana"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = keywords(df, k=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    assert all(len(v) <= 2 for v in per_doc.values())
+    # doc 2: 'banana' has tf=3 but appears in every doc (low idf);
+    # 'dates' is unique to doc 2 — rare-term weighting must surface it.
+    assert ("dates" in dict(per_doc[2]).values()) or any(
+        t == "dates" for _, t in per_doc[2]
+    )
+    # ranks start at 1 and are dense per doc
+    assert sorted(r for r, _ in per_doc[1]) == list(range(1, len(per_doc[1]) + 1))
+    # determinism: same input twice → identical output set
+    again = {(r["doc_id"], r["rank"], r["term"]) for r in keywords(df, k=2).collect()}
+    assert again == {(r["doc_id"], r["rank"], r["term"]) for r in out}
