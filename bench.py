@@ -61,6 +61,10 @@ HEADLINE = [
     "agg_cms_counts",  # count-min build/merge/estimate
     "dedup_substring",  # winnowing anchors + candidate span extension
     "stream_sessionize_stateful",  # applyInPandasWithState twin (r6 #7)
+    "graph_pagerank",  # 15 iterative rounds, checkpointed lineage
+    "ts_gapfill",  # calendar spine + ignore-nulls fill windows
+    "dedup_minhash_incr",  # new-batch x corpus band join + exact verify
+    "agg_heavy_hitters",  # MG partition summaries + candidate verify
 ]
 
 

@@ -307,3 +307,60 @@ def group_fixed_size_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def hash_unit(key: Column, seed: str = "42") -> Column:
+    """md5-derived uniform double in [0, 1) — the cross-engine analog of
+    ``rand()`` keyed on content: first 8 hex chars of md5(seed|key) as an
+    integer over 2^32.  Use when the keep-rate is COMPUTED in-query (the
+    hex-string `hash_bucket` needs a Python-side threshold constant)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(float(2**32))
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key: Column,
+    alpha: float = 0.5,
+    seed: str = "42",
+) -> DataFrame:
+    """Temperature-weighted source rebalancing — the multilingual /
+    multi-source mixing rule (sampling ∝ n^α, UNIMAX-style): keep-rate
+    r_i = (n_i / n_min)^(α−1), so the SMALLEST source is kept whole and
+    larger sources are downsampled toward the α-tempered mix.  α = 1
+    keeps natural proportions (all rates 1); α = 0 equalizes expected
+    source counts; 0 < α < 1 interpolates.
+
+    The decision is content-keyed (`hash_unit`), so the sample is
+    partition- and engine-independent; rates are rounded to 9 dp before
+    comparison so last-ulp ``pow`` differences between libm
+    implementations cannot flip a row.  Plan: one tiny per-source count
+    agg + broadcast join + narrow codegen'd filter — no shuffle of the
+    fact side.  Adds ``keep_rate`` for audit.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    rates = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(
+            source_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.pow(
+                        F.col("__n").cast("double") / F.col("__nmin"),
+                        F.lit(alpha - 1.0),
+                    ),
+                ),
+                9,
+            ).alias("keep_rate"),
+        )
+    )
+    return df.join(F.broadcast(rates), on=source_col).filter(
+        hash_unit(key, seed) < F.col("keep_rate")
+    )

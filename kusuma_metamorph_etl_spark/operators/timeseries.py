@@ -136,3 +136,51 @@ def rolling(
         # decimal-division result scale is engine-specific.
         (roll_sum.cast("double") / roll_n).alias(f"{p}_avg"),
     )
+
+
+def rate_anomaly(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    value_col: str,
+    baseline_days: int = 28,
+    min_baseline: int = 7,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key daily anomaly flag: z-score of today's value against the
+    TRAILING ``baseline_days`` window (yesterday backwards — the current
+    day is excluded from its own baseline, unlike a naive rolling mean).
+
+    The volume-monitoring primitive for event pipelines: a retry storm
+    or a dropped producer shows up as |z| > threshold on that key's
+    series.  Rows with fewer than ``min_baseline`` prior days emit NULL
+    z (cold start passes open — same policy as
+    `plans/quality.py::volume_anomaly_gate`, which gates per-RUN totals;
+    this flags per-key × per-day series).
+
+    Determinism contract: mean and stddev are rounded to 6 dp and z is
+    recomputed FROM THE ROUNDED values, so engines that accumulate
+    variance differently (Welford vs two-pass) agree exactly.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(_epoch_day(F.col(date_col)))
+        .rangeBetween(-baseline_days, -1)
+    )
+    mean = F.round(F.avg(value_col).over(w), 6)
+    std = F.round(F.stddev_samp(value_col).over(w), 6)
+    n_base = F.count(value_col).over(w)
+    z = F.when(
+        (n_base >= min_baseline) & (std > 0),
+        F.round((F.col(value_col) - mean) / std, 6),
+    )
+    return df.select(
+        *key_cols,
+        date_col,
+        value_col,
+        mean.alias("baseline_mean"),
+        std.alias("baseline_std"),
+        n_base.alias("baseline_n"),
+        z.alias("z"),
+        (F.abs(z) > z_threshold).alias("is_anomaly"),
+    )

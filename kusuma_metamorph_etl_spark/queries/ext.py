@@ -2596,3 +2596,63 @@ def txt_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-bounded at any corpus size."""
     docs = t(spark, sf_dir, "documents")
     return text.keywords(docs, k=3)
+
+
+@register(
+    "samp_temperature",
+    """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        m AS (SELECT min(n) AS nmin FROM c),
+        r AS (SELECT lang,
+                     round(least(1.0, pow(n / (SELECT nmin FROM m), -0.5)), 9)
+                         AS keep_rate
+              FROM c)
+       SELECT d.doc_id, d.lang, r.keep_rate
+       FROM documents d JOIN r USING (lang)
+       WHERE ('0x' || substr(md5('42|' || d.doc_id), 1, 8))::BIGINT
+             / 4294967296.0 < r.keep_rate""",
+)
+def samp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language rebalancing ([EXT] sampling;
+    `operators/sampling.py::temperature_sample`, α = 0.5): the dominant
+    language downsampled toward the tempered mix, the rarest kept whole
+    — content-keyed, so the same rows survive on any cluster."""
+    docs = t(spark, sf_dir, "documents")
+    out = sampling.temperature_sample(docs, "lang", F.col("doc_id"), alpha=0.5)
+    return out.select("doc_id", "lang", "keep_rate")
+
+
+@register(
+    "evt_rate_anomaly",
+    """WITH d AS MATERIALIZED (
+         SELECT event_type, CAST(ts AS DATE) AS day_dt,
+                count(*) AS n,
+                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+         FROM events GROUP BY 1, 2, 4),
+       w AS (
+         SELECT event_type, day_dt, n,
+           round(avg(n) OVER win, 6) AS baseline_mean,
+           round(stddev_samp(n) OVER win, 6) AS baseline_std,
+           count(n) OVER win AS baseline_n
+         FROM d
+         WINDOW win AS (PARTITION BY event_type ORDER BY ed
+                        RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, day_dt, n, baseline_mean, baseline_std, baseline_n,
+         CASE WHEN baseline_n >= 7 AND baseline_std > 0
+              THEN round((n - baseline_mean) / baseline_std, 6) END AS z,
+         abs(CASE WHEN baseline_n >= 7 AND baseline_std > 0
+              THEN round((n - baseline_mean) / baseline_std, 6) END) > 3.0
+             AS is_anomaly
+       FROM w""",
+)
+def evt_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type volume anomaly flag ([EXT] time-series ops;
+    `operators/timeseries.py::rate_anomaly`): z-score against the
+    trailing 28-day baseline (current day excluded), NULL during cold
+    start — the retry-storm / dropped-producer detector."""
+    from kusuma_metamorph_etl_spark.operators.timeseries import rate_anomaly
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day_dt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return rate_anomaly(daily, ["event_type"], "day_dt", "n")

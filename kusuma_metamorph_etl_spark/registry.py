@@ -133,16 +133,23 @@ _PRIORITY: tuple[str, ...] = (
     "src_json_roundtrip",
     "evt_dedup_window",
     "evt_paths",
+    # window cut-off: the driver checks the FIRST 50 names — 37 stale +
+    # the 9 above + the 4 below fill it exactly.  Later section-(2)
+    # entries (ts_rolling, src_schema_evolution, fn_winsorize,
+    # dq_outlier_flag, agg_heavy_hitters, txt_keywords, …) debut in the
+    # r8 window — front-load them there, then refresh oldest-r5 rows.
     "graph_pagerank",
     "ts_gapfill",
-    "ts_rolling",
     "dedup_minhash_incr",
-    "dedup_minhash_incr_err",
+    "dedup_minhash_incr_err",  # keep the rows-only row and its gate paired
+    "ts_rolling",
     "src_schema_evolution",
     "fn_winsorize",
     "dq_outlier_flag",
     "agg_heavy_hitters",
     "txt_keywords",
+    "samp_temperature",
+    "evt_rate_anomaly",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

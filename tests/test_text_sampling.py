@@ -500,3 +500,24 @@ def test_keywords_rank_deterministic_and_doc_bounded(spark):
     # determinism: same input twice → identical output set
     again = {(r["doc_id"], r["rank"], r["term"]) for r in keywords(df, k=2).collect()}
     assert again == {(r["doc_id"], r["rank"], r["term"]) for r in out}
+
+
+def test_temperature_sample_rebalances_toward_tempered_mix(spark):
+    from kusuma_metamorph_etl_spark.operators.sampling import temperature_sample
+    from pyspark.sql import functions as F
+
+    rows = [("big", i) for i in range(1600)] + [("small", i + 10000) for i in range(100)]
+    df = spark.createDataFrame(rows, ["src", "id"])
+    out = temperature_sample(df, "src", F.col("id"), alpha=0.5)
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # smallest source kept whole
+    assert counts["small"] == 100
+    # big source rate = (1600/100)^-0.5 = 0.25 → ~400 expected
+    assert 300 < counts["big"] < 500
+    # alpha=1 keeps natural proportions (all rates 1)
+    all_kept = temperature_sample(df, "src", F.col("id"), alpha=1.0).count()
+    assert all_kept == 1700
+    # deterministic: same seed → identical sample
+    a = {r["id"] for r in out.collect()}
+    b = {r["id"] for r in temperature_sample(df, "src", F.col("id"), alpha=0.5).collect()}
+    assert a == b

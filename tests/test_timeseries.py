@@ -89,3 +89,28 @@ def test_rolling_trailing_window_is_inclusive_days(spark):
     }
     assert out["2024-01-07"]["v_7d_sum"] == 3.0  # Jan 1 still inside
     assert out["2024-01-08"]["v_7d_sum"] == 6.0  # Jan 1 aged out
+
+
+def test_rate_anomaly_flags_planted_spike_after_cold_start(spark):
+    from kusuma_metamorph_etl_spark.operators.timeseries import rate_anomaly
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        v = 100.0 + (i % 3)  # tight baseline: ~1 unit of jitter
+        if i == 35:
+            v = 500.0  # planted spike
+        rows.append(("k", base + dt.timedelta(days=i), v))
+    df = spark.createDataFrame(rows, ["k", "d", "v"])
+    out = {r["d"].isoformat(): r for r in rate_anomaly(df, ["k"], "d", "v").collect()}
+    assert out["2024-02-05"]["is_anomaly"] is True  # day 35
+    # cold start: first min_baseline days have NULL z, no flag
+    assert out["2024-01-01"]["z"] is None
+    assert out["2024-01-03"]["z"] is None
+    # normal days unflagged
+    assert out["2024-01-20"]["is_anomaly"] is False
+    # the spike day is EXCLUDED from its own baseline (trailing window):
+    # baseline mean stays ~101 even on the spike day
+    assert out["2024-02-05"]["baseline_mean"] < 110
+    # ...but contaminates the NEXT day's baseline (documented trade-off)
+    assert out["2024-02-06"]["baseline_mean"] > 110
