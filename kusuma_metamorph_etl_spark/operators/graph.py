@@ -33,20 +33,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _checkpointer(spark_df: DataFrame, checkpoint_dir: str | None):
+def _checkpointer(spark_df: DataFrame, checkpoint_dir: str | None, eager: bool = True):
     """Per-round lineage truncation: executor-local blocks by default,
     reliable ``checkpoint()`` when a fault-tolerant dir is given (see
-    module docstring for the preemptible-cluster trade-off)."""
+    module docstring for the preemptible-cluster trade-off).  ``eager``
+    forces a materialization job per call — needed when the loop reads a
+    per-round signal (CC's convergence count); a fixed-round loop like
+    pagerank can defer (``eager=False``) and save the per-round job."""
     if checkpoint_dir is not None:
         spark_df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            return df.checkpoint(eager=eager)
 
     else:
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=eager)
 
     return _ckpt
 
@@ -185,14 +188,23 @@ def pagerank(
       reduce the residual by damping^15 ≈ 0.09% of the initial gap, past
       single-float noise for ranking use.
 
-    Scale shape per round: one equi-join of the normalized edge list
-    against current ranks + one sum-aggregation keyed on dst — shuffles
-    carry (node, rank) pairs only; the dangling-mass scalar rides a
-    broadcast cross-join (1 row), never a driver collect.  Edge
-    normalization is computed ONCE and checkpointed; per-round lineage is
-    truncated exactly as in :func:`connected_components`.
+    Scale shape per round: ONE left join of current ranks against the
+    normalized edge list + ONE sum-aggregation — the dangling mass rides
+    the same aggregation as the NULL-dst group (a rank row with no
+    out-edges contributes its whole pr there), so no separate anti-join
+    pass exists; the scalar then broadcasts back.  Shuffles carry
+    (node, rank) pairs only, never a driver collect.  Edge normalization
+    is computed ONCE and checkpointed; per-round lineage is truncated by
+    LAZILY checkpointing the tiny (dst, mass) AGG frame — ranks itself
+    stays a constant-depth derivation from it, so plans never grow, and
+    a fixed-round loop needs no per-round materialization job (measured
+    warm at sf0.1: ~3.9s vs ~4.4s eager vs ~4.6-6s checkpointing ranks
+    directly, which is referenced twice per round and doubles the plan;
+    the residual is ~0.25s/round of local-mode job latency, constant in
+    data size — at cluster scale the per-round shuffle dominates and
+    this one-join-one-agg round is the minimal shape).
     """
-    _ckpt = _checkpointer(edges, checkpoint_dir)
+    _ckpt = _checkpointer(edges, checkpoint_dir, eager=False)
 
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select(
@@ -210,20 +222,33 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
-    sources = norm.select("src").distinct()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(n_iter):
-        dangling = (
-            ranks.join(sources, ranks["node"] == sources["src"], "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dangling_mass"))
+        # One pass: matched rows emit pr*p toward their dst; a dangling
+        # node (no out-edges → no match) emits its whole pr into the
+        # NULL-dst group, which IS the dangling mass.
+        agg = _ckpt(
+            ranks.join(norm, ranks["node"] == norm["src"], "left")
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.when(F.col("src").isNull(), F.col("pr")).otherwise(
+                        F.col("pr") * F.col("p")
+                    )
+                ).alias("mass")
+            )
         )
-        contrib = (
-            norm.join(ranks.withColumnRenamed("node", "src"), on="src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") * F.col("p")).alias("contrib"))
+        dangling = agg.filter(F.col("dst").isNull()).select(
+            F.coalesce(F.sum("mass"), F.lit(0.0)).alias("dangling_mass")
         )
-        ranks = _ckpt(
-            nodes.join(contrib, on="node", how="left")
+        ranks = (
+            nodes.join(
+                agg.withColumnRenamed("dst", "node").filter(
+                    F.col("node").isNotNull()
+                ),
+                on="node",
+                how="left",
+            )
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -231,7 +256,7 @@ def pagerank(
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (
-                        F.coalesce("contrib", F.lit(0.0))
+                        F.coalesce("mass", F.lit(0.0))
                         + F.col("dangling_mass") / F.lit(float(n))
                     )
                 ).alias("pr"),
