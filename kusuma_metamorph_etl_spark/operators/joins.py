@@ -160,10 +160,11 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, attach the right row with the
     greatest ``right_ts`` ≤ ``left_ts`` (``direction="backward"``, the
-    SQL ``ASOF LEFT JOIN`` default) or the smallest ``right_ts`` ≥
+    SQL ``ASOF LEFT JOIN`` default), the smallest ``right_ts`` ≥
     ``left_ts`` (``direction="forward"`` — next quote / next maintenance
-    window) within the same ``on`` keys; the operator Spark's DataFrame
-    API lacks.
+    window), or whichever of the two is closer in absolute time
+    (``direction="nearest"``, exact ties resolved BACKWARD) within the
+    same ``on`` keys; the operator Spark's DataFrame API lacks.
 
     Scale shape — the union-merge pattern, NOT a range join: a range
     condition join explodes to |L|·|R| per key before filtering, while
@@ -182,8 +183,10 @@ def asof_join(
     ``left_ts`` (older for backward, later for forward) are nulled,
     bounding staleness/lookahead.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     value_cols = value_cols or [
         c for c in right.columns if c not in (*on, right_ts)
     ]
@@ -213,27 +216,55 @@ def asof_join(
         ],
     )
     merged = l.unionByName(r_padded)
-    if direction == "backward":
-        order = [F.asc("__ts"), F.asc("__side"), F.asc("__rv")]
-    else:  # forward: walk time backwards so "last seen" = next at-or-after
-        order = [F.desc("__ts"), F.asc("__side"), F.desc("__rv")]
-    window = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = merged.withColumn(
-        "__match", F.last("__rv", ignorenulls=True).over(window)
-    ).filter(F.col("__side") == 1)
-    if tolerance is not None:
-        delta = F.expr(f"INTERVAL {tolerance}")
-        if direction == "backward":
-            fresh = F.col("__match.__rts") >= F.col("__ts") - delta
-        else:
-            fresh = F.col("__match.__rts") <= F.col("__ts") + delta
-        carried = carried.withColumn(
-            "__match", F.when(fresh, F.col("__match"))
+    order_b = [F.asc("__ts"), F.asc("__side"), F.asc("__rv")]
+    # forward: walk time backwards so "last seen" = next at-or-after
+    order_f = [F.desc("__ts"), F.asc("__side"), F.desc("__rv")]
+    delta = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
+
+    def _carry(order) -> Column:
+        window = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
+        return F.last("__rv", ignorenulls=True).over(window)
+
+    def _fresh(match: Column, d: str) -> Column:
+        if delta is None:
+            return match
+        if d == "backward":
+            ok = match["__rts"] >= F.col("__ts") - delta
+        else:
+            ok = match["__rts"] <= F.col("__ts") + delta
+        return F.when(ok, match)
+
+    if direction in ("backward", "forward"):
+        order = order_b if direction == "backward" else order_f
+        carried = merged.withColumn("__match", _carry(order)).filter(
+            F.col("__side") == 1
+        )
+        carried = carried.withColumn(
+            "__match", _fresh(F.col("__match"), direction)
+        )
+    else:  # nearest: both traversals share one shuffle (same partitionBy
+        # → Catalyst reuses the Exchange; only the sort runs twice), then
+        # pick the closer match per row; exact ties go BACKWARD (the
+        # "last known value" reading is the less surprising default).
+        carried = (
+            merged.withColumn("__mb", _carry(order_b))
+            .withColumn("__mf", _carry(order_f))
+            .filter(F.col("__side") == 1)
+        )
+        mb = _fresh(F.col("__mb"), "backward")
+        mf = _fresh(F.col("__mf"), "forward")
+        ts_us = F.unix_micros(F.col("__ts"))
+        b_dist = ts_us - F.unix_micros(mb["__rts"])
+        f_dist = F.unix_micros(mf["__rts"]) - ts_us
+        carried = carried.withColumn(
+            "__match",
+            F.when(mb.isNotNull() & (mf.isNull() | (b_dist <= f_dist)), mb)
+            .otherwise(mf),
+        ).drop("__mb", "__mf")
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [F.col(f"__match.{c}").alias(c) for c in value_cols]
     return carried.select(*out_cols)

@@ -2656,3 +2656,68 @@ def evt_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day_dt")
     ).agg(F.count(F.lit(1)).alias("n"))
     return rate_anomaly(daily, ["event_type"], "day_dt", "n")
+
+
+@register(
+    "join_asof_nearest",
+    """WITH purchases AS (
+         SELECT event_id, user_id, ts, value FROM events
+         WHERE event_type = 'purchase'),
+       clicks AS (
+         SELECT event_id AS click_id, user_id, ts, value AS click_value
+         FROM events WHERE event_type = 'click'
+         QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                    ORDER BY click_id DESC) = 1),
+       b AS (
+         SELECT l.event_id, r.click_id, r.click_value, r.ts AS rts
+         FROM purchases l ASOF LEFT JOIN clicks r
+           ON l.user_id = r.user_id AND r.ts <= l.ts),
+       f AS (
+         SELECT l.event_id, r.click_id, r.click_value, r.ts AS rts
+         FROM purchases l ASOF LEFT JOIN clicks r
+           ON l.user_id = r.user_id AND r.ts >= l.ts)
+       SELECT l.event_id, l.user_id, l.ts, l.value,
+         CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
+                   OR epoch_us(l.ts) - epoch_us(b.rts)
+                      <= epoch_us(f.rts) - epoch_us(l.ts))
+              THEN b.click_id ELSE f.click_id END AS click_id,
+         CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
+                   OR epoch_us(l.ts) - epoch_us(b.rts)
+                      <= epoch_us(f.rts) - epoch_us(l.ts))
+              THEN b.click_value ELSE f.click_value END AS click_value
+       FROM purchases l
+       JOIN b USING (event_id) JOIN f USING (event_id)""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (`asof_join(direction="nearest")`): each
+    purchase picks the user's click closest in absolute time, either
+    side, exact ties backward — both traversals share one shuffle
+    (Exchange reuse, two sorts).  Oracle: DuckDB backward + forward
+    native ASOF combined by the same closest/tie rule."""
+    from kusuma_metamorph_etl_spark.operators.joins import asof_join
+    from kusuma_metamorph_etl_spark.operators.windows import top_k_per_group
+
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = top_k_per_group(
+        events.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("click_value"),
+        ),
+        ["user_id", "ts"],
+        [F.col("click_id").desc()],
+        k=1,
+    ).drop("rn")
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id", "click_value"],
+        direction="nearest",
+    )

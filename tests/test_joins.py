@@ -329,3 +329,48 @@ class TestFunnel:
         k_join = {tuple(r) for r in funnel(events, stages).collect()}
         one_scan = {tuple(r) for r in funnel_one_scan(events, stages).collect()}
         assert k_join and one_scan == k_join
+
+
+def test_asof_nearest_picks_closer_side_and_tie_backward(spark, frames):
+    trades, quotes = frames
+    got = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on=["sym"], value_cols=["px"], direction="nearest"
+        ).collect()
+    }
+    # trade 1 @12:10: exact-equality quote 101 (backward inclusive)
+    assert got[1] == 101.0
+    # trade 2 @12:30: backward 102 @12:29 (1 min) — no forward A quote
+    assert got[2] == 102.0
+    # trade 3 @12:05 (sym B): ONLY a forward quote exists (12:50) → 200
+    assert got[3] == 200.0
+
+
+def test_asof_nearest_exact_tie_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "A", _ts(10))], "id long, sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", _ts(5), 1.0), ("A", _ts(15), 2.0)],
+        "sym string, ts timestamp, px double",
+    )
+    # equidistant (5 min each way) → backward wins
+    got = asof_join(left, right, on=["sym"], value_cols=["px"], direction="nearest").collect()
+    assert got[0]["px"] == 1.0
+    # tolerance nulls BOTH sides when they are farther than the bound
+    got2 = asof_join(
+        left, right, on=["sym"], value_cols=["px"],
+        direction="nearest", tolerance="2 minutes",
+    ).collect()
+    assert got2[0]["px"] is None
+    # asymmetric: shrink backward out of tolerance, forward survives
+    right3 = spark.createDataFrame(
+        [("A", _ts(1), 1.0), ("A", _ts(12), 2.0)],
+        "sym string, ts timestamp, px double",
+    )
+    got3 = asof_join(
+        left, right3, on=["sym"], value_cols=["px"],
+        direction="nearest", tolerance="5 minutes",
+    ).collect()
+    assert got3[0]["px"] == 2.0
