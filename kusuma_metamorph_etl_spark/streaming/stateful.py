@@ -119,6 +119,19 @@ SESSION_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, session_idx 
 SESSION_STATE_SCHEMA = "last_ns long, idx long"
 
 
+def _ttl_millis(state_ttl: str | None) -> int | None:
+    """Parse '``<n>`` seconds|minutes|hours' into milliseconds."""
+    if state_ttl is None:
+        return None
+    parts = state_ttl.split()
+    unit_ms = {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[parts[1]]
+    return int(parts[0]) * unit_ms
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -144,15 +157,7 @@ def sessionize_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ns = gap_seconds * 1_000_000_000
-    ttl_ms = None
-    if state_ttl is not None:
-        parts = state_ttl.split()
-        unit_ms = {
-            "second": 1_000, "seconds": 1_000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-        }[parts[1]]
-        ttl_ms = int(parts[0]) * unit_ms
+    ttl_ms = _ttl_millis(state_ttl)
 
     def handle(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
@@ -193,6 +198,76 @@ def sessionize_stream(
         handle,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
+
+# ------------------------------------------------- burst-window dedup twin
+
+BURST_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, event_id long, ts timestamp, value double"
+)
+BURST_STATE_SCHEMA = "last_ns long"
+
+
+def dedup_window_stream(
+    events: DataFrame,
+    window_seconds: int = 600,
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators/events.py::dedup_within_window``:
+    collapse CHAINED retry bursts — same (user_id, event_type) within
+    ``window_seconds`` of the PREVIOUS event (emitted or suppressed) — to
+    their first arrival, on an unbounded stream.
+
+    State per key: one long (last seen event-time ns).  The chained rule
+    makes state O(1): whether an event opens a new burst depends only on
+    the previous event's timestamp, so the stream twin is exact whenever
+    each key's events arrive in event-time order across micro-batches
+    (within a batch the sort restores order) — the same disorder caveat,
+    watermark remedy, and TTL machinery as :func:`sessionize_stream`.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    win_ns = window_seconds * 1_000_000_000
+    ttl_ms = _ttl_millis(state_ttl)
+
+    def handle(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [p for p in pdfs if not p.empty]
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        if not chunks:
+            return
+        df = pd.concat(chunks).sort_values(["ts", "event_id"])
+        (last_ns,) = state.get if state.exists else (None,)
+        ts_ns = df["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        keep = []
+        for t in ts_ns:
+            keep.append(last_ns is None or t - last_ns > win_ns)
+            last_ns = int(t)
+        state.update((last_ns,))
+        out = df.loc[keep, ["user_id", "event_type", "event_id", "ts", "value"]]
+        if not out.empty:
+            yield out
+
+    src = events
+    timeout_conf = GroupStateTimeout.NoTimeout
+    if state_ttl is not None:
+        src = events.withWatermark("ts", "0 seconds")
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+
+    return src.groupBy("user_id", "event_type").applyInPandasWithState(
+        handle,
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout_conf,
     )

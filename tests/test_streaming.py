@@ -443,3 +443,62 @@ def test_stream_dim_enrich_matches_batch(spark, sf_small):
     assert stream.isStreaming
     run_to_memory_sink(stream, "t_enrich", output_mode="append")
     assert _rows(spark.table("t_enrich")) == _rows(batch)
+
+
+def test_stateful_dedup_window_stream_matches_batch(spark, sf_small):
+    from kusuma_metamorph_etl_spark.operators.events import dedup_within_window
+    from kusuma_metamorph_etl_spark.streaming.stateful import dedup_window_stream
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    batch = dedup_within_window(
+        events, keys=["user_id", "event_type"], window_seconds=600
+    )
+    stream = dedup_window_stream(stream_events(spark, sf_small), window_seconds=600)
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "t_burst", output_mode="append")
+    got = {r["event_id"] for r in spark.table("t_burst").collect()}
+    assert got == {r["event_id"] for r in batch.collect()} and got
+
+
+def test_stateful_dedup_window_chains_across_micro_batches(spark, tmp_path):
+    """A burst spanning the micro-batch boundary must stay ONE burst: the
+    second batch's first event is within the window of the last event the
+    first batch left in state, so it is suppressed."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def m(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    from kusuma_metamorph_etl_spark.streaming.stateful import dedup_window_stream
+
+    schema = "user_id long, event_type string, event_id long, ts timestamp, value double"
+    batch1 = [(1, "err", 100, m(0), 1.0), (1, "err", 101, m(5), 1.0)]
+    batch2 = [(1, "err", 102, m(9), 1.0), (1, "err", 103, m(30), 1.0)]
+    src = tmp_path / "burst_src"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+    stream = dedup_window_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*"),
+        window_seconds=600,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_burst_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["event_id"] for r in spark.table("t_burst_mb").collect()}
+    # 100 opens the burst; 101 (+5m) and 102 (+4m, ACROSS the boundary,
+    # chained off 101) are suppressed; 103 (+21m after 102) opens anew.
+    assert got == {100, 103}
