@@ -409,3 +409,83 @@ def keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram language-model score — the perplexity-filter
+    primitive of LLM corpus curation (CCNet-style: score each document
+    against a reference LM; unusually high bits/token means junk,
+    unusually low means boilerplate).  Returns
+    ``(id, n_bigrams, bits_per_bigram)`` where bits is the negative mean
+    log2 of add-one-smoothed bigram probabilities
+    ``P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V)``; documents with < 2 tokens
+    score NULL.
+
+    ``train_df`` defaults to ``df`` (self-scoring ranks within a corpus);
+    pass the reference corpus for true held-out filtering.  ``C(w1)`` is
+    the bigram-LEFT count, so probabilities normalize over seen contexts.
+
+    Determinism contract: each bigram's log2 is rounded to 9 dp and the
+    per-doc mean runs over exact DECIMAL sums — the log-sum is
+    order-independent, so engines and partitionings agree exactly.
+
+    Scale shape: bigram extraction is a narrow zip+explode; the model is
+    two keyed counts; scoring is one shuffle join on (w1, w2) + one
+    doc-keyed aggregation.  Nothing is corpus-bounded per task.
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        w = words(F.lower(F.col(text_col)))
+        return (
+            frame.select(F.col(id_col), w.alias("__w"))
+            .filter(F.size("__w") >= 2)
+            .select(
+                id_col,
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("__w", 1, F.size("__w") - 1).alias("w1"),
+                        F.slice("__w", 2, F.size("__w") - 1).alias("w2"),
+                    )
+                ).alias("b"),
+            )
+            .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        )
+
+    train = bigrams(train_df if train_df is not None else df)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        train.select(F.col("w1").alias("t"))
+        .union(train.select(F.col("w2").alias("t")))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    scored = (
+        bigrams(df)
+        .join(c2, on=["w1", "w2"], how="left")
+        .join(c1, on="w1", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                F.log2(
+                    (F.coalesce("c2", F.lit(0)) + 1.0)
+                    / (F.coalesce("c1", F.lit(0)) + F.col("v"))
+                ),
+                9,
+            )
+            .cast("decimal(38,9)")
+            .alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            (-F.sum("__lp").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("bits_per_bigram"),
+    )

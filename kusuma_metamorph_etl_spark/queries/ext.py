@@ -2721,3 +2721,37 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["click_id", "click_value"],
         direction="nearest",
     )
+
+
+@register(
+    "txt_perplexity",
+    f"""WITH tok AS MATERIALIZED (
+          SELECT doc_id, {_W_LOWER} AS w FROM documents),
+        big AS MATERIALIZED (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          FROM tok, unnest(range(1, len(w))) AS t(i)
+          WHERE len(w) >= 2),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS v FROM (
+                SELECT w1 AS t FROM big UNION SELECT w2 FROM big)),
+        lp AS (
+          SELECT b.doc_id,
+                 CAST(round(log2((coalesce(c2.c2, 0) + 1.0)
+                                 / (coalesce(c1.c1, 0) + (SELECT v FROM v))), 9)
+                      AS DECIMAL(38,9)) AS lp
+          FROM big b
+          LEFT JOIN c2 USING (w1, w2)
+          LEFT JOIN c1 USING (w1))
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(-sum(lp) AS DOUBLE) / count(*), 6) AS bits_per_bigram
+        FROM lp GROUP BY doc_id""",
+)
+def txt_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring ([EXT] text analysis;
+    `operators/text.py::bigram_lm_scores`): bits-per-bigram of each
+    document under the add-one-smoothed corpus bigram model — the
+    CCNet-style quality-filter signal.  Log terms rounded to 9 dp and
+    summed in exact decimal, so both engines agree bit-for-bit."""
+    docs = t(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(docs)
