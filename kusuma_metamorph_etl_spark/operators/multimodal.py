@@ -945,3 +945,94 @@ def attach_tone_payload(
     return df.withColumn("payload", make_tone(F.col(text_col))).withColumn(
         "payload_kind", F.lit("audio/wav")
     )
+
+
+# ---------------------------------------------------------------- augmentation
+
+_AUG_OPS = ("hflip", "vflip", "rot90", "rot180", "rot270", "crop_c50")
+
+
+def augment_image(payload: bytes, op: str) -> bytes:
+    """One deterministic augmentation of a decodable image payload,
+    re-encoded in its source format.  Geometric ops only (flips, quarter
+    rotations, center crop) — deterministic by construction, so the
+    augmented corpus is reproducible run-to-run (the training-data
+    requirement 'random' jitter augmentations do not meet without seed
+    plumbing).  Flips and rotations PERMUTE pixels: every summary
+    statistic of the pixel multiset (mean, histogram) is invariant —
+    the test/oracle contract."""
+    img = decode_image(payload)
+    p = img["pixels"]
+    if op == "hflip":
+        out = p[:, ::-1]
+    elif op == "vflip":
+        out = p[::-1]
+    elif op == "rot90":
+        out = np.rot90(p, 1)
+    elif op == "rot180":
+        out = np.rot90(p, 2)
+    elif op == "rot270":
+        out = np.rot90(p, 3)
+    elif op == "crop_c50":
+        h, w = p.shape[:2]
+        h2, w2 = max(1, h // 2), max(1, w // 2)
+        top, left = (h - h2) // 2, (w - w2) // 2
+        out = p[top : top + h2, left : left + w2]
+    else:
+        raise ValueError(f"unknown augmentation {op!r}; choose from {_AUG_OPS}")
+    out = np.ascontiguousarray(out)
+    if img["format"] == "bmp":
+        return encode_bmp(out)
+    if img["format"] == "png":
+        return encode_png(out)
+    return encode_ppm(out)
+
+
+AUGMENT_SCHEMA = (
+    "doc_id long, op string, payload binary, width int, height int, "
+    "mean_value double"
+)
+
+
+def augment(
+    df: DataFrame,
+    ops: list[str] | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched augmentation fan-out: one output row per (image,
+    op), carrying the re-encoded payload plus typed metadata.  Same
+    ``mapInPandas`` seam as decode/resize; fan-out is len(ops) — a
+    narrow, bounded expansion, embarrassingly partition-parallel."""
+    use_ops = list(ops or _AUG_OPS)
+    unknown = set(use_ops) - set(_AUG_OPS)
+    if unknown:
+        raise ValueError(f"unknown augmentations {sorted(unknown)}")
+
+    def do_augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                for op in use_ops:
+                    aug = augment_image(payload, op)
+                    img = decode_image(aug)
+                    rows.append(
+                        (
+                            doc_id,
+                            op,
+                            aug,
+                            img["width"],
+                            img["height"],
+                            float(img["pixels"].mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "op", payload_col, "width", "height", "mean_value"
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        do_augment, schema=AUGMENT_SCHEMA
+    )

@@ -2755,3 +2755,46 @@ def txt_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed in exact decimal, so both engines agree bit-for-bit."""
     docs = t(spark, sf_dir, "documents")
     return text.bigram_lm_scores(docs)
+
+
+@register(
+    "mm_augment",
+    """WITH dims AS (
+         SELECT doc_id,
+                CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS w,
+                CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS h
+         FROM documents),
+       ops(op) AS (VALUES ('hflip'), ('vflip'), ('rot90'), ('rot180'),
+                          ('rot270'), ('crop_c50'))
+       SELECT doc_id, op,
+         CASE WHEN op IN ('rot90', 'rot270') THEN h
+              WHEN op = 'crop_c50' THEN greatest(w // 2, 1)
+              ELSE w END AS width,
+         CASE WHEN op IN ('rot90', 'rot270') THEN w
+              WHEN op = 'crop_c50' THEN greatest(h // 2, 1)
+              ELSE h END AS height
+       FROM dims CROSS JOIN ops""",
+)
+def mm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image augmentation fan-out ([EXT] multimodal;
+    `operators/multimodal.py::augment`): flips, quarter rotations and a
+    center crop over REAL PNG decode→re-encode.  The oracle recomputes
+    the expected post-op dimensions from the synthesis contract; flips
+    and rotations must additionally preserve the pixel MEAN exactly
+    (a permutation of the same multiset) — rows violating it are
+    dropped in-query, turning the driver compare red on a wrong
+    transform."""
+    docs = t(spark, sf_dir, "documents")
+    png = multimodal.attach_png_payload(docs)
+    orig = multimodal.extract_binary_features(png).select(
+        "doc_id", F.col("mean_value").alias("orig_mean")
+    )
+    aug = multimodal.augment(png)
+    return (
+        aug.join(orig, "doc_id")
+        .filter(
+            (F.col("op") == "crop_c50")
+            | (F.col("mean_value") == F.col("orig_mean"))
+        )
+        .select("doc_id", "op", "width", "height")
+    )

@@ -152,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "evt_rate_anomaly",
     "join_asof_nearest",
     "txt_perplexity",
+    "mm_augment",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

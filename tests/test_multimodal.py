@@ -440,3 +440,55 @@ class TestAudioCodec:
         assert all(64 <= r["n_samples"] < 192 for r in rows)
         assert all(r["n_bytes"] == 44 + r["n_samples"] * 2 for r in rows)
         assert all(0.0 < r["rms"] < 32768.0 for r in rows)
+
+
+# ---------------------------------------------------------------- augmentation
+
+def test_augment_roundtrip_geometry_and_invariants():
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.multimodal import (
+        augment_image,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    payload = encode_png(px)
+    # hflip twice = identity
+    twice = decode_image(
+        augment_image(augment_image(payload, "hflip"), "hflip")
+    )["pixels"]
+    assert np.array_equal(twice, px)
+    # rot90 swaps dims and rot90 x4 = identity
+    r90 = decode_image(augment_image(payload, "rot90"))["pixels"]
+    assert r90.shape == (7, 5, 3)
+    assert np.array_equal(np.rot90(px, 1), r90)
+    # mean invariant for permutation ops; crop halves dims
+    for op in ("hflip", "vflip", "rot90", "rot180", "rot270"):
+        out = decode_image(augment_image(payload, op))["pixels"]
+        assert out.mean() == px.mean()
+    crop = decode_image(augment_image(payload, "crop_c50"))["pixels"]
+    assert crop.shape == (2, 3, 3)
+    # crop content is the true center block
+    assert np.array_equal(px[1:3, 2:5], crop)
+
+
+def test_augment_dataframe_fanout(spark):
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta epsilon")], ["doc_id", "text"]
+    )
+    png = multimodal.attach_png_payload(docs)
+    out = multimodal.augment(png, ops=["hflip", "rot90"])
+    rows = out.collect()
+    assert len(rows) == 4  # 2 docs x 2 ops
+    # augmented payloads re-decode through the normal feature path
+    feats = multimodal.extract_binary_features(
+        out.select("doc_id", "payload")
+    )
+    assert feats.filter(F.col("format") == "png").count() == 4
