@@ -184,3 +184,50 @@ def rate_anomaly(
         z.alias("z"),
         (F.abs(z) > z_threshold).alias("is_anomaly"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    date_col: str,
+    id_col: str,
+    days: int = 7,
+) -> DataFrame:
+    """Trailing ``days``-day rolling DISTINCT count per day via mergeable
+    HLL sketches — the metric (`rolling 7-day active users`) a naive
+    ``count_distinct`` window cannot compute at scale (distinct is not
+    frame-decomposable; re-counting every frame re-scans ``days``× the
+    data).
+
+    Plan: one per-day ``hll_sketch_agg`` (the persistable daily rollup),
+    then each day's sketch FANS OUT to the ≤ ``days`` target days it
+    contributes to (bounded explode) and ``hll_union_agg`` merges per
+    target day — cost scales with #days × sketch size, independent of
+    row count.  Emits the day, the estimate, and the day's own distinct
+    count for reference.  Target days are restricted to days present in
+    the data (no spine extension — compose with :func:`gapfill` first if
+    the calendar matters).
+    """
+    d = F.to_date(F.col(date_col))
+    daily = df.groupBy(d.alias("day_dt")).agg(
+        F.hll_sketch_agg(id_col).alias("sk"),
+        F.countDistinct(id_col).alias("day_distinct"),
+    )
+    ed = _epoch_day(F.col("day_dt"))
+    fan = daily.select(
+        F.explode(F.expr(f"sequence(0, {days - 1})")).alias("off"),
+        ed.alias("src_ed"),
+        "sk",
+    ).select((F.col("src_ed") + F.col("off")).alias("ted"), "sk")
+    spine = daily.select(
+        ed.alias("ted"), F.col("day_dt"), F.col("day_distinct")
+    )
+    return (
+        fan.join(spine, "ted")
+        .groupBy("day_dt", "day_distinct")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                f"approx_{days}d_distinct"
+            )
+        )
+        .select("day_dt", "day_distinct", f"approx_{days}d_distinct")
+    )

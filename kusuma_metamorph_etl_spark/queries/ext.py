@@ -2798,3 +2798,47 @@ def mm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "op", "width", "height")
     )
+
+
+@register(
+    "ts_rolling_distinct",
+    """WITH du AS MATERIALIZED (
+         SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+       days AS (SELECT DISTINCT d FROM du),
+       fan AS (SELECT d + CAST(i AS INTEGER) AS day_dt, user_id
+               FROM du, unnest(range(0, 7)) AS t(i))
+       SELECT day_dt, count(DISTINCT user_id) AS exact_users
+       FROM fan JOIN days ON days.d = fan.day_dt
+       GROUP BY day_dt""",
+)
+def ts_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day ([EXT] time-series ×
+    sketches; `operators/timeseries.py::rolling_distinct`): per-day HLL
+    sketches fanned to their ≤7 target days and union-merged — distinct
+    counts over a sliding window without re-scanning raw events (frames
+    cannot decompose DISTINCT).  Same `_err` binding as
+    `agg_hll_mergeable`: emits the exact rolling count, drops any day
+    whose merged estimate strays beyond 5%."""
+    ev = t(spark, sf_dir, "events")
+    from kusuma_metamorph_etl_spark.operators.timeseries import rolling_distinct
+
+    approx = rolling_distinct(ev, "ts", "user_id", days=7)
+    exact = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .select(
+            F.explode(F.expr("sequence(0, 6)")).alias("off"), "d", "user_id"
+        )
+        .select(F.date_add("d", F.col("off")).alias("day_dt"), "user_id")
+        .join(
+            ev.select(F.to_date("ts").alias("day_dt")).distinct(), "day_dt"
+        )
+        .groupBy("day_dt")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    joined = approx.join(exact, "day_dt")
+    rel_err = (
+        F.abs(F.col("approx_7d_distinct") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return joined.filter(rel_err <= 0.05).select("day_dt", "exact_users")

@@ -153,6 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "txt_perplexity",
     "mm_augment",
+    "ts_rolling_distinct",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

@@ -114,3 +114,36 @@ def test_rate_anomaly_flags_planted_spike_after_cold_start(spark):
     assert out["2024-02-05"]["baseline_mean"] < 110
     # ...but contaminates the NEXT day's baseline (documented trade-off)
     assert out["2024-02-06"]["baseline_mean"] > 110
+
+
+def test_rolling_distinct_matches_bruteforce(spark):
+    """HLL-merged rolling distinct must track the brute-force rolling
+    distinct within HLL error on a fixture where the answer changes."""
+    from kusuma_metamorph_etl_spark.operators.timeseries import rolling_distinct
+
+    base = dt.date(2024, 3, 1)
+    rows = []
+    for day in range(10):
+        # each day has users [day*10 .. day*10+19]: 7-day distinct grows
+        # to 7*10+10=80 then plateaus
+        for u in range(day * 10, day * 10 + 20):
+            rows.append((dt.datetime.combine(base + dt.timedelta(days=day),
+                                             dt.time(12)), u))
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = {
+        r["day_dt"].isoformat(): r for r in rolling_distinct(df, "ts", "user_id").collect()
+    }
+    # brute force
+    per_day = {}
+    for day in range(10):
+        users = set()
+        for back in range(7):
+            src = day - back
+            if src >= 0:
+                users |= set(range(src * 10, src * 10 + 20))
+        per_day[(base + dt.timedelta(days=day)).isoformat()] = len(users)
+    assert set(got) == set(per_day)
+    for k, exact in per_day.items():
+        est = got[k]["approx_7d_distinct"]
+        assert abs(est - exact) / exact < 0.1, (k, est, exact)
+        assert got[k]["day_distinct"] == 20
