@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DAY_DT = "DAY_DT"
@@ -177,70 +177,3 @@ def compact_parquet(
         if f.endswith(".parquet"):
             written += 1
     return written
-
-
-def zorder_key(cols: list[Column], mins: list[float], maxs: list[float]) -> Column:
-    """Morton (Z-order) interleave of ``len(cols)`` numeric columns as a
-    LONG sort key: each column linearly bucketed to ``30 // k`` bits over
-    its [min, max], bits interleaved round-robin.  Pure bitwise column
-    expressions — whole-stage codegen, no UDF."""
-    k = len(cols)
-    bits = 30 // k
-    scaled = []
-    for c, lo, hi in zip(cols, mins, maxs):
-        span = (hi - lo) or 1.0
-        s = F.least(
-            F.greatest(
-                F.floor(
-                    (c.cast("double") - F.lit(lo)) / F.lit(span) * F.lit((1 << bits) - 1)
-                ),
-                F.lit(0),
-            ),
-            F.lit((1 << bits) - 1),
-        ).cast("long")
-        scaled.append(s)
-    z = F.lit(0).cast("long")
-    for bit in range(bits):
-        for j, s in enumerate(scaled):
-            z = z + F.shiftleft(
-                F.shiftright(s, bit).bitwiseAND(F.lit(1)), bit * k + j
-            )
-    return z
-
-
-def write_zorder(
-    df: DataFrame,
-    path: str,
-    cols: list[str],
-    n_files: int = 8,
-) -> None:
-    """Z-order clustered parquet write: rows sorted along a Morton curve
-    over ``cols`` so EVERY listed column is simultaneously localized per
-    file — parquet min/max stats then prune files for predicates on any
-    of them (single-column sort localizes only its own column; Z-order
-    is the standard multi-dimension data-skipping layout).
-
-    Column ranges come from one min/max aggregation; bucketing is linear
-    within [min, max] (adequate for roughly uniform keys — heavy skew
-    wants quantile-based bucketing fed through :func:`zorder_key`
-    directly).  The write is ``repartitionByRange`` on the key (range
-    shuffle, balanced files) + per-partition sort: one shuffle total.
-    """
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
-        ]
-    row = df.agg(*aggs).collect()[0]
-    mins = [float(row[f"__lo_{c}"]) for c in cols]
-    maxs = [float(row[f"__hi_{c}"]) for c in cols]
-    z = zorder_key([F.col(c) for c in cols], mins, maxs)
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )

@@ -263,58 +263,3 @@ class TestJdbcRoundTrip:
         a = q(spark, "/root/testdata/sf0.001").count()
         b = q(spark, "/root/testdata/sf0.001").count()
         assert a == b and a > 0
-
-
-# ---------------------------------------------------------------- z-order
-
-def test_write_zorder_localizes_both_dimensions(spark, tmp_path):
-    """Every output file's span must tighten on BOTH z-ordered columns
-    vs the global span — the multi-dim data-skipping property a
-    single-column sort cannot give."""
-    from pyspark.sql import functions as F
-
-    from kusuma_metamorph_etl_spark.sources.sinks import write_zorder
-
-    import random
-
-    rng = random.Random(5)
-    rows = [(rng.randrange(10000), rng.randrange(10000)) for _ in range(20000)]
-    df = spark.createDataFrame(rows, ["x", "y"]).repartition(16)
-    dst = str(tmp_path / "zorder")
-    write_zorder(df, dst, ["x", "y"], n_files=16)
-
-    back = spark.read.parquet(dst).withColumn("f", F.input_file_name())
-    spans = back.groupBy("f").agg(
-        (F.max("x") - F.min("x")).alias("sx"),
-        (F.max("y") - F.min("y")).alias("sy"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()
-    assert len(spans) >= 8
-    avg_sx = sum(r["sx"] for r in spans) / len(spans)
-    avg_sy = sum(r["sy"] for r in spans) / len(spans)
-    # global span ~10000; 16 z-tiles over 2 dims → each dim ~1/4 of the
-    # range per tile.  Assert a conservative 0.6 on both simultaneously.
-    assert avg_sx < 0.6 * 10000, avg_sx
-    assert avg_sy < 0.6 * 10000, avg_sy
-    # no rows lost, files balanced within reason
-    assert sum(r["n"] for r in spans) == 20000
-
-
-def test_zorder_prunes_files_for_predicates_on_either_column(spark, tmp_path):
-    from pyspark.sql import functions as F
-
-    from kusuma_metamorph_etl_spark.sources.sinks import write_zorder
-
-    import random
-
-    rng = random.Random(6)
-    rows = [(rng.randrange(10000), rng.randrange(10000)) for _ in range(20000)]
-    df = spark.createDataFrame(rows, ["x", "y"]).repartition(16)
-    dst = str(tmp_path / "zorder2")
-    write_zorder(df, dst, ["x", "y"], n_files=16)
-    back = spark.read.parquet(dst).withColumn("f", F.input_file_name())
-    total_files = back.select("f").distinct().count()
-    # a tight predicate on EITHER column touches a strict subset of files
-    fx = back.filter(F.col("x") < 500).select("f").distinct().count()
-    fy = back.filter(F.col("y") < 500).select("f").distinct().count()
-    assert fx < total_files and fy < total_files
