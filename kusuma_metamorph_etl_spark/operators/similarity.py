@@ -248,6 +248,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -263,7 +264,9 @@ def ivf_topk(
     :func:`write_ivf_index` + :func:`ivf_search` persist the assignment
     as a cell-partitioned layout and partition-prune each search.
     """
-    cells = _centroid_cells(ivf_build(corpus, n_centroids, id_col, vec_col))
+    cells = _centroid_cells(
+        ivf_build(corpus, n_centroids, id_col, vec_col, refine_iters)
+    )
     c = _assign_cells(corpus, cells, "neighbor_id", 1, id_col, vec_col)
     q = _assign_cells(queries, cells, "query_id", n_probe, id_col, vec_col)
     scored = (

@@ -196,3 +196,75 @@ def test_ivf_lloyd_refinement_improves_objective(spark, sf_small):
     assert objective(refined) <= objective(seed) + 1e-9
     # Refinement actually moved centroids off the seed vectors.
     assert refined != seed
+
+
+# ---------------------------------------------------------------- IVF k-means
+
+def test_ivf_lloyd_refinement_matches_numpy_reference(spark):
+    """refine_iters runs true distributed Lloyd: same init, same rounds,
+    same centroids as a dense numpy implementation (cosine assignment,
+    per-cell mean update, empty cells keep their centroid)."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.similarity import ivf_build
+
+    rng = np.random.default_rng(9)
+    # three separated blobs in 8-d
+    blobs = np.concatenate(
+        [rng.normal(loc=c, scale=0.05, size=(30, 8)) for c in (0.0, 1.0, -1.0)]
+    )
+    rows = [(i, [float(x) for x in blobs[i]]) for i in range(len(blobs))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = np.array(ivf_build(df, n_centroids=3, refine_iters=4))
+
+    # numpy reference with the IDENTICAL stride init
+    total = len(blobs)
+    stride = max(total // 3, 1)
+    init_ids = [i for i in range(total) if i % stride == 0][:3]
+    cents = blobs[init_ids].astype(float)
+
+    def cos(a, b):
+        return (a @ b.T) / (
+            np.linalg.norm(a, axis=1)[:, None] * np.linalg.norm(b, axis=1)[None, :]
+        )
+
+    for _ in range(4):
+        assign = cos(blobs, cents).argmax(axis=1)
+        for c in range(3):
+            members = blobs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    assert np.allclose(got, cents, atol=1e-9), (got - cents)
+
+
+def test_ivf_lloyd_tightens_cells_on_blobby_data(spark):
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.similarity import ivf_build
+
+    rng = np.random.default_rng(10)
+    # cosine-space blobs: three distinct DIRECTIONS (a blob at the origin
+    # has random directions and no cosine cohesion to find)
+    centers = rng.normal(size=(3, 8))
+    centers = 2.0 * centers / np.linalg.norm(centers, axis=1)[:, None]
+    blobs = np.concatenate(
+        [rng.normal(loc=c, scale=0.05, size=(40, 8)) for c in centers]
+    )
+    # ids in blob order: the deterministic stride init (ids 0/40/80)
+    # lands one seed per blob — k-means from a degenerate init is a
+    # local-optimum property of k-means, not of this implementation
+    rows = [(int(i), [float(x) for x in blobs[i]]) for i in range(len(blobs))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def cohesion(cents):
+        c = np.array(cents)
+        sims = (blobs @ c.T) / (
+            np.linalg.norm(blobs, axis=1)[:, None] * np.linalg.norm(c, axis=1)[None, :]
+        )
+        return sims.max(axis=1).mean()  # mean best-centroid cosine
+
+    plain = cohesion(ivf_build(df, n_centroids=3, refine_iters=0))
+    trained = cohesion(ivf_build(df, n_centroids=3, refine_iters=4))
+    assert trained >= plain - 1e-12
+    assert trained > 0.95  # blobs are tight; trained centroids must be too
