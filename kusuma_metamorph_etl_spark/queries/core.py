@@ -1172,3 +1172,58 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
     )
     return merged.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "src_csv_badrecords",
+    """SELECT o_orderkey, o_orderstatus,
+              CAST(round(CAST(o_totalprice AS DECIMAL(38,6)), 2) AS DOUBLE)
+                  AS o_totalprice
+       FROM orders WHERE o_orderkey % 97 <> 0""",
+)
+def src_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest with corrupt-record quarantine: a landing
+    file where ~1% of lines are malformed (wrong arity, junk numerics)
+    must load WITHOUT failing the job, parse every good line, and
+    surface the bad ones via ``columnNameOfCorruptRecord`` for the
+    quarantine path — the production alternative to FAILFAST (die on
+    line 1) and DROPMALFORMED (silently lose data, unauditable).  The
+    query emits the clean rows; the corrupt rows are asserted counted
+    in tests.  Oracle: the known-good subset recomputed from parquet.
+
+    Sharp edge (tested): corrupt detection runs against the PRUNED
+    schema — consumers must keep the full data projection (or cache)
+    when filtering on the corrupt column, else column pruning re-parses
+    only the selected fields and short rows silently un-mark."""
+    base = os.path.join(SCRATCH, "csv_badrecords", os.path.basename(sf_dir))
+    orders = t(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            # malformed: wrong arity AND a non-numeric price fragment
+            F.concat_ws(",", F.col("o_orderkey"), F.lit("garbage|||")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.round(F.col("o_totalprice").cast("decimal(38,6)"), 2),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(base)
+    parsed = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "_corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(base)
+    )
+    return (
+        parsed.filter(F.col("_corrupt").isNull())
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )

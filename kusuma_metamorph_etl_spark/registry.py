@@ -154,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "txt_perplexity",
     "mm_augment",
     "ts_rolling_distinct",
+    "src_csv_badrecords",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

@@ -154,3 +154,40 @@ def test_schema_evolution_merges_additive_column(spark, sf_small):
     assert old.filter(F.col("o_orderpriority").isNotNull()).count() == 0
     assert new.filter(F.col("o_orderpriority").isNull()).count() == 0
     assert old.count() > 0 and new.count() > 0
+
+
+def test_csv_badrecords_quarantines_malformed_lines(spark, sf_small):
+    """PERMISSIVE + corrupt-record column: every malformed line is
+    captured (not dropped, not fatal) and every good line parses."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.queries.core import SCRATCH, src_csv_badrecords
+    from kusuma_metamorph_etl_spark.sources.catalog import load_table
+
+    good = src_csv_badrecords(spark, sf_small)
+    orders = load_table(spark, sf_small, "orders")
+    n_bad_expected = orders.filter(F.col("o_orderkey") % 97 == 0).count()
+    n_good_expected = orders.count() - n_bad_expected
+    # CSV corrupt detection runs against the PRUNED schema: selecting a
+    # subset re-parses only those fields and un-marks short rows, and a
+    # corrupt-only projection is disallowed outright — so count the GOOD
+    # rows with the full projection the query declares.
+    assert len(good.collect()) == n_good_expected
+
+    base = os.path.join(SCRATCH, "csv_badrecords", os.path.basename(sf_small))
+    parsed = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "_corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(base)
+        .cache()  # the documented workaround for querying _corrupt alone
+    )
+    quarantined = parsed.filter(F.col("_corrupt").isNotNull())
+    assert quarantined.count() == n_bad_expected
+    # the raw malformed line is preserved for audit
+    assert all("garbage" in r["_corrupt"] for r in quarantined.collect())
