@@ -65,6 +65,9 @@ HEADLINE = [
     "ts_gapfill",  # calendar spine + ignore-nulls fill windows
     "dedup_minhash_incr",  # new-batch x corpus band join + exact verify
     "agg_heavy_hitters",  # MG partition summaries + candidate verify
+    "txt_perplexity",  # bigram LM build + (w1,w2) join + doc agg
+    "ts_rolling_distinct",  # per-day HLL fan-out + union merge
+    "mm_augment",  # decode-transform-reencode fan-out over Arrow
 ]
 
 

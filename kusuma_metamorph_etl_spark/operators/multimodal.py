@@ -1036,3 +1036,90 @@ def augment(
     return df.select(id_col, payload_col).mapInPandas(
         do_augment, schema=AUGMENT_SCHEMA
     )
+
+
+# ---------------------------------------------------------- audio augmentation
+
+_AUDIO_AUG_OPS = ("reverse", "gain_half", "decimate2", "pad_256")
+
+
+def augment_audio(payload: bytes, op: str) -> bytes:
+    """One deterministic audio augmentation of a PCM16 WAV payload,
+    re-encoded at the source sample rate.  Same reproducibility stance
+    as :func:`augment_image`: geometric/integer ops only.
+
+    * ``reverse`` — time reversal (a permutation: every sample-multiset
+      statistic is invariant — the test/oracle contract);
+    * ``gain_half`` — arithmetic shift halving (``s >> 1``, exact
+      integer semantics, no float resampling);
+    * ``decimate2`` — keep every 2nd sample (naive 2× downsample;
+      anti-alias filtering is a real-DSP concern documented out of
+      scope — the plumbing and length contract are what this exercises);
+    * ``pad_256`` — right zero-pad to ≥ 256 samples (fixed-length
+      training windows).
+    """
+    audio = decode_audio(payload)
+    s = audio["samples"]
+    if op == "reverse":
+        out = s[::-1]
+    elif op == "gain_half":
+        out = (s >> 1).astype(np.int16)
+    elif op == "decimate2":
+        out = s[::2]
+    elif op == "pad_256":
+        n = s.shape[0]
+        if n >= 256:
+            out = s
+        else:
+            out = np.concatenate(
+                [s, np.zeros((256 - n, s.shape[1]), dtype=np.int16)]
+            )
+    else:
+        raise ValueError(
+            f"unknown audio augmentation {op!r}; choose from {_AUDIO_AUG_OPS}"
+        )
+    return encode_wav(np.ascontiguousarray(out), audio["sample_rate"])
+
+
+AUDIO_AUGMENT_SCHEMA = (
+    "doc_id long, op string, payload binary, n_samples long, sum_abs long"
+)
+
+
+def audio_augment(
+    df: DataFrame,
+    ops: list[str] | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched audio augmentation fan-out — one row per (clip, op)
+    with the re-encoded payload, decoded length, and the exact int64
+    sum of absolute samples (the permutation-invariance witness)."""
+    use_ops = list(ops or _AUDIO_AUG_OPS)
+    unknown = set(use_ops) - set(_AUDIO_AUG_OPS)
+    if unknown:
+        raise ValueError(f"unknown audio augmentations {sorted(unknown)}")
+
+    def do_augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                for op in use_ops:
+                    aug = augment_audio(payload, op)
+                    dec = decode_audio(aug)
+                    rows.append(
+                        (
+                            doc_id,
+                            op,
+                            aug,
+                            int(dec["n_samples"]),
+                            int(np.abs(dec["samples"].astype(np.int64)).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "op", payload_col, "n_samples", "sum_abs"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        do_augment, schema=AUDIO_AUGMENT_SCHEMA
+    )

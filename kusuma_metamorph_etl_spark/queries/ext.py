@@ -2842,3 +2842,52 @@ def ts_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("exact_users")
     )
     return joined.filter(rel_err <= 0.05).select("day_dt", "exact_users")
+
+
+@register(
+    "mm_audio_augment",
+    """WITH base AS (
+         SELECT doc_id,
+                CAST(64 + octet_length(encode(text)) % 128 AS BIGINT) AS n
+         FROM documents),
+       ops(op) AS (VALUES ('reverse'), ('gain_half'), ('decimate2'),
+                          ('pad_256'))
+       SELECT doc_id, op,
+         CASE WHEN op = 'decimate2' THEN (n + 1) // 2
+              WHEN op = 'pad_256' THEN greatest(n, 256)
+              ELSE n END AS n_samples
+       FROM base CROSS JOIN ops""",
+)
+def mm_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic audio augmentation fan-out ([EXT] multimodal;
+    `operators/multimodal.py::audio_augment`): time reversal, integer
+    gain halving, naive 2x decimation, and fixed-length zero-padding
+    over REAL WAV decode→re-encode.  Oracle: post-op sample counts from
+    the synthesis contract; reversal and padding must additionally
+    preserve the exact int64 sum of absolute samples (permutation /
+    zero-extension invariants) — violating rows drop in-query."""
+    docs = t(spark, sf_dir, "documents")
+    wav = multimodal.attach_audio_payload(docs)
+    orig = multimodal.extract_binary_features(
+        wav,
+        decoder=multimodal.audio_features,
+        schema=multimodal.AUDIO_FEATURE_SCHEMA,
+    ).select("doc_id", F.col("n_samples").alias("orig_n"))
+    aug = multimodal.audio_augment(wav)
+    # cross-op witness: reverse (a permutation) and pad_256 (zero
+    # extension) must report the SAME exact int64 |sample| sum — two
+    # independent transform paths agreeing on the invariant; a decode or
+    # re-encode bug in either empties the gated rows.
+    ref_abs = (
+        multimodal.audio_augment(wav, ops=["pad_256"])
+        .select("doc_id", F.col("sum_abs").alias("ref_abs"))
+    )
+    return (
+        aug.join(orig, "doc_id")
+        .join(ref_abs, "doc_id")
+        .filter(
+            (~F.col("op").isin("reverse", "pad_256"))
+            | (F.col("sum_abs") == F.col("ref_abs"))
+        )
+        .select("doc_id", "op", "n_samples")
+    )

@@ -155,6 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_augment",
     "ts_rolling_distinct",
     "src_csv_badrecords",
+    "mm_audio_augment",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

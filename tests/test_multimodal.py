@@ -492,3 +492,56 @@ def test_augment_dataframe_fanout(spark):
         out.select("doc_id", "payload")
     )
     assert feats.filter(F.col("format") == "png").count() == 4
+
+
+def test_audio_augment_invariants():
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.multimodal import (
+        augment_audio,
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(4)
+    samples = rng.integers(-3000, 3000, size=300, dtype=np.int16)
+    payload = encode_wav(samples)
+
+    rev = decode_audio(augment_audio(payload, "reverse"))["samples"][:, 0]
+    assert np.array_equal(rev, samples[::-1])
+    # reverse twice = identity
+    twice = decode_audio(
+        augment_audio(augment_audio(payload, "reverse"), "reverse")
+    )["samples"][:, 0]
+    assert np.array_equal(twice, samples)
+
+    half = decode_audio(augment_audio(payload, "gain_half"))["samples"][:, 0]
+    assert np.array_equal(half, samples >> 1)
+
+    dec = decode_audio(augment_audio(payload, "decimate2"))["samples"][:, 0]
+    assert np.array_equal(dec, samples[::2])
+
+    short = encode_wav(samples[:100])
+    padded = decode_audio(augment_audio(short, "pad_256"))["samples"][:, 0]
+    assert len(padded) == 256
+    assert np.array_equal(padded[:100], samples[:100])
+    assert not padded[100:].any()
+    # already long enough: unchanged
+    same = decode_audio(augment_audio(payload, "pad_256"))["samples"][:, 0]
+    assert np.array_equal(same, samples)
+
+
+def test_audio_augment_dataframe_fanout(spark):
+    from kusuma_metamorph_etl_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    wav = multimodal.attach_audio_payload(docs)
+    out = multimodal.audio_augment(wav, ops=["reverse", "decimate2"]).collect()
+    assert len(out) == 4
+    by = {(r["doc_id"], r["op"]): r for r in out}
+    for d in (1, 2):
+        assert by[(d, "decimate2")]["n_samples"] == (
+            by[(d, "reverse")]["n_samples"] + 1
+        ) // 2
