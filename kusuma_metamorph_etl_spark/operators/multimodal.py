@@ -1069,7 +1069,12 @@ def augment_audio(payload: bytes, op: str) -> bytes:
       training windows).
     """
     audio = decode_audio(payload)
-    s = audio["samples"]
+    return encode_wav(
+        _augment_samples(audio["samples"], op), audio["sample_rate"]
+    )
+
+
+def _augment_samples(s: "np.ndarray", op: str) -> "np.ndarray":
     if op == "reverse":
         out = s[::-1]
     elif op == "gain_half":
@@ -1088,7 +1093,7 @@ def augment_audio(payload: bytes, op: str) -> bytes:
         raise ValueError(
             f"unknown audio augmentation {op!r}; choose from {_AUDIO_AUG_OPS}"
         )
-    return encode_wav(np.ascontiguousarray(out), audio["sample_rate"])
+    return np.ascontiguousarray(out)
 
 
 AUDIO_AUGMENT_SCHEMA = (
@@ -1114,16 +1119,18 @@ def audio_augment(
         for batch in batches:
             rows = []
             for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                # one decode per clip; stats from the transformed array
+                # (same decode-sharing as the image fan-out)
+                audio = decode_audio(payload)
                 for op in use_ops:
-                    aug = augment_audio(payload, op)
-                    dec = decode_audio(aug)
+                    out = _augment_samples(audio["samples"], op)
                     rows.append(
                         (
                             doc_id,
                             op,
-                            aug,
-                            int(dec["n_samples"]),
-                            int(np.abs(dec["samples"].astype(np.int64)).sum()),
+                            encode_wav(out, audio["sample_rate"]),
+                            int(out.shape[0]),
+                            int(np.abs(out.astype(np.int64)).sum()),
                         )
                     )
             yield pd.DataFrame(
