@@ -79,3 +79,83 @@ def iqr_outliers(
         )
         .drop("_q0", "_q1")
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift gate between a reference window and a
+    current window (rule of thumb: < 0.1 stable, 0.1–0.2 drifting,
+    > 0.2 action).  Returns one row: (psi, n_a, n_b, n_bins).
+
+    Composed over the mergeable histogram sketch
+    (`operators/sketches.py::histogram_sketch`) with SHARED bounds, so
+    the same persisted daily sketches a quantile rollup keeps can feed
+    drift monitoring without re-scanning raw data.  Bin proportions are
+    Laplace-smoothed (+0.5 per bin) so empty bins cannot produce ±inf.
+
+    Determinism contract: per-bin terms round to 9 dp and sum in exact
+    decimal (the perplexity pattern) — engines agree exactly.
+    """
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        derive_bounds,
+        histogram_sketch,
+    )
+
+    if lo is None or hi is None:
+        lo_a, hi_a = derive_bounds(df_a, value_col)
+        lo_b, hi_b = derive_bounds(df_b, value_col)
+        lo, hi = min(lo_a, lo_b), max(hi_a, hi_b)
+    a = histogram_sketch(df_a, value_col, lo, hi, n_bins).withColumnRenamed(
+        "n", "na"
+    )
+    b = histogram_sketch(df_b, value_col, lo, hi, n_bins).withColumnRenamed(
+        "n", "nb"
+    )
+    joined = (
+        a.join(b, on="bin", how="full")
+        .select(
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    smoothing = 0.5
+    terms = joined.crossJoin(F.broadcast(totals)).select(
+        "na",
+        "nb",
+        (
+            (
+                (F.col("na") + smoothing)
+                / (F.col("ta") + smoothing * n_bins)
+                - (F.col("nb") + smoothing) / (F.col("tb") + smoothing * n_bins)
+            )
+            * F.log(
+                (
+                    (F.col("na") + smoothing)
+                    / (F.col("ta") + smoothing * n_bins)
+                )
+                / (
+                    (F.col("nb") + smoothing)
+                    / (F.col("tb") + smoothing * n_bins)
+                )
+            )
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.round(
+            F.sum(F.round(F.col("term"), 9).cast("decimal(38,9)")).cast("double"),
+            6,
+        ).alias("psi"),
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.lit(n_bins).alias("n_bins"),
+    )

@@ -489,3 +489,18 @@ def bigram_lm_scores(
             (-F.sum("__lp").cast("double")) / F.count(F.lit(1)), 6
         ).alias("bits_per_bigram"),
     )
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """Canonical text form for normalized exact dedup — the standard
+    pre-hash normalization of web-corpus pipelines (casefold, strip
+    punctuation, collapse whitespace): two documents differing only in
+    case, punctuation, or spacing hash identically.
+
+    Pure JVM expression chain (lower → punctuation strip → whitespace
+    collapse → trim); mirrored 1:1 in the DuckDB oracle.  Unicode NFKC
+    folding is the documented upgrade when corpora carry compatibility
+    forms — same seam, one more transform.
+    """
+    stripped = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))

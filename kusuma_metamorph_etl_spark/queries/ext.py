@@ -2891,3 +2891,75 @@ def mm_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "op", "n_samples")
     )
+
+
+@register(
+    "dedup_normalized",
+    """WITH n AS (
+         SELECT doc_id,
+                trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                    '\\s+', ' ', 'g')) AS canon
+         FROM documents)
+       SELECT doc_id FROM (
+         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(canon)) AS keep
+         FROM n)
+       WHERE doc_id = keep""",
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup ([EXT]; `operators/text.py::
+    normalize_for_dedup` + `operators/dedup.py::exact_dedup`): casefold,
+    punctuation-strip and whitespace-collapse before hashing, so
+    trivially-reformatted copies collapse — the pre-hash normalization
+    every web-corpus pipeline runs before exact dedup."""
+    docs = t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id", text.normalize_for_dedup(F.col("text")).alias("text")
+    )
+    return dedup.exact_dedup(canon).select("doc_id")
+
+
+@register(
+    "dq_psi_drift",
+    """WITH bounds AS (
+         SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+       binned AS (
+         SELECT CASE WHEN year(o_orderdate) < 1998 THEN 'a' ELSE 'b' END AS side,
+                least(greatest(CAST(floor(
+                    (o_totalprice - (SELECT lo FROM bounds))
+                    / (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 10)
+                  ) AS INTEGER), 0), 9) AS bin
+         FROM orders),
+       counts AS (
+         SELECT bin,
+                count(*) FILTER (WHERE side = 'a') AS na,
+                count(*) FILTER (WHERE side = 'b') AS nb
+         FROM binned GROUP BY bin),
+       tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts),
+       terms AS (
+         SELECT na, nb,
+                CAST(round(
+                  ((na + 0.5) / ((SELECT ta FROM tot) + 5.0)
+                   - (nb + 0.5) / ((SELECT tb FROM tot) + 5.0))
+                  * ln(((na + 0.5) / ((SELECT ta FROM tot) + 5.0))
+                       / ((nb + 0.5) / ((SELECT tb FROM tot) + 5.0))), 9)
+                  AS DECIMAL(38,9)) AS term
+         FROM counts)
+       SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+              CAST(sum(na) AS BIGINT) AS n_a,
+              CAST(sum(nb) AS BIGINT) AS n_b,
+              10 AS n_bins
+       FROM terms""",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift gate ([EXT] robust stats;
+    `operators/stats.py::psi_drift`): order-value distribution of the
+    pre-1995 reference window vs the 1995+ current window, binned on
+    shared bounds, Laplace-smoothed, decimal-summed — the snapshot-drift
+    monitor composed over the mergeable histogram sketch."""
+    from kusuma_metamorph_etl_spark.operators.stats import psi_drift
+
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") < 1998)
+    b = orders.filter(F.year("o_orderdate") >= 1998)
+    return psi_drift(a, b, "o_totalprice", n_bins=10)

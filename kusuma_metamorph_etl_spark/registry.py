@@ -156,6 +156,8 @@ _PRIORITY: tuple[str, ...] = (
     "ts_rolling_distinct",
     "src_csv_badrecords",
     "mm_audio_augment",
+    "dedup_normalized",
+    "dq_psi_drift",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

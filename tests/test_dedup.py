@@ -436,3 +436,22 @@ def test_incremental_minhash_labels_sides(spark, sf_small):
         else:
             assert r["against"] == "new" and r["match_id"] % 5 == 0
         assert r["jaccard"] >= 0.5
+
+
+def test_normalized_dedup_collapses_reformatted_copies(spark):
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.text import normalize_for_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    canon = df.select("doc_id", normalize_for_dedup(F.col("text")).alias("text"))
+    kept = {r["doc_id"] for r in dedup.exact_dedup(canon).collect()}
+    assert kept == {1, 4}  # lowest id survives the collapsed trio

@@ -32,3 +32,39 @@ def test_iqr_outliers_flags_planted_value(spark):
 def test_bounds_join_is_broadcast(spark):
     plan = winsorize(_df(spark), ["k"], "v")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- PSI drift
+
+def test_psi_drift_zero_for_identical_and_large_for_shifted(spark):
+    import math
+
+    from kusuma_metamorph_etl_spark.operators.stats import psi_drift
+
+    a = spark.createDataFrame([(float(i % 100),) for i in range(2000)], ["v"])
+    same = psi_drift(a, a, "v", n_bins=10).collect()[0]
+    assert same["psi"] == 0.0  # identical distributions → exactly zero terms
+    assert same["n_a"] == same["n_b"] == 2000
+
+    # hard shift: mass moves to the top of the range
+    b = spark.createDataFrame([(float(60 + i % 40),) for i in range(2000)], ["v"])
+    shifted = psi_drift(a, b, "v", n_bins=10).collect()[0]
+    assert shifted["psi"] > 0.2  # "action" territory
+    assert math.isfinite(shifted["psi"])  # empty bins smoothed, no inf
+
+
+def test_psi_drift_matches_hand_computation(spark):
+    import math
+
+    from kusuma_metamorph_etl_spark.operators.stats import psi_drift
+
+    # 2 bins over [0, 2): a = 8 low + 2 high, b = 5 low + 5 high
+    a = spark.createDataFrame([(0.5,)] * 8 + [(1.5,)] * 2, ["v"])
+    b = spark.createDataFrame([(0.5,)] * 5 + [(1.5,)] * 5, ["v"])
+    got = psi_drift(a, b, "v", n_bins=2, lo=0.0, hi=2.0).collect()[0]
+    want = 0.0
+    for na, nb in ((8, 5), (2, 5)):
+        p = (na + 0.5) / (10 + 1.0)
+        q = (nb + 0.5) / (10 + 1.0)
+        want += round((p - q) * math.log(p / q), 9)
+    assert abs(got["psi"] - round(want, 6)) < 1e-9
