@@ -264,3 +264,55 @@ def event_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def ab_lift(
+    events: DataFrame,
+    variant_col: Column,
+    convert_when: Column,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Two-variant conversion lift with the two-proportion z-statistic —
+    the experiment-readout primitive: per variant, exposed users and
+    converted users; plus absolute lift and the pooled-variance z score
+    of variant 'b' over 'a'.
+
+    ``variant_col`` labels each EVENT row 'a'/'b' (derive from a stable
+    user hash for a real assignment); ``convert_when`` marks conversion
+    events.  A user converts if ANY of their events matches.  One
+    user-keyed aggregation + one 2-row variant rollup — the z arithmetic
+    runs on a 1-row frame.  Rounded to 6 dp on the deterministic single
+    expression, so engines agree.
+    """
+    per_user = events.groupBy(
+        F.col(user_col).alias("user"), variant_col.alias("variant")
+    ).agg(F.max(convert_when.cast("int")).alias("converted"))
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = per_variant.filter(F.col("variant") == "a").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = per_variant.filter(F.col("variant") == "b").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    pooled = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return j.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pb - pa, 6).alias("abs_lift"),
+        # degenerate experiments (0% or 100% pooled conversion) have no
+        # sampling variance — z is undefined, emitted NULL
+        F.when(se > 0, F.round((pb - pa) / se, 6)).alias("z"),
+    )

@@ -364,3 +364,20 @@ def temperature_sample(
     return df.join(F.broadcast(rates), on=source_col).filter(
         hash_unit(key, seed) < F.col("keep_rate")
     )
+
+
+def kfold_assign(
+    df: DataFrame, key: Column, k: int = 5, seed: str = "42",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = md5-int(seed|key) % k``
+    — every row lands in the same fold on any cluster, any partitioning,
+    any md5-capable engine (the cross-validation / sharded-eval split
+    primitive; folds are disjoint and exhaustive by construction).
+    Narrow column expression, no shuffle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(out_col, (h % k).cast("int"))

@@ -2963,3 +2963,63 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.year("o_orderdate") < 1998)
     b = orders.filter(F.year("o_orderdate") >= 1998)
     return psi_drift(a, b, "o_totalprice", n_bins=10)
+
+
+@register(
+    "evt_ab_lift",
+    """WITH per_user AS (
+         SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                  AS variant,
+                max(CASE WHEN event_type = 'purchase' AND value > 144.0
+                         THEN 1 ELSE 0 END) AS converted
+         FROM events GROUP BY 1, 2),
+       pv AS (SELECT variant, count(*) AS n, sum(converted) AS c
+              FROM per_user GROUP BY variant),
+       j AS (SELECT
+               (SELECT n FROM pv WHERE variant = 'a') AS na,
+               (SELECT c FROM pv WHERE variant = 'a') AS ca,
+               (SELECT n FROM pv WHERE variant = 'b') AS nb,
+               (SELECT c FROM pv WHERE variant = 'b') AS cb)
+       SELECT CAST(na AS BIGINT) AS na, CAST(ca AS BIGINT) AS ca,
+              CAST(nb AS BIGINT) AS nb, CAST(cb AS BIGINT) AS cb,
+              round(ca / CAST(na AS DOUBLE), 6) AS rate_a,
+              round(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
+              round(cb / CAST(nb AS DOUBLE) - ca / CAST(na AS DOUBLE), 6)
+                  AS abs_lift,
+              CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN
+                round((cb / CAST(nb AS DOUBLE) - ca / CAST(na AS DOUBLE))
+                      / sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+                             * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                             * (1.0 / na + 1.0 / nb)), 6) END AS z
+       FROM j""",
+)
+def evt_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion lift ([EXT] event analytics; `operators/events.py::
+    ab_lift`): even/odd user split, high-value-purchase conversion
+    (value > 144 — a mid-rate event, so the z-test has variance to
+    measure), absolute lift
+    and pooled two-proportion z — one user-keyed agg + a 2-row rollup."""
+    from kusuma_metamorph_etl_spark.operators.events import ab_lift
+
+    ev = t(spark, sf_dir, "events")
+    return ab_lift(
+        ev,
+        variant_col=F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"),
+        convert_when=(F.col("event_type") == "purchase")
+        & (F.col("value") > 144.0),
+    )
+
+
+@register(
+    "samp_kfold",
+    """SELECT doc_id,
+              CAST(('0x' || substr(md5('42|' || doc_id), 1, 8))::BIGINT % 5
+                   AS INTEGER) AS fold
+       FROM documents""",
+)
+def samp_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment ([EXT] sampling;
+    `operators/sampling.py::kfold_assign`) — content-keyed, disjoint,
+    exhaustive; the reproducible cross-validation split."""
+    docs = t(spark, sf_dir, "documents")
+    return sampling.kfold_assign(docs.select("doc_id"), F.col("doc_id"), k=5)

@@ -158,6 +158,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_augment",
     "dedup_normalized",
     "dq_psi_drift",
+    "evt_ab_lift",
+    "samp_kfold",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

@@ -91,3 +91,50 @@ def test_jdbc_reader_builds(spark):
 def test_jdbc_writer_batched():
     opts = writer_options("jdbc:postgresql://db/x", "t", "u", "p")
     assert opts["batchsize"] == "10000"
+
+
+# ---------------------------------------------------------------- A/B lift
+
+def test_ab_lift_matches_hand_z(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.events import ab_lift
+
+    # 10 users per variant; a converts 2, b converts 6
+    rows = []
+    for u in range(20):
+        variant_even = u % 2 == 0  # evens = 'a'
+        converts = (u in (0, 2)) if variant_even else (u in (1, 3, 5, 7, 9, 11))
+        rows.append((u, "buy" if converts else "view"))
+        rows.append((u, "view"))
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = ab_lift(
+        df,
+        variant_col=F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"),
+        convert_when=F.col("event_type") == "buy",
+    ).collect()[0]
+    assert (out["na"], out["ca"], out["nb"], out["cb"]) == (10, 2, 10, 6)
+    pa, pb, pooled = 0.2, 0.6, 0.4
+    se = math.sqrt(pooled * (1 - pooled) * (1 / 10 + 1 / 10))
+    assert abs(out["z"] - round((pb - pa) / se, 6)) < 1e-9
+    assert out["abs_lift"] == 0.4
+
+
+def test_ab_lift_degenerate_z_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.events import ab_lift
+
+    df = spark.createDataFrame(
+        [(0, "buy"), (1, "buy"), (2, "buy"), (3, "buy")],
+        ["user_id", "event_type"],
+    )
+    out = ab_lift(
+        df,
+        variant_col=F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"),
+        convert_when=F.col("event_type") == "buy",
+    ).collect()[0]
+    assert out["rate_a"] == out["rate_b"] == 1.0
+    assert out["z"] is None  # 100% pooled conversion: no variance, no z

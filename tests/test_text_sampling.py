@@ -563,3 +563,21 @@ def test_bigram_lm_scores_with_reference_corpus(spark):
     # seen bigram scores better than fully-unseen one
     assert out[1]["bits_per_bigram"] < out[2]["bits_per_bigram"]
     assert out[1]["n_bigrams"] == 1 and out[2]["n_bigrams"] == 1
+
+
+def test_kfold_assignment_disjoint_exhaustive_balanced(spark):
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["id"])
+    out = kfold_assign(df, F.col("id"), k=5)
+    counts = {r["fold"]: r["n"] for r in out.groupBy("fold").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}  # exhaustive folds
+    assert sum(counts.values()) == 5000  # disjoint (each row exactly once)
+    assert all(800 < n < 1200 for n in counts.values())  # roughly balanced
+    # partition-invariant: same assignment after a reshuffle
+    again = kfold_assign(df.repartition(17), F.col("id"), k=5)
+    assert {(r["id"], r["fold"]) for r in again.collect()} == {
+        (r["id"], r["fold"]) for r in out.collect()
+    }
