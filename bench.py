@@ -68,6 +68,7 @@ HEADLINE = [
     "txt_perplexity",  # bigram LM build + (w1,w2) join + doc agg
     "ts_rolling_distinct",  # per-day HLL fan-out + union merge
     "mm_augment",  # decode-transform-reencode fan-out over Arrow
+    "mart_llm_dataprep",  # the composed end-to-end corpus-prep pipeline
 ]
 
 

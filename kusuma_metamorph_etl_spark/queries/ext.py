@@ -3023,3 +3023,98 @@ def samp_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive; the reproducible cross-validation split."""
     docs = t(spark, sf_dir, "documents")
     return sampling.kfold_assign(docs.select("doc_id"), F.col("doc_id"), k=5)
+
+
+_CANON = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+@register(
+    "mart_llm_dataprep",
+    f"""WITH surviving AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT d.*, min(doc_id) OVER (PARTITION BY md5({_CANON})) AS keep_id
+            FROM documents d)
+          WHERE doc_id = keep_id),
+        tok AS (SELECT doc_id, text, source, lang, {_W_TEXT} AS w, {_W_LOWER} AS wl
+                FROM surviving),
+        m AS (
+          SELECT doc_id,
+                 (text IS NULL) AS is_null_text,
+                 len(w) AS n_tokens,
+                 CASE WHEN len(w) > 0
+                      THEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+                      ELSE 0.0 END AS avg_wl,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(len(regexp_extract_all(text,
+                               '[#@<>{{}}\\[\\]\\\\|~^]')) AS DOUBLE)
+                           / length(text)
+                      ELSE 0.0 END AS sym_ratio,
+                 CASE WHEN len(w) > 0
+                      THEN CAST(len(list_filter(wl,
+                               x -> x IN ('the','a','and','of','to','in','is','it')))
+                               AS DOUBLE) / len(w)
+                      ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN greatest(len(w) - 1, 0) > 0
+                      THEN round(1.0 - CAST(len(list_distinct(
+                               list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                              i -> concat_ws(' ', w[i], w[i+1]))))
+                               AS DOUBLE) / (len(w) - 1), 6)
+                      ELSE 0.0 END AS rep2
+          FROM tok),
+        kept AS (
+          SELECT t.doc_id, t.source, t.lang, m.n_tokens
+          FROM tok t JOIN m USING (doc_id)
+          WHERE NOT (m.is_null_text OR m.n_tokens < 20 OR m.n_tokens > 100000
+                     OR m.avg_wl < 2.0 OR m.avg_wl > 12.0 OR m.sym_ratio > 0.12
+                     OR m.stop_ratio < 0.02 OR m.rep2 > 0.6)
+            AND t.lang = 'en'),
+        c AS (SELECT source, count(*)::DOUBLE AS n FROM kept GROUP BY source),
+        mn AS (SELECT min(n) AS nmin FROM c),
+        r AS (SELECT source,
+                     round(least(1.0, pow(n / (SELECT nmin FROM mn), -0.5)), 9)
+                         AS keep_rate
+              FROM c)
+        SELECT k.doc_id, k.source, k.lang, CAST(k.n_tokens AS BIGINT) AS n_tokens,
+               r.keep_rate
+        FROM kept k JOIN r USING (source)
+        WHERE ('0x' || substr(md5('42|' || k.doc_id), 1, 8))::BIGINT
+              / 4294967296.0 < r.keep_rate""",
+)
+def mart_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-data prep as ONE composed pipeline ([EXT]
+    flagship composition): normalized exact dedup (reformatted copies
+    collapse, lowest id wins) → Gopher quality filter → language gate →
+    temperature source rebalancing — each stage the registered operator,
+    chained exactly as a corpus job would run them, with the WHOLE
+    pipeline oracle-checked end to end.  Plan: one dedup shuffle, scan-
+    speed narrow filters, one tiny rate agg + broadcast — the fact
+    stream shuffles once."""
+    docs = t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id", text.normalize_for_dedup(F.col("text")).alias("__canon")
+    )
+    keep_ids = (
+        canon.select("doc_id", F.md5("__canon").alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surviving = docs.join(keep_ids, "doc_id", "left_semi")
+    quality = (
+        text.gopher_filter(surviving)
+        .filter(F.col("keep"))
+        .drop("keep", "reject_reason")
+    )
+    english = quality.filter(F.col("lang") == "en")
+    sampled = sampling.temperature_sample(
+        english, "source", F.col("doc_id"), alpha=0.5
+    )
+    return sampled.select(
+        "doc_id",
+        "source",
+        "lang",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "keep_rate",
+    )

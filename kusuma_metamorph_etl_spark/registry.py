@@ -134,10 +134,11 @@ _PRIORITY: tuple[str, ...] = (
     "evt_dedup_window",
     "evt_paths",
     # window cut-off: the driver checks the FIRST 50 names — 37 stale +
-    # the 9 above + the 4 below fill it exactly.  Later section-(2)
-    # entries (ts_rolling, src_schema_evolution, fn_winsorize,
-    # dq_outlier_flag, agg_heavy_hitters, txt_keywords, …) debut in the
-    # r8 window — front-load them there, then refresh oldest-r5 rows.
+    # the 9 above + the 4 below fill it exactly.  ROUND-8 PLAN: the 18
+    # later section-(2) entries (ts_rolling … samp_kfold below) have
+    # zero driver evidence — front-load ALL of them in the r8 window,
+    # then pad with the oldest r5 rows (proj_*, fil_*, marts).  After
+    # that window, nothing registered is older than r6.
     "graph_pagerank",
     "ts_gapfill",
     "dedup_minhash_incr",
@@ -160,6 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "dq_psi_drift",
     "evt_ab_lift",
     "samp_kfold",
+    "mart_llm_dataprep",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

