@@ -9,7 +9,7 @@ sessionization/attribution family (`streaming/windows.py::session_agg`,
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -315,4 +315,39 @@ def ab_lift(
         # degenerate experiments (0% or 100% pooled conversion) have no
         # sampling variance — z is undefined, emitted NULL
         F.when(se > 0, F.round((pb - pa) / se, 6)).alias("z"),
+    )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user consecutive-day activity streaks (gaps-and-islands):
+    one row per streak with its start day, end day, and length — the
+    engagement/retention primitive behind "N-day streak" features.
+
+    Plan: collapse to distinct (user, day) first (the big win — the
+    window then runs over at most 1 row per user-day, not per event),
+    then the classic island key ``epoch_day − row_number()`` (constant
+    within a run of consecutive days) and one (user, island) count.
+    Two user-keyed shuffles total, both on day-grain rows.
+    """
+    day = F.to_date(F.col(ts_col))
+    days = events.select(
+        F.col(user_col).alias("user"), day.alias("d")
+    ).distinct()
+    w = Window.partitionBy("user").orderBy("d")
+    ed = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    islands = days.withColumn(
+        "__island", ed - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("user", "__island")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .select("user", "streak_start", "streak_end", "streak_days")
     )

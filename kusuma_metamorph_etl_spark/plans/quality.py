@@ -281,3 +281,32 @@ def schema_drift_gate(
             type_changed=type_changed,
         )
     return df
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profile → long-form ``(column, n_rows, n_null,
+    n_distinct)`` — the data-profiling summary quality dashboards ingest
+    (null creep and cardinality collapse are the two classic silent
+    schema-rot signals; feed these into `volume_anomaly_gate`-style
+    history checks to alarm on drift).
+
+    ONE aggregation computes every column's stats (3·k aggregates, one
+    shuffle of partial aggregates); the single wide row then unpivots via
+    ``stack`` — no per-column jobs, no extra scans.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __rows_{c}, __null_{c}, __dist_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column, n_rows, n_null, n_distinct)"
+        )
+    )

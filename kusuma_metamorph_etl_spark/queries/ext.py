@@ -31,7 +31,7 @@ from kusuma_metamorph_etl_spark.operators import (
     similarity,
     text,
 )
-from kusuma_metamorph_etl_spark.registry import register
+from kusuma_metamorph_etl_spark.registry import RUN_DATE, register
 from kusuma_metamorph_etl_spark.sources.catalog import load_table as t
 from kusuma_metamorph_etl_spark.streaming.windows import (
     session_agg,
@@ -3117,4 +3117,110 @@ def mart_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         text.token_count(F.col("text")).cast("long").alias("n_tokens"),
         "keep_rate",
+    )
+
+
+@register(
+    "evt_streaks",
+    """WITH days AS (
+         SELECT DISTINCT user_id AS user, CAST(ts AS DATE) AS d FROM events),
+       isl AS (
+         SELECT user, d,
+                date_diff('day', DATE '1970-01-01', d)
+                - row_number() OVER (PARTITION BY user ORDER BY d) AS island
+         FROM days)
+       SELECT user, min(d) AS streak_start, max(d) AS streak_end,
+              count(*) AS streak_days
+       FROM isl GROUP BY user, island""",
+)
+def evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks ([EXT] event analytics;
+    `operators/events.py::activity_streaks`): gaps-and-islands over
+    day-grain rows — the N-day-streak engagement feature; the distinct
+    (user, day) collapse keeps windows day-bounded, never event-bounded."""
+    from kusuma_metamorph_etl_spark.operators.events import activity_streaks
+
+    return activity_streaks(t(spark, sf_dir, "events"))
+
+
+@register(
+    "dq_null_profile",
+    """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+              sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+              count(DISTINCT o_custkey) AS n_distinct FROM orders
+       UNION ALL
+       SELECT 'o_orderstatus', count(*),
+              sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+              count(DISTINCT o_orderstatus) FROM orders
+       UNION ALL
+       SELECT 'o_totalprice', count(*),
+              sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+              count(DISTINCT o_totalprice) FROM orders
+       UNION ALL
+       SELECT 'o_orderpriority', count(*),
+              sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+              count(DISTINCT o_orderpriority) FROM orders""",
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling ([EXT] quality; `plans/quality.py::
+    profile_columns`): rows / nulls / distinct per column from a single
+    aggregation + stack unpivot — null creep and cardinality collapse
+    are the classic silent schema-rot signals."""
+    from kusuma_metamorph_etl_spark.plans.quality import profile_columns
+
+    orders = t(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    )
+
+
+@register(
+    "mart_rfm",
+    f"""WITH per_cust AS (
+          SELECT o_custkey AS custkey,
+                 date_diff('day', CAST(max(o_orderdate) AS DATE),
+                           DATE '{RUN_DATE}') AS recency_days,
+                 count(*) AS frequency,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                      AS DOUBLE) AS monetary
+          FROM orders GROUP BY o_custkey)
+        SELECT custkey, recency_days, frequency, monetary,
+               ntile(5) OVER (ORDER BY recency_days, custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+        FROM per_cust""",
+)
+def mart_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation mart ([EXT] composition): per-customer
+    recency (days to the fixed RUN_DATE snapshot) / frequency / exact-
+    decimal monetary, each quintiled with a deterministic custkey
+    tie-break (r_score 1 = most recent; f/m 1 = heaviest).  The ntile
+    windows are global by design — they run on the CUSTOMER grain
+    (post-aggregation), which is orders-of-magnitude smaller than the
+    fact table; the same two-regime rank machinery as
+    `win_percent_rank` is the escape hatch if the customer dimension
+    itself outgrows a sort."""
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(RUN_DATE).cast("date"), F.to_date(F.max("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        decimal_sum(F.col("o_totalprice")).alias("monetary"),
+    )
+    from pyspark.sql import Window
+
+    r_w = Window.orderBy("recency_days", "custkey")
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    return per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
     )

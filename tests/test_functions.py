@@ -138,3 +138,67 @@ def test_ab_lift_degenerate_z_is_null(spark):
     ).collect()[0]
     assert out["rate_a"] == out["rate_b"] == 1.0
     assert out["z"] is None  # 100% pooled conversion: no variance, no z
+
+
+# ---------------------------------------------------------------- streaks
+
+def test_activity_streaks_gaps_and_islands(spark):
+    import datetime as dt
+
+    from kusuma_metamorph_etl_spark.operators.events import activity_streaks
+
+    def d(day):
+        return dt.datetime(2024, 1, day, 12, 0)
+
+    rows = [
+        # user 1: Jan 1-3 (three events on Jan 2 — dedup to day grain),
+        # then Jan 6 solo
+        (1, d(1)), (1, d(2)), (1, d(2)), (1, d(2)), (1, d(3)), (1, d(6)),
+        # user 2: single day
+        (2, d(10)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["user"], r["streak_start"].isoformat()): (
+            r["streak_end"].isoformat(), r["streak_days"]
+        )
+        for r in activity_streaks(df).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): ("2024-01-03", 3),
+        (1, "2024-01-06"): ("2024-01-06", 1),
+        (2, "2024-01-10"): ("2024-01-10", 1),
+    }
+
+
+def test_profile_columns_single_pass_long_form(spark):
+    from kusuma_metamorph_etl_spark.plans.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], ["id", "grp"]
+    )
+    got = {r["column"]: r for r in profile_columns(df, ["id", "grp"]).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_null"] == 0
+    assert got["id"]["n_distinct"] == 4
+    assert got["grp"]["n_null"] == 1
+    assert got["grp"]["n_distinct"] == 2  # countDistinct skips the null
+
+
+def test_mart_rfm_scores_are_quintiles(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.queries.ext import mart_rfm
+
+    out = mart_rfm(spark, sf_small)
+    rows = out.collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        counts = [r[col] for r in rows]
+        assert set(counts) == {1, 2, 3, 4, 5}
+        # ntile balance: bucket sizes differ by at most 1
+        per = [counts.count(i) for i in range(1, 6)]
+        assert max(per) - min(per) <= 1
+    # heaviest spender holds m_score 1
+    top = max(rows, key=lambda r: r["monetary"])
+    assert top["m_score"] == 1
+    assert n == out.select("custkey").distinct().count()
