@@ -3102,12 +3102,24 @@ def mart_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     surviving = docs.join(keep_ids, "doc_id", "left_semi")
-    quality = (
-        text.gopher_filter(surviving)
-        .filter(F.col("keep"))
+    # ONE materialization point, placed AFTER the Gopher projection and
+    # BEFORE any filter on its outputs.  Two documented traps meet here:
+    # (1) `filter(keep)` otherwise PUSHES the whole rule-chain predicate
+    # below the projection, substituting the tokenizer alias into its
+    # ~10 rule references (filter-pushdown has no non-cheap-alias guard
+    # the way CollapseProject does) — measured 14-15s for the quality
+    # stage vs ~1.3s unpushed; (2) temperature_sample reads its input on
+    # three plan branches.  Checkpointing the projected frame makes
+    # `keep` a materialized COLUMN (filters on it are free) and lets the
+    # sampler's branches share one evaluation: whole pipeline 33s → ~3s
+    # at sf0.1.  On a cluster this is exactly where the filtered corpus
+    # would be persisted as a table anyway.
+    quality_all = text.gopher_filter(surviving).localCheckpoint(eager=False)
+    english = (
+        quality_all.filter(F.col("keep"))
+        .filter(F.col("lang") == "en")
         .drop("keep", "reject_reason")
     )
-    english = quality.filter(F.col("lang") == "en")
     sampled = sampling.temperature_sample(
         english, "source", F.col("doc_id"), alpha=0.5
     )
