@@ -3236,3 +3236,85 @@ def mart_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(f_w).alias("f_score"),
         F.ntile(5).over(m_w).alias("m_score"),
     )
+
+
+@register(
+    "mart_user_engagement",
+    f"""WITH x AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id AS "user",
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(ns) AS BIGINT) AS n_sessions
+          FROM x GROUP BY user_id),
+        days AS (SELECT DISTINCT user_id AS "user", CAST(ts AS DATE) AS d
+                 FROM events),
+        isl AS (
+          SELECT "user", d,
+                 date_diff('day', DATE '1970-01-01', d)
+                 - row_number() OVER (PARTITION BY "user" ORDER BY d) AS island
+          FROM days),
+        st AS (
+          SELECT "user", max(n) AS longest_streak,
+                 CAST(sum(n) AS BIGINT) AS n_active_days
+          FROM (SELECT "user", island, count(*) AS n
+                FROM isl GROUP BY "user", island)
+          GROUP BY "user"),
+        last AS (
+          SELECT user_id AS "user",
+                 date_diff('day', CAST(max(ts) AS DATE), DATE '{RUN_DATE}')
+                     AS recency_days
+          FROM events GROUP BY user_id)
+        SELECT s."user", s.n_events, s.n_sessions, st.longest_streak,
+               st.n_active_days, last.recency_days,
+               ntile(4) OVER (ORDER BY s.n_events DESC, s."user")
+                   AS engagement_tier
+        FROM sess s JOIN st USING ("user") JOIN last USING ("user")""",
+)
+def mart_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-engagement mart ([EXT] composition, the events-side twin of
+    `mart_llm_dataprep`): sessionization, consecutive-day streaks, and
+    snapshot recency composed into one per-user profile with an
+    events-quartile engagement tier.  Every stage is the registered
+    operator; the ntile runs on the post-agg USER grain.  One
+    user-keyed shuffle feeds sessionize and the per-user rollup; the
+    streak branch reuses the day-grain collapse."""
+    from pyspark.sql import Window
+
+    from kusuma_metamorph_etl_spark.operators.events import (
+        activity_streaks,
+        sessionize,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_seconds=1800)
+    per_user = sess.groupBy(F.col("user_id").alias("user")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("session_idx").alias("n_sessions"),
+    )
+    st = activity_streaks(ev).groupBy("user").agg(
+        F.max("streak_days").alias("longest_streak"),
+        F.sum("streak_days").alias("n_active_days"),
+    )
+    last = ev.groupBy(F.col("user_id").alias("user")).agg(
+        F.datediff(
+            F.lit(RUN_DATE).cast("date"), F.to_date(F.max("ts"))
+        ).alias("recency_days")
+    )
+    joined = per_user.join(st, "user").join(last, "user")
+    tier_w = Window.orderBy(F.desc("n_events"), F.asc("user"))
+    return joined.select(
+        "user",
+        "n_events",
+        "n_sessions",
+        "longest_streak",
+        "n_active_days",
+        "recency_days",
+        F.ntile(4).over(tier_w).alias("engagement_tier"),
+    )

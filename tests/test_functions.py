@@ -202,3 +202,18 @@ def test_mart_rfm_scores_are_quintiles(spark, sf_small):
     top = max(rows, key=lambda r: r["monetary"])
     assert top["m_score"] == 1
     assert n == out.select("custkey").distinct().count()
+
+
+def test_mart_user_engagement_composes(spark, sf_small):
+    from kusuma_metamorph_etl_spark.queries.ext import mart_user_engagement
+
+    rows = mart_user_engagement(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sessions"] <= r["n_events"]
+        assert r["longest_streak"] <= r["n_active_days"]
+        assert 1 <= r["engagement_tier"] <= 4
+        assert r["recency_days"] > 0  # RUN_DATE is after the event window
+    tiers = [r["engagement_tier"] for r in rows]
+    per = [tiers.count(i) for i in range(1, 5)]
+    assert max(per) - min(per) <= 1  # ntile balance on the user grain
