@@ -351,3 +351,44 @@ def activity_streaks(
         )
         .select("user", "streak_start", "streak_end", "streak_days")
     )
+
+
+def funnel_timing(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-time profile per adjacent funnel stage: one long-form
+    row per (stage_from, stage_to) with converting-user count and exact
+    median / p90 seconds between the stages — the "where does the funnel
+    stall" readout on top of :func:`funnel_one_scan`.
+
+    Plan: the one-scan funnel's user-grain frame, then ONE global
+    aggregation computing every pair's count and percentiles (3·(k−1)
+    aggregates) unpivoted via ``stack`` — no per-pair jobs.  The global
+    percentile aggregate runs on the user-grain frame (per-user rows,
+    not per-event), with partial aggregation; the huge-cardinality
+    escape hatch is the histogram sketch, as everywhere.
+    """
+    f = funnel_one_scan(events, stages, user_col, ts_col, type_col)
+    aggs = []
+    for s1, s2 in zip(stages, stages[1:]):
+        diff = f"(unix_micros(t_{s2}) - unix_micros(t_{s1})) / 1e6"
+        aggs += [
+            F.count(F.col(f"t_{s2}")).alias(f"__n_{s2}"),
+            F.round(F.expr(f"percentile({diff}, 0.5)"), 6).alias(f"__med_{s2}"),
+            F.round(F.expr(f"percentile({diff}, 0.9)"), 6).alias(f"__p90_{s2}"),
+        ]
+    wide = f.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{s1}', '{s2}', __n_{s2}, __med_{s2}, __p90_{s2}"
+        for s1, s2 in zip(stages, stages[1:])
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(stages) - 1}, {stack_args}) AS "
+            "(stage_from, stage_to, n_converted, median_seconds, p90_seconds)"
+        )
+    )

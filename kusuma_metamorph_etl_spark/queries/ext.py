@@ -3318,3 +3318,43 @@ def mart_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         F.ntile(4).over(tier_w).alias("engagement_tier"),
     )
+
+
+@register(
+    "evt_funnel_timing",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1),
+        f AS (SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+              FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+       SELECT 'view' AS stage_from, 'click' AS stage_to,
+              count(t_click) AS n_converted,
+              round(quantile_cont((epoch_us(t_click) - epoch_us(t_view))
+                                  / 1e6, 0.5), 6) AS median_seconds,
+              round(quantile_cont((epoch_us(t_click) - epoch_us(t_view))
+                                  / 1e6, 0.9), 6) AS p90_seconds
+       FROM f
+       UNION ALL
+       SELECT 'click', 'purchase', count(t_purchase),
+              round(quantile_cont((epoch_us(t_purchase) - epoch_us(t_click))
+                                  / 1e6, 0.5), 6),
+              round(quantile_cont((epoch_us(t_purchase) - epoch_us(t_click))
+                                  / 1e6, 0.9), 6)
+       FROM f""",
+)
+def evt_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel stage-timing profile ([EXT] event analytics;
+    `operators/events.py::funnel_timing`): converting users and exact
+    median / p90 seconds between adjacent view→click→purchase stages —
+    the "where does the funnel stall" readout, one aggregation over the
+    one-scan funnel's user-grain frame."""
+    from kusuma_metamorph_etl_spark.operators.events import funnel_timing
+
+    return funnel_timing(
+        t(spark, sf_dir, "events"), stages=["view", "click", "purchase"]
+    )

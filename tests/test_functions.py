@@ -217,3 +217,36 @@ def test_mart_user_engagement_composes(spark, sf_small):
     tiers = [r["engagement_tier"] for r in rows]
     per = [tiers.count(i) for i in range(1, 5)]
     assert max(per) - min(per) <= 1  # ntile balance on the user grain
+
+
+def test_funnel_timing_hand_computed(spark):
+    import datetime as dt
+
+    from kusuma_metamorph_etl_spark.operators.events import funnel_timing
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def m(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    rows = [
+        # user 1: view@0 click@10 buy@40  (10 min, 30 min)
+        (1, "view", m(0)), (1, "click", m(10)), (1, "buy", m(40)),
+        # user 2: view@0 click@30 (no buy)  (30 min)
+        (2, "view", m(0)), (2, "click", m(30)),
+        # user 3: view only
+        (3, "view", m(5)),
+        # user 4: click BEFORE view — click must not count
+        (4, "click", m(0)), (4, "view", m(10)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        (r["stage_from"], r["stage_to"]): r
+        for r in funnel_timing(df, ["view", "click", "buy"]).collect()
+    }
+    vc = got[("view", "click")]
+    assert vc["n_converted"] == 2  # users 1 and 2; user 4 excluded
+    assert vc["median_seconds"] == 20 * 60  # median of {600, 1800}
+    cb = got[("click", "buy")]
+    assert cb["n_converted"] == 1
+    assert cb["median_seconds"] == 30 * 60
