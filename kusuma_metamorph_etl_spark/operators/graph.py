@@ -222,6 +222,8 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge list (no nodes to rank)")
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(n_iter):
         # One pass: matched rows emit pr*p toward their dst; a dangling

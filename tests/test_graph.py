@@ -183,3 +183,13 @@ def test_pagerank_dangling_and_star_shape(spark):
     want = _np_pagerank([(l, 0, 1.0) for l in leaves])
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_pagerank_empty_edges_raises(spark):
+    import pytest
+
+    from kusuma_metamorph_etl_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty)
