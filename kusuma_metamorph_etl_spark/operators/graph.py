@@ -10,8 +10,9 @@ Rastogi et al., "Finding Connected Components in Map-Reduce in
 Logarithmic Rounds", ICDE'13).  The combination converges in
 O(log diameter) rounds; a fixed point means labels equal the
 per-component minimum node id.  Large-star/small-star (Kiveris et al.,
-SoCC'14) is the documented upgrade if per-round edge duplication ever
-becomes the bottleneck.
+SoCC'14) ships alongside it (:func:`connected_components_star`) for
+graphs where Hash-to-Min's per-round edge duplication becomes the
+bottleneck — star rounds only ever rewire edges, never multiply them.
 
 Scale shape per round: one equi-join of the symmetric edge list against
 current labels + one min-aggregation, both keyed on node id — shuffles
@@ -265,3 +266,124 @@ def pagerank(
             )
         )
     return ranks
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, component) via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the documented upgrade over :func:`connected_components`
+    when Hash-to-Min's per-round edge duplication becomes the bottleneck
+    (very dense components): star operations only ever REWIRE edges
+    (each round's edge count is bounded by the current one), and the
+    paper proves O(log n) round convergence with 2-approximable
+    per-round cost.
+
+    * large-star: every node u connects its LARGER neighbors to its
+      minimum neighborhood label m(u) = min(Γ(u) ∪ {u});
+    * small-star: u connects its smaller-or-equal neighbors (and
+      itself) to m(u).
+
+    At the fixed point every component is a star rooted at its minimum
+    node id; the root's self-edge carries the isolated-root case.  Round
+    structure per star op: one node-keyed min aggregation + one join —
+    (node, label) shuffles only, lineage truncated per round, identical
+    checkpointing contract to :func:`connected_components`.  Convergence
+    is detected by an order-independent edge-set checksum (sum of
+    per-edge hashes) — one scalar per round, no set-difference join.
+    """
+    _ckpt = _checkpointer(edges, checkpoint_dir)
+
+    def canon(e: DataFrame) -> DataFrame:
+        # undirected edge set, canonical (lo, hi) orientation, no loops
+        return (
+            e.select(
+                F.least(F.col("u"), F.col("v")).alias("u"),
+                F.greatest(F.col("u"), F.col("v")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def neighbors_min(e: DataFrame) -> DataFrame:
+        # m(u) over the SYMMETRIC neighborhood, including u itself
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        return (
+            sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = neighbors_min(e)
+        rewired = (
+            sym.join(m, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return canon(rewired)
+
+    def small_star(e: DataFrame) -> DataFrame:
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = neighbors_min(e)
+        rewired = (
+            sym.join(m, on="u")
+            .filter(F.col("v") <= F.col("u"))
+            .select("v", "m")
+            .union(m.select(F.col("u").alias("v"), F.col("m")))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return canon(rewired)
+
+    def checksum(e: DataFrame):
+        row = e.agg(
+            # decimal sum: ANSI long would overflow on summed 64-bit hashes
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return row["h"], row["n"]
+
+    cur = _ckpt(
+        canon(
+            edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        )
+    )
+    nodes = _ckpt(
+        cur.select(F.col("u").alias("node"))
+        .union(cur.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    prev_sig = checksum(cur)
+    for _ in range(max_iter):
+        cur = _ckpt(small_star(large_star(cur)))
+        sig = checksum(cur)
+        if sig == prev_sig:
+            # fixed point: canonical (lo, hi) edges are (root, member)
+            # stars — members hang off the v side; every node NOT a
+            # member is its own root (covers roots and isolated nodes)
+            members = cur.select(
+                F.col("v").alias("node"), F.col("u").alias("component")
+            )
+            self_roots = (
+                nodes.join(members.select("node"), on="node", how="left_anti")
+                .select("node", F.col("node").alias("component"))
+            )
+            return members.unionByName(self_roots)
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
