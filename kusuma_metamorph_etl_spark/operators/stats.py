@@ -159,3 +159,43 @@ def psi_drift(
         F.sum("nb").alias("n_b"),
         F.lit(n_bins).alias("n_bins"),
     )
+
+
+def psi_drift_categorical(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """PSI over a CATEGORICAL column (the numeric twin is
+    :func:`psi_drift`): categories replace bins — the mix-shift monitor
+    for language/source/status composition between snapshots.  Same
+    Laplace smoothing over the union of observed categories and the same
+    9-dp decimal term-sum determinism contract; returns one row
+    (psi, n_a, n_b, n_categories)."""
+    a = df_a.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = df_b.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    joined = a.join(b, on="cat", how="full").select(
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    cats = joined.count()
+    totals = joined.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    s = 0.5
+    p = (F.col("na") + s) / (F.col("ta") + s * cats)
+    q = (F.col("nb") + s) / (F.col("tb") + s * cats)
+    terms = joined.crossJoin(F.broadcast(totals)).select(
+        "na", "nb", ((p - q) * F.log(p / q)).alias("term")
+    )
+    return terms.agg(
+        F.round(
+            F.sum(F.round(F.col("term"), 9).cast("decimal(38,9)")).cast("double"),
+            6,
+        ).alias("psi"),
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.lit(cats).alias("n_categories"),
+    )

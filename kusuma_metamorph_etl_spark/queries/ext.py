@@ -3358,3 +3358,44 @@ def evt_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_timing(
         t(spark, sf_dir, "events"), stages=["view", "click", "purchase"]
     )
+
+
+@register(
+    "dq_psi_categorical",
+    """WITH c AS (
+         SELECT o_orderpriority AS cat,
+                count(*) FILTER (WHERE year(o_orderdate) < 1998) AS na,
+                count(*) FILTER (WHERE year(o_orderdate) >= 1998) AS nb
+         FROM orders GROUP BY 1),
+       k AS (SELECT count(*) AS cats FROM c),
+       tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM c),
+       terms AS (
+         SELECT na, nb,
+                CAST(round(
+                  ((na + 0.5) / ((SELECT ta FROM tot)
+                                 + 0.5 * (SELECT cats FROM k))
+                   - (nb + 0.5) / ((SELECT tb FROM tot)
+                                   + 0.5 * (SELECT cats FROM k)))
+                  * ln(((na + 0.5) / ((SELECT ta FROM tot)
+                                      + 0.5 * (SELECT cats FROM k)))
+                       / ((nb + 0.5) / ((SELECT tb FROM tot)
+                                        + 0.5 * (SELECT cats FROM k)))), 9)
+                  AS DECIMAL(38,9)) AS term
+         FROM c)
+       SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+              CAST(sum(na) AS BIGINT) AS n_a,
+              CAST(sum(nb) AS BIGINT) AS n_b,
+              CAST((SELECT cats FROM k) AS INTEGER) AS n_categories
+       FROM terms""",
+)
+def dq_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI drift ([EXT] robust stats; `operators/stats.py::
+    psi_drift_categorical`): order-priority mix of the pre-1998 window
+    vs 1998+ — the composition-shift monitor for categorical columns
+    (language/source mixes in corpora take the same path)."""
+    from kusuma_metamorph_etl_spark.operators.stats import psi_drift_categorical
+
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") < 1998)
+    b = orders.filter(F.year("o_orderdate") >= 1998)
+    return psi_drift_categorical(a, b, "o_orderpriority")

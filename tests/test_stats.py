@@ -68,3 +68,25 @@ def test_psi_drift_matches_hand_computation(spark):
         q = (nb + 0.5) / (10 + 1.0)
         want += round((p - q) * math.log(p / q), 9)
     assert abs(got["psi"] - round(want, 6)) < 1e-9
+
+
+def test_psi_categorical_zero_identical_and_detects_mix_shift(spark):
+    from kusuma_metamorph_etl_spark.operators.stats import psi_drift_categorical
+
+    a = spark.createDataFrame(
+        [("en",)] * 80 + [("fr",)] * 20, ["lang"]
+    )
+    same = psi_drift_categorical(a, a, "lang").collect()[0]
+    assert same["psi"] == 0.0 and same["n_categories"] == 2
+    # mix flips 80/20 → 20/80
+    b = spark.createDataFrame(
+        [("en",)] * 20 + [("fr",)] * 80, ["lang"]
+    )
+    shifted = psi_drift_categorical(a, b, "lang").collect()[0]
+    assert shifted["psi"] > 0.2
+    # a category absent on one side is smoothed, not infinite
+    c = spark.createDataFrame([("de",)] * 100, ["lang"])
+    import math
+
+    disjoint = psi_drift_categorical(a, c, "lang").collect()[0]
+    assert math.isfinite(disjoint["psi"]) and disjoint["n_categories"] == 3
