@@ -392,3 +392,33 @@ def funnel_timing(
             "(stage_from, stage_to, n_converted, median_seconds, p90_seconds)"
         )
     )
+
+
+def cohort_revenue(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort LTV triangle: revenue per (first-activity-day cohort,
+    day offset) — the money twin of :func:`retention_cohorts`, whose
+    cumulative row-sums are the lifetime-value curves.  Same plan shape:
+    one user-grain min-date agg, one co-keyed join back, one
+    (cohort, offset) aggregation — revenue summed exactly
+    (`functions/numeric.py::decimal_sum` semantics)."""
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+
+    first = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_day")
+    )
+    return (
+        events.select(user_col, F.to_date(ts_col).alias("day"), value_col)
+        .join(first, on=user_col)
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .agg(
+            F.count_distinct(user_col).alias("n_users"),
+            decimal_sum(F.col(value_col)).alias("revenue"),
+        )
+    )

@@ -3399,3 +3399,26 @@ def dq_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.year("o_orderdate") < 1998)
     b = orders.filter(F.year("o_orderdate") >= 1998)
     return psi_drift_categorical(a, b, "o_orderpriority")
+
+
+@register(
+    "evt_cohort_ltv",
+    """WITH first AS (
+         SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+         FROM events GROUP BY user_id)
+       SELECT f.cohort_day,
+              date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+              count(DISTINCT e.user_id) AS n_users,
+              CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38,6))), 2) AS DOUBLE)
+                  AS revenue
+       FROM events e JOIN first f USING (user_id)
+       GROUP BY 1, 2""",
+)
+def evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle ([EXT] event analytics; `operators/events.py::
+    cohort_revenue`): exact-decimal revenue per (first-day cohort,
+    return-day offset) — cumulative row-sums are the lifetime-value
+    curves; the money twin of `evt_retention`."""
+    from kusuma_metamorph_etl_spark.operators.events import cohort_revenue
+
+    return cohort_revenue(t(spark, sf_dir, "events"))

@@ -250,3 +250,20 @@ def test_funnel_timing_hand_computed(spark):
     cb = got[("click", "buy")]
     assert cb["n_converted"] == 1
     assert cb["median_seconds"] == 30 * 60
+
+
+def test_cohort_revenue_matches_retention_grain(spark, sf_small):
+    from kusuma_metamorph_etl_spark.operators.events import (
+        cohort_revenue,
+        retention_cohorts,
+    )
+    from kusuma_metamorph_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    ltv = {(r["cohort_day"], r["day_offset"]): r for r in cohort_revenue(ev).collect()}
+    ret = {(r["cohort_day"], r["day_offset"]): r for r in retention_cohorts(ev).collect()}
+    # same triangle cells, same user counts; revenue non-negative
+    assert set(ltv) == set(ret) and ltv
+    for k, row in ltv.items():
+        assert row["n_users"] == ret[k]["n_users"]
+        assert row["revenue"] >= 0
