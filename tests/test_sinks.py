@@ -263,3 +263,30 @@ class TestJdbcRoundTrip:
         a = q(spark, "/root/testdata/sf0.001").count()
         b = q(spark, "/root/testdata/sf0.001").count()
         assert a == b and a > 0
+
+
+# ------------------------------------------------------------- publish
+
+def test_publish_snapshot_swaps_atomically_and_keeps_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.sources.sinks import (
+        publish_snapshot,
+        read_published,
+    )
+
+    root = str(tmp_path / "table")
+    v1 = spark.range(10).withColumn("v", F.lit("one"))
+    publish_snapshot(spark, v1, root, "20240101")
+    assert read_published(spark, root).count() == 10
+
+    v2 = spark.range(25).withColumn("v", F.lit("two"))
+    publish_snapshot(spark, v2, root, "20240102")
+    got = read_published(spark, root)
+    assert got.count() == 25
+    assert got.select("v").distinct().collect()[0]["v"] == "two"
+    # the previous version survives for rollback
+    assert spark.read.parquet(f"{root}/v=20240101").count() == 10
+    # a failed write of a NEW version never disturbs the manifest:
+    # readers still see v2 because the swap happens only at the end
+    assert read_published(spark, root).count() == 25
