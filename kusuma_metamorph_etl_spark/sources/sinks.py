@@ -209,13 +209,20 @@ def publish_snapshot(
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.Path(table_root)
     fs = root.getFileSystem(conf)
+    # LocalFileSystem writes .crc sidecars that go STALE across a
+    # delete+rename swap (ChecksumException on the next read) — object
+    # stores and HDFS don't have this quirk, but tests and local
+    # lakehouses do, so checksum sidecars are off for the manifest and
+    # any stale ones are cleared.
+    fs.setWriteChecksum(False)
     tmp = jvm.Path(f"{table_root}/manifest.json.tmp")
     out = fs.create(tmp, True)
     out.writeBytes(manifest)  # DataOutputStream: writes the raw bytes
     out.close()
     final = jvm.Path(f"{table_root}/manifest.json")
-    fs.delete(final, False)  # rename is atomic; delete+rename is the swap
-    fs.rename(tmp, final)
+    for stale in ("manifest.json", ".manifest.json.crc", ".manifest.json.tmp.crc"):
+        fs.delete(jvm.Path(f"{table_root}/{stale}"), False)
+    fs.rename(tmp, final)  # rename is atomic; delete+rename is the swap
     return version_dir
 
 
@@ -230,3 +237,38 @@ def read_published(spark: SparkSession, table_root: str) -> DataFrame:
     line = spark.read.text(f"{table_root}/manifest.json").collect()[0]["value"]
     current = json.loads(line)["current"]
     return spark.read.parquet(f"{table_root}/{current}")
+
+
+def vacuum_versions(
+    spark: SparkSession, table_root: str, keep: int = 2
+) -> list[str]:
+    """Delete published versions beyond the newest ``keep`` — NEVER the
+    one the manifest points at, whatever its age.  Returns the deleted
+    version names.  The rollback-window companion of
+    :func:`publish_snapshot`: publish keeps every version; vacuum is the
+    explicit, bounded cleanup step (deletion is the irreversible action,
+    so it is its own call, not a publish side effect)."""
+    import json
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.Path(table_root)
+    fs = root.getFileSystem(conf)
+    current = json.loads(
+        spark.read.text(f"{table_root}/manifest.json").collect()[0]["value"]
+    )["current"]
+    versions = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("v="):
+            versions.append(name)
+    versions.sort()
+    doomed = [v for v in versions[:-keep] if v != current] if keep else [
+        v for v in versions if v != current
+    ]
+    for v in doomed:
+        fs.delete(jvm.Path(f"{table_root}/{v}"), True)
+    return doomed

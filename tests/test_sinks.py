@@ -290,3 +290,30 @@ def test_publish_snapshot_swaps_atomically_and_keeps_history(spark, tmp_path):
     # a failed write of a NEW version never disturbs the manifest:
     # readers still see v2 because the swap happens only at the end
     assert read_published(spark, root).count() == 25
+
+
+def test_vacuum_keeps_newest_and_never_the_current(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.sources.sinks import (
+        publish_snapshot,
+        read_published,
+        vacuum_versions,
+    )
+
+    root = str(tmp_path / "table")
+    for i, v in enumerate(["20240101", "20240102", "20240103", "20240104"]):
+        publish_snapshot(
+            spark, spark.range(10 + i).withColumn("v", F.lit(v)), root, v
+        )
+    deleted = vacuum_versions(spark, root, keep=2)
+    assert deleted == ["v=20240101", "v=20240102"]
+    assert read_published(spark, root).count() == 13
+    # re-point the manifest at an OLD version, then vacuum aggressively:
+    # the current version must survive even outside the keep window
+    import json
+    with open(f"{root}/manifest.json", "w") as fh:
+        fh.write(json.dumps({"current": "v=20240103"}))
+    deleted2 = vacuum_versions(spark, root, keep=1)
+    assert "v=20240103" not in deleted2
+    assert read_published(spark, root).count() == 12
