@@ -1227,3 +1227,23 @@ def src_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.filter(F.col("_corrupt").isNull())
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
+
+
+@register(
+    "fn_surrogate_key",
+    """SELECT o_orderkey,
+              upper(substr(md5('sk|' || o_custkey || '|' || o_orderpriority),
+                           1, 16)) AS order_sk
+       FROM orders""",
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys (`functions/naming.py::surrogate_key`):
+    content-derived md5 keys over composite natural keys — reproducible
+    on any cluster/engine, unlike monotonically_increasing_id."""
+    from kusuma_metamorph_etl_spark.functions.naming import surrogate_key
+
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        surrogate_key("o_custkey", "o_orderpriority").alias("order_sk"),
+    )

@@ -134,7 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "evt_dedup_window",
     "evt_paths",
     # window cut-off: the driver checks the FIRST 50 names — 37 stale +
-    # the 9 above + the 4 below fill it exactly.  ROUND-8 PLAN: the 26
+    # the 9 above + the 4 below fill it exactly.  ROUND-8 PLAN: the 27
     # later section-(2) entries (ts_rolling … samp_kfold below) have
     # zero driver evidence — front-load ALL of them in the r8 window,
     # then pad with the oldest r5 rows (proj_*, fil_*, marts).  After
@@ -169,6 +169,7 @@ _PRIORITY: tuple[str, ...] = (
     "evt_funnel_timing",
     "dq_psi_categorical",
     "evt_cohort_ltv",
+    "fn_surrogate_key",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

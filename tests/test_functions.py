@@ -267,3 +267,25 @@ def test_cohort_revenue_matches_retention_grain(spark, sf_small):
     for k, row in ltv.items():
         assert row["n_users"] == ret[k]["n_users"]
         assert row["revenue"] >= 0
+
+
+def test_surrogate_key_deterministic_and_null_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.functions.naming import surrogate_key
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", None), (3, None, "x"), (4, "a", "x")],
+        ["id", "k1", "k2"],
+    )
+    out = {r["id"]: r["sk"] for r in df.select(
+        "id", surrogate_key("k1", "k2").alias("sk")
+    ).collect()}
+    assert out[1] == out[4]  # same natural key → same surrogate
+    assert out[2] != out[3]  # (a, NULL) vs (NULL, x) differ
+    assert len(out[1]) == 16 and out[1].upper() == out[1]
+    # partition-invariant
+    again = {r["id"]: r["sk"] for r in df.repartition(7).select(
+        "id", surrogate_key("k1", "k2").alias("sk")
+    ).collect()}
+    assert again == out
