@@ -69,6 +69,9 @@ HEADLINE = [
     "ts_rolling_distinct",  # per-day HLL fan-out + union merge
     "mm_augment",  # decode-transform-reencode fan-out over Arrow
     "mart_llm_dataprep",  # the composed end-to-end corpus-prep pipeline
+    "agg_bloom_join",  # Bloom sketch build + narrow-map prune + exact join
+    "dedup_semantic",  # k-means cell blocking + within-cell numpy verify
+    "ts_ewma",  # bounded fan-out EWMA over the daily aggregate
 ]
 
 

@@ -1041,3 +1041,91 @@ def remove_substring_spans(
         )
     )
     return cleaned
+
+
+# ------------------------------------------------------- semantic (SemDeDup)
+
+def semantic_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 32,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """Near-dup pairs (a < b, cosine ≥ threshold) via SemDeDup-style
+    k-means cell blocking (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster the
+    embedding space, then score pairs ONLY within a cluster cell.
+
+    The 100 TB shape: cell assignment is a pure map against broadcast
+    centroid literals (no shuffle of vectors beyond the one cell
+    equi-join); the quadratic term drops from |N|² to Σ|cell|², and
+    ``n_clusters`` scales WITH the corpus so the per-cell population —
+    not the cluster count — is the bounded quantity.  Versus the
+    hyperplane-LSH blocking of :func:`embedding_lsh_pairs`: k-means
+    cells adapt to the actual density of the embedding space (LSH cuts
+    it with data-oblivious random planes), at the price of the centroid
+    build pass.  Approximation is recall-only: a true pair straddling a
+    cell boundary is missed; identical vectors always share an argmax
+    cell (ties broken by cell index, deterministically), so EXACT
+    duplicates are never missed.  Verification is exact cosine in numpy
+    over Arrow batches — precision matches `embedding_lsh_pairs`.
+    """
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        _assign_cells,
+        _centroid_cells,
+        ivf_build,
+    )
+
+    cells = _centroid_cells(
+        ivf_build(df, n_clusters, id_col, vec_col, refine_iters)
+    )
+    # probes=1: every vector lives in exactly one cell, so the cell join
+    # emits each candidate pair once — no distinct pass needed (unlike
+    # multi-table LSH where a pair can collide in several tables).
+    a = _assign_cells(df, cells, "a", 1, id_col, vec_col)
+    b = _assign_cells(df, cells, "b", 1, id_col, vec_col)
+    cand = a.join(b, on="cell").filter(F.col("a") < F.col("b"))
+
+    def score(batches):
+        for batch in batches:
+            av = np.array(list(batch["a_v"]), dtype=np.float64)
+            bv = np.array(list(batch["b_v"]), dtype=np.float64)
+            if len(av) == 0:
+                continue
+            cos = (av * bv).sum(axis=1) / (
+                np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+            )
+            out = pd.DataFrame(
+                {"a": batch["a"], "b": batch["b"], "cosine": cos}
+            )
+            yield out[out["cosine"] >= threshold]
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return cand.mapInPandas(
+        score, schema=f"a {id_type}, b {id_type}, cosine double"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 32,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup: drop every row whose cosine to a LOWER-id row in the same
+    k-means cell is ≥ threshold (greedy lowest-id-wins — the same declared
+    winner rule as :func:`exact_dedup` / :func:`embedding_dedup`).  The
+    cluster-blocked scale path of :func:`embedding_dedup`; like the LSH
+    path, missed boundary pairs mean missed drops, so the result is always
+    a SUPERSET of the exact survivors (gated in `dedup_semantic_err`)."""
+    pairs = semantic_pairs(
+        df, threshold, id_col, vec_col, n_clusters, refine_iters
+    )
+    dups = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(dups, on=id_col, how="left_anti")

@@ -422,3 +422,91 @@ def cohort_revenue(
             decimal_sum(F.col(value_col)).alias("revenue"),
         )
     )
+
+
+def attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing-style touch attribution: for every conversion event, the
+    LAST and FIRST preceding non-conversion touch by the same user —
+    ``(user, conversion id/ts/value, channel_last, channel_first)``, one
+    row per conversion.  Conversions with no preceding touch emit NULL
+    channels (callers bucket them as "direct" — declared, not silently
+    dropped).
+
+    Plan: one user-keyed shuffle; both channels come from the same
+    window pass (``last``/``first`` with ``ignorenulls`` over frames
+    ending at 1 PRECEDING — prior conversions are masked to NULL, not
+    excluded, so the frame is pure ROWS arithmetic).  Ordering ties
+    break on ``id_col`` — deterministic under any partitioning.
+    Downstream revenue-per-channel is a plain aggregate over this frame
+    (see `evt_attribution`); windows are user-bounded, so no key is
+    hotter than its own event count.
+    """
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("channel_last", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("channel_first", F.first(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            user_col,
+            id_col,
+            ts_col,
+            value_col,
+            "channel_last",
+            "channel_first",
+        )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over event types:
+    ``(prev_type, next_type, n, p)`` with row-normalized probabilities —
+    the UX-flow / journey model behind "what do users do after X"
+    (`evt_paths` enumerates literal k-prefixes; this is the stationary
+    pairwise model over ALL transitions).
+
+    Plan: one user-keyed window (`lag` over (ts, id) — deterministic tie
+    order), one (prev, next)-keyed count, then row-normalization against
+    the per-prev totals via a window over the TYPE-cardinality count
+    frame (bounded by |types|², never by data).  First events per user
+    have no predecessor and are excluded — transitions, not starts; the
+    start distribution is one `groupBy` away if a caller wants it.
+    ``p`` is one deterministic double division rounded to 6 dp.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"), 6
+        ).alias("p"),
+    )

@@ -29,6 +29,8 @@ and trivially mergeable.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -306,4 +308,261 @@ def heavy_hitters(
     )
     return verified.select(
         F.col("__item").alias(item_col), "n", F.lit(n_total).alias("n_total")
+    )
+
+
+# ------------------------------------------------------------------- Bloom
+
+def bloom_sketch(
+    df: DataFrame,
+    value_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable Bloom membership sketch as a packed ``(keys..., word,
+    bits)`` bitset table: ``n_bits`` bits stored as ≤ ``n_bits/64`` long
+    words (Bloom 1970).  A value sets ``n_hashes`` bit positions
+    ``xxhash64(value, j) mod n_bits``; membership tests read the same
+    positions.  Zero false negatives by construction; false-positive
+    rate ≈ (1 − e^{−kn/m})^k — size ``n_bits`` ≈ 10 bits per expected
+    distinct value for ~1% FP at ``n_hashes=5``.
+
+    The build is one narrow explode to (word, bit) pairs + one keyed
+    ``bit_or`` aggregation — the shuffle carries at most
+    ``n_hashes × rows`` tiny pairs and the OUTPUT is sketch-sized
+    (≤ n_bits/64 rows) regardless of data volume.  Like the HLL /
+    histogram / CMS families above, per-slice sketches merge without
+    rescanning raw data (:func:`merge_bloom` — bit-wise OR is
+    associative/commutative/idempotent, so re-merging a slice is
+    harmless).
+    """
+    keys = keys or []
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(value_col), F.lit(j)), F.lit(n_bits))
+            for j in range(n_hashes)
+        ]
+    )
+    pos = F.explode(positions).alias("pos")
+    return (
+        df.select(*keys, pos)
+        .select(
+            *keys,
+            F.shiftright("pos", 6).alias("word"),
+            # SQL shiftleft takes a column bit count; the Python wrapper
+            # only accepts an int literal.
+            F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+        )
+        .groupBy(*keys, "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def merge_bloom(sketches: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Merge compatible (same ``n_bits``/``n_hashes``) sketches: word-wise
+    bit-OR.  Any set of per-day/per-source filters collapses into one
+    without touching raw data."""
+    keys = keys or []
+    return sketches.groupBy(*keys, "word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    out: str = "maybe_present",
+) -> DataFrame:
+    """Membership test for every probe row: ``out`` is true iff ALL
+    ``n_hashes`` bit positions of the value are set in the (merged,
+    key-free) sketch.  True can be a false positive (bounded by the
+    sketch's FP rate); false is DEFINITIVE absence — which is why the
+    canonical use is :func:`bloom_prefilter_join`-style scan pruning
+    where the exact join afterwards removes the false positives.
+
+    Plan: the sketch is collected once (bounded by construction:
+    ≤ ``n_bits/64`` rows — 16 K longs for 1 M bits, a 128 KB bitset) and
+    broadcast to executors as a numpy word array; probe positions are
+    computed JVM-side with the SAME ``xxhash64`` expressions as the
+    build (so build/probe hashing cannot drift), and the bit tests run
+    vectorized over Arrow batches.  No shuffle on the probe side at all
+    — the probe is a narrow map, exactly what a scan pre-filter must be.
+    """
+    import numpy as np
+
+    n_words = (n_bits + 63) >> 6
+    words = np.zeros(n_words, dtype=np.uint64)
+    for row in sketch.select("word", "bits").collect():
+        words[int(row["word"])] = np.uint64(int(row["bits"]) & 0xFFFFFFFFFFFFFFFF)
+    bc = probes.sparkSession.sparkContext.broadcast(words)
+
+    @F.pandas_udf("boolean")
+    def member(pos_lists: pd.Series) -> pd.Series:
+        w = bc.value
+        mat = np.array(pos_lists.tolist(), dtype=np.int64)
+        if mat.size == 0:
+            return pd.Series([], dtype=bool)
+        hit = (w[mat >> 6] >> (mat & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(hit.all(axis=1))
+
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(value_col), F.lit(j)), F.lit(n_bits))
+            for j in range(n_hashes)
+        ]
+    )
+    return probes.withColumn(out, member(positions))
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a Bloom pre-filter on the fact side: build a sketch
+    of the dim keys, drop fact rows whose key is DEFINITELY absent, then
+    run the exact join.  Result is identical to the plain join (no false
+    negatives; false positives die in the join) — the sketch only cuts
+    the fact-side shuffle volume.
+
+    This is the hand-rolled twin of Spark's own runtime-filter pushdown
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), materialized
+    at the API level so the filter can also be PERSISTED and reused
+    across runs (a daily job probing the same slowly-changing dim should
+    build the sketch once, not per query).  Worth it when the dim is too
+    big to broadcast but its key set is sketchable (1 M keys ≈ 160 KB at
+    10 bits/key); for broadcast-sized dims just broadcast the join —
+    measured at sf0.1 (3-rep median, noop sink): plain broadcast join
+    0.49s vs 1.30s through the sketch, i.e. at test scale the build+probe
+    overhead LOSES and the operator's value is strictly the
+    non-broadcastable-dim regime plus sketch reuse across runs.
+    """
+    sketch = bloom_sketch(dim.select(on), on, n_bits, n_hashes)
+    kept = bloom_probe(sketch, fact, on, n_bits, n_hashes, out="__maybe").filter(
+        F.col("__maybe")
+    ).drop("__maybe")
+    return kept.join(dim, on=on, how=how)
+
+
+# ------------------------------------------------------------ KMV (theta)
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """K-minimum-values distinct sketch as a long-form ``(keys..., h)``
+    table: the ``k`` smallest distinct ``xxhash64`` values per key group
+    (Bar-Yossef et al. 2002; the theta-sketch family).  What it buys over
+    HLL: the retained hash SAMPLE supports set INTERSECTION estimates
+    (:func:`kmv_intersect`) — HLL unions beautifully but cannot
+    intersect without inclusion-exclusion error blowup.
+
+    Build: hash (narrow map) → distinct → TWO-LEVEL bottom-k: a salted
+    pre-reduction (bottom-k per (key, h mod n_salts) slice) bounds every
+    sort task at distinct/n_salts rows, then the global bottom-k runs
+    over ≤ n_salts·k pre-reduced rows per key — a naive single window
+    would sort a key's ENTIRE distinct set in one task, the classic
+    hot-key trap for billion-cardinality columns.  Bottom-k of bottom-k's
+    is bottom-k, so the reduction is exact, and the same property makes
+    per-day sketches roll up without rescanning raw data
+    (:func:`merge_kmv`).
+    """
+    keys = keys or []
+    hashed = (
+        df.select(*keys, F.xxhash64(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+    pre = _bottom_k(hashed, k, [*keys, F.pmod("h", F.lit(64))])
+    return _bottom_k(pre, k, list(keys))
+
+
+def _bottom_k(frame: DataFrame, k: int, part_cols: list) -> DataFrame:
+    w = Window.partitionBy(*part_cols).orderBy("h")
+    return (
+        frame.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def merge_kmv(
+    sketches: DataFrame, k: int = 256, keys: list[str] | None = None
+) -> DataFrame:
+    """Merge compatible (same k) sketches: union → distinct → bottom-k
+    per key again (inputs are already ≤ k rows per key per slice, so no
+    salting needed).  Associative and idempotent."""
+    keys = keys or []
+    return _bottom_k(sketches.select(*(keys or []), "h").distinct(), k, list(keys))
+
+
+def kmv_distinct(
+    sketch: DataFrame, k: int = 256, keys: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimates from a KMV sketch: ``(keys..., est)``.
+
+    With fewer than k retained hashes the sketch IS the distinct set —
+    the count is exact.  Otherwise the k-th smallest hash estimates the
+    sampled fraction θ of hash space and est = (k−1)/θ (the unbiased
+    KMV estimator; relative error ~ 1/√(k−2)).  Hash values map to
+    (0,1) via the signed-long affine shift — all column arithmetic,
+    sketch-cardinality work.
+    """
+    keys = keys or []
+    two63 = float(1 << 63)
+    two64 = float(1 << 64)
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__hmax")
+    )
+    theta = (F.col("__hmax").cast("double") + F.lit(two63)) / F.lit(two64)
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / theta
+    )
+    return agg.select(*keys, F.round(est, 6).alias("est"))
+
+
+def kmv_intersect(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Set-INTERSECTION cardinality estimate from two key-free KMV
+    sketches — the query HLL cannot answer.  Single-row output
+    ``(est_a, est_b, est_union, est_intersection)``.
+
+    Standard theta-sketch combination: form the union sketch (bottom-k
+    of A ∪ B), count how many of its hashes appear in BOTH inputs (ρ),
+    then |A∩B| ≈ ρ/k · |A∪B|̂ — the union sketch is a uniform hash
+    sample of A∪B, so the fraction of its members lying in the
+    intersection transfers.  Everything is sketch-cardinality joins;
+    raw data is never touched.
+    """
+    a = sketch_a.select("h").distinct()
+    b = sketch_b.select("h").distinct()
+    union_sk = merge_kmv(a.unionByName(b), k)
+    both = a.join(b, on="h", how="left_semi")
+    in_both = union_sk.join(both, on="h", how="left_semi")
+    est_a = kmv_distinct(a, k).select(F.col("est").alias("est_a"))
+    est_b = kmv_distinct(b, k).select(F.col("est").alias("est_b"))
+    est_u = kmv_distinct(union_sk, k).select(F.col("est").alias("est_union"))
+    counts = (
+        union_sk.agg(F.count(F.lit(1)).alias("__ku"))
+        .crossJoin(in_both.agg(F.count(F.lit(1)).alias("__rho")))
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(counts)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("__rho") / F.col("__ku") * F.col("est_union"), 6
+            ).alias("est_intersection"),
+        )
     )

@@ -231,3 +231,79 @@ def rolling_distinct(
         )
         .select("day_dt", "day_distinct", f"approx_{days}d_distinct")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    window_days: int = 64,
+    out: str = "ewma",
+    term_scale: int = 6,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key over a
+    (possibly sparse) daily series, weighted by CALENDAR distance:
+
+        ewma_t = Σ_{0 ≤ d_t−d_i < W} (1−α)^(d_t−d_i)·x_i
+               / Σ_{0 ≤ d_t−d_i < W} (1−α)^(d_t−d_i)
+
+    (pandas ``ewm(adjust=True)`` semantics with gaps decaying by real
+    elapsed days; the tail beyond ``window_days`` W is truncated —
+    its weight fraction is < (1−α)^W ≈ 6e-7 at the α=0.2 / W=64
+    defaults, and the truncation is part of the DECLARED semantics, so
+    the oracle reproduces it exactly rather than approximating).
+
+    EWMA is textbook-sequential (a recurrence), which would force a
+    single task per key.  A first attempt removed the recurrence by
+    rebasing weights to the per-key max day K and taking the ratio of
+    two running sums — algebraically correct, but the early rows of a
+    years-long series then divide 0/0: (1−α)^(K−d) underflows any fixed
+    rounding scale (0.8^2500 ≈ 1e−242).  The shipped plan instead uses
+    the bounded fan-out shape of :func:`rolling_distinct`: each
+    observation emits its contribution to the ≤ W anchor days it can
+    influence with the exponent BOUNDED in [0, W) — no underflow
+    anywhere, every anchor's denominator ≥ 1 (its own day-0 term) — then
+    one keyed sum per anchor day and a semi-join back to observed days.
+    Fan-out is W× the (already day-aggregated) series, not the raw data;
+    no driver loop, no UDF, fully parallel across keys.
+
+    Determinism contract (cross-engine): each term is rounded — the
+    value·weight product to ``term_scale`` dp, the bare weight (≤ 1) to
+    9 dp — because libm ``pow`` may differ in the last ulps between
+    engines, and summed in exact DECIMAL (order-independent); the final
+    ratio is one double division rounded to 6 dp (same policy as
+    `txt_perplexity` / `samp_temperature`).  ``term_scale`` must leave
+    the product's absolute binary+pow error below half an ulp at that
+    scale: 6 is ample for money-magnitude values, but a value column of
+    magnitude ≫ 1e8 needs a coarser scale.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    decay = 1.0 - alpha
+    d = _epoch_day(F.col(date_col))
+    off = F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__off")
+    w_pow = F.pow(F.lit(decay), F.col("__off").cast("double"))
+    fan = df.select(*key_cols, d.alias("__d"), F.col(value_col), off).select(
+        *key_cols,
+        (F.col("__d") + F.col("__off")).alias("__anchor"),
+        F.round(F.col(value_col) * w_pow, term_scale)
+        .cast(f"decimal(38,{term_scale})")
+        .alias("__u"),
+        F.round(w_pow, 9).cast("decimal(38,9)").alias("__s"),
+    )
+    sums = fan.groupBy(*key_cols, "__anchor").agg(
+        F.sum("__u").alias("__su"), F.sum("__s").alias("__ss")
+    )
+    observed = df.select(*key_cols, date_col, value_col, d.alias("__anchor"))
+    return observed.join(sums, on=[*key_cols, "__anchor"]).select(
+        *key_cols,
+        date_col,
+        value_col,
+        F.round(
+            F.col("__su").cast("double") / F.col("__ss").cast("double"), 6
+        ).alias(out),
+    )

@@ -310,3 +310,87 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             f"stack({len(cols)}, {stack_args}) AS (column, n_rows, n_null, n_distinct)"
         )
     )
+
+
+def expectations(df: DataFrame, checks: list[tuple]) -> DataFrame:
+    """Declarative expectations suite (Deequ / Great-Expectations shape)
+    evaluated in ONE aggregation pass → long-form
+    ``(check, column, observed, passed)`` rows.
+
+    ``checks`` is a list of tuples:
+
+    * ``("not_null", col)`` — observed = null count, pass when 0
+    * ``("unique", col)`` — observed = rows − distinct (excess), pass 0
+    * ``("between", col, lo, hi)`` — observed = out-of-range count
+      (nulls don't count; pair with not_null), pass when 0
+    * ``("in_set", col, values)`` — observed = non-null rows outside the
+      set, pass when 0
+    * ``("matches", col, regex)`` — observed = non-null rows NOT matching
+      (Java regex, full-match not required), pass when 0
+    * ``("row_count_min", n)`` — observed = row count, pass when ≥ n
+
+    Unlike the fail-fast gates above, this is a REPORT: all checks
+    evaluate, nothing raises — the shape monitoring dashboards ingest
+    and CI asserts on.  Every check compiles to aggregate expressions in
+    the same ``agg`` (one shuffle of partial aggregates, one scan
+    regardless of how many checks); the single wide row unpivots via
+    ``stack``.  Compose with a raise-on-failure wrapper when a hard gate
+    is wanted.
+    """
+    exprs: list = []
+    rows: list[tuple[str, str, str]] = []  # (check label, column, agg alias)
+    for i, chk in enumerate(checks):
+        kind = chk[0]
+        alias = f"__c{i}"
+        if kind == "not_null":
+            _, c = chk
+            exprs.append(F.sum(F.col(c).isNull().cast("long")).alias(alias))
+            rows.append((kind, c, alias))
+        elif kind == "unique":
+            _, c = chk
+            exprs.append(
+                (F.count(c) - F.countDistinct(c)).alias(alias)
+            )
+            rows.append((kind, c, alias))
+        elif kind == "between":
+            _, c, lo, hi = chk
+            bad = (F.col(c) < lo) | (F.col(c) > hi)
+            exprs.append(F.sum(bad.cast("long")).alias(alias))
+            rows.append((f"between({lo},{hi})", c, alias))
+        elif kind == "in_set":
+            _, c, values = chk
+            bad = ~F.col(c).isin(*values) & F.col(c).isNotNull()
+            exprs.append(F.sum(bad.cast("long")).alias(alias))
+            rows.append(("in_set(" + ",".join(map(str, values)) + ")", c, alias))
+        elif kind == "matches":
+            _, c, regex = chk
+            bad = ~F.col(c).rlike(regex) & F.col(c).isNotNull()
+            exprs.append(F.sum(bad.cast("long")).alias(alias))
+            rows.append((f"matches({regex})", c, alias))
+        elif kind == "row_count_min":
+            _, n = chk
+            exprs.append(F.count(F.lit(1)).alias(alias))
+            rows.append((f"row_count_min({n})", "*", alias))
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+    if not exprs:
+        raise ValueError("expectations: empty check list")
+    wide = df.agg(*exprs)
+    structs = []
+    for (label, col, alias), chk in zip(rows, checks):
+        observed = F.coalesce(F.col(alias), F.lit(0)).cast("long")
+        if chk[0] == "row_count_min":
+            passed = observed >= int(chk[1])
+        else:
+            passed = observed == 0
+        structs.append(
+            F.struct(
+                F.lit(label).alias("check"),
+                F.lit(col).alias("column"),
+                observed.alias("observed"),
+                passed.alias("passed"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*structs)).alias("r")
+    ).select("r.check", "r.column", "r.observed", "r.passed")

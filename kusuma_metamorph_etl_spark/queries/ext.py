@@ -3422,3 +3422,304 @@ def evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kusuma_metamorph_etl_spark.operators.events import cohort_revenue
 
     return cohort_revenue(t(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_bloom_join",
+    """SELECT o.o_orderpriority AS priority,
+              count(*) AS n_orders,
+              CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)
+                   AS DOUBLE) AS revenue
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY 1""",
+)
+def agg_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered equi-join ([EXT] mergeable sketches;
+    `operators/sketches.py::bloom_prefilter_join`): revenue per priority
+    for BUILDING-segment customers, with the fact side pre-filtered by a
+    Bloom sketch of the dim keys before the exact join.  The oracle is
+    the PLAIN join — Bloom filters have zero false negatives and the
+    exact join removes the false positives, so result equality IS the
+    correctness contract (any false negative changes the aggregate and
+    the driver goes red)."""
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        bloom_prefilter_join,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    joined = bloom_prefilter_join(orders, dim, on="o_custkey", n_bits=1 << 16)
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        decimal_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@register("dedup_semantic", None)  # k-means cell blocking — rows-only
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup ([EXT] dedup family;
+    `operators/dedup.py::semantic_dedup`): survivors after dropping every
+    vector whose cosine to a lower-id vector in the same k-means cell is
+    ≥ 0.3.  Cell blocking is recall-approximate (boundary pairs can be
+    missed) so the row is rows-only; the oracle-bound contract lives in
+    `dedup_semantic_err`."""
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, threshold=0.3).select("vec_id", "label")
+
+
+@register(
+    "dedup_semantic_err",
+    """SELECT vec_id AS a, vec_id + 1000000 AS b
+       FROM embeddings WHERE vec_id % 13 = 0""",
+)
+def dedup_semantic_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `dedup_semantic`: plant an EXACT copy
+    of every 13th vector under a shifted id — identical vectors always
+    share an argmax cell (ties break on cell index, deterministically),
+    so cell blocking must recover every planted pair in the regime the
+    algorithm targets (high-threshold semantic duplicates; SemDeDup
+    operates at ~0.9+, not at 0.3 where pairs span cells).  Emits the
+    oracle-computable planted-pair list gated on (1) every planted copy
+    DROPPED at threshold 0.9 (lowest-id-wins), and (2) the survivor set
+    being a superset of the exact `embedding_dedup` survivors on the
+    same planted corpus (blocking can only MISS pairs, never invent
+    drops)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    sem = dedup.semantic_dedup(corpus, threshold=0.9).select("vec_id")
+    exact = dedup.embedding_dedup(corpus, threshold=0.9).select("vec_id")
+    expected = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("a"), (F.col("vec_id") + 1_000_000).alias("b")
+    )
+    surviving_copies = sem.filter(F.col("vec_id") >= 1_000_000)
+    superset_viol = exact.join(sem, "vec_id", "left_anti")
+    stats = (
+        _n(expected, "n_exp")
+        .crossJoin(_n(surviving_copies, "n_copy"))
+        .crossJoin(_n(superset_viol, "n_viol"))
+    )
+    ok = (
+        (F.col("n_exp") > 0)
+        & (F.col("n_copy") == 0)
+        & (F.col("n_viol") == 0)
+    )
+    return _gate(expected, stats, ok)
+
+
+@register(
+    "ts_ewma",
+    f"""WITH agg AS MATERIALIZED (
+          SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day_dt,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                      AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1, 2),
+        d AS (SELECT priority, day_dt, revenue, {_EPOCHD} AS ed FROM agg),
+        fan AS (
+          SELECT priority, ed + t.off AS anchor,
+                 CAST(round(revenue * power(0.8, t.off), 6)
+                      AS DECIMAL(38,6)) AS u,
+                 CAST(round(power(0.8, t.off), 9) AS DECIMAL(38,9)) AS s
+          FROM d, range(0, 64) t(off)),
+        sums AS (
+          SELECT priority, anchor, sum(u) AS su, sum(s) AS ss
+          FROM fan GROUP BY 1, 2)
+        SELECT d.priority, d.day_dt, d.revenue,
+               round(CAST(su AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS ewma
+        FROM d JOIN sums ON sums.priority = d.priority AND sums.anchor = d.ed""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-decay truncated EWMA ([EXT] time-series;
+    `operators/timeseries.py::ewma`): the per-priority daily revenue
+    series smoothed with α = 0.2 over a 64-day decay window — the
+    recurrence removed via bounded per-observation fan-out (no
+    sequential state, no single task, no weight underflow)."""
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+    from kusuma_metamorph_etl_spark.operators.timeseries import ewma
+
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day_dt"),
+    ).agg(decimal_sum(F.col("o_totalprice")).alias("revenue"))
+    return ewma(daily, ["priority"], "day_dt", "revenue", alpha=0.2)
+
+
+@register(
+    "dq_expectations",
+    """SELECT * FROM (
+         SELECT 'not_null' AS "check", 'o_orderkey' AS "column",
+                CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+                    AS observed,
+                count(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS passed
+         FROM orders
+         UNION ALL
+         SELECT 'unique', 'o_orderkey',
+                CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+                count(o_orderkey) = count(DISTINCT o_orderkey)
+         FROM orders
+         UNION ALL
+         SELECT 'between(1,600000)', 'o_totalprice',
+                CAST(count(*) FILTER (WHERE o_totalprice < 1
+                                         OR o_totalprice > 600000) AS BIGINT),
+                count(*) FILTER (WHERE o_totalprice < 1
+                                    OR o_totalprice > 600000) = 0
+         FROM orders
+         UNION ALL
+         SELECT 'in_set(O,F,P)', 'o_orderstatus',
+                CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+                count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F','P')) = 0
+         FROM orders
+         UNION ALL
+         SELECT 'matches(^[1-5]-)', 'o_orderpriority',
+                CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                     AS BIGINT),
+                count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+         FROM orders
+         UNION ALL
+         SELECT 'row_count_min(1000)', '*',
+                CAST(count(*) AS BIGINT), count(*) >= 1000
+         FROM orders)""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass declarative expectations suite ([EXT] quality;
+    `plans/quality.py::expectations`): six checks — null, uniqueness,
+    range, value-set, regex, volume — over `orders`, all computed in ONE
+    aggregation pass (the Deequ/Great-Expectations report shape)."""
+    from kusuma_metamorph_etl_spark.plans.quality import expectations
+
+    return expectations(
+        t(spark, sf_dir, "orders"),
+        [
+            ("not_null", "o_orderkey"),
+            ("unique", "o_orderkey"),
+            ("between", "o_totalprice", 1, 600000),
+            ("in_set", "o_orderstatus", ["O", "F", "P"]),
+            ("matches", "o_orderpriority", "^[1-5]-"),
+            ("row_count_min", 1000),
+        ],
+    )
+
+
+@register(
+    "evt_attribution",
+    """WITH touched AS (
+         SELECT user_id, event_type, value,
+                last_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS channel_last
+         FROM events)
+       SELECT coalesce(channel_last, 'direct') AS channel,
+              count(*) AS n_conversions,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+                  AS revenue
+       FROM touched WHERE event_type = 'purchase'
+       GROUP BY 1""",
+)
+def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution ([EXT] event analytics;
+    `operators/events.py::attribution`): every purchase credited to the
+    user's most recent preceding non-purchase touch (no-touch purchases
+    bucket as 'direct'), rolled up to revenue per channel — one
+    user-keyed window pass + one aggregate."""
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+    from kusuma_metamorph_etl_spark.operators.events import attribution
+
+    att = attribution(t(spark, sf_dir, "events"))
+    return att.groupBy(
+        F.coalesce("channel_last", F.lit("direct")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        decimal_sum(F.col("value")).alias("revenue"),
+    )
+
+
+@register(
+    "agg_kmv_intersect",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+       SELECT (SELECT count(*) FROM a) AS n_a,
+              (SELECT count(*) FROM b) AS n_b,
+              (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                  AS n_union,
+              (SELECT count(*) FROM a JOIN b USING (o_custkey))
+                  AS n_intersection""",
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set-intersection estimate ([EXT] mergeable
+    sketches; `operators/sketches.py::kmv_sketch/kmv_intersect`) — the
+    query HLL cannot answer: how many customers placed BOTH open and
+    filled orders, from two 256-hash sketches instead of the raw sets.
+    Emits the EXACT counts (oracle-computable) gated on all four KMV
+    estimates landing within their error bounds (10% for the direct
+    set estimates at k=256 where σ ≈ 1/√k ≈ 6%; 15% for the composed
+    intersection) — a regression in the sketch math empties the output
+    and flips the driver red."""
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        kmv_intersect,
+        kmv_sketch,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    est = kmv_intersect(
+        kmv_sketch(a, "o_custkey", k=256), kmv_sketch(b, "o_custkey", k=256), k=256
+    )
+    da, db = a.distinct(), b.distinct()
+    exact = (
+        _n(da, "n_a")
+        .crossJoin(_n(db, "n_b"))
+        .crossJoin(_n(da.unionByName(db).distinct(), "n_union"))
+        .crossJoin(_n(da.join(db, "o_custkey"), "n_intersection"))
+    )
+    stats = exact.crossJoin(F.broadcast(est))
+    within = (
+        lambda e, x, tol: F.abs(F.col(e) - F.col(x)) <= tol * F.col(x)
+    )
+    ok = (
+        within("est_a", "n_a", 0.10)
+        & within("est_b", "n_b", 0.10)
+        & within("est_union", "n_union", 0.10)
+        & within("est_intersection", "n_intersection", 0.15)
+    )
+    return _gate(exact, stats, ok)
+
+
+@register(
+    "evt_markov",
+    """WITH p AS (
+         SELECT lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type,
+                event_type AS next_type
+         FROM events),
+        c AS (SELECT prev_type, next_type, count(*) AS n
+              FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+              round(CAST(n AS DOUBLE)
+                    / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+                    6) AS p
+       FROM c""",
+)
+def evt_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types ([EXT]
+    event analytics; `operators/events.py::transition_matrix`):
+    row-normalized (prev → next) probabilities across all user
+    journeys — one user-keyed lag window + one pair count."""
+    from kusuma_metamorph_etl_spark.operators.events import transition_matrix
+
+    return transition_matrix(t(spark, sf_dir, "events"))

@@ -134,8 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "evt_dedup_window",
     "evt_paths",
     # window cut-off: the driver checks the FIRST 50 names — 37 stale +
-    # the 9 above + the 4 below fill it exactly.  ROUND-8 PLAN: the 27
-    # later section-(2) entries (ts_rolling … samp_kfold below) have
+    # the 9 above + the 4 below fill it exactly.  ROUND-8 PLAN: the
+    # later section-(2) entries (ts_rolling … evt_attribution below,
+    # including the six registered after the r7 window was frozen) have
     # zero driver evidence — front-load ALL of them in the r8 window,
     # then pad with the oldest r5 rows (proj_*, fil_*, marts).  After
     # that window, nothing registered is older than r6.
@@ -170,6 +171,14 @@ _PRIORITY: tuple[str, ...] = (
     "dq_psi_categorical",
     "evt_cohort_ltv",
     "fn_surrogate_key",
+    "agg_bloom_join",
+    "dedup_semantic",
+    "dedup_semantic_err",
+    "ts_ewma",
+    "dq_expectations",
+    "evt_attribution",
+    "agg_kmv_intersect",
+    "evt_markov",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

@@ -455,3 +455,39 @@ def test_normalized_dedup_collapses_reformatted_copies(spark):
     canon = df.select("doc_id", normalize_for_dedup(F.col("text")).alias("text"))
     kept = {r["doc_id"] for r in dedup.exact_dedup(canon).collect()}
     assert kept == {1, 4}  # lowest id survives the collapsed trio
+
+
+class TestSemanticDedup:
+    def test_planted_copies_always_dropped(self, spark, sf_small):
+        emb = _emb(spark, sf_small).select("vec_id", "embedding")
+        planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+        corpus = emb.unionByName(planted)
+        survivors = dedup.semantic_dedup(corpus, threshold=0.9)
+        # identical vectors share an argmax cell, so every planted copy
+        # meets its lower-id original inside a cell and is dropped
+        assert survivors.filter(F.col("vec_id") >= 10_000).count() == 0
+        # and no original is dropped: only the copy has cosine >= 0.9,
+        # always on the higher-id side
+        assert survivors.count() == emb.count()
+
+    def test_pairs_subset_of_exact_pairs(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.similarity import cosine_pairs
+
+        emb = _emb(spark, sf_small)
+        sem = dedup.semantic_pairs(emb, threshold=0.3, n_clusters=8)
+        exact = cosine_pairs(emb, 0.3)
+        # blocking can only MISS pairs; every emitted pair is exact-verified
+        assert (
+            sem.select("a", "b").join(
+                exact.select("a", "b"), ["a", "b"], "left_anti"
+            ).count()
+            == 0
+        )
+
+    def test_survivors_superset_of_exact(self, spark, sf_small):
+        emb = _emb(spark, sf_small)
+        exact = dedup.embedding_dedup(emb, threshold=0.3).select("vec_id")
+        sem = dedup.semantic_dedup(emb, threshold=0.3).select("vec_id")
+        assert exact.join(sem, "vec_id", "left_anti").count() == 0

@@ -1,0 +1,76 @@
+"""Touch attribution: hand-built journeys with known first/last touches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators.events import attribution
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (eid, dt.datetime(2024, 1, 1, 0, 0, sec), uid, typ, float(v))
+            for eid, sec, uid, typ, v in rows
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
+def test_last_and_first_touch_per_conversion(spark):
+    df = _events(
+        spark,
+        [
+            (1, 1, 1, "view", 0),
+            (2, 2, 1, "click", 0),
+            (3, 3, 1, "purchase", 10),
+            (4, 4, 1, "purchase", 5),  # prior purchase masked, not a touch
+            (5, 1, 2, "purchase", 7),  # no touch at all
+        ],
+    )
+    out = {r["event_id"]: r for r in attribution(df).collect()}
+    assert (out[3]["channel_last"], out[3]["channel_first"]) == ("click", "view")
+    assert (out[4]["channel_last"], out[4]["channel_first"]) == ("click", "view")
+    assert (out[5]["channel_last"], out[5]["channel_first"]) == (None, None)
+    assert set(out) == {3, 4, 5}  # only conversions emit rows
+
+
+def test_timestamp_tie_breaks_on_event_id(spark):
+    df = _events(
+        spark,
+        [
+            (10, 1, 1, "view", 0),
+            (11, 1, 1, "click", 0),  # same ts as view: id order decides
+            (12, 2, 1, "purchase", 3),
+        ],
+    )
+    row = attribution(df).collect()[0]
+    assert row["channel_last"] == "click"
+    assert row["channel_first"] == "view"
+
+
+def test_transition_matrix_counts_and_row_normalization(spark):
+    from kusuma_metamorph_etl_spark.operators.events import transition_matrix
+
+    df = _events(
+        spark,
+        [
+            (1, 1, 1, "a", 0),
+            (2, 2, 1, "b", 0),
+            (3, 3, 1, "a", 0),
+            (4, 4, 1, "b", 0),
+            (5, 1, 2, "a", 0),
+            (6, 2, 2, "a", 0),
+        ],
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in transition_matrix(df).collect()
+    }
+    assert out[("a", "b")] == (2, round(2 / 3, 6))
+    assert out[("a", "a")] == (1, round(1 / 3, 6))
+    assert out[("b", "a")] == (1, 1.0)
+    # first event per user is a start, not a transition
+    assert sum(n for n, _ in out.values()) == 6 - 2

@@ -195,3 +195,76 @@ def test_schema_drift_gate_categorizes_drift(spark):
         schema_drift_gate(df2, contract)
     assert e2.value.added == {"extra"}
     assert schema_drift_gate(df2, contract, allow_added=True) is df2
+
+
+class TestExpectations:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, 10.0, "O"),
+                (2, 20.0, "F"),
+                (2, -5.0, "X"),  # dup id, out-of-range value, bad status
+                (None, 999.0, None),  # null id, out-of-range value
+            ],
+            ["id", "amount", "status"],
+        )
+
+    def test_observed_counts_per_check(self, spark):
+        from kusuma_metamorph_etl_spark.plans.quality import expectations
+
+        out = {
+            (r["check"], r["column"]): (r["observed"], r["passed"])
+            for r in expectations(
+                self._df(spark),
+                [
+                    ("not_null", "id"),
+                    ("unique", "id"),
+                    ("between", "amount", 0, 100),
+                    ("in_set", "status", ["O", "F", "P"]),
+                    ("matches", "status", "^[A-Z]$"),
+                    ("row_count_min", 3),
+                ],
+            ).collect()
+        }
+        assert out[("not_null", "id")] == (1, False)
+        assert out[("unique", "id")] == (1, False)  # one excess duplicate
+        assert out[("between(0,100)", "amount")] == (2, False)
+        assert out[("in_set(O,F,P)", "status")] == (1, False)
+        assert out[("matches(^[A-Z]$)", "status")] == (0, True)  # nulls skip
+        assert out[("row_count_min(3)", "*")] == (4, True)
+
+    def test_all_green_on_clean_data(self, spark):
+        from kusuma_metamorph_etl_spark.plans.quality import expectations
+
+        clean = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+        out = expectations(
+            clean,
+            [("not_null", "id"), ("unique", "id"), ("row_count_min", 1)],
+        )
+        assert all(r["passed"] for r in out.collect())
+
+    def test_single_aggregation_pass(self, spark):
+        """The whole suite must compile to ONE aggregate over the scan —
+        no per-check jobs (the plan shows a single Aggregate node chain,
+        not a union of scans)."""
+        from kusuma_metamorph_etl_spark.plans.quality import expectations
+
+        plan = (
+            expectations(
+                self._df(spark),
+                [("not_null", "id"), ("between", "amount", 0, 100)],
+            )
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("Aggregate") == 1  # one aggregation...
+        assert plan.count("LogicalRDD") == 1  # ...over one scan, no union
+
+    def test_unknown_kind_and_empty_list_raise(self, spark):
+        from kusuma_metamorph_etl_spark.plans.quality import expectations
+
+        with pytest.raises(ValueError):
+            expectations(self._df(spark), [("bogus", "id")])
+        with pytest.raises(ValueError):
+            expectations(self._df(spark), [])

@@ -191,3 +191,149 @@ def test_heavy_hitters_lower_bound_mode_never_overcounts(spark):
     assert approx and approx.get("a", 0) <= 500
     exact = {r["x"]: r["n"] for r in heavy_hitters(df, "x", k=10).collect()}
     assert exact["a"] == 500
+
+
+class TestBloom:
+    def _keys(self, spark, lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    def test_no_false_negatives(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            bloom_probe,
+            bloom_sketch,
+        )
+
+        keys = self._keys(spark, 0, 1000)
+        sk = bloom_sketch(keys, "k", n_bits=1 << 14)
+        probed = bloom_probe(sk, keys, "k", n_bits=1 << 14)
+        assert probed.filter(~F.col("maybe_present")).count() == 0
+
+    def test_false_positive_rate_bounded(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            bloom_probe,
+            bloom_sketch,
+        )
+
+        sk = bloom_sketch(self._keys(spark, 0, 1000), "k", n_bits=1 << 14)
+        absent = self._keys(spark, 100_000, 101_000)
+        fp = (
+            bloom_probe(sk, absent, "k", n_bits=1 << 14)
+            .filter(F.col("maybe_present"))
+            .count()
+        )
+        # theoretical FP ~0.1% at 16 bits/key with 5 hashes; 5% is ample
+        assert fp <= 50
+
+    def test_merge_equals_union_build(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            bloom_sketch,
+            merge_bloom,
+        )
+
+        a = self._keys(spark, 0, 500)
+        b = self._keys(spark, 400, 1000)
+        merged = merge_bloom(
+            bloom_sketch(a, "k", n_bits=1 << 12).unionByName(
+                bloom_sketch(b, "k", n_bits=1 << 12)
+            )
+        )
+        direct = bloom_sketch(a.unionByName(b), "k", n_bits=1 << 12)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_prefilter_join_equals_plain_join(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            bloom_prefilter_join,
+        )
+
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+        dim = (
+            spark.read.parquet(f"{sf_small}/customer.parquet")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("o_custkey"))
+        )
+        pre = bloom_prefilter_join(orders, dim, on="o_custkey", n_bits=1 << 14)
+        plain = orders.join(dim, on="o_custkey")
+        assert sorted(map(tuple, pre.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_prefilter_actually_prunes(self, spark, sf_small):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            bloom_probe,
+            bloom_sketch,
+        )
+
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+        dim = (
+            spark.read.parquet(f"{sf_small}/customer.parquet")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("o_custkey"))
+        )
+        sk = bloom_sketch(dim, "o_custkey", n_bits=1 << 16)
+        kept = (
+            bloom_probe(sk, orders, "o_custkey", n_bits=1 << 16)
+            .filter(F.col("maybe_present"))
+            .count()
+        )
+        total = orders.count()
+        matching = orders.join(dim, on="o_custkey", how="left_semi").count()
+        # the sketch keeps every true match and prunes most of the rest
+        assert matching <= kept < total * 0.5
+
+
+class TestKMV:
+    def test_exact_below_k(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            kmv_distinct,
+            kmv_sketch,
+        )
+
+        df = spark.range(0, 100).select(F.col("id").alias("v"))
+        sk = kmv_sketch(df, "v", k=256)
+        assert sk.count() == 100  # below k the sketch IS the distinct set
+        assert kmv_distinct(sk, k=256).collect()[0]["est"] == 100.0
+
+    def test_estimate_accuracy_above_k(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            kmv_distinct,
+            kmv_sketch,
+        )
+
+        df = spark.range(0, 5000).select(F.col("id").alias("v"))
+        sk = kmv_sketch(df, "v", k=256)
+        assert sk.count() == 256
+        est = kmv_distinct(sk, k=256).collect()[0]["est"]
+        assert abs(est - 5000) / 5000 < 0.2  # sigma ~ 1/sqrt(k) ~ 6%
+
+    def test_merge_equals_direct_build(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            kmv_sketch,
+            merge_kmv,
+        )
+
+        a = spark.range(0, 3000).select(F.col("id").alias("v"))
+        b = spark.range(2000, 6000).select(F.col("id").alias("v"))
+        merged = merge_kmv(
+            kmv_sketch(a, "v", k=128).unionByName(kmv_sketch(b, "v", k=128)),
+            k=128,
+        )
+        direct = kmv_sketch(a.unionByName(b), "v", k=128)
+        assert sorted(r["h"] for r in merged.collect()) == sorted(
+            r["h"] for r in direct.collect()
+        )
+
+    def test_intersection_estimate(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            kmv_intersect,
+            kmv_sketch,
+        )
+
+        a = spark.range(0, 4000).select(F.col("id").alias("v"))
+        b = spark.range(2000, 6000).select(F.col("id").alias("v"))
+        row = kmv_intersect(
+            kmv_sketch(a, "v", k=256), kmv_sketch(b, "v", k=256), k=256
+        ).collect()[0]
+        assert abs(row["est_union"] - 6000) / 6000 < 0.2
+        assert abs(row["est_intersection"] - 2000) / 2000 < 0.35

@@ -147,3 +147,56 @@ def test_rolling_distinct_matches_bruteforce(spark):
         est = got[k]["approx_7d_distinct"]
         assert abs(est - exact) / exact < 0.1, (k, est, exact)
         assert got[k]["day_distinct"] == 20
+
+
+def test_ewma_hand_computed_with_calendar_gap(spark):
+    from kusuma_metamorph_etl_spark.operators.timeseries import ewma
+
+    df = _series(
+        spark,
+        [("a", "2024-01-01", 10), ("a", "2024-01-02", 20), ("a", "2024-01-05", 30)],
+    )
+    out = {
+        r["d"].isoformat(): r["ewma"]
+        for r in ewma(df, ["k"], "d", "v", alpha=0.5).collect()
+    }
+    assert out["2024-01-01"] == 10.0
+    # (0.5*10 + 20) / 1.5
+    assert out["2024-01-02"] == round(25 / 1.5, 6)
+    # gap decays by elapsed DAYS: weights 0.5^4, 0.5^3, 1
+    assert out["2024-01-05"] == round(
+        (10 * 0.0625 + 20 * 0.125 + 30) / (0.0625 + 0.125 + 1), 6
+    )
+
+
+def test_ewma_truncates_beyond_window(spark):
+    from kusuma_metamorph_etl_spark.operators.timeseries import ewma
+
+    df = _series(
+        spark,
+        [("a", "2024-01-01", 10), ("a", "2024-01-02", 20), ("a", "2024-01-05", 30)],
+    )
+    out = {
+        r["d"].isoformat(): r["ewma"]
+        for r in ewma(df, ["k"], "d", "v", alpha=0.5, window_days=3).collect()
+    }
+    # at Jan 5 both prior points are >= 3 days old: only the day-0 term
+    assert out["2024-01-05"] == 30.0
+    # at Jan 2 the Jan 1 point (1 day old) is still inside the window
+    assert out["2024-01-02"] == round(25 / 1.5, 6)
+
+
+def test_ewma_keys_are_independent_and_alpha_validated(spark):
+    import pytest
+
+    from kusuma_metamorph_etl_spark.operators.timeseries import ewma
+
+    df = _series(
+        spark, [("a", "2024-01-01", 10), ("b", "2024-01-01", 99)]
+    )
+    rows = {r["k"]: r["ewma"] for r in ewma(df, ["k"], "d", "v").collect()}
+    assert rows == {"a": 10.0, "b": 99.0}
+    with pytest.raises(ValueError):
+        ewma(df, ["k"], "d", "v", alpha=1.5)
+    with pytest.raises(ValueError):
+        ewma(df, ["k"], "d", "v", window_days=0)
