@@ -1075,19 +1075,23 @@ def semantic_pairs(
     import numpy as np
 
     from kusuma_metamorph_etl_spark.operators.similarity import (
-        _assign_cells,
-        _centroid_cells,
+        assign_cells_np,
         ivf_build,
     )
 
-    cells = _centroid_cells(
-        ivf_build(df, n_clusters, id_col, vec_col, refine_iters)
-    )
+    centroids = ivf_build(df, n_clusters, id_col, vec_col, refine_iters)
     # probes=1: every vector lives in exactly one cell, so the cell join
     # emits each candidate pair once — no distinct pass needed (unlike
-    # multi-table LSH where a pair can collide in several tables).
-    a = _assign_cells(df, cells, "a", 1, id_col, vec_col)
-    b = _assign_cells(df, cells, "b", 1, id_col, vec_col)
+    # multi-table LSH where a pair can collide in several tables).  The
+    # assignment is the broadcast-numpy path (plan-literal centroids
+    # cost a multi-second codegen compile at 32×64 — see
+    # `assign_cells_np`), and the b side is a RENAME of the a side so
+    # the assignment evaluates once per vector and the self-join reuses
+    # the exchange.
+    a = assign_cells_np(df, centroids, "a", id_col, vec_col)
+    b = a.select(
+        F.col("a").alias("b"), F.col("a_v").alias("b_v"), "cell"
+    )
     cand = a.join(b, on="cell").filter(F.col("a") < F.col("b"))
 
     def score(batches):

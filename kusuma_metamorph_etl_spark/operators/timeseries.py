@@ -307,3 +307,53 @@ def ewma(
             F.col("__su").cast("double") / F.col("__ss").cast("double"), 6
         ).alias(out),
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Weekly seasonal decomposition of a daily series: per key, the
+    day-of-week additive profile and the deseasonalized series —
+    ``(keys..., date, value, dow, seasonal, deseasonalized)`` where
+    ``seasonal = mean(value | dow) − mean(value)`` and
+    ``deseasonalized = value − seasonal``.
+
+    The retail/events pattern `rate_anomaly` is blind to: a quiet Sunday
+    is NORMAL, and a Monday matching Sunday volume is the anomaly —
+    deseasonalize first, then feed the residual to the z-score gate.
+
+    Plan: one (keys, dow)-keyed aggregation (≤ 7 rows per key) plus one
+    keys-keyed aggregation, joined back on their keys.  The profile
+    frames are KEY-cardinality-sized (7·|keys| and |keys| rows), so the
+    joins are left to AQE rather than forced broadcast — with millions
+    of keys a forced broadcast would be the bug; with few keys AQE
+    broadcasts them anyway.  Means are rounded to 6 dp before the
+    subtraction (two-pass vs streaming mean engine difference), the
+    arithmetic after that is exact to the rounding.
+    """
+    dow = F.dayofweek(F.col(date_col))  # 1=Sunday … 7=Saturday (Spark/DuckDB agree)
+    by_dow = (
+        df.groupBy(*key_cols, dow.alias("dow"))
+        .agg(F.round(F.avg(value_col), 6).alias("__dow_mean"))
+    )
+    overall = df.groupBy(*key_cols).agg(
+        F.round(F.avg(value_col), 6).alias("__mean")
+    )
+    return (
+        df.withColumn("dow", dow)
+        .join(by_dow, on=[*key_cols, "dow"])
+        .join(overall, on=list(key_cols))
+        .select(
+            *key_cols,
+            date_col,
+            value_col,
+            "dow",
+            F.round(F.col("__dow_mean") - F.col("__mean"), 6).alias("seasonal"),
+            F.round(
+                F.col(value_col) - (F.col("__dow_mean") - F.col("__mean")), 6
+            ).alias("deseasonalized"),
+        )
+    )

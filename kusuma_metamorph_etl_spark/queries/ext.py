@@ -3723,3 +3723,73 @@ def evt_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kusuma_metamorph_etl_spark.operators.events import transition_matrix
 
     return transition_matrix(t(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_seasonal",
+    """WITH agg AS MATERIALIZED (
+          SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day_dt,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                      AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1, 2),
+        dw AS (SELECT priority, dayofweek(day_dt) + 1 AS dow,
+                      round(avg(revenue), 6) AS dow_mean
+               FROM agg GROUP BY 1, 2),
+        ov AS (SELECT priority, round(avg(revenue), 6) AS mean
+               FROM agg GROUP BY 1)
+       SELECT a.priority, a.day_dt, a.revenue,
+              dayofweek(a.day_dt) + 1 AS dow,
+              round(dw.dow_mean - ov.mean, 6) AS seasonal,
+              round(a.revenue - (dw.dow_mean - ov.mean), 6) AS deseasonalized
+       FROM agg a
+       JOIN dw ON dw.priority = a.priority
+              AND dw.dow = dayofweek(a.day_dt) + 1
+       JOIN ov ON ov.priority = a.priority""",
+)
+def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal decomposition ([EXT] time-series;
+    `operators/timeseries.py::seasonal_profile`): day-of-week additive
+    profile + deseasonalized residual of the per-priority daily revenue
+    series — the pre-pass that makes `evt_rate_anomaly`'s z-score
+    compare a Monday to Mondays instead of to the whole week."""
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+    from kusuma_metamorph_etl_spark.operators.timeseries import seasonal_profile
+
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day_dt"),
+    ).agg(decimal_sum(F.col("o_totalprice")).alias("revenue"))
+    return seasonal_profile(daily, ["priority"], "day_dt", "revenue")
+
+
+@register("sim_ivf_persisted_err", _TOPK_ORACLE)
+def sim_ivf_persisted_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the PERSISTED IVF index lifecycle (build → write
+    cell-partitioned → partition-pruned search;
+    `operators/similarity.py::write_ivf_index/ivf_search`): exact top-5
+    baseline gated on the persisted-index search hitting the same ≥ 0.35
+    recall bound as the inline IVF row — so a broken index write, a
+    centroid/assignment drift between write and search, or lost
+    partition pruning all empty the output and flip the driver red.
+    The index round-trips through a run-scoped temp dir (the index is a
+    DERIVED artifact; rebuilt per run here, persisted across runs in
+    production)."""
+    import shutil
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    tmp = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        similarity.write_ivf_index(emb, tmp, n_centroids=16)
+        approx = similarity.ivf_search(spark, tmp, queries, k=5, n_probe=4)
+        # materialize before the temp dir disappears: the gate compare
+        # re-executes the plan, which must not dangle on deleted files
+        approx = spark.createDataFrame(
+            approx.select("query_id", "neighbor_id").collect(),
+            schema="query_id long, neighbor_id long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _topk_err(spark, sf_dir, approx, bound=0.35)

@@ -179,6 +179,8 @@ _PRIORITY: tuple[str, ...] = (
     "evt_attribution",
     "agg_kmv_intersect",
     "evt_markov",
+    "ts_seasonal",
+    "sim_ivf_persisted_err",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

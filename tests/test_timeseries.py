@@ -200,3 +200,27 @@ def test_ewma_keys_are_independent_and_alpha_validated(spark):
         ewma(df, ["k"], "d", "v", alpha=1.5)
     with pytest.raises(ValueError):
         ewma(df, ["k"], "d", "v", window_days=0)
+
+
+def test_seasonal_profile_hand_computed(spark):
+    from kusuma_metamorph_etl_spark.operators.timeseries import seasonal_profile
+
+    # two weeks, Mondays run hot (+30 over the other day), one key
+    df = _series(
+        spark,
+        [
+            ("a", "2024-01-01", 40),  # Monday
+            ("a", "2024-01-04", 10),  # Thursday
+            ("a", "2024-01-08", 40),  # Monday
+            ("a", "2024-01-11", 10),  # Thursday
+        ],
+    )
+    out = {
+        r["d"].isoformat(): r for r in seasonal_profile(df, ["k"], "d", "v").collect()
+    }
+    # overall mean 25; Monday mean 40 -> seasonal +15; Thursday -> -15
+    assert out["2024-01-01"]["seasonal"] == 15.0
+    assert out["2024-01-04"]["seasonal"] == -15.0
+    assert out["2024-01-01"]["deseasonalized"] == 25.0
+    assert out["2024-01-11"]["deseasonalized"] == 25.0
+    assert out["2024-01-01"]["dow"] == 2  # Spark: 1=Sunday, Monday=2
