@@ -66,6 +66,7 @@ def funnel_one_scan(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Same ordered-funnel semantics as :func:`funnel`, reading the events
     fact ONCE.
@@ -113,6 +114,21 @@ def funnel_one_scan(
         reached = _at_or_after(F.col(s), F.col(prev))
         current = current.withColumn(f"t_{s}", F.get(reached, 0))
         prev = f"t_{s}"
+    if within_seconds is not None:
+        # Conversion-window rule, anchored at the user's FIRST stage-1
+        # event (the declared semantics — NOT "any chain fits some
+        # window", which would need a per-chain search): a stage only
+        # counts if it lands within `within_seconds` of t_first.  One
+        # deadline comparison per stage suffices for the cascade too —
+        # the greedy chain guarantees t_s ≥ t_{s-1}, so a stage past the
+        # deadline drags every later stage past it as well.
+        deadline = F.col(f"t_{stages[0]}") + F.expr(
+            f"INTERVAL {int(within_seconds)} SECONDS"
+        )
+        for s in stages[1:]:
+            current = current.withColumn(
+                f"t_{s}", F.when(F.col(f"t_{s}") <= deadline, F.col(f"t_{s}"))
+            )
     return current.filter(F.col(f"t_{stages[0]}").isNotNull()).select(
         user_col, *[f"t_{s}" for s in stages]
     )

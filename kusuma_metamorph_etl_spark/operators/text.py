@@ -504,3 +504,72 @@ def normalize_for_dedup(text: Column) -> Column:
     """
     stripped = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Persist an inverted text index: DISTINCT ``(token, doc_id)``
+    postings written ``partitionBy(bucket)`` with
+    ``bucket = xxhash64(token) mod n_buckets`` — the "index once, query
+    many" layout where a term lookup reads ONLY its bucket's files
+    (partition pruning, same layout idea as the persisted IVF index in
+    `operators/similarity.py::write_ivf_index`).
+
+    Build is one explode + distinct (the posting-list shuffle, paid at
+    index time, not per query).  ``n_buckets`` bounds per-directory file
+    counts; within a bucket the postings stay token-sorted by the
+    shuffle, so parquet row-group stats prune further on exact token.
+    """
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words(F.col(text_col))).alias("token"),
+        )
+        .distinct()
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def search_all_terms(
+    spark,
+    path: str,
+    terms: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """AND-query against a :func:`build_inverted_index` layout: doc ids
+    containing ALL of ``terms``.
+
+    The term list maps to its buckets with the SAME ``xxhash64``
+    expression as the build (computed JVM-side over the tiny term frame,
+    one bounded len(terms) collect — build/search hashing cannot drift),
+    so the scan partition-prunes to ≤ len(terms) buckets no matter how
+    large the corpus.  Inside the pruned read: a broadcast semi-join on
+    exact token, then one doc-keyed distinct-count == n_terms — posting-
+    list-sized work end to end; the corpus itself is never touched at
+    query time.
+    """
+    if not terms:
+        raise ValueError("search_all_terms: empty term list")
+    tdf = spark.createDataFrame(
+        [(t,) for t in set(terms)], ["token"]
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+    )
+    buckets = [r["bucket"] for r in tdf.collect()]  # bounded: len(terms)
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    hits = idx.join(F.broadcast(tdf.select("token")), on="token", how="left_semi")
+    n_terms = len(set(terms))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("__n"))
+        .filter(F.col("__n") == n_terms)
+        .select("doc_id")
+    )

@@ -357,3 +357,32 @@ def seasonal_profile(
             ).alias("deseasonalized"),
         )
     )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    value_col: str,
+    freq: str = "week",
+) -> DataFrame:
+    """Downsample a daily series to OHLC bars per key:
+    ``(keys..., period, open, high, low, close, n_obs)`` with
+    ``period = date_trunc(freq)`` (Spark and the oracle engines agree on
+    Monday-start weeks).  Open/close are the values at the period's
+    first/last OBSERVED day (``min_by``/``max_by`` — deterministic under
+    the one-row-per-(key, day) input contract every operator in this
+    module assumes); high/low are plain extremes.
+
+    One keyed aggregation — the canonical storage-tiering downsample: keep
+    day grain hot, roll older history to weekly/monthly bars, and the
+    query layer unions the grains.
+    """
+    period = F.date_trunc(freq, F.col(date_col)).cast("date")
+    return df.groupBy(*key_cols, period.alias("period")).agg(
+        F.min_by(value_col, date_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, date_col).alias("close"),
+        F.count(value_col).alias("n_obs"),
+    )

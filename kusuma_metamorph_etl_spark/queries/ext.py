@@ -3793,3 +3793,105 @@ def sim_ivf_persisted_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _topk_err(spark, sf_dir, approx, bound=0.35)
+
+
+@register(
+    "txt_search_and",
+    f"""SELECT doc_id
+       FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)
+       WHERE list_contains(w, 'batch') AND list_contains(w, 'scan')
+         AND list_contains(w, 'merge')""",
+)
+def txt_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted-index AND-search ([EXT] text;
+    `operators/text.py::build_inverted_index/search_all_terms`): docs
+    containing ALL of {{batch, scan, merge}}, answered from a
+    bucket-partitioned posting index with the scan pruned to the query
+    terms' buckets — the oracle recomputes membership from the raw text,
+    so a lost posting, a build/search hash drift, or a broken bucket
+    layout all hash-mismatch.  The index round-trips through a
+    run-scoped temp dir (rebuilt per run here, persisted across runs in
+    production); the result doc-id list re-materializes before cleanup
+    (bounded: matching docs only)."""
+    import shutil
+    import tempfile
+
+    from kusuma_metamorph_etl_spark.operators.text import (
+        build_inverted_index,
+        search_all_terms,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="inv_index_")
+    try:
+        build_inverted_index(docs, tmp)
+        found = search_all_terms(spark, tmp, ["batch", "scan", "merge"])
+        return spark.createDataFrame(
+            found.collect(), schema="doc_id long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "evt_funnel_window",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        SELECT v.user_id, v.t_view,
+               CASE WHEN c.t_click <= v.t_view + INTERVAL 6 HOURS
+                    THEN c.t_click END AS t_click,
+               CASE WHEN c.t_click <= v.t_view + INTERVAL 6 HOURS
+                     AND p.t_purchase <= v.t_view + INTERVAL 6 HOURS
+                    THEN p.t_purchase END AS t_purchase
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+)
+def evt_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel ([EXT]; `operators/events.py::
+    funnel_one_scan(within_seconds=)`): view → click → purchase where
+    every stage must land within 6 hours of the user's FIRST view (the
+    declared conversion-window rule, anchored at first touch).  Same
+    one-scan plan as `evt_funnel` plus one deadline comparison per
+    stage."""
+    from kusuma_metamorph_etl_spark.operators.events import funnel_one_scan
+
+    events = t(spark, sf_dir, "events")
+    return funnel_one_scan(
+        events, stages=["view", "click", "purchase"], within_seconds=6 * 3600
+    )
+
+
+@register(
+    "ts_ohlc",
+    """WITH agg AS MATERIALIZED (
+          SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day_dt,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                      AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1, 2)
+       SELECT priority, CAST(date_trunc('week', day_dt) AS DATE) AS period,
+              min_by(revenue, day_dt) AS open,
+              max(revenue) AS high,
+              min(revenue) AS low,
+              max_by(revenue, day_dt) AS close,
+              count(revenue) AS n_obs
+       FROM agg GROUP BY 1, 2""",
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC downsampling ([EXT] time-series;
+    `operators/timeseries.py::resample_ohlc`): the per-priority daily
+    revenue series rolled to Monday-start weekly open/high/low/close
+    bars — the storage-tiering downsample (day grain hot, bars cold)."""
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+    from kusuma_metamorph_etl_spark.operators.timeseries import resample_ohlc
+
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day_dt"),
+    ).agg(decimal_sum(F.col("o_totalprice")).alias("revenue"))
+    return resample_ohlc(daily, ["priority"], "day_dt", "revenue")

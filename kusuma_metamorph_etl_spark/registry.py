@@ -181,6 +181,9 @@ _PRIORITY: tuple[str, ...] = (
     "evt_markov",
     "ts_seasonal",
     "sim_ivf_persisted_err",
+    "txt_search_and",
+    "evt_funnel_window",
+    "ts_ohlc",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

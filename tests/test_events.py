@@ -74,3 +74,41 @@ def test_transition_matrix_counts_and_row_normalization(spark):
     assert out[("b", "a")] == (1, 1.0)
     # first event per user is a start, not a transition
     assert sum(n for n, _ in out.values()) == 6 - 2
+
+
+def test_funnel_window_constraint_cuts_late_stages(spark):
+    from kusuma_metamorph_etl_spark.operators.events import funnel_one_scan
+
+    df = _events(
+        spark,
+        [
+            # user 1 converts inside the 10s window
+            (1, 0, 1, "view", 0),
+            (2, 3, 1, "click", 0),
+            (3, 8, 1, "purchase", 0),
+            # user 2 clicks inside, purchases outside the window
+            (4, 0, 2, "view", 0),
+            (5, 5, 2, "click", 0),
+            (6, 30, 2, "purchase", 0),
+            # user 3: click itself outside -> purchase also cut
+            (7, 0, 3, "view", 0),
+            (8, 20, 3, "click", 0),
+            (9, 25, 3, "purchase", 0),
+        ],
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_one_scan(
+            df, ["view", "click", "purchase"], within_seconds=10
+        ).collect()
+    }
+    assert out[1]["t_purchase"] is not None
+    assert out[2]["t_click"] is not None and out[2]["t_purchase"] is None
+    assert out[3]["t_click"] is None and out[3]["t_purchase"] is None
+    # and without the window, user 2 and 3 convert fully
+    free = {
+        r["user_id"]: r
+        for r in funnel_one_scan(df, ["view", "click", "purchase"]).collect()
+    }
+    assert free[2]["t_purchase"] is not None
+    assert free[3]["t_purchase"] is not None

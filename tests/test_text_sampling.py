@@ -601,3 +601,54 @@ def test_llm_dataprep_pipeline_stages_compose(spark, sf_small):
     assert all(r["lang"] == "en" for r in rows)
     assert all(0 < r["keep_rate"] <= 1.0 for r in rows)
     assert all(r["n_tokens"] >= 20 for r in rows)  # gopher floor held
+
+
+class TestInvertedIndex:
+    def test_and_search_equals_direct_filter(self, spark, sf_small, tmp_path):
+        from kusuma_metamorph_etl_spark.operators.text import (
+            build_inverted_index,
+            search_all_terms,
+            words,
+        )
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        path = str(tmp_path / "idx")
+        build_inverted_index(docs, path)
+        terms = ["batch", "scan"]
+        got = sorted(
+            r["doc_id"] for r in search_all_terms(spark, path, terms).collect()
+        )
+        w = words(F.col("text"))
+        direct = docs.filter(
+            F.array_contains(w, "batch") & F.array_contains(w, "scan")
+        )
+        assert got == sorted(r["doc_id"] for r in direct.collect())
+        assert got  # fixture terms actually occur
+
+    def test_search_prunes_to_term_buckets(self, spark, sf_small, tmp_path):
+        from kusuma_metamorph_etl_spark.operators.text import (
+            build_inverted_index,
+            search_all_terms,
+        )
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        path = str(tmp_path / "idx")
+        build_inverted_index(docs, path)
+        plan = (
+            search_all_terms(spark, path, ["batch"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the scan must carry a partition filter on bucket, not read all 64
+        assert "PartitionFilters: [bucket" in plan.replace("#", " #").replace(
+            "bucket #", "bucket"
+        ) or "bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    def test_empty_terms_raise(self, spark, tmp_path):
+        import pytest
+
+        from kusuma_metamorph_etl_spark.operators.text import search_all_terms
+
+        with pytest.raises(ValueError):
+            search_all_terms(spark, str(tmp_path), [])

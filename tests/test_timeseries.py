@@ -224,3 +224,32 @@ def test_seasonal_profile_hand_computed(spark):
     assert out["2024-01-01"]["deseasonalized"] == 25.0
     assert out["2024-01-11"]["deseasonalized"] == 25.0
     assert out["2024-01-01"]["dow"] == 2  # Spark: 1=Sunday, Monday=2
+
+
+def test_resample_ohlc_weekly_bars(spark):
+    from kusuma_metamorph_etl_spark.operators.timeseries import resample_ohlc
+
+    # 2024-01-01 is a Monday; two observed days that week + one the next
+    df = _series(
+        spark,
+        [
+            ("a", "2024-01-02", 30),
+            ("a", "2024-01-05", 10),
+            ("a", "2024-01-03", 50),
+            ("a", "2024-01-09", 70),
+        ],
+    )
+    out = {
+        r["period"].isoformat(): r
+        for r in resample_ohlc(df, ["k"], "d", "v").collect()
+    }
+    wk1 = out["2024-01-01"]
+    assert (wk1["open"], wk1["high"], wk1["low"], wk1["close"], wk1["n_obs"]) == (
+        30.0,
+        50.0,
+        10.0,
+        10.0,
+        3,
+    )
+    assert out["2024-01-08"]["open"] == 70.0
+    assert out["2024-01-08"]["n_obs"] == 1
