@@ -599,32 +599,27 @@ def embedding_lsh_pairs(
     missed (bound: 1 − (1 − (1 − θ/π)^planes)^tables).
     """
     from kusuma_metamorph_etl_spark.operators.similarity import (
-        hyperplane_signature,
+        hyperplane_signatures_np,
     )
 
     def sig(frame: DataFrame, out: str) -> DataFrame:
         # ids only — the 64-float vectors stay OUT of the exploded frame
-        # and the bucket join; they re-attach per verified candidate below.
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_signature(
-                        F.col(vec_col), n_planes, dim, seed=42 + t
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
+        # and the bucket join; they re-attach per verified candidate
+        # below.  Signatures come from the broadcast-numpy path: the
+        # plan-literal formulation embedded 8×4×64 plane constants and
+        # paid a multi-second codegen compile per query (the same
+        # finding as `ivf_build`'s Lloyd loop; measured below).
+        return hyperplane_signatures_np(
+            frame, out, n_planes, n_tables, dim, id_col, vec_col
         )
-        return frame.select(
-            F.col(id_col).alias(out), F.explode(tables).alias("tb")
-        ).select(out, "tb.tbl", "tb.bucket")
 
     # Distinct candidate id-pairs FIRST (a pair colliding in several tables
     # must cost one cosine, not several), then one vector-attach join per
     # side and one exact verify per pair.  Measured at sf0.1 (2000 vecs,
     # 8 tables x 16 buckets): 16.0s -> 5.1s vs verifying per-collision
-    # with vectors riding the exploded join.
+    # with vectors riding the exploded join; -> ~2.5s warm after the
+    # signature stage moved to the broadcast-numpy path (plan-literal
+    # planes cost a multi-second codegen compile per query).
     cand = (
         sig(df, "a")
         .join(sig(df, "b"), on=["tbl", "bucket"])

@@ -400,6 +400,71 @@ def hyperplane_signature(
     return total
 
 
+def hyperplane_signatures_np(
+    df: DataFrame,
+    out: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_base: int = 42,
+) -> DataFrame:
+    """All ``n_tables`` hyperplane buckets per vector in ONE broadcast-
+    numpy pass: ``(out, tbl, bucket)`` exploded rows, ids only (vectors
+    never ride the bucket join — the `embedding_lsh_pairs` discipline).
+
+    Numpy twin of :func:`hyperplane_signature` for the multi-table
+    blocking path: the plan-literal formulation embeds
+    n_tables × n_planes × dim constants (2048 doubles at the dedup
+    defaults) in a codegen unit whose compile dominates wall clock at
+    small-to-mid scale — the same lesson as `ivf_build`'s Lloyd loop.
+    Same sign rule (``dot ≥ 0``) and bit packing; a sign can differ from
+    the JVM fold only when a dot product sits within float-summation
+    error of exactly zero, which the recall gates absorb by design.
+    """
+    import numpy as np
+
+    planes = np.array(
+        [
+            _plane(seed_base + t, j, dim)
+            for t in range(n_tables)
+            for j in range(n_planes)
+        ],
+        dtype=np.float64,
+    )  # (n_tables*n_planes, dim)
+    bits = (2 ** np.arange(n_planes, dtype=np.int64))
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    def sigs(batches):
+        pl = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            v = np.array(list(batch["__v"]), dtype=np.float64)
+            d = v @ pl.T  # (n, tables*planes)
+            nonneg = (d >= 0).reshape(len(v), n_tables, n_planes)
+            buckets = (nonneg * bits).sum(axis=2)  # (n, tables)
+            ids = batch["__id"]
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(v)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            as_double(F.col(vec_col)).alias("__v"),
+        )
+        .mapInPandas(sigs, schema=f"__id {id_type}, tbl int, bucket long")
+        .select(F.col("__id").alias(out), "tbl", "bucket")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
