@@ -327,6 +327,11 @@ def expectations(df: DataFrame, checks: list[tuple]) -> DataFrame:
       set, pass when 0
     * ``("matches", col, regex)`` — observed = non-null rows NOT matching
       (Java regex, full-match not required), pass when 0
+    * ``("predicate", label, sql)`` — CROSS-FIELD invariant: observed =
+      rows where the SQL boolean expression is NOT satisfied (false OR
+      null — a null comparison is a violation, not a free pass), pass
+      when 0.  E.g. ``("predicate", "ship_after_order",
+      "ship_date >= order_date")``.
     * ``("row_count_min", n)`` — observed = row count, pass when ≥ n
 
     Unlike the fail-fast gates above, this is a REPORT: all checks
@@ -367,6 +372,11 @@ def expectations(df: DataFrame, checks: list[tuple]) -> DataFrame:
             bad = ~F.col(c).rlike(regex) & F.col(c).isNotNull()
             exprs.append(F.sum(bad.cast("long")).alias(alias))
             rows.append((f"matches({regex})", c, alias))
+        elif kind == "predicate":
+            _, label, sql = chk
+            bad = ~F.coalesce(F.expr(sql), F.lit(False))
+            exprs.append(F.sum(bad.cast("long")).alias(alias))
+            rows.append((f"predicate({label})", "*", alias))
         elif kind == "row_count_min":
             _, n = chk
             exprs.append(F.count(F.lit(1)).alias(alias))

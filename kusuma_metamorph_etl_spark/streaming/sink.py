@@ -14,6 +14,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kusuma_metamorph_etl_spark.operators.scd import scd2_init, scd2_merge
 from kusuma_metamorph_etl_spark.sources.sinks import dual_write
@@ -116,3 +117,62 @@ def stream_scd2_upsert(
     if available_now:
         query.awaitTermination()
     return query
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    item_col: str,
+    k: int,
+    summary_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming Misra–Gries heavy-hitter rollup: every micro-batch
+    appends its bounded (≤ partitions × k rows) MG partition summaries
+    to ``summary_path``; :func:`merged_heavy_hitters` reads the whole
+    summary table back as lower-bound counts.
+
+    The batch guarantee COMPOSES across micro-batches by the same
+    pigeonhole: if an item's total count exceeds Σ n_b / k, then in at
+    least one batch its count exceeds that batch's n_b / k, so it
+    survives that batch's summary — the merged candidate set provably
+    contains every global heavy hitter, with per-item undercount ≤ Σ
+    n_b / k.  State never lives in the stream (no
+    `applyInPandasWithState`): the summary TABLE is the state, append-
+    only and idempotent per micro-batch via `foreachBatch` — the same
+    replay-safe pattern as `stream_dual_write`/`stream_scd2_upsert`.
+    """
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        _mg_partition_summaries,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = _mg_partition_summaries(batch_df, item_col, k)
+        s.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(summary_path)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query
+
+
+def merged_heavy_hitters(
+    spark, summary_path: str, item_col: str
+) -> DataFrame:
+    """Merge a :func:`stream_heavy_hitters` summary table into
+    ``(item_col, n)`` lower-bound counts (telemetry-grade — the
+    `heavy_hitters(exact=False)` mode; run the candidate-only exact
+    verify over the raw corpus when exact counts are needed)."""
+    return (
+        spark.read.parquet(summary_path)
+        .groupBy("__item")
+        .agg(F.sum("mg_count").alias("n"))
+        .select(F.col("__item").alias(item_col), "n")
+    )

@@ -268,3 +268,18 @@ class TestExpectations:
             expectations(self._df(spark), [("bogus", "id")])
         with pytest.raises(ValueError):
             expectations(self._df(spark), [])
+
+    def test_predicate_cross_field_check(self, spark):
+        from kusuma_metamorph_etl_spark.plans.quality import expectations
+
+        df = spark.createDataFrame(
+            [(1, 5), (3, 2), (None, 1)], ["lo", "hi"]
+        )
+        out = {
+            r["check"]: (r["observed"], r["passed"])
+            for r in expectations(
+                df, [("predicate", "hi_above_lo", "hi >= lo")]
+            ).collect()
+        }
+        # (3,2) violates; (NULL,1) compares to NULL -> violation, not a pass
+        assert out["predicate(hi_above_lo)"] == (2, False)

@@ -502,3 +502,45 @@ def test_stateful_dedup_window_chains_across_micro_batches(spark, tmp_path):
     # 100 opens the burst; 101 (+5m) and 102 (+4m, ACROSS the boundary,
     # chained off 101) are suppressed; 103 (+21m after 102) opens anew.
     assert got == {100, 103}
+
+
+def test_stream_heavy_hitters_contains_all_batch_heavy_hitters(
+    spark, sf_small, tmp_path
+):
+    """MG summaries composed across micro-batches: merged lower-bound
+    candidates must contain EVERY exact heavy hitter (pigeonhole across
+    batches) and never overcount."""
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.streaming.sink import (
+        merged_heavy_hitters,
+        stream_heavy_hitters,
+    )
+    from kusuma_metamorph_etl_spark.streaming.windows import stream_events
+
+    k = 10
+    summary = str(tmp_path / "mg")
+    stream_heavy_hitters(
+        stream_events(spark, sf_small),
+        "event_type",
+        k,
+        summary,
+        str(tmp_path / "ckpt"),
+    )
+    merged = {
+        r["event_type"]: r["n"]
+        for r in merged_heavy_hitters(spark, summary, "event_type").collect()
+    }
+    events = spark.read.parquet(f"{sf_small}/events.parquet")
+    n_total = events.count()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    heavy = {t for t, n in exact.items() if n > n_total / k}
+    assert heavy  # fixture has heavy items at k=10 (5 uniform types)
+    assert heavy <= set(merged)
+    for t, n in merged.items():
+        assert n <= exact[t]  # lower bounds never overcount
