@@ -140,10 +140,14 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Label every EVENT with its per-user session index (1-based): a new
     session starts when the gap to the previous event exceeds
     ``gap_seconds`` (strictly greater; the rule is declared).
+    ``keep_cols`` carries extra input columns through to the labeled
+    output (the default schema stays minimal — and frozen, it is an
+    oracle contract).
 
     The event-grain complement of ``streaming/windows.py::session_agg``
     (which aggregates per session) — downstream features often need the
@@ -166,7 +170,11 @@ def sessionize(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return events.select(
-        user_col, id_col, ts_col, session_idx.alias("session_idx")
+        user_col,
+        id_col,
+        ts_col,
+        session_idx.alias("session_idx"),
+        *(keep_cols or []),
     )
 
 
@@ -525,4 +533,43 @@ def transition_matrix(
         F.round(
             F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"), 6
         ).alias("p"),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session-GRAIN rollup over :func:`sessionize` labels:
+    ``(user, session_idx, n_events, started_at, duration_us,
+    session_value, bounce)`` — the per-session feature frame engagement
+    and funnel models consume (the event-grain labels stay available
+    from `sessionize` itself).
+
+    ``duration_us`` is the exact integer-µs span (no float boundary);
+    ``session_value`` is the exact-decimal sum of ``value_col``;
+    ``bounce`` is the single-event-session flag.  Plan: the sessionize
+    window then ONE (user, session) aggregation — both shuffle on the
+    user key, so AQE coalesces them into one exchange's worth of
+    movement per key.
+    """
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+
+    labeled = sessionize(
+        events, gap_seconds, user_col, ts_col, id_col, keep_cols=[value_col]
+    )
+    n = F.count(F.lit(1))
+    return labeled.groupBy(user_col, "session_idx").agg(
+        n.alias("n_events"),
+        F.min(ts_col).alias("started_at"),
+        (
+            F.max(F.unix_micros(F.col(ts_col)))
+            - F.min(F.unix_micros(F.col(ts_col)))
+        ).alias("duration_us"),
+        decimal_sum(F.col(value_col)).alias("session_value"),
+        (n == 1).alias("bounce"),
     )

@@ -3895,3 +3895,91 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("day_dt"),
     ).agg(decimal_sum(F.col("o_totalprice")).alias("revenue"))
     return resample_ohlc(daily, ["priority"], "day_dt", "revenue")
+
+
+@register(
+    "mart_mm_dataprep",
+    """WITH d AS (SELECT doc_id,
+                 CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS w,
+                 CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS h
+          FROM documents),
+        keep AS (SELECT * FROM d WHERE w >= 5 AND h >= 5),
+        ops(op) AS (VALUES ('hflip'), ('rot90'))
+       SELECT doc_id, op,
+              CASE WHEN op = 'rot90' THEN h ELSE w END AS width,
+              CASE WHEN op = 'rot90' THEN w ELSE h END AS height
+       FROM keep CROSS JOIN ops""",
+)
+def mart_mm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL composition flagship: the image corpus-prep pipeline as
+    one query — synthesize/ingest payloads → plant exact copies of every
+    11th image (the dedup workload) → dimension quality filter over REAL
+    decodes (keep ≥5×5) → exact-pHash dedup (hamming 0; identical pixels
+    hash identically so every planted copy drops, lowest-id wins) →
+    deterministic augmentation fan-out (hflip + rot90) — each stage the
+    registered operator (`mm_binary_features`, `mm_phash_dedup`,
+    `mm_augment` individually), the WHOLE chain oracle-checked: the
+    oracle recomputes the surviving (doc_id, op, dims) rows from the
+    synthesis contract, so a copy surviving dedup, an over-aggressive
+    drop, a wrong filter, or a wrong post-op dimension each change the
+    row set and flip the driver red.  (Natural hamming-0 collisions are
+    zero on this corpus — verified at both test scales — which is what
+    makes exact survivors SQL-predictable.)"""
+    docs = t(spark, sf_dir, "documents")
+    imgs = multimodal.attach_image_payload(docs).select("doc_id", "payload")
+    copies = imgs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = imgs.unionByName(copies)
+    feats = multimodal.extract_binary_features(corpus).select(
+        "doc_id", "width", "height"
+    )
+    keep_ids = feats.filter(
+        (F.col("width") >= 5) & (F.col("height") >= 5)
+    ).select("doc_id")
+    kept = corpus.join(keep_ids, "doc_id")
+    dropped = (
+        multimodal.phash_near_dups(kept, max_hamming=0)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kept.join(dropped, "doc_id", "left_anti")
+    aug = multimodal.augment(survivors, ops=["hflip", "rot90"])
+    return aug.select("doc_id", "op", "width", "height")
+
+
+@register(
+    "evt_session_stats",
+    """WITH x AS (
+         SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS ns
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        lab AS (
+         SELECT user_id, ts, value,
+                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_idx
+         FROM x)
+       SELECT user_id, session_idx,
+              count(*) AS n_events,
+              min(ts) AS started_at,
+              CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+                  AS duration_us,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+                  AS session_value,
+              count(*) = 1 AS bounce
+       FROM lab GROUP BY 1, 2""",
+)
+def evt_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain rollup ([EXT] event analytics;
+    `operators/events.py::session_stats`): per (user, session) event
+    count, start, exact integer-µs duration, exact-decimal value sum and
+    bounce flag — the per-session feature frame over the `evt_sessionize`
+    labels."""
+    from kusuma_metamorph_etl_spark.operators.events import session_stats
+
+    return session_stats(t(spark, sf_dir, "events"), gap_seconds=1800)

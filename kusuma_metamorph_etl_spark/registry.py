@@ -184,6 +184,8 @@ _PRIORITY: tuple[str, ...] = (
     "txt_search_and",
     "evt_funnel_window",
     "ts_ohlc",
+    "mart_mm_dataprep",
+    "evt_session_stats",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

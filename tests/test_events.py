@@ -112,3 +112,32 @@ def test_funnel_window_constraint_cuts_late_stages(spark):
     }
     assert free[2]["t_purchase"] is not None
     assert free[3]["t_purchase"] is not None
+
+
+def test_session_stats_rollup(spark):
+    from kusuma_metamorph_etl_spark.operators.events import session_stats
+
+    df = _events(
+        spark,
+        [
+            # user 1: two sessions (gap 40s > 10s threshold)
+            (1, 0, 1, "view", 1.5),
+            (2, 5, 1, "click", 2.5),
+            (3, 50, 1, "view", 4.0),
+            # user 2: single-event session -> bounce
+            (4, 0, 2, "purchase", 7.0),
+        ],
+    )
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(df, gap_seconds=10).collect()
+    }
+    s11 = out[(1, 1)]
+    assert (s11["n_events"], s11["duration_us"], s11["session_value"]) == (
+        2,
+        5_000_000,
+        4.0,
+    )
+    assert s11["bounce"] is False
+    assert out[(1, 2)]["bounce"] is True
+    assert out[(2, 1)]["session_value"] == 7.0
