@@ -199,3 +199,51 @@ def psi_drift_categorical(
         F.sum("nb").alias("n_b"),
         F.lit(cats).alias("n_categories"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], round_to: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations over ``cols`` in ONE aggregation
+    pass → long-form ``(col_a, col_b, corr, n)`` for the k·(k−1)/2
+    unordered pairs (col_a < col_b lexicographically) — the feature-
+    redundancy screen run before training and the drift check run after
+    (compose with the PSI gates above).
+
+    One ``agg`` computes every pair's co-moments in a single scan
+    (k²-bounded aggregate state, data read once — never k² scans);
+    ``n`` is the pair's non-null-both count, NULL corr when a side is
+    constant (Spark and SQL engines agree NULL, not NaN, after the
+    round-trip).  Correlations are rounded so engines that accumulate
+    co-moments in different orders agree exactly (`rate_anomaly`'s
+    mean/std discipline).
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(sorted(cols))
+        for b in sorted(cols)[i + 1 :]
+    ]
+    aggs = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        aggs.append(F.round(F.corr(a, b), round_to).alias(f"__r_{tag}"))
+        aggs.append(
+            F.count(
+                F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)
+            ).alias(f"__n_{tag}")
+        )
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__r_{a}__{b}").alias("corr"),
+            F.col(f"__n_{a}__{b}").alias("n"),
+        )
+        for a, b in pairs
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.corr", "r.n"
+    )

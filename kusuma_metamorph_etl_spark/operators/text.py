@@ -573,3 +573,61 @@ def search_all_terms(
         .filter(F.col("__n") == n_terms)
         .select("doc_id")
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus collocations: adjacent-word bigrams scored by pointwise
+    mutual information — ``(w1, w2, n_pair, pmi)`` for bigrams seen at
+    least ``min_count`` times (phrase-mining: high-PMI pairs are the
+    multiword units a tokenizer or stopword list should treat as one).
+
+    ``pmi = log2( (c(ab)/N) / ((c(a)/U) · (c(b)/U)) )`` with N = total
+    bigram tokens, U = total unigram tokens (the declared estimator —
+    unigram probabilities from the unigram distribution, joint from the
+    bigram distribution).  Tokens are lowercased `words`.
+
+    Plan: one scan explodes bigrams and unigrams (narrow); pair and word
+    counts are two keyed aggregations; per-word counts join back on the
+    word key; the two corpus totals ride as broadcast single-row frames
+    (the `tf_idf` pattern — never a driver action).  Determinism: the
+    PMI expression is division-first with explicit double casts — the
+    same IEEE operation tree both engines evaluate identically — and
+    the final value rounds to 6 dp to absorb libm log2 ulps.
+    """
+    toks = words(F.lower(F.col(text_col)))
+    docs = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    bigrams = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, F.size("__t") - 1),
+                F.slice("__t", 2, F.size("__t") - 1),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    uni = df.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_w")
+    )
+    n_big = pair_counts.agg(F.sum("n_pair").alias("__nb"))
+    n_uni = uni.agg(F.sum("n_w").alias("__nu"))
+    scored = (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("__ca")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("__cb")), "w2")
+        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    pmi = F.log2(
+        (F.col("n_pair").cast("double") / F.col("__nb").cast("double"))
+        / (
+            (F.col("__ca").cast("double") / F.col("__nu").cast("double"))
+            * (F.col("__cb").cast("double") / F.col("__nu").cast("double"))
+        )
+    )
+    return scored.select("w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi"))

@@ -3983,3 +3983,91 @@ def evt_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kusuma_metamorph_etl_spark.operators.events import session_stats
 
     return session_stats(t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@register(
+    "agg_corr_matrix",
+    """WITH pairs AS (
+         SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+                round(corr(l_discount, l_extendedprice), 6) AS corr,
+                count(CASE WHEN l_discount IS NOT NULL
+                            AND l_extendedprice IS NOT NULL THEN 1 END) AS n
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', 'l_quantity',
+                round(corr(l_discount, l_quantity), 6),
+                count(CASE WHEN l_discount IS NOT NULL
+                            AND l_quantity IS NOT NULL THEN 1 END)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', 'l_tax',
+                round(corr(l_discount, l_tax), 6),
+                count(CASE WHEN l_discount IS NOT NULL
+                            AND l_tax IS NOT NULL THEN 1 END)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_quantity',
+                round(corr(l_extendedprice, l_quantity), 6),
+                count(CASE WHEN l_extendedprice IS NOT NULL
+                            AND l_quantity IS NOT NULL THEN 1 END)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_tax',
+                round(corr(l_extendedprice, l_tax), 6),
+                count(CASE WHEN l_extendedprice IS NOT NULL
+                            AND l_tax IS NOT NULL THEN 1 END)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', 'l_tax',
+                round(corr(l_quantity, l_tax), 6),
+                count(CASE WHEN l_quantity IS NOT NULL
+                            AND l_tax IS NOT NULL THEN 1 END)
+         FROM lineitem)
+       SELECT col_a, col_b, corr, CAST(n AS BIGINT) AS n FROM pairs""",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass pairwise correlation matrix ([EXT] robust stats;
+    `operators/stats.py::correlation_matrix`): Pearson r over the four
+    lineitem measures — all six pairs' co-moments from ONE aggregation
+    over one scan (the oracle's UNION ALL is per-pair only because SQL
+    has no stack; the engine plan is a single Aggregate)."""
+    from kusuma_metamorph_etl_spark.operators.stats import correlation_matrix
+
+    li = t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
+    "txt_collocations",
+    f"""WITH d AS (SELECT {_W_LOWER} AS tk FROM documents),
+        d2 AS (SELECT tk FROM d WHERE len(tk) >= 2),
+        big AS (
+          SELECT unnest(list_transform(range(len(tk) - 1),
+                        i -> struct_pack(w1 := tk[i+1], w2 := tk[i+2]))) AS bg
+          FROM d2),
+        pc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_pair
+               FROM big GROUP BY 1, 2),
+        uni AS (SELECT w, count(*) AS n_w
+                FROM (SELECT unnest(tk) AS w FROM d) GROUP BY 1),
+        tot AS (SELECT (SELECT sum(n_pair) FROM pc) AS nb,
+                       (SELECT sum(n_w) FROM uni) AS nu)
+       SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+              round(log2((CAST(p.n_pair AS DOUBLE) / CAST(t.nb AS DOUBLE))
+                         / ((CAST(a.n_w AS DOUBLE) / CAST(t.nu AS DOUBLE))
+                            * (CAST(b.n_w AS DOUBLE) / CAST(t.nu AS DOUBLE)))),
+                    6) AS pmi
+       FROM pc p
+       JOIN uni a ON a.w = p.w1
+       JOIN uni b ON b.w = p.w2
+       CROSS JOIN tot t
+       WHERE p.n_pair >= 5""",
+)
+def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI bigram collocations ([EXT] text;
+    `operators/text.py::collocations`): adjacent-word pairs seen ≥ 5
+    times scored by pointwise mutual information — the phrase-mining
+    pass that finds multiword units; one scan, two keyed aggs, word-
+    keyed joins, corpus totals broadcast."""
+    return text.collocations(t(spark, sf_dir, "documents"), min_count=5)

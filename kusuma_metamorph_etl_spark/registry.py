@@ -135,9 +135,11 @@ _PRIORITY: tuple[str, ...] = (
     "evt_paths",
     # window cut-off: the driver checks the FIRST 50 names — 37 stale +
     # the 9 above + the 4 below fill it exactly.  ROUND-8 PLAN: the
-    # later section-(2) entries (ts_rolling … evt_attribution below,
-    # including the six registered after the r7 window was frozen) have
-    # zero driver evidence — front-load ALL of them in the r8 window,
+    # later section-(2) entries (ts_rolling … txt_collocations below,
+    # including everything registered after the r7 window was frozen)
+    # have zero driver evidence — front-load ALL of them in the r8
+    # window (they exceed 50 with the stale padding, so spill the
+    # remainder to r9's front),
     # then pad with the oldest r5 rows (proj_*, fil_*, marts).  After
     # that window, nothing registered is older than r6.
     "graph_pagerank",
@@ -186,6 +188,8 @@ _PRIORITY: tuple[str, ...] = (
     "ts_ohlc",
     "mart_mm_dataprep",
     "evt_session_stats",
+    "agg_corr_matrix",
+    "txt_collocations",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

@@ -90,3 +90,37 @@ def test_psi_categorical_zero_identical_and_detects_mix_shift(spark):
 
     disjoint = psi_drift_categorical(a, c, "lang").collect()[0]
     assert math.isfinite(disjoint["psi"]) and disjoint["n_categories"] == 3
+
+
+class TestCorrelationMatrix:
+    def test_perfect_and_inverse_correlations(self, spark):
+        from kusuma_metamorph_etl_spark.operators.stats import correlation_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0)],
+            ["a", "b", "c"],
+        )
+        out = {
+            (r["col_a"], r["col_b"]): r
+            for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+        }
+        assert out[("a", "b")]["corr"] == 1.0
+        assert out[("a", "c")]["corr"] == -1.0
+        assert out[("a", "b")]["n"] == 3
+        assert len(out) == 3  # unordered pairs only
+
+    def test_single_pass_plan_and_validation(self, spark):
+        import pytest
+
+        from kusuma_metamorph_etl_spark.operators.stats import correlation_matrix
+
+        df = spark.createDataFrame([(1.0, 2.0)], ["a", "b"])
+        plan = (
+            correlation_matrix(df, ["a", "b"])
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("LogicalRDD") == 1  # one scan, no per-pair unions
+        with pytest.raises(ValueError):
+            correlation_matrix(df, ["a"])

@@ -652,3 +652,25 @@ class TestInvertedIndex:
 
         with pytest.raises(ValueError):
             search_all_terms(spark, str(tmp_path), [])
+
+
+def test_collocations_hand_computed_pmi(spark):
+    from kusuma_metamorph_etl_spark.operators.text import collocations
+
+    import math
+
+    # 'x y' always adjacent; 'z' never adjacent to x.
+    docs = spark.createDataFrame(
+        [("x y",)] * 6 + [("z",)] * 4, ["text"]
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in collocations(docs, min_count=5).collect()
+    }
+    # bigrams: 6 of (x,y); unigrams: x=6, y=6, z=4 -> U=16, N=6
+    expected = round(
+        math.log2((6 / 6) / ((6 / 16) * (6 / 16))), 6
+    )
+    assert out[("x", "y")]["n_pair"] == 6
+    assert out[("x", "y")]["pmi"] == expected
+    assert len(out) == 1  # nothing below min_count emits
