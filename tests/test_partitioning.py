@@ -66,3 +66,28 @@ def test_integer_column_supported(spark):
     bucketed, n = quantile_bucket(df, "x", 4)
     assert bucketed.filter(F.col("__bkt") < 0).count() == 0
     assert 1 <= n <= 4 + 1
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(
+    spark, sf_small, tmp_path
+):
+    """The 100 TB star-join behavior: a fact laid out partitionBy(key)
+    must prune at RUNTIME from the dim side's filter (no literal predicate
+    on the fact anywhere) — Catalyst's dynamic partition pruning inserts a
+    dynamicpruning subquery into the scan's partition filters.  This is
+    free ONLY if the layout partitions on the join key; the test pins
+    that the engine's layout choice actually unlocks it."""
+    fact_path = str(tmp_path / "fact")
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    orders.write.partitionBy("o_orderpriority").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("5-LOW", "cold")], ["o_orderpriority", "tier"]
+    ).filter("tier = 'hot'")
+    joined = fact.join(dim, on="o_orderpriority")
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan
+    # and the result is the pruned slice only
+    got = joined.count()
+    want = orders.filter("o_orderpriority = '1-URGENT'").count()
+    assert got == want > 0
