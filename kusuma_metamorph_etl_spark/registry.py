@@ -134,14 +134,14 @@ _PRIORITY: tuple[str, ...] = (
     "evt_dedup_window",
     "evt_paths",
     # window cut-off: the driver checks the FIRST 50 names — 37 stale +
-    # the 9 above + the 4 below fill it exactly.  ROUND-8 PLAN: the
-    # later section-(2) entries (ts_rolling … txt_collocations below,
+    # the 9 above + the 4 below fill it exactly.  ROUND-8 PLAN: every
+    # section-(2) entry after the cut-off (ts_rolling … txt_collocations,
     # including everything registered after the r7 window was frozen)
-    # have zero driver evidence — front-load ALL of them in the r8
-    # window (they exceed 50 with the stale padding, so spill the
-    # remainder to r9's front),
-    # then pad with the oldest r5 rows (proj_*, fil_*, marts).  After
-    # that window, nothing registered is older than r6.
+    # has zero driver evidence — front-load ALL of them in the r8
+    # window, padding any leftover slots with the oldest r5 rows
+    # (proj_*, fil_*, marts); if the zero-evidence list itself outgrows
+    # 50, spill the tail to r9's front.  After that window, nothing
+    # registered is older than r6.
     "graph_pagerank",
     "ts_gapfill",
     "dedup_minhash_incr",
