@@ -72,6 +72,7 @@ HEADLINE = [
     "agg_bloom_join",  # Bloom sketch build + narrow-map prune + exact join
     "dedup_semantic",  # k-means cell blocking + within-cell numpy verify
     "ts_ewma",  # bounded fan-out EWMA over the daily aggregate
+    "txt_unigram_roundtrip",  # unigram train + distributed Viterbi encode
 ]
 
 

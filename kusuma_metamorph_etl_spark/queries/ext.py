@@ -4071,3 +4071,35 @@ def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass that finds multiword units; one scan, two keyed aggs, word-
     keyed joins, corpus totals broadcast."""
     return text.collocations(t(spark, sf_dir, "documents"), min_count=5)
+
+
+@register(
+    "txt_unigram_roundtrip",
+    r"""SELECT doc_id,
+              CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                   AS BIGINT) AS n_norm_chars
+       FROM documents""",
+)
+def txt_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL unigram-LM tokenization ([EXT], `operators/unigram.py` —
+    Kudo 2018, the SentencePiece default model): piece vocabulary seeded
+    from word substrings, hard-EM pruned to size on the driver-bounded
+    word table, every document Viterbi-encoded distributed, decoded with
+    the same inverse as BPE.  Losslessness is the gate (identical
+    contract to `txt_bpe_roundtrip`): a row survives only if
+    decode(encode(text)) equals the whitespace-normalized text, so a
+    vocabulary hole or a Viterbi bug drops rows and the driver compare
+    turns red."""
+    from kusuma_metamorph_etl_spark.operators import bpe, unigram
+
+    docs = t(spark, sf_dir, "documents")
+    logp = unigram.unigram_train(docs, vocab_size=512)
+    encoded = unigram.unigram_encode(docs, logp)
+    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return (
+        encoded.withColumn("__norm", normalized)
+        .filter(bpe.bpe_decode(F.col("tokens")) == F.col("__norm"))
+        .select(
+            "doc_id", F.length("__norm").cast("long").alias("n_norm_chars")
+        )
+    )

@@ -190,6 +190,7 @@ _PRIORITY: tuple[str, ...] = (
     "evt_session_stats",
     "agg_corr_matrix",
     "txt_collocations",
+    "txt_unigram_roundtrip",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",
