@@ -397,3 +397,41 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Merge a NEW batch of edges into existing ``(node, component)``
+    labels WITHOUT re-running CC over the historical edge list — the
+    incremental clustering step a nightly near-dup pipeline runs after
+    `dedup.incremental_minhash_near_dups` finds tonight's pairs.
+
+    The old labels re-enter as STAR edges (node — its component root):
+    contracting a connected subgraph preserves connectivity, so CC over
+    (stars ∪ new edges) has exactly the components of CC over
+    (all historical edges ∪ new edges) — proved by the ==full-recompute
+    test.  Cost: the input is |old labeled nodes| + |new edges| rows —
+    the historical EDGE list is never needed again (the labels table is
+    the persisted state, the same philosophy as the appendable MinHash
+    band table); rounds scale with the diameter of the NEW merge
+    structure since old components arrive pre-collapsed (diameter ≤ 2).
+    Old nodes untouched by new edges keep their labels verbatim.
+    """
+    star = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(a_col), F.col("component").alias(b_col)
+    )
+    combined = star.unionByName(
+        new_edges.select(
+            F.col(a_col).cast(labels.schema["node"].dataType),
+            F.col(b_col).cast(labels.schema["node"].dataType),
+        ).toDF(a_col, b_col)
+    )
+    cc = connected_components(combined, a_col, b_col, max_iter, checkpoint_dir)
+    untouched = labels.join(cc.select("node"), on="node", how="left_anti")
+    return cc.unionByName(untouched.select("node", "component"))

@@ -3589,6 +3589,16 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
          FROM orders
          UNION ALL
+         SELECT 'predicate(date_in_range)', '*',
+                CAST(count(*) FILTER (WHERE NOT coalesce(
+                    o_orderdate >= TIMESTAMP '1992-01-01'
+                    AND o_orderdate < TIMESTAMP '1999-01-01', false))
+                     AS BIGINT),
+                count(*) FILTER (WHERE NOT coalesce(
+                    o_orderdate >= TIMESTAMP '1992-01-01'
+                    AND o_orderdate < TIMESTAMP '1999-01-01', false)) = 0
+         FROM orders
+         UNION ALL
          SELECT 'row_count_min(1000)', '*',
                 CAST(count(*) AS BIGINT), count(*) >= 1000
          FROM orders)""",
@@ -3608,6 +3618,12 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("between", "o_totalprice", 1, 600000),
             ("in_set", "o_orderstatus", ["O", "F", "P"]),
             ("matches", "o_orderpriority", "^[1-5]-"),
+            (
+                "predicate",
+                "date_in_range",
+                "o_orderdate >= timestamp'1992-01-01' "
+                "and o_orderdate < timestamp'1999-01-01'",
+            ),
             ("row_count_min", 1000),
         ],
     )
@@ -4103,3 +4119,32 @@ def txt_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.length("__norm").cast("long").alias("n_norm_chars")
         )
     )
+
+
+@register(
+    "dedup_cc_incremental",
+    f"""WITH RECURSIVE {_CC_EDGES}
+        SELECT node, component FROM cc""",
+)
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance ([EXT];
+    `operators/graph.py::incremental_components`): the near-dup edge set
+    split into a "history" half and a "tonight" half by (a+b) parity;
+    history is clustered once, then tonight's edges merge into the
+    LABELS (old components re-enter as stars — the historical edge list
+    is never touched again).  The oracle is the transitive closure over
+    ALL edges: contracting connected subgraphs preserves connectivity,
+    so the incremental result must be bit-identical to the full
+    recompute — any drift in the star rewrite or the untouched-label
+    passthrough flips the driver red."""
+    from kusuma_metamorph_etl_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    edges = dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
+    old = edges.filter((F.col("a") + F.col("b")) % 2 == 0)
+    new = edges.filter((F.col("a") + F.col("b")) % 2 == 1)
+    labels = connected_components(old)
+    return incremental_components(labels, new).select("node", "component")

@@ -191,6 +191,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_corr_matrix",
     "txt_collocations",
     "txt_unigram_roundtrip",
+    "dedup_cc_incremental",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

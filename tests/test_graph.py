@@ -241,3 +241,55 @@ def test_star_cc_star_graph_and_chain(spark):
         for r in connected_components_star(chain).collect()
     }
     assert got2 == {i: 0 for i in range(31)}
+
+
+class TestIncrementalComponents:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, ["a", "b"])
+
+    def test_equals_full_recompute_on_random_graph(self, spark):
+        import random
+
+        from kusuma_metamorph_etl_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        rng = random.Random(7)
+        pairs = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(60)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        cut = len(pairs) // 2
+        full = connected_components(self._edges(spark, pairs))
+        old = connected_components(self._edges(spark, pairs[:cut]))
+        incr = incremental_components(old, self._edges(spark, pairs[cut:]))
+        assert sorted(map(tuple, incr.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_new_edge_bridges_two_old_components(self, spark):
+        from kusuma_metamorph_etl_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        old = connected_components(
+            self._edges(spark, [(1, 2), (2, 3), (10, 11)])
+        )
+        incr = incremental_components(old, self._edges(spark, [(3, 10)]))
+        got = {r["node"]: r["component"] for r in incr.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
+
+    def test_untouched_components_keep_labels(self, spark):
+        from kusuma_metamorph_etl_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        old = connected_components(
+            self._edges(spark, [(1, 2), (10, 11)])
+        )
+        incr = incremental_components(old, self._edges(spark, [(20, 21)]))
+        got = {r["node"]: r["component"] for r in incr.collect()}
+        assert got == {1: 1, 2: 1, 10: 10, 11: 10, 20: 20, 21: 20}
