@@ -4148,3 +4148,61 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = edges.filter((F.col("a") + F.col("b")) % 2 == 1)
     labels = connected_components(old)
     return incremental_components(labels, new).select("node", "component")
+
+
+@register(
+    "src_warc_roundtrip",
+    """SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS record_id,
+              'http://corpus.example/' || CAST(doc_id AS VARCHAR)
+                  AS target_uri,
+              CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+       FROM documents WHERE doc_id % 3 = 0""",
+)
+def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round-trip ([EXT] sources; `sources/warc.py` — the
+    Common Crawl framing LLM corpora arrive in): every 3rd document
+    serialized into multi-record WARC files (driver fixture writer),
+    read back record-grain through the strict Content-Length parser over
+    `binaryFile` + Arrow batches.  The oracle recomputes record ids,
+    URIs and UTF-8 payload lengths from the source table, so a framing
+    bug (mis-read length, lost record, header drift) changes the row set
+    or lengths and flips the driver red."""
+    import os
+    import shutil
+    import tempfile
+
+    from kusuma_metamorph_etl_spark.sources.warc import read_warc, write_warc
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )  # bounded fixture write: test-scale corpus, driver-side by design
+    tmp = tempfile.mkdtemp(prefix="warc_")
+    try:
+        # several files so the read exercises per-file parallelism
+        for shard in range(4):
+            write_warc(
+                [
+                    {
+                        "record_id": f"urn:doc:{r['doc_id']}",
+                        "warc_type": "conversion",
+                        "target_uri": f"http://corpus.example/{r['doc_id']}",
+                        "warc_date": "2025-08-24T00:00:00Z",
+                        "payload": r["text"].encode("utf-8"),
+                    }
+                    for r in docs
+                    if r["doc_id"] % 4 == shard
+                ],
+                os.path.join(tmp, f"part-{shard}.warc"),
+            )
+        out = read_warc(spark, tmp).select(
+            "record_id", "target_uri", "content_length"
+        )
+        return spark.createDataFrame(
+            out.collect(),
+            schema="record_id string, target_uri string, content_length long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
