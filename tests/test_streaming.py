@@ -544,3 +544,46 @@ def test_stream_heavy_hitters_contains_all_batch_heavy_hitters(
     assert heavy <= set(merged)
     for t, n in merged.items():
         assert n <= exact[t]  # lower bounds never overcount
+
+
+def test_stream_cdc_apply_maintains_published_snapshot(spark, tmp_path):
+    """Two micro-batches of changes materialize the correct table state
+    after each: upserts land, deletes remove, untouched keys survive,
+    readers always see a complete published version."""
+    import os
+
+    from kusuma_metamorph_etl_spark.sources.sinks import read_published
+    from kusuma_metamorph_etl_spark.streaming.sink import stream_cdc_apply
+
+    src_dir = str(tmp_path / "changes")
+    os.makedirs(src_dir)
+    schema = "id long, v string, seq long, op string"
+    b1 = spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 2, "I"), (1, "a2", 3, "U")], schema
+    )
+    b1.write.parquet(f"{src_dir}/batch=0")
+    table = str(tmp_path / "table")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(f"{src_dir}/batch=*")
+        )
+        stream_cdc_apply(
+            stream,
+            table,
+            str(tmp_path / "ckpt"),
+            key=["id"],
+            snapshot_schema="id long, v string",
+        )
+
+    run()
+    got = {r["id"]: r["v"] for r in read_published(spark, table).collect()}
+    assert got == {1: "a2", 2: "b"}
+
+    b2 = spark.createDataFrame([(2, "", 4, "D"), (3, "c", 5, "I")], schema)
+    b2.write.parquet(f"{src_dir}/batch=1")
+    run()  # same checkpoint: only the new file processes
+    got = {r["id"]: r["v"] for r in read_published(spark, table).collect()}
+    assert got == {1: "a2", 3: "c"}
