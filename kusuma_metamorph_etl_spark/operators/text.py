@@ -11,6 +11,8 @@ Formulas are written to be reproducible in ANSI SQL for the oracle
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -631,3 +633,40 @@ def collocations(
         )
     )
     return scored.select("w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi"))
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str = "fixed"
+) -> DataFrame:
+    """Repair UTF-8-as-Latin-1 mojibake ("café" → "cafÃ©" corruption —
+    the single most common web-crawl encoding damage): re-encode the
+    string as Latin-1 and re-decode as UTF-8, keeping the repair ONLY
+    when that round-trip succeeds (the ftfy core heuristic).
+
+    Safety of the rule, declared: pure-ASCII text round-trips to itself
+    (no-op); LEGITIMATE non-ASCII text (a real "é") encodes to a byte
+    that is invalid UTF-8 on its own, so the decode fails and the
+    original is kept; only byte sequences that actually look like UTF-8
+    viewed through Latin-1 — i.e. mojibake — transform.  False positives
+    require legitimate text whose Latin-1 bytes happen to form valid
+    multi-byte UTF-8 (adjacent Ã/Â-class characters), vanishingly rare
+    in real corpora and absent by construction in the oracle fixture.
+    One repair round (double-corrupted text needs two passes; compose).
+
+    Arrow-batched pandas UDF — per-row try/except has no column-
+    expression equivalent; narrow map, no shuffle.
+    """
+
+    @F.pandas_udf("string")
+    def fix(s: pd.Series) -> pd.Series:
+        def one(t: str) -> str:
+            if t is None:
+                return t
+            try:
+                return t.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return t
+
+        return s.map(one)
+
+    return df.withColumn(out_col, fix(F.col(text_col)))

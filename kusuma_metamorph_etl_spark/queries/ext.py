@@ -21,6 +21,8 @@ Oracle notes specific to this module:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -4206,3 +4208,39 @@ def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "txt_fix_mojibake",
+    """SELECT doc_id, text || ' — café nœud Σ' AS fixed
+       FROM documents WHERE doc_id % 7 = 0""",
+)
+def txt_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair ([EXT] text; `operators/text.py::fix_mojibake`):
+    every 7th document gets a non-ASCII suffix, is CORRUPTED the way
+    real crawls are (its UTF-8 bytes re-read as Latin-1 — "café" →
+    "cafÃ©"), then repaired by the Latin-1→UTF-8 round-trip heuristic.
+    The oracle holds the clean expected text, so an incomplete or
+    over-eager repair hash-mismatches; the no-op safety contract on
+    clean text is pinned in tests."""
+    from kusuma_metamorph_etl_spark.operators.text import fix_mojibake
+
+    clean = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" — café nœud Σ")).alias("clean"),
+        )
+    )
+
+    @F.pandas_udf("string")
+    def corrupt(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: x.encode("utf-8").decode("latin-1"))
+
+    corrupted = clean.select(
+        "doc_id", corrupt(F.col("clean")).alias("text")
+    )
+    return fix_mojibake(corrupted).select(
+        "doc_id", F.col("fixed")
+    )

@@ -193,6 +193,7 @@ _PRIORITY: tuple[str, ...] = (
     "txt_unigram_roundtrip",
     "dedup_cc_incremental",
     "src_warc_roundtrip",
+    "txt_fix_mojibake",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

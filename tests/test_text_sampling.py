@@ -674,3 +674,29 @@ def test_collocations_hand_computed_pmi(spark):
     assert out[("x", "y")]["n_pair"] == 6
     assert out[("x", "y")]["pmi"] == expected
     assert len(out) == 1  # nothing below min_count emits
+
+
+class TestMojibake:
+    def test_repairs_double_encoded_text(self, spark):
+        from kusuma_metamorph_etl_spark.operators.text import fix_mojibake
+
+        clean = "café — nœud Σ"
+        corrupted = clean.encode("utf-8").decode("latin-1")
+        assert corrupted != clean  # the fixture really is damaged
+        df = spark.createDataFrame([(1, corrupted)], ["id", "text"])
+        got = fix_mojibake(df).collect()[0]["fixed"]
+        assert got == clean
+
+    def test_no_op_on_clean_ascii_and_legit_unicode(self, spark):
+        from kusuma_metamorph_etl_spark.operators.text import fix_mojibake
+
+        rows = [
+            (1, "plain ascii text"),
+            (2, "café déjà-vu naïve"),  # legit UTF-8: must NOT change
+            (3, "Ελληνικά κείμενο"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        got = {r["id"]: r["fixed"] for r in fix_mojibake(df).collect()}
+        for i, text in rows:
+            assert got[i] == text
