@@ -4244,3 +4244,60 @@ def txt_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_mojibake(corrupted).select(
         "doc_id", F.col("fixed")
     )
+
+
+@register(
+    "evt_rate_anomaly_seasonal",
+    """WITH d AS MATERIALIZED (
+         SELECT event_type, CAST(ts AS DATE) AS day_dt,
+                count(*) AS n,
+                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+         FROM events GROUP BY 1, 2, 4),
+       dw AS (SELECT event_type, dayofweek(day_dt) + 1 AS dow,
+                     round(avg(n), 6) AS dow_mean
+              FROM d GROUP BY 1, 2),
+       ov AS (SELECT event_type, round(avg(n), 6) AS mean
+              FROM d GROUP BY 1),
+       ds AS (SELECT d.event_type, d.day_dt, d.ed,
+                     round(d.n - round(dw.dow_mean - ov.mean, 6), 6) AS v
+              FROM d
+              JOIN dw ON dw.event_type = d.event_type
+                     AND dw.dow = dayofweek(d.day_dt) + 1
+              JOIN ov ON ov.event_type = d.event_type),
+       w AS (
+         SELECT event_type, day_dt, v,
+           round(avg(v) OVER win, 6) AS baseline_mean,
+           round(stddev_samp(v) OVER win, 6) AS baseline_std,
+           count(v) OVER win AS baseline_n
+         FROM ds
+         WINDOW win AS (PARTITION BY event_type ORDER BY ed
+                        RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, day_dt, v AS deseasonalized,
+         baseline_mean, baseline_std, baseline_n,
+         CASE WHEN baseline_n >= 7 AND baseline_std > 0
+              THEN round((v - baseline_mean) / baseline_std, 6) END AS z,
+         abs(CASE WHEN baseline_n >= 7 AND baseline_std > 0
+              THEN round((v - baseline_mean) / baseline_std, 6) END) > 3.0
+             AS is_anomaly
+       FROM w""",
+)
+def evt_rate_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted volume anomaly ([EXT] composition:
+    `seasonal_profile` → `rate_anomaly`): the weekly day-of-week profile
+    is removed BEFORE the trailing z-score, so a quiet Sunday reads as
+    normal and a Monday at Sunday volume reads as the anomaly — the
+    composition `ts_seasonal`'s docstring promises, oracle-checked end
+    to end."""
+    from kusuma_metamorph_etl_spark.operators.timeseries import (
+        rate_anomaly,
+        seasonal_profile,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day_dt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    des = seasonal_profile(daily, ["event_type"], "day_dt", "n").select(
+        "event_type", "day_dt", "deseasonalized"
+    )
+    return rate_anomaly(des, ["event_type"], "day_dt", "deseasonalized")

@@ -194,6 +194,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cc_incremental",
     "src_warc_roundtrip",
     "txt_fix_mojibake",
+    "evt_rate_anomaly_seasonal",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",
