@@ -354,3 +354,90 @@ class TestEventDedupWindow:
         )
         got = {r["path"]: r["n_users"] for r in event_paths(df, depth=3).collect()}
         assert got == {"a>b>c": 1, "a": 1}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    obs=st.dictionaries(
+        st.integers(0, 40),  # day offsets (sparse, with gaps)
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_ewma_matches_bruteforce_truncated_definition(obs):
+    """The fan-out implementation must equal the literal truncated-EWMA
+    definition computed directly in Python (calendar-distance weights,
+    64-day window)."""
+    import math
+
+    from kusuma_metamorph_etl_spark.operators.timeseries import ewma
+
+    spark = _session()
+    rows = [
+        ("k", dt.date(2024, 1, 1) + dt.timedelta(days=d), v)
+        for d, v in sorted(obs.items())
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, v double")
+    got = {
+        r["d"]: r["ewma"]
+        for r in ewma(df, ["k"], "d", "v", alpha=0.2, window_days=64).collect()
+    }
+    for d_t, _ in sorted(obs.items()):
+        num = den = 0.0
+        for d_i, x in obs.items():
+            age = d_t - d_i
+            if 0 <= age < 64:
+                w = 0.8**age
+                num += round(x * w, 6)
+                den += round(w, 9)
+        want = round(num / den, 6)
+        key = dt.date(2024, 1, 1) + dt.timedelta(days=d_t)
+        assert math.isclose(got[key], want, abs_tol=2e-6), (d_t, got[key], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.sets(st.integers(0, 5000), min_size=1, max_size=400),
+    b=st.sets(st.integers(0, 5000), min_size=0, max_size=400),
+)
+def test_kmv_merge_associative_idempotent_and_exact_below_k(a, b):
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_sketch,
+        merge_kmv,
+    )
+
+    spark = _session()
+    k = 64
+    df_a = spark.createDataFrame([(v,) for v in a], "v long")
+    df_b = spark.createDataFrame([(v,) for v in b], "v long") if b else df_a.limit(0)
+    sk_a, sk_b = kmv_sketch(df_a, "v", k), kmv_sketch(df_b, "v", k)
+    merged = merge_kmv(sk_a.unionByName(sk_b), k)
+    direct = kmv_sketch(df_a.unionByName(df_b), "v", k)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+    # idempotence: re-merging the merge changes nothing
+    again = merge_kmv(merged.unionByName(merged), k)
+    assert sorted(r["h"] for r in again.collect()) == sorted(
+        r["h"] for r in merged.collect()
+    )
+    if len(a | b) < k:  # exact regime
+        est = kmv_distinct(direct, k).collect()[0]["est"]
+        assert est == float(len(a | b))
+
+
+@settings(max_examples=8, deadline=None)
+@given(keys=st.sets(st.integers(-(2**40), 2**40), min_size=1, max_size=300))
+def test_bloom_never_false_negative(keys):
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    spark = _session()
+    df = spark.createDataFrame([(v,) for v in keys], "v long")
+    sk = bloom_sketch(df, "v", n_bits=1 << 13)
+    probed = bloom_probe(sk, df, "v", n_bits=1 << 13)
+    assert probed.filter(~F.col("maybe_present")).count() == 0
