@@ -268,6 +268,15 @@ def assign_cells_np(
     """
     import numpy as np
 
+    v0 = as_double(F.col(vec_col))
+    if not centroids:
+        # empty corpus seeds no centroids: nothing can be assigned —
+        # an empty frame with the right schema, not an axis error
+        return df.select(
+            F.col(id_col).alias(out),
+            v0.alias(f"{out}_v"),
+            F.lit(0).alias("cell"),
+        ).filter(F.lit(False))
     cmat = np.array(centroids, dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
     cnorm[cnorm == 0] = 1.0

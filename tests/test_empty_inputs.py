@@ -1,0 +1,88 @@
+"""Empty-input behavior of the newest operators: empty in, empty (or
+well-defined) out — no crashes, no surprise rows.  Production pipelines
+hit empty partitions/days constantly; an operator that throws on them
+pages someone at 3am."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_ewma_and_seasonal_empty(spark):
+    from kusuma_metamorph_etl_spark.operators.timeseries import (
+        ewma,
+        resample_ohlc,
+        seasonal_profile,
+    )
+
+    df = _empty(spark, "k string, d date, v double")
+    assert ewma(df, ["k"], "d", "v").count() == 0
+    assert seasonal_profile(df, ["k"], "d", "v").count() == 0
+    assert resample_ohlc(df, ["k"], "d", "v").count() == 0
+
+
+def test_event_ops_empty(spark):
+    from kusuma_metamorph_etl_spark.operators.events import (
+        attribution,
+        session_stats,
+        transition_matrix,
+    )
+
+    df = _empty(
+        spark,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    assert attribution(df).count() == 0
+    assert transition_matrix(df).count() == 0
+    assert session_stats(df).count() == 0
+
+
+def test_sketches_empty(spark):
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        bloom_probe,
+        bloom_sketch,
+        kmv_sketch,
+    )
+
+    empty = _empty(spark, "v long")
+    assert kmv_sketch(empty, "v").count() == 0
+    sk = bloom_sketch(empty, "v", n_bits=1 << 10)
+    assert sk.count() == 0
+    # probing a non-empty frame against an EMPTY sketch: definitively absent
+    probe = spark.createDataFrame([(1,), (2,)], "v long")
+    out = bloom_probe(sk, probe, "v", n_bits=1 << 10)
+    assert out.filter(F.col("maybe_present")).count() == 0
+
+
+def test_dedup_and_graph_empty(spark):
+    from kusuma_metamorph_etl_spark.operators.dedup import semantic_dedup
+    from kusuma_metamorph_etl_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    edges = _empty(spark, "a long, b long")
+    assert connected_components(edges).count() == 0
+    labels = _empty(spark, "node long, component long")
+    assert incremental_components(labels, edges).count() == 0
+    # semantic dedup of an empty corpus: nothing to drop, nothing returned
+    emb = _empty(spark, "vec_id long, embedding array<float>")
+    assert semantic_dedup(emb, threshold=0.9, refine_iters=0).count() == 0
+
+
+def test_text_ops_empty(spark):
+    from kusuma_metamorph_etl_spark.operators.text import (
+        collocations,
+        fix_mojibake,
+    )
+
+    docs = _empty(spark, "doc_id long, text string")
+    assert collocations(docs).count() == 0
+    assert fix_mojibake(docs).count() == 0

@@ -242,3 +242,71 @@ def test_zorder_layout_skips_row_groups(spark, sf_small, tmp_path):
     # Natural layout: essentially every row group spans the box.  Z-order:
     # only the corner's neighborhood does.
     assert zed_frac <= 0.5 * plain_frac, (plain_frac, zed_frac)
+
+
+def test_session_stats_single_user_keyed_exchange(spark, sf_small):
+    """Sessionize window + session rollup both key on user: one exchange
+    moves the fact, the aggregation reuses the window's partitioning."""
+    from kusuma_metamorph_etl_spark.operators.events import session_stats
+    from kusuma_metamorph_etl_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_small, "events")
+    plan = _plan(session_stats(events))
+    # one hashpartitioning exchange on user_id feeds both operators
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(exchanges) == 1, plan.count("Exchange")
+
+
+def test_bloom_probe_is_narrow_on_the_fact(spark, sf_small):
+    """The probe must be a pure map over the fact scan — no shuffle, no
+    join on the fact side before the membership filter."""
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_small}/customer.parquet")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    sk = bloom_sketch(dim, "o_custkey", n_bits=1 << 14)
+    kept = bloom_probe(sk, orders, "o_custkey", n_bits=1 << 14).filter(
+        F.col("maybe_present")
+    )
+    plan = _plan(kept)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_collocations_totals_ride_as_broadcast(spark, sf_small):
+    from kusuma_metamorph_etl_spark.operators.text import collocations
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _plan(collocations(docs, min_count=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_profile_has_no_forced_broadcast_hint(spark, sf_small):
+    """The profile frames are key-cardinality-sized; the plan must leave
+    join strategy to AQE (no ResolvedHint baked into the logical plan)."""
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.timeseries import seasonal_profile
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("k"), F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    logical = (
+        seasonal_profile(daily, ["k"], "d", "v")
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
