@@ -226,10 +226,18 @@ def publish_snapshot(
     return version_dir
 
 
-def read_published(spark: SparkSession, table_root: str) -> DataFrame:
-    """Read whatever version the manifest currently points at."""
+def read_published(
+    spark: SparkSession, table_root: str, version: str | None = None
+) -> DataFrame:
+    """Read the version the manifest currently points at — or, with
+    ``version``, TIME-TRAVEL to any still-retained published version
+    (every publish keeps its predecessors until :func:`vacuum_versions`
+    removes them; a vacuumed version raises parquet's path error rather
+    than silently reading something else)."""
     import json
 
+    if version is not None:
+        return spark.read.parquet(f"{table_root}/v={version}")
     # read via spark.read.text: filesystem-portable, and py4j cannot
     # fill a Python-side buffer through Java readFully (arrays copy).
     # NOTE the visible (non-underscore) name: _-prefixed files are

@@ -317,3 +317,21 @@ def test_vacuum_keeps_newest_and_never_the_current(spark, tmp_path):
     deleted2 = vacuum_versions(spark, root, keep=1)
     assert "v=20240103" not in deleted2
     assert read_published(spark, root).count() == 12
+
+
+def test_read_published_time_travel(spark, tmp_path):
+    from kusuma_metamorph_etl_spark.sources.sinks import (
+        publish_snapshot,
+        read_published,
+    )
+
+    root = str(tmp_path / "tbl")
+    publish_snapshot(
+        spark, spark.createDataFrame([(1, "old")], ["id", "v"]), root, "001"
+    )
+    publish_snapshot(
+        spark, spark.createDataFrame([(1, "new")], ["id", "v"]), root, "002"
+    )
+    assert read_published(spark, root).collect()[0]["v"] == "new"
+    # time-travel to the superseded version, which publish retained
+    assert read_published(spark, root, version="001").collect()[0]["v"] == "old"
