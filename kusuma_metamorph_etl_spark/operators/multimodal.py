@@ -5,10 +5,11 @@ with typed metadata; decode / feature-extract / resize / frame-sample run
 as Arrow-batched Pandas functions over ``mapInPandas``.
 
 The image and audio codecs are REAL: pure numpy encoders/decoders for
-binary PPM/PGM (P6/P5), uncompressed 24-bit BMP, and PCM16 WAV — no
-external media library needed.  Compressed formats (PNG/JPEG, non-PCM
-audio) raise ``NotImplementedError`` (their codecs are not in this
-container) through the same seam a production decoder would plug into.
+binary PPM/PGM (P6/P5), uncompressed 24-bit BMP, zlib-deflate PNG,
+LZW-compressed GIF87a/89a, and PCM16 WAV — no external media library
+needed.  The one remaining compressed format, JPEG (lossy DCT), raises
+``NotImplementedError`` through the same seam a production decoder
+would plug into.
 The container also has no real media *data*, so tests and driver queries
 synthesize deterministic PPM/WAV payloads from document text
 (:func:`synthesize_ppm` / :func:`synthesize_wav`) — the data is
@@ -241,7 +242,6 @@ def _decode_png(payload: bytes) -> np.ndarray:
 
 _COMPRESSED_MAGICS = {
     b"\xff\xd8\xff": "jpeg",
-    b"GIF": "gif",
 }
 
 
@@ -249,12 +249,13 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     """Decode a binary image payload → ``{format, width, height, channels,
     pixels}`` with ``pixels`` a uint8 numpy array.
 
-    Real pure-numpy decode for PPM/PGM, uncompressed 24-bit BMP, and 8-bit
-    non-interlaced PNG (stdlib zlib inflate + scanline unfilter).  JPEG/GIF
-    are explicitly out of scope — lossy/LZW decode needs a real codec
-    library, injected through the same decoder seam
-    (``extract_binary_features(decoder=...)``); anything unrecognized
-    raises ``ValueError``.
+    Real pure-numpy decode for PPM/PGM, uncompressed 24-bit BMP, 8-bit
+    non-interlaced PNG (stdlib zlib inflate + scanline unfilter), and
+    GIF87a/89a (real variable-width LZW, global/local palettes — see
+    ``_decode_gif``).  JPEG remains explicitly out of scope — lossy DCT
+    decode needs a real codec library, injected through the same decoder
+    seam (``extract_binary_features(decoder=...)``); anything
+    unrecognized raises ``ValueError``.
     """
     if payload[:2] in (b"P6", b"P5"):
         pixels = _decode_ppm(payload)
@@ -265,6 +266,9 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     elif payload[:8] == _PNG_SIG:
         pixels = _decode_png(payload)
         fmt = "png"
+    elif payload[:6] in _GIF_HEADERS:
+        pixels = _decode_gif(payload)
+        fmt = "gif"
     else:
         for magic, name in _COMPRESSED_MAGICS.items():
             if payload[: len(magic)] == magic:
@@ -978,6 +982,10 @@ def _encode_as(pixels: "np.ndarray", fmt: str) -> bytes:
         return encode_bmp(pixels)
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "gif":
+        # geometric ops permute/subset pixels, so the palette can only
+        # shrink — re-encoding stays palette-expressible
+        return encode_gif(pixels)
     return encode_ppm(pixels)
 
 
@@ -1139,4 +1147,243 @@ def audio_augment(
 
     return df.select(id_col, payload_col).mapInPandas(
         do_augment, schema=AUDIO_AUGMENT_SCHEMA
+    )
+
+
+# ------------------------------------------------------------------- GIF
+
+_GIF_HEADERS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_compress(indices: list[int], mcs: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (LSB-first bitstream),
+    CLEAR = 2^mcs, EOI = CLEAR+1; the encoder widens one code BEFORE the
+    decoder's threshold ((1<<width)+1 vs (1<<width)) — the classic
+    lock-step pairing — and emits CLEAR on dictionary overflow."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    width = mcs + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf], width)
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+    emit(eoi, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int) -> list[int]:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while True:
+        if bitpos + width > total_bits:
+            # Real encoders may omit the explicit EOI and just end the
+            # data sub-blocks (the canonical 1x1 spacer GIF does) —
+            # tolerate EOF here; the frame decoder validates the pixel
+            # count, which is the error that matters.
+            return out
+        chunk = int.from_bytes(
+            data[bitpos // 8 : bitpos // 8 + 3], "little"
+        )
+        code = (chunk >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the KwKwK special case
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out.extend(entry)
+        prev = entry
+
+
+def encode_gif(pixels: "np.ndarray") -> bytes:
+    """GIF89a encoder for palette-expressible images (≤ 256 distinct
+    colors — GIF IS a palette format; quantization is out of scope, so a
+    richer image raises instead of silently posterizing).  Greyscale HxW
+    arrays expand to RGB.  Deterministic: the palette is the
+    lexicographically-sorted distinct-color list."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxW or HxWx3 uint8 array, got {arr.shape}")
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors = np.unique(flat, axis=0)
+    if len(colors) > 256:
+        raise ValueError(
+            f"GIF needs a <=256-color palette; image has {len(colors)} "
+            "distinct colors (quantize first)"
+        )
+    lut = {tuple(c): i for i, c in enumerate(map(tuple, colors))}
+    indices = [lut[tuple(px)] for px in map(tuple, flat)]
+    gct_bits = max(1, (len(colors) - 1).bit_length())
+    palette = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    mcs = max(2, gct_bits)
+    lzw = _gif_lzw_compress(indices, mcs)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (7 << 4) | (gct_bits - 1), 0, 0])
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([mcs])
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> "np.ndarray":
+    """GIF87a/89a decoder: global/local color tables, extension-block
+    skipping, real variable-width LZW — first image frame, as RGB.
+    Interlaced frames raise (the row-shuffle is trivial but untestable
+    without a reference encoder that emits it)."""
+    if payload[:6] not in _GIF_HEADERS:
+        raise ValueError("not a GIF payload")
+    try:
+        w_screen, h_screen = struct.unpack_from("<HH", payload, 6)
+        packed, _bg, _aspect = struct.unpack_from("<BBB", payload, 10)
+    except struct.error:
+        raise ValueError("truncated GIF payload (no screen descriptor)") from None
+    pos = 13
+    gct = None
+    try:
+        return _gif_walk_blocks(payload, packed, pos)
+    except (IndexError, struct.error):
+        raise ValueError("truncated GIF payload") from None
+
+
+def _gif_walk_blocks(payload: bytes, packed: int, pos: int) -> "np.ndarray":
+    gct = None
+    if packed & 0x80:
+        size = 1 << ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=size * 3, offset=pos)
+        gct = gct.reshape(size, 3)
+        pos += size * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:  # local color table overrides
+                size = 1 << ((ipacked & 0x07) + 1)
+                table = np.frombuffer(
+                    payload, dtype=np.uint8, count=size * 3, offset=pos
+                ).reshape(size, 3)
+                pos += size * 3
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF frames")
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            indices = _gif_lzw_decompress(bytes(data), mcs)
+            if len(indices) < w * h:
+                raise ValueError(
+                    f"GIF frame decoded {len(indices)} pixels, needs {w * h}"
+                )
+            idx = np.array(indices[: w * h], dtype=np.int64)
+            if idx.max(initial=0) >= len(table):
+                raise ValueError("GIF pixel index outside color table")
+            return table[idx].reshape(h, w, 3)
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unrecognized GIF block 0x{block:02x}")
+    raise ValueError("GIF payload contains no image frame")
+
+
+def synthesize_gif(text: str) -> bytes:
+    """Deterministic synthetic GIF payload — same pixel contract as
+    :func:`synthesize_ppm` (the repeated-md5 pixels hold ≤ 48 distinct
+    colors, comfortably palette-expressible), so the GIF LZW decode path
+    must yield the exact pixels the PPM path yields (the
+    `mm_gif_features` gate)."""
+    return encode_gif(_synthesize_pixels(text))
+
+
+def attach_gif_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesized-GIF payload column (Arrow-batched pandas UDF), typed
+    ``image/gif``."""
+
+    @F.pandas_udf("binary")
+    def make_gif(texts: pd.Series) -> pd.Series:
+        return texts.map(synthesize_gif)
+
+    return df.withColumn("payload", make_gif(F.col(text_col))).withColumn(
+        "payload_kind", F.lit("image/gif")
     )

@@ -4301,3 +4301,36 @@ def evt_rate_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day_dt", "deseasonalized"
     )
     return rate_anomaly(des, ["event_type"], "day_dt", "deseasonalized")
+
+
+@register(
+    "mm_gif_features",
+    """SELECT doc_id,
+              'gif' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels
+       FROM documents""",
+)
+def mm_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed image decode ([EXT] multimodal;
+    `operators/multimodal.py::encode_gif/_decode_gif` — closes the GIF
+    half of the old JPEG/GIF scope boundary): per-document synthetic GIF
+    payloads (palette build + variable-width LZW at write, real LZW +
+    palette lookup at read; the decoder is additionally pinned to the
+    public 1×1 spacer-GIF spec vector in tests, so the codec pair is not
+    merely self-consistent).  Same contract as `mm_png_features`: the
+    oracle recomputes dimensions from the synthesis contract, and the
+    GIF pixel MEAN must equal the PPM decode of the identical pixel
+    array — a wrong LZW table, width bump, or palette read drops rows
+    and turns the driver red."""
+    docs = t(spark, sf_dir, "documents")
+    gif = multimodal.extract_binary_features(multimodal.attach_gif_payload(docs))
+    ppm = multimodal.extract_binary_features(
+        multimodal.attach_image_payload(docs)
+    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
+    return (
+        gif.join(ppm, "doc_id")
+        .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 1e-12)
+        .select("doc_id", "format", "width", "height", "channels")
+    )

@@ -62,11 +62,13 @@ class TestCodecs:
         assert np.array_equal(multimodal.decode_image(payload)["pixels"], arr)
 
     def test_compressed_formats_gated(self):
-        # JPEG/GIF stay behind the injectable-codec seam (lossy/LZW decode
-        # is out of scope); PNG now decodes for real (TestPng).
+        # JPEG stays behind the injectable-codec seam (lossy DCT decode
+        # is out of scope); PNG and GIF now decode for real (TestPng,
+        # TestGif) — a malformed GIF is a ValueError from the real
+        # parser, not a codec gate.
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\xff\xd8\xff\xe0rest")
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             multimodal.decode_image(b"GIF89arest")
 
     def test_unknown_payload_rejected(self):
@@ -545,3 +547,95 @@ def test_audio_augment_dataframe_fanout(spark):
         assert by[(d, "decimate2")]["n_samples"] == (
             by[(d, "reverse")]["n_samples"] + 1
         ) // 2
+
+
+class TestGif:
+    def test_round_trip_exact_pixels(self):
+        import numpy as np
+
+        from kusuma_metamorph_etl_spark.operators.multimodal import (
+            _decode_gif,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(3)
+        # palette-bounded image: 12 colors over a 9x7 canvas
+        palette = rng.integers(0, 256, size=(12, 3), dtype=np.uint8)
+        idx = rng.integers(0, 12, size=(7, 9))
+        pixels = palette[idx]
+        assert np.array_equal(_decode_gif(encode_gif(pixels)), pixels)
+
+    def test_long_stream_grows_code_width(self):
+        import numpy as np
+
+        from kusuma_metamorph_etl_spark.operators.multimodal import (
+            _decode_gif,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(11)
+        palette = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+        palette = np.unique(palette, axis=0)
+        idx = rng.integers(0, len(palette), size=(40, 40))
+        pixels = palette[idx]  # 1600 pixels: forces several width bumps
+        assert np.array_equal(_decode_gif(encode_gif(pixels)), pixels)
+
+    def test_public_one_pixel_gif_vector(self):
+        """Spec conformance against a well-known external GIF (the
+        canonical 1x1 transparent-black spacer GIF, not produced by our
+        encoder) — catches a self-consistent-but-wrong LZW pair."""
+        import base64
+
+        import numpy as np
+
+        from kusuma_metamorph_etl_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        spacer = base64.b64decode(
+            "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+        )
+        out = decode_image(spacer)
+        assert (out["format"], out["width"], out["height"]) == ("gif", 1, 1)
+        assert np.array_equal(out["pixels"], np.zeros((1, 1, 3), np.uint8))
+
+    def test_gif_matches_ppm_pixels_for_synthesized_docs(self):
+        import numpy as np
+
+        from kusuma_metamorph_etl_spark.operators.multimodal import (
+            _synthesize_pixels,
+            decode_image,
+            synthesize_gif,
+        )
+
+        for text in ("hello world", "x" * 37, "the quick brown fox"):
+            want = _synthesize_pixels(text)
+            got = decode_image(synthesize_gif(text))
+            assert np.array_equal(got["pixels"], want)
+
+    def test_rich_image_raises_instead_of_posterizing(self):
+        import numpy as np
+
+        import pytest
+
+        from kusuma_metamorph_etl_spark.operators.multimodal import encode_gif
+
+        rng = np.random.default_rng(5)
+        pixels = rng.integers(0, 256, size=(30, 30, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="palette"):
+            encode_gif(pixels)
+
+    def test_truncated_and_corrupt_payloads_raise(self):
+        import pytest
+
+        from kusuma_metamorph_etl_spark.operators.multimodal import (
+            _decode_gif,
+            encode_gif,
+            _synthesize_pixels,
+        )
+
+        good = encode_gif(_synthesize_pixels("abc"))
+        with pytest.raises(ValueError):
+            _decode_gif(good[:20])
+        with pytest.raises(ValueError):
+            _decode_gif(b"NOTGIF" + good[6:])
