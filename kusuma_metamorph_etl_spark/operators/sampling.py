@@ -381,3 +381,45 @@ def kfold_assign(
         10,
     ).cast("long")
     return df.withColumn(out_col, (h % k).cast("int"))
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    key: Column,
+    max_ratio: float = 1.0,
+    seed: str = "42",
+) -> DataFrame:
+    """Class rebalancing by downsampling: every label keeps at most
+    ``max_ratio × |minority class|`` rows (deterministic content-hash
+    draw), so no class outnumbers the rarest by more than the declared
+    ratio — the classifier-training-mix fix for skewed label
+    distributions (the UNDERSAMPLING complement of
+    :func:`temperature_sample`'s source reweighting).
+
+    Plan: one label-keyed count (tiny frame), a min over it to find the
+    minority size (broadcast single-row), then the same per-group
+    hash-ordered ``row_number`` draw as :func:`group_fixed_size_sample`
+    with the PER-LABEL quota joined in — one label-keyed window shuffle
+    over the data, everything else label-cardinality work.  The draw is
+    partition-invariant and engine-reproducible (md5 content hash, ties
+    on the key).
+    """
+    if max_ratio <= 0:
+        raise ValueError(f"max_ratio must be positive, got {max_ratio}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    minority = counts.agg(F.min("__n").alias("__min_n"))
+    quotas = counts.crossJoin(F.broadcast(minority)).select(
+        label_col,
+        F.floor(F.col("__min_n") * max_ratio).cast("long").alias("__quota"),
+    )
+    h = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    w = Window.partitionBy(label_col).orderBy(h, key)
+    return (
+        df.join(F.broadcast(quotas), on=label_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

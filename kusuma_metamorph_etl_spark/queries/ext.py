@@ -4334,3 +4334,24 @@ def mm_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 1e-12)
         .select("doc_id", "format", "width", "height", "channels")
     )
+
+
+@register(
+    "samp_balance",
+    """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        m AS (SELECT min(n) AS mn FROM c),
+        r AS (SELECT vec_id, label,
+                     row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY md5('42|' || CAST(vec_id AS VARCHAR)), vec_id
+                     ) AS rn
+              FROM embeddings)
+       SELECT vec_id, label FROM r, m WHERE rn <= mn""",
+)
+def samp_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing by deterministic downsampling ([EXT];
+    `operators/sampling.py::balance_classes`): every label keeps at most
+    the minority class's count — the classifier-training undersampling
+    knob; label-cardinality bookkeeping + one label-keyed window."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return sampling.balance_classes(emb, "label", F.col("vec_id"))

@@ -196,6 +196,7 @@ _PRIORITY: tuple[str, ...] = (
     "txt_fix_mojibake",
     "evt_rate_anomaly_seasonal",
     "mm_gif_features",
+    "samp_balance",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

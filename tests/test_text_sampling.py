@@ -700,3 +700,33 @@ class TestMojibake:
         got = {r["id"]: r["fixed"] for r in fix_mojibake(df).collect()}
         for i, text in rows:
             assert got[i] == text
+
+
+class TestBalanceClasses:
+    def test_downsamples_to_minority_count(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sampling import balance_classes
+
+        rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+        df = spark.createDataFrame(rows, ["id", "label"])
+        out = balance_classes(df, "label", F.col("id"))
+        counts = {r["label"]: r["n"] for r in out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"big": 10, "small": 10}
+
+    def test_ratio_and_partition_invariance(self, spark):
+        import pytest
+
+        from kusuma_metamorph_etl_spark.operators.sampling import balance_classes
+
+        rows = [(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(10)]
+        df = spark.createDataFrame(rows, ["id", "label"])
+        out2 = balance_classes(df, "label", F.col("id"), max_ratio=2.0)
+        counts = {r["label"]: r["n"] for r in out2.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"a": 20, "b": 10}  # cap is ratio x minority, not padding
+        one = sorted(r["id"] for r in balance_classes(df, "label", F.col("id")).collect())
+        other = sorted(
+            r["id"]
+            for r in balance_classes(df.repartition(13), "label", F.col("id")).collect()
+        )
+        assert one == other  # content-hash draw survives reshuffling
+        with pytest.raises(ValueError):
+            balance_classes(df, "label", F.col("id"), max_ratio=0)
