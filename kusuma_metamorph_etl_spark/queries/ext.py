@@ -4355,3 +4355,42 @@ def samp_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob; label-cardinality bookkeeping + one label-keyed window."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
     return sampling.balance_classes(emb, "label", F.col("vec_id"))
+
+
+@register(
+    "sql_shipping_priority",
+    """SELECT o.o_orderkey,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+              CAST(o.o_orderdate AS DATE) AS order_date
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY 1, 3
+       ORDER BY revenue DESC, o.o_orderkey
+       LIMIT 10""",
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second pure-SQL entry point (TPC-H Q3 shape — the multi-join
+    analytic `sql_pricing_summary`'s single-table Q1 does not cover):
+    three-table star join + exact-decimal revenue + deterministic
+    top-10, identical SQL text on both engines.  Catalyst turns the
+    ORDER BY/LIMIT into TakeOrderedAndProject (no global sort) and
+    broadcast-joins the filtered customer dim."""
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(
+        """SELECT o.o_orderkey,
+                  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                      AS DECIMAL(38,6))), 2) AS DOUBLE)
+                      AS revenue,
+                  CAST(o.o_orderdate AS DATE) AS order_date
+           FROM customer_v c
+           JOIN orders_v o ON c.c_custkey = o.o_custkey
+           JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+           WHERE c.c_mktsegment = 'BUILDING'
+           GROUP BY 1, 3
+           ORDER BY revenue DESC, o.o_orderkey
+           LIMIT 10"""
+    )

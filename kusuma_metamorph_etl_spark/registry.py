@@ -197,6 +197,7 @@ _PRIORITY: tuple[str, ...] = (
     "evt_rate_anomaly_seasonal",
     "mm_gif_features",
     "samp_balance",
+    "sql_shipping_priority",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",
