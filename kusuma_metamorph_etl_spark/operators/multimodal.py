@@ -1305,10 +1305,8 @@ def _decode_gif(payload: bytes) -> "np.ndarray":
         packed, _bg, _aspect = struct.unpack_from("<BBB", payload, 10)
     except struct.error:
         raise ValueError("truncated GIF payload (no screen descriptor)") from None
-    pos = 13
-    gct = None
     try:
-        return _gif_walk_blocks(payload, packed, pos)
+        return _gif_walk_blocks(payload, packed, 13)
     except (IndexError, struct.error):
         raise ValueError("truncated GIF payload") from None
 

@@ -403,7 +403,9 @@ def balance_classes(
     with the PER-LABEL quota joined in — one label-keyed window shuffle
     over the data, everything else label-cardinality work.  The draw is
     partition-invariant and engine-reproducible (md5 content hash, ties
-    on the key).
+    on the key).  NULL labels are DROPPED (the quota join cannot match
+    them) — filter or fill labels first; silently training on an
+    unlabeled class is the bug this refuses to have.
     """
     if max_ratio <= 0:
         raise ValueError(f"max_ratio must be positive, got {max_ratio}")

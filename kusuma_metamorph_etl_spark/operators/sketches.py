@@ -561,8 +561,13 @@ def kmv_intersect(
             "est_a",
             "est_b",
             "est_union",
-            F.round(
-                F.col("__rho") / F.col("__ku") * F.col("est_union"), 6
-            ).alias("est_intersection"),
+            # guard the empty-union degenerate case (both inputs empty):
+            # 0 intersection, not a division-by-zero
+            F.when(
+                F.col("__ku") > 0,
+                F.round(
+                    F.col("__rho") / F.col("__ku") * F.col("est_union"), 6
+                ),
+            ).otherwise(F.lit(0.0)).alias("est_intersection"),
         )
     )
