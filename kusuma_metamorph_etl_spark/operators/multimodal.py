@@ -7,9 +7,9 @@ as Arrow-batched Pandas functions over ``mapInPandas``.
 The image and audio codecs are REAL: pure numpy encoders/decoders for
 binary PPM/PGM (P6/P5), uncompressed 24-bit BMP, zlib-deflate PNG,
 LZW-compressed GIF87a/89a, and PCM16 WAV — no external media library
-needed.  The one remaining compressed format, JPEG (lossy DCT), raises
-``NotImplementedError`` through the same seam a production decoder
-would plug into.
+needed.  Baseline 4:4:4 JPEG rounds out the set (`operators/jpeg.py`);
+subsampled/progressive JPEG variants raise through the same seam a
+production decoder would plug into.
 The container also has no real media *data*, so tests and driver queries
 synthesize deterministic PPM/WAV payloads from document text
 (:func:`synthesize_ppm` / :func:`synthesize_wav`) — the data is
@@ -240,9 +240,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return arr[:, :, 0] if channels == 1 else arr
 
 
-_COMPRESSED_MAGICS = {
-    b"\xff\xd8\xff": "jpeg",
-}
+# every shipped format now decodes for real; the dict stays as the seam
+# for genuinely external codecs (HEIC, AVIF, ...)
+_COMPRESSED_MAGICS: dict[bytes, str] = {}
 
 
 def decode_image(payload: bytes) -> dict[str, Any]:
@@ -250,12 +250,13 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     pixels}`` with ``pixels`` a uint8 numpy array.
 
     Real pure-numpy decode for PPM/PGM, uncompressed 24-bit BMP, 8-bit
-    non-interlaced PNG (stdlib zlib inflate + scanline unfilter), and
-    GIF87a/89a (real variable-width LZW, global/local palettes — see
-    ``_decode_gif``).  JPEG remains explicitly out of scope — lossy DCT
-    decode needs a real codec library, injected through the same decoder
-    seam (``extract_binary_features(decoder=...)``); anything
-    unrecognized raises ``ValueError``.
+    non-interlaced PNG (stdlib zlib inflate + scanline unfilter),
+    GIF87a/89a (real variable-width LZW, global/local palettes), and
+    baseline 4:4:4 JPEG (file-read Huffman tables, dequantize + IDCT —
+    `operators/jpeg.py`; subsampled/progressive variants raise through
+    the same seam).  Anything unrecognized raises ``ValueError``;
+    genuinely external codecs inject via
+    ``extract_binary_features(decoder=...)``.
     """
     if payload[:2] in (b"P6", b"P5"):
         pixels = _decode_ppm(payload)
@@ -269,6 +270,11 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     elif payload[:6] in _GIF_HEADERS:
         pixels = _decode_gif(payload)
         fmt = "gif"
+    elif payload[:3] == b"\xff\xd8\xff":
+        from kusuma_metamorph_etl_spark.operators.jpeg import decode_jpeg
+
+        pixels = decode_jpeg(payload)
+        fmt = "jpeg"
     else:
         for magic, name in _COMPRESSED_MAGICS.items():
             if payload[: len(magic)] == magic:
@@ -986,6 +992,10 @@ def _encode_as(pixels: "np.ndarray", fmt: str) -> bytes:
         # geometric ops permute/subset pixels, so the palette can only
         # shrink — re-encoding stays palette-expressible
         return encode_gif(pixels)
+    if fmt == "jpeg":
+        from kusuma_metamorph_etl_spark.operators.jpeg import encode_jpeg
+
+        return encode_jpeg(pixels, quality=95)
     return encode_ppm(pixels)
 
 
@@ -1384,4 +1394,29 @@ def attach_gif_payload(
 
     return df.withColumn("payload", make_gif(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/gif")
+    )
+
+
+def synthesize_jpeg(text: str) -> bytes:
+    """Deterministic synthetic JPEG payload — same pixel contract as
+    :func:`synthesize_ppm`.  JPEG is LOSSY: the decode matches the PPM
+    pixels approximately (quantization-bounded), which is exactly what
+    the `mm_jpeg_features` gate checks — a tolerance, not equality."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import encode_jpeg
+
+    return encode_jpeg(_synthesize_pixels(text), quality=95)
+
+
+def attach_jpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesized-JPEG payload column (Arrow-batched pandas UDF), typed
+    ``image/jpeg``."""
+
+    @F.pandas_udf("binary")
+    def make_jpeg(texts: pd.Series) -> pd.Series:
+        return texts.map(synthesize_jpeg)
+
+    return df.withColumn("payload", make_jpeg(F.col(text_col))).withColumn(
+        "payload_kind", F.lit("image/jpeg")
     )

@@ -4394,3 +4394,38 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            ORDER BY revenue DESC, o.o_orderkey
            LIMIT 10"""
     )
+
+
+@register(
+    "mm_jpeg_features",
+    """SELECT doc_id,
+              'jpeg' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels
+       FROM documents""",
+)
+def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-image decode ([EXT] multimodal; `operators/jpeg.py` —
+    closes the LAST compressed-image boundary): per-document synthetic
+    baseline-JPEG payloads (BT.601 + DCT + quality-95 quantization +
+    file-embedded canonical Huffman tables at write; marker parse +
+    Huffman + dequantize + IDCT at read).  The oracle recomputes
+    dimensions from the synthesis contract; the decoded pixel MEAN must
+    land within the LOSSY tolerance (±2 grey levels) of the lossless
+    PPM decode of the same pixels — a broken Huffman table, zigzag,
+    quantizer, or IDCT shifts means far outside that band and drops
+    rows, turning the driver red.  Equality is deliberately NOT the
+    contract: JPEG is lossy by design."""
+    docs = t(spark, sf_dir, "documents")
+    jpg = multimodal.extract_binary_features(
+        multimodal.attach_jpeg_payload(docs)
+    )
+    ppm = multimodal.extract_binary_features(
+        multimodal.attach_image_payload(docs)
+    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
+    return (
+        jpg.join(ppm, "doc_id")
+        .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 2.0)
+        .select("doc_id", "format", "width", "height", "channels")
+    )

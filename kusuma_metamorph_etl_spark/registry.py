@@ -198,6 +198,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_gif_features",
     "samp_balance",
     "sql_shipping_priority",
+    "mm_jpeg_features",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

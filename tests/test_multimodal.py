@@ -62,11 +62,11 @@ class TestCodecs:
         assert np.array_equal(multimodal.decode_image(payload)["pixels"], arr)
 
     def test_compressed_formats_gated(self):
-        # JPEG stays behind the injectable-codec seam (lossy DCT decode
-        # is out of scope); PNG and GIF now decode for real (TestPng,
-        # TestGif) — a malformed GIF is a ValueError from the real
-        # parser, not a codec gate.
-        with pytest.raises(NotImplementedError):
+        # Every shipped format decodes for real now (TestPng, TestGif,
+        # TestJpeg) — malformed payloads are ValueErrors from the real
+        # parsers, and non-baseline JPEG variants raise
+        # NotImplementedError inside the codec, not at the dispatch.
+        with pytest.raises(ValueError):
             multimodal.decode_image(b"\xff\xd8\xff\xe0rest")
         with pytest.raises(ValueError):
             multimodal.decode_image(b"GIF89arest")
@@ -639,3 +639,84 @@ class TestGif:
             _decode_gif(good[:20])
         with pytest.raises(ValueError):
             _decode_gif(b"NOTGIF" + good[6:])
+
+
+class TestJpeg:
+    """Baseline 4:4:4 JPEG codec (`operators/jpeg.py`): lossy, so the
+    contracts are quantization-bounded error — never bit equality."""
+
+    def test_constant_and_smooth_images_roundtrip_exactly(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        c = np.full((16, 24, 3), 170, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(c, quality=95)), c)
+        grad = np.tile(
+            np.linspace(30, 220, 32).astype(np.uint8)[None, :, None],
+            (24, 1, 3),
+        )
+        assert np.array_equal(decode_jpeg(encode_jpeg(grad, quality=95)), grad)
+
+    def test_noise_error_bounded_and_mean_preserved(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(arr, quality=95))
+        err = dec.astype(float) - arr.astype(float)
+        assert np.sqrt((err**2).mean()) < 8.0  # quantization-bounded
+        assert abs(dec.mean() - arr.mean()) < 1.0
+
+    def test_greyscale_and_nonmultiple_of_8_dims(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(1)
+        grey = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(grey, quality=95))
+        assert out.shape == (9, 11)  # padding cropped back off
+
+    def test_dispatch_and_quality_knob(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import encode_jpeg
+
+        rng = np.random.default_rng(2)
+        arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        img = multimodal.decode_image(encode_jpeg(arr, quality=95))
+        assert (img["format"], img["width"], img["height"]) == ("jpeg", 16, 16)
+        # lower quality: smaller file, larger error — the knob works
+        small = len(encode_jpeg(arr, quality=30))
+        big = len(encode_jpeg(arr, quality=95))
+        assert small < big
+
+    def test_malformed_and_unsupported_variants(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\xff\xd8" + b"\x00\x00")
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:40])
+        # progressive SOF2 marker: named NotImplementedError, not a crash
+        prog = bytearray(good)
+        sof = prog.find(b"\xff\xc0")
+        prog[sof + 1] = 0xC2
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(prog))
+
+    def test_synthesized_payload_mean_close_to_ppm(self):
+        for text in ("hello jpeg", "x" * 41):
+            want = multimodal._synthesize_pixels(text)
+            got = multimodal.decode_image(multimodal.synthesize_jpeg(text))
+            assert got["width"] == want.shape[1]
+            assert got["height"] == want.shape[0]
+            assert abs(float(got["pixels"].mean()) - float(want.mean())) < 2.0
