@@ -1420,3 +1420,59 @@ def attach_jpeg_payload(
     return df.withColumn("payload", make_jpeg(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/jpeg")
     )
+
+
+def transcode_images(
+    df: DataFrame,
+    to: str = "png",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Cross-format image transcoding: decode WHATEVER format each
+    payload is in (format sniffed per row — a real crawl corpus is
+    heterogeneous) and re-encode as ``to`` — the archival normalization
+    pass that turns a mixed PPM/BMP/PNG/GIF/JPEG crawl into one uniform
+    storage format.  Emits ``(id, src_format, payload, width, height)``
+    with the payload re-encoded.
+
+    GIF targets require palette-expressible pixels (the encoder raises
+    rather than posterizing — see `encode_gif`); JPEG targets are lossy
+    by design.  Arrow ``mapInPandas``, decode+encode once per image, no
+    shuffle.
+    """
+    if to not in ("png", "ppm", "bmp", "gif", "jpeg"):
+        raise ValueError(f"unknown target format {to!r}")
+    encoders = {
+        "png": encode_png,
+        "ppm": encode_ppm,
+        "bmp": encode_bmp,
+        "gif": encode_gif,
+    }
+
+    def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if to == "jpeg":
+            from kusuma_metamorph_etl_spark.operators.jpeg import encode_jpeg
+
+            enc = lambda px: encode_jpeg(px, quality=95)  # noqa: E731
+        else:
+            enc = encoders[to]
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                img = decode_image(bytes(payload))
+                rows.append(
+                    {
+                        id_col: doc_id,
+                        "src_format": img["format"],
+                        "payload": enc(img["pixels"]),
+                        "width": img["width"],
+                        "height": img["height"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        transcode,
+        schema=f"{id_col} long, src_format string, payload binary, "
+        "width int, height int",
+    )

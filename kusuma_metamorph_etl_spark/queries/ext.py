@@ -4429,3 +4429,53 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 2.0)
         .select("doc_id", "format", "width", "height", "channels")
     )
+
+
+@register(
+    "mm_transcode",
+    """SELECT doc_id,
+              CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+                              WHEN 2 THEN 'gif' ELSE 'jpeg' END AS src_format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height
+       FROM documents""",
+)
+def mm_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format transcoding capstone ([EXT] multimodal;
+    `operators/multimodal.py::transcode_images`): a deliberately
+    HETEROGENEOUS corpus — each document's image shipped as PPM, PNG,
+    GIF or JPEG by id — normalized to PNG in one pass, every codec
+    exercised on BOTH the decode side (format sniffed per row) and the
+    PNG encode side.  Gate: the normalized PNG must re-decode to the
+    source pixel mean (exactly for the lossless sources, within the ±2
+    lossy band for JPEG) — rows failing either drop and the driver
+    compare turns red; the oracle recomputes format assignment and
+    dimensions from the synthesis contract."""
+    docs = t(spark, sf_dir, "documents")
+    fmt = F.col("doc_id") % 4
+
+    def _attach(frame, attach_fn, keep):
+        return attach_fn(frame.filter(keep)).select("doc_id", "payload")
+
+    mixed = (
+        _attach(docs, multimodal.attach_image_payload, fmt == 0)
+        .unionByName(_attach(docs, multimodal.attach_png_payload, fmt == 1))
+        .unionByName(_attach(docs, multimodal.attach_gif_payload, fmt == 2))
+        .unionByName(_attach(docs, multimodal.attach_jpeg_payload, fmt == 3))
+    )
+    out = multimodal.transcode_images(mixed, to="png")
+    redecoded = multimodal.extract_binary_features(out).select(
+        "doc_id", F.col("mean_value").alias("png_mean")
+    )
+    ppm_mean = multimodal.extract_binary_features(
+        multimodal.attach_image_payload(docs)
+    ).select("doc_id", F.col("mean_value").alias("src_mean"))
+    tol = F.when(F.col("src_format") == "jpeg", F.lit(2.0)).otherwise(
+        F.lit(1e-12)
+    )
+    return (
+        out.join(redecoded, "doc_id")
+        .join(ppm_mean, "doc_id")
+        .filter(F.abs(F.col("png_mean") - F.col("src_mean")) < tol)
+        .select("doc_id", "src_format", "width", "height")
+    )

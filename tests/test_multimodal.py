@@ -720,3 +720,37 @@ class TestJpeg:
             assert got["width"] == want.shape[1]
             assert got["height"] == want.shape[0]
             assert abs(float(got["pixels"].mean()) - float(want.mean())) < 2.0
+
+
+class TestTranscode:
+    def test_mixed_formats_normalize_to_png_losslessly(self, spark, sf_small):
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(12)
+        fmt = F.col("doc_id") % 3
+        mixed = (
+            multimodal.attach_image_payload(docs.filter(fmt == 0))
+            .select("doc_id", "payload")
+            .unionByName(
+                multimodal.attach_png_payload(docs.filter(fmt == 1)).select(
+                    "doc_id", "payload"
+                )
+            )
+            .unionByName(
+                multimodal.attach_gif_payload(docs.filter(fmt == 2)).select(
+                    "doc_id", "payload"
+                )
+            )
+        )
+        out = multimodal.transcode_images(mixed, to="png").collect()
+        assert len(out) == docs.count()
+        assert {r["src_format"] for r in out} == {"ppm", "png", "gif"}
+        for r in out:
+            img = multimodal.decode_image(bytes(r["payload"]))
+            assert img["format"] == "png"
+            assert (img["width"], img["height"]) == (r["width"], r["height"])
+
+    def test_unknown_target_raises(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+        with _pytest.raises(ValueError):
+            multimodal.transcode_images(df, to="webp")
