@@ -73,6 +73,7 @@ HEADLINE = [
     "dedup_semantic",  # k-means cell blocking + within-cell numpy verify
     "ts_ewma",  # bounded fan-out EWMA over the daily aggregate
     "txt_unigram_roundtrip",  # unigram train + distributed Viterbi encode
+    "mm_transcode",  # all four image codecs, decode + re-encode, one pass
 ]
 
 
