@@ -86,3 +86,25 @@ def test_text_ops_empty(spark):
     docs = _empty(spark, "doc_id long, text string")
     assert collocations(docs).count() == 0
     assert fix_mojibake(docs).count() == 0
+
+
+def test_transcode_unigram_warc_empty(spark, tmp_path):
+    from kusuma_metamorph_etl_spark.operators import bpe, multimodal, unigram
+    from kusuma_metamorph_etl_spark.sources.warc import read_warc, write_warc
+
+    # transcode of an empty payload frame: empty out, no codec invoked
+    empty_imgs = spark.createDataFrame([], "doc_id long, payload binary")
+    assert multimodal.transcode_images(empty_imgs, to="png").count() == 0
+
+    # unigram training on an empty corpus: empty vocab, and encoding
+    # still round-trips via the UNK character fallback
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    logp = unigram.unigram_train(docs, vocab_size=16)
+    assert logp == {}
+    probe = spark.createDataFrame([(1, "ab c")], ["doc_id", "text"])
+    out = unigram.unigram_encode(probe, logp).collect()[0]["tokens"]
+    assert bpe.END in out  # still segments, char-by-char
+
+    # WARC file with zero records parses to zero rows
+    write_warc([], str(tmp_path / "empty.warc"))
+    assert read_warc(spark, str(tmp_path)).count() == 0

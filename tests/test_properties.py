@@ -441,3 +441,46 @@ def test_bloom_never_false_negative(keys):
     sk = bloom_sketch(df, "v", n_bits=1 << 13)
     probed = bloom_probe(sk, df, "v", n_bits=1 << 13)
     assert probed.filter(~F.col("maybe_present")).count() == 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    indices=st.lists(st.integers(0, 15), min_size=1, max_size=400),
+)
+def test_gif_lzw_roundtrip_property(indices):
+    """The GIF LZW pair must round-trip ANY index stream exactly —
+    including streams that exercise the KwKwK case and width growth
+    (pure Python, no Spark)."""
+    from kusuma_metamorph_etl_spark.operators.multimodal import (
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+    )
+
+    mcs = 4  # 16-symbol alphabet
+    data = _gif_lzw_compress(indices, mcs)
+    assert _gif_lzw_decompress(data, mcs) == indices
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 10_000),
+)
+def test_jpeg_roundtrip_error_bounded_property(h, w, seed):
+    """Any uint8 RGB image round-trips through the baseline JPEG pair
+    with quantization-bounded error at quality 95 (lossy — RMSE bound,
+    never equality)."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(arr, quality=95))
+    assert dec.shape == arr.shape
+    err = dec.astype(float) - arr.astype(float)
+    assert np.sqrt((err**2).mean()) < 10.0
