@@ -425,3 +425,22 @@ def balance_classes(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def merge_samples(
+    samples: DataFrame, key: Column, k: int, seed: str = "42"
+) -> DataFrame:
+    """Merge per-slice :func:`fixed_size_sample` draws into the corpus-
+    wide k-sample WITHOUT rescanning raw data — the uniform-sample
+    member of the mergeable-sketch family (`operators/sketches.py`).
+
+    Why it is exact, not approximate: the global k smallest hashes are
+    each the smallest within their own slice, so they all survive their
+    slice's bottom-k — the union of per-slice samples provably contains
+    the global sample, and re-taking bottom-k over it recovers it
+    EXACTLY (same argument as `merge_kmv`; ==direct-draw is the driver
+    gate).  Build a k-sample per day/month at ingest, answer "uniform
+    sample of any date range" by merging sample rows — k × slices rows,
+    never the corpus.
+    """
+    return fixed_size_sample(samples, key, k, seed)

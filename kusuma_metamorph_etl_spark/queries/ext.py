@@ -4479,3 +4479,31 @@ def mm_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("png_mean") - F.col("src_mean")) < tol)
         .select("doc_id", "src_format", "width", "height")
     )
+
+
+@register(
+    "samp_mergeable",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY md5('42|' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+       LIMIT 256""",
+)
+def samp_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable uniform sampling ([EXT];
+    `operators/sampling.py::merge_samples`): a 256-row sample built as
+    per-YEAR bottom-k draws then MERGED — the oracle is the direct
+    global draw, and the bottom-k-of-bottom-k's argument makes the two
+    provably identical, so any slice leakage or hash drift
+    hash-mismatches.  Build per-slice samples at ingest; sample any
+    range later by merging sample rows instead of rescanning."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("__y")
+    )
+    years = [r["__y"] for r in orders.select("__y").distinct().collect()]
+    per_slice = None
+    for y in sorted(years):  # bounded: one draw per year slice
+        s = sampling.fixed_size_sample(
+            orders.filter(F.col("__y") == y), F.col("o_orderkey"), 256
+        )
+        per_slice = s if per_slice is None else per_slice.unionByName(s)
+    merged = sampling.merge_samples(per_slice, F.col("o_orderkey"), 256)
+    return merged.select("o_orderkey", "o_totalprice")

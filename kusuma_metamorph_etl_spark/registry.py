@@ -200,6 +200,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_shipping_priority",
     "mm_jpeg_features",
     "mm_transcode",
+    "samp_mergeable",
     # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
     "proj_select",
     "proj_rename",

@@ -730,3 +730,23 @@ class TestBalanceClasses:
         assert one == other  # content-hash draw survives reshuffling
         with pytest.raises(ValueError):
             balance_classes(df, "label", F.col("id"), max_ratio=0)
+
+
+def test_merge_samples_equals_direct_draw(spark):
+    from kusuma_metamorph_etl_spark.operators.sampling import (
+        fixed_size_sample,
+        merge_samples,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 4).alias("slice")
+    )
+    per_slice = None
+    for s in range(4):
+        draw = fixed_size_sample(df.filter(F.col("slice") == s), F.col("id"), 50)
+        per_slice = draw if per_slice is None else per_slice.unionByName(draw)
+    merged = sorted(
+        r["id"] for r in merge_samples(per_slice, F.col("id"), 50).collect()
+    )
+    direct = sorted(r["id"] for r in fixed_size_sample(df, F.col("id"), 50).collect())
+    assert merged == direct  # bottom-k of bottom-k's IS the global draw
