@@ -493,17 +493,40 @@ def bigram_lm_scores(
     )
 
 
-def normalize_for_dedup(text: Column) -> Column:
+def nfkc_fold(text: Column) -> Column:
+    """Unicode NFKC compatibility folding as an Arrow-batched Pandas UDF
+    (full-width ｆｏｒｍｓ → ASCII, ligatures ﬁ→fi, ideographic space →
+    space, compatibility digits → digits).  Python because the JVM has
+    no NFKC builtin; Arrow batching keeps it off the per-row-UDF slow
+    path.  NULLs pass through."""
+
+    @F.pandas_udf("string")
+    def _nfkc(s):  # pd.Series -> pd.Series
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFKC", v) if v is not None else None
+        )
+
+    return _nfkc(text)
+
+
+def normalize_for_dedup(text: Column, *, nfkc: bool = False) -> Column:
     """Canonical text form for normalized exact dedup — the standard
     pre-hash normalization of web-corpus pipelines (casefold, strip
     punctuation, collapse whitespace): two documents differing only in
     case, punctuation, or spacing hash identically.
 
-    Pure JVM expression chain (lower → punctuation strip → whitespace
-    collapse → trim); mirrored 1:1 in the DuckDB oracle.  Unicode NFKC
-    folding is the documented upgrade when corpora carry compatibility
-    forms — same seam, one more transform.
+    Default path is a pure JVM expression chain (lower → punctuation
+    strip → whitespace collapse → trim), mirrored 1:1 in the DuckDB
+    oracle.  ``nfkc=True`` prepends Unicode NFKC compatibility folding
+    (`nfkc_fold`) for corpora carrying full-width/ligature forms — off
+    by default because DuckDB has no NFKC builtin, so the NFKC path is
+    `_err`-gated (planted full-width/ligature copies must collapse)
+    instead of SQL-oracled.
     """
+    if nfkc:
+        text = nfkc_fold(text)
     stripped = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
 

@@ -2895,9 +2895,7 @@ def mm_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_normalized",
-    """WITH n AS (
+_DEDUP_NORM_ORACLE = """WITH n AS (
          SELECT doc_id,
                 trim(regexp_replace(
                     regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
@@ -2906,8 +2904,10 @@ def mm_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT doc_id FROM (
          SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(canon)) AS keep
          FROM n)
-       WHERE doc_id = keep""",
-)
+       WHERE doc_id = keep"""
+
+
+@register("dedup_normalized", _DEDUP_NORM_ORACLE)
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized exact dedup ([EXT]; `operators/text.py::
     normalize_for_dedup` + `operators/dedup.py::exact_dedup`): casefold,
@@ -2919,6 +2919,79 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.normalize_for_dedup(F.col("text")).alias("text")
     )
     return dedup.exact_dedup(canon).select("doc_id")
+
+
+# ASCII → full-width compatibility forms (+ ideographic space); NFKC folds
+# every target character back to its source, so a `translate`d copy is a
+# byte-distinct document that canonicalizes IDENTICALLY under the NFKC path
+# and NOT under the plain path (full-width letters fail [^a-z0-9\s] and are
+# stripped to punctuation-space).
+_FW_SRC = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_FW_DST = (
+    "ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ"
+    "０１２３４５６７８９　"
+)
+
+
+@register("dedup_normalized_nfkc", None)  # NFKC fold — DuckDB has no NFKC builtin
+def dedup_normalized_nfkc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup with Unicode NFKC compatibility folding
+    ([EXT]; `operators/text.py::nfkc_fold` — the upgrade seam
+    `dedup_normalized` documents): full-width forms, ligatures, and
+    compatibility digits fold to their canonical ASCII before the
+    casefold/strip/collapse chain, so ｆｕｌｌ-ｗｉｄｔｈ copies hash
+    identically to their ASCII originals.  Rows-only by design (DuckDB
+    has NFC but not NFKC); the recall contract is oracle-bound by
+    `dedup_normalized_nfkc_err` on a planted full-width fixture."""
+    docs = t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        text.normalize_for_dedup(F.col("text"), nfkc=True).alias("text"),
+    )
+    return dedup.exact_dedup(canon).select("doc_id")
+
+
+@register("dedup_normalized_nfkc_err", _DEDUP_NORM_ORACLE)
+def dedup_normalized_nfkc_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `dedup_normalized_nfkc`: plant a
+    full-width `translate`d copy of every 11th document under a shifted
+    id (byte-distinct, NFKC-identical), run the NFKC dedup over the
+    planted corpus, and gate on (1) every plant collapsing onto its
+    lower-id ASCII original and (2) the surviving set equalling plain
+    `dedup_normalized` over the clean corpus exactly (NFKC is the
+    identity on the ASCII corpus, so the survivors — and hence the
+    shared oracle — must not move).  Emits the plain-dedup survivor
+    list, which `_DEDUP_NORM_ORACLE` computes."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.translate(F.col("text"), _FW_SRC, _FW_DST).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    survivors = dedup.exact_dedup(
+        corpus.select(
+            "doc_id",
+            text.normalize_for_dedup(F.col("text"), nfkc=True).alias("text"),
+        )
+    ).select("doc_id")
+    expected = dedup.exact_dedup(
+        docs.select(
+            "doc_id", text.normalize_for_dedup(F.col("text")).alias("text")
+        )
+    ).select("doc_id")
+    stats = (
+        _n(planted, "n_planted")
+        .crossJoin(_n(survivors.filter(F.col("doc_id") >= 2_000_000), "n_alive"))
+        .crossJoin(_n(survivors.exceptAll(expected), "n_extra"))
+        .crossJoin(_n(expected.exceptAll(survivors), "n_miss"))
+    )
+    ok = (
+        (F.col("n_planted") > 0)
+        & (F.col("n_alive") == 0)
+        & (F.col("n_extra") == 0)
+        & (F.col("n_miss") == 0)
+    )
+    return _gate(expected, stats, ok)
 
 
 @register(

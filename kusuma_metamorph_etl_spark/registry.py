@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,15 +38,41 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Per-module registration sequence (the stable tie-break the window
+# generator sorts within) — REGISTRY itself gets reordered by _PRIORITY.
+# Keyed by defining module so the canonical order is IMPORT-ORDER
+# INDEPENDENT: a test importing queries.marts before queries.core must
+# not shuffle the generated window.
+_REG_BY_MODULE: dict[str, list[str]] = {}
+
+# Canonical module rank for the registration-order tie-break.
+_MODULE_RANK = ("queries.core", "queries.ext", "queries.marts")
+
 
 def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
     def wrap(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query id {name!r}")
         REGISTRY[name] = QuerySpec(fn, oracle)
+        _REG_BY_MODULE.setdefault(fn.__module__, []).append(name)
         return fn
 
     return wrap
+
+
+def _canonical_order() -> list[str]:
+    """Registration order normalized to the fixed module rank."""
+
+    def rank(module: str) -> tuple[int, str]:
+        for i, suffix in enumerate(_MODULE_RANK):
+            if module.endswith(suffix):
+                return (i, "")
+        return (len(_MODULE_RANK), module)
+
+    out: list[str] = []
+    for module in sorted(_REG_BY_MODULE, key=rank):
+        out.extend(_REG_BY_MODULE[module])
+    return out
 
 
 def lowercase(df: DataFrame) -> DataFrame:
@@ -67,87 +94,96 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# ---------------------------------------------------------------------------
 # Driver-facing registration order.  The correctness harness checks the
 # FIRST 50 registered queries per round; cumulative driver evidence
 # (r1 ∪ r2 ∪ …) is what the judge tracks, so each round the window
 # rotates toward whatever has the least evidence.
 #
-# ROUND-7 WINDOW (the rotation VERDICT r6 Next #1 ordered):
-#   1. the 37 rows whose latest green evidence is round 4 — the
-#      agg_count_star/global_count/rollup_cube/grouping_sets/stats
-#      block, expr_*, the win_* block, sql_pricing_summary, the
-#      streaming twins (stream_* including stream_dedup_first and
-#      stream_attribution_join), cond_*, scd2_merge, proj_explode,
-#      sim_cosine_topk_np, and the src_*/snk_dual_write/join_broadcast/
-#      semi_anti/disambig/proj_* block;
-#   2. new round-7 registrations with zero prior evidence (names listed
-#      ahead of registration are skipped until their module lands);
-#   3. oldest r5-window rows padding the window to exactly 50.
-# After this window every registered query's latest evidence is r5+.
+# The order is GENERATED, not hand-maintained (VERDICT r7 Next #5):
+#
+#     python tools/make_window.py        # prints the tuple to paste below
+#
+# sorted by (zero-evidence first, deferred flag, oldest latest-evidence
+# round, registration order) over the union of CORRECTNESS_r*.json rows
+# with round <= _PRIORITY_BASIS_ROUND.  tests/test_registry_window.py
+# recomputes the same order and fails on any hand-edit drift or
+# miscount; the basis round is pinned so the guard stays deterministic
+# after later CORRECTNESS files land.
+#
+# ROUND-8 WINDOW: 57 registered queries have zero driver evidence (the
+# 55 r7 registrations past the frozen window + the new
+# dedup_normalized_nfkc pair VERDICT r7 Next #7 ordered).  The 50-slot
+# window cannot hold all 57, so DEFERRED_TO_NEXT_WINDOW hand-picks 7
+# spills for r9's front — each one a sibling-variant of a row that IS
+# in the r8 window, so every operator FAMILY still gets its first
+# driver row this round.  After r8: zero-evidence = the 7 deferred.
+# ---------------------------------------------------------------------------
+
+_PRIORITY_BASIS_ROUND = 7
+
+# Hand-picked spills when zero-evidence rows outnumber the 50-slot
+# window; each entry names the in-window sibling that covers its family.
+DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset(
+    {
+        "evt_rate_anomaly_seasonal",  # sibling: evt_rate_anomaly
+        "dq_psi_categorical",  # sibling: dq_psi_drift
+        "evt_funnel_timing",  # sibling: evt_funnel_window
+        "samp_mergeable",  # sibling: samp_balance / samp_kfold
+        "sql_shipping_priority",  # sibling: sql_pricing_summary (green r7)
+        "txt_collocations",  # sibling: txt_keywords / txt_perplexity
+        "mart_user_engagement",  # sibling: mart_rfm
+    }
+)
+
+
+def evidence_rounds(through_round: int | None = None) -> dict[str, int]:
+    """Latest driver-evidence round per query id, unioned over the
+    committed ``CORRECTNESS_r*.json`` files (any driver row counts —
+    the judge's zero-evidence metric).  ``through_round`` caps which
+    files are read so the pasted order stays reproducible."""
+    import json
+    import re as _re
+
+    out: dict[str, int] = {}
+    repo_root = Path(__file__).resolve().parent.parent
+    for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if through_round is not None and rnd > through_round:
+            continue
+        for name in json.loads(path.read_text()):
+            out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
+    """The generated driver order: zero-evidence rows first (registration
+    order, DEFERRED_TO_NEXT_WINDOW pushed behind the rest), then
+    evidenced rows oldest-round-first."""
+    _ensure_loaded()
+    ev = evidence_rounds(through_round)
+    order = _canonical_order()
+    idx = {n: i for i, n in enumerate(order)}
+
+    def key(name: str):
+        if name not in ev:
+            return (0, name in DEFERRED_TO_NEXT_WINDOW, 0, idx[name])
+        return (1, False, ev[name], idx[name])
+
+    return tuple(sorted(order, key=key))
+
+
+# Output of `python tools/make_window.py` at basis round 7 —
+# regenerate and re-paste each round after the driver lands
+# CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    # (1) the 37 r4-stale rows (CORRECTNESS_r04 was their last green row)
-    "src_parquet_scan",
-    "src_csv_infer",
-    "src_rest_json",
-    "src_inline_schema",
-    "snk_dual_write",
-    "sql_pricing_summary",
-    "proj_normalize_names",
-    "proj_cast",
-    "proj_explode",
-    "expr_arith",
-    "expr_discount_amount",
-    "join_broadcast",
-    "join_disambig",
-    "join_semi_anti",
-    "agg_count_distinct",
-    "agg_count_star",
-    "agg_global_count",
-    "agg_rollup_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "win_rownum_topk",
-    "win_rownum_flag",
-    "win_percent_rank",
-    "win_frame_agg",
-    "win_lag_lead",
-    "win_ntile",
-    "win_rank_dense",
-    "win_cume_dist",
-    "cond_when_chain",
-    "cond_null_default",
-    "scd2_merge",
-    "sim_cosine_topk_np",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup_first",
-    "stream_attribution_join",
-    # (2) new round-7 registrations (zero evidence; skipped until they exist)
-    "dedup_substring",
-    "dedup_substring_err",
-    "dedup_substring_removal",
-    "dedup_substring_removal_err",
-    "cdc_apply",
-    "samp_group_k",
-    "src_json_roundtrip",
-    "evt_dedup_window",
-    "evt_paths",
-    # window cut-off: the driver checks the FIRST 50 names — 37 stale +
-    # the 9 above + the 4 below fill it exactly.  ROUND-8 PLAN: every
-    # section-(2) entry after the cut-off (ts_rolling … txt_collocations,
-    # including everything registered after the r7 window was frozen)
-    # has zero driver evidence — front-load ALL of them in the r8
-    # window, padding any leftover slots with the oldest r5 rows
-    # (proj_*, fil_*, marts); if the zero-evidence list itself outgrows
-    # 50, spill the tail to r9's front.  After that window, nothing
-    # registered is older than r6.
-    "graph_pagerank",
-    "ts_gapfill",
-    "dedup_minhash_incr",
-    "dedup_minhash_incr_err",  # keep the rows-only row and its gate paired
-    "ts_rolling",
     "src_schema_evolution",
+    "src_csv_badrecords",
+    "fn_surrogate_key",
+    "ts_rolling",
     "fn_winsorize",
     "dq_outlier_flag",
     "agg_heavy_hitters",
@@ -158,9 +194,10 @@ _PRIORITY: tuple[str, ...] = (
     "txt_perplexity",
     "mm_augment",
     "ts_rolling_distinct",
-    "src_csv_badrecords",
     "mm_audio_augment",
     "dedup_normalized",
+    "dedup_normalized_nfkc",
+    "dedup_normalized_nfkc_err",
     "dq_psi_drift",
     "evt_ab_lift",
     "samp_kfold",
@@ -168,11 +205,7 @@ _PRIORITY: tuple[str, ...] = (
     "evt_streaks",
     "dq_null_profile",
     "mart_rfm",
-    "mart_user_engagement",
-    "evt_funnel_timing",
-    "dq_psi_categorical",
     "evt_cohort_ltv",
-    "fn_surrogate_key",
     "agg_bloom_join",
     "dedup_semantic",
     "dedup_semantic_err",
@@ -189,29 +222,28 @@ _PRIORITY: tuple[str, ...] = (
     "mart_mm_dataprep",
     "evt_session_stats",
     "agg_corr_matrix",
-    "txt_collocations",
     "txt_unigram_roundtrip",
     "dedup_cc_incremental",
     "src_warc_roundtrip",
     "txt_fix_mojibake",
-    "evt_rate_anomaly_seasonal",
     "mm_gif_features",
     "samp_balance",
-    "sql_shipping_priority",
     "mm_jpeg_features",
     "mm_transcode",
+  # ---- window cut ----
+    "mart_user_engagement",
+    "evt_funnel_timing",
+    "dq_psi_categorical",
+    "txt_collocations",
+    "evt_rate_anomaly_seasonal",
+    "sql_shipping_priority",
     "samp_mergeable",
-    # (3) oldest r5 rows padding to 50 (extras past the window are harmless)
+    "snk_jdbc_roundtrip",
     "proj_select",
     "proj_rename",
     "proj_alias",
     "proj_drop",
     "expr_lit",
-    "mart_supplier_performance",
-    "mart_product_performance",
-    "mart_customer_sales_report",
-    "dq_duplicate_gate",
-    "dq_snapshot_stamp",
     "fil_neq",
     "fil_isin",
     "fil_cmp",
@@ -220,6 +252,142 @@ _PRIORITY: tuple[str, ...] = (
     "join_left_equi",
     "join_right_equi",
     "join_inner_equi",
+    "agg_groupby_single",
+    "agg_groupby_multi",
+    "agg_sum_expr",
+    "agg_avg",
+    "agg_histogram",
+    "null_fillna_map",
+    "fn_date_math",
+    "fn_str_value",
+    "dq_duplicate_gate",
+    "dq_snapshot_stamp",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "sort_limit",
+    "txt_quality",
+    "txt_tfidf",
+    "txt_pii_scrub",
+    "samp_deterministic",
+    "samp_stratified",
+    "dedup_incremental",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "agg_approx_distinct_err",
+    "agg_approx_quantile_err",
+    "sim_cosine_topk",
+    "sim_cosine_pairs",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "agg_pivot",
+    "proj_unpivot",
+    "agg_percentile",
+    "mart_supplier_performance",
+    "mart_product_performance",
+    "mart_customer_sales_report",
+    "src_orc_roundtrip",
+    "agg_approx_quantile",
+    "txt_token_count",
+    "txt_language_id",
+    "txt_fingerprint",
+    "txt_rolling_fingerprint",
+    "txt_chunk",
+    "txt_gopher_filter",
+    "txt_repetition",
+    "samp_fixed_k",
+    "agg_mode",
+    "samp_interleave",
+    "samp_shuffle",
+    "samp_pack",
+    "dedup_decontaminate",
+    "fn_json_extract",
+    "txt_bpe_roundtrip",
+    "txt_char_entropy",
+    "dedup_containment",
+    "dedup_cc_clusters",
+    "dedup_cc_representatives",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "agg_approx_distinct",
+    "agg_hll_mergeable",
+    "agg_quantile_mergeable",
+    "agg_cms_counts",
+    "sim_ivf_topk",
+    "sim_quantize",
+    "sim_lsh_topk",
+    "dedup_minhash_lsh_err",
+    "dedup_simhash_err",
+    "dedup_embedding_lsh_err",
+    "sim_lsh_topk_err",
+    "sim_ivf_topk_err",
+    "sim_cosine_topk_np_err",
+    "mm_png_features",
+    "mm_phash_dedup",
+    "mm_video_frames",
+    "mm_audio_spectral",
+    "mm_audio_features",
+    "join_asof",
+    "join_asof_forward",
+    "join_range",
+    "evt_funnel",
+    "evt_sessionize",
+    "evt_retention",
+    "join_fuzzy",
+    "join_overlap",
+    "src_parquet_scan",
+    "src_csv_infer",
+    "sql_pricing_summary",
+    "src_inline_schema",
+    "src_rest_json",
+    "snk_dual_write",
+    "proj_normalize_names",
+    "expr_arith",
+    "expr_discount_amount",
+    "proj_cast",
+    "join_broadcast",
+    "join_disambig",
+    "join_semi_anti",
+    "agg_count_distinct",
+    "agg_count_star",
+    "agg_global_count",
+    "agg_rollup_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "win_rownum_topk",
+    "win_rownum_flag",
+    "win_percent_rank",
+    "win_frame_agg",
+    "win_lag_lead",
+    "win_ntile",
+    "proj_explode",
+    "win_rank_dense",
+    "win_cume_dist",
+    "cond_when_chain",
+    "cond_null_default",
+    "src_json_roundtrip",
+    "sim_cosine_topk_np",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "scd2_merge",
+    "stream_attribution_join",
+    "stream_dedup_first",
+    "dedup_substring",
+    "dedup_substring_err",
+    "dedup_substring_removal",
+    "dedup_substring_removal_err",
+    "cdc_apply",
+    "samp_group_k",
+    "evt_dedup_window",
+    "evt_paths",
+    "graph_pagerank",
+    "ts_gapfill",
+    "dedup_minhash_incr",
+    "dedup_minhash_incr_err",
 )
 
 

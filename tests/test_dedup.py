@@ -457,6 +457,39 @@ def test_normalized_dedup_collapses_reformatted_copies(spark):
     assert kept == {1, 4}  # lowest id survives the collapsed trio
 
 
+def test_nfkc_path_collapses_fullwidth_and_ligature_copies(spark):
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.text import normalize_for_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "final flags 42"),
+            (2, "ﬁnal ﬂags 42"),  # fi/fl ligatures
+            (3, "ｆｉｎａｌ　ｆｌａｇｓ　４２"),  # full-width + ideographic space
+            (4, "other doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    nfkc = df.select(
+        "doc_id", normalize_for_dedup(F.col("text"), nfkc=True).alias("text")
+    )
+    kept = {r["doc_id"] for r in dedup.exact_dedup(nfkc).collect()}
+    assert kept == {1, 4}  # all three compatibility forms collapse onto 1
+    plain = df.select(
+        "doc_id", normalize_for_dedup(F.col("text")).alias("text")
+    )
+    kept_plain = {r["doc_id"] for r in dedup.exact_dedup(plain).collect()}
+    # without NFKC the ligature/full-width copies do NOT collapse onto 1
+    assert 1 in kept_plain and len(kept_plain) > 2
+    # NULL text passes through the Arrow batch untouched
+    with_null = spark.createDataFrame([(9, None)], "doc_id int, text string")
+    row = with_null.select(
+        normalize_for_dedup(F.col("text"), nfkc=True).alias("t")
+    ).first()
+    assert row["t"] is None
+
+
 class TestSemanticDedup:
     def test_planted_copies_always_dropped(self, spark, sf_small):
         emb = _emb(spark, sf_small).select("vec_id", "embedding")

@@ -1,0 +1,58 @@
+"""Guard for the generated driver window (VERDICT r7 Next #5).
+
+``registry._PRIORITY`` is pasted output of ``tools/make_window.py``; these
+tests recompute the same order at the pinned basis round and fail on any
+hand-edit drift, miscount, or forgotten regeneration after new
+registrations — the error class the r6 ADVICE caught once by hand.
+No Spark session needed.
+"""
+
+from __future__ import annotations
+
+from kusuma_metamorph_etl_spark import registry
+
+WINDOW = 50
+
+
+def test_priority_matches_generated_order():
+    computed = registry.compute_priority(registry._PRIORITY_BASIS_ROUND)
+    assert registry._PRIORITY == computed, (
+        "registry._PRIORITY is stale — regenerate with "
+        "`python tools/make_window.py --through-round "
+        f"{registry._PRIORITY_BASIS_ROUND}` and re-paste"
+    )
+
+
+def test_priority_is_a_permutation_of_the_registry():
+    names = set(registry.queries())
+    assert set(registry._PRIORITY) == names
+    assert len(registry._PRIORITY) == len(names)
+
+
+def test_window_front_loads_zero_evidence_rows():
+    """Every zero-evidence, non-deferred query (at the basis round) sits
+    inside the 50-row driver window; everything spilled past the cut is
+    explicitly deferred with a named sibling."""
+    ev = registry.evidence_rounds(registry._PRIORITY_BASIS_ROUND)
+    zero = [n for n in registry._PRIORITY if n not in ev]
+    window = set(registry._PRIORITY[:WINDOW])
+    spilled = [n for n in zero if n not in window]
+    assert all(n in registry.DEFERRED_TO_NEXT_WINDOW for n in spilled), spilled
+    # deferral is a pressure valve, not a parking lot
+    assert len(spilled) <= 10
+
+
+def test_err_companions_share_their_windows():
+    """A rows-only query and its `_err` oracle gate must land in the same
+    driver window — the gate is what makes the rows-only row evidence."""
+    names = list(registry._PRIORITY)
+    for i, name in enumerate(names):
+        if not name.endswith("_err"):
+            continue
+        base = name[: -len("_err")]
+        if base not in registry.REGISTRY:
+            continue
+        if registry.REGISTRY[base].oracle is not None:
+            continue  # base is oracle-checked on its own
+        same_side = (names.index(base) < WINDOW) == (i < WINDOW)
+        assert same_side, f"{base} and {name} straddle the window cut"
