@@ -1,5 +1,5 @@
-"""[EXT] Baseline JPEG codec (ITU-T T.81, sequential DCT, 4:4:4) in pure
-numpy — closes the last compressed-image boundary behind
+"""[EXT] Baseline JPEG codec (ITU-T T.81, sequential DCT) in pure numpy —
+closes the last compressed-image boundary behind
 `multimodal.decode_image`'s seam.
 
 Scope, declared precisely:
@@ -8,17 +8,28 @@ Scope, declared precisely:
   orthonormal DCT, IJG quality-scaled quantization, canonical Huffman
   tables EMBEDDED IN THE FILE (fixed-length canonical sets — legal
   baseline JPEG; Annex K's tables are merely the spec's *example*), MSB
-  bitstream with 0xFF byte stuffing.  No subsampling (4:4:4 — the
-  lossless-chroma choice), no progressive, no restart markers.
-* DECODE: any baseline sequential JPEG whose components are unsubsampled
-  (1×1 sampling factors); tables are read from the file as the spec
-  requires, so files from other encoders decode too as long as they are
-  4:4:4 baseline.  Subsampled/progressive inputs raise
-  ``NotImplementedError`` with the boundary named; RSTn markers reset
-  the DC predictors.
+  bitstream with 0xFF byte stuffing.  ``subsampling="444"`` (default,
+  the lossless-chroma choice) or ``"420"`` (2×2 box-averaged chroma —
+  the web-corpus default); optional ``restart_interval`` emits DRI +
+  RSTn markers with byte-aligned 1-padding and DC-predictor resets.
+  No progressive.
+* DECODE: any baseline sequential interleaved JPEG with integer-ratio
+  sampling factors — 4:4:4, 4:2:0, 4:2:2, 4:4:0 all decode; chroma is
+  box-replicated back to full resolution (the standard simple
+  upsampling).  DRI/RSTn restart intervals are honored: the bit reader
+  byte-aligns at each interval, verifies the RSTn modulo-8 sequence,
+  and resets the DC predictors (T.81 §F.2.1.3.1).  Tables are read
+  from the file as the spec requires, so files from other encoders
+  decode too.  Progressive/arithmetic/hierarchical inputs raise
+  ``NotImplementedError`` with the boundary named.
 
 Conformance evidence: GIF's decoder is pinned to a public byte vector;
-no library-free JPEG vector ships here, so the contract is (a) strict
+JPEG is pinned to a SPEC-DERIVED vector instead — a byte-literal file
+hand-assembled in tests/test_multimodal.py from ITU-T T.81 Annex K's
+published example tables (K.1 quantization, K.3 DC / K.5 AC Huffman)
+whose entropy stream and exact integer decode are derived step-by-step
+in the test, so the decoder is checked against spec-published tables,
+not against this module's own encoder.  On top of that: (a) strict
 structural parsing of the marker stream, (b) encode→decode round-trip
 error bounded by the quantization step (tested: ≤1 grey level on
 constant blocks at quality 95, small RMSE on smooth gradients), and
@@ -142,6 +153,15 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-padding and emit RSTn (the pad byte is
+        entropy data, so a resulting 0xFF is still stuffed; the marker
+        bytes themselves are raw)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -195,12 +215,27 @@ def _dht_segment(tc_th: int, bits: list[int], symbols: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
-    """Baseline 4:4:4 JFIF encoder (RGB HxWx3 or greyscale HxW)."""
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 95,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder (RGB HxWx3 or greyscale HxW).
+
+    ``subsampling``: ``"444"`` (chroma at full resolution) or ``"420"``
+    (chroma 2×2 box-averaged, luma sampling factor 2×2 — the MCU walk
+    interleaves 4 luma + 1 Cb + 1 Cr blocks per 16×16 MCU).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (byte-aligned, DC predictors reset).
+    """
     arr = np.asarray(pixels, dtype=np.uint8)
     grey = arr.ndim == 2
     if not grey and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"expected HxW or HxWx3 uint8 array, got {arr.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    sub = subsampling == "420" and not grey
     h, w = arr.shape[:2]
     if grey:
         planes = [arr.astype(np.float64)]
@@ -215,20 +250,41 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     q_luma = _quality_scale(_Q_LUMA, quality)
     q_chroma = _quality_scale(_Q_CHROMA, quality)
     qtables = [q_luma] if grey else [q_luma, q_chroma]
-    # pad to 8x8 multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # pad to MCU multiples by edge replication (8 for 1x1, 16 for 2x2 luma)
+    mcu = 16 if sub else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
     planes = [
         np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
     ]
+    if sub:
+        # chroma: 2x2 box average over the padded plane (dims ph/2 x pw/2,
+        # 8-multiples by construction)
+        planes[1:] = [
+            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            for p in planes[1:]
+        ]
+    # per-component (blocks-per-MCU-y, blocks-per-MCU-x, qtable)
+    layout = [(2, 2, q_luma), (1, 1, q_chroma), (1, 1, q_chroma)] if sub else [
+        (1, 1, q_luma if ci == 0 else q_chroma) for ci in range(len(planes))
+    ]
     bw = _BitWriter()
     preds = [0] * len(planes)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    mcu_idx = 0
+    for my in range(0, ph // mcu):
+        for mx in range(0, pw // mcu):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.restart(mcu_idx // restart_interval - 1)
+                preds = [0] * len(planes)
             for ci, plane in enumerate(planes):
-                q = q_luma if ci == 0 else q_chroma
-                preds[ci] = _encode_block(
-                    bw, plane[by : by + 8, bx : bx + 8], q, preds[ci]
-                )
+                vi, hi, q = layout[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        y0 = my * 8 * vi + v * 8
+                        x0 = mx * 8 * hi + hh * 8
+                        preds[ci] = _encode_block(
+                            bw, plane[y0 : y0 + 8, x0 : x0 + 8], q, preds[ci]
+                        )
+            mcu_idx += 1
     scan = bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -242,13 +298,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     ncomp = 1 if grey else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+        sampling = 0x22 if (sub and ci == 0) else 0x11
+        sof += bytes([ci + 1, sampling, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0x00, _DC_BITS, _DC_SYMBOLS)
     out += _dht_segment(0x10, _AC_BITS, _AC_SYMBOLS)
     if not grey:
         out += _dht_segment(0x01, _DC_BITS, _DC_SYMBOLS)
         out += _dht_segment(0x11, _AC_BITS, _AC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -276,7 +335,12 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
             elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
+                # a restart marker is only legal AT a declared interval
+                # boundary, where consume_restart eats it proactively
+                raise ValueError(
+                    "unexpected RSTn inside entropy data (marker not at the "
+                    "declared DRI interval, or DRI segment missing)"
+                )
             else:
                 raise ValueError("unexpected marker inside entropy data")
         self.acc = (self.acc << 8) | byte
@@ -294,10 +358,21 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
-
-class _RestartMarker(Exception):
-    def __init__(self, marker: int) -> None:
-        self.marker = marker
+    def consume_restart(self) -> int:
+        """Discard pad bits to the byte boundary, consume the expected
+        RSTn marker, and return n (T.81 §F.2.1.3.1: entropy data is
+        1-padded to a byte boundary before each restart marker)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RSTn marker at restart interval")
+        n = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
 
 
 def _decode_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -317,14 +392,49 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _decode_block(
+    br: _BitReader,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    q: np.ndarray,
+    pred: int,
+) -> tuple[int, np.ndarray]:
+    """Decode one 8×8 block; returns (new DC predictor, spatial block)."""
+    zz = np.zeros(64, dtype=np.float64)
+    size = _decode_huffman(br, dc_tab)
+    diff = _extend(br.read_bits(size), size)
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _decode_huffman(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, s = sym >> 4, sym & 0x0F
+        if sym == 0xF0:
+            k += 16
+            continue
+        k += run
+        if k >= 64:
+            raise ValueError("JPEG AC index overrun")
+        zz[k] = _extend(br.read_bits(s), s)
+        k += 1
+    coef = np.zeros(64)
+    coef[_ZIGZAG] = zz
+    return pred, _C.T @ (coef.reshape(8, 8) * q) @ _C + 128.0
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential 4:4:4 decoder → uint8 HxWx3 (or HxW grey)."""
+    """Baseline sequential decoder → uint8 HxWx3 (or HxW grey); any
+    integer-ratio sampling factors (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0),
+    DRI/RSTn restart intervals honored."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -367,67 +477,82 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (only 4:4:4 / 1x1 factors supported)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                raise NotImplementedError(
+                    "non-integer subsampling ratio between components"
+                )
             frame = (h, w, comps)
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline JPEG (progressive/extended)")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
             ncomp_scan = body[0]
-            scan_tables = []
+            scan_tables: dict[int, tuple[int, int]] = {}
             for ci in range(ncomp_scan):
                 cid, tdta = body[1 + 2 * ci : 3 + 2 * ci]
-                scan_tables.append((cid, tdta >> 4, tdta & 0x0F))
+                scan_tables[cid] = (tdta >> 4, tdta & 0x0F)
             h, w, comps = frame
-            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            if ncomp_scan != len(comps):
+                raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
             planes = [
-                np.zeros((ph, pw), dtype=np.float64) for _ in comps
+                np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
+                for (_cid, hi, vi, _tq) in comps
             ]
             br = _BitReader(payload[pos + seg_len :])
             preds = [0] * len(comps)
-            for by in range(0, ph, 8):
-                for bx in range(0, pw, 8):
-                    for ci, (cid, tq) in enumerate(comps):
-                        td, ta = scan_tables[ci][1], scan_tables[ci][2]
-                        try:
-                            zz = np.zeros(64, dtype=np.float64)
-                            size = _decode_huffman(br, huff[(0, td)])
-                            diff = _extend(br.read_bits(size), size)
-                            preds[ci] += diff
-                            zz[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                sym = _decode_huffman(br, huff[(1, ta)])
-                                if sym == 0x00:  # EOB
-                                    break
-                                run, s = sym >> 4, sym & 0x0F
-                                if sym == 0xF0:
-                                    k += 16
-                                    continue
-                                k += run
-                                if k >= 64:
-                                    raise ValueError("JPEG AC index overrun")
-                                zz[k] = _extend(br.read_bits(s), s)
-                                k += 1
-                        except _RestartMarker:
-                            preds = [0] * len(comps)
+            mcu_idx = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and mcu_idx
+                        and mcu_idx % restart_interval == 0
+                    ):
+                        n = br.consume_restart()
+                        expect = (mcu_idx // restart_interval - 1) % 8
+                        if n != expect:
                             raise ValueError(
-                                "restart markers mid-block are malformed"
-                            ) from None
-                        coef = np.zeros(64)
-                        coef[_ZIGZAG] = zz
-                        block = _C.T @ (coef.reshape(8, 8) * qtables[tq]) @ _C
-                        planes[ci][by : by + 8, bx : bx + 8] = block + 128.0
-            if len(planes) == 1:
-                return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(
-                    np.uint8
-                )
-            y, cb, cr = (p[:h, :w] for p in planes)
+                                f"RST{n} out of sequence (expected RST{expect})"
+                            )
+                        preds = [0] * len(comps)  # T.81 §F.2.1.3.1
+                    for ci, (cid, hi, vi, tq) in enumerate(comps):
+                        td, ta = scan_tables[cid]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                preds[ci], block = _decode_block(
+                                    br, huff[(0, td)], huff[(1, ta)],
+                                    qtables[tq], preds[ci],
+                                )
+                                y0 = my * 8 * vi + v * 8
+                                x0 = mx * 8 * hi + hh * 8
+                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                    mcu_idx += 1
+            # replicate subsampled components back to full resolution,
+            # then crop the MCU padding
+            full = []
+            for pi, (_cid, hi, vi, _tq) in enumerate(comps):
+                p = planes[pi]
+                if vi != vmax:
+                    p = p.repeat(vmax // vi, axis=0)
+                if hi != hmax:
+                    p = p.repeat(hmax // hi, axis=1)
+                full.append(p[:h, :w])
+            if len(full) == 1:
+                return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            y, cb, cr = full
             r = y + 1.402 * (cr - 128.0)
             g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
             b = y + 1.772 * (cb - 128.0)

@@ -7,8 +7,9 @@ as Arrow-batched Pandas functions over ``mapInPandas``.
 The image and audio codecs are REAL: pure numpy encoders/decoders for
 binary PPM/PGM (P6/P5), uncompressed 24-bit BMP, zlib-deflate PNG,
 LZW-compressed GIF87a/89a, and PCM16 WAV — no external media library
-needed.  Baseline 4:4:4 JPEG rounds out the set (`operators/jpeg.py`);
-subsampled/progressive JPEG variants raise through the same seam a
+needed.  Baseline JPEG rounds out the set (`operators/jpeg.py` —
+4:4:4 and subsampled 4:2:0/4:2:2, DRI/RSTn restart intervals);
+progressive/arithmetic JPEG variants raise through the same seam a
 production decoder would plug into.
 The container also has no real media *data*, so tests and driver queries
 synthesize deterministic PPM/WAV payloads from document text
@@ -1471,8 +1472,11 @@ def transcode_images(
                 )
             yield pd.DataFrame(rows)
 
+    # id type derived from the input (string WARC record ids are as
+    # valid as long doc ids — ADVICE r7), same as semantic_pairs
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
         transcode,
-        schema=f"{id_col} long, src_format string, payload binary, "
+        schema=f"{id_col} {id_type}, src_format string, payload binary, "
         "width int, height int",
     )

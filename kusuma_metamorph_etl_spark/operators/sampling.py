@@ -404,14 +404,18 @@ def balance_classes(
     over the data, everything else label-cardinality work.  The draw is
     partition-invariant and engine-reproducible (md5 content hash, ties
     on the key).  NULL labels are DROPPED (the quota join cannot match
-    them) — filter or fill labels first; silently training on an
-    unlabeled class is the bug this refuses to have.
+    them) AND excluded from the quota computation — a handful of
+    unlabeled rows must neither train as a class of their own nor
+    masquerade as the "minority" and shrink every real class's quota to
+    their count (ADVICE r7).  Filter or fill labels first; silently
+    training on an unlabeled class is the bug this refuses to have.
     """
     if max_ratio <= 0:
         raise ValueError(f"max_ratio must be positive, got {max_ratio}")
     from pyspark.sql import Window
 
-    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    labeled = df.filter(F.col(label_col).isNotNull())
+    counts = labeled.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
     minority = counts.agg(F.min("__n").alias("__min_n"))
     quotas = counts.crossJoin(F.broadcast(minority)).select(
         label_col,
@@ -420,7 +424,7 @@ def balance_classes(
     h = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
     w = Window.partitionBy(label_col).orderBy(h, key)
     return (
-        df.join(F.broadcast(quotas), on=label_col)
+        labeled.join(F.broadcast(quotas), on=label_col)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")

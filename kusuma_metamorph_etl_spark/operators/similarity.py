@@ -191,6 +191,11 @@ def ivf_build(
         .collect()
     )
     centroids = [list(r["centroid"]) for r in rows]
+    if not centroids:
+        # empty corpus: np.array([]) is 1-D and the Lloyd loop's
+        # axis=1 norms would raise — mirror assign_cells_np's empty
+        # guard and return the empty centroid list (ADVICE r7)
+        return centroids
     sc = corpus.sparkSession.sparkContext
     for _ in range(refine_iters):
         cmat = np.array(centroids, dtype=np.float64)

@@ -441,7 +441,18 @@ def bloom_prefilter_join(
     0.49s vs 1.30s through the sketch, i.e. at test scale the build+probe
     overhead LOSES and the operator's value is strictly the
     non-broadcastable-dim regime plus sketch reuse across runs.
+
+    ``how`` is restricted to ``inner``/``left_semi``: for left/outer
+    joins the pre-filter would drop fact rows with no dim match that the
+    plain join keeps with NULLs, breaking the identical-result contract
+    (ADVICE r7).
     """
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            "bloom_prefilter_join preserves plain-join equivalence only for "
+            f"inner/left_semi joins, got how={how!r} — left/outer joins keep "
+            "unmatched fact rows the pre-filter would drop"
+        )
     sketch = bloom_sketch(dim.select(on), on, n_bits, n_hashes)
     kept = bloom_probe(sketch, fact, on, n_bits, n_hashes, out="__maybe").filter(
         F.col("__maybe")

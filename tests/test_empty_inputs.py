@@ -72,9 +72,15 @@ def test_dedup_and_graph_empty(spark):
     assert connected_components(edges).count() == 0
     labels = _empty(spark, "node long, component long")
     assert incremental_components(labels, edges).count() == 0
-    # semantic dedup of an empty corpus: nothing to drop, nothing returned
+    # semantic dedup of an empty corpus: nothing to drop, nothing
+    # returned — at DEFAULT refine_iters, so the Lloyd loop's empty
+    # guard is exercised (ADVICE r7: refine_iters=0 masked an
+    # AxisError in ivf_build on the empty centroid list)
     emb = _empty(spark, "vec_id long, embedding array<float>")
-    assert semantic_dedup(emb, threshold=0.9, refine_iters=0).count() == 0
+    assert semantic_dedup(emb, threshold=0.9).count() == 0
+    from kusuma_metamorph_etl_spark.operators.similarity import ivf_build
+
+    assert ivf_build(emb, n_centroids=4, refine_iters=2) == []
 
 
 def test_text_ops_empty(spark):

@@ -642,8 +642,9 @@ class TestGif:
 
 
 class TestJpeg:
-    """Baseline 4:4:4 JPEG codec (`operators/jpeg.py`): lossy, so the
-    contracts are quantization-bounded error — never bit equality."""
+    """Baseline JPEG codec (`operators/jpeg.py`, 4:4:4 + 4:2:0 +
+    restart intervals): lossy, so the contracts are quantization-bounded
+    error — never bit equality."""
 
     def test_constant_and_smooth_images_roundtrip_exactly(self):
         from kusuma_metamorph_etl_spark.operators.jpeg import (
@@ -713,6 +714,163 @@ class TestJpeg:
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(prog))
 
+    def test_420_subsampled_roundtrip(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        # smooth chroma: 4:2:0's 2x2 box-average + replication stays
+        # within a few levels; dims deliberately NOT multiples of 16
+        yy, xx = np.mgrid[0:37, 0:53]
+        img = np.stack(
+            [(xx * 3) % 200 + 20, (yy * 2) % 200 + 20, ((xx + yy)) % 200 + 20],
+            axis=2,
+        ).astype(np.uint8)
+        enc = encode_jpeg(img, quality=95, subsampling="420")
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(float) - img.astype(float))
+        assert np.sqrt((err**2).mean()) < 4.0
+        # the subsampled file is genuinely 4:2:0 (luma factor 0x22 in SOF)
+        sof = enc.find(b"\xff\xc0")
+        assert enc[sof + 11] == 0x22
+        # and smaller than its 4:4:4 twin on the same pixels
+        assert len(enc) < len(encode_jpeg(img, quality=95, subsampling="444"))
+
+    def test_restart_intervals_decode_and_resync(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+        for sub in ("444", "420"):
+            plain = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+            with_rst = encode_jpeg(
+                img, quality=90, subsampling=sub, restart_interval=2
+            )
+            assert b"\xff\xdd" in with_rst  # DRI present
+            assert b"\xff\xd0" in with_rst  # at least RST0 emitted
+            # restart markers are framing, not content: identical decode
+            assert np.array_equal(decode_jpeg(with_rst), plain)
+
+    def test_restart_marker_abuse_is_rejected(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((24, 24), 128, dtype=np.uint8)
+        good = encode_jpeg(img, quality=95, restart_interval=1)
+        # out-of-sequence RSTn: flip RST0 -> RST5
+        tampered = bytearray(good)
+        i = tampered.find(b"\xff\xd0", 2)
+        tampered[i + 1] = 0xD5
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(tampered))
+        # RSTn with the DRI segment stripped: unexpected marker mid-stream
+        dri = good.find(b"\xff\xdd")
+        no_dri = good[:dri] + good[dri + 6 :]
+        with pytest.raises(ValueError):
+            decode_jpeg(no_dri)
+
+
+class TestJpegConformance:
+    """Decoder pinned to a SPEC-DERIVED byte vector (VERDICT r7 Next #4):
+    a baseline greyscale JPEG hand-assembled from ITU-T T.81 Annex K's
+    published example tables, with the entropy stream derived by hand
+    below — so decode is checked against spec-published tables and
+    arithmetic, not against this repo's own encoder.
+
+    Derivation (8×16 greyscale, two constant 8×8 blocks, values 192 and
+    64; quantization table K.1 so Q[0,0]=16; orthonormal DCT so a
+    constant block's only coefficient is DC = 8·(v−128)):
+
+    * block 1 (v=192): DC = 8·64/16 = 32; diff vs predictor 0 = 32 →
+      category 6, value bits ``100000``.  K.3 assigns category 6 the
+      code ``1110``.  All AC zero → EOB, which K.5 assigns ``1010``.
+    * block 2 (v=64): DC = −32; diff = −64 → category 7, value bits
+      −64 + 2⁷ − 1 = 63 → ``0111111``; K.3 category 7 = ``11110``;
+      then EOB ``1010``.
+    * stream = 1110 100000 1010 11110 0111111 1010 + two 1-pad bits
+      = bytes ``E8 2B CF EB``.
+    * exact integer decode: 32·16/8 + 128 = 192 and −32·16/8 + 128 = 64
+      (no rounding anywhere, so equality is exact, not tolerance).
+    """
+
+    # T.81 Annex K table K.1 (luminance quantization), zigzag order
+    K1 = bytes([
+        16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+        26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+        56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+        95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+        103, 99,
+    ])
+    # K.3: DC luminance Huffman spec (BITS then HUFFVAL)
+    K3_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    K3_VALS = bytes(range(12))
+    # K.5: AC luminance Huffman spec
+    K5_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+    K5_VALS = bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ])
+
+    def _vector(self) -> bytes:
+        import struct
+
+        f = bytearray(b"\xff\xd8")  # SOI
+        f += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + self.K1
+        f += (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 16, 1)
+            + bytes([1, 0x11, 0])
+        )  # SOF0: 8-bit, 8 tall, 16 wide, 1 component, 1x1, qtable 0
+        f += b"\xff\xc4" + struct.pack(">H", 31) + b"\x00" + self.K3_BITS + self.K3_VALS
+        f += b"\xff\xc4" + struct.pack(">H", 181) + b"\x10" + self.K5_BITS + self.K5_VALS
+        f += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+        f += bytes([0xE8, 0x2B, 0xCF, 0xEB])  # hand-derived entropy stream
+        f += b"\xff\xd9"  # EOI
+        return bytes(f)
+
+    def test_annex_k_tables_match_module_constants(self):
+        # the module's base luminance table IS Annex K table K.1
+        from kusuma_metamorph_etl_spark.operators.jpeg import _Q_LUMA, _ZIGZAG
+
+        assert _Q_LUMA.ravel()[_ZIGZAG].astype(int).tolist() == list(self.K1)
+        assert sum(self.K3_BITS) == len(self.K3_VALS) == 12
+        assert sum(self.K5_BITS) == len(self.K5_VALS) == 162
+
+    def test_spec_vector_decodes_to_exact_published_pixels(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import decode_jpeg
+
+        img = decode_jpeg(self._vector())
+        assert img.shape == (8, 16)
+        assert (img[:, :8] == 192).all()  # block 1: exactly 192
+        assert (img[:, 8:] == 64).all()  # block 2: exactly 64
+
     def test_synthesized_payload_mean_close_to_ppm(self):
         for text in ("hello jpeg", "x" * 41):
             want = multimodal._synthesize_pixels(text)
@@ -754,3 +912,17 @@ class TestTranscode:
         df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
         with _pytest.raises(ValueError):
             multimodal.transcode_images(df, to="webp")
+
+    def test_string_record_ids_survive(self, spark):
+        # WARC-style string record ids must not hit a hardcoded `long`
+        # output schema (ADVICE r7)
+        docs = spark.createDataFrame(
+            [("urn:uuid:rec-a",), ("urn:uuid:rec-b",)], ["rid"]
+        )
+        payloads = multimodal.attach_image_payload(
+            docs, text_col="rid", id_col="rid"
+        ).select("rid", "payload")
+        out = multimodal.transcode_images(payloads, to="png", id_col="rid").collect()
+        assert sorted(r["rid"] for r in out) == ["urn:uuid:rec-a", "urn:uuid:rec-b"]
+        for r in out:
+            assert multimodal.decode_image(bytes(r["payload"]))["format"] == "png"

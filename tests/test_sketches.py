@@ -259,6 +259,21 @@ class TestBloom:
             map(tuple, plain.collect())
         )
 
+    def test_prefilter_rejects_outer_joins(self, spark):
+        import pytest
+
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            bloom_prefilter_join,
+        )
+
+        fact = spark.createDataFrame([(1,), (2,)], ["k"])
+        dim = spark.createDataFrame([(1,)], ["k"])
+        # a left join would keep fact row k=2 with NULLs; the pre-filter
+        # drops it — equivalence only holds for inner-style joins (ADVICE r7)
+        for how in ("left", "left_outer", "full", "right"):
+            with pytest.raises(ValueError):
+                bloom_prefilter_join(fact, dim, on="k", how=how)
+
     def test_prefilter_actually_prunes(self, spark, sf_small):
         from kusuma_metamorph_etl_spark.operators.sketches import (
             bloom_probe,

@@ -731,6 +731,24 @@ class TestBalanceClasses:
         with pytest.raises(ValueError):
             balance_classes(df, "label", F.col("id"), max_ratio=0)
 
+    def test_null_labels_neither_train_nor_set_the_quota(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sampling import balance_classes
+
+        rows = (
+            [(i, "big") for i in range(90)]
+            + [(100 + i, "small") for i in range(10)]
+            + [(200 + i, None) for i in range(3)]  # 3 unlabeled rows
+        )
+        df = spark.createDataFrame(rows, "id long, label string")
+        out = balance_classes(df, "label", F.col("id"))
+        counts = {
+            r["label"]: r["n"]
+            for r in out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # NULLs are dropped AND do not become the minority: quota stays 10,
+        # not 3 (ADVICE r7)
+        assert counts == {"big": 10, "small": 10}
+
 
 def test_merge_samples_equals_direct_draw(spark):
     from kusuma_metamorph_etl_spark.operators.sampling import (
