@@ -105,6 +105,24 @@ EXTRA = {"stream_sessionize_stateful": _bench_sessionize_stream}
 # was entirely environmental).  The headline value is the per-query MEDIAN
 # of REPS runs; per-rep values ship in the JSON so cross-round comparison
 # has an in-file noise estimate.
+#
+# BENCH r6->r7 regression A/B (VERDICT r7 Next #2), measured in r8 with
+# fresh-JVM isolated runs (warm-up query, 3-5 reps) vs the r6 CODE run
+# under identical conditions in the same session type:
+#   * environment drift is real: r6 code re-run in the r8 environment
+#     gives dedup_cc_representatives median 5.13s (recorded r6: 4.11)
+#     and txt_bpe_roundtrip 1.78s (recorded r6: 1.53) — a uniform ~1.2x.
+#   * txt_bpe_roundtrip 1.53->2.12 was PART code: the r7 END-sentinel /
+#     whitespace-contract fix swapped C-speed str.split() for a per-call
+#     regex split in the encode UDF (isolated: 2.2-2.4s).  Fixed in r8
+#     with a character-exact translate+split formulation (isolated back
+#     to 1.85s ~= the 1.78s r6-code floor); unigram_encode shared the
+#     pattern and got the same fix.
+#   * dedup_cc_representatives 4.11->6.04: NO hot-path code change
+#     (the r7 _checkpointer refactor keeps localCheckpoint(eager=True)
+#     semantics); r6-code reps today [8.0, 5.1, 5.0] overlap current-code
+#     reps [7.9, 5.2, 5.5, 6.3, 5.6] — environment drift plus rep noise,
+#     not a regression.
 REPS = 3
 
 

@@ -158,11 +158,10 @@ def unigram_encode(
 ) -> DataFrame:
     """Distributed Viterbi encode: ``array<string>`` pieces with one END
     sentinel token appended per word (so `bpe.bpe_decode` inverts both
-    tokenizers identically).  Same whitespace class and END-rejection
-    contract as `bpe.bpe_encode`."""
-    import re
-
-    split_ws = re.compile("[\t\n\f\r ]+")
+    tokenizers identically).  Same whitespace class, END-rejection
+    contract, and C-speed translate+split formulation as
+    `bpe.bpe_encode` (the regex split cost ~25% of the bench row)."""
+    fold_ws = str.maketrans("\t\n\f\r", "    ")
 
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
@@ -173,7 +172,7 @@ def unigram_encode(
                     f"{END!r}; round-trip would be lossy"
                 )
             out: list[str] = []
-            for w in split_ws.split(t):
+            for w in t.translate(fold_ws).split(" "):
                 if w:
                     out.extend(viterbi_segment(w, logp, max_piece_len))
                     out.append(END)
