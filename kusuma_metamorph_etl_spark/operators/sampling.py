@@ -136,6 +136,7 @@ def interleave_sources(
     key: Column,
     seed: str = "42",
     pos_out: str = "mix_pos",
+    key_out: str = "mix_key",
 ) -> DataFrame:
     """Deterministic mixture interleaving — the training-data "data mix"
     order: every prefix of the output contains sources in proportion to
@@ -151,13 +152,18 @@ def interleave_sources(
     Tie contract: different sources CAN emit float-equal positions
     (equal weights always do: both emit (k−0.5)/w at every k; unequal
     ones can too, e.g. 0.3 and 0.1 both hit 5.0), so a sort on
-    ``pos_out`` alone leaves tie order to the shuffle.  Consumers MUST
-    sort by ``(pos_out, source_col, key)`` — position, then source name,
-    then the content hash — for the full determinism guarantee; the
-    mixture property itself holds under any tie order.
+    ``pos_out`` alone leaves tie order to the shuffle.  The total order
+    is therefore FOLDED INTO THE DATA as ``key_out`` — a single
+    ``struct(pos, source)`` column where ``orderBy(key_out)`` alone is
+    fully deterministic (Spark compares structs field-by-field).  Two
+    fields suffice for totality: within a source, ``row_number`` makes
+    every position distinct, so any float-equal pair differs in
+    ``source_col``.  ``pos_out`` stays a plain double for prefix
+    filtering and the SQL oracle; the mixture property itself holds
+    under any tie order.
 
     Plan: one window rank per source partition + pure arithmetic; the
-    global sort on ``pos_out`` is Spark's ordinary range-partitioned
+    global sort on ``key_out`` is Spark's ordinary range-partitioned
     sort.  Emitting the position rather than materializing the order
     keeps the operator composable (filter a prefix for a token budget,
     then sort once at write time).
@@ -181,6 +187,7 @@ def interleave_sources(
         df.withColumn("__w", weight_expr)
         .filter(F.col("__w").isNotNull())
         .withColumn(pos_out, (rank - F.lit(0.5)) / F.col("__w"))
+        .withColumn(key_out, F.struct(F.col(pos_out), F.col(source_col)))
         .drop("__w")
     )
 

@@ -20,6 +20,14 @@ def spark():
 
     session = get_session()
     session.sparkContext.setLogLevel("ERROR")
+    # Test data is tiny (sf0.001/sf0.01): 32 shuffle partitions means 32
+    # near-empty tasks per stage across hundreds of test jobs, which is
+    # pure scheduler overhead at this scale.  8 keeps multi-partition
+    # semantics honest (partition-invariance tests repartition explicitly
+    # anyway; AQE re-plans at runtime either way) while cutting suite
+    # wall-clock (VERDICT r7 Next #8).  Production default stays 32 in
+    # session.py — this is a test-session override only.
+    session.conf.set("spark.sql.shuffle.partitions", "8")
     return session
 
 

@@ -10,6 +10,8 @@ tests pin that from both directions.
 
 from __future__ import annotations
 
+import pytest
+
 import subprocess
 import sys
 
@@ -38,6 +40,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow
 def test_events_reads_under_bare_session_subprocess():
     """End-to-end: a fresh process, a conf-less session, an events query."""
     script = _BARE_SCRIPT.format(repo="/root/repo", sf=SF_SMALL)
@@ -96,6 +99,7 @@ def _write_nanos_events(path: str) -> None:
     pq.write_table(tbl, f"{path}/events.parquet", version="2.6", store_schema=False)
 
 
+@pytest.mark.slow
 def test_nanos_parquet_roundtrip(spark, tmp_path):
     """The nanos branch end-to-end on a real TIMESTAMP(NANOS) file: batch
     load converts to µs by floor-division, scan EXECUTION succeeds after

@@ -4,6 +4,8 @@ the recall contract promised in queries/ext.py docstrings."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kusuma_metamorph_etl_spark.operators import dedup
@@ -325,6 +327,7 @@ class TestSubstringPairs:
             src_row["text"]
         )
 
+    @pytest.mark.slow
     def test_span_removal_reaches_fixpoint(self, spark):
         """Removal keeps the span only in the lowest-id doc of each
         cluster; re-running the pair search on the cleaned corpus finds
@@ -355,6 +358,7 @@ class TestSubstringPairs:
         again = cleaned.select("doc_id", "text")
         assert dedup.substring_pairs(again, min_len=64).count() == 0
 
+    @pytest.mark.slow
     def test_span_removal_merges_overlaps(self, spark):
         """Two pairs claiming intersecting ranges of one doc must merge
         before cutting — naive sequential cuts would corrupt offsets."""
@@ -505,6 +509,7 @@ class TestSemanticDedup:
         # always on the higher-id side
         assert survivors.count() == emb.count()
 
+    @pytest.mark.slow
     def test_pairs_subset_of_exact_pairs(self, spark, sf_small):
         from kusuma_metamorph_etl_spark.operators.similarity import cosine_pairs
 
@@ -519,6 +524,7 @@ class TestSemanticDedup:
             == 0
         )
 
+    @pytest.mark.slow
     def test_survivors_superset_of_exact(self, spark, sf_small):
         emb = _emb(spark, sf_small)
         exact = dedup.embedding_dedup(emb, threshold=0.3).select("vec_id")

@@ -29,10 +29,20 @@ def _session():
         from kusuma_metamorph_etl_spark.session import get_session
 
         _spark = get_session()
+        _spark.conf.set("spark.sql.shuffle.partitions", "8")  # tiny-data tests (see conftest)
     return _spark
 
 
-@settings(max_examples=30, deadline=None)
+# Fast default (pytest.ini / VERDICT r7 Next #8): trim every property to
+# ~1/3 of its example budget so the default suite stays inside the round
+# budget; SPARK_GRAFT_FULL_TESTS=1 restores full depth.
+_FULL = __import__("os").environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+
+
+def _ex(n: int) -> int:
+    return n if _FULL else max(3, n // 3)
+
+@settings(max_examples=_ex(30), deadline=None)
 @given(
     qty=st.integers(min_value=1, max_value=1000),
     cents=st.integers(min_value=1, max_value=100_000),  # price in cents

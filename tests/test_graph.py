@@ -197,6 +197,7 @@ def test_pagerank_empty_edges_raises(spark):
 
 # ------------------------------------------------- large-star / small-star
 
+@pytest.mark.slow
 def test_star_cc_matches_hash_to_min_on_random_graphs(spark):
     import random
 
@@ -220,6 +221,7 @@ def test_star_cc_matches_hash_to_min_on_random_graphs(spark):
         assert got == want and got
 
 
+@pytest.mark.slow
 def test_star_cc_star_graph_and_chain(spark):
     from kusuma_metamorph_etl_spark.operators.graph import (
         connected_components_star,
@@ -247,6 +249,7 @@ class TestIncrementalComponents:
     def _edges(self, spark, pairs):
         return spark.createDataFrame(pairs, ["a", "b"])
 
+    @pytest.mark.slow
     def test_equals_full_recompute_on_random_graph(self, spark):
         import random
 

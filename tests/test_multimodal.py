@@ -477,6 +477,7 @@ def test_augment_roundtrip_geometry_and_invariants():
     assert np.array_equal(px[1:3, 2:5], crop)
 
 
+@pytest.mark.slow
 def test_augment_dataframe_fanout(spark):
     from pyspark.sql import functions as F
 

@@ -24,14 +24,24 @@ def _session():
 
         _spark = get_session()
         _spark.sparkContext.setLogLevel("ERROR")
+        _spark.conf.set("spark.sql.shuffle.partitions", "8")  # tiny-data tests (see conftest)
     return _spark
 
+
+# Fast default (pytest.ini / VERDICT r7 Next #8): trim every property to
+# ~1/3 of its example budget so the default suite stays inside the round
+# budget; SPARK_GRAFT_FULL_TESTS=1 restores full depth.
+_FULL = __import__("os").environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+
+
+def _ex(n: int) -> int:
+    return n if _FULL else max(3, n // 3)
 
 def _ts(minutes: int) -> dt.datetime:
     return dt.datetime(2024, 6, 1) + dt.timedelta(minutes=minutes)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     lefts=st.lists(
         st.tuples(st.integers(0, 1), st.integers(0, 50)), min_size=1, max_size=12
@@ -71,7 +81,7 @@ def test_asof_join_matches_bruteforce(lefts, rights):
         assert got[i] == expected, (i, k, m, candidates, got[i])
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     values=st.lists(
         st.one_of(st.integers(min_value=-5, max_value=5), st.none()),
@@ -104,7 +114,7 @@ def test_global_percent_rank_matches_window(values):
         assert got == reference, f"low_cardinality={low_card}"
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     cents=st.lists(
         st.integers(min_value=-10_000_000, max_value=10_000_000),
@@ -132,7 +142,7 @@ def test_decimal_sum_is_order_independent(cents, parts):
     assert got == expected
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     terms=st.lists(
         st.one_of(
@@ -175,7 +185,7 @@ def test_decimal_sum_skips_nonfinite(terms, parts):
     assert got == expected, (values, got, expected)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     units=st.lists(
         # integer magnitudes at the top of double's exact-integer range:
@@ -207,7 +217,7 @@ def test_decimal_sum_near_2_52_integers(units, parts):
     assert got == expected, (values, got, expected)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(
     shape=st.tuples(
         st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 2, 3, 4])
@@ -230,7 +240,7 @@ def test_png_roundtrip_property(shape, seed):
     assert np.array_equal(back["pixels"], expect), (shape, seed)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(
     sigs=st.lists(st.integers(0, 2**48 - 1), min_size=2, max_size=20, unique=True),
     max_hamming=st.integers(1, 4),
@@ -257,7 +267,7 @@ def test_hamming_blocking_is_exhaustive(sigs, max_hamming):
     assert got == brute, (sigs, max_hamming)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
@@ -356,7 +366,7 @@ class TestEventDedupWindow:
         assert got == {"a>b>c": 1, "a": 1}
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(
     obs=st.dictionaries(
         st.integers(0, 40),  # day offsets (sparse, with gaps)
@@ -396,7 +406,7 @@ def test_ewma_matches_bruteforce_truncated_definition(obs):
         assert math.isclose(got[key], want, abs_tol=2e-6), (d_t, got[key], want)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(
     a=st.sets(st.integers(0, 5000), min_size=1, max_size=400),
     b=st.sets(st.integers(0, 5000), min_size=0, max_size=400),
@@ -428,7 +438,7 @@ def test_kmv_merge_associative_idempotent_and_exact_below_k(a, b):
         assert est == float(len(a | b))
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(keys=st.sets(st.integers(-(2**40), 2**40), min_size=1, max_size=300))
 def test_bloom_never_false_negative(keys):
     from kusuma_metamorph_etl_spark.operators.sketches import (
@@ -443,7 +453,7 @@ def test_bloom_never_false_negative(keys):
     assert probed.filter(~F.col("maybe_present")).count() == 0
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25), deadline=None)
 @given(
     indices=st.lists(st.integers(0, 15), min_size=1, max_size=400),
 )
@@ -461,7 +471,7 @@ def test_gif_lzw_roundtrip_property(indices):
     assert _gif_lzw_decompress(data, mcs) == indices
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     h=st.integers(1, 24),
     w=st.integers(1, 24),

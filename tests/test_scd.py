@@ -66,6 +66,7 @@ def test_merge_change_new_absent_and_null(spark, dim):
     assert all(r["count"] == 1 for r in per_key)
 
 
+@pytest.mark.slow
 def test_merge_idempotent(spark, dim):
     updates = spark.createDataFrame(
         [(1, "Paris", "Gold")], "id long, city string, tier string"

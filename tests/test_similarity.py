@@ -3,6 +3,8 @@ hyperplane LSH validated for recall against the brute-force ground truth."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kusuma_metamorph_etl_spark.operators import similarity
@@ -34,6 +36,7 @@ def test_cosine_topk_shape_and_ordering(spark, sf_small):
     assert all(v == sorted(v, reverse=True) for v in per_query.values())
 
 
+@pytest.mark.slow
 def test_lsh_topk_recall(spark, sf_small):
     emb = _emb(spark, sf_small)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
@@ -91,6 +94,7 @@ def test_cosine_pairs_threshold(spark, sf_small):
 
 
 class TestPersistedIvf:
+    @pytest.mark.slow
     def test_search_matches_inline_ivf_and_prunes(self, spark, sf_small, tmp_path):
         from kusuma_metamorph_etl_spark.operators.similarity import (
             ivf_search,

@@ -72,6 +72,7 @@ def test_stream_dual_write(spark, sf_small, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_watermark_finalized_window_drops_laggard(spark, tmp_path):
     """The append-mode watermark guarantee: once the watermark passes a
     window's end and the window EMITS, its state is evicted and any
@@ -142,6 +143,7 @@ def test_watermark_finalized_window_drops_laggard(spark, tmp_path):
     assert emitted == [(1, 1.0)], emitted
 
 
+@pytest.mark.slow
 def test_stream_scd2_upsert(spark, tmp_path):
     """A two-batch update stream maintains the SCD2 dimension: batch 1
     initializes, batch 2 versions a changed key and inserts a new one."""
@@ -197,6 +199,7 @@ def test_stream_scd2_upsert(spark, tmp_path):
     assert not (tmp_path / "dim__staging").exists()
 
 
+@pytest.mark.slow
 def test_stream_scd2_per_key_effective_dates(spark, tmp_path):
     """Keys with DIFFERENT effective dates inside one micro-batch each get
     their own valid_from/valid_to — not one batch-level max date."""
@@ -255,6 +258,7 @@ def test_stream_scd2_per_key_effective_dates(spark, tmp_path):
     assert rows[(2, "2024-03-15")] == ("Boston", "9999-12-31", True)
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, sf_small):
     from kusuma_metamorph_etl_spark.streaming.joins import attribution_join
 
@@ -273,6 +277,7 @@ def test_stream_stream_join_matches_batch(spark, sf_small):
     assert _rows(spark.table("t_attr")) == _rows(batch)
 
 
+@pytest.mark.slow
 def test_stateful_dedup_ttl_forgets_idle_keys(spark, tmp_path):
     """With a state TTL, a key idle past the TTL is evicted and its next
     event emits AGAIN — dedup-within-TTL, the bounded-state contract."""
@@ -368,6 +373,7 @@ def test_stateful_sessionize_stream_matches_batch(spark, sf_small):
     assert got == _rows(batch) and got
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_continues_across_micro_batches(spark, tmp_path):
     """Session state must survive micro-batch boundaries: the second
     batch's events continue (or gap-break) the session the first batch
@@ -462,6 +468,7 @@ def test_stateful_dedup_window_stream_matches_batch(spark, sf_small):
     assert got == {r["event_id"] for r in batch.collect()} and got
 
 
+@pytest.mark.slow
 def test_stateful_dedup_window_chains_across_micro_batches(spark, tmp_path):
     """A burst spanning the micro-batch boundary must stay ONE burst: the
     second batch's first event is within the window of the last event the
