@@ -872,6 +872,67 @@ class TestJpegConformance:
         assert (img[:, :8] == 192).all()  # block 1: exactly 192
         assert (img[:, 8:] == 64).all()  # block 2: exactly 64
 
+    @pytest.mark.parametrize(
+        "luma_sampling,width,height",
+        [(0x21, 16, 8), (0x12, 8, 16)],  # 4:2:2 and 4:4:0
+    )
+    def test_422_and_440_files_decode_exactly(self, luma_sampling, width, height):
+        """The MCU walk is general over sampling factors: hand-assemble a
+        one-MCU color file with luma 2×1 (4:2:2) / 1×2 (4:4:0), chroma
+        1×1, constant Y=192 and neutral chroma.  Exact arithmetic as in
+        the Annex-K vector (DC 8·64/16 = 32 under Q[0,0]=16; chroma DC 0
+        under any table), so the decode must be exactly RGB(192,192,192)."""
+        import struct
+
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            _AC_BITS,
+            _AC_CODES,
+            _AC_SYMBOLS,
+            _BitWriter,
+            _DC_BITS,
+            _DC_CODES,
+            _DC_SYMBOLS,
+            _dht_segment,
+            _Q_CHROMA,
+            _Q_LUMA,
+            _ZIGZAG,
+            decode_jpeg,
+        )
+
+        bw = _BitWriter()
+
+        def dc(category, bits):
+            code, length = _DC_CODES[category]
+            bw.write(code, length)
+            if category:
+                bw.write(bits, category)
+            ec, el = _AC_CODES[0x00]
+            bw.write(ec, el)  # EOB: constant block, all AC zero
+
+        dc(6, 32)  # luma block 1: diff 32 (category 6)
+        dc(0, 0)  # luma block 2: diff 0
+        dc(0, 0)  # Cb
+        dc(0, 0)  # Cr
+        scan = bw.flush()
+
+        f = bytearray(b"\xff\xd8")
+        for ti, q in ((0, _Q_LUMA), (1, _Q_CHROMA)):
+            zz = q.ravel()[_ZIGZAG].astype("uint8").tobytes()
+            f += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + zz
+        sof = struct.pack(">BHHB", 8, height, width, 3)
+        sof += bytes([1, luma_sampling, 0])
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+        f += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        f += _dht_segment(0x00, _DC_BITS, _DC_SYMBOLS)
+        f += _dht_segment(0x10, _AC_BITS, _AC_SYMBOLS)
+        sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
+        f += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        f += scan + b"\xff\xd9"
+
+        img = decode_jpeg(bytes(f))
+        assert img.shape == (height, width, 3)
+        assert (img == 192).all()
+
     def test_synthesized_payload_mean_close_to_ppm(self):
         for text in ("hello jpeg", "x" * 41):
             want = multimodal._synthesize_pixels(text)
