@@ -295,35 +295,45 @@ def ab_lift(
     variant_col: Column,
     convert_when: Column,
     user_col: str = "user_id",
+    variant_a: str = "a",
+    variant_b: str = "b",
 ) -> DataFrame:
     """Two-variant conversion lift with the two-proportion z-statistic —
     the experiment-readout primitive: per variant, exposed users and
     converted users; plus absolute lift and the pooled-variance z score
-    of variant 'b' over 'a'.
+    of ``variant_b`` over ``variant_a``.
 
-    ``variant_col`` labels each EVENT row 'a'/'b' (derive from a stable
-    user hash for a real assignment); ``convert_when`` marks conversion
-    events.  A user converts if ANY of their events matches.  One
-    user-keyed aggregation + one 2-row variant rollup — the z arithmetic
-    runs on a 1-row frame.  Rounded to 6 dp on the deterministic single
-    expression, so engines agree.
+    ``variant_col`` labels each EVENT row with its arm (derive from a
+    stable user hash for a real assignment); pass ``variant_a`` /
+    ``variant_b`` when the labels aren't the default 'a'/'b' (e.g.
+    'control'/'treatment').  A user converts if ANY of their events
+    matches ``convert_when``.  ALWAYS emits exactly one row: an arm with
+    no exposed users shows ``n=0`` and NULL rates — a visible readout,
+    never a silently empty frame a caller could mistake for "no data"
+    (the old filter+crossJoin shape produced zero rows on any label
+    mismatch).  One user-keyed aggregation + one global rollup; the z
+    arithmetic is column math on that 1-row frame.  Rounded to 6 dp on
+    the deterministic single expression, so engines agree.
     """
     per_user = events.groupBy(
         F.col(user_col).alias("user"), variant_col.alias("variant")
     ).agg(F.max(convert_when.cast("int")).alias("converted"))
-    per_variant = per_user.groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("converted").alias("n_converted"),
+    is_a = F.col("variant") == variant_a
+    is_b = F.col("variant") == variant_b
+    j = per_user.agg(
+        # coalesce: a global agg over ZERO users yields NULL sums — emit
+        # honest zeros instead
+        F.coalesce(F.sum(is_a.cast("long")), F.lit(0)).alias("na"),
+        F.coalesce(
+            F.sum(F.when(is_a, F.col("converted")).otherwise(0)), F.lit(0)
+        ).alias("ca"),
+        F.coalesce(F.sum(is_b.cast("long")), F.lit(0)).alias("nb"),
+        F.coalesce(
+            F.sum(F.when(is_b, F.col("converted")).otherwise(0)), F.lit(0)
+        ).alias("cb"),
     )
-    a = per_variant.filter(F.col("variant") == "a").select(
-        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
-    )
-    b = per_variant.filter(F.col("variant") == "b").select(
-        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
-    )
-    j = a.crossJoin(b)
-    pa = F.col("ca") / F.col("na")
-    pb = F.col("cb") / F.col("nb")
+    pa = F.when(F.col("na") > 0, F.col("ca") / F.col("na"))
+    pb = F.when(F.col("nb") > 0, F.col("cb") / F.col("nb"))
     pooled = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
     se = F.sqrt(
         pooled * (1 - pooled) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
@@ -336,9 +346,15 @@ def ab_lift(
         F.round(pa, 6).alias("rate_a"),
         F.round(pb, 6).alias("rate_b"),
         F.round(pb - pa, 6).alias("abs_lift"),
-        # degenerate experiments (0% or 100% pooled conversion) have no
-        # sampling variance — z is undefined, emitted NULL
-        F.when(se > 0, F.round((pb - pa) / se, 6)).alias("z"),
+        # degenerate experiments (0% or 100% pooled conversion, or an
+        # empty arm) have no sampling variance — z is undefined, NULL.
+        # The arm-count guard is the OUTER when so the pooled/se
+        # divisions (which ANSI mode faults on /0) are never evaluated
+        # for an empty arm — CaseWhen only computes the matched branch.
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.when(se > 0, F.round((pb - pa) / se, 6)),
+        ).alias("z"),
     )
 
 

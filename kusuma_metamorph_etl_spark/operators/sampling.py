@@ -23,8 +23,22 @@ def rate_threshold(rate: float) -> str:
     """Hex-string threshold for ``hash_bucket < threshold`` at ~``rate``.
     Rate 1.0 needs a string ABOVE every 2-hex-char bucket — "g" sorts
     after "ff" in any codepoint collation (3-char "100" would sort
-    *before* "ab" and silently keep nothing)."""
+    *before* "ab" and silently keep nothing).
+
+    The scheme is quantized to 1/256ths.  A positive rate below the
+    granularity floor (``round(rate*256) == 0``, i.e. rate < ~0.2%)
+    raises instead of silently returning the keep-nothing threshold —
+    a 0.1% holdout draw on a 100 TB corpus returning ZERO rows with no
+    error is exactly the failure a reproducible sampler must not have.
+    Tiny exact draws belong to :func:`fixed_size_sample`.
+    """
     n = round(max(0.0, min(1.0, rate)) * 256)
+    if n == 0 and rate > 0.0:
+        raise ValueError(
+            f"rate {rate} is below the 1/256 granularity floor of the "
+            "2-hex-char bucket scheme and would keep zero rows; use "
+            "fixed_size_sample for exact small draws"
+        )
     if n >= 256:
         return "g"
     return format(n, "02x")
@@ -173,15 +187,23 @@ def interleave_sources(
     w = Window.partitionBy(source_col).orderBy(
         F.md5(F.concat_ws("|", F.lit(seed), key.cast("string"))), key
     )
-    weight_expr = None
-    for src, wt in sorted(weights.items()):
-        cond = F.col(source_col) == src
-        weight_expr = (
-            F.when(cond, F.lit(float(wt)))
-            if weight_expr is None
-            else weight_expr.when(cond, F.lit(float(wt)))
-        )
-    weight_expr = weight_expr.otherwise(F.lit(None))
+    for src, wt in weights.items():
+        if float(wt) < 0.0:
+            raise ValueError(
+                f"interleave_sources: negative weight {wt!r} for source "
+                f"{src!r}"
+            )
+    # weight-0 sources are DROPPED (documented), same as sources absent
+    # from the map — they must not reach the (rank-0.5)/w division,
+    # which ANSI mode faults on.  All-zero / empty maps leave the
+    # catch-all NULL weight, so every row filters out: an empty result
+    # with the declared output schema, not a NoneType crash.
+    weight_expr = F.lit(None).cast("double")
+    for src, wt in sorted(weights.items(), reverse=True):
+        if float(wt) > 0.0:
+            weight_expr = F.when(
+                F.col(source_col) == src, F.lit(float(wt))
+            ).otherwise(weight_expr)
     rank = F.row_number().over(w)
     return (
         df.withColumn("__w", weight_expr)

@@ -42,14 +42,20 @@ def derive_bounds(df: DataFrame, value_col: str) -> tuple[float, float]:
     sketches that will later be MERGED must share bounds, so derive them
     once over (a superset of) the union'd data and pass the result to
     every per-slice ``histogram_sketch`` build, not per-slice.
+
+    NaN values are excluded: Spark's ``max`` sorts NaN above every real
+    number, so one NaN row would otherwise make ``hi = NaN``, collapse
+    the bin width to NaN, and turn every quantile estimate into NaN
+    (same trap `partitioning.quantile_bucket` documents).
     """
-    row = df.agg(
-        F.min(F.col(value_col).cast("double")).alias("lo"),
-        F.max(F.col(value_col).cast("double")).alias("hi"),
+    v = F.col(value_col).cast("double")
+    row = df.filter(~F.isnan(v)).agg(
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
     ).collect()[0]
     if row["lo"] is None:
         raise ValueError(
-            f"derive_bounds: no non-null values in {value_col!r}; "
+            f"derive_bounds: no non-null, non-NaN values in {value_col!r}; "
             "cannot derive histogram bounds"
         )
     lo, hi = float(row["lo"]), float(row["hi"])
@@ -71,13 +77,16 @@ def histogram_sketch(
     bins — choose bounds generously).  When ``lo``/``hi`` are omitted they
     are derived by one extra min/max pass (``derive_bounds``); callers
     building sketches to merge later should derive bounds once themselves
-    and pass the same pair to every build.  NULL values are excluded
-    before binning (they are not "low" values; counting them in bin 0
-    would skew low quantiles).  One map + one keyed count — a normal
-    shuffle.
+    and pass the same pair to every build.  NULL and NaN values are
+    excluded before binning (they are not "low" values; counting them in
+    bin 0 would skew low quantiles, and a NaN would otherwise ride
+    Spark's NaN-is-largest sort into the top bin).  One map + one keyed
+    count — a normal shuffle.
     """
     keys = keys or []
-    df = df.filter(F.col(value_col).isNotNull())
+    df = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+    )
     if lo is None or hi is None:
         lo, hi = derive_bounds(df, value_col)
     width = (hi - lo) / n_bins

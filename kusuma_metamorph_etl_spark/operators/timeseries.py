@@ -293,7 +293,14 @@ def ewma(
         F.round(F.col(value_col) * w_pow, term_scale)
         .cast(f"decimal(38,{term_scale})")
         .alias("__u"),
-        F.round(w_pow, 9).cast("decimal(38,9)").alias("__s"),
+        # a NULL observation contributes NOTHING: its value term already
+        # vanishes from the numerator (SUM skips NULL), so its weight
+        # must vanish from the denominator too — otherwise one NULL row
+        # silently deflates every average it can reach
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.round(w_pow, 9).cast("decimal(38,9)"),
+        ).alias("__s"),
     )
     sums = fan.groupBy(*key_cols, "__anchor").agg(
         F.sum("__u").alias("__su"), F.sum("__s").alias("__ss")
@@ -303,8 +310,15 @@ def ewma(
         *key_cols,
         date_col,
         value_col,
-        F.round(
-            F.col("__su").cast("double") / F.col("__ss").cast("double"), 6
+        # guard: a window holding only NULL observations sums to a NULL
+        # (or, when every non-null neighbor's weight rounds to 0 at 9 dp,
+        # zero) denominator — emit NULL rather than fault the ANSI 0/0
+        F.when(
+            F.col("__ss") > 0,
+            F.round(
+                F.col("__su").cast("double") / F.col("__ss").cast("double"),
+                6,
+            ),
         ).alias(out),
     )
 

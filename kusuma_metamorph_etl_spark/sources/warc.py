@@ -88,6 +88,12 @@ def parse_warc_bytes(name: str, blob: bytes) -> Iterator[dict]:
             raise ValueError(
                 f"{name}: missing/invalid Content-Length at byte {pos}"
             ) from None
+        if length < 0:
+            # int() happily parses "-33"; a negative length would move
+            # `pos` BACKWARDS and loop forever over the same header
+            raise ValueError(
+                f"{name}: negative Content-Length {length} at byte {pos}"
+            )
         body_start = head_end + 4
         if body_start + length > n:
             raise ValueError(

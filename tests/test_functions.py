@@ -299,3 +299,35 @@ def test_surrogate_key_deterministic_and_null_sensitive(spark):
         "id", surrogate_key("k1", "k2").alias("sk")
     ).collect()}
     assert again == out
+
+
+def test_ab_lift_missing_arm_is_visible_not_empty(spark):
+    """Regression (r8 review): a label mismatch (e.g. data labeled
+    'control'/'treatment' against the default 'a'/'b') used to return a
+    silently EMPTY frame via the filter+crossJoin shape.  Now always one
+    row; empty arms show n=0 with NULL rates."""
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.events import ab_lift
+
+    df = spark.createDataFrame(
+        [(0, "control", "buy"), (1, "treatment", "view"), (2, "treatment", "buy")],
+        ["user_id", "arm", "event_type"],
+    )
+    # default labels match nothing: one visible all-zero row, NULL stats
+    out = ab_lift(
+        df, variant_col=F.col("arm"), convert_when=F.col("event_type") == "buy"
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["na"], out[0]["nb"]) == (0, 0)
+    assert out[0]["rate_a"] is None and out[0]["z"] is None
+    # explicit labels: correct readout
+    got = ab_lift(
+        df,
+        variant_col=F.col("arm"),
+        convert_when=F.col("event_type") == "buy",
+        variant_a="control",
+        variant_b="treatment",
+    ).collect()[0]
+    assert (got["na"], got["ca"], got["nb"], got["cb"]) == (1, 1, 2, 1)
+    assert got["rate_a"] == 1.0 and got["rate_b"] == 0.5

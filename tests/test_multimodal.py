@@ -988,3 +988,19 @@ class TestTranscode:
         assert sorted(r["rid"] for r in out) == ["urn:uuid:rec-a", "urn:uuid:rec-b"]
         for r in out:
             assert multimodal.decode_image(bytes(r["payload"]))["format"] == "png"
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """Regression (r8 review): T.81 B.1.1.2 allows any number of 0xFF
+    fill bytes before a marker; the parser used to consume the real
+    marker byte as a segment-length high byte and skip ~56KB of file."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((16, 16, 3), 170, dtype=np.uint8)
+    payload = encode_jpeg(img, quality=95)
+    # pad with legal fill bytes after SOI (before the next marker's 0xFF)
+    padded = payload[:2] + b"\xff\xff" + payload[2:]
+    assert np.array_equal(decode_jpeg(padded), img)

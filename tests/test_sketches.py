@@ -352,3 +352,27 @@ class TestKMV:
         ).collect()[0]
         assert abs(row["est_union"] - 6000) / 6000 < 0.2
         assert abs(row["est_intersection"] - 2000) / 2000 < 0.35
+
+
+def test_nan_excluded_from_bounds_and_bins(spark):
+    """Regression (r8 review): Spark's max sorts NaN above every real, so
+    one NaN made hi=NaN, collapsed the bin width, and every quantile
+    estimate came back NaN.  NaN rows must be excluded like NULLs."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),), (3.0,)], "v double"
+    )
+    lo, hi = sketches.derive_bounds(df, "v")
+    assert (lo, hi) == (1.0, 3.0)
+    sk = sketches.histogram_sketch(df, "v", n_bins=4)  # auto bounds
+    assert sum(r["n"] for r in sk.collect()) == 3  # NaN row binned nowhere
+    est = sketches.histogram_quantiles(sk, [0.5], lo, hi, 4).collect()[0]["est"]
+    assert math.isfinite(est)
+    # all-NaN column: same clear error as all-NULL
+    import pytest
+
+    with pytest.raises(ValueError, match="non-NaN"):
+        sketches.derive_bounds(
+            spark.createDataFrame([(float("nan"),)], "v double"), "v"
+        )

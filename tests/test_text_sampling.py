@@ -804,3 +804,53 @@ def test_merge_samples_equals_direct_draw(spark):
     )
     direct = sorted(r["id"] for r in fixed_size_sample(df, F.col("id"), 50).collect())
     assert merged == direct  # bottom-k of bottom-k's IS the global draw
+
+
+class TestSamplingEdgeContracts:
+    """Regressions from the r8 review: weight/rate edge cases that used
+    to crash (ANSI divide-by-zero, NoneType.otherwise) or silently keep
+    zero rows."""
+
+    def test_zero_weight_source_is_dropped_not_divided(self, spark, sf_small):
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        out = sampling.interleave_sources(
+            docs, "source", {"src0": 0.6, "src1": 0.0}, key=F.col("doc_id")
+        )
+        got = {r["source"] for r in out.select("source").distinct().collect()}
+        assert got == {"src0"}  # weight-0 dropped, no DIVIDE_BY_ZERO
+
+    def test_empty_and_all_zero_weights_yield_empty_frame(self, spark, sf_small):
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        empty = sampling.interleave_sources(docs, "source", {}, key=F.col("doc_id"))
+        assert empty.count() == 0
+        assert {"mix_pos", "mix_key"} <= set(empty.columns)  # schema intact
+        zeros = sampling.interleave_sources(
+            docs, "source", {"src0": 0.0, "src1": 0.0}, key=F.col("doc_id")
+        )
+        assert zeros.count() == 0
+
+    def test_negative_weight_raises(self, spark, sf_small):
+        import pytest
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        with pytest.raises(ValueError, match="negative weight"):
+            sampling.interleave_sources(
+                docs, "source", {"src0": -0.5}, key=F.col("doc_id")
+            )
+
+    def test_rate_below_granularity_floor_raises(self, spark):
+        import pytest
+
+        # 0.001 used to quantize to bucket "00" and silently keep NOTHING
+        with pytest.raises(ValueError, match="granularity floor"):
+            sampling.rate_threshold(0.001)
+        df = spark.range(0, 100)
+        with pytest.raises(ValueError, match="granularity floor"):
+            sampling.deterministic_sample(df, F.col("id"), rate=0.001)
+        # rate 0.0 stays a declared keep-nothing, not an error
+        assert sampling.deterministic_sample(df, F.col("id"), rate=0.0).count() == 0
+        # the smallest representable rate still keeps ~1/256
+        n = sampling.deterministic_sample(
+            spark.range(0, 5000), F.col("id"), rate=1 / 256
+        ).count()
+        assert 0 < n < 100

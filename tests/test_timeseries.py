@@ -253,3 +253,33 @@ def test_resample_ohlc_weekly_bars(spark):
     )
     assert out["2024-01-08"]["open"] == 70.0
     assert out["2024-01-08"]["n_obs"] == 1
+
+
+def test_ewma_null_observation_contributes_nothing(spark):
+    """Regression (r8 review): a NULL value's weight used to stay in the
+    denominator while its value term vanished from the numerator,
+    silently deflating every average in reach (10, NULL, 10 gave 3.33
+    and 7.14 instead of 10.0) — e.g. any gapfill output fed to ewma."""
+    from kusuma_metamorph_etl_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [
+            ("a", dt.date(2024, 1, 1), 10.0),
+            ("a", dt.date(2024, 1, 2), None),
+            ("a", dt.date(2024, 1, 3), 10.0),
+        ],
+        "k string, d date, v double",
+    )
+    out = {
+        r["d"].isoformat(): r["ewma"]
+        for r in ewma(df, ["k"], "d", "v", alpha=0.5).collect()
+    }
+    assert out["2024-01-01"] == 10.0
+    assert out["2024-01-02"] == 10.0  # window holds only the day-1 obs
+    assert out["2024-01-03"] == 10.0
+    # a window with ONLY NULL observations has no defined average: NULL
+    lone = spark.createDataFrame(
+        [("b", dt.date(2024, 1, 1), None)], "k string, d date, v double"
+    )
+    got = ewma(lone, ["k"], "d", "v", alpha=0.5).collect()[0]
+    assert got["ewma"] is None

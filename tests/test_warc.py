@@ -60,3 +60,12 @@ def test_malformed_records_raise_with_context(tmp_path):
     good = b"WARC/1.0\r\nContent-Length: 100\r\n\r\nshort"
     with pytest.raises(ValueError, match="truncated"):
         list(parse_warc_bytes("f", good))
+
+
+def test_negative_content_length_raises_not_loops(tmp_path):
+    """Regression (r8 review): int() parses "-33" happily; a negative
+    length moved `pos` backwards and the generator re-parsed the same
+    header forever, yielding records until OOM.  Must raise instead."""
+    bad = b"WARC/1.0\r\nContent-Length: -33\r\n\r\n"
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        list(parse_warc_bytes("f", bad))
