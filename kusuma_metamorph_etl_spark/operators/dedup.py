@@ -119,21 +119,15 @@ def shingle_table(
 
 # ----------------------------------------------------------------- exact Jaccard
 
-def jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.2,
+def _pair_overlap_counts(
+    df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: pairs (a < b) with
-    |A∩B| / |A∪B| ≥ threshold.
-
-    Inverted-index plan: explode shingles, self-join on shingle (common
-    count), join per-doc shingle counts, derive Jaccard.  The shingle join
-    is the scale hazard (hot shingles fan out) — production path prefilters
-    with :func:`minhash_lsh_candidates` and verifies only candidates.
-    """
+    """Shared inverted-index plan behind :func:`jaccard_pairs` and
+    :func:`containment_pairs`: (a, b, n_common, na, nb) for every pair
+    a < b sharing ≥ 1 shingle.  Explode shingles, self-join on shingle
+    (common count), join per-doc shingle counts.  The shingle join is
+    the scale hazard (hot shingles fan out) — production paths prefilter
+    with :func:`minhash_lsh_candidates` and verify candidates only."""
     shingles = shingle_table(df, text_col, id_col, n)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     left = shingles.toDF("a", "shingle")
@@ -146,9 +140,23 @@ def jaccard_pairs(
     )
     sa = sizes.toDF("a", "na")
     sb = sizes.toDF("b", "nb")
+    return common.join(sa, on="a").join(sb, on="b")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a < b) with
+    |A∩B| / |A∪B| ≥ threshold.
+
+    Plan and scale hazard: :func:`_pair_overlap_counts`.
+    """
     return (
-        common.join(sa, on="a")
-        .join(sb, on="b")
+        _pair_overlap_counts(df, text_col, id_col, n)
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
@@ -171,25 +179,11 @@ def containment_pairs(
     Jaccard misses subset duplication (a page quoted inside a much longer
     page scores |A|/|B| ≈ 0 Jaccard but containment 1.0), which is a
     common shape in web-scale training corpora (boilerplate wrappers,
-    quote farms, aggregators).  Same inverted-index plan and scale hazard
-    as :func:`jaccard_pairs`; the production path prefilters with MinHash
-    candidates and verifies containment on candidates only.
+    quote farms, aggregators).  Plan and scale hazard:
+    :func:`_pair_overlap_counts`.
     """
-    shingles = shingle_table(df, text_col, id_col, n)
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    left = shingles.toDF("a", "shingle")
-    right = shingles.toDF("b", "shingle")
-    common = (
-        left.join(right, on="shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.toDF("a", "na")
-    sb = sizes.toDF("b", "nb")
     return (
-        common.join(sa, on="a")
-        .join(sb, on="b")
+        _pair_overlap_counts(df, text_col, id_col, n)
         .withColumn(
             "containment", F.col("n_common") / F.least(F.col("na"), F.col("nb"))
         )
@@ -289,6 +283,12 @@ def _band_table(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     the joinable LSH index representation (this is also the frame a
     production pipeline PERSISTS as its corpus index: append-only,
     partitionable by band_idx)."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}) "
+            "— the remainder signature values would be silently ignored, "
+            "shifting the LSH S-curve away from the configured threshold"
+        )
     rows = n_hashes // bands
     return sig.select(
         "id",
@@ -642,6 +642,11 @@ def embedding_lsh_pairs(
 
     def score(batches):
         for batch in batches:
+            if len(batch) == 0:
+                # a 0-row Arrow batch gives a 1-D empty array whose
+                # .sum(axis=1) raises AxisError (same guard as
+                # semantic_pairs' score)
+                continue
             av = np.array(list(batch["a_v"]), dtype=np.float64)
             bv = np.array(list(batch["b_v"]), dtype=np.float64)
             cos = (av * bv).sum(axis=1) / (
@@ -900,7 +905,7 @@ def substring_pairs(
         raise ValueError(f"k={k} must be <= min_len={min_len}")
     w = min_len - k + 1
     fp = _winnow_fingerprints_udf(k, w)
-    fps = (
+    cached_fps = (
         df.select(F.col(id_col), fp(F.col(text_col)).alias("f"))
         .select(id_col, F.explode("f").alias("f"))
         .select(id_col, "f.h", "f.pos")
@@ -909,8 +914,10 @@ def substring_pairs(
         # re-runs the text scan + fingerprint UDF for each.  The
         # cached frame is (id, hash, pos) triples — sketch-sized,
         # ~2/(w+1) rows per character, far smaller than the corpus.
+        # Released before return (see the localCheckpoint at the end).
         .persist()
     )
+    fps = cached_fps
     hot = (
         fps.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -936,7 +943,7 @@ def substring_pairs(
         F.col(id_col).alias("b"), F.col(text_col).alias("__tb")
     )
     extend = _extend_match_udf(k)
-    return (
+    result = (
         cand.join(texts_a, on="a")
         .join(texts_b, on="b")
         .withColumn(
@@ -949,6 +956,13 @@ def substring_pairs(
         .filter(F.col("length") >= min_len)
         .distinct()
     )
+    # Materialize the (small — one row per duplicated span) result and
+    # cut its lineage so the sketch cache can be released NOW: without
+    # this, every per-shard call leaks one persisted fingerprint frame
+    # into executor storage for the lifetime of the SparkContext.
+    result = result.localCheckpoint(eager=True)
+    cached_fps.unpersist()
+    return result
 
 
 def remove_substring_spans(

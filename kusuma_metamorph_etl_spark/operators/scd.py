@@ -60,6 +60,7 @@ def scd2_merge(
     effective_date: dt.date | str | None = None,
     *,
     effective_col: str | None = None,
+    check_unique: bool = True,
 ) -> DataFrame:
     """Apply an update batch to an SCD2 dimension.
 
@@ -73,12 +74,42 @@ def scd2_merge(
     so a micro-batch mixing keys with different effective dates versions
     each key correctly (exactly one of the two must be passed).
 
+    A key may appear AT MOST ONCE per batch: a duplicate would fan out
+    through the full join and leave two conflicting ``is_current`` rows —
+    permanent dimension corruption, compounding on every later merge.
+    ``check_unique`` (default on) pays one aggregation over the update
+    batch (small by nature — it broadcasts) to raise before that happens;
+    pipelines that already compact per key (e.g. the streaming SCD2 sink,
+    or a ``cdc_apply``-style max_by) pass ``check_unique=False``.
+
     Plan shape: history rows never shuffle (they only union); the change
     detection is one join of the CURRENT slice against the update batch —
     broadcast the updates when the batch is small (the usual case).
     """
     if (effective_date is None) == (effective_col is None):
         raise ValueError("pass exactly one of effective_date / effective_col")
+    if not attrs:
+        # attrs=[] would leave `changed` None below; every matched key's
+        # NULL-conditioned row then drops from ALL branches — the key
+        # silently vanishes from the dimension
+        raise ValueError(
+            "scd2_merge: attrs must name at least one compared column"
+        )
+    if check_unique:
+        dup = (
+            updates.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(3)
+            .collect()
+        )
+        if dup:
+            sample = [tuple(r[k] for k in key) for r in dup]
+            raise ValueError(
+                f"scd2_merge: update batch has duplicate keys {sample} — "
+                "compact to one row per key first (latest-by-sequence "
+                "max_by), or pass check_unique=False if already compacted"
+            )
     eff = (
         F.col(f"u.{effective_col}").cast("date")
         if effective_col

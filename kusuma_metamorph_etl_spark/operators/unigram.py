@@ -166,6 +166,11 @@ def unigram_encode(
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
         def one(t: str) -> list[str]:
+            if t is None:
+                # NULL text passes through as NULL tokens (routine in
+                # crawl corpora) — Series.map hands None to the fn, it
+                # is not auto-skipped
+                return None
             if END in t:
                 raise ValueError(
                     f"unigram_encode: input contains the END sentinel "

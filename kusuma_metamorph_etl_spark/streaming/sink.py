@@ -99,7 +99,14 @@ def stream_scd2_upsert(
             )
             return
         merged = scd2_merge(
-            dim, upd, key, attrs, effective_col=effective_from_col
+            dim,
+            upd,
+            key,
+            attrs,
+            effective_col=effective_from_col,
+            # `latest` above already compacted to one row per key — skip
+            # the merge's duplicate-key aggregation
+            check_unique=False,
         )
         # Rewrite via a staging collect-free cycle: parquet can't overwrite
         # its own input, so land to a sibling, swap, then drop the staging.

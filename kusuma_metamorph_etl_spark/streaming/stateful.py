@@ -46,7 +46,11 @@ def first_event_batch(events: DataFrame) -> DataFrame:
     )
 
 
-def first_event_stream(events: DataFrame, state_ttl: str | None = None) -> DataFrame:
+def first_event_stream(
+    events: DataFrame,
+    state_ttl: str | None = None,
+    late_tolerance: str = "0 seconds",
+) -> DataFrame:
     """Streaming first-occurrence dedup via ``applyInPandasWithState``.
 
     Each micro-batch: a key's rows arrive as pandas chunks; the handler
@@ -59,18 +63,24 @@ def first_event_stream(events: DataFrame, state_ttl: str | None = None) -> DataF
     ``EventTimeTimeout``, and a key idle past the TTL is forgotten — a
     later event for it emits again.  Dedup-within-TTL is the honest
     contract at 100 TB/day; unbounded exact dedup means unbounded state.
+
+    Watermark contract (applies to every ``state_ttl``-enabled operator
+    in this module, pinned by
+    ``test_stateful_late_stragglers_still_reach_the_handler``): the
+    watermark Spark requires for ``EventTimeTimeout`` drives the TTL
+    eviction clock ONLY — unlike streaming aggregations, this operator
+    does NOT pre-filter late input rows, so a cross-batch out-of-order
+    event still reaches the handler (verified on Spark 4.1: a row 1 h
+    behind the watermark was processed).  ``late_tolerance`` sets how
+    far the watermark lags the max observed event time; raising it
+    delays TTL evictions correspondingly (a key cannot time out until
+    the lagged watermark passes its deadline) and matters to any
+    DOWNSTREAM watermark-sensitive operator (windowed aggregation,
+    stream-stream join), which WILL drop rows behind its watermark.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ttl_ms = None
-    if state_ttl is not None:
-        parts = state_ttl.split()
-        unit_ms = {
-            "second": 1_000, "seconds": 1_000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-        }[parts[1]]
-        ttl_ms = int(parts[0]) * unit_ms
+    ttl_ms = _ttl_millis(state_ttl)
 
     def handle(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
@@ -101,9 +111,10 @@ def first_event_stream(events: DataFrame, state_ttl: str | None = None) -> DataF
     src = events
     timeout_conf = GroupStateTimeout.NoTimeout
     if state_ttl is not None:
-        # EventTimeTimeout requires a watermark; zero delay means the
-        # timeout clock is simply the max observed event time.
-        src = events.withWatermark("ts", "0 seconds")
+        # EventTimeTimeout requires a watermark; it drives the timeout
+        # clock only (no late-row pre-filtering here — see the watermark
+        # contract in the docstring).
+        src = events.withWatermark("ts", late_tolerance)
         timeout_conf = GroupStateTimeout.EventTimeTimeout
 
     return src.groupBy(*KEYS).applyInPandasWithState(
@@ -136,6 +147,7 @@ def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
     state_ttl: str | None = None,
+    late_tolerance: str = "0 seconds",
 ) -> DataFrame:
     """Streaming twin of ``operators/events.py::sessionize``: label every
     event on an UNBOUNDED stream with its per-user session index via
@@ -148,11 +160,11 @@ def sessionize_stream(
 
     Semantics contract: identical to the batch twin when each user's
     events arrive in event-time order ACROSS micro-batches (within a
-    batch, order is restored by the sort).  An event older than the
-    user's state watermark gets labeled in arrival order — the standard
-    streaming-sessionization caveat; bound disorder with the source
-    watermark and ``state_ttl`` (idle users are forgotten and restart at
-    session 1, same TTL machinery as :func:`first_event_stream`).
+    batch, order is restored by the sort).  A disordered event still
+    reaches the handler — this operator does not pre-filter late rows
+    (watermark contract in :func:`first_event_stream`) — and gets
+    labeled in arrival order.  Idle users are forgotten past the TTL
+    and restart at session 1.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -191,7 +203,8 @@ def sessionize_stream(
     src = events
     timeout_conf = GroupStateTimeout.NoTimeout
     if state_ttl is not None:
-        src = events.withWatermark("ts", "0 seconds")
+        # watermark = TTL clock only — contract in first_event_stream
+        src = events.withWatermark("ts", late_tolerance)
         timeout_conf = GroupStateTimeout.EventTimeTimeout
 
     return src.groupBy("user_id").applyInPandasWithState(
@@ -215,6 +228,7 @@ def dedup_window_stream(
     events: DataFrame,
     window_seconds: int = 600,
     state_ttl: str | None = None,
+    late_tolerance: str = "0 seconds",
 ) -> DataFrame:
     """Streaming twin of ``operators/events.py::dedup_within_window``:
     collapse CHAINED retry bursts — same (user_id, event_type) within
@@ -226,7 +240,8 @@ def dedup_window_stream(
     the previous event's timestamp, so the stream twin is exact whenever
     each key's events arrive in event-time order across micro-batches
     (within a batch the sort restores order) — the same disorder caveat,
-    watermark remedy, and TTL machinery as :func:`sessionize_stream`.
+    watermark contract (``late_tolerance``), and TTL machinery as
+    :func:`sessionize_stream` / :func:`first_event_stream`.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -261,7 +276,8 @@ def dedup_window_stream(
     src = events
     timeout_conf = GroupStateTimeout.NoTimeout
     if state_ttl is not None:
-        src = events.withWatermark("ts", "0 seconds")
+        # watermark = TTL clock only — contract in first_event_stream
+        src = events.withWatermark("ts", late_tolerance)
         timeout_conf = GroupStateTimeout.EventTimeTimeout
 
     return src.groupBy("user_id", "event_type").applyInPandasWithState(

@@ -530,3 +530,18 @@ class TestSemanticDedup:
         exact = dedup.embedding_dedup(emb, threshold=0.3).select("vec_id")
         sem = dedup.semantic_dedup(emb, threshold=0.3).select("vec_id")
         assert exact.join(sem, "vec_id", "left_anti").count() == 0
+
+
+def test_lsh_rejects_indivisible_band_config(spark):
+    """Regression (r8 review): n_hashes % bands != 0 silently discarded
+    the trailing signature values, shifting the LSH S-curve away from
+    the configured threshold."""
+    import pytest
+
+    from kusuma_metamorph_etl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(df, n_hashes=16, bands=5).collect()

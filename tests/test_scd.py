@@ -126,3 +126,26 @@ class TestCdcApply:
         assert sorted(map(tuple, once.collect())) == sorted(
             map(tuple, twice.collect())
         )
+
+
+def test_merge_rejects_duplicate_keys_and_empty_attrs(spark, dim):
+    """Regression (r8 review): a duplicate key in one batch used to fan
+    out through the full join into two conflicting is_current rows
+    (permanent corruption); attrs=[] silently dropped every matched key
+    from all branches."""
+    import pytest
+
+    dup = spark.createDataFrame(
+        [(1, "Paris", "Gold"), (1, "Lyon", "Gold")],
+        "id long, city string, tier string",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        scd2_merge(dim, dup, KEY, ATTRS, "2024-02-01")
+    # opt-out for pre-compacted pipelines still works
+    ok = spark.createDataFrame(
+        [(1, "Paris", "Gold")], "id long, city string, tier string"
+    )
+    out = scd2_merge(dim, ok, KEY, ATTRS, "2024-02-01", check_unique=False)
+    assert out.filter("id = 1 AND is_current").count() == 1
+    with pytest.raises(ValueError, match="attrs"):
+        scd2_merge(dim, ok, KEY, [], "2024-02-01")

@@ -594,3 +594,69 @@ def test_stream_cdc_apply_maintains_published_snapshot(spark, tmp_path):
     run()  # same checkpoint: only the new file processes
     got = {r["id"]: r["v"] for r in read_published(spark, table).collect()}
     assert got == {1: "a2", 3: "c"}
+
+
+@pytest.mark.slow
+def test_stateful_late_stragglers_still_reach_the_handler(spark, tmp_path):
+    """Pins the watermark contract documented in
+    ``streaming/stateful.py::first_event_stream``: with ``state_ttl``
+    enabled (EventTimeTimeout + watermark), this operator does NOT
+    pre-filter late input rows — a cross-batch straggler a full hour
+    behind the watermark still reaches the handler and emits.  (A
+    review claimed Spark drops such rows before the handler; verified
+    false on Spark 4.1 — this test fails if a Spark upgrade changes
+    that, at which point ``late_tolerance`` must be raised to the
+    disorder bound in every caller.)"""
+    import datetime
+    import os
+    import time
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    src = tmp_path / "src_late"
+    src.mkdir()
+
+    def write_file(fname: str, rows, mtime: float):
+        stage = tmp_path / "stage" / fname
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        target = src / f"{fname}.parquet"
+        part.rename(target)
+        os.utime(target, (mtime, mtime))
+
+    now = time.time()
+    # batch 1 advances the watermark to 12:00; batch 2 carries a
+    # NEVER-SEEN user whose event time is 1h behind that watermark
+    write_file("b1", [(1, t0, 1, "click", 1.0)], now - 60)
+    write_file(
+        "b2", [(2, t0 - datetime.timedelta(hours=1), 2, "click", 1.0)], now
+    )
+
+    from kusuma_metamorph_etl_spark.streaming.stateful import (
+        first_event_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = first_event_stream(
+        stream, state_ttl="6 hours", late_tolerance="0 seconds"
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # two separate micro-batches ran, and the straggler was handled
+    assert len(q.recentProgress) >= 2
+    assert sorted(
+        r["event_id"] for r in spark.table("t_late").collect()
+    ) == [1, 2]

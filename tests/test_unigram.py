@@ -79,3 +79,24 @@ def test_learned_pieces_compress_below_character_grain(spark):
     # must beat character-grain encoding
     assert stats["n_tok"] < stats["n_chars"]
     assert any(len(p) > 1 for p in logp)
+
+
+def test_null_text_passes_through_as_null_tokens(spark):
+    """Regression (r8 review): Series.map hands None to the mapped fn, so
+    a NULL text row (routine in crawl corpora) crashed the whole encode
+    job with TypeError instead of passing through."""
+    from kusuma_metamorph_etl_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "aba abc"), (2, "abab")], "doc_id long, text string"
+    )
+    logp = unigram_train(corpus, vocab_size=20)
+    df = spark.createDataFrame(
+        [(1, "aba"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["tokens"] for r in unigram_encode(df, logp).collect()}
+    assert rows[1]  # real text still encodes
+    assert rows[2] is None
