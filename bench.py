@@ -123,6 +123,16 @@ EXTRA = {"stream_sessionize_stateful": _bench_sessionize_stream}
 #     semantics); r6-code reps today [8.0, 5.1, 5.0] overlap current-code
 #     reps [7.9, 5.2, 5.5, 6.3, 5.6] — environment drift plus rep noise,
 #     not a regression.
+#
+# dedup_substring r7 ~1.1s -> r8 ~2.2s is a MEASUREMENT correction, not a
+# regression: the r7 code leaked its persisted fingerprint sketch (never
+# unpersisted), so reps 2..N of the SAME input hit the leaked cache-manager
+# entry and timed ~0.8-1.1s — memoization a per-shard production pipeline
+# (different input each call) never sees.  r8 replaces persist() with a
+# lazy localCheckpoint (ContextCleaner-released, cache manager stays
+# empty); measured honest per-call cost is the same for both strategies
+# once the leak is cleaned: persist+explicit-cleanup [2.75, 2.13, 2.22] vs
+# localCheckpoint [2.57, 2.19] warm at sf0.1.
 REPS = 3
 
 

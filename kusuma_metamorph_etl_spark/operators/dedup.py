@@ -905,19 +905,22 @@ def substring_pairs(
         raise ValueError(f"k={k} must be <= min_len={min_len}")
     w = min_len - k + 1
     fp = _winnow_fingerprints_udf(k, w)
-    cached_fps = (
+    fps = (
         df.select(F.col(id_col), fp(F.col(text_col)).alias("f"))
         .select(id_col, F.explode("f").alias("f"))
         .select(id_col, "f.h", "f.pos")
         # The sketch feeds THREE consumers (hot-hash count, both sides
-        # of the candidate self-join); without caching, Catalyst
-        # re-runs the text scan + fingerprint UDF for each.  The
-        # cached frame is (id, hash, pos) triples — sketch-sized,
-        # ~2/(w+1) rows per character, far smaller than the corpus.
-        # Released before return (see the localCheckpoint at the end).
-        .persist()
+        # of the candidate self-join); without sharing, Catalyst
+        # re-runs the text scan + fingerprint UDF for each.  The shared
+        # frame is (id, hash, pos) triples — sketch-sized, ~2/(w+1) rows
+        # per character, far smaller than the corpus.  LAZY localCheckpoint
+        # rather than persist(): same one-materialization sharing, but the
+        # backing RDD cache is released by the ContextCleaner when the
+        # result frame is garbage-collected — persist() pins an entry in
+        # the cache manager FOREVER unless the caller unpersists, leaking
+        # one cached sketch per call in a per-shard pipeline.
+        .localCheckpoint(eager=False)
     )
-    fps = cached_fps
     hot = (
         fps.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -956,12 +959,6 @@ def substring_pairs(
         .filter(F.col("length") >= min_len)
         .distinct()
     )
-    # Materialize the (small — one row per duplicated span) result and
-    # cut its lineage so the sketch cache can be released NOW: without
-    # this, every per-shard call leaks one persisted fingerprint frame
-    # into executor storage for the lifetime of the SparkContext.
-    result = result.localCheckpoint(eager=True)
-    cached_fps.unpersist()
     return result
 
 
