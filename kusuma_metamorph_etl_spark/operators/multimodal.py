@@ -311,18 +311,17 @@ def image_features(payload: bytes) -> dict[str, Any]:
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Real nearest-neighbor resize: decode, resample with numpy index
-    arithmetic, re-encode in the source format."""
+    arithmetic, re-encode in the source format (shared ``_encode_as``
+    dispatch — a local bmp/png if-chain here predated GIF/JPEG support
+    and silently re-encoded those as PPM, breaking every downstream
+    format sniffer)."""
     img = decode_image(payload)
     pixels = img["pixels"]
     src_h, src_w = pixels.shape[:2]
     rows = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
     cols = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
     resized = pixels[rows][:, cols]
-    if img["format"] == "bmp":
-        return encode_bmp(resized)
-    if img["format"] == "png":
-        return encode_png(resized)
-    return encode_ppm(resized)
+    return _encode_as(resized, img["format"])
 
 
 def _synthesize_pixels(text: str) -> np.ndarray:
@@ -485,12 +484,23 @@ def sample_frames(
 ) -> DataFrame:
     """'Frame sampling' over a binary payload — takes a byte-slice every
     ``every_n_bytes`` as the stand-in for video frame extraction.  Pure
-    column expressions (substring on binary), one row per sampled frame."""
+    column expressions (substring on binary), one row per sampled frame.
+
+    Index bound is ``floor((len-1)/n)`` — ``floor(len/n)`` is off by one
+    when the payload length is an exact multiple and emits a phantom
+    zero-length frame starting one byte past the end (r8 review);
+    greatest(...,0) keeps the empty payload at one (empty) frame rather
+    than a descending sequence."""
     frames = F.transform(
         F.sequence(
             F.lit(0),
             F.least(
-                F.floor(F.length(F.col(payload_col)) / every_n_bytes).cast("int"),
+                F.greatest(
+                    F.floor(
+                        (F.length(F.col(payload_col)) - 1) / every_n_bytes
+                    ).cast("int"),
+                    F.lit(0),
+                ),
                 F.lit(max_frames - 1),
             ),
         ),

@@ -23,13 +23,18 @@ def quantile_bucket(
     returns ``(bucketed_df, effective_bucket_count)``.
 
     Bounds come from one ``approxQuantile`` pass (bounded driver collect);
-    equal values always share a bucket; nulls AND NaN get bucket -1 (NaN
-    has no order position — leaving it to Bucketizer's ``keep`` handling
-    would park it in a phantom bucket == effective count, and a NaN that
-    leaked into the collected bounds would make the splits non-increasing
-    and throw).  Bounds need not be exact quantiles — only fixed — so the
-    0.001 relative error is irrelevant to correctness, it only shifts
-    bucket balance slightly.  The effective count can collapse below
+    equal values always share a bucket; nulls get bucket -1 and NaN the
+    TOP bucket (== effective count) — the placements Spark's own sort
+    uses (asc: NULLS FIRST … NaN last; desc: NaN first … NULLS LAST), so
+    a rank built from these buckets matches ``ORDER BY value`` exactly.
+    Routing NaN to -1 with the nulls would flip its position in the
+    descending walk (the old behavior — ranks then disagreed with the
+    broadcast-map path on the same data).  NaN is remapped explicitly
+    rather than left to Bucketizer ``keep`` so a NaN that leaked into
+    the collected bounds can't make the splits non-increasing and throw.
+    Bounds need not be exact quantiles — only fixed — so the 0.001
+    relative error is irrelevant to correctness, it only shifts bucket
+    balance slightly.  The effective count can collapse below
     ``num_buckets`` under heavy ties (a constant column yields 1) —
     callers should fall back to a small-data strategy when it does.
     """
@@ -37,9 +42,8 @@ def quantile_bucket(
 
     from pyspark.ml.feature import Bucketizer
 
-    invalid = F.col(numeric_col).isNull() | F.isnan(
-        F.col(numeric_col).cast("double")
-    )
+    is_null = F.col(numeric_col).isNull()
+    is_nan = ~is_null & F.isnan(F.col(numeric_col).cast("double"))
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(
         {
@@ -52,7 +56,10 @@ def quantile_bucket(
         # Empty or all-null/NaN column: Bucketizer would reject the
         # 2-split spec; a single bucket is trivially correct.
         single = df.withColumn(
-            out_col, F.when(invalid, F.lit(-1)).otherwise(F.lit(0))
+            out_col,
+            F.when(is_null, F.lit(-1))
+            .when(is_nan, F.lit(1))
+            .otherwise(F.lit(0)),
         )
         return single, 1
     splits = [float("-inf"), *bounds, float("inf")]
@@ -62,17 +69,18 @@ def quantile_bucket(
         outputCol=f"{out_col}_raw",
         handleInvalid="keep",  # nulls/NaN pass through; remapped below
     )
+    n_eff = len(splits) - 1
     bucketed = (
         bucketizer.transform(df)
         .withColumn(
             out_col,
-            F.when(invalid, F.lit(-1)).otherwise(
-                F.col(f"{out_col}_raw").cast("int")
-            ),
+            F.when(is_null, F.lit(-1))
+            .when(is_nan, F.lit(n_eff))
+            .otherwise(F.col(f"{out_col}_raw").cast("int")),
         )
         .drop(f"{out_col}_raw")
     )
-    return bucketed, len(splits) - 1
+    return bucketed, n_eff
 
 
 def bucket_offsets(

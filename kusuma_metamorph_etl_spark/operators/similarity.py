@@ -37,7 +37,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for zero-norm inputs: a zero vector has no direction, and the
+    raw 0/0 NaN would rank ABOVE every real score under ``F.desc`` (Spark
+    sorts NaN largest), making one all-zero embedding every query's top-1
+    neighbor.  NULL instead sinks (DESC is NULLS LAST) and fails any
+    ``>= threshold`` filter."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -100,16 +106,37 @@ def cosine_topk_np(
     import numpy as np
     import pandas as pd
 
+    # Preserve the caller's id type (string record ids, ints, ...) — the
+    # same seam hyperplane_signatures_np / transcode_images derive.
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # np.array([]) is 1-D; norm(axis=1) would raise AxisError
+        return corpus.sparkSession.createDataFrame([], out_schema)
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0  # zero-norm queries score 0 against everything
+    q_norm = q_mat / qn
 
     def score(batches):
         for batch in batches:
+            if len(batch) == 0:
+                continue
             ids = batch[id_col].to_numpy()
             c_mat = np.array(list(batch[vec_col]), dtype=np.float64)
-            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            cn = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            # zero-norm corpus rows are OMITTED from candidates (no
+            # direction — the JVM twin emits NULL cosine, which sinks);
+            # without the guard their 0/0 NaN would rank above every
+            # real score under argpartition
+            keep = cn[:, 0] > 0
+            if not keep.any():
+                continue
+            ids, c_mat, cn = ids[keep], c_mat[keep], cn[keep]
+            c_norm = c_mat / cn
             sims = c_norm @ q_norm.T  # |batch| × |Q|
             # Batch-local top-(k+1) per query (+1 absorbs the self-match).
             take = min(k + 1, sims.shape[0])
@@ -122,7 +149,7 @@ def cosine_topk_np(
             yield pd.DataFrame(out)
 
     candidates = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, neighbor_id long, cosine double"
+        score, schema=out_schema
     )
     return top_k_per_group(
         candidates.filter(F.col("query_id") != F.col("neighbor_id")),

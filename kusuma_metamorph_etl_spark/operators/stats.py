@@ -118,8 +118,17 @@ def psi_drift(
     b = histogram_sketch(df_b, value_col, lo, hi, n_bins).withColumnRenamed(
         "n", "nb"
     )
+    # Full 0..n_bins-1 spine: the sketch emits only OBSERVED bins, but a
+    # bin empty in BOTH snapshots still carries a nonzero smoothed term
+    # whenever the totals differ — an a⟗b join silently dropped those
+    # terms and understated the textbook all-bins PSI (r8 review).
+    spine = (
+        df_a.sparkSession.range(n_bins)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
     joined = (
-        a.join(b, on="bin", how="full")
+        spine.join(a, on="bin", how="left")
+        .join(b, on="bin", how="left")
         .select(
             F.coalesce("na", F.lit(0)).alias("na"),
             F.coalesce("nb", F.lit(0)).alias("nb"),

@@ -1464,7 +1464,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
               lower(hex(encode(substring(text, frame_idx * 64 + 1, 8))))
                   AS frame_hex
        FROM (SELECT doc_id, text,
-                    unnest(range(least(length(text) // 64, 7) + 1)) AS frame_idx
+                    unnest(range(least(greatest((length(text) - 1) // 64, 0), 7) + 1)) AS frame_idx
              FROM documents)""",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3005,11 +3005,17 @@ def dedup_normalized_nfkc_err(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 10)
                   ) AS INTEGER), 0), 9) AS bin
          FROM orders),
-       counts AS (
+       observed AS (
          SELECT bin,
                 count(*) FILTER (WHERE side = 'a') AS na,
                 count(*) FILTER (WHERE side = 'b') AS nb
          FROM binned GROUP BY bin),
+       counts AS (
+         -- full 0..9 spine: bins empty in BOTH windows still carry
+         -- their smoothed term (mirrors operators/stats.py::psi_drift)
+         SELECT s.bin, coalesce(o.na, 0) AS na, coalesce(o.nb, 0) AS nb
+         FROM (SELECT unnest(range(10)) AS bin) s
+         LEFT JOIN observed o USING (bin)),
        tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts),
        terms AS (
          SELECT na, nb,

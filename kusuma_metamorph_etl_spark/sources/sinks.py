@@ -71,8 +71,12 @@ def dual_write(
     ``raw.sales_pre``, unlike the ``:63`` path) for parity migrations;
     default off — raw is a working copy and should not carry ``DAY_DT``.
 
-    Returns the stamped legacy frame (still persisted) so callers can gate
-    or inspect it; caller unpersists.
+    Returns the stamped legacy frame for inspection.  The write-time
+    cache (one persist covering both writes) is RELEASED before return —
+    an action on the returned frame recomputes its lineage, so callers
+    doing heavy post-processing should persist it themselves.  (The old
+    docstring promised a still-persisted frame; the finally block below
+    has always unpersisted — the doc was the bug.)
     """
     df = df.persist()
     try:
@@ -220,9 +224,23 @@ def publish_snapshot(
     out.writeBytes(manifest)  # DataOutputStream: writes the raw bytes
     out.close()
     final = jvm.Path(f"{table_root}/manifest.json")
-    for stale in ("manifest.json", ".manifest.json.crc", ".manifest.json.tmp.crc"):
+    # stale checksum sidecars from pre-checksum-off runs would fail the
+    # next read; the manifest itself is NOT deleted — see below
+    for stale in (".manifest.json.crc", ".manifest.json.tmp.crc"):
         fs.delete(jvm.Path(f"{table_root}/{stale}"), False)
-    fs.rename(tmp, final)  # rename is atomic; delete+rename is the swap
+    # Overwrite-rename via FileContext: ONE atomic step.  The previous
+    # delete+rename swap left a window where a concurrent read_published
+    # found no manifest at all — exactly the half-state the docstring
+    # promises away.  FileContext.rename(OVERWRITE) is atomic on HDFS
+    # and POSIX; object-store backends emulate it (their manifest swap
+    # would use a conditional PUT instead).
+    java_import(jvm, "org.apache.hadoop.fs.FileContext")
+    java_import(jvm, "org.apache.hadoop.fs.Options")
+    gw = spark.sparkContext._gateway
+    overwrite = gw.new_array(jvm.Options.Rename, 1)
+    overwrite[0] = jvm.Options.Rename.OVERWRITE
+    fc = jvm.FileContext.getFileContext(root.toUri(), conf)
+    fc.rename(tmp, final, overwrite)
     return version_dir
 
 
@@ -272,10 +290,14 @@ def vacuum_versions(
     for status in fs.listStatus(root):
         name = status.getPath().getName()
         if status.isDirectory() and name.startswith("v="):
-            versions.append(name)
+            # "newest" = publish order = directory modification time;
+            # sorting the NAME is wrong for numeric versions ("v=10"
+            # sorts before "v=2" and the true predecessors get deleted)
+            versions.append((status.getModificationTime(), name))
     versions.sort()
-    doomed = [v for v in versions[:-keep] if v != current] if keep else [
-        v for v in versions if v != current
+    names = [name for _, name in versions]
+    doomed = [v for v in names[:-keep] if v != current] if keep else [
+        v for v in names if v != current
     ]
     for v in doomed:
         fs.delete(jvm.Path(f"{table_root}/{v}"), True)

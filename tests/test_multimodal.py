@@ -1004,3 +1004,40 @@ def test_jpeg_fill_bytes_before_markers_are_skipped():
     # pad with legal fill bytes after SOI (before the next marker's 0xFF)
     padded = payload[:2] + b"\xff\xff" + payload[2:]
     assert np.array_equal(decode_jpeg(padded), img)
+
+
+def test_resize_preserves_gif_and_jpeg_formats():
+    """Regression (r8 review): resize_image's local bmp/png if-chain
+    predated GIF/JPEG support and silently re-encoded both as PPM."""
+    img = np.full((16, 16, 3), 170, dtype=np.uint8)
+    from kusuma_metamorph_etl_spark.operators.jpeg import encode_jpeg
+
+    gif = multimodal.encode_gif(img)
+    out = multimodal.resize_image(gif, 8, 8)
+    assert multimodal.decode_image(out)["format"] == "gif"
+    jpg = encode_jpeg(img, quality=95)
+    out = multimodal.resize_image(jpg, 8, 8)
+    dec = multimodal.decode_image(out)
+    assert dec["format"] == "jpeg"
+    assert (dec["width"], dec["height"]) == (8, 8)
+
+
+def test_sample_frames_no_phantom_frame_on_exact_multiple(spark):
+    """Regression (r8 review): a payload of exactly k*n bytes emitted a
+    zero-length frame starting one byte past the end."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 256)), (2, bytearray(b"y" * 250)), (3, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    out = multimodal.sample_frames(df, every_n_bytes=64, max_frames=8)
+    rows = sorted(
+        (r["doc_id"], r["frame_idx"], bytes(r["frame_bytes"]))
+        for r in out.collect()
+    )
+    by_doc = {}
+    for d, i, b in rows:
+        by_doc.setdefault(d, []).append((i, b))
+    assert [i for i, _ in by_doc[1]] == [0, 1, 2, 3]  # not 0..4
+    assert all(len(b) == 8 for _, b in by_doc[1])
+    assert [i for i, _ in by_doc[2]] == [0, 1, 2, 3]
+    assert by_doc[3] == [(0, b"")]  # empty payload: one declared empty frame

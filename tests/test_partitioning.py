@@ -19,14 +19,17 @@ def _df(spark, values):
     return spark.createDataFrame([(i, v) for i, v in enumerate(values)], "id long, x double")
 
 
-def test_nan_routes_to_sentinel_bucket(spark):
+def test_nan_routes_to_top_bucket_nulls_to_sentinel(spark):
+    """NaN takes the bucket ABOVE every real value and NULL bucket -1 —
+    the placements Spark's own ORDER BY uses (r8 review: folding NaN in
+    with the nulls flipped its rank position in the descending walk)."""
     vals = [float(i) for i in range(100)] + [float("nan")] * 5 + [None] * 3
     df = _df(spark, vals)
     bucketed, n = quantile_bucket(df, "x", 4)
     rows = bucketed.collect()
     by_id = {r["id"]: r["__bkt"] for r in rows}
-    for i in range(100, 105):  # NaN rows
-        assert by_id[i] == -1
+    for i in range(100, 105):  # NaN rows: one past the top real bucket
+        assert by_id[i] == n
     for i in range(105, 108):  # null rows
         assert by_id[i] == -1
     # valid rows stay inside [0, n)
@@ -41,15 +44,15 @@ def test_mostly_nan_column_does_not_throw(spark):
     bucketed, n = quantile_bucket(df, "x", 4)
     assert n >= 1
     got = {r["id"]: r["__bkt"] for r in bucketed.collect()}
-    assert all(got[i] == -1 for i in range(50))
-    assert all(got[i] >= 0 for i in (50, 51, 52))
+    assert all(got[i] == n for i in range(50))  # NaN: top bucket
+    assert all(0 <= got[i] < n for i in (50, 51, 52))
 
 
 def test_all_nan_column_single_bucket(spark):
     df = _df(spark, [float("nan")] * 10)
     bucketed, n = quantile_bucket(df, "x", 4)
     assert n == 1
-    assert all(r["__bkt"] == -1 for r in bucketed.collect())
+    assert all(r["__bkt"] == n for r in bucketed.collect())  # NaN: top
 
 
 def test_bucket_id_deterministic_across_recompute(spark):

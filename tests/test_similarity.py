@@ -272,3 +272,62 @@ def test_ivf_lloyd_tightens_cells_on_blobby_data(spark):
     trained = cohesion(ivf_build(df, n_centroids=3, refine_iters=4))
     assert trained >= plain - 1e-12
     assert trained > 0.95  # blobs are tight; trained centroids must be too
+
+
+def test_zero_norm_vectors_never_poison_topk(spark):
+    """Regression (r8 review): a single all-zero embedding used to score
+    cosine = NaN against every query, and NaN sorts ABOVE every real
+    value under F.desc — so the zero vector became everyone's top-1
+    neighbor in every scoring path.  Zero-norm rows must emit NULL (JVM)
+    or be omitted (numpy) — never rank first."""
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_topk,
+        cosine_topk_np,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (99, [0.0, 0.0]),  # the poison row
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for fn in (cosine_topk, cosine_topk_np):
+        top1 = {
+            r["query_id"]: r["neighbor_id"]
+            for r in fn(df, df, k=1).collect()
+        }
+        assert top1[1] == 2, (fn.__name__, top1)
+        assert top1[2] == 1, (fn.__name__, top1)
+        assert top1[3] != 99 or True  # 3's best real neighbor, never NaN-ranked
+        assert all(v != 99 for q, v in top1.items() if q != 99), (
+            fn.__name__,
+            top1,
+        )
+    pairs = cosine_pairs(df, threshold=0.5).collect()
+    assert all(99 not in (r["a"], r["b"]) for r in pairs)
+
+
+def test_cosine_topk_np_empty_queries_and_string_ids(spark):
+    """Regression (r8 review): zero query rows made np.array([]) 1-D and
+    norm(axis=1) raised AxisError; string ids hit a hardcoded `long`
+    Arrow schema."""
+    from kusuma_metamorph_etl_spark.operators.similarity import cosine_topk_np
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    assert cosine_topk_np(empty, corpus, k=2).count() == 0
+
+    s_corpus = spark.createDataFrame(
+        [("doc:a", [1.0, 0.0]), ("doc:b", [0.9, 0.1]), ("doc:c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_np(s_corpus, s_corpus, k=1).collect()
+    }
+    assert got["doc:a"] == "doc:b"

@@ -335,3 +335,29 @@ def test_read_published_time_travel(spark, tmp_path):
     assert read_published(spark, root).collect()[0]["v"] == "new"
     # time-travel to the superseded version, which publish retained
     assert read_published(spark, root, version="001").collect()[0]["v"] == "old"
+
+
+def test_vacuum_orders_numeric_versions_by_publish_time(spark, tmp_path):
+    """Regression (r8 review): lexicographic name sort made "v=10" older
+    than "v=2", so vacuum deleted the TRUE newest versions and kept
+    stale ones.  Newest now means publish order (directory mtime)."""
+    import time
+
+    from kusuma_metamorph_etl_spark.sources.sinks import (
+        publish_snapshot,
+        read_published,
+        vacuum_versions,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 5)
+    for v in ["1", "2", "9", "10", "11", "12"]:
+        publish_snapshot(spark, df, root, v)
+        time.sleep(1.05)  # mtime granularity
+
+    deleted = vacuum_versions(spark, root, keep=3)
+    # newest three by publish order are 10, 11, 12 — lexicographic sort
+    # would have doomed v=10 and v=11
+    assert sorted(deleted) == sorted(["v=1", "v=2", "v=9"]), deleted
+    assert read_published(spark, root, version="11").count() == 5
+    assert read_published(spark, root).count() == 5

@@ -39,3 +39,36 @@ def test_salted_join_rejects_right(spark, skewed):
     big, small = skewed
     with pytest.raises(ValueError):
         salted_join(big, small, on=["k"], how="right")
+
+
+def test_percent_rank_paths_agree_on_nan(spark):
+    """Regression (r8 review): the range-partitioned path used to bucket
+    NaN with the NULLs (bucket -1), flipping its rank position vs both
+    the broadcast-map path and true PERCENT_RANK (Spark sorts NaN as the
+    LARGEST value).  Both regimes must agree on the same data."""
+    from pyspark.sql import Window as W
+
+    from kusuma_metamorph_etl_spark.operators.windows import (
+        global_percent_rank,
+    )
+
+    vals = [float(i) for i in range(500)] + [float("nan")] + [None] * 2
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    truth = {
+        ("nan" if r["x"] != r["x"] else r["x"]): r["pr"]
+        for r in df.select(
+            "x", F.percent_rank().over(W.orderBy(F.desc("x"))).alias("pr")
+        ).collect()
+        if r["x"] is not None
+    }
+    for low_card in (True, False):
+        got = {
+            ("nan" if r["x"] != r["x"] else r["x"]): r["percent_rank"]
+            for r in global_percent_rank(
+                df, "x", descending=True, low_cardinality=low_card
+            ).collect()
+            if r["x"] is not None
+        }
+        assert abs(got["nan"] - truth["nan"]) < 1e-9, (low_card, got["nan"])
+        for probe in (0.0, 250.0, 499.0):
+            assert abs(got[probe] - truth[probe]) < 1e-9, (low_card, probe)

@@ -124,3 +124,27 @@ class TestCorrelationMatrix:
         assert plan.count("LogicalRDD") == 1  # one scan, no per-pair unions
         with pytest.raises(ValueError):
             correlation_matrix(df, ["a"])
+
+
+def test_psi_includes_bins_empty_in_both_snapshots(spark):
+    """Regression (r8 review): bins empty in BOTH snapshots were dropped
+    by the observed-bins join, yet their Laplace-smoothed terms are
+    nonzero whenever the totals differ — the returned PSI understated
+    the textbook all-bins formula."""
+    import math
+
+    from kusuma_metamorph_etl_spark.operators.stats import psi_drift
+
+    a = spark.createDataFrame([(0.0,)] * 100, "v double")
+    b = spark.createDataFrame([(0.0,)] * 50, "v double")
+    # shared bounds widen a constant column; all mass in bin 0, bins 1-9
+    # empty in both — each still contributes a smoothed term
+    got = psi_drift(a, b, "v", n_bins=10, lo=0.0, hi=100.0).collect()[0]
+    n_bins, s = 10, 0.5
+    ta, tb = 100, 50
+    def term(na, nb):
+        pa = (na + s) / (ta + s * n_bins)
+        pb = (nb + s) / (tb + s * n_bins)
+        return round((pa - pb) * math.log(pa / pb), 9)
+    expected = round(term(100, 50) + 9 * term(0, 0), 6)
+    assert abs(got["psi"] - expected) < 1e-9, (got["psi"], expected)
