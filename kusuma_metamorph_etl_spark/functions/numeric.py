@@ -89,7 +89,16 @@ def decimal_avg(col: Column, scale: int = 4, capture_scale: int = 6) -> Column:
 
         ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x), scale)
 
-    ``COUNT(col)`` (not ``COUNT(*)``) so null handling matches ``AVG``.
+    The denominator counts exactly the terms the numerator sums: NULLs
+    are skipped (matching ``AVG``), and non-finite values — which
+    ``_exact_sum`` normalizes to NULL so they cannot poison the decimal
+    sum — are skipped on BOTH sides (a plain ``COUNT(col)`` counted a
+    NaN row the numerator had dropped, silently deflating the average —
+    r8 review).
     """
+    d = col.cast("double")
+    guarded = F.when(
+        ~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))), col
+    )  # same term filter as _exact_sum (NULL propagates through the cast)
     total = _exact_sum(col, capture_scale).cast("double")
-    return F.round(total / F.count(col), scale)
+    return F.round(total / F.count(guarded), scale)

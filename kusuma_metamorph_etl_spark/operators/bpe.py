@@ -162,6 +162,11 @@ def bpe_encode(
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
         def one(t: str) -> list[str]:
+            if t is None:
+                # NULL text passes through as NULL tokens — Series.map
+                # hands None to the fn, it is not auto-skipped (same
+                # contract as unigram_encode)
+                return None
             if END in t:
                 raise ValueError(
                     f"bpe_encode: input contains the END sentinel {END!r}; "

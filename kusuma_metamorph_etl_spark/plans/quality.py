@@ -172,13 +172,17 @@ def volume_anomaly_gate(
     one count of ``df`` — no wide operation.
     """
     stats = history_counts.agg(
-        F.count(F.lit(1)).alias("k"),
+        # count of NON-NULL history values: all-NULL rows would leave
+        # mu/sigma None below while k counted them, and the full count
+        # of df must not run before the pass-open check (a wasted
+        # 100 TB scan when history is too short — r8 review)
+        F.count(count_col).alias("k"),
         F.avg(count_col).alias("mu"),
         F.stddev_pop(count_col).alias("sigma"),
     ).first()
-    n = df.count()
     if stats["k"] < min_history:
         return df
+    n = df.count()
     mu, sigma = stats["mu"], stats["sigma"]
     if sigma == 0.0:
         if n != mu:
@@ -294,16 +298,26 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     shuffle of partial aggregates); the single wide row then unpivots via
     ``stack`` — no per-column jobs, no extra scans.
     """
+    # POSITIONAL aliases (__rows_0, …), not name-derived ones: splicing a
+    # raw column name into an alias and the stack() expression breaks on
+    # any non-identifier character (space, hyphen, quote — ParseException
+    # at F.expr; r8 review).  The name itself enters only as an escaped
+    # string literal.
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.lit(1)).alias(f"__rows_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            F.countDistinct(c).alias(f"__dist_{c}"),
+            F.count(F.lit(1)).alias(f"__rows_{i}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}"),
+            F.countDistinct(c).alias(f"__dist_{i}"),
         ]
     wide = df.agg(*aggs)
+
+    def lit_str(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = ", ".join(
-        f"'{c}', __rows_{c}, __null_{c}, __dist_{c}" for c in cols
+        f"{lit_str(c)}, __rows_{i}, __null_{i}, __dist_{i}"
+        for i, c in enumerate(cols)
     )
     return wide.select(
         F.expr(

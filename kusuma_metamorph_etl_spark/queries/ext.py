@@ -1514,7 +1514,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
               event_type,
               count(*) AS n_events,
-              round(sum(value), 2) AS total_value
+              CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
        FROM events GROUP BY 1, 2""",
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1556,7 +1556,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
               max(ts) + INTERVAL '10 minutes' AS session_end,
               user_id,
               count(*) AS n_events,
-              round(sum(value), 2) AS total_value
+              CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
        FROM s GROUP BY user_id, session_id""",
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:

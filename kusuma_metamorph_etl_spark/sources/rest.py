@@ -34,8 +34,20 @@ def land_json_records(
     Accepts either a flat iterable of dicts or an iterator of pages
     (lists of dicts), so a paginated API client can stream pages through
     without materializing everything.
+
+    Stale files matching ``{file_prefix}-*.ndjson`` are removed first:
+    numbering restarts at 0 every run, so a re-run that lands FEWER
+    pages than the last one would otherwise leave yesterday's
+    higher-index files for ``read_landed_json``'s glob to silently mix
+    in (r8 review).
     """
+    import glob as _glob
+
     os.makedirs(landing_dir, exist_ok=True)
+    for stale in _glob.glob(
+        os.path.join(landing_dir, f"{file_prefix}-*.ndjson")
+    ):
+        os.remove(stale)
     paths: list[str] = []
     buffer: list[dict[str, Any]] = []
 

@@ -4,9 +4,17 @@ The reference's dual-write (overwrite ``raw.*_pre`` + append ``legacy.*``,
 ``/root/reference/ETL-Airflow/dags/tasks/ingestion_task.py:63-66``) is a
 batch pattern; ``foreachBatch`` is how the same sink semantics attach to a
 stream — each micro-batch runs the batch writer, so ``raw`` always holds
-the latest micro-batch's state and ``legacy`` accumulates history.  The
-checkpoint gives exactly-once *sink batches* (a replayed batch re-runs the
-idempotent overwrite / partition append).
+the latest micro-batch's state and ``legacy`` accumulates history.
+
+``foreachBatch`` is AT-LEAST-ONCE: a crash between the sink write and the
+checkpoint commit replays the batch, so every write here must be
+batch-id-idempotent — a plain ``mode("append")`` is NOT (the r8 review
+caught all three sinks claiming idempotence while appending).  The
+patterns used instead, keyed on ``batch_id``:
+* overwrite of a batch-scoped partition/directory (dual-write legacy,
+  heavy-hitter summaries) — the replay rewrites the same partition;
+* manifest-pointer republish of a derived snapshot (SCD2 dimension, CDC
+  table) — the replay re-derives and re-publishes the same version.
 """
 
 from __future__ import annotations
@@ -28,15 +36,33 @@ def stream_dual_write(
     run_date: dt.date | str | None = None,
     available_now: bool = True,
 ):
-    """Drive a streaming frame through the batch dual-write per micro-batch.
+    """Drive a streaming frame through the dual-write sink per micro-batch
+    (same raw/legacy semantics as the batch :func:`sources.sinks.dual_write`,
+    re-keyed for replay idempotence — see the module docstring).
 
     With ``available_now`` the query drains the bounded source and stops —
     the test/backfill mode; production drops the trigger for continuous
     micro-batches.
     """
 
+    from kusuma_metamorph_etl_spark.sources.sinks import DAY_DT, stamp_snapshot
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        dual_write(batch_df, raw_path, legacy_path, run_date)
+        # raw: overwrite — trivially replay-idempotent.
+        batch_df.write.mode("overwrite").parquet(raw_path)
+        # legacy: the batch dual_write APPENDS, which duplicates rows when
+        # foreachBatch replays a batch.  Partition by (DAY_DT, __batch_id)
+        # with dynamic partition overwrite instead: a replayed batch
+        # rewrites exactly its own partitions.  __batch_id is the declared
+        # idempotence key and reads back as a partition column.
+        (
+            stamp_snapshot(batch_df, run_date)
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(DAY_DT, "__batch_id")
+            .parquet(legacy_path)
+        )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -61,59 +87,87 @@ def stream_scd2_upsert(
     """Maintain an SCD2 dimension from a stream of update records.
 
     Each micro-batch collapses to one record per key (latest by
-    ``effective_from_col``), merges into the parquet-backed dimension via
-    :func:`operators.scd.scd2_merge`, and rewrites it.  Each key's
-    ``valid_from``/``valid_to`` comes from its OWN record's effective
-    date (``effective_col`` merge), so a micro-batch mixing keys with
-    different effective dates versions each correctly.  The
-    read-merge-rewrite is the no-transactional-format trade-off: atomicity
-    comes from the parquet overwrite + checkpoint (a replayed batch
-    re-merges idempotently because unchanged attributes are detected).
+    ``effective_from_col``, ties broken by an attribute hash so a
+    replayed batch picks the SAME winner), merges into the published
+    dimension via :func:`operators.scd.scd2_merge`, and republishes it
+    through :func:`sources.sinks.publish_snapshot`'s manifest-pointer
+    swap — the same recovery story as :func:`stream_cdc_apply`:
+
+    * readers (:func:`sources.sinks.read_published` on ``dim_path``)
+      never observe a half-written dimension;
+    * a crash mid-write leaves the previous version intact and the
+      manifest still pointing at it (the old read-overwrite-in-place
+      cycle could crash after deleting the dimension, and the next run's
+      "not yet created" fallback then silently re-initialized from one
+      micro-batch — all history lost);
+    * a replayed batch re-derives and re-publishes the same version
+      name with the same content — idempotent under at-least-once.
+
     At Delta/Iceberg-backed scale the same merge logic drives MERGE INTO.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    def _rm(spark, path: str) -> None:
-        # Hadoop FS delete — works for any scheme, not just local paths.
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+    from kusuma_metamorph_etl_spark.sources.sinks import (
+        publish_snapshot,
+        read_published,
+    )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        window = Window.partitionBy(*key).orderBy(F.desc(effective_from_col))
+        # Deterministic winner among equal effective dates: hash the
+        # attribute tuple.  Plain desc(eff) left the tie to shuffle
+        # order, so a replayed batch could commit different attributes
+        # than the original run.
+        attr_fp = F.md5(
+            F.concat_ws("|", *[F.col(a).cast("string") for a in attrs])
+        )
+        window = Window.partitionBy(*key).orderBy(
+            F.desc(effective_from_col), F.desc(attr_fp)
+        )
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(window))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
         upd = latest.select(*key, *attrs, effective_from_col)
+        current_name = None
         try:
-            dim = spark.read.parquet(dim_path)
+            line = spark.read.text(f"{dim_path}/manifest.json").collect()[0][
+                "value"
+            ]
+            current_name = json.loads(line)["current"]  # e.g. "v=b000003"
+            dim = spark.read.parquet(f"{dim_path}/{current_name}")
         except Exception:
-            scd2_init(upd, key, effective_col=effective_from_col).write.parquet(
-                dim_path
+            dim = None  # no manifest yet: first batch initializes
+        if dim is None:
+            merged = scd2_init(upd, key, effective_col=effective_from_col)
+        else:
+            merged = scd2_merge(
+                dim,
+                upd,
+                key,
+                attrs,
+                effective_col=effective_from_col,
+                # `latest` above already compacted to one row per key —
+                # skip the merge's duplicate-key aggregation
+                check_unique=False,
             )
-            return
-        merged = scd2_merge(
-            dim,
-            upd,
-            key,
-            attrs,
-            effective_col=effective_from_col,
-            # `latest` above already compacted to one row per key — skip
-            # the merge's duplicate-key aggregation
-            check_unique=False,
-        )
-        # Rewrite via a staging collect-free cycle: parquet can't overwrite
-        # its own input, so land to a sibling, swap, then drop the staging.
-        staging = f"{dim_path}__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(dim_path)
-        _rm(spark, staging)
+        # NEVER publish onto the version the manifest points at: the
+        # merged plan READS that directory, and batch numbering can
+        # collide with it (a replay after the manifest swap committed,
+        # or a fresh checkpoint restarting at batch 0) — overwriting it
+        # would destroy the input mid-read AND yank files from under
+        # concurrent readers.  Alternate to a "...r" sibling instead;
+        # overwriting a non-current directory is always safe.
+        target = f"b{batch_id:06d}"
+        if current_name == f"v={target}":
+            target = f"{target}r"
+        publish_snapshot(spark, merged, dim_path, target)
 
     writer = updates_stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -145,9 +199,10 @@ def stream_heavy_hitters(
     survives that batch's summary — the merged candidate set provably
     contains every global heavy hitter, with per-item undercount ≤ Σ
     n_b / k.  State never lives in the stream (no
-    `applyInPandasWithState`): the summary TABLE is the state, append-
-    only and idempotent per micro-batch via `foreachBatch` — the same
-    replay-safe pattern as `stream_dual_write`/`stream_scd2_upsert`.
+    `applyInPandasWithState`): the summary TABLE is the state, one
+    overwritten ``batch_id=N`` directory per micro-batch — replay-safe
+    under foreachBatch's at-least-once contract (a plain append would
+    double-count a replayed batch's summaries).
     """
     from kusuma_metamorph_etl_spark.operators.sketches import (
         _mg_partition_summaries,
@@ -155,9 +210,12 @@ def stream_heavy_hitters(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = _mg_partition_summaries(batch_df, item_col, k)
-        s.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(summary_path)
+        # One directory per batch, OVERWRITTEN: a replayed batch rewrites
+        # its own summaries instead of appending a second copy (which
+        # would double-count and break the lower-bound guarantee).
+        s.write.mode("overwrite").parquet(
+            f"{summary_path}/batch_id={batch_id}"
+        )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

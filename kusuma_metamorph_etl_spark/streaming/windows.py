@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (parquet directory source), ``ts``
@@ -76,7 +78,12 @@ def tumbling_agg(
         src.groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # decimal_sum, not round(sum(double)): the double sum's last ulp
+            # is partition-order-dependent, so half-cent boundary groups
+            # would flip run-to-run and vs the oracle (the documented r1
+            # agg_groupby_single hash-fail; r8 review caught the
+            # streaming twins reintroducing it)
+            decimal_sum(F.col("value"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -113,7 +120,12 @@ def session_agg(
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # decimal_sum, not round(sum(double)): the double sum's last ulp
+            # is partition-order-dependent, so half-cent boundary groups
+            # would flip run-to-run and vs the oracle (the documented r1
+            # agg_groupby_single hash-fail; r8 review caught the
+            # streaming twins reintroducing it)
+            decimal_sum(F.col("value"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("session_start"),

@@ -118,3 +118,20 @@ def test_incremental_train_equals_naive_recount(spark, sf_small):
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + count
         vocab = new_vocab
     assert bpe.bpe_train(docs, n_merges=60) == naive
+
+
+def test_encode_null_text_passes_through(spark):
+    """Regression (r8 review): Series.map hands None to the encode fn, so
+    one NULL text row crashed the whole job with TypeError."""
+    from kusuma_metamorph_etl_spark.operators.bpe import bpe_encode, bpe_train
+
+    corpus = spark.createDataFrame(
+        [(1, "aba abc"), (2, "abab")], "doc_id long, text string"
+    )
+    merges = bpe_train(corpus, n_merges=10)
+    df = spark.createDataFrame(
+        [(1, "aba"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, merges).collect()}
+    assert rows[1]
+    assert rows[2] is None

@@ -283,3 +283,35 @@ class TestExpectations:
         }
         # (3,2) violates; (NULL,1) compares to NULL -> violation, not a pass
         assert out["predicate(hi_above_lo)"] == (2, False)
+
+
+def test_volume_gate_null_history_and_no_early_count(spark):
+    """Regression (r8 review): all-NULL history values made mu None and
+    the z-score arithmetic raised TypeError; and the full df.count() ran
+    even when short history passes the gate open (wasted scan)."""
+    from kusuma_metamorph_etl_spark.plans.quality import volume_anomaly_gate
+
+    df = spark.range(0, 100)
+    null_hist = spark.createDataFrame(
+        [(None,)] * 10, "n long"
+    )
+    # all-NULL history counts as ZERO usable runs: gate passes open
+    assert volume_anomaly_gate(df, null_hist, count_col="n").count() == 100
+    short = spark.createDataFrame([(100,), (101,)], "n long")
+    assert volume_anomaly_gate(df, short, count_col="n").count() == 100
+
+
+def test_profile_columns_handles_hostile_names(spark):
+    """Regression (r8 review): raw names spliced into stack() broke on
+    spaces/quotes with a ParseException."""
+    from kusuma_metamorph_etl_spark.plans.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["order id", "weird'col"]
+    )
+    got = {
+        r["column"]: (r["n_rows"], r["n_null"], r["n_distinct"])
+        for r in profile_columns(df, ["order id", "weird'col"]).collect()
+    }
+    assert got["order id"] == (2, 0, 2)
+    assert got["weird'col"] == (2, 1, 1)

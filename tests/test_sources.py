@@ -191,3 +191,14 @@ def test_csv_badrecords_quarantines_malformed_lines(spark, sf_small):
     assert quarantined.count() == n_bad_expected
     # the raw malformed line is preserved for audit
     assert all("garbage" in r["_corrupt"] for r in quarantined.collect())
+
+
+def test_landing_rerun_clears_stale_pages(spark, tmp_path):
+    """Regression (r8 review): numbering restarts at 0 each run, so a
+    shrinking feed left yesterday's higher-index files for the glob to
+    silently mix in."""
+    landing = str(tmp_path / "land")
+    land_json_records([{"id": i} for i in range(6)], landing, records_per_file=2)
+    land_json_records([{"id": i} for i in range(2)], landing, records_per_file=2)
+    got = read_landed_json(spark, landing, "id long")
+    assert got.count() == 2  # only the re-run's records, no stale pages

@@ -186,7 +186,9 @@ def test_stream_scd2_upsert(spark, tmp_path):
         effective_from_col="eff",
     )
 
-    dim = spark.read.parquet(str(tmp_path / "dim"))
+    from kusuma_metamorph_etl_spark.sources.sinks import read_published
+
+    dim = read_published(spark, str(tmp_path / "dim"))
     rows = {
         (r["id"], str(r["valid_from"])): (r["city"], r["is_current"])
         for r in dim.collect()
@@ -195,8 +197,11 @@ def test_stream_scd2_upsert(spark, tmp_path):
     assert rows[(1, "2024-02-01")] == ("Paris", True)
     assert rows[(2, "2024-01-01")] == ("NYC", True)  # untouched
     assert rows[(3, "2024-02-01")] == ("Tokyo", True)  # inserted
-    # The staging sibling is cleaned up after the swap.
-    assert not (tmp_path / "dim__staging").exists()
+    # Both versions are retained for rollback; batch 1's publish is
+    # still readable (the old overwrite-in-place cycle destroyed it).
+    assert read_published(
+        spark, str(tmp_path / "dim"), version="b000000"
+    ).count() == 2
 
 
 @pytest.mark.slow
@@ -246,7 +251,9 @@ def test_stream_scd2_per_key_effective_dates(spark, tmp_path):
         effective_from_col="eff",
     )
 
-    dim = spark.read.parquet(str(tmp_path / "dim"))
+    from kusuma_metamorph_etl_spark.sources.sinks import read_published
+
+    dim = read_published(spark, str(tmp_path / "dim"))
     rows = {
         (r["id"], str(r["valid_from"])): (r["city"], str(r["valid_to"]), r["is_current"])
         for r in dim.collect()
