@@ -120,11 +120,15 @@ def customer_sales_report(
     # branch pruned to 3 columns); with the probe making it 3+ passes the
     # trade-off flips: persist wins 1.1s vs 2.3s warm / 3.2s vs 7.0s cold
     # at sf0.1 (3-rep A/B, this VM).  Re-measure if the consumer count
-    # changes again.
+    # changes again.  Shared via LAZY localCheckpoint, not persist():
+    # nothing here can unpersist after the caller's action, so persist
+    # pinned one cache-manager entry per build for the session lifetime
+    # AND let later identical builds silently reuse it (bench reps then
+    # measure cache reads — the dedup_substring measurement-correction
+    # class, bench.py notes).  The checkpoint RDD is ContextCleaner-
+    # released when the result frame is dropped.
     if persist_intermediate:
-        from pyspark.storagelevel import StorageLevel
-
-        exp = exp.persist(StorageLevel.MEMORY_AND_DISK)
+        exp = exp.localCheckpoint(eager=False)
 
     # WIN 1: global percentile tiers — scalable exact percent_rank.
     # SALE_AMOUNT is near-continuous money (distinct ≈ rows at scale), so

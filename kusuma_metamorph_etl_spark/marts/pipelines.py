@@ -7,9 +7,12 @@ The reference names every intermediate frame — ``SQ_Shortcut_To_*`` /
 supplier_performance_task.py:14-170``).  This module shows the engine's
 equivalent: the same mart as an ordered list of named, pure stages.  Each
 stage only extends the Catalyst plan; the composed pipeline produces the
-IDENTICAL frame to :func:`marts.supplier_performance` (asserted in
-tests/), so the node view is free — no materialization per node, unlike
-the reference's eager per-source counts.
+IDENTICAL frame to :func:`marts.supplier_performance` CALLED WITH
+``supplier_key_from='sales'`` (this pipeline takes the supplier FK from
+the sales side — asserted in tests/; the function mart's default takes
+it from the product dim, a different aggregation key), so the node view
+is free — no materialization per node, unlike the reference's eager
+per-source counts.
 """
 
 from __future__ import annotations
@@ -63,9 +66,20 @@ def supplier_performance_pipeline(
             F.desc("PRODUCT_REVENUE"), F.asc("PRODUCT_NAME")
         )
         top = (
-            fact.filter(F.col("PRODUCT_ID").isNotNull())
+            # decimal sum + name-not-null: mirrors the function mart —
+            # a plain double sum ties nondeterministically in the last
+            # ulp, and a null-name group (sale whose product id missed
+            # the dim) must not win the window and surface as "No sales"
+            fact.filter(
+                F.col("PRODUCT_ID").isNotNull()
+                & F.col("PRODUCT_NAME").isNotNull()
+            )
             .groupBy("SUPPLIER_ID", "PRODUCT_NAME")
-            .agg(F.sum("REVENUE").alias("PRODUCT_REVENUE"))
+            .agg(
+                F.sum(F.col("REVENUE").cast("decimal(38,6)")).alias(
+                    "PRODUCT_REVENUE"
+                )
+            )
             .withColumn("rn", F.row_number().over(top_window))
             .filter(F.col("rn") == 1)
             .select("SUPPLIER_ID", F.col("PRODUCT_NAME").alias("TOP_SELLING_PRODUCT"))
@@ -120,6 +134,16 @@ def supplier_performance_pipeline(
         .stage(
             "Shortcut_To_Supplier_Performance_Tgt",
             lambda df: df.select(*FINAL_COLUMNS),
+            kind="TGT",
+        )
+        .stage(
+            # the persist boundary the pipeline module docstring promises:
+            # the gate's collect() materializes the checkpoint, so the
+            # caller's first action reuses it instead of recomputing the
+            # whole mart (lazy localCheckpoint: GC-released, no cache-
+            # manager pin — see customer_sales_report.py)
+            "PERSIST_Boundary",
+            lambda df: df.localCheckpoint(eager=False),
             kind="TGT",
         )
         .stage(

@@ -121,7 +121,15 @@ def supplier_performance(
     # window, but a last-ulp difference between two products' double sums
     # would flip the top-product pick nondeterministically.
     per_product = (
-        fact.filter(F.col("PRODUCT_ID").isNotNull())
+        # PRODUCT_NAME not-null too: a sale whose PRODUCT_ID misses the
+        # product dim keeps its revenue but has no name — under nulls-
+        # first ASC ordering that group could win the window and surface
+        # as "No sales" NEXT TO nonzero TOTAL_REVENUE (r8 review).  Top
+        # product means top NAMED product; unmatched-dim revenue still
+        # counts in the totals above.
+        fact.filter(
+            F.col("PRODUCT_ID").isNotNull() & F.col("PRODUCT_NAME").isNotNull()
+        )
         .groupBy("SUPPLIER_ID", "PRODUCT_NAME")
         .agg(F.sum(F.col("REVENUE").cast("decimal(38,6)")).alias("PRODUCT_REVENUE"))
     )

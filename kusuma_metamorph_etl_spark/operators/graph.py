@@ -213,9 +213,15 @@ def pagerank(
     )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     norm = _ckpt(
-        e.join(out_w, on="src").select(
-            "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
-        )
+        # out_w > 0 guard: a node whose out-edges all carry zero weight
+        # has no defined transition distribution — its edges are dropped
+        # so the node becomes DANGLING (left-join miss below) and its
+        # mass redistributes like any sink's.  Without the filter, w/0
+        # faults under ANSI (and silently NULLed the node's whole mass
+        # out of the Σpr==1 invariant under non-ANSI).
+        e.join(out_w, on="src")
+        .filter(F.col("out_w") > 0)
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
     )
     nodes = _ckpt(
         e.select(F.col("src").alias("node"))

@@ -54,8 +54,11 @@ def src_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-              round(SUM(l_extendedprice), 2) AS sum_base_price,
-              round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                   AS DOUBLE) AS sum_base_price,
+              CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(38,6))), 2)
+                   AS DOUBLE) AS sum_disc_price,
               round(AVG(l_quantity), 6) AS avg_qty,
               CAST(COUNT(*) AS BIGINT) AS count_order
        FROM lineitem
@@ -65,13 +68,21 @@ def src_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark SQL API surface (`spark.sql` over registered views) — a
     TPC-H-Q1-shaped pricing summary run as pure SQL text.  Same Catalyst
-    plan as the DataFrame DSL; this entry pins the SQL entry point works."""
+    plan as the DataFrame DSL; this entry pins the SQL entry point works.
+    Money sums go through DECIMAL before rounding (both engines): a
+    rounded DOUBLE sum is partition-order-dependent in its last ulp, so
+    half-cent boundary groups could hash-diverge — the r1
+    agg_groupby_single failure class (r8 review caught this query still
+    carrying it; it passed r1-r7 by luck of the data)."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
     return spark.sql(
         """SELECT l_returnflag, l_linestatus,
                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-                  round(SUM(l_extendedprice), 2) AS sum_base_price,
-                  round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                       AS DOUBLE) AS sum_base_price,
+                  CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(38,6))), 2)
+                       AS DOUBLE) AS sum_disc_price,
                   round(AVG(l_quantity), 6) AS avg_qty,
                   COUNT(*) AS count_order
            FROM lineitem_v

@@ -53,8 +53,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch_schema = read_parquet_nanos_safe(spark, path).schema
     if any(f.name == "ts" and f.dataType.typeName() == "long" for f in batch_schema):
-        # Session-wide on purpose — see the docstring warning.
-        spark.conf.set(_NANOS_CONF, "true")
+        from kusuma_metamorph_etl_spark.sources.catalog import _NANOS_LOCK
+
+        # Session-wide on purpose — see the docstring warning.  Under
+        # the shared lock: set WITHOUT it could land inside a concurrent
+        # read_parquet_nanos_safe snapshot/restore window, whose finally
+        # would then erase this stream's lifetime setting and fail its
+        # next micro-batch (r8 review).
+        with _NANOS_LOCK:
+            spark.conf.set(_NANOS_CONF, "true")
     # FileStreamSource needs a directory or glob (a bare file path fails
     # basePath validation); the glob resolves to the single test file.
     raw = spark.readStream.schema(batch_schema).parquet(f"{sf_dir}/events.parque[t]")

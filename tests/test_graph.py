@@ -296,3 +296,19 @@ class TestIncrementalComponents:
         incr = incremental_components(old, self._edges(spark, [(20, 21)]))
         got = {r["node"]: r["component"] for r in incr.collect()}
         assert got == {1: 1, 2: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_pagerank_zero_weight_outedges_become_dangling(spark):
+    """Regression (r8 review): a node whose out-edges all carry zero
+    weight hit w/0 (ANSI fault; silent mass loss under non-ANSI).  Its
+    edges drop and the node redistributes as dangling — Σpr stays 1."""
+    from kusuma_metamorph_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0), (3, 2, 0.0)],
+        "src long, dst long, w double",
+    )
+    pr = pagerank(edges, n_iter=10, weight_col="w")
+    rows = {r["node"]: r["pr"] for r in pr.collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    assert all(v > 0 for v in rows.values())

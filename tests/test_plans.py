@@ -42,7 +42,33 @@ def test_supplier_mart_joins_broadcast(supplier_plan):
 
 
 def test_customer_report_single_fact_shuffle(spark, sf_small):
-    plan = _plan(mart_customer_sales_report(spark, sf_small))
+    # Build with the intermediate-share boundary OFF: the lazy
+    # localCheckpoint (the default) truncates the visible plan at the
+    # boundary, hiding the dim joins this test exists to inspect.
+    from kusuma_metamorph_etl_spark.marts.customer_sales_report import (
+        customer_sales_report,
+    )
+    from kusuma_metamorph_etl_spark.queries.marts import (
+        RUN_DATE,
+        RUN_TS,
+        customers_from_customer,
+        products_from_part,
+        sales_with_customers,
+    )
+    from kusuma_metamorph_etl_spark.sources.catalog import load_table
+
+    df = customer_sales_report(
+        sales_with_customers(
+            load_table(spark, sf_small, "lineitem"),
+            load_table(spark, sf_small, "orders"),
+        ),
+        products_from_part(load_table(spark, sf_small, "part")),
+        customers_from_customer(load_table(spark, sf_small, "customer")),
+        run_date=RUN_DATE,
+        run_ts=RUN_TS,
+        persist_intermediate=False,
+    )
+    plan = _plan(df)
     assert "SortMergeJoin" not in plan
     # All dim joins broadcast; the only exchanges are the rank-map
     # aggregation and the per-customer window partitioning.
