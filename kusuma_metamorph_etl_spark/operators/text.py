@@ -225,6 +225,38 @@ def ngram_repetition(text: Column, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def readability(text: Column) -> Column:
+    """Flesch–Kincaid grade level — the readability quality signal corpus
+    curation pipelines filter/stratify on (edu-quality classifiers are
+    seeded from exactly this kind of cheap signal):
+
+        0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    Three regexp counts + scalar arithmetic, fully vectorized and
+    ENGINE-EXACT: syllables ≈ vowel groups, and a vowel group can never
+    span a word boundary (the boundary is whitespace, a non-vowel), so
+    one ``[aeiouy]+`` count over the whole lowercased text equals the
+    per-word sum — no explode, no lambda, same expression in ANSI SQL.
+    Sentences floor at 1 (fragments are one sentence); documents with no
+    words yield NULL (readability of nothing is undefined, and the
+    division would fault under ANSI).  The operation ORDER in the final
+    expression is part of the contract — both engines evaluate the same
+    IEEE ops on the same two deterministic ratios.
+    """
+    n_words = F.size(words(text))
+    n_sentences = F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1))
+    n_syllables = F.regexp_count(F.lower(text), F.lit("[aeiouy]+"))
+    return F.when(
+        n_words > 0,
+        F.round(
+            F.lit(0.39) * (n_words.cast("double") / n_sentences)
+            + F.lit(11.8) * (n_syllables.cast("double") / n_words)
+            - F.lit(15.59),
+            6,
+        ),
+    )
+
+
 def scrub_pii(text: Column) -> Column:
     """Replace emails then phone-ish digit runs with typed placeholders.
     Both patterns are portable across Java regex and RE2 so the exact same

@@ -57,6 +57,46 @@ _SHINGLES = (
 # ---------------------------------------------------------------- text analysis
 
 @register(
+    "txt_readability",
+    f"""SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                       - 15.59, 6)
+               END AS fk_grade
+        FROM (SELECT doc_id,
+                     len({_W_TEXT}) AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                         AS n_sentences,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                         AS n_syllables
+              FROM documents)""",
+)
+def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level ([EXT] corpus-curation signal;
+    `operators/text.py::readability`): vowel groups never span the
+    whitespace word boundary, so whole-text regexp counts equal the
+    per-word sums — three counts + arithmetic, no explode, same
+    expression both engines."""
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(text.words(txt)).cast("long").alias("n_words"),
+        F.greatest(F.regexp_count(txt, F.lit(r"[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(F.lower(txt), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+        text.readability(txt).alias("fk_grade"),
+    )
+
+
+@register(
     "txt_token_count",
     f"""SELECT doc_id,
                len({_W_TEXT}) AS n_ws_tokens,

@@ -854,3 +854,28 @@ class TestSamplingEdgeContracts:
             spark.range(0, 5000), F.col("id"), rate=1 / 256
         ).count()
         assert 0 < n < 100
+
+
+def test_readability_hand_computed(spark):
+    from kusuma_metamorph_etl_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [
+            # 6 words, 2 sentences, 7 vowel groups: the/cat/sat/it/was
+            # contribute 1 each, happy contributes 2 (a, y)
+            (1, "the cat sat. it was happy!"),
+            (2, "word"),  # fragment: 1 word, sentences floor to 1
+            (3, ""),  # no words: undefined, NULL
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["fk"]
+        for r in df.select("doc_id", readability(F.col("text")).alias("fk")).collect()
+    }
+    expected_1 = round(0.39 * (6 / 2) + 11.8 * (7 / 6) - 15.59, 6)
+    assert got[1] == expected_1
+    assert got[2] == round(0.39 * 1 + 11.8 * 1 - 15.59, 6)
+    assert got[3] is None
+    assert got[4] is None
