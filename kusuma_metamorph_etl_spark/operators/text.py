@@ -225,6 +225,39 @@ def ngram_repetition(text: Column, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL for crawl dedup — URL-keyed exact dedup is the
+    FIRST dedup pass of every web-scale corpus pipeline, and raw URLs
+    split the same page across case, tracking-param, default-port, and
+    fragment variants.
+
+    Deterministic regexp chain, each step expressible identically in
+    Java regex (Spark) and RE2 (the oracle engine — no lookaheads used):
+    trim; drop the ``#fragment``; lowercase scheme+host (extract the
+    authority prefix, lower it, re-attach the untouched path — path case
+    is significant); strip default ``:80``/``:443`` ports; remove
+    ``utm_*``/``gclid``/``fbclid`` tracking params (mid-query with their
+    trailing ``&``, then a trailing one with its leading ``?``/``&``);
+    collapse a leftover trailing ``?``/``&`` and trailing slashes.
+
+    Declared out of scope (the tokenizer-not-regexp seam): query-param
+    SORTING, percent-decoding, IDN/punycode — pipelines needing
+    byte-identical canonical forms across param orderings add a
+    tokenize-sort pass on top.
+    """
+    u = F.trim(url)
+    u = F.regexp_replace(u, r"#.*$", "")
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(F.lower(head), tail)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    u = F.regexp_replace(u, r"(?:utm_[^=&]*|gclid|fbclid)=[^&]*&", "")
+    u = F.regexp_replace(u, r"[?&](?:utm_[^=&]*|gclid|fbclid)=[^&]*$", "")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    return F.regexp_replace(u, r"/+$", "")
+
+
 def readability(text: Column) -> Column:
     """Flesch–Kincaid grade level — the readability quality signal corpus
     curation pipelines filter/stratify on (edu-quality classifiers are

@@ -57,6 +57,86 @@ _SHINGLES = (
 # ---------------------------------------------------------------- text analysis
 
 @register(
+    "txt_url_normalize",
+    r"""WITH raw AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'HTTPS://Example.COM:443/item/' || doc_id
+                               || '?utm_source=feed&id=' || doc_id || '#top'
+                   WHEN 1 THEN 'http://Shop.example.com:80/p/' || doc_id || '/'
+                   WHEN 2 THEN 'http://a.example.net/?utm_a=1&utm_b=' || doc_id
+                   WHEN 3 THEN 'https://b.example.org/x?a=' || doc_id
+                               || '&gclid=z&b=2'
+                   ELSE 'https://c.example.net/deep/' || doc_id || '///'
+                 END AS url_raw
+          FROM documents),
+        s1 AS (SELECT doc_id, url_raw,
+                      regexp_replace(trim(url_raw), '#.*$', '') AS u FROM raw),
+        s2 AS (SELECT doc_id, url_raw,
+                      concat(lower(regexp_extract(u,
+                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                             regexp_replace(u,
+                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''))
+                          AS u FROM s1),
+        s3 AS (SELECT doc_id, url_raw,
+                      regexp_replace(
+                        regexp_replace(u, '^(http://[^/:?#]+):80([/?#]|$)',
+                                       '\1\2'),
+                        '^(https://[^/:?#]+):443([/?#]|$)', '\1\2')
+                          AS u FROM s2),
+        s4 AS (SELECT doc_id, url_raw,
+                      regexp_replace(u, '(?:utm_[^=&]*|gclid|fbclid)=[^&]*&',
+                                     '', 'g') AS u FROM s3),
+        s5 AS (SELECT doc_id, url_raw,
+                      regexp_replace(u,
+                        '[?&](?:utm_[^=&]*|gclid|fbclid)=[^&]*$', '')
+                          AS u FROM s4),
+        s6 AS (SELECT doc_id, url_raw,
+                      regexp_replace(regexp_replace(u, '[?&]+$', ''),
+                                     '/+$', '') AS u FROM s5)
+        SELECT doc_id, url_raw, u AS url_norm FROM s6""",
+)
+def txt_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization ([EXT] crawl-dedup primitive;
+    `operators/text.py::normalize_url`): deterministic messy-URL
+    synthesis from doc_id (each residue class exercises one rule —
+    fragment+port+tracking, default port+trailing slash, multi-utm,
+    mid-query gclid, slash run), normalized by the engine-portable
+    regexp chain.  The DuckDB mirror needs the 'g' flag on the
+    mid-query tracking step (RE2 replaces first-match by default;
+    Spark replaces all)."""
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("HTTPS://Example.COM:443/item/"), d,
+                F.lit("?utm_source=feed&id="), d, F.lit("#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("http://Shop.example.com:80/p/"), d, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("http://a.example.net/?utm_a=1&utm_b="), d),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://b.example.org/x?a="), d, F.lit("&gclid=z&b=2")),
+        )
+        .otherwise(F.concat(F.lit("https://c.example.net/deep/"), d, F.lit("///")))
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("url_raw"),
+        text.normalize_url(raw).alias("url_norm"),
+    )
+
+
+@register(
     "txt_readability",
     f"""SELECT doc_id,
                CAST(n_words AS BIGINT) AS n_words,

@@ -879,3 +879,29 @@ def test_readability_hand_computed(spark):
     assert got[2] == round(0.39 * 1 + 11.8 * 1 - 15.59, 6)
     assert got[3] is None
     assert got[4] is None
+
+
+def test_normalize_url_rules(spark):
+    from kusuma_metamorph_etl_spark.operators.text import normalize_url
+
+    cases = {
+        "HTTPS://Ex.COM:443/Path/?utm_source=x&id=3#frag": "https://ex.com/Path/?id=3",
+        "http://A.com:80/": "http://a.com",
+        "http://a.com/?utm_a=1&utm_b=2": "http://a.com",
+        "https://b.org/x?a=1&gclid=z&b=2": "https://b.org/x?a=1&b=2",
+        "ftp://Mixed.Case/Z": "ftp://mixed.case/Z",  # path case preserved
+        "no-scheme/path?utm_x=1": "no-scheme/path",
+        "https://c.net/deep/path///": "https://c.net/deep/path",
+        # :8080 is NOT a default port and must survive
+        "http://a.com:8080/x": "http://a.com:8080/x",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {
+        r["u"]: r["n"]
+        for r in df.select("u", normalize_url(F.col("u")).alias("n")).collect()
+    }
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
+    # NULL propagates
+    lone = spark.createDataFrame([(None,)], "u string")
+    assert lone.select(normalize_url(F.col("u")).alias("n")).collect()[0]["n"] is None
