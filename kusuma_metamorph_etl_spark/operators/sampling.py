@@ -477,3 +477,48 @@ def merge_samples(
     never the corpus.
     """
     return fixed_size_sample(samples, key, k, seed)
+
+
+def repeat_epochs(
+    df: DataFrame,
+    factor: float,
+    key: Column,
+    seed: str = "42",
+    out_col: str = "epoch_copy",
+) -> DataFrame:
+    """Materialize FRACTIONAL training epochs deterministically: each row
+    appears ``floor(factor)`` times, plus one more for the
+    content-hash-chosen ``frac(factor)`` share — so ``factor=2.3`` emits
+    every document twice and a reproducible ~30% of them a third time.
+
+    This is the repetition half of data mixing (the weights half is
+    :func:`temperature_sample`): when a curated source should be seen
+    ~2.3x per epoch, the pipeline must EMIT those copies — and which
+    documents get the extra pass must be partition- and engine-invariant
+    or every re-run trains on a different corpus.  Hash-selected rows
+    for the fractional copy are exactly :func:`deterministic_sample`'s
+    draw, so the same documents repeat on any cluster.
+
+    ``out_col`` numbers the copies 1..n (distinct rows for downstream
+    shuffling — feed :func:`deterministic_shuffle` with a
+    (key, epoch_copy) sort key so copies spread across the epoch).
+    ``factor < 1`` degrades to plain subsampling (0 base copies);
+    negative factors raise.  Plan: one narrow projection + explode —
+    fan-out ∝ factor, no shuffle, no driver state.
+    """
+    if factor < 0:
+        raise ValueError(f"repeat_epochs: negative factor {factor}")
+    base = int(factor)
+    frac = round(factor - base, 9)
+    extra = (
+        F.when(hash_unit(key, seed) < F.lit(frac), 1).otherwise(0)
+        if frac > 0
+        else F.lit(0)
+    )
+    n_copies = F.lit(base) + extra
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(out_col, F.explode(F.sequence(F.lit(1), F.col("__n_copies"))))
+        .drop("__n_copies")
+    )

@@ -2721,6 +2721,29 @@ def txt_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_epochs",
+    """WITH r AS (
+         SELECT doc_id, lang,
+                2 + CASE WHEN ('0x' || substr(md5('42|' || doc_id), 1, 8))::BIGINT
+                              / 4294967296.0 < 0.3
+                         THEN 1 ELSE 0 END AS n_copies
+         FROM documents)
+       SELECT doc_id, lang, CAST(u.c AS INTEGER) AS epoch_copy
+       FROM r, unnest(range(1, n_copies + 1)) AS u(c)""",
+)
+def samp_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch repetition ([EXT] sampling;
+    `operators/sampling.py::repeat_epochs`, factor 2.3): every document
+    twice plus a content-hash-chosen ~30% a third time — the repetition
+    half of data mixing, reproducible on any partitioning."""
+    docs = t(spark, sf_dir, "documents")
+    out = sampling.repeat_epochs(docs, 2.3, F.col("doc_id"))
+    return out.select(
+        "doc_id", "lang", F.col("epoch_copy").cast("int").alias("epoch_copy")
+    )
+
+
+@register(
     "samp_temperature",
     """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
         m AS (SELECT min(n) AS nmin FROM c),

@@ -905,3 +905,58 @@ def test_normalize_url_rules(spark):
     # NULL propagates
     lone = spark.createDataFrame([(None,)], "u string")
     assert lone.select(normalize_url(F.col("u")).alias("n")).collect()[0]["n"] is None
+
+
+def test_repeat_epochs_fractional_copies(spark):
+    from kusuma_metamorph_etl_spark.operators.sampling import repeat_epochs
+
+    df = spark.range(0, 1000).select(F.col("id"))
+    out = repeat_epochs(df, 2.3, F.col("id"))
+    counts = {
+        r["id"]: r["n"]
+        for r in out.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every row appears 2 or 3 times; ~30% get the third copy
+    assert set(counts.values()) <= {2, 3}
+    extra = sum(1 for v in counts.values() if v == 3)
+    assert 230 <= extra <= 370, extra
+    # partition-invariant: identical multiset under repartitioning
+    again = {
+        r["id"]: r["n"]
+        for r in repeat_epochs(df.repartition(13), 2.3, F.col("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == counts
+    # factor < 1 degrades to plain subsampling; copies numbered from 1
+    sub = repeat_epochs(df, 0.25, F.col("id"))
+    n_sub = sub.count()
+    assert 180 <= n_sub <= 320
+    assert {r["epoch_copy"] for r in sub.select("epoch_copy").distinct().collect()} == {1}
+    import pytest
+
+    with pytest.raises(ValueError, match="negative"):
+        repeat_epochs(df, -1.0, F.col("id"))
+
+
+def test_normalize_url_idempotent(spark):
+    """Canonicalization must be a projection: normalize(normalize(x)) ==
+    normalize(x)."""
+    from kusuma_metamorph_etl_spark.operators.text import normalize_url
+
+    raws = [
+        "HTTPS://Ex.COM:443/Path/?utm_source=x&id=3#frag",
+        "http://A.com:80/",
+        "http://a.com/?utm_a=1&utm_b=2",
+        "https://b.org/x?a=1&gclid=z&b=2",
+        "https://c.net/deep/path///",
+        "no-scheme/path?utm_x=1",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "u string")
+    once = normalize_url(F.col("u"))
+    rows = df.select(
+        once.alias("n1"), normalize_url(once).alias("n2")
+    ).collect()
+    for r in rows:
+        assert r["n1"] == r["n2"], r
