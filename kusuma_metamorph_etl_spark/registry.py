@@ -124,6 +124,10 @@ _PRIORITY_BASIS_ROUND = 7
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
+# Late-r8 registrations (readability, url normalize, fractional epochs)
+# are deferred too: they must queue BEHIND the r7 backlog the r8 window
+# was planned to drain, not displace it (their ext.py insertion points
+# would otherwise put them near the front of registration order).
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset(
     {
         "evt_rate_anomaly_seasonal",  # sibling: evt_rate_anomaly
@@ -133,6 +137,9 @@ DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset(
         "sql_shipping_priority",  # sibling: sql_pricing_summary (green r7)
         "txt_collocations",  # sibling: txt_keywords / txt_perplexity
         "mart_user_engagement",  # sibling: mart_rfm
+        "txt_readability",  # registered late-r8 (oracle-green locally)
+        "txt_url_normalize",  # registered late-r8 (oracle-green locally)
+        "samp_epochs",  # registered late-r8 (oracle-green locally)
     }
 )
 
@@ -231,6 +238,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
   # ---- window cut ----
+    "txt_url_normalize",
+    "txt_readability",
+    "samp_epochs",
     "mart_user_engagement",
     "evt_funnel_timing",
     "dq_psi_categorical",
