@@ -494,3 +494,31 @@ def test_jpeg_roundtrip_error_bounded_property(h, w, seed):
     assert dec.shape == arr.shape
     err = dec.astype(float) - arr.astype(float)
     assert np.sqrt((err**2).mean()) < 10.0
+
+
+@settings(max_examples=_ex(8), deadline=None)
+@given(
+    urls=st.lists(
+        st.text(
+            alphabet="abcXYZ019:/?#&=._%-~ \t" + "é中",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_normalize_url_total_and_idempotent_property(spark, urls):
+    """The URL canonicalizer is TOTAL (never throws, NULL-safe) and a
+    projection (normalize ∘ normalize == normalize) on arbitrary hostile
+    strings — regexp chains are exactly where a stray pattern turns one
+    weird crawl URL into a job-killing exception."""
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.text import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = normalize_url(F.col("u"))
+    rows = df.select(once.alias("n1"), normalize_url(once).alias("n2")).collect()
+    for r in rows:
+        assert r["n1"] == r["n2"]
