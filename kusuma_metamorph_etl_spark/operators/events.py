@@ -158,8 +158,6 @@ def sessionize(
     runs on integer microseconds (``unix_micros``) so there is no float
     boundary ambiguity; ties order by (ts, event id) for determinism.
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
     new_session = (
@@ -190,16 +188,27 @@ def retention_cohorts(
     key (both sides shuffle on the same key — co-partitioned), then one
     (cohort, offset) aggregation with map-side partial distinct-count.
     """
+    return (
+        _cohort_frame(events, user_col, ts_col)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )
+
+
+def _cohort_frame(
+    events: DataFrame, user_col: str, ts_col: str, extra: list[str] | None = None
+) -> DataFrame:
+    """Shared (user, cohort_day, day, day_offset[, extra...]) frame behind
+    :func:`retention_cohorts` and :func:`cohort_revenue` — one user-grain
+    min-date agg + one co-keyed join back; both consumers aggregate it
+    by (cohort_day, day_offset)."""
     first = events.groupBy(user_col).agg(
         F.min(F.to_date(ts_col)).alias("cohort_day")
     )
     return (
-        events.select(user_col, F.to_date(ts_col).alias("day"))
+        events.select(user_col, F.to_date(ts_col).alias("day"), *(extra or []))
         .join(first, on=user_col)
-        .groupBy(
-            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
-        )
-        .agg(F.count_distinct(user_col).alias("n_users"))
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
     )
 
 
@@ -227,8 +236,6 @@ def dedup_within_window(
     the keys (single shuffle, no global window), then keep
     ``row_number() == 1`` per (keys, burst).
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
     prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
     new_burst = (
@@ -389,7 +396,14 @@ def activity_streaks(
             F.max("d").alias("streak_end"),
             F.count(F.lit(1)).alias("streak_days"),
         )
-        .select("user", "streak_start", "streak_end", "streak_days")
+        # output keeps the CALLER's user column name (a hardcoded "user"
+        # broke joins for any user_col != "user" — r8 review)
+        .select(
+            F.col("user").alias(user_col),
+            "streak_start",
+            "streak_end",
+            "streak_days",
+        )
     )
 
 
@@ -412,19 +426,35 @@ def funnel_timing(
     not per-event), with partial aggregation; the huge-cardinality
     escape hatch is the histogram sketch, as everywhere.
     """
+    # POSITIONAL aliases + backtick-quoted column refs + escaped string
+    # literals: raw stage names spliced into F.expr broke on any
+    # non-identifier character (hyphens, quotes) that the sibling
+    # funnel/funnel_one_scan accept fine (r8 review).  Backticks cannot
+    # themselves be escaped portably inside an expr identifier — reject.
+    for st in stages:
+        if "`" in st:
+            raise ValueError(
+                f"funnel_timing: stage name {st!r} contains a backtick"
+            )
+
+    def lit_str(v: str) -> str:
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     f = funnel_one_scan(events, stages, user_col, ts_col, type_col)
     aggs = []
-    for s1, s2 in zip(stages, stages[1:]):
-        diff = f"(unix_micros(t_{s2}) - unix_micros(t_{s1})) / 1e6"
+    for i, (s1, s2) in enumerate(zip(stages, stages[1:])):
+        diff = (
+            f"(unix_micros(`t_{s2}`) - unix_micros(`t_{s1}`)) / 1e6"
+        )
         aggs += [
-            F.count(F.col(f"t_{s2}")).alias(f"__n_{s2}"),
-            F.round(F.expr(f"percentile({diff}, 0.5)"), 6).alias(f"__med_{s2}"),
-            F.round(F.expr(f"percentile({diff}, 0.9)"), 6).alias(f"__p90_{s2}"),
+            F.count(F.col(f"t_{s2}")).alias(f"__n_{i}"),
+            F.round(F.expr(f"percentile({diff}, 0.5)"), 6).alias(f"__med_{i}"),
+            F.round(F.expr(f"percentile({diff}, 0.9)"), 6).alias(f"__p90_{i}"),
         ]
     wide = f.agg(*aggs)
     stack_args = ", ".join(
-        f"'{s1}', '{s2}', __n_{s2}, __med_{s2}, __p90_{s2}"
-        for s1, s2 in zip(stages, stages[1:])
+        f"{lit_str(s1)}, {lit_str(s2)}, __n_{i}, __med_{i}, __p90_{i}"
+        for i, (s1, s2) in enumerate(zip(stages, stages[1:]))
     )
     return wide.select(
         F.expr(
@@ -448,15 +478,9 @@ def cohort_revenue(
     (`functions/numeric.py::decimal_sum` semantics)."""
     from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
 
-    first = events.groupBy(user_col).agg(
-        F.min(F.to_date(ts_col)).alias("cohort_day")
-    )
     return (
-        events.select(user_col, F.to_date(ts_col).alias("day"), value_col)
-        .join(first, on=user_col)
-        .groupBy(
-            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
-        )
+        _cohort_frame(events, user_col, ts_col, extra=[value_col])
+        .groupBy("cohort_day", "day_offset")
         .agg(
             F.count_distinct(user_col).alias("n_users"),
             decimal_sum(F.col(value_col)).alias("revenue"),

@@ -3009,30 +3009,31 @@ def mm_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gain halving, naive 2x decimation, and fixed-length zero-padding
     over REAL WAV decode→re-encode.  Oracle: post-op sample counts from
     the synthesis contract; reversal and padding must additionally
-    preserve the exact int64 sum of absolute samples (permutation /
-    zero-extension invariants) — violating rows drop in-query."""
+    preserve the ORIGINAL decode's exact int64 |sample| sum (permutation
+    / zero-extension invariants) — violating rows drop in-query.  The
+    witness is the INDEPENDENT plain-decode path, not a second augment
+    run (r8 review: two augment passes could share a decode/re-encode
+    bug and still agree; the original decode cannot)."""
+    import numpy as np
+
     docs = t(spark, sf_dir, "documents")
     wav = multimodal.attach_audio_payload(docs)
+
+    def orig_abs_sum(payload: bytes) -> dict:
+        audio = multimodal.decode_audio(payload)
+        return {
+            "orig_abs": int(np.abs(audio["samples"].astype(np.int64)).sum())
+        }
+
     orig = multimodal.extract_binary_features(
-        wav,
-        decoder=multimodal.audio_features,
-        schema=multimodal.AUDIO_FEATURE_SCHEMA,
-    ).select("doc_id", F.col("n_samples").alias("orig_n"))
-    aug = multimodal.audio_augment(wav)
-    # cross-op witness: reverse (a permutation) and pad_256 (zero
-    # extension) must report the SAME exact int64 |sample| sum — two
-    # independent transform paths agreeing on the invariant; a decode or
-    # re-encode bug in either empties the gated rows.
-    ref_abs = (
-        multimodal.audio_augment(wav, ops=["pad_256"])
-        .select("doc_id", F.col("sum_abs").alias("ref_abs"))
+        wav, decoder=orig_abs_sum, schema="doc_id long, orig_abs long"
     )
+    aug = multimodal.audio_augment(wav)
     return (
         aug.join(orig, "doc_id")
-        .join(ref_abs, "doc_id")
         .filter(
             (~F.col("op").isin("reverse", "pad_256"))
-            | (F.col("sum_abs") == F.col("ref_abs"))
+            | (F.col("sum_abs") == F.col("orig_abs"))
         )
         .select("doc_id", "op", "n_samples")
     )
@@ -3178,7 +3179,7 @@ def dedup_normalized_nfkc_err(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-Stability-Index drift gate ([EXT] robust stats;
     `operators/stats.py::psi_drift`): order-value distribution of the
-    pre-1995 reference window vs the 1995+ current window, binned on
+    pre-1998 reference window vs the 1998 current window, binned on
     shared bounds, Laplace-smoothed, decimal-summed — the snapshot-drift
     monitor composed over the mergeable histogram sketch."""
     from kusuma_metamorph_etl_spark.operators.stats import psi_drift
@@ -3359,15 +3360,15 @@ def mart_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "evt_streaks",
     """WITH days AS (
-         SELECT DISTINCT user_id AS user, CAST(ts AS DATE) AS d FROM events),
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
        isl AS (
-         SELECT user, d,
+         SELECT user_id, d,
                 date_diff('day', DATE '1970-01-01', d)
-                - row_number() OVER (PARTITION BY user ORDER BY d) AS island
+                - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
          FROM days)
-       SELECT user, min(d) AS streak_start, max(d) AS streak_end,
+       SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
               count(*) AS streak_days
-       FROM isl GROUP BY user, island""",
+       FROM isl GROUP BY user_id, island""",
 )
 def evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-day activity streaks ([EXT] event analytics;
@@ -3522,9 +3523,13 @@ def mart_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.max("session_idx").alias("n_sessions"),
     )
-    st = activity_streaks(ev).groupBy("user").agg(
-        F.max("streak_days").alias("longest_streak"),
-        F.sum("streak_days").alias("n_active_days"),
+    st = (
+        activity_streaks(ev)
+        .groupBy(F.col("user_id").alias("user"))
+        .agg(
+            F.max("streak_days").alias("longest_streak"),
+            F.sum("streak_days").alias("n_active_days"),
+        )
     )
     last = ev.groupBy(F.col("user_id").alias("user")).agg(
         F.datediff(

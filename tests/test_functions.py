@@ -169,7 +169,7 @@ def test_activity_streaks_gaps_and_islands(spark):
     ]
     df = spark.createDataFrame(rows, ["user_id", "ts"])
     got = {
-        (r["user"], r["streak_start"].isoformat()): (
+        (r["user_id"], r["streak_start"].isoformat()): (
             r["streak_end"].isoformat(), r["streak_days"]
         )
         for r in activity_streaks(df).collect()
