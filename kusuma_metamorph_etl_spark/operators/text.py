@@ -225,6 +225,44 @@ def ngram_repetition(text: Column, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def html_to_text(html: Column) -> Column:
+    """Strip HTML to whitespace-normalized text — the step between a
+    crawl source (WARC payloads) and every text operator downstream
+    (quality, language ID, dedup): feeding raw markup to those measures
+    tags, not prose.
+
+    Deterministic regexp chain, portable across Java regex and RE2 (the
+    oracle engine): drop ``<script>``/``<style>`` blocks WITH their
+    contents (``(?is)`` + non-greedy, both supported in RE2 — no
+    lookaround used) and HTML comments; every remaining tag becomes a
+    space (block/inline distinction is deliberately ignored — the
+    whitespace collapse at the end makes it moot for the downstream
+    token-level signals); the half-dozen entities that dominate real
+    pages decode (``&amp;`` LAST, so ``&amp;lt;`` yields the literal
+    ``&lt;`` instead of double-decoding); whitespace runs collapse to
+    one space and the result is trimmed.
+
+    Declared scope: this is the cheap scan-speed path for token-level
+    pipelines, not a DOM renderer — numeric character references,
+    ``<pre>`` fidelity, and table structure are the seam where a real
+    extractor (trafilatura-class) plugs in via mapInPandas.
+    """
+    t = F.regexp_replace(html, r"(?is)<script\b.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # LAST: &amp;lt; must become &lt;, not <
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def normalize_url(url: Column) -> Column:
     """Canonicalize a URL for crawl dedup — URL-keyed exact dedup is the
     FIRST dedup pass of every web-scale corpus pipeline, and raw URLs

@@ -57,6 +57,56 @@ _SHINGLES = (
 # ---------------------------------------------------------------- text analysis
 
 @register(
+    "txt_html_to_text",
+    """WITH raw AS (
+         SELECT doc_id,
+                '<html><head><style>p {c: ' || doc_id || '}</style>'
+                || '<script>if (1 < 2) { x("<p>"); }</script></head>'
+                || '<body><h1>Doc ' || doc_id || '</h1><!-- c' || doc_id
+                || ' --><p>A &amp; B &quot;q&quot;&nbsp;&#39;s&#39;</p>'
+                || '<div>' || text || '</div></body></html>' AS html
+         FROM documents),
+       s1 AS (SELECT doc_id,
+                     regexp_replace(html, '<script\\b.*?</script\\s*>', ' ',
+                                    'gis') AS t FROM raw),
+       s2 AS (SELECT doc_id,
+                     regexp_replace(t, '<style\\b.*?</style\\s*>', ' ', 'gis')
+                         AS t FROM s1),
+       s3 AS (SELECT doc_id, regexp_replace(t, '<!--.*?-->', ' ', 'gs') AS t
+              FROM s2),
+       s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'gs') AS t
+              FROM s3),
+       s5 AS (SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(t,
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
+                         AS t
+              FROM s4)
+       SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean
+       FROM s5""",
+)
+def txt_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML->text extraction ([EXT] crawl preprocessing;
+    `operators/text.py::html_to_text`): deterministic markup wrapped
+    around each document (style/script blocks with tag-lookalike
+    contents, comments, the dominant entities), stripped back to
+    whitespace-normalized prose — the step between a WARC source and
+    every downstream text signal."""
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><style>p {c: "), d, F.lit("}</style>"),
+        F.lit('<script>if (1 < 2) { x("<p>"); }</script></head>'),
+        F.lit("<body><h1>Doc "), d, F.lit("</h1><!-- c"), d,
+        F.lit(" --><p>A &amp; B &quot;q&quot;&nbsp;&#39;s&#39;</p>"),
+        F.lit("<div>"), F.col("text"), F.lit("</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id", text.html_to_text(html).alias("text_clean")
+    )
+
+
+@register(
     "txt_url_normalize",
     r"""WITH raw AS (
           SELECT doc_id,

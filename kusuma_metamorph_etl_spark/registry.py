@@ -140,6 +140,7 @@ DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset(
         "txt_readability",  # registered late-r8 (oracle-green locally)
         "txt_url_normalize",  # registered late-r8 (oracle-green locally)
         "samp_epochs",  # registered late-r8 (oracle-green locally)
+        "txt_html_to_text",  # registered late-r8 (oracle-green locally)
     }
 )
 
@@ -238,6 +239,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
   # ---- window cut ----
+    "txt_html_to_text",
     "txt_url_normalize",
     "txt_readability",
     "samp_epochs",

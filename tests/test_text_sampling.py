@@ -960,3 +960,26 @@ def test_normalize_url_idempotent(spark):
     ).collect()
     for r in rows:
         assert r["n1"] == r["n2"], r
+
+
+def test_html_to_text_strips_blocks_tags_entities(spark):
+    from kusuma_metamorph_etl_spark.operators.text import html_to_text
+
+    html = (
+        '<html><head><style>p {color: red}</style>'
+        '<SCRIPT src="x">var a = "<p>";</script></head>'
+        "<body><h1>Title</h1><p>Hello &amp; welcome to &quot;the&quot; "
+        "site.</p><!-- note --><div>Line&nbsp;two &amp;lt;tag&amp;gt;</div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "plain, no markup"), (3, None)],
+                               "doc_id long, h string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    # script/style contents gone (incl. the "<p>" INSIDE the script),
+    # tags -> spaces, entities decoded, &amp;lt; decodes ONCE to &lt;
+    assert got[1] == 'Title Hello & welcome to "the" site. Line two &lt;tag&gt;'
+    assert got[2] == "plain, no markup"
+    assert got[3] is None
