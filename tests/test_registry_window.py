@@ -38,8 +38,11 @@ def test_window_front_loads_zero_evidence_rows():
     window = set(registry._PRIORITY[:WINDOW])
     spilled = [n for n in zero if n not in window]
     assert all(n in registry.DEFERRED_TO_NEXT_WINDOW for n in spilled), spilled
-    # deferral is a pressure valve, not a parking lot
-    assert len(spilled) <= 10
+    # deferral is a pressure valve, not a parking lot: everything
+    # spilled must fit comfortably in the NEXT 50-slot window with room
+    # left for re-rotating stale evidence (15 caps the spill at under a
+    # third of a window)
+    assert len(spilled) <= 15
 
 
 def test_err_companions_share_their_windows():
