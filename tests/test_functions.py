@@ -331,3 +331,30 @@ def test_ab_lift_missing_arm_is_visible_not_empty(spark):
     ).collect()[0]
     assert (got["na"], got["ca"], got["nb"], got["cb"]) == (1, 1, 2, 1)
     assert got["rate_a"] == 1.0 and got["rate_b"] == 0.5
+
+
+def test_funnel_timing_accepts_hostile_stage_names(spark):
+    """Regression (r8 review): stage names spliced raw into F.expr/stack
+    crashed on any non-identifier character the sibling funnel accepts
+    (hyphens, quotes).  Backticked refs + positional aliases + escaped
+    literals make the same names work; backticks themselves reject."""
+    import datetime as dt
+
+    import pytest
+
+    from kusuma_metamorph_etl_spark.operators.events import funnel_timing
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, "page-view", t0),
+        (1, "add-to-cart", t0 + dt.timedelta(seconds=30)),
+        (2, "page-view", t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = funnel_timing(df, ["page-view", "add-to-cart"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["stage_from"], r["stage_to"]) == ("page-view", "add-to-cart")
+    assert r["n_converted"] == 1 and r["median_seconds"] == 30.0
+    with pytest.raises(ValueError, match="backtick"):
+        funnel_timing(df, ["a`b", "c"])
