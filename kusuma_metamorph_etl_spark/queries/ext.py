@@ -57,6 +57,91 @@ _SHINGLES = (
 # ---------------------------------------------------------------- text analysis
 
 @register(
+    "mart_crawl_prep",
+    """WITH raw AS (
+         SELECT doc_id,
+                '<html><body><h1>Doc ' || doc_id || '</h1><p>' || text
+                || '</p><!-- c --></body></html>' AS html,
+                'HTTPS://Site.Example.COM/page/' || (doc_id % 50)
+                || '?utm_source=crawl&utm_v=' || doc_id || '#frag' AS url_raw
+         FROM documents),
+       stripped AS (
+         SELECT doc_id, url_raw,
+                trim(regexp_replace(
+                    regexp_replace(html, '<[^>]*>', ' ', 'gs'),
+                    '\\s+', ' ', 'g')) AS text_clean
+         FROM raw),
+       urln AS (
+         SELECT doc_id, text_clean,
+                regexp_replace(
+                  regexp_replace(
+                    concat(lower(regexp_extract(regexp_replace(url_raw,
+                               '#.*$', ''),
+                               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                           regexp_replace(regexp_replace(url_raw, '#.*$', ''),
+                               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')),
+                    '(?:utm_[^=&]*|gclid|fbclid)=[^&]*&', '', 'g'),
+                  '[?&](?:utm_[^=&]*|gclid|fbclid)=[^&]*$', '') AS url_half
+         FROM stripped),
+       urln2 AS (
+         SELECT doc_id, text_clean,
+                regexp_replace(regexp_replace(url_half, '[?&]+$', ''),
+                               '/+$', '') AS url_norm
+         FROM urln),
+       q AS (
+         SELECT doc_id, url_norm,
+                CAST(len(list_filter(regexp_split_to_array(text_clean,
+                    '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         FROM urln2),
+       kept AS (SELECT * FROM q WHERE n_tokens >= 20),
+       dedup AS (
+         SELECT doc_id, url_norm, n_tokens,
+                min(doc_id) OVER (PARTITION BY url_norm) AS keep_id
+         FROM kept)
+       SELECT doc_id, url_norm, n_tokens
+       FROM dedup WHERE doc_id = keep_id""",
+)
+def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-preparation composition capstone ([EXT]): the WARC-shaped
+    pipeline assembled from this round's registered pieces — synthesized
+    HTML stripped to text (`html_to_text`), a token-count floor (the
+    cheap quality gate), and URL-keyed exact dedup over CANONICALIZED
+    URLs (`normalize_url`; the synthesized raw URLs collide 10-to-1 only
+    AFTER tracking params and fragments strip, so the dedup is exercised
+    for real).  One narrow projection chain + one url-keyed window —
+    shuffle count independent of corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), d, F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><!-- c --></body></html>"),
+    )
+    url_raw = F.concat(
+        F.lit("HTTPS://Site.Example.COM/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=crawl&utm_v="), d, F.lit("#frag"),
+    )
+    staged = docs.select(
+        "doc_id",
+        text.html_to_text(html).alias("text_clean"),
+        text.normalize_url(url_raw).alias("url_norm"),
+    ).select(
+        "doc_id",
+        "url_norm",
+        F.size(text.words(F.col("text_clean"))).cast("long").alias("n_tokens"),
+    )
+    kept = staged.filter(F.col("n_tokens") >= 20)
+    from pyspark.sql import Window as W
+
+    keep = F.min("doc_id").over(W.partitionBy("url_norm"))
+    return (
+        kept.withColumn("__keep", keep)
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "url_norm", "n_tokens")
+    )
+
+
+@register(
     "txt_html_to_text",
     """WITH raw AS (
          SELECT doc_id,

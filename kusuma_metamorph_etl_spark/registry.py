@@ -141,6 +141,7 @@ DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset(
         "txt_url_normalize",  # registered late-r8 (oracle-green locally)
         "samp_epochs",  # registered late-r8 (oracle-green locally)
         "txt_html_to_text",  # registered late-r8 (oracle-green locally)
+        "mart_crawl_prep",  # registered late-r8 (oracle-green locally)
     }
 )
 
@@ -239,6 +240,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
   # ---- window cut ----
+    "mart_crawl_prep",
     "txt_html_to_text",
     "txt_url_normalize",
     "txt_readability",
