@@ -74,6 +74,7 @@ HEADLINE = [
     "ts_ewma",  # bounded fan-out EWMA over the daily aggregate
     "txt_unigram_roundtrip",  # unigram train + distributed Viterbi encode
     "mm_transcode",  # all four image codecs, decode + re-encode, one pass
+    "mart_crawl_prep",  # html strip + quality floor + URL-canonical dedup
 ]
 
 
