@@ -276,7 +276,8 @@ def normalize_url(url: Column) -> Column:
     is significant); strip default ``:80``/``:443`` ports; remove
     ``utm_*``/``gclid``/``fbclid`` tracking params (mid-query with their
     trailing ``&``, then a trailing one with its leading ``?``/``&``);
-    collapse a leftover trailing ``?``/``&`` and trailing slashes.
+    collapse trailing ``?``/``&``/slash junk in one class (sequential
+    passes broke idempotence on tails like ``?/``).
 
     Declared out of scope (the tokenizer-not-regexp seam): query-param
     SORTING, percent-decoding, IDN/punycode — pipelines needing
@@ -292,8 +293,10 @@ def normalize_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
     u = F.regexp_replace(u, r"(?:utm_[^=&]*|gclid|fbclid)=[^&]*&", "")
     u = F.regexp_replace(u, r"[?&](?:utm_[^=&]*|gclid|fbclid)=[^&]*$", "")
-    u = F.regexp_replace(u, r"[?&]+$", "")
-    return F.regexp_replace(u, r"/+$", "")
+    # ONE trailing-junk class, not sequential ?&-then-/ passes: a tail
+    # like "?/" stripped the slash first and left the "?" for a SECOND
+    # normalize to remove — hypothesis found the idempotence break
+    return F.regexp_replace(u, r"[?&/]+$", "")
 
 
 def readability(text: Column) -> Column:

@@ -85,8 +85,7 @@ _SHINGLES = (
          FROM stripped),
        urln2 AS (
          SELECT doc_id, text_clean,
-                regexp_replace(regexp_replace(url_half, '[?&]+$', ''),
-                               '/+$', '') AS url_norm
+                regexp_replace(url_half, '[?&/]+$', '') AS url_norm
          FROM urln),
        q AS (
          SELECT doc_id, url_norm,
@@ -227,8 +226,7 @@ def txt_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                         '[?&](?:utm_[^=&]*|gclid|fbclid)=[^&]*$', '')
                           AS u FROM s4),
         s6 AS (SELECT doc_id, url_raw,
-                      regexp_replace(regexp_replace(u, '[?&]+$', ''),
-                                     '/+$', '') AS u FROM s5)
+                      regexp_replace(u, '[?&/]+$', '') AS u FROM s5)
         SELECT doc_id, url_raw, u AS url_norm FROM s6""",
 )
 def txt_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
