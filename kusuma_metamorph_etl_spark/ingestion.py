@@ -13,9 +13,12 @@ Differences from the reference, by design:
 * the gate runs BEFORE any write, so a duplicate feed day leaves both
   sinks untouched (reference gates post-hoc per table);
 * ``raw`` never carries ``DAY_DT`` (reference quirk B2);
-* the whole thing is one lazy plan until the two write actions inside
-  ``dual_write`` (which persists once — reference recomputed lineage per
-  action, anti-pattern A2).
+* lazy until the FIRST action, which is the duplicate gate's bounded
+  collect — one extra scan of the source before ``dual_write`` persists
+  and writes, the declared price of gating BEFORE any sink is touched
+  (the reference instead recomputed full lineage per action,
+  anti-pattern A2; feeds too large to scan twice gate on the persisted
+  frame instead).
 """
 
 from __future__ import annotations

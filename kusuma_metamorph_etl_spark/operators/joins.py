@@ -61,6 +61,12 @@ def range_join(
     keys — the range join Spark's planner turns into a nested-loop unless
     helped.
 
+    ``how`` accepts only inner-style joins: the containment refine runs
+    AFTER the join, so an outer join's null-padded rows would fail the
+    predicate and drop — silently returning the inner result under an
+    outer name (r8 review).  Compose points-with-no-interval as
+    ``points.join(range_join(...), on=point_keys, how="left_anti")``.
+
     Scale shape — chunked equi-join: bucket the time axis into
     ``chunk_seconds`` chunks; each interval explodes to the chunks it
     covers (fan-out = interval length / chunk, bounded for short
@@ -71,6 +77,12 @@ def range_join(
     interval length (fan-out ≈ 1-2) and ≤ the key-hour data volume a task
     can refine.
     """
+    if how not in ("inner", "cross"):
+        raise ValueError(
+            f"range_join: how={how!r} unsupported — the post-join refine "
+            "filter drops outer-join null rows, silently degrading to "
+            "inner; see docstring for the left-anti composition"
+        )
     keys = on or []
     chunk = F.lit(chunk_seconds)
     p = points.withColumn(
@@ -190,22 +202,55 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (*on, right_ts)
     ]
+    collide = sorted(set(value_cols) & set(left.columns))
+    if collide:
+        # silently emitting two same-named columns poisons the FIRST
+        # downstream reference with AMBIGUOUS_REFERENCE (r8 review)
+        raise ValueError(
+            f"asof_join: right value columns {collide} collide with left "
+            "columns — alias one side before joining, or pass value_cols"
+        )
     payload = [c for c in left.columns if c not in on]  # left's own columns
+
+    from pyspark.sql.types import MapType
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if hasattr(dt, "elementType"):
+            return _has_map(dt.elementType)
+        if hasattr(dt, "fields"):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    # Tie-break among equal-timestamp rights sorts a struct of the value
+    # columns — but map types are UNORDERABLE and would fail the whole
+    # plan at analysis (r8 review).  The tie-break struct therefore
+    # carries only the orderable value columns; map payloads still ride
+    # __rv to the output.  (Rights equal on ts AND every orderable value
+    # then tie arbitrarily — acceptable: they differ only in map fields.)
+    orderable = [c for c in value_cols if not _has_map(right.schema[c].dataType)]
     packed = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
+    )
+    tiebreak = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in orderable]
     )
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         packed.alias("__rv"),
+        tiebreak.alias("__rtb"),
     )
     rv_type = r.schema["__rv"].dataType
+    rtb_type = r.schema["__rtb"].dataType
     l = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(rv_type).alias("__rv"),
+        F.lit(None).cast(rtb_type).alias("__rtb"),
         *payload,
     )
     r_padded = r.select(
@@ -216,9 +261,9 @@ def asof_join(
         ],
     )
     merged = l.unionByName(r_padded)
-    order_b = [F.asc("__ts"), F.asc("__side"), F.asc("__rv")]
+    order_b = [F.asc("__ts"), F.asc("__side"), F.asc("__rtb")]
     # forward: walk time backwards so "last seen" = next at-or-after
-    order_f = [F.desc("__ts"), F.asc("__side"), F.desc("__rv")]
+    order_f = [F.desc("__ts"), F.asc("__side"), F.desc("__rtb")]
     delta = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
 
     def _carry(order) -> Column:
@@ -303,8 +348,9 @@ def fuzzy_self_pairs(
     All-pairs never happens.
     """
     variants = df.select(
-        F.col(id_col), F.col(key_col), F.explode(deletion_variants(F.col(key_col))).alias("__var")
-    ).select(F.col(id_col), F.col("__var"))
+        F.col(id_col),
+        F.explode(deletion_variants(F.col(key_col))).alias("__var"),
+    )
     cand = (
         variants.toDF("a", "__var")
         .join(variants.toDF("b", "__var"), on="__var")

@@ -25,12 +25,36 @@ SALT = "__salt"
 
 
 def with_salt(df: DataFrame, buckets: int, salt_col: str = SALT) -> DataFrame:
-    """Deterministic per-row salt in [0, buckets): xxhash64 over the full
-    row.  Identical rows share a salt — harmless, they'd land in the same
-    task anyway."""
-    return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    """Deterministic per-row salt in [0, buckets): xxhash64 over the
+    row's HASHABLE columns.  Identical rows share a salt — harmless,
+    they'd land in the same task anyway.
+
+    Map-typed columns are excluded from the hash: xxhash64 rejects
+    MapType at analysis, so salting the wide event-fact schemas this
+    operator exists for crashed outright (r8 review).  Spread quality is
+    unaffected — any one distinct column already decorrelates the salt
+    from the join key.  An all-map row (no hashable column at all) gets
+    salt 0, the degenerate no-spread case, declared."""
+    from pyspark.sql.types import MapType
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if hasattr(dt, "elementType"):
+            return _has_map(dt.elementType)
+        if hasattr(dt, "fields"):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    hashable = [
+        f.name for f in df.schema.fields if not _has_map(f.dataType)
+    ]
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(buckets))
+        if hashable
+        else F.lit(0)
     )
+    return df.withColumn(salt_col, salt)
 
 
 def replicate_salts(df: DataFrame, buckets: int, salt_col: str = SALT) -> DataFrame:

@@ -75,7 +75,26 @@ def global_percent_rank(
         low_cardinality = (probe["d"] or 0) <= cardinality_threshold
     if low_cardinality:
         return _percent_rank_broadcast_map(df, value_col, out_col, descending)
-    return _percent_rank_range_partitioned(df, value_col, out_col, descending)
+    # The range path buckets via approxQuantile, which accepts only
+    # numeric columns — but timestamps are EXACTLY the near-continuous
+    # keys this path exists for (docstring; r8 review caught the crash).
+    # Rank on an order-isomorphic numeric shadow instead: unix micros
+    # (strictly monotonic, tie-preserving), epoch days for dates.
+    dtype = df.schema[value_col].dataType.typeName()
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        shadow = "__pr_shadow"
+        num = (
+            F.datediff(F.col(value_col), F.lit("1970-01-01").cast("date"))
+            if dtype == "date"
+            else F.unix_micros(F.col(value_col).cast("timestamp"))
+        )
+        return _percent_rank_range_partitioned(
+            df.withColumn(shadow, num), shadow, out_col, descending,
+            cardinality_threshold,
+        ).drop(shadow)
+    return _percent_rank_range_partitioned(
+        df, value_col, out_col, descending, cardinality_threshold
+    )
 
 
 def _percent_rank_broadcast_map(
@@ -116,8 +135,75 @@ def _percent_rank_broadcast_map(
 
 
 
+def _percent_rank_distinct_bucketed(
+    df: DataFrame,
+    value_col: str,
+    out_col: str,
+    descending: bool,
+    num_parts: int,
+) -> DataFrame:
+    """Heavy-skew + high-cardinality regime: rank the DISTINCT-VALUE
+    frame, weighted by per-value row counts, and join the rank map back
+    by value.
+
+    When one value holds most rows, the ROW quantiles collapse (every
+    probe returns the hot value) so range-bucketing rows degenerates —
+    but each value appears ONCE in the distinct frame, so ITS quantiles
+    spread over the tail no matter how skewed the row counts are.  Rows
+    strictly before a value = its bucket's weighted offset + the
+    weighted prefix within the bucket; the per-bucket window runs over
+    ≤ |distinct|/P VALUE rows, never row counts.  The join back is a
+    value-keyed equi-join (the rank map is O(distinct) — too big to
+    broadcast, which is exactly why this regime can't use the broadcast
+    path); its hot-key pressure is one map row joined to the hot rows,
+    which AQE's skew-join split spreads (session default).  NULL values
+    ride the -1 bucket like the row-bucketed path, via a null-safe join
+    key.
+    """
+    from kusuma_metamorph_etl_spark.operators.partitioning import (
+        bucket_offsets,
+        quantile_bucket,
+    )
+
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    bucketed, n_buckets = quantile_bucket(counts, value_col, num_parts)
+    order = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    in_bkt = Window.partitionBy("__bkt").orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_offsets(
+        bucketed, "__bkt", F.col("__cnt"), ascending=not descending
+    )
+    ranked = (
+        bucketed.withColumn(
+            "__before_in_bkt",
+            F.coalesce(F.sum("__cnt").over(in_bkt), F.lit(0)),
+        )
+        .join(F.broadcast(offsets), on="__bkt")
+        .select(
+            F.col(value_col).alias("__rank_value"),
+            F.when(
+                F.col("__total") > 1,
+                (F.col("__bkt_offset") + F.col("__before_in_bkt"))
+                / (F.col("__total") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(out_col),
+        )
+    )
+    return df.join(
+        ranked,
+        on=F.col(value_col).eqNullSafe(F.col("__rank_value")),
+        how="left",
+    ).drop("__rank_value")
+
+
 def _percent_rank_range_partitioned(
-    df: DataFrame, value_col: str, out_col: str, descending: bool
+    df: DataFrame,
+    value_col: str,
+    out_col: str,
+    descending: bool,
+    cardinality_threshold: int = 100_000,
 ) -> DataFrame:
     """High-cardinality path: rank within value-range buckets + tiny offsets.
 
@@ -145,8 +231,8 @@ def _percent_rank_range_partitioned(
     Nulls get bucket -1: first for ascending, last for descending --
     exactly Spark's window null order -- and tie among themselves, so the
     output matches ``PERCENT_RANK() OVER (ORDER BY value [DESC])``
-    including null rows (the broadcast-map path instead leaves nulls
-    unranked, a join-on-null artifact).
+    including null rows (the broadcast-map path ranks nulls identically
+    via its null-safe join — the two regimes agree on nulls by design).
     """
     from kusuma_metamorph_etl_spark.operators.partitioning import (
         bucket_offsets,
@@ -160,11 +246,22 @@ def _percent_rank_range_partitioned(
     bucketed, n_buckets = quantile_bucket(df, value_col, num_parts)
     if n_buckets <= 2:
         # A (near-)constant column yields at most ONE distinct quantile
-        # bound (a constant c gives splits [-inf, c, inf]: two buckets, all
-        # rows in [c, inf)) — bucketing degenerates to a single-task
-        # window.  But such a column IS low-cardinality, where the
-        # broadcast rank map is tiny; use that path instead.
-        return _percent_rank_broadcast_map(df, value_col, out_col, descending)
+        # bound (a constant c gives splits [-inf, c, inf]: two buckets,
+        # all rows in [c, inf)) — bucketing degenerates.  Collapsed ROW
+        # quantiles do NOT imply low cardinality, though (r8 review): a
+        # 99.5%-one-value column can still hide a billion-distinct tail
+        # that would OOM the broadcast rank map.  Probe before choosing:
+        # small distinct → broadcast map; large → rank the DISTINCT-VALUE
+        # frame (each value once, so ITS quantiles spread regardless of
+        # row skew) and join the rank map back by value.
+        probe = df.agg(F.approx_count_distinct(value_col).alias("d")).first()
+        if (probe["d"] or 0) <= cardinality_threshold:
+            return _percent_rank_broadcast_map(
+                df, value_col, out_col, descending
+            )
+        return _percent_rank_distinct_bucketed(
+            df, value_col, out_col, descending, num_parts
+        )
     bkt_window = Window.partitionBy("__bkt").orderBy(order)
     local = bucketed.withColumn("__rank_in_bkt", F.rank().over(bkt_window))
 

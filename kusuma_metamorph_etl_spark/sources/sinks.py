@@ -62,9 +62,16 @@ def dual_write(
     run_date: dt.date | str | None = None,
     stamp_raw_quirk: bool = False,
 ) -> DataFrame:
-    """Overwrite the ``raw`` working copy and append the stamped ``legacy``
+    """Overwrite the ``raw`` working copy and land the stamped ``legacy``
     snapshot from ONE persisted frame (reference pattern at
     ``ingestion_task.py:63-66`` minus anti-patterns A2/B2).
+
+    The legacy write is a DYNAMIC PARTITION OVERWRITE of the batch's own
+    ``DAY_DT`` partition(s), not a plain append: a retried or backfilled
+    run for the same ``run_date`` REPLACES that day instead of appending
+    every row twice (r8 review — the module's idempotent-reprocessing
+    promise was not actually implemented here).  For a new day it equals
+    append; other days are never touched.
 
     ``stamp_raw_quirk=True`` reproduces reference quirk B2 byte-for-byte
     (``ingestion_task.py:283`` writes the *stamped* frame to
@@ -84,7 +91,12 @@ def dual_write(
         # raw: current-day working copy — no snapshot column unless the
         # B2 parity quirk is requested.
         (stamped if stamp_raw_quirk else df).write.mode("overwrite").parquet(raw_path)
-        write_parquet_snapshot(stamped, legacy_path, mode="append")
+        (
+            stamped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(DAY_DT)
+            .parquet(legacy_path)
+        )
         return stamped
     finally:
         df.unpersist()

@@ -361,3 +361,20 @@ def test_vacuum_orders_numeric_versions_by_publish_time(spark, tmp_path):
     assert sorted(deleted) == sorted(["v=1", "v=2", "v=9"]), deleted
     assert read_published(spark, root, version="11").count() == 5
     assert read_published(spark, root).count() == 5
+
+
+def test_dual_write_rerun_is_idempotent_per_day(spark, tmp_path):
+    """Regression (r8 review): a retried/backfilled run for the same
+    run_date used to APPEND the day's rows a second time into legacy;
+    the dynamic partition overwrite replaces exactly that day."""
+    raw, legacy = str(tmp_path / "raw"), str(tmp_path / "legacy")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    dual_write(df, raw, legacy, run_date="2024-06-01")
+    dual_write(df, raw, legacy, run_date="2024-06-01")  # retry, same day
+    dual_write(df, raw, legacy, run_date="2024-06-02")  # next day
+    out = spark.read.parquet(legacy)
+    counts = {
+        str(r["DAY_DT"]): r["n"]
+        for r in out.groupBy("DAY_DT").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"2024-06-01": 10, "2024-06-02": 10}
