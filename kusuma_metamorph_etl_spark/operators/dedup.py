@@ -962,6 +962,126 @@ def substring_pairs(
     return result
 
 
+def incremental_substring_pairs(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    k: int | None = None,
+    max_df: int = 1000,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Incremental substring-level dedup: find duplicated spans between a
+    NEW batch and an existing corpus without re-pairing history against
+    itself — the growing-corpus shape, same economics as
+    :func:`incremental_minhash_near_dups` (cost ∝ |new| × collision
+    rate, never |corpus|²).  In production the history side of the
+    candidate join is the PERSISTED (id, hash, pos) fingerprint sketch
+    :func:`substring_pairs` builds (append-only: tonight's new
+    fingerprints become tomorrow's history); here it derives from
+    ``history_df`` for a self-contained call.
+
+    Plan: winnow-fingerprint BOTH frames (the sketch is ~2/(w+1) rows
+    per character — index-sized); the stop-fingerprint cap counts
+    document frequency over the union of sketches (boilerplate is
+    boilerplate whichever side it sits on); candidates are new×history
+    anchor matches plus, with ``include_new_pairs``, new×new (a < b);
+    the verify joins text in for candidate pairs only and extends each
+    anchor to its maximal literal span.  Output:
+    ``(a, b, a_start, b_start, length, against)`` where ``a`` is always
+    the new-batch id and ``against`` ∈ {'history', 'new'}.  The same id
+    must not appear on both sides.
+    """
+    k = k or max(8, min_len // 2)
+    if k > min_len:
+        raise ValueError(f"k={k} must be <= min_len={min_len}")
+    w = min_len - k + 1
+    fp = _winnow_fingerprints_udf(k, w)
+
+    def sketch(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.col(id_col), fp(F.col(text_col)).alias("f"))
+            .select(id_col, F.explode("f").alias("f"))
+            .select(id_col, "f.h", "f.pos")
+            # shared by the hot-hash count and the candidate joins —
+            # same lazy-localCheckpoint lifetime story as
+            # :func:`substring_pairs`
+            .localCheckpoint(eager=False)
+        )
+
+    new_fps, hist_fps = sketch(new_df), sketch(history_df)
+    hot = (
+        new_fps.select(id_col, "h")
+        .unionByName(hist_fps.select(id_col, "h"))
+        .groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_df)
+        .select("h")
+    )
+    new_f = new_fps.join(F.broadcast(hot), on="h", how="left_anti")
+    hist_f = hist_fps.join(F.broadcast(hot), on="h", how="left_anti")
+
+    left = new_f.select(
+        "h", F.col(id_col).alias("a"), F.col("pos").alias("pos_a")
+    )
+    cross = (
+        left.join(
+            hist_f.select(
+                "h", F.col(id_col).alias("b"), F.col("pos").alias("pos_b")
+            ),
+            on="h",
+        )
+        .select("a", "b", "pos_a", "pos_b")
+        .withColumn("against", F.lit("history"))
+    )
+    cand = cross
+    if include_new_pairs:
+        within = (
+            left.join(
+                new_f.select(
+                    "h", F.col(id_col).alias("b"), F.col("pos").alias("pos_b")
+                ),
+                on="h",
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "pos_a", "pos_b")
+            .withColumn("against", F.lit("new"))
+        )
+        cand = cross.unionByName(within)
+
+    texts_a = new_df.select(
+        F.col(id_col).alias("a"), F.col(text_col).alias("__ta")
+    )
+    texts_b = (
+        history_df.select(
+            F.col(id_col).alias("b"), F.col(text_col).alias("__tb")
+        ).unionByName(
+            new_df.select(
+                F.col(id_col).alias("b"), F.col(text_col).alias("__tb")
+            )
+        )
+        if include_new_pairs
+        else history_df.select(
+            F.col(id_col).alias("b"), F.col(text_col).alias("__tb")
+        )
+    )
+    extend = _extend_match_udf(k)
+    return (
+        cand.join(texts_a, on="a")
+        .join(texts_b, on="b")
+        .withColumn(
+            "s",
+            extend(
+                F.col("__ta"), F.col("__tb"), F.col("pos_a"), F.col("pos_b")
+            ),
+        )
+        .select("a", "b", "against", "s.a_start", "s.b_start", "s.length")
+        .filter(F.col("length") >= min_len)
+        .distinct()
+    )
+
+
 def remove_substring_spans(
     df: DataFrame,
     spans: DataFrame,

@@ -2328,6 +2328,90 @@ def dedup_substring_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gate(expected, stats, ok)
 
 
+@register("dedup_substring_incr", None)  # incremental spans — not SQL-expressible
+def dedup_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup ([EXT];
+    `operators/dedup.py::incremental_substring_pairs`): a synthesized
+    new batch (every 11th document re-identified with a planted
+    mid-document paragraph) checked against the untouched corpus —
+    history is never re-paired against itself, cost ∝ |new|.  Gated by
+    `dedup_substring_incr_err`."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter((F.col("doc_id") % 11 == 0) & (F.length("text") >= 200))
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("QWJX ZVKP " * 12),
+                F.substring("text", 41, 120),
+                F.lit(" PKVZ XJWQ" * 12),
+            ).alias("text"),
+        )
+    )
+    return dedup.incremental_substring_pairs(new, docs, min_len=64).select(
+        "a", "b", "against", "a_start", "b_start", "length"
+    )
+
+
+@register(
+    "dedup_substring_incr_err",
+    """SELECT doc_id + 2000000 AS a, doc_id AS b
+       FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 200""",
+)
+def dedup_substring_incr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable gate for `dedup_substring_incr`: emits the planted
+    (new_id, source_id) pair list, gated on (1) every planted paragraph
+    recovered against history with span ≥ the 120 planted chars, and
+    (2) the incremental pair set equaling the batch
+    `substring_pairs(new ∪ history)` result RESTRICTED to pairs touching
+    a new id — the no-lost-spans contract of the incremental plan."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    eligible = docs.filter(
+        (F.col("doc_id") % 11 == 0) & (F.length("text") >= 200)
+    )
+    new = eligible.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("QWJX ZVKP " * 12),
+            F.substring("text", 41, 120),
+            F.lit(" PKVZ XJWQ" * 12),
+        ).alias("text"),
+    )
+    inc = dedup.incremental_substring_pairs(new, docs, min_len=64)
+    expected = eligible.select(
+        (F.col("doc_id") + 2_000_000).alias("a"),
+        F.col("doc_id").alias("b"),
+    )
+    recovered = inc.filter(
+        (F.col("against") == "history") & (F.col("length") >= 120)
+    ).select("a", "b")
+    missed = expected.join(recovered, ["a", "b"], "left_anti")
+    batch = dedup.substring_pairs(new.unionByName(docs), min_len=64)
+    batch_touching = batch.filter(
+        (F.col("a") >= 2_000_000) | (F.col("b") >= 2_000_000)
+    ).select(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).distinct()
+    inc_norm = inc.select(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).distinct()
+    sym_diff = (
+        batch_touching.exceptAll(inc_norm)
+        .unionByName(inc_norm.exceptAll(batch_touching))
+    )
+    stats = (
+        _n(expected, "n_exp")
+        .crossJoin(_n(missed, "n_miss"))
+        .crossJoin(_n(sym_diff, "n_diff"))
+    )
+    ok = (
+        (F.col("n_exp") > 0)
+        & (F.col("n_miss") == 0)
+        & (F.col("n_diff") == 0)
+    )
+    return _gate(expected, stats, ok)
+
+
 @register("dedup_substring_removal", None)  # rewritten text — not SQL-expressible
 def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-span REMOVAL accounting (Lee et al. remove the repeated

@@ -142,6 +142,8 @@ DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset(
         "samp_epochs",  # registered late-r8 (oracle-green locally)
         "txt_html_to_text",  # registered late-r8 (oracle-green locally)
         "mart_crawl_prep",  # registered late-r8 (oracle-green locally)
+        "dedup_substring_incr",  # registered late-r8 (gate green locally)
+        "dedup_substring_incr_err",  # registered late-r8 (gate green locally)
     }
 )
 
@@ -244,6 +246,8 @@ _PRIORITY: tuple[str, ...] = (
     "txt_html_to_text",
     "txt_url_normalize",
     "txt_readability",
+    "dedup_substring_incr",
+    "dedup_substring_incr_err",
     "samp_epochs",
     "mart_user_engagement",
     "evt_funnel_timing",

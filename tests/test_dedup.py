@@ -545,3 +545,48 @@ def test_lsh_rejects_indivisible_band_config(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_candidates(df, n_hashes=16, bands=5).collect()
+
+
+def test_incremental_substring_matches_batch_restriction(spark):
+    """incremental(new, hist) must equal batch substring_pairs(union)
+    restricted to pairs touching a new id — history is never re-paired
+    against itself, but no cross or within-new span is lost."""
+    from kusuma_metamorph_etl_spark.operators.dedup import (
+        incremental_substring_pairs,
+        substring_pairs,
+    )
+
+    para = "the quick brown fox jumps over the lazy dog again and again " * 4
+    hist_rows = [
+        (i, f"history document {i} " + ("lorem ipsum dolor sit amet " * 10) + str(i))
+        for i in range(10)
+    ]
+    hist_rows.append((42, "anchor " + para + " tail of history"))
+    new_rows = [
+        (100, "fresh crawl page with " + para + " copied from history"),
+        (101, "another new page sharing " + para + " the same paragraph"),
+        (102, "unrelated novel content entirely " + "zebra xylophone " * 20),
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    inc = incremental_substring_pairs(new, hist, min_len=64)
+    got = {(r["a"], r["b"], r["against"]) for r in inc.collect()}
+    # both new docs match the history anchor, and each other
+    assert (100, 42, "history") in got
+    assert (101, 42, "history") in got
+    assert (100, 101, "new") in got
+    assert all(a in (100, 101, 102) for a, _, _ in got)  # a is always new
+
+    batch = substring_pairs(new.unionByName(hist), min_len=64)
+    new_ids = {100, 101, 102}
+    expected_pairs = {
+        (r["a"], r["b"])
+        for r in batch.collect()
+        if r["a"] in new_ids or r["b"] in new_ids
+    }
+    # same pair set up to orientation (batch orders a<b; incremental
+    # puts the new id first)
+    norm_inc = {tuple(sorted(p[:2])) for p in got}
+    norm_batch = {tuple(sorted(p)) for p in expected_pairs}
+    assert norm_inc == norm_batch
