@@ -969,7 +969,7 @@ def incremental_substring_pairs(
     id_col: str = "doc_id",
     min_len: int = 50,
     k: int | None = None,
-    max_df: int = 1000,
+    max_df: int = 50,
     include_new_pairs: bool = True,
 ) -> DataFrame:
     """Incremental substring-level dedup: find duplicated spans between a

@@ -260,7 +260,10 @@ def html_to_text(html: Column) -> Column:
         ("&amp;", "&"),  # LAST: &amp;lt; must become &lt;, not <
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    # explicit class, not \s: Java's \s includes \x0B, RE2's does not
+    # (the words() rule) — the collapse must act on the SAME set both
+    # engines or text_clean diverges from the oracle on a vertical tab
+    return F.trim(F.regexp_replace(t, r"[ \t\n\f\r]+", " "))
 
 
 def normalize_url(url: Column) -> Column:
@@ -291,8 +294,15 @@ def normalize_url(url: Column) -> Column:
     u = F.concat(F.lower(head), tail)
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
-    u = F.regexp_replace(u, r"(?:utm_[^=&]*|gclid|fbclid)=[^&]*&", "")
-    u = F.regexp_replace(u, r"[?&](?:utm_[^=&]*|gclid|fbclid)=[^&]*$", "")
+    # Anchored to the [?&] delimiter and matching the whole RUN of
+    # consecutive tracking params in one go: the unanchored form matched
+    # INSIDE longer names and values ('?xgclid=1&a=2' lost legitimate
+    # params — r8 self-review, confirmed by repro), and a non-run-aware
+    # anchored form left every second param of a run behind (the
+    # delimiter is consumed by the previous match).
+    trk = r"(?:utm_[^=&]*|gclid|fbclid)"
+    u = F.regexp_replace(u, r"([?&])(?:" + trk + r"=[^&]*&)+", "$1")
+    u = F.regexp_replace(u, r"[?&](?:" + trk + r"=[^&]*&?)+$", "")
     # ONE trailing-junk class, not sequential ?&-then-/ passes: a tail
     # like "?/" stripped the slash first and left the "?" for a SECOND
     # normalize to remove — hypothesis found the idempotence break

@@ -83,15 +83,42 @@ def global_percent_rank(
     dtype = df.schema[value_col].dataType.typeName()
     if dtype in ("timestamp", "timestamp_ntz", "date"):
         shadow = "__pr_shadow"
-        num = (
-            F.datediff(F.col(value_col), F.lit("1970-01-01").cast("date"))
-            if dtype == "date"
-            else F.unix_micros(F.col(value_col).cast("timestamp"))
-        )
+        if dtype == "date":
+            num = F.datediff(F.col(value_col), F.lit("1970-01-01").cast("date"))
+        elif dtype == "timestamp_ntz":
+            # wall-clock arithmetic, NOT a session-zone cast: under a DST
+            # session zone the cast collapses spring-forward-gap wall
+            # times onto the next instant, breaking tie preservation
+            # (r8 self-review; this repo pins UTC, but the operator must
+            # not depend on that)
+            num = F.expr(
+                f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{value_col}`)"
+            )
+        else:
+            num = F.unix_micros(F.col(value_col))
         return _percent_rank_range_partitioned(
             df.withColumn(shadow, num), shadow, out_col, descending,
             cardinality_threshold,
         ).drop(shadow)
+    numeric_ok = dtype in (
+        "byte", "short", "integer", "long", "float", "double", "decimal",
+    ) or dtype.startswith("decimal")
+    if not numeric_ok:
+        # approxQuantile is numeric-only, so the range regime cannot
+        # bucket strings/binary — fail loudly instead of deep inside
+        # quantile_bucket (r8 self-review).  The seam for an
+        # order-isomorphic prefix encoding (first 8 bytes as a long —
+        # binary-collation-consistent) is documented here; until a real
+        # corpus needs it, callers rank high-cardinality strings via
+        # low_cardinality=True (exact at any distinct count that fits a
+        # broadcast) or pre-encode.
+        raise ValueError(
+            f"global_percent_rank: high-cardinality path cannot bucket "
+            f"{dtype!r} column {value_col!r} (approxQuantile is "
+            "numeric-only); pass low_cardinality=True or pre-encode an "
+            "order-isomorphic numeric shadow"
+        )
     return _percent_rank_range_partitioned(
         df, value_col, out_col, descending, cardinality_threshold
     )
@@ -165,7 +192,15 @@ def _percent_rank_distinct_bucketed(
         quantile_bucket,
     )
 
-    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = (
+        df.groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        # shared by approxQuantile's driver action, the in-bucket window
+        # and bucket_offsets — without one materialization the O(n) scan
+        # + O(distinct) aggregation re-runs three times (lazy
+        # localCheckpoint: GC-released, no cache-manager pin)
+        .localCheckpoint(eager=False)
+    )
     bucketed, n_buckets = quantile_bucket(counts, value_col, num_parts)
     order = F.col(value_col).desc() if descending else F.col(value_col).asc()
     in_bkt = Window.partitionBy("__bkt").orderBy(order).rowsBetween(

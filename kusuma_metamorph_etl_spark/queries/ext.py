@@ -66,10 +66,24 @@ _SHINGLES = (
                 || '?utm_source=crawl&utm_v=' || doc_id || '#frag' AS url_raw
          FROM documents),
        stripped AS (
+         -- full html_to_text mirror (script/style/comment passes,
+         -- entity decode, explicit whitespace class) so the oracle stays
+         -- textually in sync with the operator even if fixture text ever
+         -- carries markup-significant characters
          SELECT doc_id, url_raw,
                 trim(regexp_replace(
-                    regexp_replace(html, '<[^>]*>', ' ', 'gs'),
-                    '\\s+', ' ', 'g')) AS text_clean
+                    replace(replace(replace(replace(replace(replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(
+                              regexp_replace(html,
+                                '<script\\b.*?</script\\s*>', ' ', 'gis'),
+                              '<style\\b.*?</style\\s*>', ' ', 'gis'),
+                            '<!--.*?-->', ' ', 'gs'),
+                          '<[^>]*>', ' ', 'gs'),
+                        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                        '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                    '[ \\t\\n\\f\\r]+', ' ', 'g')) AS text_clean
          FROM raw),
        urln AS (
          SELECT doc_id, text_clean,
@@ -80,8 +94,10 @@ _SHINGLES = (
                                '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
                            regexp_replace(regexp_replace(url_raw, '#.*$', ''),
                                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')),
-                    '(?:utm_[^=&]*|gclid|fbclid)=[^&]*&', '', 'g'),
-                  '[?&](?:utm_[^=&]*|gclid|fbclid)=[^&]*$', '') AS url_half
+                    '([?&])(?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&)+', '\\1',
+                    'g'),
+                  '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
+                    AS url_half
          FROM stripped),
        urln2 AS (
          SELECT doc_id, text_clean,
@@ -166,7 +182,9 @@ def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
                          AS t
               FROM s4)
-       SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean
+       SELECT doc_id,
+              trim(regexp_replace(t, '[ \\t\\n\\f\\r]+', ' ', 'g'))
+                  AS text_clean
        FROM s5""",
 )
 def txt_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,11 +237,12 @@ def txt_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                         '^(https://[^/:?#]+):443([/?#]|$)', '\1\2')
                           AS u FROM s2),
         s4 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u, '(?:utm_[^=&]*|gclid|fbclid)=[^&]*&',
-                                     '', 'g') AS u FROM s3),
+                      regexp_replace(u,
+                        '([?&])(?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&)+',
+                        '\1', 'g') AS u FROM s3),
         s5 AS (SELECT doc_id, url_raw,
                       regexp_replace(u,
-                        '[?&](?:utm_[^=&]*|gclid|fbclid)=[^&]*$', '')
+                        '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
                           AS u FROM s4),
         s6 AS (SELECT doc_id, url_raw,
                       regexp_replace(u, '[?&/]+$', '') AS u FROM s5)
@@ -2377,7 +2396,11 @@ def dedup_substring_incr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" PKVZ XJWQ" * 12),
         ).alias("text"),
     )
-    inc = dedup.incremental_substring_pairs(new, docs, min_len=64)
+    # SAME stop-fingerprint cap on both sides: the equality below is
+    # only meaningful when incremental and batch drop the same hot
+    # hashes (r8 self-review — differing defaults made the gate
+    # corpus-size-dependent)
+    inc = dedup.incremental_substring_pairs(new, docs, min_len=64, max_df=50)
     expected = eligible.select(
         (F.col("doc_id") + 2_000_000).alias("a"),
         F.col("doc_id").alias("b"),
@@ -2386,7 +2409,7 @@ def dedup_substring_incr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("against") == "history") & (F.col("length") >= 120)
     ).select("a", "b")
     missed = expected.join(recovered, ["a", "b"], "left_anti")
-    batch = dedup.substring_pairs(new.unionByName(docs), min_len=64)
+    batch = dedup.substring_pairs(new.unionByName(docs), min_len=64, max_df=50)
     batch_touching = batch.filter(
         (F.col("a") >= 2_000_000) | (F.col("b") >= 2_000_000)
     ).select(

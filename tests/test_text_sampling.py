@@ -894,6 +894,14 @@ def test_normalize_url_rules(spark):
         "https://c.net/deep/path///": "https://c.net/deep/path",
         # :8080 is NOT a default port and must survive
         "http://a.com:8080/x": "http://a.com:8080/x",
+        # r8 self-review regressions: names that merely CONTAIN a
+        # tracking name are legitimate params; runs of consecutive
+        # tracking params strip in one pass either side of real ones
+        "https://a.com/p?xgclid=1&a=2": "https://a.com/p?xgclid=1&a=2",
+        "https://a.com/p?scoutm_x=1&b=2": "https://a.com/p?scoutm_x=1&b=2",
+        "https://a.com/?utm_a=1&utm_b=2&c=3": "https://a.com/?c=3",
+        "https://a.com/?a=1&utm_x=1&utm_y=2": "https://a.com/?a=1",
+        "https://a.com/?utm_a=1&b=2&utm_c=3": "https://a.com/?b=2",
     }
     df = spark.createDataFrame([(k,) for k in cases], "u string")
     got = {
