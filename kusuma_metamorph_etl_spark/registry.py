@@ -117,7 +117,16 @@ _LOADED = False
 # window cannot hold all 57, so DEFERRED_TO_NEXT_WINDOW hand-picks 7
 # spills for r9's front — each one a sibling-variant of a row that IS
 # in the r8 window, so every operator FAMILY still gets its first
-# driver row this round.  After r8: zero-evidence = the 7 deferred.
+# driver row this round.  Seven late-r8 additions (readability, URL
+# normalize, HTML strip, fractional epochs, crawl-prep capstone, the
+# incremental-substring pair) joined the deferred set so they queue
+# BEHIND the planned drain.  After r8: zero-evidence = the 14 deferred.
+#
+# r9 builder checklist: once the driver lands CORRECTNESS_r08.json,
+# bump _PRIORITY_BASIS_ROUND to 8, EMPTY DEFERRED_TO_NEXT_WINDOW (all
+# its members must lead the r9 window — they are the only
+# zero-evidence rows left), regenerate with
+# `python tools/make_window.py --through-round 8`, and re-paste.
 # ---------------------------------------------------------------------------
 
 _PRIORITY_BASIS_ROUND = 7
