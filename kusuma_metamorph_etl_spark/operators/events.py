@@ -13,6 +13,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_stage_names(stages: list[str]) -> None:
+    """Stage names come from DATA VALUES (event_type strings), so every
+    reference to a stage-derived column must be backtick-quoted — and a
+    name containing a backtick cannot itself be quoted portably, so it
+    is rejected up front (r8 review + r8 advice: dots parsed as
+    nested-field paths through unquoted F.col/select)."""
+    for st in stages:
+        if "`" in st:
+            raise ValueError(f"stage name {st!r} contains a backtick")
+
+
+def _q(name: str) -> str:
+    """Backtick-quote a data-derived column name for F.col/select."""
+    return f"`{name}`"
+
+
 def funnel(
     events: DataFrame,
     stages: list[str],
@@ -36,6 +52,7 @@ def funnel(
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
+    _check_stage_names(stages)
 
     def stage_col(s: str) -> str:
         return f"t_{s}"
@@ -50,8 +67,8 @@ def funnel(
         nxt = (
             events.filter(F.col(type_col) == s)
             .select(user_col, ts_col)
-            .join(current.select(user_col, prev), on=user_col)
-            .filter(F.col(ts_col) >= F.col(prev))
+            .join(current.select(user_col, _q(prev)), on=user_col)
+            .filter(F.col(ts_col) >= F.col(_q(prev)))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(stage_col(s)))
         )
@@ -94,6 +111,7 @@ def funnel_one_scan(
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
+    _check_stage_names(stages)
 
     per_stage = (
         events.filter(F.col(type_col).isin(stages))
@@ -102,7 +120,7 @@ def funnel_one_scan(
         .agg(F.sort_array(F.collect_list(ts_col)))
     )
     current = per_stage.withColumn(
-        f"t_{stages[0]}", F.get(F.col(stages[0]), 0)
+        f"t_{stages[0]}", F.get(F.col(_q(stages[0])), 0)
     )
     def _at_or_after(arr: Column, prev_t: Column) -> Column:
         return F.filter(arr, lambda x: x >= prev_t)
@@ -111,7 +129,7 @@ def funnel_one_scan(
     for s in stages[1:]:
         # Earliest stage-s event at-or-after the previous stage's time;
         # F.get returns NULL (not an ANSI error) when nothing qualifies.
-        reached = _at_or_after(F.col(s), F.col(prev))
+        reached = _at_or_after(F.col(_q(s)), F.col(_q(prev)))
         current = current.withColumn(f"t_{s}", F.get(reached, 0))
         prev = f"t_{s}"
     if within_seconds is not None:
@@ -122,15 +140,16 @@ def funnel_one_scan(
         # deadline comparison per stage suffices for the cascade too —
         # the greedy chain guarantees t_s ≥ t_{s-1}, so a stage past the
         # deadline drags every later stage past it as well.
-        deadline = F.col(f"t_{stages[0]}") + F.expr(
+        deadline = F.col(_q(f"t_{stages[0]}")) + F.expr(
             f"INTERVAL {int(within_seconds)} SECONDS"
         )
         for s in stages[1:]:
             current = current.withColumn(
-                f"t_{s}", F.when(F.col(f"t_{s}") <= deadline, F.col(f"t_{s}"))
+                f"t_{s}",
+                F.when(F.col(_q(f"t_{s}")) <= deadline, F.col(_q(f"t_{s}"))),
             )
-    return current.filter(F.col(f"t_{stages[0]}").isNotNull()).select(
-        user_col, *[f"t_{s}" for s in stages]
+    return current.filter(F.col(_q(f"t_{stages[0]}")).isNotNull()).select(
+        user_col, *[_q(f"t_{s}") for s in stages]
     )
 
 
@@ -428,14 +447,9 @@ def funnel_timing(
     """
     # POSITIONAL aliases + backtick-quoted column refs + escaped string
     # literals: raw stage names spliced into F.expr broke on any
-    # non-identifier character (hyphens, quotes) that the sibling
-    # funnel/funnel_one_scan accept fine (r8 review).  Backticks cannot
-    # themselves be escaped portably inside an expr identifier — reject.
-    for st in stages:
-        if "`" in st:
-            raise ValueError(
-                f"funnel_timing: stage name {st!r} contains a backtick"
-            )
+    # non-identifier character (hyphens, quotes, dots) — see
+    # :func:`_check_stage_names` (r8 review + r8 advice).
+    _check_stage_names(stages)
 
     def lit_str(v: str) -> str:
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -447,7 +461,10 @@ def funnel_timing(
             f"(unix_micros(`t_{s2}`) - unix_micros(`t_{s1}`)) / 1e6"
         )
         aggs += [
-            F.count(F.col(f"t_{s2}")).alias(f"__n_{i}"),
+            # backtick-quote the count ref too: F.col parses dots as
+            # nested-field paths, so 'checkout.v2'-style stage names
+            # (accepted by funnel_one_scan) failed analysis (r8 advice)
+            F.count(F.col(f"`t_{s2}`")).alias(f"__n_{i}"),
             F.round(F.expr(f"percentile({diff}, 0.5)"), 6).alias(f"__med_{i}"),
             F.round(F.expr(f"percentile({diff}, 0.9)"), 6).alias(f"__p90_{i}"),
         ]

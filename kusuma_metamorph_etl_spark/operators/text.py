@@ -225,7 +225,67 @@ def ngram_repetition(text: Column, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def html_to_text(html: Column) -> Column:
+# Typographic codepoints above the portable chr() range decoded by
+# decode_numeric_refs (Spark's chr/char is mod-256, so codepoints >255
+# need literal mapping): dashes, curly quotes, bullet, ellipsis, primes,
+# euro, trademark, rightwards arrow — the set that dominates real pages.
+_NUMREF_TYPO: tuple[int, ...] = (
+    8211, 8212, 8216, 8217, 8220, 8221, 8226, 8230,
+    8242, 8243, 8364, 8482, 8594,
+)
+
+
+def decode_numeric_refs(text: Column) -> Column:
+    """Decode HTML NUMERIC character references (``&#39;``, ``&#x27;``,
+    ``&#8217;``) — the ``&#x27;``-class decoding every real crawl
+    pipeline needs before quality scoring (r8 advice; the named-entity
+    half lives in :func:`html_to_text`).
+
+    Engine-exact decode set (the oracle mirrors the same CASE):
+
+    * codepoints 32–126 and 161–255 via ``char()`` — Spark's char/chr is
+      **mod-256** (chr(8217) yields \\x19, verified), so only the
+      sub-256 range decodes through it portably;
+    * 160 (nbsp) → plain space, matching the ``&nbsp;`` rule;
+    * the common typography set (``_NUMREF_TYPO``) via literal chars on
+      the Spark side / true-unicode ``chr()`` on the DuckDB side;
+    * anything else (rare codepoints, surrogates, controls) → one space,
+      which the caller's whitespace collapse absorbs.
+
+    Shape: pure column expressions — two marker ``regexp_replace`` passes
+    (decimal, hex) wrap each reference in \\x01…\\x02 sentinels (raw
+    \\x01/\\x02 bytes in the input are spaced out first, so the sentinels
+    are unambiguous), one split on \\x01, one ``transform`` decoding the
+    marked prefix of each segment, one ``array_join``.  No UDF, no
+    shuffle — still a narrow projection.
+    """
+    t = F.regexp_replace(text, "[\x01\x02]", " ")
+    t = F.regexp_replace(t, "&#([0-9]{1,7});", "\x01$1\x02")
+    t = F.regexp_replace(t, "&#[xX]([0-9a-fA-F]{1,6});", "\x01x$1\x02")
+
+    def _decode(p: Column) -> Column:
+        dec = F.regexp_extract(p, "^([0-9]{1,7})\x02", 1)
+        hx = F.regexp_extract(p, "^x([0-9a-fA-F]{1,6})\x02", 1)
+        code = F.when(dec != "", dec.cast("bigint")).when(
+            hx != "", F.conv(hx, 16, 10).cast("bigint")
+        )
+        ch = F.when(code == 160, F.lit(" "))
+        for cp in _NUMREF_TYPO:
+            ch = ch.when(code == cp, F.lit(chr(cp)))
+        ch = ch.when(
+            ((code >= 32) & (code <= 126))
+            | ((code >= 161) & (code <= 255)),
+            F.char(code),
+        ).otherwise(F.lit(" "))
+        rest = F.regexp_replace(
+            p, "^(?:[0-9]{1,7}|x[0-9a-fA-F]{1,6})\x02", ""
+        )
+        return F.when(code.isNotNull(), F.concat(ch, rest)).otherwise(p)
+
+    return F.array_join(F.transform(F.split(t, "\x01"), _decode), "")
+
+
+def html_to_text(html: Column, decode_numeric: bool = True) -> Column:
     """Strip HTML to whitespace-normalized text — the step between a
     crawl source (WARC payloads) and every text operator downstream
     (quality, language ID, dedup): feeding raw markup to those measures
@@ -242,15 +302,26 @@ def html_to_text(html: Column) -> Column:
     ``&lt;`` instead of double-decoding); whitespace runs collapse to
     one space and the result is trimmed.
 
+    Numeric character references (``&#39;``/``&#x27;``/``&#8217;``)
+    decode via :func:`decode_numeric_refs` (default on; ``decode_numeric
+    =False`` keeps the r8 minimal chain).  The numeric pass runs BEFORE
+    the named-entity replaces for the same reason ``&amp;`` decodes
+    last: ``&amp;#39;`` must yield the literal ``&#39;``, not a quote —
+    the numeric pattern needs a raw ``&#`` and must not see the one the
+    ``&amp;`` decode manufactures.
+
     Declared scope: this is the cheap scan-speed path for token-level
-    pipelines, not a DOM renderer — numeric character references,
-    ``<pre>`` fidelity, and table structure are the seam where a real
-    extractor (trafilatura-class) plugs in via mapInPandas.
+    pipelines, not a DOM renderer — ``<pre>`` fidelity and table
+    structure are the seam where a real extractor (trafilatura-class)
+    plugs in via mapInPandas; :func:`main_content` supplies the
+    boilerplate-suppression half of that extractor.
     """
     t = F.regexp_replace(html, r"(?is)<script\b.*?</script\s*>", " ")
     t = F.regexp_replace(t, r"(?is)<style\b.*?</style\s*>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    if decode_numeric:
+        t = decode_numeric_refs(t)
     for ent, ch in (
         ("&nbsp;", " "),
         ("&lt;", "<"),
@@ -266,7 +337,88 @@ def html_to_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"[ \t\n\f\r]+", " "))
 
 
-def normalize_url(url: Column) -> Column:
+# Block-level boundaries for main_content's segmentation: opening OR
+# closing forms of the standard block elements plus <br>/<hr>.  Case
+# folded with (?i); RE2-safe (no lookaround).
+_BLOCK_TAG_SPLIT = (
+    r"(?i)</?(?:p|div|section|article|li|ul|ol|dl|dt|dd|table|thead|tbody"
+    r"|tfoot|tr|td|th|h[1-6]|blockquote|header|footer|nav|aside|main|form"
+    r"|figure|figcaption|body|html|br|hr)\b[^>]*>"
+)
+
+
+def main_content(
+    html: Column,
+    max_link_density: float = 0.5,
+    min_text_chars: int = 25,
+) -> Column:
+    """Boilerplate-block suppression — the main-content heuristic every
+    crawl pipeline applies before quality scoring (r8 advice; the
+    trafilatura-class move re-expressed as column expressions): split
+    the page into block-level segments, keep only blocks whose visible
+    text is long enough AND not link-dominated, return the surviving
+    HTML for :func:`html_to_text`.
+
+    Per block (pure expressions, both engine-portable):
+
+    * ``text_len``   — visible chars after tag-strip + whitespace squash;
+    * ``link_len``   — ``text_len`` minus the same measure with
+      ``<a>…</a>`` elements removed (anchor text + its joining space, a
+      standard over-count the threshold absorbs);
+    * keep iff ``text_len >= min_text_chars`` and ``link_len <=
+      max_link_density * text_len`` (exact: int→double is lossless, so
+      both engines agree on the comparison).
+
+    Navigation bars, footers, tag clouds, and "related articles" rails
+    are exactly the high-link-density short blocks this drops.  Script/
+    style/comment blocks strip FIRST so their contents cannot fake block
+    boundaries.  Heuristic seam, documented: a ``<div>``-lookalike
+    inside a CDATA island or an unclosed ``<a`` spanning blocks
+    mis-segments — the DOM-fidelity cases stay with the mapInPandas
+    extractor seam named in :func:`html_to_text`.
+    """
+    t = F.regexp_replace(html, r"(?is)<script\b.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    blocks = F.split(t, _BLOCK_TAG_SPLIT)
+
+    def _vis_len(b: Column) -> Column:
+        return F.length(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(b, r"(?s)<[^>]*>", " "),
+                    r"[ \t\n\f\r]+",
+                    " ",
+                )
+            )
+        )
+
+    def _keep(b: Column) -> Column:
+        text_len = _vis_len(b)
+        nolink_len = _vis_len(
+            F.regexp_replace(b, r"(?is)<a\b[^>]*>.*?</a\s*>", " ")
+        )
+        link_len = text_len - nolink_len
+        return (text_len >= min_text_chars) & (
+            link_len.cast("double")
+            <= F.lit(float(max_link_density)) * text_len.cast("double")
+        )
+
+    return F.array_join(F.filter(blocks, _keep), " ")
+
+
+def extract_main_text(
+    html: Column,
+    max_link_density: float = 0.5,
+    min_text_chars: int = 25,
+) -> Column:
+    """:func:`main_content` composed with :func:`html_to_text` — raw
+    page bytes to boilerplate-suppressed, entity-decoded, whitespace-
+    normalized prose in one narrow projection."""
+    return html_to_text(main_content(html, max_link_density, min_text_chars))
+
+
+def normalize_url(url: Column, sort_params: bool = False) -> Column:
     """Canonicalize a URL for crawl dedup — URL-keyed exact dedup is the
     FIRST dedup pass of every web-scale corpus pipeline, and raw URLs
     split the same page across case, tracking-param, default-port, and
@@ -282,10 +434,18 @@ def normalize_url(url: Column) -> Column:
     collapse trailing ``?``/``&``/slash junk in one class (sequential
     passes broke idempotence on tails like ``?/``).
 
-    Declared out of scope (the tokenizer-not-regexp seam): query-param
-    SORTING, percent-decoding, IDN/punycode — pipelines needing
-    byte-identical canonical forms across param orderings add a
-    tokenize-sort pass on top.
+    ``sort_params=True`` adds the declared tokenize-sort pass (r8 advice
+    — the same page with reordered params otherwise splits the URL
+    dedup key): the query string splits on ``&``, empty segments drop
+    (``a?&&b=1`` artifacts), segments sort bytewise (Spark's binary
+    string ordering == DuckDB's default binary collation, so engines
+    agree), and rejoin.  Sorting whole ``k=v`` segments keeps duplicate
+    keys (``a=1&a=2``) intact and is idempotent by construction.
+    Default OFF so the r8-registered `txt_url_normalize` oracle stays
+    byte-stable; `txt_url_normalize_v2` registers the sorted form.
+
+    Still out of scope (the tokenizer-not-regexp seam): percent-decoding
+    and IDN/punycode.
     """
     u = F.trim(url)
     u = F.regexp_replace(u, r"#.*$", "")
@@ -306,7 +466,18 @@ def normalize_url(url: Column) -> Column:
     # ONE trailing-junk class, not sequential ?&-then-/ passes: a tail
     # like "?/" stripped the slash first and left the "?" for a SECOND
     # normalize to remove — hypothesis found the idempotence break
-    return F.regexp_replace(u, r"[?&/]+$", "")
+    u = F.regexp_replace(u, r"[?&/]+$", "")
+    if not sort_params:
+        return u
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    # a query of ONLY empty segments ("a?&&") was already junk-stripped
+    # above, so query != "" implies at least one surviving param
+    return F.when(query == "", u).otherwise(
+        F.concat(base, F.lit("?"), sorted_q)
+    )
 
 
 def readability(text: Column) -> Column:

@@ -53,6 +53,42 @@ _SHINGLES = (
     " i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))"
 )
 
+# Numeric-character-reference decode, mirroring
+# operators/text.py::decode_numeric_refs expression-for-expression
+# (sentinel marking, split, per-segment CASE): chr() for the sub-256
+# range where Spark's mod-256 char() is exact, the common typography
+# codepoints (true-unicode chr here == the literal chars Spark emits),
+# 160 -> ' ', anything else -> ' '.  `{src}` is the input column.
+_NUMREF_DECODE = """array_to_string(list_transform(list_transform(
+  string_split(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace({src}, '[' || chr(1) || chr(2) || ']', ' ', 'g'),
+        '&#([0-9]{{1,7}});', chr(1) || '\\1' || chr(2), 'g'),
+      '&#[xX]([0-9a-fA-F]{{1,6}});', chr(1) || 'x\\1' || chr(2), 'g'),
+    chr(1)),
+  __p -> struct_pack(
+    c := CASE WHEN regexp_matches(__p, '^[0-9]{{1,7}}' || chr(2))
+              THEN CAST(regexp_extract(__p,
+                   '^([0-9]{{1,7}})' || chr(2), 1) AS BIGINT)
+              WHEN regexp_matches(__p, '^x[0-9a-fA-F]{{1,6}}' || chr(2))
+              THEN CAST('0x' || regexp_extract(__p,
+                   '^x([0-9a-fA-F]{{1,6}})' || chr(2), 1) AS BIGINT)
+         END,
+    r := regexp_replace(__p,
+         '^(?:[0-9]{{1,7}}|x[0-9a-fA-F]{{1,6}})' || chr(2), ''),
+    o := __p)),
+  __s -> CASE WHEN __s.c IS NULL THEN __s.o
+            ELSE (CASE WHEN __s.c = 160 THEN ' '
+                       WHEN __s.c IN (8211,8212,8216,8217,8220,8221,8226,
+                                      8230,8242,8243,8364,8482,8594)
+                            THEN chr(CAST(__s.c AS INTEGER))
+                       WHEN (__s.c BETWEEN 32 AND 126)
+                            OR (__s.c BETWEEN 161 AND 255)
+                            THEN chr(CAST(__s.c AS INTEGER))
+                       ELSE ' ' END) || __s.r END),
+  '')"""
+
 
 # ---------------------------------------------------------------- text analysis
 
@@ -164,6 +200,7 @@ def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 || '<script>if (1 < 2) { x("<p>"); }</script></head>'
                 || '<body><h1>Doc ' || doc_id || '</h1><!-- c' || doc_id
                 || ' --><p>A &amp; B &quot;q&quot;&nbsp;&#39;s&#39;</p>'
+                || '<p>it&#8217;s &#x27;hex&#x27; &#169;&#160;&amp;#60;</p>'
                 || '<div>' || text || '</div></body></html>' AS html
          FROM documents),
        s1 AS (SELECT doc_id,
@@ -176,12 +213,15 @@ def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM s2),
        s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'gs') AS t
               FROM s3),
+       s4n AS (SELECT doc_id, """
+    + _NUMREF_DECODE.format(src="t")
+    + """ AS t FROM s4),
        s5 AS (SELECT doc_id,
                      replace(replace(replace(replace(replace(replace(t,
                          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
                          AS t
-              FROM s4)
+              FROM s4n)
        SELECT doc_id,
               trim(regexp_replace(t, '[ \\t\\n\\f\\r]+', ' ', 'g'))
                   AS text_clean
@@ -191,9 +231,10 @@ def txt_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML->text extraction ([EXT] crawl preprocessing;
     `operators/text.py::html_to_text`): deterministic markup wrapped
     around each document (style/script blocks with tag-lookalike
-    contents, comments, the dominant entities), stripped back to
-    whitespace-normalized prose — the step between a WARC source and
-    every downstream text signal."""
+    contents, comments, the dominant entities, decimal/hex NUMERIC
+    character references incl. a `&amp;#60;` double-decode trap),
+    stripped back to whitespace-normalized prose — the step between a
+    WARC source and every downstream text signal."""
     docs = t(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     html = F.concat(
@@ -201,6 +242,7 @@ def txt_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<script>if (1 < 2) { x("<p>"); }</script></head>'),
         F.lit("<body><h1>Doc "), d, F.lit("</h1><!-- c"), d,
         F.lit(" --><p>A &amp; B &quot;q&quot;&nbsp;&#39;s&#39;</p>"),
+        F.lit("<p>it&#8217;s &#x27;hex&#x27; &#169;&#160;&amp;#60;</p>"),
         F.lit("<div>"), F.col("text"), F.lit("</div></body></html>"),
     )
     return docs.select(
@@ -3441,17 +3483,21 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
        pv AS (SELECT variant, count(*) AS n, sum(converted) AS c
               FROM per_user GROUP BY variant),
        j AS (SELECT
-               (SELECT n FROM pv WHERE variant = 'a') AS na,
-               (SELECT c FROM pv WHERE variant = 'a') AS ca,
-               (SELECT n FROM pv WHERE variant = 'b') AS nb,
-               (SELECT c FROM pv WHERE variant = 'b') AS cb)
+               coalesce((SELECT n FROM pv WHERE variant = 'a'), 0) AS na,
+               coalesce((SELECT c FROM pv WHERE variant = 'a'), 0) AS ca,
+               coalesce((SELECT n FROM pv WHERE variant = 'b'), 0) AS nb,
+               coalesce((SELECT c FROM pv WHERE variant = 'b'), 0) AS cb)
        SELECT CAST(na AS BIGINT) AS na, CAST(ca AS BIGINT) AS ca,
               CAST(nb AS BIGINT) AS nb, CAST(cb AS BIGINT) AS cb,
-              round(ca / CAST(na AS DOUBLE), 6) AS rate_a,
-              round(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
-              round(cb / CAST(nb AS DOUBLE) - ca / CAST(na AS DOUBLE), 6)
+              round(CASE WHEN na > 0 THEN ca / CAST(na AS DOUBLE) END, 6)
+                  AS rate_a,
+              round(CASE WHEN nb > 0 THEN cb / CAST(nb AS DOUBLE) END, 6)
+                  AS rate_b,
+              round(CASE WHEN na > 0 AND nb > 0 THEN
+                cb / CAST(nb AS DOUBLE) - ca / CAST(na AS DOUBLE) END, 6)
                   AS abs_lift,
-              CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN
+              CASE WHEN na > 0 AND nb > 0
+                    AND ca + cb > 0 AND ca + cb < na + nb THEN
                 round((cb / CAST(nb AS DOUBLE) - ca / CAST(na AS DOUBLE))
                       / sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
                              * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
@@ -3623,19 +3669,19 @@ def evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dq_null_profile",
     """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
-              sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+              CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
               count(DISTINCT o_custkey) AS n_distinct FROM orders
        UNION ALL
        SELECT 'o_orderstatus', count(*),
-              sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+              CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
               count(DISTINCT o_orderstatus) FROM orders
        UNION ALL
        SELECT 'o_totalprice', count(*),
-              sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+              CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
               count(DISTINCT o_totalprice) FROM orders
        UNION ALL
        SELECT 'o_orderpriority', count(*),
-              sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+              CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
               count(DISTINCT o_orderpriority) FROM orders""",
 )
 def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

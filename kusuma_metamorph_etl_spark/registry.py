@@ -111,50 +111,25 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-8 WINDOW: 57 registered queries have zero driver evidence (the
-# 55 r7 registrations past the frozen window + the new
-# dedup_normalized_nfkc pair VERDICT r7 Next #7 ordered).  The 50-slot
-# window cannot hold all 57, so DEFERRED_TO_NEXT_WINDOW hand-picks 7
-# spills for r9's front — each one a sibling-variant of a row that IS
-# in the r8 window, so every operator FAMILY still gets its first
-# driver row this round.  Seven late-r8 additions (readability, URL
-# normalize, HTML strip, fractional epochs, crawl-prep capstone, the
-# incremental-substring pair) joined the deferred set so they queue
-# BEHIND the planned drain.  After r8: zero-evidence = the 14 deferred.
+# ROUND-9 WINDOW: the r8 checklist executed — basis bumped to 8,
+# DEFERRED_TO_NEXT_WINDOW emptied, window regenerated.  The 14 rows r8
+# deferred (the only remaining zero-evidence registrations) now lead
+# the window in registration order; the remaining 36 slots go to the
+# oldest-evidence rows, fulfilling the rotation.  New r9 registrations
+# append to the zero-evidence front automatically on the next regen.
 #
-# r9 builder checklist: once the driver lands CORRECTNESS_r08.json,
-# bump _PRIORITY_BASIS_ROUND to 8, EMPTY DEFERRED_TO_NEXT_WINDOW (all
-# its members must lead the r9 window — they are the only
-# zero-evidence rows left), regenerate with
-# `python tools/make_window.py --through-round 8`, and re-paste.
+# r10 builder checklist: once the driver lands CORRECTNESS_r09.json,
+# bump _PRIORITY_BASIS_ROUND to 9, regenerate with
+# `python tools/make_window.py --through-round 9`, and re-paste
+# (defer only if new zero-evidence registrations overflow the window).
 # ---------------------------------------------------------------------------
 
-_PRIORITY_BASIS_ROUND = 7
+_PRIORITY_BASIS_ROUND = 8
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Late-r8 registrations (readability, url normalize, fractional epochs)
-# are deferred too: they must queue BEHIND the r7 backlog the r8 window
-# was planned to drain, not displace it (their ext.py insertion points
-# would otherwise put them near the front of registration order).
-DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset(
-    {
-        "evt_rate_anomaly_seasonal",  # sibling: evt_rate_anomaly
-        "dq_psi_categorical",  # sibling: dq_psi_drift
-        "evt_funnel_timing",  # sibling: evt_funnel_window
-        "samp_mergeable",  # sibling: samp_balance / samp_kfold
-        "sql_shipping_priority",  # sibling: sql_pricing_summary (green r7)
-        "txt_collocations",  # sibling: txt_keywords / txt_perplexity
-        "mart_user_engagement",  # sibling: mart_rfm
-        "txt_readability",  # registered late-r8 (oracle-green locally)
-        "txt_url_normalize",  # registered late-r8 (oracle-green locally)
-        "samp_epochs",  # registered late-r8 (oracle-green locally)
-        "txt_html_to_text",  # registered late-r8 (oracle-green locally)
-        "mart_crawl_prep",  # registered late-r8 (oracle-green locally)
-        "dedup_substring_incr",  # registered late-r8 (gate green locally)
-        "dedup_substring_incr_err",  # registered late-r8 (gate green locally)
-    }
-)
+# Empty this round: the r8 spill set drained into the r9 window front.
+DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
 def evidence_rounds(through_round: int | None = None) -> dict[str, int]:
@@ -196,61 +171,10 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
     return tuple(sorted(order, key=key))
 
 
-# Output of `python tools/make_window.py` at basis round 7 —
+# Output of `python tools/make_window.py` at basis round 8 —
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    "src_schema_evolution",
-    "src_csv_badrecords",
-    "fn_surrogate_key",
-    "ts_rolling",
-    "fn_winsorize",
-    "dq_outlier_flag",
-    "agg_heavy_hitters",
-    "txt_keywords",
-    "samp_temperature",
-    "evt_rate_anomaly",
-    "join_asof_nearest",
-    "txt_perplexity",
-    "mm_augment",
-    "ts_rolling_distinct",
-    "mm_audio_augment",
-    "dedup_normalized",
-    "dedup_normalized_nfkc",
-    "dedup_normalized_nfkc_err",
-    "dq_psi_drift",
-    "evt_ab_lift",
-    "samp_kfold",
-    "mart_llm_dataprep",
-    "evt_streaks",
-    "dq_null_profile",
-    "mart_rfm",
-    "evt_cohort_ltv",
-    "agg_bloom_join",
-    "dedup_semantic",
-    "dedup_semantic_err",
-    "ts_ewma",
-    "dq_expectations",
-    "evt_attribution",
-    "agg_kmv_intersect",
-    "evt_markov",
-    "ts_seasonal",
-    "sim_ivf_persisted_err",
-    "txt_search_and",
-    "evt_funnel_window",
-    "ts_ohlc",
-    "mart_mm_dataprep",
-    "evt_session_stats",
-    "agg_corr_matrix",
-    "txt_unigram_roundtrip",
-    "dedup_cc_incremental",
-    "src_warc_roundtrip",
-    "txt_fix_mojibake",
-    "mm_gif_features",
-    "samp_balance",
-    "mm_jpeg_features",
-    "mm_transcode",
-  # ---- window cut ----
     "mart_crawl_prep",
     "txt_html_to_text",
     "txt_url_normalize",
@@ -301,6 +225,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_exact",
     "dedup_ngram_jaccard",
+  # ---- window cut ----
     "dedup_embedding",
     "agg_approx_distinct_err",
     "agg_approx_quantile_err",
@@ -415,6 +340,56 @@ _PRIORITY: tuple[str, ...] = (
     "ts_gapfill",
     "dedup_minhash_incr",
     "dedup_minhash_incr_err",
+    "src_schema_evolution",
+    "src_csv_badrecords",
+    "fn_surrogate_key",
+    "ts_rolling",
+    "fn_winsorize",
+    "dq_outlier_flag",
+    "agg_heavy_hitters",
+    "txt_keywords",
+    "samp_temperature",
+    "evt_rate_anomaly",
+    "join_asof_nearest",
+    "txt_perplexity",
+    "mm_augment",
+    "ts_rolling_distinct",
+    "mm_audio_augment",
+    "dedup_normalized",
+    "dedup_normalized_nfkc",
+    "dedup_normalized_nfkc_err",
+    "dq_psi_drift",
+    "evt_ab_lift",
+    "samp_kfold",
+    "mart_llm_dataprep",
+    "evt_streaks",
+    "dq_null_profile",
+    "mart_rfm",
+    "evt_cohort_ltv",
+    "agg_bloom_join",
+    "dedup_semantic",
+    "dedup_semantic_err",
+    "ts_ewma",
+    "dq_expectations",
+    "evt_attribution",
+    "agg_kmv_intersect",
+    "evt_markov",
+    "ts_seasonal",
+    "sim_ivf_persisted_err",
+    "txt_search_and",
+    "evt_funnel_window",
+    "ts_ohlc",
+    "mart_mm_dataprep",
+    "evt_session_stats",
+    "agg_corr_matrix",
+    "txt_unigram_roundtrip",
+    "dedup_cc_incremental",
+    "src_warc_roundtrip",
+    "txt_fix_mojibake",
+    "mm_gif_features",
+    "samp_balance",
+    "mm_jpeg_features",
+    "mm_transcode",
 )
 
 

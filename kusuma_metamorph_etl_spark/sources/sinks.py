@@ -102,6 +102,25 @@ def dual_write(
         df.unpersist()
 
 
+def read_legacy(spark: SparkSession, legacy_path: str) -> DataFrame:
+    """Read a ``legacy`` history directory with a NORMALIZED schema,
+    whichever writer produced it.
+
+    The batch :func:`dual_write` partitions legacy by ``DAY_DT`` alone;
+    the streaming twin (`streaming/sink.py::stream_dual_write`) must key
+    its partitions by ``(DAY_DT, __batch_id)`` for foreachBatch replay
+    idempotence, so stream-written directories read back with an extra
+    ``__batch_id`` column.  Consumers unioning batch- and stream-written
+    legacy data hit a schema mismatch unless they read through this
+    helper, which drops the writer-internal ``__batch_id`` when present
+    — it is an idempotence key, not data.
+    """
+    df = spark.read.parquet(legacy_path)
+    if "__batch_id" in df.columns:
+        df = df.drop("__batch_id")
+    return df
+
+
 def enable_dynamic_partition_overwrite(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kusuma_metamorph_etl_spark.operators.scd import scd2_init, scd2_merge
-from kusuma_metamorph_etl_spark.sources.sinks import dual_write
 
 
 def stream_dual_write(
@@ -43,6 +42,13 @@ def stream_dual_write(
     With ``available_now`` the query drains the bounded source and stops —
     the test/backfill mode; production drops the trigger for continuous
     micro-batches.
+
+    SCHEMA SEAM: the legacy layout here is partitioned by
+    ``(DAY_DT, __batch_id)`` — one extra partition column vs the batch
+    :func:`sources.sinks.dual_write` layout — because ``__batch_id`` is
+    the replay-idempotence key.  Read legacy directories (from either
+    writer) through :func:`sources.sinks.read_legacy`, which normalizes
+    both layouts by dropping the writer-internal column.
     """
 
     from kusuma_metamorph_etl_spark.sources.sinks import DAY_DT, stamp_snapshot
@@ -271,21 +277,38 @@ def stream_cdc_apply(
     snapshot, documented out of scope here.
     """
     from kusuma_metamorph_etl_spark.operators.scd import cdc_apply
-    from kusuma_metamorph_etl_spark.sources.sinks import (
-        publish_snapshot,
-        read_published,
-    )
+    from kusuma_metamorph_etl_spark.sources.sinks import publish_snapshot
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+
         spark = batch_df.sparkSession
+        # Read the manifest DIRECTLY (not read_published) because the
+        # collision guard below needs the current version NAME, not just
+        # its rows.
+        current_name = None
         try:
-            snapshot = read_published(spark, table_path)
+            line = spark.read.text(f"{table_path}/manifest.json").collect()[
+                0
+            ]["value"]
+            current_name = json.loads(line)["current"]  # e.g. "v=b000003"
+            snapshot = spark.read.parquet(f"{table_path}/{current_name}")
         except Exception:
             snapshot = spark.createDataFrame([], schema=snapshot_schema)
         updated = cdc_apply(snapshot, batch_df, key, seq_col, op_col)
         # version per micro-batch: replaying batch N republishes the
         # same version name with the same derived content — idempotent.
-        publish_snapshot(spark, updated, table_path, f"b{batch_id:06d}")
+        # SAME collision guard as stream_scd2_upsert: never publish onto
+        # the version the manifest points at — the `updated` plan READS
+        # that directory, and batch numbering can collide with it (a
+        # replay after the manifest swap committed, or a fresh
+        # checkpoint restarting at batch 0 over an existing table) —
+        # overwriting it would destroy the input mid-read.  Alternate
+        # to the "...r" sibling; overwriting a non-current dir is safe.
+        target = f"b{batch_id:06d}"
+        if current_name == f"v={target}":
+            target = f"{target}r"
+        publish_snapshot(spark, updated, table_path, target)
 
     writer = change_stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

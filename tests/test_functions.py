@@ -333,6 +333,43 @@ def test_ab_lift_missing_arm_is_visible_not_empty(spark):
     assert got["rate_a"] == 1.0 and got["rate_b"] == 0.5
 
 
+def test_evt_ab_lift_oracle_pins_empty_arm_contract(spark, tmp_path):
+    """Regression (r8 advice): the registered evt_ab_lift oracle built
+    na/nb from scalar subqueries yielding NULL (not 0) on an empty arm —
+    engine and oracle diverged on data the fixture never exercises.
+    Pin it: all-even user_ids put every user in arm 'a'; both sides must
+    agree on the zero-count row with NULL rates."""
+    import datetime as dt
+
+    import duckdb
+
+    from kusuma_metamorph_etl_spark.registry import REGISTRY, queries
+
+    queries()  # ensure registry is loaded
+    spec = REGISTRY["evt_ab_lift"]
+    events = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 6, 1), "purchase", 200.0),
+            (2, dt.datetime(2024, 6, 1), "view", 0.0),
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    events.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = spec.fn(spark, str(tmp_path)).collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    ora = dict(zip([d[0] for d in cur.description], cur.fetchone()))
+    for col in ("na", "ca", "nb", "cb", "rate_a", "rate_b", "abs_lift", "z"):
+        assert got[col] == ora[col], (col, got[col], ora[col])
+    assert (got["na"], got["nb"]) == (2, 0)
+    assert got["rate_b"] is None and got["z"] is None
+
+
 def test_funnel_timing_accepts_hostile_stage_names(spark):
     """Regression (r8 review): stage names spliced raw into F.expr/stack
     crashed on any non-identifier character the sibling funnel accepts
@@ -358,3 +395,14 @@ def test_funnel_timing_accepts_hostile_stage_names(spark):
     assert r["n_converted"] == 1 and r["median_seconds"] == 30.0
     with pytest.raises(ValueError, match="backtick"):
         funnel_timing(df, ["a`b", "c"])
+    # r8 advice: DOTTED stage names — F.col without backticks parsed
+    # 'checkout.v2' as a nested-field reference and failed analysis
+    rows_dot = [
+        (1, "view.v2", t0),
+        (1, "checkout.v2", t0 + dt.timedelta(seconds=10)),
+    ]
+    df_dot = spark.createDataFrame(
+        rows_dot, "user_id long, event_type string, ts timestamp"
+    )
+    r = funnel_timing(df_dot, ["view.v2", "checkout.v2"]).collect()[0]
+    assert r["n_converted"] == 1 and r["median_seconds"] == 10.0

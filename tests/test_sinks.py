@@ -378,3 +378,35 @@ def test_dual_write_rerun_is_idempotent_per_day(spark, tmp_path):
         for r in out.groupBy("DAY_DT").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert counts == {"2024-06-01": 10, "2024-06-02": 10}
+
+
+def test_read_legacy_normalizes_batch_and_stream_layouts(spark, tmp_path):
+    """Regression (r8 advice): stream-written legacy directories carry
+    the extra ``__batch_id`` partition column (the replay-idempotence
+    key), so unioning them with batch-written legacy data hit a schema
+    mismatch.  ``read_legacy`` drops the writer-internal column from
+    either layout, making the union safe."""
+    from kusuma_metamorph_etl_spark.sources.sinks import read_legacy
+    from kusuma_metamorph_etl_spark.streaming.sink import stream_dual_write
+
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    batch_legacy = str(tmp_path / "batch_legacy")
+    dual_write(df, str(tmp_path / "raw_b"), batch_legacy, run_date="2024-06-01")
+
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream_legacy = str(tmp_path / "stream_legacy")
+    stream_dual_write(
+        spark.readStream.schema("k long").parquet(src),
+        raw_path=str(tmp_path / "raw_s"),
+        legacy_path=stream_legacy,
+        checkpoint_dir=str(tmp_path / "cp"),
+        run_date="2024-06-01",
+    )
+    # raw stream read-back really does carry the extra column…
+    assert "__batch_id" in spark.read.parquet(stream_legacy).columns
+    # …and read_legacy normalizes both layouts to the same schema
+    b = read_legacy(spark, batch_legacy)
+    s = read_legacy(spark, stream_legacy)
+    assert sorted(b.columns) == sorted(s.columns)
+    assert b.unionByName(s).count() == 10

@@ -603,6 +603,54 @@ def test_stream_cdc_apply_maintains_published_snapshot(spark, tmp_path):
     assert got == {1: "a2", 3: "c"}
 
 
+def test_stream_cdc_apply_fresh_checkpoint_over_existing_table(
+    spark, tmp_path
+):
+    """Regression (r8 advice): a fresh checkpoint restarting at batch 0
+    over an existing table collides with the published ``v=b000000``
+    directory its own plan reads — without the collision guard the
+    publish self-overwrites the input mid-read.  With the guard the
+    replay publishes the ``...r`` sibling and the state stays correct
+    (the replayed changes carry their original seq values, so cdc_apply
+    re-derives the same snapshot)."""
+    import json
+    import os
+    import shutil
+
+    from kusuma_metamorph_etl_spark.sources.sinks import read_published
+    from kusuma_metamorph_etl_spark.streaming.sink import stream_cdc_apply
+
+    src_dir = str(tmp_path / "changes")
+    os.makedirs(src_dir)
+    schema = "id long, v string, seq long, op string"
+    spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 2, "I"), (1, "a2", 3, "U")], schema
+    ).write.parquet(f"{src_dir}/batch=0")
+    table = str(tmp_path / "table")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(f"{src_dir}/batch=*")
+        stream_cdc_apply(
+            stream, table, str(tmp_path / ckpt), key=["id"],
+            snapshot_schema="id long, v string",
+        )
+
+    run("ckpt1")
+    manifest = json.loads(
+        spark.read.text(f"{table}/manifest.json").collect()[0]["value"]
+    )
+    assert manifest["current"] == "v=b000000"
+
+    shutil.rmtree(str(tmp_path / "ckpt1"))  # lose the checkpoint
+    run("ckpt2")  # replays everything as batch 0 → name collision
+    manifest = json.loads(
+        spark.read.text(f"{table}/manifest.json").collect()[0]["value"]
+    )
+    assert manifest["current"] == "v=b000000r"
+    got = {r["id"]: r["v"] for r in read_published(spark, table).collect()}
+    assert got == {1: "a2", 2: "b"}
+
+
 @pytest.mark.slow
 def test_stateful_late_stragglers_still_reach_the_handler(spark, tmp_path):
     """Pins the watermark contract documented in
