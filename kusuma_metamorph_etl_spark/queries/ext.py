@@ -105,7 +105,11 @@ _NUMREF_DECODE = """array_to_string(list_transform(list_transform(
          -- full html_to_text mirror (script/style/comment passes,
          -- entity decode, explicit whitespace class) so the oracle stays
          -- textually in sync with the operator even if fixture text ever
-         -- carries markup-significant characters
+         -- carries markup-significant characters.  The r9 numeric-ref
+         -- decode stage is OMITTED here deliberately: no document at any
+         -- SF contains '&#' or the \x01/\x02 sentinels (checked), so the
+         -- stage is an exact no-op on this fixture — the full mirror
+         -- lives in txt_html_to_text/txt_html_main_text (_NUMREF_DECODE)
          SELECT doc_id, url_raw,
                 trim(regexp_replace(
                     replace(replace(replace(replace(replace(replace(
@@ -327,6 +331,185 @@ def txt_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         raw.alias("url_raw"),
         text.normalize_url(raw).alias("url_norm"),
+    )
+
+
+@register(
+    "txt_html_main_text",
+    """WITH raw AS (
+         SELECT doc_id,
+                '<html><body><nav><a href="/">Home</a> <a href="/about">'
+                || 'About</a> <a href="/contact">Contact us</a></nav>'
+                || '<p>' || text || '</p>'
+                || '<div><a href="/r1">Related one</a> <a href="/r2">'
+                || 'Related two</a> also try <a href="/r3">three</a></div>'
+                || '<footer><a href="/tos">Terms of Service</a> &#8212; '
+                || '<a href="/privacy">Privacy Policy</a> &#169; 2024'
+                || '</footer></body></html>' AS html
+         FROM documents),
+       pre AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(regexp_replace(html,
+                          '<script\\b.*?</script\\s*>', ' ', 'gis'),
+                          '<style\\b.*?</style\\s*>', ' ', 'gis'),
+                          '<!--.*?-->', ' ', 'gs') AS t
+               FROM raw),
+       kept AS (SELECT doc_id,
+                       array_to_string(list_transform(list_filter(
+                         list_transform(
+                           string_split_regex(t,
+                             '(?i)</?(?:p|div|section|article|li|ul|ol|dl'
+                             || '|dt|dd|table|thead|tbody|tfoot|tr|td|th'
+                             || '|h[1-6]|blockquote|header|footer|nav'
+                             || '|aside|main|form|figure|figcaption|body'
+                             || '|html|br|hr)\\b[^>]*>'),
+                           __b -> struct_pack(
+                             h := __b,
+                             tl := CAST(len(trim(regexp_replace(
+                                 regexp_replace(__b, '<[^>]*>', ' ', 'gs'),
+                                 '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS BIGINT),
+                             nl := CAST(len(trim(regexp_replace(
+                                 regexp_replace(regexp_replace(__b,
+                                   '<a\\b[^>]*>.*?</a\\s*>', ' ', 'gis'),
+                                 '<[^>]*>', ' ', 'gs'),
+                                 '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS BIGINT))),
+                         __k -> __k.tl >= 25 AND
+                                CAST(__k.tl - __k.nl AS DOUBLE)
+                                  <= 0.5 * CAST(__k.tl AS DOUBLE)),
+                         __k -> __k.h), ' ') AS t
+                FROM pre),
+       s1 AS (SELECT doc_id,
+                     regexp_replace(t, '<script\\b.*?</script\\s*>', ' ',
+                                    'gis') AS t FROM kept),
+       s2 AS (SELECT doc_id,
+                     regexp_replace(t, '<style\\b.*?</style\\s*>', ' ', 'gis')
+                         AS t FROM s1),
+       s3 AS (SELECT doc_id, regexp_replace(t, '<!--.*?-->', ' ', 'gs') AS t
+              FROM s2),
+       s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'gs') AS t
+              FROM s3),
+       s4n AS (SELECT doc_id, """
+    + _NUMREF_DECODE.format(src="t")
+    + """ AS t FROM s4),
+       s5 AS (SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(t,
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
+                         AS t
+              FROM s4n)
+       SELECT doc_id,
+              trim(regexp_replace(t, '[ \\t\\n\\f\\r]+', ' ', 'g'))
+                  AS text_main
+       FROM s5""",
+)
+def txt_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction ([EXT] crawl preprocessing;
+    `operators/text.py::main_content` + `extract_main_text`, r8 advice
+    #3): each document wrapped in a realistic page shell — nav bar,
+    link-rail "related" block, link-heavy footer — and the extractor
+    must keep ONLY the article paragraph: nav falls to the min-length
+    floor, the rail and footer to the link-density ceiling.  Block
+    split + per-block length/density arithmetic + the full
+    `html_to_text` chain, all column expressions, both engines."""
+    docs = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> <a href="/about">'),
+        F.lit('About</a> <a href="/contact">Contact us</a></nav>'),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<div><a href="/r1">Related one</a> <a href="/r2">'),
+        F.lit('Related two</a> also try <a href="/r3">three</a></div>'),
+        F.lit('<footer><a href="/tos">Terms of Service</a> &#8212; '),
+        F.lit('<a href="/privacy">Privacy Policy</a> &#169; 2024'),
+        F.lit("</footer></body></html>"),
+    )
+    return docs.select(
+        "doc_id", text.extract_main_text(html).alias("text_main")
+    )
+
+
+@register(
+    "txt_url_normalize_v2",
+    r"""WITH raw AS (
+          SELECT doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN 'https://ex.example.com/p/' || (doc_id % 20)
+                               || '?a=1&b=' || (doc_id % 20) || '&c=3'
+                   WHEN 1 THEN 'https://ex.example.com/p/' || (doc_id % 20)
+                               || '?c=3&a=1&b=' || (doc_id % 20)
+                   ELSE 'https://ex.example.com/p/' || (doc_id % 20)
+                        || '?b=' || (doc_id % 20) || '&utm_x=9&&c=3&a=1'
+                 END AS url_raw
+          FROM documents),
+        s1 AS (SELECT doc_id, url_raw,
+                      regexp_replace(trim(url_raw), '#.*$', '') AS u FROM raw),
+        s2 AS (SELECT doc_id, url_raw,
+                      concat(lower(regexp_extract(u,
+                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                             regexp_replace(u,
+                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''))
+                          AS u FROM s1),
+        s3 AS (SELECT doc_id, url_raw,
+                      regexp_replace(
+                        regexp_replace(u, '^(http://[^/:?#]+):80([/?#]|$)',
+                                       '\1\2'),
+                        '^(https://[^/:?#]+):443([/?#]|$)', '\1\2')
+                          AS u FROM s2),
+        s4 AS (SELECT doc_id, url_raw,
+                      regexp_replace(u,
+                        '([?&])(?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&)+',
+                        '\1', 'g') AS u FROM s3),
+        s5 AS (SELECT doc_id, url_raw,
+                      regexp_replace(u,
+                        '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
+                          AS u FROM s4),
+        s6 AS (SELECT doc_id, url_raw,
+                      regexp_replace(u, '[?&/]+$', '') AS u FROM s5),
+        s7 AS (SELECT doc_id, url_raw,
+                      CASE WHEN regexp_extract(u, '^[^?]*\?(.*)$', 1) = ''
+                           THEN u
+                           ELSE regexp_extract(u, '^([^?]*)', 1) || '?' ||
+                                array_to_string(list_sort(list_filter(
+                                  string_split(regexp_extract(u,
+                                    '^[^?]*\?(.*)$', 1), '&'),
+                                  __x -> __x <> '')), '&')
+                      END AS u FROM s6)
+        SELECT doc_id, url_raw, u AS url_norm FROM s7""",
+)
+def txt_url_normalize_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization with query-param SORTING ([EXT] crawl-dedup;
+    `operators/text.py::normalize_url(sort_params=True)`, r8 advice #4):
+    three param orderings of the SAME page (plus a tracking param and an
+    empty segment in one variant) — the sorted canonical form collapses
+    all three to one dedup key where the r8 normalizer split them.
+    Split–filter–sort–rejoin, engine-portable (Spark binary string sort
+    == DuckDB binary collation)."""
+    docs = t(spark, sf_dir, "documents")
+    p = (F.col("doc_id") % 20).cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://ex.example.com/p/"), p,
+                F.lit("?a=1&b="), p, F.lit("&c=3"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://ex.example.com/p/"), p,
+                F.lit("?c=3&a=1&b="), p,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://ex.example.com/p/"), p,
+                F.lit("?b="), p, F.lit("&utm_x=9&&c=3&a=1"),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("url_raw"),
+        text.normalize_url(raw, sort_params=True).alias("url_norm"),
     )
 
 

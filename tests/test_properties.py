@@ -522,3 +522,26 @@ def test_normalize_url_total_and_idempotent_property(spark, urls):
     rows = df.select(once.alias("n1"), normalize_url(once).alias("n2")).collect()
     for r in rows:
         assert r["n1"] == r["n2"]
+
+
+@settings(max_examples=_ex(9), deadline=None)
+@given(perm=st.permutations(["a=1", "b=2", "c=", "key=v%20x", "a=0"]))
+def test_normalize_url_sorted_is_permutation_invariant(spark, perm):
+    """r8 advice #4 done-gate: with sort_params=True, EVERY param
+    ordering of the same URL canonicalizes to the same string, and the
+    sorted form is still idempotent."""
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.text import normalize_url
+
+    url = "https://ex.com/p?" + "&".join(perm)
+    canonical = "https://ex.com/p?" + "&".join(
+        sorted(["a=1", "b=2", "c=", "key=v%20x", "a=0"])
+    )
+    df = spark.createDataFrame([(url,)], "u string")
+    once = normalize_url(F.col("u"), sort_params=True)
+    row = df.select(
+        once.alias("n1"), normalize_url(once, sort_params=True).alias("n2")
+    ).collect()[0]
+    assert row["n1"] == canonical
+    assert row["n2"] == canonical

@@ -991,3 +991,129 @@ def test_html_to_text_strips_blocks_tags_entities(spark):
     assert got[1] == 'Title Hello & welcome to "the" site. Line two &lt;tag&gt;'
     assert got[2] == "plain, no markup"
     assert got[3] is None
+
+
+def test_decode_numeric_refs(spark):
+    """r8 advice #3a: decimal/hex numeric character references decode in
+    the portable subset — sub-256 via char(), the typography set via
+    literal chars, nbsp to plain space, out-of-range to space — and
+    ``&amp;#60;`` decodes ONCE (numeric pass precedes the &amp; pass)."""
+    from kusuma_metamorph_etl_spark.operators.text import (
+        decode_numeric_refs,
+        html_to_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "it&#8217;s &#x27;ok&#39; &#169;"),   # typo + hex + dec
+            (2, "a&#160;b"),                           # nbsp -> space
+            (3, "x &#55296; &#x1F600; y"),             # out of range -> space
+            (4, "&#123456789; &#xFFFFFFF; keep"),      # too long: literal
+            (5, "pre\x01mid\x02post"),                 # raw sentinels spaced
+        ],
+        "i long, s string",
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", decode_numeric_refs(F.col("s")).alias("d")
+        ).collect()
+    }
+    assert got[1] == "it’s 'ok' ©"
+    assert got[2] == "a b"
+    assert got[3] == "x     y"  # each ref -> one space (no collapse here)
+    assert got[4] == "&#123456789; &#xFFFFFFF; keep"
+    assert got[5] == "pre mid post"
+
+    h = spark.createDataFrame(
+        [("<p>A&#8212;B &amp;#60;raw&gt;</p>",)], "h string"
+    )
+    out = h.select(html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
+    # &#8212; decodes; &amp;#60; yields the LITERAL &#60; (no double decode)
+    assert out == "A—B &#60;raw>"
+    off = h.select(
+        html_to_text(F.col("h"), decode_numeric=False).alias("t")
+    ).collect()[0]["t"]
+    assert off == "A&#8212;B &#60;raw>"
+
+
+def test_main_content_drops_boilerplate_blocks(spark):
+    """r8 advice #3b (boilerplate fixture): nav falls to the min-length
+    floor, the link rail and footer to the link-density ceiling, the
+    article paragraph survives — and short-circuits: a page that is ALL
+    boilerplate extracts to empty text."""
+    from kusuma_metamorph_etl_spark.operators.text import extract_main_text
+
+    article = (
+        "This is the real article content, certainly long enough to "
+        "clear the floor, with one <a href='/ref'>reference link</a> "
+        "inside the prose."
+    )
+    page = (
+        '<html><body><nav><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact us</a></nav>'
+        f"<p>{article}</p>"
+        '<div><a href="/r1">Related one</a> <a href="/r2">Related two</a> '
+        'also try <a href="/r3">three</a></div>'
+        '<footer><a href="/tos">Terms of Service</a> &#8212; '
+        '<a href="/privacy">Privacy Policy</a> &#169; 2024</footer>'
+        "</body></html>"
+    )
+    allboiler = (
+        '<html><body><nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, page), (2, allboiler)], "i long, h string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", extract_main_text(F.col("h")).alias("t")
+        ).collect()
+    }
+    assert got[1] == (
+        "This is the real article content, certainly long enough to "
+        "clear the floor, with one reference link inside the prose."
+    )
+    assert got[2] == ""
+
+
+def test_normalize_url_sort_params(spark):
+    """r8 advice #4: with sort_params=True, param permutations of the
+    same page canonicalize identically; empty segments drop; sorting is
+    idempotent; default stays order-preserving."""
+    from kusuma_metamorph_etl_spark.operators.text import normalize_url
+
+    perms = [
+        "https://ex.com/p?a=1&b=2&c=3",
+        "https://ex.com/p?c=3&a=1&b=2",
+        "https://ex.com/p?b=2&&c=3&a=1",
+        "https://ex.com/p?b=2&utm_x=9&c=3&a=1#frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in perms], "u string")
+    sorted_out = {
+        r["n"]
+        for r in df.select(
+            normalize_url(F.col("u"), sort_params=True).alias("n")
+        ).collect()
+    }
+    assert sorted_out == {"https://ex.com/p?a=1&b=2&c=3"}
+    # duplicate keys keep both segments, ordered
+    dup = spark.createDataFrame([("https://ex.com/p?a=2&a=1",)], "u string")
+    assert (
+        dup.select(normalize_url(F.col("u"), sort_params=True).alias("n"))
+        .collect()[0]["n"]
+        == "https://ex.com/p?a=1&a=2"
+    )
+    # idempotent; and no-query URLs pass through
+    once = normalize_url(F.col("u"), sort_params=True)
+    for r in df.select(
+        once.alias("n1"), normalize_url(once, sort_params=True).alias("n2")
+    ).collect():
+        assert r["n1"] == r["n2"], r
+    # default (sort_params=False) preserves the original order
+    kept = (
+        spark.createDataFrame([("https://ex.com/p?c=3&a=1",)], "u string")
+        .select(normalize_url(F.col("u")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert kept == "https://ex.com/p?c=3&a=1"
