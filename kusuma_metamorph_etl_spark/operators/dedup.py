@@ -1259,3 +1259,145 @@ def semantic_dedup(
     )
     dups = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(dups, on=id_col, how="left_anti")
+
+
+def incremental_semantic_pairs(
+    new_df: DataFrame,
+    index_path: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Incremental SemDeDup (VERDICT r8 #5 — the semantic member of the
+    incremental family exact/MinHash/substring/CC already have): check a
+    NEW embedding batch against a PERSISTED corpus index without ever
+    re-pairing the corpus against itself.
+
+    The index is :func:`similarity.write_ivf_index` output — the corpus
+    cell-partitioned on disk plus the centroid sidecar.  Centroids stay
+    FROZEN between refreshes: the new batch assigns to the frozen cells
+    (broadcast-numpy map, no shuffle), and only the TOUCHED cells'
+    partitions are read back (bounded by n_centroids cells, a static
+    ``isin`` partition filter — at 100 TB the nightly batch touches a
+    handful of cells and the scan prunes to those files).  Candidate
+    pairs are (new × corpus-in-cell) plus, with ``include_new_pairs``,
+    (new × new in-cell); verification is the same exact-cosine Arrow
+    scorer as :func:`semantic_pairs`, so cost scales with |new| × cell
+    occupancy, not |corpus|².
+
+    Same recall seam as the batch path, plus one incremental-specific
+    caveat: a drifting embedding distribution degrades frozen-centroid
+    cell balance over refreshes — the lifecycle is rebuild-on-skew
+    (re-run ``write_ivf_index``), exactly like re-bucketing a table.
+    Identical vectors still always share an argmax cell, so exact
+    duplicates of corpus rows are never missed.
+
+    Returns (new_id, match_id, against, cosine) with ``against`` in
+    {'history', 'new'}; ids must be disjoint across the two sides.
+    """
+    import json
+
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        as_double,
+        assign_cells_np,
+    )
+
+    spark = new_df.sparkSession
+    centroids = json.loads(
+        spark.read.text(f"{index_path}/_ivf_centroids").first()["value"]
+    )
+    a = assign_cells_np(new_df, centroids, "new_id", id_col, vec_col)
+    # Touched-cell set: bounded by n_centroids, so the collect is safe,
+    # and pushing it as a static filter prunes the corpus read to the
+    # touched partitions' files.
+    touched = sorted(
+        r["cell"] for r in a.select("cell").distinct().collect()
+    )
+    corpus = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(touched))
+        .select(
+            F.col(id_col).alias("match_id"),
+            as_double(F.col(vec_col)).alias("match_id_v"),
+            "cell",
+        )
+    )
+    cand = (
+        a.join(corpus, on="cell")
+        .select("new_id", "new_id_v", "match_id", "match_id_v")
+        .withColumn("against", F.lit("history"))
+    )
+    if include_new_pairs:
+        b = a.select(
+            F.col("new_id").alias("match_id"),
+            F.col("new_id_v").alias("match_id_v"),
+            "cell",
+        )
+        within = (
+            a.join(b, on="cell")
+            .filter(F.col("new_id") < F.col("match_id"))
+            .select("new_id", "new_id_v", "match_id", "match_id_v")
+            .withColumn("against", F.lit("new"))
+        )
+        cand = cand.unionByName(within)
+
+    def score(batches):
+        for batch in batches:
+            av = np.array(list(batch["new_id_v"]), dtype=np.float64)
+            bv = np.array(list(batch["match_id_v"]), dtype=np.float64)
+            if len(av) == 0:
+                continue
+            cos = (av * bv).sum(axis=1) / (
+                np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+            )
+            out = pd.DataFrame(
+                {
+                    "new_id": batch["new_id"],
+                    "match_id": batch["match_id"],
+                    "against": batch["against"],
+                    "cosine": cos,
+                }
+            )
+            yield out[out["cosine"] >= threshold]
+
+    id_type = new_df.schema[id_col].dataType.simpleString()
+    return cand.mapInPandas(
+        score,
+        schema=(
+            f"new_id {id_type}, match_id {id_type},"
+            " against string, cosine double"
+        ),
+    )
+
+
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """New-batch survivors under incremental SemDeDup: drop a new row on
+    ANY corpus match (the standing corpus always wins — it is already
+    deduped and published) or on a lower-id match within the batch (the
+    family's lowest-id-wins rule).  The survivors are exactly what the
+    refresh appends to the index — ``write_ivf_index`` over corpus ∪
+    survivors, or an assignment-preserving append, both documented in
+    :func:`incremental_semantic_pairs`."""
+    pairs = incremental_semantic_pairs(
+        new_df, index_path, threshold, id_col, vec_col
+    )
+    drops = (
+        pairs.filter(F.col("against") == "history")
+        .select(F.col("new_id").alias(id_col))
+        .unionByName(
+            pairs.filter(F.col("against") == "new").select(
+                F.col("match_id").alias(id_col)
+            )
+        )
+        .distinct()
+    )
+    return new_df.join(drops, on=id_col, how="left_anti")

@@ -189,10 +189,18 @@ def ivf_build(
     vec_col: str = "embedding",
     refine_iters: int = 0,
 ) -> list[list[float]]:
-    """Pick the IVF centroid set: corpus vectors at a deterministic
-    id-stride, optionally refined with ``refine_iters`` Lloyd (k-means)
-    iterations.  Bounded driver collects only — the index IS tiny by
-    construction.
+    """Pick the IVF centroid set: the ``n_centroids`` corpus vectors
+    with the smallest ``xxhash64(id)`` (a deterministic pseudo-random
+    sample — one TakeOrdered top-k, no full sort), optionally refined
+    with ``refine_iters`` Lloyd (k-means) iterations.  Bounded driver
+    collects only — the index IS tiny by construction.
+
+    The r8 seeding picked ids at a stride (``id % (count//k) == 0``),
+    which silently seeded ZERO centroids whenever the id set missed the
+    stride — e.g. a corpus filtered to ``vec_id % 5 != 0`` has no ids
+    divisible by its own stride of 25 (found building the incremental-
+    SemDeDup index, r9).  Hash-order seeding is id-distribution
+    independent: any non-empty corpus seeds min(|corpus|, k) centroids.
 
     Each Lloyd iteration is one distributed pass: BROADCAST-ndarray
     cosine assignment + per-cell partial (count, sum-vector) reduction,
@@ -212,11 +220,8 @@ def ivf_build(
     import numpy as np
     import pandas as pd
 
-    total = corpus.count()
-    stride = max(total // n_centroids, 1)
     rows = (
-        corpus.filter(F.col(id_col) % stride == 0)
-        .orderBy(id_col)
+        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(n_centroids)
         .select(as_double(F.col(vec_col)).alias("centroid"))
         .collect()

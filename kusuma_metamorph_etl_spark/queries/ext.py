@@ -4213,6 +4213,84 @@ def dedup_semantic_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gate(expected, stats, ok)
 
 
+@register("dedup_semantic_incr", None)  # frozen-cell blocking — rows-only
+def dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup ([EXT] dedup family, VERDICT r8 #5;
+    `operators/dedup.py::incremental_semantic_pairs`): tonight's batch
+    (vec_id%5==0) against the standing corpus persisted as a frozen-
+    centroid IVF index — new vectors assign to frozen cells, only the
+    touched cells' partitions are read back, the corpus is never
+    re-paired against itself.  Cell blocking is recall-approximate, so
+    rows-only; the oracle-bound contract is `dedup_semantic_incr_err`."""
+    import shutil
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="sem_index_")
+    try:
+        similarity.write_ivf_index(hist, tmp, n_centroids=16)
+        out = dedup.incremental_semantic_pairs(new, tmp, threshold=0.3)
+        out = spark.createDataFrame(
+            out.select(
+                "new_id", "match_id", "against",
+                F.round("cosine", 6).alias("cosine"),
+            ).collect(),
+            schema="new_id long, match_id long, against string, cosine double",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "dedup_semantic_incr_err",
+    """SELECT vec_id + 1000000 AS new_id, vec_id AS match_id
+       FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 13 = 0""",
+)
+def dedup_semantic_incr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `dedup_semantic_incr` (mirrors
+    `dedup_minhash_incr_err`'s contract): plant an EXACT copy of every
+    13th CORPUS vector into the new batch under a shifted id — identical
+    vectors always land in the frozen argmax cell their original
+    occupies, so the incremental path must recover EVERY planted
+    (copy → history original) pair at threshold 0.9.  Emits the
+    oracle-computable planted-pair list gated on full recovery with
+    ``against='history'`` — a broken index write, a frozen-assignment
+    drift, or lost partition pruning empties the output and flips the
+    driver red."""
+    import shutil
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    planted = hist.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    new = emb.filter(F.col("vec_id") % 5 == 0).unionByName(planted)
+    tmp = tempfile.mkdtemp(prefix="sem_index_err_")
+    try:
+        similarity.write_ivf_index(hist, tmp, n_centroids=16)
+        pairs = dedup.incremental_semantic_pairs(new, tmp, threshold=0.9)
+        pairs = spark.createDataFrame(
+            pairs.filter(F.col("against") == "history")
+            .select("new_id", "match_id")
+            .collect(),
+            schema="new_id long, match_id long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    expected = hist.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("new_id"),
+        F.col("vec_id").alias("match_id"),
+    )
+    hit = expected.join(pairs, ["new_id", "match_id"], "left_semi")
+    stats = _n(expected, "n_exp").crossJoin(_n(hit, "n_hit"))
+    ok = (F.col("n_exp") > 0) & (F.col("n_hit") == F.col("n_exp"))
+    return _gate(expected, stats, ok)
+
+
 @register(
     "ts_ewma",
     f"""WITH agg AS MATERIALIZED (

@@ -590,3 +590,79 @@ def test_incremental_substring_matches_batch_restriction(spark):
     norm_inc = {tuple(sorted(p[:2])) for p in got}
     norm_batch = {tuple(sorted(p)) for p in expected_pairs}
     assert norm_inc == norm_batch
+
+
+def test_incremental_semantic_pairs_and_dedup(spark, tmp_path):
+    """r8 VERDICT #5: a new batch checked against a persisted frozen-
+    centroid index finds its corpus duplicates and its within-batch
+    duplicates, and the survivor rule drops exactly the matched rows."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        incremental_semantic_pairs,
+    )
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    hist_rows = [
+        (int(i), rng.normal(size=8).tolist()) for i in range(1, 41)
+    ]
+    hist = spark.createDataFrame(
+        hist_rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "idx")
+    write_ivf_index(hist, idx, n_centroids=4)
+
+    # new batch: 100 = exact copy of history 7; 101/102 = exact copies
+    # of each other (novel direction); 103 = novel
+    copies = dict(hist_rows)[7]
+    novel_dup = rng.normal(size=8).tolist()
+    new = spark.createDataFrame(
+        [
+            (100, copies),
+            (101, novel_dup),
+            (102, novel_dup),
+            (103, rng.normal(size=8).tolist()),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = incremental_semantic_pairs(new, idx, threshold=0.999)
+    got = {(r["new_id"], r["match_id"], r["against"]) for r in pairs.collect()}
+    assert (100, 7, "history") in got
+    assert (101, 102, "new") in got
+    # nothing pairs the genuinely novel row
+    assert all(103 not in (a, b) for a, b, _ in got)
+
+    survivors = {
+        r["vec_id"]
+        for r in incremental_semantic_dedup(new, idx, threshold=0.999).collect()
+    }
+    # corpus wins over 100; lowest-id-wins keeps 101, drops 102
+    assert survivors == {101, 103}
+
+
+def test_ivf_build_seeds_sparse_id_sets(spark):
+    """Regression (r9): stride seeding (id % (count//k) == 0) seeded ZERO
+    centroids whenever the id set missed its own stride — e.g. ids all
+    coprime to the stride.  Hash-order seeding must fill min(|corpus|, k)
+    centroids for ANY non-empty id set."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.similarity import ivf_build
+
+    rng = np.random.default_rng(3)
+    # 40 ids, none divisible by 5 (the old stride would be 40//8=5)
+    rows = [
+        (int(i), rng.normal(size=8).tolist())
+        for i in range(1, 51)
+        if i % 5 != 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_build(df, 8, "vec_id", "embedding", 0)
+    assert len(cents) == 8
+    # tiny corpus: every row seeds, no duplicates invented
+    tiny = spark.createDataFrame(rows[:3], "vec_id long, embedding array<double>")
+    assert len(ivf_build(tiny, 8, "vec_id", "embedding", 0)) == 3

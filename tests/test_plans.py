@@ -336,3 +336,19 @@ def test_seasonal_profile_has_no_forced_broadcast_hint(spark, sf_small):
         .toString()
     )
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+
+
+def test_shipping_priority_broadcasts_and_take_ordered(spark, sf_small):
+    """VERDICT r8 #6: the TPC-H Q3-shaped pure-SQL entry must (a) turn
+    ORDER BY/LIMIT into TakeOrderedAndProject — never a global sort —
+    (b) broadcast the filtered customer dim instead of sort-merge
+    joining it, and (c) push the segment filter into the customer scan."""
+    from kusuma_metamorph_etl_spark.queries.ext import sql_shipping_priority
+
+    df = sql_shipping_priority(spark, sf_small)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan

@@ -222,10 +222,16 @@ def test_ivf_lloyd_refinement_matches_numpy_reference(spark):
 
     got = np.array(ivf_build(df, n_centroids=3, refine_iters=4))
 
-    # numpy reference with the IDENTICAL stride init
-    total = len(blobs)
-    stride = max(total // 3, 1)
-    init_ids = [i for i in range(total) if i % stride == 0][:3]
+    # numpy reference with the IDENTICAL hash-order init (r9 seeding:
+    # the 3 smallest xxhash64(id) rows; asking Spark for the hash keeps
+    # the reference pinned to the engine's own seed rule)
+    hash_order = (
+        df.select("vec_id")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(3)
+        .collect()
+    )
+    init_ids = [r["vec_id"] for r in hash_order]
     cents = blobs[init_ids].astype(float)
 
     def cos(a, b):
