@@ -1,6 +1,6 @@
-"""[EXT] Baseline JPEG codec (ITU-T T.81, sequential DCT) in pure numpy —
-closes the last compressed-image boundary behind
-`multimodal.decode_image`'s seam.
+"""[EXT] JPEG codec (ITU-T T.81: baseline sequential DCT encode/decode,
+PROGRESSIVE decode) in pure numpy — closes the last compressed-image
+boundary behind `multimodal.decode_image`'s seam.
 
 Scope, declared precisely:
 
@@ -20,7 +20,11 @@ Scope, declared precisely:
   byte-aligns at each interval, verifies the RSTn modulo-8 sequence,
   and resets the DC predictors (T.81 §F.2.1.3.1).  Tables are read
   from the file as the spec requires, so files from other encoders
-  decode too.  Progressive/arithmetic/hierarchical inputs raise
+  decode too.  PROGRESSIVE (SOF2) inputs decode via coefficient
+  accumulation across scans — DC first/refine, AC spectral-selection
+  bands with EOB runs, AC successive-approximation refinement (Annex
+  G; VERDICT r8 #7: the majority encoding of modern web JPEGs).
+  Arithmetic/hierarchical/lossless inputs raise
   ``NotImplementedError`` with the boundary named.
 
 Conformance evidence: GIF's decoder is pinned to a public byte vector;
@@ -424,10 +428,257 @@ def _decode_block(
     return pred, _C.T @ (coef.reshape(8, 8) * q) @ _C + 128.0
 
 
+def _decode_dc_first(br, dc_tab, pred, al):
+    size = _decode_huffman(br, dc_tab)
+    pred += _extend(br.read_bits(size), size)
+    return pred  # coefficient is pred << al, applied by the caller
+
+
+def _decode_ac_first(br, ac_tab, zz, ss, se, al, eobrun):
+    """AC first scan for one block's band (T.81 §G.1.2.2); returns the
+    updated EOB run (an EOBn symbol ends 2^r-1+bits FOLLOWING blocks'
+    bands too, so the run must thread across block calls)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _decode_huffman(br, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overrun")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_nonzero(br, zz, k, p1, m1):
+    """Refinement bit for an already-nonzero coefficient (§G.1.2.3):
+    a 1-bit adds 2^Al toward the coefficient's sign if that bit is not
+    already set."""
+    if br.read_bit():
+        if zz[k] > 0 and not (zz[k] & p1):
+            zz[k] += p1
+        elif zz[k] < 0 and not (-zz[k] & p1):
+            zz[k] += m1
+
+
+def _decode_ac_refine(br, ac_tab, zz, ss, se, al, eobrun):
+    """AC refinement scan for one block's band (T.81 §G.1.2.3)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _decode_huffman(br, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: refine the rest of the band, then run
+                    # NOT pre-decremented (unlike the first-scan rule):
+                    # the tail below refines the CURRENT block's
+                    # remainder and consumes one unit of the run
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                newval = 0  # ZRL: skip 16 zero-HISTORY coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement size != 1")
+                newval = p1 if br.read_bit() else m1
+            # advance past r zero-history coefficients, emitting a
+            # refinement bit for every nonzero-history one passed over
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(br, zz, k, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                _refine_nonzero(br, zz, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    frame,
+    coef_store: dict[int, np.ndarray],
+    huff,
+    scan_order: list[int],
+    scan_tables: dict[int, tuple[int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data into the coefficient
+    store; returns the number of entropy bytes consumed.
+
+    T.81 Annex G scan taxonomy, all four decoded:
+    * DC first (Ss=Se=0, Ah=0) — interleaved or single-component; the
+      predictor chain runs in the successive-approximation domain and
+      the stored coefficient is ``pred << Al``;
+    * DC refinement (Ss=0, Ah>0) — one appended bit per block;
+    * AC first (Ss>0, Ah=0) — single-component band [Ss..Se] with
+      EOB-run symbols spanning blocks;
+    * AC refinement (Ss>0, Ah>0) — correction bits (§G.1.2.3).
+
+    Restart intervals reset DC predictors AND the EOB run, and count
+    MCUs in interleaved scans / blocks in single-component scans.
+    """
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se=0")
+    if not is_dc and len(scan_order) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    if (not is_dc and ss > se) or se > 63:
+        raise ValueError("bad spectral selection band")
+
+    br = _BitReader(data)
+    preds = {cid: 0 for cid in scan_order}
+    eobrun = 0
+
+    interleaved = len(scan_order) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        cid0 = scan_order[0]
+        hi, vi, _ = comp_by_id[cid0]
+        # single-component scans cover the COMPONENT's blocks (no MCU
+        # padding): ceil(comp_size / 8) per axis (T.81 §A.2.2)
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        n_units = bw * bh
+
+    for idx in range(n_units):
+        if restart_interval and idx and idx % restart_interval == 0:
+            n = br.consume_restart()
+            expect = (idx // restart_interval - 1) % 8
+            if n != expect:
+                raise ValueError(
+                    f"RST{n} out of sequence (expected RST{expect})"
+                )
+            preds = {cid: 0 for cid in scan_order}
+            eobrun = 0
+        if interleaved:  # DC scan over full MCUs
+            my, mx = divmod(idx, mcux)
+            for cid in scan_order:
+                hi, vi, _tq = comp_by_id[cid]
+                td, _ta = scan_tables[cid]
+                arr = coef_store[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        by, bx = my * vi + v, mx * hi + hh
+                        if ah == 0:
+                            preds[cid] = _decode_dc_first(
+                                br, huff[(0, td)], preds[cid], al
+                            )
+                            arr[by, bx, 0] = preds[cid] << al
+                        else:
+                            if br.read_bit():
+                                arr[by, bx, 0] |= 1 << al
+        else:
+            cid = scan_order[0]
+            arr = coef_store[cid]
+            by, bx = divmod(idx, bw)
+            if is_dc:
+                td, _ta = scan_tables[cid]
+                if ah == 0:
+                    preds[cid] = _decode_dc_first(
+                        br, huff[(0, td)], preds[cid], al
+                    )
+                    arr[by, bx, 0] = preds[cid] << al
+                else:
+                    if br.read_bit():
+                        arr[by, bx, 0] |= 1 << al
+            else:
+                _td, ta = scan_tables[cid]
+                zz = arr[by, bx]  # 1-D int32 view; in-place updates land
+                if ah == 0:
+                    eobrun = _decode_ac_first(
+                        br, huff[(1, ta)], zz, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        br, huff[(1, ta)], zz, ss, se, al, eobrun
+                    )
+    return br.pos
+
+
+def _reconstruct_progressive(
+    frame, coef_store: dict[int, np.ndarray], qtables: dict[int, np.ndarray]
+) -> np.ndarray:
+    """Dequantize + inverse-zigzag + IDCT the accumulated coefficient
+    store and assemble the image — one vectorized einsum per component
+    (the per-block loop of the sequential path would be numpy-slow at
+    the block counts progressive web images carry)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for cid, hi, vi, tq in comps:
+        arr = coef_store[cid].astype(np.float64)
+        by, bx = arr.shape[:2]
+        nat = np.zeros_like(arr)
+        nat[..., _ZIGZAG] = arr  # zigzag index k -> natural position
+        blocks = nat.reshape(by, bx, 8, 8) * qtables[tq]
+        # broadcast matmul, SAME associativity as the sequential path's
+        # per-block `_C.T @ (coef*q) @ _C` — bit-identical floats, so a
+        # baseline and a progressive encoding of the same coefficients
+        # decode to the same pixels
+        spatial = _C.T @ blocks @ _C + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if vi != vmax:
+            plane = plane.repeat(vmax // vi, axis=0)
+        if hi != hmax:
+            plane = plane.repeat(hmax // hi, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential decoder → uint8 HxWx3 (or HxW grey); any
-    integer-ratio sampling factors (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0),
-    DRI/RSTn restart intervals honored."""
+    """Baseline sequential AND progressive decoder → uint8 HxWx3 (or HxW
+    grey); any integer-ratio sampling factors (4:4:4 / 4:2:0 / 4:2:2 /
+    4:4:0), DRI/RSTn restart intervals honored.  Progressive (SOF2,
+    the majority encoding of modern web JPEGs — VERDICT r8 #7) decodes
+    via per-component coefficient accumulation across scans: DC
+    first/refine, AC spectral-selection bands with EOB-run tracking, AC
+    successive-approximation refinement (T.81 Annex G), reconstructed
+    once at EOI with the same dequantize + IDCT + upsample path as
+    baseline.  Arithmetic-coded, hierarchical, and lossless inputs
+    still raise ``NotImplementedError`` with the boundary named."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -435,6 +686,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coef_store: dict[int, np.ndarray] = {}  # cid -> (BY, BX, 64) int32
+    n_scans = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -447,6 +701,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and n_scans:
+                return _reconstruct_progressive(frame, coef_store, qtables)
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
@@ -476,7 +732,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     (length, code): sym for sym, (code, length) in codes.items()
                 }
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG")
@@ -496,19 +753,63 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = (h, w, comps)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("non-baseline JPEG (progressive/extended)")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "non-baseline/non-progressive JPEG (extended/arithmetic/"
+                "hierarchical/lossless)"
+            )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
             ncomp_scan = body[0]
             scan_tables: dict[int, tuple[int, int]] = {}
+            scan_order: list[int] = []
             for ci in range(ncomp_scan):
                 cid, tdta = body[1 + 2 * ci : 3 + 2 * ci]
                 scan_tables[cid] = (tdta >> 4, tdta & 0x0F)
+                scan_order.append(cid)
             h, w, comps = frame
+            if progressive:
+                ss = body[1 + 2 * ncomp_scan]
+                se = body[2 + 2 * ncomp_scan]
+                ahal = body[3 + 2 * ncomp_scan]
+                if not coef_store:
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    for cid, hi, vi, _tq in comps:
+                        coef_store[cid] = np.zeros(
+                            (mcuy * vi, mcux * hi, 64), dtype=np.int32
+                        )
+                consumed = _decode_progressive_scan(
+                    payload[pos + seg_len :],
+                    frame,
+                    coef_store,
+                    huff,
+                    scan_order,
+                    scan_tables,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0x0F,
+                    restart_interval,
+                )
+                n_scans += 1
+                pos = pos + seg_len + consumed
+                # resync: skip pad bytes to the next true marker (not a
+                # stuffed 0xFF00, not a stray RSTn)
+                while pos + 1 < len(payload) and not (
+                    payload[pos] == 0xFF
+                    and payload[pos + 1] != 0x00
+                    and not 0xD0 <= payload[pos + 1] <= 0xD7
+                ):
+                    pos += 1
+                continue
             if ncomp_scan != len(comps):
-                raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) sequential JPEG"
+                )
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = -(-w // (8 * hmax))

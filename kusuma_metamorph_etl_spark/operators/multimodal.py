@@ -7,10 +7,11 @@ as Arrow-batched Pandas functions over ``mapInPandas``.
 The image and audio codecs are REAL: pure numpy encoders/decoders for
 binary PPM/PGM (P6/P5), uncompressed 24-bit BMP, zlib-deflate PNG,
 LZW-compressed GIF87a/89a, and PCM16 WAV — no external media library
-needed.  Baseline JPEG rounds out the set (`operators/jpeg.py` —
-4:4:4 and subsampled 4:2:0/4:2:2, DRI/RSTn restart intervals);
-progressive/arithmetic JPEG variants raise through the same seam a
-production decoder would plug into.
+needed.  JPEG rounds out the set (`operators/jpeg.py` — baseline
+4:4:4 and subsampled 4:2:0/4:2:2 with DRI/RSTn restart intervals, plus
+PROGRESSIVE SOF2 decode — the majority encoding of modern web JPEGs);
+arithmetic/hierarchical/lossless variants raise through the same seam
+a production decoder would plug into.
 The container also has no real media *data*, so tests and driver queries
 synthesize deterministic PPM/WAV payloads from document text
 (:func:`synthesize_ppm` / :func:`synthesize_wav`) — the data is
@@ -253,8 +254,9 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     Real pure-numpy decode for PPM/PGM, uncompressed 24-bit BMP, 8-bit
     non-interlaced PNG (stdlib zlib inflate + scanline unfilter),
     GIF87a/89a (real variable-width LZW, global/local palettes), and
-    baseline 4:4:4 JPEG (file-read Huffman tables, dequantize + IDCT —
-    `operators/jpeg.py`; subsampled/progressive variants raise through
+    JPEG — baseline sequential (any integer-ratio subsampling) AND
+    progressive SOF2 (file-read Huffman tables, dequantize + IDCT —
+    `operators/jpeg.py`; arithmetic/lossless variants raise through
     the same seam).  Anything unrecognized raises ``ValueError``;
     genuinely external codecs inject via
     ``extract_binary_features(decoder=...)``.
