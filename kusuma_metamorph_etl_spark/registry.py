@@ -113,10 +113,10 @@ _LOADED = False
 #
 # ROUND-9 WINDOW: the r8 checklist executed — basis bumped to 8,
 # DEFERRED_TO_NEXT_WINDOW emptied, window regenerated.  The 14 rows r8
-# deferred (the only remaining zero-evidence registrations) now lead
-# the window in registration order; the remaining 36 slots go to the
-# oldest-evidence rows, fulfilling the rotation.  New r9 registrations
-# append to the zero-evidence front automatically on the next regen.
+# deferred plus the 4 r9 registrations (txt_html_main_text,
+# txt_url_normalize_v2, dedup_semantic_incr(+_err)) — 18 zero-evidence
+# rows, all inside the window — lead in registration order; the
+# remaining 32 slots go to the oldest-evidence rows.
 #
 # r10 builder checklist: once the driver lands CORRECTNESS_r09.json,
 # bump _PRIORITY_BASIS_ROUND to 9, regenerate with
@@ -178,6 +178,8 @@ _PRIORITY: tuple[str, ...] = (
     "mart_crawl_prep",
     "txt_html_to_text",
     "txt_url_normalize",
+    "txt_html_main_text",
+    "txt_url_normalize_v2",
     "txt_readability",
     "dedup_substring_incr",
     "dedup_substring_incr_err",
@@ -185,6 +187,8 @@ _PRIORITY: tuple[str, ...] = (
     "mart_user_engagement",
     "evt_funnel_timing",
     "dq_psi_categorical",
+    "dedup_semantic_incr",
+    "dedup_semantic_incr_err",
     "txt_collocations",
     "evt_rate_anomaly_seasonal",
     "sql_shipping_priority",
@@ -221,11 +225,11 @@ _PRIORITY: tuple[str, ...] = (
     "txt_tfidf",
     "txt_pii_scrub",
     "samp_deterministic",
+  # ---- window cut ----
     "samp_stratified",
     "dedup_incremental",
     "dedup_exact",
     "dedup_ngram_jaccard",
-  # ---- window cut ----
     "dedup_embedding",
     "agg_approx_distinct_err",
     "agg_approx_quantile_err",
