@@ -76,6 +76,7 @@ HEADLINE = [
     "mm_transcode",  # all four image codecs, decode + re-encode, one pass
     "mart_crawl_prep",  # html strip + quality floor + URL-canonical dedup
     "sql_shipping_priority",  # TPC-H Q3 star join (broadcast + TakeOrdered)
+    "sql_local_supplier_volume",  # Q5: six-table local-supplier join tree
     "txt_html_main_text",  # block split + link-density filter + full strip
     "dedup_semantic_incr",  # frozen-cell new x corpus + index write cost
 ]

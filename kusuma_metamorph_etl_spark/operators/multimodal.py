@@ -1440,6 +1440,7 @@ def transcode_images(
     to: str = "png",
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Cross-format image transcoding: decode WHATEVER format each
     payload is in (format sniffed per row — a real crawl corpus is
@@ -1448,6 +1449,17 @@ def transcode_images(
     storage format.  Emits ``(id, src_format, payload, width, height)``
     with the payload re-encoded.
 
+    ``on_error`` (VERDICT r8 #7's accounting half): ``"raise"`` (default
+    — tests and curated corpora want the loud failure) or
+    ``"quarantine"`` — a corrupt or genuinely-unsupported payload (e.g.
+    arithmetic-coded JPEG) must not kill a 100 TB normalization job.
+    Quarantined rows come back with ``src_format='error'``, a NULL
+    payload and zero dims, plus the exception text in ``error`` (NULL on
+    success) — so the pipeline QUANTIFIES its carve-out
+    (``filter(src_format = 'error')`` is the quarantine table and its
+    count the coverage metric) instead of silently dropping or loudly
+    dying.
+
     GIF targets require palette-expressible pixels (the encoder raises
     rather than posterizing — see `encode_gif`); JPEG targets are lossy
     by design.  Arrow ``mapInPandas``, decode+encode once per image, no
@@ -1455,12 +1467,15 @@ def transcode_images(
     """
     if to not in ("png", "ppm", "bmp", "gif", "jpeg"):
         raise ValueError(f"unknown target format {to!r}")
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
     encoders = {
         "png": encode_png,
         "ppm": encode_ppm,
         "bmp": encode_bmp,
         "gif": encode_gif,
     }
+    quarantine = on_error == "quarantine"
 
     def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if to == "jpeg":
@@ -1472,23 +1487,41 @@ def transcode_images(
         for batch in batches:
             rows = []
             for doc_id, payload in zip(batch[id_col], batch[payload_col]):
-                img = decode_image(bytes(payload))
-                rows.append(
-                    {
-                        id_col: doc_id,
-                        "src_format": img["format"],
-                        "payload": enc(img["pixels"]),
-                        "width": img["width"],
-                        "height": img["height"],
-                    }
-                )
-            yield pd.DataFrame(rows)
+                try:
+                    img = decode_image(bytes(payload))
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "src_format": img["format"],
+                            "payload": enc(img["pixels"]),
+                            "width": img["width"],
+                            "height": img["height"],
+                            "error": None,
+                        }
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    if not quarantine:
+                        raise
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "src_format": "error",
+                            "payload": None,
+                            "width": 0,
+                            "height": 0,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            out = pd.DataFrame(rows)
+            yield out if quarantine else out.drop(columns=["error"])
 
     # id type derived from the input (string WARC record ids are as
     # valid as long doc ids — ADVICE r7), same as semantic_pairs
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, payload_col).mapInPandas(
-        transcode,
-        schema=f"{id_col} {id_type}, src_format string, payload binary, "
-        "width int, height int",
+    schema = (
+        f"{id_col} {id_type}, src_format string, payload binary, "
+        "width int, height int"
     )
+    if quarantine:
+        schema += ", error string"
+    return df.select(id_col, payload_col).mapInPandas(transcode, schema=schema)

@@ -5170,6 +5170,64 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_LOCAL_SUPPLIER_VOLUME = """SELECT n.n_name AS nation,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+       FROM customer{v} c
+       JOIN orders{v} o ON c.c_custkey = o.o_custkey
+       JOIN lineitem{v} l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier{v} s ON l.l_suppkey = s.s_suppkey
+                         AND c.c_nationkey = s.s_nationkey
+       JOIN nation{v} n ON s.s_nationkey = n.n_nationkey
+       JOIN region{v} r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY 1"""
+
+
+@register("sql_local_supplier_volume", _SQL_LOCAL_SUPPLIER_VOLUME.format(v=""))
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third pure-SQL entry (TPC-H Q5 shape): the deepest join tree in
+    the suite — six tables, with the local-supplier condition
+    (``c_nationkey = s_nationkey``) joining two independent dim chains
+    through the fact.  Identical SQL text on both engines; Catalyst
+    broadcast-joins every dim (region→nation prunes first) and the date
+    range pushes to the orders scan — plan-tested alongside Q3."""
+    for name in (
+        "region", "nation", "customer", "supplier", "orders", "lineitem"
+    ):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_LOCAL_SUPPLIER_VOLUME.format(v="_v"))
+
+
+_SQL_RETURNED_ITEMS = """SELECT c.c_custkey,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+              n.n_name AS nation
+       FROM customer{v} c
+       JOIN orders{v} o ON c.c_custkey = o.o_custkey
+       JOIN lineitem{v} l ON l.l_orderkey = o.o_orderkey
+       JOIN nation{v} n ON c.c_nationkey = n.n_nationkey
+       WHERE l.l_returnflag = 'R'
+       GROUP BY 1, 3
+       ORDER BY revenue DESC, c.c_custkey
+       LIMIT 20"""
+
+
+@register("sql_returned_items", _SQL_RETURNED_ITEMS.format(v=""))
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth pure-SQL entry (TPC-H Q10 shape): the churn-analysis
+    readout — top-20 customers by revenue lost to returned items.  The
+    returnflag filter pushes to the lineitem scan, dims broadcast, and
+    the ORDER BY/LIMIT compiles to TakeOrderedAndProject (top-k, no
+    global sort) — the same plan contract as Q3, asserted in
+    tests/test_plans.py."""
+    for name in ("nation", "customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_RETURNED_ITEMS.format(v="_v"))
+
+
 @register(
     "mm_jpeg_features",
     """SELECT doc_id,

@@ -1490,3 +1490,50 @@ def test_sample_frames_no_phantom_frame_on_exact_multiple(spark):
     assert all(len(b) == 8 for _, b in by_doc[1])
     assert [i for i, _ in by_doc[2]] == [0, 1, 2, 3]
     assert by_doc[3] == [(0, b"")]  # empty payload: one declared empty frame
+
+
+def test_transcode_quarantine_quantifies_carveout(spark, sf_small):
+    """VERDICT r8 #7 accounting half: a corrupt payload and a genuinely
+    unsupported codec (arithmetic SOF9) must not kill the normalization
+    job under on_error='quarantine' — they land in the quarantine rows
+    with the exception text, and the good rows still transcode.  Default
+    stays raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from kusuma_metamorph_etl_spark.operators.jpeg import encode_jpeg
+
+    good = multimodal.encode_ppm(np.full((4, 4, 3), 7, dtype=np.uint8))
+    corrupt = b"P6\n4 4\n255\n"  # truncated PPM body
+    arith = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC9  # SOF9: arithmetic-coded
+    df = spark.createDataFrame(
+        [(1, good), (2, corrupt), (3, bytes(arith))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.transcode_images(
+            df, to="png", on_error="quarantine"
+        ).collect()
+    }
+    assert out[1]["src_format"] == "ppm" and out[1]["error"] is None
+    assert multimodal.decode_image(bytes(out[1]["payload"]))["format"] == "png"
+    assert out[2]["src_format"] == "error" and out[2]["payload"] is None
+    assert out[3]["src_format"] == "error"
+    assert "NotImplementedError" in out[3]["error"]
+    # the carve-out is a queryable count, not a crash or a silent drop
+    quarantined = (
+        multimodal.transcode_images(df, to="png", on_error="quarantine")
+        .filter(F.col("src_format") == "error")
+        .count()
+    )
+    assert quarantined == 2
+    # default mode still fails loudly (and has no error column)
+    with _pytest.raises(Exception):
+        multimodal.transcode_images(df, to="png").collect()
+    ok_only = multimodal.transcode_images(
+        df.filter(F.col("doc_id") == 1), to="png"
+    )
+    assert "error" not in ok_only.columns

@@ -352,3 +352,25 @@ def test_shipping_priority_broadcasts_and_take_ordered(spark, sf_small):
     assert "SortMergeJoin" not in plan
     assert "PushedFilters" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_and_q10_broadcast_with_pushed_filters(spark, sf_small):
+    """The Q5/Q10-shaped SQL entries keep the Q3 plan contract: dims
+    broadcast (no SortMergeJoin at test scale), selective filters reach
+    the scans, Q10's top-20 compiles to TakeOrderedAndProject."""
+    from kusuma_metamorph_etl_spark.queries.ext import (
+        sql_local_supplier_volume,
+        sql_returned_items,
+    )
+
+    q5 = _plan(sql_local_supplier_volume(spark, sf_small))
+    assert "BroadcastHashJoin" in q5
+    assert "SortMergeJoin" not in q5
+    assert "EqualTo(r_name,ASIA)" in q5
+    assert "GreaterThanOrEqual(o_orderdate" in q5  # date range pushed
+
+    q10 = _plan(sql_returned_items(spark, sf_small))
+    assert "TakeOrderedAndProject" in q10
+    assert "BroadcastHashJoin" in q10
+    assert "SortMergeJoin" not in q10
+    assert "EqualTo(l_returnflag,R)" in q10
