@@ -679,6 +679,51 @@ def ivf_search(
     )
 
 
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Element-wise mean embedding per group — the corpus/label centroid
+    primitive (topic centroids for routing, class prototypes, the seed
+    step of any diversity-sampling loop).
+
+    The 100 TB shape is posexplode → (group, position) average →
+    re-assemble, NOT ``collect_list`` + driver math: the explode is a
+    narrow ×dim fan-out, the average gets map-side partial aggregation,
+    and no task ever holds a group's full vector set.  Re-assembly sorts
+    (position, mean) structs and projects the means — order is exact,
+    never collection-order luck.  Means round to ``round_to`` dp so both
+    engines agree despite summation order (the registry convention).
+    """
+    pos = df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+    )
+    per_pos = pos.groupBy("g", "pos").agg(
+        F.round(F.avg("x"), round_to).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_pos.groupBy("g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid"),
+            # every position sees the same row count — the group size
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "centroid",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+        )
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -583,6 +583,61 @@ def chunk_tokens(
     )
 
 
+def split_sentences(text: Column) -> Column:
+    """Sentence array from prose: a terminator (. ! ?) followed by
+    whitespace ends a sentence.  RE2-portable (no lookbehind — the
+    terminator is REPLACED with itself + a \\x01 marker, then one split;
+    raw \\x01 bytes are spaced out first so the marker is unambiguous),
+    so the oracle expresses the identical rule.  Abbreviation handling
+    ("Dr. Smith") is the model-based seam real segmenters plug in; the
+    regexp rule is the scan-speed default corpus chunkers use."""
+    t = F.regexp_replace(text, "\x01", " ")
+    t = F.regexp_replace(t, "([.!?])[ \t\n\f\r]+", "$1\x01")
+    return F.filter(F.split(t, "\x01"), lambda s: F.trim(s) != "")
+
+
+def chunk_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_sentences: int = 5,
+    overlap: int = 1,
+) -> DataFrame:
+    """Sentence-AWARE chunking with overlap: windows of ``n_sentences``
+    sentences advancing by ``n_sentences − overlap`` — the RAG/embedding
+    pre-processing twin of :func:`chunk_tokens` (token windows cut
+    mid-sentence; embedding quality wants boundary-aligned chunks).
+
+    Same scale shape as `chunk_tokens`: split → sequence → explode →
+    slice → join, a narrow fan-out with no shuffle.  Window starts run
+    1, 1+step, … while start ≤ max(n − overlap, 1), which keeps every
+    sentence covered and drops a tail window that would be a pure
+    subset of its predecessor.
+    """
+    if not 0 <= overlap < n_sentences:
+        raise ValueError(
+            f"need 0 <= overlap < n_sentences, got {overlap}/{n_sentences}"
+        )
+    step = n_sentences - overlap
+    sents = split_sentences(F.col(text_col))
+    n = F.size(sents)
+    last_start = F.greatest(n - overlap, F.lit(1))
+    out = df.select(
+        F.col(id_col),
+        sents.alias("__s"),
+        F.posexplode(
+            F.sequence(F.lit(1), last_start, F.lit(step))
+        ).alias("chunk_idx", "__start"),
+    )
+    piece = F.slice(F.col("__s"), F.col("__start"), n_sentences)
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_sentences"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    ).filter(F.col("chunk_text") != "")
+
+
 def fingerprint(text: Column) -> Column:
     """Full-content md5 fingerprint (cross-engine-stable; exact-dup key)."""
     return F.md5(text)

@@ -5229,6 +5229,76 @@ def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_chunk_sentences",
+    """WITH punct AS (
+         -- the synthetic corpus has no sentence punctuation; mint
+         -- deterministic sentence breaks so multi-chunk + overlap are
+         -- really exercised (same synthesis on both engines)
+         SELECT doc_id,
+                regexp_replace(text, '\\b(table|query|value)\\b', '\\1.',
+                               'g') AS text
+         FROM documents),
+       s AS (
+         SELECT doc_id,
+                list_filter(string_split(
+                  regexp_replace(regexp_replace(text, chr(1), ' ', 'g'),
+                                 '([.!?])[ \\t\\n\\f\\r]+',
+                                 '\\1' || chr(1), 'g'),
+                  chr(1)), __x -> trim(__x) <> '') AS sents
+         FROM punct),
+       st AS (SELECT doc_id, sents,
+                     unnest(range(1, greatest(len(sents) - 1, 1) + 1, 4))
+                         AS start
+              FROM s),
+       c AS (SELECT doc_id,
+                    CAST((start - 1) // 4 AS BIGINT) AS chunk_idx,
+                    sents[start : start + 4] AS piece
+             FROM st)
+       SELECT doc_id, chunk_idx,
+              CAST(len(piece) AS BIGINT) AS n_sentences,
+              array_to_string(piece, ' ') AS chunk_text
+       FROM c WHERE array_to_string(piece, ' ') <> ''""",
+)
+def txt_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware overlapping chunking ([EXT] text;
+    `operators/text.py::chunk_sentences`): 5-sentence windows advancing
+    by 4 (overlap 1) — the boundary-aligned RAG/embedding chunker next
+    to `txt_chunk`'s token windows.  Narrow fan-out, no shuffle.  The
+    fixture mints deterministic sentence breaks (the synthetic corpus
+    has none), so docs genuinely produce several overlapping chunks."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"\b(table|query|value)\b", "$1."
+        ).alias("text"),
+    )
+    return text.chunk_sentences(docs, n_sentences=5, overlap=1)
+
+
+@register(
+    "sim_group_centroid",
+    """WITH e AS (SELECT label,
+                         unnest(embedding) AS x,
+                         unnest(range(1, len(embedding) + 1)) AS pos
+                  FROM embeddings),
+        p AS (SELECT label, pos, round(avg(x), 6) AS m, count(*) AS n
+              FROM e GROUP BY 1, 2)
+        SELECT label,
+               list(m ORDER BY pos) AS centroid,
+               CAST(max(n) AS BIGINT) AS n_vectors
+        FROM p GROUP BY 1""",
+)
+def sim_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid ([EXT] similarity;
+    `operators/similarity.py::group_centroids`): element-wise mean
+    vector per label via posexplode → (label, position) partial-agg
+    average → sorted re-assembly — no task ever holds a label's full
+    vector set, the class-prototype primitive at corpus scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.group_centroids(emb, "label")
+
+
+@register(
     "mm_jpeg_features",
     """SELECT doc_id,
               'jpeg' AS format,

@@ -114,9 +114,9 @@ _LOADED = False
 # ROUND-9 WINDOW: the r8 checklist executed — basis bumped to 8,
 # DEFERRED_TO_NEXT_WINDOW emptied, window regenerated.  The 14 rows r8
 # deferred plus the 4 r9 registrations (txt_html_main_text,
-# txt_url_normalize_v2, dedup_semantic_incr(+_err)) — 18 zero-evidence
+# txt_url_normalize_v2, dedup_semantic_incr(+_err), sql Q5/Q10) — 20 zero-evidence
 # rows, all inside the window — lead in registration order; the
-# remaining 32 slots go to the oldest-evidence rows.
+# remaining 30 slots go to the oldest-evidence rows.
 #
 # r10 builder checklist: once the driver lands CORRECTNESS_r09.json,
 # bump _PRIORITY_BASIS_ROUND to 9, regenerate with
@@ -192,6 +192,8 @@ _PRIORITY: tuple[str, ...] = (
     "txt_collocations",
     "evt_rate_anomaly_seasonal",
     "sql_shipping_priority",
+    "sql_local_supplier_volume",
+    "sql_returned_items",
     "samp_mergeable",
     "snk_jdbc_roundtrip",
     "proj_select",
@@ -223,9 +225,9 @@ _PRIORITY: tuple[str, ...] = (
     "sort_limit",
     "txt_quality",
     "txt_tfidf",
+  # ---- window cut ----
     "txt_pii_scrub",
     "samp_deterministic",
-  # ---- window cut ----
     "samp_stratified",
     "dedup_incremental",
     "dedup_exact",

@@ -337,3 +337,31 @@ def test_cosine_topk_np_empty_queries_and_string_ids(spark):
         for r in cosine_topk_np(s_corpus, s_corpus, k=1).collect()
     }
     assert got["doc:a"] == "doc:b"
+
+
+def test_group_centroids_hand_computed(spark):
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        group_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 2.0, 3.0]),
+            (2, "a", [3.0, 2.0, 1.0]),
+            (3, "b", [10.0, 0.0, -10.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    out = {r["label"]: r for r in group_centroids(df, "label").collect()}
+    assert out["a"]["centroid"] == [2.0, 2.0, 2.0]
+    assert out["a"]["n_vectors"] == 2
+    assert out["b"]["centroid"] == [10.0, 0.0, -10.0]
+    assert out["b"]["n_vectors"] == 1
+    # partition-invariant: same result under repartitioning
+    again = {
+        r["label"]: r
+        for r in group_centroids(df.repartition(7), "label").collect()
+    }
+    assert {k: (v["centroid"], v["n_vectors"]) for k, v in out.items()} == {
+        k: (v["centroid"], v["n_vectors"]) for k, v in again.items()
+    }

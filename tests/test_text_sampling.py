@@ -1117,3 +1117,31 @@ def test_normalize_url_sort_params(spark):
         .collect()[0]["n"]
     )
     assert kept == "https://ex.com/p?c=3&a=1"
+
+
+def test_chunk_sentences_hand_computed(spark):
+    from kusuma_metamorph_etl_spark.operators.text import chunk_sentences
+
+    text = "S1 a. S2 b! S3 c? S4 d. S5 e. S6 f. S7 g."
+    df = spark.createDataFrame([(1, text), (2, "One. Two."), (3, None)],
+                               "doc_id long, text string")
+    out = chunk_sentences(df, n_sentences=3, overlap=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # 7 sentences, window 3, step 2 -> starts 1,3,5 (last_start = 6)
+    assert rows[(1, 0)]["chunk_text"] == "S1 a. S2 b! S3 c?"
+    assert rows[(1, 1)]["chunk_text"] == "S3 c? S4 d. S5 e."
+    assert rows[(1, 2)]["chunk_text"] == "S5 e. S6 f. S7 g."
+    assert rows[(1, 2)]["n_sentences"] == 3
+    assert (1, 3) not in rows  # tail window would be a pure subset
+    # short doc: one (short) chunk
+    assert rows[(2, 0)]["chunk_text"] == "One. Two."
+    assert rows[(2, 0)]["n_sentences"] == 2
+    # NULL text drops; every sentence of doc 1 appears in >= 1 chunk
+    assert all(k[0] != 3 for k in rows)
+    joined = " ".join(rows[(1, i)]["chunk_text"] for i in range(3))
+    for s in ("S1", "S2", "S3", "S4", "S5", "S6", "S7"):
+        assert s in joined
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_sentences(df, n_sentences=3, overlap=3)
