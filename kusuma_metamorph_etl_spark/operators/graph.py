@@ -441,3 +441,71 @@ def incremental_components(
     cc = connected_components(combined, a_col, b_col, max_iter, checkpoint_dir)
     untouched = labels.join(cc.select("node"), on="node", how="left_anti")
     return cc.unionByName(untouched.select("node", "component"))
+
+
+def triangles_per_vertex(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Exact triangle participation count per vertex — the local
+    clustering / community-density primitive (spam-farm detection in
+    crawl graphs, cohesion scoring in interaction graphs).  Vertices in
+    no triangle are absent from the output; the global triangle count is
+    ``sum(n_triangles) / 3``.
+
+    The 100 TB shape is DEGREE ORIENTATION (the classic heavy-hitter
+    fix): canonicalize the undirected edge list, orient every edge from
+    its (degree, id)-lower endpoint to the higher, then count wedges
+    (u→v, u→w) closed by an oriented (v→w) edge.  Orientation bounds
+    every vertex's out-degree by O(√|E|) — a celebrity node with 10⁸
+    followers contributes wedges only through its few HIGHER-degree
+    neighbors, instead of the 10¹⁶ all-pairs a naive neighbor self-join
+    would generate.  Three equi-joins, no windows, no driver state;
+    each triangle is counted exactly once (its corners are totally
+    ordered by the orientation rank).
+    """
+    e = edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    und = (
+        e.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wd = und.join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+    a_lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = wd.select(
+        F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("v"),
+        # the dst endpoint's (degree, id) rank, carried so wedge pairs
+        # order and the closure edge's orientation is known v→w
+        F.when(a_lower, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    rank_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    wedges = e1.join(e2, on=(F.col("e1.u") == F.col("e2.u")) & rank_lt).select(
+        F.col("e1.u").alias("u"),
+        F.col("e1.v").alias("v"),
+        F.col("e2.v").alias("w"),
+    )
+    closer = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tri = wedges.join(closer, on=["v", "w"])
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -5229,6 +5229,50 @@ def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_triangles",
+    """WITH raw AS (
+         SELECT c_custkey AS a, c_custkey + d AS b
+         FROM customer, (VALUES (1), (2), (3), (5)) AS offs(d)),
+       mx AS (SELECT max(c_custkey) AS m FROM customer),
+       e AS (SELECT DISTINCT a, b FROM raw, mx WHERE b <= m),
+       t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM e e1
+             JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       verts AS (SELECT x AS node FROM t
+                 UNION ALL SELECT y FROM t
+                 UNION ALL SELECT z FROM t)
+       SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM verts GROUP BY node""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-vertex triangle counts ([EXT] graph analytics;
+    `operators/graph.py::triangles_per_vertex`): a deterministic
+    near-ring over customer ids (edges at offsets +1/+2/+3/+5 — rich in
+    overlapping triangles) counted by the degree-oriented wedge-closure
+    plan; the oracle is the canonical three-way self-join, so a wedge
+    mis-ordering or a double-counted triangle hash-mismatches."""
+    from kusuma_metamorph_etl_spark.operators.graph import (
+        triangles_per_vertex,
+    )
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    mx = cust.agg(F.max("c_custkey").alias("m"))
+    edges = (
+        cust.crossJoin(
+            spark.createDataFrame([(1,), (2,), (3,), (5,)], "d long")
+        )
+        .select(
+            F.col("c_custkey").alias("a"),
+            (F.col("c_custkey") + F.col("d")).alias("b"),
+        )
+        .join(F.broadcast(mx), on=F.col("b") <= F.col("m"))
+        .select("a", "b")
+    )
+    return triangles_per_vertex(edges)
+
+
+@register(
     "txt_chunk_sentences",
     """WITH punct AS (
          -- the synthetic corpus has no sentence punctuation; mint

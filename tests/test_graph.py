@@ -312,3 +312,47 @@ def test_pagerank_zero_weight_outedges_become_dangling(spark):
     rows = {r["node"]: r["pr"] for r in pr.collect()}
     assert abs(sum(rows.values()) - 1.0) < 1e-6
     assert all(v > 0 for v in rows.values())
+
+
+def test_triangles_per_vertex_hand_computed(spark):
+    """K4 plus a pendant edge: every K4 vertex sits in C(3,2)=3
+    triangles, the pendant in none; duplicate/reversed/self-loop edges
+    must not change the count."""
+    from kusuma_metamorph_etl_spark.operators.graph import (
+        triangles_per_vertex,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5)] + [(2, 1), (3, 3), (1, 2)]  # noise: dup/rev/loop
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["n_triangles"] for r in triangles_per_vertex(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # global count = sum/3 = 4 triangles in K4
+    assert sum(got.values()) // 3 == 4
+
+
+def test_triangles_match_bruteforce_on_random_graph(spark):
+    """Degree-oriented count equals the O(n^3) reference on a random
+    graph (the orientation rank / closure-edge logic is where off-by-one
+    triangle dedup bugs live)."""
+    import itertools
+    import random
+
+    from kusuma_metamorph_etl_spark.operators.graph import (
+        triangles_per_vertex,
+    )
+
+    rng = random.Random(5)
+    nodes = list(range(30))
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.2
+    ]
+    eset = set(edges)
+    expected: dict[int, int] = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if ((x, y) in eset and (y, z) in eset and (x, z) in eset):
+            for v in (x, y, z):
+                expected[v] = expected.get(v, 0) + 1
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["n_triangles"] for r in triangles_per_vertex(df).collect()}
+    assert got == expected
