@@ -19,6 +19,7 @@ similarity, text, event-time sessionization).
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import sys
@@ -104,6 +105,20 @@ def _bench_sessionize_stream(spark, sf_dir: str) -> None:
 # Non-query benchmarks: callables the registry cannot express (streaming
 # jobs manage their own sink/trigger instead of a noop batch write).
 _SEM_INDEX_CACHE: dict[str, str] = {}
+
+
+def _cleanup_sem_index_cache() -> None:
+    """Remove the session-scoped bench index dirs on exit — repeated
+    bench runs on a shared host must not accumulate corpus copies in
+    /tmp (r9 self-review; the registered queries' try/finally twin)."""
+    import shutil
+
+    for path in _SEM_INDEX_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _SEM_INDEX_CACHE.clear()
+
+
+atexit.register(_cleanup_sem_index_cache)
 
 
 def _bench_semantic_incr(spark, sf_dir: str) -> None:

@@ -515,6 +515,31 @@ def _decode_ac_refine(br, ac_tab, zz, ss, se, al, eobrun):
     return eobrun
 
 
+def _finish_image(
+    planes: list, comps, hmax: int, vmax: int, h: int, w: int
+) -> np.ndarray:
+    """Shared decoder tail: replicate subsampled planes to full
+    resolution, crop the MCU padding, and color-convert — ONE copy of
+    the upsample/crop/BT.601 constants, so the baseline and progressive
+    paths stay bit-identical by construction (r9 self-review)."""
+    full = []
+    for pi, (_cid, hi, vi, _tq) in enumerate(comps):
+        p = planes[pi]
+        if vi != vmax:
+            p = p.repeat(vmax // vi, axis=0)
+        if hi != hmax:
+            p = p.repeat(hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _decode_progressive_scan(
     data: bytes,
     frame,
@@ -640,8 +665,8 @@ def _reconstruct_progressive(
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    full = []
-    for cid, hi, vi, tq in comps:
+    planes = []
+    for cid, _hi, _vi, tq in comps:
         arr = coef_store[cid].astype(np.float64)
         by, bx = arr.shape[:2]
         nat = np.zeros_like(arr)
@@ -652,20 +677,8 @@ def _reconstruct_progressive(
         # baseline and a progressive encoding of the same coefficients
         # decode to the same pixels
         spatial = _C.T @ blocks @ _C + 128.0
-        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        if vi != vmax:
-            plane = plane.repeat(vmax // vi, axis=0)
-        if hi != hmax:
-            plane = plane.repeat(hmax // hi, axis=1)
-        full.append(plane[:h, :w])
-    if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _finish_image(planes, comps, hmax, vmax, h, w)
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -847,23 +860,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 x0 = mx * 8 * hi + hh * 8
                                 planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
                     mcu_idx += 1
-            # replicate subsampled components back to full resolution,
-            # then crop the MCU padding
-            full = []
-            for pi, (_cid, hi, vi, _tq) in enumerate(comps):
-                p = planes[pi]
-                if vi != vmax:
-                    p = p.repeat(vmax // vi, axis=0)
-                if hi != hmax:
-                    p = p.repeat(hmax // hi, axis=1)
-                full.append(p[:h, :w])
-            if len(full) == 1:
-                return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-            y, cb, cr = full
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            rgb = np.stack([r, g, b], axis=2)
-            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            return _finish_image(planes, comps, hmax, vmax, h, w)
         pos += seg_len
     raise ValueError("JPEG payload contains no scan")

@@ -1453,12 +1453,16 @@ def transcode_images(
     — tests and curated corpora want the loud failure) or
     ``"quarantine"`` — a corrupt or genuinely-unsupported payload (e.g.
     arithmetic-coded JPEG) must not kill a 100 TB normalization job.
-    Quarantined rows come back with ``src_format='error'``, a NULL
-    payload and zero dims, plus the exception text in ``error`` (NULL on
-    success) — so the pipeline QUANTIFIES its carve-out
-    (``filter(src_format = 'error')`` is the quarantine table and its
-    count the coverage metric) instead of silently dropping or loudly
-    dying.
+    Two failure classes stay DISTINGUISHABLE (r9 self-review — lumping
+    them inflates the input-coverage metric with healthy images):
+
+    * DECODE failure (corrupt/unsupported INPUT): ``src_format='error'``,
+      NULL payload, zero dims, exception text in ``error`` —
+      ``filter(src_format = 'error')`` is the input carve-out count;
+    * ENCODE failure (healthy image the TARGET can't express, e.g.
+      >256-color pixels → GIF): the TRUE ``src_format``/dims survive,
+      payload NULL, ``error`` filled — countable via
+      ``error IS NOT NULL AND src_format <> 'error'``.
 
     GIF targets require palette-expressible pixels (the encoder raises
     rather than posterizing — see `encode_gif`); JPEG targets are lossy
@@ -1489,17 +1493,10 @@ def transcode_images(
             for doc_id, payload in zip(batch[id_col], batch[payload_col]):
                 try:
                     img = decode_image(bytes(payload))
-                    rows.append(
-                        {
-                            id_col: doc_id,
-                            "src_format": img["format"],
-                            "payload": enc(img["pixels"]),
-                            "width": img["width"],
-                            "height": img["height"],
-                            "error": None,
-                        }
-                    )
                 except (ValueError, NotImplementedError) as e:
+                    # DECODE failure: the payload is corrupt or a
+                    # genuinely-unsupported codec — the carve-out the
+                    # quarantine count quantifies
                     if not quarantine:
                         raise
                     rows.append(
@@ -1512,6 +1509,31 @@ def transcode_images(
                             "error": f"{type(e).__name__}: {e}",
                         }
                     )
+                    continue
+                try:
+                    out_payload = enc(img["pixels"])
+                    err = None
+                except (ValueError, NotImplementedError) as e:
+                    # ENCODE failure: the image is healthy, the TARGET
+                    # can't express it (e.g. >256-color pixels -> GIF).
+                    # Keep the true src_format/dims so the quarantine
+                    # metric stays "corrupt/unsupported INPUTS" and the
+                    # target-side misfits are separately countable via
+                    # error IS NOT NULL AND src_format <> 'error'
+                    # (r9 self-review).
+                    if not quarantine:
+                        raise
+                    out_payload, err = None, f"{type(e).__name__}: {e}"
+                rows.append(
+                    {
+                        id_col: doc_id,
+                        "src_format": img["format"],
+                        "payload": out_payload,
+                        "width": img["width"],
+                        "height": img["height"],
+                        "error": err,
+                    }
+                )
             out = pd.DataFrame(rows)
             yield out if quarantine else out.drop(columns=["error"])
 

@@ -396,10 +396,15 @@ def ivf_topk(
     :func:`write_ivf_index` + :func:`ivf_search` persist the assignment
     as a cell-partitioned layout and partition-prune each search.
     """
-    cells = _centroid_cells(
-        ivf_build(corpus, n_centroids, id_col, vec_col, refine_iters)
-    )
-    c = _assign_cells(corpus, cells, "neighbor_id", 1, id_col, vec_col)
+    centroids = ivf_build(corpus, n_centroids, id_col, vec_col, refine_iters)
+    cells = _centroid_cells(centroids)
+    # Corpus (probes=1) assigns through the SAME numpy path as
+    # write_ivf_index / incremental_semantic_pairs — one implementation
+    # for every probes=1 corpus assignment, so a float-edge vector can
+    # never land in different cells on two sides of the same comparison
+    # (r9 self-review; ties break to the lowest cell on both paths).
+    # Queries keep the plan-literal multi-probe ranking.
+    c = assign_cells_np(corpus, centroids, "neighbor_id", id_col, vec_col)
     q = _assign_cells(queries, cells, "query_id", n_probe, id_col, vec_col)
     scored = (
         c.join(F.broadcast(q), on="cell")
@@ -602,8 +607,12 @@ def write_ivf_index(
     import json
 
     centroids = ivf_build(corpus, n_centroids, id_col, vec_col, refine_iters)
-    cells = _centroid_cells(centroids)
-    assigned = _assign_cells(corpus, cells, id_col, 1, id_col, vec_col)
+    # numpy assignment — the ONE probes=1 corpus-assignment path (shared
+    # with ivf_topk's corpus side, semantic_pairs, and
+    # incremental_semantic_pairs' new-batch side), so vectors written
+    # here and batches assigned later can never disagree on a
+    # float-edge argmax cell (r9 self-review)
+    assigned = assign_cells_np(corpus, centroids, id_col, id_col, vec_col)
     (
         assigned.withColumnRenamed(f"{id_col}_v", vec_col)
         .write.mode("overwrite")

@@ -235,11 +235,19 @@ _NUMREF_TYPO: tuple[int, ...] = (
 )
 
 
-def decode_numeric_refs(text: Column) -> Column:
+def decode_numeric_refs(text: Column, amp_as: str = "&") -> Column:
     """Decode HTML NUMERIC character references (``&#39;``, ``&#x27;``,
     ``&#8217;``) — the ``&#x27;``-class decoding every real crawl
     pipeline needs before quality scoring (r8 advice; the named-entity
     half lives in :func:`html_to_text`).
+
+    ``amp_as`` is the stand-in emitted for a decoded AMPERSAND (codes
+    38/0x26).  Standalone use keeps the default ``"&"``; a caller that
+    runs a NAMED-entity pass afterwards (html_to_text) must pass a
+    sentinel and restore it LAST, or the numeric spelling of ``&``
+    re-enters entity decoding — ``&#38;lt;`` would double-decode to
+    ``<`` instead of the literal ``&lt;`` single-pass HTML semantics
+    require (r9 self-review, reproduced).
 
     Engine-exact decode set (the oracle mirrors the same CASE):
 
@@ -269,7 +277,7 @@ def decode_numeric_refs(text: Column) -> Column:
         code = F.when(dec != "", dec.cast("bigint")).when(
             hx != "", F.conv(hx, 16, 10).cast("bigint")
         )
-        ch = F.when(code == 160, F.lit(" "))
+        ch = F.when(code == 38, F.lit(amp_as)).when(code == 160, F.lit(" "))
         for cp in _NUMREF_TYPO:
             ch = ch.when(code == cp, F.lit(chr(cp)))
         ch = ch.when(
@@ -321,7 +329,12 @@ def html_to_text(html: Column, decode_numeric: bool = True) -> Column:
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
     if decode_numeric:
-        t = decode_numeric_refs(t)
+        # decoded ampersands surface as \x02, NOT '&': a raw '&' here
+        # would re-enter the named-entity pass below and double-decode
+        # ('&#38;lt;' must stay the literal '&lt;' — r9 self-review).
+        # \x02 is unambiguous: decode_numeric_refs spaces out raw
+        # \x01/\x02 bytes before marking.
+        t = decode_numeric_refs(t, amp_as="\x02")
     for ent, ch in (
         ("&nbsp;", " "),
         ("&lt;", "<"),
@@ -331,6 +344,8 @@ def html_to_text(html: Column, decode_numeric: bool = True) -> Column:
         ("&amp;", "&"),  # LAST: &amp;lt; must become &lt;, not <
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
+    if decode_numeric:
+        t = F.replace(t, F.lit("\x02"), F.lit("&"))  # after &amp;, like it
     # explicit class, not \s: Java's \s includes \x0B, RE2's does not
     # (the words() rule) — the collapse must act on the SAME set both
     # engines or text_clean diverges from the oracle on a vertical tab

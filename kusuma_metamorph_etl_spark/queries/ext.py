@@ -59,6 +59,9 @@ _SHINGLES = (
 # range where Spark's mod-256 char() is exact, the common typography
 # codepoints (true-unicode chr here == the literal chars Spark emits),
 # 160 -> ' ', anything else -> ' '.  `{src}` is the input column.
+# A decoded AMPERSAND (38/0x26) surfaces as chr(2) — the html_to_text
+# composition (amp_as="\x02") — and the caller restores it to '&'
+# AFTER its named-entity replaces ('&#38;lt;' must stay '&lt;').
 _NUMREF_DECODE = """array_to_string(list_transform(list_transform(
   string_split(
     regexp_replace(
@@ -79,7 +82,8 @@ _NUMREF_DECODE = """array_to_string(list_transform(list_transform(
          '^(?:[0-9]{{1,7}}|x[0-9a-fA-F]{{1,6}})' || chr(2), ''),
     o := __p)),
   __s -> CASE WHEN __s.c IS NULL THEN __s.o
-            ELSE (CASE WHEN __s.c = 160 THEN ' '
+            ELSE (CASE WHEN __s.c = 38 THEN chr(2)
+                       WHEN __s.c = 160 THEN ' '
                        WHEN __s.c IN (8211,8212,8216,8217,8220,8221,8226,
                                       8230,8242,8243,8364,8482,8594)
                             THEN chr(CAST(__s.c AS INTEGER))
@@ -204,7 +208,7 @@ def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 || '<script>if (1 < 2) { x("<p>"); }</script></head>'
                 || '<body><h1>Doc ' || doc_id || '</h1><!-- c' || doc_id
                 || ' --><p>A &amp; B &quot;q&quot;&nbsp;&#39;s&#39;</p>'
-                || '<p>it&#8217;s &#x27;hex&#x27; &#169;&#160;&amp;#60;</p>'
+                || '<p>it&#8217;s &#x27;hex&#x27; &#169;&#160;&amp;#60; &#38;lt;</p>'
                 || '<div>' || text || '</div></body></html>' AS html
          FROM documents),
        s1 AS (SELECT doc_id,
@@ -221,9 +225,10 @@ def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _NUMREF_DECODE.format(src="t")
     + """ AS t FROM s4),
        s5 AS (SELECT doc_id,
-                     replace(replace(replace(replace(replace(replace(t,
+                     replace(replace(replace(replace(replace(replace(replace(t,
                          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
+                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                         chr(2), '&')
                          AS t
               FROM s4n)
        SELECT doc_id,
@@ -246,7 +251,7 @@ def txt_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<script>if (1 < 2) { x("<p>"); }</script></head>'),
         F.lit("<body><h1>Doc "), d, F.lit("</h1><!-- c"), d,
         F.lit(" --><p>A &amp; B &quot;q&quot;&nbsp;&#39;s&#39;</p>"),
-        F.lit("<p>it&#8217;s &#x27;hex&#x27; &#169;&#160;&amp;#60;</p>"),
+        F.lit("<p>it&#8217;s &#x27;hex&#x27; &#169;&#160;&amp;#60; &#38;lt;</p>"),
         F.lit("<div>"), F.col("text"), F.lit("</div></body></html>"),
     )
     return docs.select(
@@ -391,9 +396,10 @@ def txt_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _NUMREF_DECODE.format(src="t")
     + """ AS t FROM s4),
        s5 AS (SELECT doc_id,
-                     replace(replace(replace(replace(replace(replace(t,
+                     replace(replace(replace(replace(replace(replace(replace(t,
                          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
+                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                         chr(2), '&')
                          AS t
               FROM s4n)
        SELECT doc_id,

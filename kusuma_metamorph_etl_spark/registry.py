@@ -113,10 +113,14 @@ _LOADED = False
 #
 # ROUND-9 WINDOW: the r8 checklist executed — basis bumped to 8,
 # DEFERRED_TO_NEXT_WINDOW emptied, window regenerated.  The 14 rows r8
-# deferred plus the 4 r9 registrations (txt_html_main_text,
-# txt_url_normalize_v2, dedup_semantic_incr(+_err), sql Q5/Q10) — 20 zero-evidence
-# rows, all inside the window — lead in registration order; the
-# remaining 30 slots go to the oldest-evidence rows.
+# deferred plus the r9 registrations (txt_html_main_text,
+# txt_url_normalize_v2, dedup_semantic_incr(+_err), sql Q5/Q10,
+# graph_triangles, txt_chunk_sentences, sim_group_centroid) — 23
+# zero-evidence rows, all inside the window — lead in registration
+# order; the remaining 27 slots go to the oldest-evidence rows.
+# REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
+# where three new queries were registered without re-pasting — the
+# window guard test is the backstop, run it before every commit.
 #
 # r10 builder checklist: once the driver lands CORRECTNESS_r09.json,
 # bump _PRIORITY_BASIS_ROUND to 9, regenerate with
@@ -194,6 +198,9 @@ _PRIORITY: tuple[str, ...] = (
     "sql_shipping_priority",
     "sql_local_supplier_volume",
     "sql_returned_items",
+    "graph_triangles",
+    "txt_chunk_sentences",
+    "sim_group_centroid",
     "samp_mergeable",
     "snk_jdbc_roundtrip",
     "proj_select",
@@ -222,10 +229,10 @@ _PRIORITY: tuple[str, ...] = (
     "setop_union",
     "setop_intersect",
     "setop_except",
+  # ---- window cut ----
     "sort_limit",
     "txt_quality",
     "txt_tfidf",
-  # ---- window cut ----
     "txt_pii_scrub",
     "samp_deterministic",
     "samp_stratified",

@@ -1523,6 +1523,22 @@ def test_transcode_quarantine_quantifies_carveout(spark, sf_small):
     assert out[2]["src_format"] == "error" and out[2]["payload"] is None
     assert out[3]["src_format"] == "error"
     assert "NotImplementedError" in out[3]["error"]
+    # ENCODE failures keep the true src_format/dims (r9 self-review):
+    # a healthy 16-distinct-color-per-channel PPM can't be a GIF
+    # (4096 colors > 256) but it is NOT a corrupt input
+    many = (np.arange(4096, dtype=np.uint32).reshape(64, 64) % 4096)
+    rgb = np.stack(
+        [many % 16 * 17, many // 16 % 16 * 17, many // 256 * 17], axis=2
+    ).astype(np.uint8)
+    hard = spark.createDataFrame(
+        [(9, multimodal.encode_ppm(rgb))], "doc_id long, payload binary"
+    )
+    [r9] = multimodal.transcode_images(
+        hard, to="gif", on_error="quarantine"
+    ).collect()
+    assert r9["src_format"] == "ppm"  # true format survives
+    assert (r9["width"], r9["height"]) == (64, 64)
+    assert r9["payload"] is None and "palette" in r9["error"].lower()
     # the carve-out is a queryable count, not a crash or a silent drop
     quarantined = (
         multimodal.transcode_images(df, to="png", on_error="quarantine")

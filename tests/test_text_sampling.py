@@ -1035,6 +1035,32 @@ def test_decode_numeric_refs(spark):
         html_to_text(F.col("h"), decode_numeric=False).alias("t")
     ).collect()[0]["t"]
     assert off == "A&#8212;B &#60;raw>"
+    # r9 self-review: the NUMERIC spelling of '&' must not re-enter the
+    # named-entity pass — single-pass HTML semantics keep one level
+    trap = spark.createDataFrame(
+        [
+            (1, "a &#38;lt; b"),    # -> literal &lt;, NOT '<'
+            (2, "x &#38;#39; y"),   # -> literal &#39;, NOT a quote
+            (3, "p &#x26;amp; q"),  # -> literal &amp;, NOT '&'
+            (4, "both &#38; &amp; raw"),  # standalone amps still decode
+        ],
+        "i long, h string",
+    )
+    got2 = {
+        r["i"]: r["t"]
+        for r in trap.select(
+            "i", html_to_text(F.col("h")).alias("t")
+        ).collect()
+    }
+    assert got2[1] == "a &lt; b"
+    assert got2[2] == "x &#39; y"
+    assert got2[3] == "p &amp; q"
+    assert got2[4] == "both & & raw"
+    # standalone decode_numeric_refs keeps plain-'&' semantics
+    plain = trap.filter(F.col("i") == 1).select(
+        decode_numeric_refs(F.col("h")).alias("d")
+    ).collect()[0]["d"]
+    assert plain == "a &lt; b"
 
 
 def test_main_content_drops_boilerplate_blocks(spark):
