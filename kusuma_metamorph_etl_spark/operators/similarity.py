@@ -688,6 +688,103 @@ def ivf_search(
     )
 
 
+def mmr_select(
+    candidates: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.5,
+    pool: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein '98):
+    greedily pick ``k`` items maximizing ``lam·rel − (1−lam)·max-sim-to-
+    selected`` — the diversity-aware sampling step corpus curation and
+    few-shot-example selection run after a relevance retrieval (pure
+    top-k returns k near-duplicates of the best hit; MMR spends the
+    budget on coverage).
+
+    The 100 TB shape: relevance (cosine to the broadcast ``query_vec``)
+    is a narrow distributed pass; a ``TakeOrdered`` trims to the top
+    ``pool`` candidates (the ONLY collect — bounded by ``pool``, never
+    corpus-sized); the inherently-sequential greedy loop then runs on
+    the driver over that bounded pool in numpy (k·pool dot products).
+    Exactly the bounded-driver pattern `ivf_build`'s Lloyd loop uses.
+    Ties break on (score desc, id asc) at both stages, so the selection
+    is deterministic and partition-invariant.
+
+    ``lam=1.0`` degrades to pure relevance top-k — the oracle-checkable
+    contract (`sim_mmr_err` hash-compares it against plain SQL top-k);
+    diversity behavior at ``lam<1`` is pinned by unit tests against an
+    independent numpy greedy reference (note the semantics precisely:
+    a fully-penalized exact duplicate CAN still be selected once every
+    distinct direction scores worse — greedy MMR ranks, it does not
+    hard-exclude).
+    """
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k > pool:
+        raise ValueError(f"k ({k}) must be <= pool ({pool})")
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        raise ValueError("query_vec must be non-zero")
+    spark = candidates.sparkSession
+    rel = candidates.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("__v"),
+        cosine(
+            as_double(F.col(vec_col)), F.lit([float(x) for x in q])
+        ).alias("__rel"),
+    )
+    top = rel.orderBy(F.desc("__rel"), F.col(id_col)).limit(pool).collect()
+    if not top:
+        return spark.createDataFrame(
+            [],
+            schema=(
+                f"rank int, {id_col} "
+                f"{candidates.schema[id_col].dataType.simpleString()},"
+                " relevance double, mmr_score double"
+            ),
+        )
+    ids = [r[id_col] for r in top]
+    vecs = np.array([r["__v"] for r in top], dtype=np.float64)
+    rels = np.array([r["__rel"] for r in top], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    selected: list[int] = []
+    scores: list[float] = []
+    max_sim = np.full(len(top), -np.inf)
+    remaining = np.ones(len(top), dtype=bool)
+    for _ in range(min(k, len(top))):
+        if selected:
+            penalty = np.where(np.isinf(max_sim), 0.0, max_sim)
+            mmr = lam * rels - (1 - lam) * penalty
+        else:
+            mmr = lam * rels
+        mmr = np.where(remaining, mmr, -np.inf)
+        # argmax with id tie-break: ids arrive rel-desc/id-asc sorted,
+        # so the FIRST max index is the deterministic winner
+        best = int(np.argmax(mmr))
+        selected.append(best)
+        scores.append(float(mmr[best]))
+        remaining[best] = False
+        sims = unit @ unit[best]
+        max_sim = np.maximum(max_sim, sims)
+    rows = [
+        (rank, ids[i], round(float(rels[i]), 6), round(scores[rank], 6))
+        for rank, i in enumerate(selected)
+    ]
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        rows,
+        schema=f"rank int, {id_col} {id_type}, relevance double, mmr_score double",
+    )
+
+
 def group_centroids(
     df: DataFrame,
     group_col: str,

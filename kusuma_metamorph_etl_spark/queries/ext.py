@@ -5234,6 +5234,48 @@ def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_RETURNED_ITEMS.format(v="_v"))
 
 
+@register("sim_mmr", None)  # greedy diversity selection — rows-only
+def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity selection ([EXT] similarity;
+    `operators/similarity.py::mmr_select`): 20 diverse-yet-relevant
+    picks at λ=0.5 against a fixed axis query — the curation step after
+    retrieval.  The greedy chain's scores depend on the selection
+    prefix (non-SQL-expressible), so rows-only; the λ=1 degeneration is
+    hash-checked in `sim_mmr_err`."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = [1.0] + [0.0] * 63
+    return similarity.mmr_select(emb, query, k=20, lam=0.5, pool=200)
+
+
+@register(
+    "sim_mmr_err",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       rels AS (
+         -- cosine to the unit axis-0 query: e[1] / (|e| * 1)
+         SELECT vec_id,
+                e[1] / sqrt(list_dot_product(e, e)) AS rel
+         FROM v)
+       SELECT CAST(row_number() OVER (ORDER BY rel DESC, vec_id) - 1
+                   AS INTEGER) AS rank,
+              vec_id,
+              round(rel, 6) AS relevance,
+              round(rel, 6) AS mmr_score
+       FROM rels
+       ORDER BY rel DESC, vec_id LIMIT 20""",
+)
+def sim_mmr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable MMR contract: at λ=1 the greedy chain degrades to
+    pure relevance top-k, which plain SQL expresses exactly — the
+    relevance math (cosine to the unit axis-0 query = first component /
+    vector norm), the (rel desc, id) tie order, the rank numbering and
+    the rounding are all hash-compared.  A drift in the pool trim, the
+    driver loop, or the tie-break flips this row red; diversity behavior
+    at λ<1 is pinned by the unit tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = [1.0] + [0.0] * 63
+    return similarity.mmr_select(emb, query, k=20, lam=1.0, pool=200)
+
+
 @register(
     "graph_triangles",
     """WITH raw AS (

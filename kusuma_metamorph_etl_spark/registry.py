@@ -115,9 +115,10 @@ _LOADED = False
 # DEFERRED_TO_NEXT_WINDOW emptied, window regenerated.  The 14 rows r8
 # deferred plus the r9 registrations (txt_html_main_text,
 # txt_url_normalize_v2, dedup_semantic_incr(+_err), sql Q5/Q10,
-# graph_triangles, txt_chunk_sentences, sim_group_centroid) — 23
+# graph_triangles, txt_chunk_sentences, sim_group_centroid,
+# sim_mmr(+_err)) — 25
 # zero-evidence rows, all inside the window — lead in registration
-# order; the remaining 27 slots go to the oldest-evidence rows.
+# order; the remaining 25 slots go to the oldest-evidence rows.
 # REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
 # where three new queries were registered without re-pasting — the
 # window guard test is the backstop, run it before every commit.
@@ -198,6 +199,8 @@ _PRIORITY: tuple[str, ...] = (
     "sql_shipping_priority",
     "sql_local_supplier_volume",
     "sql_returned_items",
+    "sim_mmr",
+    "sim_mmr_err",
     "graph_triangles",
     "txt_chunk_sentences",
     "sim_group_centroid",
@@ -227,9 +230,9 @@ _PRIORITY: tuple[str, ...] = (
     "dq_duplicate_gate",
     "dq_snapshot_stamp",
     "setop_union",
+  # ---- window cut ----
     "setop_intersect",
     "setop_except",
-  # ---- window cut ----
     "sort_limit",
     "txt_quality",
     "txt_tfidf",

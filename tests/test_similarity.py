@@ -365,3 +365,91 @@ def test_group_centroids_hand_computed(spark):
     assert {k: (v["centroid"], v["n_vectors"]) for k, v in out.items()} == {
         k: (v["centroid"], v["n_vectors"]) for k, v in again.items()
     }
+
+
+def test_mmr_select_diversity_and_degenerations(spark):
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.similarity import mmr_select
+
+    # NOTE the first pick must not equal the query direction: if it
+    # does, sim-to-selected == relevance for every candidate and all
+    # lam=0.5 MMR scores tie at exactly 0 (found writing this test).
+    rows = [
+        (1, [0.95, 0.30, 0.05]),
+        (2, [0.95, 0.30, 0.05]),   # exact duplicate of 1
+        (3, [0.10, 0.00, 0.99]),
+        (4, [0.00, 1.00, 0.00]),
+        (5, [0.70, 0.70, 0.10]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0]
+
+    def reference(lam, k):
+        ids = [r[0] for r in rows]
+        v = np.array([r[1] for r in rows], float)
+        u = v / np.linalg.norm(v, axis=1, keepdims=True)
+        rel = u @ (np.array(q) / np.linalg.norm(q))
+        order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))
+        pool_idx = order  # pool > n: everything stays
+        chosen, max_sim = [], np.full(len(ids), -np.inf)
+        remaining = set(pool_idx)
+        for _ in range(k):
+            best, best_key = None, None
+            for i in pool_idx:  # pool order IS the tie-break order
+                if i not in remaining:
+                    continue
+                pen = 0.0 if not chosen else max_sim[i]
+                s = lam * rel[i] - (1 - lam) * pen
+                if best is None or s > best_key + 1e-12:
+                    best, best_key = i, s
+            chosen.append(best)
+            remaining.discard(best)
+            max_sim = np.maximum(max_sim, u @ u[best])
+        return [ids[i] for i in chosen]
+
+    for lam in (1.0, 0.7, 0.5, 0.2):
+        got = [
+            r["vec_id"]
+            for r in sorted(
+                mmr_select(df, q, k=4, lam=lam, pool=10).collect(),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == reference(lam, 4), (lam, got, reference(lam, 4))
+
+    # diversity demotes the exact duplicate: under pure relevance it is
+    # rank 1 (right behind its twin); at lam=0.5 the k=2 budget goes to
+    # a distinct direction instead.  (It CAN still appear later — once
+    # every distinct candidate scores worse, a penalized duplicate is
+    # the correct greedy pick; the first draft of this test asserted
+    # "never selected" and the numpy reference disproved it.)
+    assert reference(1.0, 2) == [1, 2]
+    div2 = [
+        r["vec_id"]
+        for r in sorted(
+            mmr_select(df, q, k=2, lam=0.5, pool=10).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert div2[0] == 1 and 2 not in div2
+    # rank-0 score is lam * relevance
+    r0 = next(
+        r for r in mmr_select(df, q, k=1, lam=0.5, pool=10).collect()
+    )
+    assert abs(r0["mmr_score"] - 0.5 * r0["relevance"]) < 1e-6
+
+    # bounded-driver contract: pool trims before the greedy loop
+    trimmed = mmr_select(df, q, k=2, lam=0.5, pool=2).collect()
+    assert {r["vec_id"] for r in trimmed} <= {1, 2}
+    # empty corpus: empty frame with the right schema, no error
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = mmr_select(empty, q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["rank", "vec_id", "relevance", "mmr_score"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_select(df, q, lam=1.5)
+    with _pytest.raises(ValueError, match="pool"):
+        mmr_select(df, q, k=50, pool=10)
