@@ -284,7 +284,15 @@ def pack_sequences(
 
     in_bucket = (
         Window.partitionBy("__bkt")
-        .orderBy("__h")
+        # token_col as the secondary sort closes the tie seam (r9
+        # review): with key_cols a SUBSET of the row (duplicate key
+        # values), rows tying on the full hash got arbitrary relative
+        # order and their cumulative sums — hence pack boundaries —
+        # could differ run to run.  Same-hash rows now order by length
+        # (rows identical in BOTH are interchangeable: any order yields
+        # the same prefix sums), restoring the documented pure-function-
+        # of-(data, seed, budget) contract.
+        .orderBy("__h", token_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = bucketed.withColumn(
@@ -372,6 +380,12 @@ def temperature_sample(
     agg + broadcast join + narrow codegen'd filter — no shuffle of the
     fact side.  Adds ``keep_rate`` for audit.
     """
+    # NULL sources are dropped AND excluded from the min-count — the
+    # balance_classes rule (r9 review): a handful of unsourced rows must
+    # not masquerade as the minority source and shrink every real
+    # source's keep-rate to their count, while the equi-join below
+    # silently drops the NULL rows themselves anyway.
+    df = df.filter(F.col(source_col).isNotNull())
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     nmin = counts.agg(F.min("__n").alias("__nmin"))
     rates = (

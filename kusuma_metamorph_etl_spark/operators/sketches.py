@@ -250,7 +250,9 @@ def _mg_partition_summaries(
 
     def summarize(batches):
         counters: dict = {}
+        n_part = 0
         for batch in batches:
+            n_part += len(batch)
             for item in batch["__item"]:
                 if item in counters:
                     counters[item] += 1
@@ -264,12 +266,22 @@ def _mg_partition_summaries(
                             dead.append(key)
                     for key in dead:
                         del counters[key]
+        # one TOTAL row per partition (n_part set, counters null): the
+        # consumer folds Σ n_part into n_total without a second scan of
+        # the data (r9 review — heavy_hitters ran a full count() pass
+        # just for the threshold).  Distinguished by n_part's nullity,
+        # NOT an __item sentinel: data nulls legitimately produce a
+        # null-__item COUNTER row.
         yield pd.DataFrame(
-            {"__item": list(counters), "mg_count": list(counters.values())}
+            {
+                "__item": list(counters) + [None],
+                "mg_count": list(counters.values()) + [None],
+                "n_part": [None] * len(counters) + [n_part],
+            }
         )
 
     return df.select(F.col(item_col).cast("string").alias("__item")).mapInPandas(
-        summarize, schema="__item string, mg_count long"
+        summarize, schema="__item string, mg_count long, n_part long"
     )
 
 
@@ -293,20 +305,38 @@ def heavy_hitters(
     (broadcast semi-join before the count), so its shuffle is
     candidate-bounded too.
 
-    ``exact=False`` skips verification and returns summed MG lower
-    bounds over the merged summaries (one tiny shuffle, no second data
-    pass; counts may undercount by ≤ n/k — the telemetry-grade mode).
+    ``exact=False`` skips verification and returns the FULL candidate
+    set with summed MG lower bounds (one tiny shuffle, ONE data pass;
+    counts may undercount by ≤ n/k — the telemetry-grade mode).  The
+    candidate set is a guaranteed SUPERSET of the true heavy hitters,
+    deliberately UNFILTERED: thresholding the lower bounds at n/k would
+    silently drop a true heavy hitter whose counters undercount below
+    the line (r9 review) — callers threshold after their own exact
+    verify, exactly like :func:`streaming.sink.merged_heavy_hitters`.
+
+    One scan in approx mode, two in exact mode (summaries + verify) —
+    n_total rides along as per-partition total rows inside the summary
+    frame (``_mg_partition_summaries``), and the bounded summary frame
+    is shared across its consumers via a lazy localCheckpoint
+    (≤ partitions × (k+1) rows — the cheap side of the SCALE.md
+    cache-lifetime policy), so no third scan computes the count.
     """
-    summaries = _mg_partition_summaries(df, item_col, k)
-    merged = summaries.groupBy("__item").agg(F.sum("mg_count").alias("mg_count"))
-    n_total = df.count()
+    summaries = _mg_partition_summaries(df, item_col, k).localCheckpoint(
+        eager=False
+    )
+    merged = (
+        summaries.filter(F.col("n_part").isNull())
+        .groupBy("__item")
+        .agg(F.sum("mg_count").alias("mg_count"))
+    )
+    n_total = summaries.agg(F.sum("n_part")).collect()[0][0] or 0
     threshold = n_total / k
     if not exact:
         return merged.select(
             F.col("__item").alias(item_col),
             F.col("mg_count").alias("n"),
             F.lit(n_total).alias("n_total"),
-        ).filter(F.col("n") > threshold)
+        )
     candidates = merged.select("__item")
     verified = (
         df.select(F.col(item_col).cast("string").alias("__item"))

@@ -27,6 +27,62 @@ from pyspark.sql import functions as F
 from kusuma_metamorph_etl_spark.operators.scd import scd2_init, scd2_merge
 
 
+def _run_foreach_batch(stream_df, fn, checkpoint_dir: str, available_now: bool):
+    """The one copy of the writeStream/foreachBatch/trigger boilerplate
+    every sink here shares (r9 review: four hand-synced copies)."""
+    writer = stream_df.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query
+
+
+def _read_current(spark, table_root: str):
+    """(current version name, its DataFrame) from the manifest pointer —
+    or (None, None) ONLY when the manifest genuinely does not exist yet
+    (the first-batch init case).
+
+    Any OTHER failure raises: the r9 review caught a bare ``except
+    Exception`` here that turned a transient filesystem error or a
+    corrupt manifest into the init path, which then atomically published
+    a one-micro-batch table over the manifest — the exact silent
+    all-history-lost failure this design exists to prevent.
+    """
+    import json
+
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    try:
+        line = spark.read.text(f"{table_root}/manifest.json").collect()[0][
+            "value"
+        ]
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None, None
+        raise
+    current = json.loads(line)["current"]  # corrupt manifest: raise loud
+    return current, spark.read.parquet(f"{table_root}/{current}")
+
+
+def _next_version(current_name: str | None, batch_id: int) -> str:
+    """NEVER publish onto the version the manifest points at: the
+    derived plan READS that directory, and batch numbering can collide
+    with it (a replay after the manifest swap committed, or a fresh
+    checkpoint restarting at batch 0) — overwriting it would destroy
+    the input mid-read AND yank files from under concurrent readers.
+    Alternate to the "...r" sibling; overwriting a non-current
+    directory is always safe."""
+    target = f"b{batch_id:06d}"
+    if current_name == f"v={target}":
+        target = f"{target}r"
+    return target
+
+
 def stream_dual_write(
     stream_df: DataFrame,
     raw_path: str,
@@ -49,9 +105,22 @@ def stream_dual_write(
     the replay-idempotence key.  Read legacy directories (from either
     writer) through :func:`sources.sinks.read_legacy`, which normalizes
     both layouts by dropping the writer-internal column.
+
+    ``run_date=None`` resolves to today ONCE at stream start, not per
+    micro-batch (r9 review): a replay that crossed midnight used to
+    stamp the same batch into a SECOND ``DAY_DT`` partition, and the
+    dynamic overwrite only replaces partitions present in the new data
+    — every row of the batch then appeared twice in legacy.  The
+    remaining seam is a crash-restart across midnight (a new process
+    resolves the new date): replay idempotence across restarts needs an
+    explicit ``run_date`` (or an event-time-derived stamp), which
+    continuous production streams should pass per day.
     """
 
     from kusuma_metamorph_etl_spark.sources.sinks import DAY_DT, stamp_snapshot
+
+    if run_date is None:
+        run_date = dt.date.today()
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # raw: overwrite — trivially replay-idempotent.
@@ -70,15 +139,9 @@ def stream_dual_write(
             .parquet(legacy_path)
         )
 
-    writer = stream_df.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _run_foreach_batch(
+        stream_df, write_batch, checkpoint_dir, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    if available_now:
-        query.awaitTermination()
-    return query
 
 
 def stream_scd2_upsert(
@@ -114,24 +177,23 @@ def stream_scd2_upsert(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from kusuma_metamorph_etl_spark.sources.sinks import (
-        publish_snapshot,
-        read_published,
-    )
+    from kusuma_metamorph_etl_spark.operators.sampling import row_sort_key
+    from kusuma_metamorph_etl_spark.sources.sinks import publish_snapshot
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import json
-
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
         # Deterministic winner among equal effective dates: hash the
         # attribute tuple.  Plain desc(eff) left the tie to shuffle
         # order, so a replayed batch could commit different attributes
-        # than the original run.
-        attr_fp = F.md5(
-            F.concat_ws("|", *[F.col(a).cast("string") for a in attrs])
-        )
+        # than the original run.  row_sort_key, not
+        # md5(concat_ws('|', attrs)): concat_ws skips NULLs and '|'
+        # inside a value injects, so (NULL,'x') tied with ('x',NULL)
+        # and the replay non-determinism this hash exists to kill came
+        # back through the collision (r9 review; same fix as
+        # sampling.row_sort_key documents).
+        attr_fp = row_sort_key("", attrs)
         window = Window.partitionBy(*key).orderBy(
             F.desc(effective_from_col), F.desc(attr_fp)
         )
@@ -141,15 +203,7 @@ def stream_scd2_upsert(
             .drop("__rn")
         )
         upd = latest.select(*key, *attrs, effective_from_col)
-        current_name = None
-        try:
-            line = spark.read.text(f"{dim_path}/manifest.json").collect()[0][
-                "value"
-            ]
-            current_name = json.loads(line)["current"]  # e.g. "v=b000003"
-            dim = spark.read.parquet(f"{dim_path}/{current_name}")
-        except Exception:
-            dim = None  # no manifest yet: first batch initializes
+        current_name, dim = _read_current(spark, dim_path)
         if dim is None:
             merged = scd2_init(upd, key, effective_col=effective_from_col)
         else:
@@ -163,27 +217,13 @@ def stream_scd2_upsert(
                 # skip the merge's duplicate-key aggregation
                 check_unique=False,
             )
-        # NEVER publish onto the version the manifest points at: the
-        # merged plan READS that directory, and batch numbering can
-        # collide with it (a replay after the manifest swap committed,
-        # or a fresh checkpoint restarting at batch 0) — overwriting it
-        # would destroy the input mid-read AND yank files from under
-        # concurrent readers.  Alternate to a "...r" sibling instead;
-        # overwriting a non-current directory is always safe.
-        target = f"b{batch_id:06d}"
-        if current_name == f"v={target}":
-            target = f"{target}r"
-        publish_snapshot(spark, merged, dim_path, target)
+        publish_snapshot(
+            spark, merged, dim_path, _next_version(current_name, batch_id)
+        )
 
-    writer = updates_stream.writeStream.foreachBatch(merge_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _run_foreach_batch(
+        updates_stream, merge_batch, checkpoint_dir, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    if available_now:
-        query.awaitTermination()
-    return query
 
 
 def stream_heavy_hitters(
@@ -195,7 +235,7 @@ def stream_heavy_hitters(
     available_now: bool = True,
 ):
     """Streaming Misra–Gries heavy-hitter rollup: every micro-batch
-    appends its bounded (≤ partitions × k rows) MG partition summaries
+    appends its bounded (≤ partitions × (k+1) rows, incl. the per-partition total rows) MG partition summaries
     to ``summary_path``; :func:`merged_heavy_hitters` reads the whole
     summary table back as lower-bound counts.
 
@@ -223,15 +263,9 @@ def stream_heavy_hitters(
             f"{summary_path}/batch_id={batch_id}"
         )
 
-    writer = stream_df.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _run_foreach_batch(
+        stream_df, write_batch, checkpoint_dir, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    if available_now:
-        query.awaitTermination()
-    return query
 
 
 def merged_heavy_hitters(
@@ -240,9 +274,14 @@ def merged_heavy_hitters(
     """Merge a :func:`stream_heavy_hitters` summary table into
     ``(item_col, n)`` lower-bound counts (telemetry-grade — the
     `heavy_hitters(exact=False)` mode; run the candidate-only exact
-    verify over the raw corpus when exact counts are needed)."""
+    verify over the raw corpus when exact counts are needed).  The
+    per-partition TOTAL rows the summarizer embeds (n_part set) are
+    dropped here — only counter rows merge; Σ n_part over the summary
+    table is the matching stream-lifetime n_total if a caller wants the
+    n/k threshold."""
     return (
         spark.read.parquet(summary_path)
+        .filter(F.col("n_part").isNull())
         .groupBy("__item")
         .agg(F.sum("mg_count").alias("n"))
         .select(F.col("__item").alias(item_col), "n")
@@ -280,42 +319,25 @@ def stream_cdc_apply(
     from kusuma_metamorph_etl_spark.sources.sinks import publish_snapshot
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import json
-
         spark = batch_df.sparkSession
-        # Read the manifest DIRECTLY (not read_published) because the
-        # collision guard below needs the current version NAME, not just
-        # its rows.
-        current_name = None
-        try:
-            line = spark.read.text(f"{table_path}/manifest.json").collect()[
-                0
-            ]["value"]
-            current_name = json.loads(line)["current"]  # e.g. "v=b000003"
-            snapshot = spark.read.parquet(f"{table_path}/{current_name}")
-        except Exception:
+        # Empty micro-batch: nothing to reconcile — without this guard a
+        # zero-row trigger rewrote the ENTIRE snapshot into a fresh
+        # version directory and swapped the manifest, full-table write
+        # amplification for a no-op (r9 review; the scd2 twin had the
+        # guard already).
+        if batch_df.isEmpty():
+            return
+        current_name, snapshot = _read_current(spark, table_path)
+        if snapshot is None:
             snapshot = spark.createDataFrame([], schema=snapshot_schema)
         updated = cdc_apply(snapshot, batch_df, key, seq_col, op_col)
         # version per micro-batch: replaying batch N republishes the
-        # same version name with the same derived content — idempotent.
-        # SAME collision guard as stream_scd2_upsert: never publish onto
-        # the version the manifest points at — the `updated` plan READS
-        # that directory, and batch numbering can collide with it (a
-        # replay after the manifest swap committed, or a fresh
-        # checkpoint restarting at batch 0 over an existing table) —
-        # overwriting it would destroy the input mid-read.  Alternate
-        # to the "...r" sibling; overwriting a non-current dir is safe.
-        target = f"b{batch_id:06d}"
-        if current_name == f"v={target}":
-            target = f"{target}r"
-        publish_snapshot(spark, updated, table_path, target)
+        # same version name with the same derived content — idempotent;
+        # _next_version supplies the current-version collision guard.
+        publish_snapshot(
+            spark, updated, table_path, _next_version(current_name, batch_id)
+        )
 
-    writer = change_stream.writeStream.foreachBatch(apply_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _run_foreach_batch(
+        change_stream, apply_batch, checkpoint_dir, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    if available_now:
-        query.awaitTermination()
-    return query

@@ -131,16 +131,30 @@ SESSION_STATE_SCHEMA = "last_ns long, idx long"
 
 
 def _ttl_millis(state_ttl: str | None) -> int | None:
-    """Parse '``<n>`` seconds|minutes|hours' into milliseconds."""
+    """Parse '``<n>`` seconds|minutes|hours|days' into milliseconds.
+    Malformed input raises a ValueError NAMING the accepted format — the
+    r9 review found '2 days' crashing with a bare KeyError and a
+    unit-less '3600' with an IndexError, cryptic for a parameter whose
+    siblings (watermark, late_tolerance) accept Spark interval strings."""
     if state_ttl is None:
         return None
-    parts = state_ttl.split()
     unit_ms = {
         "second": 1_000, "seconds": 1_000,
         "minute": 60_000, "minutes": 60_000,
         "hour": 3_600_000, "hours": 3_600_000,
-    }[parts[1]]
-    return int(parts[0]) * unit_ms
+        "day": 86_400_000, "days": 86_400_000,
+    }
+    parts = state_ttl.split()
+    if (
+        len(parts) != 2
+        or not parts[0].lstrip("-").isdigit()
+        or parts[1] not in unit_ms
+    ):
+        raise ValueError(
+            f"state_ttl must be '<n> second(s)|minute(s)|hour(s)|day(s)',"
+            f" got {state_ttl!r}"
+        )
+    return int(parts[0]) * unit_ms[parts[1]]
 
 
 def sessionize_stream(

@@ -376,3 +376,38 @@ def test_nan_excluded_from_bounds_and_bins(spark):
         sketches.derive_bounds(
             spark.createDataFrame([(float("nan"),)], "v double"), "v"
         )
+
+
+def test_heavy_hitters_approx_mode_keeps_undercounted_true_hitters(spark):
+    """r9 review: exact=False used to threshold the summed LOWER BOUNDS
+    at n/k, dropping a true heavy hitter whose counters undercount below
+    the line.  The approx mode now returns the full unfiltered candidate
+    superset — every true heavy hitter present, counts never above
+    truth."""
+    from kusuma_metamorph_etl_spark.operators.sketches import heavy_hitters
+
+    # 'a' is a true heavy hitter (120 > 1000/10) but spread thin across
+    # partitions of adversarial filler so its MG counters bleed
+    rows = [("a",)] * 120 + [(f"z{i % 430}",) for i in range(880)]
+    df = spark.createDataFrame(rows, ["x"]).repartition(8)
+    approx = {
+        r["x"]: r["n"]
+        for r in heavy_hitters(df, "x", k=10, exact=False).collect()
+    }
+    assert "a" in approx          # candidate superset: never dropped
+    assert approx["a"] <= 120     # lower bound never overcounts
+    exact = {r["x"]: r["n"] for r in heavy_hitters(df, "x", k=10).collect()}
+    assert exact == {"a": 120}    # verify pass prunes the false positives
+
+
+def test_ttl_millis_units_and_errors():
+    import pytest
+
+    from kusuma_metamorph_etl_spark.streaming.stateful import _ttl_millis
+
+    assert _ttl_millis(None) is None
+    assert _ttl_millis("90 seconds") == 90_000
+    assert _ttl_millis("2 days") == 2 * 86_400_000
+    for bad in ("3600", "2 fortnights", "soon"):
+        with pytest.raises(ValueError, match="state_ttl"):
+            _ttl_millis(bad)

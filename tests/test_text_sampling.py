@@ -1171,3 +1171,46 @@ def test_chunk_sentences_hand_computed(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_sentences(df, n_sentences=3, overlap=3)
+
+
+def test_pack_sequences_deterministic_with_duplicate_keys(spark):
+    """r9 review: key_cols that don't uniquely identify rows tie on the
+    sort hash; the secondary length sort must make pack boundaries a
+    pure function of the data, not of partition layout."""
+    rows = [(1, 500), (1, 9000), (2, 3000), (3, 7000), (3, 100), (4, 4000)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    a = {
+        (r["doc_id"], r["n"]): r["pack_id"]
+        for r in sampling.pack_sequences(
+            df, budget=8000, token_col="n", key_cols=["doc_id"]
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["n"]): r["pack_id"]
+        for r in sampling.pack_sequences(
+            df.repartition(5), budget=8000, token_col="n", key_cols=["doc_id"]
+        ).collect()
+    }
+    assert a == b
+    # every token lands in exactly one pack; budget respected up to the
+    # one-straddler overflow rule
+    assert len(a) == len(rows)
+
+
+def test_temperature_sample_null_sources_excluded(spark):
+    """r9 review: a handful of NULL-source rows must not masquerade as
+    the minority source (shrinking every real source's keep-rate to
+    their count) — they are dropped and excluded from the min."""
+    rows = [(i, "big") for i in range(800)] + [
+        (1000 + i, "small") for i in range(200)
+    ] + [(2000, None), (2001, None)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = sampling.temperature_sample(
+        df, source_col="src", key=F.col("id"), alpha=0.5
+    )
+    got = out.groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in got}
+    assert None not in counts
+    # minority source keeps everything; majority keeps ~ sqrt ratio
+    assert counts.get("small", 0) == 200
+    assert 400 < counts.get("big", 0) < 700  # (800/200)^-0.5 = 0.5
