@@ -80,6 +80,8 @@ HEADLINE = [
     "sql_local_supplier_volume",  # Q5: six-table local-supplier join tree
     "txt_html_main_text",  # block split + link-density filter + full strip
     "dedup_semantic_incr",  # frozen-cell new x corpus vs PREBUILT index
+    "join_skew_salted",  # hot-key-spread fact x dim, plain-join semantics
+    "layout_zorder",  # min-max z-key attach over the full part table
 ]
 
 

@@ -9,6 +9,9 @@ operators that need real implementation work:
 * :mod:`joins` — alias-disciplined disambiguated joins, backward as-of
   join (union-merge), interval range join (chunked equi-join)
 * :mod:`skew` — salted joins for hot-key mitigation
+* :mod:`partitioning` — deterministic range buckets, z-order clustering
+* :mod:`layout` — oracle-replayable min-max z-keys, compaction planning
+* :mod:`graph` — connected components, pagerank, triangles, k-core  [EXT]
 * :mod:`dedup` — exact / MinHash-LSH / SimHash / n-gram-Jaccard / embedding
   near-dup  [EXT]
 * :mod:`similarity` — brute-force (JVM + BLAS-vectorized), multi-table

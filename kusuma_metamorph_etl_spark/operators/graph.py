@@ -509,3 +509,73 @@ def triangles_per_vertex(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Exact k-core decomposition membership: the maximal subgraph where
+    every vertex keeps degree ≥ k — the standard density filter for
+    crawl/link graphs (spam farms and boilerplate nav structures live in
+    high cores; singleton chains and tendrils peel away).  Returns
+    ``(node, degree)`` with each surviving node's degree INSIDE the
+    core.
+
+    Algorithm: iterative peeling.  Each round computes degrees over the
+    surviving edge set (one symmetric groupBy), drops vertices below
+    ``k`` and their incident edges (two semi-joins), and stops at the
+    fixed point.  Rounds are bounded by the longest peel chain (≤ |V|
+    pathologically, ~O(log) on real power-law graphs); each round
+    shuffles (node, degree) pairs and edge ids only.  Lineage is
+    truncated per round like :func:`connected_components`; the
+    convergence probe is one bounded count per round.
+
+    Cited parity: the reference has no graph surface; this extends the
+    dedup/graph family (SURVEY.md §2.11) the same way
+    :func:`triangles_per_vertex` does.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    und = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    ckpt = _checkpointer(und, checkpoint_dir)
+    cur = ckpt(und)
+    n_edges = cur.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionAll(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        nxt = ckpt(
+            cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi").join(
+                keep.withColumnRenamed("v", "b"), "b", "left_semi"
+            )
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:  # no vertex fell below k -> fixed point
+            break
+        n_edges = n_next
+    deg = (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # k=1 admits isolated-edge endpoints only (degree >= 1 inside the
+    # surviving subgraph is implied by appearing in an edge at all).
+    return deg

@@ -131,12 +131,39 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 # ------------------------------------------------------------------ PNG
 # Stdlib-only codec: zlib inflate + numpy scanline unfilter.  Scope: 8-bit
 # greyscale / RGB / RGBA (color types 0/2/6 — the overwhelming majority of
-# real corpora), non-interlaced.  Palette (3), 16-bit, and interlaced
-# images raise NotImplementedError through the injectable-decoder seam.
+# real corpora), non-interlaced AND Adam7-interlaced (RFC 2083 §2.6 —
+# the progressive-rendering layout most PNG optimizers emit).  Palette
+# (3) and 16-bit images raise NotImplementedError through the
+# injectable-decoder seam.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
 _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels → color type
+
+# Adam7 pass grid (RFC 2083 §2.6): (row start, col start, row step,
+# col step) per pass.  A pass whose sub-image is empty for the given
+# dimensions contributes NO bytes to the stream — not even filter bytes.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (0, 4, 8, 8),
+    (4, 0, 8, 4),
+    (0, 2, 4, 4),
+    (2, 0, 4, 2),
+    (0, 1, 2, 2),
+    (1, 0, 2, 1),
+)
+
+
+def _adam7_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Per-pass (r0, c0, rs, cs, pass_w, pass_h) for a WxH image; empty
+    passes (pass_w or pass_h == 0) are kept so byte accounting stays
+    positional."""
+    out = []
+    for r0, c0, rs, cs in _ADAM7:
+        pw = max(0, (w - c0 + cs - 1) // cs)
+        ph = max(0, (h - r0 + rs - 1) // rs)
+        out.append((r0, c0, rs, cs, pw, ph))
+    return out
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -148,21 +175,37 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """8-bit non-interlaced PNG encoder (greyscale HxW, grey+alpha HxWx2,
-    RGB HxWx3, RGBA HxWx4).  Scanlines use filter type 0 — zlib does the
-    compressing; filter search is a size optimization, not a correctness
-    requirement."""
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """8-bit PNG encoder (greyscale HxW, grey+alpha HxWx2, RGB HxWx3,
+    RGBA HxWx4), sequential or Adam7-interlaced.  Scanlines use filter
+    type 0 — zlib does the compressing; filter search is a size
+    optimization, not a correctness requirement.  With ``interlace`` the
+    IDAT stream is the RFC 2083 §2.6 pass concatenation: each pass is an
+    independent sub-image with its own filter byte per reduced scanline,
+    and empty passes are wholly absent."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in _PNG_COLOR_TYPE:
         raise ValueError(f"expected HxW or HxWx{{2,3,4}} uint8 array, got {arr.shape}")
     h, w, channels = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0)
-    raw = np.zeros((h, 1 + w * channels), dtype=np.uint8)
-    raw[:, 1:] = arr.reshape(h, w * channels)
-    idat = zlib.compress(raw.tobytes(), 6)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[channels], 0, 0, int(interlace)
+    )
+    if interlace:
+        parts = []
+        for r0, c0, rs, cs, pw, ph in _adam7_dims(w, h):
+            if pw == 0 or ph == 0:
+                continue
+            sub = arr[r0::rs, c0::cs]  # ph x pw x channels
+            rows = np.zeros((ph, 1 + pw * channels), dtype=np.uint8)
+            rows[:, 1:] = sub.reshape(ph, pw * channels)
+            parts.append(rows.tobytes())
+        idat = zlib.compress(b"".join(parts), 6)
+    else:
+        raw = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+        raw[:, 1:] = arr.reshape(h, w * channels)
+        idat = zlib.compress(raw.tobytes(), 6)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -220,15 +263,17 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG payload missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+    if depth != 8 or color not in _PNG_CHANNELS or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8-bit non-interlaced greyscale/RGB(A) PNG supported; "
-            "palette/16-bit/interlaced need a codec injected via "
+            "only 8-bit greyscale/RGB(A) PNG supported (sequential or "
+            "Adam7); palette/16-bit need a codec injected via "
             "extract_binary_features(decoder=...)"
         )
     channels = _PNG_CHANNELS[color]
-    stride = w * channels
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if interlace:
+        return _png_deinterlace(raw, w, h, channels)
+    stride = w * channels
     if raw.size != h * (1 + stride):
         raise ValueError("PNG data size does not match IHDR dimensions")
     raw = raw.reshape(h, 1 + stride)
@@ -242,6 +287,36 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return arr[:, :, 0] if channels == 1 else arr
 
 
+def _png_deinterlace(
+    raw: np.ndarray, w: int, h: int, channels: int
+) -> np.ndarray:
+    """Adam7 reassembly (RFC 2083 §2.6): the inflated stream is seven
+    pass sub-images back to back, each filtered INDEPENDENTLY (filter
+    bytes and prior-scanline references stay inside the pass), scattered
+    onto the (row, col) grid of its pass pattern."""
+    img = np.zeros((h, w, channels), dtype=np.uint8)
+    pos = 0
+    for r0, c0, rs, cs, pw, ph in _adam7_dims(w, h):
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * channels
+        need = ph * (1 + stride)
+        if pos + need > raw.size:
+            raise ValueError("Adam7 PNG data shorter than pass layout")
+        rows = raw[pos : pos + need].reshape(ph, 1 + stride)
+        pos += need
+        sub = np.zeros((ph, stride), dtype=np.int32)
+        for y in range(ph):
+            prev = sub[y - 1] if y else np.zeros(stride, dtype=np.int32)
+            sub[y] = _png_unfilter_row(
+                int(rows[y, 0]), rows[y, 1:].astype(np.int32), prev, channels
+            )
+        img[r0::rs, c0::cs] = sub.astype(np.uint8).reshape(ph, pw, channels)
+    if pos != raw.size:
+        raise ValueError("Adam7 PNG data longer than pass layout")
+    return img[:, :, 0] if channels == 1 else img
+
+
 # every shipped format now decodes for real; the dict stays as the seam
 # for genuinely external codecs (HEIC, AVIF, ...)
 _COMPRESSED_MAGICS: dict[bytes, str] = {}
@@ -252,7 +327,8 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     pixels}`` with ``pixels`` a uint8 numpy array.
 
     Real pure-numpy decode for PPM/PGM, uncompressed 24-bit BMP, 8-bit
-    non-interlaced PNG (stdlib zlib inflate + scanline unfilter),
+    PNG — sequential AND Adam7-interlaced (stdlib zlib inflate +
+    scanline unfilter + pass reassembly),
     GIF87a/89a (real variable-width LZW, global/local palettes), and
     JPEG — baseline sequential (any integer-ratio subsampling) AND
     progressive SOF2 (file-read Huffman tables, dequantize + IDCT —
@@ -349,11 +425,12 @@ def synthesize_ppm(text: str) -> bytes:
     return encode_ppm(_synthesize_pixels(text))
 
 
-def synthesize_png(text: str) -> bytes:
+def synthesize_png(text: str, interlace: bool = False) -> bytes:
     """Deterministic synthetic PNG payload — same pixel contract as
     :func:`synthesize_ppm`, so the PNG inflate+unfilter path must decode to
-    the exact pixels the PPM path yields (the `mm_png_features` gate)."""
-    return encode_png(_synthesize_pixels(text))
+    the exact pixels the PPM path yields (the `mm_png_features` gate).
+    ``interlace`` emits the Adam7 layout (the `mm_png_interlaced` gate)."""
+    return encode_png(_synthesize_pixels(text), interlace=interlace)
 
 
 def attach_image_payload(
@@ -372,14 +449,17 @@ def attach_image_payload(
 
 
 def attach_png_payload(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    interlace: bool = False,
 ) -> DataFrame:
     """Synthesized-PNG payload column (Arrow-batched pandas UDF), typed
-    ``image/png``."""
+    ``image/png``.  ``interlace`` synthesizes Adam7 streams."""
 
     @F.pandas_udf("binary")
     def make_png(texts: pd.Series) -> pd.Series:
-        return texts.map(synthesize_png)
+        return texts.map(lambda s: synthesize_png(s, interlace=interlace))
 
     return df.withColumn("payload", make_png(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/png")

@@ -536,3 +536,47 @@ def repeat_epochs(
         .withColumn(out_col, F.explode(F.sequence(F.lit(1), F.col("__n_copies"))))
         .drop("__n_copies")
     )
+
+
+def weighted_sample(
+    df: DataFrame, key: Column, weight: Column, k: int, seed: str = "42"
+) -> DataFrame:
+    """EXACTLY ``k`` rows drawn WITHOUT replacement with probability
+    proportional to ``weight`` — Efraimidis–Spirakis A-ES (IPL 2006):
+    each row scores ``-ln(u)/w`` with ``u`` a content-keyed uniform from
+    :func:`hash_unit`'s md5 construction, and the k SMALLEST scores win.
+
+    The importance-sampling knob of the mixing family: upweight rare
+    high-quality sources at draw time instead of duplicating rows.  Same
+    execution shape as :func:`fixed_size_sample` — ``orderBy(score).
+    limit(k)`` compiles to TakeOrderedAndProject (per-partition k-heaps,
+    no global sort) — and the same mergeability argument (a global top-k
+    row survives its slice's top-k), so per-slice draws merge exactly.
+    Content-keyed determinism: same (seed, key, weight) → same sample on
+    any partitioning or engine (the driver oracle replays the md5 + ln
+    arithmetic in SQL).
+
+    Rows with NULL or non-positive weight are EXCLUDED (their inclusion
+    probability is zero / undefined — same rule as
+    :func:`temperature_sample`'s NULL-source drop).  ``u`` is offset to
+    ``(h + 0.5) / 2^32`` so it is never exactly 0 (ln(0) = -inf would
+    make the row unsampleable regardless of weight).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    score = -F.ln(u) / weight.cast("double")
+    return (
+        df.filter(weight.isNotNull() & (weight.cast("double") > 0))
+        .withColumn("__score", score)
+        .orderBy("__score", key)
+        .limit(k)
+        .drop("__score")
+    )

@@ -418,3 +418,27 @@ def expectations(df: DataFrame, checks: list[tuple]) -> DataFrame:
     return wide.select(
         F.explode(F.array(*structs)).alias("r")
     ).select("r.check", "r.column", "r.observed", "r.passed")
+
+
+def freshness_report(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    as_of: str,
+    stale_after_days: int = 7,
+) -> DataFrame:
+    """Per-group freshness readout — the reporting complement of
+    :func:`freshness_gate`'s single global tripwire: ``(group…,
+    last_seen, lag_days, stale)`` with ``lag_days`` measured from
+    ``as_of`` (injectable snapshot date, same determinism contract as
+    the ``RUN_DATE`` queries).  One groupBy, group-cardinality output —
+    the feed-health dashboard for a multi-source ingest, where one dead
+    upstream hides inside a globally-fresh max(ts)."""
+    lag = F.datediff(
+        F.lit(as_of).cast("date"), F.to_date(F.max(F.col(ts_col)))
+    ).cast("long")
+    return df.groupBy(*group_cols).agg(
+        F.max(F.col(ts_col)).alias("last_seen"),
+        lag.alias("lag_days"),
+        (lag > stale_after_days).alias("stale"),
+    )

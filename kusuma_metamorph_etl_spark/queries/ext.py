@@ -5304,20 +5304,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangles_per_vertex,
     )
 
-    cust = t(spark, sf_dir, "customer").select("c_custkey")
-    mx = cust.agg(F.max("c_custkey").alias("m"))
-    edges = (
-        cust.crossJoin(
-            spark.createDataFrame([(1,), (2,), (3,), (5,)], "d long")
-        )
-        .select(
-            F.col("c_custkey").alias("a"),
-            (F.col("c_custkey") + F.col("d")).alias("b"),
-        )
-        .join(F.broadcast(mx), on=F.col("b") <= F.col("m"))
-        .select("a", "b")
-    )
-    return triangles_per_vertex(edges)
+    return triangles_per_vertex(_near_ring_edges(spark, sf_dir))
 
 
 @register(
@@ -5501,3 +5488,376 @@ def samp_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_slice = s if per_slice is None else per_slice.unionByName(s)
     merged = sampling.merge_samples(per_slice, F.col("o_orderkey"), 256)
     return merged.select("o_orderkey", "o_totalprice")
+
+
+# ------------------------------------------------------------------ r9
+# additions: TPC-H-shaped SQL parity (Q14/Q18), skew-salted join
+# equivalence, data-layout operators, k-core, Adam7 PNG.
+
+
+_SQL_PROMO_REVENUE = """WITH j AS (
+         SELECT CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(38,6)) AS rev,
+                p.p_type AS p_type
+         FROM lineitem{v} l
+         JOIN part{v} p ON l.l_partkey = p.p_partkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1997-01-01')
+       SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                  ELSE CAST(0 AS DECIMAL(38,6)) END), 2)
+                   AS DOUBLE) AS promo_revenue,
+              CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue,
+              100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                          ELSE CAST(0 AS DECIMAL(38,6)) END),
+                                 2) AS DOUBLE)
+                    / CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS promo_pct
+       FROM j"""
+
+
+@register("sql_promo_revenue", _SQL_PROMO_REVENUE.format(v=""))
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth pure-SQL entry (TPC-H Q14 shape): promotion-revenue share —
+    fact ⋈ dim with a conditional aggregate over the joined rows.  Both
+    sums run in exact DECIMAL (order-independent) and round before the
+    ratio, so the double division is bit-identical on both engines; the
+    shipdate range pushes to the lineitem scan and part broadcasts."""
+    for name in ("part", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_PROMO_REVENUE.format(v="_v"))
+
+
+_SQL_LARGE_VOLUME = """WITH big AS (
+         SELECT l_orderkey,
+                CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2)
+                     AS DOUBLE) AS sum_qty
+         FROM lineitem{v}
+         GROUP BY 1
+         HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300)
+       SELECT c.c_custkey, o.o_orderkey,
+              CAST(o.o_orderdate AS DATE) AS order_date,
+              o.o_totalprice, b.sum_qty
+       FROM big b
+       JOIN orders{v} o ON o.o_orderkey = b.l_orderkey
+       JOIN customer{v} c ON c.c_custkey = o.o_custkey
+       ORDER BY o.o_totalprice DESC, o.o_orderkey
+       LIMIT 20"""
+
+
+@register("sql_large_volume_customers", _SQL_LARGE_VOLUME.format(v=""))
+def sql_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth pure-SQL entry (TPC-H Q18 shape): large-volume orders — an
+    aggregate-then-HAVING subquery joined BACK to its fact's dims, the
+    canonical "filter by group property" plan.  The HAVING compares the
+    exact DECIMAL sum (no double drift in the cut), the big-order key
+    set is tiny so both joins broadcast it, and ORDER BY/LIMIT compiles
+    to TakeOrderedAndProject."""
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_LARGE_VOLUME.format(v="_v"))
+
+
+@register(
+    "join_skew_salted",
+    """SELECT p.p_brand,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+       FROM lineitem l
+       JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY 1""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact ⋈ dim (`operators/skew.py::salted_join` — the
+    hot-key mitigation the 100 TB target needs when AQE's sort-merge
+    skew split doesn't apply): the big side carries a deterministic
+    row-hash salt, the small side replicates once per salt value, and
+    the oracle is the PLAIN join — salting must be semantics-invisible,
+    so any multiplicity drift (a lost salt bucket, a double replica)
+    hash-mismatches on the grouped counts and exact-decimal revenue."""
+    from kusuma_metamorph_etl_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, on=["p_partkey"], how="inner", buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def _zorder_oracle_sql(bits: int) -> str:
+    """DuckDB twin of layout.minmax_quantize + partitioning.zorder_value
+    over (p_size, p_retailprice): identical double arithmetic (same op
+    order), then the bit-interleave spelled out as a shift/and/or sum."""
+    n = 1 << bits
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((qs >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((qp >> {i}) & 1) << {2 * i + 1})")
+    interleave = " | ".join(terms)
+    return f"""WITH mm AS (
+         SELECT min(CAST(p_size AS DOUBLE)) AS mns,
+                max(CAST(p_size AS DOUBLE)) AS mxs,
+                min(CAST(p_retailprice AS DOUBLE)) AS mnp,
+                max(CAST(p_retailprice AS DOUBLE)) AS mxp
+         FROM part),
+       q AS (
+         SELECT p_partkey,
+                least(CAST(floor((CAST(p_size AS DOUBLE) - mns)
+                                 / (CASE WHEN mxs > mns THEN mxs - mns
+                                         ELSE 1.0 END) * {n}) AS BIGINT),
+                      {n - 1}) AS qs,
+                least(CAST(floor((CAST(p_retailprice AS DOUBLE) - mnp)
+                                 / (CASE WHEN mxp > mnp THEN mxp - mnp
+                                         ELSE 1.0 END) * {n}) AS BIGINT),
+                      {n - 1}) AS qp
+         FROM part, mm)
+       SELECT p_partkey, CAST({interleave} AS BIGINT) AS z
+       FROM q"""
+
+
+@register("layout_zorder", _zorder_oracle_sql(6))
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key ([EXT] data layout;
+    `operators/layout.py::zorder_minmax_key` over
+    `partitioning.zorder_value`): min-max quantization of (p_size,
+    p_retailprice) to 6 bits each, bits interleaved LSB-first into one
+    clustering key — the PERSISTABLE (engine-replayable) variant of the
+    quantile-bucketed `cluster_by_zorder` layout pass, whose row-group
+    skipping is plan-tested in tests/test_plans.py.  Pure JVM
+    shift/and/or expressions, no UDF; the oracle recomputes the exact
+    interleave, so a lane swap, an off-by-one in the quantizer, or a
+    clamp miss hash-mismatches."""
+    from kusuma_metamorph_etl_spark.operators import layout
+
+    part = t(spark, sf_dir, "part")
+    z = layout.zorder_minmax_key(part, ["p_size", "p_retailprice"], bits=6)
+    return z.select("p_partkey", F.col("__z").alias("z"))
+
+
+@register(
+    "layout_compaction_plan",
+    """SELECT CAST(ts AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(SUM(32 + octet_length(encode(event_type))) AS BIGINT)
+                  AS est_bytes,
+              CAST(greatest(CAST(ceil(SUM(32 + octet_length(encode(event_type)))
+                                      / 65536.0) AS BIGINT), 1) AS BIGINT)
+                  AS n_files
+       FROM events
+       GROUP BY 1""",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner ([EXT] data layout;
+    `operators/layout.py::compaction_plan`): per-day size estimate over
+    the event stream and the file count a writer should coalesce to for
+    a 64 KiB target (scaled down to fixture size; production target is
+    128 MiB).  One groupBy, partition-cardinality output — the planner
+    that decides per-partition ``repartition(n)`` before a rewrite
+    instead of letting every micro-batch leave its own file litter."""
+    from kusuma_metamorph_etl_spark.operators import layout
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    plan = layout.compaction_plan(
+        ev,
+        "day",
+        F.lit(32) + F.octet_length(F.col("event_type").cast("binary")),
+        target_bytes=65536,
+    )
+    return plan.withColumnRenamed("partition", "day")
+
+
+def _near_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic customer-id near-ring graph shared by the graph
+    query family (offsets +1/+2/+3/+5, capped at the max id)."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    mx = cust.agg(F.max("c_custkey").alias("m"))
+    return (
+        cust.crossJoin(
+            spark.createDataFrame([(1,), (2,), (3,), (5,)], "d long")
+        )
+        .select(
+            F.col("c_custkey").alias("a"),
+            (F.col("c_custkey") + F.col("d")).alias("b"),
+        )
+        .join(F.broadcast(mx), on=F.col("b") <= F.col("m"))
+        .select("a", "b")
+    )
+
+
+@register("graph_kcore", None)  # iterative peeling — rows-only
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-core membership ([EXT] graph;
+    `operators/graph.py::kcore`): the degree-≥-k maximal subgraph of the
+    near-ring graph at k=6 — iterative peeling (degree groupBy + two
+    semi-joins per round, checkpointed lineage), non-SQL-expressible,
+    so rows-only; the planted-clique contract is hash-checked in
+    `graph_kcore_err` and exact small-graph behavior in pytest."""
+    from kusuma_metamorph_etl_spark.operators.graph import kcore
+
+    return kcore(_near_ring_edges(spark, sf_dir), k=6)
+
+
+@register(
+    "graph_kcore_err",
+    """SELECT CAST(6 AS BIGINT) AS n_planted,
+              CAST(0 AS BIGINT) AS n_missing_k5,
+              CAST(0 AS BIGINT) AS n_in_k6""",
+)
+def graph_kcore_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable k-core contract: plant an ISOLATED K6 clique on
+    ids beyond the customer range.  Graph theory fixes its fate exactly
+    — every clique node belongs to the 5-core (degree 5 inside K6) and
+    none to the 6-core (peeling erases the whole clique) — and isolation
+    makes that verdict independent of the base graph, so the gate is
+    exact: a peel-order bug, an off-by-one threshold, or a lost-edge
+    round turns the (6, 0, 0) row red."""
+    from itertools import combinations
+
+    from kusuma_metamorph_etl_spark.operators.graph import kcore
+
+    base = _near_ring_edges(spark, sf_dir)
+    mx = base.agg(F.max("b").alias("m")).collect()[0]["m"]
+    ids = [mx + 10 + i for i in range(6)]
+    clique = spark.createDataFrame(
+        [(a, b) for a, b in combinations(ids, 2)], "a long, b long"
+    )
+    edges = base.unionByName(clique)
+    core5 = kcore(edges, k=5).select("node")
+    core6 = kcore(edges, k=6).select("node")
+    planted = spark.createDataFrame([(i,) for i in ids], "node long")
+    n_miss5 = _n(planted.join(core5, "node", "left_anti"), "n_missing_k5")
+    n_in6 = _n(planted.join(core6, "node", "left_semi"), "n_in_k6")
+    return (
+        _n(planted, "n_planted")
+        .crossJoin(n_miss5)
+        .crossJoin(n_in6)
+        .select(
+            F.col("n_planted").cast("long"),
+            F.col("n_missing_k5").cast("long"),
+            F.col("n_in_k6").cast("long"),
+        )
+    )
+
+
+@register(
+    "mm_png_interlaced",
+    """SELECT doc_id,
+              'png' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels
+       FROM documents""",
+)
+def mm_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-interlaced PNG decode ([EXT] multimodal;
+    `operators/multimodal.py::_png_deinterlace` — graduates the
+    interlace seam `mm_png_features` left behind): per-document PNGs
+    synthesized in the RFC 2083 §2.6 pass layout, decoded by pass-grid
+    reassembly with per-pass filter state.  Same gate as the sequential
+    row: dimensions recomputed by the oracle AND the decoded pixel mean
+    must equal the PPM decode of the identical pixels, so a pass-order,
+    scatter, or per-pass-unfilter bug drops rows and turns the driver
+    red."""
+    docs = t(spark, sf_dir, "documents")
+    png = multimodal.extract_binary_features(
+        multimodal.attach_png_payload(docs, interlace=True)
+    )
+    ppm = multimodal.extract_binary_features(
+        multimodal.attach_image_payload(docs)
+    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
+    return (
+        png.join(ppm, "doc_id")
+        .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 1e-12)
+        .select("doc_id", "format", "width", "height", "channels")
+    )
+
+
+_SQL_LATE_SHIPMENT = """SELECT o.o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders{v} o
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem{v} l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+       GROUP BY 1"""
+
+
+@register("sql_late_shipment_priority", _SQL_LATE_SHIPMENT.format(v=""))
+def sql_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh pure-SQL entry (TPC-H Q4 shape): order-priority counts
+    over orders with at least one late line — the correlated-EXISTS
+    pattern, which Catalyst rewrites to a LEFT SEMI join (one pass over
+    each table, no row duplication however many lines are late; the
+    shape a hand-written inner-join + distinct gets wrong or pays a
+    dedup shuffle for).  The quarter filter pushes to the orders scan;
+    the semi-join keys on orderkey with the date comparison as the join
+    residual.  Identical SQL text on both engines."""
+    for name in ("orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_LATE_SHIPMENT.format(v="_v"))
+
+
+@register(
+    "dq_freshness",
+    f"""SELECT event_type,
+              max(ts) AS last_seen,
+              CAST(date_diff('day', CAST(max(ts) AS DATE),
+                             DATE '{RUN_DATE}') AS BIGINT) AS lag_days,
+              date_diff('day', CAST(max(ts) AS DATE),
+                        DATE '{RUN_DATE}') > 7 AS stale
+       FROM events
+       GROUP BY 1""",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness report ([EXT] data quality;
+    `plans/quality.py::freshness_report` — the reporting complement of
+    the `freshness_gate` tripwire): last event time and staleness lag
+    per event_type against the injected snapshot date, the feed-health
+    readout where one dead upstream hides inside a globally-fresh
+    max(ts).  One groupBy, feed-cardinality output."""
+    from kusuma_metamorph_etl_spark.plans.quality import freshness_report
+
+    ev = t(spark, sf_dir, "events")
+    return freshness_report(
+        ev, "ts", ["event_type"], as_of=RUN_DATE, stale_after_days=7
+    )
+
+
+@register(
+    "samp_weighted",
+    """SELECT o_orderkey, o_totalprice
+       FROM orders
+       WHERE o_totalprice > 0
+       ORDER BY -ln((('0x' || substr(md5('42|' || CAST(o_orderkey AS VARCHAR)),
+                                     1, 8))::BIGINT + 0.5) / 4294967296.0)
+                / o_totalprice,
+                o_orderkey
+       LIMIT 200""",
+)
+def samp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement ([EXT] sampling;
+    `operators/sampling.py::weighted_sample`, Efraimidis–Spirakis
+    A-ES): 200 orders drawn with probability ∝ o_totalprice — the
+    importance-sampling knob of the mixing family (upweight rare
+    high-quality sources at draw time instead of duplicating rows).
+    Content-keyed (md5 → uniform → -ln(u)/w), so the oracle replays the
+    exact score arithmetic; executes as TakeOrderedAndProject like the
+    uniform `samp_fixed_k`, and merges across slices by the same
+    bottom-k survival argument."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return sampling.weighted_sample(
+        orders, F.col("o_orderkey"), F.col("o_totalprice"), k=200
+    )

@@ -114,11 +114,13 @@ _LOADED = False
 # ROUND-9 WINDOW: the r8 checklist executed — basis bumped to 8,
 # DEFERRED_TO_NEXT_WINDOW emptied, window regenerated.  The 14 rows r8
 # deferred plus the r9 registrations (txt_html_main_text,
-# txt_url_normalize_v2, dedup_semantic_incr(+_err), sql Q5/Q10,
-# graph_triangles, txt_chunk_sentences, sim_group_centroid,
-# sim_mmr(+_err)) — 25
+# txt_url_normalize_v2, dedup_semantic_incr(+_err), sql Q5/Q10/Q14/Q18,
+# graph_triangles, graph_kcore(+_err), txt_chunk_sentences,
+# sim_group_centroid, sim_mmr(+_err), join_skew_salted,
+# layout_zorder, layout_compaction_plan, mm_png_interlaced,
+# sql_late_shipment_priority (Q4), dq_freshness, samp_weighted) — 35
 # zero-evidence rows, all inside the window — lead in registration
-# order; the remaining 25 slots go to the oldest-evidence rows.
+# order; the remaining 15 slots go to the oldest-evidence rows.
 # REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
 # where three new queries were registered without re-pasting — the
 # window guard test is the backstop, run it before every commit.
@@ -205,6 +207,17 @@ _PRIORITY: tuple[str, ...] = (
     "txt_chunk_sentences",
     "sim_group_centroid",
     "samp_mergeable",
+    "sql_promo_revenue",
+    "sql_large_volume_customers",
+    "join_skew_salted",
+    "layout_zorder",
+    "layout_compaction_plan",
+    "graph_kcore",
+    "graph_kcore_err",
+    "mm_png_interlaced",
+    "sql_late_shipment_priority",
+    "dq_freshness",
+    "samp_weighted",
     "snk_jdbc_roundtrip",
     "proj_select",
     "proj_rename",
@@ -219,6 +232,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_left_equi",
     "join_right_equi",
     "join_inner_equi",
+  # ---- window cut ----
     "agg_groupby_single",
     "agg_groupby_multi",
     "agg_sum_expr",
@@ -230,7 +244,6 @@ _PRIORITY: tuple[str, ...] = (
     "dq_duplicate_gate",
     "dq_snapshot_stamp",
     "setop_union",
-  # ---- window cut ----
     "setop_intersect",
     "setop_except",
     "sort_limit",
@@ -407,6 +420,12 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
 )
+
+# summary: 236 registered; 36 zero-evidence;
+# window holds 36 zero-evidence rows; spilled past the cut: []
+
+# summary: 233 registered; 33 zero-evidence;
+# window holds 33 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

@@ -356,3 +356,76 @@ def test_triangles_match_bruteforce_on_random_graph(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     got = {r["node"]: r["n_triangles"] for r in triangles_per_vertex(df).collect()}
     assert got == expected
+
+
+# ------------------------------------------------------------- k-core
+
+
+def _kcore_brute(edges, k):
+    """Reference peeling on a python dict graph."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for n in adj.pop(v):
+                adj[n].discard(v)
+            changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_kcore_hand_graph(spark, k):
+    from kusuma_metamorph_etl_spark.operators.graph import kcore
+
+    # triangle 1-2-3 + pendant 3-4 + isolated edge 10-11
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.degree for r in kcore(df, k=k).collect()}
+    assert got == _kcore_brute(edges, k)
+
+
+def test_kcore_matches_bruteforce_on_random_graph(spark):
+    import random
+
+    from kusuma_metamorph_etl_spark.operators.graph import kcore
+
+    rng = random.Random(11)
+    edges = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(40), rng.randrange(40)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    for k in (2, 3, 4):
+        got = {r.node: r.degree for r in kcore(df, k=k).collect()}
+        assert got == _kcore_brute(edges, k), f"k={k}"
+
+
+def test_kcore_k6_empties_a_k6_clique_and_k5_keeps_it(spark):
+    from itertools import combinations
+
+    from kusuma_metamorph_etl_spark.operators.graph import kcore
+
+    clique = list(combinations(range(6), 2))
+    df = spark.createDataFrame(clique, "a long, b long")
+    assert kcore(df, k=6).count() == 0
+    got = {r.node: r.degree for r in kcore(df, k=5).collect()}
+    assert got == {v: 5 for v in range(6)}
+
+
+def test_kcore_rejects_bad_k(spark):
+    from kusuma_metamorph_etl_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        kcore(df, k=0)

@@ -1,0 +1,98 @@
+"""Min-max z-order keys + compaction planning (operators/layout.py).
+The quantile-bucketed clustering pass (`cluster_by_zorder`) is covered
+by tests/test_plans.py's row-group-skipping test; this file covers the
+oracle-replayable min-max key variant and the small-files planner."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators import layout
+
+
+def _interleave2(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_minmax_key_matches_reference_interleave(spark):
+    """Full 16x16 grid: quantizing [0,15] to 4 bits is the identity, so
+    the key must equal the hand-rolled Morton interleave everywhere."""
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r.x, r.y): r["__z"]
+        for r in layout.zorder_minmax_key(df, ["x", "y"], bits=4).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _interleave2(x, y, 4)
+
+
+def test_minmax_key_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError):
+        layout.zorder_minmax_key(df, ["a", "b"], bits=32)
+    with pytest.raises(ValueError):
+        layout.zorder_minmax_key(df, [], bits=8)
+
+
+def test_minmax_key_preserves_rows_and_schema(spark, sf_small):
+    part = spark.read.parquet(f"{sf_small}/part.parquet")
+    z = layout.zorder_minmax_key(part, ["p_size", "p_retailprice"], bits=8)
+    assert z.count() == part.count()
+    assert set(z.columns) == set(part.columns) | {"__z"}
+
+
+def test_minmax_key_top_value_clamped_and_constant_total(spark):
+    # max value lands in the top bucket, not 2^bits; constant dim -> 0
+    df = spark.createDataFrame([(0, 5), (10, 5), (20, 5)], "a int, b int")
+    rows = {
+        r.a: r["__z"]
+        for r in layout.zorder_minmax_key(df, ["a", "b"], bits=2).collect()
+    }
+    # a: min 0 max 20 -> quantized 0,2,3 (20 clamps to 3); b constant -> 0
+    assert rows == {0: _interleave2(0, 0, 2), 10: _interleave2(2, 0, 2),
+                    20: _interleave2(3, 0, 2)}
+
+
+def test_minmax_key_sorted_layout_clusters_both_dimensions(spark, sf_small):
+    """Sorting by the min-max key must keep a narrow range on EITHER
+    dimension inside a subset of partitions — the pruning property."""
+    part = spark.read.parquet(f"{sf_small}/part.parquet")
+    z = (
+        layout.zorder_minmax_key(part, ["p_size", "p_retailprice"], bits=6)
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+    )
+    with_pid = z.withColumn("pid", F.spark_partition_id())
+    n_parts = with_pid.select("pid").distinct().count()
+    hits_size = (
+        with_pid.filter(F.col("p_size").between(10, 14))
+        .select("pid").distinct().count()
+    )
+    hits_price = (
+        with_pid.filter(F.col("p_retailprice").between(910.0, 922.0))
+        .select("pid").distinct().count()
+    )
+    assert n_parts >= 4
+    assert hits_size < n_parts
+    assert hits_price < n_parts
+
+
+def test_compaction_plan_counts_and_ceils(spark):
+    df = spark.createDataFrame(
+        [("p1", "x" * 100)] * 50 + [("p2", "y" * 100)] * 3,
+        "part string, payload string",
+    )
+    plan = layout.compaction_plan(
+        df, "part", F.length("payload") + F.lit(16), target_bytes=2000
+    )
+    rows = {r.partition: r for r in plan.collect()}
+    assert rows["p1"].n_rows == 50
+    assert rows["p1"].est_bytes == 50 * 116
+    assert rows["p1"].n_files == 3  # ceil(5800/2000)
+    assert rows["p2"].n_files == 1  # minimum one file

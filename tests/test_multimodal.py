@@ -164,13 +164,14 @@ class TestPng:
         assert np.array_equal(multimodal._decode_png(payload), arr)
 
     def test_unsupported_variants_gated(self):
-        """Palette, 16-bit, and interlaced PNGs stay behind the seam."""
+        """Palette and 16-bit PNGs stay behind the seam (interlaced
+        graduated to a real decode in r9 — TestPngAdam7)."""
         import struct
         import zlib
 
         arr = np.zeros((2, 2, 3), dtype=np.uint8)
         comp = zlib.compress(b"\x00" * (2 * 7))
-        for depth, color, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        for depth, color, interlace in [(16, 2, 0), (8, 3, 0)]:
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
             payload = (
                 multimodal._PNG_SIG
@@ -199,6 +200,84 @@ class TestPng:
         img = multimodal.decode_image(out)
         assert img["format"] == "png"
         assert (img["width"], img["height"]) == (3, 2)
+
+
+class TestPngAdam7:
+    """Adam7 interlaced PNG (RFC 2083 §2.6): pass-grid reassembly with
+    per-pass independent filtering — the progressive layout real PNG
+    optimizers emit (graduated from the NotImplementedError seam in r9)."""
+
+    def test_roundtrip_shapes_and_channels(self):
+        rng = np.random.RandomState(13)
+        # includes dims where several passes are empty (w or h < 5)
+        for shape in [(1, 1, 3), (2, 3), (3, 3, 3), (5, 7, 2), (8, 8, 3),
+                      (9, 13, 3), (16, 5), (31, 17, 4)]:
+            arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+            payload = multimodal.encode_png(arr, interlace=True)
+            img = multimodal.decode_image(payload)
+            assert img["format"] == "png"
+            assert np.array_equal(img["pixels"], arr), shape
+
+    def test_interlaced_equals_sequential_decode(self):
+        rng = np.random.RandomState(17)
+        arr = rng.randint(0, 256, size=(12, 11, 3), dtype=np.uint8)
+        seq = multimodal._decode_png(multimodal.encode_png(arr))
+        inter = multimodal._decode_png(multimodal.encode_png(arr, interlace=True))
+        assert np.array_equal(seq, inter)
+
+    def test_hand_built_stream_with_per_pass_filters(self):
+        """Decode an Adam7 stream built INDEPENDENTLY of the encoder:
+        each pass filters its rows with Up (type 2) after the first —
+        proves filtering state resets per pass, not per image."""
+        import struct
+        import zlib
+
+        img = np.arange(9 * 9, dtype=np.uint8).reshape(9, 9) * 3 % 256
+        parts = []
+        for r0, c0, rs, cs, pw, ph in multimodal._adam7_dims(9, 9):
+            if pw == 0 or ph == 0:
+                continue
+            sub = img[r0::rs, c0::cs].astype(np.int64)
+            prev = np.zeros(pw, np.int64)
+            for y in range(ph):
+                if y == 0:
+                    parts.append(bytes([0]) + bytes(sub[y].astype(np.uint8)))
+                else:
+                    parts.append(
+                        bytes([2]) + bytes(((sub[y] - prev) % 256).astype(np.uint8))
+                    )
+                prev = sub[y]
+        ihdr = struct.pack(">IIBBBBB", 9, 9, 8, 0, 0, 0, 1)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(multimodal._decode_png(payload), img)
+
+    def test_pass_layout_mismatch_raises(self):
+        import struct
+        import zlib
+
+        # 2x2 RGB interlaced needs 15 pass bytes; give it 14 (the
+        # sequential layout) and 16 (one extra) — both malformed
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        for n in (14, 16):
+            payload = (
+                multimodal._PNG_SIG
+                + multimodal._png_chunk(b"IHDR", ihdr)
+                + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * n))
+                + multimodal._png_chunk(b"IEND", b"")
+            )
+            with pytest.raises(ValueError):
+                multimodal._decode_png(payload)
+
+    def test_synthesize_interlaced_pixel_parity(self):
+        text = "adam seven interlace"
+        inter = multimodal.decode_image(multimodal.synthesize_png(text, interlace=True))
+        ppm = multimodal.decode_image(multimodal.synthesize_ppm(text))
+        assert np.array_equal(inter["pixels"], ppm["pixels"])
 
 
 class TestPhash:

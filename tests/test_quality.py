@@ -315,3 +315,25 @@ def test_profile_columns_handles_hostile_names(spark):
     }
     assert got["order id"] == (2, 0, 2)
     assert got["weird'col"] == (2, 1, 1)
+
+
+def test_freshness_report_per_group_lag_and_stale(spark):
+    from kusuma_metamorph_etl_spark.plans.quality import freshness_report
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-05-30 10:00:00"),
+            ("a", "2024-05-20 09:00:00"),
+            ("b", "2024-05-01 00:00:00"),
+        ],
+        "feed string, ts string",
+    ).selectExpr("feed", "CAST(ts AS TIMESTAMP) AS ts")
+    rows = {
+        r.feed: r
+        for r in freshness_report(
+            df, "ts", ["feed"], as_of="2024-06-01", stale_after_days=7
+        ).collect()
+    }
+    assert rows["a"].lag_days == 2 and rows["a"].stale is False
+    assert rows["b"].lag_days == 31 and rows["b"].stale is True
+    assert rows["a"].last_seen.isoformat().startswith("2024-05-30T10:00")

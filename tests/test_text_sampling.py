@@ -1214,3 +1214,73 @@ def test_temperature_sample_null_sources_excluded(spark):
     # minority source keeps everything; majority keeps ~ sqrt ratio
     assert counts.get("small", 0) == 200
     assert 400 < counts.get("big", 0) < 700  # (800/200)^-0.5 = 0.5
+
+
+class TestWeightedSample:
+    """Efraimidis–Spirakis A-ES weighted draw (operators/sampling.py::
+    weighted_sample): exact size, weight-proportional inclusion,
+    partition invariance, mergeability, weight hygiene."""
+
+    def _df(self, spark, n=400):
+        # two weight classes: heavy rows weigh 20x light rows
+        rows = [(i, 20.0 if i % 2 == 0 else 1.0) for i in range(n)]
+        return spark.createDataFrame(rows, "id long, w double")
+
+    def test_exact_size_and_determinism(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sampling import weighted_sample
+
+        df = self._df(spark)
+        s1 = weighted_sample(df, F.col("id"), F.col("w"), k=50)
+        s2 = weighted_sample(
+            df.repartition(7), F.col("id"), F.col("w"), k=50
+        )
+        ids1 = sorted(r.id for r in s1.collect())
+        ids2 = sorted(r.id for r in s2.collect())
+        assert len(ids1) == 50
+        assert ids1 == ids2  # partition-invariant, content-keyed
+
+    def test_heavy_rows_dominate(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sampling import weighted_sample
+
+        df = self._df(spark)
+        sample = weighted_sample(df, F.col("id"), F.col("w"), k=100)
+        n_heavy = sample.filter(F.col("id") % 2 == 0).count()
+        # 20:1 weights -> heavy rows should carry the large majority;
+        # a uniform draw would give ~50 (deterministic fixture: exact)
+        assert n_heavy > 75
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sampling import weighted_sample
+
+        rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got = sorted(
+            r.id
+            for r in weighted_sample(df, F.col("id"), F.col("w"), k=10).collect()
+        )
+        assert got == [1, 5]
+
+    def test_merges_like_bottom_k(self, spark):
+        """A global winner survives its slice's top-k, so merging
+        per-slice draws then re-drawing equals the direct draw."""
+        from kusuma_metamorph_etl_spark.operators.sampling import weighted_sample
+
+        df = self._df(spark)
+        direct = sorted(
+            r.id
+            for r in weighted_sample(df, F.col("id"), F.col("w"), k=40).collect()
+        )
+        slices = [
+            weighted_sample(
+                df.filter(F.col("id") % 3 == m), F.col("id"), F.col("w"), k=40
+            )
+            for m in range(3)
+        ]
+        merged = slices[0].unionByName(slices[1]).unionByName(slices[2])
+        remerged = sorted(
+            r.id
+            for r in weighted_sample(
+                merged, F.col("id"), F.col("w"), k=40
+            ).collect()
+        )
+        assert remerged == direct
