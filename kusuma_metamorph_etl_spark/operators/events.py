@@ -630,3 +630,32 @@ def session_stats(
         decimal_sum(F.col(value_col)).alias("session_value"),
         (n == 1).alias("bounce"),
     )
+
+
+def stickiness(
+    df: DataFrame, ts_col: str = "ts", user_col: str = "user_id"
+) -> DataFrame:
+    """DAU/MAU stickiness per day: ``(day, dau, mau, stickiness)`` with
+    ``mau`` the distinct-user count over the WHOLE input frame (callers
+    window the input to the month/period of interest — same contract as
+    `retention_cohorts` taking a pre-filtered frame).  The canonical
+    engagement ratio: what share of the period's actives show up on a
+    given day.
+
+    Shape: one per-day distinct aggregation + one global distinct
+    scalar broadcast back — the global side is a single row, so the
+    join is a broadcast nested loop over day-cardinality rows, never a
+    shuffle of the fact."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    dau = (
+        df.select(day, F.col(user_col))
+        .groupBy("day")
+        .agg(F.count_distinct(F.col(user_col)).alias("dau"))
+    )
+    mau = df.agg(F.count_distinct(F.col(user_col)).alias("mau"))
+    return dau.crossJoin(F.broadcast(mau)).select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("mau").cast("long").alias("mau"),
+        F.round(F.col("dau") * 1.0 / F.col("mau"), 6).alias("stickiness"),
+    )

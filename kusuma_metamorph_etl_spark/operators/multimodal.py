@@ -192,23 +192,63 @@ def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
     ihdr = struct.pack(
         ">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[channels], 0, 0, int(interlace)
     )
+    idat = zlib.compress(_png_scanline_bytes(arr, interlace), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_scanline_bytes(planes: np.ndarray, interlace: bool) -> bytes:
+    """Serialize an HxWxC uint8 sample array into the PNG raw scanline
+    stream (filter byte 0 per reduced scanline), sequential or Adam7."""
+    h, w, channels = planes.shape
     if interlace:
         parts = []
         for r0, c0, rs, cs, pw, ph in _adam7_dims(w, h):
             if pw == 0 or ph == 0:
                 continue
-            sub = arr[r0::rs, c0::cs]  # ph x pw x channels
+            sub = planes[r0::rs, c0::cs]
             rows = np.zeros((ph, 1 + pw * channels), dtype=np.uint8)
             rows[:, 1:] = sub.reshape(ph, pw * channels)
             parts.append(rows.tobytes())
-        idat = zlib.compress(b"".join(parts), 6)
-    else:
-        raw = np.zeros((h, 1 + w * channels), dtype=np.uint8)
-        raw[:, 1:] = arr.reshape(h, w * channels)
-        idat = zlib.compress(raw.tobytes(), 6)
+        return b"".join(parts)
+    raw = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+    raw[:, 1:] = planes.reshape(h, w * channels)
+    return raw.tobytes()
+
+
+def encode_png_palette(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Indexed-color (type 3) PNG encoder for palette-expressible images
+    (≤256 distinct colors — same contract as :func:`encode_gif`:
+    quantization is out of scope, a richer image raises instead of
+    silently posterizing).  Greyscale expands to RGB.  Deterministic:
+    the PLTE is the lexicographically-sorted distinct-color list."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxW or HxWx3 uint8 array, got {arr.shape}")
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors = np.unique(flat, axis=0)
+    if len(colors) > 256:
+        raise ValueError(
+            f"palette PNG needs <=256 distinct colors; image has "
+            f"{len(colors)} (quantize first)"
+        )
+    lut = {tuple(c): i for i, c in enumerate(map(tuple, colors))}
+    idx = np.fromiter(
+        (lut[tuple(px)] for px in map(tuple, flat)), dtype=np.uint8, count=h * w
+    ).reshape(h, w, 1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
+    idat = zlib.compress(_png_scanline_bytes(idx, interlace), 6)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", colors.tobytes())
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
@@ -248,7 +288,7 @@ def _png_unfilter_row(
 def _decode_png(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(payload):
         size = struct.unpack_from(">I", payload, pos)[0]
         ctype = payload[pos + 4 : pos + 8]
@@ -257,34 +297,59 @@ def _decode_png(payload: bytes) -> np.ndarray:
             ihdr = body
         elif ctype == b"IDAT":  # image data may span many chunks
             idat.append(body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IEND":
             break
         pos += 12 + size
     if ihdr is None or not idat:
         raise ValueError("PNG payload missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in _PNG_CHANNELS or interlace not in (0, 1):
+    if (
+        depth != 8
+        or (color not in _PNG_CHANNELS and color != 3)
+        or interlace not in (0, 1)
+    ):
         raise NotImplementedError(
-            "only 8-bit greyscale/RGB(A) PNG supported (sequential or "
-            "Adam7); palette/16-bit need a codec injected via "
+            "only 8-bit greyscale/RGB(A)/palette PNG supported (sequential "
+            "or Adam7); 16-bit/sub-byte depths need a codec injected via "
             "extract_binary_features(decoder=...)"
         )
-    channels = _PNG_CHANNELS[color]
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing or malformed PLTE chunk")
+        if trns is not None:
+            raise NotImplementedError(
+                "palette-alpha (tRNS) PNG needs a codec injected via "
+                "extract_binary_features(decoder=...)"
+            )
+    # palette scanlines carry one INDEX byte per pixel; map after unfilter
+    channels = 1 if color == 3 else _PNG_CHANNELS[color]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace:
-        return _png_deinterlace(raw, w, h, channels)
-    stride = w * channels
-    if raw.size != h * (1 + stride):
-        raise ValueError("PNG data size does not match IHDR dimensions")
-    raw = raw.reshape(h, 1 + stride)
-    out = np.zeros((h, stride), dtype=np.int32)
-    for y in range(h):
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
-        out[y] = _png_unfilter_row(
-            int(raw[y, 0]), raw[y, 1:].astype(np.int32), prev, channels
-        )
-    arr = out.astype(np.uint8).reshape(h, w, channels)
-    return arr[:, :, 0] if channels == 1 else arr
+        arr = _png_deinterlace(raw, w, h, channels)
+    else:
+        stride = w * channels
+        if raw.size != h * (1 + stride):
+            raise ValueError("PNG data size does not match IHDR dimensions")
+        raw = raw.reshape(h, 1 + stride)
+        out = np.zeros((h, stride), dtype=np.int32)
+        for y in range(h):
+            prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+            out[y] = _png_unfilter_row(
+                int(raw[y, 0]), raw[y, 1:].astype(np.int32), prev, channels
+            )
+        arr3 = out.astype(np.uint8).reshape(h, w, channels)
+        arr = arr3[:, :, 0] if channels == 1 else arr3
+    if color != 3:
+        return arr
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = arr  # h x w index plane
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("palette PNG index exceeds PLTE size")
+    return pal[idx]
 
 
 def _png_deinterlace(
@@ -327,8 +392,9 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     pixels}`` with ``pixels`` a uint8 numpy array.
 
     Real pure-numpy decode for PPM/PGM, uncompressed 24-bit BMP, 8-bit
-    PNG — sequential AND Adam7-interlaced (stdlib zlib inflate +
-    scanline unfilter + pass reassembly),
+    PNG — greyscale/RGB(A)/palette, sequential AND Adam7-interlaced
+    (stdlib zlib inflate + scanline unfilter + pass reassembly + PLTE
+    lookup),
     GIF87a/89a (real variable-width LZW, global/local palettes), and
     JPEG — baseline sequential (any integer-ratio subsampling) AND
     progressive SOF2 (file-read Huffman tables, dequantize + IDCT —
@@ -425,12 +491,20 @@ def synthesize_ppm(text: str) -> bytes:
     return encode_ppm(_synthesize_pixels(text))
 
 
-def synthesize_png(text: str, interlace: bool = False) -> bytes:
+def synthesize_png(
+    text: str, interlace: bool = False, palette: bool = False
+) -> bytes:
     """Deterministic synthetic PNG payload — same pixel contract as
     :func:`synthesize_ppm`, so the PNG inflate+unfilter path must decode to
     the exact pixels the PPM path yields (the `mm_png_features` gate).
-    ``interlace`` emits the Adam7 layout (the `mm_png_interlaced` gate)."""
-    return encode_png(_synthesize_pixels(text), interlace=interlace)
+    ``interlace`` emits the Adam7 layout (the `mm_png_interlaced` gate);
+    ``palette`` emits indexed color type 3 (the repeated-digest pixels
+    have ≤48 distinct colors, so they are always palette-expressible —
+    the `mm_png_palette` gate)."""
+    px = _synthesize_pixels(text)
+    if palette:
+        return encode_png_palette(px, interlace=interlace)
+    return encode_png(px, interlace=interlace)
 
 
 def attach_image_payload(
@@ -453,13 +527,17 @@ def attach_png_payload(
     text_col: str = "text",
     id_col: str = "doc_id",
     interlace: bool = False,
+    palette: bool = False,
 ) -> DataFrame:
     """Synthesized-PNG payload column (Arrow-batched pandas UDF), typed
-    ``image/png``.  ``interlace`` synthesizes Adam7 streams."""
+    ``image/png``.  ``interlace`` synthesizes Adam7 streams; ``palette``
+    synthesizes indexed color type 3."""
 
     @F.pandas_udf("binary")
     def make_png(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda s: synthesize_png(s, interlace=interlace))
+        return texts.map(
+            lambda s: synthesize_png(s, interlace=interlace, palette=palette)
+        )
 
     return df.withColumn("payload", make_png(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/png")

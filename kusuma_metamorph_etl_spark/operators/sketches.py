@@ -621,3 +621,46 @@ def kmv_intersect(
             ).otherwise(F.lit(0.0)).alias("est_intersection"),
         )
     )
+
+
+def kmv_difference(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Set-DIFFERENCE cardinality estimate |A \\ B| from two key-free
+    KMV sketches — completes the theta-sketch algebra next to
+    :func:`kmv_intersect` (union / intersection / difference are the
+    three ops the Apache DataSketches theta family exposes).  Single-row
+    ``(est_a, est_b, est_union, est_difference)``.
+
+    Same transfer argument as the intersection: the union sketch is a
+    uniform hash sample of A ∪ B, so the fraction of its members lying
+    in A but not B estimates |A \\ B| / |A ∪ B|.  Everything is
+    sketch-cardinality joins; raw data is never touched.
+    """
+    a = sketch_a.select("h").distinct()
+    b = sketch_b.select("h").distinct()
+    union_sk = merge_kmv(a.unionByName(b), k)
+    only_a = a.join(b, on="h", how="left_anti")
+    in_diff = union_sk.join(only_a, on="h", how="left_semi")
+    est_a = kmv_distinct(a, k).select(F.col("est").alias("est_a"))
+    est_b = kmv_distinct(b, k).select(F.col("est").alias("est_b"))
+    est_u = kmv_distinct(union_sk, k).select(F.col("est").alias("est_union"))
+    counts = union_sk.agg(F.count(F.lit(1)).alias("__ku")).crossJoin(
+        in_diff.agg(F.count(F.lit(1)).alias("__rho"))
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(counts)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.when(
+                F.col("__ku") > 0,
+                F.round(
+                    F.col("__rho") / F.col("__ku") * F.col("est_union"), 6
+                ),
+            ).otherwise(F.lit(0.0)).alias("est_difference"),
+        )
+    )

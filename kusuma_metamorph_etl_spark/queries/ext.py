@@ -5861,3 +5861,114 @@ def samp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample(
         orders, F.col("o_orderkey"), F.col("o_totalprice"), k=200
     )
+
+
+@register(
+    "mm_png_palette",
+    """SELECT doc_id,
+              'png' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels
+       FROM documents""",
+)
+def mm_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL indexed-color PNG decode ([EXT] multimodal;
+    `operators/multimodal.py::encode_png_palette` + the PLTE branch of
+    `_decode_png` — graduates the palette seam, the last common PNG
+    variant behind it): per-document type-3 payloads synthesized IN THE
+    ADAM7 LAYOUT (palette indices riding the interlace passes — both r9
+    codec paths in one stream), decoded by unfilter → pass reassembly →
+    palette lookup.  Same gate as the other PNG rows: oracle-recomputed
+    dimensions AND pixel-mean parity with the PPM twin, so a palette
+    ordering, index overflow, or pass-scatter bug drops rows and turns
+    the driver red."""
+    docs = t(spark, sf_dir, "documents")
+    png = multimodal.extract_binary_features(
+        multimodal.attach_png_payload(docs, interlace=True, palette=True)
+    )
+    ppm = multimodal.extract_binary_features(
+        multimodal.attach_image_payload(docs)
+    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
+    return (
+        png.join(ppm, "doc_id")
+        .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 1e-12)
+        .select("doc_id", "format", "width", "height", "channels")
+    )
+
+
+@register(
+    "agg_kmv_diff",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+       SELECT (SELECT count(*) FROM a) AS n_a,
+              (SELECT count(*) FROM b) AS n_b,
+              (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                  AS n_union,
+              (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                  AS n_difference""",
+)
+def agg_kmv_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set-DIFFERENCE estimate ([EXT] mergeable
+    sketches; `operators/sketches.py::kmv_difference` — completes the
+    theta algebra next to `agg_kmv_intersect`): customers with open but
+    never-filled orders, from two sketches instead of the raw sets.
+    Emits the EXACT counts gated on the estimates' error bounds — k=1024
+    because the difference is small (|A\\B| ≈ 68 of a ~1500 union at
+    sf0.01, so its transfer count ρ ≈ 46 carries σ ≈ 15%; the 0.35 band
+    is ~2.3σ, and the direct estimates at k=1024 get 0.06).  A
+    regression in the difference math empties the output and flips the
+    driver red."""
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        kmv_difference,
+        kmv_sketch,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    est = kmv_difference(
+        kmv_sketch(a, "o_custkey", k=1024),
+        kmv_sketch(b, "o_custkey", k=1024),
+        k=1024,
+    )
+    da, db = a.distinct(), b.distinct()
+    exact = (
+        _n(da, "n_a")
+        .crossJoin(_n(db, "n_b"))
+        .crossJoin(_n(da.unionByName(db).distinct(), "n_union"))
+        .crossJoin(_n(da.join(db, "o_custkey", "left_anti"), "n_difference"))
+    )
+    stats = exact.crossJoin(F.broadcast(est))
+    within = (
+        lambda e, x, tol: F.abs(F.col(e) - F.col(x)) <= tol * F.col(x)
+    )
+    ok = (
+        within("est_a", "n_a", 0.06)
+        & within("est_b", "n_b", 0.06)
+        & within("est_union", "n_union", 0.06)
+        & within("est_difference", "n_difference", 0.35)
+    )
+    return _gate(exact, stats, ok)
+
+
+@register(
+    "evt_stickiness",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                         count(DISTINCT user_id) AS dau
+                  FROM events GROUP BY 1),
+        m AS (SELECT count(DISTINCT user_id) AS mau FROM events)
+       SELECT day, CAST(dau AS BIGINT) AS dau, CAST(mau AS BIGINT) AS mau,
+              round(dau * 1.0 / mau, 6) AS stickiness
+       FROM d, m""",
+)
+def evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness ([EXT] event analytics;
+    `operators/events.py::stickiness`): the canonical engagement ratio —
+    what share of the period's active users show up each day.  One
+    per-day distinct agg + one single-row global distinct broadcast; the
+    fact shuffles once on (day, user)."""
+    from kusuma_metamorph_etl_spark.operators.events import stickiness
+
+    ev = t(spark, sf_dir, "events")
+    return stickiness(ev, "ts", "user_id")

@@ -118,9 +118,10 @@ _LOADED = False
 # graph_triangles, graph_kcore(+_err), txt_chunk_sentences,
 # sim_group_centroid, sim_mmr(+_err), join_skew_salted,
 # layout_zorder, layout_compaction_plan, mm_png_interlaced,
-# sql_late_shipment_priority (Q4), dq_freshness, samp_weighted) — 35
+# sql_late_shipment_priority (Q4), dq_freshness, samp_weighted,
+# mm_png_palette, agg_kmv_diff, evt_stickiness) — 38
 # zero-evidence rows, all inside the window — lead in registration
-# order; the remaining 15 slots go to the oldest-evidence rows.
+# order; the remaining 12 slots go to the oldest-evidence rows.
 # REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
 # where three new queries were registered without re-pasting — the
 # window guard test is the backstop, run it before every commit.
@@ -218,6 +219,9 @@ _PRIORITY: tuple[str, ...] = (
     "sql_late_shipment_priority",
     "dq_freshness",
     "samp_weighted",
+    "mm_png_palette",
+    "agg_kmv_diff",
+    "evt_stickiness",
     "snk_jdbc_roundtrip",
     "proj_select",
     "proj_rename",
@@ -229,10 +233,10 @@ _PRIORITY: tuple[str, ...] = (
     "fil_cmp",
     "fil_conj",
     "fil_isnull",
+  # ---- window cut ----
     "join_left_equi",
     "join_right_equi",
     "join_inner_equi",
-  # ---- window cut ----
     "agg_groupby_single",
     "agg_groupby_multi",
     "agg_sum_expr",
@@ -420,6 +424,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
 )
+
+# summary: 239 registered; 39 zero-evidence;
+# window holds 39 zero-evidence rows; spilled past the cut: []
 
 # summary: 236 registered; 36 zero-evidence;
 # window holds 36 zero-evidence rows; spilled past the cut: []

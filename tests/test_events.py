@@ -141,3 +141,23 @@ def test_session_stats_rollup(spark):
     assert s11["bounce"] is False
     assert out[(1, 2)]["bounce"] is True
     assert out[(2, 1)]["session_value"] == 7.0
+
+
+def test_stickiness_dau_mau(spark):
+    from kusuma_metamorph_etl_spark.operators.events import stickiness
+
+    rows = [
+        ("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 2),
+        ("2024-01-01 12:00:00", 1),  # same user twice -> dau counts once
+        ("2024-01-02 10:00:00", 1),
+        ("2024-01-02 10:30:00", 3),
+        ("2024-01-03 09:00:00", 2),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "user_id"
+    )
+    got = {str(r.day): r for r in stickiness(df).collect()}
+    assert got["2024-01-01"].dau == 2 and got["2024-01-01"].mau == 3
+    assert got["2024-01-02"].dau == 2
+    assert got["2024-01-03"].dau == 1
+    assert got["2024-01-03"].stickiness == round(1 / 3, 6)

@@ -164,14 +164,14 @@ class TestPng:
         assert np.array_equal(multimodal._decode_png(payload), arr)
 
     def test_unsupported_variants_gated(self):
-        """Palette and 16-bit PNGs stay behind the seam (interlaced
-        graduated to a real decode in r9 — TestPngAdam7)."""
+        """16-bit PNGs stay behind the seam (interlaced and palette
+        graduated to real decodes in r9 — TestPngAdam7/TestPngPalette)."""
         import struct
         import zlib
 
         arr = np.zeros((2, 2, 3), dtype=np.uint8)
         comp = zlib.compress(b"\x00" * (2 * 7))
-        for depth, color, interlace in [(16, 2, 0), (8, 3, 0)]:
+        for depth, color, interlace in [(16, 2, 0)]:
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
             payload = (
                 multimodal._PNG_SIG
@@ -278,6 +278,71 @@ class TestPngAdam7:
         inter = multimodal.decode_image(multimodal.synthesize_png(text, interlace=True))
         ppm = multimodal.decode_image(multimodal.synthesize_ppm(text))
         assert np.array_equal(inter["pixels"], ppm["pixels"])
+
+
+class TestPngPalette:
+    """Indexed-color (type 3) PNG: PLTE lookup after unfilter, combined
+    with Adam7, plus the index-overflow and tRNS guards."""
+
+    def test_roundtrip_sequential_and_interlaced(self):
+        rng = np.random.RandomState(19)
+        for shape in [(3, 3, 3), (8, 5, 3), (9, 13, 3)]:
+            base = rng.randint(0, 6, size=shape).astype(np.uint8) * 40
+            for interlace in (False, True):
+                enc = multimodal.encode_png_palette(base, interlace=interlace)
+                img = multimodal.decode_image(enc)
+                assert img["format"] == "png"
+                assert np.array_equal(img["pixels"], base), (shape, interlace)
+
+    def test_greyscale_expands_to_rgb(self):
+        base = (np.arange(12, dtype=np.uint8) * 20).reshape(4, 3)
+        img = multimodal.decode_image(multimodal.encode_png_palette(base))
+        assert np.array_equal(img["pixels"], np.repeat(base[:, :, None], 3, axis=2))
+
+    def test_too_many_colors_rejected(self):
+        rng = np.random.RandomState(23)
+        big = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+        with pytest.raises(ValueError):
+            multimodal.encode_png_palette(big)
+
+    def test_index_overflow_and_trns_gated(self):
+        import struct
+        import zlib
+
+        idx = np.full((2, 2, 1), 5, dtype=np.uint8)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        overflow = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"PLTE", bytes(9))  # 3 entries
+            + multimodal._png_chunk(
+                b"IDAT", zlib.compress(multimodal._png_scanline_bytes(idx, False))
+            )
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            multimodal._decode_png(overflow)
+        zero = np.zeros((2, 2, 1), dtype=np.uint8)
+        with_trns = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"PLTE", bytes(9))
+            + multimodal._png_chunk(b"tRNS", b"\x00")
+            + multimodal._png_chunk(
+                b"IDAT", zlib.compress(multimodal._png_scanline_bytes(zero, False))
+            )
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            multimodal._decode_png(with_trns)
+
+    def test_synthesize_palette_pixel_parity(self):
+        text = "indexed color parity"
+        pal = multimodal.decode_image(
+            multimodal.synthesize_png(text, interlace=True, palette=True)
+        )
+        ppm = multimodal.decode_image(multimodal.synthesize_ppm(text))
+        assert np.array_equal(pal["pixels"], ppm["pixels"])
 
 
 class TestPhash:

@@ -353,6 +353,42 @@ class TestKMV:
         assert abs(row["est_union"] - 6000) / 6000 < 0.2
         assert abs(row["est_intersection"] - 2000) / 2000 < 0.35
 
+    def test_difference_estimate(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            kmv_difference,
+            kmv_sketch,
+        )
+
+        a = spark.range(0, 4000).select(F.col("id").alias("v"))
+        b = spark.range(2000, 6000).select(F.col("id").alias("v"))
+        row = kmv_difference(
+            kmv_sketch(a, "v", k=256), kmv_sketch(b, "v", k=256), k=256
+        ).collect()[0]
+        # |A \ B| = 2000 of a 6000 union: rho ~ 85, sigma ~ 11%
+        assert abs(row["est_difference"] - 2000) / 2000 < 0.35
+
+    def test_difference_empty_and_disjoint_cases(self, spark):
+        from kusuma_metamorph_etl_spark.operators.sketches import (
+            kmv_difference,
+            kmv_sketch,
+        )
+
+        a = spark.range(0, 300).select(F.col("id").alias("v"))
+        empty = a.filter(F.lit(False))
+        # A \ A = 0; A \ empty = A exactly (all below k -> exact)
+        same = kmv_difference(
+            kmv_sketch(a, "v", k=512), kmv_sketch(a, "v", k=512), k=512
+        ).collect()[0]
+        assert same["est_difference"] == 0.0
+        disj = kmv_difference(
+            kmv_sketch(a, "v", k=512), kmv_sketch(empty, "v", k=512), k=512
+        ).collect()[0]
+        assert disj["est_difference"] == 300.0
+        both_empty = kmv_difference(
+            kmv_sketch(empty, "v", k=512), kmv_sketch(empty, "v", k=512), k=512
+        ).collect()[0]
+        assert both_empty["est_difference"] == 0.0
+
 
 def test_nan_excluded_from_bounds_and_bins(spark):
     """Regression (r8 review): Spark's max sorts NaN above every real, so
