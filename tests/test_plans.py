@@ -374,3 +374,61 @@ def test_q5_and_q10_broadcast_with_pushed_filters(spark, sf_small):
     assert "BroadcastHashJoin" in q10
     assert "SortMergeJoin" not in q10
     assert "EqualTo(l_returnflag,R)" in q10
+
+
+def test_q4_q14_q18_plan_contracts(spark, sf_small):
+    """The r9 SQL entries keep the family's plan contracts: Q4's EXISTS
+    compiles to a LEFT SEMI join (never a dedup-shuffle rewrite), Q14
+    broadcasts the part dim with the shipdate range pushed to the scan,
+    Q18's agg-HAVING back-join broadcasts and its top-20 compiles to
+    TakeOrderedAndProject."""
+    from kusuma_metamorph_etl_spark.queries.ext import (
+        sql_large_volume_customers,
+        sql_late_shipment_priority,
+        sql_promo_revenue,
+    )
+
+    q4 = _plan(sql_late_shipment_priority(spark, sf_small))
+    assert "LeftSemi" in q4
+    assert "GreaterThanOrEqual(o_orderdate" in q4  # quarter filter pushed
+
+    q14 = _plan(sql_promo_revenue(spark, sf_small))
+    assert "BroadcastHashJoin" in q14
+    assert "SortMergeJoin" not in q14
+    assert "GreaterThanOrEqual(l_shipdate" in q14
+
+    q18 = _plan(sql_large_volume_customers(spark, sf_small))
+    assert "TakeOrderedAndProject" in q18
+    assert "BroadcastHashJoin" in q18
+    assert "SortMergeJoin" not in q18
+
+
+def test_salted_join_spreads_without_extra_shuffle_of_small_side(spark, sf_small):
+    """The salted join's big side must NOT gain an extra exchange beyond
+    the join's own shuffle, and the replicated small side stays a narrow
+    explode (generate) — no pre-join aggregation or window."""
+    from kusuma_metamorph_etl_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = spark.read.parquet(f"{sf_small}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    plan = _plan(salted_join(li, part, on=["p_partkey"], buckets=8))
+    assert "Generate explode" in plan  # replication is a narrow fan-out
+    assert "Window" not in plan
+
+
+def test_zorder_minmax_key_is_pure_expression(spark, sf_small):
+    """The min-max z-key must be computed by projections over a
+    broadcast stats row — no UDF (BatchEvalPython), no shuffle beyond
+    the tiny aggregate, so it composes into write paths for free."""
+    from kusuma_metamorph_etl_spark.operators import layout
+
+    part = spark.read.parquet(f"{sf_small}/part.parquet")
+    plan = _plan(
+        layout.zorder_minmax_key(part, ["p_size", "p_retailprice"], bits=6)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # single-row stats broadcast
