@@ -550,8 +550,9 @@ def kcore(
     ckpt = _checkpointer(und, checkpoint_dir)
     cur = ckpt(und)
     n_edges = cur.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
-        if n_edges == 0:
+        if converged:
             break
         deg = (
             cur.select(F.col("a").alias("v"))
@@ -567,9 +568,18 @@ def kcore(
         )
         n_next = nxt.count()
         cur = nxt
-        if n_next == n_edges:  # no vertex fell below k -> fixed point
-            break
+        if n_next in (n_edges, 0):  # no vertex fell below k -> fixed point
+            converged = True
         n_edges = n_next
+    if not converged:
+        # silent truncation would break the "exact k-core" claim: a long
+        # peel chain (path graphs peel ~2 nodes/round) can outlast any
+        # fixed round budget — surface it instead of returning a
+        # superset of the core.
+        raise RuntimeError(
+            f"kcore did not reach a fixed point in {max_iter} rounds; "
+            "raise max_iter (peel depth exceeds the budget)"
+        )
     deg = (
         cur.select(F.col("a").alias("node"))
         .unionAll(cur.select(F.col("b").alias("node")))

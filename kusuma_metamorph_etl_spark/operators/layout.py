@@ -45,7 +45,11 @@ def minmax_quantize(col: Column, mn: Column, mx: Column, bits: int) -> Column:
         / F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
         * n
     )
-    return F.least(scaled, F.lit(n - 1)).cast("long")
+    # NULL values (or an all-NULL column making mn/mx NULL) quantize to
+    # bucket 0 EXPLICITLY: Spark's least() skips NULLs (a NULL would
+    # otherwise land in the TOP bucket), DuckDB's differs — coalescing
+    # on both sides keeps the oracle and the engine bit-identical.
+    return F.least(F.coalesce(scaled, F.lit(0)), F.lit(n - 1)).cast("long")
 
 
 def zorder_minmax_key(
@@ -100,7 +104,11 @@ def compaction_plan(
         df.groupBy(F.col(partition_col).alias("partition"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(row_bytes).cast("long").alias("est_bytes"),
+            # coalesce: a partition whose every row_bytes is NULL must
+            # plan 0 bytes / 1 file, not propagate NULL into the ceil
+            F.coalesce(F.sum(row_bytes), F.lit(0)).cast("long").alias(
+                "est_bytes"
+            ),
         )
         .withColumn(
             "n_files",

@@ -317,14 +317,17 @@ def _decode_png(payload: bytes) -> np.ndarray:
             "or Adam7); 16-bit/sub-byte depths need a codec injected via "
             "extract_binary_features(decoder=...)"
         )
-    if color == 3:
-        if plte is None or len(plte) % 3:
-            raise ValueError("palette PNG missing or malformed PLTE chunk")
-        if trns is not None:
-            raise NotImplementedError(
-                "palette-alpha (tRNS) PNG needs a codec injected via "
-                "extract_binary_features(decoder=...)"
-            )
+    if trns is not None:
+        # transparency is data-affecting on EVERY color type (palette
+        # alpha for 3, transparent-color for 0/2) — silently decoding
+        # without it would change pixel semantics, so it stays a named
+        # seam rather than being ignored.
+        raise NotImplementedError(
+            "tRNS (transparency) PNG needs a codec injected via "
+            "extract_binary_features(decoder=...)"
+        )
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing or malformed PLTE chunk")
     # palette scanlines carry one INDEX byte per pixel; map after unfilter
     channels = 1 if color == 3 else _PNG_CHANNELS[color]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)

@@ -5614,13 +5614,13 @@ def _zorder_oracle_sql(bits: int) -> str:
          FROM part),
        q AS (
          SELECT p_partkey,
-                least(CAST(floor((CAST(p_size AS DOUBLE) - mns)
+                least(coalesce(CAST(floor((CAST(p_size AS DOUBLE) - mns)
                                  / (CASE WHEN mxs > mns THEN mxs - mns
-                                         ELSE 1.0 END) * {n}) AS BIGINT),
+                                         ELSE 1.0 END) * {n}) AS BIGINT), 0),
                       {n - 1}) AS qs,
-                least(CAST(floor((CAST(p_retailprice AS DOUBLE) - mnp)
+                least(coalesce(CAST(floor((CAST(p_retailprice AS DOUBLE) - mnp)
                                  / (CASE WHEN mxp > mnp THEN mxp - mnp
-                                         ELSE 1.0 END) * {n}) AS BIGINT),
+                                         ELSE 1.0 END) * {n}) AS BIGINT), 0),
                       {n - 1}) AS qp
          FROM part, mm)
        SELECT p_partkey, CAST({interleave} AS BIGINT) AS z
@@ -5696,17 +5696,58 @@ def _near_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _circulant_with_periphery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core fixture: the TRUE circulant ring over customer ids (edges
+    (i, ((i + d - 1) mod n) + 1) for d ∈ {1,2,3,5} — modular wrap, so
+    every node has degree exactly 8 and the whole ring is a stable
+    6-core) plus a 50-node pendant path on shifted ids attached to node
+    1 (degree ≤ 2 — peels entirely in the first round at k ≥ 3).
+
+    Why not `_near_ring_edges` (the triangles fixture): the UNWRAPPED
+    ring has no 5/6-core at all — its ends unravel the whole graph in
+    ~n/4 peel rounds (measured: depth 375 at k=6, 749 at k=5), which is
+    both the wrong answer to exercise and a pathological round count.
+    The peel-CASCADE behavior itself is pinned by pytest's path-graph
+    and random-graph brute-force equivalence tests; the driver row
+    exercises a stable core plus a one-round periphery."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    mx = cust.agg(F.max("c_custkey").alias("m"))
+    ring = (
+        cust.crossJoin(
+            spark.createDataFrame([(1,), (2,), (3,), (5,)], "d long")
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("c_custkey").alias("a"),
+            ((F.col("c_custkey") + F.col("d") - 1) % F.col("m") + 1).alias(
+                "b"
+            ),
+        )
+    )
+    path_ids = ring.sparkSession.range(1, 51).select(
+        (F.col("id") + 2_000_000).alias("a"),
+        (F.col("id") + 2_000_001).alias("b"),
+    )
+    anchor = ring.sparkSession.createDataFrame(
+        [(1, 2_000_001)], "a long, b long"
+    )
+    return ring.unionByName(path_ids).unionByName(anchor)
+
+
 @register("graph_kcore", None)  # iterative peeling — rows-only
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-core membership ([EXT] graph;
-    `operators/graph.py::kcore`): the degree-≥-k maximal subgraph of the
-    near-ring graph at k=6 — iterative peeling (degree groupBy + two
-    semi-joins per round, checkpointed lineage), non-SQL-expressible,
-    so rows-only; the planted-clique contract is hash-checked in
-    `graph_kcore_err` and exact small-graph behavior in pytest."""
+    `operators/graph.py::kcore`): the degree-≥-k maximal subgraph of
+    the circulant-plus-periphery fixture at k=6 — iterative peeling
+    (degree groupBy + two semi-joins per round, checkpointed lineage)
+    must peel the 51-node pendant path in one round and keep the
+    8-regular ring intact.  Non-SQL-expressible (iterative), so
+    rows-only; the planted-clique contract is hash-checked in
+    `graph_kcore_err` and peel-cascade exactness in pytest
+    (brute-force equivalence on random graphs)."""
     from kusuma_metamorph_etl_spark.operators.graph import kcore
 
-    return kcore(_near_ring_edges(spark, sf_dir), k=6)
+    return kcore(_circulant_with_periphery(spark, sf_dir), k=6)
 
 
 @register(
@@ -5717,19 +5758,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_kcore_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-bindable k-core contract: plant an ISOLATED K6 clique on
-    ids beyond the customer range.  Graph theory fixes its fate exactly
-    — every clique node belongs to the 5-core (degree 5 inside K6) and
-    none to the 6-core (peeling erases the whole clique) — and isolation
-    makes that verdict independent of the base graph, so the gate is
-    exact: a peel-order bug, an off-by-one threshold, or a lost-edge
-    round turns the (6, 0, 0) row red."""
+    ids beyond the fixture's ranges.  Graph theory fixes its fate
+    exactly — every clique node belongs to the 5-core (degree 5 inside
+    K6) and none to the 6-core (peeling erases the whole clique) — and
+    isolation makes that verdict independent of the base graph, so the
+    gate is exact: a peel-order bug, an off-by-one threshold, or a
+    lost-edge round turns the (6, 0, 0) row red."""
     from itertools import combinations
 
     from kusuma_metamorph_etl_spark.operators.graph import kcore
 
-    base = _near_ring_edges(spark, sf_dir)
-    mx = base.agg(F.max("b").alias("m")).collect()[0]["m"]
-    ids = [mx + 10 + i for i in range(6)]
+    base = _circulant_with_periphery(spark, sf_dir)
+    ids = [3_000_000 + i for i in range(6)]
     clique = spark.createDataFrame(
         [(a, b) for a, b in combinations(ids, 2)], "a long, b long"
     )

@@ -429,3 +429,18 @@ def test_kcore_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError):
         kcore(df, k=0)
+
+
+def test_kcore_raises_on_round_budget_exhaustion(spark):
+    """A path graph peels ~2 nodes per round at k=2... actually a path
+    has no 2-core at all and unravels from both ends — with max_iter too
+    small for the peel depth the operator must raise, not return the
+    unfinished superset."""
+    from kusuma_metamorph_etl_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(path, "a long, b long")
+    with pytest.raises(RuntimeError, match="fixed point"):
+        kcore(df, k=2, max_iter=3)
+    # and with budget it converges to the empty core
+    assert kcore(df, k=2, max_iter=50).count() == 0

@@ -96,3 +96,23 @@ def test_compaction_plan_counts_and_ceils(spark):
     assert rows["p1"].est_bytes == 50 * 116
     assert rows["p1"].n_files == 3  # ceil(5800/2000)
     assert rows["p2"].n_files == 1  # minimum one file
+
+
+def test_minmax_key_null_values_quantize_to_zero(spark):
+    df = spark.createDataFrame(
+        [(0, 1), (None, 2), (10, 3)], "a int, id int"
+    )
+    rows = {
+        r.id: r["__z"]
+        for r in layout.zorder_minmax_key(df, ["a"], bits=3).collect()
+    }
+    assert rows[2] == 0  # NULL -> bucket 0, never the top bucket
+    assert rows[1] == 0 and rows[3] == 7
+
+
+def test_compaction_plan_all_null_bytes_partition(spark):
+    df = spark.createDataFrame(
+        [("p1", None), ("p1", None)], "part string, nb int"
+    )
+    row = layout.compaction_plan(df, "part", F.col("nb"), 1000).collect()[0]
+    assert row.est_bytes == 0 and row.n_files == 1
