@@ -6012,3 +6012,38 @@ def evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return stickiness(ev, "ts", "user_id")
+
+
+@register(
+    "txt_wordpiece_roundtrip",
+    r"""SELECT doc_id,
+              CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                   AS BIGINT) AS n_norm_chars
+       FROM documents""",
+)
+def txt_wordpiece_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WordPiece tokenization ([EXT], `operators/wordpiece.py` —
+    the BERT-family third tokenizer next to BPE and unigram-LM):
+    likelihood-ratio merges trained on the corpus word table (driver
+    loop over the bounded aggregate, alphabet seeded from the FULL
+    corpus so the training set never hits [UNK]), every document
+    encoded by distributed greedy longest-match, decoded by the
+    ##-continuation column expression.  Losslessness is the gate — a
+    row survives only if decode(encode(text)) equals the
+    whitespace-normalized text, so a merge-scoring, longest-match, or
+    continuation bug drops rows and flips the driver red; the emitted
+    normalized length is oracle-computable (same contract as
+    `txt_bpe_roundtrip`/`txt_unigram_roundtrip`)."""
+    from kusuma_metamorph_etl_spark.operators import wordpiece as wp
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = wp.wordpiece_train(docs, n_merges=200)
+    encoded = wp.wordpiece_encode(docs, vocab)
+    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return (
+        encoded.withColumn("__norm", normalized)
+        .filter(wp.wordpiece_decode(F.col("tokens")) == F.col("__norm"))
+        .select(
+            "doc_id", F.length("__norm").cast("long").alias("n_norm_chars")
+        )
+    )

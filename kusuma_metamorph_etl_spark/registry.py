@@ -119,9 +119,10 @@ _LOADED = False
 # sim_group_centroid, sim_mmr(+_err), join_skew_salted,
 # layout_zorder, layout_compaction_plan, mm_png_interlaced,
 # sql_late_shipment_priority (Q4), dq_freshness, samp_weighted,
-# mm_png_palette, agg_kmv_diff, evt_stickiness) — 38
+# mm_png_palette, agg_kmv_diff, evt_stickiness,
+# txt_wordpiece_roundtrip) — 39
 # zero-evidence rows, all inside the window — lead in registration
-# order; the remaining 12 slots go to the oldest-evidence rows.
+# order; the remaining 11 slots go to the oldest-evidence rows.
 # REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
 # where three new queries were registered without re-pasting — the
 # window guard test is the backstop, run it before every commit.
@@ -222,6 +223,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_png_palette",
     "agg_kmv_diff",
     "evt_stickiness",
+    "txt_wordpiece_roundtrip",
     "snk_jdbc_roundtrip",
     "proj_select",
     "proj_rename",
@@ -232,8 +234,8 @@ _PRIORITY: tuple[str, ...] = (
     "fil_isin",
     "fil_cmp",
     "fil_conj",
-    "fil_isnull",
   # ---- window cut ----
+    "fil_isnull",
     "join_left_equi",
     "join_right_equi",
     "join_inner_equi",
@@ -424,6 +426,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
 )
+
+# summary: 240 registered; 40 zero-evidence;
+# window holds 40 zero-evidence rows; spilled past the cut: []
 
 # summary: 239 registered; 39 zero-evidence;
 # window holds 39 zero-evidence rows; spilled past the cut: []

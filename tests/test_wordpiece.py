@@ -1,0 +1,87 @@
+"""WordPiece tokenizer tests: likelihood-ratio merge order (the
+criterion that separates it from BPE), longest-match encode, [UNK]
+semantics, lossless round-trip on the corpus, alphabet coverage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusuma_metamorph_etl_spark.operators import wordpiece as wp
+
+
+def test_likelihood_ratio_beats_raw_frequency(spark):
+    """'xy' always co-occur (10x), 'ab' is more frequent (30x) but a and
+    b are each diluted by solo appearances — the WordPiece score merges
+    (x, ##y) first, where BPE would take the most frequent pair.
+    Counts: ab x30, xy x10, az x30, qb x30:
+      pair (a,##b): 30 / (count a=60 * count ##b... b appears as ##b in
+      ab and qb -> 60) -> 30/3600
+      pair (x,##y): 10 / (10 * 10) -> 1/10  <- wins despite freq 10
+    """
+    corpus = " ".join(["ab"] * 30 + ["xy"] * 10 + ["az"] * 30 + ["qb"] * 30)
+    df = spark.createDataFrame([(corpus,)], ["text"])
+    vocab = wp.wordpiece_train(df, n_merges=1)
+    merged = [v for v in vocab if len(v.lstrip("#")) > 1 and v != "##"]
+    assert merged == ["xy"]
+
+
+def test_encode_longest_match_and_continuations(spark):
+    vocab = {"p", "##l", "##a", "##y", "play", "##ing", "##i", "##n", "##g"}
+    assert wp.encode_word("playing", vocab) == ["play", "##ing"]
+    assert wp.encode_word("play", vocab) == ["play"]
+    # no 'l' bare form and no piece starting the word -> per-char from p
+    assert wp.encode_word("pl", vocab) == ["p", "##l"]
+
+
+def test_unknown_character_makes_whole_word_unk(spark):
+    vocab = {"a", "##a"}
+    assert wp.encode_word("aQa", vocab) == [wp.UNK]
+    assert wp.encode_word("aa", vocab) == ["a", "##a"]
+
+
+def test_roundtrip_lossless_on_corpus(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    vocab = wp.wordpiece_train(docs, n_merges=100)
+    assert sum(len(v.lstrip("#")) > 1 for v in vocab) > 10
+    encoded = wp.wordpiece_encode(docs, vocab)
+    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    bad = encoded.filter(wp.wordpiece_decode(F.col("tokens")) != normalized)
+    assert bad.count() == 0
+    stats = encoded.select(
+        F.avg(F.size("tokens")).alias("t"),
+        F.avg(F.length("text")).alias("c"),
+    ).first()
+    assert stats["t"] < stats["c"]  # merges actually compress
+
+
+def test_training_alphabet_covers_corpus_no_unk(spark):
+    """Vocabulary seeds from the FULL corpus alphabet (not the truncated
+    word table), so encoding the training corpus never yields [UNK] —
+    even for words too rare to make the max_words cut."""
+    rows = [("common common common rareøword",)]
+    df = spark.createDataFrame(rows, ["text"])
+    vocab = wp.wordpiece_train(df, n_merges=5, max_words=1)
+    toks = (
+        wp.wordpiece_encode(df, vocab).select("tokens").first()["tokens"]
+    )
+    assert wp.UNK not in toks
+
+
+def test_null_text_passes_through(spark):
+    df = spark.createDataFrame([(None,), ("aa",)], "text string")
+    vocab = ["a", "##a"]
+    got = {
+        r["text"]: r["tokens"]
+        for r in wp.wordpiece_encode(df, vocab).collect()
+    }
+    assert got[None] is None
+    assert got["aa"] == ["a", "##a"]
+
+
+def test_decode_is_pure_expression_and_inverts(spark):
+    df = spark.createDataFrame(
+        [(["play", "##ing", "the", "##m"],)], "tokens array<string>"
+    )
+    out = df.select(wp.wordpiece_decode(F.col("tokens")).alias("s")).first()
+    assert out["s"] == "playing them"
