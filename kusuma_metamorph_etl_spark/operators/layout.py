@@ -118,3 +118,117 @@ def compaction_plan(
             ).cast("long"),
         )
     )
+
+
+ZONEMAP_SCHEMA = "file string, column string, vmin double, vmax double, n_nulls long"
+
+
+def build_zonemap(spark, path: str, cols: list[str]) -> DataFrame:
+    """File-level zone map (min/max/null-count per numeric column per
+    parquet file) read from the FOOTERS — no data pages touched.  The
+    file list fans out to executors and each footer is read with
+    pyarrow, so building the map over a million-file table is one narrow
+    distributed pass of metadata-sized work.
+
+    This is the scan-layer complement of :func:`zorder_minmax_key`:
+    clustering gives files tight min/max boxes, the zone map makes those
+    boxes queryable WITHOUT opening files.  (Table formats persist
+    exactly these stats in their manifests — Iceberg/Delta file stats;
+    this operator is the engine-local equivalent for plain parquet
+    directories, and the listing below comes from a directory glob —
+    production tables would enumerate from the format's manifest
+    instead of the filesystem.)"""
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{path}/*.parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    paths = spark.createDataFrame([(f,) for f in files], "file string")
+    want = list(cols)
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            rows = []
+            for f in batch["file"]:
+                meta = pq.ParquetFile(f).metadata
+                # per column: [lo, hi, nulls], or None once ANY row group
+                # lacks stats (the whole file's bounds become unknown —
+                # a partial box would let pruning drop a possible match)
+                agg: dict = {}
+                statless: set = set()
+                for rg in range(meta.num_row_groups):
+                    md = meta.row_group(rg)
+                    for i in range(md.num_columns):
+                        col = md.column(i)
+                        name = col.path_in_schema
+                        if name not in want or name in statless:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            statless.add(name)
+                            agg.pop(name, None)
+                            continue
+                        lo, hi = float(st.min), float(st.max)
+                        nn = int(st.null_count or 0)
+                        cur = agg.get(name)
+                        if cur is None:
+                            agg[name] = [lo, hi, nn]
+                        else:
+                            cur[0] = min(cur[0], lo)
+                            cur[1] = max(cur[1], hi)
+                            cur[2] += nn
+                for name in want:
+                    cur = agg.get(name)
+                    rows.append(
+                        (f, name, *(cur if cur else (None, None, None)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["file", "column", "vmin", "vmax", "n_nulls"]
+            )
+
+    return paths.mapInPandas(read_footers, schema=ZONEMAP_SCHEMA)
+
+
+def prune_files(
+    zonemap: DataFrame, ranges: dict[str, tuple[float, float]]
+) -> list[str]:
+    """File paths whose zones OVERLAP every queried range — conservative
+    (a file with missing/statless bounds is kept; pruning must never
+    drop a possible match).  The collect is file-cardinality-bounded
+    metadata, the same size class as Spark's own partition pruning."""
+    if not ranges:
+        raise ValueError("prune_files needs at least one column range")
+    surviving = None
+    for col, (lo, hi) in ranges.items():
+        keep = zonemap.filter(
+            (F.col("column") == col)
+            & (
+                F.col("vmin").isNull()
+                | ((F.col("vmax") >= lo) & (F.col("vmin") <= hi))
+            )
+        ).select("file")
+        surviving = keep if surviving is None else surviving.join(keep, "file", "left_semi")
+    return sorted(r["file"] for r in surviving.distinct().collect())
+
+
+def zonemap_read(
+    spark, path: str, ranges: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """Read only the files whose zones can contain rows in ``ranges``,
+    then apply the exact predicate (zone pruning is conservative, the
+    residual filter is still required).  Returns an EMPTY frame with the
+    table's schema when every file prunes away."""
+    zm = build_zonemap(spark, path, list(ranges))
+    files = prune_files(zm, ranges)
+    full_schema = spark.read.parquet(path).schema
+    if not files:
+        return spark.createDataFrame([], full_schema)
+    df = spark.read.schema(full_schema).parquet(*files)
+    cond = None
+    for col, (lo, hi) in ranges.items():
+        c = F.col(col).between(lo, hi)
+        cond = c if cond is None else cond & c
+    return df.filter(cond)

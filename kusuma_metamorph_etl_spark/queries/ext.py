@@ -6047,3 +6047,51 @@ def txt_wordpiece_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.length("__norm").cast("long").alias("n_norm_chars")
         )
     )
+
+
+@register(
+    "layout_zonemap_scan",
+    """SELECT p_partkey, p_size, p_retailprice
+       FROM part
+       WHERE p_size BETWEEN 10 AND 14
+         AND p_retailprice BETWEEN 910.0 AND 930.0""",
+)
+def layout_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-pruned scan ([EXT] data layout;
+    `operators/layout.py::build_zonemap/prune_files/zonemap_read`): the
+    part table is rewritten z-ordered into a run-scoped directory, a
+    file-level min/max map is built from the parquet FOOTERS alone
+    (distributed pyarrow metadata pass — no data pages), and a
+    two-sided range predicate reads only the files whose boxes overlap
+    plus the exact residual filter.  The oracle is the plain filter over
+    the original table — pruning must be invisible to results, so a
+    dropped-possible-match bug (the non-conservative failure) loses
+    rows and flips the driver red; that the pruning actually SKIPS
+    files on the clustered layout is asserted in tests/test_layout.py.
+    The result re-materializes before the temp directory is removed
+    (bounded: matching rows only — same lifecycle as
+    `txt_search_and`)."""
+    import shutil
+    import tempfile
+
+    from kusuma_metamorph_etl_spark.operators import layout
+    from kusuma_metamorph_etl_spark.operators.partitioning import (
+        cluster_by_zorder,
+    )
+
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="zonemap_scan_")
+    try:
+        cluster_by_zorder(
+            part, ["p_size", "p_retailprice"], bits=4, num_files=8
+        ).write.parquet(tmp, mode="overwrite")
+        got = layout.zonemap_read(
+            spark, tmp, {"p_size": (10.0, 14.0), "p_retailprice": (910.0, 930.0)}
+        ).select("p_partkey", "p_size", "p_retailprice")
+        return spark.createDataFrame(
+            got.collect(), schema=got.schema
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -120,9 +120,9 @@ _LOADED = False
 # layout_zorder, layout_compaction_plan, mm_png_interlaced,
 # sql_late_shipment_priority (Q4), dq_freshness, samp_weighted,
 # mm_png_palette, agg_kmv_diff, evt_stickiness,
-# txt_wordpiece_roundtrip) — 39
+# txt_wordpiece_roundtrip, layout_zonemap_scan) — 40
 # zero-evidence rows, all inside the window — lead in registration
-# order; the remaining 11 slots go to the oldest-evidence rows.
+# order; the remaining 10 slots go to the oldest-evidence rows.
 # REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
 # where three new queries were registered without re-pasting — the
 # window guard test is the backstop, run it before every commit.
@@ -224,6 +224,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_kmv_diff",
     "evt_stickiness",
     "txt_wordpiece_roundtrip",
+    "layout_zonemap_scan",
     "snk_jdbc_roundtrip",
     "proj_select",
     "proj_rename",
@@ -233,8 +234,8 @@ _PRIORITY: tuple[str, ...] = (
     "fil_neq",
     "fil_isin",
     "fil_cmp",
-    "fil_conj",
   # ---- window cut ----
+    "fil_conj",
     "fil_isnull",
     "join_left_equi",
     "join_right_equi",
@@ -426,6 +427,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
 )
+
+# summary: 241 registered; 41 zero-evidence;
+# window holds 41 zero-evidence rows; spilled past the cut: []
 
 # summary: 240 registered; 40 zero-evidence;
 # window holds 40 zero-evidence rows; spilled past the cut: []

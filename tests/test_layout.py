@@ -116,3 +116,82 @@ def test_compaction_plan_all_null_bytes_partition(spark):
     )
     row = layout.compaction_plan(df, "part", F.col("nb"), 1000).collect()[0]
     assert row.est_bytes == 0 and row.n_files == 1
+
+
+class TestZonemap:
+    """File-level zone maps: footer-only stats, conservative pruning,
+    and the z-order synergy (clustered layout prunes, natural doesn't)."""
+
+    def _write(self, spark, sf_small, tmp_path, clustered: bool):
+        li = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+            "l_partkey", "l_suppkey", "l_quantity"
+        )
+        path = str(tmp_path / ("zed" if clustered else "plain"))
+        if clustered:
+            from kusuma_metamorph_etl_spark.operators.partitioning import (
+                cluster_by_zorder,
+            )
+
+            cluster_by_zorder(
+                li, ["l_partkey", "l_suppkey"], bits=4, num_files=16
+            ).write.parquet(path)
+        else:
+            li.repartition(16).write.parquet(path)
+        return li, path
+
+    def test_pruned_read_equals_full_filter(self, spark, sf_small, tmp_path):
+        li, path = self._write(spark, sf_small, tmp_path, clustered=True)
+        ranges = {"l_partkey": (1.0, 20.0), "l_suppkey": (1.0, 5.0)}
+        got = layout.zonemap_read(spark, path, ranges)
+        expect = li.filter(
+            F.col("l_partkey").between(1, 20) & F.col("l_suppkey").between(1, 5)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+
+    def test_clustered_layout_prunes_natural_does_not(
+        self, spark, sf_small, tmp_path
+    ):
+        _, zed = self._write(spark, sf_small, tmp_path, clustered=True)
+        _, plain = self._write(spark, sf_small, tmp_path, clustered=False)
+        pk_hi = (
+            spark.read.parquet(zed).agg(F.max("l_partkey")).first()[0]
+        )
+        ranges = {"l_partkey": (1.0, float(pk_hi // 4))}
+        zed_files = layout.prune_files(
+            layout.build_zonemap(spark, zed, ["l_partkey"]), ranges
+        )
+        plain_files = layout.prune_files(
+            layout.build_zonemap(spark, plain, ["l_partkey"]), ranges
+        )
+        assert len(plain_files) == 16  # natural layout: every file overlaps
+        assert len(zed_files) <= 8  # clustered: the corner prunes
+
+    def test_missing_stats_column_keeps_file(self, spark, tmp_path):
+        # an all-NULL column writes no min/max stats; pruning must KEEP
+        # the file (conservative), and the residual filter still applies
+        path = str(tmp_path / "nullstats")
+        spark.createDataFrame(
+            [(None, 1), (None, 2)], "a double, b int"
+        ).coalesce(1).write.parquet(path)
+        zm = layout.build_zonemap(spark, path, ["a"])
+        row = zm.collect()[0]
+        assert row.vmin is None and row.vmax is None
+        assert len(layout.prune_files(zm, {"a": (0.0, 1.0)})) == 1
+        assert layout.zonemap_read(spark, path, {"a": (0.0, 1.0)}).count() == 0
+
+    def test_all_pruned_returns_empty_with_schema(self, spark, tmp_path):
+        path = str(tmp_path / "small")
+        spark.createDataFrame(
+            [(1, "x"), (2, "y")], "k int, s string"
+        ).coalesce(1).write.parquet(path)
+        out = layout.zonemap_read(spark, path, {"k": (100.0, 200.0)})
+        assert out.count() == 0
+        assert set(out.columns) == {"k", "s"}
+
+    def test_empty_ranges_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "e")
+        spark.createDataFrame([(1,)], "k int").write.parquet(path)
+        with pytest.raises(ValueError):
+            layout.prune_files(layout.build_zonemap(spark, path, ["k"]), {})
