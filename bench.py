@@ -82,6 +82,7 @@ HEADLINE = [
     "dedup_semantic_incr",  # frozen-cell new x corpus vs PREBUILT index
     "join_skew_salted",  # hot-key-spread fact x dim, plain-join semantics
     "layout_zorder",  # min-max z-key attach over the full part table
+    "txt_wordpiece_roundtrip",  # completes the tokenizer trio in the bench
 ]
 
 

@@ -207,6 +207,17 @@ def wordpiece_encode(
                 return None
             out: list[str] = []
             for w in t.translate(fold_ws).split(" "):
+                if w.startswith(CONT):
+                    # a word literally beginning with "##" would emit a
+                    # bare piece decode() must misread as a continuation
+                    # — fail LOUDLY instead of silently corrupting the
+                    # round-trip (the bpe END-sentinel contract)
+                    raise ValueError(
+                        f"wordpiece_encode: word {w!r} starts with the "
+                        f"continuation marker {CONT!r}; round-trip would "
+                        "be lossy — pre-clean the corpus or choose a "
+                        "different marker"
+                    )
                 if w:
                     out.extend(encode_word(w, vset))
             return out

@@ -85,3 +85,22 @@ def test_decode_is_pure_expression_and_inverts(spark):
     )
     out = df.select(wp.wordpiece_decode(F.col("tokens")).alias("s")).first()
     assert out["s"] == "playing them"
+
+
+def test_continuation_marker_input_rejected(spark):
+    """A word literally starting with ## must fail loudly — its bare
+    piece would decode as a continuation (the bpe END-sentinel
+    contract, applied to WordPiece's marker)."""
+    df = spark.createDataFrame([("ok ##bad",)], ["text"])
+    with pytest.raises(Exception, match="continuation marker"):
+        wp.wordpiece_encode(df, ["o", "##k", "#", "###", "b", "##a", "##d"]).collect()
+    # '#' INSIDE a word is fine: continuation form is '###'
+    df2 = spark.createDataFrame([("a#b",)], ["text"])
+    toks = (
+        wp.wordpiece_encode(df2, ["a", "###", "##b"]).select("tokens").first()["tokens"]
+    )
+    assert toks == ["a", "###", "##b"]
+    out = df2.sparkSession.createDataFrame(
+        [(toks,)], "tokens array<string>"
+    ).select(wp.wordpiece_decode(F.col("tokens")).alias("s")).first()["s"]
+    assert out == "a#b"
