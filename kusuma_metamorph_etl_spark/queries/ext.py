@@ -6095,3 +6095,38 @@ def layout_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("sim_pq", None)  # ADC ranking is code-approximate — rows-only
+def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN ([EXT] similarity;
+    `operators/similarity.py::pq_train/pq_encode/pq_topk` — Jégou et
+    al. TPAMI'11): m=16 subspace codebooks of 64 codewords over the
+    L2-normalized corpus, vectors compressed 512 B → 16 codes, top-5 by
+    ADC table lookups without touching raw floats — the memory-bound
+    scale path where even int8 vectors don't fit (`sim_quantize` is the
+    8x step, PQ the 32-64x step).  Approximate by construction →
+    rows-only; the exact-recall contract is hash-checked in
+    `sim_pq_err` and the recall/rerank bounds in pytest."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    books = similarity.pq_train(emb, m=16, k=64, refine_iters=2)
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_topk(queries, codes, books, k=5)
+
+
+@register("sim_pq_err", _TOPK_ORACLE)
+def sim_pq_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `sim_pq`: exact top-5 baseline gated
+    on the PRODUCTION path's recall — ADC shortlist-50 + exact cosine
+    re-rank of only those candidates (`pq_topk_rerank`), bound 0.7
+    (measured 1.0 at sf0.01: the shortlist captured every exact top-5
+    neighbor; pure ADC sits at 0.59 and is bounded in pytest)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    books = similarity.pq_train(emb, m=16, k=64, refine_iters=2)
+    codes = similarity.pq_encode(emb, books)
+    approx = similarity.pq_topk_rerank(
+        queries, codes, emb, books, k=5, shortlist=50
+    )
+    return _topk_err(spark, sf_dir, approx, bound=0.7)

@@ -120,9 +120,9 @@ _LOADED = False
 # layout_zorder, layout_compaction_plan, mm_png_interlaced,
 # sql_late_shipment_priority (Q4), dq_freshness, samp_weighted,
 # mm_png_palette, agg_kmv_diff, evt_stickiness,
-# txt_wordpiece_roundtrip, layout_zonemap_scan) — 40
+# txt_wordpiece_roundtrip, layout_zonemap_scan, sim_pq(+_err)) — 42
 # zero-evidence rows, all inside the window — lead in registration
-# order; the remaining 10 slots go to the oldest-evidence rows.
+# order; the remaining 8 slots go to the oldest-evidence rows.
 # REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
 # where three new queries were registered without re-pasting — the
 # window guard test is the backstop, run it before every commit.
@@ -225,6 +225,8 @@ _PRIORITY: tuple[str, ...] = (
     "evt_stickiness",
     "txt_wordpiece_roundtrip",
     "layout_zonemap_scan",
+    "sim_pq",
+    "sim_pq_err",
     "snk_jdbc_roundtrip",
     "proj_select",
     "proj_rename",
@@ -232,9 +234,9 @@ _PRIORITY: tuple[str, ...] = (
     "proj_drop",
     "expr_lit",
     "fil_neq",
+  # ---- window cut ----
     "fil_isin",
     "fil_cmp",
-  # ---- window cut ----
     "fil_conj",
     "fil_isnull",
     "join_left_equi",
@@ -427,6 +429,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
 )
+
+# summary: 243 registered; 43 zero-evidence;
+# window holds 43 zero-evidence rows; spilled past the cut: []
 
 # summary: 241 registered; 41 zero-evidence;
 # window holds 41 zero-evidence rows; spilled past the cut: []
