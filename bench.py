@@ -83,6 +83,7 @@ HEADLINE = [
     "join_skew_salted",  # hot-key-spread fact x dim, plain-join semantics
     "layout_zorder",  # min-max z-key attach over the full part table
     "txt_wordpiece_roundtrip",  # completes the tokenizer trio in the bench
+    "sim_pq",  # PQ train + encode + ADC top-k, the compression ANN path
 ]
 
 

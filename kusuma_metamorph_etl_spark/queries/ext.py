@@ -6130,3 +6130,59 @@ def sim_pq_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, codes, emb, books, k=5, shortlist=50
     )
     return _topk_err(spark, sf_dir, approx, bound=0.7)
+
+
+_SQL_DISJUNCTIVE_REVENUE = """SELECT
+         CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem{v} l
+       JOIN part{v} p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity >= 10)
+          OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 16 AND 30
+              AND l.l_quantity >= 20)
+          OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 31 AND 50
+              AND l.l_quantity >= 5)"""
+
+
+@register("sql_disjunctive_revenue", _SQL_DISJUNCTIVE_REVENUE.format(v=""))
+def sql_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighth pure-SQL entry (TPC-H Q19 shape): revenue under a
+    three-branch DISJUNCTION of conjunctive brand/size/quantity clauses
+    — the predicate form that breaks naive pushdown.  Catalyst extracts
+    the common-prefix constraints per side (the quantity disjunct
+    `l_quantity >= 5` lower bound and the brand IN-set reach the scans)
+    and evaluates the residual OR as the join filter; exact-decimal sum
+    as the family convention."""
+    for name in ("part", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_DISJUNCTIVE_REVENUE.format(v="_v"))
+
+
+_SQL_TOP_SUPPLIER = """WITH r AS (
+         SELECT l_suppkey,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(38,6))), 2) AS DOUBLE)
+                    AS total_rev
+         FROM lineitem{v}
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1)
+       SELECT s.s_suppkey, s.s_name, r.total_rev
+       FROM r
+       JOIN supplier{v} s ON s.s_suppkey = r.l_suppkey
+       WHERE r.total_rev = (SELECT max(total_rev) FROM r)"""
+
+
+@register("sql_top_supplier", _SQL_TOP_SUPPLIER.format(v=""))
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ninth pure-SQL entry (TPC-H Q15 shape): the quarter's
+    maximum-revenue supplier(s) via a scalar subquery over the SAME
+    aggregate the outer query reads (the reused-CTE max-of-agg
+    pattern); ties all surface, the equality is on the ROUNDED decimal
+    (exact, so both engines agree on who is top), and the supplier dim
+    broadcasts."""
+    for name in ("supplier", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_TOP_SUPPLIER.format(v="_v"))

@@ -120,9 +120,10 @@ _LOADED = False
 # layout_zorder, layout_compaction_plan, mm_png_interlaced,
 # sql_late_shipment_priority (Q4), dq_freshness, samp_weighted,
 # mm_png_palette, agg_kmv_diff, evt_stickiness,
-# txt_wordpiece_roundtrip, layout_zonemap_scan, sim_pq(+_err)) — 42
+# txt_wordpiece_roundtrip, layout_zonemap_scan, sim_pq(+_err),
+# sql Q19/Q15 shapes) — 44
 # zero-evidence rows, all inside the window — lead in registration
-# order; the remaining 8 slots go to the oldest-evidence rows.
+# order; the remaining 6 slots go to the oldest-evidence rows.
 # REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
 # where three new queries were registered without re-pasting — the
 # window guard test is the backstop, run it before every commit.
@@ -227,14 +228,16 @@ _PRIORITY: tuple[str, ...] = (
     "layout_zonemap_scan",
     "sim_pq",
     "sim_pq_err",
+    "sql_disjunctive_revenue",
+    "sql_top_supplier",
     "snk_jdbc_roundtrip",
     "proj_select",
     "proj_rename",
     "proj_alias",
     "proj_drop",
+  # ---- window cut ----
     "expr_lit",
     "fil_neq",
-  # ---- window cut ----
     "fil_isin",
     "fil_cmp",
     "fil_conj",
@@ -429,6 +432,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
 )
+
+# summary: 245 registered; 45 zero-evidence;
+# window holds 45 zero-evidence rows; spilled past the cut: []
 
 # summary: 243 registered; 43 zero-evidence;
 # window holds 43 zero-evidence rows; spilled past the cut: []

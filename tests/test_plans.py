@@ -432,3 +432,24 @@ def test_zorder_minmax_key_is_pure_expression(spark, sf_small):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # single-row stats broadcast
+
+
+def test_q19_q15_plan_contracts(spark, sf_small):
+    """Q19's three-branch disjunction must still broadcast the dim and
+    push a usable residual to the scans (the brand IN-set reaches the
+    part scan as an Or chain); Q15's scalar-subquery max reuses the CTE
+    aggregate and broadcasts the supplier dim."""
+    from kusuma_metamorph_etl_spark.queries.ext import (
+        sql_disjunctive_revenue,
+        sql_top_supplier,
+    )
+
+    q19 = _plan(sql_disjunctive_revenue(spark, sf_small))
+    assert "BroadcastHashJoin" in q19
+    assert "SortMergeJoin" not in q19
+    assert "Brand#1" in q19 and "PushedFilters" in q19
+
+    q15 = _plan(sql_top_supplier(spark, sf_small))
+    assert "BroadcastHashJoin" in q15
+    assert "SortMergeJoin" not in q15
+    assert "GreaterThanOrEqual(l_shipdate" in q15  # quarter filter pushed
