@@ -739,7 +739,15 @@ def mmr_select(
             as_double(F.col(vec_col)), F.lit([float(x) for x in q])
         ).alias("__rel"),
     )
-    top = rel.orderBy(F.desc("__rel"), F.col(id_col)).limit(pool).collect()
+    top = (
+        # NULL vectors / NULL relevance (zero-norm convention) sort last
+        # under DESC anyway, but when pool >= |corpus| they'd enter the
+        # pool and poison the numpy stage — drop them explicitly.
+        rel.filter(F.col("__v").isNotNull() & F.col("__rel").isNotNull())
+        .orderBy(F.desc("__rel"), F.col(id_col))
+        .limit(pool)
+        .collect()
+    )
     if not top:
         return spark.createDataFrame(
             [],

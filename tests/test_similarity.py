@@ -538,3 +538,15 @@ class TestProductQuantization:
         codes = similarity.pq_encode(emb, books)
         with pytest.raises(ValueError, match="empty query"):
             similarity.pq_topk(emb.filter(F.lit(False)), codes, books, k=3)
+
+
+def test_mmr_null_embedding_rows_dropped(spark):
+    from kusuma_metamorph_etl_spark.operators.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = mmr_select(df, [1.0, 0.0], k=3, lam=0.5, pool=10)
+    ids = [r.vec_id for r in got.collect()]
+    assert 2 not in ids and set(ids) == {1, 3}
