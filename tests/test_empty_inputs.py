@@ -114,3 +114,39 @@ def test_transcode_unigram_warc_empty(spark, tmp_path):
     # WARC file with zero records parses to zero rows
     write_warc([], str(tmp_path / "empty.warc"))
     assert read_warc(spark, str(tmp_path)).count() == 0
+
+
+def test_r9_operators_empty(spark):
+    from kusuma_metamorph_etl_spark.operators.events import stickiness
+    from kusuma_metamorph_etl_spark.operators.graph import kcore
+    from kusuma_metamorph_etl_spark.operators import layout
+    from kusuma_metamorph_etl_spark.operators.sampling import weighted_sample
+    from kusuma_metamorph_etl_spark.plans.quality import freshness_report
+
+    edges = _empty(spark, "a long, b long")
+    assert kcore(edges, k=3).count() == 0
+
+    ev = _empty(spark, "ts timestamp, user_id long, event_type string")
+    assert stickiness(ev).count() == 0
+    assert freshness_report(ev, "ts", ["event_type"], "2024-01-01").count() == 0
+
+    rows = _empty(spark, "id long, w double")
+    assert weighted_sample(rows, F.col("id"), F.col("w"), k=5).count() == 0
+
+    part = _empty(spark, "p string, nb long")
+    assert layout.compaction_plan(part, "p", F.col("nb")).count() == 0
+    z = layout.zorder_minmax_key(
+        _empty(spark, "a int, b int"), ["a", "b"], bits=4
+    )
+    assert z.count() == 0 and "__z" in z.columns
+
+
+def test_wordpiece_empty_corpus_and_empty_text(spark):
+    from kusuma_metamorph_etl_spark.operators import wordpiece as wp
+
+    empty = _empty(spark, "doc_id long, text string")
+    vocab = wp.wordpiece_train(empty)
+    assert vocab == []  # no alphabet, no merges
+    df = spark.createDataFrame([("",), ("   ",)], ["text"])
+    got = [r["tokens"] for r in wp.wordpiece_encode(df, ["a", "##a"]).collect()]
+    assert got == [[], []]
