@@ -961,8 +961,6 @@ def pq_train(
             )
             .collect()
         )
-        import numpy as np2  # noqa: F401
-
         sums: dict = {}
         counts: dict = {}
         for r in parts:
