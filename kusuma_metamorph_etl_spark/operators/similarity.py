@@ -1080,7 +1080,14 @@ def pq_topk(
             take = min(kk + 1, len(ids))  # +1 absorbs a self-match
             for qi in range(nq):
                 col = s[:, qi]
-                top = np.argpartition(-col, take - 1)[:take]
+                # lexsort, NOT argpartition: quantized codes make exact
+                # score TIES common (distinct vectors, same codewords),
+                # and a partition-local selection that breaks ties
+                # arbitrarily drops candidates the GLOBAL (score desc,
+                # id asc) order would keep — output then varies with
+                # partitioning.  The local order must match the final
+                # window's comparator.
+                top = np.lexsort((ids, -col))[:take]
                 for t in top:
                     if ids[t] == q_ids[qi]:
                         continue

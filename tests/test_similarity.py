@@ -550,3 +550,37 @@ def test_mmr_null_embedding_rows_dropped(spark):
     got = mmr_select(df, [1.0, 0.0], k=3, lam=0.5, pool=10)
     ids = [r.vec_id for r in got.collect()]
     assert 2 not in ids and set(ids) == {1, 3}
+
+
+def test_pq_topk_partition_invariant_under_score_ties(spark):
+    """Quantized codes make exact ADC-score ties common (distinct
+    vectors, same codewords); the partition-local selection must break
+    them like the global (score desc, id asc) window or the result
+    varies with partitioning."""
+    from kusuma_metamorph_etl_spark.operators import similarity
+
+    # 40 vectors in 4 groups of DUPLICATE vectors -> guaranteed ties
+    rows = [
+        (i, [float(i % 4 == 0), float(i % 4 == 1), float(i % 4 == 2), float(i % 4 == 3)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_train(df, m=2, k=4, refine_iters=1)
+    queries = df.filter(F.col("vec_id") == 0)
+    a = [
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(
+            queries, similarity.pq_encode(df, books), books, k=5
+        ).collect()
+    ]
+    b = [
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(
+            queries,
+            similarity.pq_encode(df.repartition(13), books),
+            books,
+            k=5,
+        ).collect()
+    ]
+    assert sorted(a) == sorted(b)
+    assert len(a) == 5
