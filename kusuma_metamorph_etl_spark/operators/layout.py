@@ -207,6 +207,10 @@ def prune_files(
             (F.col("column") == col)
             & (
                 F.col("vmin").isNull()
+                # NaN bounds (a writer that kept stats on an all-NaN
+                # double column) compare false against everything and
+                # would WRONGLY prune — treat them as unknown, keep
+                | F.isnan("vmin")
                 | ((F.col("vmax") >= lo) & (F.col("vmin") <= hi))
             )
         ).select("file")

@@ -104,3 +104,71 @@ def test_continuation_marker_input_rejected(spark):
         [(toks,)], "tokens array<string>"
     ).select(wp.wordpiece_decode(F.col("tokens")).alias("s")).first()["s"]
     assert out == "a#b"
+
+
+def _naive_train(word_counts, n_merges):
+    """Textbook WordPiece trainer: full pair/symbol recount each merge
+    — the reference the incremental bookkeeping must match exactly."""
+    from collections import Counter
+    from fractions import Fraction
+
+    words_syms = {w: wp._word_symbols(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs, syms = Counter(), Counter()
+        for w, c in word_counts.items():
+            ws = words_syms[w]
+            for s in ws:
+                syms[s] += c
+            for i in range(len(ws) - 1):
+                pairs[(ws[i], ws[i + 1])] += c
+        best, best_score = None, None
+        for p, cp in pairs.items():
+            if cp < 2:
+                continue
+            score = Fraction(cp, syms[p[0]] * syms[p[1]])
+            if best_score is None or score > best_score or (
+                score == best_score and p < best
+            ):
+                best, best_score = p, score
+        if best is None:
+            break
+        merged = wp._merge_symbols(*best)
+        merges.append(merged)
+        for w, ws in words_syms.items():
+            out, i = [], 0
+            while i < len(ws):
+                if i < len(ws) - 1 and (ws[i], ws[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(ws[i])
+                    i += 1
+            words_syms[w] = out
+    return merges
+
+
+def test_incremental_bookkeeping_matches_naive_recount(spark):
+    """The incremental pair/symbol-count maintenance must produce the
+    EXACT merge sequence of the full-recount reference on a corpus with
+    overlapping words and repeated merges inside one word."""
+    import random
+
+    rng = random.Random(5)
+    alphabet = "abcde"
+    vocab_words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 8)))
+        for _ in range(30)
+    ]
+    counts = {w: rng.randint(1, 9) for w in set(vocab_words)}
+    corpus = " ".join(w for w, c in counts.items() for _ in range(c))
+    df = spark.createDataFrame([(corpus,)], ["text"])
+    got_vocab = wp.wordpiece_train(df, n_merges=25)
+    # strip the alphabet seeds: merges are the vocab entries of length>1
+    # modulo the ## prefix
+    got_merges = [
+        v for v in got_vocab
+        if (v.startswith("##") and len(v) > 3) or (not v.startswith("##") and len(v) > 1)
+    ]
+    expect = _naive_train(counts, 25)
+    assert got_merges == expect
