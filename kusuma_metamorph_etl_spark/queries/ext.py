@@ -6186,3 +6186,61 @@ def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("supplier", "lineitem"):
         t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
     return spark.sql(_SQL_TOP_SUPPLIER.format(v="_v"))
+
+
+@register(
+    "mart_vector_curation",
+    """WITH pool AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000, embedding::DOUBLE[]
+         FROM embeddings WHERE vec_id % 10 = 0),
+       ded AS (SELECT min(vec_id) AS vec_id, e FROM pool GROUP BY e),
+       rel AS (SELECT vec_id,
+                      round(e[1] / sqrt(list_dot_product(e, e)), 6)
+                          AS relevance
+               FROM ded),
+       fl AS (SELECT * FROM rel WHERE relevance >= 0.0)
+       SELECT vec_id, relevance
+       FROM fl
+       ORDER BY -ln((('0x' || substr(md5('42|' || CAST(vec_id AS VARCHAR)),
+                                     1, 8))::BIGINT + 0.5) / 4294967296.0)
+                / (2.0 + relevance),
+                vec_id
+       LIMIT 64""",
+)
+def mart_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-curation composition capstone — the r9 additions
+    chained the way a vector-corpus refresh runs them, every stage the
+    registered operator and every stage SQL-replayable end to end:
+    planted duplicate vectors (every 10th embedding under a shifted id,
+    so the dedup is exercised for real) → EXACT vector dedup (group by
+    the embedding value, lowest id wins — the `dedup_exact` rule on
+    array content) → relevance against the axis query (the
+    `sim_mmr_err` cosine contract, rounded to the registry convention
+    BEFORE weighting so both engines weight identical doubles) →
+    relevance floor → `samp_weighted`'s A-ES draw of 64 with weight
+    2+relevance (importance-weighted curation instead of top-k's
+    near-duplicate row).  A drift in any stage — dedup winner, cosine
+    fold order, rounding, score arithmetic, tie order — hash-flips the
+    driver row."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    pool = emb.unionByName(planted)
+    deduped = pool.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    axis = [1.0] + [0.0] * 63
+    scored = deduped.select(
+        "vec_id",
+        F.round(
+            similarity.cosine(
+                F.lit(axis), similarity.as_double(F.col("embedding"))
+            ),
+            6,
+        ).alias("relevance"),
+    ).filter(F.col("relevance") >= 0.0)
+    picked = sampling.weighted_sample(
+        scored, F.col("vec_id"), F.lit(2.0) + F.col("relevance"), k=64
+    )
+    return picked.select("vec_id", "relevance")

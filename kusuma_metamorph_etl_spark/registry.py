@@ -121,9 +121,9 @@ _LOADED = False
 # sql_late_shipment_priority (Q4), dq_freshness, samp_weighted,
 # mm_png_palette, agg_kmv_diff, evt_stickiness,
 # txt_wordpiece_roundtrip, layout_zonemap_scan, sim_pq(+_err),
-# sql Q19/Q15 shapes) — 44
+# sql Q19/Q15 shapes, mart_vector_curation) — 45
 # zero-evidence rows, all inside the window — lead in registration
-# order; the remaining 6 slots go to the oldest-evidence rows.
+# order; the remaining 5 slots go to the oldest-evidence rows.
 # REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
 # where three new queries were registered without re-pasting — the
 # window guard test is the backstop, run it before every commit.
@@ -230,12 +230,13 @@ _PRIORITY: tuple[str, ...] = (
     "sim_pq_err",
     "sql_disjunctive_revenue",
     "sql_top_supplier",
+    "mart_vector_curation",
     "snk_jdbc_roundtrip",
     "proj_select",
     "proj_rename",
     "proj_alias",
-    "proj_drop",
   # ---- window cut ----
+    "proj_drop",
     "expr_lit",
     "fil_neq",
     "fil_isin",
@@ -432,6 +433,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
 )
+
+# summary: 246 registered; 46 zero-evidence;
+# window holds 46 zero-evidence rows; spilled past the cut: []
 
 # summary: 245 registered; 45 zero-evidence;
 # window holds 45 zero-evidence rows; spilled past the cut: []
