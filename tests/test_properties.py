@@ -545,3 +545,79 @@ def test_normalize_url_sorted_is_permutation_invariant(spark, perm):
     ).collect()[0]
     assert row["n1"] == canonical
     assert row["n2"] == canonical
+
+
+@settings(max_examples=_ex(9), deadline=None)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=33, max_codepoint=126, exclude_characters="#"
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_merges=st.integers(min_value=0, max_value=30),
+)
+def test_wordpiece_roundtrip_lossless_on_any_corpus(words, n_merges):
+    """decode(encode(text)) == whitespace-normalized text for ANY corpus
+    of printable-ASCII words (no leading-## collision class): the
+    alphabet seed guarantees coverage, so no [UNK] ever appears and the
+    round-trip is total regardless of which merges were learned."""
+    from kusuma_metamorph_etl_spark.operators import wordpiece as wp
+
+    spark = _session()
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    vocab = wp.wordpiece_train(df, n_merges=n_merges)
+    enc = wp.wordpiece_encode(df, vocab)
+    got = enc.select(wp.wordpiece_decode(F.col("tokens")).alias("s")).first()["s"]
+    assert got == " ".join(w for w in text.split(" ") if w)
+
+
+@settings(max_examples=_ex(9), deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-5.0,
+                    max_value=100.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_weighted_sample_contract(rows, k):
+    """A-ES invariants on arbitrary inputs: exactly min(k, n_eligible)
+    rows, all from the positive-weight subset, and the selection is a
+    pure function of (key, weight) — input order and partitioning never
+    change it."""
+    from kusuma_metamorph_etl_spark.operators.sampling import weighted_sample
+
+    spark = _session()
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sorted(
+        r.id for r in weighted_sample(df, F.col("id"), F.col("w"), k).collect()
+    )
+    eligible = {i for i, w in rows if w is not None and w > 0}
+    assert len(got) == min(k, len(eligible))
+    assert set(got) <= eligible
+    again = sorted(
+        r.id
+        for r in weighted_sample(
+            df.repartition(5), F.col("id"), F.col("w"), k
+        ).collect()
+    )
+    assert got == again
