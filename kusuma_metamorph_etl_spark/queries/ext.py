@@ -6244,3 +6244,109 @@ def mart_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, F.col("vec_id"), F.lit(2.0) + F.col("relevance"), k=64
     )
     return picked.select("vec_id", "relevance")
+
+
+@register(
+    "win_first_last",
+    """WITH v AS (SELECT event_type, ts, event_id,
+                         CASE WHEN event_id % 7 = 0 THEN NULL
+                              ELSE value END AS v
+                  FROM events),
+       w AS (SELECT event_type,
+                    first_value(v IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING) AS first_v,
+                    last_value(v IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING) AS last_v,
+                    row_number() OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id)
+                        AS rn
+             FROM v)
+       SELECT event_type, round(first_v, 6) AS first_v,
+              round(last_v, 6) AS last_v
+       FROM w WHERE rn = 1""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE with IGNORE NULLS over a full-partition
+    frame — the remaining window primitive the win_* family didn't
+    cover (opening/closing reading per key with gaps in the measure:
+    the fixture NULLs every 7th event's value so the null-skipping is
+    exercised for real, not vacuously).  Total order (ts, event_id)
+    keys the frame, so both engines agree on which value is first."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "v",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.round(F.first("v", ignorenulls=True).over(w), 6).alias(
+                "first_v"
+            ),
+            F.round(F.last("v", ignorenulls=True).over(w), 6).alias("last_v"),
+            F.row_number().over(rn).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@register("src_text_roundtrip", """SELECT text AS value FROM documents""")
+def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain text-lines source/sink round-trip (`spark.read.text` — the
+    one columnar-less format the source family didn't cover; raw text
+    corpora and log shards arrive exactly like this): every document
+    body written as one line to a run-scoped directory, read back as
+    the standard single-`value` frame, hash-compared against the
+    originals.  Sound because the fixture corpus contains no embedded
+    newlines (asserted: a newline would split a row and flip the
+    driver red, which is the honest failure).  Result re-materializes
+    before cleanup (the `txt_search_and` temp lifecycle)."""
+    import shutil
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    tmp = tempfile.mkdtemp(prefix="text_src_")
+    try:
+        docs.write.mode("overwrite").text(tmp)
+        back = spark.read.text(tmp)
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "fn_regexp_extract_all",
+    r"""SELECT doc_id,
+              regexp_extract_all(text, '[a-z]{4,}') AS long_words,
+              CAST(len(regexp_extract_all(text, '[a-z]{4,}')) AS INTEGER)
+                  AS n_long
+       FROM documents""",
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-matches regex extraction (`regexp_extract_all` — the
+    log/wikitext field-harvesting staple next to the single-match
+    `fn_str_value` family): every ≥4-letter lowercase run per document
+    as an array, plus its count.  Greedy quantifier semantics are
+    identical in Java regex and RE2, so the arrays hash-compare
+    element-for-element."""
+    docs = t(spark, sf_dir, "documents")
+    arr = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]{4,}"), 0)
+    return docs.select(
+        "doc_id",
+        arr.alias("long_words"),
+        F.size(arr).cast("int").alias("n_long"),
+    )

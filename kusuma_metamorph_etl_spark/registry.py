@@ -121,9 +121,10 @@ _LOADED = False
 # sql_late_shipment_priority (Q4), dq_freshness, samp_weighted,
 # mm_png_palette, agg_kmv_diff, evt_stickiness,
 # txt_wordpiece_roundtrip, layout_zonemap_scan, sim_pq(+_err),
-# sql Q19/Q15 shapes, mart_vector_curation) — 45
+# sql Q19/Q15 shapes, mart_vector_curation, win_first_last,
+# src_text_roundtrip, fn_regexp_extract_all) — 48
 # zero-evidence rows, all inside the window — lead in registration
-# order; the remaining 5 slots go to the oldest-evidence rows.
+# order; the remaining 2 slots go to the oldest-evidence rows.
 # REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
 # where three new queries were registered without re-pasting — the
 # window guard test is the backstop, run it before every commit.
@@ -231,11 +232,14 @@ _PRIORITY: tuple[str, ...] = (
     "sql_disjunctive_revenue",
     "sql_top_supplier",
     "mart_vector_curation",
+    "win_first_last",
+    "src_text_roundtrip",
+    "fn_regexp_extract_all",
     "snk_jdbc_roundtrip",
+  # ---- window cut ----
     "proj_select",
     "proj_rename",
     "proj_alias",
-  # ---- window cut ----
     "proj_drop",
     "expr_lit",
     "fil_neq",
@@ -433,6 +437,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_features",
     "mm_transcode",
 )
+
+# summary: 249 registered; 49 zero-evidence;
+# window holds 49 zero-evidence rows; spilled past the cut: []
 
 # summary: 246 registered; 46 zero-evidence;
 # window holds 46 zero-evidence rows; spilled past the cut: []
