@@ -480,8 +480,12 @@ def normalize_url(url: Column, sort_params: bool = False) -> Column:
     u = F.regexp_replace(u, r"[?&](?:" + trk + r"=[^&]*&?)+$", "")
     # ONE trailing-junk class, not sequential ?&-then-/ passes: a tail
     # like "?/" stripped the slash first and left the "?" for a SECOND
-    # normalize to remove — hypothesis found the idempotence break
-    u = F.regexp_replace(u, r"[?&/]+$", "")
+    # normalize to remove — hypothesis found the idempotence break.
+    # Whitespace rides in the SAME class (explicit chars, not \s —
+    # Java's \s includes \x0B, RE2's does not): stripping "&" off
+    # "x &" exposed a trailing space the leading trim had already
+    # passed, the second idempotence break hypothesis found (r9).
+    u = F.regexp_replace(u, r"[?&/ \t\n\f\r]+$", "")
     if not sort_params:
         return u
     base = F.regexp_extract(u, r"^([^?]*)", 1)

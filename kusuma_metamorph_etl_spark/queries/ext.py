@@ -145,7 +145,7 @@ _NUMREF_DECODE = """array_to_string(list_transform(list_transform(
          FROM stripped),
        urln2 AS (
          SELECT doc_id, text_clean,
-                regexp_replace(url_half, '[?&/]+$', '') AS url_norm
+                regexp_replace(url_half, '[?&/ \t\n\f\r]+$', '') AS url_norm
          FROM urln),
        q AS (
          SELECT doc_id, url_norm,
@@ -296,7 +296,7 @@ def txt_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                         '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
                           AS u FROM s4),
         s6 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u, '[?&/]+$', '') AS u FROM s5)
+                      regexp_replace(u, '[?&/ \t\n\f\r]+$', '') AS u FROM s5)
         SELECT doc_id, url_raw, u AS url_norm FROM s6""",
 )
 def txt_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,7 +468,7 @@ def txt_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                         '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
                           AS u FROM s4),
         s6 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u, '[?&/]+$', '') AS u FROM s5),
+                      regexp_replace(u, '[?&/ \t\n\f\r]+$', '') AS u FROM s5),
         s7 AS (SELECT doc_id, url_raw,
                       CASE WHEN regexp_extract(u, '^[^?]*\?(.*)$', 1) = ''
                            THEN u
