@@ -541,10 +541,11 @@ def repeat_epochs(
 def weighted_sample(
     df: DataFrame, key: Column, weight: Column, k: int, seed: str = "42"
 ) -> DataFrame:
-    """EXACTLY ``k`` rows drawn WITHOUT replacement with probability
-    proportional to ``weight`` — Efraimidis–Spirakis A-ES (IPL 2006):
-    each row scores ``-ln(u)/w`` with ``u`` a content-keyed uniform from
-    :func:`hash_unit`'s md5 construction, and the k SMALLEST scores win.
+    """``k`` rows (fewer only if the eligible input is smaller) drawn
+    WITHOUT replacement with probability proportional to ``weight`` —
+    Efraimidis–Spirakis A-ES (IPL 2006): each row scores ``-ln(u)/w``
+    with ``u`` a content-keyed uniform from :func:`hash_unit`'s md5
+    construction, and the k SMALLEST scores win.
 
     The importance-sampling knob of the mixing family: upweight rare
     high-quality sources at draw time instead of duplicating rows.  Same
@@ -556,9 +557,12 @@ def weighted_sample(
     any partitioning or engine (the driver oracle replays the md5 + ln
     arithmetic in SQL).
 
-    Rows with NULL or non-positive weight are EXCLUDED (their inclusion
-    probability is zero / undefined — same rule as
-    :func:`temperature_sample`'s NULL-source drop).  ``u`` is offset to
+    Rows with NULL or non-positive weight — and rows with a NULL
+    ``key`` — are EXCLUDED (zero/undefined inclusion probability; a
+    NULL key has no content to hash: Spark's ``concat_ws`` would skip
+    it and give every NULL-key row the SAME uniform, while SQL ``||``
+    concatenation nulls out — the r9 ADVICE's latent cross-engine
+    divergence, closed by filtering).  ``u`` is offset to
     ``(h + 0.5) / 2^32`` so it is never exactly 0 (ln(0) = -inf would
     make the row unsampleable regardless of weight).
     """
@@ -574,7 +578,9 @@ def weighted_sample(
     ) / F.lit(float(1 << 32))
     score = -F.ln(u) / weight.cast("double")
     return (
-        df.filter(weight.isNotNull() & (weight.cast("double") > 0))
+        df.filter(
+            key.isNotNull() & weight.isNotNull() & (weight.cast("double") > 0)
+        )
         .withColumn("__score", score)
         .orderBy("__score", key)
         .limit(k)

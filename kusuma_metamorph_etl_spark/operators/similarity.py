@@ -799,6 +799,7 @@ def group_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    assemble: bool = True,
 ) -> DataFrame:
     """Element-wise mean embedding per group — the corpus/label centroid
     primitive (topic centroids for routing, class prototypes, the seed
@@ -811,6 +812,12 @@ def group_centroids(
     (position, mean) structs and projects the means — order is exact,
     never collection-order luck.  Means round to ``round_to`` dp so both
     engines agree despite summation order (the registry convention).
+
+    ``assemble=False`` skips the re-assembly and returns the long-form
+    ``(group, pos, m, n_vectors)`` grain (0-based ``pos``) — one scalar
+    row per vector component.  That is the driver-hashable registration
+    shape (pandas canonicalizers cannot sort array cells) and the shape
+    downstream joins against component tables want anyway.
     """
     pos = df.select(
         F.col(group_col).alias("g"),
@@ -820,6 +827,13 @@ def group_centroids(
         F.round(F.avg("x"), round_to).alias("m"),
         F.count(F.lit(1)).alias("n"),
     )
+    if not assemble:
+        return per_pos.select(
+            F.col("g").alias(group_col),
+            F.col("pos").cast("int").alias("pos"),
+            "m",
+            F.col("n").cast("long").alias("n_vectors"),
+        )
     return (
         per_pos.groupBy("g")
         .agg(

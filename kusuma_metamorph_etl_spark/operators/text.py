@@ -260,22 +260,42 @@ def decode_numeric_refs(text: Column, amp_as: str = "&") -> Column:
     * anything else (rare codepoints, surrogates, controls) → one space,
       which the caller's whitespace collapse absorbs.
 
-    Shape: pure column expressions — two marker ``regexp_replace`` passes
-    (decimal, hex) wrap each reference in \\x01…\\x02 sentinels (raw
-    \\x01/\\x02 bytes in the input are spaced out first, so the sentinels
-    are unambiguous), one split on \\x01, one ``transform`` decoding the
-    marked prefix of each segment, one ``array_join``.  No UDF, no
-    shuffle — still a narrow projection.
+    Shape: pure column expressions — ONE marker ``regexp_replace`` pass
+    (decimal|hex alternation) wraps each reference in \\x01…\\x02
+    sentinels (raw \\x01/\\x02 bytes in the input are spaced out first,
+    so the sentinels are unambiguous), one split on \\x01, one
+    ``transform`` decoding the marked prefix of each segment via
+    locate/substring (no per-segment regex), one ``array_join``.  No
+    UDF, no shuffle — still a narrow projection.
+
+    Fast path (the mart_crawl_prep 1.64× regression fix, r9 verdict):
+    documents with no ``&#`` and no raw sentinel bytes take an identity
+    branch behind three ``instr`` probes — the regex scan, split, and
+    array machinery never run for the overwhelmingly common ref-free
+    document.  The gate condition is EXACTLY the set of inputs the full
+    pipeline is non-identity on (marking needs ``&#``; the spacing pass
+    needs a raw \\x01/\\x02), so semantics are byte-identical.
     """
     t = F.regexp_replace(text, "[\x01\x02]", " ")
-    t = F.regexp_replace(t, "&#([0-9]{1,7});", "\x01$1\x02")
-    t = F.regexp_replace(t, "&#[xX]([0-9a-fA-F]{1,6});", "\x01x$1\x02")
+    t = F.regexp_replace(
+        t, "&#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", "\x01$1\x02"
+    )
 
     def _decode(p: Column) -> Column:
-        dec = F.regexp_extract(p, "^([0-9]{1,7})\x02", 1)
-        hx = F.regexp_extract(p, "^x([0-9a-fA-F]{1,6})\x02", 1)
-        code = F.when(dec != "", dec.cast("bigint")).when(
-            hx != "", F.conv(hx, 16, 10).cast("bigint")
+        # marking guarantees any \x02 in a segment terminates a
+        # well-formed ref body (raw sentinel bytes were spaced out), so
+        # plain string ops replace the per-segment regexes
+        mark = F.locate("\x02", p)
+        pre = F.substring(p, F.lit(1), mark - 1)
+        first = F.substring(pre, F.lit(1), F.lit(1))
+        code = F.when(
+            mark > 0,
+            F.when(
+                (first == "x") | (first == "X"),
+                F.conv(F.substring(pre, F.lit(2), F.lit(6)), 16, 10),
+            )
+            .otherwise(pre)
+            .cast("bigint"),
         )
         ch = F.when(code == 38, F.lit(amp_as)).when(code == 160, F.lit(" "))
         for cp in _NUMREF_TYPO:
@@ -285,12 +305,16 @@ def decode_numeric_refs(text: Column, amp_as: str = "&") -> Column:
             | ((code >= 161) & (code <= 255)),
             F.char(code),
         ).otherwise(F.lit(" "))
-        rest = F.regexp_replace(
-            p, "^(?:[0-9]{1,7}|x[0-9a-fA-F]{1,6})\x02", ""
-        )
+        rest = F.substring(p, mark + 1, F.length(p))
         return F.when(code.isNotNull(), F.concat(ch, rest)).otherwise(p)
 
-    return F.array_join(F.transform(F.split(t, "\x01"), _decode), "")
+    decoded = F.array_join(F.transform(F.split(t, "\x01"), _decode), "")
+    needs = (
+        (F.instr(text, "&#") > 0)
+        | (F.instr(text, "\x01") > 0)
+        | (F.instr(text, "\x02") > 0)
+    )
+    return F.when(needs, decoded).otherwise(text)
 
 
 def html_to_text(html: Column, decode_numeric: bool = True) -> Column:
@@ -335,6 +359,7 @@ def html_to_text(html: Column, decode_numeric: bool = True) -> Column:
         # \x02 is unambiguous: decode_numeric_refs spaces out raw
         # \x01/\x02 bytes before marking.
         t = decode_numeric_refs(t, amp_as="\x02")
+    ent_t = t
     for ent, ch in (
         ("&nbsp;", " "),
         ("&lt;", "<"),
@@ -343,9 +368,17 @@ def html_to_text(html: Column, decode_numeric: bool = True) -> Column:
         ("&#39;", "'"),
         ("&amp;", "&"),  # LAST: &amp;lt; must become &lt;, not <
     ):
-        t = F.replace(t, F.lit(ent), F.lit(ch))
+        ent_t = F.replace(ent_t, F.lit(ent), F.lit(ch))
     if decode_numeric:
-        t = F.replace(t, F.lit("\x02"), F.lit("&"))  # after &amp;, like it
+        # after &amp;, like it
+        ent_t = F.replace(ent_t, F.lit("\x02"), F.lit("&"))
+    # identity fast path (r9 mart_crawl_prep regression fix): every
+    # named-entity spelling contains '&' and the sentinel restore needs
+    # a '\x02', so a document with neither skips all seven replace scans
+    # — byte-identical semantics, instr probes instead of scans
+    t = F.when(
+        (F.instr(t, "&") > 0) | (F.instr(t, "\x02") > 0), ent_t
+    ).otherwise(t)
     # explicit class, not \s: Java's \s includes \x0B, RE2's does not
     # (the words() rule) — the collapse must act on the SAME set both
     # engines or text_clean diverges from the oracle on a vertical tab
@@ -467,8 +500,14 @@ def normalize_url(url: Column, sort_params: bool = False) -> Column:
     head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     u = F.concat(F.lower(head), tail)
-    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    # one anchored alternation covers both default ports (an unmatched
+    # capture substitutes as empty in Java's replaceAll, so $1$2 and
+    # $3$4 compose into one template) — two scans fused into one
+    u = F.regexp_replace(
+        u,
+        r"^(?:(http://[^/:?#]+):80|(https://[^/:?#]+):443)([/?#]|$)",
+        "$1$2$3",
+    )
     # Anchored to the [?&] delimiter and matching the whole RUN of
     # consecutive tracking params in one go: the unanchored form matched
     # INSIDE longer names and values ('?xgclid=1&a=2' lost legitimate

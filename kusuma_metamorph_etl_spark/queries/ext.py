@@ -5358,23 +5358,26 @@ def txt_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_group_centroid",
     """WITH e AS (SELECT label,
                          unnest(embedding) AS x,
-                         unnest(range(1, len(embedding) + 1)) AS pos
-                  FROM embeddings),
-        p AS (SELECT label, pos, round(avg(x), 6) AS m, count(*) AS n
-              FROM e GROUP BY 1, 2)
-        SELECT label,
-               list(m ORDER BY pos) AS centroid,
-               CAST(max(n) AS BIGINT) AS n_vectors
-        FROM p GROUP BY 1""",
+                         unnest(range(0, len(embedding))) AS pos
+                  FROM embeddings)
+       SELECT label,
+              CAST(pos AS INTEGER) AS pos,
+              round(avg(x), 6) AS m,
+              CAST(count(*) AS BIGINT) AS n_vectors
+       FROM e GROUP BY 1, 2""",
 )
 def sim_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid ([EXT] similarity;
     `operators/similarity.py::group_centroids`): element-wise mean
     vector per label via posexplode → (label, position) partial-agg
-    average → sorted re-assembly — no task ever holds a label's full
-    vector set, the class-prototype primitive at corpus scale."""
+    average — no task ever holds a label's full vector set, the
+    class-prototype primitive at corpus scale.  Registered at the
+    long-form ``(label, pos, m, n_vectors)`` grain (``assemble=False``)
+    because the driver's pandas canonicalizer cannot hash array cells
+    (r9 driver-ERR); the assembled ``array<double>`` shape stays covered
+    by tests/test_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.group_centroids(emb, "label")
+    return similarity.group_centroids(emb, "label", assemble=False)
 
 
 @register(
@@ -5698,10 +5701,14 @@ def _near_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _circulant_with_periphery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-core fixture: the TRUE circulant ring over customer ids (edges
-    (i, ((i + d - 1) mod n) + 1) for d ∈ {1,2,3,5} — modular wrap, so
-    every node has degree exactly 8 and the whole ring is a stable
-    6-core) plus a 50-node pendant path on shifted ids attached to node
-    1 (degree ≤ 2 — peels entirely in the first round at k ≥ 3).
+    (i, (i + d) mod n) for d ∈ {1,2,3,5} over the 0-based contiguous
+    custkeys, n = COUNT — modular wrap over the actual key set, so
+    every node INCLUDING node 0 has degree exactly 8 and the whole ring
+    is a stable 6-core; the r9 ADVICE caught the previous
+    ``((i+d-1) mod max)+1`` form mapping only into 1..max and leaving
+    node 0 degree-4, which peeled) plus a 50-node pendant path on
+    shifted ids attached to node 1 (degree ≤ 2 — peels entirely in the
+    first round at k ≥ 3).
 
     Why not `_near_ring_edges` (the triangles fixture): the UNWRAPPED
     ring has no 5/6-core at all — its ends unravel the whole graph in
@@ -5711,17 +5718,15 @@ def _circulant_with_periphery(spark: SparkSession, sf_dir: str) -> DataFrame:
     and random-graph brute-force equivalence tests; the driver row
     exercises a stable core plus a one-round periphery."""
     cust = t(spark, sf_dir, "customer").select("c_custkey")
-    mx = cust.agg(F.max("c_custkey").alias("m"))
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
     ring = (
         cust.crossJoin(
             spark.createDataFrame([(1,), (2,), (3,), (5,)], "d long")
         )
-        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(n))
         .select(
             F.col("c_custkey").alias("a"),
-            ((F.col("c_custkey") + F.col("d") - 1) % F.col("m") + 1).alias(
-                "b"
-            ),
+            ((F.col("c_custkey") + F.col("d")) % F.col("n")).alias("b"),
         )
     )
     path_ids = ring.sparkSession.range(1, 51).select(
@@ -5880,7 +5885,7 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "samp_weighted",
     """SELECT o_orderkey, o_totalprice
        FROM orders
-       WHERE o_totalprice > 0
+       WHERE o_orderkey IS NOT NULL AND o_totalprice > 0
        ORDER BY -ln((('0x' || substr(md5('42|' || CAST(o_orderkey AS VARCHAR)),
                                      1, 8))::BIGINT + 0.5) / 4294967296.0)
                 / o_totalprice,
@@ -6331,7 +6336,8 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_regexp_extract_all",
     r"""SELECT doc_id,
-              regexp_extract_all(text, '[a-z]{4,}') AS long_words,
+              array_to_string(regexp_extract_all(text, '[a-z]{4,}'), '|')
+                  AS long_words,
               CAST(len(regexp_extract_all(text, '[a-z]{4,}')) AS INTEGER)
                   AS n_long
        FROM documents""",
@@ -6339,14 +6345,17 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-matches regex extraction (`regexp_extract_all` — the
     log/wikitext field-harvesting staple next to the single-match
-    `fn_str_value` family): every ≥4-letter lowercase run per document
-    as an array, plus its count.  Greedy quantifier semantics are
-    identical in Java regex and RE2, so the arrays hash-compare
-    element-for-element."""
+    `fn_str_value` family): every ≥4-letter lowercase run per document,
+    plus its count.  Greedy quantifier semantics are identical in Java
+    regex and RE2, so the matches compare element-for-element.  The
+    array is serialized with ``array_join`` for the registered row: the
+    driver's pandas canonicalizer cannot sort/hash list cells (r9
+    driver-ERR), so OUTPUT columns must stay scalar — the array op
+    itself is exercised between the extract and the join."""
     docs = t(spark, sf_dir, "documents")
     arr = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]{4,}"), 0)
     return docs.select(
         "doc_id",
-        arr.alias("long_words"),
+        F.array_join(arr, "|").alias("long_words"),
         F.size(arr).cast("int").alias("n_long"),
     )

@@ -12,7 +12,13 @@ Conventions that keep the hash-compare honest (BASELINE.md):
   differs between engines; rounding absorbs the last-ulp difference);
 * DuckDB ``SUM`` over integers returns HUGEINT — oracles cast to BIGINT to
   match Spark's long;
-* timestamps compare in UTC (session TZ pinned in session.py).
+* timestamps compare in UTC (session TZ pinned in session.py);
+* OUTPUT COLUMNS MUST BE SCALAR: the driver canonicalizes results with a
+  pandas ``sort_values`` over every column and crashes on list/dict cells
+  (r9: two driver-ERRs).  Serialize arrays before registering —
+  ``array_join(col, '|')``, a long-form ``(key, pos, value)`` grain, or a
+  per-element projection.  ``tools/check_correctness.py`` now enforces
+  this (``assert_driver_hashable``).
 """
 
 from __future__ import annotations
@@ -104,38 +110,34 @@ _LOADED = False
 #
 #     python tools/make_window.py        # prints the tuple to paste below
 #
-# sorted by (zero-evidence first, deferred flag, oldest latest-evidence
-# round, registration order) over the union of CORRECTNESS_r*.json rows
+# sorted by (latest-status-FAIL/ERR first, zero-evidence next with the
+# deferred flag behind, oldest latest-evidence round, registration
+# order) over the union of CORRECTNESS_r*.json rows
 # with round <= _PRIORITY_BASIS_ROUND.  tests/test_registry_window.py
 # recomputes the same order and fails on any hand-edit drift or
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-9 WINDOW: the r8 checklist executed — basis bumped to 8,
-# DEFERRED_TO_NEXT_WINDOW emptied, window regenerated.  The 14 rows r8
-# deferred plus the r9 registrations (txt_html_main_text,
-# txt_url_normalize_v2, dedup_semantic_incr(+_err), sql Q5/Q10/Q14/Q18,
-# graph_triangles, graph_kcore(+_err), txt_chunk_sentences,
-# sim_group_centroid, sim_mmr(+_err), join_skew_salted,
-# layout_zorder, layout_compaction_plan, mm_png_interlaced,
-# sql_late_shipment_priority (Q4), dq_freshness, samp_weighted,
-# mm_png_palette, agg_kmv_diff, evt_stickiness,
-# txt_wordpiece_roundtrip, layout_zonemap_scan, sim_pq(+_err),
-# sql Q19/Q15 shapes, mart_vector_curation, win_first_last,
-# src_text_roundtrip, fn_regexp_extract_all) — 48
-# zero-evidence rows, all inside the window — lead in registration
-# order; the remaining 2 slots go to the oldest-evidence rows.
+# ROUND-10 WINDOW: the r9 checklist executed — basis bumped to 9.  NEW
+# SORT KEY this round (VERDICT r9 Next #2): rows whose LATEST driver
+# status is FAIL/ERR now lead the window, ahead of zero-evidence rows —
+# the r9 reds (sim_group_centroid, fn_regexp_extract_all — both
+# re-registered with scalar outputs) and the r8-fixed-but-unverified
+# dq_null_profile seat first, so a fixed red can never sit driver-red a
+# whole extra round again.  Zero-evidence r10 registrations follow in
+# registration order; remaining slots rotate the oldest-evidence rows
+# (r5 `proj_select` family) forward.
 # REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
 # where three new queries were registered without re-pasting — the
 # window guard test is the backstop, run it before every commit.
 #
-# r10 builder checklist: once the driver lands CORRECTNESS_r09.json,
-# bump _PRIORITY_BASIS_ROUND to 9, regenerate with
-# `python tools/make_window.py --through-round 9`, and re-paste
+# r11 builder checklist: once the driver lands CORRECTNESS_r10.json,
+# bump _PRIORITY_BASIS_ROUND to 10, regenerate with
+# `python tools/make_window.py --through-round 10`, and re-paste
 # (defer only if new zero-evidence registrations overflow the window).
 # ---------------------------------------------------------------------------
 
-_PRIORITY_BASIS_ROUND = 8
+_PRIORITY_BASIS_ROUND = 9
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
@@ -143,15 +145,19 @@ _PRIORITY_BASIS_ROUND = 8
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
-def evidence_rounds(through_round: int | None = None) -> dict[str, int]:
-    """Latest driver-evidence round per query id, unioned over the
-    committed ``CORRECTNESS_r*.json`` files (any driver row counts —
-    the judge's zero-evidence metric).  ``through_round`` caps which
-    files are read so the pasted order stays reproducible."""
+def evidence_status(
+    through_round: int | None = None,
+) -> dict[str, tuple[int, bool]]:
+    """Per query id: ``(latest driver-evidence round, red)`` unioned over
+    the committed ``CORRECTNESS_r*.json`` files.  ``red`` means the row's
+    LATEST driver evidence is a FAIL/ERR — any ``*_match: false`` or a
+    real ``err`` (the by-design ``"no_oracle"`` rows-only marker is
+    green).  ``through_round`` caps which files are read so the pasted
+    order stays reproducible."""
     import json
     import re as _re
 
-    out: dict[str, int] = {}
+    out: dict[str, tuple[int, bool]] = {}
     repo_root = Path(__file__).resolve().parent.parent
     for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         m = _re.search(r"_r(\d+)\.json$", path.name)
@@ -160,83 +166,66 @@ def evidence_rounds(through_round: int | None = None) -> dict[str, int]:
         rnd = int(m.group(1))
         if through_round is not None and rnd > through_round:
             continue
-        for name in json.loads(path.read_text()):
-            out[name] = max(out.get(name, 0), rnd)
+        for name, row in json.loads(path.read_text()).items():
+            err = row.get("err")
+            red = (err is not None and err != "no_oracle") or any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            prev = out.get(name)
+            if prev is None or rnd >= prev[0]:
+                out[name] = (rnd, red)
     return out
 
 
+def evidence_rounds(through_round: int | None = None) -> dict[str, int]:
+    """Latest driver-evidence round per query id (the judge's
+    zero-evidence metric) — see :func:`evidence_status`."""
+    return {n: rnd for n, (rnd, _) in evidence_status(through_round).items()}
+
+
 def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
-    """The generated driver order: zero-evidence rows first (registration
-    order, DEFERRED_TO_NEXT_WINDOW pushed behind the rest), then
-    evidenced rows oldest-round-first."""
+    """The generated driver order: latest-status-FAIL/ERR rows FIRST
+    (a fixed red row must re-enter the window immediately — the r8→r9
+    ``dq_null_profile`` lesson: its fix sat unverified a whole round),
+    then zero-evidence rows (registration order, DEFERRED_TO_NEXT_WINDOW
+    pushed behind the rest), then evidenced-green rows
+    oldest-round-first.
+
+    A rows-only query and its ``_err`` oracle gate are glued to the
+    stronger (smaller) of their two keys: the gate is what makes the
+    rows-only row evidence, so they must land in the same driver window
+    even when their latest-evidence rounds differ (the
+    ``test_err_companions_share_their_windows`` contract)."""
     _ensure_loaded()
-    ev = evidence_rounds(through_round)
+    ev = evidence_status(through_round)
     order = _canonical_order()
     idx = {n: i for i, n in enumerate(order)}
 
-    def key(name: str):
+    def raw_key(name: str):
+        if name in ev and ev[name][1]:  # driver-red at latest evidence
+            return (0, False, 0, idx[name])
         if name not in ev:
-            return (0, name in DEFERRED_TO_NEXT_WINDOW, 0, idx[name])
-        return (1, False, ev[name], idx[name])
+            return (1, name in DEFERRED_TO_NEXT_WINDOW, 0, idx[name])
+        return (2, False, ev[name][0], idx[name])
 
-    return tuple(sorted(order, key=key))
+    keys = {n: raw_key(n) for n in order}
+    for name in order:
+        base = name[: -len("_err")] if name.endswith("_err") else None
+        if base and base in REGISTRY and REGISTRY[base].oracle is None:
+            glued = min(keys[base], keys[name])
+            keys[base] = keys[name] = glued
+
+    return tuple(sorted(order, key=keys.__getitem__))
 
 
-# Output of `python tools/make_window.py` at basis round 8 —
+# Output of `python tools/make_window.py` at basis round 9 —
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    "mart_crawl_prep",
-    "txt_html_to_text",
-    "txt_url_normalize",
-    "txt_html_main_text",
-    "txt_url_normalize_v2",
-    "txt_readability",
-    "dedup_substring_incr",
-    "dedup_substring_incr_err",
-    "samp_epochs",
-    "mart_user_engagement",
-    "evt_funnel_timing",
-    "dq_psi_categorical",
-    "dedup_semantic_incr",
-    "dedup_semantic_incr_err",
-    "txt_collocations",
-    "evt_rate_anomaly_seasonal",
-    "sql_shipping_priority",
-    "sql_local_supplier_volume",
-    "sql_returned_items",
-    "sim_mmr",
-    "sim_mmr_err",
-    "graph_triangles",
-    "txt_chunk_sentences",
+    "dq_null_profile",
     "sim_group_centroid",
-    "samp_mergeable",
-    "sql_promo_revenue",
-    "sql_large_volume_customers",
-    "join_skew_salted",
-    "layout_zorder",
-    "layout_compaction_plan",
-    "graph_kcore",
-    "graph_kcore_err",
-    "mm_png_interlaced",
-    "sql_late_shipment_priority",
-    "dq_freshness",
-    "samp_weighted",
-    "mm_png_palette",
-    "agg_kmv_diff",
-    "evt_stickiness",
-    "txt_wordpiece_roundtrip",
-    "layout_zonemap_scan",
-    "sim_pq",
-    "sim_pq_err",
-    "sql_disjunctive_revenue",
-    "sql_top_supplier",
-    "mart_vector_curation",
-    "win_first_last",
-    "src_text_roundtrip",
     "fn_regexp_extract_all",
-    "snk_jdbc_roundtrip",
-  # ---- window cut ----
     "proj_select",
     "proj_rename",
     "proj_alias",
@@ -273,7 +262,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding",
+    "agg_approx_distinct",
     "agg_approx_distinct_err",
+    "agg_approx_quantile",
     "agg_approx_quantile_err",
     "sim_cosine_topk",
     "sim_cosine_pairs",
@@ -282,12 +273,12 @@ _PRIORITY: tuple[str, ...] = (
     "mm_resize",
     "agg_pivot",
     "proj_unpivot",
+  # ---- window cut ----
     "agg_percentile",
     "mart_supplier_performance",
     "mart_product_performance",
     "mart_customer_sales_report",
     "src_orc_roundtrip",
-    "agg_approx_quantile",
     "txt_token_count",
     "txt_language_id",
     "txt_fingerprint",
@@ -308,20 +299,20 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cc_clusters",
     "dedup_cc_representatives",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_err",
     "dedup_simhash",
+    "dedup_simhash_err",
     "dedup_embedding_lsh",
-    "agg_approx_distinct",
+    "dedup_embedding_lsh_err",
     "agg_hll_mergeable",
     "agg_quantile_mergeable",
     "agg_cms_counts",
     "sim_ivf_topk",
+    "sim_ivf_topk_err",
     "sim_quantize",
     "sim_lsh_topk",
-    "dedup_minhash_lsh_err",
-    "dedup_simhash_err",
-    "dedup_embedding_lsh_err",
     "sim_lsh_topk_err",
-    "sim_ivf_topk_err",
+    "sim_cosine_topk_np",
     "sim_cosine_topk_np_err",
     "mm_png_features",
     "mm_phash_dedup",
@@ -367,7 +358,6 @@ _PRIORITY: tuple[str, ...] = (
     "cond_when_chain",
     "cond_null_default",
     "src_json_roundtrip",
-    "sim_cosine_topk_np",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
@@ -409,7 +399,6 @@ _PRIORITY: tuple[str, ...] = (
     "samp_kfold",
     "mart_llm_dataprep",
     "evt_streaks",
-    "dq_null_profile",
     "mart_rfm",
     "evt_cohort_ltv",
     "agg_bloom_join",
@@ -436,34 +425,58 @@ _PRIORITY: tuple[str, ...] = (
     "samp_balance",
     "mm_jpeg_features",
     "mm_transcode",
+    "snk_jdbc_roundtrip",
+    "mart_crawl_prep",
+    "txt_html_to_text",
+    "txt_url_normalize",
+    "txt_html_main_text",
+    "txt_url_normalize_v2",
+    "txt_readability",
+    "dedup_substring_incr",
+    "dedup_substring_incr_err",
+    "samp_epochs",
+    "mart_user_engagement",
+    "evt_funnel_timing",
+    "dq_psi_categorical",
+    "dedup_semantic_incr",
+    "dedup_semantic_incr_err",
+    "txt_collocations",
+    "evt_rate_anomaly_seasonal",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
+    "sql_returned_items",
+    "sim_mmr",
+    "sim_mmr_err",
+    "graph_triangles",
+    "txt_chunk_sentences",
+    "samp_mergeable",
+    "sql_promo_revenue",
+    "sql_large_volume_customers",
+    "join_skew_salted",
+    "layout_zorder",
+    "layout_compaction_plan",
+    "graph_kcore",
+    "graph_kcore_err",
+    "mm_png_interlaced",
+    "sql_late_shipment_priority",
+    "dq_freshness",
+    "samp_weighted",
+    "mm_png_palette",
+    "agg_kmv_diff",
+    "evt_stickiness",
+    "txt_wordpiece_roundtrip",
+    "layout_zonemap_scan",
+    "sim_pq",
+    "sim_pq_err",
+    "sql_disjunctive_revenue",
+    "sql_top_supplier",
+    "mart_vector_curation",
+    "win_first_last",
+    "src_text_roundtrip",
 )
 
-# summary: 249 registered; 49 zero-evidence;
-# window holds 49 zero-evidence rows; spilled past the cut: []
-
-# summary: 246 registered; 46 zero-evidence;
-# window holds 46 zero-evidence rows; spilled past the cut: []
-
-# summary: 245 registered; 45 zero-evidence;
-# window holds 45 zero-evidence rows; spilled past the cut: []
-
-# summary: 243 registered; 43 zero-evidence;
-# window holds 43 zero-evidence rows; spilled past the cut: []
-
-# summary: 241 registered; 41 zero-evidence;
-# window holds 41 zero-evidence rows; spilled past the cut: []
-
-# summary: 240 registered; 40 zero-evidence;
-# window holds 40 zero-evidence rows; spilled past the cut: []
-
-# summary: 239 registered; 39 zero-evidence;
-# window holds 39 zero-evidence rows; spilled past the cut: []
-
-# summary: 236 registered; 36 zero-evidence;
-# window holds 36 zero-evidence rows; spilled past the cut: []
-
-# summary: 233 registered; 33 zero-evidence;
-# window holds 33 zero-evidence rows; spilled past the cut: []
+# summary: 249 registered; 3 latest-red; 0 zero-evidence;
+# window holds 3 red + 0 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

@@ -29,6 +29,17 @@ def test_priority_is_a_permutation_of_the_registry():
     assert len(registry._PRIORITY) == len(names)
 
 
+def test_latest_red_rows_lead_the_window():
+    """A row whose LATEST driver evidence is FAIL/ERR must sit at the
+    very head of the window — ahead of zero-evidence rows — so a fix
+    gets re-verified the round it lands (VERDICT r9 Next #2: the fixed
+    dq_null_profile sat driver-red a whole round under the old key)."""
+    ev = registry.evidence_status(registry._PRIORITY_BASIS_ROUND)
+    red = [n for n in registry._PRIORITY if n in ev and ev[n][1]]
+    assert red == list(registry._PRIORITY[: len(red)]), red
+    assert len(red) <= WINDOW
+
+
 def test_window_front_loads_zero_evidence_rows():
     """Every zero-evidence, non-deferred query (at the basis round) sits
     inside the 50-row driver window; everything spilled past the cut is

@@ -48,8 +48,43 @@ def normalize(value):
     return str(value)
 
 
+def assert_driver_hashable(schema) -> None:
+    """Reject output columns the DRIVER's canonicalizer cannot hash.
+
+    The driver canonicalizes results with a pandas ``sort_values`` over
+    every output column; list/dict cells crash it with ``TypeError:
+    unhashable type`` (r9: fn_regexp_extract_all, sim_group_centroid).
+    The builder's checker used to stringify them instead — the two
+    harnesses diverged and two locally-green rows shipped driver-red.
+    Complex types are fine INSIDE a query; registered OUTPUT columns
+    must be scalar (array_join / long-form grain / element projection).
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if bad:
+        raise TypeError(
+            f"driver-unhashable output columns {bad} — serialize before "
+            "registering (array_join(col,'|'), a long-form (key,pos,val) "
+            "grain, or per-element projection)"
+        )
+
+
 def table_hash(rows, columns):
     ordered = sorted(columns)
+    if rows:
+        # Reproduce the driver's pandas-based canon step so anything it
+        # would crash on crashes HERE first (harness-parity guard; the
+        # hash itself stays normalize()-based, identical on both sides).
+        import pandas as pd
+
+        pd.DataFrame(
+            [[row[c] for c in ordered] for row in rows], columns=ordered
+        ).sort_values(by=ordered)
     lines = sorted(
         "|".join(normalize(row[c]) for c in ordered) for row in rows
     )
@@ -77,6 +112,16 @@ def main() -> int:
     for name in selected:
         try:
             sdf = all_queries[name](spark, SF_DIR)
+            if name in oracles:
+                # hard gate: the driver will canon+hash this output
+                assert_driver_hashable(sdf.schema)
+            else:
+                # rows-only rows are only counted by the driver; complex
+                # output is tolerated but flagged (keep them scalar too)
+                try:
+                    assert_driver_hashable(sdf.schema)
+                except TypeError as exc:
+                    print(f"  {name}: WARN {exc}")
             srows = [r.asDict() for r in sdf.collect()]
             scols = [c.lower() for c in sdf.columns]
             if name not in oracles:

@@ -5,7 +5,8 @@ per round, so the order IS the evidence-rotation policy.  This tool makes
 the composition mechanical (VERDICT r7 Next #5): it unions the committed
 ``CORRECTNESS_r*.json`` driver rows, sorts every registered query id by
 
-    (zero-evidence first, DEFERRED_TO_NEXT_WINDOW last within those,
+    (latest-status-FAIL/ERR first, zero-evidence next
+     [DEFERRED_TO_NEXT_WINDOW last within those],
      oldest latest-evidence round, registration order)
 
 via ``registry.compute_priority`` (the single implementation the pytest
@@ -39,11 +40,11 @@ def main() -> int:
 
     from kusuma_metamorph_etl_spark import registry
 
-    ev = registry.evidence_rounds(args.through_round)
+    ev = registry.evidence_status(args.through_round)
     basis = args.through_round
     if basis is None:
-        basis = max(ev.values(), default=0)
-        ev = registry.evidence_rounds(basis)
+        basis = max((rnd for rnd, _ in ev.values()), default=0)
+        ev = registry.evidence_status(basis)
     order = registry.compute_priority(basis)
 
     print(f"# Output of `python tools/make_window.py` at basis round {basis} —")
@@ -54,8 +55,10 @@ def main() -> int:
         marks = []
         if name not in ev:
             marks.append("zero-evidence")
+        elif ev[name][1]:
+            marks.append(f"RED(r{ev[name][0]})")
         else:
-            marks.append(f"r{ev[name]}")
+            marks.append(f"r{ev[name][0]}")
         if name in registry.DEFERRED_TO_NEXT_WINDOW:
             marks.append("DEFERRED")
         cut = "  # ---- window cut ----" if i == WINDOW else ""
@@ -66,13 +69,23 @@ def main() -> int:
 
     window = order[:WINDOW]
     zero = [n for n in order if n not in ev]
+    red = [n for n in order if n in ev and ev[n][1]]
     spilled = [n for n in zero if n not in window]
-    print(f"\n# summary: {len(order)} registered; {len(zero)} zero-evidence;", file=sys.stderr)
+    red_spilled = [n for n in red if n not in window]
     print(
-        f"# window holds {sum(1 for n in window if n not in ev)} zero-evidence rows;"
+        f"\n# summary: {len(order)} registered; {len(red)} latest-red;"
+        f" {len(zero)} zero-evidence;",
+        file=sys.stderr,
+    )
+    print(
+        f"# window holds {len([n for n in window if n in red])} red +"
+        f" {sum(1 for n in window if n not in ev)} zero-evidence rows;"
         f" spilled past the cut: {spilled}",
         file=sys.stderr,
     )
+    if red_spilled:
+        print(f"# ERROR: latest-red rows outside the window: {red_spilled}", file=sys.stderr)
+        return 1
     bad = [n for n in spilled if n not in registry.DEFERRED_TO_NEXT_WINDOW]
     if bad:
         print(f"# ERROR: spilled rows not in DEFERRED_TO_NEXT_WINDOW: {bad}", file=sys.stderr)
