@@ -359,7 +359,11 @@ def html_to_text(html: Column, decode_numeric: bool = True) -> Column:
         # \x02 is unambiguous: decode_numeric_refs spaces out raw
         # \x01/\x02 bytes before marking.
         t = decode_numeric_refs(t, amp_as="\x02")
-    ent_t = t
+    # the literal replaces stay UNgated: a conditional here repeats the
+    # whole upstream tree in condition + both branches, and measured
+    # 2× SLOWER than the scans it saves (codegen blowup) — only the
+    # numeric decode, whose array machinery is genuinely heavy, carries
+    # an identity fast path (inside decode_numeric_refs)
     for ent, ch in (
         ("&nbsp;", " "),
         ("&lt;", "<"),
@@ -368,17 +372,9 @@ def html_to_text(html: Column, decode_numeric: bool = True) -> Column:
         ("&#39;", "'"),
         ("&amp;", "&"),  # LAST: &amp;lt; must become &lt;, not <
     ):
-        ent_t = F.replace(ent_t, F.lit(ent), F.lit(ch))
+        t = F.replace(t, F.lit(ent), F.lit(ch))
     if decode_numeric:
-        # after &amp;, like it
-        ent_t = F.replace(ent_t, F.lit("\x02"), F.lit("&"))
-    # identity fast path (r9 mart_crawl_prep regression fix): every
-    # named-entity spelling contains '&' and the sentinel restore needs
-    # a '\x02', so a document with neither skips all seven replace scans
-    # — byte-identical semantics, instr probes instead of scans
-    t = F.when(
-        (F.instr(t, "&") > 0) | (F.instr(t, "\x02") > 0), ent_t
-    ).otherwise(t)
+        t = F.replace(t, F.lit("\x02"), F.lit("&"))  # after &amp;, like it
     # explicit class, not \s: Java's \s includes \x0B, RE2's does not
     # (the words() rule) — the collapse must act on the SAME set both
     # engines or text_clean diverges from the oracle on a vertical tab

@@ -168,7 +168,19 @@ def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     URLs (`normalize_url`; the synthesized raw URLs collide 10-to-1 only
     AFTER tracking params and fragments strip, so the dedup is exercised
     for real).  One narrow projection chain + one url-keyed window —
-    shuffle count independent of corpus size."""
+    shuffle count independent of corpus size.
+
+    The token floor rides INSIDE the window as a conditional min
+    (`min(when(n_tokens >= 20, doc_id))`) with the row filter applied
+    ABOVE the window — semantically identical to filter-then-window
+    (min skips the NULLed sub-floor rows; sub-floor rows and winnerless
+    urls drop in the final filter) but 3.5× faster measured: a filter
+    BELOW the window pushes through the projection and re-evaluates the
+    whole html_to_text chain a second time for the predicate, while a
+    Window materializes its child projection once (predicates on
+    non-partition columns never push through a Window).  The r9 1.64×
+    regression on this row was exactly that double evaluation getting
+    more expensive as the chain grew."""
     docs = t(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     html = F.concat(
@@ -189,13 +201,16 @@ def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_norm",
         F.size(text.words(F.col("text_clean"))).cast("long").alias("n_tokens"),
     )
-    kept = staged.filter(F.col("n_tokens") >= 20)
     from pyspark.sql import Window as W
 
-    keep = F.min("doc_id").over(W.partitionBy("url_norm"))
+    keep = F.min(F.when(F.col("n_tokens") >= 20, F.col("doc_id"))).over(
+        W.partitionBy("url_norm")
+    )
     return (
-        kept.withColumn("__keep", keep)
-        .filter(F.col("doc_id") == F.col("__keep"))
+        staged.withColumn("__keep", keep)
+        .filter(
+            (F.col("n_tokens") >= 20) & (F.col("doc_id") == F.col("__keep"))
+        )
         .select("doc_id", "url_norm", "n_tokens")
     )
 
