@@ -220,12 +220,22 @@ def _png_scanline_bytes(planes: np.ndarray, interlace: bool) -> bytes:
     return raw.tobytes()
 
 
-def encode_png_palette(pixels: np.ndarray, interlace: bool = False) -> bytes:
+def encode_png_palette(
+    pixels: np.ndarray,
+    interlace: bool = False,
+    trns: np.ndarray | None = None,
+) -> bytes:
     """Indexed-color (type 3) PNG encoder for palette-expressible images
     (≤256 distinct colors — same contract as :func:`encode_gif`:
     quantization is out of scope, a richer image raises instead of
     silently posterizing).  Greyscale expands to RGB.  Deterministic:
-    the PLTE is the lexicographically-sorted distinct-color list."""
+    the PLTE is the lexicographically-sorted distinct-color list.
+
+    ``trns`` emits a tRNS transparency chunk: per-PALETTE-ENTRY alpha
+    bytes (PNG spec 11.3.2.1), at most one per palette entry — a
+    SHORTER array is legal and means the remaining entries are fully
+    opaque (the decoder pads with 255), which is exactly the seam the
+    `mm_png_trns` gate exercises."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
@@ -245,10 +255,20 @@ def encode_png_palette(pixels: np.ndarray, interlace: bool = False) -> bytes:
     ).reshape(h, w, 1)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
     idat = zlib.compress(_png_scanline_bytes(idx, interlace), 6)
+    trns_chunk = b""
+    if trns is not None:
+        alphas = np.asarray(trns, dtype=np.uint8).ravel()
+        if alphas.size > len(colors):
+            raise ValueError(
+                f"tRNS has {alphas.size} entries for a {len(colors)}-color "
+                "palette"
+            )
+        trns_chunk = _png_chunk(b"tRNS", alphas.tobytes())
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", colors.tobytes())
+        + trns_chunk
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
@@ -317,15 +337,11 @@ def _decode_png(payload: bytes) -> np.ndarray:
             "or Adam7); 16-bit/sub-byte depths need a codec injected via "
             "extract_binary_features(decoder=...)"
         )
-    if trns is not None:
-        # transparency is data-affecting on EVERY color type (palette
-        # alpha for 3, transparent-color for 0/2) — silently decoding
-        # without it would change pixel semantics, so it stays a named
-        # seam rather than being ignored.
-        raise NotImplementedError(
-            "tRNS (transparency) PNG needs a codec injected via "
-            "extract_binary_features(decoder=...)"
-        )
+    if trns is not None and color not in (0, 2, 3):
+        # types 4/6 already carry a full alpha channel; the spec forbids
+        # tRNS there (PNG spec 11.3.2.1) — a payload that has both is
+        # malformed, not a seam.
+        raise ValueError(f"tRNS is invalid for PNG color type {color}")
     if color == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG missing or malformed PLTE chunk")
     # palette scanlines carry one INDEX byte per pixel; map after unfilter
@@ -347,12 +363,40 @@ def _decode_png(payload: bytes) -> np.ndarray:
         arr3 = out.astype(np.uint8).reshape(h, w, channels)
         arr = arr3[:, :, 0] if channels == 1 else arr3
     if color != 3:
-        return arr
+        if trns is None:
+            return arr
+        # transparent-COLOR-key transparency (PNG spec 11.3.2.2/.3):
+        # 16-bit sample values; at depth 8 the level lives in the low
+        # byte.  Matching pixels get alpha 0, everything else 255.
+        if color == 0:
+            if len(trns) < 2:
+                raise ValueError("malformed tRNS for greyscale PNG")
+            key = struct.unpack(">H", trns[:2])[0] & 0xFF
+            alpha = np.where(arr == key, 0, 255).astype(np.uint8)
+            return np.dstack([arr, alpha])  # h x w x 2 grey+alpha
+        if len(trns) < 6:
+            raise ValueError("malformed tRNS for RGB PNG")
+        key_rgb = np.array(
+            [v & 0xFF for v in struct.unpack(">HHH", trns[:6])],
+            dtype=np.uint8,
+        )
+        matches = (arr == key_rgb).all(axis=2)
+        alpha = np.where(matches, 0, 255).astype(np.uint8)
+        return np.dstack([arr, alpha])  # h x w x 4 RGBA
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     idx = arr  # h x w index plane
     if int(idx.max(initial=0)) >= pal.shape[0]:
         raise ValueError("palette PNG index exceeds PLTE size")
-    return pal[idx]
+    if trns is None:
+        return pal[idx]
+    # palette alpha (PNG spec 11.3.2.1): one alpha byte per entry, a
+    # short chunk leaves the remaining entries fully opaque
+    alut = np.full(pal.shape[0], 255, dtype=np.uint8)
+    alphas = np.frombuffer(trns, dtype=np.uint8)
+    if alphas.size > pal.shape[0]:
+        raise ValueError("tRNS longer than PLTE")
+    alut[: alphas.size] = alphas
+    return np.dstack([pal[idx], alut[idx]])  # h x w x 4 RGBA
 
 
 def _png_deinterlace(
@@ -495,7 +539,10 @@ def synthesize_ppm(text: str) -> bytes:
 
 
 def synthesize_png(
-    text: str, interlace: bool = False, palette: bool = False
+    text: str,
+    interlace: bool = False,
+    palette: bool = False,
+    trns: bool = False,
 ) -> bytes:
     """Deterministic synthetic PNG payload — same pixel contract as
     :func:`synthesize_ppm`, so the PNG inflate+unfilter path must decode to
@@ -503,8 +550,23 @@ def synthesize_png(
     ``interlace`` emits the Adam7 layout (the `mm_png_interlaced` gate);
     ``palette`` emits indexed color type 3 (the repeated-digest pixels
     have ≤48 distinct colors, so they are always palette-expressible —
-    the `mm_png_palette` gate)."""
+    the `mm_png_palette` gate).
+
+    ``trns`` (palette only) attaches a HALF-LENGTH all-opaque tRNS
+    chunk: alpha bytes of 255 for the first half of the palette, the
+    rest left to the decoder's mandatory pad-to-255 — so the decode must
+    parse the chunk, pad it, and assemble RGBA, and the resulting mean
+    is exactly ``(3·rgb_mean + 255) / 4``, which the `mm_png_trns` gate
+    pins against the PPM twin without needing alpha in the oracle.
+    Varied per-entry alphas are pinned exactly in pytest
+    (tests/test_multimodal.py)."""
     px = _synthesize_pixels(text)
+    if trns:
+        if not palette:
+            raise ValueError("trns synthesis requires palette=True")
+        n_colors = len(np.unique(px.reshape(-1, 3), axis=0))
+        alphas = np.full(max(1, n_colors // 2), 255, dtype=np.uint8)
+        return encode_png_palette(px, interlace=interlace, trns=alphas)
     if palette:
         return encode_png_palette(px, interlace=interlace)
     return encode_png(px, interlace=interlace)
@@ -531,15 +593,19 @@ def attach_png_payload(
     id_col: str = "doc_id",
     interlace: bool = False,
     palette: bool = False,
+    trns: bool = False,
 ) -> DataFrame:
     """Synthesized-PNG payload column (Arrow-batched pandas UDF), typed
     ``image/png``.  ``interlace`` synthesizes Adam7 streams; ``palette``
-    synthesizes indexed color type 3."""
+    synthesizes indexed color type 3; ``trns`` adds the transparency
+    chunk (palette only)."""
 
     @F.pandas_udf("binary")
     def make_png(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda s: synthesize_png(s, interlace=interlace, palette=palette)
+            lambda s: synthesize_png(
+                s, interlace=interlace, palette=palette, trns=trns
+            )
         )
 
     return df.withColumn("payload", make_png(F.col(text_col))).withColumn(

@@ -5958,6 +5958,47 @@ def mm_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_png_trns",
+    """SELECT doc_id,
+              'png' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(4 AS INTEGER) AS channels
+       FROM documents""",
+)
+def mm_png_trns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL tRNS-transparency PNG decode ([EXT] multimodal; the tRNS
+    branch of `operators/multimodal.py::_decode_png` — graduates the
+    last named PNG seam, r9 verdict #6): per-document type-3 payloads
+    carrying a HALF-LENGTH all-opaque tRNS chunk, so the decoder must
+    parse the chunk, pad the alpha LUT to the palette length with 255,
+    and assemble RGBA.  Gate: oracle-recomputed dimensions, channels
+    pinned to 4, and mean parity with the PPM twin via the exact
+    identity mean(RGBA) = (3·mean(RGB) + 255)/4 — a dropped chunk
+    (channels 3), a zero-pad bug, or a misaligned alpha lookup all turn
+    the driver red.  Varied per-entry alphas are pinned element-exact in
+    tests/test_multimodal.py."""
+    docs = t(spark, sf_dir, "documents")
+    png = multimodal.extract_binary_features(
+        multimodal.attach_png_payload(docs, palette=True, trns=True)
+    )
+    ppm = multimodal.extract_binary_features(
+        multimodal.attach_image_payload(docs)
+    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
+    return (
+        png.join(ppm, "doc_id")
+        .filter(
+            F.abs(
+                F.col("mean_value")
+                - (F.lit(3.0) * F.col("ppm_mean") + F.lit(255.0)) / F.lit(4.0)
+            )
+            < 1e-9
+        )
+        .select("doc_id", "format", "width", "height", "channels")
+    )
+
+
+@register(
     "agg_kmv_diff",
     """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')

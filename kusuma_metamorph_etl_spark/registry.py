@@ -226,6 +226,7 @@ _PRIORITY: tuple[str, ...] = (
     "dq_null_profile",
     "sim_group_centroid",
     "fn_regexp_extract_all",
+    "mm_png_trns",
     "proj_select",
     "proj_rename",
     "proj_alias",
@@ -272,8 +273,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_resize",
     "agg_pivot",
-    "proj_unpivot",
   # ---- window cut ----
+    "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
     "mart_product_performance",
@@ -475,8 +476,8 @@ _PRIORITY: tuple[str, ...] = (
     "src_text_roundtrip",
 )
 
-# summary: 249 registered; 3 latest-red; 0 zero-evidence;
-# window holds 3 red + 0 zero-evidence rows; spilled past the cut: []
+# summary: 250 registered; 3 latest-red; 1 zero-evidence;
+# window holds 3 red + 1 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

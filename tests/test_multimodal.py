@@ -305,7 +305,7 @@ class TestPngPalette:
         with pytest.raises(ValueError):
             multimodal.encode_png_palette(big)
 
-    def test_index_overflow_and_trns_gated(self):
+    def test_index_overflow_rejected(self):
         import struct
         import zlib
 
@@ -322,19 +322,6 @@ class TestPngPalette:
         )
         with pytest.raises(ValueError):
             multimodal._decode_png(overflow)
-        zero = np.zeros((2, 2, 1), dtype=np.uint8)
-        with_trns = (
-            multimodal._PNG_SIG
-            + multimodal._png_chunk(b"IHDR", ihdr)
-            + multimodal._png_chunk(b"PLTE", bytes(9))
-            + multimodal._png_chunk(b"tRNS", b"\x00")
-            + multimodal._png_chunk(
-                b"IDAT", zlib.compress(multimodal._png_scanline_bytes(zero, False))
-            )
-            + multimodal._png_chunk(b"IEND", b"")
-        )
-        with pytest.raises(NotImplementedError):
-            multimodal._decode_png(with_trns)
 
     def test_synthesize_palette_pixel_parity(self):
         text = "indexed color parity"
@@ -343,6 +330,126 @@ class TestPngPalette:
         )
         ppm = multimodal.decode_image(multimodal.synthesize_ppm(text))
         assert np.array_equal(pal["pixels"], ppm["pixels"])
+
+
+class TestPngTrns:
+    """tRNS transparency (PNG spec 11.3.2) — graduated from a named seam
+    in r10 (VERDICT r9 Next #6): palette alpha lookup with mandatory
+    pad-to-255, and transparent-color keys for greyscale/RGB."""
+
+    def test_palette_varied_alphas_exact(self):
+        """Element-exact RGBA: every palette entry gets a DISTINCT alpha,
+        so a misaligned lookup (off-by-one, wrong LUT order) cannot
+        pass."""
+        rng = np.random.RandomState(31)
+        base = rng.randint(0, 5, size=(6, 7, 3)).astype(np.uint8) * 50
+        colors = np.unique(base.reshape(-1, 3), axis=0)
+        alphas = (255 - np.arange(len(colors)) * 17).astype(np.uint8)
+        for interlace in (False, True):
+            enc = multimodal.encode_png_palette(
+                base, interlace=interlace, trns=alphas
+            )
+            img = multimodal.decode_image(enc)
+            assert img["channels"] == 4, interlace
+            out = img["pixels"]
+            assert np.array_equal(out[:, :, :3], base), interlace
+            lut = {tuple(c): alphas[i] for i, c in enumerate(map(tuple, colors))}
+            expected_a = np.array(
+                [[lut[tuple(px)] for px in row] for row in base], dtype=np.uint8
+            )
+            assert np.array_equal(out[:, :, 3], expected_a), interlace
+
+    def test_palette_short_chunk_pads_opaque(self):
+        """A tRNS shorter than the palette leaves the tail entries fully
+        opaque (the decoder must pad with 255, not 0)."""
+        base = (np.arange(12, dtype=np.uint8).reshape(4, 3) % 4) * 60
+        rgb = np.repeat(base[:, :, None], 3, axis=2)
+        enc = multimodal.encode_png_palette(rgb, trns=np.array([7], np.uint8))
+        out = multimodal.decode_image(enc)["pixels"]
+        # palette is sorted distinct colors, entry 0 == color 0
+        assert np.array_equal(out[:, :, 3][base == 0], np.array([7] * 3))
+        assert (out[:, :, 3][base != 0] == 255).all()
+
+    def test_grey_and_rgb_color_key(self):
+        import struct
+        import zlib
+
+        # greyscale: pixels equal to the key go transparent
+        grey = np.array([[10, 20], [30, 10]], dtype=np.uint8)
+        lines = b"".join(b"\x00" + bytes(row) for row in grey)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"tRNS", struct.pack(">H", 10))
+            + multimodal._png_chunk(b"IDAT", zlib.compress(lines))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        out = multimodal._decode_png(payload)
+        assert out.shape == (2, 2, 2)
+        assert np.array_equal(out[:, :, 0], grey)
+        assert np.array_equal(
+            out[:, :, 1], np.where(grey == 10, 0, 255).astype(np.uint8)
+        )
+        # RGB: only the exact (r,g,b) key matches
+        rgb = np.array(
+            [[[1, 2, 3], [9, 9, 9]], [[1, 2, 3], [1, 2, 4]]], dtype=np.uint8
+        )
+        lines = b"".join(b"\x00" + bytes(row.ravel()) for row in rgb)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))
+            + multimodal._png_chunk(b"IDAT", zlib.compress(lines))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        out = multimodal._decode_png(payload)
+        assert out.shape == (2, 2, 4)
+        assert np.array_equal(out[:, :, :3], rgb)
+        assert np.array_equal(
+            out[:, :, 3],
+            np.array([[0, 255], [0, 255]], dtype=np.uint8),
+        )
+
+    def test_trns_rejected_on_alpha_color_types(self):
+        """Color types 4/6 already carry alpha — tRNS there is malformed
+        per spec, not a seam."""
+        import struct
+        import zlib
+
+        arr = np.zeros((2, 2, 4), dtype=np.uint8)
+        lines = b"".join(b"\x00" + bytes(row.ravel()) for row in arr)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"tRNS", b"\x00")
+            + multimodal._png_chunk(b"IDAT", zlib.compress(lines))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            multimodal._decode_png(payload)
+
+    def test_encoder_rejects_oversized_trns(self):
+        base = np.zeros((2, 2, 3), dtype=np.uint8)  # 1 distinct color
+        with pytest.raises(ValueError):
+            multimodal.encode_png_palette(
+                base, trns=np.array([1, 2], np.uint8)
+            )
+
+    def test_synthesize_trns_mean_identity(self):
+        """The mm_png_trns gate identity: half-length all-opaque tRNS ⇒
+        mean(RGBA) == (3·mean(RGB) + 255) / 4 exactly."""
+        text = "transparency gate identity"
+        img = multimodal.decode_image(
+            multimodal.synthesize_png(text, palette=True, trns=True)
+        )
+        ppm = multimodal.decode_image(multimodal.synthesize_ppm(text))
+        assert img["channels"] == 4
+        got = float(img["pixels"].mean())
+        want = (3.0 * float(ppm["pixels"].mean()) + 255.0) / 4.0
+        assert abs(got - want) < 1e-9
 
 
 class TestPhash:
