@@ -366,21 +366,21 @@ def _decode_png(payload: bytes) -> np.ndarray:
         if trns is None:
             return arr
         # transparent-COLOR-key transparency (PNG spec 11.3.2.2/.3):
-        # 16-bit sample values; at depth 8 the level lives in the low
-        # byte.  Matching pixels get alpha 0, everything else 255.
+        # 16-bit sample values; at depth 8 a conforming encoder zeroes the
+        # high byte.  A key component outside the sample range (> 255 at
+        # depth 8) can match no pixel — the image decodes all-opaque
+        # rather than aliasing onto (key & 0xFF).  Matching pixels get
+        # alpha 0, everything else 255.
         if color == 0:
             if len(trns) < 2:
                 raise ValueError("malformed tRNS for greyscale PNG")
-            key = struct.unpack(">H", trns[:2])[0] & 0xFF
+            key = struct.unpack(">H", trns[:2])[0]
             alpha = np.where(arr == key, 0, 255).astype(np.uint8)
             return np.dstack([arr, alpha])  # h x w x 2 grey+alpha
         if len(trns) < 6:
             raise ValueError("malformed tRNS for RGB PNG")
-        key_rgb = np.array(
-            [v & 0xFF for v in struct.unpack(">HHH", trns[:6])],
-            dtype=np.uint8,
-        )
-        matches = (arr == key_rgb).all(axis=2)
+        key_rgb = np.array(struct.unpack(">HHH", trns[:6]), dtype=np.int32)
+        matches = (arr.astype(np.int32) == key_rgb).all(axis=2)
         alpha = np.where(matches, 0, 255).astype(np.uint8)
         return np.dstack([arr, alpha])  # h x w x 4 RGBA
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
@@ -449,6 +449,12 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     the same seam).  Anything unrecognized raises ``ValueError``;
     genuinely external codecs inject via
     ``extract_binary_features(decoder=...)``.
+
+    Strictness note: a tRNS chunk on PNG color types 4/6 (which already
+    carry a full alpha channel) is rejected as malformed (``ValueError``,
+    PNG spec 11.3.2.1).  libpng-style decoders commonly ignore the stray
+    chunk instead; callers needing that leniency should inject a decoder
+    via ``extract_binary_features(decoder=...)``.
     """
     if payload[:2] in (b"P6", b"P5"):
         pixels = _decode_ppm(payload)

@@ -412,6 +412,42 @@ class TestPngTrns:
             np.array([[0, 255], [0, 255]], dtype=np.uint8),
         )
 
+    def test_out_of_range_color_key_matches_nothing(self):
+        """A tRNS key component > 255 at bit depth 8 is out of the sample
+        range: it must match NO pixel (all-opaque decode), not alias onto
+        (key & 0xFF) — key 0x0141 used to spuriously match grey 0x41
+        (r10 ADVICE)."""
+        import struct
+        import zlib
+
+        grey = np.array([[0x41, 0x20], [0x30, 0x41]], dtype=np.uint8)
+        lines = b"".join(b"\x00" + bytes(row) for row in grey)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"tRNS", struct.pack(">H", 0x0141))
+            + multimodal._png_chunk(b"IDAT", zlib.compress(lines))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        out = multimodal._decode_png(payload)
+        assert out.shape == (2, 2, 2)
+        assert (out[:, :, 1] == 255).all()
+        # RGB: one component out of range poisons the whole key
+        rgb = np.array([[[0x41, 2, 3], [9, 9, 9]]], dtype=np.uint8)
+        lines = b"".join(b"\x00" + bytes(row.ravel()) for row in rgb)
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"tRNS", struct.pack(">HHH", 0x0141, 2, 3))
+            + multimodal._png_chunk(b"IDAT", zlib.compress(lines))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        out = multimodal._decode_png(payload)
+        assert out.shape == (1, 2, 4)
+        assert (out[:, :, 3] == 255).all()
+
     def test_trns_rejected_on_alpha_color_types(self):
         """Color types 4/6 already carry alpha — tRNS there is malformed
         per spec, not a seam."""

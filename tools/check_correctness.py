@@ -75,16 +75,14 @@ def assert_driver_hashable(schema) -> None:
 
 
 def table_hash(rows, columns):
+    # Harness parity with the driver's pandas canon step is enforced at
+    # the SCHEMA level by assert_driver_hashable (array/map/struct are
+    # exactly the cell types the driver's sort_values crashes on).  A
+    # row-level pandas dry-run here was dropped per r10 ADVICE: common
+    # pandas versions sort object columns of lists without raising, so
+    # it proved nothing the schema gate doesn't, at a full-materialize
+    # cost per query.
     ordered = sorted(columns)
-    if rows:
-        # Reproduce the driver's pandas-based canon step so anything it
-        # would crash on crashes HERE first (harness-parity guard; the
-        # hash itself stays normalize()-based, identical on both sides).
-        import pandas as pd
-
-        pd.DataFrame(
-            [[row[c] for c in ordered] for row in rows], columns=ordered
-        ).sort_values(by=ordered)
     lines = sorted(
         "|".join(normalize(row[c]) for c in ordered) for row in rows
     )
