@@ -6415,3 +6415,46 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(arr, "|").alias("long_words"),
         F.size(arr).cast("int").alias("n_long"),
     )
+
+
+_SQL_WAITING_ORDERS = """SELECT s.s_name,
+              CAST(count(*) AS BIGINT) AS numwait
+       FROM supplier{v} s
+       JOIN lineitem{v} l1 ON l1.l_suppkey = s.s_suppkey
+       JOIN orders{v} o ON o.o_orderkey = l1.l_orderkey
+       WHERE o.o_orderstatus = 'F'
+         AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+         AND EXISTS (SELECT 1 FROM lineitem{v} l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem{v} l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate
+                               > o.o_orderdate + INTERVAL 60 DAY)
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s.s_name
+       LIMIT 100"""
+
+
+@register("sql_waiting_orders", _SQL_WAITING_ORDERS.format(v=""))
+def sql_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenth pure-SQL entry (TPC-H Q21 shape, VERDICT r10 Next #6):
+    suppliers who were the SOLE late supplier on a finished
+    multi-supplier order — the one classic join shape the family
+    lacked: a fact self-joined THREE ways, once as the driving scan,
+    once under correlated EXISTS (another supplier participated), once
+    under correlated NOT EXISTS (nobody else was late).  The reference
+    schema has no commitdate/receiptdate, so "late" is shipdate more
+    than 60 days after the order date — the SAME correlated predicate
+    Q21 binds to the outer order row, here reaching o from both l1 and
+    the l3 subquery.  Catalyst plans the EXISTS as a LEFT SEMI and the
+    NOT EXISTS as a LEFT ANTI join keyed on l_orderkey (inequality
+    residuals on suppkey/shipdate), so each lineitem replay is one
+    hash-join pass, no row duplication and no cartesian corner —
+    `tests/test_plans.py` pins semi+anti+no-cartesian.  ORDER BY is
+    total (numwait DESC, unique s_name) so LIMIT 100 is deterministic
+    across engines.  Identical SQL text on both engines."""
+    for name in ("supplier", "lineitem", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_WAITING_ORDERS.format(v="_v"))

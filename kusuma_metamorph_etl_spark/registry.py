@@ -224,6 +224,7 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
+    "sql_waiting_orders",
     "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
@@ -273,8 +274,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof",
     "join_asof_forward",
     "join_range",
-    "evt_funnel",
   # ---- window cut ----
+    "evt_funnel",
     "evt_sessionize",
     "evt_retention",
     "join_fuzzy",

@@ -403,6 +403,24 @@ def test_q4_q14_q18_plan_contracts(spark, sf_small):
     assert "SortMergeJoin" not in q18
 
 
+def test_q21_semi_anti_no_cartesian(spark, sf_small):
+    """Q21-shape contract (sql_waiting_orders): the correlated EXISTS
+    compiles to a LEFT SEMI and the NOT EXISTS to a LEFT ANTI join on
+    l_orderkey — three passes over the fact as hash joins, never a
+    cartesian/nested-loop corner, with the top-100 as
+    TakeOrderedAndProject."""
+    from kusuma_metamorph_etl_spark.queries.ext import sql_waiting_orders
+
+    plan = _plan(sql_waiting_orders(spark, sf_small))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # finished-orders filter reaches the orders scan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
 def test_salted_join_spreads_without_extra_shuffle_of_small_side(spark, sf_small):
     """The salted join's big side must NOT gain an extra exchange beyond
     the join's own shuffle, and the replicated small side stays a narrow
