@@ -76,6 +76,7 @@ HEADLINE = [
     "txt_unigram_roundtrip",  # unigram train + distributed Viterbi encode
     "mm_transcode",  # all four image codecs, decode + re-encode, one pass
     "mart_crawl_prep",  # html strip + quality floor + URL-canonical dedup
+    "mart_streaming_quality",  # burst dedup + sessionize + anomaly gate + snapshot
     "sql_shipping_priority",  # TPC-H Q3 star join (broadcast + TakeOrdered)
     "sql_local_supplier_volume",  # Q5: six-table local-supplier join tree
     "txt_html_main_text",  # block split + link-density filter + full strip

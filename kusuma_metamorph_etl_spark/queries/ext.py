@@ -6458,3 +6458,136 @@ def sql_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("supplier", "lineitem", "orders"):
         t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
     return spark.sql(_SQL_WAITING_ORDERS.format(v="_v"))
+
+
+_GAP_US = 1_800 * 1_000_000  # sessionize gap, µs
+_BURST_US = 600 * 1_000_000  # retry-burst dedup window, µs
+
+
+@register(
+    "mart_streaming_quality",
+    f"""WITH ded AS (
+         SELECT user_id, event_type, event_id, ts, value
+         FROM (SELECT e.*, lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev_ts
+               FROM events e)
+         WHERE prev_ts IS NULL
+            OR date_diff('microsecond', prev_ts, ts) > {_BURST_US}),
+       sess AS (
+         SELECT user_id, event_id, ts, event_type, value,
+                sum(CASE WHEN prev2 IS NULL
+                          OR date_diff('microsecond', prev2, ts) > {_GAP_US}
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+         FROM (SELECT d.*, lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev2
+               FROM ded d)),
+       daily AS (
+         -- counts from ded, not sess: sessionize only ADDS a column, so
+         -- the per-(type, day) volume is identical and the engine side
+         -- can skip the second window on this branch
+         SELECT event_type, CAST(ts AS DATE) AS day_dt, count(*) AS n,
+                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+         FROM ded GROUP BY 1, 2, 4),
+       anom AS (
+         SELECT event_type, day_dt FROM (
+           SELECT event_type, day_dt, n,
+                  round(avg(n) OVER win, 6) AS m,
+                  round(stddev_samp(n) OVER win, 6) AS s,
+                  count(n) OVER win AS bn
+           FROM daily
+           WINDOW win AS (PARTITION BY event_type ORDER BY ed
+                          RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
+         WHERE bn >= 7 AND s > 0 AND abs(round((n - m) / s, 6)) > 3.0),
+       clean AS (
+         SELECT s.*, CAST(s.ts AS DATE) AS day_dt
+         FROM sess s
+         WHERE NOT EXISTS (SELECT 1 FROM anom a
+                           WHERE a.event_type = s.event_type
+                             AND a.day_dt = CAST(s.ts AS DATE)))
+       SELECT day_dt,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(count(DISTINCT user_id * 100000 + session_idx) AS BIGINT)
+                  AS n_sessions,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+                  AS total_value,
+              DATE '{RUN_DATE}' AS snapshot_date
+       FROM clean GROUP BY day_dt""",
+)
+def mart_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-quality composition capstone (VERDICT r9 Next #8 /
+    r10 Next #4) — the events+streaming counterpart of
+    `mart_llm_dataprep`: the daily published snapshot a streaming ingest
+    pipeline serves, assembled from this package's registered operators
+    and oracle-checked END TO END through the batch twins of the
+    stateful streaming pair.
+
+    Chain: ingest → retry-burst dedup (`dedup_within_window`, the batch
+    twin of `streaming/stateful.py::dedup_window_stream`; 10-min chained
+    bursts collapse to first arrival) → sessionize survivors
+    (`sessionize`, twin of `sessionize_stream`; 30-min gap) → per-(type,
+    day) volume-anomaly gate (`timeseries.rate_anomaly`, trailing
+    28-day z-score, |z| > 3 — fires for real at sf0.01, 2 type-days) →
+    published per-day snapshot (events, users, active sessions,
+    exact-decimal value sum, `RUN_DATE` stamp).  A drift in ANY stage —
+    burst boundary, session boundary, baseline window, z rounding,
+    gate NULL policy, money rounding — hash-flips the driver row.
+
+    Streaming parity: the first two stages run as a genuine two-hop
+    availableNow streaming pipeline (file source → dedup_window_stream →
+    parquet → sessionize_stream) in
+    `tests/test_streaming.py::test_streaming_quality_two_hop_matches_mart_stages`;
+    the anomaly gate + snapshot are batch-over-stream-output by design
+    (a daily publish, not a per-event emit).
+
+    Scale shape: two key-partitioned windows (user_id×type, then
+    user_id — second reuses the first's hash partitioning modulo key
+    prefix), one (type, day) aggregate (tiny), a broadcast anti-join of
+    the anomalous type-days against the event stream, and one final
+    per-day aggregate with map-side partials.  No global window, no
+    driver materialization."""
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_round
+    from kusuma_metamorph_etl_spark.operators.events import (
+        dedup_within_window,
+        sessionize,
+    )
+    from kusuma_metamorph_etl_spark.operators.timeseries import rate_anomaly
+
+    ev = t(spark, sf_dir, "events")
+    ded = dedup_within_window(
+        ev, keys=["user_id", "event_type"], window_seconds=600
+    )
+    sess = sessionize(
+        ded, gap_seconds=1800, keep_cols=["event_type", "value"]
+    )
+    # volume baseline from ded, not sess: sessionize only adds a column,
+    # so the counts are identical and this branch skips the second
+    # (user-keyed) window; the dedup window's shuffle is byte-identical
+    # on both branches and AQE reuses the exchange.
+    daily = ded.groupBy(
+        "event_type", F.to_date("ts").alias("day_dt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    anom = (
+        rate_anomaly(daily, ["event_type"], "day_dt", "n")
+        .filter(F.col("is_anomaly"))
+        .select("event_type", "day_dt")
+    )
+    clean = sess.withColumn("day_dt", F.to_date("ts")).join(
+        F.broadcast(anom), ["event_type", "day_dt"], "left_anti"
+    )
+    return (
+        clean.groupBy("day_dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.col("user_id") * 100_000 + F.col("session_idx")
+            ).alias("n_sessions"),
+            decimal_round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+                .alias("total_value"),
+        )
+        .withColumn("snapshot_date", F.lit(RUN_DATE).cast("date"))
+    )

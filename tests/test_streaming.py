@@ -715,3 +715,62 @@ def test_stateful_late_stragglers_still_reach_the_handler(spark, tmp_path):
     assert sorted(
         r["event_id"] for r in spark.table("t_late").collect()
     ) == [1, 2]
+
+
+@pytest.mark.slow
+def test_streaming_quality_two_hop_matches_mart_stages(spark, sf_small, tmp_path):
+    """mart_streaming_quality's first two stages as a GENUINE two-hop
+    streaming pipeline (bronze→silver→gold shape): file source →
+    dedup_window_stream → parquet sink, then that parquet re-streamed →
+    sessionize_stream → memory.  The composed stream labels every
+    surviving event with the SAME session index as the mart's batch
+    chain (dedup_within_window → sessionize) over the same input — the
+    end-to-end parity the registered mart row's oracle check rides on."""
+    from kusuma_metamorph_etl_spark.operators.events import (
+        dedup_within_window,
+        sessionize,
+    )
+    from kusuma_metamorph_etl_spark.streaming.stateful import (
+        dedup_window_stream,
+        sessionize_stream,
+    )
+
+    silver = tmp_path / "mart_sq_silver"
+    hop1 = dedup_window_stream(stream_events(spark, sf_small), window_seconds=600)
+    q1 = (
+        hop1.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(silver))
+        .option("checkpointLocation", str(tmp_path / "mart_sq_ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    silver_schema = (
+        "user_id long, event_type string, event_id long, ts timestamp,"
+        " value double"
+    )
+    hop2 = sessionize_stream(
+        spark.readStream.schema(silver_schema).parquet(str(silver)),
+        gap_seconds=1800,
+    )
+    run_to_memory_sink(hop2, "t_mart_sq_two_hop", output_mode="append")
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in spark.table("t_mart_sq_two_hop").collect()
+    }
+
+    events = load_table(spark, sf_small, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    expected = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(
+            dedup_within_window(
+                events, keys=["user_id", "event_type"], window_seconds=600
+            ),
+            gap_seconds=1800,
+        ).collect()
+    }
+    assert got == expected and got
