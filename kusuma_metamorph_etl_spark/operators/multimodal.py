@@ -176,22 +176,34 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
 
 
 def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
-    """8-bit PNG encoder (greyscale HxW, grey+alpha HxWx2, RGB HxWx3,
-    RGBA HxWx4), sequential or Adam7-interlaced.  Scanlines use filter
+    """PNG encoder (greyscale HxW, grey+alpha HxWx2, RGB HxWx3, RGBA
+    HxWx4), sequential or Adam7-interlaced.  Sample depth follows the
+    input dtype: uint8 arrays emit bit depth 8, uint16 arrays bit depth
+    16 (big-endian sample bytes per PNG spec 7.1).  Scanlines use filter
     type 0 — zlib does the compressing; filter search is a size
     optimization, not a correctness requirement.  With ``interlace`` the
     IDAT stream is the RFC 2083 §2.6 pass concatenation: each pass is an
     independent sub-image with its own filter byte per reduced scanline,
     and empty passes are wholly absent."""
-    arr = np.asarray(pixels, dtype=np.uint8)
+    src = np.asarray(pixels)
+    depth = 16 if src.dtype == np.uint16 else 8
+    arr = src if depth == 16 else np.asarray(src, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in _PNG_COLOR_TYPE:
-        raise ValueError(f"expected HxW or HxWx{{2,3,4}} uint8 array, got {arr.shape}")
+        raise ValueError(
+            f"expected HxW or HxWx{{2,3,4}} uint8/uint16 array, got {arr.shape}"
+        )
     h, w, channels = arr.shape
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[channels], 0, 0, int(interlace)
+        ">IIBBBBB", w, h, depth, _PNG_COLOR_TYPE[channels], 0, 0, int(interlace)
     )
+    if depth == 16:
+        # big-endian byte split: each pixel becomes channels*2 contiguous
+        # bytes, so the 8-bit scanline/Adam7 machinery stays pixel-exact
+        arr = (
+            arr.astype(">u2").view(np.uint8).reshape(h, w, channels * 2)
+        )
     idat = zlib.compress(_png_scanline_bytes(arr, interlace), 6)
     return (
         _PNG_SIG
@@ -328,15 +340,18 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG payload missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if (
-        depth != 8
+        depth not in (8, 16)
         or (color not in _PNG_CHANNELS and color != 3)
         or interlace not in (0, 1)
     ):
         raise NotImplementedError(
-            "only 8-bit greyscale/RGB(A)/palette PNG supported (sequential "
-            "or Adam7); 16-bit/sub-byte depths need a codec injected via "
-            "extract_binary_features(decoder=...)"
+            "only 8/16-bit greyscale/RGB(A) and 8-bit palette PNG supported "
+            "(sequential or Adam7); sub-byte depths need a codec injected "
+            "via extract_binary_features(decoder=...)"
         )
+    if depth == 16 and color == 3:
+        # palette bit depths are 1/2/4/8 only (PNG spec 11.2.2)
+        raise ValueError("16-bit sample depth is invalid for palette PNG")
     if trns is not None and color not in (0, 2, 3):
         # types 4/6 already carry a full alpha channel; the spec forbids
         # tRNS there (PNG spec 11.3.2.1) — a payload that has both is
@@ -346,11 +361,17 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("palette PNG missing or malformed PLTE chunk")
     # palette scanlines carry one INDEX byte per pixel; map after unfilter
     channels = 1 if color == 3 else _PNG_CHANNELS[color]
+    # filtering operates on BYTES: at depth 16 each pixel is channels*2
+    # bytes and the filter's left-neighbor distance (bpp) follows suit
+    # (PNG spec 7.2/9.2), so the byte-plane machinery is depth-agnostic
+    byte_ch = channels * (depth // 8)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace:
-        arr = _png_deinterlace(raw, w, h, channels)
+        arr = _png_deinterlace(raw, w, h, byte_ch)
+        if byte_ch == 1:
+            arr = arr.reshape(h, w, 1)
     else:
-        stride = w * channels
+        stride = w * byte_ch
         if raw.size != h * (1 + stride):
             raise ValueError("PNG data size does not match IHDR dimensions")
         raw = raw.reshape(h, 1 + stride)
@@ -358,30 +379,35 @@ def _decode_png(payload: bytes) -> np.ndarray:
         for y in range(h):
             prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
             out[y] = _png_unfilter_row(
-                int(raw[y, 0]), raw[y, 1:].astype(np.int32), prev, channels
+                int(raw[y, 0]), raw[y, 1:].astype(np.int32), prev, byte_ch
             )
-        arr3 = out.astype(np.uint8).reshape(h, w, channels)
-        arr = arr3[:, :, 0] if channels == 1 else arr3
+        arr = out.astype(np.uint8).reshape(h, w, byte_ch)
+    if depth == 16:
+        # recombine big-endian byte pairs into uint16 samples
+        pairs = arr.reshape(h, w, channels, 2).astype(np.uint16)
+        arr = (pairs[..., 0] << 8) | pairs[..., 1]
+    arr = arr[:, :, 0] if channels == 1 else arr
+    opaque = 65535 if depth == 16 else 255
     if color != 3:
         if trns is None:
             return arr
         # transparent-COLOR-key transparency (PNG spec 11.3.2.2/.3):
-        # 16-bit sample values; at depth 8 a conforming encoder zeroes the
+        # 16-bit key values; at depth 8 a conforming encoder zeroes the
         # high byte.  A key component outside the sample range (> 255 at
         # depth 8) can match no pixel — the image decodes all-opaque
         # rather than aliasing onto (key & 0xFF).  Matching pixels get
-        # alpha 0, everything else 255.
+        # alpha 0, everything else fully opaque at the image's depth.
         if color == 0:
             if len(trns) < 2:
                 raise ValueError("malformed tRNS for greyscale PNG")
             key = struct.unpack(">H", trns[:2])[0]
-            alpha = np.where(arr == key, 0, 255).astype(np.uint8)
+            alpha = np.where(arr == key, 0, opaque).astype(arr.dtype)
             return np.dstack([arr, alpha])  # h x w x 2 grey+alpha
         if len(trns) < 6:
             raise ValueError("malformed tRNS for RGB PNG")
         key_rgb = np.array(struct.unpack(">HHH", trns[:6]), dtype=np.int32)
         matches = (arr.astype(np.int32) == key_rgb).all(axis=2)
-        alpha = np.where(matches, 0, 255).astype(np.uint8)
+        alpha = np.where(matches, 0, opaque).astype(arr.dtype)
         return np.dstack([arr, alpha])  # h x w x 4 RGBA
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     idx = arr  # h x w index plane
@@ -438,10 +464,11 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     """Decode a binary image payload → ``{format, width, height, channels,
     pixels}`` with ``pixels`` a uint8 numpy array.
 
-    Real pure-numpy decode for PPM/PGM, uncompressed 24-bit BMP, 8-bit
-    PNG — greyscale/RGB(A)/palette, sequential AND Adam7-interlaced
-    (stdlib zlib inflate + scanline unfilter + pass reassembly + PLTE
-    lookup),
+    Real pure-numpy decode for PPM/PGM, uncompressed 24-bit BMP, PNG —
+    8-bit greyscale/RGB(A)/palette plus 16-bit greyscale/RGB(A)
+    (big-endian sample recombination, ``pixels`` dtype uint16),
+    sequential AND Adam7-interlaced (stdlib zlib inflate + scanline
+    unfilter + pass reassembly + PLTE lookup),
     GIF87a/89a (real variable-width LZW, global/local palettes), and
     JPEG — baseline sequential (any integer-ratio subsampling) AND
     progressive SOF2 (file-read Huffman tables, dequantize + IDCT —
@@ -549,6 +576,7 @@ def synthesize_png(
     interlace: bool = False,
     palette: bool = False,
     trns: bool = False,
+    depth16: bool = False,
 ) -> bytes:
     """Deterministic synthetic PNG payload — same pixel contract as
     :func:`synthesize_ppm`, so the PNG inflate+unfilter path must decode to
@@ -565,7 +593,12 @@ def synthesize_png(
     is exactly ``(3·rgb_mean + 255) / 4``, which the `mm_png_trns` gate
     pins against the PPM twin without needing alpha in the oracle.
     Varied per-entry alphas are pinned exactly in pytest
-    (tests/test_multimodal.py)."""
+    (tests/test_multimodal.py).
+
+    ``depth16`` emits bit depth 16 with each 8-bit sample expanded by
+    ×257 (``x*257 == x<<8 | x``, the PNG-recommended scaling) — so the
+    decoded uint16 mean is EXACTLY 257× the PPM twin's mean, which the
+    `mm_png_16bit` gate pins without a 16-bit oracle."""
     px = _synthesize_pixels(text)
     if trns:
         if not palette:
@@ -575,6 +608,8 @@ def synthesize_png(
         return encode_png_palette(px, interlace=interlace, trns=alphas)
     if palette:
         return encode_png_palette(px, interlace=interlace)
+    if depth16:
+        return encode_png(px.astype(np.uint16) * 257, interlace=interlace)
     return encode_png(px, interlace=interlace)
 
 
@@ -600,6 +635,7 @@ def attach_png_payload(
     interlace: bool = False,
     palette: bool = False,
     trns: bool = False,
+    depth16: bool = False,
 ) -> DataFrame:
     """Synthesized-PNG payload column (Arrow-batched pandas UDF), typed
     ``image/png``.  ``interlace`` synthesizes Adam7 streams; ``palette``
@@ -610,7 +646,11 @@ def attach_png_payload(
     def make_png(texts: pd.Series) -> pd.Series:
         return texts.map(
             lambda s: synthesize_png(
-                s, interlace=interlace, palette=palette, trns=trns
+                s,
+                interlace=interlace,
+                palette=palette,
+                trns=trns,
+                depth16=depth16,
             )
         )
 

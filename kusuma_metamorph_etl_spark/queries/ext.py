@@ -6591,3 +6591,42 @@ def mart_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("snapshot_date", F.lit(RUN_DATE).cast("date"))
     )
+
+
+@register(
+    "mm_png_16bit",
+    """SELECT doc_id,
+              'png' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels
+       FROM documents""",
+)
+def mm_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 16-bit-sample-depth PNG decode ([EXT] multimodal; graduates
+    the IHDR depth gate `operators/multimodal.py::_decode_png` carried
+    since r5 — VERDICT r10 Next #7): per-document depth-16 RGB payloads
+    (each 8-bit sample expanded ×257 = hi|lo byte duplication, the PNG
+    spec's recommended scaling), decoded by byte-plane unfilter at
+    bpp=6 + big-endian sample recombination into uint16 pixels.  Gate:
+    oracle-recomputed dimensions AND the decoded uint16 mean must equal
+    257× the PPM twin's 8-bit mean exactly — a byte-order swap, a wrong
+    filter bpp, or a dropped low byte all shift the mean and turn the
+    driver red.  Filters 1–4 at bpp 6, Adam7 16-bit, 16-bit color keys,
+    and the palette+16-bit rejection are pinned element-exact in
+    tests/test_multimodal.py."""
+    docs = t(spark, sf_dir, "documents")
+    png = multimodal.extract_binary_features(
+        multimodal.attach_png_payload(docs, depth16=True)
+    )
+    ppm = multimodal.extract_binary_features(
+        multimodal.attach_image_payload(docs)
+    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
+    return (
+        png.join(ppm, "doc_id")
+        .filter(
+            F.abs(F.col("mean_value") - F.lit(257.0) * F.col("ppm_mean"))
+            < 1e-6
+        )
+        .select("doc_id", "format", "width", "height", "channels")
+    )

@@ -226,6 +226,7 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 _PRIORITY: tuple[str, ...] = (
     "sql_waiting_orders",
     "mart_streaming_quality",
+    "mm_png_16bit",
     "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
@@ -273,8 +274,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_spectral",
     "mm_audio_features",
     "join_asof",
-    "join_asof_forward",
   # ---- window cut ----
+    "join_asof_forward",
     "join_range",
     "evt_funnel",
     "evt_sessionize",

@@ -164,14 +164,15 @@ class TestPng:
         assert np.array_equal(multimodal._decode_png(payload), arr)
 
     def test_unsupported_variants_gated(self):
-        """16-bit PNGs stay behind the seam (interlaced and palette
-        graduated to real decodes in r9 — TestPngAdam7/TestPngPalette)."""
+        """Sub-byte depths stay behind the seam (interlaced and palette
+        graduated in r9, 16-bit in r11 — TestPngAdam7/TestPngPalette and
+        the 16-bit tests above)."""
         import struct
         import zlib
 
         arr = np.zeros((2, 2, 3), dtype=np.uint8)
         comp = zlib.compress(b"\x00" * (2 * 7))
-        for depth, color, interlace in [(16, 2, 0)]:
+        for depth, color, interlace in [(4, 0, 0), (1, 0, 0), (2, 3, 0)]:
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
             payload = (
                 multimodal._PNG_SIG
@@ -411,6 +412,115 @@ class TestPngTrns:
             out[:, :, 3],
             np.array([[0, 255], [0, 255]], dtype=np.uint8),
         )
+
+    def test_16bit_roundtrip_exact(self):
+        """Depth-16 encode→decode is element-exact for grey, RGB and
+        RGBA, sequential and Adam7 — big-endian byte split/recombine and
+        the byte-level filter bpp (channels*2) both covered."""
+        rng = np.random.RandomState(7)
+        base = rng.randint(0, 65536, size=(5, 7, 3)).astype(np.uint16)
+        shapes = [base[:, :, 0], base, np.dstack([base, base[:, :, :1]])]
+        for arr in shapes:
+            for interlace in (False, True):
+                out = multimodal._decode_png(
+                    multimodal.encode_png(arr, interlace=interlace)
+                )
+                assert out.dtype == np.uint16, (arr.shape, interlace)
+                assert np.array_equal(out, arr), (arr.shape, interlace)
+
+    def test_16bit_filters_1_to_4_decode(self):
+        """Filters operate on bytes with bpp = channels*2 at depth 16
+        (PNG spec 9.2).  Our encoder only emits filter 0, so forward-
+        filter scanlines by hand (Sub/Up/Average/Paeth per RFC 2083 §6)
+        and check the decode reconstructs the original samples."""
+        import struct
+        import zlib
+
+        rng = np.random.RandomState(11)
+        px = rng.randint(0, 65536, size=(4, 5, 3)).astype(np.uint16)
+        h, w, ch = px.shape
+        bpp = ch * 2
+        plane = px.astype(">u2").view(np.uint8).reshape(h, w * bpp).astype(int)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        lines = b""
+        for y, ftype in enumerate([1, 2, 3, 4]):
+            cur, prev = plane[y], plane[y - 1] if y else np.zeros(w * bpp, int)
+            filt = np.zeros(w * bpp, int)
+            for x in range(w * bpp):
+                left = cur[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                pred = {
+                    1: left,
+                    2: prev[x],
+                    3: (left + prev[x]) // 2,
+                    4: paeth(left, prev[x], ul),
+                }[ftype]
+                filt[x] = (cur[x] - pred) % 256
+            lines += bytes([ftype]) + bytes(filt.tolist())
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", zlib.compress(lines))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(multimodal._decode_png(payload), px)
+
+    def test_16bit_palette_rejected(self):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"PLTE", b"\x00" * 6)
+            + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            multimodal._decode_png(payload)
+
+    def test_16bit_grey_color_key(self):
+        """At depth 16 the tRNS key spans the full sample range and the
+        opaque level is 65535, not 255."""
+        import struct
+        import zlib
+
+        grey = np.array([[300, 70000 % 65536], [300, 12]], dtype=np.uint16)
+        plane = grey.astype(">u2").view(np.uint8).reshape(2, 4)
+        lines = b"".join(b"\x00" + bytes(row.tolist()) for row in plane)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"tRNS", struct.pack(">H", 300))
+            + multimodal._png_chunk(b"IDAT", zlib.compress(lines))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        out = multimodal._decode_png(payload)
+        assert out.dtype == np.uint16 and out.shape == (2, 2, 2)
+        assert np.array_equal(out[:, :, 0], grey)
+        expected = np.where(grey == 300, 0, 65535).astype(np.uint16)
+        assert np.array_equal(out[:, :, 1], expected)
+
+    def test_16bit_synthesis_mean_identity(self):
+        """synthesize_png(depth16) expands samples ×257, so the decoded
+        mean is exactly 257× the PPM twin's mean — the mm_png_16bit
+        driver gate's identity."""
+        for text in ("alpha", "a longer document body with words"):
+            f16 = multimodal.image_features(
+                multimodal.synthesize_png(text, depth16=True)
+            )
+            f8 = multimodal.image_features(multimodal.synthesize_ppm(text))
+            assert f16["channels"] == 3
+            assert (f16["width"], f16["height"]) == (f8["width"], f8["height"])
+            assert abs(f16["mean_value"] - 257.0 * f8["mean_value"]) < 1e-6
 
     def test_out_of_range_color_key_matches_nothing(self):
         """A tRNS key component > 255 at bit depth 8 is out of the sample
