@@ -6630,3 +6630,101 @@ def mm_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "format", "width", "height", "channels")
     )
+
+
+_SQL_CUSTOMER_DISTRIBUTION = """WITH co AS (
+         SELECT c.c_custkey,
+                CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+         FROM customer{v} c
+         LEFT JOIN orders{v} o
+           ON o.o_custkey = c.c_custkey
+          AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY c.c_custkey)
+       SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM co
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+
+
+@register(
+    "sql_customer_distribution", _SQL_CUSTOMER_DISTRIBUTION.format(v="")
+)
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eleventh pure-SQL entry (TPC-H Q13 shape): the order-count
+    histogram over ALL customers — the one aggregation shape that needs
+    a LEFT OUTER join (zero-order customers must survive into the
+    c_count=0 bucket; an inner join silently drops the most interesting
+    bar of the histogram) with the priority predicate in the JOIN
+    CONDITION, not the WHERE clause (in WHERE it would turn the outer
+    join back into an inner one).  Double aggregation: per-customer
+    count, then the count-of-counts.  ORDER BY is total (c_count unique
+    per row).  Identical SQL text on both engines."""
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_CUSTOMER_DISTRIBUTION.format(v="_v"))
+
+
+_SQL_SMALL_QTY_REVENUE = """SELECT
+         CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 2)
+              AS DOUBLE) AS total_revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem{v} l
+       JOIN part{v} p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#1'
+         AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                             FROM lineitem{v} l2
+                             WHERE l2.l_partkey = p.p_partkey)"""
+
+
+@register("sql_small_qty_revenue", _SQL_SMALL_QTY_REVENUE.format(v=""))
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twelfth pure-SQL entry (TPC-H Q17 shape): revenue from orders
+    below 20% of the part's OWN average quantity — the correlated
+    scalar-AVG subquery over the same fact the outer query scans.
+    Catalyst de-correlates it into a per-partkey aggregate joined back
+    on the correlation key (one extra pass over lineitem, never a
+    per-row re-scan); the brand filter broadcasts the surviving part
+    keys.  The 0.2·avg threshold compares raw doubles, but the operands
+    differ by orders of magnitude from any tie boundary (quantities are
+    integers ≥ 1; avg/5 lands on .2 grids), so the comparison is
+    engine-stable.  Output keeps the family's exact-decimal sum
+    convention instead of Q17's /7.0 double division (a rounded double
+    quotient can straddle a half-penny tie across engines — the
+    registry's round-on-raw-doubles rule)."""
+    for name in ("part", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_SMALL_QTY_REVENUE.format(v="_v"))
+
+
+_SQL_SALES_OPPORTUNITY = """WITH thresh AS (
+         SELECT round(avg(c_acctbal), 6) AS ab
+         FROM customer{v} WHERE c_acctbal > 0)
+       SELECT c.c_nationkey,
+              CAST(count(*) AS BIGINT) AS numcust,
+              CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))), 2)
+                   AS DOUBLE) AS totacctbal
+       FROM customer{v} c
+       WHERE c.c_acctbal > (SELECT ab FROM thresh)
+         AND NOT EXISTS (SELECT 1 FROM orders{v} o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+       GROUP BY c.c_nationkey"""
+
+
+@register("sql_sales_opportunity", _SQL_SALES_OPPORTUNITY.format(v=""))
+def sql_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thirteenth pure-SQL entry (TPC-H Q22 shape): above-average-balance
+    customers with no urgent orders, rolled up per nation — the
+    uncorrelated scalar subquery (global avg threshold, computed once
+    and broadcast) combined with a correlated NOT EXISTS anti-join on a
+    FILTERED subquery (the filter stays inside the subquery; hoisting it
+    to the outer WHERE would change which customers qualify).  The
+    reference schema has no phone column, so Q22's cntrycode prefix
+    becomes c_nationkey.  The avg threshold is rounded to 6 dp on both
+    engines before comparing: account balances carry 2 decimals, so a
+    last-ulp sum-order difference in the raw avg can never flip a
+    customer across the rounded boundary.  Money sum per the family
+    convention."""
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_SALES_OPPORTUNITY.format(v="_v"))

@@ -227,6 +227,9 @@ _PRIORITY: tuple[str, ...] = (
     "sql_waiting_orders",
     "mart_streaming_quality",
     "mm_png_16bit",
+    "sql_customer_distribution",
+    "sql_small_qty_revenue",
+    "sql_sales_opportunity",
     "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
@@ -271,10 +274,10 @@ _PRIORITY: tuple[str, ...] = (
     "mm_png_features",
     "mm_phash_dedup",
     "mm_video_frames",
+  # ---- window cut ----
     "mm_audio_spectral",
     "mm_audio_features",
     "join_asof",
-  # ---- window cut ----
     "join_asof_forward",
     "join_range",
     "evt_funnel",

@@ -421,6 +421,36 @@ def test_q21_semi_anti_no_cartesian(spark, sf_small):
     assert "EqualTo(o_orderstatus,F)" in plan
 
 
+def test_q13_q17_q22_plan_contracts(spark, sf_small):
+    """The r11 SQL entries: Q13's histogram keeps the LEFT OUTER join
+    (priority predicate rides the join condition, not a filter that
+    would re-inner it), Q17's correlated scalar-AVG de-correlates into a
+    per-key aggregate + equi-join (no per-row re-scan, no nested loop
+    over the fact), Q22 anti-joins the filtered orders subquery.  None
+    may plan a cartesian corner."""
+    from kusuma_metamorph_etl_spark.queries.ext import (
+        sql_customer_distribution,
+        sql_sales_opportunity,
+        sql_small_qty_revenue,
+    )
+
+    q13 = _plan(sql_customer_distribution(spark, sf_small))
+    assert "LeftOuter" in q13
+    assert "CartesianProduct" not in q13
+
+    q17 = _plan(sql_small_qty_revenue(spark, sf_small))
+    assert "CartesianProduct" not in q17
+    # de-correlation materializes as an aggregate feeding a hash join,
+    # never a nested-loop re-scan of lineitem per outer row
+    assert "BroadcastNestedLoopJoin" not in q17
+    assert q17.count("HashAggregate") >= 2
+
+    q22 = _plan(sql_sales_opportunity(spark, sf_small))
+    assert "LeftAnti" in q22
+    assert "CartesianProduct" not in q22
+    assert "EqualTo(o_orderpriority,1-URGENT)" in q22  # filter pushed
+
+
 def test_salted_join_spreads_without_extra_shuffle_of_small_side(spark, sf_small):
     """The salted join's big side must NOT gain an extra exchange beyond
     the join's own shuffle, and the replicated small side stays a narrow
