@@ -88,6 +88,47 @@ def test_overage_evidence_rows_are_seated_in_the_window():
     assert budget <= 6, f"rotation budget {budget} rounds — registry too large"
 
 
+def test_assert_driver_hashable_rejects_exactly_the_driver_crash_types():
+    """The local checker's schema gate must reject array/map/struct
+    output columns (the cell types the driver's pandas canonicalizer
+    crashes on — r9 driver-ERRs) and pass every scalar type.  This is
+    the gate the r10 ADVICE asked to be the single source of truth after
+    the row-level pandas dry-run was dropped (object columns of lists
+    sort without raising on common pandas versions)."""
+    import sys
+    from pathlib import Path
+
+    import pytest
+    from pyspark.sql import types as T
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from check_correctness import assert_driver_hashable
+
+    scalars = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("e", T.TimestampType()),
+            T.StructField("f", T.BooleanType()),
+            T.StructField("g", T.DecimalType(38, 6)),
+            T.StructField("h", T.BinaryType()),
+        ]
+    )
+    assert_driver_hashable(scalars)  # must not raise
+    for bad in (
+        T.ArrayType(T.LongType()),
+        T.MapType(T.StringType(), T.LongType()),
+        T.StructType([T.StructField("x", T.LongType())]),
+    ):
+        schema = T.StructType(
+            [T.StructField("ok", T.LongType()), T.StructField("bad", bad)]
+        )
+        with pytest.raises(TypeError, match="bad"):
+            assert_driver_hashable(schema)
+
+
 def test_err_companions_share_their_windows():
     """A rows-only query and its `_err` oracle gate must land in the same
     driver window — the gate is what makes the rows-only row evidence."""
