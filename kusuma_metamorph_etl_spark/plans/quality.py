@@ -442,3 +442,70 @@ def freshness_report(
         lag.alias("lag_days"),
         (lag > stale_after_days).alias("stale"),
     )
+
+
+def reconcile(
+    source: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    amount_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Source→target load reconciliation: per key-group row counts and
+    exact-decimal amount sums compared across the two frames — the
+    classic post-load audit every warehouse run ends with (row drift
+    from a dropped partition, amount drift from a bad cast or double
+    rounding).
+
+    Output grain is the key group: ``(keys…, src_rows, tgt_rows,
+    src_amount, tgt_amount, rows_ok, amount_ok, status)`` with status
+    ``ok`` / ``row_mismatch`` / ``amount_mismatch`` /
+    ``missing_in_target`` / ``extra_in_target``.  Groups present on one
+    side only survive via the FULL OUTER join with zero-filled
+    counterparts.
+
+    Determinism: amounts sum in DECIMAL(38,6) (exact, combine-order
+    independent) and compare after rounding to ``scale`` — never raw
+    doubles (SCALE.md "expression-level pitfalls").
+
+    Scale shape: two grouped aggregates with map-side partials (each
+    side scans once, shuffles only group-grain rows) + one equi-join on
+    the group key — group-grain cost however wide the fact is; never a
+    row-level join.  At 100 TB run it per load partition (day) so the
+    join stays tiny.
+    """
+    dec = f"decimal(38,{max(scale, 6)})"
+
+    def grouped(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias(f"{side}_rows"),
+            F.round(F.sum(F.col(amount_col).cast(dec)), scale)
+            .cast("decimal(38,6)")
+            .alias(f"{side}_amount"),
+        )
+
+    src, tgt = grouped(source, "src"), grouped(target, "tgt")
+    j = src.join(tgt, on=keys, how="full_outer")
+    src_rows = F.coalesce(F.col("src_rows"), F.lit(0))
+    tgt_rows = F.coalesce(F.col("tgt_rows"), F.lit(0))
+    src_amt = F.coalesce(F.col("src_amount"), F.lit(0).cast("decimal(38,6)"))
+    tgt_amt = F.coalesce(F.col("tgt_amount"), F.lit(0).cast("decimal(38,6)"))
+    rows_ok = src_rows == tgt_rows
+    amount_ok = src_amt == tgt_amt
+    status = (
+        F.when(F.col("tgt_rows").isNull(), F.lit("missing_in_target"))
+        .when(F.col("src_rows").isNull(), F.lit("extra_in_target"))
+        .when(~rows_ok, F.lit("row_mismatch"))
+        .when(~amount_ok, F.lit("amount_mismatch"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        *keys,
+        src_rows.alias("src_rows"),
+        tgt_rows.alias("tgt_rows"),
+        src_amt.cast("double").alias("src_amount"),
+        tgt_amt.cast("double").alias("tgt_amount"),
+        rows_ok.alias("rows_ok"),
+        amount_ok.alias("amount_ok"),
+        status.alias("status"),
+    )

@@ -6728,3 +6728,87 @@ def sql_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders"):
         t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
     return spark.sql(_SQL_SALES_OPPORTUNITY.format(v="_v"))
+
+
+@register(
+    "dq_reconcile",
+    """WITH tgt AS (
+         SELECT l_returnflag, l_linestatus,
+                CASE WHEN l_returnflag = 'A' AND l_orderkey % 511 = 0
+                     THEN l_extendedprice + 0.01
+                     ELSE l_extendedprice END AS amt
+         FROM lineitem
+         WHERE NOT (l_returnflag = 'R' AND l_orderkey % 997 = 0
+                    AND l_linenumber = 1)),
+       s AS (
+         SELECT l_returnflag, l_linestatus,
+                CAST(count(*) AS BIGINT) AS src_rows,
+                round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                    AS src_amt
+         FROM lineitem GROUP BY 1, 2),
+       t AS (
+         SELECT l_returnflag, l_linestatus,
+                CAST(count(*) AS BIGINT) AS tgt_rows,
+                round(SUM(CAST(amt AS DECIMAL(38,6))), 2) AS tgt_amt
+         FROM tgt GROUP BY 1, 2)
+       SELECT COALESCE(s.l_returnflag, t.l_returnflag) AS l_returnflag,
+              COALESCE(s.l_linestatus, t.l_linestatus) AS l_linestatus,
+              COALESCE(s.src_rows, 0) AS src_rows,
+              COALESCE(t.tgt_rows, 0) AS tgt_rows,
+              CAST(COALESCE(s.src_amt, 0) AS DOUBLE) AS src_amount,
+              CAST(COALESCE(t.tgt_amt, 0) AS DOUBLE) AS tgt_amount,
+              COALESCE(s.src_rows, 0) = COALESCE(t.tgt_rows, 0) AS rows_ok,
+              COALESCE(s.src_amt, CAST(0 AS DECIMAL(38,6)))
+                  = COALESCE(t.tgt_amt, CAST(0 AS DECIMAL(38,6))) AS amount_ok,
+              CASE WHEN t.tgt_rows IS NULL THEN 'missing_in_target'
+                   WHEN s.src_rows IS NULL THEN 'extra_in_target'
+                   WHEN COALESCE(s.src_rows, 0) <> COALESCE(t.tgt_rows, 0)
+                       THEN 'row_mismatch'
+                   WHEN COALESCE(s.src_amt, CAST(0 AS DECIMAL(38,6)))
+                        <> COALESCE(t.tgt_amt, CAST(0 AS DECIMAL(38,6)))
+                       THEN 'amount_mismatch'
+                   ELSE 'ok' END AS status
+       FROM s FULL JOIN t
+         ON s.l_returnflag = t.l_returnflag
+        AND s.l_linestatus = t.l_linestatus""",
+)
+def dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source→target load reconciliation ([EXT] data quality;
+    `plans/quality.py::reconcile` — the post-load audit the §2.9 family
+    lacked): per (returnflag, linestatus) group, row counts and
+    exact-decimal amount sums compared between the source fact and a
+    simulated load with two PLANTED defect classes — every 997th
+    order's first 'R' line dropped (row drift) and every 511th 'A'
+    order's price off by a cent (amount drift) — so the driver row
+    exercises 'ok', 'row_mismatch' AND 'amount_mismatch' for real;
+    the one-sided 'missing/extra_in_target' statuses are pinned in
+    tests/test_quality.py.  Amounts sum in DECIMAL(38,6) and compare
+    after rounding — never raw doubles.  Plan: two map-side-partial
+    aggregates + one group-grain full-outer join; the fact never joins
+    at row grain."""
+    from kusuma_metamorph_etl_spark.plans.quality import reconcile
+
+    keys = ["l_returnflag", "l_linestatus"]
+    src = t(spark, sf_dir, "lineitem")
+    tgt = (
+        src.filter(
+            ~(
+                (F.col("l_returnflag") == "R")
+                & (F.col("l_orderkey") % 997 == 0)
+                & (F.col("l_linenumber") == 1)
+            )
+        ).withColumn(
+            "amt",
+            F.when(
+                (F.col("l_returnflag") == "A")
+                & (F.col("l_orderkey") % 511 == 0),
+                F.col("l_extendedprice") + 0.01,
+            ).otherwise(F.col("l_extendedprice")),
+        )
+    )
+    return reconcile(
+        src.select(*keys, F.col("l_extendedprice").alias("amount")),
+        tgt.select(*keys, F.col("amt").alias("amount")),
+        keys=keys,
+        amount_col="amount",
+    )

@@ -230,6 +230,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_customer_distribution",
     "sql_small_qty_revenue",
     "sql_sales_opportunity",
+    "dq_reconcile",
     "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
@@ -273,8 +274,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk_np_err",
     "mm_png_features",
     "mm_phash_dedup",
-    "mm_video_frames",
   # ---- window cut ----
+    "mm_video_frames",
     "mm_audio_spectral",
     "mm_audio_features",
     "join_asof",

@@ -337,3 +337,57 @@ def test_freshness_report_per_group_lag_and_stale(spark):
     assert rows["a"].lag_days == 2 and rows["a"].stale is False
     assert rows["b"].lag_days == 31 and rows["b"].stale is True
     assert rows["a"].last_seen.isoformat().startswith("2024-05-30T10:00")
+
+
+def test_reconcile_statuses_and_one_sided_groups(spark):
+    """reconcile covers all five statuses: matching group -> ok, count
+    drift -> row_mismatch, penny drift -> amount_mismatch, and groups
+    present on one side only survive the FULL OUTER join as
+    missing/extra_in_target with zero-filled counterparts."""
+    from kusuma_metamorph_etl_spark.plans.quality import reconcile
+
+    schema = "grp string, amount double"
+    src = spark.createDataFrame(
+        [("ok", 10.0), ("ok", 20.0),
+         ("rowdrift", 1.0), ("rowdrift", 2.0),
+         ("pennies", 5.0),
+         ("gone", 9.0)],
+        schema,
+    )
+    tgt = spark.createDataFrame(
+        [("ok", 10.0), ("ok", 20.0),
+         ("rowdrift", 1.0),
+         ("pennies", 5.01),
+         ("new", 7.0)],
+        schema,
+    )
+    rows = {
+        r.grp: r for r in reconcile(src, tgt, ["grp"], "amount").collect()
+    }
+    assert rows["ok"].status == "ok" and rows["ok"].rows_ok
+    assert rows["rowdrift"].status == "row_mismatch"
+    assert (rows["rowdrift"].src_rows, rows["rowdrift"].tgt_rows) == (2, 1)
+    assert rows["pennies"].status == "amount_mismatch"
+    assert rows["pennies"].rows_ok and not rows["pennies"].amount_ok
+    assert rows["gone"].status == "missing_in_target"
+    assert (rows["gone"].tgt_rows, rows["gone"].tgt_amount) == (0, 0.0)
+    assert rows["new"].status == "extra_in_target"
+    assert (rows["new"].src_rows, rows["new"].src_amount) == (0, 0.0)
+    assert len(rows) == 5
+
+
+def test_reconcile_amount_compare_is_decimal_exact(spark):
+    """0.1+0.2 style double noise must NOT flag a group: sums compare in
+    rounded DECIMAL, not raw doubles."""
+    from kusuma_metamorph_etl_spark.plans.quality import reconcile
+
+    schema = "grp string, amount double"
+    src = spark.createDataFrame(
+        [("g", 0.1), ("g", 0.2), ("g", 0.3)], schema
+    )
+    tgt = spark.createDataFrame(
+        [("g", 0.3), ("g", 0.3)], schema
+    )  # same rounded sum (0.60), different row count
+    (row,) = reconcile(src, tgt, ["grp"], "amount").collect()
+    assert row.amount_ok  # 0.6 == 0.6 in decimal, no float residue
+    assert row.status == "row_mismatch"  # counts still differ
