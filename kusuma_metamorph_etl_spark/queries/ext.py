@@ -6812,3 +6812,65 @@ def dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=keys,
         amount_col="amount",
     )
+
+
+@register(
+    "src_jsonl_quarantine",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END
+                  AS n_chars,
+              doc_id % 13 = 0 AS quarantined
+       FROM documents""",
+)
+def src_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with corrupt-record quarantine ([EXT] sources — the
+    bad-record routing every production feed needs and the src_* family
+    lacked): per-document JSON lines, every 13th one truncated
+    mid-object, written to a run-scoped landing dir and read back with
+    an explicit schema in PERMISSIVE mode + ``columnNameOfCorruptRecord``
+    — Spark's malformed-line policy parses what it can, nulls the
+    schema fields of broken rows, and lands the RAW line in the corrupt
+    column instead of killing the job (FAILFAST) or silently dropping
+    evidence (DROPMALFORMED).  The quarantine row keeps its identity by
+    re-extracting doc_id from the raw line, so a reprocessing queue can
+    key on it — the pattern's whole point.  Oracle recomputes the
+    parsed/quarantined split from the base table; a policy regression
+    (corrupt rows dropped, fields not nulled, raw line lost) flips
+    rows or hashes.  Result re-materializes before cleanup (the
+    `src_text_roundtrip` temp lifecycle); the landing scan itself is a
+    distributed text read — nothing driver-side but the bounded driver
+    rows."""
+    import shutil
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    jsonl = docs.select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.substring(line, 1, F.length(line) - F.lit(1)),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_src_")
+    try:
+        jsonl.write.mode("overwrite").text(tmp)
+        back = spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt string"
+        ).option("columnNameOfCorruptRecord", "_corrupt").json(tmp)
+        out = back.select(
+            F.coalesce(
+                F.col("doc_id"),
+                F.regexp_extract(F.col("_corrupt"), r'"doc_id":(\d+)', 1).cast(
+                    "long"
+                ),
+            ).alias("doc_id"),
+            "lang",
+            "n_chars",
+            F.col("_corrupt").isNotNull().alias("quarantined"),
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -231,6 +231,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_small_qty_revenue",
     "sql_sales_opportunity",
     "dq_reconcile",
+    "src_jsonl_quarantine",
     "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
@@ -273,8 +274,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk_np",
     "sim_cosine_topk_np_err",
     "mm_png_features",
-    "mm_phash_dedup",
   # ---- window cut ----
+    "mm_phash_dedup",
     "mm_video_frames",
     "mm_audio_spectral",
     "mm_audio_features",
