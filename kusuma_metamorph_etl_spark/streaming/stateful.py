@@ -30,8 +30,40 @@ if TYPE_CHECKING:  # pragma: no cover
 OUTPUT_SCHEMA = (
     "user_id long, event_type string, event_id long, ts timestamp, value double"
 )
-STATE_SCHEMA = "emitted long"
+STATE_SCHEMA = "emitted long, deadline long"
 KEYS = ("user_id", "event_type")
+
+
+def _ttl_deadline_ms(state, chunk_max_ns: int | None, ttl_ms: int) -> int:
+    """TTL eviction deadline: ``max(watermark, batch max event time) + ttl``.
+
+    Anchoring on the watermark ALONE is the bug the r11 out-of-order
+    property test caught: in the first micro-batch the watermark is
+    still unset (epoch 0), so ``watermark + ttl`` arms a 1970-based
+    deadline and every key seen in batch 1 is evicted the moment the
+    watermark first advances — sessions restart and dedup re-emits for
+    keys that were never idle.  The batch's own max event time is the
+    correct activity clock; the watermark term keeps the deadline
+    monotone when a batch carries only late stragglers."""
+    anchor = state.getCurrentWatermarkMs()
+    if chunk_max_ns is not None:
+        anchor = max(anchor, chunk_max_ns // 1_000_000)
+    return anchor + ttl_ms
+
+
+def _expired(state, stored_deadline: int, ttl_ms: int | None) -> bool:
+    """True when a key's armed TTL deadline already passed before this
+    batch's data arrived.  Spark only delivers ``hasTimedOut`` to keys
+    with NO data in the trigger, so a key that comes back after idling
+    past its TTL reaches the data path with stale state; the handler
+    must honor the expiry itself (pinned by
+    ``test_stateful_dedup_ttl_forgets_idle_keys``) or dedup suppresses
+    an event the contract says re-emits and sessions never restart."""
+    return (
+        ttl_ms is not None
+        and stored_deadline > 0
+        and state.getCurrentWatermarkMs() > stored_deadline
+    )
 
 
 def first_event_batch(events: DataFrame) -> DataFrame:
@@ -90,23 +122,36 @@ def first_event_stream(
         if state.hasTimedOut:
             state.remove()  # key forgotten; next event re-emits
             return
-        already_emitted = state.exists
+        already_emitted = False
+        if state.exists:
+            _flag, stored_deadline = state.get
+            # expired = idle past TTL before this arrival → treat as new
+            already_emitted = not _expired(state, stored_deadline, ttl_ms)
         best: pd.DataFrame | None = None
-        if not already_emitted:
-            for pdf in pdfs:
-                if pdf.empty:
-                    continue
+        max_ns: int | None = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            chunk_max = int(
+                pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64").max()
+            )
+            max_ns = chunk_max if max_ns is None else max(max_ns, chunk_max)
+            if not already_emitted:
                 pdf = pdf.sort_values(["ts", "event_id"]).head(1)
                 if best is None:
                     best = pdf
                 else:
                     both = pd.concat([best, pdf]).sort_values(["ts", "event_id"])
                     best = both.head(1)
+        deadline = 0
         if ttl_ms is not None:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+            deadline = _ttl_deadline_ms(state, max_ns, ttl_ms)
+            state.setTimeoutTimestamp(deadline)
         if best is not None and not already_emitted:
-            state.update((1,))
+            state.update((1, deadline))
             yield best[["user_id", "event_type", "event_id", "ts", "value"]]
+        elif already_emitted and max_ns is not None:
+            state.update((1, deadline))  # fresh activity re-arms the TTL
 
     src = events
     timeout_conf = GroupStateTimeout.NoTimeout
@@ -127,7 +172,7 @@ def first_event_stream(
 
 
 SESSION_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, session_idx long"
-SESSION_STATE_SCHEMA = "last_ns long, idx long"
+SESSION_STATE_SCHEMA = "last_ns long, idx long, deadline long"
 
 
 def _ttl_millis(state_ttl: str | None) -> int | None:
@@ -194,22 +239,30 @@ def sessionize_stream(
             state.remove()
             return
         chunks = [p for p in pdfs if not p.empty]
-        if ttl_ms is not None:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
         if not chunks:
+            if ttl_ms is not None:
+                state.setTimeoutTimestamp(_ttl_deadline_ms(state, None, ttl_ms))
             return
         df = pd.concat(chunks).sort_values(["ts", "event_id"])
-        last_ns, idx = state.get if state.exists else (None, 0)
+        last_ns, idx = None, 0
+        if state.exists:
+            last_ns, idx, stored_deadline = state.get
+            if _expired(state, stored_deadline, ttl_ms):
+                last_ns, idx = None, 0  # idle past TTL → session restarts
         # Force ns so the integer gap compare is unit-exact whatever
         # resolution Arrow handed pandas (us vs ns).
         ts_ns = df["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        deadline = 0
+        if ttl_ms is not None:
+            deadline = _ttl_deadline_ms(state, int(ts_ns.max()), ttl_ms)
+            state.setTimeoutTimestamp(deadline)
         labels = []
         for t in ts_ns:
             if last_ns is None or t - last_ns > gap_ns:
                 idx += 1
             labels.append(idx)
             last_ns = int(t)
-        state.update((last_ns, int(idx)))
+        state.update((last_ns, int(idx), deadline))
         out = df[["user_id", "event_id", "ts"]].copy()
         out["session_idx"] = labels
         yield out
@@ -235,7 +288,7 @@ def sessionize_stream(
 BURST_OUTPUT_SCHEMA = (
     "user_id long, event_type string, event_id long, ts timestamp, value double"
 )
-BURST_STATE_SCHEMA = "last_ns long"
+BURST_STATE_SCHEMA = "last_ns long, deadline long"
 
 
 def dedup_window_stream(
@@ -271,18 +324,26 @@ def dedup_window_stream(
             state.remove()
             return
         chunks = [p for p in pdfs if not p.empty]
-        if ttl_ms is not None:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
         if not chunks:
+            if ttl_ms is not None:
+                state.setTimeoutTimestamp(_ttl_deadline_ms(state, None, ttl_ms))
             return
         df = pd.concat(chunks).sort_values(["ts", "event_id"])
-        (last_ns,) = state.get if state.exists else (None,)
+        last_ns = None
+        if state.exists:
+            last_ns, stored_deadline = state.get
+            if _expired(state, stored_deadline, ttl_ms):
+                last_ns = None  # idle past TTL → next event opens a burst
         ts_ns = df["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        deadline = 0
+        if ttl_ms is not None:
+            deadline = _ttl_deadline_ms(state, int(ts_ns.max()), ttl_ms)
+            state.setTimeoutTimestamp(deadline)
         keep = []
         for t in ts_ns:
             keep.append(last_ns is None or t - last_ns > win_ns)
             last_ns = int(t)
-        state.update((last_ns,))
+        state.update((last_ns, deadline))
         out = df.loc[keep, ["user_id", "event_type", "event_id", "ts", "value"]]
         if not out.empty:
             yield out

@@ -346,6 +346,106 @@ def test_stateful_dedup_ttl_forgets_idle_keys(spark, tmp_path):
     assert sorted(emitted) == [1, 3], emitted
 
 
+def _drive_ttl_return_path(spark, tmp_path, transform, qname):
+    """3-micro-batch harness for the TTL data-path expiry contract: key
+    user 1 is active in batch 1, idle through batch 2 while another
+    user's events drag the watermark past its TTL deadline, then RETURNS
+    in batch 3.  Spark only fires ``hasTimedOut`` for keys with no data
+    in the trigger, so batch 3 reaches the handler with the stale state
+    still present — the handler itself must honor the expiry
+    (``streaming/stateful.py::_expired``)."""
+    import datetime
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name: str, rows, mtime: float):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage" / name))
+        part = next(
+            p for p in (tmp_path / "stage" / name).iterdir() if p.name.endswith(".parquet")
+        )
+        target = src / f"{name}.parquet"
+        part.rename(target)
+        os.utime(target, (mtime, mtime))
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def at(hours: float):
+        return t0 + datetime.timedelta(hours=hours)
+
+    now = time.time()
+    # Batch 1: two events 1 min apart for user 1 → one burst / session 1.
+    write_file("b1", [(1, at(0), 1, "click", 1.0), (2, at(0.02), 1, "click", 1.0)], now - 120)
+    # Batch 2: user 2 drags the watermark 5h ahead — past user 1's 1h TTL.
+    write_file("b2", [(3, at(5), 2, "view", 1.0)], now - 60)
+    # Batch 3: user 1 returns; its state must read as expired.
+    write_file("b3", [(4, at(5.5), 1, "click", 7.0)], now)
+
+    stream = transform(
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(qname).collect()
+    spark.catalog.dropTempView(qname)
+    return rows
+
+
+@pytest.mark.slow
+def test_stateful_sessionize_ttl_restarts_sessions(spark, tmp_path):
+    """A user idle past the TTL is forgotten: on return the session index
+    restarts at 1 instead of continuing from the stale state."""
+    from kusuma_metamorph_etl_spark.streaming.stateful import sessionize_stream
+
+    rows = _drive_ttl_return_path(
+        spark,
+        tmp_path,
+        lambda s: sessionize_stream(s, gap_seconds=1800, state_ttl="1 hour"),
+        "t_sess_ttl",
+    )
+    labels = {r["event_id"]: r["session_idx"] for r in rows if r["user_id"] == 1}
+    # events 1+2 share session 1; event 4 (post-eviction) restarts at 1,
+    # NOT 2 as the stale (last_ns, idx) state would have labeled it.
+    assert labels == {1: 1, 2: 1, 4: 1}, labels
+
+
+@pytest.mark.slow
+def test_stateful_dedup_window_ttl_reopens_bursts(spark, tmp_path):
+    """A (user, type) key idle past the TTL is forgotten: the returning
+    event opens a NEW burst and emits even though it is within
+    window_seconds of nothing — stale last_ns must not leak through."""
+    from kusuma_metamorph_etl_spark.streaming.stateful import dedup_window_stream
+
+    rows = _drive_ttl_return_path(
+        spark,
+        tmp_path,
+        # 6h chaining window: without TTL expiry, event 4 at +5.5h would
+        # chain onto event 2's burst (gap 5.48h < 6h) and be SUPPRESSED.
+        lambda s: dedup_window_stream(
+            s, window_seconds=6 * 3600, state_ttl="1 hour"
+        ),
+        "t_burst_ttl",
+    )
+    emitted = sorted(r["event_id"] for r in rows if r["user_id"] == 1)
+    assert emitted == [1, 4], emitted
+
+
 def test_stateful_dedup_stream_matches_batch(spark, sf_small):
     from kusuma_metamorph_etl_spark.streaming.stateful import (
         first_event_batch,
