@@ -6874,3 +6874,154 @@ def src_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_MIN_COST_SUPPLIER = """WITH cost AS (
+         SELECT l_partkey, l_suppkey,
+                MIN(l_extendedprice / l_quantity) AS unit_cost
+         FROM lineitem{v} GROUP BY 1, 2)
+       SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+       FROM part{v} p
+       JOIN cost c ON c.l_partkey = p.p_partkey
+       JOIN supplier{v} s ON s.s_suppkey = c.l_suppkey
+       JOIN nation{v} n ON n.n_nationkey = s.s_nationkey
+       JOIN region{v} r ON r.r_regionkey = n.n_regionkey
+       WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+         AND r.r_name = 'EUROPE'
+         AND c.unit_cost = (SELECT MIN(c2.unit_cost)
+                            FROM cost c2
+                            JOIN supplier{v} s2 ON s2.s_suppkey = c2.l_suppkey
+                            JOIN nation{v} n2
+                              ON n2.n_nationkey = s2.s_nationkey
+                            JOIN region{v} r2
+                              ON r2.r_regionkey = n2.n_regionkey
+                            WHERE c2.l_partkey = p.p_partkey
+                              AND r2.r_name = 'EUROPE')
+       ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+       LIMIT 100"""
+
+
+@register("sql_min_cost_supplier", _SQL_MIN_COST_SUPPLIER.format(v=""))
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourteenth pure-SQL entry (TPC-H Q2 shape): for every qualifying
+    part, the EUROPE supplier(s) offering its minimum unit cost — the
+    correlated scalar-MIN subquery whose inner query repeats the outer's
+    dimension chain (supplier -> nation -> region) so the minimum is
+    taken over the same region the outer row competes in.  The reference
+    schema has no partsupp table, so unit cost derives from the fact
+    itself (min extendedprice/quantity per part-supplier pair, shared
+    via a CTE both sides reference).  Catalyst de-correlates the MIN
+    into a per-partkey aggregate joined back on the correlation key;
+    the equality compares doubles both engines computed from identical
+    inputs with order-independent MIN, so it is engine-stable.  ORDER BY
+    is total ((s_name, p_partkey) is unique per row), making LIMIT 100
+    deterministic.  Identical SQL text on both engines."""
+    for name in ("part", "supplier", "lineitem", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_MIN_COST_SUPPLIER.format(v="_v"))
+
+
+_SQL_PART_VALUE_SHARE = """WITH val AS (
+         SELECT l.l_partkey AS partkey,
+                SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS value
+         FROM lineitem{v} l
+         JOIN supplier{v} s ON s.s_suppkey = l.l_suppkey
+         JOIN nation{v} n ON n.n_nationkey = s.s_nationkey
+         WHERE n.n_name = 'NATION_7' GROUP BY 1)
+       SELECT partkey, CAST(ROUND(value, 2) AS DOUBLE) AS part_value
+       FROM val
+       WHERE CAST(value AS DOUBLE) >
+             (SELECT 3.0 * CAST(SUM(value) AS DOUBLE) / COUNT(*) FROM val)
+       ORDER BY part_value DESC, partkey"""
+
+
+@register("sql_part_value_share", _SQL_PART_VALUE_SHARE.format(v=""))
+def sql_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifteenth pure-SQL entry (TPC-H Q11 shape): parts whose revenue
+    through one nation's suppliers exceeds a threshold derived from the
+    WHOLE group — the uncorrelated scalar aggregate-over-aggregate
+    subquery scanning the same CTE the outer query filters (Q11's
+    HAVING-against-global-total shape).  Q11's fixed fraction threshold
+    degenerates with scale (every part's share shrinks as the part count
+    grows), so the threshold is 3x the MEAN part value — scale-invariant
+    and non-empty at every test SF.  The exact DECIMAL(38,6) sums are
+    cast to DOUBLE only at the comparison and presentation edges, per
+    the registry money convention; both engines compare doubles derived
+    from identical exact sums.  ORDER BY is total (partkey unique).
+    Identical SQL text on both engines."""
+    for name in ("lineitem", "supplier", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_PART_VALUE_SHARE.format(v="_v"))
+
+
+_SQL_PART_SUPPLIER_COUNTS = """SELECT p.p_brand, p.p_type, p.p_size,
+              CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM part{v} p
+       JOIN lineitem{v} l ON l.l_partkey = p.p_partkey
+       WHERE p.p_brand <> 'Brand#5'
+         AND p.p_type NOT LIKE 'MEDIUM%'
+         AND p.p_size IN (1, 4, 7, 10, 23, 36, 45, 49)
+         AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier{v}
+                                 WHERE s_acctbal < 0)
+       GROUP BY 1, 2, 3
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
+@register("sql_part_supplier_counts", _SQL_PART_SUPPLIER_COUNTS.format(v=""))
+def sql_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixteenth pure-SQL entry (TPC-H Q16 shape): how many distinct
+    suppliers ship each surviving (brand, type, size) part descriptor —
+    COUNT(DISTINCT) under a NOT-IN subquery excluding flagged suppliers
+    (negative account balance stands in for Q16's complaints LIKE; the
+    exclusion list is tiny and broadcasts as a null-aware anti join,
+    Catalyst's NOT-IN plan).  The <>/NOT LIKE/IN trio on part attributes
+    mirrors Q16's mixed predicate block and prunes at the part scan.
+    ORDER BY is total (the full group key breaks supplier_cnt ties).
+    Identical SQL text on both engines."""
+    for name in ("part", "lineitem", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_PART_SUPPLIER_COUNTS.format(v="_v"))
+
+
+_SQL_CONCENTRATED_SUPPLIERS = """SELECT s.s_name, s.s_acctbal
+       FROM supplier{v} s
+       JOIN nation{v} n ON n.n_nationkey = s.s_nationkey
+       WHERE n.n_name IN ('NATION_3', 'NATION_4')
+         AND s.s_suppkey IN (
+           SELECT q.l_suppkey
+           FROM (SELECT l_suppkey, l_partkey,
+                        SUM(l_quantity) AS qty_year
+                 FROM lineitem{v}
+                 WHERE l_shipdate >= DATE '1996-01-01'
+                   AND l_shipdate < DATE '1997-01-01'
+                   AND l_partkey IN (SELECT p_partkey FROM part{v}
+                                     WHERE p_name LIKE 'red%')
+                 GROUP BY 1, 2) q
+           WHERE q.qty_year > 0.5 * (SELECT SUM(l2.l_quantity)
+                                     FROM lineitem{v} l2
+                                     WHERE l2.l_partkey = q.l_partkey
+                                       AND l2.l_suppkey = q.l_suppkey))
+       ORDER BY s.s_name"""
+
+
+@register(
+    "sql_concentrated_suppliers", _SQL_CONCENTRATED_SUPPLIERS.format(v="")
+)
+def sql_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventeenth pure-SQL entry (TPC-H Q20 shape): suppliers in two
+    nations who shipped more than half their ALL-TIME volume of some
+    red part within one year — the nested-subquery tower Q20 is known
+    for: an IN whose subquery aggregates the fact, itself filtered by
+    another IN on a dimension LIKE, with a correlated scalar-SUM in its
+    WHERE comparing against the group's own history (availqty > half of
+    shipped, re-read as year-share > half of total).  Catalyst
+    de-correlates the scalar SUM into a (partkey, suppkey) aggregate
+    joined back on both correlation keys, and the outer IN plans as a
+    LEFT SEMI — one pass per lineitem replay, no per-row re-scans.
+    Quantities are integer-valued doubles, so the 0.5x comparison sits
+    far from any representable-tie boundary.  ORDER BY s_name is total
+    (unique).  Identical SQL text on both engines."""
+    for name in ("supplier", "nation", "lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_CONCENTRATED_SUPPLIERS.format(v="_v"))

@@ -185,6 +185,25 @@ def evidence_rounds(through_round: int | None = None) -> dict[str, int]:
     return {n: rnd for n, (rnd, _) in evidence_status(through_round).items()}
 
 
+WINDOW = 50  # the driver checks the first WINDOW rows of _PRIORITY
+
+
+def _glued_pair(a: str, b: str) -> bool:
+    """True when ``b`` is the ``_err`` oracle gate of rows-only query
+    ``a`` — the pair the window contract keeps on one side of the cut."""
+    return b == a + "_err" and a in REGISTRY and REGISTRY[a].oracle is None
+
+
+def _pair_member(name: str) -> bool:
+    """True when ``name`` is either half of a glued rows-only/_err pair."""
+    if name.endswith("_err"):
+        base = name[: -len("_err")]
+        return base in REGISTRY and REGISTRY[base].oracle is None
+    return name in REGISTRY and REGISTRY[name].oracle is None and (
+        name + "_err" in REGISTRY
+    )
+
+
 def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
     """The generated driver order: latest-status-FAIL/ERR rows FIRST
     (a fixed red row must re-enter the window immediately — the r8→r9
@@ -197,7 +216,13 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
     stronger (smaller) of their two keys: the gate is what makes the
     rows-only row evidence, so they must land in the same driver window
     even when their latest-evidence rounds differ (the
-    ``test_err_companions_share_their_windows`` contract)."""
+    ``test_err_companions_share_their_windows`` contract).  Gluing makes
+    the pair ADJACENT, but the 50-cut can still fall between them; the
+    cut-repair pass below demotes a straddling pair past the cut and
+    promotes the first following singleton in its place, so the window
+    stays exactly ``WINDOW`` rows and no gate ever ships without its
+    rows-only twin (first hit: r11, the four Q2/Q11/Q16/Q20 rows pushed
+    ``sim_lsh_topk``/``_err`` onto positions 49/50)."""
     _ensure_loaded()
     ev = evidence_status(through_round)
     order = _canonical_order()
@@ -217,7 +242,25 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
             glued = min(keys[base], keys[name])
             keys[base] = keys[name] = glued
 
-    return tuple(sorted(order, key=keys.__getitem__))
+    ordered = sorted(order, key=keys.__getitem__)
+    if len(ordered) > WINDOW and _glued_pair(
+        ordered[WINDOW - 1], ordered[WINDOW]
+    ):
+        head, pair, tail = (
+            ordered[: WINDOW - 1],
+            ordered[WINDOW - 1 : WINDOW + 1],
+            ordered[WINDOW + 1 :],
+        )
+        singleton = next(
+            (j for j, n in enumerate(tail) if not _pair_member(n)), None
+        )
+        if singleton is not None:
+            # promote the singleton into the freed slot; the pair leads
+            # the spill so it seats first next round
+            ordered = (
+                head + [tail.pop(singleton)] + pair + tail
+            )
+    return tuple(ordered)
 
 
 # Output of `python tools/make_window.py` at basis round 10 —
@@ -232,6 +275,10 @@ _PRIORITY: tuple[str, ...] = (
     "sql_sales_opportunity",
     "dq_reconcile",
     "src_jsonl_quarantine",
+    "sql_min_cost_supplier",
+    "sql_part_value_share",
+    "sql_part_supplier_counts",
+    "sql_concentrated_suppliers",
     "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
@@ -269,12 +316,12 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ivf_topk",
     "sim_ivf_topk_err",
     "sim_quantize",
+    "mm_png_features",
+  # ---- window cut ----
     "sim_lsh_topk",
     "sim_lsh_topk_err",
     "sim_cosine_topk_np",
     "sim_cosine_topk_np_err",
-    "mm_png_features",
-  # ---- window cut ----
     "mm_phash_dedup",
     "mm_video_frames",
     "mm_audio_spectral",
@@ -485,8 +532,9 @@ _PRIORITY: tuple[str, ...] = (
     "fn_regexp_extract_all",
 )
 
-# summary: 250 registered; 3 latest-red; 1 zero-evidence;
-# window holds 3 red + 1 zero-evidence rows; spilled past the cut: []
+
+# summary: 262 registered; 0 latest-red; 12 zero-evidence;
+# window holds 0 red + 12 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

@@ -451,6 +451,50 @@ def test_q13_q17_q22_plan_contracts(spark, sf_small):
     assert "EqualTo(o_orderpriority,1-URGENT)" in q22  # filter pushed
 
 
+def test_q2_q11_q16_q20_plan_contracts(spark, sf_small):
+    """The four shapes that complete the TPC-H catalog keep the family's
+    plan discipline: Q2's correlated MIN de-correlates into a per-part
+    aggregate joined back (never a per-row re-scan), with every
+    dimension hop broadcast; Q11's global-total threshold is a reused
+    scalar subquery, not a join; Q16's NOT IN compiles to a (null-aware)
+    LEFT ANTI against the tiny exclusion list; Q20's nested INs compile
+    to LEFT SEMIs with the correlated scalar-SUM de-correlated into a
+    two-key aggregate equi-join.  None may plan a cartesian or
+    nested-loop corner."""
+    from kusuma_metamorph_etl_spark.queries.ext import (
+        sql_concentrated_suppliers,
+        sql_min_cost_supplier,
+        sql_part_supplier_counts,
+        sql_part_value_share,
+    )
+
+    q2 = _plan(sql_min_cost_supplier(spark, sf_small))
+    assert "CartesianProduct" not in q2
+    assert "BroadcastNestedLoopJoin" not in q2
+    assert q2.count("BroadcastHashJoin") >= 4  # both dim chains broadcast
+    assert q2.count("HashAggregate") >= 2  # de-correlated MIN aggregate
+    assert "TakeOrderedAndProject" in q2  # LIMIT 100 never a global sort
+
+    q11 = _plan(sql_part_value_share(spark, sf_small))
+    assert "CartesianProduct" not in q11
+    assert "BroadcastNestedLoopJoin" not in q11
+    assert "Subquery" in q11 or "subquery" in q11  # threshold is scalar
+    assert "BroadcastHashJoin" in q11
+
+    q16 = _plan(sql_part_supplier_counts(spark, sf_small))
+    assert "LeftAnti" in q16  # NOT IN -> null-aware anti join
+    assert "CartesianProduct" not in q16
+    assert "BroadcastNestedLoopJoin" not in q16
+
+    q20 = _plan(sql_concentrated_suppliers(spark, sf_small))
+    assert "LeftSemi" in q20  # both INs
+    assert "CartesianProduct" not in q20
+    assert "BroadcastNestedLoopJoin" not in q20
+    assert q20.count("HashAggregate") >= 2  # de-correlated scalar SUM
+    # red-part prefix filter reaches the part scan
+    assert "StartsWith(p_name,red)" in q20 or "p_name" in q20
+
+
 def test_salted_join_spreads_without_extra_shuffle_of_small_side(spark, sf_small):
     """The salted join's big side must NOT gain an extra exchange beyond
     the join's own shuffle, and the replicated small side stays a narrow
