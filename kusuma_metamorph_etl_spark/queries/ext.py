@@ -7025,3 +7025,182 @@ def sql_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("supplier", "nation", "lineitem", "part"):
         t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
     return spark.sql(_SQL_CONCENTRATED_SUPPLIERS.format(v="_v"))
+
+
+_SQL_FORECAST_REVENUE = """SELECT
+         CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                             AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem{v}
+       WHERE l_shipdate >= DATE '1996-01-01'
+         AND l_shipdate < DATE '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24"""
+
+
+@register("sql_forecast_revenue", _SQL_FORECAST_REVENUE.format(v=""))
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighteenth pure-SQL entry (TPC-H Q6 shape): the pure scan-side
+    query — a conjunctive range block (date window, discount band,
+    quantity cap) over the bare fact with a single global aggregate and
+    no join at all.  Its value is the plan it must compile to: every
+    predicate pushed into the parquet scan, one partial+final aggregate
+    pair, zero exchanges beyond the final gather — the shape the
+    pushdown contracts in tests/test_plans.py exist to keep.  The
+    discount BETWEEN compares doubles to two-decimal literals the data
+    itself carries (0.00–0.10 grid), so the band edges are exact.
+    Identical SQL text on both engines."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(_SQL_FORECAST_REVENUE.format(v="_v"))
+
+
+_SQL_VOLUME_SHIPPING = """SELECT supp_nation, cust_nation, l_year,
+              CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,6))), 2)
+                   AS DOUBLE) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER)
+                        AS l_year,
+                    l.l_extendedprice * (1 - l.l_discount) AS volume
+             FROM supplier{v} s
+             JOIN lineitem{v} l ON s.s_suppkey = l.l_suppkey
+             JOIN orders{v} o ON o.o_orderkey = l.l_orderkey
+             JOIN customer{v} c ON c.c_custkey = o.o_custkey
+             JOIN nation{v} n1 ON n1.n_nationkey = s.s_nationkey
+             JOIN nation{v} n2 ON n2.n_nationkey = c.c_nationkey
+             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND l.l_shipdate >= DATE '1996-01-01'
+               AND l.l_shipdate < DATE '1998-01-01') shipping
+       GROUP BY 1, 2, 3
+       ORDER BY 1, 2, 3"""
+
+
+@register("sql_volume_shipping", _SQL_VOLUME_SHIPPING.format(v=""))
+def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nineteenth pure-SQL entry (TPC-H Q7 shape): bilateral trade
+    volume between two nations by ship year — the SAME dimension joined
+    TWICE under different roles (nation as supplier country n1 AND as
+    customer country n2) with a disjunctive cross-role predicate that
+    must stay attached to the join pair, plus EXTRACT(year) bucketing.
+    Both nation sides broadcast; the disjunction cannot be pushed to
+    either scan alone, so it evaluates post-join — exactly once.  ORDER
+    BY is total (the full group key).  Identical SQL text on both
+    engines."""
+    for name in ("supplier", "lineitem", "orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_VOLUME_SHIPPING.format(v="_v"))
+
+
+_SQL_MARKET_SHARE = """SELECT o_year,
+              CAST(ROUND(
+                   CAST(SUM(CASE WHEN nation = 'NATION_5' THEN vol_d
+                                 ELSE CAST(0 AS DECIMAL(38,6)) END)
+                        AS DOUBLE)
+                   / CAST(SUM(vol_d) AS DOUBLE), 6) AS DOUBLE)
+                  AS mkt_share
+       FROM (SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER)
+                        AS o_year,
+                    CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6)) AS vol_d,
+                    n2.n_name AS nation
+             FROM part{v} p
+             JOIN lineitem{v} l ON p.p_partkey = l.l_partkey
+             JOIN supplier{v} s ON s.s_suppkey = l.l_suppkey
+             JOIN orders{v} o ON o.o_orderkey = l.l_orderkey
+             JOIN customer{v} c ON c.c_custkey = o.o_custkey
+             JOIN nation{v} n1 ON n1.n_nationkey = c.c_nationkey
+             JOIN region{v} r ON r.r_regionkey = n1.n_regionkey
+             JOIN nation{v} n2 ON n2.n_nationkey = s.s_nationkey
+             WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+               AND o.o_orderdate >= DATE '1996-01-01'
+               AND o.o_orderdate < DATE '1998-01-01') all_nations
+       GROUP BY o_year
+       ORDER BY o_year"""
+
+
+@register("sql_market_share", _SQL_MARKET_SHARE.format(v=""))
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twentieth pure-SQL entry (TPC-H Q8 shape): one nation's share of
+    regional order volume by year — the deepest join tree in the catalog
+    (seven tables, nation joined twice: once through the customer side
+    to filter the market region, once through the supplier side to label
+    the competitor) feeding a conditional-sum ratio.  Both the filtered
+    and the total volume are summed as exact DECIMAL(38,6) and cast to
+    DOUBLE only for the final division, so the engines divide identical
+    doubles and the 6-dp round can never straddle a sum-order ulp.
+    Identical SQL text on both engines."""
+    for name in (
+        "part", "supplier", "lineitem", "orders",
+        "customer", "nation", "region",
+    ):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_MARKET_SHARE.format(v="_v"))
+
+
+_SQL_PRODUCT_PROFIT = """SELECT nation, o_year,
+              CAST(ROUND(SUM(CAST(amount AS DECIMAL(38,6))), 2)
+                   AS DOUBLE) AS sum_profit
+       FROM (SELECT n.n_name AS nation,
+                    CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER)
+                        AS o_year,
+                    l.l_extendedprice * (1 - l.l_discount)
+                      - p.p_retailprice * l.l_quantity AS amount
+             FROM part{v} p
+             JOIN lineitem{v} l ON p.p_partkey = l.l_partkey
+             JOIN supplier{v} s ON s.s_suppkey = l.l_suppkey
+             JOIN orders{v} o ON o.o_orderkey = l.l_orderkey
+             JOIN nation{v} n ON n.n_nationkey = s.s_nationkey
+             WHERE p.p_name LIKE '%red%') profit
+       GROUP BY 1, 2
+       ORDER BY nation, o_year DESC"""
+
+
+@register("sql_product_profit", _SQL_PRODUCT_PROFIT.format(v=""))
+def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twenty-first pure-SQL entry (TPC-H Q9 shape): per-nation,
+    per-year profit on one product line — the infix-substring dimension
+    filter (LIKE '%red%', no prefix to push as a range) driving a
+    five-table join whose measure SUBTRACTS cost from revenue (the
+    reference schema has no partsupp, so p_retailprice·quantity stands
+    in for Q9's supplycost·quantity).  Negative amounts are the point:
+    the profit sum exercises signed DECIMAL aggregation, where a
+    double-sum's cancellation error would be engine-visible.  ORDER BY
+    nation, o_year DESC mirrors Q9's presentation order and is total.
+    Identical SQL text on both engines."""
+    for name in ("part", "lineitem", "supplier", "orders", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_PRODUCT_PROFIT.format(v="_v"))
+
+
+_SQL_PRIORITY_LINES = """SELECT l.l_linestatus,
+              CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                  AS high_line_count,
+              CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                  AS low_line_count
+       FROM orders{v} o
+       JOIN lineitem{v} l ON o.o_orderkey = l.l_orderkey
+       WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+         AND l.l_shipdate < DATE '1998-01-01'
+       GROUP BY 1
+       ORDER BY 1"""
+
+
+@register("sql_priority_lines", _SQL_PRIORITY_LINES.format(v=""))
+def sql_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twenty-second pure-SQL entry (TPC-H Q12 shape, completing the
+    22-query catalog): order-priority split of slow shipments — the
+    pivot-by-CASE pattern (two complementary conditional counts in one
+    aggregation pass, Q12's signature) under a cross-table inequality
+    (shipdate vs orderdate + 30 days) that must ride the join output,
+    while the absolute date cap pushes to the lineitem scan.  The
+    reference schema has no l_shipmode/commitdate/receiptdate, so
+    l_linestatus buckets the rows and shipdate lag defines "slow".
+    ORDER BY is total (l_linestatus unique per row).  Identical SQL
+    text on both engines."""
+    for name in ("orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(_SQL_PRIORITY_LINES.format(v="_v"))

@@ -279,6 +279,11 @@ _PRIORITY: tuple[str, ...] = (
     "sql_part_value_share",
     "sql_part_supplier_counts",
     "sql_concentrated_suppliers",
+    "sql_forecast_revenue",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_product_profit",
+    "sql_priority_lines",
     "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
@@ -312,16 +317,16 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh_err",
     "agg_hll_mergeable",
     "agg_quantile_mergeable",
+  # ---- window cut ----
     "agg_cms_counts",
     "sim_ivf_topk",
     "sim_ivf_topk_err",
     "sim_quantize",
-    "mm_png_features",
-  # ---- window cut ----
     "sim_lsh_topk",
     "sim_lsh_topk_err",
     "sim_cosine_topk_np",
     "sim_cosine_topk_np_err",
+    "mm_png_features",
     "mm_phash_dedup",
     "mm_video_frames",
     "mm_audio_spectral",
@@ -533,8 +538,8 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
-# summary: 262 registered; 0 latest-red; 12 zero-evidence;
-# window holds 0 red + 12 zero-evidence rows; spilled past the cut: []
+# summary: 267 registered; 0 latest-red; 17 zero-evidence;
+# window holds 0 red + 17 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

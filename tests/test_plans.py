@@ -495,6 +495,63 @@ def test_q2_q11_q16_q20_plan_contracts(spark, sf_small):
     assert "StartsWith(p_name,red)" in q20 or "p_name" in q20
 
 
+def test_q6_q7_q8_q9_q12_plan_contracts(spark, sf_small):
+    """The last five catalog shapes.  Q6 is the scan-discipline litmus:
+    every predicate pushed into the parquet scan, the ReadSchema pruned
+    to the four referenced columns, a partial+final aggregate pair and
+    exactly ONE exchange (the final gather) — any second shuffle means
+    the scan-side query grew a join or a wrong grouping.  Q7/Q8 join
+    nation twice under different roles and Q9 carries an infix LIKE —
+    all dims must broadcast with no cartesian/nested-loop corner; Q12's
+    pivot-by-CASE keeps the date cap pushed to the lineitem scan."""
+    from kusuma_metamorph_etl_spark.queries.ext import (
+        sql_forecast_revenue,
+        sql_market_share,
+        sql_priority_lines,
+        sql_product_profit,
+        sql_volume_shipping,
+    )
+
+    q6 = _plan(sql_forecast_revenue(spark, sf_small))
+    assert q6.count("Exchange") == 1  # final gather only
+    assert q6.count("HashAggregate") == 2  # partial + final
+    # executedPlan().toString() truncates long PushedFilters lists;
+    # the formatted explain carries the full scan node
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sql_forecast_revenue(spark, sf_small).explain("formatted")
+    q6f = buf.getvalue()
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert pushed in q6f, f"{pushed} not pushed to the scan"
+    # column pruning: the scan reads the four referenced columns only
+    import re
+
+    scan_cols = re.search(r"ReadSchema: struct<([^>]*)>", q6f).group(1)
+    assert scan_cols.count(",") == 3, scan_cols
+
+    for name, fn in (
+        ("q7", sql_volume_shipping),
+        ("q8", sql_market_share),
+        ("q9", sql_product_profit),
+        ("q12", sql_priority_lines),
+    ):
+        plan = _plan(fn(spark, sf_small))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in plan, name  # all dims broadcast
+        assert "BroadcastHashJoin" in plan, name
+    q12 = _plan(sql_priority_lines(spark, sf_small))
+    assert "LessThan(l_shipdate" in q12  # date cap pushed to the scan
+
+
 def test_salted_join_spreads_without_extra_shuffle_of_small_side(spark, sf_small):
     """The salted join's big side must NOT gain an extra exchange beyond
     the join's own shuffle, and the replicated small side stays a narrow

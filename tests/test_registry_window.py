@@ -143,3 +143,30 @@ def test_err_companions_share_their_windows():
             continue  # base is oracle-checked on its own
         same_side = (names.index(base) < WINDOW) == (i < WINDOW)
         assert same_side, f"{base} and {name} straddle the window cut"
+
+
+def test_cut_repair_demotes_a_straddling_pair(monkeypatch):
+    """Unit-pin the compute_priority cut-repair pass on a synthetic
+    registry where a glued rows-only/_err pair lands exactly on
+    positions 49/50 (first live hit: r11, sim_lsh_topk): the pair must
+    be demoted past the cut as a unit, the first following singleton
+    promoted into the freed slot, and the window stay exactly 50 rows."""
+    singles = [f"q{i:03d}" for i in range(49)]
+    names = singles + ["pair", "pair_err", "tail_a", "tail_b"]
+    fake = {
+        n: registry.QuerySpec(fn=None, oracle=None if n == "pair" else "SELECT 1")
+        for n in names
+    }
+    monkeypatch.setattr(registry, "REGISTRY", fake)
+    monkeypatch.setattr(registry, "_REG_BY_MODULE", {"x.queries.core": names})
+    monkeypatch.setattr(registry, "_LOADED", True)
+    # basis round 0: no CORRECTNESS file matches the synthetic names, so
+    # every row is zero-evidence and sorts in registration order — the
+    # pair straddles at 49/50 before repair
+    order = list(registry.compute_priority(0))
+    assert len(order) == len(names)
+    assert order[49] == "tail_a"  # promoted singleton
+    assert order[50:52] == ["pair", "pair_err"]  # pair leads the spill
+    assert order[52] == "tail_b"
+    p, e = order.index("pair"), order.index("pair_err")
+    assert (p < registry.WINDOW) == (e < registry.WINDOW)
