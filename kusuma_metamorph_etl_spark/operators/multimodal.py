@@ -469,7 +469,8 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     (big-endian sample recombination, ``pixels`` dtype uint16),
     sequential AND Adam7-interlaced (stdlib zlib inflate + scanline
     unfilter + pass reassembly + PLTE lookup),
-    GIF87a/89a (real variable-width LZW, global/local palettes), and
+    GIF87a/89a (real variable-width LZW, global/local palettes,
+    sequential and four-pass interlaced frames), and
     JPEG — baseline sequential (any integer-ratio subsampling) AND
     progressive SOF2 (file-read Huffman tables, dequantize + IDCT —
     `operators/jpeg.py`; arithmetic/lossless variants raise through
@@ -530,6 +531,30 @@ def image_features(payload: bytes) -> dict[str, Any]:
         "n_bytes": len(payload),
         "mean_value": float(img["pixels"].mean()),
         "content_md5": hashlib.md5(payload).hexdigest(),
+    }
+
+
+PIXEL_MD5_SCHEMA = (
+    "doc_id long, format string, width int, height int, channels int, "
+    "pixel_md5 string"
+)
+
+
+def pixel_md5_features(payload: bytes) -> dict[str, Any]:
+    """Feature extractor gating on the DECODED pixels, not the payload:
+    md5 over the raw pixel array bytes.  Unlike ``mean_value`` this is
+    sensitive to row order (a wrong interlace pass permutes rows but
+    preserves every rank statistic), so codec rows whose failure mode is
+    a reordering — interlaced GIF/PNG — gate on it."""
+    img = decode_image(payload)
+    return {
+        "format": img["format"],
+        "width": img["width"],
+        "height": img["height"],
+        "channels": img["channels"],
+        "pixel_md5": hashlib.md5(
+            np.ascontiguousarray(img["pixels"]).tobytes()
+        ).hexdigest(),
     }
 
 
@@ -1549,12 +1574,27 @@ def _gif_lzw_decompress(data: bytes, mcs: int) -> list[int]:
         prev = entry
 
 
-def encode_gif(pixels: "np.ndarray") -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF89a appendix-E four-pass interlace row sequence: the k-th row
+    in the LZW stream is image row ``order[k]`` — pass 1 every 8th row
+    from 0, pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4
+    every 2nd from 1.  Short images simply skip empty passes."""
+    return [
+        *range(0, h, 8),
+        *range(4, h, 8),
+        *range(2, h, 4),
+        *range(1, h, 2),
+    ]
+
+
+def encode_gif(pixels: "np.ndarray", interlace: bool = False) -> bytes:
     """GIF89a encoder for palette-expressible images (≤ 256 distinct
     colors — GIF IS a palette format; quantization is out of scope, so a
     richer image raises instead of silently posterizing).  Greyscale HxW
     arrays expand to RGB.  Deterministic: the palette is the
-    lexicographically-sorted distinct-color list."""
+    lexicographically-sorted distinct-color list.  With ``interlace``
+    the rows are written in the four-pass appendix-E order and the
+    image-descriptor interlace flag is set."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
@@ -1569,7 +1609,12 @@ def encode_gif(pixels: "np.ndarray") -> bytes:
             "distinct colors (quantize first)"
         )
     lut = {tuple(c): i for i, c in enumerate(map(tuple, colors))}
-    indices = [lut[tuple(px)] for px in map(tuple, flat)]
+    idx = np.array(
+        [lut[tuple(px)] for px in map(tuple, flat)], dtype=np.int64
+    ).reshape(h, w)
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]
+    indices = idx.ravel().tolist()
     gct_bits = max(1, (len(colors) - 1).bit_length())
     palette = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
     palette[: len(colors)] = colors
@@ -1580,7 +1625,8 @@ def encode_gif(pixels: "np.ndarray") -> bytes:
     out += struct.pack("<HH", w, h)
     out += bytes([0x80 | (7 << 4) | (gct_bits - 1), 0, 0])
     out += palette.tobytes()
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
     out += bytes([mcs])
     for i in range(0, len(lzw), 255):
         block = lzw[i : i + 255]
@@ -1591,9 +1637,9 @@ def encode_gif(pixels: "np.ndarray") -> bytes:
 
 def _decode_gif(payload: bytes) -> "np.ndarray":
     """GIF87a/89a decoder: global/local color tables, extension-block
-    skipping, real variable-width LZW — first image frame, as RGB.
-    Interlaced frames raise (the row-shuffle is trivial but untestable
-    without a reference encoder that emits it)."""
+    skipping, real variable-width LZW, sequential AND four-pass
+    interlaced frames (appendix-E row order) — first image frame, as
+    RGB."""
     if payload[:6] not in _GIF_HEADERS:
         raise ValueError("not a GIF payload")
     try:
@@ -1632,8 +1678,6 @@ def _gif_walk_blocks(payload: bytes, packed: int, pos: int) -> "np.ndarray":
                     payload, dtype=np.uint8, count=size * 3, offset=pos
                 ).reshape(size, 3)
                 pos += size * 3
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF frames")
             if table is None:
                 raise ValueError("GIF frame has no color table")
             mcs = payload[pos]
@@ -1651,7 +1695,13 @@ def _gif_walk_blocks(payload: bytes, packed: int, pos: int) -> "np.ndarray":
             idx = np.array(indices[: w * h], dtype=np.int64)
             if idx.max(initial=0) >= len(table):
                 raise ValueError("GIF pixel index outside color table")
-            return table[idx].reshape(h, w, 3)
+            rgb = table[idx].reshape(h, w, 3)
+            if ipacked & 0x40:
+                # interlaced: stream row k is image row order[k]
+                out = np.empty_like(rgb)
+                out[_gif_interlace_order(h)] = rgb
+                rgb = out
+            return rgb
         elif block == 0x3B:
             break
         else:
@@ -1659,24 +1709,27 @@ def _gif_walk_blocks(payload: bytes, packed: int, pos: int) -> "np.ndarray":
     raise ValueError("GIF payload contains no image frame")
 
 
-def synthesize_gif(text: str) -> bytes:
+def synthesize_gif(text: str, interlace: bool = False) -> bytes:
     """Deterministic synthetic GIF payload — same pixel contract as
     :func:`synthesize_ppm` (the repeated-md5 pixels hold ≤ 48 distinct
     colors, comfortably palette-expressible), so the GIF LZW decode path
     must yield the exact pixels the PPM path yields (the
-    `mm_gif_features` gate)."""
-    return encode_gif(_synthesize_pixels(text))
+    `mm_gif_features` gate; `mm_gif_interlaced` sets ``interlace``)."""
+    return encode_gif(_synthesize_pixels(text), interlace=interlace)
 
 
 def attach_gif_payload(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    interlace: bool = False,
 ) -> DataFrame:
     """Synthesized-GIF payload column (Arrow-batched pandas UDF), typed
     ``image/gif``."""
 
     @F.pandas_udf("binary")
     def make_gif(texts: pd.Series) -> pd.Series:
-        return texts.map(synthesize_gif)
+        return texts.map(lambda t: synthesize_gif(t, interlace=interlace))
 
     return df.withColumn("payload", make_gif(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/gif")

@@ -7204,3 +7204,43 @@ def sql_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "lineitem"):
         t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
     return spark.sql(_SQL_PRIORITY_LINES.format(v="_v"))
+
+
+@register(
+    "mm_gif_interlaced",
+    """SELECT doc_id,
+              'gif' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels
+       FROM documents""",
+)
+def mm_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL four-pass interlaced GIF decode ([EXT] multimodal —
+    graduates the last GIF seam, the `ipacked & 0x40` gate
+    `operators/multimodal.py::_gif_walk_blocks` carried since r6):
+    per-document GIF payloads written in the appendix-E pass order with
+    the interlace flag set, decoded by the stream-row → image-row
+    permutation.  The gate is STRONGER than `mm_gif_features`' mean
+    (every permutation preserves a mean): both sides decode through
+    `pixel_md5_features`, so the interlaced GIF's pixel-array md5 must
+    equal the PPM twin's byte-for-byte — a wrong pass stride or an
+    off-by-one start row reorders rows and flips the digest, dropping
+    rows and turning the driver red.  The synthesized 4–8-row canvases
+    keep every pass boundary in play."""
+    docs = t(spark, sf_dir, "documents")
+    gif = multimodal.extract_binary_features(
+        multimodal.attach_gif_payload(docs, interlace=True),
+        decoder=multimodal.pixel_md5_features,
+        schema=multimodal.PIXEL_MD5_SCHEMA,
+    )
+    ppm = multimodal.extract_binary_features(
+        multimodal.attach_image_payload(docs),
+        decoder=multimodal.pixel_md5_features,
+        schema=multimodal.PIXEL_MD5_SCHEMA,
+    ).select("doc_id", F.col("pixel_md5").alias("ppm_md5"))
+    return (
+        gif.join(ppm, "doc_id")
+        .filter(F.col("pixel_md5") == F.col("ppm_md5"))
+        .select("doc_id", "format", "width", "height", "channels")
+    )

@@ -284,6 +284,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_market_share",
     "sql_product_profit",
     "sql_priority_lines",
+    "mm_gif_interlaced",
     "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
@@ -316,8 +317,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_err",
     "agg_hll_mergeable",
-    "agg_quantile_mergeable",
   # ---- window cut ----
+    "agg_quantile_mergeable",
     "agg_cms_counts",
     "sim_ivf_topk",
     "sim_ivf_topk_err",
@@ -538,8 +539,8 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
-# summary: 267 registered; 0 latest-red; 17 zero-evidence;
-# window holds 0 red + 17 zero-evidence rows; spilled past the cut: []
+# summary: 268 registered; 0 latest-red; 18 zero-evidence;
+# window holds 0 red + 18 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:
