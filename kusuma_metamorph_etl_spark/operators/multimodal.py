@@ -175,17 +175,48 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+def encode_png(
+    pixels: np.ndarray, interlace: bool = False, depth: int | None = None
+) -> bytes:
     """PNG encoder (greyscale HxW, grey+alpha HxWx2, RGB HxWx3, RGBA
     HxWx4), sequential or Adam7-interlaced.  Sample depth follows the
     input dtype: uint8 arrays emit bit depth 8, uint16 arrays bit depth
-    16 (big-endian sample bytes per PNG spec 7.1).  Scanlines use filter
-    type 0 — zlib does the compressing; filter search is a size
-    optimization, not a correctness requirement.  With ``interlace`` the
-    IDAT stream is the RFC 2083 §2.6 pass concatenation: each pass is an
-    independent sub-image with its own filter byte per reduced scanline,
-    and empty passes are wholly absent."""
+    16 (big-endian sample bytes per PNG spec 7.1).  ``depth`` of 1/2/4
+    forces sub-byte greyscale (HxW input whose samples already fit the
+    depth; scanlines pack MSB-first per spec 7.2, sequential only).
+    Scanlines use filter type 0 — zlib does the compressing; filter
+    search is a size optimization, not a correctness requirement.  With
+    ``interlace`` the IDAT stream is the RFC 2083 §2.6 pass
+    concatenation: each pass is an independent sub-image with its own
+    filter byte per reduced scanline, and empty passes are wholly
+    absent."""
     src = np.asarray(pixels)
+    if depth in (1, 2, 4):
+        if src.ndim != 2:
+            raise ValueError(
+                f"sub-byte PNG is greyscale-only: expected HxW, got {src.shape}"
+            )
+        if interlace:
+            raise NotImplementedError("interlaced sub-byte PNG")
+        samples = np.asarray(src, dtype=np.uint8)
+        if int(samples.max(initial=0)) >= (1 << depth):
+            raise ValueError(
+                f"sample values exceed {depth}-bit range (max {(1 << depth) - 1})"
+            )
+        h, w = samples.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        packed = _png_pack_rows(samples, depth)
+        rows = np.zeros((h, 1 + packed.shape[1]), dtype=np.uint8)
+        rows[:, 1:] = packed
+        idat = zlib.compress(rows.tobytes(), 6)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b"")
+        )
+    if depth is not None and depth not in (8, 16):
+        raise ValueError(f"unsupported PNG bit depth {depth}")
     depth = 16 if src.dtype == np.uint16 else 8
     arr = src if depth == 16 else np.asarray(src, dtype=np.uint8)
     if arr.ndim == 2:
@@ -236,6 +267,7 @@ def encode_png_palette(
     pixels: np.ndarray,
     interlace: bool = False,
     trns: np.ndarray | None = None,
+    depth: int | None = None,
 ) -> bytes:
     """Indexed-color (type 3) PNG encoder for palette-expressible images
     (≤256 distinct colors — same contract as :func:`encode_gif`:
@@ -247,7 +279,11 @@ def encode_png_palette(
     bytes (PNG spec 11.3.2.1), at most one per palette entry — a
     SHORTER array is legal and means the remaining entries are fully
     opaque (the decoder pads with 255), which is exactly the seam the
-    `mm_png_trns` gate exercises."""
+    `mm_png_trns` gate exercises.
+
+    ``depth`` of 1/2/4 packs the index plane at that bit depth (the
+    palette must fit in 2**depth entries; MSB-first per spec 7.2,
+    sequential only)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
@@ -265,8 +301,23 @@ def encode_png_palette(
     idx = np.fromiter(
         (lut[tuple(px)] for px in map(tuple, flat)), dtype=np.uint8, count=h * w
     ).reshape(h, w, 1)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
-    idat = zlib.compress(_png_scanline_bytes(idx, interlace), 6)
+    if depth in (1, 2, 4):
+        if interlace:
+            raise NotImplementedError("interlaced sub-byte PNG")
+        if len(colors) > (1 << depth):
+            raise ValueError(
+                f"{len(colors)}-color palette does not fit bit depth {depth}"
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        packed = _png_pack_rows(idx[:, :, 0], depth)
+        rows = np.zeros((h, 1 + packed.shape[1]), dtype=np.uint8)
+        rows[:, 1:] = packed
+        idat = zlib.compress(rows.tobytes(), 6)
+    elif depth not in (None, 8):
+        raise ValueError(f"unsupported palette PNG bit depth {depth}")
+    else:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
+        idat = zlib.compress(_png_scanline_bytes(idx, interlace), 6)
     trns_chunk = b""
     if trns is not None:
         alphas = np.asarray(trns, dtype=np.uint8).ravel()
@@ -283,6 +334,32 @@ def encode_png_palette(
         + trns_chunk
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_pack_rows(values: np.ndarray, depth: int) -> np.ndarray:
+    """Pack an h×w sample array (each value < 2**depth) into PNG
+    sub-byte scanline bytes: samples MSB-first within each byte, rows
+    padded to a byte boundary (PNG spec 7.2)."""
+    h, w = values.shape
+    shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    bits = ((values[:, :, None].astype(np.uint8) >> shifts) & 1).reshape(
+        h, w * depth
+    )
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
+
+
+def _png_unpack_rows(packed: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """Inverse of :func:`_png_pack_rows`: h×row_bytes packed scanlines →
+    h×w raw samples (0..2**depth-1), discarding row padding bits."""
+    bits = np.unpackbits(packed, axis=1)[:, : w * depth]
+    h = packed.shape[0]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (
+        (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
     )
 
 
@@ -340,14 +417,25 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG payload missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or (color not in _PNG_CHANNELS and color != 3)
         or interlace not in (0, 1)
     ):
         raise NotImplementedError(
-            "only 8/16-bit greyscale/RGB(A) and 8-bit palette PNG supported "
-            "(sequential or Adam7); sub-byte depths need a codec injected "
-            "via extract_binary_features(decoder=...)"
+            "only 1/2/4/8/16-bit greyscale, 8/16-bit RGB(A), and "
+            "1/2/4/8-bit palette PNG supported; exotic variants need a "
+            "codec injected via extract_binary_features(decoder=...)"
+        )
+    if depth < 8 and color not in (0, 3):
+        # sub-byte depths are legal for greyscale/palette only
+        # (PNG spec 11.2.2 table 11.1)
+        raise ValueError(
+            f"bit depth {depth} is invalid for PNG color type {color}"
+        )
+    if depth < 8 and interlace:
+        raise NotImplementedError(
+            "interlaced sub-byte PNG (per-pass bit packing) — inject a "
+            "codec via extract_binary_features(decoder=...)"
         )
     if depth == 16 and color == 3:
         # palette bit depths are 1/2/4/8 only (PNG spec 11.2.2)
@@ -362,16 +450,17 @@ def _decode_png(payload: bytes) -> np.ndarray:
     # palette scanlines carry one INDEX byte per pixel; map after unfilter
     channels = 1 if color == 3 else _PNG_CHANNELS[color]
     # filtering operates on BYTES: at depth 16 each pixel is channels*2
-    # bytes and the filter's left-neighbor distance (bpp) follows suit
+    # bytes, and at sub-byte depths a scanline is ceil(w·depth/8) packed
+    # bytes with the filter's left-neighbor distance clamped to 1 byte
     # (PNG spec 7.2/9.2), so the byte-plane machinery is depth-agnostic
-    byte_ch = channels * (depth // 8)
+    byte_ch = max(1, channels * (depth // 8))
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace:
         arr = _png_deinterlace(raw, w, h, byte_ch)
         if byte_ch == 1:
             arr = arr.reshape(h, w, 1)
     else:
-        stride = w * byte_ch
+        stride = w * byte_ch if depth >= 8 else (w * depth + 7) // 8
         if raw.size != h * (1 + stride):
             raise ValueError("PNG data size does not match IHDR dimensions")
         raw = raw.reshape(h, 1 + stride)
@@ -381,7 +470,13 @@ def _decode_png(payload: bytes) -> np.ndarray:
             out[y] = _png_unfilter_row(
                 int(raw[y, 0]), raw[y, 1:].astype(np.int32), prev, byte_ch
             )
-        arr = out.astype(np.uint8).reshape(h, w, byte_ch)
+        if depth < 8:
+            # unpack MSB-first bit groups into raw samples 0..2**depth-1
+            arr = _png_unpack_rows(out.astype(np.uint8), w, depth)[
+                :, :, None
+            ]
+        else:
+            arr = out.astype(np.uint8).reshape(h, w, byte_ch)
     if depth == 16:
         # recombine big-endian byte pairs into uint16 samples
         pairs = arr.reshape(h, w, channels, 2).astype(np.uint16)
@@ -389,20 +484,26 @@ def _decode_png(payload: bytes) -> np.ndarray:
     arr = arr[:, :, 0] if channels == 1 else arr
     opaque = 65535 if depth == 16 else 255
     if color != 3:
+        # sub-byte greyscale presents at 8 bits: max sample → 255
+        # (exact integer scaling, PNG spec 13.12's linear expansion)
+        scale = np.uint8(255 // ((1 << depth) - 1)) if depth < 8 else None
         if trns is None:
-            return arr
+            return arr * scale if scale is not None else arr
         # transparent-COLOR-key transparency (PNG spec 11.3.2.2/.3):
-        # 16-bit key values; at depth 8 a conforming encoder zeroes the
-        # high byte.  A key component outside the sample range (> 255 at
-        # depth 8) can match no pixel — the image decodes all-opaque
-        # rather than aliasing onto (key & 0xFF).  Matching pixels get
-        # alpha 0, everything else fully opaque at the image's depth.
+        # 16-bit key values AT THE IMAGE'S DEPTH; at depth 8 a conforming
+        # encoder zeroes the high byte.  A key component outside the
+        # sample range (> 255 at depth 8, > 2**depth-1 below it) can
+        # match no pixel — the image decodes all-opaque rather than
+        # aliasing onto a masked value.  The key compares against the
+        # RAW samples (pre-scaling); matching pixels get alpha 0,
+        # everything else fully opaque at the presentation depth.
         if color == 0:
             if len(trns) < 2:
                 raise ValueError("malformed tRNS for greyscale PNG")
             key = struct.unpack(">H", trns[:2])[0]
             alpha = np.where(arr == key, 0, opaque).astype(arr.dtype)
-            return np.dstack([arr, alpha])  # h x w x 2 grey+alpha
+            grey = arr * scale if scale is not None else arr
+            return np.dstack([grey, alpha])  # h x w x 2 grey+alpha
         if len(trns) < 6:
             raise ValueError("malformed tRNS for RGB PNG")
         key_rgb = np.array(struct.unpack(">HHH", trns[:6]), dtype=np.int32)
@@ -636,6 +737,64 @@ def synthesize_png(
     if depth16:
         return encode_png(px.astype(np.uint16) * 257, interlace=interlace)
     return encode_png(px, interlace=interlace)
+
+
+def _subbyte_depth_for(text: str) -> int:
+    """Deterministic per-document sub-byte depth ∈ {1, 2, 4} so one
+    driver row exercises all three packings."""
+    return (1, 2, 4)[len(text.encode()) % 3]
+
+
+def synthesize_png_subbyte(text: str) -> bytes:
+    """Deterministic sub-byte greyscale PNG payload: the synthetic
+    pixels' red plane quantized to a per-document depth (1/2/4 bits,
+    top bits kept) and packed MSB-first.  Its lossless twin is
+    :func:`synthesize_pgm_quantized` — the SAME quantized samples
+    presented at 8 bits — so the decoded pixel arrays must be
+    byte-identical (the `mm_png_subbyte` gate)."""
+    px = _synthesize_pixels(text)
+    depth = _subbyte_depth_for(text)
+    samples = (px[:, :, 0] >> (8 - depth)).astype(np.uint8)
+    return encode_png(samples, depth=depth)
+
+
+def synthesize_pgm_quantized(text: str) -> bytes:
+    """The 8-bit P5 twin of :func:`synthesize_png_subbyte`: identical
+    quantized samples scaled by the exact sub-byte presentation factor
+    (255 // (2**depth - 1))."""
+    px = _synthesize_pixels(text)
+    depth = _subbyte_depth_for(text)
+    samples = (px[:, :, 0] >> (8 - depth)).astype(np.uint8)
+    return encode_ppm(samples * np.uint8(255 // ((1 << depth) - 1)))
+
+
+def attach_png_subbyte_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesized sub-byte-depth PNG payload column (Arrow-batched
+    pandas UDF), typed ``image/png``."""
+
+    @F.pandas_udf("binary")
+    def make_png(texts: pd.Series) -> pd.Series:
+        return texts.map(synthesize_png_subbyte)
+
+    return df.withColumn("payload", make_png(F.col(text_col))).withColumn(
+        "payload_kind", F.lit("image/png")
+    )
+
+
+def attach_pgm_quantized_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quantized-PGM twin payload column for the sub-byte gate."""
+
+    @F.pandas_udf("binary")
+    def make_pgm(texts: pd.Series) -> pd.Series:
+        return texts.map(synthesize_pgm_quantized)
+
+    return df.withColumn("payload", make_pgm(F.col(text_col))).withColumn(
+        "payload_kind", F.lit("image/pgm")
+    )
 
 
 def attach_image_payload(

@@ -7244,3 +7244,41 @@ def mm_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pixel_md5") == F.col("ppm_md5"))
         .select("doc_id", "format", "width", "height", "channels")
     )
+
+
+@register(
+    "mm_png_subbyte",
+    """SELECT doc_id,
+              'png' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(1 AS INTEGER) AS channels
+       FROM documents""",
+)
+def mm_png_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sub-byte-depth PNG decode ([EXT] multimodal — graduates the
+    1/2/4-bit seam the IHDR gate `operators/multimodal.py::_decode_png`
+    named since r5; 1-bit scans are common in real document corpora):
+    per-document greyscale payloads at a per-document depth ∈ {1,2,4}
+    (so one row exercises all three packings), scanlines filtered at
+    bpp=1 then unpacked MSB-first and presented at 8 bits via the exact
+    integer scaling 255//(2**depth-1).  Gate: the decoded pixel-array
+    md5 must equal the 8-bit quantized-PGM twin's byte-for-byte
+    (`pixel_md5_features` — a wrong bit order, stride, or scale factor
+    flips the digest); dimensions re-derived by the oracle."""
+    docs = t(spark, sf_dir, "documents")
+    png = multimodal.extract_binary_features(
+        multimodal.attach_png_subbyte_payload(docs),
+        decoder=multimodal.pixel_md5_features,
+        schema=multimodal.PIXEL_MD5_SCHEMA,
+    )
+    pgm = multimodal.extract_binary_features(
+        multimodal.attach_pgm_quantized_payload(docs),
+        decoder=multimodal.pixel_md5_features,
+        schema=multimodal.PIXEL_MD5_SCHEMA,
+    ).select("doc_id", F.col("pixel_md5").alias("pgm_md5"))
+    return (
+        png.join(pgm, "doc_id")
+        .filter(F.col("pixel_md5") == F.col("pgm_md5"))
+        .select("doc_id", "format", "width", "height", "channels")
+    )

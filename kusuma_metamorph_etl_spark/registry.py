@@ -285,6 +285,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_product_profit",
     "sql_priority_lines",
     "mm_gif_interlaced",
+    "mm_png_subbyte",
     "proj_unpivot",
     "agg_percentile",
     "mart_supplier_performance",
@@ -316,8 +317,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_err",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_err",
-    "agg_hll_mergeable",
   # ---- window cut ----
+    "agg_hll_mergeable",
     "agg_quantile_mergeable",
     "agg_cms_counts",
     "sim_ivf_topk",
@@ -539,8 +540,8 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
-# summary: 268 registered; 0 latest-red; 18 zero-evidence;
-# window holds 0 red + 18 zero-evidence rows; spilled past the cut: []
+# summary: 269 registered; 0 latest-red; 19 zero-evidence;
+# window holds 0 red + 19 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

@@ -164,24 +164,35 @@ class TestPng:
         assert np.array_equal(multimodal._decode_png(payload), arr)
 
     def test_unsupported_variants_gated(self):
-        """Sub-byte depths stay behind the seam (interlaced and palette
-        graduated in r9, 16-bit in r11 — TestPngAdam7/TestPngPalette and
-        the 16-bit tests above)."""
+        """Every named seam has graduated (interlaced and palette in r9,
+        16-bit and sub-byte in r11 — TestPngAdam7/TestPngPalette/
+        TestPngSubByte); what remains gated is the genuinely exotic:
+        nonsense depths and interlaced sub-byte streams.  Spec-invalid
+        depth/color combinations are malformed (ValueError), not
+        seams."""
         import struct
         import zlib
 
-        arr = np.zeros((2, 2, 3), dtype=np.uint8)
         comp = zlib.compress(b"\x00" * (2 * 7))
-        for depth, color, interlace in [(4, 0, 0), (1, 0, 0), (2, 3, 0)]:
+
+        def payload_for(depth, color, interlace):
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
-            payload = (
+            return (
                 multimodal._PNG_SIG
                 + multimodal._png_chunk(b"IHDR", ihdr)
                 + multimodal._png_chunk(b"IDAT", comp)
                 + multimodal._png_chunk(b"IEND", b"")
             )
+
+        for depth, color, interlace in [(3, 0, 0), (32, 2, 0)]:
             with pytest.raises(NotImplementedError):
-                multimodal._decode_png(payload)
+                multimodal._decode_png(payload_for(depth, color, interlace))
+        # interlaced sub-byte: the one remaining named PNG seam
+        with pytest.raises(NotImplementedError, match="sub-byte"):
+            multimodal._decode_png(payload_for(4, 0, 1))
+        # sub-byte on a truecolor type is spec-invalid, not a seam
+        with pytest.raises(ValueError, match="invalid"):
+            multimodal._decode_png(payload_for(4, 2, 0))
         # Truncated / chunkless payloads are malformed, not unsupported.
         with pytest.raises(ValueError):
             multimodal.decode_image(multimodal._PNG_SIG)
@@ -596,6 +607,115 @@ class TestPngTrns:
         got = float(img["pixels"].mean())
         want = (3.0 * float(ppm["pixels"].mean()) + 255.0) / 4.0
         assert abs(got - want) < 1e-9
+
+
+class TestPngSubByte:
+    """1/2/4-bit PNG (the seam graduated in r11): MSB-first bit packing,
+    bpp=1 filtering, exact 255//(2**d-1) presentation scaling, and
+    color-key transparency compared at the IMAGE depth."""
+
+    def test_grey_roundtrip_all_depths_and_shapes(self):
+        import numpy as np
+
+        from kusuma_metamorph_etl_spark.operators.multimodal import (
+            _decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(23)
+        for d in (1, 2, 4):
+            scale = 255 // ((1 << d) - 1)
+            for h, w in ((1, 1), (3, 5), (7, 8), (8, 9), (16, 3)):
+                raw = rng.integers(0, 1 << d, size=(h, w)).astype(np.uint8)
+                back = _decode_png(encode_png(raw, depth=d))
+                assert back.shape == (h, w)
+                assert np.array_equal(back, raw * scale), (d, h, w)
+
+    def test_palette_roundtrip_all_depths(self):
+        import numpy as np
+
+        from kusuma_metamorph_etl_spark.operators.multimodal import (
+            _decode_png,
+            encode_png_palette,
+        )
+
+        rng = np.random.default_rng(29)
+        for d in (1, 2, 4):
+            pal = np.unique(
+                rng.integers(0, 256, size=(1 << d, 3), dtype=np.uint8), axis=0
+            )
+            for h, w in ((2, 2), (5, 7), (9, 4)):
+                px = pal[rng.integers(0, len(pal), size=(h, w))]
+                back = _decode_png(encode_png_palette(px, depth=d))
+                assert np.array_equal(back, px), (d, h, w)
+
+    def test_palette_overflow_and_bad_depth_raise(self):
+        import numpy as np
+        import pytest
+
+        from kusuma_metamorph_etl_spark.operators.multimodal import (
+            encode_png,
+            encode_png_palette,
+        )
+
+        pal5 = np.array([[i, 0, 0] for i in range(5)], dtype=np.uint8)
+        px = pal5[np.arange(9).reshape(3, 3) % 5]
+        with pytest.raises(ValueError, match="does not fit"):
+            encode_png_palette(px, depth=2)
+        with pytest.raises(ValueError, match="range"):
+            encode_png(np.full((2, 2), 4, dtype=np.uint8), depth=2)
+        with pytest.raises(ValueError, match="depth"):
+            encode_png(np.zeros((2, 2), dtype=np.uint8), depth=3)
+
+    def test_grey_color_key_at_image_depth(self):
+        """The tRNS grey key compares against the RAW sub-byte sample
+        (spec 11.3.2.2), not the scaled presentation value; an
+        out-of-range key matches nothing."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from kusuma_metamorph_etl_spark.operators import multimodal as mm
+
+        raw = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+        payload = mm.encode_png(raw, depth=2)
+        i = payload.find(b"IDAT") - 4
+
+        def with_key(key: int) -> bytes:
+            body = struct.pack(">H", key)
+            crc = struct.pack(">I", zlib.crc32(b"tRNS" + body) & 0xFFFFFFFF)
+            chunk = struct.pack(">I", 2) + b"tRNS" + body + crc
+            return payload[:i] + chunk + payload[i:]
+
+        out = mm._decode_png(with_key(2))
+        assert out.shape == (1, 4, 2)
+        assert list(out[0, :, 0]) == [0, 85, 170, 255]  # scaled grey
+        assert list(out[0, :, 1]) == [255, 255, 0, 255]  # raw 2 keyed
+        assert (mm._decode_png(with_key(9))[:, :, 1] == 255).all()
+
+    def test_subbyte_twin_matches_quantized_pgm(self):
+        import numpy as np
+
+        from kusuma_metamorph_etl_spark.operators import multimodal as mm
+
+        for text in ("a", "ab", "abc", "hello world", "x" * 37):
+            a = mm.pixel_md5_features(mm.synthesize_png_subbyte(text))
+            b = mm.pixel_md5_features(mm.synthesize_pgm_quantized(text))
+            assert a["pixel_md5"] == b["pixel_md5"], text
+
+    def test_interlaced_subbyte_stays_a_named_seam(self):
+        import numpy as np
+        import pytest
+
+        from kusuma_metamorph_etl_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        with pytest.raises(NotImplementedError, match="interlaced sub-byte"):
+            encode_png(
+                np.zeros((4, 4), dtype=np.uint8), depth=2, interlace=True
+            )
 
 
 class TestPhash:
