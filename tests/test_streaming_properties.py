@@ -113,7 +113,7 @@ def _arrival_plan(draw):
 SCHEMA = "user_id long, event_type string, event_id long, ts timestamp, value double"
 
 
-def _run_stream(transform, batches):
+def _run_stream(transform, batches, output_mode="append"):
     """Write one parquet dir per micro-batch with strictly increasing
     mtimes (FileStreamSource orders by modification time), drive with
     maxFilesPerTrigger=1 + availableNow, collect from a memory sink."""
@@ -134,7 +134,7 @@ def _run_stream(transform, batches):
         )
         name = f"t_oo_{next(_qname)}"
         q = (
-            stream.writeStream.outputMode("append")
+            stream.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
             .trigger(availableNow=True)
@@ -168,6 +168,41 @@ def test_sessionize_stream_equals_batch_under_batch_local_disorder(plan):
             spark.createDataFrame(rows, SCHEMA), gap_seconds=1800
         ).collect()
     }
+    assert got == expected
+
+
+@settings(max_examples=_ex(9), deadline=None)
+@given(plan=_arrival_plan())
+def test_first_event_stream_equals_batch_under_batch_local_disorder(plan):
+    """Completes the adversarial trio (sessionize/dedup_window above):
+    first-occurrence dedup must emit exactly the batch twin's
+    (ts, event_id)-minimal row per key under random micro-batch splits
+    with in-batch permutation.  Across-batch event-time order per key
+    (which the generator preserves) makes the streaming result exact;
+    the never-firing TTL variants additionally drive the stored-deadline
+    bookkeeping added in r11 without evicting."""
+    from kusuma_metamorph_etl_spark.streaming.stateful import (
+        first_event_batch,
+        first_event_stream,
+    )
+
+    rows, batches, wm = plan
+    spark = _session()
+    kwargs = {}
+    if wm is not None:
+        kwargs = {"state_ttl": wm[0], "late_tolerance": wm[1]}
+    got = sorted(
+        r["event_id"]
+        for r in _run_stream(
+            lambda s: first_event_stream(s, **kwargs),
+            batches,
+            output_mode="update",  # the operator emits in Update mode
+        )
+    )
+    expected = sorted(
+        r["event_id"]
+        for r in first_event_batch(spark.createDataFrame(rows, SCHEMA)).collect()
+    )
     assert got == expected
 
 
