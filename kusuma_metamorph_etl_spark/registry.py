@@ -118,31 +118,34 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-11 WINDOW: basis bumped to 10.  The r10 board had ZERO
-# FAIL/ERR and zero zero-evidence rows (first all-green round), so the
-# oldest-evidence term leads for the first time: the five r5-stale rows
-# the r10 verdict flagged (proj_unpivot, agg_percentile, and the three
-# flagship marts at queries/marts.py) seat at the very front, followed
-# by the r6 cohort.  New r11 registrations (zero-evidence) will jump
-# ahead of them on regeneration — REGEN AFTER EVERY REGISTRATION; the
-# window guard test is the backstop, run it before every commit.
-# An evidence-age guard (tests/test_registry_window.py) now fails the
-# build when any row's latest evidence is older than the 5-round
-# rotation budget (250 rows / 50 slots), so staleness is a build break,
-# not a judge finding (VERDICT r10 Next #2).
+# ROUND-11 WINDOW (final): basis 10; 269 registered, 19 zero-evidence
+# (the r11 additions: the nine TPC-H-completion sql_* rows, dq_reconcile,
+# src_jsonl_quarantine, mm_gif_interlaced, mm_png_subbyte, plus the
+# earlier r11 cohort) all seated inside the 50-cut together with the
+# five formerly-r5-stale rows the r10 verdict flagged.  An evidence-age
+# guard (tests/test_registry_window.py) fails the build when any row's
+# latest evidence is older than the derived rotation budget
+# (ceil(rows/50), currently 6), and compute_priority carries a
+# CUT-REPAIR pass so a glued rows-only/_err pair can never straddle the
+# 50-cut.  REGEN AFTER EVERY REGISTRATION; the window guard test is the
+# backstop, run it before every commit.
 #
 # r12 builder checklist: once the driver lands CORRECTNESS_r11.json,
 # bump _PRIORITY_BASIS_ROUND to 11, regenerate with
 # `python tools/make_window.py --through-round 11`, and re-paste
 # (defer only if new zero-evidence registrations overflow the window).
+# Registry growth note: 269 rows puts the rotation budget at 6 rounds —
+# the guard hard-caps at 6, so further additions should retire or
+# consolidate a row for each new one unless the window policy changes
+# deliberately.
 # ---------------------------------------------------------------------------
 
 _PRIORITY_BASIS_ROUND = 10
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Empty this round: all 250 rows carry evidence and the r11 additions
-# fit inside the window.
+# Empty this round: the 19 r11 zero-evidence rows all fit inside the
+# window.
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
