@@ -105,6 +105,10 @@ def connected_components(
         )
         propagated = labels.join(neighbor_min, on="node", how="left").select(
             "node",
+            # the pre-round label rides along so the convergence probe
+            # below is a narrow filter over the checkpointed frame, not
+            # a second node-keyed join per round
+            F.col("component").alias("prev_component"),
             F.least(
                 F.col("component"),
                 F.coalesce("neighbor_component", "component"),
@@ -124,18 +128,19 @@ def connected_components(
             )
             .select(
                 "node",
+                "prev_component",
                 F.coalesce("grandparent", "component").alias("component"),
             )
         )
         updated = _ckpt(updated)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), on="node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        # labels only ever decrease, so "any row changed this round" is
+        # exactly the fixed-point probe; isEmpty short-circuits on the
+        # first changed row instead of counting them all
+        converged = updated.filter(
+            F.col("component") != F.col("prev_component")
+        ).isEmpty()
+        labels = updated.select("node", "component")
+        if converged:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
