@@ -240,6 +240,58 @@ def test_png_roundtrip_property(shape, seed):
     assert np.array_equal(back["pixels"], expect), (shape, seed)
 
 
+@settings(max_examples=_ex(40), deadline=None)
+@given(
+    shape=st.tuples(st.integers(1, 20), st.integers(1, 20)),
+    depth=st.sampled_from([1, 2, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_subbyte_pack_unpack_property(shape, depth, seed):
+    """The r11 sub-byte scanline helpers are exact inverses for every
+    (h, w, depth): unpack(pack(samples)) == samples, the packed row is
+    ceil(w·depth/8) bytes, and the full encode→decode path presents at
+    exactly samples·(255//(2**depth−1))."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators import multimodal
+
+    h, w = shape
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(0, 1 << depth, size=(h, w)).astype(np.uint8)
+    packed = multimodal._png_pack_rows(samples, depth)
+    assert packed.shape == (h, (w * depth + 7) // 8)
+    assert np.array_equal(
+        multimodal._png_unpack_rows(packed, w, depth), samples
+    )
+    back = multimodal._decode_png(multimodal.encode_png(samples, depth=depth))
+    assert np.array_equal(back, samples * (255 // ((1 << depth) - 1)))
+
+
+@settings(max_examples=_ex(40), deadline=None)
+@given(
+    shape=st.tuples(st.integers(1, 24), st.integers(1, 12)),
+    n_colors=st.integers(1, 9),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(shape, n_colors, interlace, seed):
+    """decode(encode(pixels)) is the identity for every palette-bounded
+    GIF, sequential AND interlaced — heights span all four appendix-E
+    pass regimes, so a wrong pass stride cannot hide."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators import multimodal
+
+    h, w = shape
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+    pixels = palette[rng.randint(0, n_colors, size=(h, w))]
+    back = multimodal._decode_gif(
+        multimodal.encode_gif(pixels, interlace=interlace)
+    )
+    assert np.array_equal(back, pixels), (shape, n_colors, interlace, seed)
+
+
 @settings(max_examples=_ex(8), deadline=None)
 @given(
     sigs=st.lists(st.integers(0, 2**48 - 1), min_size=2, max_size=20, unique=True),
