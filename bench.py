@@ -79,6 +79,9 @@ HEADLINE = [
     "mart_streaming_quality",  # burst dedup + sessionize + anomaly gate + snapshot
     "sql_shipping_priority",  # TPC-H Q3 star join (broadcast + TakeOrdered)
     "sql_local_supplier_volume",  # Q5: six-table local-supplier join tree
+    "sql_market_share",  # Q8: deepest join tree (7 tables, nation twice)
+    "sql_waiting_orders",  # Q21: thrice-replayed fact, semi+anti joins
+    "sql_forecast_revenue",  # Q6: pure scan discipline (pushdown + 1 exchange)
     "txt_html_main_text",  # block split + link-density filter + full strip
     "dedup_semantic_incr",  # frozen-cell new x corpus vs PREBUILT index
     "join_skew_salted",  # hot-key-spread fact x dim, plain-join semantics
