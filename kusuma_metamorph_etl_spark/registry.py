@@ -118,34 +118,37 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-11 WINDOW (final): basis 10; 269 registered, 19 zero-evidence
-# (the r11 additions: the nine TPC-H-completion sql_* rows, dq_reconcile,
-# src_jsonl_quarantine, mm_gif_interlaced, mm_png_subbyte, plus the
-# earlier r11 cohort) all seated inside the 50-cut together with the
-# five formerly-r5-stale rows the r10 verdict flagged.  An evidence-age
-# guard (tests/test_registry_window.py) fails the build when any row's
-# latest evidence is older than the derived rotation budget
-# (ceil(rows/50), currently 6), and compute_priority carries a
-# CUT-REPAIR pass so a glued rows-only/_err pair can never straddle the
-# 50-cut.  REGEN AFTER EVERY REGISTRATION; the window guard test is the
-# backstop, run it before every commit.
+# ROUND-12 WINDOW: basis 11; 269 registered, 0 zero-evidence at basis.
+# The window leads with the 22-row r6-evidence cohort the r11 verdict
+# flagged (asof/range/fuzzy/overlap joins, the evt_* trio, the mergeable
+# sketches, mm_audio/phash/png/video, sim_ivf/lsh + their glued _err
+# passengers) — at basis 11 they are 5 rounds stale and the 6-round age
+# guard would trip at r13 without this rotation.  An evidence-age guard
+# (tests/test_registry_window.py) fails the build when any row's latest
+# evidence is older than the derived rotation budget (ceil(rows/50),
+# currently 6), and compute_priority carries a CUT-REPAIR pass so a
+# glued rows-only/_err pair can never straddle the 50-cut.  REGEN AFTER
+# EVERY REGISTRATION; the window guard test is the backstop, run it
+# before every commit.
 #
-# r12 builder checklist: once the driver lands CORRECTNESS_r11.json,
-# bump _PRIORITY_BASIS_ROUND to 11, regenerate with
-# `python tools/make_window.py --through-round 11`, and re-paste
+# r13 builder checklist: once the driver lands CORRECTNESS_r12.json,
+# bump _PRIORITY_BASIS_ROUND to 12, regenerate with
+# `python tools/make_window.py --through-round 12`, and re-paste
 # (defer only if new zero-evidence registrations overflow the window).
-# Registry growth note: 269 rows puts the rotation budget at 6 rounds —
-# the guard hard-caps at 6, so further additions should retire or
-# consolidate a row for each new one unless the window policy changes
-# deliberately.
+# Registry ceiling policy (ENFORCED since r12 by
+# tests/test_registry_window.py::test_registry_under_rotation_ceiling):
+# len(REGISTRY) must stay ≤ 50 × MAX_EVIDENCE_AGE (300 today) — every
+# addition past 269 should retire or consolidate a row, and the commit
+# message must name the retired/merged row.
 # ---------------------------------------------------------------------------
 
-_PRIORITY_BASIS_ROUND = 10
+_PRIORITY_BASIS_ROUND = 11
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Empty this round: the 19 r11 zero-evidence rows all fit inside the
-# window.
+# Empty this round: the r6-stale rotation cohort plus r7-era re-verifies
+# fill the window; new r12 registrations ride behind the cut only if
+# they cannot displace a fresher row.
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
@@ -266,61 +269,10 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
     return tuple(ordered)
 
 
-# Output of `python tools/make_window.py` at basis round 10 —
+# Output of `python tools/make_window.py` at basis round 11 —
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    "sql_waiting_orders",
-    "mart_streaming_quality",
-    "mm_png_16bit",
-    "sql_customer_distribution",
-    "sql_small_qty_revenue",
-    "sql_sales_opportunity",
-    "dq_reconcile",
-    "src_jsonl_quarantine",
-    "sql_min_cost_supplier",
-    "sql_part_value_share",
-    "sql_part_supplier_counts",
-    "sql_concentrated_suppliers",
-    "sql_forecast_revenue",
-    "sql_volume_shipping",
-    "sql_market_share",
-    "sql_product_profit",
-    "sql_priority_lines",
-    "mm_gif_interlaced",
-    "mm_png_subbyte",
-    "proj_unpivot",
-    "agg_percentile",
-    "mart_supplier_performance",
-    "mart_product_performance",
-    "mart_customer_sales_report",
-    "src_orc_roundtrip",
-    "txt_token_count",
-    "txt_language_id",
-    "txt_fingerprint",
-    "txt_rolling_fingerprint",
-    "txt_chunk",
-    "txt_gopher_filter",
-    "txt_repetition",
-    "samp_fixed_k",
-    "agg_mode",
-    "samp_interleave",
-    "samp_shuffle",
-    "samp_pack",
-    "dedup_decontaminate",
-    "fn_json_extract",
-    "txt_bpe_roundtrip",
-    "txt_char_entropy",
-    "dedup_containment",
-    "dedup_cc_clusters",
-    "dedup_cc_representatives",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_err",
-    "dedup_simhash",
-    "dedup_simhash_err",
-    "dedup_embedding_lsh",
-    "dedup_embedding_lsh_err",
-  # ---- window cut ----
     "agg_hll_mergeable",
     "agg_quantile_mergeable",
     "agg_cms_counts",
@@ -371,6 +323,7 @@ _PRIORITY: tuple[str, ...] = (
     "win_ntile",
     "proj_explode",
     "win_rank_dense",
+  # ---- window cut ----
     "win_cume_dist",
     "cond_when_chain",
     "cond_null_default",
@@ -540,11 +493,60 @@ _PRIORITY: tuple[str, ...] = (
     "sim_group_centroid",
     "mm_png_trns",
     "fn_regexp_extract_all",
+    "src_orc_roundtrip",
+    "txt_token_count",
+    "txt_language_id",
+    "txt_fingerprint",
+    "txt_rolling_fingerprint",
+    "txt_chunk",
+    "txt_gopher_filter",
+    "txt_repetition",
+    "samp_fixed_k",
+    "agg_mode",
+    "samp_interleave",
+    "samp_shuffle",
+    "samp_pack",
+    "dedup_decontaminate",
+    "fn_json_extract",
+    "txt_bpe_roundtrip",
+    "txt_char_entropy",
+    "dedup_containment",
+    "dedup_cc_clusters",
+    "dedup_cc_representatives",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_err",
+    "dedup_simhash",
+    "dedup_simhash_err",
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_err",
+    "proj_unpivot",
+    "agg_percentile",
+    "sql_waiting_orders",
+    "mart_streaming_quality",
+    "mm_png_16bit",
+    "sql_customer_distribution",
+    "sql_small_qty_revenue",
+    "sql_sales_opportunity",
+    "dq_reconcile",
+    "src_jsonl_quarantine",
+    "sql_min_cost_supplier",
+    "sql_part_value_share",
+    "sql_part_supplier_counts",
+    "sql_concentrated_suppliers",
+    "sql_forecast_revenue",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_product_profit",
+    "sql_priority_lines",
+    "mm_gif_interlaced",
+    "mm_png_subbyte",
+    "mart_supplier_performance",
+    "mart_product_performance",
+    "mart_customer_sales_report",
 )
 
-
-# summary: 269 registered; 0 latest-red; 19 zero-evidence;
-# window holds 0 red + 19 zero-evidence rows; spilled past the cut: []
+# summary: 269 registered; 0 latest-red; 0 zero-evidence;
+# window holds 0 red + 0 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

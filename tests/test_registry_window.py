@@ -88,6 +88,26 @@ def test_overage_evidence_rows_are_seated_in_the_window():
     assert budget <= 6, f"rotation budget {budget} rounds — registry too large"
 
 
+MAX_EVIDENCE_AGE = 6
+
+
+def test_registry_under_rotation_ceiling():
+    """Retire-one-per-addition policy, enforced (VERDICT r11 Next #2):
+    the evidence-age guard hard-caps the rotation budget at
+    MAX_EVIDENCE_AGE rounds, so the registry cannot grow past
+    50 × MAX_EVIDENCE_AGE rows (300) without making that guard
+    unsatisfiable.  Any registration that would cross the ceiling must
+    retire or consolidate an existing row in the same commit (and name
+    it in the commit message)."""
+    ceiling = WINDOW * MAX_EVIDENCE_AGE
+    n = len(registry.queries())
+    assert n <= ceiling, (
+        f"registry has {n} rows — past the {ceiling}-row rotation "
+        "ceiling; retire or consolidate a row per addition "
+        "(registry.py policy note)"
+    )
+
+
 def test_assert_driver_hashable_rejects_exactly_the_driver_crash_types():
     """The local checker's schema gate must reject array/map/struct
     output columns (the cell types the driver's pandas canonicalizer
