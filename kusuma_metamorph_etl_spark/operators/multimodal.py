@@ -181,9 +181,12 @@ def encode_png(
     """PNG encoder (greyscale HxW, grey+alpha HxWx2, RGB HxWx3, RGBA
     HxWx4), sequential or Adam7-interlaced.  Sample depth follows the
     input dtype: uint8 arrays emit bit depth 8, uint16 arrays bit depth
-    16 (big-endian sample bytes per PNG spec 7.1).  ``depth`` of 1/2/4
-    forces sub-byte greyscale (HxW input whose samples already fit the
-    depth; scanlines pack MSB-first per spec 7.2, sequential only).
+    16 (big-endian sample bytes per PNG spec 7.1); an EXPLICIT ``depth``
+    of 8/16 overrides the dtype — uint8 samples widen value-preserving
+    to 16-bit, uint16 samples narrow to 8-bit only when every value
+    fits (ValueError otherwise).  ``depth`` of 1/2/4 forces sub-byte
+    greyscale (HxW input whose samples already fit the depth; scanlines
+    pack MSB-first per spec 7.2, sequential only).
     Scanlines use filter type 0 — zlib does the compressing; filter
     search is a size optimization, not a correctness requirement.  With
     ``interlace`` the IDAT stream is the RFC 2083 §2.6 pass
@@ -217,8 +220,20 @@ def encode_png(
         )
     if depth is not None and depth not in (8, 16):
         raise ValueError(f"unsupported PNG bit depth {depth}")
-    depth = 16 if src.dtype == np.uint16 else 8
-    arr = src if depth == 16 else np.asarray(src, dtype=np.uint8)
+    if depth is None:
+        depth = 16 if src.dtype == np.uint16 else 8
+    # honor an EXPLICIT depth (r11 ADVICE: it used to be silently
+    # re-derived from dtype): uint8 → depth 16 widens value-preserving;
+    # uint16 → depth 8 narrows only if every sample already fits.
+    if depth == 16:
+        arr = np.asarray(src, dtype=np.uint16)
+    else:
+        if src.dtype == np.uint16 and int(src.max(initial=0)) > 255:
+            raise ValueError(
+                "depth=8 requested but uint16 samples exceed 255 — "
+                "rescale before encoding"
+            )
+        arr = np.asarray(src, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in _PNG_COLOR_TYPE:

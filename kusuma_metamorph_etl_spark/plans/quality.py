@@ -474,13 +474,16 @@ def reconcile(
     row-level join.  At 100 TB run it per load partition (day) so the
     join stays tiny.
     """
+    # one consistent decimal type end-to-end (r11 ADVICE: rounding to
+    # scale > 6 then casting to decimal(38,6) silently re-rounded to
+    # 6 dp, breaking the compare-after-rounding-to-scale contract)
     dec = f"decimal(38,{max(scale, 6)})"
 
     def grouped(df: DataFrame, side: str) -> DataFrame:
         return df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias(f"{side}_rows"),
             F.round(F.sum(F.col(amount_col).cast(dec)), scale)
-            .cast("decimal(38,6)")
+            .cast(dec)
             .alias(f"{side}_amount"),
         )
 
@@ -488,8 +491,8 @@ def reconcile(
     j = src.join(tgt, on=keys, how="full_outer")
     src_rows = F.coalesce(F.col("src_rows"), F.lit(0))
     tgt_rows = F.coalesce(F.col("tgt_rows"), F.lit(0))
-    src_amt = F.coalesce(F.col("src_amount"), F.lit(0).cast("decimal(38,6)"))
-    tgt_amt = F.coalesce(F.col("tgt_amount"), F.lit(0).cast("decimal(38,6)"))
+    src_amt = F.coalesce(F.col("src_amount"), F.lit(0).cast(dec))
+    tgt_amt = F.coalesce(F.col("tgt_amount"), F.lit(0).cast(dec))
     rows_ok = src_rows == tgt_rows
     amount_ok = src_amt == tgt_amt
     status = (

@@ -6374,8 +6374,9 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard single-`value` frame, hash-compared against the
     originals.  Sound because the fixture corpus contains no embedded
     newlines (asserted: a newline would split a row and flip the
-    driver red, which is the honest failure).  Result re-materializes
-    before cleanup (the `txt_search_and` temp lifecycle)."""
+    driver red, which is the honest failure).  Result materializes
+    executor-side via eager localCheckpoint before cleanup — no
+    driver round-trip."""
     import shutil
     import tempfile
 
@@ -6384,7 +6385,11 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs.write.mode("overwrite").text(tmp)
         back = spark.read.text(tmp)
-        return spark.createDataFrame(back.collect(), schema=back.schema)
+        # cut the lineage to the landing dir WITHOUT a driver
+        # round-trip (r11 ADVICE): eager localCheckpoint materializes
+        # partition blocks executor-side, so the dir can be deleted and
+        # the driver never holds the corpus
+        return back.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -6837,10 +6842,10 @@ def src_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     key on it — the pattern's whole point.  Oracle recomputes the
     parsed/quarantined split from the base table; a policy regression
     (corrupt rows dropped, fields not nulled, raw line lost) flips
-    rows or hashes.  Result re-materializes before cleanup (the
-    `src_text_roundtrip` temp lifecycle); the landing scan itself is a
-    distributed text read — nothing driver-side but the bounded driver
-    rows."""
+    rows or hashes.  Result materializes executor-side via eager
+    localCheckpoint before the landing dir is deleted (the
+    `src_text_roundtrip` temp lifecycle) — nothing ever lands on the
+    driver."""
     import shutil
     import tempfile
 
@@ -6871,7 +6876,9 @@ def src_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.col("_corrupt").isNotNull().alias("quarantined"),
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        # lineage cut executor-side, no driver materialization (r11
+        # ADVICE: out.collect() pulled the whole table to the driver)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

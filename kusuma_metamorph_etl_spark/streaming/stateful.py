@@ -34,8 +34,11 @@ STATE_SCHEMA = "emitted long, deadline long"
 KEYS = ("user_id", "event_type")
 
 
-def _ttl_deadline_ms(state, chunk_max_ns: int | None, ttl_ms: int) -> int:
-    """TTL eviction deadline: ``max(watermark, batch max event time) + ttl``.
+def _ttl_deadline_ms(
+    state, chunk_max_ns: int | None, ttl_ms: int, stored_deadline_ms: int = 0
+) -> int:
+    """TTL eviction deadline:
+    ``max(stored deadline, max(watermark, batch max event time) + ttl)``.
 
     Anchoring on the watermark ALONE is the bug the r11 out-of-order
     property test caught: in the first micro-batch the watermark is
@@ -43,12 +46,20 @@ def _ttl_deadline_ms(state, chunk_max_ns: int | None, ttl_ms: int) -> int:
     deadline and every key seen in batch 1 is evicted the moment the
     watermark first advances — sessions restart and dedup re-emits for
     keys that were never idle.  The batch's own max event time is the
-    correct activity clock; the watermark term keeps the deadline
-    monotone when a batch carries only late stragglers."""
+    correct activity clock.
+
+    The ``stored_deadline_ms`` term (r11 ADVICE) makes re-arming
+    monotone for real: a batch carrying ONLY late stragglers anchors on
+    ``max(watermark, batch_max)`` which can precede the previously
+    stored activity-anchored deadline (by up to the watermark lag) —
+    without the max a key could be expired sooner than its prior
+    deadline promised.  Passing a deadline that already expired is
+    harmless: the new anchor is at least the watermark, which exceeds
+    an expired deadline, so the fresh term wins."""
     anchor = state.getCurrentWatermarkMs()
     if chunk_max_ns is not None:
         anchor = max(anchor, chunk_max_ns // 1_000_000)
-    return anchor + ttl_ms
+    return max(stored_deadline_ms, anchor + ttl_ms)
 
 
 def _expired(state, stored_deadline: int, ttl_ms: int | None) -> bool:
@@ -123,6 +134,7 @@ def first_event_stream(
             state.remove()  # key forgotten; next event re-emits
             return
         already_emitted = False
+        stored_deadline = 0
         if state.exists:
             _flag, stored_deadline = state.get
             # expired = idle past TTL before this arrival → treat as new
@@ -145,7 +157,7 @@ def first_event_stream(
                     best = both.head(1)
         deadline = 0
         if ttl_ms is not None:
-            deadline = _ttl_deadline_ms(state, max_ns, ttl_ms)
+            deadline = _ttl_deadline_ms(state, max_ns, ttl_ms, stored_deadline)
             state.setTimeoutTimestamp(deadline)
         if best is not None and not already_emitted:
             state.update((1, deadline))
@@ -239,14 +251,17 @@ def sessionize_stream(
             state.remove()
             return
         chunks = [p for p in pdfs if not p.empty]
+        stored_deadline = state.get[2] if state.exists else 0
         if not chunks:
             if ttl_ms is not None:
-                state.setTimeoutTimestamp(_ttl_deadline_ms(state, None, ttl_ms))
+                state.setTimeoutTimestamp(
+                    _ttl_deadline_ms(state, None, ttl_ms, stored_deadline)
+                )
             return
         df = pd.concat(chunks).sort_values(["ts", "event_id"])
         last_ns, idx = None, 0
         if state.exists:
-            last_ns, idx, stored_deadline = state.get
+            last_ns, idx, _ = state.get
             if _expired(state, stored_deadline, ttl_ms):
                 last_ns, idx = None, 0  # idle past TTL → session restarts
         # Force ns so the integer gap compare is unit-exact whatever
@@ -254,7 +269,9 @@ def sessionize_stream(
         ts_ns = df["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
         deadline = 0
         if ttl_ms is not None:
-            deadline = _ttl_deadline_ms(state, int(ts_ns.max()), ttl_ms)
+            deadline = _ttl_deadline_ms(
+                state, int(ts_ns.max()), ttl_ms, stored_deadline
+            )
             state.setTimeoutTimestamp(deadline)
         labels = []
         for t in ts_ns:
@@ -324,20 +341,25 @@ def dedup_window_stream(
             state.remove()
             return
         chunks = [p for p in pdfs if not p.empty]
+        stored_deadline = state.get[1] if state.exists else 0
         if not chunks:
             if ttl_ms is not None:
-                state.setTimeoutTimestamp(_ttl_deadline_ms(state, None, ttl_ms))
+                state.setTimeoutTimestamp(
+                    _ttl_deadline_ms(state, None, ttl_ms, stored_deadline)
+                )
             return
         df = pd.concat(chunks).sort_values(["ts", "event_id"])
         last_ns = None
         if state.exists:
-            last_ns, stored_deadline = state.get
+            last_ns, _ = state.get
             if _expired(state, stored_deadline, ttl_ms):
                 last_ns = None  # idle past TTL → next event opens a burst
         ts_ns = df["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
         deadline = 0
         if ttl_ms is not None:
-            deadline = _ttl_deadline_ms(state, int(ts_ns.max()), ttl_ms)
+            deadline = _ttl_deadline_ms(
+                state, int(ts_ns.max()), ttl_ms, stored_deadline
+            )
             state.setTimeoutTimestamp(deadline)
         keep = []
         for t in ts_ns:

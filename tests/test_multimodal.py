@@ -115,6 +115,22 @@ class TestPng:
             assert img["format"] == "png"
             assert np.array_equal(img["pixels"], arr), shape
 
+    def test_explicit_depth_is_honored(self):
+        """r11 ADVICE: encode_png used to re-derive depth from dtype and
+        silently ignore an explicit 8/16."""
+        rng = np.random.RandomState(13)
+        u8 = rng.randint(0, 256, size=(4, 5), dtype=np.uint8)
+        px16 = multimodal._decode_png(multimodal.encode_png(u8, depth=16))
+        assert px16.dtype == np.uint16
+        assert np.array_equal(px16, u8.astype(np.uint16))
+        small16 = rng.randint(0, 256, size=(3, 4), dtype=np.uint16)
+        px8 = multimodal._decode_png(multimodal.encode_png(small16, depth=8))
+        assert px8.dtype == np.uint8
+        assert np.array_equal(px8, small16.astype(np.uint8))
+        wide16 = np.array([[300, 5]], dtype=np.uint16)
+        with pytest.raises(ValueError, match="exceed 255"):
+            multimodal.encode_png(wide16, depth=8)
+
     def test_all_filter_types_and_chunked_idat(self):
         """Decode a PNG whose five scanlines use filter types 0-4 (our
         encoder only emits 0, so the filtered payload is hand-built) and

@@ -391,3 +391,19 @@ def test_reconcile_amount_compare_is_decimal_exact(spark):
     (row,) = reconcile(src, tgt, ["grp"], "amount").collect()
     assert row.amount_ok  # 0.6 == 0.6 in decimal, no float residue
     assert row.status == "row_mismatch"  # counts still differ
+
+
+def test_reconcile_honors_scale_above_six(spark):
+    """r11 ADVICE: scale > 6 used to be silently re-rounded to 6 dp by a
+    trailing decimal(38,6) cast, so two amounts differing only in the
+    8th decimal compared equal at scale=8."""
+    from kusuma_metamorph_etl_spark.plans.quality import reconcile
+
+    schema = "grp string, amount double"
+    src = spark.createDataFrame([("g", 1.00000001)], schema)
+    tgt = spark.createDataFrame([("g", 1.00000004)], schema)
+    (row6,) = reconcile(src, tgt, ["grp"], "amount", scale=6).collect()
+    assert row6.amount_ok  # both round to 1.000000 at scale 6
+    (row8,) = reconcile(src, tgt, ["grp"], "amount", scale=8).collect()
+    assert not row8.amount_ok  # the 1e-8 drift must survive scale=8
+    assert row8.status == "amount_mismatch"

@@ -874,3 +874,49 @@ def test_streaming_quality_two_hop_matches_mart_stages(spark, sf_small, tmp_path
         ).collect()
     }
     assert got == expected and got
+
+
+class _FakeGroupState:
+    """Just enough GroupState for the pure TTL-deadline unit tests."""
+
+    def __init__(self, watermark_ms: int):
+        self._wm = watermark_ms
+
+    def getCurrentWatermarkMs(self) -> int:
+        return self._wm
+
+
+def test_ttl_deadline_never_moves_backwards():
+    """r11 ADVICE: a batch of ONLY late stragglers anchors on
+    max(watermark, batch_max) which can precede the previously stored
+    activity-anchored deadline — re-arming must keep the later promise,
+    else a key is forgotten sooner than its prior deadline said."""
+    from kusuma_metamorph_etl_spark.streaming.stateful import _ttl_deadline_ms
+
+    ttl_ms = 3_600_000  # 1 h
+    wm_ms = 1_000_000_000
+    # prior batch saw activity at wm + 30 min → stored deadline wm + 90 min
+    stored = wm_ms + 1_800_000 + ttl_ms
+    # straggler batch: max event time 10 min BEHIND the watermark
+    straggler_ns = (wm_ms - 600_000) * 1_000_000
+    state = _FakeGroupState(wm_ms)
+    re_armed = _ttl_deadline_ms(state, straggler_ns, ttl_ms, stored)
+    assert re_armed == stored  # without the stored term: wm + ttl < stored
+    # fresh activity past the stored anchor advances the deadline
+    fresh_ns = (wm_ms + 2_400_000) * 1_000_000
+    assert _ttl_deadline_ms(state, fresh_ns, ttl_ms, stored) == (
+        wm_ms + 2_400_000 + ttl_ms
+    )
+
+
+def test_ttl_deadline_expired_stored_deadline_is_harmless():
+    """Passing an already-expired stored deadline must not resurrect it:
+    the fresh anchor is at least the watermark, which exceeds any
+    expired deadline, so the fresh term wins."""
+    from kusuma_metamorph_etl_spark.streaming.stateful import _ttl_deadline_ms
+
+    ttl_ms = 60_000
+    wm_ms = 5_000_000
+    expired_stored = wm_ms - 1  # watermark already passed it
+    state = _FakeGroupState(wm_ms)
+    assert _ttl_deadline_ms(state, None, ttl_ms, expired_stored) == wm_ms + ttl_ms
