@@ -129,11 +129,12 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ PNG
-# Stdlib-only codec: zlib inflate + numpy scanline unfilter.  Scope: 8-bit
-# greyscale / RGB / RGBA (color types 0/2/6 — the overwhelming majority of
-# real corpora), non-interlaced AND Adam7-interlaced (RFC 2083 §2.6 —
-# the progressive-rendering layout most PNG optimizers emit).  Palette
-# (3) and 16-bit images raise NotImplementedError through the
+# Stdlib-only codec: zlib inflate + numpy scanline unfilter.  Scope:
+# 1/2/4/8/16-bit greyscale, 8/16-bit RGB(A), 1/2/4/8-bit palette —
+# every legal IHDR depth×color combination the spec names for those
+# types — non-interlaced AND Adam7-interlaced (RFC 2083 §2.6), in every
+# combination including interlaced sub-byte (per-pass bit packing at
+# the reduced width).  Genuinely exotic variants raise through the
 # injectable-decoder seam.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -186,7 +187,8 @@ def encode_png(
     to 16-bit, uint16 samples narrow to 8-bit only when every value
     fits (ValueError otherwise).  ``depth`` of 1/2/4 forces sub-byte
     greyscale (HxW input whose samples already fit the depth; scanlines
-    pack MSB-first per spec 7.2, sequential only).
+    pack MSB-first per spec 7.2, sequential or Adam7 — interlaced
+    passes pack independently at the reduced width).
     Scanlines use filter type 0 — zlib does the compressing; filter
     search is a size optimization, not a correctness requirement.  With
     ``interlace`` the IDAT stream is the RFC 2083 §2.6 pass
@@ -199,19 +201,16 @@ def encode_png(
             raise ValueError(
                 f"sub-byte PNG is greyscale-only: expected HxW, got {src.shape}"
             )
-        if interlace:
-            raise NotImplementedError("interlaced sub-byte PNG")
         samples = np.asarray(src, dtype=np.uint8)
         if int(samples.max(initial=0)) >= (1 << depth):
             raise ValueError(
                 f"sample values exceed {depth}-bit range (max {(1 << depth) - 1})"
             )
         h, w = samples.shape
-        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
-        packed = _png_pack_rows(samples, depth)
-        rows = np.zeros((h, 1 + packed.shape[1]), dtype=np.uint8)
-        rows[:, 1:] = packed
-        idat = zlib.compress(rows.tobytes(), 6)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, int(interlace))
+        idat = zlib.compress(
+            _png_subbyte_scanline_bytes(samples, depth, interlace), 6
+        )
         return (
             _PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
@@ -298,7 +297,7 @@ def encode_png_palette(
 
     ``depth`` of 1/2/4 packs the index plane at that bit depth (the
     palette must fit in 2**depth entries; MSB-first per spec 7.2,
-    sequential only)."""
+    sequential or Adam7-interlaced)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
@@ -317,17 +316,14 @@ def encode_png_palette(
         (lut[tuple(px)] for px in map(tuple, flat)), dtype=np.uint8, count=h * w
     ).reshape(h, w, 1)
     if depth in (1, 2, 4):
-        if interlace:
-            raise NotImplementedError("interlaced sub-byte PNG")
         if len(colors) > (1 << depth):
             raise ValueError(
                 f"{len(colors)}-color palette does not fit bit depth {depth}"
             )
-        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
-        packed = _png_pack_rows(idx[:, :, 0], depth)
-        rows = np.zeros((h, 1 + packed.shape[1]), dtype=np.uint8)
-        rows[:, 1:] = packed
-        idat = zlib.compress(rows.tobytes(), 6)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
+        idat = zlib.compress(
+            _png_subbyte_scanline_bytes(idx[:, :, 0], depth, interlace), 6
+        )
     elif depth not in (None, 8):
         raise ValueError(f"unsupported palette PNG bit depth {depth}")
     else:
@@ -350,6 +346,33 @@ def encode_png_palette(
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
+
+
+def _png_subbyte_scanline_bytes(
+    samples: np.ndarray, depth: int, interlace: bool
+) -> bytes:
+    """Raw (pre-zlib) scanline stream for an h×w sample plane at bit
+    depth 1/2/4: filter byte 0 + MSB-first packed samples per scanline.
+    With ``interlace`` the stream is the Adam7 pass concatenation, each
+    pass packed INDEPENDENTLY — rows pad to a byte boundary at the
+    REDUCED (pass) width, not the image width (PNG spec 8.2), which is
+    the per-pass bit-packing the sequential-only encoder used to raise
+    on."""
+    def rows_bytes(plane: np.ndarray) -> bytes:
+        packed = _png_pack_rows(plane, depth)
+        rows = np.zeros((plane.shape[0], 1 + packed.shape[1]), dtype=np.uint8)
+        rows[:, 1:] = packed
+        return rows.tobytes()
+
+    if not interlace:
+        return rows_bytes(samples)
+    h, w = samples.shape
+    parts = []
+    for r0, c0, rs, cs, pw, ph in _adam7_dims(w, h):
+        if pw == 0 or ph == 0:
+            continue
+        parts.append(rows_bytes(samples[r0::rs, c0::cs]))
+    return b"".join(parts)
 
 
 def _png_pack_rows(values: np.ndarray, depth: int) -> np.ndarray:
@@ -447,11 +470,6 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"bit depth {depth} is invalid for PNG color type {color}"
         )
-    if depth < 8 and interlace:
-        raise NotImplementedError(
-            "interlaced sub-byte PNG (per-pass bit packing) — inject a "
-            "codec via extract_binary_features(decoder=...)"
-        )
     if depth == 16 and color == 3:
         # palette bit depths are 1/2/4/8 only (PNG spec 11.2.2)
         raise ValueError("16-bit sample depth is invalid for palette PNG")
@@ -471,7 +489,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
     byte_ch = max(1, channels * (depth // 8))
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace:
-        arr = _png_deinterlace(raw, w, h, byte_ch)
+        arr = _png_deinterlace(raw, w, h, byte_ch, depth)
         if byte_ch == 1:
             arr = arr.reshape(h, w, 1)
     else:
@@ -542,18 +560,25 @@ def _decode_png(payload: bytes) -> np.ndarray:
 
 
 def _png_deinterlace(
-    raw: np.ndarray, w: int, h: int, channels: int
+    raw: np.ndarray, w: int, h: int, channels: int, depth: int = 8
 ) -> np.ndarray:
     """Adam7 reassembly (RFC 2083 §2.6): the inflated stream is seven
     pass sub-images back to back, each filtered INDEPENDENTLY (filter
     bytes and prior-scanline references stay inside the pass), scattered
-    onto the (row, col) grid of its pass pattern."""
+    onto the (row, col) grid of its pass pattern.
+
+    ``depth`` < 8 (greyscale/palette sub-byte, channels == 1): each
+    reduced scanline is ``ceil(pass_w·depth/8)`` PACKED bytes — rows pad
+    to a byte boundary at the PASS width, not the image width (PNG spec
+    8.2: every pass is its own reduced image) — filtered with the
+    left-neighbor distance clamped to one byte (spec 9.2), and unpacks
+    to pass_w samples before scattering."""
     img = np.zeros((h, w, channels), dtype=np.uint8)
     pos = 0
     for r0, c0, rs, cs, pw, ph in _adam7_dims(w, h):
         if pw == 0 or ph == 0:
             continue
-        stride = pw * channels
+        stride = pw * channels if depth >= 8 else (pw * depth + 7) // 8
         need = ph * (1 + stride)
         if pos + need > raw.size:
             raise ValueError("Adam7 PNG data shorter than pass layout")
@@ -565,7 +590,14 @@ def _png_deinterlace(
             sub[y] = _png_unfilter_row(
                 int(rows[y, 0]), rows[y, 1:].astype(np.int32), prev, channels
             )
-        img[r0::rs, c0::cs] = sub.astype(np.uint8).reshape(ph, pw, channels)
+        if depth < 8:
+            img[r0::rs, c0::cs, 0] = _png_unpack_rows(
+                sub.astype(np.uint8), pw, depth
+            )
+        else:
+            img[r0::rs, c0::cs] = sub.astype(np.uint8).reshape(
+                ph, pw, channels
+            )
     if pos != raw.size:
         raise ValueError("Adam7 PNG data longer than pass layout")
     return img[:, :, 0] if channels == 1 else img
@@ -760,17 +792,19 @@ def _subbyte_depth_for(text: str) -> int:
     return (1, 2, 4)[len(text.encode()) % 3]
 
 
-def synthesize_png_subbyte(text: str) -> bytes:
+def synthesize_png_subbyte(text: str, interlace: bool = False) -> bytes:
     """Deterministic sub-byte greyscale PNG payload: the synthetic
     pixels' red plane quantized to a per-document depth (1/2/4 bits,
     top bits kept) and packed MSB-first.  Its lossless twin is
     :func:`synthesize_pgm_quantized` — the SAME quantized samples
     presented at 8 bits — so the decoded pixel arrays must be
-    byte-identical (the `mm_png_subbyte` gate)."""
+    byte-identical (the `mm_png_subbyte` gate).  With ``interlace`` the
+    payload is the Adam7 stream with every pass packed at its reduced
+    width (the `mm_png_subbyte_interlaced` gate)."""
     px = _synthesize_pixels(text)
     depth = _subbyte_depth_for(text)
     samples = (px[:, :, 0] >> (8 - depth)).astype(np.uint8)
-    return encode_png(samples, depth=depth)
+    return encode_png(samples, depth=depth, interlace=interlace)
 
 
 def synthesize_pgm_quantized(text: str) -> bytes:
@@ -784,14 +818,18 @@ def synthesize_pgm_quantized(text: str) -> bytes:
 
 
 def attach_png_subbyte_payload(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    interlace: bool = False,
 ) -> DataFrame:
     """Synthesized sub-byte-depth PNG payload column (Arrow-batched
-    pandas UDF), typed ``image/png``."""
+    pandas UDF), typed ``image/png``; ``interlace`` emits the Adam7
+    per-pass-packed stream."""
 
     @F.pandas_udf("binary")
     def make_png(texts: pd.Series) -> pd.Series:
-        return texts.map(synthesize_png_subbyte)
+        return texts.map(lambda s: synthesize_png_subbyte(s, interlace))
 
     return df.withColumn("payload", make_png(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/png")

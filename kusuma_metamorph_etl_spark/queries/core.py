@@ -1087,37 +1087,35 @@ def dq_snapshot_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- §2.10 set ops / sort-limit
 
 @register(
-    "setop_union",
-    """SELECT c_nationkey AS nation_key FROM customer
-       UNION SELECT s_nationkey FROM supplier""",
+    "setop_family",
+    """SELECT 'union' AS op, nation_key FROM (
+           SELECT c_nationkey AS nation_key FROM customer
+           UNION SELECT s_nationkey FROM supplier)
+       UNION ALL
+       SELECT 'intersect' AS op, nation_key FROM (
+           SELECT c_nationkey AS nation_key FROM customer
+           INTERSECT SELECT s_nationkey FROM supplier)
+       UNION ALL
+       SELECT 'except' AS op, nation_key FROM (
+           SELECT c_nationkey AS nation_key FROM customer
+           EXCEPT SELECT s_nationkey FROM supplier)""",
 )
-def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def setop_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one tagged frame (consolidates the
+    r7 rows `setop_union`/`setop_intersect`/`setop_except` under the
+    r12 retire-one-per-addition registry policy — same three operators,
+    same hash gate, one driver slot).  Spark set-op mapping: `union()`
+    is UNION ALL (distinct() gives set semantics), `intersect()` is
+    INTERSECT, `subtract()` is EXCEPT (set semantics; the *All variants
+    are the bag forms)."""
     cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
     supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
-    return cust.union(supp).distinct()
-
-
-@register(
-    "setop_intersect",
-    """SELECT c_nationkey AS nation_key FROM customer
-       INTERSECT SELECT s_nationkey FROM supplier""",
-)
-def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
-    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
-    return cust.intersect(supp)
-
-
-@register(
-    "setop_except",
-    """SELECT c_nationkey AS nation_key FROM customer
-       EXCEPT SELECT s_nationkey FROM supplier""",
-)
-def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # subtract() is SQL EXCEPT (set semantics); exceptAll() is EXCEPT ALL.
-    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
-    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
-    return cust.subtract(supp)
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nation_key")  # noqa: E731
+    return (
+        tag(cust.union(supp).distinct(), "union")
+        .unionByName(tag(cust.intersect(supp), "intersect"))
+        .unionByName(tag(cust.subtract(supp), "except"))
+    )
 
 
 @register(

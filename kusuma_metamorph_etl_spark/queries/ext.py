@@ -7289,3 +7289,42 @@ def mm_png_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pixel_md5") == F.col("pgm_md5"))
         .select("doc_id", "format", "width", "height", "channels")
     )
+
+
+@register(
+    "mm_png_subbyte_interlaced",
+    """SELECT doc_id,
+              'png' AS format,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
+              CAST(1 AS INTEGER) AS channels
+       FROM documents""",
+)
+def mm_png_subbyte_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-interlaced sub-byte PNG decode ([EXT] multimodal —
+    graduates the LAST named PNG seam, the per-pass bit-packing gate
+    `operators/multimodal.py::_png_deinterlace` carried since r11): the
+    `mm_png_subbyte` payloads re-encoded with the interlace flag, every
+    pass packed independently at its REDUCED width (PNG spec 8.2 — the
+    4–8-pixel synthetic canvases make most pass widths differ from the
+    image width, exactly where a shared-width packing bug corrupts the
+    plane).  Gate: decoded pixel md5 equals the 8-bit quantized-PGM
+    twin byte-for-byte (`pixel_md5_features` — interlace bugs REORDER
+    rows, and means are permutation-invariant, so the digest is the
+    honest check; the r11 `mm_gif_interlaced` convention)."""
+    docs = t(spark, sf_dir, "documents")
+    png = multimodal.extract_binary_features(
+        multimodal.attach_png_subbyte_payload(docs, interlace=True),
+        decoder=multimodal.pixel_md5_features,
+        schema=multimodal.PIXEL_MD5_SCHEMA,
+    )
+    pgm = multimodal.extract_binary_features(
+        multimodal.attach_pgm_quantized_payload(docs),
+        decoder=multimodal.pixel_md5_features,
+        schema=multimodal.PIXEL_MD5_SCHEMA,
+    ).select("doc_id", F.col("pixel_md5").alias("pgm_md5"))
+    return (
+        png.join(pgm, "doc_id")
+        .filter(F.col("pixel_md5") == F.col("pgm_md5"))
+        .select("doc_id", "format", "width", "height", "channels")
+    )

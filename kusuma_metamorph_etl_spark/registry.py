@@ -118,8 +118,10 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-12 WINDOW: basis 11; 269 registered, 0 zero-evidence at basis.
-# The window leads with the 22-row r6-evidence cohort the r11 verdict
+# ROUND-12 WINDOW: basis 11; 268 registered (setop_union/intersect/
+# except consolidated into setop_family, +mm_png_subbyte_interlaced —
+# net −1 under the ceiling policy); 2 zero-evidence rows lead the cut.
+# Behind them sits the 22-row r6-evidence cohort the r11 verdict
 # flagged (asof/range/fuzzy/overlap joins, the evt_* trio, the mergeable
 # sketches, mm_audio/phash/png/video, sim_ivf/lsh + their glued _err
 # passengers) — at basis 11 they are 5 rounds stale and the 6-round age
@@ -273,6 +275,8 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
+    "setop_family",
+    "mm_png_subbyte_interlaced",
     "agg_hll_mergeable",
     "agg_quantile_mergeable",
     "agg_cms_counts",
@@ -321,9 +325,9 @@ _PRIORITY: tuple[str, ...] = (
     "win_frame_agg",
     "win_lag_lead",
     "win_ntile",
+  # ---- window cut ----
     "proj_explode",
     "win_rank_dense",
-  # ---- window cut ----
     "win_cume_dist",
     "cond_when_chain",
     "cond_null_default",
@@ -468,9 +472,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_str_value",
     "dq_duplicate_gate",
     "dq_snapshot_stamp",
-    "setop_union",
-    "setop_intersect",
-    "setop_except",
     "sort_limit",
     "txt_quality",
     "txt_tfidf",
@@ -545,8 +546,8 @@ _PRIORITY: tuple[str, ...] = (
     "mart_customer_sales_report",
 )
 
-# summary: 269 registered; 0 latest-red; 0 zero-evidence;
-# window holds 0 red + 0 zero-evidence rows; spilled past the cut: []
+# summary: 268 registered; 0 latest-red; 2 zero-evidence;
+# window holds 0 red + 2 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

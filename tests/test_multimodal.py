@@ -181,9 +181,9 @@ class TestPng:
 
     def test_unsupported_variants_gated(self):
         """Every named seam has graduated (interlaced and palette in r9,
-        16-bit and sub-byte in r11 — TestPngAdam7/TestPngPalette/
-        TestPngSubByte); what remains gated is the genuinely exotic:
-        nonsense depths and interlaced sub-byte streams.  Spec-invalid
+        16-bit and sub-byte in r11, interlaced sub-byte in r12 —
+        TestPngAdam7/TestPngPalette/TestPngSubByte); what remains gated
+        is the genuinely exotic: nonsense depths.  Spec-invalid
         depth/color combinations are malformed (ValueError), not
         seams."""
         import struct
@@ -203,9 +203,6 @@ class TestPng:
         for depth, color, interlace in [(3, 0, 0), (32, 2, 0)]:
             with pytest.raises(NotImplementedError):
                 multimodal._decode_png(payload_for(depth, color, interlace))
-        # interlaced sub-byte: the one remaining named PNG seam
-        with pytest.raises(NotImplementedError, match="sub-byte"):
-            multimodal._decode_png(payload_for(4, 0, 1))
         # sub-byte on a truecolor type is spec-invalid, not a seam
         with pytest.raises(ValueError, match="invalid"):
             multimodal._decode_png(payload_for(4, 2, 0))
@@ -720,18 +717,30 @@ class TestPngSubByte:
             b = mm.pixel_md5_features(mm.synthesize_pgm_quantized(text))
             assert a["pixel_md5"] == b["pixel_md5"], text
 
-    def test_interlaced_subbyte_stays_a_named_seam(self):
+    def test_interlaced_subbyte_roundtrip(self):
+        """The last named PNG seam, graduated in r12: Adam7 passes over
+        a sub-byte plane pack independently at the REDUCED width — odd
+        image widths make pass-row byte padding differ from the
+        sequential layout, which is exactly what a shared-packing bug
+        corrupts."""
         import numpy as np
-        import pytest
 
         from kusuma_metamorph_etl_spark.operators.multimodal import (
+            _decode_png,
             encode_png,
         )
 
-        with pytest.raises(NotImplementedError, match="interlaced sub-byte"):
-            encode_png(
-                np.zeros((4, 4), dtype=np.uint8), depth=2, interlace=True
-            )
+        rng = np.random.RandomState(41)
+        for depth in (1, 2, 4):
+            for shape in [(1, 1), (2, 3), (7, 13), (8, 8), (9, 2)]:
+                arr = rng.randint(0, 1 << depth, size=shape).astype(np.uint8)
+                scale = 255 // ((1 << depth) - 1)
+                seq = _decode_png(encode_png(arr, depth=depth))
+                inter = _decode_png(
+                    encode_png(arr, depth=depth, interlace=True)
+                )
+                assert np.array_equal(seq, arr * scale), (depth, shape)
+                assert np.array_equal(inter, seq), (depth, shape)
 
 
 class TestPhash:

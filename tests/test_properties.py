@@ -269,6 +269,34 @@ def test_png_subbyte_pack_unpack_property(shape, depth, seed):
 
 @settings(max_examples=_ex(40), deadline=None)
 @given(
+    shape=st.tuples(st.integers(1, 20), st.integers(1, 20)),
+    depth=st.sampled_from([1, 2, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_subbyte_interlaced_property(shape, depth, seed):
+    """Interlaced sub-byte PNG (graduated r12): the Adam7 stream packs
+    each pass independently at the REDUCED width, so for every
+    (h, w, depth) decode(encode(interlace=True)) equals the sequential
+    decode pixel-for-pixel — the property a shared-width packing bug
+    (padding pass rows at the image width) breaks on any w not a
+    multiple of 8/depth."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators import multimodal
+
+    h, w = shape
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(0, 1 << depth, size=(h, w)).astype(np.uint8)
+    seq = multimodal._decode_png(multimodal.encode_png(samples, depth=depth))
+    inter = multimodal._decode_png(
+        multimodal.encode_png(samples, depth=depth, interlace=True)
+    )
+    assert np.array_equal(inter, seq), (shape, depth, seed)
+    assert np.array_equal(seq, samples * (255 // ((1 << depth) - 1)))
+
+
+@settings(max_examples=_ex(40), deadline=None)
+@given(
     shape=st.tuples(st.integers(1, 24), st.integers(1, 12)),
     n_colors=st.integers(1, 9),
     interlace=st.booleans(),
