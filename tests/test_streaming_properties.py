@@ -355,3 +355,109 @@ def test_sessionize_stream_ttl_expiry_matches_contract(plan):
         batches, 1800, _ttl_millis(ttl), tol_ms
     )
     assert got == expected
+
+
+def _simulate_first_event_stream(batches, ttl_ms, late_tol_ms):
+    """Contract-level reference for first_event_stream under a firing
+    TTL: a key idle past its deadline is forgotten, so its next event
+    EMITS AGAIN (dedup-within-TTL is the documented contract)."""
+    wm_ms = 0
+    state = {}  # (user, etype) -> deadline_ms
+    emitted = []
+    for batch in batches:
+        by_key: dict[tuple, list] = {}
+        for row in batch:
+            by_key.setdefault((row[0], row[1]), []).append(row)
+        for key, rows_ in by_key.items():
+            rows_ = sorted(rows_, key=lambda r: (r[3], r[2]))
+            stored = state.get(key, 0)
+            already = key in state and not (stored > 0 and wm_ms > stored)
+            batch_max = max(_ns(r[3]) for r in rows_)
+            deadline = max(stored, max(wm_ms, batch_max // 1_000_000) + ttl_ms)
+            if not already:
+                emitted.append(rows_[0][2])
+            state[key] = deadline
+        batch_max_all = max(_ns(r[3]) for r in batch)
+        wm_ms = max(wm_ms, batch_max_all // 1_000_000 - late_tol_ms)
+    return sorted(emitted)
+
+
+def _simulate_dedup_window_stream(batches, win_s, ttl_ms, late_tol_ms):
+    """Contract-level reference for dedup_window_stream under a firing
+    TTL: idle-past-TTL keys forget their last timestamp, so the next
+    event reopens a burst (emits) regardless of the chain rule."""
+    win_ns = win_s * 1_000_000_000
+    wm_ms = 0
+    state = {}  # (user, etype) -> (last_ns, deadline_ms)
+    kept = []
+    for batch in batches:
+        by_key: dict[tuple, list] = {}
+        for row in batch:
+            by_key.setdefault((row[0], row[1]), []).append(row)
+        for key, rows_ in by_key.items():
+            rows_ = sorted(rows_, key=lambda r: (r[3], r[2]))
+            last_ns, stored = state.get(key, (None, 0))
+            if stored > 0 and wm_ms > stored:
+                last_ns = None  # expired: next event reopens a burst
+            batch_max = max(_ns(r[3]) for r in rows_)
+            deadline = max(stored, max(wm_ms, batch_max // 1_000_000) + ttl_ms)
+            for r in rows_:
+                t = _ns(r[3])
+                if last_ns is None or t - last_ns > win_ns:
+                    kept.append(r[2])
+                last_ns = t
+            state[key] = (last_ns, deadline)
+        batch_max_all = max(_ns(r[3]) for r in batch)
+        wm_ms = max(wm_ms, batch_max_all // 1_000_000 - late_tol_ms)
+    return sorted(kept)
+
+
+@settings(max_examples=_ex(9), deadline=None)
+@given(plan=_expiry_plan())
+def test_first_event_stream_ttl_expiry_matches_contract(plan):
+    """Dedup-within-TTL under a FIRING TTL: the comeback event after an
+    expired gap must re-emit, and a too-early expiry (the monotonicity
+    bug class) or a never-firing one diverges from the simulator."""
+    from kusuma_metamorph_etl_spark.streaming.stateful import (
+        _ttl_millis,
+        first_event_stream,
+    )
+
+    rows, batches, ttl, late_tol = plan
+    got = sorted(
+        r["event_id"]
+        for r in _run_stream(
+            lambda s: first_event_stream(
+                s, state_ttl=ttl, late_tolerance=late_tol
+            ),
+            batches,
+            output_mode="update",
+        )
+    )
+    tol_ms = {"0 seconds": 0, "10 minutes": 600_000}[late_tol]
+    expected = _simulate_first_event_stream(batches, _ttl_millis(ttl), tol_ms)
+    assert got == expected
+
+
+@settings(max_examples=_ex(9), deadline=None)
+@given(plan=_expiry_plan())
+def test_dedup_window_stream_ttl_expiry_matches_contract(plan):
+    """Burst dedup under a FIRING TTL: an expired key's comeback reopens
+    a burst even when the chain rule would have suppressed it."""
+    from kusuma_metamorph_etl_spark.streaming.stateful import _ttl_millis
+
+    rows, batches, ttl, late_tol = plan
+    got = sorted(
+        r["event_id"]
+        for r in _run_stream(
+            lambda s: dedup_window_stream(
+                s, window_seconds=1800, state_ttl=ttl, late_tolerance=late_tol
+            ),
+            batches,
+        )
+    )
+    tol_ms = {"0 seconds": 0, "10 minutes": 600_000}[late_tol]
+    expected = _simulate_dedup_window_stream(
+        batches, 1800, _ttl_millis(ttl), tol_ms
+    )
+    assert got == expected
