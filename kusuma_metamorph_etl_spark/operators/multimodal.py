@@ -56,16 +56,26 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def encode_ppm(pixels: np.ndarray) -> bytes:
-    """Binary PPM (P6, HxWx3) / PGM (P5, HxW) encoder."""
-    arr = np.asarray(pixels, dtype=np.uint8)
+    """Binary PPM (P6, HxWx3) / PGM (P5, HxW) encoder.  uint8 input
+    writes maxval 255 with one byte per sample; uint16 input writes
+    maxval 65535 with two bytes per sample MOST significant first
+    (Netpbm spec: "each sample ... two bytes, the most significant
+    first" when maxval exceeds 255)."""
+    src = np.asarray(pixels)
+    wide = src.dtype == np.uint16
+    arr = src if wide else np.asarray(src, dtype=np.uint8)
     if arr.ndim == 3 and arr.shape[2] == 3:
         magic = b"P6"
     elif arr.ndim == 2:
         magic = b"P5"
     else:
-        raise ValueError(f"expected HxW or HxWx3 uint8 array, got {arr.shape}")
+        raise ValueError(
+            f"expected HxW or HxWx3 uint8/uint16 array, got {arr.shape}"
+        )
     h, w = arr.shape[:2]
-    return b"%s\n%d %d\n255\n" % (magic, w, h) + arr.tobytes()
+    maxval = 65535 if wide else 255
+    body = arr.astype(">u2").tobytes() if wide else arr.tobytes()
+    return b"%s\n%d %d\n%d\n" % (magic, w, h, maxval) + body
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray:
@@ -87,9 +97,19 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
-    if maxval != 255:
-        raise NotImplementedError("only 8-bit PPM/PGM supported")
-    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=pos)
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"PPM/PGM maxval {maxval} outside the spec range")
+    # Netpbm sample width follows maxval: one byte up to 255, two bytes
+    # big-endian above (r12 — the 8-bit-only gate graduated).  Samples
+    # present RAW at file depth; no rescaling.
+    if maxval > 255:
+        data = np.frombuffer(
+            payload, dtype=">u2", count=w * h * channels, offset=pos
+        ).astype(np.uint16)
+    else:
+        data = np.frombuffer(
+            payload, dtype=np.uint8, count=w * h * channels, offset=pos
+        )
     return data.reshape((h, w, 3)) if channels == 3 else data.reshape((h, w))
 
 
@@ -116,15 +136,19 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     header_size, w, h = struct.unpack_from("<Iii", payload, 14)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if header_size < 40 or bpp != 24 or compression != 0:
-        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    if header_size < 40 or bpp not in (24, 32) or compression != 0:
+        raise NotImplementedError("only uncompressed 24/32-bit BMP supported")
     bottom_up = h > 0
     h = abs(h)
-    row_size = (w * 3 + 3) & ~3
+    ch = bpp // 8
+    row_size = (w * ch + 3) & ~3  # 32-bit rows are already 4-aligned
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_size * h, offset=data_offset
     ).reshape(h, row_size)
-    arr = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    # 24-bit: BGR → RGB.  32-bit BI_RGB (r12): the fourth byte is the
+    # spec's "reserved" pad under BITMAPINFOHEADER, dropped like every
+    # mainstream decoder does — BGRX → RGB.
+    arr = rows[:, : w * ch].reshape(h, w, ch)[:, :, 2::-1]
     return arr[::-1] if bottom_up else arr
 
 

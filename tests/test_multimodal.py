@@ -61,6 +61,51 @@ class TestCodecs:
         payload = b"P6\n# a comment\n2 2\n255\n" + arr.tobytes()
         assert np.array_equal(multimodal.decode_image(payload)["pixels"], arr)
 
+    def test_bmp_32bit_bgrx(self):
+        """32-bit BI_RGB BMP (r12): four bytes per pixel BGRX, the
+        fourth byte the spec's reserved pad, dropped like mainstream
+        decoders do.  Hand-built payload (our encoder stays 24-bit)."""
+        import struct as st
+
+        arr = _gradient(3, 5)
+        h, w = arr.shape[:2]
+        bgrx = np.zeros((h, w, 4), dtype=np.uint8)
+        bgrx[:, :, :3] = arr[::-1, :, ::-1]  # bottom-up, BGR
+        bgrx[:, :, 3] = 0xEE  # junk pad the decoder must ignore
+        image_size = w * 4 * h
+        payload = (
+            st.pack("<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 54)
+            + st.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 32, 0, image_size, 2835, 2835, 0, 0
+            )
+            + bgrx.tobytes()
+        )
+        img = multimodal.decode_image(payload)
+        assert (img["format"], img["width"], img["height"]) == ("bmp", 5, 3)
+        assert np.array_equal(img["pixels"], arr)
+
+    def test_ppm_16bit_roundtrip(self):
+        """maxval > 255 → two bytes per sample, most significant first
+        (Netpbm spec) — the 8-bit-only gate graduated in r12.  Samples
+        present RAW at file depth (pixels dtype uint16), the same
+        convention as 16-bit PNG."""
+        rng = np.random.RandomState(23)
+        g16 = rng.randint(0, 65536, size=(4, 7), dtype=np.uint16)
+        img = multimodal.decode_image(multimodal.encode_ppm(g16))
+        assert (img["format"], img["channels"]) == ("pgm", 1)
+        assert img["pixels"].dtype == np.uint16
+        assert np.array_equal(img["pixels"], g16)
+        c16 = rng.randint(0, 65536, size=(3, 5, 3), dtype=np.uint16)
+        assert np.array_equal(
+            multimodal.decode_image(multimodal.encode_ppm(c16))["pixels"], c16
+        )
+        # byte order is the spec's, not the platform's: the MSB leads
+        one = np.array([[0x0102]], dtype=np.uint16)
+        assert multimodal.encode_ppm(one).endswith(b"\x01\x02")
+        # an out-of-spec maxval is malformed, not a seam
+        with pytest.raises(ValueError, match="maxval"):
+            multimodal._decode_ppm(b"P5\n1 1\n70000\n\x00\x00")
+
     def test_compressed_formats_gated(self):
         # Every shipped format decodes for real now (TestPng, TestGif,
         # TestJpeg) — malformed payloads are ValueErrors from the real
