@@ -13,8 +13,10 @@ Scope, declared precisely:
   the web-corpus default); optional ``restart_interval`` emits DRI +
   RSTn markers with byte-aligned 1-padding and DC-predictor resets.
   No progressive.
-* DECODE: any baseline sequential interleaved JPEG with integer-ratio
-  sampling factors — 4:4:4, 4:2:0, 4:2:2, 4:4:0 all decode; chroma is
+* DECODE: any baseline sequential JPEG with integer-ratio sampling
+  factors — 4:4:4, 4:2:0, 4:2:2, 4:4:0, both interleaved (one scan)
+  and non-interleaved (one scan per component, each walking its own
+  data-unit grid per A.2.2) layouts decode; chroma is
   box-replicated back to full resolution (the standard simple
   upsampling).  DRI/RSTn restart intervals are honored: the bit reader
   byte-aligns at each interval, verifies the RSTn modulo-8 sequence,
@@ -24,8 +26,12 @@ Scope, declared precisely:
   accumulation across scans — DC first/refine, AC spectral-selection
   bands with EOB runs, AC successive-approximation refinement (Annex
   G; VERDICT r8 #7: the majority encoding of modern web JPEGs).
-  Arithmetic/hierarchical/lossless inputs raise
-  ``NotImplementedError`` with the boundary named.
+  SOF1 extended-sequential frames decode through the baseline path
+  (at 8-bit precision the two differ only in the table-count limits
+  baseline imposes) and 16-bit DQT entries (Pq=1, big-endian per
+  B.2.4.1) are read for real.  Arithmetic/hierarchical/lossless
+  inputs and 12-bit precision raise ``NotImplementedError`` with the
+  boundary named.
 
 Conformance evidence: GIF's decoder is pinned to a public byte vector;
 JPEG is pinned to a SPEC-DERIVED vector instead — a byte-literal file
@@ -702,6 +708,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     progressive = False
     coef_store: dict[int, np.ndarray] = {}  # cid -> (BY, BX, 64) int32
     n_scans = 0
+    seq_planes: dict[int, np.ndarray] = {}  # non-interleaved sequential
+    seq_done: set[int] = set()
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -725,14 +733,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision field {pq}")
                 tbl = np.zeros(64)
-                tbl[_ZIGZAG] = np.frombuffer(
-                    body, np.uint8, count=64, offset=off + 1
-                )
+                if pq == 1:  # 16-bit table entries, big-endian (T.81 B.2.4.1)
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        body, ">u2", count=64, offset=off + 1
+                    )
+                    off += 129
+                else:
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        body, np.uint8, count=64, offset=off + 1
+                    )
+                    off += 65
                 qtables[tq] = tbl.reshape(8, 8).astype(np.float64)
-                off += 65
         elif marker == 0xC4:  # DHT (may hold several tables)
             off = 0
             while off < len(body):
@@ -745,7 +759,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     (length, code): sym for sym, (code, length) in codes.items()
                 }
                 off += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive.
+            # At 8-bit precision SOF1 decodes identically to baseline
+            # (T.81 just lifts the 2-table/255-value limits baseline adds).
             progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
@@ -766,10 +783,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = (h, w, comps)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "non-baseline/non-progressive JPEG (extended/arithmetic/"
-                "hierarchical/lossless)"
+                "arithmetic-coded/hierarchical/lossless JPEG"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
@@ -819,14 +835,68 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ):
                     pos += 1
                 continue
-            if ncomp_scan != len(comps):
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) sequential JPEG"
-                )
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
+            if ncomp_scan != len(comps) or seq_planes:
+                # Non-interleaved sequential: each scan carries ONE
+                # component whose data units walk the component's OWN
+                # block grid in raster order (T.81 A.2.2 — ceil of the
+                # scaled dimensions, NOT padded to MCU multiples), and
+                # the MCU is a single data unit, so DRI counts blocks.
+                # Planes accumulate across scans; the image reconstructs
+                # once every frame component has been seen.
+                if ncomp_scan != 1:
+                    raise NotImplementedError(
+                        "partially-interleaved sequential scan (1 < Ns < Nf)"
+                    )
+                if not seq_planes:
+                    for cid2, hi2, vi2, _tq2 in comps:
+                        seq_planes[cid2] = np.zeros(
+                            (mcuy * 8 * vi2, mcux * 8 * hi2), dtype=np.float64
+                        )
+                cid = scan_order[0]
+                hi, vi, tq = next(
+                    (c[1], c[2], c[3]) for c in comps if c[0] == cid
+                )
+                bx = -(-(-(-w * hi // hmax)) // 8)  # ceil(ceil(w*hi/hmax)/8)
+                by = -(-(-(-h * vi // vmax)) // 8)
+                td, ta = scan_tables[cid]
+                br = _BitReader(payload[pos + seg_len :])
+                pred = 0
+                plane = seq_planes[cid]
+                for unit in range(by * bx):
+                    if (
+                        restart_interval
+                        and unit
+                        and unit % restart_interval == 0
+                    ):
+                        n = br.consume_restart()
+                        expect = (unit // restart_interval - 1) % 8
+                        if n != expect:
+                            raise ValueError(
+                                f"RST{n} out of sequence (expected RST{expect})"
+                            )
+                        pred = 0  # T.81 §F.2.1.3.1
+                    pred, block = _decode_block(
+                        br, huff[(0, td)], huff[(1, ta)], qtables[tq], pred
+                    )
+                    y0, x0 = (unit // bx) * 8, (unit % bx) * 8
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = block
+                seq_done.add(cid)
+                pos = pos + seg_len + br.pos
+                # resync: skip pad bits/bytes to the next true marker
+                while pos + 1 < len(payload) and not (
+                    payload[pos] == 0xFF
+                    and payload[pos + 1] != 0x00
+                    and not 0xD0 <= payload[pos + 1] <= 0xD7
+                ):
+                    pos += 1
+                if seq_done == {c[0] for c in comps}:
+                    planes = [seq_planes[c[0]] for c in comps]
+                    return _finish_image(planes, comps, hmax, vmax, h, w)
+                continue
             planes = [
                 np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
                 for (_cid, hi, vi, _tq) in comps
@@ -862,4 +932,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     mcu_idx += 1
             return _finish_image(planes, comps, hmax, vmax, h, w)
         pos += seg_len
+    if seq_planes:
+        raise ValueError(
+            "sequential scans ended before every frame component was coded"
+        )
     raise ValueError("JPEG payload contains no scan")

@@ -1056,7 +1056,7 @@ def sample_frames(
 # YUV4MPEG2 (.y4m): the standard UNCOMPRESSED video container (mjpegtools
 # lineage; ffmpeg's raw-video interchange format) — a text header line,
 # then per frame a FRAME marker + raw planes.  Real parsing, no codec
-# library: supported colorspaces are Cmono (luma only), C444, and C420
+# library: supported colorspaces are Cmono (luma only), C444, C422, C420
 # (planes returned as stored; no chroma upsampling — that is a consumer
 # choice, not a decode step).  Compressed video (H.26x, VP9, AV1) is out
 # of scope behind the same injectable-decoder seam as JPEG.
@@ -1121,12 +1121,16 @@ def decode_video(payload: bytes) -> dict[str, Any]:
         plane_shapes = [("y", h, w)]
     elif colorspace.startswith("444"):
         plane_shapes = [("y", h, w), ("u", h, w), ("v", h, w)]
+    elif colorspace.startswith("422"):
+        # 4:2:2 — chroma subsampled horizontally only (full-height planes)
+        plane_shapes = [("y", h, w), ("u", h, w // 2), ("v", h, w // 2)]
     elif colorspace.startswith("420"):
         plane_shapes = [("y", h, w), ("u", h // 2, w // 2), ("v", h // 2, w // 2)]
     else:
         raise NotImplementedError(
-            f"Y4M colorspace {colorspace!r} not supported (mono/444/420); "
-            "inject a decoder via extract_binary_features(decoder=...)"
+            f"Y4M colorspace {colorspace!r} not supported "
+            "(mono/444/422/420); inject a decoder via "
+            "extract_binary_features(decoder=...)"
         )
     frames = []
     pos = nl + 1
@@ -1312,23 +1316,42 @@ def phash_near_dups(
 # ------------------------------------------------------------- audio codec
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """Canonical 44-byte-header PCM16 WAV encoder.  ``samples``: 1-D int16
-    (mono) or 2-D ``(n_samples, channels)`` interleaved on write."""
-    arr = np.asarray(samples, dtype=np.int16)
+    """Canonical-header WAV encoder.  ``samples``: 1-D (mono) or 2-D
+    ``(n_samples, channels)`` interleaved on write.  The sample format is
+    dtype-driven like :func:`encode_png`: ``uint8`` → 8-bit PCM
+    (offset-binary per spec), ``float32`` → WAVE_FORMAT_IEEE_FLOAT
+    (with the fact chunk the RIFF spec requires for non-PCM), anything
+    else casts to the historical int16 PCM path."""
+    arr = np.asarray(samples)
+    if arr.dtype == np.uint8:
+        fmt_tag, bits = 1, 8
+    elif arr.dtype == np.float32:
+        fmt_tag, bits = 3, 32
+    else:
+        arr, fmt_tag, bits = arr.astype(np.int16), 1, 16
     if arr.ndim == 1:
         arr = arr[:, None]
     n, channels = arr.shape
-    data = arr.tobytes()  # interleaved little-endian int16
-    byte_rate = sample_rate * channels * 2
-    header = (
-        b"RIFF"
-        + struct.pack("<I", 36 + len(data))
-        + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    data = (
+        arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+    )  # interleaved little-endian
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fact = (
+        b"fact" + struct.pack("<II", 4, n) if fmt_tag != 1 else b""
+    )  # required for non-PCM formats per RIFF spec
+    body = (
+        b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, fmt_tag, channels, sample_rate, byte_rate,
+            block_align, bits,
+        )
+        + fact
         + b"data"
         + struct.pack("<I", len(data))
+        + data
     )
-    return header + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def decode_audio(payload: bytes) -> dict[str, Any]:
@@ -1355,14 +1378,38 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
     if fmt is None or data is None:
         raise ValueError("WAV payload missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            "only uncompressed PCM16 WAV supported; inject a codec via "
-            "extract_binary_features(decoder=...)"
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=(len(data) // (2 * channels)) * channels
         )
-    samples = np.frombuffer(
-        data, dtype="<i2", count=(len(data) // (2 * channels)) * channels
-    ).reshape(-1, channels)
+    elif audio_format == 1 and bits == 8:
+        # 8-bit PCM is UNSIGNED offset-binary per the RIFF/WAVE spec
+        # (silence = 0x80); presented raw at file depth like the image
+        # codecs, not re-centred.
+        samples = np.frombuffer(
+            data, dtype=np.uint8, count=(len(data) // channels) * channels
+        )
+    elif audio_format == 1 and bits == 24:
+        # No 3-byte numpy dtype: widen little-endian 24-bit samples into
+        # the top of an int32 and arithmetic-shift down, preserving sign
+        # and true 24-bit magnitude.
+        n3 = (len(data) // (3 * channels)) * (3 * channels)
+        raw = np.frombuffer(data, dtype=np.uint8, count=n3)
+        raw = raw.reshape(-1, 3).astype(np.uint32)
+        packed = (raw[:, 0] << 8) | (raw[:, 1] << 16) | (raw[:, 2] << 24)
+        samples = packed.view(np.int32) >> 8
+    elif audio_format == 3 and bits == 32:
+        # WAVE_FORMAT_IEEE_FLOAT: nominal range [-1, 1], presented raw.
+        samples = np.frombuffer(
+            data, dtype="<f4", count=(len(data) // (4 * channels)) * channels
+        )
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {audio_format} at {bits}-bit not supported "
+            "(PCM 8/16/24 and IEEE float32 decode for real); inject a "
+            "codec via extract_binary_features(decoder=...)"
+        )
+    samples = samples.reshape(-1, channels)
     return {
         "format": "wav",
         "sample_rate": sample_rate,

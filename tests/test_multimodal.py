@@ -6,6 +6,7 @@ payloads never surviving into downstream outputs wider than they must."""
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pytest
@@ -889,9 +890,26 @@ class TestY4m:
         with pytest.raises(ValueError):
             multimodal.decode_video(good[:-2])  # truncated plane
         with pytest.raises(NotImplementedError):
-            multimodal.decode_video(
-                b"YUV4MPEG2 W2 H2 F25:1 C422\nFRAME\n" + b"\x00" * 8
+            multimodal.decode_video(  # 4:1:1 stays behind the seam
+                b"YUV4MPEG2 W4 H1 F25:1 C411\nFRAME\n" + b"\x00" * 6
             )
+
+    def test_422_decode(self):
+        # 4:2:2 — chroma halved horizontally ONLY (full-height planes).
+        # Hand-built payload: encoder support is deliberately mono/444.
+        y = np.arange(8, dtype=np.uint8).reshape(2, 4)
+        u = np.array([[10, 11], [12, 13]], dtype=np.uint8)
+        v = np.array([[20, 21], [22, 23]], dtype=np.uint8)
+        payload = (
+            b"YUV4MPEG2 W4 H2 F30:1 Ip A1:1 C422\nFRAME\n"
+            + y.tobytes() + u.tobytes() + v.tobytes()
+        )
+        video = multimodal.decode_video(payload)
+        assert video["colorspace"] == "422"
+        assert video["frames"][0]["u"].shape == (2, 2)
+        assert np.array_equal(video["frames"][0]["y"], y)
+        assert np.array_equal(video["frames"][0]["u"], u)
+        assert np.array_equal(video["frames"][0]["v"], v)
 
     def test_synthesis_contract_and_distinct_frames(self):
         text = "hello video world"
@@ -1011,11 +1029,57 @@ class TestAudioCodec:
         import struct as st
 
         payload = bytearray(multimodal.encode_wav(np.ones(4, dtype=np.int16)))
-        st.pack_into("<H", payload, 20, 3)  # audio_format=3 (IEEE float)
+        st.pack_into("<H", payload, 20, 2)  # audio_format=2 (ADPCM)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(bytes(payload))
+        # IEEE float is only real at 32-bit; a float tag on 16-bit data
+        # is still behind the seam.
+        st.pack_into("<H", payload, 20, 3)
         with pytest.raises(NotImplementedError):
             multimodal.decode_audio(bytes(payload))
         with pytest.raises(ValueError):
             multimodal.decode_audio(b"not audio at all")
+
+    def test_wav_pcm8_roundtrip(self):
+        # 8-bit PCM is unsigned offset-binary; presented raw at file depth.
+        pcm = (np.arange(50, dtype=np.int64) * 37 % 256).astype(np.uint8)
+        payload = multimodal.encode_wav(pcm, 8000)
+        assert struct.unpack_from("<HHIIHH", payload, 20) == (
+            1, 1, 8000, 8000, 1, 8,
+        )
+        audio = multimodal.decode_audio(payload)
+        assert audio["samples"].dtype == np.uint8
+        assert np.array_equal(audio["samples"][:, 0], pcm)
+
+    def test_wav_float32_roundtrip_with_fact_chunk(self):
+        x = np.linspace(-1, 1, 64, dtype=np.float32).reshape(-1, 2)
+        payload = multimodal.encode_wav(x, 48000)
+        assert struct.unpack_from("<H", payload, 20)[0] == 3  # IEEE float
+        # RIFF spec: non-PCM formats must carry a fact chunk.
+        assert b"fact" in payload
+        audio = multimodal.decode_audio(payload)
+        assert audio["samples"].dtype == np.float32
+        assert audio["channels"] == 2 and audio["n_samples"] == 32
+        assert np.array_equal(audio["samples"], x)
+
+    def test_wav_pcm24_decode_sign_extension(self):
+        # Hand-built 24-bit PCM (no natural numpy dtype, decode-only):
+        # little-endian 3-byte samples, sign-extended into int32.
+        vals = [0, 1, -1, 8388607, -8388608, 300000, -300000]
+        data = b"".join(
+            (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+        body = (
+            b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 48000, 3, 24)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        audio = multimodal.decode_audio(payload)
+        assert audio["samples"].dtype == np.int32
+        assert audio["samples"][:, 0].tolist() == vals
 
     def test_synthesized_features(self, spark, sf_small):
         docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
@@ -2090,6 +2154,210 @@ def test_jpeg_fill_bytes_before_markers_are_skipped():
     # pad with legal fill bytes after SOI (before the next marker's 0xFF)
     padded = payload[:2] + b"\xff\xff" + payload[2:]
     assert np.array_equal(decode_jpeg(padded), img)
+
+
+def _rewrite_jpeg_segments(payload: bytes, rewrite) -> bytes:
+    """Walk the pre-SOS marker segments of an encoder-produced JPEG and
+    map each (marker, body) through ``rewrite`` → (marker, body)."""
+    out = bytearray(payload[:2])  # SOI
+    pos = 2
+    while pos < len(payload):
+        assert payload[pos] == 0xFF
+        marker = payload[pos + 1]
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        marker, body = rewrite(marker, body)
+        out += bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+        pos += 2 + seg_len
+        if marker == 0xDA:  # entropy stream + EOI follow verbatim
+            out += payload[pos:]
+            break
+    return bytes(out)
+
+
+def test_jpeg_16bit_dqt_tables_decode():
+    """DQT with Pq=1 (16-bit big-endian entries, T.81 B.2.4.1) decodes;
+    with the same table VALUES the pixels must match the 8-bit file."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=90)
+
+    def widen_dqt(marker, body):
+        if marker != 0xDB:
+            return marker, body
+        out = bytearray()
+        off = 0
+        while off < len(body):  # 65-byte pq=0 tables → 129-byte pq=1
+            assert body[off] >> 4 == 0
+            out.append(0x10 | (body[off] & 0x0F))
+            out += np.frombuffer(
+                body, np.uint8, count=64, offset=off + 1
+            ).astype(">u2").tobytes()
+            off += 65
+        return marker, bytes(out)
+
+    wide = _rewrite_jpeg_segments(payload, widen_dqt)
+    assert wide != payload and len(wide) > len(payload)
+    assert np.array_equal(decode_jpeg(wide), decode_jpeg(payload))
+
+
+def test_jpeg_sof1_extended_sequential_decodes():
+    """SOF1 (extended sequential) at 8-bit precision is the baseline
+    decode path with relaxed table limits — same pixels as SOF0; the
+    genuinely different codings (lossless SOF3) stay behind the seam."""
+    import pytest as _pytest
+
+    from kusuma_metamorph_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.arange(16 * 16 * 3, dtype=np.int64).reshape(16, 16, 3)
+    img = (img * 31 % 256).astype(np.uint8)
+    payload = encode_jpeg(img, quality=85)
+    sof1 = _rewrite_jpeg_segments(
+        payload, lambda m, b: (0xC1 if m == 0xC0 else m, b)
+    )
+    assert sof1 != payload
+    assert np.array_equal(decode_jpeg(sof1), decode_jpeg(payload))
+    sof3 = _rewrite_jpeg_segments(
+        payload, lambda m, b: (0xC3 if m == 0xC0 else m, b)
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(sof3)
+
+
+def _encode_noninterleaved_jpeg(
+    arr, quality=90, subsampling="444", restart_interval=0
+):
+    """Test-local non-interleaved baseline writer (one SOS per component,
+    data units in each component's own raster order per T.81 A.2.2) —
+    the module encoder is deliberately interleaved-only, so the decoder's
+    multi-scan path is checked against an independent stream layout."""
+    from kusuma_metamorph_etl_spark.operators import jpeg as J
+
+    arr = np.asarray(arr, np.uint8)
+    h, w = arr.shape[:2]
+    rgb = arr.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    sub = subsampling == "420"
+    q_luma = J._quality_scale(J._Q_LUMA, quality)
+    q_chroma = J._quality_scale(J._Q_CHROMA, quality)
+    # Pad exactly like the interleaved encoder (MCU-multiple edge
+    # replication BEFORE chroma averaging) so every coded block's content
+    # matches the interleaved file and stream layout is the only
+    # difference; then CROP each component to its own non-interleaved
+    # grid — ceil(scaled dims / 8) blocks, smaller than the MCU grid.
+    mcu = 16 if sub else 8
+    fh, fw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    planes = [
+        np.pad(p, ((0, fh - h), (0, fw - w)), mode="edge") for p in planes
+    ]
+    if sub:
+        planes[1:] = [
+            p.reshape(fh // 2, 2, fw // 2, 2).mean(axis=(1, 3))
+            for p in planes[1:]
+        ]
+    scans = []
+    for ci, plane in enumerate(planes):
+        vi = hi = 2 if (sub and ci == 0) else 1
+        vmax = hmax = 2 if sub else 1
+        sh, sw = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = plane[: -(-sh // 8) * 8, : -(-sw // 8) * 8]
+        ph, pw = plane.shape
+        q = q_luma if ci == 0 else q_chroma
+        bw = J._BitWriter()
+        pred, unit = 0, 0
+        for yb in range(ph // 8):
+            for xb in range(pw // 8):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    bw.restart(unit // restart_interval - 1)
+                    pred = 0
+                pred = J._encode_block(
+                    bw, plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8], q, pred
+                )
+                unit += 1
+        scans.append(bw.flush())
+    out = bytearray(b"\xff\xd8")
+    for ti, q in enumerate([q_luma, q_chroma]):
+        zz = q.ravel()[J._ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + zz
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sampling = 0x22 if (sub and ci == 0) else 0x11
+        sof += bytes([ci + 1, sampling, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += J._dht_segment(0x00, J._DC_BITS, J._DC_SYMBOLS)
+    out += J._dht_segment(0x10, J._AC_BITS, J._AC_SYMBOLS)
+    out += J._dht_segment(0x01, J._DC_BITS, J._DC_SYMBOLS)
+    out += J._dht_segment(0x11, J._AC_BITS, J._AC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for ci, scan in enumerate(scans):
+        sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11]) + b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_multiscan_sequential_444_matches_interleaved():
+    """Non-interleaved sequential decode: per-block quantized
+    coefficients are identical to the interleaved encoding of the same
+    image (only stream order and DC chains differ), so the decoded
+    pixels must match the interleaved file EXACTLY."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    non_il = _encode_noninterleaved_jpeg(img, quality=90)
+    assert np.array_equal(
+        decode_jpeg(non_il), decode_jpeg(encode_jpeg(img, quality=90))
+    )
+
+
+def test_jpeg_multiscan_sequential_420_component_grids():
+    """4:2:0 multi-scan: the single-component data-unit grid is the
+    component's scaled size padded to 8 (T.81 A.2.2), NOT the MCU-padded
+    interleaved grid — at 24x24 the luma scan is 3x3 blocks where the
+    interleaved layout carries 4x4.  Decoded crop must still match."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    non_il = _encode_noninterleaved_jpeg(img, quality=92, subsampling="420")
+    il = encode_jpeg(img, quality=92, subsampling="420")
+    assert len(non_il) < len(il)  # fewer coded blocks: 9+4+4 vs 16+4+4
+    assert np.array_equal(decode_jpeg(non_il), decode_jpeg(il))
+
+
+def test_jpeg_multiscan_sequential_restart_intervals():
+    """DRI in a non-interleaved scan counts SINGLE data units and the
+    RSTn numbering restarts per scan (T.81 F.2.1.3.1)."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    with_rst = _encode_noninterleaved_jpeg(img, quality=90, restart_interval=4)
+    plain = _encode_noninterleaved_jpeg(img, quality=90)
+    assert with_rst.count(b"\xff\xd0") >= 3  # RST0 appears in every scan
+    assert np.array_equal(decode_jpeg(with_rst), decode_jpeg(plain))
 
 
 def test_resize_preserves_gif_and_jpeg_formats():
