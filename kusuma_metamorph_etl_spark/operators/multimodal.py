@@ -5,7 +5,8 @@ with typed metadata; decode / feature-extract / resize / frame-sample run
 as Arrow-batched Pandas functions over ``mapInPandas``.
 
 The image and audio codecs are REAL: pure numpy encoders/decoders for
-binary PPM/PGM (P6/P5), uncompressed 24-bit BMP, zlib-deflate PNG,
+binary PPM/PGM (P6/P5), BMP (24/32-bit BI_RGB, 8-bit palettized,
+BI_RLE8), zlib-deflate PNG,
 LZW-compressed GIF87a/89a, and PCM16 WAV — no external media library
 needed.  JPEG rounds out the set (`operators/jpeg.py` — baseline
 4:4:4 and subsampled 4:2:0/4:2:2 with DRI/RSTn restart intervals, plus
@@ -131,13 +132,65 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return file_header + info_header + rows.tobytes()
 
 
+def _bmp_rle8_indices(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 → (h, w) palette indices in STORED row order.  Encoded
+    runs, absolute mode (word-aligned), end-of-line (0,0), end-of-bitmap
+    (0,1), and delta (0,2,dx,dy) escapes per the BMP spec; pixels a delta
+    skips are left 0 (the spec leaves them undefined)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n:  # encoded run: n copies of v
+            if y >= h or x + n > w:
+                raise ValueError("RLE8 run overruns the bitmap")
+            out[y, x : x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta: move right dx, up-stored dy
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: v literal indices, padded to a word
+            if y >= h or x + v > w or i + v > len(data):
+                raise ValueError("RLE8 absolute run overruns the bitmap")
+            out[y, x : x + v] = np.frombuffer(data, np.uint8, count=v, offset=i)
+            x += v
+            i += v + (v & 1)
+    raise ValueError("RLE8 stream missing end-of-bitmap escape")
+
+
 def _decode_bmp(payload: bytes) -> np.ndarray:
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     header_size, w, h = struct.unpack_from("<Iii", payload, 14)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
+    if header_size >= 40 and bpp == 8 and compression in (0, 1):
+        # Palettized 8-bit, uncompressed (BI_RGB) or BI_RLE8 (r12):
+        # biClrUsed BGRX entries follow the info header (0 → 256).
+        bottom_up = h > 0
+        h = abs(h)
+        clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, np.uint8, count=clr_used * 4, offset=14 + header_size
+        ).reshape(-1, 4)[:, 2::-1]  # BGRX → RGB
+        if compression == 0:
+            row_size = (w + 3) & ~3
+            idx = np.frombuffer(
+                payload, np.uint8, count=row_size * h, offset=data_offset
+            ).reshape(h, row_size)[:, :w]
+        else:
+            idx = _bmp_rle8_indices(payload[data_offset:], w, h)
+        arr = pal[idx]
+        return arr[::-1] if bottom_up else arr
     if header_size < 40 or bpp not in (24, 32) or compression != 0:
-        raise NotImplementedError("only uncompressed 24/32-bit BMP supported")
+        raise NotImplementedError(
+            "only uncompressed 8/24/32-bit and RLE8 BMP supported"
+        )
     bottom_up = h > 0
     h = abs(h)
     ch = bpp // 8
@@ -636,7 +689,8 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     """Decode a binary image payload → ``{format, width, height, channels,
     pixels}`` with ``pixels`` a uint8 numpy array.
 
-    Real pure-numpy decode for PPM/PGM, uncompressed 24-bit BMP, PNG —
+    Real pure-numpy decode for PPM/PGM, BMP (24/32-bit, palettized,
+    RLE8), PNG —
     8-bit greyscale/RGB(A)/palette plus 16-bit greyscale/RGB(A)
     (big-endian sample recombination, ``pixels`` dtype uint16),
     sequential AND Adam7-interlaced (stdlib zlib inflate + scanline

@@ -85,6 +85,73 @@ class TestCodecs:
         assert (img["format"], img["width"], img["height"]) == ("bmp", 5, 3)
         assert np.array_equal(img["pixels"], arr)
 
+    @staticmethod
+    def _bmp8(idx_rows: bytes, w, h, palette, compression, image_size):
+        """Assemble an 8-bit palettized BMP (BGRX palette after the info
+        header; data offset accounts for it)."""
+        pal_bytes = b"".join(
+            bytes([b, g, r, 0xCC]) for (r, g, b) in palette
+        )  # junk in the reserved byte: decoders must drop it
+        off = 14 + 40 + len(pal_bytes)
+        return (
+            struct.pack("<2sIHHI", b"BM", off + image_size, 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 8, compression, image_size,
+                2835, 2835, len(palette), 0,
+            )
+            + pal_bytes
+            + idx_rows
+        )
+
+    def test_bmp_8bit_palettized(self):
+        """Uncompressed 8-bit palettized BMP (r12): biClrUsed BGRX
+        entries follow the info header; rows are 4-byte padded."""
+        palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+        # 5x2, stored bottom-up with 3 pad bytes per row
+        rows = bytes([0, 1, 2, 3, 0]) + b"\xff" * 3 + bytes(
+            [3, 3, 1, 0, 2]
+        ) + b"\xff" * 3
+        img = multimodal.decode_image(self._bmp8(rows, 5, 2, palette, 0, 16))
+        assert (img["width"], img["height"]) == (5, 2)
+        expect = np.array(
+            [[palette[i] for i in (3, 3, 1, 0, 2)],
+             [palette[i] for i in (0, 1, 2, 3, 0)]],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(img["pixels"], expect)
+
+    def test_bmp_rle8(self):
+        """BI_RLE8 (r12): encoded runs, absolute mode (word-aligned),
+        end-of-line, delta, end-of-bitmap — pixels a delta skips stay
+        palette index 0 per the undefined-pixels convention."""
+        palette = [(10, 10, 10), (20, 20, 20), (30, 30, 30), (40, 40, 40)]
+        rle = bytes(
+            [3, 1]                 # run: 1 1 1
+            + [0, 3, 2, 3, 2, 0]   # absolute: 2 3 2 (+1 pad byte)
+            + [0, 0]               # end of line (stored row 0 done, 6 px)
+            + [0, 2, 2, 0]         # delta: skip 2 right on stored row 1
+            + [4, 3]               # run: 3 3 3 3
+            + [0, 1]               # end of bitmap (row 1 short: rest 0)
+        )
+        img = multimodal.decode_image(self._bmp8(rle, 6, 2, palette, 1, len(rle)))
+        idx_expect = [
+            [0, 0, 3, 3, 3, 3],    # image row 0 = stored row 1 (bottom-up)
+            [1, 1, 1, 2, 3, 2],
+        ]
+        expect = np.array(
+            [[palette[i] for i in r] for r in idx_expect], dtype=np.uint8
+        )
+        assert np.array_equal(img["pixels"], expect)
+
+    def test_bmp_rle8_malformed(self):
+        palette = [(0, 0, 0)] * 4
+        overrun = bytes([9, 1, 0, 1])  # 9 px run into a 6-px row
+        with pytest.raises(ValueError):
+            multimodal.decode_image(self._bmp8(overrun, 6, 2, palette, 1, 4))
+        no_eob = bytes([3, 1, 0, 0])
+        with pytest.raises(ValueError):
+            multimodal.decode_image(self._bmp8(no_eob, 6, 2, palette, 1, 4))
+
     def test_ppm_16bit_roundtrip(self):
         """maxval > 255 → two bytes per sample, most significant first
         (Netpbm spec) — the 8-bit-only gate graduated in r12.  Samples
