@@ -28,10 +28,13 @@ Scope, declared precisely:
   G; VERDICT r8 #7: the majority encoding of modern web JPEGs).
   SOF1 extended-sequential frames decode through the baseline path
   (at 8-bit precision the two differ only in the table-count limits
-  baseline imposes) and 16-bit DQT entries (Pq=1, big-endian per
-  B.2.4.1) are read for real.  Arithmetic/hierarchical/lossless
-  inputs and 12-bit precision raise ``NotImplementedError`` with the
-  boundary named.
+  baseline imposes), 16-bit DQT entries (Pq=1, big-endian per
+  B.2.4.1) are read for real, and 12-bit sample precision decodes
+  under SOF1/SOF2 (level shift 2048, samples presented raw at file
+  depth as uint16 — the 16-bit-PNG convention; SOF0 claiming 12-bit
+  is a spec violation and a ValueError).
+  Arithmetic/hierarchical/lossless inputs raise
+  ``NotImplementedError`` with the boundary named.
 
 Conformance evidence: GIF's decoder is pinned to a public byte vector;
 JPEG is pinned to a SPEC-DERIVED vector instead — a byte-literal file
@@ -408,8 +411,10 @@ def _decode_block(
     ac_tab: dict[tuple[int, int], int],
     q: np.ndarray,
     pred: int,
+    mid: float = 128.0,
 ) -> tuple[int, np.ndarray]:
-    """Decode one 8×8 block; returns (new DC predictor, spatial block)."""
+    """Decode one 8×8 block; returns (new DC predictor, spatial block).
+    ``mid`` is the inverse level shift — 2^(P−1) for sample precision P."""
     zz = np.zeros(64, dtype=np.float64)
     size = _decode_huffman(br, dc_tab)
     diff = _extend(br.read_bits(size), size)
@@ -431,7 +436,7 @@ def _decode_block(
         k += 1
     coef = np.zeros(64)
     coef[_ZIGZAG] = zz
-    return pred, _C.T @ (coef.reshape(8, 8) * q) @ _C + 128.0
+    return pred, _C.T @ (coef.reshape(8, 8) * q) @ _C + mid
 
 
 def _decode_dc_first(br, dc_tab, pred, al):
@@ -522,7 +527,8 @@ def _decode_ac_refine(br, ac_tab, zz, ss, se, al, eobrun):
 
 
 def _finish_image(
-    planes: list, comps, hmax: int, vmax: int, h: int, w: int
+    planes: list, comps, hmax: int, vmax: int, h: int, w: int,
+    precision: int = 8,
 ) -> np.ndarray:
     """Shared decoder tail: replicate subsampled planes to full
     resolution, crop the MCU padding, and color-convert — ONE copy of
@@ -536,14 +542,17 @@ def _finish_image(
         if hi != hmax:
             p = p.repeat(hmax // hi, axis=1)
         full.append(p[:h, :w])
+    mid = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(full[0]), 0, maxv).astype(dtype)
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - mid)
+    g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b = y + 1.772 * (cb - mid)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype)
 
 
 def _decode_progressive_scan(
@@ -662,7 +671,8 @@ def _decode_progressive_scan(
 
 
 def _reconstruct_progressive(
-    frame, coef_store: dict[int, np.ndarray], qtables: dict[int, np.ndarray]
+    frame, coef_store: dict[int, np.ndarray], qtables: dict[int, np.ndarray],
+    precision: int = 8,
 ) -> np.ndarray:
     """Dequantize + inverse-zigzag + IDCT the accumulated coefficient
     store and assemble the image — one vectorized einsum per component
@@ -682,9 +692,9 @@ def _reconstruct_progressive(
         # per-block `_C.T @ (coef*q) @ _C` — bit-identical floats, so a
         # baseline and a progressive encoding of the same coefficients
         # decode to the same pixels
-        spatial = _C.T @ blocks @ _C + 128.0
+        spatial = _C.T @ blocks @ _C + float(1 << (precision - 1))
         planes.append(spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
-    return _finish_image(planes, comps, hmax, vmax, h, w)
+    return _finish_image(planes, comps, hmax, vmax, h, w, precision)
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -706,6 +716,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     progressive = False
+    sample_bits = 8
     coef_store: dict[int, np.ndarray] = {}  # cid -> (BY, BX, 64) int32
     n_scans = 0
     seq_planes: dict[int, np.ndarray] = {}  # non-interleaved sequential
@@ -723,7 +734,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD9:  # EOI
             if progressive and n_scans:
-                return _reconstruct_progressive(frame, coef_store, qtables)
+                return _reconstruct_progressive(
+                    frame, coef_store, qtables, sample_bits
+                )
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
@@ -765,8 +778,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             # (T.81 just lifts the 2-table/255-value limits baseline adds).
             progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
-                raise NotImplementedError("only 8-bit JPEG")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG sample precision (8/12 decode)"
+                )
+            if precision == 12 and marker == 0xC0:
+                raise ValueError(
+                    "baseline (SOF0) is 8-bit only; 12-bit data requires "
+                    "SOF1/SOF2 (T.81 Table B.2)"
+                )
+            sample_bits = precision
             comps = []
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -880,7 +901,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             )
                         pred = 0  # T.81 §F.2.1.3.1
                     pred, block = _decode_block(
-                        br, huff[(0, td)], huff[(1, ta)], qtables[tq], pred
+                        br, huff[(0, td)], huff[(1, ta)], qtables[tq], pred,
+                        float(1 << (sample_bits - 1)),
                     )
                     y0, x0 = (unit // bx) * 8, (unit % bx) * 8
                     plane[y0 : y0 + 8, x0 : x0 + 8] = block
@@ -895,7 +917,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     pos += 1
                 if seq_done == {c[0] for c in comps}:
                     planes = [seq_planes[c[0]] for c in comps]
-                    return _finish_image(planes, comps, hmax, vmax, h, w)
+                    return _finish_image(
+                        planes, comps, hmax, vmax, h, w, sample_bits
+                    )
                 continue
             planes = [
                 np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
@@ -925,12 +949,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 preds[ci], block = _decode_block(
                                     br, huff[(0, td)], huff[(1, ta)],
                                     qtables[tq], preds[ci],
+                                    float(1 << (sample_bits - 1)),
                                 )
                                 y0 = my * 8 * vi + v * 8
                                 x0 = mx * 8 * hi + hh * 8
                                 planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
                     mcu_idx += 1
-            return _finish_image(planes, comps, hmax, vmax, h, w)
+            return _finish_image(planes, comps, hmax, vmax, h, w, sample_bits)
         pos += seg_len
     if seq_planes:
         raise ValueError(

@@ -2378,6 +2378,120 @@ def _encode_noninterleaved_jpeg(
     return bytes(out)
 
 
+def _encode_jpeg12(arr):
+    """Test-local 12-bit SOF1 writer: interleaved single scan, all-ones
+    quantization emitted as 16-bit DQT entries (Pq=1), level shift 2048.
+    The module encoder is deliberately 8-bit; this exercises the
+    decoder's 12-bit path (T.81 Table B.2: extended sequential, P=12).
+    Block values must keep DC diffs under 2^11 (the canonical DC table's
+    largest size category)."""
+    from kusuma_metamorph_etl_spark.operators import jpeg as J
+
+    arr = np.asarray(arr, np.float64)
+    grey = arr.ndim == 2
+    h, w = arr.shape[:2]
+    assert h % 8 == 0 and w % 8 == 0
+    if grey:
+        planes = [arr]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 2048.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 2048.0,
+        ]
+    q = np.ones((8, 8))
+    bw = J._BitWriter()
+    preds = [0] * len(planes)
+    for my in range(h // 8):
+        for mx in range(w // 8):
+            for ci, pl in enumerate(planes):
+                block = pl[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                coef = J._C @ (block - 2048.0) @ J._C.T
+                zz = np.round(coef / q).astype(np.int64).ravel()[J._ZIGZAG]
+                dc = int(zz[0])
+                size, bits = J._magnitude(dc - preds[ci])
+                preds[ci] = dc
+                code, length = J._DC_CODES[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+                run = 0
+                for v in zz[1:]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zc, zl = J._AC_CODES[0xF0]
+                        bw.write(zc, zl)
+                        run -= 16
+                    size, bits = J._magnitude(int(v))
+                    zc, zl = J._AC_CODES[(run << 4) | size]
+                    bw.write(zc, zl)
+                    bw.write(bits, size)
+                    run = 0
+                if run:
+                    zc, zl = J._AC_CODES[0x00]  # EOB
+                    bw.write(zc, zl)
+    scan = bw.flush()
+    out = bytearray(b"\xff\xd8")
+    zz16 = q.ravel()[J._ZIGZAG].astype(">u2").tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10]) + zz16
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 12, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc1" + struct.pack(">H", len(sof) + 2) + sof  # SOF1
+    out += J._dht_segment(0x00, J._DC_BITS, J._DC_SYMBOLS)
+    out += J._dht_segment(0x10, J._AC_BITS, J._AC_SYMBOLS)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += scan + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_12bit_greyscale_decodes_at_depth():
+    """12-bit SOF1 greyscale: samples present raw at file depth (uint16,
+    0..4095) like 16-bit PNG; with unit quantization a piecewise-constant
+    image reconstructs within 1 level."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import decode_jpeg
+
+    # 2x3 grid of constant 8x8 blocks, values well above 8-bit range,
+    # stepping <= 2^8 per block so DC diffs stay inside the DC table
+    vals = [[1900, 2050, 2200], [2100, 2249, 2400]]
+    img = np.repeat(np.repeat(np.array(vals), 8, axis=0), 8, axis=1)
+    out = decode_jpeg(_encode_jpeg12(img))
+    assert out.dtype == np.uint16 and out.shape == (16, 24)
+    assert out.max() > 2300  # provably beyond 8-bit
+    assert np.abs(out.astype(int) - img).max() <= 1
+
+
+def test_jpeg_12bit_color_and_precision_gates():
+    from kusuma_metamorph_etl_spark.operators.jpeg import decode_jpeg
+
+    img = np.zeros((8, 8, 3), np.int64)
+    img[..., 0], img[..., 1], img[..., 2] = 2000, 2200, 1900
+    payload = _encode_jpeg12(img)
+    out = decode_jpeg(payload)
+    assert out.dtype == np.uint16
+    assert np.abs(out.astype(int) - img).max() <= 4  # BT.601 roundtrip
+    # SOF0 claiming 12-bit is a spec violation, not a seam
+    sof0 = _rewrite_jpeg_segments(
+        payload, lambda m, b: (0xC0 if m == 0xC1 else m, b)
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(sof0)
+    # precision values T.81 never allows under DCT frames stay gated
+    def set_prec10(m, b):
+        return (m, bytes([10]) + b[1:]) if m == 0xC1 else (m, b)
+
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(_rewrite_jpeg_segments(payload, set_prec10))
+
+
 def test_jpeg_multiscan_sequential_444_matches_interleaved():
     """Non-interleaved sequential decode: per-block quantized
     coefficients are identical to the interleaved encoding of the same
