@@ -701,3 +701,103 @@ def test_weighted_sample_contract(rows, k):
         ).collect()
     )
     assert got == again
+
+
+@settings(max_examples=_ex(30), deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    subsampling=st.sampled_from(["444", "420"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_multiscan_equals_interleaved_property(h, w, subsampling, seed):
+    """Non-interleaved (one scan per component) and interleaved encodings
+    of the same image carry identical quantized blocks, so decode
+    equality must be EXACT at every geometry — this pins the
+    per-component data-unit grid math (ceil of the scaled dims per T.81
+    A.2.2, not the MCU-padded interleaved grid), which only diverges on
+    widths/heights that aren't MCU multiples."""
+    import numpy as np
+    from test_multimodal import _encode_noninterleaved_jpeg
+
+    from kusuma_metamorph_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    non_il = decode_jpeg(
+        _encode_noninterleaved_jpeg(img, quality=90, subsampling=subsampling)
+    )
+    il = decode_jpeg(encode_jpeg(img, quality=90, subsampling=subsampling))
+    assert np.array_equal(non_il, il), (h, w, subsampling, seed)
+
+
+@settings(max_examples=_ex(40), deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_rle8_kernel_property(h, w, seed):
+    """The RLE8 index kernel inverts a spec-legal stream for ANY grid:
+    a test-local encoder mixes encoded runs, absolute mode (>= 3 px,
+    word-aligned), and single-pixel runs, one end-of-line per row."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators.multimodal import (
+        _bmp_rle8_indices,
+    )
+
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, 16, size=(h, w)).astype(np.uint8)
+    stream = bytearray()
+    for row in idx:
+        x = 0
+        while x < w:
+            n = min(int(rng.randint(1, 12)), w - x)
+            chunk = row[x : x + n]
+            if bool((chunk == chunk[0]).all()) and rng.rand() < 0.5:
+                stream += bytes([n, int(chunk[0])])  # encoded run
+            elif n >= 3:  # absolute mode needs count >= 3
+                stream += bytes([0, n]) + chunk.tobytes()
+                if n & 1:
+                    stream += b"\x00"  # word alignment pad
+            else:
+                for v in chunk:
+                    stream += bytes([1, int(v)])
+            x += n
+        stream += bytes([0, 0])  # end of line
+    stream += bytes([0, 1])  # end of bitmap
+    assert np.array_equal(_bmp_rle8_indices(bytes(stream), w, h), idx), (
+        h, w, seed,
+    )
+
+
+@settings(max_examples=_ex(30), deadline=None)
+@given(
+    kind=st.sampled_from(["int16", "uint8", "float32"]),
+    n=st.integers(1, 200),
+    channels=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(kind, n, channels, seed):
+    """decode(encode(samples)) is the identity for every dtype-driven
+    WAV format (PCM16, PCM8 offset-binary, IEEE float32), any channel
+    count, any length — including the odd-data-size word-padding edge."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators import multimodal
+
+    rng = np.random.RandomState(seed)
+    if kind == "int16":
+        x = rng.randint(-32768, 32768, size=(n, channels)).astype(np.int16)
+    elif kind == "uint8":
+        x = rng.randint(0, 256, size=(n, channels)).astype(np.uint8)
+    else:
+        x = rng.randn(n, channels).astype(np.float32)
+    audio = multimodal.decode_audio(multimodal.encode_wav(x, 16000))
+    assert (audio["n_samples"], audio["channels"]) == (n, channels)
+    assert audio["samples"].dtype == x.dtype
+    assert np.array_equal(audio["samples"], x), (kind, n, channels, seed)
