@@ -335,36 +335,69 @@ def expr_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- §2.3 filters
 
 @register(
-    "fil_neq",
-    "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'",
+    "fil_scalar_family",
+    """SELECT 'neq' AS pred, o_orderkey, o_orderstatus AS str_val,
+              CAST(NULL AS DOUBLE) AS num_val
+       FROM orders WHERE o_orderstatus <> 'F'
+       UNION ALL
+       SELECT 'isin' AS pred, o_orderkey, o_orderpriority AS str_val,
+              CAST(NULL AS DOUBLE) AS num_val
+       FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       UNION ALL
+       SELECT 'cmp' AS pred, o_orderkey, CAST(NULL AS VARCHAR) AS str_val,
+              o_totalprice AS num_val
+       FROM orders WHERE o_totalprice > 200000""",
 )
-def fil_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fil_scalar_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three scalar filter shapes — `!=` (reference
+    `supplier_performance_task.py:41-44`), IN-list
+    (`customer_sales_report_task.py:45-48`), comparison
+    (`transform_utils.py:89`) — in one tagged frame (consolidates the
+    r10-green rows `fil_neq`/`fil_isin`/`fil_cmp` under the r12
+    retire-one-per-addition registry policy — same predicates, same
+    hash gate on the filtered VALUES, one driver slot).  Each branch is
+    a scan-side pushed filter; `num_val`/`str_val` carry the predicate
+    column so a wrong comparison can't hide behind matching row
+    counts."""
     orders = t(spark, sf_dir, "orders")
-    return orders.filter(F.col("o_orderstatus") != "F").select(
-        "o_orderkey", "o_orderstatus"
-    )
 
+    def tag(pred: str, df: DataFrame, str_col, num_col) -> DataFrame:
+        return df.select(
+            F.lit(pred).alias("pred"),
+            "o_orderkey",
+            (
+                F.col(str_col) if str_col else F.lit(None).cast("string")
+            ).alias("str_val"),
+            (
+                F.col(num_col) if num_col else F.lit(None).cast("double")
+            ).alias("num_val"),
+        )
 
-@register(
-    "fil_isin",
-    """SELECT o_orderkey, o_orderpriority FROM orders
-       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
-)
-def fil_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    return orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
-        "o_orderkey", "o_orderpriority"
-    )
-
-
-@register(
-    "fil_cmp",
-    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000",
-)
-def fil_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    return orders.filter(F.col("o_totalprice") > 200000).select(
-        "o_orderkey", "o_totalprice"
+    return (
+        tag(
+            "neq",
+            orders.filter(F.col("o_orderstatus") != "F"),
+            "o_orderstatus",
+            None,
+        )
+        .unionByName(
+            tag(
+                "isin",
+                orders.filter(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                ),
+                "o_orderpriority",
+                None,
+            )
+        )
+        .unionByName(
+            tag(
+                "cmp",
+                orders.filter(F.col("o_totalprice") > 200000),
+                None,
+                "o_totalprice",
+            )
+        )
     )
 
 

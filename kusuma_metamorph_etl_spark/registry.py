@@ -118,9 +118,10 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-12 WINDOW: basis 11; 268 registered (setop_union/intersect/
-# except consolidated into setop_family, +mm_png_subbyte_interlaced —
-# net −1 under the ceiling policy); 2 zero-evidence rows lead the cut.
+# ROUND-12 WINDOW: basis 11; 266 registered (setop_union/intersect/
+# except consolidated into setop_family, fil_neq/fil_isin/fil_cmp into
+# fil_scalar_family, +mm_png_subbyte_interlaced — net −3 under the
+# ceiling policy); 3 zero-evidence rows lead the cut.
 # Behind them sits the 22-row r6-evidence cohort the r11 verdict
 # flagged (asof/range/fuzzy/overlap joins, the evt_* trio, the mergeable
 # sketches, mm_audio/phash/png/video, sim_ivf/lsh + their glued _err
@@ -275,6 +276,7 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
+    "fil_scalar_family",
     "setop_family",
     "mm_png_subbyte_interlaced",
     "agg_hll_mergeable",
@@ -324,8 +326,8 @@ _PRIORITY: tuple[str, ...] = (
     "win_percent_rank",
     "win_frame_agg",
     "win_lag_lead",
-    "win_ntile",
   # ---- window cut ----
+    "win_ntile",
     "proj_explode",
     "win_rank_dense",
     "win_cume_dist",
@@ -452,9 +454,6 @@ _PRIORITY: tuple[str, ...] = (
     "proj_alias",
     "proj_drop",
     "expr_lit",
-    "fil_neq",
-    "fil_isin",
-    "fil_cmp",
     "fil_conj",
     "fil_isnull",
     "join_left_equi",
