@@ -1,4 +1,4 @@
-"""Column-name canonicalization (`proj_normalize_names`, `proj_rename`).
+"""Column-name canonicalization (`proj_normalize_names`, `proj_family`).
 
 The reference's de-facto schema contract is trim + upper-case +
 spaces→underscores over every source column, applied both as explicit

@@ -151,7 +151,7 @@ def customer_sales_report(
     flagged = (
         tiered.withColumn("__rn", F.row_number().over(top_window))
         .withColumn("TOP_PERFORMER", F.col("__rn") == 1)
-        .drop("__rn", "__pr", "DISCOUNT")  # `proj_drop`
+        .drop("__rn", "__pr", "DISCOUNT")  # `proj_family` drop mechanic
     )
 
     # JNR_2 LAST: ⟕ customers for name/city.  The dim is PK-gated

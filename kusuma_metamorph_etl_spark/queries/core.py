@@ -227,17 +227,30 @@ def snk_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- §2.2 projection
 
-@register("proj_select", "SELECT c_custkey, c_name, c_mktsegment FROM customer")
-def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
-
-
-@register("proj_rename", "SELECT r_regionkey AS region_id, r_name AS region_name FROM region")
-def proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "proj_family",
+    """SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
+              'DAILY' AS load_mode, 1 AS priority
+       FROM supplier""",
+)
+def proj_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five trivial projection mechanics in one frame — `drop`
+    (reference `ingestion_task.py` column pruning), `withColumnRenamed`,
+    `select`, `col().alias`, `lit` — consolidating the r10-green rows
+    `proj_select`/`proj_rename`/`proj_alias`/`proj_drop`/`expr_lit`
+    under the r12 retire-one-per-addition registry policy (same
+    mechanics, one driver slot).  Each API is exercised explicitly so a
+    regression in any one of them still breaks the hash gate."""
+    sup = t(spark, sf_dir, "supplier")
     return (
-        t(spark, sf_dir, "region")
-        .withColumnRenamed("r_regionkey", "region_id")
-        .withColumnRenamed("r_name", "region_name")
+        sup.drop("s_address", "s_phone", "s_acctbal", "s_comment")
+        .withColumnRenamed("s_suppkey", "supplier_id")
+        .select(
+            "supplier_id",
+            F.col("s_name").alias("supplier_name"),
+            F.lit("DAILY").alias("load_mode"),
+            F.lit(1).alias("priority"),
+        )
     )
 
 
@@ -248,14 +261,6 @@ def proj_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     messy = t(spark, sf_dir, "region").toDF(" r_RegionKey ", "r name")
     normalized = normalize_column_names(messy)  # R_REGIONKEY, R_NAME
     return normalized.toDF(*[c.lower() for c in normalized.columns])
-
-
-@register("proj_alias", "SELECT p_partkey AS product_id, p_name AS product_name FROM part")
-def proj_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = t(spark, sf_dir, "part")
-    return part.select(
-        F.col("p_partkey").alias("product_id"), F.col("p_name").alias("product_name")
-    )
 
 
 @register(
@@ -307,28 +312,6 @@ def proj_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         F.col("p_partkey").cast("string").alias("product_id"),
         F.col("p_retailprice").cast("int").alias("price_int"),
-    )
-
-
-@register(
-    "proj_drop",
-    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders""",
-)
-def proj_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "orders").drop("o_orderstatus", "o_orderpriority")
-
-
-@register(
-    "expr_lit",
-    "SELECT s_suppkey, s_name, 'DAILY' AS load_mode, 1 AS priority FROM supplier",
-)
-def expr_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sup = t(spark, sf_dir, "supplier")
-    return sup.select(
-        "s_suppkey",
-        "s_name",
-        F.lit("DAILY").alias("load_mode"),
-        F.lit(1).alias("priority"),
     )
 
 

@@ -118,10 +118,12 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-12 WINDOW: basis 11; 266 registered (setop_union/intersect/
-# except consolidated into setop_family, fil_neq/fil_isin/fil_cmp into
-# fil_scalar_family, +mm_png_subbyte_interlaced — net −3 under the
-# ceiling policy); 3 zero-evidence rows lead the cut.
+# ROUND-12 WINDOW: basis 11; 262 registered (consolidations under the
+# ceiling policy: setop_union/intersect/except → setop_family,
+# fil_neq/fil_isin/fil_cmp → fil_scalar_family, proj_select/proj_rename/
+# proj_alias/proj_drop/expr_lit → proj_family; +mm_png_subbyte_interlaced
+# — net −7, rebuilding rotation headroom); 4 zero-evidence rows lead
+# the cut.
 # Behind them sits the 22-row r6-evidence cohort the r11 verdict
 # flagged (asof/range/fuzzy/overlap joins, the evt_* trio, the mergeable
 # sketches, mm_audio/phash/png/video, sim_ivf/lsh + their glued _err
@@ -276,6 +278,7 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
+    "proj_family",
     "fil_scalar_family",
     "setop_family",
     "mm_png_subbyte_interlaced",
@@ -325,8 +328,8 @@ _PRIORITY: tuple[str, ...] = (
     "win_rownum_flag",
     "win_percent_rank",
     "win_frame_agg",
-    "win_lag_lead",
   # ---- window cut ----
+    "win_lag_lead",
     "win_ntile",
     "proj_explode",
     "win_rank_dense",
@@ -449,11 +452,6 @@ _PRIORITY: tuple[str, ...] = (
     "mart_vector_curation",
     "win_first_last",
     "src_text_roundtrip",
-    "proj_select",
-    "proj_rename",
-    "proj_alias",
-    "proj_drop",
-    "expr_lit",
     "fil_conj",
     "fil_isnull",
     "join_left_equi",
