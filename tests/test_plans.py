@@ -36,6 +36,20 @@ def test_columns_pruned_at_scan(supplier_plan):
     assert "ReadSchema" in supplier_plan
 
 
+def test_fil_scalar_family_pushes_every_branch(spark, sf_small):
+    """The r12 consolidated filter row must not weaken the retired rows'
+    scan discipline: all three branch predicates reach their parquet
+    scans and no branch reads the full orders row."""
+    from kusuma_metamorph_etl_spark.queries.core import fil_scalar_family
+
+    plan = _plan(fil_scalar_family(spark, sf_small))
+    assert "PushedFilters" in plan
+    assert "Not(EqualTo(o_orderstatus,F))" in plan
+    assert "In(o_orderpriority" in plan
+    assert "GreaterThan(o_totalprice,200000" in plan
+    assert "o_comment" not in plan  # pruning survives the union
+
+
 def test_supplier_mart_joins_broadcast(supplier_plan):
     assert "BroadcastHashJoin" in supplier_plan
     assert "SortMergeJoin" not in supplier_plan
