@@ -33,8 +33,13 @@ Scope, declared precisely:
   under SOF1/SOF2 (level shift 2048, samples presented raw at file
   depth as uint16 — the 16-bit-PNG convention; SOF0 claiming 12-bit
   is a spec violation and a ValueError).
-  Arithmetic/hierarchical/lossless inputs raise
-  ``NotImplementedError`` with the boundary named.
+  SOF3 LOSSLESS (Annex H) decodes for real: Huffman-coded prediction
+  differences mod 2^16 over the seven predictors, point transform,
+  precisions 2..16, interleaved or one-scan-per-component — components
+  present RAW (T.81 defines no color transform for lossless), uint8/
+  uint16 at file depth.  Arithmetic-coded and hierarchical inputs
+  raise ``NotImplementedError`` with the boundary named; lossless
+  limits: 1x1 sampling factors and no restart intervals (both named).
 
 Conformance evidence: GIF's decoder is pinned to a public byte vector;
 JPEG is pinned to a SPEC-DERIVED vector instead — a byte-literal file
@@ -697,6 +702,60 @@ def _reconstruct_progressive(
     return _finish_image(planes, comps, hmax, vmax, h, w, precision)
 
 
+def _decode_lossless_samples(
+    data: bytes,
+    scan_comps: list[tuple[int, int]],
+    huff: dict,
+    w: int,
+    h: int,
+    precision: int,
+    predictor: int,
+    pt: int,
+    planes: dict[int, np.ndarray],
+) -> int:
+    """T.81 Annex H lossless-process scan (1×1 sampling): Huffman-coded
+    prediction differences, one sample per component per MCU in scan
+    order.  Reconstruction is modulo 2^16 regardless of precision (H.1.2.1);
+    the size-16 category carries no extra bits and means diff = 32768.
+    First sample of the scan predicts from the default 2^(P−1−Pt); the
+    rest of the first line from Ra, first column from Rb, everything
+    else from the scan's selected predictor.  Returns entropy bytes
+    consumed; reconstructed (pre-point-transform) samples land in
+    ``planes``."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} out of range 1..7")
+    br = _BitReader(data)
+    default = 1 << (precision - 1 - pt)
+    for y in range(h):
+        for x in range(w):
+            for cid, td in scan_comps:
+                size = _decode_huffman(br, huff[(0, td)])
+                if size == 16:  # no appended bits (H.2, Table H.2)
+                    diff = 32768
+                else:
+                    diff = _extend(br.read_bits(size), size)
+                plane = planes[cid]
+                if y == 0 and x == 0:
+                    p = default
+                elif y == 0:
+                    p = int(plane[0, x - 1])
+                elif x == 0:
+                    p = int(plane[y - 1, 0])
+                else:
+                    ra = int(plane[y, x - 1])
+                    rb = int(plane[y - 1, x])
+                    rc = int(plane[y - 1, x - 1])
+                    p = (
+                        ra, rb, rc,
+                        ra + rb - rc,
+                        ra + ((rb - rc) >> 1),
+                        rb + ((ra - rc) >> 1),
+                        (ra + rb) >> 1,
+                    )[predictor - 1]
+                plane[y, x] = (p + diff) % 65536
+    return br.pos
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential AND progressive decoder → uint8 HxWx3 (or HxW
     grey); any integer-ratio sampling factors (4:4:4 / 4:2:0 / 4:2:2 /
@@ -706,8 +765,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     first/refine, AC spectral-selection bands with EOB-run tracking, AC
     successive-approximation refinement (T.81 Annex G), reconstructed
     once at EOI with the same dequantize + IDCT + upsample path as
-    baseline.  Arithmetic-coded, hierarchical, and lossless inputs
-    still raise ``NotImplementedError`` with the boundary named."""
+    baseline.  SOF3 lossless decodes via Annex-H predictive coding
+    (components raw, no color transform).  Arithmetic-coded and
+    hierarchical inputs still raise ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -721,6 +781,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     n_scans = 0
     seq_planes: dict[int, np.ndarray] = {}  # non-interleaved sequential
     seq_done: set[int] = set()
+    lossless = False
+    ll_planes: dict[int, np.ndarray] = {}  # lossless reconstructed samples
+    ll_done: set[int] = set()
+    ll_pt: dict[int, int] = {}
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -772,6 +836,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     (length, code): sym for sym, (code, length) in codes.items()
                 }
                 off += 17 + n
+        elif marker == 0xC3:  # SOF3 lossless (Huffman, Annex H)
+            lossless = True
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if not 2 <= precision <= 16:
+                raise ValueError(
+                    f"lossless precision {precision} out of range 2..16"
+                )
+            sample_bits = precision
+            comps = []
+            for ci in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG (non-1x1 factors)"
+                    )
+                comps.append((cid, 1, 1, tq))
+            frame = (h, w, comps)
         elif marker in (0xC0, 0xC1, 0xC2):
             # SOF0 baseline / SOF1 extended sequential / SOF2 progressive.
             # At 8-bit precision SOF1 decodes identically to baseline
@@ -804,9 +885,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = (h, w, comps)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "arithmetic-coded/hierarchical/lossless JPEG"
+                "arithmetic-coded or hierarchical JPEG"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
@@ -819,6 +900,43 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan_tables[cid] = (tdta >> 4, tdta & 0x0F)
                 scan_order.append(cid)
             h, w, comps = frame
+            if lossless:
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart intervals in lossless JPEG"
+                    )
+                predictor = body[1 + 2 * ncomp_scan]  # Ss selects P1..P7
+                pt = body[3 + 2 * ncomp_scan] & 0x0F  # Al = point transform
+                if not ll_planes:
+                    for cid2, _hi2, _vi2, _tq2 in comps:
+                        ll_planes[cid2] = np.zeros((h, w), np.int64)
+                scan_comps = [
+                    (cid, scan_tables[cid][0]) for cid in scan_order
+                ]
+                consumed = _decode_lossless_samples(
+                    payload[pos + seg_len :], scan_comps, huff, w, h,
+                    sample_bits, predictor, pt, ll_planes,
+                )
+                for cid in scan_order:
+                    ll_done.add(cid)
+                    ll_pt[cid] = pt  # Al is per scan
+                pos = pos + seg_len + consumed
+                while pos + 1 < len(payload) and not (
+                    payload[pos] == 0xFF
+                    and payload[pos + 1] != 0x00
+                    and not 0xD0 <= payload[pos + 1] <= 0xD7
+                ):
+                    pos += 1
+                if ll_done == {c[0] for c in comps}:
+                    # T.81 defines NO color transform for lossless —
+                    # components present raw at file depth/order.
+                    dtype = np.uint8 if sample_bits <= 8 else np.uint16
+                    out = [
+                        (ll_planes[c[0]] << ll_pt[c[0]]).astype(dtype)
+                        for c in comps
+                    ]
+                    return out[0] if len(out) == 1 else np.stack(out, axis=2)
+                continue
             if progressive:
                 ss = body[1 + 2 * ncomp_scan]
                 se = body[2 + 2 * ncomp_scan]
@@ -957,8 +1075,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     mcu_idx += 1
             return _finish_image(planes, comps, hmax, vmax, h, w, sample_bits)
         pos += seg_len
-    if seq_planes:
+    if seq_planes or ll_planes:
         raise ValueError(
-            "sequential scans ended before every frame component was coded"
+            "scans ended before every frame component was coded"
         )
     raise ValueError("JPEG payload contains no scan")

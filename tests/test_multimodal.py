@@ -2492,6 +2492,175 @@ def test_jpeg_12bit_color_and_precision_gates():
         decode_jpeg(_rewrite_jpeg_segments(payload, set_prec10))
 
 
+def _encode_lossless_jpeg(arr, predictor=1, pt=0, precision=None,
+                          interleaved=True):
+    """Test-local SOF3 lossless writer (T.81 Annex H, 1×1 sampling,
+    interleaved single scan): Huffman-coded prediction differences with
+    a 17-symbol all-length-6 canonical table (sizes 0..16), differences
+    mod 2^16, the 32768 difference coded as the bit-free size-16
+    category.  The module has no lossless encoder; this checks decode."""
+    from kusuma_metamorph_etl_spark.operators import jpeg as J
+
+    arr = np.asarray(arr)
+    grey = arr.ndim == 2
+    h, w = arr.shape[:2]
+    ncomp = 1 if grey else arr.shape[2]
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    planes = [
+        (arr if grey else arr[..., c]).astype(np.int64) >> pt
+        for c in range(1) if grey
+    ] or [arr[..., c].astype(np.int64) >> pt for c in range(ncomp)]
+    if grey:
+        planes = [arr.astype(np.int64) >> pt]
+    bits_tbl = [0] * 16
+    bits_tbl[5] = 17  # seventeen 6-bit codes: sizes 0..16
+    symbols = list(range(17))
+    codes = J._canonical_codes(bits_tbl, symbols)
+    default = 1 << (precision - 1 - pt)
+
+    def encode_scan(scan_planes):
+        bw = J._BitWriter()
+        for y in range(h):
+            for x in range(w):
+                for pl in scan_planes:
+                    if y == 0 and x == 0:
+                        p = default
+                    elif y == 0:
+                        p = int(pl[0, x - 1])
+                    elif x == 0:
+                        p = int(pl[y - 1, 0])
+                    else:
+                        ra, rb, rc = (
+                            int(pl[y, x - 1]),
+                            int(pl[y - 1, x]),
+                            int(pl[y - 1, x - 1]),
+                        )
+                        p = (
+                            ra, rb, rc,
+                            ra + rb - rc,
+                            ra + ((rb - rc) >> 1),
+                            rb + ((ra - rc) >> 1),
+                            (ra + rb) >> 1,
+                        )[predictor - 1]
+                    d = (int(pl[y, x]) - p) % 65536
+                    if d == 32768:
+                        code, length = codes[16]
+                        bw.write(code, length)  # size 16: no extra bits
+                        continue
+                    signed = d - 65536 if d >= 32768 else d
+                    size, vbits = J._magnitude(signed)
+                    code, length = codes[size]
+                    bw.write(code, length)
+                    if size:
+                        bw.write(vbits, size)
+        return bw.flush()
+
+    def sos_segment(comp_ids):
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([predictor, 0, pt])
+        return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    out = bytearray(b"\xff\xd8")
+    out += J._dht_segment(0x00, bits_tbl, symbols)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    if interleaved:
+        out += sos_segment(list(range(ncomp))) + encode_scan(planes)
+    else:  # one scan per component (non-interleaved lossless)
+        for ci, pl in enumerate(planes):
+            out += sos_segment([ci]) + encode_scan([pl])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_lossless_handassembled_spec_vector():
+    """Independent grounding for the SOF3 path: a 2x2 greyscale image
+    whose entropy stream is derived BY HAND from T.81 Annex H (not via
+    the test writer) — first sample predicts from the default 128,
+    rest of first line from Ra, first column from Rb, last from P1.
+    Table: canonical all-length-6 codes, symbol i == code i."""
+    from kusuma_metamorph_etl_spark.operators import jpeg as J
+    from kusuma_metamorph_etl_spark.operators.jpeg import decode_jpeg
+
+    # diffs: 100-128=-28 (size 5, bits 3), +1 (size 1, bits 1),
+    #        +3 (size 2, bits 3), +1 (size 1, bits 1)
+    bitstring = (
+        "000101" + "00011"      # size 5, bits 00011
+        + "000001" + "1"        # size 1, bit 1
+        + "000010" + "11"       # size 2, bits 11
+        + "000001" + "1"        # size 1, bit 1
+    )
+    bitstring += "1" * (-len(bitstring) % 8)  # 1-pad to byte boundary
+    scan = int(bitstring, 2).to_bytes(len(bitstring) // 8, "big")
+    scan = scan.replace(b"\xff", b"\xff\x00")  # entropy 0xFF is stuffed
+    bits_tbl = [0] * 16
+    bits_tbl[5] = 17
+    payload = (
+        b"\xff\xd8"
+        + J._dht_segment(0x00, bits_tbl, list(range(17)))
+        + b"\xff\xc3" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0])
+        + b"\xff\xda" + struct.pack(">H", 8)
+        + bytes([1, 1, 0x00, 1, 0, 0])
+        + scan + b"\xff\xd9"
+    )
+    out = decode_jpeg(payload)
+    assert out.dtype == np.uint8
+    assert out.tolist() == [[100, 101], [103, 104]]
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """SOF3 decode is exact for every predictor P1..P7 on random 8-bit
+    greyscale — lossless means lossless."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    for predictor in range(1, 8):
+        out = decode_jpeg(_encode_lossless_jpeg(img, predictor=predictor))
+        assert np.array_equal(out, img), predictor
+
+
+def test_jpeg_lossless_16bit_and_modulo_wrap():
+    """16-bit lossless: full-range uint16 samples roundtrip exactly,
+    including a crafted ±32768 jump that exercises the bit-free size-16
+    difference category and the mod-2^16 reconstruction."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 65536, size=(6, 8), dtype=np.uint16)
+    img[0, 0], img[0, 1] = 0, 32768  # diff exactly +32768
+    out = decode_jpeg(_encode_lossless_jpeg(img, predictor=1))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_lossless_rgb_and_point_transform():
+    """3-component lossless: components present RAW (T.81 defines no
+    color transform for lossless processes).  Point transform Pt=2:
+    decode equals the input with the low 2 bits dropped then restored
+    as zeros (H.1: output = reconstructed << Pt)."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    out = decode_jpeg(_encode_lossless_jpeg(img))
+    assert np.array_equal(out, img)
+    out_pt = decode_jpeg(_encode_lossless_jpeg(img, predictor=4, pt=2))
+    assert np.array_equal(out_pt, (img >> 2) << 2)
+    # non-interleaved layout: one scan per component, planes accumulate
+    # across scans and the image assembles after the last one
+    out_ni = decode_jpeg(
+        _encode_lossless_jpeg(img, predictor=7, interleaved=False)
+    )
+    assert np.array_equal(out_ni, img)
+
+
 def test_jpeg_multiscan_sequential_444_matches_interleaved():
     """Non-interleaved sequential decode: per-block quantized
     coefficients are identical to the interleaved encoding of the same

@@ -801,3 +801,31 @@ def test_wav_roundtrip_property(kind, n, channels, seed):
     assert (audio["n_samples"], audio["channels"]) == (n, channels)
     assert audio["samples"].dtype == x.dtype
     assert np.array_equal(audio["samples"], x), (kind, n, channels, seed)
+
+
+@settings(max_examples=_ex(30), deadline=None)
+@given(
+    predictor=st.integers(1, 7),
+    h=st.integers(1, 10),
+    w=st.integers(1, 14),
+    deep=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_lossless_roundtrip_property(predictor, h, w, deep, seed):
+    """SOF3 lossless decode inverts the test-local Annex-H writer exactly
+    for every predictor, any geometry (1-wide/1-tall degenerate rows hit
+    the Ra/Rb-only prediction rules), both 8- and 16-bit sample depths
+    (16-bit exercises the mod-2^16 difference arithmetic)."""
+    import numpy as np
+    from test_multimodal import _encode_lossless_jpeg
+
+    from kusuma_metamorph_etl_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(seed)
+    if deep:
+        img = rng.randint(0, 65536, size=(h, w)).astype(np.uint16)
+    else:
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    out = decode_jpeg(_encode_lossless_jpeg(img, predictor=predictor))
+    assert out.dtype == img.dtype
+    assert np.array_equal(out, img), (predictor, h, w, deep, seed)
