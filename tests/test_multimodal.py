@@ -2276,7 +2276,9 @@ def test_jpeg_16bit_dqt_tables_decode():
 def test_jpeg_sof1_extended_sequential_decodes():
     """SOF1 (extended sequential) at 8-bit precision is the baseline
     decode path with relaxed table limits — same pixels as SOF0; the
-    genuinely different codings (lossless SOF3) stay behind the seam."""
+    genuinely different codings (arithmetic SOF9) stay behind the
+    seam.  (SOF3 lossless used to be the gate exemplar here until it
+    graduated in r12.)"""
     import pytest as _pytest
 
     from kusuma_metamorph_etl_spark.operators.jpeg import (
@@ -2292,11 +2294,11 @@ def test_jpeg_sof1_extended_sequential_decodes():
     )
     assert sof1 != payload
     assert np.array_equal(decode_jpeg(sof1), decode_jpeg(payload))
-    sof3 = _rewrite_jpeg_segments(
-        payload, lambda m, b: (0xC3 if m == 0xC0 else m, b)
+    sof9 = _rewrite_jpeg_segments(
+        payload, lambda m, b: (0xC9 if m == 0xC0 else m, b)
     )
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(sof3)
+        decode_jpeg(sof9)
 
 
 def _encode_noninterleaved_jpeg(
