@@ -28,6 +28,7 @@ memory is batch-sized, not partition-sized.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 import zlib
 from collections.abc import Callable, Iterator
@@ -1110,7 +1111,8 @@ def sample_frames(
 # YUV4MPEG2 (.y4m): the standard UNCOMPRESSED video container (mjpegtools
 # lineage; ffmpeg's raw-video interchange format) — a text header line,
 # then per frame a FRAME marker + raw planes.  Real parsing, no codec
-# library: supported colorspaces are Cmono (luma only), C444, C422, C420
+# library: supported colorspaces are Cmono (luma only), C444, C422,
+# C420, C411 (8-bit; p10/p12 depth-extended tags stay behind the seam)
 # (planes returned as stored; no chroma upsampling — that is a consumer
 # choice, not a decode step).  Compressed video (H.26x, VP9, AV1) is out
 # of scope behind the same injectable-decoder seam as JPEG.
@@ -1171,6 +1173,17 @@ def decode_video(payload: bytes) -> dict[str, Any]:
             colorspace = val.decode()
     if w is None or h is None:
         raise ValueError("Y4M header missing W/H")
+    depth_tag = re.search(r"p(\d+)$", colorspace)
+    if depth_tag and depth_tag.group(1) != "8":
+        # C420p10 / C422p12 / monop16 … carry >8-bit samples; the plane
+        # walk below is byte-per-sample, so these must be gated, not
+        # mis-sliced.  (C420paldv matches no depth tag — 'paldv' is a
+        # chroma-siting suffix, still 8-bit.)
+        raise NotImplementedError(
+            f"Y4M colorspace {colorspace!r} carries "
+            f"{depth_tag.group(1)}-bit samples (8-bit planes decode); "
+            "inject a decoder via extract_binary_features(decoder=...)"
+        )
     if colorspace.startswith("mono"):
         plane_shapes = [("y", h, w)]
     elif colorspace.startswith("444"):
@@ -1178,12 +1191,16 @@ def decode_video(payload: bytes) -> dict[str, Any]:
     elif colorspace.startswith("422"):
         # 4:2:2 — chroma subsampled horizontally only (full-height planes)
         plane_shapes = [("y", h, w), ("u", h, w // 2), ("v", h, w // 2)]
+    elif colorspace.startswith("411"):
+        # 4:1:1 — chroma quartered horizontally (DV lineage)
+        plane_shapes = [("y", h, w), ("u", h, w // 4), ("v", h, w // 4)]
     elif colorspace.startswith("420"):
         plane_shapes = [("y", h, w), ("u", h // 2, w // 2), ("v", h // 2, w // 2)]
     else:
         raise NotImplementedError(
             f"Y4M colorspace {colorspace!r} not supported "
-            "(mono/444/422/420); inject a decoder via "
+            "(mono/444/422/420/411 at 8-bit; bit-depth-extended tags "
+            "like C420p10 stay gated); inject a decoder via "
             "extract_binary_features(decoder=...)"
         )
     frames = []
@@ -1408,6 +1425,11 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs are <format-code-LE(2)> +
+# this fixed 14-byte KSDATAFORMAT media-type tail (mmreg.h).
+_KS_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
 def decode_audio(payload: bytes) -> dict[str, Any]:
     """Real PCM16 WAV decode → ``{format, sample_rate, channels,
     n_samples, duration_ms, samples}`` (numpy int16, shape (n, channels)).
@@ -1419,19 +1441,35 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
     """
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("unrecognized audio payload (not RIFF/WAVE)")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fmt_ext = 12, None, None, b""
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_ext = body[16:]  # cbSize + WAVE_FORMAT_EXTENSIBLE union
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV payload missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        # bytes (little-endian) of the SubFormat GUID, whose remaining
+        # 14 bytes must be the fixed KSDATAFORMAT tail — layout after
+        # the 16-byte base fmt: cbSize(2) validBits(2) channelMask(4)
+        # GUID(16).
+        if len(fmt_ext) < 24 or struct.unpack_from("<H", fmt_ext, 0)[0] < 22:
+            raise ValueError("malformed WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        guid = fmt_ext[8:24]
+        if guid[2:] != _KS_GUID_TAIL:
+            raise NotImplementedError(
+                "WAVE_FORMAT_EXTENSIBLE with a non-KSDATAFORMAT SubFormat "
+                "GUID; inject a codec via extract_binary_features(decoder=...)"
+            )
+        audio_format = struct.unpack_from("<H", guid, 0)[0]
     if audio_format == 1 and bits == 16:
         samples = np.frombuffer(
             data, dtype="<i2", count=(len(data) // (2 * channels)) * channels

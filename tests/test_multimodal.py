@@ -957,9 +957,24 @@ class TestY4m:
         with pytest.raises(ValueError):
             multimodal.decode_video(good[:-2])  # truncated plane
         with pytest.raises(NotImplementedError):
-            multimodal.decode_video(  # 4:1:1 stays behind the seam
-                b"YUV4MPEG2 W4 H1 F25:1 C411\nFRAME\n" + b"\x00" * 6
+            multimodal.decode_video(  # depth-extended tags stay gated
+                b"YUV4MPEG2 W4 H1 F25:1 C420p10\nFRAME\n" + b"\x00" * 9
             )
+
+    def test_411_decode(self):
+        # 4:1:1 (DV lineage) — chroma quartered horizontally, full height
+        y = np.arange(16, dtype=np.uint8).reshape(2, 8)
+        u = np.array([[50, 51], [52, 53]], dtype=np.uint8)
+        v = np.array([[60, 61], [62, 63]], dtype=np.uint8)
+        payload = (
+            b"YUV4MPEG2 W8 H2 F25:1 C411\nFRAME\n"
+            + y.tobytes() + u.tobytes() + v.tobytes()
+        )
+        video = multimodal.decode_video(payload)
+        assert video["frames"][0]["u"].shape == (2, 2)
+        assert np.array_equal(video["frames"][0]["y"], y)
+        assert np.array_equal(video["frames"][0]["u"], u)
+        assert np.array_equal(video["frames"][0]["v"], v)
 
     def test_422_decode(self):
         # 4:2:2 — chroma halved horizontally ONLY (full-height planes).
@@ -1128,6 +1143,65 @@ class TestAudioCodec:
         assert audio["samples"].dtype == np.float32
         assert audio["channels"] == 2 and audio["n_samples"] == 32
         assert np.array_equal(audio["samples"], x)
+
+    @staticmethod
+    def _extensible(samples: np.ndarray, fmt_code: int, bits: int,
+                    guid_tail: bytes | None = None) -> bytes:
+        """Assemble a WAVE_FORMAT_EXTENSIBLE payload: 40-byte fmt chunk
+        (cbSize 22: validBits + channelMask + SubFormat GUID)."""
+        tail = guid_tail if guid_tail is not None else bytes.fromhex(
+            "000000001000800000aa00389b71"
+        )
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        n, channels = samples.shape
+        data = samples.astype(samples.dtype.newbyteorder("<")).tobytes()
+        block = channels * bits // 8
+        fmt_body = (
+            struct.pack(
+                "<HHIIHH", 0xFFFE, channels, 16000, 16000 * block, block,
+                bits,
+            )
+            + struct.pack("<HHI", 22, bits, 0)
+            + struct.pack("<H", fmt_code) + tail
+        )
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def test_wav_extensible_pcm_and_float(self):
+        """WAVE_FORMAT_EXTENSIBLE (the standard container for >2-channel
+        audio): the real format rides in the SubFormat GUID's first two
+        bytes; PCM and IEEE-float GUIDs decode through the normal paths."""
+        pcm = np.arange(-30, 30, dtype=np.int16).reshape(-1, 4)
+        audio = multimodal.decode_audio(self._extensible(pcm, 1, 16))
+        assert audio["channels"] == 4
+        assert np.array_equal(audio["samples"], pcm)
+        flt = np.linspace(-1, 1, 24, dtype=np.float32).reshape(-1, 2)
+        audio = multimodal.decode_audio(self._extensible(flt, 3, 32))
+        assert audio["samples"].dtype == np.float32
+        assert np.array_equal(audio["samples"], flt)
+
+    def test_wav_extensible_gates(self):
+        pcm = np.zeros(8, dtype=np.int16)
+        # non-KSDATAFORMAT GUID tail → named seam, not silent garbage
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(
+                self._extensible(pcm, 1, 16, guid_tail=b"\x01" * 14)
+            )
+        # truncated extension (cbSize < 22) → malformed, ValueError
+        fmt_body = struct.pack(
+            "<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16
+        ) + struct.pack("<H", 4) + b"\x00" * 4
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        )
+        bad = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        with pytest.raises(ValueError):
+            multimodal.decode_audio(bad)
 
     def test_wav_pcm24_decode_sign_extension(self):
         # Hand-built 24-bit PCM (no natural numpy dtype, decode-only):
