@@ -1547,6 +1547,31 @@ def synthesize_wav(text: str, sample_rate: int = 16000) -> bytes:
     return encode_wav(pcm, sample_rate)
 
 
+def synthesize_wav_format(
+    text: str, kind: str, sample_rate: int = 16000
+) -> bytes:
+    """Deterministic multi-format WAV synthesis: the byte-length contract
+    of :func:`synthesize_wav` (n_samples = 64 + byte_length % 128)
+    carried across the three dtype-driven encoder formats, so an oracle
+    can recompute sizes per format — PCM16: 44 + 2n bytes, PCM8: 44 + n,
+    float32: 56 + 4n (the fact chunk adds 12)."""
+    raw = text.encode("utf-8")
+    n = 64 + len(raw) % 128
+    digest = hashlib.md5(raw).digest()
+    blob = digest * (2 * n // len(digest) + 1)
+    if kind == "pcm16":
+        samples: np.ndarray = np.frombuffer(blob[: 2 * n], dtype="<i2")
+    elif kind == "pcm8":
+        samples = np.frombuffer(blob[:n], dtype=np.uint8)
+    elif kind == "float32":
+        samples = (
+            np.frombuffer(blob[: 2 * n], dtype="<i2") / 32768.0
+        ).astype(np.float32)
+    else:
+        raise ValueError(f"unknown WAV synthesis kind {kind!r}")
+    return encode_wav(samples, sample_rate)
+
+
 def attach_audio_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1976,6 +1976,69 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_wav_formats",
+    """SELECT doc_id,
+              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'pcm16'
+                   WHEN 1 THEN 'pcm8' ELSE 'float32' END AS sample_format,
+              CAST(64 + octet_length(encode(text)) % 128 AS BIGINT)
+                  AS n_samples,
+              CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 44 + (64 + octet_length(encode(text)) % 128) * 2
+                   WHEN 1 THEN 44 + (64 + octet_length(encode(text)) % 128)
+                   ELSE 56 + (64 + octet_length(encode(text)) % 128) * 4
+                   END AS BIGINT) AS n_bytes
+       FROM documents""",
+)
+def mm_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver evidence for the r12 WAV format matrix: per-document
+    payloads synthesized as PCM16 / PCM8 / IEEE-float32 by doc_id, run
+    through the real RIFF/WAVE decode; ``sample_format`` is derived from
+    the DECODED sample dtype (not echoed from the synthesis choice), so
+    a mis-parsed fmt chunk, a wrong EXTENSIBLE-style dispatch, or a
+    dropped fact chunk flips the hash.  The oracle recomputes the
+    per-format byte sizes from the synthesis contract
+    (`operators/multimodal.py::synthesize_wav_format` — float32 carries
+    the 12-byte fact chunk the RIFF spec requires for non-PCM)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf("binary")
+    def make_wav(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        kinds = ("pcm16", "pcm8", "float32")
+        return pd.Series(
+            [
+                multimodal.synthesize_wav_format(txt, kinds[int(i) % 3])
+                for i, txt in zip(doc_id, text)
+            ]
+        )
+
+    payloads = docs.withColumn("payload", make_wav("doc_id", "text"))
+    fmt_by_dtype = {"int16": "pcm16", "uint8": "pcm8", "float32": "float32"}
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for did, pl in zip(pdf["doc_id"], pdf["payload"]):
+                audio = multimodal.decode_audio(bytes(pl))
+                rows.append(
+                    (
+                        did,
+                        fmt_by_dtype[audio["samples"].dtype.name],
+                        audio["n_samples"],
+                        len(pl),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_format", "n_samples", "n_bytes"],
+            )
+
+    return payloads.mapInPandas(
+        extract,
+        "doc_id long, sample_format string, n_samples long, n_bytes long",
+    )
+
+
+@register(
     "mm_frame_sample",
     """SELECT doc_id,
               CAST(frame_idx AS INTEGER) AS frame_idx,

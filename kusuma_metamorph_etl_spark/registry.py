@@ -118,12 +118,12 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-12 WINDOW: basis 11; 262 registered (consolidations under the
+# ROUND-12 WINDOW: basis 11; 263 registered (consolidations under the
 # ceiling policy: setop_union/intersect/except → setop_family,
 # fil_neq/fil_isin/fil_cmp → fil_scalar_family, proj_select/proj_rename/
-# proj_alias/proj_drop/expr_lit → proj_family; +mm_png_subbyte_interlaced
-# — net −7, rebuilding rotation headroom); 4 zero-evidence rows lead
-# the cut.
+# proj_alias/proj_drop/expr_lit → proj_family; additions funded by the
+# freed slots: +mm_png_subbyte_interlaced, +mm_wav_formats — net −6,
+# rebuilding rotation headroom); 5 zero-evidence rows lead the cut.
 # Behind them sits the 22-row r6-evidence cohort the r11 verdict
 # flagged (asof/range/fuzzy/overlap joins, the evt_* trio, the mergeable
 # sketches, mm_audio/phash/png/video, sim_ivf/lsh + their glued _err
@@ -281,6 +281,7 @@ _PRIORITY: tuple[str, ...] = (
     "proj_family",
     "fil_scalar_family",
     "setop_family",
+    "mm_wav_formats",
     "mm_png_subbyte_interlaced",
     "agg_hll_mergeable",
     "agg_quantile_mergeable",
@@ -327,8 +328,8 @@ _PRIORITY: tuple[str, ...] = (
     "win_rownum_topk",
     "win_rownum_flag",
     "win_percent_rank",
-    "win_frame_agg",
   # ---- window cut ----
+    "win_frame_agg",
     "win_lag_lead",
     "win_ntile",
     "proj_explode",
