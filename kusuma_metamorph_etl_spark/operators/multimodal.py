@@ -1112,7 +1112,9 @@ def sample_frames(
 # lineage; ffmpeg's raw-video interchange format) — a text header line,
 # then per frame a FRAME marker + raw planes.  Real parsing, no codec
 # library: supported colorspaces are Cmono (luma only), C444, C422,
-# C420, C411 (8-bit; p10/p12 depth-extended tags stay behind the seam)
+# C420, C411 at 8-bit plus the depth-extended tags (C420p10/p12/…,
+# Cmono10/12/16 — two bytes per sample little-endian, values raw at
+# file depth like 16-bit PNG / 12-bit JPEG; r13, closing the r12 seam)
 # (planes returned as stored; no chroma upsampling — that is a consumer
 # choice, not a decode step).  Compressed video (H.26x, VP9, AV1) is out
 # of scope behind the same injectable-decoder seam as JPEG.
@@ -1120,25 +1122,55 @@ def sample_frames(
 _Y4M_MAGIC = b"YUV4MPEG2 "
 
 
+def _y4m_depth(colorspace: str) -> int:
+    """Sample bit depth a Y4M colorspace tag declares: ``C420p10`` /
+    ``C422p12`` / ``C444p16`` carry a ``p<depth>`` suffix, deep mono is
+    ``Cmono<depth>`` with NO 'p' (ffmpeg emits Cmono9/10/12/16 — the r12
+    ADVICE gap: those fell into the 8-bit path and died later on a
+    misleading FRAME-marker error).  ``C420paldv`` matches neither
+    ('paldv' is chroma siting, not depth).  Anything undeclared is
+    8-bit per the spec."""
+    m = re.search(r"p(\d+)$", colorspace)
+    if m:
+        return int(m.group(1))
+    m = re.fullmatch(r"mono(\d+)", colorspace)
+    if m:
+        return int(m.group(1))
+    return 8
+
+
 def encode_y4m(
-    frames: np.ndarray, fps: tuple[int, int] = (25, 1), colorspace: str = "mono"
+    frames: np.ndarray,
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "mono",
+    depth: int = 8,
 ) -> bytes:
     """Y4M encoder for ``(n_frames, h, w)`` luma (Cmono) or
-    ``(n_frames, 3, h, w)`` planar YUV (C444) uint8 arrays."""
-    arr = np.asarray(frames, dtype=np.uint8)
+    ``(n_frames, 3, h, w)`` planar YUV (C444) arrays — uint8 at depth 8,
+    uint16 little-endian at depths 9–16 (``Cmono<d>`` / ``C444p<d>``
+    depth-extended tags, the ffmpeg convention)."""
+    if not 8 <= depth <= 16:
+        raise ValueError(f"Y4M depth {depth} out of range (8..16)")
+    dtype = np.uint8 if depth == 8 else np.uint16
+    arr = np.asarray(frames, dtype=dtype)
+    if depth > 8 and arr.size and int(arr.max()) >> depth:
+        raise ValueError(f"sample values exceed {depth}-bit range")
     if colorspace == "mono":
         if arr.ndim != 3:
             raise ValueError("mono expects (n_frames, h, w)")
         n, h, w = arr.shape
         planes = arr.reshape(n, h * w)
+        tag = b"Cmono" if depth == 8 else b"Cmono%d" % depth
     elif colorspace == "444":
         if arr.ndim != 4 or arr.shape[1] != 3:
             raise ValueError("444 expects (n_frames, 3, h, w)")
         n, _, h, w = arr.shape
         planes = arr.reshape(n, 3 * h * w)
+        tag = b"C444" if depth == 8 else b"C444p%d" % depth
     else:
         raise ValueError(f"unsupported encoder colorspace {colorspace!r}")
-    tag = {"mono": b"Cmono", "444": b"C444"}[colorspace]
+    if depth > 8:
+        planes = planes.astype("<u2")  # explicit little-endian on disk
     header = _Y4M_MAGIC + b"W%d H%d F%d:%d Ip A1:1 %s\n" % (
         w, h, fps[0], fps[1], tag,
     )
@@ -1173,16 +1205,12 @@ def decode_video(payload: bytes) -> dict[str, Any]:
             colorspace = val.decode()
     if w is None or h is None:
         raise ValueError("Y4M header missing W/H")
-    depth_tag = re.search(r"p(\d+)$", colorspace)
-    if depth_tag and depth_tag.group(1) != "8":
-        # C420p10 / C422p12 / monop16 … carry >8-bit samples; the plane
-        # walk below is byte-per-sample, so these must be gated, not
-        # mis-sliced.  (C420paldv matches no depth tag — 'paldv' is a
-        # chroma-siting suffix, still 8-bit.)
+    depth = _y4m_depth(colorspace)
+    if depth > 16:
         raise NotImplementedError(
-            f"Y4M colorspace {colorspace!r} carries "
-            f"{depth_tag.group(1)}-bit samples (8-bit planes decode); "
-            "inject a decoder via extract_binary_features(decoder=...)"
+            f"Y4M colorspace {colorspace!r} declares {depth}-bit samples "
+            "(8..16 decode); inject a decoder via "
+            "extract_binary_features(decoder=...)"
         )
     if colorspace.startswith("mono"):
         plane_shapes = [("y", h, w)]
@@ -1199,10 +1227,15 @@ def decode_video(payload: bytes) -> dict[str, Any]:
     else:
         raise NotImplementedError(
             f"Y4M colorspace {colorspace!r} not supported "
-            "(mono/444/422/420/411 at 8-bit; bit-depth-extended tags "
-            "like C420p10 stay gated); inject a decoder via "
+            "(mono/444/422/420/411 at 8–16 bit decode; compressed video "
+            "stays out of scope); inject a decoder via "
             "extract_binary_features(decoder=...)"
         )
+    # Depth-extended tags store each sample as two bytes little-endian,
+    # values raw at file depth (ffmpeg convention — same presentation
+    # rule as 16-bit PNG / 12-bit JPEG: no rescale at decode).
+    bps = 1 if depth == 8 else 2
+    dtype = np.uint8 if depth == 8 else np.dtype("<u2")
     frames = []
     pos = nl + 1
     while pos < len(payload):
@@ -1211,11 +1244,11 @@ def decode_video(payload: bytes) -> dict[str, Any]:
         pos = payload.index(b"\n", pos) + 1  # frame params tolerated
         planes: dict[str, Any] = {}
         for name, ph, pw in plane_shapes:
-            end = pos + ph * pw
+            end = pos + ph * pw * bps
             if end > len(payload):
                 raise ValueError("truncated Y4M frame plane")
             planes[name] = np.frombuffer(
-                payload, dtype=np.uint8, count=ph * pw, offset=pos
+                payload, dtype=dtype, count=ph * pw, offset=pos
             ).reshape(ph, pw)
             pos = end
         frames.append(planes)
@@ -1227,6 +1260,7 @@ def decode_video(payload: bytes) -> dict[str, Any]:
         "fps_num": fps_num,
         "fps_den": fps_den,
         "colorspace": colorspace,
+        "depth": depth,
         "frames": frames,
     }
 
@@ -1411,16 +1445,30 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     fact = (
         b"fact" + struct.pack("<II", 4, n) if fmt_tag != 1 else b""
     )  # required for non-PCM formats per RIFF spec
-    body = (
-        b"fmt "
-        + struct.pack(
+    if fmt_tag == 1:
+        fmt_chunk = b"fmt " + struct.pack(
             "<IHHIIHH", 16, fmt_tag, channels, sample_rate, byte_rate,
             block_align, bits,
         )
+    else:
+        # Non-PCM fmt chunks carry the cbSize extension-size field
+        # (WAVEFORMATEX) — 18 bytes with cbSize=0; strict parsers reject
+        # a 16-byte non-PCM fmt (r12 ADVICE).
+        fmt_chunk = b"fmt " + struct.pack(
+            "<IHHIIHHH", 18, fmt_tag, channels, sample_rate, byte_rate,
+            block_align, bits, 0,
+        )
+    # RIFF chunks are word-aligned: an odd-sized data chunk gets a zero
+    # pad byte that is EXCLUDED from the chunk size but included in the
+    # RIFF size (r12 ADVICE — pcm8 mono with odd n hit this).
+    pad = b"\x00" if len(data) & 1 else b""
+    body = (
+        fmt_chunk
         + fact
         + b"data"
         + struct.pack("<I", len(data))
         + data
+        + pad
     )
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 

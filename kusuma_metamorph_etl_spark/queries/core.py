@@ -160,21 +160,86 @@ def snk_dual_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "src_orc_roundtrip",
-    "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "src_roundtrip_family",
+    """SELECT 'json' AS fmt, n_nationkey AS key, n_name AS name,
+              CAST(n_regionkey AS DOUBLE) AS num
+       FROM nation
+       UNION ALL
+       SELECT 'orc' AS fmt, c_custkey AS key, c_name AS name,
+              c_acctbal AS num
+       FROM customer
+       UNION ALL
+       SELECT 'text' AS fmt, CAST(NULL AS BIGINT) AS key, text AS name,
+              CAST(NULL AS DOUBLE) AS num
+       FROM documents""",
 )
-def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC write→read round-trip: Spark's second first-class columnar
-    format (built-in, no package), with the same pushdown/pruning
-    machinery as parquet — warehouses standardized on ORC can interchange
-    with this engine directly.  The oracle checks the round-tripped
-    values against the parquet-sourced table."""
-    base = os.path.join(SCRATCH, "orc_roundtrip", os.path.basename(sf_dir))
+def src_roundtrip_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three non-parquet source/sink round-trips in one tagged frame —
+    JSON-lines (the REST/event landing-zone interchange, read back with
+    the DECLARED schema per SURVEY §1/A7), ORC (Spark's second
+    first-class columnar format, same pushdown machinery as parquet),
+    and text-lines (`spark.read.text`, raw corpora/log shards) —
+    consolidating the r7/r8/r9-green rows `src_json_roundtrip`/
+    `src_orc_roundtrip`/`src_text_roundtrip` under the
+    retire-one-per-addition registry policy (r12 VERDICT Next #2).
+    Each format is written and re-read explicitly; the oracle compares
+    the round-tripped VALUES against the parquet-sourced tables, so a
+    lossy writer or a schema-drifting reader in any branch flips the
+    hash gate.  Text is sound because the fixture corpus has no embedded
+    newlines (a newline would split a row — the honest failure); the
+    text branch re-materializes via eager localCheckpoint before its
+    temp dir is deleted, never a driver round-trip (r11 ADVICE)."""
+    import shutil
+    import tempfile
+
+    base = os.path.join(SCRATCH, "roundtrip_family", os.path.basename(sf_dir))
+
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").json(os.path.join(base, "json"))
+    json_back = spark.read.schema(nation.schema).json(
+        os.path.join(base, "json")
+    )
+
     customer = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
-    customer.write.mode("overwrite").orc(base)
-    return spark.read.orc(base)
+    customer.write.mode("overwrite").orc(os.path.join(base, "orc"))
+    orc_back = spark.read.orc(os.path.join(base, "orc"))
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    tmp = tempfile.mkdtemp(prefix="text_src_")
+    try:
+        docs.write.mode("overwrite").text(tmp)
+        text_back = spark.read.text(tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        json_back.select(
+            F.lit("json").alias("fmt"),
+            F.col("n_nationkey").alias("key"),
+            F.col("n_name").alias("name"),
+            F.col("n_regionkey").cast("double").alias("num"),
+        )
+        .unionByName(
+            orc_back.select(
+                F.lit("orc").alias("fmt"),
+                F.col("c_custkey").alias("key"),
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").alias("num"),
+            )
+        )
+        .unionByName(
+            text_back.select(
+                F.lit("text").alias("fmt"),
+                F.lit(None).cast("bigint").alias("key"),
+                F.col("value").alias("name"),
+                F.lit(None).cast("double").alias("num"),
+            )
+        )
+    )
 
 
 @register(
@@ -832,44 +897,48 @@ def win_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "win_lag_lead",
-    """SELECT l_suppkey, l_orderkey, l_linenumber,
-              lag(l_shipdate) OVER w AS prev_ship,
-              lead(l_shipdate) OVER w AS next_ship
-       FROM lineitem
-       WINDOW w AS (PARTITION BY l_suppkey
-                    ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+    "win_rank_family",
+    """SELECT o_orderkey, o_orderpriority,
+              lag(o_totalprice) OVER w AS prev_price,
+              lead(o_totalprice) OVER w AS next_price,
+              ntile(4) OVER w AS quartile,
+              round(cume_dist() OVER w, 6) AS cd,
+              rank() OVER w2 AS rnk,
+              dense_rank() OVER w2 AS drnk
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey),
+              w2 AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC)""",
 )
-def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead offsets ([EXT] row): neighbouring ship dates per supplier —
-    the inter-arrival building block for cadence/gap analysis."""
-    li = t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
-    )
-    return li.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.lag("l_shipdate").over(w).alias("prev_ship"),
-        F.lead("l_shipdate").over(w).alias("next_ship"),
-    )
-
-
-@register(
-    "win_ntile",
-    """SELECT o_orderkey,
-              ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
-       FROM orders""",
-)
-def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile quartiles ([EXT] row): equal-count bucketing by order value.
-    The global orderBy is the same single-partition hazard as
-    `win_percent_rank` — acceptable for mart-sized frames; tiebreak on
-    o_orderkey makes bucket assignment deterministic cross-engine."""
+def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trivial ranking/offset window functions in one frame —
+    lag/lead, ntile, cume_dist over a fully-tiebroken spec plus
+    rank/dense_rank over a tie-tolerant spec — consolidating the
+    r7-green rows `win_lag_lead`/`win_ntile`/`win_rank_dense`/
+    `win_cume_dist` under the retire-one-per-addition registry policy
+    (r12 VERDICT Next #2: same window APIs, one driver slot).  Both
+    specs share the o_orderpriority partition key, so the plan is one
+    shuffle + two sorts; every function is exercised explicitly so a
+    regression in any one of them still breaks the hash gate.  The
+    tiebreak on o_orderkey makes ntile/cume_dist/lag/lead deterministic
+    cross-engine; rank/dense_rank tolerate ties by definition (equal
+    keys share a rank)."""
     orders = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return orders.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+    )
 
 
 @register(
@@ -883,48 +952,6 @@ def proj_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     return part.select(
         "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
-    )
-
-
-@register(
-    "win_rank_dense",
-    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
-              rank() OVER w AS rnk, dense_rank() OVER w AS drnk
-       FROM lineitem
-       WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)""",
-)
-def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank/dense_rank ([EXT] row): gap vs gapless ranking under ties —
-    deterministic without a full tiebreak because equal keys share a rank."""
-    li = t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        "l_quantity",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-    )
-
-
-@register(
-    "win_cume_dist",
-    """SELECT o_orderkey, o_orderpriority,
-              round(cume_dist() OVER (PARTITION BY o_orderpriority
-                                      ORDER BY o_totalprice), 6) AS cd
-       FROM orders""",
-)
-def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cume_dist ([EXT] row): fraction of peers at or below each value —
-    per-priority, so the window parallelizes across partitions (unlike the
-    reference's global percent_rank, A4)."""
-    orders = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    return orders.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
 
 
@@ -1146,24 +1173,6 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select("o_orderkey", "o_totalprice").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     ).limit(10)
-
-
-@register(
-    "src_json_roundtrip",
-    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
-)
-def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines write→read round-trip: the interchange format REST/event
-    landing zones actually use (`sources/rest.py` lands ndjson the same
-    way).  Read back with the DECLARED schema — production contract per
-    SURVEY.md §1 (inference drifts; anti-pattern A7) — and oracle-checked
-    against the parquet-sourced table."""
-    base = os.path.join(SCRATCH, "json_roundtrip", os.path.basename(sf_dir))
-    nation = t(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
-    nation.write.mode("overwrite").json(base)
-    return spark.read.schema(nation.schema).json(base)
 
 
 @register(

@@ -2,12 +2,19 @@
 multimodal plumbing, event-time windows — as oracle-checked queries
 (SURVEY.md §2.10).
 
-Oracle notes specific to this module:
+Split into per-domain modules in r13 (the former 7.4k-line monolith
+fought review); this module re-exports every query so existing imports
+(`from kusuma_metamorph_etl_spark.queries.ext import mart_rfm`) keep
+working, and importing it registers the whole [EXT] surface.  The
+canonical registration order is the module order below — pinned by
+``registry._MODULE_RANK``, not by import order.
+
+Oracle notes shared by the domain modules:
 
 * DuckDB replicates word-shingling with ``list_transform(range(...))`` and
   the engine's exact token rule (any-whitespace split via
-  ``regexp_split_to_array('\\s+')`` + drop empties — see ``_W`` below and
-  ``operators/text.py::words``), so shingle sets are identical
+  ``regexp_split_to_array('\\s+')`` + drop empties — see ``ext_common._W``
+  and ``operators/text.py::words``), so shingle sets are identical
   cross-engine.
 * MinHash/SimHash/hyperplane-LSH queries hash with ``xxhash64`` — there is
   no DuckDB equivalent, so those register with ``oracle=None`` and take the
@@ -19,7375 +26,12 @@ Oracle notes specific to this module:
   both sides (registry.py conventions).
 """
 
-from __future__ import annotations
-
-import pandas as pd
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from kusuma_metamorph_etl_spark.operators import (
-    dedup,
-    multimodal,
-    sampling,
-    similarity,
-    text,
-)
-from kusuma_metamorph_etl_spark.registry import RUN_DATE, register
-from kusuma_metamorph_etl_spark.sources.catalog import load_table as t
-from kusuma_metamorph_etl_spark.streaming.windows import (
-    session_agg,
-    sliding_agg,
-    tumbling_agg,
-)
-
-# Tokenization building blocks, shared across text/dedup oracles.  Must stay
-# textually in sync with operators/text.py::words (any-whitespace split,
-# empties dropped).
-_W = r"list_filter(regexp_split_to_array({src}, '\s+'), x -> x <> '')"
-_W_LOWER = _W.format(src="lower(text)")
-_W_TEXT = _W.format(src="text")
-
-_SHINGLES = (
-    "list_distinct(list_transform(range(len(w) - 2),"
-    " i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))"
-)
-
-# Numeric-character-reference decode, mirroring
-# operators/text.py::decode_numeric_refs expression-for-expression
-# (sentinel marking, split, per-segment CASE): chr() for the sub-256
-# range where Spark's mod-256 char() is exact, the common typography
-# codepoints (true-unicode chr here == the literal chars Spark emits),
-# 160 -> ' ', anything else -> ' '.  `{src}` is the input column.
-# A decoded AMPERSAND (38/0x26) surfaces as chr(2) — the html_to_text
-# composition (amp_as="\x02") — and the caller restores it to '&'
-# AFTER its named-entity replaces ('&#38;lt;' must stay '&lt;').
-_NUMREF_DECODE = """array_to_string(list_transform(list_transform(
-  string_split(
-    regexp_replace(
-      regexp_replace(
-        regexp_replace({src}, '[' || chr(1) || chr(2) || ']', ' ', 'g'),
-        '&#([0-9]{{1,7}});', chr(1) || '\\1' || chr(2), 'g'),
-      '&#[xX]([0-9a-fA-F]{{1,6}});', chr(1) || 'x\\1' || chr(2), 'g'),
-    chr(1)),
-  __p -> struct_pack(
-    c := CASE WHEN regexp_matches(__p, '^[0-9]{{1,7}}' || chr(2))
-              THEN CAST(regexp_extract(__p,
-                   '^([0-9]{{1,7}})' || chr(2), 1) AS BIGINT)
-              WHEN regexp_matches(__p, '^x[0-9a-fA-F]{{1,6}}' || chr(2))
-              THEN CAST('0x' || regexp_extract(__p,
-                   '^x([0-9a-fA-F]{{1,6}})' || chr(2), 1) AS BIGINT)
-         END,
-    r := regexp_replace(__p,
-         '^(?:[0-9]{{1,7}}|x[0-9a-fA-F]{{1,6}})' || chr(2), ''),
-    o := __p)),
-  __s -> CASE WHEN __s.c IS NULL THEN __s.o
-            ELSE (CASE WHEN __s.c = 38 THEN chr(2)
-                       WHEN __s.c = 160 THEN ' '
-                       WHEN __s.c IN (8211,8212,8216,8217,8220,8221,8226,
-                                      8230,8242,8243,8364,8482,8594)
-                            THEN chr(CAST(__s.c AS INTEGER))
-                       WHEN (__s.c BETWEEN 32 AND 126)
-                            OR (__s.c BETWEEN 161 AND 255)
-                            THEN chr(CAST(__s.c AS INTEGER))
-                       ELSE ' ' END) || __s.r END),
-  '')"""
-
-
-# ---------------------------------------------------------------- text analysis
-
-@register(
-    "mart_crawl_prep",
-    """WITH raw AS (
-         SELECT doc_id,
-                '<html><body><h1>Doc ' || doc_id || '</h1><p>' || text
-                || '</p><!-- c --></body></html>' AS html,
-                'HTTPS://Site.Example.COM/page/' || (doc_id % 50)
-                || '?utm_source=crawl&utm_v=' || doc_id || '#frag' AS url_raw
-         FROM documents),
-       stripped AS (
-         -- full html_to_text mirror (script/style/comment passes,
-         -- entity decode, explicit whitespace class) so the oracle stays
-         -- textually in sync with the operator even if fixture text ever
-         -- carries markup-significant characters.  The r9 numeric-ref
-         -- decode stage is OMITTED here deliberately: no document at any
-         -- SF contains '&#' or the \x01/\x02 sentinels (checked), so the
-         -- stage is an exact no-op on this fixture — the full mirror
-         -- lives in txt_html_to_text/txt_html_main_text (_NUMREF_DECODE)
-         SELECT doc_id, url_raw,
-                trim(regexp_replace(
-                    replace(replace(replace(replace(replace(replace(
-                        regexp_replace(
-                          regexp_replace(
-                            regexp_replace(
-                              regexp_replace(html,
-                                '<script\\b.*?</script\\s*>', ' ', 'gis'),
-                              '<style\\b.*?</style\\s*>', ' ', 'gis'),
-                            '<!--.*?-->', ' ', 'gs'),
-                          '<[^>]*>', ' ', 'gs'),
-                        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                        '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-                    '[ \\t\\n\\f\\r]+', ' ', 'g')) AS text_clean
-         FROM raw),
-       urln AS (
-         SELECT doc_id, text_clean,
-                regexp_replace(
-                  regexp_replace(
-                    concat(lower(regexp_extract(regexp_replace(url_raw,
-                               '#.*$', ''),
-                               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
-                           regexp_replace(regexp_replace(url_raw, '#.*$', ''),
-                               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')),
-                    '([?&])(?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&)+', '\\1',
-                    'g'),
-                  '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
-                    AS url_half
-         FROM stripped),
-       urln2 AS (
-         SELECT doc_id, text_clean,
-                regexp_replace(url_half, '[?&/ \t\n\f\r]+$', '') AS url_norm
-         FROM urln),
-       q AS (
-         SELECT doc_id, url_norm,
-                CAST(len(list_filter(regexp_split_to_array(text_clean,
-                    '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-         FROM urln2),
-       kept AS (SELECT * FROM q WHERE n_tokens >= 20),
-       dedup AS (
-         SELECT doc_id, url_norm, n_tokens,
-                min(doc_id) OVER (PARTITION BY url_norm) AS keep_id
-         FROM kept)
-       SELECT doc_id, url_norm, n_tokens
-       FROM dedup WHERE doc_id = keep_id""",
-)
-def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-preparation composition capstone ([EXT]): the WARC-shaped
-    pipeline assembled from this round's registered pieces — synthesized
-    HTML stripped to text (`html_to_text`), a token-count floor (the
-    cheap quality gate), and URL-keyed exact dedup over CANONICALIZED
-    URLs (`normalize_url`; the synthesized raw URLs collide 10-to-1 only
-    AFTER tracking params and fragments strip, so the dedup is exercised
-    for real).  One narrow projection chain + one url-keyed window —
-    shuffle count independent of corpus size.
-
-    The token floor rides INSIDE the window as a conditional min
-    (`min(when(n_tokens >= 20, doc_id))`) with the row filter applied
-    ABOVE the window — semantically identical to filter-then-window
-    (min skips the NULLed sub-floor rows; sub-floor rows and winnerless
-    urls drop in the final filter) but 3.5× faster measured: a filter
-    BELOW the window pushes through the projection and re-evaluates the
-    whole html_to_text chain a second time for the predicate, while a
-    Window materializes its child projection once (predicates on
-    non-partition columns never push through a Window).  The r9 1.64×
-    regression on this row was exactly that double evaluation getting
-    more expensive as the chain grew."""
-    docs = t(spark, sf_dir, "documents")
-    d = F.col("doc_id").cast("string")
-    html = F.concat(
-        F.lit("<html><body><h1>Doc "), d, F.lit("</h1><p>"), F.col("text"),
-        F.lit("</p><!-- c --></body></html>"),
-    )
-    url_raw = F.concat(
-        F.lit("HTTPS://Site.Example.COM/page/"),
-        (F.col("doc_id") % 50).cast("string"),
-        F.lit("?utm_source=crawl&utm_v="), d, F.lit("#frag"),
-    )
-    staged = docs.select(
-        "doc_id",
-        text.html_to_text(html).alias("text_clean"),
-        text.normalize_url(url_raw).alias("url_norm"),
-    ).select(
-        "doc_id",
-        "url_norm",
-        F.size(text.words(F.col("text_clean"))).cast("long").alias("n_tokens"),
-    )
-    from pyspark.sql import Window as W
-
-    keep = F.min(F.when(F.col("n_tokens") >= 20, F.col("doc_id"))).over(
-        W.partitionBy("url_norm")
-    )
-    return (
-        staged.withColumn("__keep", keep)
-        .filter(
-            (F.col("n_tokens") >= 20) & (F.col("doc_id") == F.col("__keep"))
-        )
-        .select("doc_id", "url_norm", "n_tokens")
-    )
-
-
-@register(
-    "txt_html_to_text",
-    """WITH raw AS (
-         SELECT doc_id,
-                '<html><head><style>p {c: ' || doc_id || '}</style>'
-                || '<script>if (1 < 2) { x("<p>"); }</script></head>'
-                || '<body><h1>Doc ' || doc_id || '</h1><!-- c' || doc_id
-                || ' --><p>A &amp; B &quot;q&quot;&nbsp;&#39;s&#39;</p>'
-                || '<p>it&#8217;s &#x27;hex&#x27; &#169;&#160;&amp;#60; &#38;lt;</p>'
-                || '<div>' || text || '</div></body></html>' AS html
-         FROM documents),
-       s1 AS (SELECT doc_id,
-                     regexp_replace(html, '<script\\b.*?</script\\s*>', ' ',
-                                    'gis') AS t FROM raw),
-       s2 AS (SELECT doc_id,
-                     regexp_replace(t, '<style\\b.*?</style\\s*>', ' ', 'gis')
-                         AS t FROM s1),
-       s3 AS (SELECT doc_id, regexp_replace(t, '<!--.*?-->', ' ', 'gs') AS t
-              FROM s2),
-       s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'gs') AS t
-              FROM s3),
-       s4n AS (SELECT doc_id, """
-    + _NUMREF_DECODE.format(src="t")
-    + """ AS t FROM s4),
-       s5 AS (SELECT doc_id,
-                     replace(replace(replace(replace(replace(replace(replace(t,
-                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-                         chr(2), '&')
-                         AS t
-              FROM s4n)
-       SELECT doc_id,
-              trim(regexp_replace(t, '[ \\t\\n\\f\\r]+', ' ', 'g'))
-                  AS text_clean
-       FROM s5""",
-)
-def txt_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML->text extraction ([EXT] crawl preprocessing;
-    `operators/text.py::html_to_text`): deterministic markup wrapped
-    around each document (style/script blocks with tag-lookalike
-    contents, comments, the dominant entities, decimal/hex NUMERIC
-    character references incl. a `&amp;#60;` double-decode trap),
-    stripped back to whitespace-normalized prose — the step between a
-    WARC source and every downstream text signal."""
-    docs = t(spark, sf_dir, "documents")
-    d = F.col("doc_id").cast("string")
-    html = F.concat(
-        F.lit("<html><head><style>p {c: "), d, F.lit("}</style>"),
-        F.lit('<script>if (1 < 2) { x("<p>"); }</script></head>'),
-        F.lit("<body><h1>Doc "), d, F.lit("</h1><!-- c"), d,
-        F.lit(" --><p>A &amp; B &quot;q&quot;&nbsp;&#39;s&#39;</p>"),
-        F.lit("<p>it&#8217;s &#x27;hex&#x27; &#169;&#160;&amp;#60; &#38;lt;</p>"),
-        F.lit("<div>"), F.col("text"), F.lit("</div></body></html>"),
-    )
-    return docs.select(
-        "doc_id", text.html_to_text(html).alias("text_clean")
-    )
-
-
-@register(
-    "txt_url_normalize",
-    r"""WITH raw AS (
-          SELECT doc_id,
-                 CASE doc_id % 5
-                   WHEN 0 THEN 'HTTPS://Example.COM:443/item/' || doc_id
-                               || '?utm_source=feed&id=' || doc_id || '#top'
-                   WHEN 1 THEN 'http://Shop.example.com:80/p/' || doc_id || '/'
-                   WHEN 2 THEN 'http://a.example.net/?utm_a=1&utm_b=' || doc_id
-                   WHEN 3 THEN 'https://b.example.org/x?a=' || doc_id
-                               || '&gclid=z&b=2'
-                   ELSE 'https://c.example.net/deep/' || doc_id || '///'
-                 END AS url_raw
-          FROM documents),
-        s1 AS (SELECT doc_id, url_raw,
-                      regexp_replace(trim(url_raw), '#.*$', '') AS u FROM raw),
-        s2 AS (SELECT doc_id, url_raw,
-                      concat(lower(regexp_extract(u,
-                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
-                             regexp_replace(u,
-                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''))
-                          AS u FROM s1),
-        s3 AS (SELECT doc_id, url_raw,
-                      regexp_replace(
-                        regexp_replace(u, '^(http://[^/:?#]+):80([/?#]|$)',
-                                       '\1\2'),
-                        '^(https://[^/:?#]+):443([/?#]|$)', '\1\2')
-                          AS u FROM s2),
-        s4 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u,
-                        '([?&])(?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&)+',
-                        '\1', 'g') AS u FROM s3),
-        s5 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u,
-                        '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
-                          AS u FROM s4),
-        s6 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u, '[?&/ \t\n\f\r]+$', '') AS u FROM s5)
-        SELECT doc_id, url_raw, u AS url_norm FROM s6""",
-)
-def txt_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization ([EXT] crawl-dedup primitive;
-    `operators/text.py::normalize_url`): deterministic messy-URL
-    synthesis from doc_id (each residue class exercises one rule —
-    fragment+port+tracking, default port+trailing slash, multi-utm,
-    mid-query gclid, slash run), normalized by the engine-portable
-    regexp chain.  The DuckDB mirror needs the 'g' flag on the
-    mid-query tracking step (RE2 replaces first-match by default;
-    Spark replaces all)."""
-    docs = t(spark, sf_dir, "documents")
-    d = F.col("doc_id").cast("string")
-    raw = (
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                F.lit("HTTPS://Example.COM:443/item/"), d,
-                F.lit("?utm_source=feed&id="), d, F.lit("#top"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 5 == 1,
-            F.concat(F.lit("http://Shop.example.com:80/p/"), d, F.lit("/")),
-        )
-        .when(
-            F.col("doc_id") % 5 == 2,
-            F.concat(F.lit("http://a.example.net/?utm_a=1&utm_b="), d),
-        )
-        .when(
-            F.col("doc_id") % 5 == 3,
-            F.concat(F.lit("https://b.example.org/x?a="), d, F.lit("&gclid=z&b=2")),
-        )
-        .otherwise(F.concat(F.lit("https://c.example.net/deep/"), d, F.lit("///")))
-    )
-    return docs.select(
-        "doc_id",
-        raw.alias("url_raw"),
-        text.normalize_url(raw).alias("url_norm"),
-    )
-
-
-@register(
-    "txt_html_main_text",
-    """WITH raw AS (
-         SELECT doc_id,
-                '<html><body><nav><a href="/">Home</a> <a href="/about">'
-                || 'About</a> <a href="/contact">Contact us</a></nav>'
-                || '<p>' || text || '</p>'
-                || '<div><a href="/r1">Related one</a> <a href="/r2">'
-                || 'Related two</a> also try <a href="/r3">three</a></div>'
-                || '<footer><a href="/tos">Terms of Service</a> &#8212; '
-                || '<a href="/privacy">Privacy Policy</a> &#169; 2024'
-                || '</footer></body></html>' AS html
-         FROM documents),
-       pre AS (SELECT doc_id,
-                      regexp_replace(regexp_replace(regexp_replace(html,
-                          '<script\\b.*?</script\\s*>', ' ', 'gis'),
-                          '<style\\b.*?</style\\s*>', ' ', 'gis'),
-                          '<!--.*?-->', ' ', 'gs') AS t
-               FROM raw),
-       kept AS (SELECT doc_id,
-                       array_to_string(list_transform(list_filter(
-                         list_transform(
-                           string_split_regex(t,
-                             '(?i)</?(?:p|div|section|article|li|ul|ol|dl'
-                             || '|dt|dd|table|thead|tbody|tfoot|tr|td|th'
-                             || '|h[1-6]|blockquote|header|footer|nav'
-                             || '|aside|main|form|figure|figcaption|body'
-                             || '|html|br|hr)\\b[^>]*>'),
-                           __b -> struct_pack(
-                             h := __b,
-                             tl := CAST(len(trim(regexp_replace(
-                                 regexp_replace(__b, '<[^>]*>', ' ', 'gs'),
-                                 '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS BIGINT),
-                             nl := CAST(len(trim(regexp_replace(
-                                 regexp_replace(regexp_replace(__b,
-                                   '<a\\b[^>]*>.*?</a\\s*>', ' ', 'gis'),
-                                 '<[^>]*>', ' ', 'gs'),
-                                 '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS BIGINT))),
-                         __k -> __k.tl >= 25 AND
-                                CAST(__k.tl - __k.nl AS DOUBLE)
-                                  <= 0.5 * CAST(__k.tl AS DOUBLE)),
-                         __k -> __k.h), ' ') AS t
-                FROM pre),
-       s1 AS (SELECT doc_id,
-                     regexp_replace(t, '<script\\b.*?</script\\s*>', ' ',
-                                    'gis') AS t FROM kept),
-       s2 AS (SELECT doc_id,
-                     regexp_replace(t, '<style\\b.*?</style\\s*>', ' ', 'gis')
-                         AS t FROM s1),
-       s3 AS (SELECT doc_id, regexp_replace(t, '<!--.*?-->', ' ', 'gs') AS t
-              FROM s2),
-       s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'gs') AS t
-              FROM s3),
-       s4n AS (SELECT doc_id, """
-    + _NUMREF_DECODE.format(src="t")
-    + """ AS t FROM s4),
-       s5 AS (SELECT doc_id,
-                     replace(replace(replace(replace(replace(replace(replace(t,
-                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-                         chr(2), '&')
-                         AS t
-              FROM s4n)
-       SELECT doc_id,
-              trim(regexp_replace(t, '[ \\t\\n\\f\\r]+', ' ', 'g'))
-                  AS text_main
-       FROM s5""",
-)
-def txt_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Main-content extraction ([EXT] crawl preprocessing;
-    `operators/text.py::main_content` + `extract_main_text`, r8 advice
-    #3): each document wrapped in a realistic page shell — nav bar,
-    link-rail "related" block, link-heavy footer — and the extractor
-    must keep ONLY the article paragraph: nav falls to the min-length
-    floor, the rail and footer to the link-density ceiling.  Block
-    split + per-block length/density arithmetic + the full
-    `html_to_text` chain, all column expressions, both engines."""
-    docs = t(spark, sf_dir, "documents")
-    html = F.concat(
-        F.lit('<html><body><nav><a href="/">Home</a> <a href="/about">'),
-        F.lit('About</a> <a href="/contact">Contact us</a></nav>'),
-        F.lit("<p>"), F.col("text"), F.lit("</p>"),
-        F.lit('<div><a href="/r1">Related one</a> <a href="/r2">'),
-        F.lit('Related two</a> also try <a href="/r3">three</a></div>'),
-        F.lit('<footer><a href="/tos">Terms of Service</a> &#8212; '),
-        F.lit('<a href="/privacy">Privacy Policy</a> &#169; 2024'),
-        F.lit("</footer></body></html>"),
-    )
-    return docs.select(
-        "doc_id", text.extract_main_text(html).alias("text_main")
-    )
-
-
-@register(
-    "txt_url_normalize_v2",
-    r"""WITH raw AS (
-          SELECT doc_id,
-                 CASE doc_id % 3
-                   WHEN 0 THEN 'https://ex.example.com/p/' || (doc_id % 20)
-                               || '?a=1&b=' || (doc_id % 20) || '&c=3'
-                   WHEN 1 THEN 'https://ex.example.com/p/' || (doc_id % 20)
-                               || '?c=3&a=1&b=' || (doc_id % 20)
-                   ELSE 'https://ex.example.com/p/' || (doc_id % 20)
-                        || '?b=' || (doc_id % 20) || '&utm_x=9&&c=3&a=1'
-                 END AS url_raw
-          FROM documents),
-        s1 AS (SELECT doc_id, url_raw,
-                      regexp_replace(trim(url_raw), '#.*$', '') AS u FROM raw),
-        s2 AS (SELECT doc_id, url_raw,
-                      concat(lower(regexp_extract(u,
-                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
-                             regexp_replace(u,
-                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''))
-                          AS u FROM s1),
-        s3 AS (SELECT doc_id, url_raw,
-                      regexp_replace(
-                        regexp_replace(u, '^(http://[^/:?#]+):80([/?#]|$)',
-                                       '\1\2'),
-                        '^(https://[^/:?#]+):443([/?#]|$)', '\1\2')
-                          AS u FROM s2),
-        s4 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u,
-                        '([?&])(?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&)+',
-                        '\1', 'g') AS u FROM s3),
-        s5 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u,
-                        '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
-                          AS u FROM s4),
-        s6 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u, '[?&/ \t\n\f\r]+$', '') AS u FROM s5),
-        s7 AS (SELECT doc_id, url_raw,
-                      CASE WHEN regexp_extract(u, '^[^?]*\?(.*)$', 1) = ''
-                           THEN u
-                           ELSE regexp_extract(u, '^([^?]*)', 1) || '?' ||
-                                array_to_string(list_sort(list_filter(
-                                  string_split(regexp_extract(u,
-                                    '^[^?]*\?(.*)$', 1), '&'),
-                                  __x -> __x <> '')), '&')
-                      END AS u FROM s6)
-        SELECT doc_id, url_raw, u AS url_norm FROM s7""",
-)
-def txt_url_normalize_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization with query-param SORTING ([EXT] crawl-dedup;
-    `operators/text.py::normalize_url(sort_params=True)`, r8 advice #4):
-    three param orderings of the SAME page (plus a tracking param and an
-    empty segment in one variant) — the sorted canonical form collapses
-    all three to one dedup key where the r8 normalizer split them.
-    Split–filter–sort–rejoin, engine-portable (Spark binary string sort
-    == DuckDB binary collation)."""
-    docs = t(spark, sf_dir, "documents")
-    p = (F.col("doc_id") % 20).cast("string")
-    raw = (
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit("https://ex.example.com/p/"), p,
-                F.lit("?a=1&b="), p, F.lit("&c=3"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(
-                F.lit("https://ex.example.com/p/"), p,
-                F.lit("?c=3&a=1&b="), p,
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("https://ex.example.com/p/"), p,
-                F.lit("?b="), p, F.lit("&utm_x=9&&c=3&a=1"),
-            )
-        )
-    )
-    return docs.select(
-        "doc_id",
-        raw.alias("url_raw"),
-        text.normalize_url(raw, sort_params=True).alias("url_norm"),
-    )
-
-
-@register(
-    "txt_readability",
-    f"""SELECT doc_id,
-               CAST(n_words AS BIGINT) AS n_words,
-               CAST(n_sentences AS BIGINT) AS n_sentences,
-               CAST(n_syllables AS BIGINT) AS n_syllables,
-               CASE WHEN n_words > 0 THEN
-                 round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
-                       + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
-                       - 15.59, 6)
-               END AS fk_grade
-        FROM (SELECT doc_id,
-                     len({_W_TEXT}) AS n_words,
-                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
-                         AS n_sentences,
-                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
-                         AS n_syllables
-              FROM documents)""",
-)
-def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flesch-Kincaid grade level ([EXT] corpus-curation signal;
-    `operators/text.py::readability`): vowel groups never span the
-    whitespace word boundary, so whole-text regexp counts equal the
-    per-word sums — three counts + arithmetic, no explode, same
-    expression both engines."""
-    docs = t(spark, sf_dir, "documents")
-    txt = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.size(text.words(txt)).cast("long").alias("n_words"),
-        F.greatest(F.regexp_count(txt, F.lit(r"[.!?]+")), F.lit(1))
-        .cast("long")
-        .alias("n_sentences"),
-        F.regexp_count(F.lower(txt), F.lit("[aeiouy]+"))
-        .cast("long")
-        .alias("n_syllables"),
-        text.readability(txt).alias("fk_grade"),
-    )
-
-
-@register(
-    "txt_token_count",
-    f"""SELECT doc_id,
-               len({_W_TEXT}) AS n_ws_tokens,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-                   AS n_bpe_tokens
-        FROM documents""",
-)
-def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish regex token counts (`operators/text.py`)."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
-        text.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
-    )
-
-
-@register(
-    "txt_quality",
-    f"""WITH q AS (
-          SELECT doc_id,
-                 length(text) AS n_chars,
-                 len({_W_TEXT}) AS n_tokens,
-                 len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-                 len(list_filter({_W_LOWER},
-                     x -> x IN ('the','a','and','of','to','in','is','it')))
-                     AS n_stop
-          FROM documents)
-        SELECT doc_id,
-               CAST(n_chars AS BIGINT) AS n_chars,
-               CAST(n_tokens AS BIGINT) AS n_tokens,
-               CASE WHEN n_tokens > 0
-                    THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
-                    ELSE 0.0 END AS avg_word_len,
-               CASE WHEN n_chars > 0
-                    THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END
-                   AS punct_ratio,
-               CASE WHEN n_tokens > 0
-                    THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END
-                   AS stopword_ratio,
-               round(0.4 * least(n_tokens / 100.0, 1.0)
-                     + 0.3 * (CASE WHEN n_tokens > 0
-                                   THEN CAST(n_stop AS DOUBLE) / n_tokens
-                                   ELSE 0.0 END)
-                     + 0.3 * (1.0 - least((CASE WHEN n_chars > 0
-                                                THEN CAST(n_punct AS DOUBLE) / n_chars
-                                                ELSE 0.0 END) * 10.0, 1.0)), 6)
-                   AS quality_score
-        FROM q""",
-)
-def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length/punct/stopword features + composite quality score."""
-    docs = t(spark, sf_dir, "documents")
-    return text.quality_features(docs).select(
-        "doc_id",
-        "n_chars",
-        "n_tokens",
-        "avg_word_len",
-        "punct_ratio",
-        "stopword_ratio",
-        "quality_score",
-    )
-
-
-@register(
-    "txt_language_id",
-    f"""WITH v AS (
-          SELECT doc_id, {_W_LOWER} AS w FROM documents),
-        c AS (
-          SELECT doc_id,
-                 len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS en,
-                 len(list_filter(w, x -> x IN ('el','la','de','que','y','los','en','un'))) AS es,
-                 len(list_filter(w, x -> x IN ('le','la','de','et','les','des','un','une'))) AS fr,
-                 len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu','den'))) AS de
-          FROM v)
-        SELECT doc_id,
-               CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
-                    WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
-                    WHEN fr >= de AND fr > 0 THEN 'fr'
-                    WHEN de > 0 THEN 'de'
-                    ELSE 'und' END AS lang_pred
-        FROM c""",
-)
-def txt_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID (deterministic tiebreak order)."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.language_id(F.col("text")).alias("lang_pred"))
-
-
-@register(
-    "txt_fingerprint",
-    """SELECT doc_id,
-              md5(text) AS fp,
-              md5(concat_ws('|',
-                  CAST(length(text) AS VARCHAR),
-                  substring(text, 1, 64),
-                  substring(text, length(text) // 2 + 1, 64),
-                  substring(text, greatest(length(text) - 63, 1), 64)))
-                  AS sketch_fp
-       FROM documents""",
-)
-def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-content md5 + (length, head, middle, tail) locality sketch."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.fingerprint(F.col("text")).alias("fp"),
-        text.sketch_fingerprint(F.col("text")).alias("sketch_fp"),
-    )
-
-
-@register(
-    "txt_rolling_fingerprint",
-    """SELECT doc_id,
-              list_min(list_transform(
-                  range(1, greatest(length(text) - 31, 1) + 1, 7),
-                  i -> md5(substring(text, i, 32)))) AS rolling_fp
-       FROM documents""",
-)
-def txt_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprint (min md5 over sampled
-    32-char windows) — stable under content movement."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.rolling_fingerprint(F.col("text"), window=32, stride=7).alias(
-            "rolling_fp"
-        ),
-    )
-
-
-@register(
-    "txt_tfidf",
-    f"""WITH tok AS (
-          SELECT doc_id, unnest({_W_LOWER}) AS term FROM documents),
-        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
-        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-               round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
-        FROM tf JOIN dfreq USING (term) CROSS JOIN n""",
-)
-def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus TF-IDF ([EXT] text analysis): smoothed idf, broadcast corpus
-    size, term-keyed shuffle join (`operators/text.py::tf_idf`)."""
-    docs = t(spark, sf_dir, "documents")
-    return text.tf_idf(docs)
-
-
-@register(
-    "txt_chunk",
-    f"""WITH tok AS (
-          SELECT doc_id, {_W_TEXT} AS w FROM documents),
-        idx AS (
-          SELECT doc_id, w,
-                 unnest(range(CASE WHEN len(w) <= 64 THEN 1
-                              ELSE CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1
-                              END)) AS chunk_idx
-          FROM tok)
-        SELECT doc_id, chunk_idx,
-               CAST(len(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
-                   AS n_tokens,
-               array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
-                   AS chunk_text
-        FROM idx""",
-)
-def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping 64-token / stride-48 chunking ([EXT]): the LLM
-    context-window prep step (`operators/text.py::chunk_tokens`)."""
-    docs = t(spark, sf_dir, "documents")
-    return text.chunk_tokens(docs, window=64, stride=48)
-
-
-@register(
-    "txt_gopher_filter",
-    f"""WITH tok AS (SELECT doc_id, text, {_W_TEXT} AS w,
-                            {_W_LOWER} AS wl
-                     FROM documents),
-        m AS (
-          SELECT doc_id,
-                 (text IS NULL) AS is_null_text,
-                 length(text) AS n_chars,
-                 len(w) AS n_tokens,
-                 CASE WHEN len(w) > 0
-                      THEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
-                      ELSE 0.0 END AS avg_wl,
-                 CASE WHEN length(text) > 0
-                      THEN CAST(len(regexp_extract_all(text,
-                               '[#@<>{{}}\\[\\]\\\\|~^]')) AS DOUBLE)
-                           / length(text)
-                      ELSE 0.0 END AS sym_ratio,
-                 CASE WHEN len(w) > 0
-                      THEN CAST(len(list_filter(wl,
-                               x -> x IN ('the','a','and','of','to','in','is','it')))
-                               AS DOUBLE) / len(w)
-                      ELSE 0.0 END AS stop_ratio,
-                 CASE WHEN greatest(len(w) - 1, 0) > 0
-                      THEN round(1.0 - CAST(len(list_distinct(
-                               list_transform(range(1, greatest(len(w) - 1, 0) + 1),
-                                              i -> concat_ws(' ', w[i], w[i+1]))))
-                               AS DOUBLE) / (len(w) - 1), 6)
-                      ELSE 0.0 END AS rep2
-          FROM tok)
-        SELECT doc_id,
-               CASE WHEN is_null_text THEN 'null_text'
-                    WHEN n_tokens < 20 THEN 'too_few_tokens'
-                    WHEN n_tokens > 100000 THEN 'too_many_tokens'
-                    WHEN avg_wl < 2.0 THEN 'avg_word_len_low'
-                    WHEN avg_wl > 12.0 THEN 'avg_word_len_high'
-                    WHEN sym_ratio > 0.12 THEN 'symbol_ratio_high'
-                    WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low'
-                    WHEN rep2 > 0.6 THEN 'repetition_high'
-                    END AS reject_reason,
-               (CASE WHEN is_null_text THEN 'null_text'
-                    WHEN n_tokens < 20 THEN 'too_few_tokens'
-                     WHEN n_tokens > 100000 THEN 'too_many_tokens'
-                     WHEN avg_wl < 2.0 THEN 'avg_word_len_low'
-                     WHEN avg_wl > 12.0 THEN 'avg_word_len_high'
-                     WHEN sym_ratio > 0.12 THEN 'symbol_ratio_high'
-                     WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low'
-                     WHEN rep2 > 0.6 THEN 'repetition_high'
-                     END) IS NULL AS keep
-        FROM m""",
-)
-def txt_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/MassiveText-style composite quality filter ([EXT]): the
-    cheap text signals composed into keep/drop with the first failing
-    rule named (`operators/text.py::gopher_filter`).  One narrow
-    projection — runs at scan speed in front of dedup/model scoring."""
-    docs = t(spark, sf_dir, "documents")
-    return text.gopher_filter(docs).select("doc_id", "reject_reason", "keep")
-
-
-@register(
-    "txt_repetition",
-    f"""WITH tok AS (SELECT doc_id, {_W_TEXT} AS w FROM documents),
-        g AS (
-          SELECT doc_id,
-                 list_transform(range(1, greatest(len(w) - 1, 0) + 1),
-                                i -> concat_ws(' ', w[i], w[i+1])) AS g2,
-                 list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-                                i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g3
-          FROM tok)
-        SELECT doc_id,
-               CAST(len(g2) AS BIGINT) AS n_2grams,
-               CASE WHEN len(g2) > 0
-                    THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
-                    ELSE 0.0 END AS dup_2gram_frac,
-               CASE WHEN len(g3) > 0
-                    THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
-                    ELSE 0.0 END AS dup_3gram_frac
-        FROM g""",
-)
-def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style intra-document repetition fractions over word 2/3-grams
-    ([EXT] quality filter; `operators/text.py::ngram_repetition`).  Pure
-    narrow projection — no shuffle, scales as a scan."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(text.word_ngrams(F.col("text"), 2)).cast("long").alias("n_2grams"),
-        text.ngram_repetition(F.col("text"), 2).alias("dup_2gram_frac"),
-        text.ngram_repetition(F.col("text"), 3).alias("dup_3gram_frac"),
-    )
-
-
-@register(
-    "txt_pii_scrub",
-    f"""SELECT doc_id,
-               len(regexp_extract_all(text, '{text.EMAIL_REGEX}')) AS n_emails,
-               len(regexp_extract_all(text, '{text.NUMBER_REGEX}')) AS n_numbers,
-               md5(regexp_replace(regexp_replace(text, '{text.EMAIL_REGEX}', '<EMAIL>', 'g'),
-                                  '{text.NUMBER_REGEX}', '<NUM>', 'g')) AS scrub_fp
-        FROM documents""",
-)
-def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction ([EXT]): emails / phone-ish digit runs → typed
-    placeholders, with match counts; fingerprint keeps the compare compact
-    (`operators/text.py::scrub_pii`)."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.regexp_count("text", F.lit(text.EMAIL_REGEX)).cast("long").alias("n_emails"),
-        F.regexp_count("text", F.lit(text.NUMBER_REGEX)).cast("long").alias("n_numbers"),
-        F.md5(text.scrub_pii(F.col("text"))).alias("scrub_fp"),
-    )
-
-
-@register(
-    "samp_deterministic",
-    """SELECT o_orderkey, o_custkey, o_totalprice
-       FROM orders
-       WHERE substr(md5('42|' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'""",
-)
-def samp_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-hash deterministic ~10% sample ([EXT]): reproducible across
-    engines/partitionings, unlike Bernoulli `df.sample`
-    (`operators/sampling.py::deterministic_sample`)."""
-    orders = t(spark, sf_dir, "orders")
-    return sampling.deterministic_sample(
-        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
-        key=F.col("o_orderkey"),
-        rate=0.1,
-    )
-
-
-@register(
-    "samp_fixed_k",
-    """SELECT o_orderkey, o_totalprice FROM (
-         SELECT o_orderkey, o_totalprice,
-                md5('42|' || CAST(o_orderkey AS VARCHAR)) AS h
-         FROM orders ORDER BY h LIMIT 500)""",
-)
-def samp_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACTLY-k deterministic uniform sample ([EXT]): the k smallest full
-    content hashes (`operators/sampling.py::fixed_size_sample`) — budgeted
-    eval/review sets need an exact size, which the rate-based sampler's
-    binomial count cannot give.  Executes as TakeOrderedAndProject
-    (per-partition heaps, no global sort)."""
-    orders = t(spark, sf_dir, "orders")
-    return sampling.fixed_size_sample(
-        orders.select("o_orderkey", "o_totalprice"),
-        key=F.col("o_orderkey"),
-        k=500,
-    )
-
-
-@register(
-    "agg_mode",
-    """WITH c AS (SELECT user_id, event_type, count(*) AS n
-                  FROM events GROUP BY 1, 2),
-        r AS (SELECT *, row_number() OVER (
-                          PARTITION BY user_id
-                          ORDER BY n DESC, event_type) AS rn
-              FROM c)
-       SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n
-       FROM r WHERE rn = 1""",
-)
-def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group MODE (most frequent value; ties break to the smallest
-    value — declared, since engines' native mode() tie rules differ):
-    count-then-rank, all map-side-combinable."""
-    from pyspark.sql import Window
-
-    events = t(spark, sf_dir, "events")
-    counts = events.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("mode_event"), "n")
-    )
-
-
-@register(
-    "samp_interleave",
-    """SELECT doc_id, source,
-              round((row_number() OVER (
-                       PARTITION BY source
-                       ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
-                     - 0.5)
-                    / CASE source WHEN 'src0' THEN 0.6
-                                  WHEN 'src1' THEN 0.3
-                                  ELSE 0.1 END, 6) AS mix_pos
-       FROM documents
-       WHERE source IN ('src0', 'src1', 'src2')""",
-)
-def samp_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic mixture interleaving ([EXT]): stride-scheduled
-    training order where every prefix holds sources ∝ the weight map
-    (60/30/10 here) — `operators/sampling.py::interleave_sources`; the
-    within-source order is the partition-invariant content hash."""
-    docs = t(spark, sf_dir, "documents")
-    out = sampling.interleave_sources(
-        docs,
-        "source",
-        {"src0": 0.6, "src1": 0.3, "src2": 0.1},
-        key=F.col("doc_id"),
-    )
-    return out.select("doc_id", "source", F.round("mix_pos", 6).alias("mix_pos"))
-
-
-@register(
-    "samp_stratified",
-    """SELECT doc_id, source FROM documents
-       WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 2) <
-             CASE source WHEN 'src0' THEN 'g'
-                         WHEN 'src1' THEN '80'
-                         ELSE '1a' END""",
-)
-def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum deterministic sampling ([EXT]): keep all of src0, half
-    of src1, ~10% of the rest — the training-mix quota knob
-    (`operators/sampling.py::stratified_sample`)."""
-    docs = t(spark, sf_dir, "documents")
-    return sampling.stratified_sample(
-        docs.select("doc_id", "source"),
-        key=F.col("doc_id"),
-        stratum=F.col("source"),
-        rates={"src0": 1.0, "src1": 0.5},
-        default_rate=0.1,
-    )
-
-
-@register(
-    "samp_shuffle",
-    """SELECT doc_id, md5('42' || md5(CAST(doc_id AS VARCHAR))) AS shuffle_key
-       FROM documents ORDER BY shuffle_key LIMIT 100""",
-)
-def samp_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global training-order shuffle ([EXT]): content-hash
-    sort key, reproducible on any partitioning/engine (unlike
-    orderBy(rand)); range-partitioned parallel sort + TakeOrdered head
-    (`operators/sampling.py::deterministic_shuffle`)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
-    return sampling.deterministic_shuffle(
-        docs, seed="42", key_cols=["doc_id"]
-    ).limit(100)
-
-
-@register(
-    "samp_pack",
-    """WITH o AS (SELECT doc_id, n_chars,
-                         md5('42' || md5(CAST(doc_id AS VARCHAR))) AS h
-                  FROM documents)
-       SELECT doc_id,
-              CAST(FLOOR((SUM(n_chars) OVER (ORDER BY h
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                          - n_chars) / 4096) AS BIGINT) AS pack_id
-       FROM o""",
-)
-def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing ([EXT]): documents cut into ~4096-
-    token training packs along the deterministic shuffle order — a global
-    prefix sum with no single-task window
-    (`operators/sampling.py::pack_sequences`); the oracle is the classic
-    one-window formulation."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    packed = sampling.pack_sequences(
-        docs, budget=4096, token_col="n_chars", seed="42", key_cols=["doc_id"]
-    )
-    return packed.select("doc_id", "pack_id")
-
-
-@register(
-    "dedup_decontaminate",
-    r"""WITH w AS (SELECT doc_id,
-                          list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                      x -> x <> '') AS w
-                   FROM documents),
-        g AS (SELECT doc_id,
-                     unnest(list_distinct(list_transform(range(len(w) - 4),
-                         i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4],
-                                        w[i+5])))) AS gram
-              FROM w WHERE len(w) >= 5),
-        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
-        hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
-                 WHERE g.doc_id % 20 <> 0)
-        SELECT doc_id, source FROM documents
-        WHERE doc_id % 20 <> 0
-          AND doc_id NOT IN (SELECT doc_id FROM hits)""",
-)
-def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination ([EXT]): drop corpus docs sharing any
-    word 5-gram with a held-out 'benchmark' slice (docs with id % 20 == 0
-    stand in) — the n-gram-collision test-set hygiene rule for LLM
-    training corpora (`operators/dedup.py::decontaminate`).  String grams
-    here for oracle parity; production uses hash_grams=True."""
-    docs = t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    bench = docs.filter(F.col("doc_id") % 20 == 0)
-    return dedup.decontaminate(corpus, bench, n=5, hash_grams=False).select(
-        "doc_id", "source"
-    )
-
-
-@register(
-    "dedup_incremental",
-    """SELECT d.doc_id, d.source FROM documents d
-       WHERE d.source = 'src0'
-         AND NOT EXISTS (SELECT 1 FROM documents h
-                         WHERE h.source <> 'src0'
-                           AND md5(h.text) = md5(d.text))""",
-)
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-snapshot dedup ([EXT]): today's batch (src0) anti-joined
-    against history fingerprints (`operators/dedup.py::incremental_dedup`)."""
-    docs = t(spark, sf_dir, "documents")
-    new = docs.filter(F.col("source") == "src0")
-    history = docs.filter(F.col("source") != "src0")
-    return dedup.incremental_dedup(new, history).select("doc_id", "source")
-
-
-@register(
-    "fn_json_extract",
-    """SELECT event_id,
-              CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
-       FROM events""",
-)
-def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON value extraction from the event props column (§2.8 gap — the
-    reference flattens JSON driver-side, `transform_utils.py:69`)."""
-    events = t(spark, sf_dir, "events")
-    return events.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
-    )
-
-
-# ---------------------------------------------------------------- deduplication
-
-@register(
-    "dedup_exact",
-    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup — lowest-id representative per fingerprint."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs).select("doc_id")
-
-
-@register(
-    "dedup_ngram_jaccard",
-    f"""WITH s AS (
-          SELECT doc_id, {_SHINGLES} AS sh
-          FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)),
-        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-        common AS (
-          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
-          FROM e l JOIN e r USING (shingle)
-          WHERE l.doc_id < r.doc_id
-          GROUP BY 1, 2)
-        SELECT a, b,
-               CAST(n_common AS BIGINT) AS n_common,
-               CAST(sa.n AS BIGINT) AS na,
-               CAST(sb.n AS BIGINT) AS nb,
-               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc_id = a
-        JOIN sizes sb ON sb.doc_id = b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1""",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs ≥ 0.1 via inverted-index self-join."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, threshold=0.1).select(
-        "a", "b", "n_common", "na", "nb", "jaccard"
-    )
-
-
-@register(
-    "txt_bpe_roundtrip",
-    r"""SELECT doc_id,
-              CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
-                   AS BIGINT) AS n_norm_chars
-       FROM documents""",
-)
-def txt_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BPE tokenization ([EXT], `operators/bpe.py`): merges trained
-    on the corpus word-frequency table (bounded driver loop, the
-    ivf_build pattern), every document encoded to subwords distributed,
-    then decoded back.  Losslessness is the gate: a row survives only if
-    decode(encode(text)) equals the whitespace-normalized text, so a
-    merge-table or encoder bug drops rows and the driver compare turns
-    red; the emitted normalized length is oracle-computable."""
-    from kusuma_metamorph_etl_spark.operators import bpe
-
-    docs = t(spark, sf_dir, "documents")
-    merges = bpe.bpe_train(docs, n_merges=200)
-    encoded = bpe.bpe_encode(docs, merges)
-    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
-    return (
-        encoded.withColumn("__norm", normalized)
-        .filter(bpe.bpe_decode(F.col("tokens")) == F.col("__norm"))
-        .select(
-            "doc_id", F.length("__norm").cast("long").alias("n_norm_chars")
-        )
-    )
-
-
-@register(
-    "txt_char_entropy",
-    """WITH g AS (
-         SELECT doc_id,
-                unnest(list_transform(range(1, length(text)),
-                                      i -> substr(text, i, 2))) AS gram
-         FROM documents WHERE length(text) >= 2),
-       c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
-       SELECT doc_id,
-              round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy,
-              CAST(sum(c) AS BIGINT) AS n_grams
-       FROM c GROUP BY doc_id""",
-)
-def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-bigram Shannon entropy per document ([EXT]) — the
-    information-theoretic junk detector (`operators/text.py::char_entropy`):
-    mash and boilerplate score low, natural prose mid-band, compressed
-    noise near max."""
-    docs = t(spark, sf_dir, "documents")
-    return text.char_entropy(docs, n=2)
-
-
-@register(
-    "dedup_containment",
-    f"""WITH s AS (
-          SELECT doc_id, {_SHINGLES} AS sh
-          FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)),
-        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-        common AS (
-          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
-          FROM e l JOIN e r USING (shingle)
-          WHERE l.doc_id < r.doc_id
-          GROUP BY 1, 2)
-        SELECT a, b,
-               CAST(n_common AS BIGINT) AS n_common,
-               CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
-        FROM common
-        JOIN sizes sa ON sa.doc_id = a
-        JOIN sizes sb ON sb.doc_id = b
-        WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.4""",
-)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric n-gram containment pairs ≥ 0.4 ([EXT]): catches
-    doc-inside-doc duplication that Jaccard scores near zero
-    (`operators/dedup.py::containment_pairs`)."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.containment_pairs(docs, threshold=0.4).select(
-        "a", "b", "n_common", "containment"
-    )
-
-
-# Exact Jaccard-≥0.3 pair list as DuckDB CTE bodies — the edge set for the
-# connected-components queries (threshold chosen so clusters of size > 2
-# exist in the test corpus).
-_CC_EDGES = f"""
-  s AS (
-    SELECT doc_id, {_SHINGLES} AS sh
-    FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)),
-  e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-  sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-  common AS (
-    SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
-    FROM e l JOIN e r USING (shingle)
-    WHERE l.doc_id < r.doc_id
-    GROUP BY 1, 2),
-  pairs AS (
-    SELECT a, b FROM common
-    JOIN sizes sa ON sa.doc_id = a
-    JOIN sizes sb ON sb.doc_id = b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3),
-  sym AS (SELECT a AS src, b AS dst FROM pairs
-          UNION SELECT b, a FROM pairs),
-  reach(node, r) AS (
-    SELECT src, src FROM sym
-    UNION
-    SELECT reach.node, s2.dst FROM reach JOIN sym s2 ON reach.r = s2.src),
-  cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)"""
-
-
-@register(
-    "dedup_cc_clusters",
-    f"""WITH RECURSIVE {_CC_EDGES}
-        SELECT node, component FROM cc""",
-)
-def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the exact Jaccard-≥0.3 near-dup graph
-    ([EXT]): every paired doc labeled with its cluster's minimum id via
-    iterative min-label propagation (`operators/graph.py`); the oracle is
-    DuckDB's recursive-CTE transitive closure."""
-    from kusuma_metamorph_etl_spark.operators.graph import connected_components
-
-    docs = t(spark, sf_dir, "documents")
-    edges = dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
-    return connected_components(edges).select("node", "component")
-
-
-@register(
-    "dedup_cc_representatives",
-    f"""WITH RECURSIVE {_CC_EDGES}
-        SELECT doc_id, source FROM documents
-        WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)""",
-)
-def dedup_cc_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-collapse dedup ([EXT]): one surviving row per duplicate
-    cluster (transitive lowest-id-wins — A≈B≈C drops B AND C even when
-    A≉C directly, which pairwise dedup cannot express)."""
-    from kusuma_metamorph_etl_spark.operators.graph import cluster_representatives
-
-    docs = t(spark, sf_dir, "documents")
-    edges = dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
-    return cluster_representatives(docs, edges).select("doc_id", "source")
-
-
-@register("dedup_minhash_lsh", None)  # xxhash64-based — no DuckDB equivalent
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard ≥ 0.3 (the scale
-    path; recall vs `dedup_ngram_jaccard` is asserted in tests/)."""
-    docs = t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_dups(docs, threshold=0.3)
-    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
-
-
-@register("dedup_simhash", None)  # xxhash64-based — no DuckDB equivalent
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-weighted SimHash near-dup pairs (48-bit signatures,
-    Hamming ≤ 3, pigeonhole chunk-blocked join — no cross join)."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, bits=48, max_hamming=3)
-
-
-@register(
-    "dedup_embedding",
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        dups AS (
-          SELECT DISTINCT b.vec_id FROM v a JOIN v b ON a.vec_id < b.vec_id
-          WHERE list_dot_product(a.e, b.e)
-                / (sqrt(list_dot_product(a.e, a.e))
-                   * sqrt(list_dot_product(b.e, b.e))) >= 0.3)
-        SELECT vec_id, label FROM embeddings
-        WHERE vec_id NOT IN (SELECT vec_id FROM dups)""",
-)
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup removal: drop rows with a lower-id
-    neighbor at cosine ≥ 0.3 (exact all-pairs here; the LSH-blocked scale
-    path's recall is asserted in tests/)."""
-    emb = t(spark, sf_dir, "embeddings")
-    return dedup.embedding_dedup(emb, threshold=0.3).select("vec_id", "label")
-
-
-@register("dedup_embedding_lsh", None)  # xxhash64 hyperplanes — rows-only
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB path of `dedup_embedding`: hyperplane-LSH candidate
-    blocking before exact cosine verification (equi-join on (table,
-    bucket) instead of all pairs).  Superset-of-exact-survivors and recall
-    contracts asserted in tests/; benched in bench.py."""
-    emb = t(spark, sf_dir, "embeddings")
-    return dedup.embedding_dedup(emb, threshold=0.3, prefilter="lsh").select(
-        "vec_id", "label"
-    )
-
-
-@register("agg_approx_distinct", None)  # HLL sketches differ per engine
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct per event_type — the sketch-based scale path
-    for `agg_count_distinct` (exact-vs-approx error bounded in tests/)."""
-    events = t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
-    )
-
-
-@register(
-    "agg_hll_mergeable",
-    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
-       FROM events GROUP BY event_type""",
-)
-def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE distinct-count sketches — the 100 TB pattern
-    `approx_count_distinct` cannot express: per-(type, day) HLL sketches
-    built once (`hll_sketch_agg`, a pre-aggregable binary column you'd
-    persist in a daily rollup table), then `hll_union_agg` merges days
-    into the full-range estimate WITHOUT re-scanning raw events.  Same
-    `_err` oracle-binding as `agg_approx_distinct_err`: emits the exact
-    count, drops rows if the merged estimate strays beyond 5% — so both
-    the sketch build and the union path are driver-checked."""
-    events = t(spark, sf_dir, "events")
-    daily = events.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
-    )
-    merged = daily.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-    )
-    exact = events.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users")
-    )
-    joined = merged.join(exact, "event_type")
-    rel_err = (
-        F.abs(joined.approx_users - joined.exact_users) / joined.exact_users
-    )
-    return joined.filter(rel_err <= 0.05).select("event_type", "exact_users")
-
-
-@register(
-    "agg_quantile_mergeable",
-    """SELECT l_returnflag,
-              round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
-              round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95
-       FROM lineitem GROUP BY l_returnflag""",
-)
-def agg_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE quantile sketches (`operators/sketches.py`) — the
-    quantile twin of `agg_hll_mergeable`: fixed-bin histogram sketches
-    built per (returnflag, ship-month) as a daily rollup would, merged
-    bin-wise across months, quantiles interpolated from the MERGED sketch
-    only.  `_err` gate: emits the oracle-computable exact percentiles and
-    keeps a row only while both sketch estimates sit within two bin
-    widths of them — a binning, merge, or interpolation bug empties the
-    output."""
-    from kusuma_metamorph_etl_spark.operators import sketches
-
-    lo, hi, n_bins = 900.0, 110_000.0, 2000
-    width = (hi - lo) / n_bins
-    li = t(spark, sf_dir, "lineitem")
-    per_month = sketches.histogram_sketch(
-        li.withColumn("month", F.trunc("l_shipdate", "month")),
-        "l_extendedprice",
-        lo, hi, n_bins,
-        keys=["l_returnflag", "month"],
-    )
-    merged = sketches.merge_histograms(per_month, keys=["l_returnflag"])
-    ests = sketches.histogram_quantiles(
-        merged, [0.5, 0.95], lo, hi, n_bins, keys=["l_returnflag"]
-    )
-    wide = ests.groupBy("l_returnflag").agg(
-        F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("e50"),
-        F.max(F.when(F.col("q") == 0.95, F.col("est"))).alias("e95"),
-    )
-    exact = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("exact_p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("exact_p95"),
-    )
-    joined = wide.join(exact, "l_returnflag")
-    ok = (F.abs(joined.e50 - joined.exact_p50) <= 2 * width) & (
-        F.abs(joined.e95 - joined.exact_p95) <= 2 * width
-    )
-    return joined.filter(ok).select("l_returnflag", "exact_p50", "exact_p95")
-
-
-@register(
-    "agg_cms_counts",
-    """SELECT event_type, count(*) AS exact_n
-       FROM events GROUP BY event_type""",
-)
-def agg_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE count-min frequency sketches (`operators/sketches.py`):
-    per-(day) sketches of the event-type stream merged counter-wise, then
-    point-count estimates for every observed type from the MERGED sketch
-    only.  `_err` gate on the CMS guarantee — estimates may never
-    undershoot and must overshoot by < e/width of the stream size — so a
-    hashing, merge, or min-reduction bug empties the oracle-computable
-    exact counts this emits."""
-    import math
-
-    from kusuma_metamorph_etl_spark.operators import sketches
-
-    depth, width = 4, 256
-    events = t(spark, sf_dir, "events")
-    per_day = sketches.cms_sketch(
-        events.withColumn("day", F.to_date("ts")),
-        "event_type", depth, width, keys=["day"],
-    )
-    merged = sketches.merge_cms(per_day.drop("day"))
-    exact = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
-    est = sketches.cms_estimate(
-        merged, exact.select("event_type"), "event_type", depth, width
-    )
-    total = events.agg(F.count(F.lit(1)).alias("__total"))
-    joined = est.join(exact, "event_type").crossJoin(F.broadcast(total))
-    ok = (F.col("est") >= F.col("exact_n")) & (
-        F.col("est")
-        <= F.col("exact_n") + F.lit(math.e / width) * F.col("__total")
-    )
-    return joined.filter(ok).select("event_type", "exact_n")
-
-
-@register(
-    "agg_approx_distinct_err",
-    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
-       FROM events GROUP BY event_type""",
-)
-def agg_approx_distinct_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `agg_approx_distinct`: the HLL estimate
-    itself is engine-specific (no DuckDB mirror), so this emits the
-    oracle-computable exact count and keeps a row only while the sketch
-    stays within 2.5x the configured rsd (2% -> 5% bound).  A sketch
-    regression drops rows, turning the driver's row-count/hash compare red
-    — the estimate is hash-bound without ever being hashed."""
-    events = t(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
-    )
-    rel_err = F.abs(agg.approx_users - agg.exact_users) / agg.exact_users
-    return agg.filter(rel_err <= 0.05).select("event_type", "exact_users")
-
-
-@register(
-    "agg_approx_quantile_err",
-    """SELECT l_returnflag,
-              round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
-              round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95
-       FROM lineitem GROUP BY l_returnflag""",
-)
-def agg_approx_quantile_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `agg_approx_quantile` (same pattern as
-    `agg_approx_distinct_err`): emits the exact interpolated percentiles
-    (which DuckDB's quantile_cont mirrors bit-for-bit, cf `agg_percentile`)
-    and keeps a row only while the Greenwald-Khanna sketch sits within 1%
-    relative error of them.  With accuracy=10000 the GK rank error is
-    <= n/10000 ranks — far inside 1% on this value distribution — so a
-    dropped row means a real sketch regression."""
-    li = t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("exact_p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("exact_p95"),
-    )
-    ok = (F.abs(agg.a50 - agg.exact_p50) / agg.exact_p50 <= 0.01) & (
-        F.abs(agg.a95 - agg.exact_p95) / agg.exact_p95 <= 0.01
-    )
-    return agg.filter(ok).select("l_returnflag", "exact_p50", "exact_p95")
-
-
-# ---------------------------------------------------------------- similarity
-
-_COSINE = (
-    "list_dot_product(a.e, b.e)"
-    " / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
-)
-
-
-# Exact cosine top-5 (every 25th vector as query) — shared by
-# `sim_cosine_topk` and the `_err` companions of its approximate paths,
-# whose gated output IS this exact baseline.
-_TOPK_ORACLE = f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        scored AS (
-          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                 {_COSINE} AS cosine
-          FROM v a JOIN v b ON a.vec_id <> b.vec_id
-          WHERE a.vec_id % 25 = 0),
-        ranked AS (
-          SELECT *, row_number() OVER (
-                     PARTITION BY query_id
-                     ORDER BY cosine DESC, neighbor_id) AS rn
-          FROM scored)
-        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
-        FROM ranked WHERE rn <= 5"""
-
-
-@register("sim_cosine_topk", _TOPK_ORACLE)
-def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-5 for every 25th vector as query."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    out = similarity.cosine_topk(queries, emb, k=5)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-
-
-@register(
-    "sim_cosine_pairs",
-    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-        SELECT a.vec_id AS a, b.vec_id AS b, round({_COSINE}, 6) AS cosine
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE {_COSINE} >= 0.3""",
-)
-def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.3, exhaustive at test scale."""
-    emb = t(spark, sf_dir, "embeddings")
-    out = similarity.cosine_pairs(emb, threshold=0.3)
-    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
-
-
-@register("sim_cosine_topk_np", None)  # BLAS summation order — rows-only
-def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized brute-force top-k (Arrow batches → one BLAS matmul per
-    batch); ~2.7x the JVM fold at sf0.1 with identical pairs (asserted in
-    tests/)."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    out = similarity.cosine_topk_np(queries, emb, k=5)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-
-
-@register("sim_ivf_topk", None)  # index-dependent candidates — rows-only
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF index (16 cells, probe 4): each query
-    scans ~1/4 of the corpus (recall asserted in tests/)."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    out = similarity.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-
-
-@register(
-    "sim_quantize",
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        m AS (SELECT vec_id, e,
-                     list_max(list_transform(e, x -> abs(x))) AS ma
-              FROM v),
-        q AS (SELECT vec_id, ma,
-                     CASE WHEN ma > 0
-                          THEN list_transform(e,
-                               x -> CAST(round(x * 127 / ma) AS BIGINT))
-                          ELSE list_transform(e, x -> CAST(0 AS BIGINT))
-                          END AS qv
-              FROM m)
-        SELECT vec_id,
-               CAST(len(qv) AS BIGINT) AS n_dims,
-               ma / 127.0 AS scale,
-               CAST(list_min(qv) AS BIGINT) AS q_min,
-               CAST(list_max(qv) AS BIGINT) AS q_max,
-               CAST(list_sum(qv) AS BIGINT) AS q_sum
-        FROM q""",
-)
-def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-vector int8 quantization ([EXT]): the 4x storage
-    reduction for embedding corpora (`operators/similarity.py::
-    quantize_embeddings`).  Scalar summaries (dims, scale, min/max/sum of
-    the quantized components) because rows-only harnesses cannot hash
-    array values; round-trip error bounds are pinned in tests."""
-    emb = t(spark, sf_dir, "embeddings")
-    q = similarity.quantize_embeddings(emb)
-    return q.select(
-        "vec_id",
-        F.size("qvec").cast("long").alias("n_dims"),
-        "scale",
-        F.array_min("qvec").cast("long").alias("q_min"),
-        F.array_max("qvec").cast("long").alias("q_max"),
-        F.aggregate(
-            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).alias("q_sum"),
-    )
-
-
-@register("sim_lsh_topk", None)  # xxhash64-derived hyperplanes — rows-only
-def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via multi-table random-hyperplane bucketing
-    (recall asserted against `sim_cosine_topk` in tests/)."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    out = similarity.lsh_topk(queries, emb, k=5, n_planes=4, n_tables=8)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-
-
-# ------------------------------------------- approx-path oracle binding
-# The `_err` pattern (cf `agg_approx_distinct_err`): the approximate /
-# hash-seeded operator's QUALITY gates the row count of an exact,
-# oracle-computable result.  Healthy code emits the exact baseline and the
-# driver's row/hash compare goes green; a recall regression empties the
-# output and the compare turns red — the engine-specific values themselves
-# are never hashed.  Gate bounds mirror the pytest contracts in
-# tests/test_dedup.py / tests/test_similarity.py.
-
-
-def _gate(out: DataFrame, stats: DataFrame, cond) -> DataFrame:
-    """Emit ``out`` unchanged while ``cond`` holds over the single-row
-    ``stats`` frame; emit ZERO rows otherwise."""
-    open_gate = stats.filter(cond).select(F.lit(1).alias("__gate"))
-    return out.crossJoin(F.broadcast(open_gate)).drop("__gate")
-
-
-def _n(df: DataFrame, name: str) -> DataFrame:
-    return df.agg(F.count(F.lit(1)).alias(name))
-
-
-@register(
-    "dedup_minhash_lsh_err",
-    f"""WITH s AS (
-          SELECT doc_id, {_SHINGLES} AS sh
-          FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)),
-        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-        common AS (
-          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
-          FROM e l JOIN e r USING (shingle)
-          WHERE l.doc_id < r.doc_id
-          GROUP BY 1, 2)
-        SELECT a, b
-        FROM common
-        JOIN sizes sa ON sa.doc_id = a
-        JOIN sizes sb ON sb.doc_id = b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5""",
-)
-def dedup_minhash_lsh_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `dedup_minhash_lsh`: emits the EXACT
-    Jaccard-≥0.5 pairs (DuckDB-computable) gated on the banded MinHash
-    path recovering ≥ 80% of them — the tests/test_dedup.py contract,
-    now driver-checked per round."""
-    docs = t(spark, sf_dir, "documents")
-    exact = dedup.jaccard_pairs(docs, threshold=0.5).select("a", "b")
-    approx = dedup.minhash_near_dups(docs, threshold=0.5).select("a", "b")
-    hit = exact.join(approx, ["a", "b"], "left_semi")
-    stats = _n(exact, "n_exact").crossJoin(_n(hit, "n_hit"))
-    ok = (F.col("n_exact") > 0) & (F.col("n_hit") >= 0.8 * F.col("n_exact"))
-    return _gate(exact, stats, ok)
-
-
-@register(
-    "dedup_simhash_err",
-    """SELECT doc_id AS a, doc_id + 1000000 AS b
-       FROM documents WHERE doc_id % 7 = 0""",
-)
-def dedup_simhash_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `dedup_simhash`: plant verbatim copies
-    of every 7th document under shifted ids — identical text hashes to an
-    identical SimHash signature (Hamming 0), so every planted pair MUST
-    surface within any Hamming budget.  Output is the planted-pair list
-    (oracle-computable), gated on zero misses."""
-    docs = t(spark, sf_dir, "documents")
-    planted = docs.filter(F.col("doc_id") % 7 == 0)
-    copies = planted.withColumn("doc_id", F.col("doc_id") + 1_000_000)
-    pairs = dedup.simhash_near_dups(
-        docs.unionByName(copies), bits=48, max_hamming=3
-    ).select("a", "b")
-    expected = planted.select(
-        F.col("doc_id").alias("a"), (F.col("doc_id") + 1_000_000).alias("b")
-    )
-    missed = expected.join(pairs, ["a", "b"], "left_anti")
-    stats = _n(expected, "n_exp").crossJoin(_n(missed, "n_miss"))
-    ok = (F.col("n_exp") > 0) & (F.col("n_miss") == 0)
-    return _gate(expected, stats, ok)
-
-
-@register(
-    "dedup_embedding_lsh_err",
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        dups AS (
-          SELECT DISTINCT b.vec_id FROM v a JOIN v b ON a.vec_id < b.vec_id
-          WHERE list_dot_product(a.e, b.e)
-                / (sqrt(list_dot_product(a.e, a.e))
-                   * sqrt(list_dot_product(b.e, b.e))) >= 0.3)
-        SELECT vec_id, label FROM embeddings
-        WHERE vec_id NOT IN (SELECT vec_id FROM dups)""",
-)
-def dedup_embedding_lsh_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `dedup_embedding_lsh`: emits the EXACT
-    survivor set (same oracle as `dedup_embedding`) gated on the two LSH
-    contracts from tests/test_dedup.py — survivors are a superset of the
-    exact survivors (blocking can only MISS pairs), and ≥ 50% of the
-    exactly-dropped rows are still dropped under LSH blocking."""
-    emb = t(spark, sf_dir, "embeddings")
-    exact = dedup.embedding_dedup(emb, threshold=0.3).select("vec_id", "label")
-    lsh = dedup.embedding_dedup(emb, threshold=0.3, prefilter="lsh").select("vec_id")
-    superset_viol = exact.select("vec_id").join(lsh, "vec_id", "left_anti")
-    stats = (
-        _n(emb, "n_all")
-        .crossJoin(_n(exact, "n_exact"))
-        .crossJoin(_n(lsh, "n_lsh"))
-        .crossJoin(_n(superset_viol, "n_viol"))
-    )
-    # Given the superset holds, |dropped_lsh ∩ dropped_exact| = n_all - n_lsh.
-    ok = (F.col("n_viol") == 0) & (
-        (F.col("n_all") == F.col("n_exact"))
-        | (
-            (F.col("n_all") - F.col("n_lsh"))
-            >= 0.5 * (F.col("n_all") - F.col("n_exact"))
-        )
-    )
-    return _gate(exact, stats, ok)
-
-
-def _topk_err(
-    spark: SparkSession, sf_dir: str, approx_pairs: DataFrame, bound: float
-) -> DataFrame:
-    """Shared body of the top-k `_err` companions: exact cosine top-5
-    (the `sim_cosine_topk` baseline and oracle), gated on the approximate
-    path's pair-recall against it."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    exact = similarity.cosine_topk(queries, emb, k=5)
-    hit = exact.select("query_id", "neighbor_id").join(
-        approx_pairs.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    )
-    stats = _n(exact, "n_exact").crossJoin(_n(hit, "n_hit"))
-    ok = (F.col("n_exact") > 0) & (F.col("n_hit") >= bound * F.col("n_exact"))
-    out = exact.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
-    )
-    return _gate(out, stats, ok)
-
-
-@register("sim_lsh_topk_err", _TOPK_ORACLE)
-def sim_lsh_topk_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `sim_lsh_topk`: exact top-5 baseline
-    gated on hyperplane-LSH recall ≥ 0.5 (tests/test_similarity.py
-    contract; measured 0.74 at sf0.001)."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    approx = similarity.lsh_topk(queries, emb, k=5, n_planes=4, n_tables=8)
-    return _topk_err(spark, sf_dir, approx, bound=0.5)
-
-
-@register("sim_ivf_topk_err", _TOPK_ORACLE)
-def sim_ivf_topk_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `sim_ivf_topk`: exact top-5 baseline
-    gated on IVF (16 cells, probe 4) recall ≥ 0.35
-    (tests/test_similarity.py contract; measured 0.55 at sf0.001)."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    approx = similarity.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
-    return _topk_err(spark, sf_dir, approx, bound=0.35)
-
-
-@register("sim_cosine_topk_np_err", _TOPK_ORACLE)
-def sim_cosine_topk_np_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `sim_cosine_topk_np`: the vectorized
-    path must return the IDENTICAL neighbor set as the JVM fold (only
-    float tails may differ — tests/test_similarity.py), so the gate is
-    set equality in both directions, not a recall bound."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    exact = similarity.cosine_topk(queries, emb, k=5)
-    np_ = similarity.cosine_topk_np(queries, emb, k=5)
-    e_pairs = exact.select("query_id", "neighbor_id")
-    n_pairs = np_.select("query_id", "neighbor_id")
-    missed = e_pairs.join(n_pairs, ["query_id", "neighbor_id"], "left_anti")
-    spurious = n_pairs.join(e_pairs, ["query_id", "neighbor_id"], "left_anti")
-    stats = (
-        _n(e_pairs, "n_exact")
-        .crossJoin(_n(missed, "n_miss"))
-        .crossJoin(_n(spurious, "n_spur"))
-    )
-    ok = (
-        (F.col("n_exact") > 0)
-        & (F.col("n_miss") == 0)
-        & (F.col("n_spur") == 0)
-    )
-    out = exact.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
-    )
-    return _gate(out, stats, ok)
-
-
-# ---------------------------------------------------------------- multimodal
-
-@register(
-    "mm_binary_features",
-    """SELECT doc_id,
-              'ppm' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(3 AS INTEGER) AS channels,
-              CAST(9 + length(CAST(4 + octet_length(encode(text)) % 5 AS VARCHAR))
-                     + length(CAST(4 + (7 * octet_length(encode(text))) % 5 AS VARCHAR))
-                     + (4 + octet_length(encode(text)) % 5)
-                       * (4 + (7 * octet_length(encode(text))) % 5) * 3
-                   AS BIGINT) AS n_bytes
-       FROM documents""",
-)
-def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode over mapInPandas: per-document synthesized PPM
-    payloads (no image data ships in the container) run through the pure-
-    numpy PPM decoder; the oracle recomputes the expected dimensions and
-    payload size from the synthesis contract (operators/multimodal.py
-    ``synthesize_ppm``).  A mis-parsed header fails the hash."""
-    docs = t(spark, sf_dir, "documents")
-    payloads = multimodal.attach_image_payload(docs)
-    feats = multimodal.extract_binary_features(payloads)
-    return feats.select("doc_id", "format", "width", "height", "channels", "n_bytes")
-
-
-@register(
-    "mm_png_features",
-    """SELECT doc_id,
-              'png' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(3 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL compressed-image decode: per-document synthetic PNG payloads
-    (zlib deflate at write, inflate + scanline unfilter at read —
-    operators/multimodal.py ``encode_png``/``_decode_png``) run through the
-    feature extractor.  The oracle recomputes dimensions from the synthesis
-    contract; additionally the PNG pixel MEAN must equal the PPM decode of
-    the identical pixel array (`_synthesize_pixels`), so a wrong inflate or
-    unfilter drops rows and turns the driver compare red — PNG byte size
-    itself is zlib-version-dependent and deliberately not emitted."""
-    docs = t(spark, sf_dir, "documents")
-    png = multimodal.extract_binary_features(multimodal.attach_png_payload(docs))
-    ppm = multimodal.extract_binary_features(
-        multimodal.attach_image_payload(docs)
-    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
-    return (
-        png.join(ppm, "doc_id")
-        .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 1e-12)
-        .select("doc_id", "format", "width", "height", "channels")
-    )
-
-
-@register(
-    "mm_phash_dedup",
-    """SELECT doc_id AS a, doc_id + 1000000 AS b
-       FROM documents WHERE doc_id % 9 = 0""",
-)
-def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image dedup ([EXT]): DCT pHash signatures over
-    REAL decodes, paired by the SimHash pigeonhole blocking
-    (`operators/multimodal.py::phash_near_dups`).  Same `_err` gate shape
-    as `dedup_simhash_err`: every 9th document's synthetic image is
-    planted again under a shifted id — identical pixels hash identically
-    (Hamming 0, cross-format invariant), so every planted pair MUST
-    surface; output is the oracle-computable planted list, gated on zero
-    misses."""
-    docs = t(spark, sf_dir, "documents")
-    imgs = multimodal.attach_image_payload(docs).select("doc_id", "payload")
-    planted = imgs.filter(F.col("doc_id") % 9 == 0)
-    copies = planted.withColumn("doc_id", F.col("doc_id") + 1_000_000)
-    pairs = multimodal.phash_near_dups(
-        imgs.unionByName(copies), max_hamming=2
-    ).select("a", "b")
-    expected = planted.select(
-        F.col("doc_id").alias("a"), (F.col("doc_id") + 1_000_000).alias("b")
-    )
-    missed = expected.join(pairs, ["a", "b"], "left_anti")
-    stats = _n(expected, "n_exp").crossJoin(_n(missed, "n_miss"))
-    ok = (F.col("n_exp") > 0) & (F.col("n_miss") == 0)
-    return _gate(expected, stats, ok)
-
-
-@register(
-    "mm_video_frames",
-    """WITH d AS (SELECT doc_id,
-                         8 + octet_length(encode(text)) % 5 AS w,
-                         4 + octet_length(encode(text)) % 3 AS h,
-                         2 + octet_length(encode(text)) % 4 AS nf
-                  FROM documents)
-       SELECT doc_id,
-              CAST(unnest(range(nf)) AS INTEGER) AS frame_idx,
-              CAST(w AS INTEGER) AS width,
-              CAST(h AS INTEGER) AS height,
-              CAST(nf AS INTEGER) AS n_frames
-       FROM d""",
-)
-def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video-container decode: per-document synthetic Y4M streams
-    (the standard uncompressed YUV4MPEG2 format) walked frame-by-frame —
-    header parse, FRAME markers, fixed-size plane reads
-    (`operators/multimodal.py::decode_video`); one row per decoded frame.
-    The oracle recomputes dims/frame-count from the synthesis contract; a
-    mis-parsed header or mis-sized plane read either shifts the row count
-    or raises, turning the driver row red.  Pixel-level round-trip
-    equality is pinned in tests/."""
-    docs = t(spark, sf_dir, "documents")
-    videos = multimodal.attach_video_payload(docs)
-    return multimodal.extract_video_frames(videos).select(
-        "doc_id", "frame_idx", "width", "height", "n_frames"
-    )
-
-
-@register(
-    "mm_audio_spectral",
-    """SELECT doc_id,
-              1000.0 + (octet_length(encode(text)) % 40) * 125.0 AS peak_hz
-       FROM documents""",
-)
-def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio DSP: per-document pure sine tones at a known frequency
-    (an exact FFT-bin multiple — `operators/multimodal.py::tone_hz`) run
-    through WAV decode → rFFT → dominant-bin pitch detection over
-    mapInPandas.  The oracle recomputes the synthesized frequency from the
-    byte-length contract; a wrong decode, FFT, or bin→Hz mapping shifts
-    the peak and fails the hash (bin frequencies are exact binary
-    fractions, so equality is bit-for-bit)."""
-    docs = t(spark, sf_dir, "documents")
-    tones = multimodal.attach_tone_payload(docs)
-    return multimodal.extract_spectral_features(tones).select("doc_id", "peak_hz")
-
-
-@register(
-    "mm_audio_features",
-    """SELECT doc_id,
-              'wav' AS format,
-              CAST(16000 AS INTEGER) AS sample_rate,
-              CAST(1 AS INTEGER) AS channels,
-              CAST(64 + octet_length(encode(text)) % 128 AS BIGINT) AS n_samples,
-              CAST((64 + octet_length(encode(text)) % 128) * 1000 // 16000
-                   AS BIGINT) AS duration_ms,
-              CAST(44 + (64 + octet_length(encode(text)) % 128) * 2 AS BIGINT)
-                  AS n_bytes
-       FROM documents""",
-)
-def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode over mapInPandas: per-document synthesized PCM16
-    WAV payloads run through the pure-numpy RIFF/WAVE parser; the oracle
-    recomputes sample counts and byte sizes from the synthesis contract
-    (operators/multimodal.py ``synthesize_wav``) — a mis-parsed header
-    fails the hash.  RMS energy is decode-only (not SQL-expressible) and
-    is asserted in tests instead."""
-    docs = t(spark, sf_dir, "documents")
-    payloads = multimodal.attach_audio_payload(docs)
-    feats = multimodal.extract_binary_features(
-        payloads,
-        decoder=multimodal.audio_features,
-        schema=multimodal.AUDIO_FEATURE_SCHEMA,
-    )
-    return feats.select(
-        "doc_id", "format", "sample_rate", "channels", "n_samples",
-        "duration_ms", "n_bytes",
-    )
-
-
-@register(
-    "mm_wav_formats",
-    """SELECT doc_id,
-              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'pcm16'
-                   WHEN 1 THEN 'pcm8' ELSE 'float32' END AS sample_format,
-              CAST(64 + octet_length(encode(text)) % 128 AS BIGINT)
-                  AS n_samples,
-              CAST(CASE CAST(doc_id % 3 AS INTEGER)
-                   WHEN 0 THEN 44 + (64 + octet_length(encode(text)) % 128) * 2
-                   WHEN 1 THEN 44 + (64 + octet_length(encode(text)) % 128)
-                   ELSE 56 + (64 + octet_length(encode(text)) % 128) * 4
-                   END AS BIGINT) AS n_bytes
-       FROM documents""",
-)
-def mm_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver evidence for the r12 WAV format matrix: per-document
-    payloads synthesized as PCM16 / PCM8 / IEEE-float32 by doc_id, run
-    through the real RIFF/WAVE decode; ``sample_format`` is derived from
-    the DECODED sample dtype (not echoed from the synthesis choice), so
-    a mis-parsed fmt chunk, a wrong EXTENSIBLE-style dispatch, or a
-    dropped fact chunk flips the hash.  The oracle recomputes the
-    per-format byte sizes from the synthesis contract
-    (`operators/multimodal.py::synthesize_wav_format` — float32 carries
-    the 12-byte fact chunk the RIFF spec requires for non-PCM)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-
-    @F.pandas_udf("binary")
-    def make_wav(doc_id: pd.Series, text: pd.Series) -> pd.Series:
-        kinds = ("pcm16", "pcm8", "float32")
-        return pd.Series(
-            [
-                multimodal.synthesize_wav_format(txt, kinds[int(i) % 3])
-                for i, txt in zip(doc_id, text)
-            ]
-        )
-
-    payloads = docs.withColumn("payload", make_wav("doc_id", "text"))
-    fmt_by_dtype = {"int16": "pcm16", "uint8": "pcm8", "float32": "float32"}
-
-    def extract(batches):
-        for pdf in batches:
-            rows = []
-            for did, pl in zip(pdf["doc_id"], pdf["payload"]):
-                audio = multimodal.decode_audio(bytes(pl))
-                rows.append(
-                    (
-                        did,
-                        fmt_by_dtype[audio["samples"].dtype.name],
-                        audio["n_samples"],
-                        len(pl),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "sample_format", "n_samples", "n_bytes"],
-            )
-
-    return payloads.mapInPandas(
-        extract,
-        "doc_id long, sample_format string, n_samples long, n_bytes long",
-    )
-
-
-@register(
-    "mm_frame_sample",
-    """SELECT doc_id,
-              CAST(frame_idx AS INTEGER) AS frame_idx,
-              lower(hex(encode(substring(text, frame_idx * 64 + 1, 8))))
-                  AS frame_hex
-       FROM (SELECT doc_id, text,
-                    unnest(range(least(greatest((length(text) - 1) // 64, 0), 7) + 1)) AS frame_idx
-             FROM documents)""",
-)
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-slice 'frame sampling' over binary payloads (video stand-in)."""
-    docs = t(spark, sf_dir, "documents")
-    payloads = multimodal.attach_binary_payload(docs)
-    frames = multimodal.sample_frames(payloads, every_n_bytes=64, max_frames=8)
-    return frames.select(
-        "doc_id",
-        F.col("frame_idx").cast("int").alias("frame_idx"),
-        F.lower(F.hex(F.col("frame_bytes"))).alias("frame_hex"),
-    )
-
-
-@register(
-    "mm_resize",
-    """SELECT doc_id,
-              CAST(203 AS BIGINT) AS n_bytes,
-              CAST(8 AS INTEGER) AS width,
-              CAST(8 AS INTEGER) AS height
-       FROM documents""",
-)
-def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL nearest-neighbor resize over mapInPandas: synthesized PPM
-    payloads resampled to 8x8 and re-encoded (decode → numpy index
-    resample → encode).  The oracle pins the exact output payload size
-    (P6 header "P6\\n8 8\\n255\\n" = 11 bytes + 192 pixel bytes); pixel
-    placement is asserted in tests/test_multimodal.py."""
-    docs = t(spark, sf_dir, "documents")
-    payloads = multimodal.attach_image_payload(docs)
-    resized = multimodal.resize(payloads, 8, 8)
-    return resized.select(
-        "doc_id",
-        F.octet_length("payload").cast("long").alias("n_bytes"),
-        "width",
-        "height",
-    )
-
-
-# ------------------------------------------------------- event-time windows
-# Batch/stream polymorphic transforms (streaming/windows.py); the oracle
-# checks batch semantics, tests/ drive the same plans through availableNow
-# streaming with watermarks.
-
-@register(
-    "stream_tumbling",
-    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-              event_type,
-              count(*) AS n_events,
-              CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
-       FROM events GROUP BY 1, 2""",
-)
-def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows per event_type."""
-    return tumbling_agg(t(spark, sf_dir, "events"))
-
-
-@register(
-    "stream_sliding",
-    """WITH w AS (
-         SELECT event_type, ts,
-                time_bucket(INTERVAL '30 minutes', ts)
-                  - unnest([INTERVAL '0 minutes', INTERVAL '30 minutes'])
-                  AS window_start
-         FROM events)
-       SELECT window_start, event_type, count(*) AS n_events
-       FROM w GROUP BY 1, 2""",
-)
-def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 1-hour windows every 30 minutes (each event in 2 windows)."""
-    return sliding_agg(t(spark, sf_dir, "events"))
-
-
-@register(
-    "stream_session",
-    """WITH o AS (
-         SELECT user_id, ts, value,
-                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                          >= INTERVAL '10 minutes'
-                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                     THEN 1 ELSE 0 END AS new_session
-         FROM events),
-       s AS (
-         SELECT user_id, ts, value,
-                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
-         FROM o)
-       SELECT min(ts) AS session_start,
-              max(ts) + INTERVAL '10 minutes' AS session_end,
-              user_id,
-              count(*) AS n_events,
-              CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
-       FROM s GROUP BY user_id, session_id""",
-)
-def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (10-minute inactivity gap) per user."""
-    return session_agg(t(spark, sf_dir, "events"), gap="10 minutes")
-
-
-@register(
-    "agg_pivot",
-    """SELECT l_returnflag,
-              round(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
-                  AS qty_o,
-              round(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
-                  AS qty_f
-       FROM lineitem GROUP BY l_returnflag""",
-)
-def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long→wide): quantity by return flag × line status.  Explicit
-    value list — without it Spark runs an extra distinct job to discover
-    columns, and the output schema becomes data-dependent."""
-    li = t(spark, sf_dir, "lineitem")
-    out = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum(
-        "l_quantity"
-    )
-    return out.select(
-        "l_returnflag",
-        F.round("O", 2).alias("qty_o"),
-        F.round("F", 2).alias("qty_f"),
-    )
-
-
-@register(
-    "proj_unpivot",
-    """SELECT n_nationkey, 'name' AS attr, n_name AS value FROM nation
-       UNION ALL
-       SELECT n_nationkey, 'region_key' AS attr,
-              CAST(n_regionkey AS VARCHAR) AS value
-       FROM nation""",
-)
-def proj_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide→long) via stack() — one generated row per attribute,
-    no shuffle."""
-    nation = t(spark, sf_dir, "nation")
-    return nation.selectExpr(
-        "n_nationkey",
-        "stack(2, 'name', n_name, 'region_key', CAST(n_regionkey AS STRING))"
-        " AS (attr, value)",
-    )
-
-
-@register(
-    "agg_percentile",
-    """SELECT l_returnflag,
-              round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-              round(quantile_cont(l_quantity, 0.95), 6) AS p95
-       FROM lineitem GROUP BY l_returnflag""",
-)
-def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (`F.percentile`); the
-    sketch path for huge groups is `percentile_approx` (rows-only sibling
-    of `agg_approx_distinct`)."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95"),
-    )
-
-
-@register(
-    "scd2_merge",
-    """WITH dim AS (
-         SELECT s_suppkey AS id, s_nationkey AS nation FROM supplier),
-       upd AS (
-         SELECT s_suppkey AS id,
-                CASE WHEN s_suppkey % 3 = 0 THEN s_nationkey + 1
-                     ELSE s_nationkey END AS nation
-         FROM supplier WHERE s_suppkey % 2 = 0
-         UNION ALL
-         SELECT s_suppkey + 100000 AS id, s_nationkey AS nation
-         FROM supplier WHERE s_suppkey % 7 = 0),
-       changed AS (
-         SELECT d.id, d.nation AS old_nation, u.nation AS new_nation
-         FROM dim d JOIN upd u USING (id)
-         WHERE d.nation IS DISTINCT FROM u.nation)
-       SELECT id, old_nation AS nation,
-              DATE '2024-01-01' AS valid_from, DATE '2024-02-01' AS valid_to,
-              FALSE AS is_current
-       FROM changed
-       UNION ALL
-       SELECT id, new_nation AS nation,
-              DATE '2024-02-01', DATE '9999-12-31', TRUE
-       FROM changed
-       UNION ALL
-       SELECT d.id, d.nation, DATE '2024-01-01', DATE '9999-12-31', TRUE
-       FROM dim d WHERE d.id NOT IN (SELECT id FROM changed)
-       UNION ALL
-       SELECT u.id, u.nation, DATE '2024-02-01', DATE '9999-12-31', TRUE
-       FROM upd u WHERE u.id NOT IN (SELECT id FROM dim)""",
-)
-def scd2_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 dimension merge (operators/scd.py): a synthetic update batch
-    changes every 3rd-key supplier's nation, re-sends half unchanged, and
-    introduces new keys — versions, closures and inserts all exercised."""
-    from kusuma_metamorph_etl_spark.operators.scd import scd2_init, scd2_merge
-
-    supplier = t(spark, sf_dir, "supplier")
-    dim = scd2_init(
-        supplier.select(
-            F.col("s_suppkey").alias("id"), F.col("s_nationkey").alias("nation")
-        ),
-        ["id"],
-        "2024-01-01",
-    )
-    updates = (
-        supplier.filter(F.col("s_suppkey") % 2 == 0)
-        .select(
-            F.col("s_suppkey").alias("id"),
-            F.when(
-                F.col("s_suppkey") % 3 == 0, F.col("s_nationkey") + 1
-            ).otherwise(F.col("s_nationkey")).alias("nation"),
-        )
-        .unionByName(
-            supplier.filter(F.col("s_suppkey") % 7 == 0).select(
-                (F.col("s_suppkey") + 100000).alias("id"),
-                F.col("s_nationkey").alias("nation"),
-            )
-        )
-    )
-    return scd2_merge(dim, updates, ["id"], ["nation"], "2024-02-01")
-
-
-@register(
-    "join_asof",
-    """WITH purchases AS (
-         SELECT event_id, user_id, ts, value FROM events
-         WHERE event_type = 'purchase'),
-       clicks AS (
-         SELECT event_id AS click_id, user_id, ts, value AS click_value
-         FROM events WHERE event_type = 'click'
-         QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                                    ORDER BY click_id DESC) = 1)
-       SELECT l.event_id, l.user_id, l.ts, l.value, r.click_id, r.click_value
-       FROM purchases l
-       ASOF LEFT JOIN clicks r
-         ON l.user_id = r.user_id AND r.ts <= l.ts""",
-)
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of join (operators/joins.py::asof_join): each purchase
-    picks the user's most recent click at-or-before it — checked against
-    DuckDB's native ASOF LEFT JOIN."""
-    from kusuma_metamorph_etl_spark.operators.joins import asof_join
-    from kusuma_metamorph_etl_spark.operators.windows import top_k_per_group
-
-    events = t(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    clicks = top_k_per_group(
-        events.filter(F.col("event_type") == "click").select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            "ts",
-            F.col("value").alias("click_value"),
-        ),
-        partition_by=["user_id", "ts"],
-        order_by=[F.desc("click_id")],
-        k=1,
-    )
-    return asof_join(
-        purchases,
-        clicks,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        value_cols=["click_id", "click_value"],
-    )
-
-
-@register(
-    "join_asof_forward",
-    """WITH clicks AS (
-         SELECT event_id, user_id, ts, value FROM events
-         WHERE event_type = 'click'),
-       purchases AS (
-         SELECT event_id AS purchase_id, user_id, ts,
-                value AS purchase_value
-         FROM events WHERE event_type = 'purchase'
-         QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                                    ORDER BY purchase_id) = 1)
-       SELECT l.event_id, l.user_id, l.ts, l.value,
-              r.purchase_id, r.purchase_value
-       FROM clicks l
-       ASOF LEFT JOIN purchases r
-         ON l.user_id = r.user_id AND r.ts >= l.ts""",
-)
-def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FORWARD as-of join (`asof_join(direction="forward")`): each click
-    picks the user's next purchase at-or-after it — the lookahead twin of
-    `join_asof`, checked against DuckDB's native forward ASOF (>=);
-    equal-timestamp rights pre-deduped to the smallest id, matching the
-    operator's declared forward tie rule."""
-    from kusuma_metamorph_etl_spark.operators.joins import asof_join
-    from kusuma_metamorph_etl_spark.operators.windows import top_k_per_group
-
-    events = t(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    purchases = top_k_per_group(
-        events.filter(F.col("event_type") == "purchase").select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            "ts",
-            F.col("value").alias("purchase_value"),
-        ),
-        partition_by=["user_id", "ts"],
-        order_by=[F.asc("purchase_id")],
-        k=1,
-    )
-    return asof_join(
-        clicks,
-        purchases,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        value_cols=["purchase_id", "purchase_value"],
-        direction="forward",
-    )
-
-
-@register(
-    "join_range",
-    """WITH o AS (
-         SELECT user_id, ts, value,
-                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                          >= INTERVAL '10 minutes'
-                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                     THEN 1 ELSE 0 END AS new_session
-         FROM events),
-       s AS (
-         SELECT user_id, ts, value,
-                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
-         FROM o),
-       sessions AS (
-         SELECT user_id, min(ts) AS session_start,
-                max(ts) + INTERVAL '10 minutes' AS session_end
-         FROM s GROUP BY user_id, session_id)
-       SELECT e.event_id, e.user_id, e.ts, s.session_start
-       FROM events e
-       JOIN sessions s
-         ON e.user_id = s.user_id
-        AND e.ts >= s.session_start AND e.ts < s.session_end""",
-)
-def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-containment join (operators/joins.py::range_join): every
-    event located inside its user's session window — chunked equi-join
-    instead of the planner's nested loop."""
-    from kusuma_metamorph_etl_spark.operators.joins import range_join
-
-    events = t(spark, sf_dir, "events")
-    sessions = session_agg(events, gap="10 minutes").select(
-        "user_id", "session_start", "session_end"
-    )
-    points = events.select("event_id", "user_id", "ts")
-    return range_join(
-        points,
-        sessions,
-        point_col="ts",
-        lower_col="session_start",
-        upper_col="session_end",
-        on=["user_id"],
-        chunk_seconds=3600,
-    ).select("event_id", "user_id", "ts", "session_start")
-
-
-@register(
-    "evt_funnel",
-    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
-                  WHERE event_type = 'view' GROUP BY 1),
-        c AS (SELECT e.user_id, min(e.ts) AS t_click
-              FROM events e JOIN v ON e.user_id = v.user_id
-              WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
-        p AS (SELECT e.user_id, min(e.ts) AS t_purchase
-              FROM events e JOIN c ON e.user_id = c.user_id
-              WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
-        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
-        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
-)
-def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-funnel analysis ([EXT]): view → click → purchase, earliest
-    time per stage at-or-after the previous stage
-    (`operators/events.py::funnel_one_scan`): ONE scan of the events fact
-    pivoted to per-(user, stage) sorted timestamp arrays, then pure array
-    expressions — measured ~2x the k-join twin at sf0.1 (A/B note
-    in-code)."""
-    from kusuma_metamorph_etl_spark.operators.events import funnel_one_scan
-
-    events = t(spark, sf_dir, "events")
-    return funnel_one_scan(events, stages=["view", "click", "purchase"])
-
-
-@register(
-    "evt_sessionize",
-    """WITH x AS (
-         SELECT user_id, event_id, ts,
-                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                          > 1800 * 1000000
-                     THEN 1 ELSE 0 END AS ns
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-       SELECT user_id, event_id, ts,
-              CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                AS session_idx
-       FROM x""",
-)
-def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-grain sessionization ([EXT]): every event labeled with its
-    per-user session index (30-min gap rule, integer-µs compare —
-    `operators/events.py::sessionize`); the complement of the
-    session_window AGGREGATE the streaming family provides."""
-    from kusuma_metamorph_etl_spark.operators.events import sessionize
-
-    events = t(spark, sf_dir, "events")
-    return sessionize(events, gap_seconds=1800)
-
-
-@register(
-    "evt_retention",
-    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
-                  FROM events GROUP BY 1)
-       SELECT f.cohort_day,
-              CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
-                   AS INTEGER) AS day_offset,
-              COUNT(DISTINCT e.user_id) AS n_users
-       FROM events e JOIN f USING (user_id)
-       GROUP BY 1, 2""",
-)
-def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention triangle ([EXT]): first-activity-day cohorts ×
-    return-day offsets (`operators/events.py::retention_cohorts`)."""
-    from kusuma_metamorph_etl_spark.operators.events import retention_cohorts
-
-    events = t(spark, sf_dir, "events")
-    return retention_cohorts(events)
-
-
-@register(
-    "join_fuzzy",
-    """SELECT a.s_suppkey AS a, b.s_suppkey AS b,
-              CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS distance
-       FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
-       WHERE levenshtein(a.s_name, b.s_name) <= 1""",
-)
-def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance-1 key reconciliation ([EXT]): SymSpell deletion-
-    neighborhood blocking + exact levenshtein verify — candidates, never
-    all pairs (`operators/joins.py::fuzzy_self_pairs`); the oracle is the
-    brute-force cross join at test scale."""
-    from kusuma_metamorph_etl_spark.operators.joins import fuzzy_self_pairs
-
-    supplier = t(spark, sf_dir, "supplier")
-    return fuzzy_self_pairs(supplier, key_col="s_name", id_col="s_suppkey")
-
-
-@register(
-    "join_overlap",
-    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
-       FROM events c JOIN events p
-         ON c.user_id = p.user_id
-        AND c.event_type = 'click' AND p.event_type = 'purchase'
-        AND c.ts < p.ts + INTERVAL 30 MINUTE
-        AND p.ts < c.ts + INTERVAL 30 MINUTE""",
-)
-def join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-interval overlap join ([EXT]): 30-minute activity spans
-    around clicks × purchases per user, matched by the chunked equi-join
-    with first-shared-chunk dedup (`operators/joins.py::
-    interval_overlap_join`) — the span-intersection operator `join_range`
-    (point-in-interval) cannot express."""
-    from kusuma_metamorph_etl_spark.operators.joins import interval_overlap_join
-
-    events = t(spark, sf_dir, "events")
-    half_hour = F.expr("INTERVAL 30 MINUTES")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("c_start"),
-        (F.col("ts") + half_hour).alias("c_end"),
-    )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_start"),
-        (F.col("ts") + half_hour).alias("p_end"),
-    )
-    return interval_overlap_join(
-        clicks,
-        purchases,
-        left_bounds=("c_start", "c_end"),
-        right_bounds=("p_start", "p_end"),
-        on=["user_id"],
-    ).select("user_id", "click_id", "purchase_id")
-
-
-@register(
-    "stream_attribution_join",
-    """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
-              p.event_id AS purchase_id, p.ts AS purchase_ts,
-              p.value AS purchase_value
-       FROM events c JOIN events p
-         ON c.user_id = p.user_id
-        AND c.event_type = 'click' AND p.event_type = 'purchase'
-        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR""",
-)
-def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Click→purchase attribution join (streaming/joins.py) in batch mode;
-    the genuine two-stream watermarked path is asserted equal in tests/."""
-    from kusuma_metamorph_etl_spark.streaming.joins import attribution_join
-
-    events = t(spark, sf_dir, "events")
-    return attribution_join(
-        events.filter(F.col("event_type") == "click"),
-        events.filter(F.col("event_type") == "purchase"),
-    )
-
-
-@register(
-    "stream_dedup_first",
-    """SELECT user_id, event_type, event_id, ts, value
-       FROM (SELECT user_id, event_type, event_id, ts, value,
-                    row_number() OVER (PARTITION BY user_id, event_type
-                                       ORDER BY ts, event_id) AS rn
-             FROM events)
-       WHERE rn = 1""",
-)
-def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First event per (user, type) — batch twin of the custom
-    `applyInPandasWithState` streaming dedup (streaming/stateful.py);
-    stream==batch equality is asserted in tests/."""
-    from kusuma_metamorph_etl_spark.streaming.stateful import first_event_batch
-
-    return first_event_batch(t(spark, sf_dir, "events"))
-
-
-@register("dedup_substring", None)  # maximal-repeat spans — not SQL-expressible
-def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-level dedup (Lee et al. ACL'22 style): maximal
-    cross-document shared spans of ≥ 64 chars via winnowed rolling-hash
-    anchors + candidate-only extension — the paragraph-grain duplication
-    document-level near-dup misses (`operators/dedup.py::substring_pairs`).
-    Companion `dedup_substring_err` oracle-binds the recall contract."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.substring_pairs(docs, min_len=64)
-
-
-@register(
-    "dedup_substring_err",
-    """SELECT doc_id AS a, doc_id + 1000000 AS b
-       FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 200""",
-)
-def dedup_substring_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `dedup_substring`: plant a 120-char
-    mid-document paragraph of every 7th document inside uppercase filler
-    (disjoint from the lowercase corpus vocabulary) under a shifted id.
-    Emits the planted-pair list (oracle-computable) gated on (1) every
-    planted pair recovered with a span ≥ the 120 planted chars — the
-    winnowing guarantee exercised end-to-end — and (2) every emitted
-    span passing literal substring-equality re-verification (zero false
-    spans, checked over the whole output, not just the plants)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    eligible = docs.filter(
-        (F.col("doc_id") % 7 == 0) & (F.length("text") >= 200)
-    )
-    planted = eligible.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(
-            F.lit("QWJX ZVKP " * 12),  # 120 chars of disjoint filler
-            F.substring("text", 41, 120),
-            F.lit(" PKVZ XJWQ" * 12),
-        ).alias("text"),
-    )
-    corpus = docs.unionByName(planted)
-    pairs = dedup.substring_pairs(corpus, min_len=64)
-    expected = eligible.select(
-        F.col("doc_id").alias("a"), (F.col("doc_id") + 1_000_000).alias("b")
-    )
-    recovered = pairs.filter(F.col("length") >= 120).select("a", "b")
-    missed = expected.join(recovered, ["a", "b"], "left_anti")
-    bad_spans = (
-        pairs.join(
-            corpus.select(F.col("doc_id").alias("a"), F.col("text").alias("ta")),
-            on="a",
-        )
-        .join(
-            corpus.select(F.col("doc_id").alias("b"), F.col("text").alias("tb")),
-            on="b",
-        )
-        .filter(
-            F.expr("substring(ta, a_start + 1, length)")
-            != F.expr("substring(tb, b_start + 1, length)")
-        )
-    )
-    stats = (
-        _n(expected, "n_exp")
-        .crossJoin(_n(missed, "n_miss"))
-        .crossJoin(_n(bad_spans, "n_bad"))
-    )
-    ok = (
-        (F.col("n_exp") > 0)
-        & (F.col("n_miss") == 0)
-        & (F.col("n_bad") == 0)
-    )
-    return _gate(expected, stats, ok)
-
-
-@register("dedup_substring_incr", None)  # incremental spans — not SQL-expressible
-def dedup_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental substring dedup ([EXT];
-    `operators/dedup.py::incremental_substring_pairs`): a synthesized
-    new batch (every 11th document re-identified with a planted
-    mid-document paragraph) checked against the untouched corpus —
-    history is never re-paired against itself, cost ∝ |new|.  Gated by
-    `dedup_substring_incr_err`."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    new = (
-        docs.filter((F.col("doc_id") % 11 == 0) & (F.length("text") >= 200))
-        .select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.concat(
-                F.lit("QWJX ZVKP " * 12),
-                F.substring("text", 41, 120),
-                F.lit(" PKVZ XJWQ" * 12),
-            ).alias("text"),
-        )
-    )
-    return dedup.incremental_substring_pairs(new, docs, min_len=64).select(
-        "a", "b", "against", "a_start", "b_start", "length"
-    )
-
-
-@register(
-    "dedup_substring_incr_err",
-    """SELECT doc_id + 2000000 AS a, doc_id AS b
-       FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 200""",
-)
-def dedup_substring_incr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable gate for `dedup_substring_incr`: emits the planted
-    (new_id, source_id) pair list, gated on (1) every planted paragraph
-    recovered against history with span ≥ the 120 planted chars, and
-    (2) the incremental pair set equaling the batch
-    `substring_pairs(new ∪ history)` result RESTRICTED to pairs touching
-    a new id — the no-lost-spans contract of the incremental plan."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    eligible = docs.filter(
-        (F.col("doc_id") % 11 == 0) & (F.length("text") >= 200)
-    )
-    new = eligible.select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        F.concat(
-            F.lit("QWJX ZVKP " * 12),
-            F.substring("text", 41, 120),
-            F.lit(" PKVZ XJWQ" * 12),
-        ).alias("text"),
-    )
-    # SAME stop-fingerprint cap on both sides: the equality below is
-    # only meaningful when incremental and batch drop the same hot
-    # hashes (r8 self-review — differing defaults made the gate
-    # corpus-size-dependent)
-    inc = dedup.incremental_substring_pairs(new, docs, min_len=64, max_df=50)
-    expected = eligible.select(
-        (F.col("doc_id") + 2_000_000).alias("a"),
-        F.col("doc_id").alias("b"),
-    )
-    recovered = inc.filter(
-        (F.col("against") == "history") & (F.col("length") >= 120)
-    ).select("a", "b")
-    missed = expected.join(recovered, ["a", "b"], "left_anti")
-    batch = dedup.substring_pairs(new.unionByName(docs), min_len=64, max_df=50)
-    batch_touching = batch.filter(
-        (F.col("a") >= 2_000_000) | (F.col("b") >= 2_000_000)
-    ).select(
-        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
-    ).distinct()
-    inc_norm = inc.select(
-        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
-    ).distinct()
-    sym_diff = (
-        batch_touching.exceptAll(inc_norm)
-        .unionByName(inc_norm.exceptAll(batch_touching))
-    )
-    stats = (
-        _n(expected, "n_exp")
-        .crossJoin(_n(missed, "n_miss"))
-        .crossJoin(_n(sym_diff, "n_diff"))
-    )
-    ok = (
-        (F.col("n_exp") > 0)
-        & (F.col("n_miss") == 0)
-        & (F.col("n_diff") == 0)
-    )
-    return _gate(expected, stats, ok)
-
-
-@register("dedup_substring_removal", None)  # rewritten text — not SQL-expressible
-def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-span REMOVAL accounting (Lee et al. remove the repeated
-    spans, not just find them): cut every cross-document duplicated span
-    out of the higher-id document, keep it in the lowest — emits
-    deterministic per-document (n_spans_removed, chars_removed) rows
-    (`operators/dedup.py::remove_substring_spans`).  The fixpoint contract
-    (a second search over the cleaned corpus finds nothing) is gated by
-    `dedup_substring_removal_err`."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = dedup.substring_pairs(docs, min_len=64)
-    cleaned = dedup.remove_substring_spans(docs, pairs)
-    return cleaned.select("doc_id", "n_spans_removed", "chars_removed")
-
-
-@register(
-    "dedup_substring_removal_err",
-    """SELECT doc_id AS a, doc_id + 1000000 AS b
-       FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 200""",
-)
-def dedup_substring_removal_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `dedup_substring_removal`: plant a
-    copied 150-char paragraph of every 9th document under a shifted id,
-    remove spans, then GATE on the removal semantics — no planted copy
-    may still contain its paragraph afterwards (the copy is the higher
-    id of its pair, so removal must have cut the paragraph out of it).
-    Emits the oracle-computable planted-pair list while that holds.
-    A global one-pass fixpoint would be too strong: cut junctions can
-    form fresh repeats (see ``remove_substring_spans`` docstring)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    eligible = docs.filter(
-        (F.col("doc_id") % 9 == 0) & (F.length("text") >= 200)
-    )
-    planted = eligible.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(
-            F.lit("JQZX VWKP " * 10),
-            F.substring("text", 31, 150),
-            F.lit(" PXWV KZQJ" * 10),
-        ).alias("text"),
-    )
-    corpus = docs.unionByName(planted)
-    pairs = dedup.substring_pairs(corpus, min_len=64)
-    cleaned = dedup.remove_substring_spans(corpus, pairs).select(
-        "doc_id", "text"
-    )
-    still_there = (
-        cleaned.filter(F.col("doc_id") >= 1_000_000)
-        .select(
-            (F.col("doc_id") - 1_000_000).alias("src_id"),
-            F.col("text").alias("cleaned_text"),
-        )
-        .join(
-            eligible.select(
-                F.col("doc_id").alias("src_id"),
-                F.substring("text", 31, 150).alias("para"),
-            ),
-            on="src_id",
-        )
-        .filter(F.instr(F.col("cleaned_text"), F.col("para")) > 0)
-    )
-    expected = eligible.select(
-        F.col("doc_id").alias("a"), (F.col("doc_id") + 1_000_000).alias("b")
-    )
-    stats = _n(expected, "n_exp").crossJoin(_n(still_there, "n_kept"))
-    ok = (F.col("n_exp") > 0) & (F.col("n_kept") == 0)
-    return _gate(expected, stats, ok)
-
-
-@register(
-    "cdc_apply",
-    """WITH ch AS (
-         SELECT o_custkey AS c_custkey,
-                'cdc-' || CAST(o_custkey AS VARCHAR) AS c_name,
-                o_totalprice AS c_acctbal,
-                o_orderkey AS seq,
-                CASE WHEN o_orderkey % 10 < 2 THEN 'D'
-                     WHEN o_orderkey % 10 < 6 THEN 'U'
-                     ELSE 'I' END AS op
-         FROM orders),
-       latest AS (
-         SELECT * FROM (
-           SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
-                                           ORDER BY seq DESC) AS rn
-           FROM ch) WHERE rn = 1)
-       SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
-       FROM customer
-       WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
-       UNION ALL
-       SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
-       FROM latest WHERE op <> 'D'""",
-)
-def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC change-log application (`operators/scd.py::cdc_apply`): a
-    synthetic Debezium-style log derived from orders (upserts + deletes,
-    o_orderkey as the LSN) applied to the customer snapshot — log
-    compaction by one max_by aggregation (no window sort), then
-    anti-join + union.  The lakehouse ingest primitive the reference's
-    overwrite-everything `raw.*_pre` pattern cannot express
-    (`ingestion_task.py:63`)."""
-    from kusuma_metamorph_etl_spark.operators.scd import cdc_apply as apply_log
-
-    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    orders = t(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-    changes = orders.select(
-        F.col("o_custkey").alias("c_custkey"),
-        F.concat(F.lit("cdc-"), F.col("o_custkey").cast("string")).alias("c_name"),
-        F.col("o_totalprice").alias("c_acctbal"),
-        F.col("o_orderkey").alias("seq"),
-        F.when(mod10 < 2, "D").when(mod10 < 6, "U").otherwise("I").alias("op"),
-    )
-    out = apply_log(cust, changes, key=["c_custkey"], seq_col="seq", op_col="op")
-    return out.withColumn("c_acctbal", F.round("c_acctbal", 2))
-
-
-@register(
-    "samp_group_k",
-    """SELECT doc_id, source FROM (
-         SELECT doc_id, source,
-                row_number() OVER (
-                  PARTITION BY source
-                  ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
-                ) AS rn
-         FROM documents) WHERE rn <= 20""",
-)
-def samp_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group exactly-k deterministic sampling ([EXT]): 20 uniform
-    rows from every source regardless of group skew — the balanced-quota
-    knob (`operators/sampling.py::group_fixed_size_sample`); content-hash
-    ordered, partition-invariant."""
-    docs = t(spark, sf_dir, "documents")
-    return sampling.group_fixed_size_sample(
-        docs.select("doc_id", "source"), ["source"], F.col("doc_id"), 20
-    )
-
-
-@register(
-    "evt_dedup_window",
-    """WITH g AS (
-         SELECT *, CASE WHEN lag_us IS NULL OR us - lag_us > 600000000
-                        THEN 1 ELSE 0 END AS nb
-         FROM (SELECT *, epoch_us(ts) AS us,
-                      lag(epoch_us(ts)) OVER (
-                        PARTITION BY user_id, event_type
-                        ORDER BY ts, event_id) AS lag_us
-               FROM events)),
-       b AS (SELECT *, sum(nb) OVER (
-                PARTITION BY user_id, event_type
-                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS burst
-             FROM g)
-       SELECT event_id, ts, user_id, event_type, value
-       FROM (SELECT *, row_number() OVER (
-               PARTITION BY user_id, event_type, burst
-               ORDER BY ts, event_id) AS rn FROM b)
-       WHERE rn = 1""",
-)
-def evt_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-window event dedup ([EXT]): collapse retry bursts — same
-    (user, type) within 10 minutes, chained — to their first arrival
-    (`operators/events.py::dedup_within_window`); the at-least-once
-    ingest cleanup exact-id dedup cannot do."""
-    from kusuma_metamorph_etl_spark.operators.events import dedup_within_window
-
-    events = t(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    return dedup_within_window(
-        events, keys=["user_id", "event_type"], window_seconds=600
-    )
-
-
-@register(
-    "evt_paths",
-    """SELECT path, count(*) AS n_users FROM (
-         SELECT user_id,
-                array_to_string(
-                  (list(event_type ORDER BY ts, event_id))[1:3], '>'
-                ) AS path
-         FROM events GROUP BY user_id)
-       GROUP BY path""",
-)
-def evt_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top entry paths ([EXT] event analytics): each user's first three
-    event types in time order as a '>'-joined path, counted across users
-    (`operators/events.py::event_paths`) — the GA-style path-exploration
-    view; one user-keyed aggregation + one path count."""
-    from kusuma_metamorph_etl_spark.operators.events import event_paths
-
-    return event_paths(t(spark, sf_dir, "events"), depth=3)
-
-
-def _pagerank_oracle(n_iter: int = 15, damping: float = 0.85) -> str:
-    """Unrolled fixed-iteration PageRank as one DuckDB CTE chain.
-
-    Iterative algorithms aren't single-query SQL in general, but a FIXED
-    round count is: each round is one CTE reading the previous one, with
-    the dangling-mass scalar and 1/N as subqueries — the exact same
-    synchronous-update semantics `operators/graph.py::pagerank` declares.
-    """
-    d = damping
-    parts = [
-        """WITH ed AS MATERIALIZED (
-             SELECT prev AS src, event_type AS dst, count(*)::DOUBLE AS w
-             FROM (SELECT event_type,
-                          lag(event_type) OVER (
-                            PARTITION BY user_id ORDER BY ts, event_id) AS prev
-                   FROM events)
-             WHERE prev IS NOT NULL GROUP BY 1, 2),
-           norm AS MATERIALIZED (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
-                    FROM ed),
-           nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed
-                     UNION SELECT DISTINCT dst FROM ed),
-           nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
-           r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
-    ]
-    for i in range(1, n_iter + 1):
-        parts.append(
-            f"""r{i} AS MATERIALIZED (
-              SELECT nodes.node,
-                     {1.0 - d} / (SELECT n FROM nn)
-                     + {d} * (coalesce(c.contrib, 0)
-                              + (SELECT coalesce(sum(pr), 0) FROM r{i - 1}
-                                 WHERE node NOT IN (SELECT DISTINCT src FROM ed))
-                                / (SELECT n FROM nn)) AS pr
-              FROM nodes
-              LEFT JOIN (SELECT e.dst AS node, sum(r.pr * e.p) AS contrib
-                         FROM norm e JOIN r{i - 1} r ON r.node = e.src
-                         GROUP BY e.dst) c USING (node))"""
-        )
-    return (
-        ",\n".join(parts)
-        + f"\nSELECT node AS event_type, round(pr, 6) AS pr FROM r{n_iter}"
-    )
-
-
-@register("graph_pagerank", _pagerank_oracle())
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted PageRank over the event-type transition graph ([EXT]
-    graph analytics; `operators/graph.py::pagerank`) — the crawl-graph
-    quality-weighting primitive, exercised here on the Markov chain of
-    per-user event transitions.  Exact oracle: 15 synchronous rounds
-    unrolled as a DuckDB CTE chain (`_pagerank_oracle`)."""
-    from pyspark.sql import Window
-
-    from kusuma_metamorph_etl_spark.operators.graph import pagerank
-
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        ev.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("prev", F.lag("event_type").over(w))
-        .filter(F.col("prev").isNotNull())
-        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
-    pr = pagerank(edges, weight_col="w", damping=0.85, n_iter=15)
-    return pr.select(
-        F.col("node").alias("event_type"), F.round("pr", 6).alias("pr")
-    )
-
-
-_EPOCHD = "date_diff('day', DATE '1970-01-01', day_dt)"
-
-@register(
-    "ts_gapfill",
-    f"""WITH agg AS MATERIALIZED (
-          SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day_dt,
-                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
-                      AS DOUBLE) AS revenue
-          FROM orders GROUP BY 1, 2),
-        spine AS (
-          SELECT priority,
-                 unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day_dt
-          FROM (SELECT priority, min(day_dt) AS lo, max(day_dt) AS hi
-                FROM agg GROUP BY priority)),
-        j AS (SELECT s.priority, s.day_dt, a.revenue
-              FROM spine s LEFT JOIN agg a USING (priority, day_dt)),
-        w AS (
-          SELECT priority, day_dt, revenue,
-            last_value(revenue IGNORE NULLS) OVER (
-              PARTITION BY priority ORDER BY day_dt
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
-            last_value(CASE WHEN revenue IS NOT NULL THEN {_EPOCHD} END
-                       IGNORE NULLS) OVER (
-              PARTITION BY priority ORDER BY day_dt
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
-            first_value(revenue IGNORE NULLS) OVER (
-              PARTITION BY priority ORDER BY day_dt
-              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
-            first_value(CASE WHEN revenue IS NOT NULL THEN {_EPOCHD} END
-                        IGNORE NULLS) OVER (
-              PARTITION BY priority ORDER BY day_dt
-              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
-          FROM j)
-        SELECT priority, day_dt, revenue, prev_v AS revenue_ffill,
-          CASE WHEN revenue IS NOT NULL THEN revenue
-               WHEN prev_v IS NULL THEN next_v
-               WHEN next_v IS NULL THEN prev_v
-               ELSE prev_v + (next_v - prev_v) *
-                    (CAST({_EPOCHD} - prev_d AS DOUBLE)
-                     / CAST(next_d - prev_d AS DOUBLE)) END AS revenue_interp
-        FROM w""",
-)
-def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar gap-fill with forward fill + linear interpolation ([EXT]
-    time-series; `operators/timeseries.py::gapfill`): the daily
-    per-priority revenue series with every calendar hole filled —
-    imputed rows keep ``revenue`` NULL so observed vs filled stays
-    distinguishable."""
-    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
-    from kusuma_metamorph_etl_spark.operators.timeseries import gapfill
-
-    orders = t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        F.to_date("o_orderdate").alias("day_dt"),
-    ).agg(decimal_sum(F.col("o_totalprice")).alias("revenue"))
-    return gapfill(daily, ["priority"], "day_dt", "revenue")
-
-
-@register(
-    "ts_rolling",
-    """WITH agg AS MATERIALIZED (
-         SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day_dt,
-                ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS revenue
-         FROM orders GROUP BY 1, 2)
-       SELECT custkey, day_dt, CAST(revenue AS DOUBLE) AS revenue,
-              CAST(sum(revenue) OVER w AS DOUBLE) AS roll7_sum,
-              count(revenue) OVER w AS roll7_n,
-              CAST(sum(revenue) OVER w AS DOUBLE) / (count(revenue) OVER w)
-                  AS roll7_avg
-       FROM agg
-       WINDOW w AS (PARTITION BY custkey ORDER BY day_dt
-                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""",
-)
-def ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 7-day rolling revenue per customer ([EXT] time-series;
-    `operators/timeseries.py::rolling`): RANGE frame over epoch-day, so
-    the sparse per-customer series windows over real time — 7 CALENDAR
-    days, not 7 physical rows.  Rolling sums run in exact decimal
-    (order-independent) and surface as double."""
-    from kusuma_metamorph_etl_spark.functions.numeric import _exact_sum
-    from kusuma_metamorph_etl_spark.operators.timeseries import rolling
-
-    orders = t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_custkey").alias("custkey"),
-        F.to_date("o_orderdate").alias("day_dt"),
-    ).agg(F.round(_exact_sum(F.col("o_totalprice"), 6), 2).alias("revenue"))
-    out = rolling(daily, ["custkey"], "day_dt", "revenue", days=7, out_prefix="roll7")
-    return out.withColumn("revenue", F.col("revenue").cast("double"))
-
-
-@register("dedup_minhash_incr", None)  # xxhash64 banding — rows-only
-def dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup check of a 'tonight's batch' (doc_id%5==0)
-    against the standing corpus (`operators/dedup.py::
-    incremental_minhash_near_dups`): new×history + new×new band joins
-    only — history is never re-paired against itself."""
-    docs = t(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % 5 == 0)
-    hist = docs.filter(F.col("doc_id") % 5 != 0)
-    out = dedup.incremental_minhash_near_dups(new, hist, threshold=0.5)
-    return out.select(
-        "new_id", "match_id", "against", F.round("jaccard", 6).alias("jaccard")
-    )
-
-
-@register(
-    "dedup_minhash_incr_err",
-    f"""WITH s AS (
-          SELECT doc_id, {_SHINGLES} AS sh
-          FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)),
-        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-        common AS (
-          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
-          FROM e l JOIN e r USING (shingle)
-          WHERE l.doc_id < r.doc_id
-          GROUP BY 1, 2)
-        SELECT a, b
-        FROM common
-        JOIN sizes sa ON sa.doc_id = a
-        JOIN sizes sb ON sb.doc_id = b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
-          AND NOT (a % 5 <> 0 AND b % 5 <> 0)""",
-)
-def dedup_minhash_incr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `dedup_minhash_incr`: the exact
-    Jaccard-≥0.5 pairs TOUCHING the new batch (both-history pairs are
-    out of incremental scope by design), gated on the incremental path
-    recovering ≥ 80% of them — mirrors the tests/test_dedup.py
-    incremental==full equivalence contract."""
-    docs = t(spark, sf_dir, "documents")
-    exact = (
-        dedup.jaccard_pairs(docs, threshold=0.5)
-        .filter(~((F.col("a") % 5 != 0) & (F.col("b") % 5 != 0)))
-        .select("a", "b")
-    )
-    new = docs.filter(F.col("doc_id") % 5 == 0)
-    hist = docs.filter(F.col("doc_id") % 5 != 0)
-    approx = (
-        dedup.incremental_minhash_near_dups(new, hist, threshold=0.5)
-        .select(
-            F.least("new_id", "match_id").alias("a"),
-            F.greatest("new_id", "match_id").alias("b"),
-        )
-    )
-    hit = exact.join(approx, ["a", "b"], "left_semi")
-    stats = _n(exact, "n_exact").crossJoin(_n(hit, "n_hit"))
-    ok = (F.col("n_exact") > 0) & (F.col("n_hit") >= 0.8 * F.col("n_exact"))
-    return _gate(exact, stats, ok)
-
-
-@register(
-    "fn_winsorize",
-    """WITH b AS (
-         SELECT o_orderpriority AS priority,
-                quantile_cont(o_totalprice, 0.05) AS lo,
-                quantile_cont(o_totalprice, 0.95) AS hi
-         FROM orders GROUP BY 1)
-       SELECT o_orderkey, priority, o_totalprice AS price,
-              round(CASE WHEN o_totalprice < lo THEN lo
-                         WHEN o_totalprice > hi THEN hi
-                         ELSE o_totalprice END, 6) AS price_winsorized
-       FROM orders JOIN b ON o_orderpriority = b.priority""",
-)
-def fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group winsorization ([EXT] robust stats; `operators/stats.py::
-    winsorize`): clamp order prices into the per-priority 5th–95th exact
-    percentile band — the tail-taming step before scaling/training.  One
-    percentile agg over few groups + one broadcast join back."""
-    from kusuma_metamorph_etl_spark.operators.stats import winsorize
-
-    orders = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_totalprice").alias("price"),
-    )
-    out = winsorize(orders, ["priority"], "price")
-    return out.select(
-        "o_orderkey", "priority", "price",
-        F.round("price_winsorized", 6).alias("price_winsorized"),
-    )
-
-
-@register(
-    "dq_outlier_flag",
-    """WITH b AS (
-         SELECT o_orderpriority AS priority,
-                quantile_cont(o_totalprice, 0.25) AS q1,
-                quantile_cont(o_totalprice, 0.75) AS q3
-         FROM orders GROUP BY 1)
-       SELECT o_orderkey, priority, o_totalprice AS price,
-              (o_totalprice < q1 - 1.5 * (q3 - q1)
-               OR o_totalprice > q3 + 1.5 * (q3 - q1)) AS is_outlier
-       FROM orders JOIN b ON o_orderpriority = b.priority""",
-)
-def dq_outlier_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey-fence IQR outlier flag per group ([EXT] robust stats;
-    `operators/stats.py::iqr_outliers`) — the review-queue feeder for
-    value-level data quality."""
-    from kusuma_metamorph_etl_spark.operators.stats import iqr_outliers
-
-    orders = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_totalprice").alias("price"),
-    )
-    return iqr_outliers(orders, ["priority"], "price")
-
-
-@register(
-    "agg_heavy_hitters",
-    f"""WITH w AS MATERIALIZED (
-          SELECT unnest({_W_TEXT}) AS word FROM documents),
-        n AS (SELECT count(*) AS c FROM w)
-        SELECT word, count(*) AS n, (SELECT c FROM n) AS n_total
-        FROM w GROUP BY word
-        HAVING count(*) > (SELECT c FROM n) / 30.0""",
-)
-def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra–Gries heavy hitters ([EXT] mergeable sketches;
-    `operators/sketches.py::heavy_hitters`): every token with corpus
-    frequency > n/30, found via bounded-memory per-partition MG
-    summaries (≤ partitions×k rows shuffled — never the full distinct
-    vocabulary) + a candidate-only exact verify pass.  Output counts are
-    EXACT, so the oracle is plain GROUP BY/HAVING."""
-    from kusuma_metamorph_etl_spark.operators.sketches import heavy_hitters
-    from kusuma_metamorph_etl_spark.operators.text import words
-
-    docs = t(spark, sf_dir, "documents")
-    tokens = docs.select(F.explode(words(F.col("text"))).alias("word"))
-    return heavy_hitters(tokens, "word", k=30)
-
-
-@register(
-    "txt_keywords",
-    f"""WITH tok AS (
-          SELECT doc_id, unnest({_W_LOWER}) AS term FROM documents),
-        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
-        scored AS (
-          SELECT tf.doc_id, tf.term,
-                 round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
-                     AS tfidf
-          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-        ranked AS (
-          SELECT doc_id, term, tfidf,
-                 row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY tfidf DESC, term) AS rank
-          FROM scored)
-        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""",
-)
-def txt_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF keywords per document ([EXT] text analysis;
-    `operators/text.py::keywords`) — deterministic rounded-score ranking
-    with term tie-break; the window partitions per document, so it is
-    document-bounded at any corpus size."""
-    docs = t(spark, sf_dir, "documents")
-    return text.keywords(docs, k=3)
-
-
-@register(
-    "samp_epochs",
-    """WITH r AS (
-         SELECT doc_id, lang,
-                2 + CASE WHEN ('0x' || substr(md5('42|' || doc_id), 1, 8))::BIGINT
-                              / 4294967296.0 < 0.3
-                         THEN 1 ELSE 0 END AS n_copies
-         FROM documents)
-       SELECT doc_id, lang, CAST(u.c AS INTEGER) AS epoch_copy
-       FROM r, unnest(range(1, n_copies + 1)) AS u(c)""",
-)
-def samp_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fractional-epoch repetition ([EXT] sampling;
-    `operators/sampling.py::repeat_epochs`, factor 2.3): every document
-    twice plus a content-hash-chosen ~30% a third time — the repetition
-    half of data mixing, reproducible on any partitioning."""
-    docs = t(spark, sf_dir, "documents")
-    out = sampling.repeat_epochs(docs, 2.3, F.col("doc_id"))
-    return out.select(
-        "doc_id", "lang", F.col("epoch_copy").cast("int").alias("epoch_copy")
-    )
-
-
-@register(
-    "samp_temperature",
-    """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
-        m AS (SELECT min(n) AS nmin FROM c),
-        r AS (SELECT lang,
-                     round(least(1.0, pow(n / (SELECT nmin FROM m), -0.5)), 9)
-                         AS keep_rate
-              FROM c)
-       SELECT d.doc_id, d.lang, r.keep_rate
-       FROM documents d JOIN r USING (lang)
-       WHERE ('0x' || substr(md5('42|' || d.doc_id), 1, 8))::BIGINT
-             / 4294967296.0 < r.keep_rate""",
-)
-def samp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-weighted language rebalancing ([EXT] sampling;
-    `operators/sampling.py::temperature_sample`, α = 0.5): the dominant
-    language downsampled toward the tempered mix, the rarest kept whole
-    — content-keyed, so the same rows survive on any cluster."""
-    docs = t(spark, sf_dir, "documents")
-    out = sampling.temperature_sample(docs, "lang", F.col("doc_id"), alpha=0.5)
-    return out.select("doc_id", "lang", "keep_rate")
-
-
-@register(
-    "evt_rate_anomaly",
-    """WITH d AS MATERIALIZED (
-         SELECT event_type, CAST(ts AS DATE) AS day_dt,
-                count(*) AS n,
-                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
-         FROM events GROUP BY 1, 2, 4),
-       w AS (
-         SELECT event_type, day_dt, n,
-           round(avg(n) OVER win, 6) AS baseline_mean,
-           round(stddev_samp(n) OVER win, 6) AS baseline_std,
-           count(n) OVER win AS baseline_n
-         FROM d
-         WINDOW win AS (PARTITION BY event_type ORDER BY ed
-                        RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
-       SELECT event_type, day_dt, n, baseline_mean, baseline_std, baseline_n,
-         CASE WHEN baseline_n >= 7 AND baseline_std > 0
-              THEN round((n - baseline_mean) / baseline_std, 6) END AS z,
-         abs(CASE WHEN baseline_n >= 7 AND baseline_std > 0
-              THEN round((n - baseline_mean) / baseline_std, 6) END) > 3.0
-             AS is_anomaly
-       FROM w""",
-)
-def evt_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily per-event-type volume anomaly flag ([EXT] time-series ops;
-    `operators/timeseries.py::rate_anomaly`): z-score against the
-    trailing 28-day baseline (current day excluded), NULL during cold
-    start — the retry-storm / dropped-producer detector."""
-    from kusuma_metamorph_etl_spark.operators.timeseries import rate_anomaly
-
-    ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day_dt")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return rate_anomaly(daily, ["event_type"], "day_dt", "n")
-
-
-@register(
-    "join_asof_nearest",
-    """WITH purchases AS (
-         SELECT event_id, user_id, ts, value FROM events
-         WHERE event_type = 'purchase'),
-       clicks AS (
-         SELECT event_id AS click_id, user_id, ts, value AS click_value
-         FROM events WHERE event_type = 'click'
-         QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                                    ORDER BY click_id DESC) = 1),
-       b AS (
-         SELECT l.event_id, r.click_id, r.click_value, r.ts AS rts
-         FROM purchases l ASOF LEFT JOIN clicks r
-           ON l.user_id = r.user_id AND r.ts <= l.ts),
-       f AS (
-         SELECT l.event_id, r.click_id, r.click_value, r.ts AS rts
-         FROM purchases l ASOF LEFT JOIN clicks r
-           ON l.user_id = r.user_id AND r.ts >= l.ts)
-       SELECT l.event_id, l.user_id, l.ts, l.value,
-         CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
-                   OR epoch_us(l.ts) - epoch_us(b.rts)
-                      <= epoch_us(f.rts) - epoch_us(l.ts))
-              THEN b.click_id ELSE f.click_id END AS click_id,
-         CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
-                   OR epoch_us(l.ts) - epoch_us(b.rts)
-                      <= epoch_us(f.rts) - epoch_us(l.ts))
-              THEN b.click_value ELSE f.click_value END AS click_value
-       FROM purchases l
-       JOIN b USING (event_id) JOIN f USING (event_id)""",
-)
-def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEAREST as-of join (`asof_join(direction="nearest")`): each
-    purchase picks the user's click closest in absolute time, either
-    side, exact ties backward — both traversals share one shuffle
-    (Exchange reuse, two sorts).  Oracle: DuckDB backward + forward
-    native ASOF combined by the same closest/tie rule."""
-    from kusuma_metamorph_etl_spark.operators.joins import asof_join
-    from kusuma_metamorph_etl_spark.operators.windows import top_k_per_group
-
-    events = t(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    clicks = top_k_per_group(
-        events.filter(F.col("event_type") == "click").select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            "ts",
-            F.col("value").alias("click_value"),
-        ),
-        ["user_id", "ts"],
-        [F.col("click_id").desc()],
-        k=1,
-    ).drop("rn")
-    return asof_join(
-        purchases,
-        clicks,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        value_cols=["click_id", "click_value"],
-        direction="nearest",
-    )
-
-
-@register(
-    "txt_perplexity",
-    f"""WITH tok AS MATERIALIZED (
-          SELECT doc_id, {_W_LOWER} AS w FROM documents),
-        big AS MATERIALIZED (
-          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-          FROM tok, unnest(range(1, len(w))) AS t(i)
-          WHERE len(w) >= 2),
-        c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
-        c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
-        v AS (SELECT count(DISTINCT t) AS v FROM (
-                SELECT w1 AS t FROM big UNION SELECT w2 FROM big)),
-        lp AS (
-          SELECT b.doc_id,
-                 CAST(round(log2((coalesce(c2.c2, 0) + 1.0)
-                                 / (coalesce(c1.c1, 0) + (SELECT v FROM v))), 9)
-                      AS DECIMAL(38,9)) AS lp
-          FROM big b
-          LEFT JOIN c2 USING (w1, w2)
-          LEFT JOIN c1 USING (w1))
-        SELECT doc_id, count(*) AS n_bigrams,
-               round(CAST(-sum(lp) AS DOUBLE) / count(*), 6) AS bits_per_bigram
-        FROM lp GROUP BY doc_id""",
-)
-def txt_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-LM perplexity scoring ([EXT] text analysis;
-    `operators/text.py::bigram_lm_scores`): bits-per-bigram of each
-    document under the add-one-smoothed corpus bigram model — the
-    CCNet-style quality-filter signal.  Log terms rounded to 9 dp and
-    summed in exact decimal, so both engines agree bit-for-bit."""
-    docs = t(spark, sf_dir, "documents")
-    return text.bigram_lm_scores(docs)
-
-
-@register(
-    "mm_augment",
-    """WITH dims AS (
-         SELECT doc_id,
-                CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS w,
-                CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS h
-         FROM documents),
-       ops(op) AS (VALUES ('hflip'), ('vflip'), ('rot90'), ('rot180'),
-                          ('rot270'), ('crop_c50'))
-       SELECT doc_id, op,
-         CASE WHEN op IN ('rot90', 'rot270') THEN h
-              WHEN op = 'crop_c50' THEN greatest(w // 2, 1)
-              ELSE w END AS width,
-         CASE WHEN op IN ('rot90', 'rot270') THEN w
-              WHEN op = 'crop_c50' THEN greatest(h // 2, 1)
-              ELSE h END AS height
-       FROM dims CROSS JOIN ops""",
-)
-def mm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic image augmentation fan-out ([EXT] multimodal;
-    `operators/multimodal.py::augment`): flips, quarter rotations and a
-    center crop over REAL PNG decode→re-encode.  The oracle recomputes
-    the expected post-op dimensions from the synthesis contract; flips
-    and rotations must additionally preserve the pixel MEAN exactly
-    (a permutation of the same multiset) — rows violating it are
-    dropped in-query, turning the driver compare red on a wrong
-    transform."""
-    docs = t(spark, sf_dir, "documents")
-    png = multimodal.attach_png_payload(docs)
-    orig = multimodal.extract_binary_features(png).select(
-        "doc_id", F.col("mean_value").alias("orig_mean")
-    )
-    aug = multimodal.augment(png)
-    return (
-        aug.join(orig, "doc_id")
-        .filter(
-            (F.col("op") == "crop_c50")
-            | (F.col("mean_value") == F.col("orig_mean"))
-        )
-        .select("doc_id", "op", "width", "height")
-    )
-
-
-@register(
-    "ts_rolling_distinct",
-    """WITH du AS MATERIALIZED (
-         SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
-       days AS (SELECT DISTINCT d FROM du),
-       fan AS (SELECT d + CAST(i AS INTEGER) AS day_dt, user_id
-               FROM du, unnest(range(0, 7)) AS t(i))
-       SELECT day_dt, count(DISTINCT user_id) AS exact_users
-       FROM fan JOIN days ON days.d = fan.day_dt
-       GROUP BY day_dt""",
-)
-def ts_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day distinct users per day ([EXT] time-series ×
-    sketches; `operators/timeseries.py::rolling_distinct`): per-day HLL
-    sketches fanned to their ≤7 target days and union-merged — distinct
-    counts over a sliding window without re-scanning raw events (frames
-    cannot decompose DISTINCT).  Same `_err` binding as
-    `agg_hll_mergeable`: emits the exact rolling count, drops any day
-    whose merged estimate strays beyond 5%."""
-    ev = t(spark, sf_dir, "events")
-    from kusuma_metamorph_etl_spark.operators.timeseries import rolling_distinct
-
-    approx = rolling_distinct(ev, "ts", "user_id", days=7)
-    exact = (
-        ev.select(F.to_date("ts").alias("d"), "user_id")
-        .distinct()
-        .select(
-            F.explode(F.expr("sequence(0, 6)")).alias("off"), "d", "user_id"
-        )
-        .select(F.date_add("d", F.col("off")).alias("day_dt"), "user_id")
-        .join(
-            ev.select(F.to_date("ts").alias("day_dt")).distinct(), "day_dt"
-        )
-        .groupBy("day_dt")
-        .agg(F.countDistinct("user_id").alias("exact_users"))
-    )
-    joined = approx.join(exact, "day_dt")
-    rel_err = (
-        F.abs(F.col("approx_7d_distinct") - F.col("exact_users"))
-        / F.col("exact_users")
-    )
-    return joined.filter(rel_err <= 0.05).select("day_dt", "exact_users")
-
-
-@register(
-    "mm_audio_augment",
-    """WITH base AS (
-         SELECT doc_id,
-                CAST(64 + octet_length(encode(text)) % 128 AS BIGINT) AS n
-         FROM documents),
-       ops(op) AS (VALUES ('reverse'), ('gain_half'), ('decimate2'),
-                          ('pad_256'))
-       SELECT doc_id, op,
-         CASE WHEN op = 'decimate2' THEN (n + 1) // 2
-              WHEN op = 'pad_256' THEN greatest(n, 256)
-              ELSE n END AS n_samples
-       FROM base CROSS JOIN ops""",
-)
-def mm_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic audio augmentation fan-out ([EXT] multimodal;
-    `operators/multimodal.py::audio_augment`): time reversal, integer
-    gain halving, naive 2x decimation, and fixed-length zero-padding
-    over REAL WAV decode→re-encode.  Oracle: post-op sample counts from
-    the synthesis contract; reversal and padding must additionally
-    preserve the ORIGINAL decode's exact int64 |sample| sum (permutation
-    / zero-extension invariants) — violating rows drop in-query.  The
-    witness is the INDEPENDENT plain-decode path, not a second augment
-    run (r8 review: two augment passes could share a decode/re-encode
-    bug and still agree; the original decode cannot)."""
-    import numpy as np
-
-    docs = t(spark, sf_dir, "documents")
-    wav = multimodal.attach_audio_payload(docs)
-
-    def orig_abs_sum(payload: bytes) -> dict:
-        audio = multimodal.decode_audio(payload)
-        return {
-            "orig_abs": int(np.abs(audio["samples"].astype(np.int64)).sum())
-        }
-
-    orig = multimodal.extract_binary_features(
-        wav, decoder=orig_abs_sum, schema="doc_id long, orig_abs long"
-    )
-    aug = multimodal.audio_augment(wav)
-    return (
-        aug.join(orig, "doc_id")
-        .filter(
-            (~F.col("op").isin("reverse", "pad_256"))
-            | (F.col("sum_abs") == F.col("orig_abs"))
-        )
-        .select("doc_id", "op", "n_samples")
-    )
-
-
-_DEDUP_NORM_ORACLE = """WITH n AS (
-         SELECT doc_id,
-                trim(regexp_replace(
-                    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
-                    '\\s+', ' ', 'g')) AS canon
-         FROM documents)
-       SELECT doc_id FROM (
-         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(canon)) AS keep
-         FROM n)
-       WHERE doc_id = keep"""
-
-
-@register("dedup_normalized", _DEDUP_NORM_ORACLE)
-def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized exact dedup ([EXT]; `operators/text.py::
-    normalize_for_dedup` + `operators/dedup.py::exact_dedup`): casefold,
-    punctuation-strip and whitespace-collapse before hashing, so
-    trivially-reformatted copies collapse — the pre-hash normalization
-    every web-corpus pipeline runs before exact dedup."""
-    docs = t(spark, sf_dir, "documents")
-    canon = docs.select(
-        "doc_id", text.normalize_for_dedup(F.col("text")).alias("text")
-    )
-    return dedup.exact_dedup(canon).select("doc_id")
-
-
-# ASCII → full-width compatibility forms (+ ideographic space); NFKC folds
-# every target character back to its source, so a `translate`d copy is a
-# byte-distinct document that canonicalizes IDENTICALLY under the NFKC path
-# and NOT under the plain path (full-width letters fail [^a-z0-9\s] and are
-# stripped to punctuation-space).
-_FW_SRC = "abcdefghijklmnopqrstuvwxyz0123456789 "
-_FW_DST = (
-    "ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ"
-    "０１２３４５６７８９　"
-)
-
-
-@register("dedup_normalized_nfkc", None)  # NFKC fold — DuckDB has no NFKC builtin
-def dedup_normalized_nfkc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized exact dedup with Unicode NFKC compatibility folding
-    ([EXT]; `operators/text.py::nfkc_fold` — the upgrade seam
-    `dedup_normalized` documents): full-width forms, ligatures, and
-    compatibility digits fold to their canonical ASCII before the
-    casefold/strip/collapse chain, so ｆｕｌｌ-ｗｉｄｔｈ copies hash
-    identically to their ASCII originals.  Rows-only by design (DuckDB
-    has NFC but not NFKC); the recall contract is oracle-bound by
-    `dedup_normalized_nfkc_err` on a planted full-width fixture."""
-    docs = t(spark, sf_dir, "documents")
-    canon = docs.select(
-        "doc_id",
-        text.normalize_for_dedup(F.col("text"), nfkc=True).alias("text"),
-    )
-    return dedup.exact_dedup(canon).select("doc_id")
-
-
-@register("dedup_normalized_nfkc_err", _DEDUP_NORM_ORACLE)
-def dedup_normalized_nfkc_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `dedup_normalized_nfkc`: plant a
-    full-width `translate`d copy of every 11th document under a shifted
-    id (byte-distinct, NFKC-identical), run the NFKC dedup over the
-    planted corpus, and gate on (1) every plant collapsing onto its
-    lower-id ASCII original and (2) the surviving set equalling plain
-    `dedup_normalized` over the clean corpus exactly (NFKC is the
-    identity on the ASCII corpus, so the survivors — and hence the
-    shared oracle — must not move).  Emits the plain-dedup survivor
-    list, which `_DEDUP_NORM_ORACLE` computes."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        F.translate(F.col("text"), _FW_SRC, _FW_DST).alias("text"),
-    )
-    corpus = docs.unionByName(planted)
-    survivors = dedup.exact_dedup(
-        corpus.select(
-            "doc_id",
-            text.normalize_for_dedup(F.col("text"), nfkc=True).alias("text"),
-        )
-    ).select("doc_id")
-    expected = dedup.exact_dedup(
-        docs.select(
-            "doc_id", text.normalize_for_dedup(F.col("text")).alias("text")
-        )
-    ).select("doc_id")
-    stats = (
-        _n(planted, "n_planted")
-        .crossJoin(_n(survivors.filter(F.col("doc_id") >= 2_000_000), "n_alive"))
-        .crossJoin(_n(survivors.exceptAll(expected), "n_extra"))
-        .crossJoin(_n(expected.exceptAll(survivors), "n_miss"))
-    )
-    ok = (
-        (F.col("n_planted") > 0)
-        & (F.col("n_alive") == 0)
-        & (F.col("n_extra") == 0)
-        & (F.col("n_miss") == 0)
-    )
-    return _gate(expected, stats, ok)
-
-
-@register(
-    "dq_psi_drift",
-    """WITH bounds AS (
-         SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
-       binned AS (
-         SELECT CASE WHEN year(o_orderdate) < 1998 THEN 'a' ELSE 'b' END AS side,
-                least(greatest(CAST(floor(
-                    (o_totalprice - (SELECT lo FROM bounds))
-                    / (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 10)
-                  ) AS INTEGER), 0), 9) AS bin
-         FROM orders),
-       observed AS (
-         SELECT bin,
-                count(*) FILTER (WHERE side = 'a') AS na,
-                count(*) FILTER (WHERE side = 'b') AS nb
-         FROM binned GROUP BY bin),
-       counts AS (
-         -- full 0..9 spine: bins empty in BOTH windows still carry
-         -- their smoothed term (mirrors operators/stats.py::psi_drift)
-         SELECT s.bin, coalesce(o.na, 0) AS na, coalesce(o.nb, 0) AS nb
-         FROM (SELECT unnest(range(10)) AS bin) s
-         LEFT JOIN observed o USING (bin)),
-       tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts),
-       terms AS (
-         SELECT na, nb,
-                CAST(round(
-                  ((na + 0.5) / ((SELECT ta FROM tot) + 5.0)
-                   - (nb + 0.5) / ((SELECT tb FROM tot) + 5.0))
-                  * ln(((na + 0.5) / ((SELECT ta FROM tot) + 5.0))
-                       / ((nb + 0.5) / ((SELECT tb FROM tot) + 5.0))), 9)
-                  AS DECIMAL(38,9)) AS term
-         FROM counts)
-       SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi,
-              CAST(sum(na) AS BIGINT) AS n_a,
-              CAST(sum(nb) AS BIGINT) AS n_b,
-              10 AS n_bins
-       FROM terms""",
-)
-def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-Stability-Index drift gate ([EXT] robust stats;
-    `operators/stats.py::psi_drift`): order-value distribution of the
-    pre-1998 reference window vs the 1998 current window, binned on
-    shared bounds, Laplace-smoothed, decimal-summed — the snapshot-drift
-    monitor composed over the mergeable histogram sketch."""
-    from kusuma_metamorph_etl_spark.operators.stats import psi_drift
-
-    orders = t(spark, sf_dir, "orders")
-    a = orders.filter(F.year("o_orderdate") < 1998)
-    b = orders.filter(F.year("o_orderdate") >= 1998)
-    return psi_drift(a, b, "o_totalprice", n_bins=10)
-
-
-@register(
-    "evt_ab_lift",
-    """WITH per_user AS (
-         SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
-                  AS variant,
-                max(CASE WHEN event_type = 'purchase' AND value > 144.0
-                         THEN 1 ELSE 0 END) AS converted
-         FROM events GROUP BY 1, 2),
-       pv AS (SELECT variant, count(*) AS n, sum(converted) AS c
-              FROM per_user GROUP BY variant),
-       j AS (SELECT
-               coalesce((SELECT n FROM pv WHERE variant = 'a'), 0) AS na,
-               coalesce((SELECT c FROM pv WHERE variant = 'a'), 0) AS ca,
-               coalesce((SELECT n FROM pv WHERE variant = 'b'), 0) AS nb,
-               coalesce((SELECT c FROM pv WHERE variant = 'b'), 0) AS cb)
-       SELECT CAST(na AS BIGINT) AS na, CAST(ca AS BIGINT) AS ca,
-              CAST(nb AS BIGINT) AS nb, CAST(cb AS BIGINT) AS cb,
-              round(CASE WHEN na > 0 THEN ca / CAST(na AS DOUBLE) END, 6)
-                  AS rate_a,
-              round(CASE WHEN nb > 0 THEN cb / CAST(nb AS DOUBLE) END, 6)
-                  AS rate_b,
-              round(CASE WHEN na > 0 AND nb > 0 THEN
-                cb / CAST(nb AS DOUBLE) - ca / CAST(na AS DOUBLE) END, 6)
-                  AS abs_lift,
-              CASE WHEN na > 0 AND nb > 0
-                    AND ca + cb > 0 AND ca + cb < na + nb THEN
-                round((cb / CAST(nb AS DOUBLE) - ca / CAST(na AS DOUBLE))
-                      / sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
-                             * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
-                             * (1.0 / na + 1.0 / nb)), 6) END AS z
-       FROM j""",
-)
-def evt_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A/B conversion lift ([EXT] event analytics; `operators/events.py::
-    ab_lift`): even/odd user split, high-value-purchase conversion
-    (value > 144 — a mid-rate event, so the z-test has variance to
-    measure), absolute lift
-    and pooled two-proportion z — one user-keyed agg + a 2-row rollup."""
-    from kusuma_metamorph_etl_spark.operators.events import ab_lift
-
-    ev = t(spark, sf_dir, "events")
-    return ab_lift(
-        ev,
-        variant_col=F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"),
-        convert_when=(F.col("event_type") == "purchase")
-        & (F.col("value") > 144.0),
-    )
-
-
-@register(
-    "samp_kfold",
-    """SELECT doc_id,
-              CAST(('0x' || substr(md5('42|' || doc_id), 1, 8))::BIGINT % 5
-                   AS INTEGER) AS fold
-       FROM documents""",
-)
-def samp_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 5-fold assignment ([EXT] sampling;
-    `operators/sampling.py::kfold_assign`) — content-keyed, disjoint,
-    exhaustive; the reproducible cross-validation split."""
-    docs = t(spark, sf_dir, "documents")
-    return sampling.kfold_assign(docs.select("doc_id"), F.col("doc_id"), k=5)
-
-
-_CANON = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
-    " '\\s+', ' ', 'g'))"
-)
-
-@register(
-    "mart_llm_dataprep",
-    f"""WITH surviving AS MATERIALIZED (
-          SELECT * FROM (
-            SELECT d.*, min(doc_id) OVER (PARTITION BY md5({_CANON})) AS keep_id
-            FROM documents d)
-          WHERE doc_id = keep_id),
-        tok AS (SELECT doc_id, text, source, lang, {_W_TEXT} AS w, {_W_LOWER} AS wl
-                FROM surviving),
-        m AS (
-          SELECT doc_id,
-                 (text IS NULL) AS is_null_text,
-                 len(w) AS n_tokens,
-                 CASE WHEN len(w) > 0
-                      THEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
-                      ELSE 0.0 END AS avg_wl,
-                 CASE WHEN length(text) > 0
-                      THEN CAST(len(regexp_extract_all(text,
-                               '[#@<>{{}}\\[\\]\\\\|~^]')) AS DOUBLE)
-                           / length(text)
-                      ELSE 0.0 END AS sym_ratio,
-                 CASE WHEN len(w) > 0
-                      THEN CAST(len(list_filter(wl,
-                               x -> x IN ('the','a','and','of','to','in','is','it')))
-                               AS DOUBLE) / len(w)
-                      ELSE 0.0 END AS stop_ratio,
-                 CASE WHEN greatest(len(w) - 1, 0) > 0
-                      THEN round(1.0 - CAST(len(list_distinct(
-                               list_transform(range(1, greatest(len(w) - 1, 0) + 1),
-                                              i -> concat_ws(' ', w[i], w[i+1]))))
-                               AS DOUBLE) / (len(w) - 1), 6)
-                      ELSE 0.0 END AS rep2
-          FROM tok),
-        kept AS (
-          SELECT t.doc_id, t.source, t.lang, m.n_tokens
-          FROM tok t JOIN m USING (doc_id)
-          WHERE NOT (m.is_null_text OR m.n_tokens < 20 OR m.n_tokens > 100000
-                     OR m.avg_wl < 2.0 OR m.avg_wl > 12.0 OR m.sym_ratio > 0.12
-                     OR m.stop_ratio < 0.02 OR m.rep2 > 0.6)
-            AND t.lang = 'en'),
-        c AS (SELECT source, count(*)::DOUBLE AS n FROM kept GROUP BY source),
-        mn AS (SELECT min(n) AS nmin FROM c),
-        r AS (SELECT source,
-                     round(least(1.0, pow(n / (SELECT nmin FROM mn), -0.5)), 9)
-                         AS keep_rate
-              FROM c)
-        SELECT k.doc_id, k.source, k.lang, CAST(k.n_tokens AS BIGINT) AS n_tokens,
-               r.keep_rate
-        FROM kept k JOIN r USING (source)
-        WHERE ('0x' || substr(md5('42|' || k.doc_id), 1, 8))::BIGINT
-              / 4294967296.0 < r.keep_rate""",
-)
-def mart_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end LLM training-data prep as ONE composed pipeline ([EXT]
-    flagship composition): normalized exact dedup (reformatted copies
-    collapse, lowest id wins) → Gopher quality filter → language gate →
-    temperature source rebalancing — each stage the registered operator,
-    chained exactly as a corpus job would run them, with the WHOLE
-    pipeline oracle-checked end to end.  Plan: one dedup shuffle, scan-
-    speed narrow filters, one tiny rate agg + broadcast — the fact
-    stream shuffles once."""
-    docs = t(spark, sf_dir, "documents")
-    canon = docs.select(
-        "doc_id", text.normalize_for_dedup(F.col("text")).alias("__canon")
-    )
-    keep_ids = (
-        canon.select("doc_id", F.md5("__canon").alias("__fp"))
-        .groupBy("__fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    surviving = docs.join(keep_ids, "doc_id", "left_semi")
-    # ONE materialization point, placed AFTER the Gopher projection and
-    # BEFORE any filter on its outputs.  Two documented traps meet here:
-    # (1) `filter(keep)` otherwise PUSHES the whole rule-chain predicate
-    # below the projection, substituting the tokenizer alias into its
-    # ~10 rule references (filter-pushdown has no non-cheap-alias guard
-    # the way CollapseProject does) — measured 14-15s for the quality
-    # stage vs ~1.3s unpushed; (2) temperature_sample reads its input on
-    # three plan branches.  Checkpointing the projected frame makes
-    # `keep` a materialized COLUMN (filters on it are free) and lets the
-    # sampler's branches share one evaluation: whole pipeline 33s → ~3s
-    # at sf0.1.  On a cluster this is exactly where the filtered corpus
-    # would be persisted as a table anyway.
-    quality_all = text.gopher_filter(surviving).localCheckpoint(eager=False)
-    english = (
-        quality_all.filter(F.col("keep"))
-        .filter(F.col("lang") == "en")
-        .drop("keep", "reject_reason")
-    )
-    sampled = sampling.temperature_sample(
-        english, "source", F.col("doc_id"), alpha=0.5
-    )
-    return sampled.select(
-        "doc_id",
-        "source",
-        "lang",
-        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        "keep_rate",
-    )
-
-
-@register(
-    "evt_streaks",
-    """WITH days AS (
-         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-       isl AS (
-         SELECT user_id, d,
-                date_diff('day', DATE '1970-01-01', d)
-                - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
-         FROM days)
-       SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
-              count(*) AS streak_days
-       FROM isl GROUP BY user_id, island""",
-)
-def evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consecutive-day activity streaks ([EXT] event analytics;
-    `operators/events.py::activity_streaks`): gaps-and-islands over
-    day-grain rows — the N-day-streak engagement feature; the distinct
-    (user, day) collapse keeps windows day-bounded, never event-bounded."""
-    from kusuma_metamorph_etl_spark.operators.events import activity_streaks
-
-    return activity_streaks(t(spark, sf_dir, "events"))
-
-
-@register(
-    "dq_null_profile",
-    """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
-              CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-              count(DISTINCT o_custkey) AS n_distinct FROM orders
-       UNION ALL
-       SELECT 'o_orderstatus', count(*),
-              CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-              count(DISTINCT o_orderstatus) FROM orders
-       UNION ALL
-       SELECT 'o_totalprice', count(*),
-              CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-              count(DISTINCT o_totalprice) FROM orders
-       UNION ALL
-       SELECT 'o_orderpriority', count(*),
-              CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-              count(DISTINCT o_orderpriority) FROM orders""",
-)
-def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass column profiling ([EXT] quality; `plans/quality.py::
-    profile_columns`): rows / nulls / distinct per column from a single
-    aggregation + stack unpivot — null creep and cardinality collapse
-    are the classic silent schema-rot signals."""
-    from kusuma_metamorph_etl_spark.plans.quality import profile_columns
-
-    orders = t(spark, sf_dir, "orders")
-    return profile_columns(
-        orders, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
-    )
-
-
-@register(
-    "mart_rfm",
-    f"""WITH per_cust AS (
-          SELECT o_custkey AS custkey,
-                 date_diff('day', CAST(max(o_orderdate) AS DATE),
-                           DATE '{RUN_DATE}') AS recency_days,
-                 count(*) AS frequency,
-                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
-                      AS DOUBLE) AS monetary
-          FROM orders GROUP BY o_custkey)
-        SELECT custkey, recency_days, frequency, monetary,
-               ntile(5) OVER (ORDER BY recency_days, custkey) AS r_score,
-               ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
-               ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
-        FROM per_cust""",
-)
-def mart_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation mart ([EXT] composition): per-customer
-    recency (days to the fixed RUN_DATE snapshot) / frequency / exact-
-    decimal monetary, each quintiled with a deterministic custkey
-    tie-break (r_score 1 = most recent; f/m 1 = heaviest).  The ntile
-    windows are global by design — they run on the CUSTOMER grain
-    (post-aggregation), which is orders-of-magnitude smaller than the
-    fact table; the same two-regime rank machinery as
-    `win_percent_rank` is the escape hatch if the customer dimension
-    itself outgrows a sort."""
-    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
-
-    orders = t(spark, sf_dir, "orders")
-    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.datediff(
-            F.lit(RUN_DATE).cast("date"), F.to_date(F.max("o_orderdate"))
-        ).alias("recency_days"),
-        F.count(F.lit(1)).alias("frequency"),
-        decimal_sum(F.col("o_totalprice")).alias("monetary"),
-    )
-    from pyspark.sql import Window
-
-    r_w = Window.orderBy("recency_days", "custkey")
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
-    return per_cust.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
-    )
-
-
-@register(
-    "mart_user_engagement",
-    f"""WITH x AS (
-          SELECT user_id, event_id, ts,
-                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                           > 1800 * 1000000
-                      THEN 1 ELSE 0 END AS ns
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        sess AS (
-          SELECT user_id AS "user",
-                 CAST(count(*) AS BIGINT) AS n_events,
-                 CAST(sum(ns) AS BIGINT) AS n_sessions
-          FROM x GROUP BY user_id),
-        days AS (SELECT DISTINCT user_id AS "user", CAST(ts AS DATE) AS d
-                 FROM events),
-        isl AS (
-          SELECT "user", d,
-                 date_diff('day', DATE '1970-01-01', d)
-                 - row_number() OVER (PARTITION BY "user" ORDER BY d) AS island
-          FROM days),
-        st AS (
-          SELECT "user", max(n) AS longest_streak,
-                 CAST(sum(n) AS BIGINT) AS n_active_days
-          FROM (SELECT "user", island, count(*) AS n
-                FROM isl GROUP BY "user", island)
-          GROUP BY "user"),
-        last AS (
-          SELECT user_id AS "user",
-                 date_diff('day', CAST(max(ts) AS DATE), DATE '{RUN_DATE}')
-                     AS recency_days
-          FROM events GROUP BY user_id)
-        SELECT s."user", s.n_events, s.n_sessions, st.longest_streak,
-               st.n_active_days, last.recency_days,
-               ntile(4) OVER (ORDER BY s.n_events DESC, s."user")
-                   AS engagement_tier
-        FROM sess s JOIN st USING ("user") JOIN last USING ("user")""",
-)
-def mart_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-engagement mart ([EXT] composition, the events-side twin of
-    `mart_llm_dataprep`): sessionization, consecutive-day streaks, and
-    snapshot recency composed into one per-user profile with an
-    events-quartile engagement tier.  Every stage is the registered
-    operator; the ntile runs on the post-agg USER grain.  One
-    user-keyed shuffle feeds sessionize and the per-user rollup; the
-    streak branch reuses the day-grain collapse."""
-    from pyspark.sql import Window
-
-    from kusuma_metamorph_etl_spark.operators.events import (
-        activity_streaks,
-        sessionize,
-    )
-
-    ev = t(spark, sf_dir, "events")
-    sess = sessionize(ev, gap_seconds=1800)
-    per_user = sess.groupBy(F.col("user_id").alias("user")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max("session_idx").alias("n_sessions"),
-    )
-    st = (
-        activity_streaks(ev)
-        .groupBy(F.col("user_id").alias("user"))
-        .agg(
-            F.max("streak_days").alias("longest_streak"),
-            F.sum("streak_days").alias("n_active_days"),
-        )
-    )
-    last = ev.groupBy(F.col("user_id").alias("user")).agg(
-        F.datediff(
-            F.lit(RUN_DATE).cast("date"), F.to_date(F.max("ts"))
-        ).alias("recency_days")
-    )
-    joined = per_user.join(st, "user").join(last, "user")
-    tier_w = Window.orderBy(F.desc("n_events"), F.asc("user"))
-    return joined.select(
-        "user",
-        "n_events",
-        "n_sessions",
-        "longest_streak",
-        "n_active_days",
-        "recency_days",
-        F.ntile(4).over(tier_w).alias("engagement_tier"),
-    )
-
-
-@register(
-    "evt_funnel_timing",
-    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
-                  WHERE event_type = 'view' GROUP BY 1),
-        c AS (SELECT e.user_id, min(e.ts) AS t_click
-              FROM events e JOIN v ON e.user_id = v.user_id
-              WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
-        p AS (SELECT e.user_id, min(e.ts) AS t_purchase
-              FROM events e JOIN c ON e.user_id = c.user_id
-              WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1),
-        f AS (SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
-              FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
-       SELECT 'view' AS stage_from, 'click' AS stage_to,
-              count(t_click) AS n_converted,
-              round(quantile_cont((epoch_us(t_click) - epoch_us(t_view))
-                                  / 1e6, 0.5), 6) AS median_seconds,
-              round(quantile_cont((epoch_us(t_click) - epoch_us(t_view))
-                                  / 1e6, 0.9), 6) AS p90_seconds
-       FROM f
-       UNION ALL
-       SELECT 'click', 'purchase', count(t_purchase),
-              round(quantile_cont((epoch_us(t_purchase) - epoch_us(t_click))
-                                  / 1e6, 0.5), 6),
-              round(quantile_cont((epoch_us(t_purchase) - epoch_us(t_click))
-                                  / 1e6, 0.9), 6)
-       FROM f""",
-)
-def evt_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel stage-timing profile ([EXT] event analytics;
-    `operators/events.py::funnel_timing`): converting users and exact
-    median / p90 seconds between adjacent view→click→purchase stages —
-    the "where does the funnel stall" readout, one aggregation over the
-    one-scan funnel's user-grain frame."""
-    from kusuma_metamorph_etl_spark.operators.events import funnel_timing
-
-    return funnel_timing(
-        t(spark, sf_dir, "events"), stages=["view", "click", "purchase"]
-    )
-
-
-@register(
-    "dq_psi_categorical",
-    """WITH c AS (
-         SELECT o_orderpriority AS cat,
-                count(*) FILTER (WHERE year(o_orderdate) < 1998) AS na,
-                count(*) FILTER (WHERE year(o_orderdate) >= 1998) AS nb
-         FROM orders GROUP BY 1),
-       k AS (SELECT count(*) AS cats FROM c),
-       tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM c),
-       terms AS (
-         SELECT na, nb,
-                CAST(round(
-                  ((na + 0.5) / ((SELECT ta FROM tot)
-                                 + 0.5 * (SELECT cats FROM k))
-                   - (nb + 0.5) / ((SELECT tb FROM tot)
-                                   + 0.5 * (SELECT cats FROM k)))
-                  * ln(((na + 0.5) / ((SELECT ta FROM tot)
-                                      + 0.5 * (SELECT cats FROM k)))
-                       / ((nb + 0.5) / ((SELECT tb FROM tot)
-                                        + 0.5 * (SELECT cats FROM k)))), 9)
-                  AS DECIMAL(38,9)) AS term
-         FROM c)
-       SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi,
-              CAST(sum(na) AS BIGINT) AS n_a,
-              CAST(sum(nb) AS BIGINT) AS n_b,
-              CAST((SELECT cats FROM k) AS INTEGER) AS n_categories
-       FROM terms""",
-)
-def dq_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Categorical PSI drift ([EXT] robust stats; `operators/stats.py::
-    psi_drift_categorical`): order-priority mix of the pre-1998 window
-    vs 1998+ — the composition-shift monitor for categorical columns
-    (language/source mixes in corpora take the same path)."""
-    from kusuma_metamorph_etl_spark.operators.stats import psi_drift_categorical
-
-    orders = t(spark, sf_dir, "orders")
-    a = orders.filter(F.year("o_orderdate") < 1998)
-    b = orders.filter(F.year("o_orderdate") >= 1998)
-    return psi_drift_categorical(a, b, "o_orderpriority")
-
-
-@register(
-    "evt_cohort_ltv",
-    """WITH first AS (
-         SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
-         FROM events GROUP BY user_id)
-       SELECT f.cohort_day,
-              date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
-              count(DISTINCT e.user_id) AS n_users,
-              CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38,6))), 2) AS DOUBLE)
-                  AS revenue
-       FROM events e JOIN first f USING (user_id)
-       GROUP BY 1, 2""",
-)
-def evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort LTV triangle ([EXT] event analytics; `operators/events.py::
-    cohort_revenue`): exact-decimal revenue per (first-day cohort,
-    return-day offset) — cumulative row-sums are the lifetime-value
-    curves; the money twin of `evt_retention`."""
-    from kusuma_metamorph_etl_spark.operators.events import cohort_revenue
-
-    return cohort_revenue(t(spark, sf_dir, "events"))
-
-
-@register(
-    "agg_bloom_join",
-    """SELECT o.o_orderpriority AS priority,
-              count(*) AS n_orders,
-              CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)
-                   AS DOUBLE) AS revenue
-       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-       WHERE c.c_mktsegment = 'BUILDING'
-       GROUP BY 1""",
-)
-def agg_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-prefiltered equi-join ([EXT] mergeable sketches;
-    `operators/sketches.py::bloom_prefilter_join`): revenue per priority
-    for BUILDING-segment customers, with the fact side pre-filtered by a
-    Bloom sketch of the dim keys before the exact join.  The oracle is
-    the PLAIN join — Bloom filters have zero false negatives and the
-    exact join removes the false positives, so result equality IS the
-    correctness contract (any false negative changes the aggregate and
-    the driver goes red)."""
-    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
-    from kusuma_metamorph_etl_spark.operators.sketches import (
-        bloom_prefilter_join,
-    )
-
-    orders = t(spark, sf_dir, "orders")
-    dim = (
-        t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select(F.col("c_custkey").alias("o_custkey"))
-    )
-    joined = bloom_prefilter_join(orders, dim, on="o_custkey", n_bits=1 << 16)
-    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        decimal_sum(F.col("o_totalprice")).alias("revenue"),
-    )
-
-
-@register("dedup_semantic", None)  # k-means cell blocking — rows-only
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup ([EXT] dedup family;
-    `operators/dedup.py::semantic_dedup`): survivors after dropping every
-    vector whose cosine to a lower-id vector in the same k-means cell is
-    ≥ 0.3.  Cell blocking is recall-approximate (boundary pairs can be
-    missed) so the row is rows-only; the oracle-bound contract lives in
-    `dedup_semantic_err`."""
-    emb = t(spark, sf_dir, "embeddings")
-    return dedup.semantic_dedup(emb, threshold=0.3).select("vec_id", "label")
-
-
-@register(
-    "dedup_semantic_err",
-    """SELECT vec_id AS a, vec_id + 1000000 AS b
-       FROM embeddings WHERE vec_id % 13 = 0""",
-)
-def dedup_semantic_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `dedup_semantic`: plant an EXACT copy
-    of every 13th vector under a shifted id — identical vectors always
-    share an argmax cell (ties break on cell index, deterministically),
-    so cell blocking must recover every planted pair in the regime the
-    algorithm targets (high-threshold semantic duplicates; SemDeDup
-    operates at ~0.9+, not at 0.3 where pairs span cells).  Emits the
-    oracle-computable planted-pair list gated on (1) every planted copy
-    DROPPED at threshold 0.9 (lowest-id-wins), and (2) the survivor set
-    being a superset of the exact `embedding_dedup` survivors on the
-    same planted corpus (blocking can only MISS pairs, never invent
-    drops)."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") % 13 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
-    )
-    corpus = emb.unionByName(planted)
-    sem = dedup.semantic_dedup(corpus, threshold=0.9).select("vec_id")
-    exact = dedup.embedding_dedup(corpus, threshold=0.9).select("vec_id")
-    expected = emb.filter(F.col("vec_id") % 13 == 0).select(
-        F.col("vec_id").alias("a"), (F.col("vec_id") + 1_000_000).alias("b")
-    )
-    surviving_copies = sem.filter(F.col("vec_id") >= 1_000_000)
-    superset_viol = exact.join(sem, "vec_id", "left_anti")
-    stats = (
-        _n(expected, "n_exp")
-        .crossJoin(_n(surviving_copies, "n_copy"))
-        .crossJoin(_n(superset_viol, "n_viol"))
-    )
-    ok = (
-        (F.col("n_exp") > 0)
-        & (F.col("n_copy") == 0)
-        & (F.col("n_viol") == 0)
-    )
-    return _gate(expected, stats, ok)
-
-
-@register("dedup_semantic_incr", None)  # frozen-cell blocking — rows-only
-def dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental SemDeDup ([EXT] dedup family, VERDICT r8 #5;
-    `operators/dedup.py::incremental_semantic_pairs`): tonight's batch
-    (vec_id%5==0) against the standing corpus persisted as a frozen-
-    centroid IVF index — new vectors assign to frozen cells, only the
-    touched cells' partitions are read back, the corpus is never
-    re-paired against itself.  Cell blocking is recall-approximate, so
-    rows-only; the oracle-bound contract is `dedup_semantic_incr_err`."""
-    import shutil
-    import tempfile
-
-    emb = t(spark, sf_dir, "embeddings")
-    new = emb.filter(F.col("vec_id") % 5 == 0)
-    hist = emb.filter(F.col("vec_id") % 5 != 0)
-    tmp = tempfile.mkdtemp(prefix="sem_index_")
-    try:
-        similarity.write_ivf_index(hist, tmp, n_centroids=16)
-        out = dedup.incremental_semantic_pairs(new, tmp, threshold=0.3)
-        out = spark.createDataFrame(
-            out.select(
-                "new_id", "match_id", "against",
-                F.round("cosine", 6).alias("cosine"),
-            ).collect(),
-            schema="new_id long, match_id long, against string, cosine double",
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
-
-
-@register(
-    "dedup_semantic_incr_err",
-    """SELECT vec_id + 1000000 AS new_id, vec_id AS match_id
-       FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 13 = 0""",
-)
-def dedup_semantic_incr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `dedup_semantic_incr` (mirrors
-    `dedup_minhash_incr_err`'s contract): plant an EXACT copy of every
-    13th CORPUS vector into the new batch under a shifted id — identical
-    vectors always land in the frozen argmax cell their original
-    occupies, so the incremental path must recover EVERY planted
-    (copy → history original) pair at threshold 0.9.  Emits the
-    oracle-computable planted-pair list gated on full recovery with
-    ``against='history'`` — a broken index write, a frozen-assignment
-    drift, or lost partition pruning empties the output and flips the
-    driver red."""
-    import shutil
-    import tempfile
-
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    hist = emb.filter(F.col("vec_id") % 5 != 0)
-    planted = hist.filter(F.col("vec_id") % 13 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
-    )
-    new = emb.filter(F.col("vec_id") % 5 == 0).unionByName(planted)
-    tmp = tempfile.mkdtemp(prefix="sem_index_err_")
-    try:
-        similarity.write_ivf_index(hist, tmp, n_centroids=16)
-        pairs = dedup.incremental_semantic_pairs(new, tmp, threshold=0.9)
-        pairs = spark.createDataFrame(
-            pairs.filter(F.col("against") == "history")
-            .select("new_id", "match_id")
-            .collect(),
-            schema="new_id long, match_id long",
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    expected = hist.filter(F.col("vec_id") % 13 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("new_id"),
-        F.col("vec_id").alias("match_id"),
-    )
-    hit = expected.join(pairs, ["new_id", "match_id"], "left_semi")
-    stats = _n(expected, "n_exp").crossJoin(_n(hit, "n_hit"))
-    ok = (F.col("n_exp") > 0) & (F.col("n_hit") == F.col("n_exp"))
-    return _gate(expected, stats, ok)
-
-
-@register(
-    "ts_ewma",
-    f"""WITH agg AS MATERIALIZED (
-          SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day_dt,
-                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
-                      AS DOUBLE) AS revenue
-          FROM orders GROUP BY 1, 2),
-        d AS (SELECT priority, day_dt, revenue, {_EPOCHD} AS ed FROM agg),
-        fan AS (
-          SELECT priority, ed + t.off AS anchor,
-                 CAST(round(revenue * power(0.8, t.off), 6)
-                      AS DECIMAL(38,6)) AS u,
-                 CAST(round(power(0.8, t.off), 9) AS DECIMAL(38,9)) AS s
-          FROM d, range(0, 64) t(off)),
-        sums AS (
-          SELECT priority, anchor, sum(u) AS su, sum(s) AS ss
-          FROM fan GROUP BY 1, 2)
-        SELECT d.priority, d.day_dt, d.revenue,
-               round(CAST(su AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS ewma
-        FROM d JOIN sums ON sums.priority = d.priority AND sums.anchor = d.ed""",
-)
-def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar-decay truncated EWMA ([EXT] time-series;
-    `operators/timeseries.py::ewma`): the per-priority daily revenue
-    series smoothed with α = 0.2 over a 64-day decay window — the
-    recurrence removed via bounded per-observation fan-out (no
-    sequential state, no single task, no weight underflow)."""
-    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
-    from kusuma_metamorph_etl_spark.operators.timeseries import ewma
-
-    orders = t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        F.to_date("o_orderdate").alias("day_dt"),
-    ).agg(decimal_sum(F.col("o_totalprice")).alias("revenue"))
-    return ewma(daily, ["priority"], "day_dt", "revenue", alpha=0.2)
-
-
-@register(
-    "dq_expectations",
-    """SELECT * FROM (
-         SELECT 'not_null' AS "check", 'o_orderkey' AS "column",
-                CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
-                    AS observed,
-                count(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS passed
-         FROM orders
-         UNION ALL
-         SELECT 'unique', 'o_orderkey',
-                CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
-                count(o_orderkey) = count(DISTINCT o_orderkey)
-         FROM orders
-         UNION ALL
-         SELECT 'between(1,600000)', 'o_totalprice',
-                CAST(count(*) FILTER (WHERE o_totalprice < 1
-                                         OR o_totalprice > 600000) AS BIGINT),
-                count(*) FILTER (WHERE o_totalprice < 1
-                                    OR o_totalprice > 600000) = 0
-         FROM orders
-         UNION ALL
-         SELECT 'in_set(O,F,P)', 'o_orderstatus',
-                CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
-                        AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
-                count(*) FILTER (WHERE o_orderstatus IS NOT NULL
-                        AND o_orderstatus NOT IN ('O','F','P')) = 0
-         FROM orders
-         UNION ALL
-         SELECT 'matches(^[1-5]-)', 'o_orderpriority',
-                CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
-                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
-                     AS BIGINT),
-                count(*) FILTER (WHERE o_orderpriority IS NOT NULL
-                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
-         FROM orders
-         UNION ALL
-         SELECT 'predicate(date_in_range)', '*',
-                CAST(count(*) FILTER (WHERE NOT coalesce(
-                    o_orderdate >= TIMESTAMP '1992-01-01'
-                    AND o_orderdate < TIMESTAMP '1999-01-01', false))
-                     AS BIGINT),
-                count(*) FILTER (WHERE NOT coalesce(
-                    o_orderdate >= TIMESTAMP '1992-01-01'
-                    AND o_orderdate < TIMESTAMP '1999-01-01', false)) = 0
-         FROM orders
-         UNION ALL
-         SELECT 'row_count_min(1000)', '*',
-                CAST(count(*) AS BIGINT), count(*) >= 1000
-         FROM orders)""",
-)
-def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass declarative expectations suite ([EXT] quality;
-    `plans/quality.py::expectations`): six checks — null, uniqueness,
-    range, value-set, regex, volume — over `orders`, all computed in ONE
-    aggregation pass (the Deequ/Great-Expectations report shape)."""
-    from kusuma_metamorph_etl_spark.plans.quality import expectations
-
-    return expectations(
-        t(spark, sf_dir, "orders"),
-        [
-            ("not_null", "o_orderkey"),
-            ("unique", "o_orderkey"),
-            ("between", "o_totalprice", 1, 600000),
-            ("in_set", "o_orderstatus", ["O", "F", "P"]),
-            ("matches", "o_orderpriority", "^[1-5]-"),
-            (
-                "predicate",
-                "date_in_range",
-                "o_orderdate >= timestamp'1992-01-01' "
-                "and o_orderdate < timestamp'1999-01-01'",
-            ),
-            ("row_count_min", 1000),
-        ],
-    )
-
-
-@register(
-    "evt_attribution",
-    """WITH touched AS (
-         SELECT user_id, event_type, value,
-                last_value(CASE WHEN event_type <> 'purchase'
-                                THEN event_type END IGNORE NULLS)
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                  AS channel_last
-         FROM events)
-       SELECT coalesce(channel_last, 'direct') AS channel,
-              count(*) AS n_conversions,
-              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
-                  AS revenue
-       FROM touched WHERE event_type = 'purchase'
-       GROUP BY 1""",
-)
-def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-touch conversion attribution ([EXT] event analytics;
-    `operators/events.py::attribution`): every purchase credited to the
-    user's most recent preceding non-purchase touch (no-touch purchases
-    bucket as 'direct'), rolled up to revenue per channel — one
-    user-keyed window pass + one aggregate."""
-    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
-    from kusuma_metamorph_etl_spark.operators.events import attribution
-
-    att = attribution(t(spark, sf_dir, "events"))
-    return att.groupBy(
-        F.coalesce("channel_last", F.lit("direct")).alias("channel")
-    ).agg(
-        F.count(F.lit(1)).alias("n_conversions"),
-        decimal_sum(F.col("value")).alias("revenue"),
-    )
-
-
-@register(
-    "agg_kmv_intersect",
-    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
-        b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
-       SELECT (SELECT count(*) FROM a) AS n_a,
-              (SELECT count(*) FROM b) AS n_b,
-              (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
-                  AS n_union,
-              (SELECT count(*) FROM a JOIN b USING (o_custkey))
-                  AS n_intersection""",
-)
-def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV/theta sketch set-intersection estimate ([EXT] mergeable
-    sketches; `operators/sketches.py::kmv_sketch/kmv_intersect`) — the
-    query HLL cannot answer: how many customers placed BOTH open and
-    filled orders, from two 256-hash sketches instead of the raw sets.
-    Emits the EXACT counts (oracle-computable) gated on all four KMV
-    estimates landing within their error bounds (10% for the direct
-    set estimates at k=256 where σ ≈ 1/√k ≈ 6%; 15% for the composed
-    intersection) — a regression in the sketch math empties the output
-    and flips the driver red."""
-    from kusuma_metamorph_etl_spark.operators.sketches import (
-        kmv_intersect,
-        kmv_sketch,
-    )
-
-    orders = t(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    est = kmv_intersect(
-        kmv_sketch(a, "o_custkey", k=256), kmv_sketch(b, "o_custkey", k=256), k=256
-    )
-    da, db = a.distinct(), b.distinct()
-    exact = (
-        _n(da, "n_a")
-        .crossJoin(_n(db, "n_b"))
-        .crossJoin(_n(da.unionByName(db).distinct(), "n_union"))
-        .crossJoin(_n(da.join(db, "o_custkey"), "n_intersection"))
-    )
-    stats = exact.crossJoin(F.broadcast(est))
-    within = (
-        lambda e, x, tol: F.abs(F.col(e) - F.col(x)) <= tol * F.col(x)
-    )
-    ok = (
-        within("est_a", "n_a", 0.10)
-        & within("est_b", "n_b", 0.10)
-        & within("est_union", "n_union", 0.10)
-        & within("est_intersection", "n_intersection", 0.15)
-    )
-    return _gate(exact, stats, ok)
-
-
-@register(
-    "evt_markov",
-    """WITH p AS (
-         SELECT lag(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS prev_type,
-                event_type AS next_type
-         FROM events),
-        c AS (SELECT prev_type, next_type, count(*) AS n
-              FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
-       SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
-              round(CAST(n AS DOUBLE)
-                    / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE),
-                    6) AS p
-       FROM c""",
-)
-def evt_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over event types ([EXT]
-    event analytics; `operators/events.py::transition_matrix`):
-    row-normalized (prev → next) probabilities across all user
-    journeys — one user-keyed lag window + one pair count."""
-    from kusuma_metamorph_etl_spark.operators.events import transition_matrix
-
-    return transition_matrix(t(spark, sf_dir, "events"))
-
-
-@register(
-    "ts_seasonal",
-    """WITH agg AS MATERIALIZED (
-          SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day_dt,
-                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
-                      AS DOUBLE) AS revenue
-          FROM orders GROUP BY 1, 2),
-        dw AS (SELECT priority, dayofweek(day_dt) + 1 AS dow,
-                      round(avg(revenue), 6) AS dow_mean
-               FROM agg GROUP BY 1, 2),
-        ov AS (SELECT priority, round(avg(revenue), 6) AS mean
-               FROM agg GROUP BY 1)
-       SELECT a.priority, a.day_dt, a.revenue,
-              dayofweek(a.day_dt) + 1 AS dow,
-              round(dw.dow_mean - ov.mean, 6) AS seasonal,
-              round(a.revenue - (dw.dow_mean - ov.mean), 6) AS deseasonalized
-       FROM agg a
-       JOIN dw ON dw.priority = a.priority
-              AND dw.dow = dayofweek(a.day_dt) + 1
-       JOIN ov ON ov.priority = a.priority""",
-)
-def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly seasonal decomposition ([EXT] time-series;
-    `operators/timeseries.py::seasonal_profile`): day-of-week additive
-    profile + deseasonalized residual of the per-priority daily revenue
-    series — the pre-pass that makes `evt_rate_anomaly`'s z-score
-    compare a Monday to Mondays instead of to the whole week."""
-    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
-    from kusuma_metamorph_etl_spark.operators.timeseries import seasonal_profile
-
-    orders = t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        F.to_date("o_orderdate").alias("day_dt"),
-    ).agg(decimal_sum(F.col("o_totalprice")).alias("revenue"))
-    return seasonal_profile(daily, ["priority"], "day_dt", "revenue")
-
-
-@register("sim_ivf_persisted_err", _TOPK_ORACLE)
-def sim_ivf_persisted_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver row for the PERSISTED IVF index lifecycle (build → write
-    cell-partitioned → partition-pruned search;
-    `operators/similarity.py::write_ivf_index/ivf_search`): exact top-5
-    baseline gated on the persisted-index search hitting the same ≥ 0.35
-    recall bound as the inline IVF row — so a broken index write, a
-    centroid/assignment drift between write and search, or lost
-    partition pruning all empty the output and flip the driver red.
-    The index round-trips through a run-scoped temp dir (the index is a
-    DERIVED artifact; rebuilt per run here, persisted across runs in
-    production)."""
-    import shutil
-    import tempfile
-
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    tmp = tempfile.mkdtemp(prefix="ivf_index_")
-    try:
-        similarity.write_ivf_index(emb, tmp, n_centroids=16)
-        approx = similarity.ivf_search(spark, tmp, queries, k=5, n_probe=4)
-        # materialize before the temp dir disappears: the gate compare
-        # re-executes the plan, which must not dangle on deleted files
-        approx = spark.createDataFrame(
-            approx.select("query_id", "neighbor_id").collect(),
-            schema="query_id long, neighbor_id long",
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return _topk_err(spark, sf_dir, approx, bound=0.35)
-
-
-@register(
-    "txt_search_and",
-    f"""SELECT doc_id
-       FROM (SELECT doc_id, {_W_TEXT} AS w FROM documents)
-       WHERE list_contains(w, 'batch') AND list_contains(w, 'scan')
-         AND list_contains(w, 'merge')""",
-)
-def txt_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted inverted-index AND-search ([EXT] text;
-    `operators/text.py::build_inverted_index/search_all_terms`): docs
-    containing ALL of {{batch, scan, merge}}, answered from a
-    bucket-partitioned posting index with the scan pruned to the query
-    terms' buckets — the oracle recomputes membership from the raw text,
-    so a lost posting, a build/search hash drift, or a broken bucket
-    layout all hash-mismatch.  The index round-trips through a
-    run-scoped temp dir (rebuilt per run here, persisted across runs in
-    production); the result doc-id list re-materializes before cleanup
-    (bounded: matching docs only)."""
-    import shutil
-    import tempfile
-
-    from kusuma_metamorph_etl_spark.operators.text import (
-        build_inverted_index,
-        search_all_terms,
-    )
-
-    docs = t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="inv_index_")
-    try:
-        build_inverted_index(docs, tmp)
-        found = search_all_terms(spark, tmp, ["batch", "scan", "merge"])
-        return spark.createDataFrame(
-            found.collect(), schema="doc_id long"
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
-@register(
-    "evt_funnel_window",
-    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
-                  WHERE event_type = 'view' GROUP BY 1),
-        c AS (SELECT e.user_id, min(e.ts) AS t_click
-              FROM events e JOIN v ON e.user_id = v.user_id
-              WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
-        p AS (SELECT e.user_id, min(e.ts) AS t_purchase
-              FROM events e JOIN c ON e.user_id = c.user_id
-              WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
-        SELECT v.user_id, v.t_view,
-               CASE WHEN c.t_click <= v.t_view + INTERVAL 6 HOURS
-                    THEN c.t_click END AS t_click,
-               CASE WHEN c.t_click <= v.t_view + INTERVAL 6 HOURS
-                     AND p.t_purchase <= v.t_view + INTERVAL 6 HOURS
-                    THEN p.t_purchase END AS t_purchase
-        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
-)
-def evt_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-constrained funnel ([EXT]; `operators/events.py::
-    funnel_one_scan(within_seconds=)`): view → click → purchase where
-    every stage must land within 6 hours of the user's FIRST view (the
-    declared conversion-window rule, anchored at first touch).  Same
-    one-scan plan as `evt_funnel` plus one deadline comparison per
-    stage."""
-    from kusuma_metamorph_etl_spark.operators.events import funnel_one_scan
-
-    events = t(spark, sf_dir, "events")
-    return funnel_one_scan(
-        events, stages=["view", "click", "purchase"], within_seconds=6 * 3600
-    )
-
-
-@register(
-    "ts_ohlc",
-    """WITH agg AS MATERIALIZED (
-          SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day_dt,
-                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
-                      AS DOUBLE) AS revenue
-          FROM orders GROUP BY 1, 2)
-       SELECT priority, CAST(date_trunc('week', day_dt) AS DATE) AS period,
-              min_by(revenue, day_dt) AS open,
-              max(revenue) AS high,
-              min(revenue) AS low,
-              max_by(revenue, day_dt) AS close,
-              count(revenue) AS n_obs
-       FROM agg GROUP BY 1, 2""",
-)
-def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly OHLC downsampling ([EXT] time-series;
-    `operators/timeseries.py::resample_ohlc`): the per-priority daily
-    revenue series rolled to Monday-start weekly open/high/low/close
-    bars — the storage-tiering downsample (day grain hot, bars cold)."""
-    from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
-    from kusuma_metamorph_etl_spark.operators.timeseries import resample_ohlc
-
-    orders = t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        F.to_date("o_orderdate").alias("day_dt"),
-    ).agg(decimal_sum(F.col("o_totalprice")).alias("revenue"))
-    return resample_ohlc(daily, ["priority"], "day_dt", "revenue")
-
-
-@register(
-    "mart_mm_dataprep",
-    """WITH d AS (SELECT doc_id,
-                 CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS w,
-                 CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS h
-          FROM documents),
-        keep AS (SELECT * FROM d WHERE w >= 5 AND h >= 5),
-        ops(op) AS (VALUES ('hflip'), ('rot90'))
-       SELECT doc_id, op,
-              CASE WHEN op = 'rot90' THEN h ELSE w END AS width,
-              CASE WHEN op = 'rot90' THEN w ELSE h END AS height
-       FROM keep CROSS JOIN ops""",
-)
-def mart_mm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MULTIMODAL composition flagship: the image corpus-prep pipeline as
-    one query — synthesize/ingest payloads → plant exact copies of every
-    11th image (the dedup workload) → dimension quality filter over REAL
-    decodes (keep ≥5×5) → exact-pHash dedup (hamming 0; identical pixels
-    hash identically so every planted copy drops, lowest-id wins) →
-    deterministic augmentation fan-out (hflip + rot90) — each stage the
-    registered operator (`mm_binary_features`, `mm_phash_dedup`,
-    `mm_augment` individually), the WHOLE chain oracle-checked: the
-    oracle recomputes the surviving (doc_id, op, dims) rows from the
-    synthesis contract, so a copy surviving dedup, an over-aggressive
-    drop, a wrong filter, or a wrong post-op dimension each change the
-    row set and flip the driver red.  (Natural hamming-0 collisions are
-    zero on this corpus — verified at both test scales — which is what
-    makes exact survivors SQL-predictable.)"""
-    docs = t(spark, sf_dir, "documents")
-    imgs = multimodal.attach_image_payload(docs).select("doc_id", "payload")
-    copies = imgs.filter(F.col("doc_id") % 11 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
-    )
-    corpus = imgs.unionByName(copies)
-    feats = multimodal.extract_binary_features(corpus).select(
-        "doc_id", "width", "height"
-    )
-    keep_ids = feats.filter(
-        (F.col("width") >= 5) & (F.col("height") >= 5)
-    ).select("doc_id")
-    kept = corpus.join(keep_ids, "doc_id")
-    dropped = (
-        multimodal.phash_near_dups(kept, max_hamming=0)
-        .select(F.col("b").alias("doc_id"))
-        .distinct()
-    )
-    survivors = kept.join(dropped, "doc_id", "left_anti")
-    aug = multimodal.augment(survivors, ops=["hflip", "rot90"])
-    return aug.select("doc_id", "op", "width", "height")
-
-
-@register(
-    "evt_session_stats",
-    """WITH x AS (
-         SELECT user_id, event_id, ts, value,
-                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                          > 1800 * 1000000
-                     THEN 1 ELSE 0 END AS ns
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        lab AS (
-         SELECT user_id, ts, value,
-                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                  AS session_idx
-         FROM x)
-       SELECT user_id, session_idx,
-              count(*) AS n_events,
-              min(ts) AS started_at,
-              CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
-                  AS duration_us,
-              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
-                  AS session_value,
-              count(*) = 1 AS bounce
-       FROM lab GROUP BY 1, 2""",
-)
-def evt_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-grain rollup ([EXT] event analytics;
-    `operators/events.py::session_stats`): per (user, session) event
-    count, start, exact integer-µs duration, exact-decimal value sum and
-    bounce flag — the per-session feature frame over the `evt_sessionize`
-    labels."""
-    from kusuma_metamorph_etl_spark.operators.events import session_stats
-
-    return session_stats(t(spark, sf_dir, "events"), gap_seconds=1800)
-
-
-@register(
-    "agg_corr_matrix",
-    """WITH pairs AS (
-         SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
-                round(corr(l_discount, l_extendedprice), 6) AS corr,
-                count(CASE WHEN l_discount IS NOT NULL
-                            AND l_extendedprice IS NOT NULL THEN 1 END) AS n
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_discount', 'l_quantity',
-                round(corr(l_discount, l_quantity), 6),
-                count(CASE WHEN l_discount IS NOT NULL
-                            AND l_quantity IS NOT NULL THEN 1 END)
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_discount', 'l_tax',
-                round(corr(l_discount, l_tax), 6),
-                count(CASE WHEN l_discount IS NOT NULL
-                            AND l_tax IS NOT NULL THEN 1 END)
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_extendedprice', 'l_quantity',
-                round(corr(l_extendedprice, l_quantity), 6),
-                count(CASE WHEN l_extendedprice IS NOT NULL
-                            AND l_quantity IS NOT NULL THEN 1 END)
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_extendedprice', 'l_tax',
-                round(corr(l_extendedprice, l_tax), 6),
-                count(CASE WHEN l_extendedprice IS NOT NULL
-                            AND l_tax IS NOT NULL THEN 1 END)
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_quantity', 'l_tax',
-                round(corr(l_quantity, l_tax), 6),
-                count(CASE WHEN l_quantity IS NOT NULL
-                            AND l_tax IS NOT NULL THEN 1 END)
-         FROM lineitem)
-       SELECT col_a, col_b, corr, CAST(n AS BIGINT) AS n FROM pairs""",
-)
-def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass pairwise correlation matrix ([EXT] robust stats;
-    `operators/stats.py::correlation_matrix`): Pearson r over the four
-    lineitem measures — all six pairs' co-moments from ONE aggregation
-    over one scan (the oracle's UNION ALL is per-pair only because SQL
-    has no stack; the engine plan is a single Aggregate)."""
-    from kusuma_metamorph_etl_spark.operators.stats import correlation_matrix
-
-    li = t(spark, sf_dir, "lineitem")
-    return correlation_matrix(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    )
-
-
-@register(
-    "txt_collocations",
-    f"""WITH d AS (SELECT {_W_LOWER} AS tk FROM documents),
-        d2 AS (SELECT tk FROM d WHERE len(tk) >= 2),
-        big AS (
-          SELECT unnest(list_transform(range(len(tk) - 1),
-                        i -> struct_pack(w1 := tk[i+1], w2 := tk[i+2]))) AS bg
-          FROM d2),
-        pc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_pair
-               FROM big GROUP BY 1, 2),
-        uni AS (SELECT w, count(*) AS n_w
-                FROM (SELECT unnest(tk) AS w FROM d) GROUP BY 1),
-        tot AS (SELECT (SELECT sum(n_pair) FROM pc) AS nb,
-                       (SELECT sum(n_w) FROM uni) AS nu)
-       SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
-              round(log2((CAST(p.n_pair AS DOUBLE) / CAST(t.nb AS DOUBLE))
-                         / ((CAST(a.n_w AS DOUBLE) / CAST(t.nu AS DOUBLE))
-                            * (CAST(b.n_w AS DOUBLE) / CAST(t.nu AS DOUBLE)))),
-                    6) AS pmi
-       FROM pc p
-       JOIN uni a ON a.w = p.w1
-       JOIN uni b ON b.w = p.w2
-       CROSS JOIN tot t
-       WHERE p.n_pair >= 5""",
-)
-def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PMI bigram collocations ([EXT] text;
-    `operators/text.py::collocations`): adjacent-word pairs seen ≥ 5
-    times scored by pointwise mutual information — the phrase-mining
-    pass that finds multiword units; one scan, two keyed aggs, word-
-    keyed joins, corpus totals broadcast."""
-    return text.collocations(t(spark, sf_dir, "documents"), min_count=5)
-
-
-@register(
-    "txt_unigram_roundtrip",
-    r"""SELECT doc_id,
-              CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
-                   AS BIGINT) AS n_norm_chars
-       FROM documents""",
-)
-def txt_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL unigram-LM tokenization ([EXT], `operators/unigram.py` —
-    Kudo 2018, the SentencePiece default model): piece vocabulary seeded
-    from word substrings, hard-EM pruned to size on the driver-bounded
-    word table, every document Viterbi-encoded distributed, decoded with
-    the same inverse as BPE.  Losslessness is the gate (identical
-    contract to `txt_bpe_roundtrip`): a row survives only if
-    decode(encode(text)) equals the whitespace-normalized text, so a
-    vocabulary hole or a Viterbi bug drops rows and the driver compare
-    turns red."""
-    from kusuma_metamorph_etl_spark.operators import bpe, unigram
-
-    docs = t(spark, sf_dir, "documents")
-    logp = unigram.unigram_train(docs, vocab_size=512)
-    encoded = unigram.unigram_encode(docs, logp)
-    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
-    return (
-        encoded.withColumn("__norm", normalized)
-        .filter(bpe.bpe_decode(F.col("tokens")) == F.col("__norm"))
-        .select(
-            "doc_id", F.length("__norm").cast("long").alias("n_norm_chars")
-        )
-    )
-
-
-@register(
-    "dedup_cc_incremental",
-    f"""WITH RECURSIVE {_CC_EDGES}
-        SELECT node, component FROM cc""",
-)
-def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental cluster maintenance ([EXT];
-    `operators/graph.py::incremental_components`): the near-dup edge set
-    split into a "history" half and a "tonight" half by (a+b) parity;
-    history is clustered once, then tonight's edges merge into the
-    LABELS (old components re-enter as stars — the historical edge list
-    is never touched again).  The oracle is the transitive closure over
-    ALL edges: contracting connected subgraphs preserves connectivity,
-    so the incremental result must be bit-identical to the full
-    recompute — any drift in the star rewrite or the untouched-label
-    passthrough flips the driver red."""
-    from kusuma_metamorph_etl_spark.operators.graph import (
-        connected_components,
-        incremental_components,
-    )
-
-    docs = t(spark, sf_dir, "documents")
-    edges = dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
-    old = edges.filter((F.col("a") + F.col("b")) % 2 == 0)
-    new = edges.filter((F.col("a") + F.col("b")) % 2 == 1)
-    labels = connected_components(old)
-    return incremental_components(labels, new).select("node", "component")
-
-
-@register(
-    "src_warc_roundtrip",
-    """SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS record_id,
-              'http://corpus.example/' || CAST(doc_id AS VARCHAR)
-                  AS target_uri,
-              CAST(octet_length(encode(text)) AS BIGINT) AS content_length
-       FROM documents WHERE doc_id % 3 = 0""",
-)
-def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC container round-trip ([EXT] sources; `sources/warc.py` — the
-    Common Crawl framing LLM corpora arrive in): every 3rd document
-    serialized into multi-record WARC files (driver fixture writer),
-    read back record-grain through the strict Content-Length parser over
-    `binaryFile` + Arrow batches.  The oracle recomputes record ids,
-    URIs and UTF-8 payload lengths from the source table, so a framing
-    bug (mis-read length, lost record, header drift) changes the row set
-    or lengths and flips the driver red."""
-    import os
-    import shutil
-    import tempfile
-
-    from kusuma_metamorph_etl_spark.sources.warc import read_warc, write_warc
-
-    docs = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 3 == 0)
-        .select("doc_id", "text")
-        .collect()
-    )  # bounded fixture write: test-scale corpus, driver-side by design
-    tmp = tempfile.mkdtemp(prefix="warc_")
-    try:
-        # several files so the read exercises per-file parallelism
-        for shard in range(4):
-            write_warc(
-                [
-                    {
-                        "record_id": f"urn:doc:{r['doc_id']}",
-                        "warc_type": "conversion",
-                        "target_uri": f"http://corpus.example/{r['doc_id']}",
-                        "warc_date": "2025-08-24T00:00:00Z",
-                        "payload": r["text"].encode("utf-8"),
-                    }
-                    for r in docs
-                    if r["doc_id"] % 4 == shard
-                ],
-                os.path.join(tmp, f"part-{shard}.warc"),
-            )
-        out = read_warc(spark, tmp).select(
-            "record_id", "target_uri", "content_length"
-        )
-        return spark.createDataFrame(
-            out.collect(),
-            schema="record_id string, target_uri string, content_length long",
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
-@register(
-    "txt_fix_mojibake",
-    """SELECT doc_id, text || ' — café nœud Σ' AS fixed
-       FROM documents WHERE doc_id % 7 = 0""",
-)
-def txt_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mojibake repair ([EXT] text; `operators/text.py::fix_mojibake`):
-    every 7th document gets a non-ASCII suffix, is CORRUPTED the way
-    real crawls are (its UTF-8 bytes re-read as Latin-1 — "café" →
-    "cafÃ©"), then repaired by the Latin-1→UTF-8 round-trip heuristic.
-    The oracle holds the clean expected text, so an incomplete or
-    over-eager repair hash-mismatches; the no-op safety contract on
-    clean text is pinned in tests."""
-    from kusuma_metamorph_etl_spark.operators.text import fix_mojibake
-
-    clean = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 7 == 0)
-        .select(
-            "doc_id",
-            F.concat(F.col("text"), F.lit(" — café nœud Σ")).alias("clean"),
-        )
-    )
-
-    @F.pandas_udf("string")
-    def corrupt(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: x.encode("utf-8").decode("latin-1"))
-
-    corrupted = clean.select(
-        "doc_id", corrupt(F.col("clean")).alias("text")
-    )
-    return fix_mojibake(corrupted).select(
-        "doc_id", F.col("fixed")
-    )
-
-
-@register(
-    "evt_rate_anomaly_seasonal",
-    """WITH d AS MATERIALIZED (
-         SELECT event_type, CAST(ts AS DATE) AS day_dt,
-                count(*) AS n,
-                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
-         FROM events GROUP BY 1, 2, 4),
-       dw AS (SELECT event_type, dayofweek(day_dt) + 1 AS dow,
-                     round(avg(n), 6) AS dow_mean
-              FROM d GROUP BY 1, 2),
-       ov AS (SELECT event_type, round(avg(n), 6) AS mean
-              FROM d GROUP BY 1),
-       ds AS (SELECT d.event_type, d.day_dt, d.ed,
-                     round(d.n - round(dw.dow_mean - ov.mean, 6), 6) AS v
-              FROM d
-              JOIN dw ON dw.event_type = d.event_type
-                     AND dw.dow = dayofweek(d.day_dt) + 1
-              JOIN ov ON ov.event_type = d.event_type),
-       w AS (
-         SELECT event_type, day_dt, v,
-           round(avg(v) OVER win, 6) AS baseline_mean,
-           round(stddev_samp(v) OVER win, 6) AS baseline_std,
-           count(v) OVER win AS baseline_n
-         FROM ds
-         WINDOW win AS (PARTITION BY event_type ORDER BY ed
-                        RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
-       SELECT event_type, day_dt, v AS deseasonalized,
-         baseline_mean, baseline_std, baseline_n,
-         CASE WHEN baseline_n >= 7 AND baseline_std > 0
-              THEN round((v - baseline_mean) / baseline_std, 6) END AS z,
-         abs(CASE WHEN baseline_n >= 7 AND baseline_std > 0
-              THEN round((v - baseline_mean) / baseline_std, 6) END) > 3.0
-             AS is_anomaly
-       FROM w""",
-)
-def evt_rate_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonal-adjusted volume anomaly ([EXT] composition:
-    `seasonal_profile` → `rate_anomaly`): the weekly day-of-week profile
-    is removed BEFORE the trailing z-score, so a quiet Sunday reads as
-    normal and a Monday at Sunday volume reads as the anomaly — the
-    composition `ts_seasonal`'s docstring promises, oracle-checked end
-    to end."""
-    from kusuma_metamorph_etl_spark.operators.timeseries import (
-        rate_anomaly,
-        seasonal_profile,
-    )
-
-    ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day_dt")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    des = seasonal_profile(daily, ["event_type"], "day_dt", "n").select(
-        "event_type", "day_dt", "deseasonalized"
-    )
-    return rate_anomaly(des, ["event_type"], "day_dt", "deseasonalized")
-
-
-@register(
-    "mm_gif_features",
-    """SELECT doc_id,
-              'gif' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(3 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL LZW-compressed image decode ([EXT] multimodal;
-    `operators/multimodal.py::encode_gif/_decode_gif` — closes the GIF
-    half of the old JPEG/GIF scope boundary): per-document synthetic GIF
-    payloads (palette build + variable-width LZW at write, real LZW +
-    palette lookup at read; the decoder is additionally pinned to the
-    public 1×1 spacer-GIF spec vector in tests, so the codec pair is not
-    merely self-consistent).  Same contract as `mm_png_features`: the
-    oracle recomputes dimensions from the synthesis contract, and the
-    GIF pixel MEAN must equal the PPM decode of the identical pixel
-    array — a wrong LZW table, width bump, or palette read drops rows
-    and turns the driver red."""
-    docs = t(spark, sf_dir, "documents")
-    gif = multimodal.extract_binary_features(multimodal.attach_gif_payload(docs))
-    ppm = multimodal.extract_binary_features(
-        multimodal.attach_image_payload(docs)
-    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
-    return (
-        gif.join(ppm, "doc_id")
-        .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 1e-12)
-        .select("doc_id", "format", "width", "height", "channels")
-    )
-
-
-@register(
-    "samp_balance",
-    """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
-        m AS (SELECT min(n) AS mn FROM c),
-        r AS (SELECT vec_id, label,
-                     row_number() OVER (
-                       PARTITION BY label
-                       ORDER BY md5('42|' || CAST(vec_id AS VARCHAR)), vec_id
-                     ) AS rn
-              FROM embeddings)
-       SELECT vec_id, label FROM r, m WHERE rn <= mn""",
-)
-def samp_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Class rebalancing by deterministic downsampling ([EXT];
-    `operators/sampling.py::balance_classes`): every label keeps at most
-    the minority class's count — the classifier-training undersampling
-    knob; label-cardinality bookkeeping + one label-keyed window."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    return sampling.balance_classes(emb, "label", F.col("vec_id"))
-
-
-@register(
-    "sql_shipping_priority",
-    """SELECT o.o_orderkey,
-              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                  AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
-              CAST(o.o_orderdate AS DATE) AS order_date
-       FROM customer c
-       JOIN orders o ON c.c_custkey = o.o_custkey
-       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-       WHERE c.c_mktsegment = 'BUILDING'
-       GROUP BY 1, 3
-       ORDER BY revenue DESC, o.o_orderkey
-       LIMIT 10""",
-)
-def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second pure-SQL entry point (TPC-H Q3 shape — the multi-join
-    analytic `sql_pricing_summary`'s single-table Q1 does not cover):
-    three-table star join + exact-decimal revenue + deterministic
-    top-10, identical SQL text on both engines.  Catalyst turns the
-    ORDER BY/LIMIT into TakeOrderedAndProject (no global sort) and
-    broadcast-joins the filtered customer dim."""
-    for name in ("customer", "orders", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(
-        """SELECT o.o_orderkey,
-                  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                      AS DECIMAL(38,6))), 2) AS DOUBLE)
-                      AS revenue,
-                  CAST(o.o_orderdate AS DATE) AS order_date
-           FROM customer_v c
-           JOIN orders_v o ON c.c_custkey = o.o_custkey
-           JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
-           WHERE c.c_mktsegment = 'BUILDING'
-           GROUP BY 1, 3
-           ORDER BY revenue DESC, o.o_orderkey
-           LIMIT 10"""
-    )
-
-
-_SQL_LOCAL_SUPPLIER_VOLUME = """SELECT n.n_name AS nation,
-              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                  AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
-       FROM customer{v} c
-       JOIN orders{v} o ON c.c_custkey = o.o_custkey
-       JOIN lineitem{v} l ON l.l_orderkey = o.o_orderkey
-       JOIN supplier{v} s ON l.l_suppkey = s.s_suppkey
-                         AND c.c_nationkey = s.s_nationkey
-       JOIN nation{v} n ON s.s_nationkey = n.n_nationkey
-       JOIN region{v} r ON n.n_regionkey = r.r_regionkey
-       WHERE r.r_name = 'ASIA'
-         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-         AND o.o_orderdate < TIMESTAMP '1998-01-01'
-       GROUP BY 1"""
-
-
-@register("sql_local_supplier_volume", _SQL_LOCAL_SUPPLIER_VOLUME.format(v=""))
-def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Third pure-SQL entry (TPC-H Q5 shape): the deepest join tree in
-    the suite — six tables, with the local-supplier condition
-    (``c_nationkey = s_nationkey``) joining two independent dim chains
-    through the fact.  Identical SQL text on both engines; Catalyst
-    broadcast-joins every dim (region→nation prunes first) and the date
-    range pushes to the orders scan — plan-tested alongside Q3."""
-    for name in (
-        "region", "nation", "customer", "supplier", "orders", "lineitem"
-    ):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_LOCAL_SUPPLIER_VOLUME.format(v="_v"))
-
-
-_SQL_RETURNED_ITEMS = """SELECT c.c_custkey,
-              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                  AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
-              n.n_name AS nation
-       FROM customer{v} c
-       JOIN orders{v} o ON c.c_custkey = o.o_custkey
-       JOIN lineitem{v} l ON l.l_orderkey = o.o_orderkey
-       JOIN nation{v} n ON c.c_nationkey = n.n_nationkey
-       WHERE l.l_returnflag = 'R'
-       GROUP BY 1, 3
-       ORDER BY revenue DESC, c.c_custkey
-       LIMIT 20"""
-
-
-@register("sql_returned_items", _SQL_RETURNED_ITEMS.format(v=""))
-def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fourth pure-SQL entry (TPC-H Q10 shape): the churn-analysis
-    readout — top-20 customers by revenue lost to returned items.  The
-    returnflag filter pushes to the lineitem scan, dims broadcast, and
-    the ORDER BY/LIMIT compiles to TakeOrderedAndProject (top-k, no
-    global sort) — the same plan contract as Q3, asserted in
-    tests/test_plans.py."""
-    for name in ("nation", "customer", "orders", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_RETURNED_ITEMS.format(v="_v"))
-
-
-@register("sim_mmr", None)  # greedy diversity selection — rows-only
-def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversity selection ([EXT] similarity;
-    `operators/similarity.py::mmr_select`): 20 diverse-yet-relevant
-    picks at λ=0.5 against a fixed axis query — the curation step after
-    retrieval.  The greedy chain's scores depend on the selection
-    prefix (non-SQL-expressible), so rows-only; the λ=1 degeneration is
-    hash-checked in `sim_mmr_err`."""
-    emb = t(spark, sf_dir, "embeddings")
-    query = [1.0] + [0.0] * 63
-    return similarity.mmr_select(emb, query, k=20, lam=0.5, pool=200)
-
-
-@register(
-    "sim_mmr_err",
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       rels AS (
-         -- cosine to the unit axis-0 query: e[1] / (|e| * 1)
-         SELECT vec_id,
-                e[1] / sqrt(list_dot_product(e, e)) AS rel
-         FROM v)
-       SELECT CAST(row_number() OVER (ORDER BY rel DESC, vec_id) - 1
-                   AS INTEGER) AS rank,
-              vec_id,
-              round(rel, 6) AS relevance,
-              round(rel, 6) AS mmr_score
-       FROM rels
-       ORDER BY rel DESC, vec_id LIMIT 20""",
-)
-def sim_mmr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable MMR contract: at λ=1 the greedy chain degrades to
-    pure relevance top-k, which plain SQL expresses exactly — the
-    relevance math (cosine to the unit axis-0 query = first component /
-    vector norm), the (rel desc, id) tie order, the rank numbering and
-    the rounding are all hash-compared.  A drift in the pool trim, the
-    driver loop, or the tie-break flips this row red; diversity behavior
-    at λ<1 is pinned by the unit tests."""
-    emb = t(spark, sf_dir, "embeddings")
-    query = [1.0] + [0.0] * 63
-    return similarity.mmr_select(emb, query, k=20, lam=1.0, pool=200)
-
-
-@register(
-    "graph_triangles",
-    """WITH raw AS (
-         SELECT c_custkey AS a, c_custkey + d AS b
-         FROM customer, (VALUES (1), (2), (3), (5)) AS offs(d)),
-       mx AS (SELECT max(c_custkey) AS m FROM customer),
-       e AS (SELECT DISTINCT a, b FROM raw, mx WHERE b <= m),
-       t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-             FROM e e1
-             JOIN e e2 ON e2.a = e1.b
-             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-       verts AS (SELECT x AS node FROM t
-                 UNION ALL SELECT y FROM t
-                 UNION ALL SELECT z FROM t)
-       SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
-       FROM verts GROUP BY node""",
-)
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-vertex triangle counts ([EXT] graph analytics;
-    `operators/graph.py::triangles_per_vertex`): a deterministic
-    near-ring over customer ids (edges at offsets +1/+2/+3/+5 — rich in
-    overlapping triangles) counted by the degree-oriented wedge-closure
-    plan; the oracle is the canonical three-way self-join, so a wedge
-    mis-ordering or a double-counted triangle hash-mismatches."""
-    from kusuma_metamorph_etl_spark.operators.graph import (
-        triangles_per_vertex,
-    )
-
-    return triangles_per_vertex(_near_ring_edges(spark, sf_dir))
-
-
-@register(
-    "txt_chunk_sentences",
-    """WITH punct AS (
-         -- the synthetic corpus has no sentence punctuation; mint
-         -- deterministic sentence breaks so multi-chunk + overlap are
-         -- really exercised (same synthesis on both engines)
-         SELECT doc_id,
-                regexp_replace(text, '\\b(table|query|value)\\b', '\\1.',
-                               'g') AS text
-         FROM documents),
-       s AS (
-         SELECT doc_id,
-                list_filter(string_split(
-                  regexp_replace(regexp_replace(text, chr(1), ' ', 'g'),
-                                 '([.!?])[ \\t\\n\\f\\r]+',
-                                 '\\1' || chr(1), 'g'),
-                  chr(1)), __x -> trim(__x) <> '') AS sents
-         FROM punct),
-       st AS (SELECT doc_id, sents,
-                     unnest(range(1, greatest(len(sents) - 1, 1) + 1, 4))
-                         AS start
-              FROM s),
-       c AS (SELECT doc_id,
-                    CAST((start - 1) // 4 AS BIGINT) AS chunk_idx,
-                    sents[start : start + 4] AS piece
-             FROM st)
-       SELECT doc_id, chunk_idx,
-              CAST(len(piece) AS BIGINT) AS n_sentences,
-              array_to_string(piece, ' ') AS chunk_text
-       FROM c WHERE array_to_string(piece, ' ') <> ''""",
-)
-def txt_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sentence-aware overlapping chunking ([EXT] text;
-    `operators/text.py::chunk_sentences`): 5-sentence windows advancing
-    by 4 (overlap 1) — the boundary-aligned RAG/embedding chunker next
-    to `txt_chunk`'s token windows.  Narrow fan-out, no shuffle.  The
-    fixture mints deterministic sentence breaks (the synthetic corpus
-    has none), so docs genuinely produce several overlapping chunks."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.regexp_replace(
-            F.col("text"), r"\b(table|query|value)\b", "$1."
-        ).alias("text"),
-    )
-    return text.chunk_sentences(docs, n_sentences=5, overlap=1)
-
-
-@register(
-    "sim_group_centroid",
-    """WITH e AS (SELECT label,
-                         unnest(embedding) AS x,
-                         unnest(range(0, len(embedding))) AS pos
-                  FROM embeddings)
-       SELECT label,
-              CAST(pos AS INTEGER) AS pos,
-              round(avg(x), 6) AS m,
-              CAST(count(*) AS BIGINT) AS n_vectors
-       FROM e GROUP BY 1, 2""",
-)
-def sim_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroid ([EXT] similarity;
-    `operators/similarity.py::group_centroids`): element-wise mean
-    vector per label via posexplode → (label, position) partial-agg
-    average — no task ever holds a label's full vector set, the
-    class-prototype primitive at corpus scale.  Registered at the
-    long-form ``(label, pos, m, n_vectors)`` grain (``assemble=False``)
-    because the driver's pandas canonicalizer cannot hash array cells
-    (r9 driver-ERR); the assembled ``array<double>`` shape stays covered
-    by tests/test_similarity.py."""
-    emb = t(spark, sf_dir, "embeddings")
-    return similarity.group_centroids(emb, "label", assemble=False)
-
-
-@register(
-    "mm_jpeg_features",
-    """SELECT doc_id,
-              'jpeg' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(3 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL lossy-image decode ([EXT] multimodal; `operators/jpeg.py` —
-    closes the LAST compressed-image boundary): per-document synthetic
-    baseline-JPEG payloads (BT.601 + DCT + quality-95 quantization +
-    file-embedded canonical Huffman tables at write; marker parse +
-    Huffman + dequantize + IDCT at read).  The oracle recomputes
-    dimensions from the synthesis contract; the decoded pixel MEAN must
-    land within the LOSSY tolerance (±2 grey levels) of the lossless
-    PPM decode of the same pixels — a broken Huffman table, zigzag,
-    quantizer, or IDCT shifts means far outside that band and drops
-    rows, turning the driver red.  Equality is deliberately NOT the
-    contract: JPEG is lossy by design."""
-    docs = t(spark, sf_dir, "documents")
-    jpg = multimodal.extract_binary_features(
-        multimodal.attach_jpeg_payload(docs)
-    )
-    ppm = multimodal.extract_binary_features(
-        multimodal.attach_image_payload(docs)
-    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
-    return (
-        jpg.join(ppm, "doc_id")
-        .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 2.0)
-        .select("doc_id", "format", "width", "height", "channels")
-    )
-
-
-@register(
-    "mm_transcode",
-    """SELECT doc_id,
-              CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
-                              WHEN 2 THEN 'gif' ELSE 'jpeg' END AS src_format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height
-       FROM documents""",
-)
-def mm_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-format transcoding capstone ([EXT] multimodal;
-    `operators/multimodal.py::transcode_images`): a deliberately
-    HETEROGENEOUS corpus — each document's image shipped as PPM, PNG,
-    GIF or JPEG by id — normalized to PNG in one pass, every codec
-    exercised on BOTH the decode side (format sniffed per row) and the
-    PNG encode side.  Gate: the normalized PNG must re-decode to the
-    source pixel mean (exactly for the lossless sources, within the ±2
-    lossy band for JPEG) — rows failing either drop and the driver
-    compare turns red; the oracle recomputes format assignment and
-    dimensions from the synthesis contract."""
-    docs = t(spark, sf_dir, "documents")
-    fmt = F.col("doc_id") % 4
-
-    def _attach(frame, attach_fn, keep):
-        return attach_fn(frame.filter(keep)).select("doc_id", "payload")
-
-    mixed = (
-        _attach(docs, multimodal.attach_image_payload, fmt == 0)
-        .unionByName(_attach(docs, multimodal.attach_png_payload, fmt == 1))
-        .unionByName(_attach(docs, multimodal.attach_gif_payload, fmt == 2))
-        .unionByName(_attach(docs, multimodal.attach_jpeg_payload, fmt == 3))
-    )
-    out = multimodal.transcode_images(mixed, to="png")
-    redecoded = multimodal.extract_binary_features(out).select(
-        "doc_id", F.col("mean_value").alias("png_mean")
-    )
-    ppm_mean = multimodal.extract_binary_features(
-        multimodal.attach_image_payload(docs)
-    ).select("doc_id", F.col("mean_value").alias("src_mean"))
-    tol = F.when(F.col("src_format") == "jpeg", F.lit(2.0)).otherwise(
-        F.lit(1e-12)
-    )
-    return (
-        out.join(redecoded, "doc_id")
-        .join(ppm_mean, "doc_id")
-        .filter(F.abs(F.col("png_mean") - F.col("src_mean")) < tol)
-        .select("doc_id", "src_format", "width", "height")
-    )
-
-
-@register(
-    "samp_mergeable",
-    """SELECT o_orderkey, o_totalprice FROM orders
-       ORDER BY md5('42|' || CAST(o_orderkey AS VARCHAR)), o_orderkey
-       LIMIT 256""",
-)
-def samp_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable uniform sampling ([EXT];
-    `operators/sampling.py::merge_samples`): a 256-row sample built as
-    per-YEAR bottom-k draws then MERGED — the oracle is the direct
-    global draw, and the bottom-k-of-bottom-k's argument makes the two
-    provably identical, so any slice leakage or hash drift
-    hash-mismatches.  Build per-slice samples at ingest; sample any
-    range later by merging sample rows instead of rescanning."""
-    orders = t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("__y")
-    )
-    years = [r["__y"] for r in orders.select("__y").distinct().collect()]
-    per_slice = None
-    for y in sorted(years):  # bounded: one draw per year slice
-        s = sampling.fixed_size_sample(
-            orders.filter(F.col("__y") == y), F.col("o_orderkey"), 256
-        )
-        per_slice = s if per_slice is None else per_slice.unionByName(s)
-    merged = sampling.merge_samples(per_slice, F.col("o_orderkey"), 256)
-    return merged.select("o_orderkey", "o_totalprice")
-
-
-# ------------------------------------------------------------------ r9
-# additions: TPC-H-shaped SQL parity (Q14/Q18), skew-salted join
-# equivalence, data-layout operators, k-core, Adam7 PNG.
-
-
-_SQL_PROMO_REVENUE = """WITH j AS (
-         SELECT CAST(l.l_extendedprice * (1 - l.l_discount)
-                     AS DECIMAL(38,6)) AS rev,
-                p.p_type AS p_type
-         FROM lineitem{v} l
-         JOIN part{v} p ON l.l_partkey = p.p_partkey
-         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
-           AND l.l_shipdate < TIMESTAMP '1997-01-01')
-       SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev
-                                  ELSE CAST(0 AS DECIMAL(38,6)) END), 2)
-                   AS DOUBLE) AS promo_revenue,
-              CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue,
-              100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev
-                                          ELSE CAST(0 AS DECIMAL(38,6)) END),
-                                 2) AS DOUBLE)
-                    / CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS promo_pct
-       FROM j"""
-
-
-@register("sql_promo_revenue", _SQL_PROMO_REVENUE.format(v=""))
-def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fifth pure-SQL entry (TPC-H Q14 shape): promotion-revenue share —
-    fact ⋈ dim with a conditional aggregate over the joined rows.  Both
-    sums run in exact DECIMAL (order-independent) and round before the
-    ratio, so the double division is bit-identical on both engines; the
-    shipdate range pushes to the lineitem scan and part broadcasts."""
-    for name in ("part", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_PROMO_REVENUE.format(v="_v"))
-
-
-_SQL_LARGE_VOLUME = """WITH big AS (
-         SELECT l_orderkey,
-                CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2)
-                     AS DOUBLE) AS sum_qty
-         FROM lineitem{v}
-         GROUP BY 1
-         HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300)
-       SELECT c.c_custkey, o.o_orderkey,
-              CAST(o.o_orderdate AS DATE) AS order_date,
-              o.o_totalprice, b.sum_qty
-       FROM big b
-       JOIN orders{v} o ON o.o_orderkey = b.l_orderkey
-       JOIN customer{v} c ON c.c_custkey = o.o_custkey
-       ORDER BY o.o_totalprice DESC, o.o_orderkey
-       LIMIT 20"""
-
-
-@register("sql_large_volume_customers", _SQL_LARGE_VOLUME.format(v=""))
-def sql_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sixth pure-SQL entry (TPC-H Q18 shape): large-volume orders — an
-    aggregate-then-HAVING subquery joined BACK to its fact's dims, the
-    canonical "filter by group property" plan.  The HAVING compares the
-    exact DECIMAL sum (no double drift in the cut), the big-order key
-    set is tiny so both joins broadcast it, and ORDER BY/LIMIT compiles
-    to TakeOrderedAndProject."""
-    for name in ("customer", "orders", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_LARGE_VOLUME.format(v="_v"))
-
-
-@register(
-    "join_skew_salted",
-    """SELECT p.p_brand,
-              CAST(count(*) AS BIGINT) AS n_items,
-              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                  AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
-       FROM lineitem l
-       JOIN part p ON l.l_partkey = p.p_partkey
-       GROUP BY 1""",
-)
-def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted fact ⋈ dim (`operators/skew.py::salted_join` — the
-    hot-key mitigation the 100 TB target needs when AQE's sort-merge
-    skew split doesn't apply): the big side carries a deterministic
-    row-hash salt, the small side replicates once per salt value, and
-    the oracle is the PLAIN join — salting must be semantics-invisible,
-    so any multiplicity drift (a lost salt bucket, a double replica)
-    hash-mismatches on the grouped counts and exact-decimal revenue."""
-    from kusuma_metamorph_etl_spark.operators.skew import salted_join
-
-    li = t(spark, sf_dir, "lineitem").withColumnRenamed(
-        "l_partkey", "p_partkey"
-    )
-    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    joined = salted_join(li, part, on=["p_partkey"], how="inner", buckets=8)
-    return joined.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.round(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(38,6)"
-                )
-            ),
-            2,
-        )
-        .cast("double")
-        .alias("revenue"),
-    )
-
-
-def _zorder_oracle_sql(bits: int) -> str:
-    """DuckDB twin of layout.minmax_quantize + partitioning.zorder_value
-    over (p_size, p_retailprice): identical double arithmetic (same op
-    order), then the bit-interleave spelled out as a shift/and/or sum."""
-    n = 1 << bits
-    terms = []
-    for i in range(bits):
-        terms.append(f"(((qs >> {i}) & 1) << {2 * i})")
-        terms.append(f"(((qp >> {i}) & 1) << {2 * i + 1})")
-    interleave = " | ".join(terms)
-    return f"""WITH mm AS (
-         SELECT min(CAST(p_size AS DOUBLE)) AS mns,
-                max(CAST(p_size AS DOUBLE)) AS mxs,
-                min(CAST(p_retailprice AS DOUBLE)) AS mnp,
-                max(CAST(p_retailprice AS DOUBLE)) AS mxp
-         FROM part),
-       q AS (
-         SELECT p_partkey,
-                least(coalesce(CAST(floor((CAST(p_size AS DOUBLE) - mns)
-                                 / (CASE WHEN mxs > mns THEN mxs - mns
-                                         ELSE 1.0 END) * {n}) AS BIGINT), 0),
-                      {n - 1}) AS qs,
-                least(coalesce(CAST(floor((CAST(p_retailprice AS DOUBLE) - mnp)
-                                 / (CASE WHEN mxp > mnp THEN mxp - mnp
-                                         ELSE 1.0 END) * {n}) AS BIGINT), 0),
-                      {n - 1}) AS qp
-         FROM part, mm)
-       SELECT p_partkey, CAST({interleave} AS BIGINT) AS z
-       FROM q"""
-
-
-@register("layout_zorder", _zorder_oracle_sql(6))
-def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order layout key ([EXT] data layout;
-    `operators/layout.py::zorder_minmax_key` over
-    `partitioning.zorder_value`): min-max quantization of (p_size,
-    p_retailprice) to 6 bits each, bits interleaved LSB-first into one
-    clustering key — the PERSISTABLE (engine-replayable) variant of the
-    quantile-bucketed `cluster_by_zorder` layout pass, whose row-group
-    skipping is plan-tested in tests/test_plans.py.  Pure JVM
-    shift/and/or expressions, no UDF; the oracle recomputes the exact
-    interleave, so a lane swap, an off-by-one in the quantizer, or a
-    clamp miss hash-mismatches."""
-    from kusuma_metamorph_etl_spark.operators import layout
-
-    part = t(spark, sf_dir, "part")
-    z = layout.zorder_minmax_key(part, ["p_size", "p_retailprice"], bits=6)
-    return z.select("p_partkey", F.col("__z").alias("z"))
-
-
-@register(
-    "layout_compaction_plan",
-    """SELECT CAST(ts AS DATE) AS day,
-              CAST(count(*) AS BIGINT) AS n_rows,
-              CAST(SUM(32 + octet_length(encode(event_type))) AS BIGINT)
-                  AS est_bytes,
-              CAST(greatest(CAST(ceil(SUM(32 + octet_length(encode(event_type)))
-                                      / 65536.0) AS BIGINT), 1) AS BIGINT)
-                  AS n_files
-       FROM events
-       GROUP BY 1""",
-)
-def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction planner ([EXT] data layout;
-    `operators/layout.py::compaction_plan`): per-day size estimate over
-    the event stream and the file count a writer should coalesce to for
-    a 64 KiB target (scaled down to fixture size; production target is
-    128 MiB).  One groupBy, partition-cardinality output — the planner
-    that decides per-partition ``repartition(n)`` before a rewrite
-    instead of letting every micro-batch leave its own file litter."""
-    from kusuma_metamorph_etl_spark.operators import layout
-
-    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    plan = layout.compaction_plan(
-        ev,
-        "day",
-        F.lit(32) + F.octet_length(F.col("event_type").cast("binary")),
-        target_bytes=65536,
-    )
-    return plan.withColumnRenamed("partition", "day")
-
-
-def _near_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deterministic customer-id near-ring graph shared by the graph
-    query family (offsets +1/+2/+3/+5, capped at the max id)."""
-    cust = t(spark, sf_dir, "customer").select("c_custkey")
-    mx = cust.agg(F.max("c_custkey").alias("m"))
-    return (
-        cust.crossJoin(
-            spark.createDataFrame([(1,), (2,), (3,), (5,)], "d long")
-        )
-        .select(
-            F.col("c_custkey").alias("a"),
-            (F.col("c_custkey") + F.col("d")).alias("b"),
-        )
-        .join(F.broadcast(mx), on=F.col("b") <= F.col("m"))
-        .select("a", "b")
-    )
-
-
-def _circulant_with_periphery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core fixture: the TRUE circulant ring over customer ids (edges
-    (i, (i + d) mod n) for d ∈ {1,2,3,5} over the 0-based contiguous
-    custkeys, n = COUNT — modular wrap over the actual key set, so
-    every node INCLUDING node 0 has degree exactly 8 and the whole ring
-    is a stable 6-core; the r9 ADVICE caught the previous
-    ``((i+d-1) mod max)+1`` form mapping only into 1..max and leaving
-    node 0 degree-4, which peeled) plus a 50-node pendant path on
-    shifted ids attached to node 1 (degree ≤ 2 — peels entirely in the
-    first round at k ≥ 3).
-
-    Why not `_near_ring_edges` (the triangles fixture): the UNWRAPPED
-    ring has no 5/6-core at all — its ends unravel the whole graph in
-    ~n/4 peel rounds (measured: depth 375 at k=6, 749 at k=5), which is
-    both the wrong answer to exercise and a pathological round count.
-    The peel-CASCADE behavior itself is pinned by pytest's path-graph
-    and random-graph brute-force equivalence tests; the driver row
-    exercises a stable core plus a one-round periphery."""
-    cust = t(spark, sf_dir, "customer").select("c_custkey")
-    n = cust.agg(F.count(F.lit(1)).alias("n"))
-    ring = (
-        cust.crossJoin(
-            spark.createDataFrame([(1,), (2,), (3,), (5,)], "d long")
-        )
-        .crossJoin(F.broadcast(n))
-        .select(
-            F.col("c_custkey").alias("a"),
-            ((F.col("c_custkey") + F.col("d")) % F.col("n")).alias("b"),
-        )
-    )
-    path_ids = ring.sparkSession.range(1, 51).select(
-        (F.col("id") + 2_000_000).alias("a"),
-        (F.col("id") + 2_000_001).alias("b"),
-    )
-    anchor = ring.sparkSession.createDataFrame(
-        [(1, 2_000_001)], "a long, b long"
-    )
-    return ring.unionByName(path_ids).unionByName(anchor)
-
-
-@register("graph_kcore", None)  # iterative peeling — rows-only
-def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact k-core membership ([EXT] graph;
-    `operators/graph.py::kcore`): the degree-≥-k maximal subgraph of
-    the circulant-plus-periphery fixture at k=6 — iterative peeling
-    (degree groupBy + two semi-joins per round, checkpointed lineage)
-    must peel the 51-node pendant path in one round and keep the
-    8-regular ring intact.  Non-SQL-expressible (iterative), so
-    rows-only; the planted-clique contract is hash-checked in
-    `graph_kcore_err` and peel-cascade exactness in pytest
-    (brute-force equivalence on random graphs)."""
-    from kusuma_metamorph_etl_spark.operators.graph import kcore
-
-    return kcore(_circulant_with_periphery(spark, sf_dir), k=6)
-
-
-@register(
-    "graph_kcore_err",
-    """SELECT CAST(6 AS BIGINT) AS n_planted,
-              CAST(0 AS BIGINT) AS n_missing_k5,
-              CAST(0 AS BIGINT) AS n_in_k6""",
-)
-def graph_kcore_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable k-core contract: plant an ISOLATED K6 clique on
-    ids beyond the fixture's ranges.  Graph theory fixes its fate
-    exactly — every clique node belongs to the 5-core (degree 5 inside
-    K6) and none to the 6-core (peeling erases the whole clique) — and
-    isolation makes that verdict independent of the base graph, so the
-    gate is exact: a peel-order bug, an off-by-one threshold, or a
-    lost-edge round turns the (6, 0, 0) row red."""
-    from itertools import combinations
-
-    from kusuma_metamorph_etl_spark.operators.graph import kcore
-
-    base = _circulant_with_periphery(spark, sf_dir)
-    ids = [3_000_000 + i for i in range(6)]
-    clique = spark.createDataFrame(
-        [(a, b) for a, b in combinations(ids, 2)], "a long, b long"
-    )
-    edges = base.unionByName(clique)
-    core5 = kcore(edges, k=5).select("node")
-    core6 = kcore(edges, k=6).select("node")
-    planted = spark.createDataFrame([(i,) for i in ids], "node long")
-    n_miss5 = _n(planted.join(core5, "node", "left_anti"), "n_missing_k5")
-    n_in6 = _n(planted.join(core6, "node", "left_semi"), "n_in_k6")
-    return (
-        _n(planted, "n_planted")
-        .crossJoin(n_miss5)
-        .crossJoin(n_in6)
-        .select(
-            F.col("n_planted").cast("long"),
-            F.col("n_missing_k5").cast("long"),
-            F.col("n_in_k6").cast("long"),
-        )
-    )
-
-
-@register(
-    "mm_png_interlaced",
-    """SELECT doc_id,
-              'png' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(3 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL Adam7-interlaced PNG decode ([EXT] multimodal;
-    `operators/multimodal.py::_png_deinterlace` — graduates the
-    interlace seam `mm_png_features` left behind): per-document PNGs
-    synthesized in the RFC 2083 §2.6 pass layout, decoded by pass-grid
-    reassembly with per-pass filter state.  Same gate as the sequential
-    row: dimensions recomputed by the oracle AND the decoded pixel mean
-    must equal the PPM decode of the identical pixels, so a pass-order,
-    scatter, or per-pass-unfilter bug drops rows and turns the driver
-    red."""
-    docs = t(spark, sf_dir, "documents")
-    png = multimodal.extract_binary_features(
-        multimodal.attach_png_payload(docs, interlace=True)
-    )
-    ppm = multimodal.extract_binary_features(
-        multimodal.attach_image_payload(docs)
-    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
-    return (
-        png.join(ppm, "doc_id")
-        .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 1e-12)
-        .select("doc_id", "format", "width", "height", "channels")
-    )
-
-
-_SQL_LATE_SHIPMENT = """SELECT o.o_orderpriority,
-              CAST(count(*) AS BIGINT) AS n_orders
-       FROM orders{v} o
-       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-         AND o.o_orderdate < TIMESTAMP '1996-04-01'
-         AND EXISTS (SELECT 1 FROM lineitem{v} l
-                     WHERE l.l_orderkey = o.o_orderkey
-                       AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-       GROUP BY 1"""
-
-
-@register("sql_late_shipment_priority", _SQL_LATE_SHIPMENT.format(v=""))
-def sql_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seventh pure-SQL entry (TPC-H Q4 shape): order-priority counts
-    over orders with at least one late line — the correlated-EXISTS
-    pattern, which Catalyst rewrites to a LEFT SEMI join (one pass over
-    each table, no row duplication however many lines are late; the
-    shape a hand-written inner-join + distinct gets wrong or pays a
-    dedup shuffle for).  The quarter filter pushes to the orders scan;
-    the semi-join keys on orderkey with the date comparison as the join
-    residual.  Identical SQL text on both engines."""
-    for name in ("orders", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_LATE_SHIPMENT.format(v="_v"))
-
-
-@register(
-    "dq_freshness",
-    f"""SELECT event_type,
-              max(ts) AS last_seen,
-              CAST(date_diff('day', CAST(max(ts) AS DATE),
-                             DATE '{RUN_DATE}') AS BIGINT) AS lag_days,
-              date_diff('day', CAST(max(ts) AS DATE),
-                        DATE '{RUN_DATE}') > 7 AS stale
-       FROM events
-       GROUP BY 1""",
-)
-def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-feed freshness report ([EXT] data quality;
-    `plans/quality.py::freshness_report` — the reporting complement of
-    the `freshness_gate` tripwire): last event time and staleness lag
-    per event_type against the injected snapshot date, the feed-health
-    readout where one dead upstream hides inside a globally-fresh
-    max(ts).  One groupBy, feed-cardinality output."""
-    from kusuma_metamorph_etl_spark.plans.quality import freshness_report
-
-    ev = t(spark, sf_dir, "events")
-    return freshness_report(
-        ev, "ts", ["event_type"], as_of=RUN_DATE, stale_after_days=7
-    )
-
-
-@register(
-    "samp_weighted",
-    """SELECT o_orderkey, o_totalprice
-       FROM orders
-       WHERE o_orderkey IS NOT NULL AND o_totalprice > 0
-       ORDER BY -ln((('0x' || substr(md5('42|' || CAST(o_orderkey AS VARCHAR)),
-                                     1, 8))::BIGINT + 0.5) / 4294967296.0)
-                / o_totalprice,
-                o_orderkey
-       LIMIT 200""",
-)
-def samp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sampling without replacement ([EXT] sampling;
-    `operators/sampling.py::weighted_sample`, Efraimidis–Spirakis
-    A-ES): 200 orders drawn with probability ∝ o_totalprice — the
-    importance-sampling knob of the mixing family (upweight rare
-    high-quality sources at draw time instead of duplicating rows).
-    Content-keyed (md5 → uniform → -ln(u)/w), so the oracle replays the
-    exact score arithmetic; executes as TakeOrderedAndProject like the
-    uniform `samp_fixed_k`, and merges across slices by the same
-    bottom-k survival argument."""
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    return sampling.weighted_sample(
-        orders, F.col("o_orderkey"), F.col("o_totalprice"), k=200
-    )
-
-
-@register(
-    "mm_png_palette",
-    """SELECT doc_id,
-              'png' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(3 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL indexed-color PNG decode ([EXT] multimodal;
-    `operators/multimodal.py::encode_png_palette` + the PLTE branch of
-    `_decode_png` — graduates the palette seam, the last common PNG
-    variant behind it): per-document type-3 payloads synthesized IN THE
-    ADAM7 LAYOUT (palette indices riding the interlace passes — both r9
-    codec paths in one stream), decoded by unfilter → pass reassembly →
-    palette lookup.  Same gate as the other PNG rows: oracle-recomputed
-    dimensions AND pixel-mean parity with the PPM twin, so a palette
-    ordering, index overflow, or pass-scatter bug drops rows and turns
-    the driver red."""
-    docs = t(spark, sf_dir, "documents")
-    png = multimodal.extract_binary_features(
-        multimodal.attach_png_payload(docs, interlace=True, palette=True)
-    )
-    ppm = multimodal.extract_binary_features(
-        multimodal.attach_image_payload(docs)
-    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
-    return (
-        png.join(ppm, "doc_id")
-        .filter(F.abs(F.col("mean_value") - F.col("ppm_mean")) < 1e-12)
-        .select("doc_id", "format", "width", "height", "channels")
-    )
-
-
-@register(
-    "mm_png_trns",
-    """SELECT doc_id,
-              'png' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(4 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_png_trns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL tRNS-transparency PNG decode ([EXT] multimodal; the tRNS
-    branch of `operators/multimodal.py::_decode_png` — graduates the
-    last named PNG seam, r9 verdict #6): per-document type-3 payloads
-    carrying a HALF-LENGTH all-opaque tRNS chunk, so the decoder must
-    parse the chunk, pad the alpha LUT to the palette length with 255,
-    and assemble RGBA.  Gate: oracle-recomputed dimensions, channels
-    pinned to 4, and mean parity with the PPM twin via the exact
-    identity mean(RGBA) = (3·mean(RGB) + 255)/4 — a dropped chunk
-    (channels 3), a zero-pad bug, or a misaligned alpha lookup all turn
-    the driver red.  Varied per-entry alphas are pinned element-exact in
-    tests/test_multimodal.py."""
-    docs = t(spark, sf_dir, "documents")
-    png = multimodal.extract_binary_features(
-        multimodal.attach_png_payload(docs, palette=True, trns=True)
-    )
-    ppm = multimodal.extract_binary_features(
-        multimodal.attach_image_payload(docs)
-    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
-    return (
-        png.join(ppm, "doc_id")
-        .filter(
-            F.abs(
-                F.col("mean_value")
-                - (F.lit(3.0) * F.col("ppm_mean") + F.lit(255.0)) / F.lit(4.0)
-            )
-            < 1e-9
-        )
-        .select("doc_id", "format", "width", "height", "channels")
-    )
-
-
-@register(
-    "agg_kmv_diff",
-    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
-        b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
-       SELECT (SELECT count(*) FROM a) AS n_a,
-              (SELECT count(*) FROM b) AS n_b,
-              (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
-                  AS n_union,
-              (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
-                  AS n_difference""",
-)
-def agg_kmv_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV/theta sketch set-DIFFERENCE estimate ([EXT] mergeable
-    sketches; `operators/sketches.py::kmv_difference` — completes the
-    theta algebra next to `agg_kmv_intersect`): customers with open but
-    never-filled orders, from two sketches instead of the raw sets.
-    Emits the EXACT counts gated on the estimates' error bounds — k=1024
-    because the difference is small (|A\\B| ≈ 68 of a ~1500 union at
-    sf0.01, so its transfer count ρ ≈ 46 carries σ ≈ 15%; the 0.35 band
-    is ~2.3σ, and the direct estimates at k=1024 get 0.06).  A
-    regression in the difference math empties the output and flips the
-    driver red."""
-    from kusuma_metamorph_etl_spark.operators.sketches import (
-        kmv_difference,
-        kmv_sketch,
-    )
-
-    orders = t(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    est = kmv_difference(
-        kmv_sketch(a, "o_custkey", k=1024),
-        kmv_sketch(b, "o_custkey", k=1024),
-        k=1024,
-    )
-    da, db = a.distinct(), b.distinct()
-    exact = (
-        _n(da, "n_a")
-        .crossJoin(_n(db, "n_b"))
-        .crossJoin(_n(da.unionByName(db).distinct(), "n_union"))
-        .crossJoin(_n(da.join(db, "o_custkey", "left_anti"), "n_difference"))
-    )
-    stats = exact.crossJoin(F.broadcast(est))
-    within = (
-        lambda e, x, tol: F.abs(F.col(e) - F.col(x)) <= tol * F.col(x)
-    )
-    ok = (
-        within("est_a", "n_a", 0.06)
-        & within("est_b", "n_b", 0.06)
-        & within("est_union", "n_union", 0.06)
-        & within("est_difference", "n_difference", 0.35)
-    )
-    return _gate(exact, stats, ok)
-
-
-@register(
-    "evt_stickiness",
-    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
-                         count(DISTINCT user_id) AS dau
-                  FROM events GROUP BY 1),
-        m AS (SELECT count(DISTINCT user_id) AS mau FROM events)
-       SELECT day, CAST(dau AS BIGINT) AS dau, CAST(mau AS BIGINT) AS mau,
-              round(dau * 1.0 / mau, 6) AS stickiness
-       FROM d, m""",
-)
-def evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU/MAU stickiness ([EXT] event analytics;
-    `operators/events.py::stickiness`): the canonical engagement ratio —
-    what share of the period's active users show up each day.  One
-    per-day distinct agg + one single-row global distinct broadcast; the
-    fact shuffles once on (day, user)."""
-    from kusuma_metamorph_etl_spark.operators.events import stickiness
-
-    ev = t(spark, sf_dir, "events")
-    return stickiness(ev, "ts", "user_id")
-
-
-@register(
-    "txt_wordpiece_roundtrip",
-    r"""SELECT doc_id,
-              CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
-                   AS BIGINT) AS n_norm_chars
-       FROM documents""",
-)
-def txt_wordpiece_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL WordPiece tokenization ([EXT], `operators/wordpiece.py` —
-    the BERT-family third tokenizer next to BPE and unigram-LM):
-    likelihood-ratio merges trained on the corpus word table (driver
-    loop over the bounded aggregate, alphabet seeded from the FULL
-    corpus so the training set never hits [UNK]), every document
-    encoded by distributed greedy longest-match, decoded by the
-    ##-continuation column expression.  Losslessness is the gate — a
-    row survives only if decode(encode(text)) equals the
-    whitespace-normalized text, so a merge-scoring, longest-match, or
-    continuation bug drops rows and flips the driver red; the emitted
-    normalized length is oracle-computable (same contract as
-    `txt_bpe_roundtrip`/`txt_unigram_roundtrip`)."""
-    from kusuma_metamorph_etl_spark.operators import wordpiece as wp
-
-    docs = t(spark, sf_dir, "documents")
-    vocab = wp.wordpiece_train(docs, n_merges=200)
-    encoded = wp.wordpiece_encode(docs, vocab)
-    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
-    return (
-        encoded.withColumn("__norm", normalized)
-        .filter(wp.wordpiece_decode(F.col("tokens")) == F.col("__norm"))
-        .select(
-            "doc_id", F.length("__norm").cast("long").alias("n_norm_chars")
-        )
-    )
-
-
-@register(
-    "layout_zonemap_scan",
-    """SELECT p_partkey, p_size, p_retailprice
-       FROM part
-       WHERE p_size BETWEEN 10 AND 14
-         AND p_retailprice BETWEEN 910.0 AND 930.0""",
-)
-def layout_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map-pruned scan ([EXT] data layout;
-    `operators/layout.py::build_zonemap/prune_files/zonemap_read`): the
-    part table is rewritten z-ordered into a run-scoped directory, a
-    file-level min/max map is built from the parquet FOOTERS alone
-    (distributed pyarrow metadata pass — no data pages), and a
-    two-sided range predicate reads only the files whose boxes overlap
-    plus the exact residual filter.  The oracle is the plain filter over
-    the original table — pruning must be invisible to results, so a
-    dropped-possible-match bug (the non-conservative failure) loses
-    rows and flips the driver red; that the pruning actually SKIPS
-    files on the clustered layout is asserted in tests/test_layout.py.
-    The result re-materializes before the temp directory is removed
-    (bounded: matching rows only — same lifecycle as
-    `txt_search_and`)."""
-    import shutil
-    import tempfile
-
-    from kusuma_metamorph_etl_spark.operators import layout
-    from kusuma_metamorph_etl_spark.operators.partitioning import (
-        cluster_by_zorder,
-    )
-
-    part = t(spark, sf_dir, "part").select(
-        "p_partkey", "p_size", "p_retailprice"
-    )
-    tmp = tempfile.mkdtemp(prefix="zonemap_scan_")
-    try:
-        cluster_by_zorder(
-            part, ["p_size", "p_retailprice"], bits=4, num_files=8
-        ).write.parquet(tmp, mode="overwrite")
-        got = layout.zonemap_read(
-            spark, tmp, {"p_size": (10.0, 14.0), "p_retailprice": (910.0, 930.0)}
-        ).select("p_partkey", "p_size", "p_retailprice")
-        return spark.createDataFrame(
-            got.collect(), schema=got.schema
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
-@register("sim_pq", None)  # ADC ranking is code-approximate — rows-only
-def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized ANN ([EXT] similarity;
-    `operators/similarity.py::pq_train/pq_encode/pq_topk` — Jégou et
-    al. TPAMI'11): m=16 subspace codebooks of 64 codewords over the
-    L2-normalized corpus, vectors compressed 512 B → 16 codes, top-5 by
-    ADC table lookups without touching raw floats — the memory-bound
-    scale path where even int8 vectors don't fit (`sim_quantize` is the
-    8x step, PQ the 32-64x step).  Approximate by construction →
-    rows-only; the exact-recall contract is hash-checked in
-    `sim_pq_err` and the recall/rerank bounds in pytest."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    books = similarity.pq_train(emb, m=16, k=64, refine_iters=2)
-    codes = similarity.pq_encode(emb, books)
-    return similarity.pq_topk(queries, codes, books, k=5)
-
-
-@register("sim_pq_err", _TOPK_ORACLE)
-def sim_pq_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-bindable companion to `sim_pq`: exact top-5 baseline gated
-    on the PRODUCTION path's recall — ADC shortlist-50 + exact cosine
-    re-rank of only those candidates (`pq_topk_rerank`), bound 0.7
-    (measured 1.0 at sf0.01: the shortlist captured every exact top-5
-    neighbor; pure ADC sits at 0.59 and is bounded in pytest)."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    books = similarity.pq_train(emb, m=16, k=64, refine_iters=2)
-    codes = similarity.pq_encode(emb, books)
-    approx = similarity.pq_topk_rerank(
-        queries, codes, emb, books, k=5, shortlist=50
-    )
-    return _topk_err(spark, sf_dir, approx, bound=0.7)
-
-
-_SQL_DISJUNCTIVE_REVENUE = """SELECT
-         CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
-         CAST(count(*) AS BIGINT) AS n_items
-       FROM lineitem{v} l
-       JOIN part{v} p ON p.p_partkey = l.l_partkey
-       WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
-              AND l.l_quantity >= 10)
-          OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 16 AND 30
-              AND l.l_quantity >= 20)
-          OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 31 AND 50
-              AND l.l_quantity >= 5)"""
-
-
-@register("sql_disjunctive_revenue", _SQL_DISJUNCTIVE_REVENUE.format(v=""))
-def sql_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eighth pure-SQL entry (TPC-H Q19 shape): revenue under a
-    three-branch DISJUNCTION of conjunctive brand/size/quantity clauses
-    — the predicate form that breaks naive pushdown.  Catalyst extracts
-    the common-prefix constraints per side (the quantity disjunct
-    `l_quantity >= 5` lower bound and the brand IN-set reach the scans)
-    and evaluates the residual OR as the join filter; exact-decimal sum
-    as the family convention."""
-    for name in ("part", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_DISJUNCTIVE_REVENUE.format(v="_v"))
-
-
-_SQL_TOP_SUPPLIER = """WITH r AS (
-         SELECT l_suppkey,
-                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                    AS DECIMAL(38,6))), 2) AS DOUBLE)
-                    AS total_rev
-         FROM lineitem{v}
-         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-           AND l_shipdate < TIMESTAMP '1996-04-01'
-         GROUP BY 1)
-       SELECT s.s_suppkey, s.s_name, r.total_rev
-       FROM r
-       JOIN supplier{v} s ON s.s_suppkey = r.l_suppkey
-       WHERE r.total_rev = (SELECT max(total_rev) FROM r)"""
-
-
-@register("sql_top_supplier", _SQL_TOP_SUPPLIER.format(v=""))
-def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ninth pure-SQL entry (TPC-H Q15 shape): the quarter's
-    maximum-revenue supplier(s) via a scalar subquery over the SAME
-    aggregate the outer query reads (the reused-CTE max-of-agg
-    pattern); ties all surface, the equality is on the ROUNDED decimal
-    (exact, so both engines agree on who is top), and the supplier dim
-    broadcasts."""
-    for name in ("supplier", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_TOP_SUPPLIER.format(v="_v"))
-
-
-@register(
-    "mart_vector_curation",
-    """WITH pool AS (
-         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-         UNION ALL
-         SELECT vec_id + 1000000, embedding::DOUBLE[]
-         FROM embeddings WHERE vec_id % 10 = 0),
-       ded AS (SELECT min(vec_id) AS vec_id, e FROM pool GROUP BY e),
-       rel AS (SELECT vec_id,
-                      round(e[1] / sqrt(list_dot_product(e, e)), 6)
-                          AS relevance
-               FROM ded),
-       fl AS (SELECT * FROM rel WHERE relevance >= 0.0)
-       SELECT vec_id, relevance
-       FROM fl
-       ORDER BY -ln((('0x' || substr(md5('42|' || CAST(vec_id AS VARCHAR)),
-                                     1, 8))::BIGINT + 0.5) / 4294967296.0)
-                / (2.0 + relevance),
-                vec_id
-       LIMIT 64""",
-)
-def mart_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-curation composition capstone — the r9 additions
-    chained the way a vector-corpus refresh runs them, every stage the
-    registered operator and every stage SQL-replayable end to end:
-    planted duplicate vectors (every 10th embedding under a shifted id,
-    so the dedup is exercised for real) → EXACT vector dedup (group by
-    the embedding value, lowest id wins — the `dedup_exact` rule on
-    array content) → relevance against the axis query (the
-    `sim_mmr_err` cosine contract, rounded to the registry convention
-    BEFORE weighting so both engines weight identical doubles) →
-    relevance floor → `samp_weighted`'s A-ES draw of 64 with weight
-    2+relevance (importance-weighted curation instead of top-k's
-    near-duplicate row).  A drift in any stage — dedup winner, cosine
-    fold order, rounding, score arithmetic, tie order — hash-flips the
-    driver row."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 1_000_000
-    )
-    pool = emb.unionByName(planted)
-    deduped = pool.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
-    axis = [1.0] + [0.0] * 63
-    scored = deduped.select(
-        "vec_id",
-        F.round(
-            similarity.cosine(
-                F.lit(axis), similarity.as_double(F.col("embedding"))
-            ),
-            6,
-        ).alias("relevance"),
-    ).filter(F.col("relevance") >= 0.0)
-    picked = sampling.weighted_sample(
-        scored, F.col("vec_id"), F.lit(2.0) + F.col("relevance"), k=64
-    )
-    return picked.select("vec_id", "relevance")
-
-
-@register(
-    "win_first_last",
-    """WITH v AS (SELECT event_type, ts, event_id,
-                         CASE WHEN event_id % 7 = 0 THEN NULL
-                              ELSE value END AS v
-                  FROM events),
-       w AS (SELECT event_type,
-                    first_value(v IGNORE NULLS) OVER (
-                        PARTITION BY event_type ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND UNBOUNDED FOLLOWING) AS first_v,
-                    last_value(v IGNORE NULLS) OVER (
-                        PARTITION BY event_type ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND UNBOUNDED FOLLOWING) AS last_v,
-                    row_number() OVER (
-                        PARTITION BY event_type ORDER BY ts, event_id)
-                        AS rn
-             FROM v)
-       SELECT event_type, round(first_v, 6) AS first_v,
-              round(last_v, 6) AS last_v
-       FROM w WHERE rn = 1""",
-)
-def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FIRST_VALUE/LAST_VALUE with IGNORE NULLS over a full-partition
-    frame — the remaining window primitive the win_* family didn't
-    cover (opening/closing reading per key with gaps in the measure:
-    the fixture NULLs every 7th event's value so the null-skipping is
-    exercised for real, not vacuously).  Total order (ts, event_id)
-    keys the frame, so both engines agree on which value is first."""
-    from pyspark.sql import Window
-
-    ev = t(spark, sf_dir, "events").withColumn(
-        "v",
-        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
-            F.col("value")
-        ),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    rn = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    return (
-        ev.select(
-            "event_type",
-            F.round(F.first("v", ignorenulls=True).over(w), 6).alias(
-                "first_v"
-            ),
-            F.round(F.last("v", ignorenulls=True).over(w), 6).alias("last_v"),
-            F.row_number().over(rn).alias("__rn"),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-
-
-@register("src_text_roundtrip", """SELECT text AS value FROM documents""")
-def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plain text-lines source/sink round-trip (`spark.read.text` — the
-    one columnar-less format the source family didn't cover; raw text
-    corpora and log shards arrive exactly like this): every document
-    body written as one line to a run-scoped directory, read back as
-    the standard single-`value` frame, hash-compared against the
-    originals.  Sound because the fixture corpus contains no embedded
-    newlines (asserted: a newline would split a row and flip the
-    driver red, which is the honest failure).  Result materializes
-    executor-side via eager localCheckpoint before cleanup — no
-    driver round-trip."""
-    import shutil
-    import tempfile
-
-    docs = t(spark, sf_dir, "documents").select("text")
-    tmp = tempfile.mkdtemp(prefix="text_src_")
-    try:
-        docs.write.mode("overwrite").text(tmp)
-        back = spark.read.text(tmp)
-        # cut the lineage to the landing dir WITHOUT a driver
-        # round-trip (r11 ADVICE): eager localCheckpoint materializes
-        # partition blocks executor-side, so the dir can be deleted and
-        # the driver never holds the corpus
-        return back.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
-@register(
-    "fn_regexp_extract_all",
-    r"""SELECT doc_id,
-              array_to_string(regexp_extract_all(text, '[a-z]{4,}'), '|')
-                  AS long_words,
-              CAST(len(regexp_extract_all(text, '[a-z]{4,}')) AS INTEGER)
-                  AS n_long
-       FROM documents""",
-)
-def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-matches regex extraction (`regexp_extract_all` — the
-    log/wikitext field-harvesting staple next to the single-match
-    `fn_str_value` family): every ≥4-letter lowercase run per document,
-    plus its count.  Greedy quantifier semantics are identical in Java
-    regex and RE2, so the matches compare element-for-element.  The
-    array is serialized with ``array_join`` for the registered row: the
-    driver's pandas canonicalizer cannot sort/hash list cells (r9
-    driver-ERR), so OUTPUT columns must stay scalar — the array op
-    itself is exercised between the extract and the join."""
-    docs = t(spark, sf_dir, "documents")
-    arr = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]{4,}"), 0)
-    return docs.select(
-        "doc_id",
-        F.array_join(arr, "|").alias("long_words"),
-        F.size(arr).cast("int").alias("n_long"),
-    )
-
-
-_SQL_WAITING_ORDERS = """SELECT s.s_name,
-              CAST(count(*) AS BIGINT) AS numwait
-       FROM supplier{v} s
-       JOIN lineitem{v} l1 ON l1.l_suppkey = s.s_suppkey
-       JOIN orders{v} o ON o.o_orderkey = l1.l_orderkey
-       WHERE o.o_orderstatus = 'F'
-         AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-         AND EXISTS (SELECT 1 FROM lineitem{v} l2
-                     WHERE l2.l_orderkey = l1.l_orderkey
-                       AND l2.l_suppkey <> l1.l_suppkey)
-         AND NOT EXISTS (SELECT 1 FROM lineitem{v} l3
-                         WHERE l3.l_orderkey = l1.l_orderkey
-                           AND l3.l_suppkey <> l1.l_suppkey
-                           AND l3.l_shipdate
-                               > o.o_orderdate + INTERVAL 60 DAY)
-       GROUP BY s.s_name
-       ORDER BY numwait DESC, s.s_name
-       LIMIT 100"""
-
-
-@register("sql_waiting_orders", _SQL_WAITING_ORDERS.format(v=""))
-def sql_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tenth pure-SQL entry (TPC-H Q21 shape, VERDICT r10 Next #6):
-    suppliers who were the SOLE late supplier on a finished
-    multi-supplier order — the one classic join shape the family
-    lacked: a fact self-joined THREE ways, once as the driving scan,
-    once under correlated EXISTS (another supplier participated), once
-    under correlated NOT EXISTS (nobody else was late).  The reference
-    schema has no commitdate/receiptdate, so "late" is shipdate more
-    than 60 days after the order date — the SAME correlated predicate
-    Q21 binds to the outer order row, here reaching o from both l1 and
-    the l3 subquery.  Catalyst plans the EXISTS as a LEFT SEMI and the
-    NOT EXISTS as a LEFT ANTI join keyed on l_orderkey (inequality
-    residuals on suppkey/shipdate), so each lineitem replay is one
-    hash-join pass, no row duplication and no cartesian corner —
-    `tests/test_plans.py` pins semi+anti+no-cartesian.  ORDER BY is
-    total (numwait DESC, unique s_name) so LIMIT 100 is deterministic
-    across engines.  Identical SQL text on both engines."""
-    for name in ("supplier", "lineitem", "orders"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_WAITING_ORDERS.format(v="_v"))
-
-
-_GAP_US = 1_800 * 1_000_000  # sessionize gap, µs
-_BURST_US = 600 * 1_000_000  # retry-burst dedup window, µs
-
-
-@register(
-    "mart_streaming_quality",
-    f"""WITH ded AS (
-         SELECT user_id, event_type, event_id, ts, value
-         FROM (SELECT e.*, lag(ts) OVER (
-                   PARTITION BY user_id, event_type
-                   ORDER BY ts, event_id) AS prev_ts
-               FROM events e)
-         WHERE prev_ts IS NULL
-            OR date_diff('microsecond', prev_ts, ts) > {_BURST_US}),
-       sess AS (
-         SELECT user_id, event_id, ts, event_type, value,
-                sum(CASE WHEN prev2 IS NULL
-                          OR date_diff('microsecond', prev2, ts) > {_GAP_US}
-                         THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
-         FROM (SELECT d.*, lag(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS prev2
-               FROM ded d)),
-       daily AS (
-         -- counts from ded, not sess: sessionize only ADDS a column, so
-         -- the per-(type, day) volume is identical and the engine side
-         -- can skip the second window on this branch
-         SELECT event_type, CAST(ts AS DATE) AS day_dt, count(*) AS n,
-                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
-         FROM ded GROUP BY 1, 2, 4),
-       anom AS (
-         SELECT event_type, day_dt FROM (
-           SELECT event_type, day_dt, n,
-                  round(avg(n) OVER win, 6) AS m,
-                  round(stddev_samp(n) OVER win, 6) AS s,
-                  count(n) OVER win AS bn
-           FROM daily
-           WINDOW win AS (PARTITION BY event_type ORDER BY ed
-                          RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
-         WHERE bn >= 7 AND s > 0 AND abs(round((n - m) / s, 6)) > 3.0),
-       clean AS (
-         SELECT s.*, CAST(s.ts AS DATE) AS day_dt
-         FROM sess s
-         WHERE NOT EXISTS (SELECT 1 FROM anom a
-                           WHERE a.event_type = s.event_type
-                             AND a.day_dt = CAST(s.ts AS DATE)))
-       SELECT day_dt,
-              CAST(count(*) AS BIGINT) AS n_events,
-              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-              CAST(count(DISTINCT user_id * 100000 + session_idx) AS BIGINT)
-                  AS n_sessions,
-              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
-                  AS total_value,
-              DATE '{RUN_DATE}' AS snapshot_date
-       FROM clean GROUP BY day_dt""",
-)
-def mart_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-quality composition capstone (VERDICT r9 Next #8 /
-    r10 Next #4) — the events+streaming counterpart of
-    `mart_llm_dataprep`: the daily published snapshot a streaming ingest
-    pipeline serves, assembled from this package's registered operators
-    and oracle-checked END TO END through the batch twins of the
-    stateful streaming pair.
-
-    Chain: ingest → retry-burst dedup (`dedup_within_window`, the batch
-    twin of `streaming/stateful.py::dedup_window_stream`; 10-min chained
-    bursts collapse to first arrival) → sessionize survivors
-    (`sessionize`, twin of `sessionize_stream`; 30-min gap) → per-(type,
-    day) volume-anomaly gate (`timeseries.rate_anomaly`, trailing
-    28-day z-score, |z| > 3 — fires for real at sf0.01, 2 type-days) →
-    published per-day snapshot (events, users, active sessions,
-    exact-decimal value sum, `RUN_DATE` stamp).  A drift in ANY stage —
-    burst boundary, session boundary, baseline window, z rounding,
-    gate NULL policy, money rounding — hash-flips the driver row.
-
-    Streaming parity: the first two stages run as a genuine two-hop
-    availableNow streaming pipeline (file source → dedup_window_stream →
-    parquet → sessionize_stream) in
-    `tests/test_streaming.py::test_streaming_quality_two_hop_matches_mart_stages`;
-    the anomaly gate + snapshot are batch-over-stream-output by design
-    (a daily publish, not a per-event emit).
-
-    Scale shape: two key-partitioned windows (user_id×type, then
-    user_id — second reuses the first's hash partitioning modulo key
-    prefix), one (type, day) aggregate (tiny), a broadcast anti-join of
-    the anomalous type-days against the event stream, and one final
-    per-day aggregate with map-side partials.  No global window, no
-    driver materialization."""
-    from kusuma_metamorph_etl_spark.functions.numeric import decimal_round
-    from kusuma_metamorph_etl_spark.operators.events import (
-        dedup_within_window,
-        sessionize,
-    )
-    from kusuma_metamorph_etl_spark.operators.timeseries import rate_anomaly
-
-    ev = t(spark, sf_dir, "events")
-    ded = dedup_within_window(
-        ev, keys=["user_id", "event_type"], window_seconds=600
-    )
-    sess = sessionize(
-        ded, gap_seconds=1800, keep_cols=["event_type", "value"]
-    )
-    # volume baseline from ded, not sess: sessionize only adds a column,
-    # so the counts are identical and this branch skips the second
-    # (user-keyed) window; the dedup window's shuffle is byte-identical
-    # on both branches and AQE reuses the exchange.
-    daily = ded.groupBy(
-        "event_type", F.to_date("ts").alias("day_dt")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    anom = (
-        rate_anomaly(daily, ["event_type"], "day_dt", "n")
-        .filter(F.col("is_anomaly"))
-        .select("event_type", "day_dt")
-    )
-    clean = sess.withColumn("day_dt", F.to_date("ts")).join(
-        F.broadcast(anom), ["event_type", "day_dt"], "left_anti"
-    )
-    return (
-        clean.groupBy("day_dt")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.countDistinct(
-                F.col("user_id") * 100_000 + F.col("session_idx")
-            ).alias("n_sessions"),
-            decimal_round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
-                .alias("total_value"),
-        )
-        .withColumn("snapshot_date", F.lit(RUN_DATE).cast("date"))
-    )
-
-
-@register(
-    "mm_png_16bit",
-    """SELECT doc_id,
-              'png' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(3 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL 16-bit-sample-depth PNG decode ([EXT] multimodal; graduates
-    the IHDR depth gate `operators/multimodal.py::_decode_png` carried
-    since r5 — VERDICT r10 Next #7): per-document depth-16 RGB payloads
-    (each 8-bit sample expanded ×257 = hi|lo byte duplication, the PNG
-    spec's recommended scaling), decoded by byte-plane unfilter at
-    bpp=6 + big-endian sample recombination into uint16 pixels.  Gate:
-    oracle-recomputed dimensions AND the decoded uint16 mean must equal
-    257× the PPM twin's 8-bit mean exactly — a byte-order swap, a wrong
-    filter bpp, or a dropped low byte all shift the mean and turn the
-    driver red.  Filters 1–4 at bpp 6, Adam7 16-bit, 16-bit color keys,
-    and the palette+16-bit rejection are pinned element-exact in
-    tests/test_multimodal.py."""
-    docs = t(spark, sf_dir, "documents")
-    png = multimodal.extract_binary_features(
-        multimodal.attach_png_payload(docs, depth16=True)
-    )
-    ppm = multimodal.extract_binary_features(
-        multimodal.attach_image_payload(docs)
-    ).select("doc_id", F.col("mean_value").alias("ppm_mean"))
-    return (
-        png.join(ppm, "doc_id")
-        .filter(
-            F.abs(F.col("mean_value") - F.lit(257.0) * F.col("ppm_mean"))
-            < 1e-6
-        )
-        .select("doc_id", "format", "width", "height", "channels")
-    )
-
-
-_SQL_CUSTOMER_DISTRIBUTION = """WITH co AS (
-         SELECT c.c_custkey,
-                CAST(count(o.o_orderkey) AS BIGINT) AS c_count
-         FROM customer{v} c
-         LEFT JOIN orders{v} o
-           ON o.o_custkey = c.c_custkey
-          AND o.o_orderpriority <> '1-URGENT'
-         GROUP BY c.c_custkey)
-       SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-       FROM co
-       GROUP BY c_count
-       ORDER BY custdist DESC, c_count DESC"""
-
-
-@register(
-    "sql_customer_distribution", _SQL_CUSTOMER_DISTRIBUTION.format(v="")
-)
-def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eleventh pure-SQL entry (TPC-H Q13 shape): the order-count
-    histogram over ALL customers — the one aggregation shape that needs
-    a LEFT OUTER join (zero-order customers must survive into the
-    c_count=0 bucket; an inner join silently drops the most interesting
-    bar of the histogram) with the priority predicate in the JOIN
-    CONDITION, not the WHERE clause (in WHERE it would turn the outer
-    join back into an inner one).  Double aggregation: per-customer
-    count, then the count-of-counts.  ORDER BY is total (c_count unique
-    per row).  Identical SQL text on both engines."""
-    for name in ("customer", "orders"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_CUSTOMER_DISTRIBUTION.format(v="_v"))
-
-
-_SQL_SMALL_QTY_REVENUE = """SELECT
-         CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 2)
-              AS DOUBLE) AS total_revenue,
-         CAST(count(*) AS BIGINT) AS n_items
-       FROM lineitem{v} l
-       JOIN part{v} p ON p.p_partkey = l.l_partkey
-       WHERE p.p_brand = 'Brand#1'
-         AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                             FROM lineitem{v} l2
-                             WHERE l2.l_partkey = p.p_partkey)"""
-
-
-@register("sql_small_qty_revenue", _SQL_SMALL_QTY_REVENUE.format(v=""))
-def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twelfth pure-SQL entry (TPC-H Q17 shape): revenue from orders
-    below 20% of the part's OWN average quantity — the correlated
-    scalar-AVG subquery over the same fact the outer query scans.
-    Catalyst de-correlates it into a per-partkey aggregate joined back
-    on the correlation key (one extra pass over lineitem, never a
-    per-row re-scan); the brand filter broadcasts the surviving part
-    keys.  The 0.2·avg threshold compares raw doubles, but the operands
-    differ by orders of magnitude from any tie boundary (quantities are
-    integers ≥ 1; avg/5 lands on .2 grids), so the comparison is
-    engine-stable.  Output keeps the family's exact-decimal sum
-    convention instead of Q17's /7.0 double division (a rounded double
-    quotient can straddle a half-penny tie across engines — the
-    registry's round-on-raw-doubles rule)."""
-    for name in ("part", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_SMALL_QTY_REVENUE.format(v="_v"))
-
-
-_SQL_SALES_OPPORTUNITY = """WITH thresh AS (
-         SELECT round(avg(c_acctbal), 6) AS ab
-         FROM customer{v} WHERE c_acctbal > 0)
-       SELECT c.c_nationkey,
-              CAST(count(*) AS BIGINT) AS numcust,
-              CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))), 2)
-                   AS DOUBLE) AS totacctbal
-       FROM customer{v} c
-       WHERE c.c_acctbal > (SELECT ab FROM thresh)
-         AND NOT EXISTS (SELECT 1 FROM orders{v} o
-                         WHERE o.o_custkey = c.c_custkey
-                           AND o.o_orderpriority = '1-URGENT')
-       GROUP BY c.c_nationkey"""
-
-
-@register("sql_sales_opportunity", _SQL_SALES_OPPORTUNITY.format(v=""))
-def sql_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirteenth pure-SQL entry (TPC-H Q22 shape): above-average-balance
-    customers with no urgent orders, rolled up per nation — the
-    uncorrelated scalar subquery (global avg threshold, computed once
-    and broadcast) combined with a correlated NOT EXISTS anti-join on a
-    FILTERED subquery (the filter stays inside the subquery; hoisting it
-    to the outer WHERE would change which customers qualify).  The
-    reference schema has no phone column, so Q22's cntrycode prefix
-    becomes c_nationkey.  The avg threshold is rounded to 6 dp on both
-    engines before comparing: account balances carry 2 decimals, so a
-    last-ulp sum-order difference in the raw avg can never flip a
-    customer across the rounded boundary.  Money sum per the family
-    convention."""
-    for name in ("customer", "orders"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_SALES_OPPORTUNITY.format(v="_v"))
-
-
-@register(
-    "dq_reconcile",
-    """WITH tgt AS (
-         SELECT l_returnflag, l_linestatus,
-                CASE WHEN l_returnflag = 'A' AND l_orderkey % 511 = 0
-                     THEN l_extendedprice + 0.01
-                     ELSE l_extendedprice END AS amt
-         FROM lineitem
-         WHERE NOT (l_returnflag = 'R' AND l_orderkey % 997 = 0
-                    AND l_linenumber = 1)),
-       s AS (
-         SELECT l_returnflag, l_linestatus,
-                CAST(count(*) AS BIGINT) AS src_rows,
-                round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
-                    AS src_amt
-         FROM lineitem GROUP BY 1, 2),
-       t AS (
-         SELECT l_returnflag, l_linestatus,
-                CAST(count(*) AS BIGINT) AS tgt_rows,
-                round(SUM(CAST(amt AS DECIMAL(38,6))), 2) AS tgt_amt
-         FROM tgt GROUP BY 1, 2)
-       SELECT COALESCE(s.l_returnflag, t.l_returnflag) AS l_returnflag,
-              COALESCE(s.l_linestatus, t.l_linestatus) AS l_linestatus,
-              COALESCE(s.src_rows, 0) AS src_rows,
-              COALESCE(t.tgt_rows, 0) AS tgt_rows,
-              CAST(COALESCE(s.src_amt, 0) AS DOUBLE) AS src_amount,
-              CAST(COALESCE(t.tgt_amt, 0) AS DOUBLE) AS tgt_amount,
-              COALESCE(s.src_rows, 0) = COALESCE(t.tgt_rows, 0) AS rows_ok,
-              COALESCE(s.src_amt, CAST(0 AS DECIMAL(38,6)))
-                  = COALESCE(t.tgt_amt, CAST(0 AS DECIMAL(38,6))) AS amount_ok,
-              CASE WHEN t.tgt_rows IS NULL THEN 'missing_in_target'
-                   WHEN s.src_rows IS NULL THEN 'extra_in_target'
-                   WHEN COALESCE(s.src_rows, 0) <> COALESCE(t.tgt_rows, 0)
-                       THEN 'row_mismatch'
-                   WHEN COALESCE(s.src_amt, CAST(0 AS DECIMAL(38,6)))
-                        <> COALESCE(t.tgt_amt, CAST(0 AS DECIMAL(38,6)))
-                       THEN 'amount_mismatch'
-                   ELSE 'ok' END AS status
-       FROM s FULL JOIN t
-         ON s.l_returnflag = t.l_returnflag
-        AND s.l_linestatus = t.l_linestatus""",
-)
-def dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source→target load reconciliation ([EXT] data quality;
-    `plans/quality.py::reconcile` — the post-load audit the §2.9 family
-    lacked): per (returnflag, linestatus) group, row counts and
-    exact-decimal amount sums compared between the source fact and a
-    simulated load with two PLANTED defect classes — every 997th
-    order's first 'R' line dropped (row drift) and every 511th 'A'
-    order's price off by a cent (amount drift) — so the driver row
-    exercises 'ok', 'row_mismatch' AND 'amount_mismatch' for real;
-    the one-sided 'missing/extra_in_target' statuses are pinned in
-    tests/test_quality.py.  Amounts sum in DECIMAL(38,6) and compare
-    after rounding — never raw doubles.  Plan: two map-side-partial
-    aggregates + one group-grain full-outer join; the fact never joins
-    at row grain."""
-    from kusuma_metamorph_etl_spark.plans.quality import reconcile
-
-    keys = ["l_returnflag", "l_linestatus"]
-    src = t(spark, sf_dir, "lineitem")
-    tgt = (
-        src.filter(
-            ~(
-                (F.col("l_returnflag") == "R")
-                & (F.col("l_orderkey") % 997 == 0)
-                & (F.col("l_linenumber") == 1)
-            )
-        ).withColumn(
-            "amt",
-            F.when(
-                (F.col("l_returnflag") == "A")
-                & (F.col("l_orderkey") % 511 == 0),
-                F.col("l_extendedprice") + 0.01,
-            ).otherwise(F.col("l_extendedprice")),
-        )
-    )
-    return reconcile(
-        src.select(*keys, F.col("l_extendedprice").alias("amount")),
-        tgt.select(*keys, F.col("amt").alias("amount")),
-        keys=keys,
-        amount_col="amount",
-    )
-
-
-@register(
-    "src_jsonl_quarantine",
-    """SELECT doc_id,
-              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
-              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END
-                  AS n_chars,
-              doc_id % 13 = 0 AS quarantined
-       FROM documents""",
-)
-def src_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL ingest with corrupt-record quarantine ([EXT] sources — the
-    bad-record routing every production feed needs and the src_* family
-    lacked): per-document JSON lines, every 13th one truncated
-    mid-object, written to a run-scoped landing dir and read back with
-    an explicit schema in PERMISSIVE mode + ``columnNameOfCorruptRecord``
-    — Spark's malformed-line policy parses what it can, nulls the
-    schema fields of broken rows, and lands the RAW line in the corrupt
-    column instead of killing the job (FAILFAST) or silently dropping
-    evidence (DROPMALFORMED).  The quarantine row keeps its identity by
-    re-extracting doc_id from the raw line, so a reprocessing queue can
-    key on it — the pattern's whole point.  Oracle recomputes the
-    parsed/quarantined split from the base table; a policy regression
-    (corrupt rows dropped, fields not nulled, raw line lost) flips
-    rows or hashes.  Result materializes executor-side via eager
-    localCheckpoint before the landing dir is deleted (the
-    `src_text_roundtrip` temp lifecycle) — nothing ever lands on the
-    driver."""
-    import shutil
-    import tempfile
-
-    docs = t(spark, sf_dir, "documents")
-    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
-    jsonl = docs.select(
-        F.when(
-            F.col("doc_id") % 13 == 0,
-            F.substring(line, 1, F.length(line) - F.lit(1)),
-        )
-        .otherwise(line)
-        .alias("value")
-    )
-    tmp = tempfile.mkdtemp(prefix="jsonl_src_")
-    try:
-        jsonl.write.mode("overwrite").text(tmp)
-        back = spark.read.schema(
-            "doc_id long, lang string, n_chars long, _corrupt string"
-        ).option("columnNameOfCorruptRecord", "_corrupt").json(tmp)
-        out = back.select(
-            F.coalesce(
-                F.col("doc_id"),
-                F.regexp_extract(F.col("_corrupt"), r'"doc_id":(\d+)', 1).cast(
-                    "long"
-                ),
-            ).alias("doc_id"),
-            "lang",
-            "n_chars",
-            F.col("_corrupt").isNotNull().alias("quarantined"),
-        )
-        # lineage cut executor-side, no driver materialization (r11
-        # ADVICE: out.collect() pulled the whole table to the driver)
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
-_SQL_MIN_COST_SUPPLIER = """WITH cost AS (
-         SELECT l_partkey, l_suppkey,
-                MIN(l_extendedprice / l_quantity) AS unit_cost
-         FROM lineitem{v} GROUP BY 1, 2)
-       SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
-       FROM part{v} p
-       JOIN cost c ON c.l_partkey = p.p_partkey
-       JOIN supplier{v} s ON s.s_suppkey = c.l_suppkey
-       JOIN nation{v} n ON n.n_nationkey = s.s_nationkey
-       JOIN region{v} r ON r.r_regionkey = n.n_regionkey
-       WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
-         AND r.r_name = 'EUROPE'
-         AND c.unit_cost = (SELECT MIN(c2.unit_cost)
-                            FROM cost c2
-                            JOIN supplier{v} s2 ON s2.s_suppkey = c2.l_suppkey
-                            JOIN nation{v} n2
-                              ON n2.n_nationkey = s2.s_nationkey
-                            JOIN region{v} r2
-                              ON r2.r_regionkey = n2.n_regionkey
-                            WHERE c2.l_partkey = p.p_partkey
-                              AND r2.r_name = 'EUROPE')
-       ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
-       LIMIT 100"""
-
-
-@register("sql_min_cost_supplier", _SQL_MIN_COST_SUPPLIER.format(v=""))
-def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fourteenth pure-SQL entry (TPC-H Q2 shape): for every qualifying
-    part, the EUROPE supplier(s) offering its minimum unit cost — the
-    correlated scalar-MIN subquery whose inner query repeats the outer's
-    dimension chain (supplier -> nation -> region) so the minimum is
-    taken over the same region the outer row competes in.  The reference
-    schema has no partsupp table, so unit cost derives from the fact
-    itself (min extendedprice/quantity per part-supplier pair, shared
-    via a CTE both sides reference).  Catalyst de-correlates the MIN
-    into a per-partkey aggregate joined back on the correlation key;
-    the equality compares doubles both engines computed from identical
-    inputs with order-independent MIN, so it is engine-stable.  ORDER BY
-    is total ((s_name, p_partkey) is unique per row), making LIMIT 100
-    deterministic.  Identical SQL text on both engines."""
-    for name in ("part", "supplier", "lineitem", "nation", "region"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_MIN_COST_SUPPLIER.format(v="_v"))
-
-
-_SQL_PART_VALUE_SHARE = """WITH val AS (
-         SELECT l.l_partkey AS partkey,
-                SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(38,6))) AS value
-         FROM lineitem{v} l
-         JOIN supplier{v} s ON s.s_suppkey = l.l_suppkey
-         JOIN nation{v} n ON n.n_nationkey = s.s_nationkey
-         WHERE n.n_name = 'NATION_7' GROUP BY 1)
-       SELECT partkey, CAST(ROUND(value, 2) AS DOUBLE) AS part_value
-       FROM val
-       WHERE CAST(value AS DOUBLE) >
-             (SELECT 3.0 * CAST(SUM(value) AS DOUBLE) / COUNT(*) FROM val)
-       ORDER BY part_value DESC, partkey"""
-
-
-@register("sql_part_value_share", _SQL_PART_VALUE_SHARE.format(v=""))
-def sql_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fifteenth pure-SQL entry (TPC-H Q11 shape): parts whose revenue
-    through one nation's suppliers exceeds a threshold derived from the
-    WHOLE group — the uncorrelated scalar aggregate-over-aggregate
-    subquery scanning the same CTE the outer query filters (Q11's
-    HAVING-against-global-total shape).  Q11's fixed fraction threshold
-    degenerates with scale (every part's share shrinks as the part count
-    grows), so the threshold is 3x the MEAN part value — scale-invariant
-    and non-empty at every test SF.  The exact DECIMAL(38,6) sums are
-    cast to DOUBLE only at the comparison and presentation edges, per
-    the registry money convention; both engines compare doubles derived
-    from identical exact sums.  ORDER BY is total (partkey unique).
-    Identical SQL text on both engines."""
-    for name in ("lineitem", "supplier", "nation"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_PART_VALUE_SHARE.format(v="_v"))
-
-
-_SQL_PART_SUPPLIER_COUNTS = """SELECT p.p_brand, p.p_type, p.p_size,
-              CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-       FROM part{v} p
-       JOIN lineitem{v} l ON l.l_partkey = p.p_partkey
-       WHERE p.p_brand <> 'Brand#5'
-         AND p.p_type NOT LIKE 'MEDIUM%'
-         AND p.p_size IN (1, 4, 7, 10, 23, 36, 45, 49)
-         AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier{v}
-                                 WHERE s_acctbal < 0)
-       GROUP BY 1, 2, 3
-       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
-
-
-@register("sql_part_supplier_counts", _SQL_PART_SUPPLIER_COUNTS.format(v=""))
-def sql_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sixteenth pure-SQL entry (TPC-H Q16 shape): how many distinct
-    suppliers ship each surviving (brand, type, size) part descriptor —
-    COUNT(DISTINCT) under a NOT-IN subquery excluding flagged suppliers
-    (negative account balance stands in for Q16's complaints LIKE; the
-    exclusion list is tiny and broadcasts as a null-aware anti join,
-    Catalyst's NOT-IN plan).  The <>/NOT LIKE/IN trio on part attributes
-    mirrors Q16's mixed predicate block and prunes at the part scan.
-    ORDER BY is total (the full group key breaks supplier_cnt ties).
-    Identical SQL text on both engines."""
-    for name in ("part", "lineitem", "supplier"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_PART_SUPPLIER_COUNTS.format(v="_v"))
-
-
-_SQL_CONCENTRATED_SUPPLIERS = """SELECT s.s_name, s.s_acctbal
-       FROM supplier{v} s
-       JOIN nation{v} n ON n.n_nationkey = s.s_nationkey
-       WHERE n.n_name IN ('NATION_3', 'NATION_4')
-         AND s.s_suppkey IN (
-           SELECT q.l_suppkey
-           FROM (SELECT l_suppkey, l_partkey,
-                        SUM(l_quantity) AS qty_year
-                 FROM lineitem{v}
-                 WHERE l_shipdate >= DATE '1996-01-01'
-                   AND l_shipdate < DATE '1997-01-01'
-                   AND l_partkey IN (SELECT p_partkey FROM part{v}
-                                     WHERE p_name LIKE 'red%')
-                 GROUP BY 1, 2) q
-           WHERE q.qty_year > 0.5 * (SELECT SUM(l2.l_quantity)
-                                     FROM lineitem{v} l2
-                                     WHERE l2.l_partkey = q.l_partkey
-                                       AND l2.l_suppkey = q.l_suppkey))
-       ORDER BY s.s_name"""
-
-
-@register(
-    "sql_concentrated_suppliers", _SQL_CONCENTRATED_SUPPLIERS.format(v="")
-)
-def sql_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seventeenth pure-SQL entry (TPC-H Q20 shape): suppliers in two
-    nations who shipped more than half their ALL-TIME volume of some
-    red part within one year — the nested-subquery tower Q20 is known
-    for: an IN whose subquery aggregates the fact, itself filtered by
-    another IN on a dimension LIKE, with a correlated scalar-SUM in its
-    WHERE comparing against the group's own history (availqty > half of
-    shipped, re-read as year-share > half of total).  Catalyst
-    de-correlates the scalar SUM into a (partkey, suppkey) aggregate
-    joined back on both correlation keys, and the outer IN plans as a
-    LEFT SEMI — one pass per lineitem replay, no per-row re-scans.
-    Quantities are integer-valued doubles, so the 0.5x comparison sits
-    far from any representable-tie boundary.  ORDER BY s_name is total
-    (unique).  Identical SQL text on both engines."""
-    for name in ("supplier", "nation", "lineitem", "part"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_CONCENTRATED_SUPPLIERS.format(v="_v"))
-
-
-_SQL_FORECAST_REVENUE = """SELECT
-         CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
-                             AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
-         CAST(count(*) AS BIGINT) AS n_lines
-       FROM lineitem{v}
-       WHERE l_shipdate >= DATE '1996-01-01'
-         AND l_shipdate < DATE '1997-01-01'
-         AND l_discount BETWEEN 0.05 AND 0.07
-         AND l_quantity < 24"""
-
-
-@register("sql_forecast_revenue", _SQL_FORECAST_REVENUE.format(v=""))
-def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eighteenth pure-SQL entry (TPC-H Q6 shape): the pure scan-side
-    query — a conjunctive range block (date window, discount band,
-    quantity cap) over the bare fact with a single global aggregate and
-    no join at all.  Its value is the plan it must compile to: every
-    predicate pushed into the parquet scan, one partial+final aggregate
-    pair, zero exchanges beyond the final gather — the shape the
-    pushdown contracts in tests/test_plans.py exist to keep.  The
-    discount BETWEEN compares doubles to two-decimal literals the data
-    itself carries (0.00–0.10 grid), so the band edges are exact.
-    Identical SQL text on both engines."""
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    return spark.sql(_SQL_FORECAST_REVENUE.format(v="_v"))
-
-
-_SQL_VOLUME_SHIPPING = """SELECT supp_nation, cust_nation, l_year,
-              CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,6))), 2)
-                   AS DOUBLE) AS revenue
-       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                    CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER)
-                        AS l_year,
-                    l.l_extendedprice * (1 - l.l_discount) AS volume
-             FROM supplier{v} s
-             JOIN lineitem{v} l ON s.s_suppkey = l.l_suppkey
-             JOIN orders{v} o ON o.o_orderkey = l.l_orderkey
-             JOIN customer{v} c ON c.c_custkey = o.o_custkey
-             JOIN nation{v} n1 ON n1.n_nationkey = s.s_nationkey
-             JOIN nation{v} n2 ON n2.n_nationkey = c.c_nationkey
-             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-               AND l.l_shipdate >= DATE '1996-01-01'
-               AND l.l_shipdate < DATE '1998-01-01') shipping
-       GROUP BY 1, 2, 3
-       ORDER BY 1, 2, 3"""
-
-
-@register("sql_volume_shipping", _SQL_VOLUME_SHIPPING.format(v=""))
-def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nineteenth pure-SQL entry (TPC-H Q7 shape): bilateral trade
-    volume between two nations by ship year — the SAME dimension joined
-    TWICE under different roles (nation as supplier country n1 AND as
-    customer country n2) with a disjunctive cross-role predicate that
-    must stay attached to the join pair, plus EXTRACT(year) bucketing.
-    Both nation sides broadcast; the disjunction cannot be pushed to
-    either scan alone, so it evaluates post-join — exactly once.  ORDER
-    BY is total (the full group key).  Identical SQL text on both
-    engines."""
-    for name in ("supplier", "lineitem", "orders", "customer", "nation"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_VOLUME_SHIPPING.format(v="_v"))
-
-
-_SQL_MARKET_SHARE = """SELECT o_year,
-              CAST(ROUND(
-                   CAST(SUM(CASE WHEN nation = 'NATION_5' THEN vol_d
-                                 ELSE CAST(0 AS DECIMAL(38,6)) END)
-                        AS DOUBLE)
-                   / CAST(SUM(vol_d) AS DOUBLE), 6) AS DOUBLE)
-                  AS mkt_share
-       FROM (SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER)
-                        AS o_year,
-                    CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(38,6)) AS vol_d,
-                    n2.n_name AS nation
-             FROM part{v} p
-             JOIN lineitem{v} l ON p.p_partkey = l.l_partkey
-             JOIN supplier{v} s ON s.s_suppkey = l.l_suppkey
-             JOIN orders{v} o ON o.o_orderkey = l.l_orderkey
-             JOIN customer{v} c ON c.c_custkey = o.o_custkey
-             JOIN nation{v} n1 ON n1.n_nationkey = c.c_nationkey
-             JOIN region{v} r ON r.r_regionkey = n1.n_regionkey
-             JOIN nation{v} n2 ON n2.n_nationkey = s.s_nationkey
-             WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
-               AND o.o_orderdate >= DATE '1996-01-01'
-               AND o.o_orderdate < DATE '1998-01-01') all_nations
-       GROUP BY o_year
-       ORDER BY o_year"""
-
-
-@register("sql_market_share", _SQL_MARKET_SHARE.format(v=""))
-def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twentieth pure-SQL entry (TPC-H Q8 shape): one nation's share of
-    regional order volume by year — the deepest join tree in the catalog
-    (seven tables, nation joined twice: once through the customer side
-    to filter the market region, once through the supplier side to label
-    the competitor) feeding a conditional-sum ratio.  Both the filtered
-    and the total volume are summed as exact DECIMAL(38,6) and cast to
-    DOUBLE only for the final division, so the engines divide identical
-    doubles and the 6-dp round can never straddle a sum-order ulp.
-    Identical SQL text on both engines."""
-    for name in (
-        "part", "supplier", "lineitem", "orders",
-        "customer", "nation", "region",
-    ):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_MARKET_SHARE.format(v="_v"))
-
-
-_SQL_PRODUCT_PROFIT = """SELECT nation, o_year,
-              CAST(ROUND(SUM(CAST(amount AS DECIMAL(38,6))), 2)
-                   AS DOUBLE) AS sum_profit
-       FROM (SELECT n.n_name AS nation,
-                    CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER)
-                        AS o_year,
-                    l.l_extendedprice * (1 - l.l_discount)
-                      - p.p_retailprice * l.l_quantity AS amount
-             FROM part{v} p
-             JOIN lineitem{v} l ON p.p_partkey = l.l_partkey
-             JOIN supplier{v} s ON s.s_suppkey = l.l_suppkey
-             JOIN orders{v} o ON o.o_orderkey = l.l_orderkey
-             JOIN nation{v} n ON n.n_nationkey = s.s_nationkey
-             WHERE p.p_name LIKE '%red%') profit
-       GROUP BY 1, 2
-       ORDER BY nation, o_year DESC"""
-
-
-@register("sql_product_profit", _SQL_PRODUCT_PROFIT.format(v=""))
-def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-first pure-SQL entry (TPC-H Q9 shape): per-nation,
-    per-year profit on one product line — the infix-substring dimension
-    filter (LIKE '%red%', no prefix to push as a range) driving a
-    five-table join whose measure SUBTRACTS cost from revenue (the
-    reference schema has no partsupp, so p_retailprice·quantity stands
-    in for Q9's supplycost·quantity).  Negative amounts are the point:
-    the profit sum exercises signed DECIMAL aggregation, where a
-    double-sum's cancellation error would be engine-visible.  ORDER BY
-    nation, o_year DESC mirrors Q9's presentation order and is total.
-    Identical SQL text on both engines."""
-    for name in ("part", "lineitem", "supplier", "orders", "nation"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_PRODUCT_PROFIT.format(v="_v"))
-
-
-_SQL_PRIORITY_LINES = """SELECT l.l_linestatus,
-              CAST(SUM(CASE WHEN o.o_orderpriority IN
-                                 ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS BIGINT)
-                  AS high_line_count,
-              CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
-                                 ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS BIGINT)
-                  AS low_line_count
-       FROM orders{v} o
-       JOIN lineitem{v} l ON o.o_orderkey = l.l_orderkey
-       WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-         AND l.l_shipdate < DATE '1998-01-01'
-       GROUP BY 1
-       ORDER BY 1"""
-
-
-@register("sql_priority_lines", _SQL_PRIORITY_LINES.format(v=""))
-def sql_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-second pure-SQL entry (TPC-H Q12 shape, completing the
-    22-query catalog): order-priority split of slow shipments — the
-    pivot-by-CASE pattern (two complementary conditional counts in one
-    aggregation pass, Q12's signature) under a cross-table inequality
-    (shipdate vs orderdate + 30 days) that must ride the join output,
-    while the absolute date cap pushes to the lineitem scan.  The
-    reference schema has no l_shipmode/commitdate/receiptdate, so
-    l_linestatus buckets the rows and shipdate lag defines "slow".
-    ORDER BY is total (l_linestatus unique per row).  Identical SQL
-    text on both engines."""
-    for name in ("orders", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
-    return spark.sql(_SQL_PRIORITY_LINES.format(v="_v"))
-
-
-@register(
-    "mm_gif_interlaced",
-    """SELECT doc_id,
-              'gif' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(3 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL four-pass interlaced GIF decode ([EXT] multimodal —
-    graduates the last GIF seam, the `ipacked & 0x40` gate
-    `operators/multimodal.py::_gif_walk_blocks` carried since r6):
-    per-document GIF payloads written in the appendix-E pass order with
-    the interlace flag set, decoded by the stream-row → image-row
-    permutation.  The gate is STRONGER than `mm_gif_features`' mean
-    (every permutation preserves a mean): both sides decode through
-    `pixel_md5_features`, so the interlaced GIF's pixel-array md5 must
-    equal the PPM twin's byte-for-byte — a wrong pass stride or an
-    off-by-one start row reorders rows and flips the digest, dropping
-    rows and turning the driver red.  The synthesized 4–8-row canvases
-    keep every pass boundary in play."""
-    docs = t(spark, sf_dir, "documents")
-    gif = multimodal.extract_binary_features(
-        multimodal.attach_gif_payload(docs, interlace=True),
-        decoder=multimodal.pixel_md5_features,
-        schema=multimodal.PIXEL_MD5_SCHEMA,
-    )
-    ppm = multimodal.extract_binary_features(
-        multimodal.attach_image_payload(docs),
-        decoder=multimodal.pixel_md5_features,
-        schema=multimodal.PIXEL_MD5_SCHEMA,
-    ).select("doc_id", F.col("pixel_md5").alias("ppm_md5"))
-    return (
-        gif.join(ppm, "doc_id")
-        .filter(F.col("pixel_md5") == F.col("ppm_md5"))
-        .select("doc_id", "format", "width", "height", "channels")
-    )
-
-
-@register(
-    "mm_png_subbyte",
-    """SELECT doc_id,
-              'png' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(1 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_png_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL sub-byte-depth PNG decode ([EXT] multimodal — graduates the
-    1/2/4-bit seam the IHDR gate `operators/multimodal.py::_decode_png`
-    named since r5; 1-bit scans are common in real document corpora):
-    per-document greyscale payloads at a per-document depth ∈ {1,2,4}
-    (so one row exercises all three packings), scanlines filtered at
-    bpp=1 then unpacked MSB-first and presented at 8 bits via the exact
-    integer scaling 255//(2**depth-1).  Gate: the decoded pixel-array
-    md5 must equal the 8-bit quantized-PGM twin's byte-for-byte
-    (`pixel_md5_features` — a wrong bit order, stride, or scale factor
-    flips the digest); dimensions re-derived by the oracle."""
-    docs = t(spark, sf_dir, "documents")
-    png = multimodal.extract_binary_features(
-        multimodal.attach_png_subbyte_payload(docs),
-        decoder=multimodal.pixel_md5_features,
-        schema=multimodal.PIXEL_MD5_SCHEMA,
-    )
-    pgm = multimodal.extract_binary_features(
-        multimodal.attach_pgm_quantized_payload(docs),
-        decoder=multimodal.pixel_md5_features,
-        schema=multimodal.PIXEL_MD5_SCHEMA,
-    ).select("doc_id", F.col("pixel_md5").alias("pgm_md5"))
-    return (
-        png.join(pgm, "doc_id")
-        .filter(F.col("pixel_md5") == F.col("pgm_md5"))
-        .select("doc_id", "format", "width", "height", "channels")
-    )
-
-
-@register(
-    "mm_png_subbyte_interlaced",
-    """SELECT doc_id,
-              'png' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(1 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_png_subbyte_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL Adam7-interlaced sub-byte PNG decode ([EXT] multimodal —
-    graduates the LAST named PNG seam, the per-pass bit-packing gate
-    `operators/multimodal.py::_png_deinterlace` carried since r11): the
-    `mm_png_subbyte` payloads re-encoded with the interlace flag, every
-    pass packed independently at its REDUCED width (PNG spec 8.2 — the
-    4–8-pixel synthetic canvases make most pass widths differ from the
-    image width, exactly where a shared-width packing bug corrupts the
-    plane).  Gate: decoded pixel md5 equals the 8-bit quantized-PGM
-    twin byte-for-byte (`pixel_md5_features` — interlace bugs REORDER
-    rows, and means are permutation-invariant, so the digest is the
-    honest check; the r11 `mm_gif_interlaced` convention)."""
-    docs = t(spark, sf_dir, "documents")
-    png = multimodal.extract_binary_features(
-        multimodal.attach_png_subbyte_payload(docs, interlace=True),
-        decoder=multimodal.pixel_md5_features,
-        schema=multimodal.PIXEL_MD5_SCHEMA,
-    )
-    pgm = multimodal.extract_binary_features(
-        multimodal.attach_pgm_quantized_payload(docs),
-        decoder=multimodal.pixel_md5_features,
-        schema=multimodal.PIXEL_MD5_SCHEMA,
-    ).select("doc_id", F.col("pixel_md5").alias("pgm_md5"))
-    return (
-        png.join(pgm, "doc_id")
-        .filter(F.col("pixel_md5") == F.col("pgm_md5"))
-        .select("doc_id", "format", "width", "height", "channels")
-    )
+from kusuma_metamorph_etl_spark.queries.ext_text import *  # noqa: F401,F403
+from kusuma_metamorph_etl_spark.queries.ext_dedup import *  # noqa: F401,F403
+from kusuma_metamorph_etl_spark.queries.ext_sim import *  # noqa: F401,F403
+from kusuma_metamorph_etl_spark.queries.ext_mm import *  # noqa: F401,F403
+from kusuma_metamorph_etl_spark.queries.ext_events import *  # noqa: F401,F403
+from kusuma_metamorph_etl_spark.queries.ext_rel import *  # noqa: F401,F403
+from kusuma_metamorph_etl_spark.queries.ext_quality import *  # noqa: F401,F403
+from kusuma_metamorph_etl_spark.queries.ext_sql import *  # noqa: F401,F403
+from kusuma_metamorph_etl_spark.queries.ext_marts import *  # noqa: F401,F403

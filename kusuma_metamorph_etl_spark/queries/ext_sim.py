@@ -1,0 +1,324 @@
+"""[EXT] similarity-search queries (brute-force cosine, LSH, IVF,
+PQ, MMR + the approx-path oracle gates) — split from ``ext.py``
+(r13)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from kusuma_metamorph_etl_spark.operators import similarity
+from kusuma_metamorph_etl_spark.registry import register
+from kusuma_metamorph_etl_spark.sources.catalog import load_table as t
+from kusuma_metamorph_etl_spark.queries.ext_common import _gate, _n
+
+# ---------------------------------------------------------------- similarity
+
+_COSINE = (
+    "list_dot_product(a.e, b.e)"
+    " / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+# Exact cosine top-5 (every 25th vector as query) — shared by
+# `sim_cosine_topk` and the `_err` companions of its approximate paths,
+# whose gated output IS this exact baseline.
+_TOPK_ORACLE = f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {_COSINE} AS cosine
+          FROM v a JOIN v b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % 25 = 0),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+        FROM ranked WHERE rn <= 5"""
+
+@register("sim_cosine_topk", _TOPK_ORACLE)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for every 25th vector as query."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.cosine_topk(queries, emb, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+@register(
+    "sim_cosine_pairs",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b, round({_COSINE}, 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {_COSINE} >= 0.3""",
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.3, exhaustive at test scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_pairs(emb, threshold=0.3)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+@register("sim_cosine_topk_np", None)  # BLAS summation order — rows-only
+def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized brute-force top-k (Arrow batches → one BLAS matmul per
+    batch); ~2.7x the JVM fold at sf0.1 with identical pairs (asserted in
+    tests/)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.cosine_topk_np(queries, emb, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+@register("sim_ivf_topk", None)  # index-dependent candidates — rows-only
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index (16 cells, probe 4): each query
+    scans ~1/4 of the corpus (recall asserted in tests/)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+@register(
+    "sim_quantize",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        m AS (SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) AS ma
+              FROM v),
+        q AS (SELECT vec_id, ma,
+                     CASE WHEN ma > 0
+                          THEN list_transform(e,
+                               x -> CAST(round(x * 127 / ma) AS BIGINT))
+                          ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                          END AS qv
+              FROM m)
+        SELECT vec_id,
+               CAST(len(qv) AS BIGINT) AS n_dims,
+               ma / 127.0 AS scale,
+               CAST(list_min(qv) AS BIGINT) AS q_min,
+               CAST(list_max(qv) AS BIGINT) AS q_max,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum
+        FROM q""",
+)
+def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization ([EXT]): the 4x storage
+    reduction for embedding corpora (`operators/similarity.py::
+    quantize_embeddings`).  Scalar summaries (dims, scale, min/max/sum of
+    the quantized components) because rows-only harnesses cannot hash
+    array values; round-trip error bounds are pinned in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.size("qvec").cast("long").alias("n_dims"),
+        "scale",
+        F.array_min("qvec").cast("long").alias("q_min"),
+        F.array_max("qvec").cast("long").alias("q_max"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+    )
+
+@register("sim_lsh_topk", None)  # xxhash64-derived hyperplanes — rows-only
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane bucketing
+    (recall asserted against `sim_cosine_topk` in tests/)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.lsh_topk(queries, emb, k=5, n_planes=4, n_tables=8)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+def _topk_err(
+    spark: SparkSession, sf_dir: str, approx_pairs: DataFrame, bound: float
+) -> DataFrame:
+    """Shared body of the top-k `_err` companions: exact cosine top-5
+    (the `sim_cosine_topk` baseline and oracle), gated on the approximate
+    path's pair-recall against it."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    hit = exact.select("query_id", "neighbor_id").join(
+        approx_pairs.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    stats = _n(exact, "n_exact").crossJoin(_n(hit, "n_hit"))
+    ok = (F.col("n_exact") > 0) & (F.col("n_hit") >= bound * F.col("n_exact"))
+    out = exact.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+    return _gate(out, stats, ok)
+
+@register("sim_lsh_topk_err", _TOPK_ORACLE)
+def sim_lsh_topk_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `sim_lsh_topk`: exact top-5 baseline
+    gated on hyperplane-LSH recall ≥ 0.5 (tests/test_similarity.py
+    contract; measured 0.74 at sf0.001)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    approx = similarity.lsh_topk(queries, emb, k=5, n_planes=4, n_tables=8)
+    return _topk_err(spark, sf_dir, approx, bound=0.5)
+
+@register("sim_ivf_topk_err", _TOPK_ORACLE)
+def sim_ivf_topk_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `sim_ivf_topk`: exact top-5 baseline
+    gated on IVF (16 cells, probe 4) recall ≥ 0.35
+    (tests/test_similarity.py contract; measured 0.55 at sf0.001)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    approx = similarity.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    return _topk_err(spark, sf_dir, approx, bound=0.35)
+
+@register("sim_cosine_topk_np_err", _TOPK_ORACLE)
+def sim_cosine_topk_np_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `sim_cosine_topk_np`: the vectorized
+    path must return the IDENTICAL neighbor set as the JVM fold (only
+    float tails may differ — tests/test_similarity.py), so the gate is
+    set equality in both directions, not a recall bound."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    np_ = similarity.cosine_topk_np(queries, emb, k=5)
+    e_pairs = exact.select("query_id", "neighbor_id")
+    n_pairs = np_.select("query_id", "neighbor_id")
+    missed = e_pairs.join(n_pairs, ["query_id", "neighbor_id"], "left_anti")
+    spurious = n_pairs.join(e_pairs, ["query_id", "neighbor_id"], "left_anti")
+    stats = (
+        _n(e_pairs, "n_exact")
+        .crossJoin(_n(missed, "n_miss"))
+        .crossJoin(_n(spurious, "n_spur"))
+    )
+    ok = (
+        (F.col("n_exact") > 0)
+        & (F.col("n_miss") == 0)
+        & (F.col("n_spur") == 0)
+    )
+    out = exact.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+    return _gate(out, stats, ok)
+
+@register("sim_ivf_persisted_err", _TOPK_ORACLE)
+def sim_ivf_persisted_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the PERSISTED IVF index lifecycle (build → write
+    cell-partitioned → partition-pruned search;
+    `operators/similarity.py::write_ivf_index/ivf_search`): exact top-5
+    baseline gated on the persisted-index search hitting the same ≥ 0.35
+    recall bound as the inline IVF row — so a broken index write, a
+    centroid/assignment drift between write and search, or lost
+    partition pruning all empty the output and flip the driver red.
+    The index round-trips through a run-scoped temp dir (the index is a
+    DERIVED artifact; rebuilt per run here, persisted across runs in
+    production)."""
+    import shutil
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    tmp = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        similarity.write_ivf_index(emb, tmp, n_centroids=16)
+        approx = similarity.ivf_search(spark, tmp, queries, k=5, n_probe=4)
+        # materialize before the temp dir disappears: the gate compare
+        # re-executes the plan, which must not dangle on deleted files
+        approx = spark.createDataFrame(
+            approx.select("query_id", "neighbor_id").collect(),
+            schema="query_id long, neighbor_id long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _topk_err(spark, sf_dir, approx, bound=0.35)
+
+@register("sim_mmr", None)  # greedy diversity selection — rows-only
+def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity selection ([EXT] similarity;
+    `operators/similarity.py::mmr_select`): 20 diverse-yet-relevant
+    picks at λ=0.5 against a fixed axis query — the curation step after
+    retrieval.  The greedy chain's scores depend on the selection
+    prefix (non-SQL-expressible), so rows-only; the λ=1 degeneration is
+    hash-checked in `sim_mmr_err`."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = [1.0] + [0.0] * 63
+    return similarity.mmr_select(emb, query, k=20, lam=0.5, pool=200)
+
+@register(
+    "sim_mmr_err",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       rels AS (
+         -- cosine to the unit axis-0 query: e[1] / (|e| * 1)
+         SELECT vec_id,
+                e[1] / sqrt(list_dot_product(e, e)) AS rel
+         FROM v)
+       SELECT CAST(row_number() OVER (ORDER BY rel DESC, vec_id) - 1
+                   AS INTEGER) AS rank,
+              vec_id,
+              round(rel, 6) AS relevance,
+              round(rel, 6) AS mmr_score
+       FROM rels
+       ORDER BY rel DESC, vec_id LIMIT 20""",
+)
+def sim_mmr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable MMR contract: at λ=1 the greedy chain degrades to
+    pure relevance top-k, which plain SQL expresses exactly — the
+    relevance math (cosine to the unit axis-0 query = first component /
+    vector norm), the (rel desc, id) tie order, the rank numbering and
+    the rounding are all hash-compared.  A drift in the pool trim, the
+    driver loop, or the tie-break flips this row red; diversity behavior
+    at λ<1 is pinned by the unit tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = [1.0] + [0.0] * 63
+    return similarity.mmr_select(emb, query, k=20, lam=1.0, pool=200)
+
+@register(
+    "sim_group_centroid",
+    """WITH e AS (SELECT label,
+                         unnest(embedding) AS x,
+                         unnest(range(0, len(embedding))) AS pos
+                  FROM embeddings)
+       SELECT label,
+              CAST(pos AS INTEGER) AS pos,
+              round(avg(x), 6) AS m,
+              CAST(count(*) AS BIGINT) AS n_vectors
+       FROM e GROUP BY 1, 2""",
+)
+def sim_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid ([EXT] similarity;
+    `operators/similarity.py::group_centroids`): element-wise mean
+    vector per label via posexplode → (label, position) partial-agg
+    average — no task ever holds a label's full vector set, the
+    class-prototype primitive at corpus scale.  Registered at the
+    long-form ``(label, pos, m, n_vectors)`` grain (``assemble=False``)
+    because the driver's pandas canonicalizer cannot hash array cells
+    (r9 driver-ERR); the assembled ``array<double>`` shape stays covered
+    by tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.group_centroids(emb, "label", assemble=False)
+
+@register("sim_pq", None)  # ADC ranking is code-approximate — rows-only
+def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN ([EXT] similarity;
+    `operators/similarity.py::pq_train/pq_encode/pq_topk` — Jégou et
+    al. TPAMI'11): m=16 subspace codebooks of 64 codewords over the
+    L2-normalized corpus, vectors compressed 512 B → 16 codes, top-5 by
+    ADC table lookups without touching raw floats — the memory-bound
+    scale path where even int8 vectors don't fit (`sim_quantize` is the
+    8x step, PQ the 32-64x step).  Approximate by construction →
+    rows-only; the exact-recall contract is hash-checked in
+    `sim_pq_err` and the recall/rerank bounds in pytest."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    books = similarity.pq_train(emb, m=16, k=64, refine_iters=2)
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_topk(queries, codes, books, k=5)
+
+@register("sim_pq_err", _TOPK_ORACLE)
+def sim_pq_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `sim_pq`: exact top-5 baseline gated
+    on the PRODUCTION path's recall — ADC shortlist-50 + exact cosine
+    re-rank of only those candidates (`pq_topk_rerank`), bound 0.7
+    (measured 1.0 at sf0.01: the shortlist captured every exact top-5
+    neighbor; pure ADC sits at 0.59 and is bounded in pytest)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    books = similarity.pq_train(emb, m=16, k=64, refine_iters=2)
+    codes = similarity.pq_encode(emb, books)
+    approx = similarity.pq_topk_rerank(
+        queries, codes, emb, books, k=5, shortlist=50
+    )
+    return _topk_err(spark, sf_dir, approx, bound=0.7)

@@ -51,8 +51,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 # not shuffle the generated window.
 _REG_BY_MODULE: dict[str, list[str]] = {}
 
-# Canonical module rank for the registration-order tie-break.
-_MODULE_RANK = ("queries.core", "queries.ext", "queries.marts")
+# Canonical module rank for the registration-order tie-break.  The
+# former queries.ext monolith split into per-domain modules in r13;
+# their rank order IS the canonical [EXT] registration order.
+_MODULE_RANK = (
+    "queries.core",
+    "queries.ext_text",
+    "queries.ext_dedup",
+    "queries.ext_sim",
+    "queries.ext_mm",
+    "queries.ext_events",
+    "queries.ext_rel",
+    "queries.ext_quality",
+    "queries.ext_sql",
+    "queries.ext_marts",
+    "queries.marts",
+)
 
 
 def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
@@ -118,27 +132,26 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-12 WINDOW: basis 11; 263 registered (consolidations under the
-# ceiling policy: setop_union/intersect/except → setop_family,
-# fil_neq/fil_isin/fil_cmp → fil_scalar_family, proj_select/proj_rename/
-# proj_alias/proj_drop/expr_lit → proj_family; additions funded by the
-# freed slots: +mm_png_subbyte_interlaced, +mm_wav_formats — net −6,
-# rebuilding rotation headroom); 5 zero-evidence rows lead the cut.
-# Behind them sits the 22-row r6-evidence cohort the r11 verdict
-# flagged (asof/range/fuzzy/overlap joins, the evt_* trio, the mergeable
-# sketches, mm_audio/phash/png/video, sim_ivf/lsh + their glued _err
-# passengers) — at basis 11 they are 5 rounds stale and the 6-round age
-# guard would trip at r13 without this rotation.  An evidence-age guard
-# (tests/test_registry_window.py) fails the build when any row's latest
-# evidence is older than the derived rotation budget (ceil(rows/50),
-# currently 6), and compute_priority carries a CUT-REPAIR pass so a
-# glued rows-only/_err pair can never straddle the 50-cut.  REGEN AFTER
-# EVERY REGISTRATION; the window guard test is the backstop, run it
-# before every commit.
+# ROUND-13 WINDOW: basis 12; 258 registered (r12 VERDICT Next #2
+# consolidations: win_lag_lead/win_ntile/win_rank_dense/win_cume_dist →
+# win_rank_family, src_json_roundtrip/src_orc_roundtrip/
+# src_text_roundtrip → src_roundtrip_family — net −5, defusing the
+# r8-evidence bulge).  2 zero-evidence family rows lead the cut, then
+# the 22 remaining r7-evidence rows (6 rounds stale — the age guard
+# trips without this rotation), then 26 of the 49-row r8 cohort
+# PRE-ROTATED so r14's due cohort shrinks to ~25 rows instead of
+# consuming its entire window (r12 VERDICT "What's wrong" #1).  An
+# evidence-age guard (tests/test_registry_window.py) fails the build
+# when any row's latest evidence is older than the derived rotation
+# budget (ceil(rows/50), currently 6), a bulge guard fails it when the
+# projected post-window oldest cohort exceeds 44 rows, and
+# compute_priority carries a CUT-REPAIR pass so a glued rows-only/_err
+# pair can never straddle the 50-cut.  REGEN AFTER EVERY REGISTRATION;
+# the window guard test is the backstop, run it before every commit.
 #
-# r13 builder checklist: once the driver lands CORRECTNESS_r12.json,
-# bump _PRIORITY_BASIS_ROUND to 12, regenerate with
-# `python tools/make_window.py --through-round 12`, and re-paste
+# r14 builder checklist: once the driver lands CORRECTNESS_r13.json,
+# bump _PRIORITY_BASIS_ROUND to 13, regenerate with
+# `python tools/make_window.py --through-round 13`, and re-paste
 # (defer only if new zero-evidence registrations overflow the window).
 # Registry ceiling policy (ENFORCED since r12 by
 # tests/test_registry_window.py::test_registry_under_rotation_ceiling):
@@ -147,13 +160,12 @@ _LOADED = False
 # message must name the retired/merged row.
 # ---------------------------------------------------------------------------
 
-_PRIORITY_BASIS_ROUND = 11
+_PRIORITY_BASIS_ROUND = 12
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Empty this round: the r6-stale rotation cohort plus r7-era re-verifies
-# fill the window; new r12 registrations ride behind the cut only if
-# they cannot displace a fresher row.
+# Empty this round: 2 zero-evidence family rows + the 22-row r7 cohort
+# + 26 pre-rotated r8 rows fill the window exactly.
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
@@ -278,181 +290,127 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    "proj_family",
-    "fil_scalar_family",
-    "setop_family",
-    "mm_wav_formats",
-    "mm_png_subbyte_interlaced",
-    "agg_hll_mergeable",
-    "agg_quantile_mergeable",
-    "agg_cms_counts",
-    "sim_ivf_topk",
-    "sim_ivf_topk_err",
-    "sim_quantize",
-    "sim_lsh_topk",
-    "sim_lsh_topk_err",
-    "sim_cosine_topk_np",
-    "sim_cosine_topk_np_err",
-    "mm_png_features",
-    "mm_phash_dedup",
-    "mm_video_frames",
-    "mm_audio_spectral",
-    "mm_audio_features",
-    "join_asof",
-    "join_asof_forward",
-    "join_range",
-    "evt_funnel",
-    "evt_sessionize",
-    "evt_retention",
-    "join_fuzzy",
-    "join_overlap",
-    "src_parquet_scan",
-    "src_csv_infer",
-    "sql_pricing_summary",
-    "src_inline_schema",
-    "src_rest_json",
-    "snk_dual_write",
-    "proj_normalize_names",
-    "expr_arith",
-    "expr_discount_amount",
-    "proj_cast",
-    "join_broadcast",
-    "join_disambig",
-    "join_semi_anti",
-    "agg_count_distinct",
-    "agg_count_star",
-    "agg_global_count",
-    "agg_rollup_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "win_rownum_topk",
-    "win_rownum_flag",
-    "win_percent_rank",
-  # ---- window cut ----
+    "src_roundtrip_family",
+    "win_rank_family",
     "win_frame_agg",
-    "win_lag_lead",
-    "win_ntile",
     "proj_explode",
-    "win_rank_dense",
-    "win_cume_dist",
     "cond_when_chain",
     "cond_null_default",
-    "src_json_roundtrip",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "scd2_merge",
-    "stream_attribution_join",
-    "stream_dedup_first",
     "dedup_substring",
     "dedup_substring_err",
     "dedup_substring_removal",
     "dedup_substring_removal_err",
-    "cdc_apply",
-    "samp_group_k",
-    "evt_dedup_window",
-    "evt_paths",
-    "graph_pagerank",
-    "ts_gapfill",
     "dedup_minhash_incr",
     "dedup_minhash_incr_err",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_attribution_join",
+    "stream_dedup_first",
+    "evt_dedup_window",
+    "evt_paths",
+    "ts_gapfill",
+    "scd2_merge",
+    "cdc_apply",
+    "graph_pagerank",
+    "samp_group_k",
     "src_schema_evolution",
     "src_csv_badrecords",
     "fn_surrogate_key",
-    "ts_rolling",
-    "fn_winsorize",
-    "dq_outlier_flag",
-    "agg_heavy_hitters",
     "txt_keywords",
-    "samp_temperature",
-    "evt_rate_anomaly",
-    "join_asof_nearest",
     "txt_perplexity",
-    "mm_augment",
-    "ts_rolling_distinct",
-    "mm_audio_augment",
+    "txt_search_and",
+    "txt_unigram_roundtrip",
+    "txt_fix_mojibake",
     "dedup_normalized",
     "dedup_normalized_nfkc",
     "dedup_normalized_nfkc_err",
-    "dq_psi_drift",
-    "evt_ab_lift",
-    "samp_kfold",
-    "mart_llm_dataprep",
-    "evt_streaks",
-    "mart_rfm",
-    "evt_cohort_ltv",
-    "agg_bloom_join",
     "dedup_semantic",
     "dedup_semantic_err",
-    "ts_ewma",
-    "dq_expectations",
-    "evt_attribution",
-    "agg_kmv_intersect",
-    "evt_markov",
-    "ts_seasonal",
-    "sim_ivf_persisted_err",
-    "txt_search_and",
-    "evt_funnel_window",
-    "ts_ohlc",
-    "mart_mm_dataprep",
-    "evt_session_stats",
-    "agg_corr_matrix",
-    "txt_unigram_roundtrip",
     "dedup_cc_incremental",
-    "src_warc_roundtrip",
-    "txt_fix_mojibake",
+    "sim_ivf_persisted_err",
+    "mm_augment",
+    "mm_audio_augment",
     "mm_gif_features",
-    "samp_balance",
     "mm_jpeg_features",
     "mm_transcode",
+    "ts_rolling",
+    "evt_rate_anomaly",
+    "ts_rolling_distinct",
+    "evt_ab_lift",
+    "evt_streaks",
+    "evt_cohort_ltv",
+  # ---- window cut ----
+    "ts_ewma",
+    "evt_attribution",
+    "evt_markov",
+    "ts_seasonal",
+    "evt_funnel_window",
+    "ts_ohlc",
+    "evt_session_stats",
+    "fn_winsorize",
+    "join_asof_nearest",
+    "src_warc_roundtrip",
+    "dq_outlier_flag",
+    "agg_heavy_hitters",
+    "samp_temperature",
+    "dq_psi_drift",
+    "samp_kfold",
+    "agg_bloom_join",
+    "dq_expectations",
+    "agg_kmv_intersect",
+    "agg_corr_matrix",
+    "samp_balance",
+    "mart_llm_dataprep",
+    "mart_rfm",
+    "mart_mm_dataprep",
     "snk_jdbc_roundtrip",
-    "mart_crawl_prep",
     "txt_html_to_text",
     "txt_url_normalize",
     "txt_html_main_text",
     "txt_url_normalize_v2",
     "txt_readability",
+    "txt_collocations",
+    "txt_chunk_sentences",
+    "txt_wordpiece_roundtrip",
     "dedup_substring_incr",
     "dedup_substring_incr_err",
-    "samp_epochs",
-    "mart_user_engagement",
-    "evt_funnel_timing",
-    "dq_psi_categorical",
     "dedup_semantic_incr",
     "dedup_semantic_incr_err",
-    "txt_collocations",
-    "evt_rate_anomaly_seasonal",
-    "sql_shipping_priority",
-    "sql_local_supplier_volume",
-    "sql_returned_items",
     "sim_mmr",
     "sim_mmr_err",
+    "sim_pq",
+    "sim_pq_err",
+    "mm_png_interlaced",
+    "mm_png_palette",
+    "evt_funnel_timing",
+    "evt_rate_anomaly_seasonal",
+    "evt_stickiness",
     "graph_triangles",
-    "txt_chunk_sentences",
-    "samp_mergeable",
-    "sql_promo_revenue",
-    "sql_large_volume_customers",
     "join_skew_salted",
     "layout_zorder",
     "layout_compaction_plan",
     "graph_kcore",
     "graph_kcore_err",
-    "mm_png_interlaced",
-    "sql_late_shipment_priority",
+    "layout_zonemap_scan",
+    "win_first_last",
+    "samp_epochs",
+    "dq_psi_categorical",
+    "samp_mergeable",
     "dq_freshness",
     "samp_weighted",
-    "mm_png_palette",
     "agg_kmv_diff",
-    "evt_stickiness",
-    "txt_wordpiece_roundtrip",
-    "layout_zonemap_scan",
-    "sim_pq",
-    "sim_pq_err",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
+    "sql_returned_items",
+    "sql_promo_revenue",
+    "sql_large_volume_customers",
+    "sql_late_shipment_priority",
     "sql_disjunctive_revenue",
     "sql_top_supplier",
+    "mart_crawl_prep",
+    "mart_user_engagement",
     "mart_vector_curation",
-    "win_first_last",
-    "src_text_roundtrip",
     "fil_conj",
     "fil_isnull",
     "join_left_equi",
@@ -474,25 +432,24 @@ _PRIORITY: tuple[str, ...] = (
     "txt_quality",
     "txt_tfidf",
     "txt_pii_scrub",
-    "samp_deterministic",
-    "samp_stratified",
     "dedup_incremental",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding",
-    "agg_approx_distinct",
-    "agg_approx_distinct_err",
     "sim_cosine_topk",
     "sim_cosine_pairs",
+    "sim_group_centroid",
     "mm_binary_features",
     "mm_frame_sample",
     "mm_resize",
-    "agg_pivot",
-    "dq_null_profile",
-    "sim_group_centroid",
     "mm_png_trns",
     "fn_regexp_extract_all",
-    "src_orc_roundtrip",
+    "samp_deterministic",
+    "samp_stratified",
+    "agg_approx_distinct",
+    "agg_approx_distinct_err",
+    "agg_pivot",
+    "dq_null_profile",
     "txt_token_count",
     "txt_language_id",
     "txt_fingerprint",
@@ -500,15 +457,9 @@ _PRIORITY: tuple[str, ...] = (
     "txt_chunk",
     "txt_gopher_filter",
     "txt_repetition",
-    "samp_fixed_k",
-    "agg_mode",
-    "samp_interleave",
-    "samp_shuffle",
-    "samp_pack",
-    "dedup_decontaminate",
-    "fn_json_extract",
     "txt_bpe_roundtrip",
     "txt_char_entropy",
+    "dedup_decontaminate",
     "dedup_containment",
     "dedup_cc_clusters",
     "dedup_cc_representatives",
@@ -518,16 +469,23 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_err",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_err",
-    "proj_unpivot",
-    "agg_percentile",
-    "sql_waiting_orders",
-    "mart_streaming_quality",
     "mm_png_16bit",
+    "mm_gif_interlaced",
+    "mm_png_subbyte",
+    "fn_json_extract",
+    "proj_unpivot",
+    "src_jsonl_quarantine",
+    "samp_fixed_k",
+    "agg_mode",
+    "samp_interleave",
+    "samp_shuffle",
+    "samp_pack",
+    "agg_percentile",
+    "dq_reconcile",
+    "sql_waiting_orders",
     "sql_customer_distribution",
     "sql_small_qty_revenue",
     "sql_sales_opportunity",
-    "dq_reconcile",
-    "src_jsonl_quarantine",
     "sql_min_cost_supplier",
     "sql_part_value_share",
     "sql_part_supplier_counts",
@@ -537,14 +495,63 @@ _PRIORITY: tuple[str, ...] = (
     "sql_market_share",
     "sql_product_profit",
     "sql_priority_lines",
-    "mm_gif_interlaced",
-    "mm_png_subbyte",
+    "mart_streaming_quality",
     "mart_supplier_performance",
     "mart_product_performance",
     "mart_customer_sales_report",
+    "src_parquet_scan",
+    "src_csv_infer",
+    "sql_pricing_summary",
+    "src_inline_schema",
+    "src_rest_json",
+    "snk_dual_write",
+    "proj_family",
+    "proj_normalize_names",
+    "expr_arith",
+    "expr_discount_amount",
+    "proj_cast",
+    "fil_scalar_family",
+    "join_broadcast",
+    "join_disambig",
+    "join_semi_anti",
+    "agg_count_distinct",
+    "agg_count_star",
+    "agg_global_count",
+    "agg_rollup_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "win_rownum_topk",
+    "win_rownum_flag",
+    "win_percent_rank",
+    "setop_family",
+    "sim_cosine_topk_np",
+    "sim_cosine_topk_np_err",
+    "sim_ivf_topk",
+    "sim_ivf_topk_err",
+    "sim_quantize",
+    "sim_lsh_topk",
+    "sim_lsh_topk_err",
+    "mm_png_features",
+    "mm_phash_dedup",
+    "mm_video_frames",
+    "mm_audio_spectral",
+    "mm_audio_features",
+    "mm_wav_formats",
+    "mm_png_subbyte_interlaced",
+    "evt_funnel",
+    "evt_sessionize",
+    "evt_retention",
+    "join_asof",
+    "join_asof_forward",
+    "join_range",
+    "join_fuzzy",
+    "join_overlap",
+    "agg_hll_mergeable",
+    "agg_quantile_mergeable",
+    "agg_cms_counts",
 )
 
-# summary: 268 registered; 0 latest-red; 2 zero-evidence;
+# summary: 258 registered; 0 latest-red; 2 zero-evidence;
 # window holds 0 red + 2 zero-evidence rows; spilled past the cut: []
 
 

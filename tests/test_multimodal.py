@@ -957,8 +957,76 @@ class TestY4m:
         with pytest.raises(ValueError):
             multimodal.decode_video(good[:-2])  # truncated plane
         with pytest.raises(NotImplementedError):
-            multimodal.decode_video(  # depth-extended tags stay gated
-                b"YUV4MPEG2 W4 H1 F25:1 C420p10\nFRAME\n" + b"\x00" * 9
+            multimodal.decode_video(  # >16-bit depth stays gated
+                b"YUV4MPEG2 W4 H1 F25:1 C420p18\nFRAME\n" + b"\x00" * 18
+            )
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_video(  # deep mono past 16 gates too
+                b"YUV4MPEG2 W4 H1 F25:1 Cmono20\nFRAME\n" + b"\x00" * 8
+            )
+
+    def test_depth_extended_mono_roundtrip(self):
+        """Cmono10/Cmono16 (no 'p' — the r12 ADVICE gap: deep mono used
+        to fall into the 8-bit path and die on a misleading FRAME-marker
+        error): two-byte little-endian samples, raw at file depth."""
+        rng = np.random.RandomState(7)
+        for depth in (10, 16):
+            frames = rng.randint(
+                0, 1 << depth, size=(2, 3, 4), dtype=np.uint16
+            )
+            payload = multimodal.encode_y4m(frames, depth=depth)
+            assert b"Cmono%d " % depth in payload.replace(b"\n", b" ")
+            video = multimodal.decode_video(payload)
+            assert video["depth"] == depth
+            assert video["frames"][0]["y"].dtype == np.uint16
+            for k in range(2):
+                assert np.array_equal(video["frames"][k]["y"], frames[k])
+
+    def test_depth_extended_444p12_roundtrip(self):
+        rng = np.random.RandomState(8)
+        frames = rng.randint(0, 1 << 12, size=(2, 3, 2, 3), dtype=np.uint16)
+        video = multimodal.decode_video(
+            multimodal.encode_y4m(frames, colorspace="444", depth=12)
+        )
+        assert video["colorspace"] == "444p12"
+        assert video["depth"] == 12
+        for k in range(2):
+            for i, plane in enumerate(("y", "u", "v")):
+                assert np.array_equal(video["frames"][k][plane], frames[k, i])
+
+    def test_c420p10_hand_built_le_vector(self):
+        """Depth-extended C420 grounded by a HAND-ASSEMBLED stream (not
+        encoder self-consistency): 2x2 luma + 1x1 chroma, each sample two
+        bytes little-endian at 10-bit range."""
+        y = np.array([[1023, 0], [512, 7]], dtype=np.uint16)
+        u = np.array([[300]], dtype=np.uint16)
+        v = np.array([[700]], dtype=np.uint16)
+        payload = (
+            b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420p10\nFRAME\n"
+            + y.astype("<u2").tobytes()
+            + u.astype("<u2").tobytes()
+            + v.astype("<u2").tobytes()
+        )
+        video = multimodal.decode_video(payload)
+        assert video["depth"] == 10
+        assert np.array_equal(video["frames"][0]["y"], y)
+        assert np.array_equal(video["frames"][0]["u"], u)
+        assert np.array_equal(video["frames"][0]["v"], v)
+
+    def test_depth_tag_parsing_and_encode_guards(self):
+        """'paldv' is chroma siting, not depth; deep encode validates
+        range and depth bounds."""
+        assert multimodal._y4m_depth("420paldv") == 8
+        assert multimodal._y4m_depth("420jpeg") == 8
+        assert multimodal._y4m_depth("420p10") == 10
+        assert multimodal._y4m_depth("mono12") == 12
+        with pytest.raises(ValueError, match="range"):
+            multimodal.encode_y4m(
+                np.full((1, 2, 2), 1 << 10, dtype=np.uint16), depth=10
+            )
+        with pytest.raises(ValueError, match="depth"):
+            multimodal.encode_y4m(
+                np.zeros((1, 2, 2), dtype=np.uint16), depth=17
             )
 
     def test_411_decode(self):
@@ -1143,6 +1211,33 @@ class TestAudioCodec:
         assert audio["samples"].dtype == np.float32
         assert audio["channels"] == 2 and audio["n_samples"] == 32
         assert np.array_equal(audio["samples"], x)
+
+    def test_wav_odd_pcm8_data_is_word_aligned(self):
+        """RIFF conformance (r12 ADVICE): an odd-sized data chunk gets a
+        zero pad byte excluded from the chunk size but included in the
+        RIFF size, so strict external parsers can walk past it."""
+        pcm = np.arange(7, dtype=np.uint8)  # 7 bytes of data — odd
+        payload = multimodal.encode_wav(pcm, 8000)
+        assert len(payload) % 2 == 0
+        riff_size = struct.unpack_from("<I", payload, 4)[0]
+        assert riff_size == len(payload) - 8  # pad counted in RIFF size
+        data_at = payload.index(b"data")
+        data_size = struct.unpack_from("<I", payload, data_at + 4)[0]
+        assert data_size == 7  # pad NOT counted in the chunk size
+        assert payload[-1:] == b"\x00"
+        audio = multimodal.decode_audio(payload)
+        assert np.array_equal(audio["samples"][:, 0], pcm)
+
+    def test_wav_non_pcm_fmt_carries_cbsize(self):
+        """RIFF conformance (r12 ADVICE): non-PCM formats use the
+        18-byte WAVEFORMATEX fmt chunk with cbSize=0; PCM keeps the
+        16-byte classic layout."""
+        f32 = multimodal.encode_wav(np.zeros(4, dtype=np.float32), 8000)
+        assert struct.unpack_from("<I", f32, 16)[0] == 18  # fmt size
+        assert struct.unpack_from("<H", f32, 36)[0] == 0  # cbSize
+        assert f32[38:42] == b"fact"
+        pcm = multimodal.encode_wav(np.zeros(4, dtype=np.int16), 8000)
+        assert struct.unpack_from("<I", pcm, 16)[0] == 16
 
     @staticmethod
     def _extensible(samples: np.ndarray, fmt_code: int, bits: int,

@@ -108,6 +108,53 @@ def test_registry_under_rotation_ceiling():
     )
 
 
+def test_no_evidence_bulge_forms():
+    """Bulge guard (VERDICT r12 Next #2): the 49-row r8-evidence cohort
+    would have consumed the ENTIRE r14 window, leaving zero headroom for
+    new registrations two rounds running.  Two assertions keep that from
+    silently re-forming:
+
+    1. *Next-round headroom*: after this round's window lands (project
+       every window row to basis+1), the cohort coming DUE next round —
+       rows that would hit MAX_EVIDENCE_AGE staleness — must fit in 44
+       slots, leaving >= 6 for next round's zero-evidence registrations.
+    2. *Full-cycle feasibility*: simulate the oldest-first rotation one
+       full MAX_EVIDENCE_AGE cycle forward at window capacity and assert
+       the due cohort never exceeds the window — i.e. the age guard
+       stays satisfiable without any consolidation emergency."""
+    basis = registry._PRIORITY_BASIS_ROUND
+    registered = set(registry._PRIORITY)
+    ev = {
+        n: rnd
+        for n, rnd in registry.evidence_rounds(basis).items()
+        if n in registered
+    }
+    window = registry._PRIORITY[:WINDOW]
+    for n in window:
+        ev[n] = basis + 1  # this round's driver run stamps the window
+    # zero-evidence rows outside the window sort ahead of everything
+    # next round (compute_priority puts them before evidenced rows)
+    for n in registered:
+        ev.setdefault(n, basis + 1 - MAX_EVIDENCE_AGE)
+
+    due_next = [n for n, e in ev.items() if (basis + 2) - e >= MAX_EVIDENCE_AGE]
+    assert len(due_next) <= WINDOW - 6, (
+        f"{len(due_next)} rows come due in round {basis + 2} — the window "
+        "would have <6 slots of registration headroom; pre-rotate or "
+        f"consolidate within the cohort: {sorted(due_next)[:10]}…"
+    )
+
+    sim = dict(ev)
+    for rnd in range(basis + 2, basis + 2 + MAX_EVIDENCE_AGE):
+        due = [n for n, e in sim.items() if rnd - e >= MAX_EVIDENCE_AGE]
+        assert len(due) <= WINDOW, (
+            f"rotation infeasible: {len(due)} rows due at simulated "
+            f"round {rnd} exceed the {WINDOW}-slot window"
+        )
+        for n in sorted(sim, key=sim.__getitem__)[:WINDOW]:
+            sim[n] = rnd
+
+
 def test_assert_driver_hashable_rejects_exactly_the_driver_crash_types():
     """The local checker's schema gate must reject array/map/struct
     output columns (the cell types the driver's pandas canonicalizer
