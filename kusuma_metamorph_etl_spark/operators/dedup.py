@@ -580,12 +580,31 @@ def simhash_near_dups(
 
 # ------------------------------------------------- embedding near-dup
 
+def lsh_planes_for(n_rows: int, target_occupancy: int = 128) -> int:
+    """Hyperplane count that keeps expected bucket occupancy near
+    ``target_occupancy``: ``max(4, ceil(log2(n / target)))``.
+
+    Why this exists (r13 scale probe): with a FIXED plane count the
+    bucket count is fixed, so occupancy grows linearly with the corpus
+    and candidate pairs grow QUADRATICALLY — the probe measured
+    exponent 1.43 on a 10x scale-up.  Holding occupancy constant makes
+    candidate generation linear in corpus size; the cost is a lower
+    per-table collision probability for true pairs ((1 − θ/π)^planes),
+    so recall-critical deployments should grow ``n_tables`` alongside
+    (the recall bound in :func:`embedding_lsh_pairs`)."""
+    import math
+
+    if n_rows <= 0:
+        return 4
+    return max(4, math.ceil(math.log2(max(1.0, n_rows / target_occupancy))))
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
@@ -597,7 +616,14 @@ def embedding_lsh_pairs(
     drop from |N|² to bucket collisions.  Verification is exact, so the
     only approximation is *recall* — a true pair colliding in no table is
     missed (bound: 1 − (1 − (1 − θ/π)^planes)^tables).
+
+    ``n_planes=None`` derives the plane count from the corpus size via
+    :func:`lsh_planes_for` (one count() job), keeping bucket occupancy —
+    and therefore candidate-pair volume PER ROW — constant as the corpus
+    grows; a fixed plane count degrades quadratically (r13 scale probe).
     """
+    if n_planes is None:
+        n_planes = lsh_planes_for(df.count())
     from kusuma_metamorph_etl_spark.operators.similarity import (
         hyperplane_signatures_np,
     )
@@ -671,7 +697,7 @@ def embedding_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prefilter: str | None = None,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:

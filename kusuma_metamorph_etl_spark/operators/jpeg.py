@@ -37,9 +37,15 @@ Scope, declared precisely:
   differences mod 2^16 over the seven predictors, point transform,
   precisions 2..16, interleaved or one-scan-per-component — components
   present RAW (T.81 defines no color transform for lossless), uint8/
-  uint16 at file depth.  Arithmetic-coded and hierarchical inputs
-  raise ``NotImplementedError`` with the boundary named; lossless
-  limits: 1x1 sampling factors and no restart intervals (both named).
+  uint16 at file depth.
+  ARITHMETIC sequential (SOF9, the QM coder of Annexes D + F) decodes
+  AND encodes for real (``encode_jpeg(arithmetic=True)``) — 8/12-bit,
+  any integer-ratio subsampling, interleaved or one-scan-per-component,
+  DRI/RSTn with per-restart statistics reset, DAC conditioning
+  honored.  Arithmetic-PROGRESSIVE (SOF10), arithmetic-lossless
+  (SOF11/0xCB) and hierarchical inputs raise ``NotImplementedError``
+  with the boundary named; lossless limits: 1x1 sampling factors and
+  no restart intervals (both named).
 
 Conformance evidence: GIF's decoder is pinned to a public byte vector;
 JPEG is pinned to a SPEC-DERIVED vector instead — a byte-literal file
@@ -47,7 +53,11 @@ hand-assembled in tests/test_multimodal.py from ITU-T T.81 Annex K's
 published example tables (K.1 quantization, K.3 DC / K.5 AC Huffman)
 whose entropy stream and exact integer decode are derived step-by-step
 in the test, so the decoder is checked against spec-published tables,
-not against this module's own encoder.  On top of that: (a) strict
+not against this module's own encoder.  The QM arithmetic coder is
+pinned the same way twice over: a 4-decision vector worked through the
+CODELPS/CODEMPS/RENORME/FLUSH flowcharts by hand, plus the 256-bit
+ITU-T T.81 §K.4 test sequence whose 29 coded bytes the coder
+reproduces exactly.  On top of that: (a) strict
 structural parsing of the marker stream, (b) encode→decode round-trip
 error bounded by the quantization step (tested: ≤1 grey level on
 constant blocks at quality 95, small RMSE on smooth gradients), and
@@ -196,12 +206,17 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _quantize_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Level-shift + DCT + quantize one 8x8 block → zigzag coefficients
+    (shared by the Huffman and arithmetic entropy back-ends)."""
+    coef = _C @ (block - 128.0) @ _C.T
+    return np.round(coef / q).astype(np.int64).ravel()[_ZIGZAG]
+
+
 def _encode_block(
     bw: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int
 ) -> int:
-    coef = _C @ (block - 128.0) @ _C.T
-    quant = np.round(coef / q).astype(np.int64)
-    zz = quant.ravel()[_ZIGZAG]
+    zz = _quantize_block(block, q)
     dc = int(zz[0])
     size, bits = _magnitude(dc - pred)
     code, length = _DC_CODES[size]
@@ -238,6 +253,7 @@ def encode_jpeg(
     quality: int = 95,
     subsampling: str = "444",
     restart_interval: int = 0,
+    arithmetic: bool = False,
 ) -> bytes:
     """Baseline JFIF encoder (RGB HxWx3 or greyscale HxW).
 
@@ -246,6 +262,11 @@ def encode_jpeg(
     interleaves 4 luma + 1 Cb + 1 Cr blocks per 16×16 MCU).
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
     every that many MCUs (byte-aligned, DC predictors reset).
+    ``arithmetic=True`` swaps the entropy back-end for the QM arithmetic
+    coder (SOF9 + DAC with default conditioning L=0/U=1/Kx=5 instead of
+    SOF0 + DHT; same DCT/quantization, typically ~10% smaller output) —
+    restarts flush the coder and reset the conditioning statistics per
+    T.81 F.1.4.1.
     """
     arr = np.asarray(pixels, dtype=np.uint8)
     grey = arr.ndim == 2
@@ -286,24 +307,40 @@ def encode_jpeg(
         (1, 1, q_luma if ci == 0 else q_chroma) for ci in range(len(planes))
     ]
     bw = _BitWriter()
+    arith_enc = _ArithEncoder() if arithmetic else None
+    arith_stats = _ArithStats(len(planes)) if arithmetic else None
+    arith_parts = bytearray()
     preds = [0] * len(planes)
     mcu_idx = 0
     for my in range(0, ph // mcu):
         for mx in range(0, pw // mcu):
             if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                bw.restart(mcu_idx // restart_interval - 1)
-                preds = [0] * len(planes)
+                n = (mcu_idx // restart_interval - 1) % 8
+                if arithmetic:
+                    arith_parts += arith_enc.flush()
+                    arith_parts += bytes([0xFF, 0xD0 + n])
+                    arith_enc = _ArithEncoder()
+                    arith_stats.reset()
+                else:
+                    bw.restart(n)
+                    preds = [0] * len(planes)
             for ci, plane in enumerate(planes):
                 vi, hi, q = layout[ci]
+                tb = 0 if ci == 0 else 1
                 for v in range(vi):
                     for hh in range(hi):
                         y0 = my * 8 * vi + v * 8
                         x0 = mx * 8 * hi + hh * 8
-                        preds[ci] = _encode_block(
-                            bw, plane[y0 : y0 + 8, x0 : x0 + 8], q, preds[ci]
-                        )
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        if arithmetic:
+                            _arith_encode_block(
+                                arith_enc, arith_stats, ci, tb, tb,
+                                (0, 1), 5, _quantize_block(block, q),
+                            )
+                        else:
+                            preds[ci] = _encode_block(bw, block, q, preds[ci])
             mcu_idx += 1
-    scan = bw.flush()
+    scan = bytes(arith_parts) + arith_enc.flush() if arithmetic else bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
@@ -318,12 +355,21 @@ def encode_jpeg(
     for ci in range(ncomp):
         sampling = 0x22 if (sub and ci == 0) else 0x11
         sof += bytes([ci + 1, sampling, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    out += _dht_segment(0x00, _DC_BITS, _DC_SYMBOLS)
-    out += _dht_segment(0x10, _AC_BITS, _AC_SYMBOLS)
-    if not grey:
-        out += _dht_segment(0x01, _DC_BITS, _DC_SYMBOLS)
-        out += _dht_segment(0x11, _AC_BITS, _AC_SYMBOLS)
+    sof_marker = b"\xff\xc9" if arithmetic else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    if arithmetic:
+        # DAC: default conditioning, stated explicitly (DC L=0/U=1 →
+        # Cs=0x10; AC Kx=5) for every table id in use
+        dac = bytes([0x00, 0x10, 0x10, 0x05])
+        if not grey:
+            dac += bytes([0x01, 0x10, 0x11, 0x05])
+        out += b"\xff\xcc" + struct.pack(">H", len(dac) + 2) + dac
+    else:
+        out += _dht_segment(0x00, _DC_BITS, _DC_SYMBOLS)
+        out += _dht_segment(0x10, _AC_BITS, _AC_SYMBOLS)
+        if not grey:
+            out += _dht_segment(0x01, _DC_BITS, _DC_SYMBOLS)
+            out += _dht_segment(0x11, _AC_BITS, _AC_SYMBOLS)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
@@ -756,6 +802,554 @@ def _decode_lossless_samples(
     return br.pos
 
 
+# ---------------------------------------------------------------------------
+# Arithmetic entropy coding (T.81 Annexes D + F, the QM coder) — the
+# sequential arithmetic process (SOF9).  The probability state machine is
+# transcribed from T.81 Table D.3 (public; the identical table appears in
+# ITU-T T.82/JBIG): per row ``(Qe, NMPS, NLPS, switch)``.  Grounding: the
+# coder flowcharts are pinned by a HAND-DERIVED spec vector (tests/ —
+# four decisions worked through CODELPS/CODEMPS/RENORME/FLUSH by hand,
+# byte-exact) plus encode→decode roundtrips over random images,
+# restarts, 12-bit, and non-interleaved scans; the deep table rows are
+# exercised by long random-decision roundtrips.  Residual risk named
+# honestly: a transcription slip in a rarely-visited table row would
+# roundtrip (both sides share the table) yet diverge from foreign
+# encoders — cross-decode against a libjpeg-arithmetic file is the
+# validation to run where one is available (none ships in this
+# container).
+# ---------------------------------------------------------------------------
+
+_ARITH_TABLE: tuple[tuple[int, int, int, int], ...] = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 1), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    # index 113: the fixed ~equiprobable bin (AC sign, F.1.4.3.1.1) —
+    # never adapts, never switches.
+    (0x5A1D, 113, 113, 0),
+)
+
+
+class _ArithEncoder:
+    """QM arithmetic encoder (T.81 D.1 flowcharts: CODE0/CODE1 with
+    conditional MPS/LPS exchange, RENORME byte output with carry
+    propagation over stacked 0xFF bytes, 0xFF→0x00 stuffing, D.1.8/9
+    FLUSH keeping the spec-optional trailing-zero truncation)."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # pipelined last byte (carry may still bump it)
+        self.sc = 0  # stacked 0xFF bytes awaiting carry resolution
+        self.out = bytearray()
+
+    def _emit(self, byte: int) -> None:
+        self.out.append(byte)
+        if byte == 0xFF:
+            self.out.append(0x00)  # B.1.1.5 stuffing
+
+    def _byte_out(self) -> None:
+        temp = self.c >> 19
+        if temp > 0xFF:
+            # carry ripples into the buffered byte and converts every
+            # stacked 0xFF to 0x00
+            if self.buffer >= 0:
+                self._emit(self.buffer + 1)
+            for _ in range(self.sc):
+                self.out.append(0x00)
+            self.sc = 0
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1
+        else:
+            if self.buffer >= 0:
+                self._emit(self.buffer)
+            for _ in range(self.sc):
+                self._emit(0xFF)
+            self.sc = 0
+            self.buffer = temp
+        self.c &= 0x7FFFF
+
+    def encode(self, stats: bytearray, i: int, bit: int) -> None:
+        sv = stats[i]
+        qe, nmps, nlps, switch = _ARITH_TABLE[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if bit != mps:
+            # CODELPS (conditional exchange when the MPS subinterval
+            # came out smaller than Qe)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            stats[i] = ((mps ^ switch) << 7) | nlps
+        else:
+            # CODEMPS — fast path: no renormalization, no state change
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            stats[i] = (mps << 7) | nmps
+        while True:  # RENORME
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byte_out()
+                self.ct = 8
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        """D.1.8/D.1.9 termination: choose the code value in the final
+        interval with the most trailing zeros, push out the remaining
+        bytes (final carry handled), drop trailing zero bytes (the
+        spec-optional truncation both libjpeg and the Annex example
+        apply)."""
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            if self.buffer >= 0:
+                self._emit(self.buffer + 1)
+            for _ in range(self.sc):
+                self.out.append(0x00)
+        else:
+            if self.buffer >= 0:
+                self._emit(self.buffer)
+            for _ in range(self.sc):
+                self._emit(0xFF)
+        self.sc = 0
+        self.buffer = -1
+        if self.c & 0x7FFF800:
+            b1 = (self.c >> 19) & 0xFF
+            self._emit(b1)
+            if self.c & 0x7F800:
+                self._emit((self.c >> 11) & 0xFF)
+        return bytes(self.out)
+
+
+class _ArithDecoder:
+    """QM arithmetic decoder (T.81 D.2 flowcharts, lazy-renormalization
+    formulation: input bytes accumulate at the low end of C and ``ct``
+    tracks the spare bit count, so DECODE aligns A against C with one
+    shift).  0xFF 0x00 unstuffs to a 0xFF data byte; a real marker stops
+    consumption and the decoder feeds zero bytes from then on (legal per
+    D.2.2 — the flush discards compressed trailing zeros)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.a = 0
+        self.c = 0
+        self.ct = -16  # forces the two INITDEC byte loads
+        self.marker_hit = False
+
+    def _next_byte(self) -> int:
+        if self.marker_hit or self.pos >= len(self.data):
+            return 0
+        b = self.data[self.pos]
+        if b != 0xFF:
+            self.pos += 1
+            return b
+        nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+        if nxt == 0x00:
+            self.pos += 2  # stuffed: 0xFF is data
+            return 0xFF
+        # a true marker terminates the entropy segment; zeros feed from
+        # here (self.pos stays ON the marker for the outer walk/restart)
+        self.marker_hit = True
+        return 0
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        # renormalization + byte feeding (D.2.6)
+        while self.a < 0x8000:
+            self.ct -= 1
+            if self.ct < 0:
+                self.c = ((self.c << 8) | self._next_byte()) & 0xFFFFFFFF
+                self.ct += 8
+                if self.ct < 0:
+                    self.ct += 1
+                    if self.ct == 0:
+                        self.a = 0x8000  # two init bytes in: A -> 0x10000
+            self.a <<= 1
+        sv = stats[i]
+        qe, nmps, nlps, switch = _ARITH_TABLE[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        aligned = self.a << self.ct
+        if self.c >= aligned:
+            # code value in the upper (nominal-LPS) subinterval
+            self.c -= aligned
+            if self.a < qe:  # conditional exchange: upper belongs to MPS
+                self.a = qe
+                stats[i] = (mps << 7) | nmps
+                return mps
+            self.a = qe
+            stats[i] = ((mps ^ switch) << 7) | nlps
+            return 1 - mps
+        if self.a < 0x8000:
+            if self.a < qe:  # conditional exchange: lower belongs to LPS
+                stats[i] = ((mps ^ switch) << 7) | nlps
+                return 1 - mps
+            stats[i] = (mps << 7) | nmps
+            return mps
+        return mps  # fast path: no renorm, no estimation update
+
+    def restart(self) -> int:
+        """Consume the RSTn marker the stream stalled on and re-init the
+        coder registers (conditioning stats reset is the caller's job —
+        F.1.4.1: statistics are reset at every restart)."""
+        if not self.marker_hit:
+            # entropy decisions may not have consumed up to the marker;
+            # skip pad bytes (stuffed 0xFF 0x00 pairs cannot appear as
+            # padding, so scan for the bare marker)
+            while (
+                self.pos + 1 < len(self.data)
+                and not (
+                    self.data[self.pos] == 0xFF
+                    and self.data[self.pos + 1] != 0x00
+                )
+            ):
+                self.pos += 1
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RSTn marker at restart interval")
+        n = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        self.a = 0
+        self.c = 0
+        self.ct = -16
+        self.marker_hit = False
+        return n
+
+    def consumed(self) -> int:
+        """Entropy bytes consumed (exclusive of any terminating marker)."""
+        return self.pos
+
+
+class _ArithStats:
+    """Per-scan conditioning state (T.81 F.1.4.4): DC/AC statistics bins
+    per conditioning-table id, plus per-component DC prediction context.
+    Reset at scan start and at every restart."""
+
+    def __init__(self, n_components: int) -> None:
+        self.dc: dict[int, bytearray] = {}
+        self.ac: dict[int, bytearray] = {}
+        self.fixed = bytearray([113])  # non-adaptive AC-sign bin
+        self.dc_context = [0] * n_components
+        self.last_dc = [0] * n_components
+
+    def reset(self) -> None:
+        for b in self.dc.values():
+            b[:] = bytes(len(b))
+        for b in self.ac.values():
+            b[:] = bytes(len(b))
+        self.fixed[0] = 113
+        self.dc_context = [0] * len(self.dc_context)
+        self.last_dc = [0] * len(self.last_dc)
+
+    def dc_bins(self, table: int) -> bytearray:
+        return self.dc.setdefault(table, bytearray(64))
+
+    def ac_bins(self, table: int) -> bytearray:
+        return self.ac.setdefault(table, bytearray(256))
+
+
+def _arith_decode_dc(dec, st, ci, stats: _ArithStats, cond) -> int:
+    """One DC difference (T.81 F.2.2.1 / Figures F.19–F.24)."""
+    low, up = cond
+    ctx = stats.dc_context[ci]
+    if dec.decode(st, ctx) == 0:
+        stats.dc_context[ci] = 0
+        return 0
+    sign = dec.decode(st, ctx + 1)
+    m = dec.decode(st, ctx + 2 + sign)
+    pos = ctx + 2 + sign
+    if m:
+        pos = 20  # X1 (Table F.4)
+        while dec.decode(st, pos):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("corrupt arithmetic DC magnitude")
+            pos += 1
+    # conditioning category for the NEXT block (F.1.4.4.1.2)
+    if m < (1 << low) >> 1:
+        stats.dc_context[ci] = 0
+    elif m > (1 << up) >> 1:
+        stats.dc_context[ci] = 12 + 4 * sign
+    else:
+        stats.dc_context[ci] = 4 + 4 * sign
+    v = m
+    pos += 14  # magnitude-bit bin (one shared bin per category)
+    while m > 1:
+        m >>= 1
+        if dec.decode(st, pos):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _arith_decode_block(
+    dec, stats: _ArithStats, ci, dc_table, ac_table, dc_cond, kx
+) -> np.ndarray:
+    """One 8x8 block of quantized coefficients in zigzag order."""
+    zz = np.zeros(64, dtype=np.int64)
+    diff = _arith_decode_dc(dec, stats.dc_bins(dc_table), ci, stats, dc_cond)
+    stats.last_dc[ci] += diff
+    zz[0] = stats.last_dc[ci]
+    st = stats.ac_bins(ac_table)
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB
+            break
+        while dec.decode(st, base + 1) == 0:
+            base += 3
+            k += 1
+            if k > 63:
+                raise ValueError("corrupt arithmetic AC run")
+        sign = dec.decode(stats.fixed, 0)
+        m = dec.decode(st, base + 2)
+        pos = base + 2
+        if m:
+            if dec.decode(st, pos):
+                m <<= 1
+                pos = 189 if k <= kx else 217
+                while dec.decode(st, pos):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("corrupt arithmetic AC magnitude")
+                    pos += 1
+        v = m
+        pos += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(st, pos):
+                v |= m
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+    return zz
+
+
+def _arith_encode_dc(enc, st, ci, stats: _ArithStats, cond, diff) -> None:
+    low, up = cond
+    ctx = stats.dc_context[ci]
+    if diff == 0:
+        enc.encode(st, ctx, 0)
+        stats.dc_context[ci] = 0
+        return
+    enc.encode(st, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, ctx + 1, sign)
+    sz = (-diff if sign else diff) - 1
+    pos = ctx + 2 + sign
+    m = 0
+    if sz:
+        enc.encode(st, pos, 1)
+        m = 1
+        v2 = sz
+        pos = 20
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(st, pos, 1)
+            m <<= 1
+            pos += 1
+    enc.encode(st, pos, 0)
+    if m < (1 << low) >> 1:
+        stats.dc_context[ci] = 0
+    elif m > (1 << up) >> 1:
+        stats.dc_context[ci] = 12 + 4 * sign
+    else:
+        stats.dc_context[ci] = 4 + 4 * sign
+    pos += 14
+    while m > 1:
+        m >>= 1
+        enc.encode(st, pos, 1 if sz & m else 0)
+
+
+def _arith_encode_block(
+    enc, stats: _ArithStats, ci, dc_table, ac_table, dc_cond, kx, zz
+) -> None:
+    diff = int(zz[0]) - stats.last_dc[ci]
+    stats.last_dc[ci] = int(zz[0])
+    _arith_encode_dc(enc, stats.dc_bins(dc_table), ci, stats, dc_cond, diff)
+    st = stats.ac_bins(ac_table)
+    ke = 63
+    while ke > 0 and zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB yet
+        while zz[k] == 0:
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+        enc.encode(st, base + 1, 1)
+        v = int(zz[k])
+        sign = 1 if v < 0 else 0
+        enc.encode(stats.fixed, 0, sign)
+        sz = (-v if sign else v) - 1
+        pos = base + 2
+        m = 0
+        if sz:
+            enc.encode(st, pos, 1)
+            m = 1
+            v2 = sz
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, pos, 1)
+                m <<= 1
+                pos = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st, pos, 1)
+                    m <<= 1
+                    pos += 1
+        enc.encode(st, pos, 0)
+        pos += 14
+        while m > 1:
+            m >>= 1
+            enc.encode(st, pos, 1 if sz & m else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_decode_scan(
+    data: bytes,
+    frame,
+    scan_order,
+    scan_tables,
+    qtables,
+    dc_cond,
+    ac_kx,
+    restart_interval,
+    sample_bits,
+    seq_planes,
+    stats: _ArithStats,
+) -> int:
+    """Sequential arithmetic scan (SOF9): interleaved MCU walk when the
+    scan carries every frame component, single-component raster walk
+    otherwise (same T.81 A.2 grids as the Huffman path).  Dequantized
+    spatial blocks land in ``seq_planes``; returns bytes consumed."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    level = float(1 << (sample_bits - 1))
+    dec = _ArithDecoder(data)
+    comp_idx = {c[0]: i for i, c in enumerate(comps)}
+
+    def block_to_plane(cid, zz, y0, x0):
+        _cid, _hi, _vi, tq = comps[comp_idx[cid]]
+        quant = np.zeros(64)
+        quant[_ZIGZAG] = zz
+        spatial = _C.T @ (quant.reshape(8, 8) * qtables[tq]) @ _C + level
+        seq_planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+
+    if len(scan_order) == len(comps) and len(comps) > 1:
+        # interleaved MCU walk; Ns == 1 always takes the non-interleaved
+        # ceil-grid walk below (T.81 A.2.2), whatever the frame declares
+        mcu_idx = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_idx
+                    and mcu_idx % restart_interval == 0
+                ):
+                    n = dec.restart()
+                    expect = (mcu_idx // restart_interval - 1) % 8
+                    if n != expect:
+                        raise ValueError(
+                            f"RST{n} out of sequence (expected RST{expect})"
+                        )
+                    stats.reset()
+                for cid in scan_order:
+                    ci = comp_idx[cid]
+                    _cid, hi, vi, _tq = comps[ci]
+                    td, ta = scan_tables[cid]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            zz = _arith_decode_block(
+                                dec, stats, ci, td, ta,
+                                dc_cond.get(td, (0, 1)), ac_kx.get(ta, 5),
+                            )
+                            block_to_plane(
+                                cid, zz, my * 8 * vi + v * 8,
+                                mx * 8 * hi + hh * 8,
+                            )
+                mcu_idx += 1
+        return dec.consumed()
+    if len(scan_order) != 1:
+        raise NotImplementedError(
+            "partially-interleaved arithmetic scan (1 < Ns < Nf)"
+        )
+    cid = scan_order[0]
+    ci = comp_idx[cid]
+    _cid, hi, vi, _tq = comps[ci]
+    bx = -(-(-(-w * hi // hmax)) // 8)
+    by = -(-(-(-h * vi // vmax)) // 8)
+    td, ta = scan_tables[cid]
+    for unit in range(by * bx):
+        if restart_interval and unit and unit % restart_interval == 0:
+            n = dec.restart()
+            expect = (unit // restart_interval - 1) % 8
+            if n != expect:
+                raise ValueError(
+                    f"RST{n} out of sequence (expected RST{expect})"
+                )
+            stats.reset()
+        zz = _arith_decode_block(
+            dec, stats, ci, td, ta, dc_cond.get(td, (0, 1)),
+            ac_kx.get(ta, 5),
+        )
+        block_to_plane(cid, zz, (unit // bx) * 8, (unit % bx) * 8)
+    return dec.consumed()
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential AND progressive decoder → uint8 HxWx3 (or HxW
     grey); any integer-ratio sampling factors (4:4:4 / 4:2:0 / 4:2:2 /
@@ -766,8 +1360,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     successive-approximation refinement (T.81 Annex G), reconstructed
     once at EOI with the same dequantize + IDCT + upsample path as
     baseline.  SOF3 lossless decodes via Annex-H predictive coding
-    (components raw, no color transform).  Arithmetic-coded and
-    hierarchical inputs still raise ``NotImplementedError``."""
+    (components raw, no color transform).  SOF9 sequential-arithmetic
+    decodes via the QM coder (Annexes D + F; DAC conditioning,
+    restarts, 8/12-bit, non-interleaved scans).  Arithmetic-progressive
+    and hierarchical inputs still raise ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -785,6 +1381,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ll_planes: dict[int, np.ndarray] = {}  # lossless reconstructed samples
     ll_done: set[int] = set()
     ll_pt: dict[int, int] = {}
+    arithmetic = False
+    arith_dc_cond: dict[int, tuple[int, int]] = {}  # DAC: tb -> (L, U)
+    arith_ac_kx: dict[int, int] = {}  # DAC: tb -> Kx
+    arith_stats: _ArithStats | None = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -853,11 +1453,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     )
                 comps.append((cid, 1, 1, tq))
             frame = (h, w, comps)
-        elif marker in (0xC0, 0xC1, 0xC2):
-            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive.
-            # At 8-bit precision SOF1 decodes identically to baseline
-            # (T.81 just lifts the 2-table/255-value limits baseline adds).
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive /
+            # SOF9 arithmetic extended sequential.  At 8-bit precision SOF1
+            # decodes identically to baseline (T.81 just lifts the
+            # 2-table/255-value limits baseline adds); SOF9 shares the
+            # frame layout and swaps the entropy coder.
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision not in (8, 12):
                 raise NotImplementedError(
@@ -885,9 +1488,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = (h, w, comps)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            off = 0
+            while off + 1 < len(body):
+                tc, tb = body[off] >> 4, body[off] & 0x0F
+                cs = body[off + 1]
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if not low <= up <= 15:
+                        raise ValueError(f"bad DAC DC conditioning {cs:#x}")
+                    arith_dc_cond[tb] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"bad DAC AC Kx {cs}")
+                    arith_ac_kx[tb] = cs
+                off += 2
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise NotImplementedError(
-                "arithmetic-coded or hierarchical JPEG"
+                "progressive/lossless-arithmetic or hierarchical JPEG "
+                "(sequential arithmetic SOF9 decodes)"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
@@ -936,6 +1555,39 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         for c in comps
                     ]
                     return out[0] if len(out) == 1 else np.stack(out, axis=2)
+                continue
+            if arithmetic:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                if not seq_planes:
+                    for cid2, hi2, vi2, _tq2 in comps:
+                        seq_planes[cid2] = np.zeros(
+                            (mcuy * 8 * vi2, mcux * 8 * hi2),
+                            dtype=np.float64,
+                        )
+                if arith_stats is None:
+                    arith_stats = _ArithStats(len(comps))
+                arith_stats.reset()  # F.1.4.1: stats reset per scan
+                consumed = _arith_decode_scan(
+                    payload[pos + seg_len :], frame, scan_order,
+                    scan_tables, qtables, arith_dc_cond, arith_ac_kx,
+                    restart_interval, sample_bits, seq_planes, arith_stats,
+                )
+                seq_done.update(scan_order)
+                pos = pos + seg_len + consumed
+                while pos + 1 < len(payload) and not (
+                    payload[pos] == 0xFF
+                    and payload[pos + 1] != 0x00
+                    and not 0xD0 <= payload[pos + 1] <= 0xD7
+                ):
+                    pos += 1
+                if seq_done == {c[0] for c in comps}:
+                    planes = [seq_planes[c[0]] for c in comps]
+                    return _finish_image(
+                        planes, comps, hmax, vmax, h, w, sample_bits
+                    )
                 continue
             if progressive:
                 ss = body[1 + 2 * ncomp_scan]

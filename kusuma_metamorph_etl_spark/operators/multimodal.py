@@ -9,10 +9,11 @@ binary PPM/PGM (P6/P5), BMP (24/32-bit BI_RGB, 8-bit palettized,
 BI_RLE8), zlib-deflate PNG,
 LZW-compressed GIF87a/89a, and PCM16 WAV — no external media library
 needed.  JPEG rounds out the set (`operators/jpeg.py` — baseline
-4:4:4 and subsampled 4:2:0/4:2:2 with DRI/RSTn restart intervals, plus
-PROGRESSIVE SOF2 decode — the majority encoding of modern web JPEGs);
-arithmetic/hierarchical/lossless variants raise through the same seam
-a production decoder would plug into.
+4:4:4 and subsampled 4:2:0/4:2:2 with DRI/RSTn restart intervals,
+PROGRESSIVE SOF2 decode — the majority encoding of modern web JPEGs —
+lossless SOF3, and sequential-ARITHMETIC SOF9 decode+encode via the
+QM coder); arithmetic-progressive/hierarchical variants raise through
+the same seam a production decoder would plug into.
 The container also has no real media *data*, so tests and driver queries
 synthesize deterministic PPM/WAV payloads from document text
 (:func:`synthesize_ppm` / :func:`synthesize_wav`) — the data is
@@ -698,10 +699,11 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     unfilter + pass reassembly + PLTE lookup),
     GIF87a/89a (real variable-width LZW, global/local palettes,
     sequential and four-pass interlaced frames), and
-    JPEG — baseline sequential (any integer-ratio subsampling) AND
-    progressive SOF2 (file-read Huffman tables, dequantize + IDCT —
-    `operators/jpeg.py`; arithmetic/lossless variants raise through
-    the same seam).  Anything unrecognized raises ``ValueError``;
+    JPEG — baseline sequential (any integer-ratio subsampling),
+    progressive SOF2, lossless SOF3, and sequential-arithmetic SOF9
+    (file-read tables, dequantize + IDCT — `operators/jpeg.py`;
+    arithmetic-progressive/hierarchical variants raise through the
+    same seam).  Anything unrecognized raises ``ValueError``;
     genuinely external codecs inject via
     ``extract_binary_features(decoder=...)``.
 

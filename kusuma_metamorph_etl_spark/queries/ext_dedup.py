@@ -224,11 +224,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path of `dedup_embedding`: hyperplane-LSH candidate
     blocking before exact cosine verification (equi-join on (table,
     bucket) instead of all pairs).  Superset-of-exact-survivors and recall
-    contracts asserted in tests/; benched in bench.py."""
+    contracts asserted in tests/; benched in bench.py.  Plane count is
+    occupancy-derived (`dedup.lsh_planes_for` — identical to the old
+    fixed 4 planes at sf≤0.1, more buckets beyond), so candidate volume
+    stays linear in corpus size instead of quadratic (r13 scale probe:
+    fixed planes measured exponent 1.43 on a 10x scale-up)."""
     emb = t(spark, sf_dir, "embeddings")
-    return dedup.embedding_dedup(emb, threshold=0.3, prefilter="lsh").select(
-        "vec_id", "label"
-    )
+    return dedup.embedding_dedup(
+        emb, threshold=0.3, prefilter="lsh", n_planes=None
+    ).select("vec_id", "label")
 
 @register(
     "dedup_minhash_lsh_err",
@@ -305,7 +309,9 @@ def dedup_embedding_lsh_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-dropped rows are still dropped under LSH blocking."""
     emb = t(spark, sf_dir, "embeddings")
     exact = dedup.embedding_dedup(emb, threshold=0.3).select("vec_id", "label")
-    lsh = dedup.embedding_dedup(emb, threshold=0.3, prefilter="lsh").select("vec_id")
+    lsh = dedup.embedding_dedup(
+        emb, threshold=0.3, prefilter="lsh", n_planes=None
+    ).select("vec_id")
     superset_viol = exact.select("vec_id").join(lsh, "vec_id", "left_anti")
     stats = (
         _n(emb, "n_all")

@@ -443,6 +443,81 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
+    "mm_jpeg_arithmetic",
+    """SELECT doc_id,
+              'arith' AS coding,
+              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER)
+                  AS height,
+              TRUE AS pixels_match_huffman,
+              TRUE AS arith_smaller
+       FROM documents""",
+)
+def mm_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver evidence for the r13 sequential-arithmetic JPEG path
+    (SOF9, the T.81 Annex D+F QM coder — `operators/jpeg.py`): each
+    document's synthetic pixels are encoded BOTH ways, the arithmetic
+    file is verified to really carry SOF9+DAC (coding derived from the
+    MARKERS, not echoed), decoded through the QM decoder, and compared
+    pixel-for-pixel against the decoded Huffman twin — same DCT and
+    quantization, so equality is exact, and a desynchronized context
+    model or a mis-transcribed probability-table row flips
+    ``pixels_match_huffman`` and the hash.  ``arith_smaller`` pins the
+    coding gain (the format's point; the dropped ~420-byte DHT segment
+    alone guarantees it at these sizes).  Dimensions re-derive from the
+    synthesis contract on the oracle side."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def extract(batches):
+        import numpy as np
+
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from kusuma_metamorph_etl_spark.operators.multimodal import (
+            _synthesize_pixels,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                px = _synthesize_pixels(txt)
+                aj = encode_jpeg(px, quality=95, arithmetic=True)
+                hj = encode_jpeg(px, quality=95)
+                header = aj[: aj.index(b"\xff\xda")]
+                coding = (
+                    "arith"
+                    if b"\xff\xc9" in header and b"\xff\xcc" in header
+                    else "huffman"
+                )
+                da = decode_jpeg(aj)
+                rows.append(
+                    (
+                        did,
+                        coding,
+                        da.shape[1],
+                        da.shape[0],
+                        bool(np.array_equal(da, decode_jpeg(hj))),
+                        len(aj) < len(hj),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "coding", "width", "height",
+                    "pixels_match_huffman", "arith_smaller",
+                ],
+            )
+
+    return docs.mapInPandas(
+        extract,
+        "doc_id long, coding string, width int, height int,"
+        " pixels_match_huffman boolean, arith_smaller boolean",
+    )
+
+
+@register(
     "mm_transcode",
     """SELECT doc_id,
               CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'

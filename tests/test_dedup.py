@@ -666,3 +666,22 @@ def test_ivf_build_seeds_sparse_id_sets(spark):
     # tiny corpus: every row seeds, no duplicates invented
     tiny = spark.createDataFrame(rows[:3], "vec_id long, embedding array<double>")
     assert len(ivf_build(tiny, 8, "vec_id", "embedding", 0)) == 3
+
+
+def test_lsh_planes_for_keeps_bucket_occupancy_constant():
+    """r13 scale probe: fixed plane count makes LSH candidate pairs grow
+    quadratically with the corpus (measured exponent 1.43 on a 10x
+    scale-up).  `lsh_planes_for` holds expected occupancy near the
+    target: identical to the historical 4 planes at test scales, one
+    extra plane per corpus doubling beyond."""
+    from kusuma_metamorph_etl_spark.operators.dedup import lsh_planes_for
+
+    assert lsh_planes_for(0) == 4
+    assert lsh_planes_for(200) == 4  # sf0.01 — _err gate regime unchanged
+    assert lsh_planes_for(2000) == 4  # sf0.1 — bench regime unchanged
+    assert lsh_planes_for(20_000) == 8  # sf1.0 — 256 buckets
+    assert lsh_planes_for(20_000_000) == 18
+    # occupancy bound: buckets keep expected load within [target/2, target]
+    for n in (10_000, 1_000_000, 10**9):
+        planes = lsh_planes_for(n)
+        assert n / (1 << planes) <= 128

@@ -1645,10 +1645,11 @@ class TestJpeg:
             decode_jpeg(b"\xff\xd8" + b"\x00\x00")
         with pytest.raises(ValueError):
             decode_jpeg(good[:40])
-        # arithmetic-coded SOF9: still a named NotImplementedError
+        # arithmetic-PROGRESSIVE SOF10: still a named NotImplementedError
+        # (sequential arithmetic SOF9 graduated in r13)
         arith = bytearray(good)
         sof = arith.find(b"\xff\xc0")
-        arith[sof + 1] = 0xC9
+        arith[sof + 1] = 0xCA
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(arith))
         # a baseline file with its SOF flipped to SOF2 is MALFORMED
@@ -2445,9 +2446,9 @@ def test_jpeg_16bit_dqt_tables_decode():
 def test_jpeg_sof1_extended_sequential_decodes():
     """SOF1 (extended sequential) at 8-bit precision is the baseline
     decode path with relaxed table limits — same pixels as SOF0; the
-    genuinely different codings (arithmetic SOF9) stay behind the
-    seam.  (SOF3 lossless used to be the gate exemplar here until it
-    graduated in r12.)"""
+    genuinely different codings (arithmetic-progressive SOF10) stay
+    behind the seam.  (SOF3 lossless was the gate exemplar until it
+    graduated in r12; sequential-arithmetic SOF9 until r13.)"""
     import pytest as _pytest
 
     from kusuma_metamorph_etl_spark.operators.jpeg import (
@@ -2463,11 +2464,11 @@ def test_jpeg_sof1_extended_sequential_decodes():
     )
     assert sof1 != payload
     assert np.array_equal(decode_jpeg(sof1), decode_jpeg(payload))
-    sof9 = _rewrite_jpeg_segments(
-        payload, lambda m, b: (0xC9 if m == 0xC0 else m, b)
+    sof10 = _rewrite_jpeg_segments(
+        payload, lambda m, b: (0xCA if m == 0xC0 else m, b)
     )
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(sof9)
+        decode_jpeg(sof10)
 
 
 def _encode_noninterleaved_jpeg(
@@ -2920,10 +2921,11 @@ def test_sample_frames_no_phantom_frame_on_exact_multiple(spark):
 
 def test_transcode_quarantine_quantifies_carveout(spark, sf_small):
     """VERDICT r8 #7 accounting half: a corrupt payload and a genuinely
-    unsupported codec (arithmetic SOF9) must not kill the normalization
-    job under on_error='quarantine' — they land in the quarantine rows
-    with the exception text, and the good rows still transcode.  Default
-    stays raise."""
+    unsupported codec (arithmetic-progressive SOF10 — sequential SOF9
+    graduated in r13) must not kill the normalization job under
+    on_error='quarantine' — they land in the quarantine rows with the
+    exception text, and the good rows still transcode.  Default stays
+    raise."""
     import struct
 
     import pytest as _pytest
@@ -2933,7 +2935,7 @@ def test_transcode_quarantine_quantifies_carveout(spark, sf_small):
     good = multimodal.encode_ppm(np.full((4, 4, 3), 7, dtype=np.uint8))
     corrupt = b"P6\n4 4\n255\n"  # truncated PPM body
     arith = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
-    arith[arith.find(b"\xff\xc0") + 1] = 0xC9  # SOF9: arithmetic-coded
+    arith[arith.find(b"\xff\xc0") + 1] = 0xCA  # SOF10: arith progressive
     df = spark.createDataFrame(
         [(1, good), (2, corrupt), (3, bytes(arith))],
         "doc_id long, payload binary",
@@ -2979,3 +2981,313 @@ def test_transcode_quarantine_quantifies_carveout(spark, sf_small):
         df.filter(F.col("doc_id") == 1), to="png"
     )
     assert "error" not in ok_only.columns
+
+
+def _encode_arith_noninterleaved(arr, quality=90, dc_cond=(0, 1), kx=5,
+                                 restart_interval=0):
+    """Test-local NON-INTERLEAVED arithmetic writer (one SOS per
+    component, each component's own ceil grid per T.81 A.2.2), with
+    configurable DAC conditioning — the module encoder is deliberately
+    interleaved-with-default-conditioning, so the decoder's
+    multi-scan arithmetic path and its DAC parsing are checked against
+    an independent stream layout.  Pads exactly like the interleaved
+    encoder so quantized blocks match and stream layout is the only
+    variable."""
+    from kusuma_metamorph_etl_spark.operators import jpeg as J
+
+    arr = np.asarray(arr, np.uint8)
+    h, w = arr.shape[:2]
+    rgb = arr.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    q_luma = J._quality_scale(J._Q_LUMA, quality)
+    q_chroma = J._quality_scale(J._Q_CHROMA, quality)
+    fh, fw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(p, ((0, fh - h), (0, fw - w)), mode="edge") for p in planes
+    ]
+    scans = []
+    for ci, plane in enumerate(planes):
+        q = q_luma if ci == 0 else q_chroma
+        stats = J._ArithStats(3)
+        enc = J._ArithEncoder()
+        parts = bytearray()
+        unit = 0
+        for yb in range(fh // 8):
+            for xb in range(fw // 8):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    parts += enc.flush()
+                    parts += bytes(
+                        [0xFF, 0xD0 + (unit // restart_interval - 1) % 8]
+                    )
+                    enc = J._ArithEncoder()
+                    stats.reset()
+                zz = J._quantize_block(
+                    plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8], q
+                )
+                tb = 0 if ci == 0 else 1
+                J._arith_encode_block(enc, stats, ci, tb, tb, dc_cond, kx, zz)
+                unit += 1
+        scans.append(bytes(parts) + enc.flush())
+    out = bytearray(b"\xff\xd8")
+    for ti, q in enumerate([q_luma, q_chroma]):
+        zz = q.ravel()[J._ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + zz
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc9" + struct.pack(">H", len(sof) + 2) + sof  # SOF9
+    low, up = dc_cond
+    dac = bytes([0x00, (up << 4) | low, 0x10, kx])
+    dac += bytes([0x01, (up << 4) | low, 0x11, kx])
+    out += b"\xff\xcc" + struct.pack(">H", len(dac) + 2) + dac
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for ci, scan in enumerate(scans):
+        sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11]) + b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestJpegArithmetic:
+    """Sequential arithmetic JPEG (SOF9, the QM coder of T.81 Annexes
+    D + F).  The coder is grounded twice over, independently of its own
+    roundtrip: a 4-decision vector worked through the CODELPS/CODEMPS/
+    RENORME/FLUSH flowcharts BY HAND (derivation in the test body), and
+    the 256-bit ITU-T T.81 §K.4 test sequence whose published 29-byte
+    coded form the encoder reproduces exactly and the decoder inverts."""
+
+    def test_qm_hand_derived_flowchart_vector(self):
+        """Hand derivation — one context from (index 0, MPS 0),
+        Qe0=0x5A1D, encoder registers (A=0x10000, C=0, CT=11):
+
+        * D=0 (MPS): CODEMPS, A=0xA5E3, no renorm.
+        * D=1 (LPS): temp=0x4BC6 < Qe → exchange keeps C, A=0x4BC6;
+          switch flips MPS→1, state→1 (Qe=0x2586); renorm ×1:
+          A=0x978C, CT=10.
+        * D=0 (LPS of MPS=1): temp=0x7206 ≥ Qe → C+=temp=0x7206,
+          A=0x2586, state→14 (Qe=0x5A7F); renorm ×2: A=0x9618,
+          C=0x1C818, CT=8.
+        * D=1 (MPS): temp=0x3B99 < Qe → exchange C+=temp=0x203B1,
+          A=0x5A7F, state→15; renorm ×1: A=0xB4FE, C=0x40762, CT=7.
+        * FLUSH: clearbits → C=0x48000; C<<=7 → 0x2400000; no final
+          carry; byte 0x2400000>>19 = 0x48, low field empty → b"\\x48".
+        """
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            _ArithDecoder,
+            _ArithEncoder,
+        )
+
+        st = bytearray([0])
+        enc = _ArithEncoder()
+        for bit in (0, 1, 0, 1):
+            enc.encode(st, 0, bit)
+        assert enc.flush() == b"\x48"
+        st = bytearray([0])
+        dec = _ArithDecoder(b"\x48")
+        assert [dec.decode(st, 0) for _ in range(4)] == [0, 1, 0, 1]
+
+    # ITU-T T.81 §K.4: 256-bit test sequence and its published coded
+    # form (the stuffed 0x00 after 0xFF is part of the published bytes).
+    K4_DATA = bytes.fromhex(
+        "00020051000000c00352872aaaaaaaaa82c02000fcd79ef674eaabf7697ee74c"
+    )
+    K4_CODED = bytes.fromhex(
+        "655b5144f7969d517855bfff00fc5184c7cef93900287d46708ecbc0f6"
+    )
+
+    def test_qm_itu_k4_test_sequence(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            _ArithDecoder,
+            _ArithEncoder,
+        )
+
+        bits = [
+            (byte >> (7 - i)) & 1 for byte in self.K4_DATA for i in range(8)
+        ]
+        st = bytearray([0])
+        enc = _ArithEncoder()
+        for bit in bits:
+            enc.encode(st, 0, bit)
+        assert enc.flush() == self.K4_CODED
+        st = bytearray([0])
+        dec = _ArithDecoder(self.K4_CODED)
+        assert [dec.decode(st, 0) for _ in range(256)] == bits
+
+    def test_qm_table_invariants(self):
+        """Structural pins on the Table D.3 transcription: probability
+        estimates move the right way (LPS raises Qe on non-switch rows,
+        MPS lowers it), indices stay in range, every state is reachable
+        from the start state."""
+        from kusuma_metamorph_etl_spark.operators.jpeg import _ARITH_TABLE
+
+        assert len(_ARITH_TABLE) == 114
+        for i, (qe, nmps, nlps, sw) in enumerate(_ARITH_TABLE[:113]):
+            assert 0 < qe < 0x8000
+            assert nmps < 113 and nlps < 113
+            if sw == 0:
+                assert _ARITH_TABLE[nlps][0] > qe, i
+            if nmps != i:
+                assert _ARITH_TABLE[nmps][0] <= qe, i
+        seen, frontier = {0}, [0]
+        while frontier:
+            i = frontier.pop()
+            for j in _ARITH_TABLE[i][1:3]:
+                if j not in seen:
+                    seen.add(j)
+                    frontier.append(j)
+        assert len(seen) == 113
+        qe, nmps, nlps, sw = _ARITH_TABLE[113]  # the fixed AC-sign bin
+        assert (nmps, nlps, sw) == (113, 113, 0)
+
+    def test_arith_decode_equals_huffman_twin(self):
+        """Same DCT + quantization, different entropy coder — decoded
+        pixels must be IDENTICAL to the Huffman file's, and the
+        arithmetic file smaller (the coding gain is the format's whole
+        point)."""
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(7)
+        cases = [
+            ((24, 33, 3), "444"),
+            ((24, 33, 3), "420"),
+            ((17, 9), "444"),  # greyscale, non-multiple dims
+            ((8, 8, 3), "444"),
+        ]
+        for shape, sub in cases:
+            base_shape = (4, 4) if len(shape) == 2 else (4, 4, 3)
+            tile = (8, 9) if len(shape) == 2 else (8, 9, 1)
+            img = np.kron(
+                rng.randint(0, 255, base_shape).astype(np.float64),
+                np.ones(tile),
+            )[: shape[0], : shape[1]].astype(np.uint8)
+            hj = encode_jpeg(img, quality=90, subsampling=sub)
+            aj = encode_jpeg(img, quality=90, subsampling=sub, arithmetic=True)
+            assert aj[:4] == b"\xff\xd8\xff\xe0" and b"\xff\xc9" in aj
+            assert b"\xff\xc4" not in aj[: aj.index(b"\xff\xda")]  # no DHT
+            assert np.array_equal(decode_jpeg(aj), decode_jpeg(hj)), (shape, sub)
+            assert len(aj) < len(hj), (shape, sub)
+        # pure noise stresses every AC context
+        img = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+        hj = encode_jpeg(img, quality=95)
+        aj = encode_jpeg(img, quality=95, arithmetic=True)
+        assert np.array_equal(decode_jpeg(aj), decode_jpeg(hj))
+
+    def test_arith_restart_intervals(self):
+        """RSTn between restart intervals: coder flushed and statistics
+        reset on both sides (F.1.4.1); out-of-sequence markers raise."""
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(8)
+        img = np.kron(
+            rng.randint(0, 255, (6, 6, 3)).astype(np.float64),
+            np.ones((8, 8, 1)),
+        )[:44, :41].astype(np.uint8)
+        hj = encode_jpeg(img, quality=85, restart_interval=3)
+        aj = encode_jpeg(img, quality=85, restart_interval=3, arithmetic=True)
+        assert any(
+            bytes([0xFF, 0xD0 + n]) in aj for n in range(8)
+        )
+        assert np.array_equal(decode_jpeg(aj), decode_jpeg(hj))
+        # corrupt the first restart marker's index: must raise, not skew
+        bad = bytearray(aj)
+        at = bad.find(b"\xff\xd0", bad.find(b"\xff\xda"))
+        assert at > 0
+        bad[at + 1] = 0xD3
+        with pytest.raises(ValueError, match="RST"):
+            decode_jpeg(bytes(bad))
+
+    def test_arith_noninterleaved_scans_match_interleaved(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(9)
+        img = np.kron(
+            rng.randint(0, 255, (3, 4, 3)).astype(np.float64),
+            np.ones((8, 8, 1)),
+        )[:20, :27].astype(np.uint8)
+        il = encode_jpeg(img, quality=90, arithmetic=True)
+        nil = _encode_arith_noninterleaved(img, quality=90)
+        assert np.array_equal(decode_jpeg(nil), decode_jpeg(il))
+
+    def test_arith_nondefault_dac_conditioning(self):
+        """Non-default conditioning (L=1/U=3, Kx=20) declared in DAC and
+        honored by the decoder — wrong conditioning would desynchronize
+        the context sequence immediately."""
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(10)
+        img = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+        nd = _encode_arith_noninterleaved(img, dc_cond=(1, 3), kx=20)
+        assert np.array_equal(
+            decode_jpeg(nd), decode_jpeg(encode_jpeg(img, quality=90))
+        )
+
+    def test_arith_12bit_greyscale(self):
+        """12-bit SOF9: same extended-sequential frame layout, arithmetic
+        entropy; unit quantization makes the decode exact at file depth
+        (uint16, level shift 2048)."""
+        from kusuma_metamorph_etl_spark.operators import jpeg as J
+
+        arr = np.zeros((8, 16), np.float64)
+        arr[:, :8] = 3000.0
+        arr[:, 8:] = 500.0
+        q = np.ones((8, 8))
+        stats = J._ArithStats(1)
+        enc = J._ArithEncoder()
+        for xb in range(2):
+            block = arr[:, xb * 8 : xb * 8 + 8]
+            coef = J._C @ (block - 2048.0) @ J._C.T
+            zz = np.round(coef / q).astype(np.int64).ravel()[J._ZIGZAG]
+            J._arith_encode_block(enc, stats, 0, 0, 0, (0, 1), 5, zz)
+        scan = enc.flush()
+        out = bytearray(b"\xff\xd8")
+        zz16 = q.ravel()[J._ZIGZAG].astype(">u2").tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10]) + zz16
+        sof = struct.pack(">BHHB", 12, 8, 16, 1) + bytes([1, 0x11, 0])
+        out += b"\xff\xc9" + struct.pack(">H", len(sof) + 2) + sof
+        out += b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10, 0x10, 0x05])
+        sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += scan + b"\xff\xd9"
+        px = J.decode_jpeg(bytes(out))
+        assert px.dtype == np.uint16
+        assert int(px[0, 0]) == 3000 and int(px[0, 15]) == 500
+
+    def test_arith_dac_validation(self):
+        """Malformed DAC conditioning is a ValueError (B.2.4.3 bounds:
+        DC needs L <= U, AC needs 1 <= Kx <= 63)."""
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        aj = bytearray(
+            encode_jpeg(np.zeros((8, 8), np.uint8), arithmetic=True)
+        )
+        at = aj.find(b"\xff\xcc")
+        bad_kx = bytearray(aj)
+        bad_kx[at + 7] = 0  # AC Kx = 0
+        with pytest.raises(ValueError, match="Kx"):
+            decode_jpeg(bytes(bad_kx))
+        bad_dc = bytearray(aj)
+        bad_dc[at + 5] = 0x02  # DC Cs: U=0 < L=2
+        with pytest.raises(ValueError, match="conditioning"):
+            decode_jpeg(bytes(bad_dc))

@@ -177,11 +177,20 @@ print("PROBE_RESULT " + json.dumps({"query": name, "reps": runs}))
 
 
 def _run_child(script: str, args: list[str], timeout: int) -> str:
+    # Provision the probe JVM like a real executor: the library default
+    # (Spark's 1 GB driver heap) is a local-harness artifact — at sf1.0
+    # dedup_cc's localCheckpoint blocks alone exceed it, which says
+    # nothing about a cluster where those blocks spread across executor
+    # storage memory.  Both scales run with the SAME heap so the ratio
+    # is apples-to-apples.
+    env = dict(os.environ)
+    env["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 12g pyspark-shell"
     proc = subprocess.run(
         [sys.executable, "-c", script, *args],
         capture_output=True,
         text=True,
         timeout=timeout,
+        env=env,
     )
     if proc.returncode != 0:
         raise RuntimeError(proc.stderr[-3000:])
@@ -237,8 +246,7 @@ def probe(rows: list[str], record: bool) -> dict:
             "(tools/scale_probe.py docstring has the exact semantics); "
             "exponent = log(t_sf1.0/t_sf0.1)/log(10), 1.0 = linear"
         )
-        book.setdefault("runs", {})
-        book["runs"]["r13"] = results
+        book.setdefault("runs", {}).setdefault("r13", {}).update(results)
         path.write_text(json.dumps(book, indent=1, sort_keys=True) + "\n")
         print(f"recorded in {path}")
     return results
