@@ -38,14 +38,16 @@ Scope, declared precisely:
   precisions 2..16, interleaved or one-scan-per-component — components
   present RAW (T.81 defines no color transform for lossless), uint8/
   uint16 at file depth.
-  ARITHMETIC sequential (SOF9, the QM coder of Annexes D + F) decodes
-  AND encodes for real (``encode_jpeg(arithmetic=True)``) — 8/12-bit,
-  any integer-ratio subsampling, interleaved or one-scan-per-component,
+  ARITHMETIC coding (the QM coder of Annexes D + F) decodes for BOTH
+  DCT processes — sequential SOF9 (also encodes:
+  ``encode_jpeg(arithmetic=True)``) and PROGRESSIVE SOF10 (DC
+  first/refine, AC band first/refine in the successive-approximation
+  domain over the shared coefficient store) — 8/12-bit, any
+  integer-ratio subsampling, interleaved or one-scan-per-component,
   DRI/RSTn with per-restart statistics reset, DAC conditioning
-  honored.  Arithmetic-PROGRESSIVE (SOF10), arithmetic-lossless
-  (SOF11/0xCB) and hierarchical inputs raise ``NotImplementedError``
-  with the boundary named; lossless limits: 1x1 sampling factors and
-  no restart intervals (both named).
+  honored.  Arithmetic-lossless (0xCB) and hierarchical inputs raise
+  ``NotImplementedError`` with the boundary named; lossless limits:
+  1x1 sampling factors and no restart intervals (both named).
 
 Conformance evidence: GIF's decoder is pinned to a public byte vector;
 JPEG is pinned to a SPEC-DERIVED vector instead — a byte-literal file
@@ -1256,6 +1258,186 @@ def _arith_encode_block(
         enc.encode(st, 3 * (k - 1), 1)  # EOB
 
 
+def _arith_decode_progressive_scan(
+    data: bytes,
+    frame,
+    coef_store: dict[int, np.ndarray],
+    scan_order: list[int],
+    scan_tables: dict[int, tuple[int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_cond,
+    ac_kx,
+    restart_interval: int,
+    stats: _ArithStats,
+) -> int:
+    """Decode ONE arithmetic-progressive scan (SOF10, T.81 G.2 with the
+    Annex F conditioning models) into the coefficient store; returns
+    entropy bytes consumed.
+
+    Scan taxonomy mirrors the Huffman progressive path:
+    * DC first (Ah=0): the sequential DC model run in the
+      successive-approximation domain — the predictor chain and the
+      conditioning categories see the Al-shifted values; stored
+      coefficient is ``value << Al``.
+    * DC refinement: ONE fixed-bin decision per block appends bit Al.
+    * AC first: the sequential AC model over band [Ss..Se] (per-block
+      EOB decision — arithmetic coding has no cross-block EOB runs),
+      values stored ``<< Al``.
+    * AC refinement (G.1.2.3 arithmetic form): per k, previously-nonzero
+      coefficients take a correction-bit decision at the triplet's +2
+      bin; zero positions take the newly-nonzero decision at +1 with a
+      fixed-bin sign; the EOB decision is asked only past the previous
+      scan's EOB position (kex).
+
+    Restart intervals reset the coder AND the conditioning statistics
+    (F.1.4.1) and count MCUs / blocks like the Huffman path.
+    """
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    comp_idx = {c[0]: i for i, c in enumerate(comps)}
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se=0")
+    if not is_dc and len(scan_order) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    if (not is_dc and ss > se) or se > 63:
+        raise ValueError("bad spectral selection band")
+
+    dec = _ArithDecoder(data)
+    interleaved = len(scan_order) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        cid0 = scan_order[0]
+        hi, vi, _ = comp_by_id[cid0]
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        n_units = bw * bh
+
+    def dc_first(cid, arr, by, bx):
+        td, _ta = scan_tables[cid]
+        ci = comp_idx[cid]
+        diff = _arith_decode_dc(
+            dec, stats.dc_bins(td), ci, stats, dc_cond.get(td, (0, 1))
+        )
+        stats.last_dc[ci] += diff
+        arr[by, bx, 0] = stats.last_dc[ci] << al
+
+    def ac_first(zz):
+        _td, ta = scan_tables[scan_order[0]]
+        st = stats.ac_bins(ta)
+        kx = ac_kx.get(ta, 5)
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if dec.decode(st, base):  # per-block EOB
+                break
+            while dec.decode(st, base + 1) == 0:
+                base += 3
+                k += 1
+                if k > se:
+                    raise ValueError("corrupt arithmetic AC run")
+            sign = dec.decode(stats.fixed, 0)
+            m = dec.decode(st, base + 2)
+            pos = base + 2
+            if m:
+                if dec.decode(st, pos):
+                    m <<= 1
+                    pos = 189 if k <= kx else 217
+                    while dec.decode(st, pos):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError(
+                                "corrupt arithmetic AC magnitude"
+                            )
+                        pos += 1
+            v = m
+            pos += 14
+            while m > 1:
+                m >>= 1
+                if dec.decode(st, pos):
+                    v |= m
+            v += 1
+            zz[k] = (-v if sign else v) << al
+            k += 1
+
+    def ac_refine(zz):
+        _td, ta = scan_tables[scan_order[0]]
+        st = stats.ac_bins(ta)
+        p1 = 1 << al
+        m1 = -1 << al
+        kex = se
+        while kex >= ss and (int(zz[kex]) >> ah if zz[kex] >= 0
+                             else (-int(zz[kex])) >> ah) == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if k > kex and dec.decode(st, base):  # EOB decision
+                break
+            while True:
+                coef = int(zz[k])
+                if coef:
+                    if dec.decode(st, base + 2):
+                        zz[k] = coef + (m1 if coef < 0 else p1)
+                    break
+                if dec.decode(st, base + 1):
+                    zz[k] = m1 if dec.decode(stats.fixed, 0) else p1
+                    break
+                base += 3
+                k += 1
+                if k > se:
+                    raise ValueError("corrupt arithmetic AC refinement")
+            k += 1
+
+    for idx in range(n_units):
+        if restart_interval and idx and idx % restart_interval == 0:
+            n = dec.restart()
+            expect = (idx // restart_interval - 1) % 8
+            if n != expect:
+                raise ValueError(
+                    f"RST{n} out of sequence (expected RST{expect})"
+                )
+            stats.reset()
+        if interleaved:  # DC scan over full MCUs
+            my, mx = divmod(idx, mcux)
+            for cid in scan_order:
+                hi, vi, _tq = comp_by_id[cid]
+                arr = coef_store[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        by, bx = my * vi + v, mx * hi + hh
+                        if ah == 0:
+                            dc_first(cid, arr, by, bx)
+                        elif dec.decode(stats.fixed, 0):
+                            arr[by, bx, 0] |= 1 << al
+        else:
+            cid = scan_order[0]
+            arr = coef_store[cid]
+            by, bx = divmod(idx, bw)
+            if is_dc:
+                if ah == 0:
+                    dc_first(cid, arr, by, bx)
+                elif dec.decode(stats.fixed, 0):
+                    arr[by, bx, 0] |= 1 << al
+            else:
+                zz = arr[by, bx]
+                if ah == 0:
+                    ac_first(zz)
+                else:
+                    ac_refine(zz)
+    return dec.consumed()
+
+
 def _arith_decode_scan(
     data: bytes,
     frame,
@@ -1361,9 +1543,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     once at EOI with the same dequantize + IDCT + upsample path as
     baseline.  SOF3 lossless decodes via Annex-H predictive coding
     (components raw, no color transform).  SOF9 sequential-arithmetic
-    decodes via the QM coder (Annexes D + F; DAC conditioning,
-    restarts, 8/12-bit, non-interleaved scans).  Arithmetic-progressive
-    and hierarchical inputs still raise ``NotImplementedError``."""
+    AND SOF10 progressive-arithmetic decode via the QM coder (Annexes
+    D + F / G.2; DAC conditioning, restarts, 8/12-bit, non-interleaved
+    scans).  Arithmetic-lossless and hierarchical inputs still raise
+    ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1453,14 +1636,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     )
                 comps.append((cid, 1, 1, tq))
             frame = (h, w, comps)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential / SOF2 progressive /
-            # SOF9 arithmetic extended sequential.  At 8-bit precision SOF1
-            # decodes identically to baseline (T.81 just lifts the
-            # 2-table/255-value limits baseline adds); SOF9 shares the
-            # frame layout and swaps the entropy coder.
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
+            # SOF9 arithmetic extended sequential / SOF10 arithmetic
+            # progressive.  At 8-bit precision SOF1 decodes identically to
+            # baseline (T.81 just lifts the 2-table/255-value limits
+            # baseline adds); the arithmetic frames share the layouts and
+            # swap the entropy coder.
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision not in (8, 12):
                 raise NotImplementedError(
@@ -1503,10 +1687,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         raise ValueError(f"bad DAC AC Kx {cs}")
                     arith_ac_kx[tb] = cs
                 off += 2
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
-                "progressive/lossless-arithmetic or hierarchical JPEG "
-                "(sequential arithmetic SOF9 decodes)"
+                "lossless-arithmetic or hierarchical JPEG (sequential "
+                "SOF9 and progressive SOF10 arithmetic both decode)"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
@@ -1561,21 +1745,39 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vmax = max(c[2] for c in comps)
                 mcux = -(-w // (8 * hmax))
                 mcuy = -(-h // (8 * vmax))
-                if not seq_planes:
-                    for cid2, hi2, vi2, _tq2 in comps:
-                        seq_planes[cid2] = np.zeros(
-                            (mcuy * 8 * vi2, mcux * 8 * hi2),
-                            dtype=np.float64,
-                        )
                 if arith_stats is None:
                     arith_stats = _ArithStats(len(comps))
                 arith_stats.reset()  # F.1.4.1: stats reset per scan
-                consumed = _arith_decode_scan(
-                    payload[pos + seg_len :], frame, scan_order,
-                    scan_tables, qtables, arith_dc_cond, arith_ac_kx,
-                    restart_interval, sample_bits, seq_planes, arith_stats,
-                )
-                seq_done.update(scan_order)
+                if progressive:  # SOF10
+                    ss = body[1 + 2 * ncomp_scan]
+                    se = body[2 + 2 * ncomp_scan]
+                    ahal = body[3 + 2 * ncomp_scan]
+                    if not coef_store:
+                        for cid2, hi2, vi2, _tq2 in comps:
+                            coef_store[cid2] = np.zeros(
+                                (mcuy * vi2, mcux * hi2, 64), dtype=np.int32
+                            )
+                    consumed = _arith_decode_progressive_scan(
+                        payload[pos + seg_len :], frame, coef_store,
+                        scan_order, scan_tables, ss, se, ahal >> 4,
+                        ahal & 0x0F, arith_dc_cond, arith_ac_kx,
+                        restart_interval, arith_stats,
+                    )
+                    n_scans += 1
+                else:
+                    if not seq_planes:
+                        for cid2, hi2, vi2, _tq2 in comps:
+                            seq_planes[cid2] = np.zeros(
+                                (mcuy * 8 * vi2, mcux * 8 * hi2),
+                                dtype=np.float64,
+                            )
+                    consumed = _arith_decode_scan(
+                        payload[pos + seg_len :], frame, scan_order,
+                        scan_tables, qtables, arith_dc_cond, arith_ac_kx,
+                        restart_interval, sample_bits, seq_planes,
+                        arith_stats,
+                    )
+                    seq_done.update(scan_order)
                 pos = pos + seg_len + consumed
                 while pos + 1 < len(payload) and not (
                     payload[pos] == 0xFF
@@ -1583,7 +1785,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     and not 0xD0 <= payload[pos + 1] <= 0xD7
                 ):
                     pos += 1
-                if seq_done == {c[0] for c in comps}:
+                if not progressive and seq_done == {c[0] for c in comps}:
                     planes = [seq_planes[c[0]] for c in comps]
                     return _finish_image(
                         planes, comps, hmax, vmax, h, w, sample_bits

@@ -11,9 +11,10 @@ LZW-compressed GIF87a/89a, and PCM16 WAV — no external media library
 needed.  JPEG rounds out the set (`operators/jpeg.py` — baseline
 4:4:4 and subsampled 4:2:0/4:2:2 with DRI/RSTn restart intervals,
 PROGRESSIVE SOF2 decode — the majority encoding of modern web JPEGs —
-lossless SOF3, and sequential-ARITHMETIC SOF9 decode+encode via the
-QM coder); arithmetic-progressive/hierarchical variants raise through
-the same seam a production decoder would plug into.
+lossless SOF3, and ARITHMETIC coding via the QM coder: sequential
+SOF9 decode+encode AND progressive SOF10 decode); arithmetic-lossless
+and hierarchical variants raise through the same seam a production
+decoder would plug into.
 The container also has no real media *data*, so tests and driver queries
 synthesize deterministic PPM/WAV payloads from document text
 (:func:`synthesize_ppm` / :func:`synthesize_wav`) — the data is
@@ -700,9 +701,9 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     GIF87a/89a (real variable-width LZW, global/local palettes,
     sequential and four-pass interlaced frames), and
     JPEG — baseline sequential (any integer-ratio subsampling),
-    progressive SOF2, lossless SOF3, and sequential-arithmetic SOF9
+    progressive SOF2, lossless SOF3, and arithmetic SOF9/SOF10
     (file-read tables, dequantize + IDCT — `operators/jpeg.py`;
-    arithmetic-progressive/hierarchical variants raise through the
+    arithmetic-lossless/hierarchical variants raise through the
     same seam).  Anything unrecognized raises ``ValueError``;
     genuinely external codecs inject via
     ``extract_binary_features(decoder=...)``.

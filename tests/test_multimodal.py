@@ -1645,11 +1645,11 @@ class TestJpeg:
             decode_jpeg(b"\xff\xd8" + b"\x00\x00")
         with pytest.raises(ValueError):
             decode_jpeg(good[:40])
-        # arithmetic-PROGRESSIVE SOF10: still a named NotImplementedError
-        # (sequential arithmetic SOF9 graduated in r13)
+        # arithmetic-LOSSLESS (0xCB): still a named NotImplementedError
+        # (sequential SOF9 and progressive SOF10 graduated in r13)
         arith = bytearray(good)
         sof = arith.find(b"\xff\xc0")
-        arith[sof + 1] = 0xCA
+        arith[sof + 1] = 0xCB
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(arith))
         # a baseline file with its SOF flipped to SOF2 is MALFORMED
@@ -2446,9 +2446,9 @@ def test_jpeg_16bit_dqt_tables_decode():
 def test_jpeg_sof1_extended_sequential_decodes():
     """SOF1 (extended sequential) at 8-bit precision is the baseline
     decode path with relaxed table limits — same pixels as SOF0; the
-    genuinely different codings (arithmetic-progressive SOF10) stay
-    behind the seam.  (SOF3 lossless was the gate exemplar until it
-    graduated in r12; sequential-arithmetic SOF9 until r13.)"""
+    genuinely different coding still behind the seam is
+    arithmetic-LOSSLESS (0xCB).  (SOF3 lossless was the gate exemplar
+    until it graduated in r12; arithmetic SOF9/SOF10 until r13.)"""
     import pytest as _pytest
 
     from kusuma_metamorph_etl_spark.operators.jpeg import (
@@ -2464,11 +2464,11 @@ def test_jpeg_sof1_extended_sequential_decodes():
     )
     assert sof1 != payload
     assert np.array_equal(decode_jpeg(sof1), decode_jpeg(payload))
-    sof10 = _rewrite_jpeg_segments(
-        payload, lambda m, b: (0xCA if m == 0xC0 else m, b)
+    sof11 = _rewrite_jpeg_segments(
+        payload, lambda m, b: (0xCB if m == 0xC0 else m, b)
     )
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(sof10)
+        decode_jpeg(sof11)
 
 
 def _encode_noninterleaved_jpeg(
@@ -2921,8 +2921,8 @@ def test_sample_frames_no_phantom_frame_on_exact_multiple(spark):
 
 def test_transcode_quarantine_quantifies_carveout(spark, sf_small):
     """VERDICT r8 #7 accounting half: a corrupt payload and a genuinely
-    unsupported codec (arithmetic-progressive SOF10 — sequential SOF9
-    graduated in r13) must not kill the normalization job under
+    unsupported codec (arithmetic-LOSSLESS 0xCB — SOF9/SOF10 graduated
+    in r13) must not kill the normalization job under
     on_error='quarantine' — they land in the quarantine rows with the
     exception text, and the good rows still transcode.  Default stays
     raise."""
@@ -2935,7 +2935,7 @@ def test_transcode_quarantine_quantifies_carveout(spark, sf_small):
     good = multimodal.encode_ppm(np.full((4, 4, 3), 7, dtype=np.uint8))
     corrupt = b"P6\n4 4\n255\n"  # truncated PPM body
     arith = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
-    arith[arith.find(b"\xff\xc0") + 1] = 0xCA  # SOF10: arith progressive
+    arith[arith.find(b"\xff\xc0") + 1] = 0xCB  # arithmetic lossless
     df = spark.createDataFrame(
         [(1, good), (2, corrupt), (3, bytes(arith))],
         "doc_id long, payload binary",
@@ -3291,3 +3291,300 @@ class TestJpegArithmetic:
         bad_dc[at + 5] = 0x02  # DC Cs: U=0 < L=2
         with pytest.raises(ValueError, match="conditioning"):
             decode_jpeg(bytes(bad_dc))
+
+
+class _ArithProgressiveWriter:
+    """Test-local arithmetic-PROGRESSIVE writer (SOF10 encoder side,
+    T.81 G.2 with the Annex F conditioning models), used only to
+    produce fixtures for the decoder under test: given per-component
+    quantized zigzag blocks (the same forward math as the module
+    encoder), emit an SOF10 file under an arbitrary scan script."""
+
+    def __init__(self, comps, dc_cond=(0, 1), kx=5):
+        from kusuma_metamorph_etl_spark.operators import jpeg as J
+
+        self.J = J
+        self.comps = comps  # [(cid, hi, vi, tq)]
+        self.dc_cond = dc_cond
+        self.kx = kx
+        self.scans = []  # (sos_body, entropy_bytes)
+
+    def _new(self):
+        J = self.J
+        return J._ArithEncoder(), J._ArithStats(len(self.comps))
+
+    def dc_first(self, blocks, order, al):
+        """blocks: cid -> (BY, BX, 64) zigzag arrays; MCU-interleaved
+        over `order` (all components)."""
+        J = self.J
+        enc, stats = self._new()
+        mcuy = min(
+            blocks[cid].shape[0] // vi
+            for cid, hi, vi, tq in self.comps
+        )
+        mcux = min(
+            blocks[cid].shape[1] // hi
+            for cid, hi, vi, tq in self.comps
+        )
+        idx = {c[0]: i for i, c in enumerate(self.comps)}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid in order:
+                    _c, hi, vi, _tq = self.comps[idx[cid]]
+                    ci = idx[cid]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            zz0 = int(blocks[cid][my * vi + v, mx * hi + hh, 0])
+                            shifted = zz0 >> al
+                            diff = shifted - stats.last_dc[ci]
+                            stats.last_dc[ci] = shifted
+                            J._arith_encode_dc(
+                                enc, stats.dc_bins(0), ci, stats,
+                                self.dc_cond, diff,
+                            )
+        sos = bytes([len(order)])
+        for cid in order:
+            sos += bytes([cid, 0x00])
+        sos += bytes([0, 0, al & 0x0F])
+        self.scans.append((sos, enc.flush()))
+
+    def dc_refine(self, blocks, order, al):
+        enc, stats = self._new()
+        idx = {c[0]: i for i, c in enumerate(self.comps)}
+        mcuy = min(blocks[c[0]].shape[0] // c[2] for c in self.comps)
+        mcux = min(blocks[c[0]].shape[1] // c[1] for c in self.comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid in order:
+                    _c, hi, vi, _tq = self.comps[idx[cid]]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            zz0 = int(blocks[cid][my * vi + v, mx * hi + hh, 0])
+                            enc.encode(stats.fixed, 0, (zz0 >> al) & 1)
+        sos = bytes([len(order)])
+        for cid in order:
+            sos += bytes([cid, 0x00])
+        sos += bytes([0, 0, ((al + 1) << 4) | al])
+        self.scans.append((sos, enc.flush()))
+
+    def ac_first(self, blocks, cid, ss, se, al):
+        enc, stats = self._new()
+        st = stats.ac_bins(1 if cid != self.comps[0][0] else 0)
+        tb = 0 if cid == self.comps[0][0] else 1
+        by, bx = blocks[cid].shape[:2]
+        for b in range(by * bx):
+            zz = blocks[cid][b // bx, b % bx]
+            scaled = [
+                (int(v) >> al) if v >= 0 else -((-int(v)) >> al) for v in zz
+            ]
+            ke = se
+            while ke >= ss and scaled[ke] == 0:
+                ke -= 1
+            k = ss
+            while k <= ke:
+                base = 3 * (k - 1)
+                enc.encode(st, base, 0)
+                while scaled[k] == 0:
+                    enc.encode(st, base + 1, 0)
+                    base += 3
+                    k += 1
+                enc.encode(st, base + 1, 1)
+                v = scaled[k]
+                sign = 1 if v < 0 else 0
+                enc.encode(stats.fixed, 0, sign)
+                sz = abs(v) - 1
+                pos = base + 2
+                m = 0
+                if sz:
+                    enc.encode(st, pos, 1)
+                    m = 1
+                    v2 = sz
+                    if v2 >> 1:
+                        v2 >>= 1
+                        enc.encode(st, pos, 1)
+                        m <<= 1
+                        pos = 189 if k <= self.kx else 217
+                        while v2 >> 1:
+                            v2 >>= 1
+                            enc.encode(st, pos, 1)
+                            m <<= 1
+                            pos += 1
+                enc.encode(st, pos, 0)
+                pos += 14
+                while m > 1:
+                    m >>= 1
+                    enc.encode(st, pos, 1 if sz & m else 0)
+                k += 1
+            if ke < se:
+                enc.encode(st, 3 * (k - 1), 1)
+        sos = bytes([1, cid, tb]) + bytes([ss, se, al & 0x0F])
+        self.scans.append((sos, enc.flush()))
+
+    def ac_refine(self, blocks, cid, ss, se, ah, al):
+        enc, stats = self._new()
+        tb = 0 if cid == self.comps[0][0] else 1
+        st = stats.ac_bins(tb)
+        by, bx = blocks[cid].shape[:2]
+        for b in range(by * bx):
+            zz = blocks[cid][b // bx, b % bx]
+            absv = [abs(int(v)) for v in zz]
+            kex = se
+            while kex >= ss and (absv[kex] >> ah) == 0:
+                kex -= 1
+            ke = se
+            while ke >= ss and (absv[ke] >> al) == 0:
+                ke -= 1
+            k = ss
+            while k <= ke:
+                base = 3 * (k - 1)
+                if k > kex:
+                    enc.encode(st, base, 0)
+                while True:
+                    t = absv[k] >> al
+                    if t:
+                        if t >> 1:  # previously nonzero: correction bit
+                            enc.encode(st, base + 2, t & 1)
+                        else:  # newly nonzero at this precision
+                            enc.encode(st, base + 1, 1)
+                            enc.encode(
+                                stats.fixed, 0, 1 if int(zz[k]) < 0 else 0
+                            )
+                        break
+                    enc.encode(st, base + 1, 0)
+                    base += 3
+                    k += 1
+                k += 1
+            if ke < se:
+                enc.encode(st, 3 * ke, 1)
+        sos = bytes([1, cid, tb]) + bytes([ss, se, (ah << 4) | al])
+        self.scans.append((sos, enc.flush()))
+
+    def tofile(self, h, w, qtables):
+        J = self.J
+        out = bytearray(b"\xff\xd8")
+        for ti, q in enumerate(qtables):
+            zz = q.ravel()[J._ZIGZAG].astype(np.uint8).tobytes()
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + zz
+        sof = struct.pack(">BHHB", 8, h, w, len(self.comps))
+        for cid, hi, vi, tq in self.comps:
+            sof += bytes([cid, (hi << 4) | vi, tq])
+        out += b"\xff\xca" + struct.pack(">H", len(sof) + 2) + sof  # SOF10
+        low, up = self.dc_cond
+        dac = bytes([0x00, (up << 4) | low, 0x10, self.kx])
+        if len(self.comps) > 1:
+            dac += bytes([0x01, (up << 4) | low, 0x11, self.kx])
+        out += b"\xff\xcc" + struct.pack(">H", len(dac) + 2) + dac
+        for sos, entropy in self.scans:
+            out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            out += entropy
+        out += b"\xff\xd9"
+        return bytes(out)
+
+
+class TestJpegArithmeticProgressive:
+    """Arithmetic-PROGRESSIVE JPEG (SOF10): the Annex F conditioning
+    models run per-scan in the successive-approximation domain over the
+    same coefficient store as Huffman progressive.  Fixtures come from
+    the test-local scan-script writer above; the gate is pixel equality
+    against the SEQUENTIAL arithmetic encoding of the same image (same
+    quantized coefficients, so equality is exact)."""
+
+    @staticmethod
+    def _grey_blocks(img, quality):
+        from kusuma_metamorph_etl_spark.operators import jpeg as J
+
+        h, w = img.shape
+        q = J._quality_scale(J._Q_LUMA, quality)
+        fh, fw = -(-h // 8) * 8, -(-w // 8) * 8
+        plane = np.pad(
+            img.astype(np.float64), ((0, fh - h), (0, fw - w)), mode="edge"
+        )
+        blocks = np.zeros((fh // 8, fw // 8, 64), np.int64)
+        for yb in range(fh // 8):
+            for xb in range(fw // 8):
+                blocks[yb, xb] = J._quantize_block(
+                    plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8], q
+                )
+        return blocks, q
+
+    def test_greyscale_scan_script_matches_sequential(self):
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(11)
+        img = np.kron(
+            rng.randint(0, 255, (3, 4)).astype(np.float64), np.ones((8, 9))
+        )[:20, :27].astype(np.uint8)
+        blocks, q = self._grey_blocks(img, 90)
+        comps = [(1, 1, 1, 0)]
+        wtr = _ArithProgressiveWriter(comps)
+        store = {1: blocks}
+        # classic 2-level successive approximation script
+        wtr.dc_first(store, [1], al=1)
+        wtr.ac_first(store, 1, ss=1, se=5, al=2)
+        wtr.ac_first(store, 1, ss=6, se=63, al=2)
+        wtr.dc_refine(store, [1], al=0)
+        wtr.ac_refine(store, 1, ss=1, se=5, ah=2, al=1)
+        wtr.ac_refine(store, 1, ss=6, se=63, ah=2, al=1)
+        wtr.ac_refine(store, 1, ss=1, se=5, ah=1, al=0)
+        wtr.ac_refine(store, 1, ss=6, se=63, ah=1, al=0)
+        payload = wtr.tofile(*img.shape, [q])
+        seq = encode_jpeg(img, quality=90, arithmetic=True)
+        assert np.array_equal(decode_jpeg(payload), decode_jpeg(seq))
+
+    def test_color_interleaved_dc_plus_band_scans(self):
+        from kusuma_metamorph_etl_spark.operators import jpeg as J
+
+        rng = np.random.RandomState(12)
+        img = np.kron(
+            rng.randint(0, 255, (3, 3, 3)).astype(np.float64),
+            np.ones((8, 8, 1)),
+        )[:22, :19].astype(np.uint8)
+        h, w = img.shape[:2]
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        q_l = J._quality_scale(J._Q_LUMA, 90)
+        q_c = J._quality_scale(J._Q_CHROMA, 90)
+        fh, fw = -(-h // 8) * 8, -(-w // 8) * 8
+        store = {}
+        for ci, p in enumerate(planes):
+            p = np.pad(p, ((0, fh - h), (0, fw - w)), mode="edge")
+            q = q_l if ci == 0 else q_c
+            blocks = np.zeros((fh // 8, fw // 8, 64), np.int64)
+            for yb in range(fh // 8):
+                for xb in range(fw // 8):
+                    blocks[yb, xb] = J._quantize_block(
+                        p[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8], q
+                    )
+            store[ci + 1] = blocks
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        wtr = _ArithProgressiveWriter(comps)
+        wtr.dc_first(store, [1, 2, 3], al=0)  # interleaved DC, no SA
+        for cid in (1, 2, 3):
+            wtr.ac_first(store, cid, ss=1, se=63, al=0)
+        payload = wtr.tofile(h, w, [q_l, q_c])
+        seq = J.encode_jpeg(img, quality=90, arithmetic=True)
+        assert np.array_equal(J.decode_jpeg(payload), J.decode_jpeg(seq))
+
+    def test_sof10_gate_lifted_only_for_progressive_arithmetic(self):
+        """Arithmetic-LOSSLESS (0xCB) and hierarchical frames still
+        raise the named seam."""
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        good = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        sof = good.find(b"\xff\xc0")
+        for m in (0xCB, 0xC5, 0xC6, 0xC7):
+            bad = bytearray(good)
+            bad[sof + 1] = m
+            with pytest.raises(NotImplementedError):
+                decode_jpeg(bytes(bad))
