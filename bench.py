@@ -89,6 +89,8 @@ HEADLINE = [
     "layout_zorder",  # min-max z-key attach over the full part table
     "txt_wordpiece_roundtrip",  # completes the tokenizer trio in the bench
     "sim_pq",  # PQ train + encode + ADC top-k, the compression ANN path
+    "win_rank_family",  # r13 consolidation: 6 ranking fns, 1 shuffle
+    "src_roundtrip_family",  # r13 consolidation: json/orc/text round-trips
 ]
 
 

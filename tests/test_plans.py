@@ -50,6 +50,19 @@ def test_fil_scalar_family_pushes_every_branch(spark, sf_small):
     assert "o_comment" not in plan  # pruning survives the union
 
 
+def test_win_rank_family_single_exchange(spark, sf_small):
+    """The r13 consolidated ranking row must not weaken the retired
+    rows' shuffle discipline: both window specs share the
+    o_orderpriority partition key, so the physical plan carries exactly
+    ONE Exchange (two sorts over one shuffle) and — unlike the retired
+    global-sort `win_ntile` — no single-partition global window."""
+    from kusuma_metamorph_etl_spark.queries.core import win_rank_family
+
+    plan = _plan(win_rank_family(spark, sf_small))
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan
+
+
 def test_supplier_mart_joins_broadcast(supplier_plan):
     assert "BroadcastHashJoin" in supplier_plan
     assert "SortMergeJoin" not in supplier_plan
