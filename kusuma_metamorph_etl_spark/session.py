@@ -66,6 +66,19 @@ def get_session(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else (os.cpu_count() or 8)
 
+    # Local-mode heap knob (r13 scale probe): Spark's default 1 GB driver
+    # heap is a harness artifact on a 128 GiB box — at sf1.0 a single
+    # localCheckpoint exceeds it.  `spark.driver.memory` set through the
+    # builder is NOT honored once the JVM launch path is decided, so the
+    # env var must translate to submit args BEFORE the first session.
+    # On a real cluster memory comes from spark-submit and this is a
+    # no-op.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell"
+        )
+
     builder = SparkSession.builder.appName(app_name).master(master)
     for key, value in _BASE_CONF.items():
         builder = builder.config(key, value)

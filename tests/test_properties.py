@@ -829,3 +829,63 @@ def test_jpeg_lossless_roundtrip_property(predictor, h, w, deep, seed):
     out = decode_jpeg(_encode_lossless_jpeg(img, predictor=predictor))
     assert out.dtype == img.dtype
     assert np.array_equal(out, img), (predictor, h, w, deep, seed)
+
+
+@settings(max_examples=_ex(30), deadline=None)
+@given(
+    bits=st.lists(st.integers(0, 1), min_size=0, max_size=3000),
+    nctx=st.integers(1, 6),
+    seed=st.integers(0, 2**31),
+)
+def test_qm_arithmetic_coder_roundtrip(bits, nctx, seed):
+    """QM arithmetic coder (T.81 Annex D, r13): decode(encode(bits))
+    recovers every decision for arbitrary bit sequences over arbitrary
+    context assignments — biased-context pressure drives states deep
+    down the probability table's NMPS/NLPS chains, so a transcription
+    slip in a reachable row breaks this property for SOME sequence."""
+    import random
+
+    from kusuma_metamorph_etl_spark.operators.jpeg import (
+        _ArithDecoder,
+        _ArithEncoder,
+    )
+
+    ctxs = [random.Random(seed + i).randrange(nctx) for i in range(len(bits))]
+    st_e, st_d = bytearray(nctx), bytearray(nctx)
+    enc = _ArithEncoder()
+    for b, c in zip(bits, ctxs):
+        enc.encode(st_e, c, b)
+    data = enc.flush()
+    dec = _ArithDecoder(data)
+    assert [dec.decode(st_d, c) for c in ctxs] == bits
+    assert st_d == st_e  # both sides end in the SAME estimation state
+
+
+@settings(max_examples=_ex(15), deadline=None)
+@given(
+    n=st.integers(1, 3),
+    h=st.integers(1, 6),
+    w=st.integers(1, 7),
+    depth=st.integers(8, 16),
+    seed=st.integers(0, 2**31),
+)
+def test_y4m_depth_roundtrip_property(n, h, w, depth, seed):
+    """Y4M mono roundtrips at every depth 8..16 over arbitrary
+    geometries (r13: depth-extended tags) — samples present raw at
+    file depth, dtype follows the declared depth."""
+    import numpy as np
+
+    from kusuma_metamorph_etl_spark.operators import multimodal
+
+    rng = np.random.RandomState(seed % (2**31))
+    frames = rng.randint(
+        0, 1 << depth, size=(n, h, w),
+        dtype=np.uint8 if depth == 8 else np.uint16,
+    )
+    video = multimodal.decode_video(
+        multimodal.encode_y4m(frames, depth=depth)
+    )
+    assert video["depth"] == depth
+    assert (video["width"], video["height"], video["n_frames"]) == (w, h, n)
+    for k in range(n):
+        assert np.array_equal(video["frames"][k]["y"], frames[k])

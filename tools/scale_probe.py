@@ -184,7 +184,8 @@ def _run_child(script: str, args: list[str], timeout: int) -> str:
     # storage memory.  Both scales run with the SAME heap so the ratio
     # is apples-to-apples.
     env = dict(os.environ)
-    env["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 12g pyspark-shell"
+    env.pop("PYSPARK_SUBMIT_ARGS", None)
+    env["SPARK_GRAFT_DRIVER_MEM"] = "12g"  # session.py routes to submit args
     proc = subprocess.run(
         [sys.executable, "-c", script, *args],
         capture_output=True,
