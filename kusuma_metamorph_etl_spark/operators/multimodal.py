@@ -48,10 +48,37 @@ FEATURE_SCHEMA = (
 )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Normalize partitioning ahead of a CPU-bound Arrow codec stage:
+    fan UNDER-split inputs up to the session's default parallelism, and
+    coalesce heavily OVER-split ones back down to it.
+
+    Why (r13 bench findings, both directions measured at sf0.1):
+
+    * the `documents` table is one ~600 KB parquet file, so every
+      synth/decode ``mapInPandas`` stage inherited a SINGLE input split
+      and ran on one of 32 cores — `mm_jpeg_arithmetic` dropped 13.3 s
+      → 1.1 s with the fan-up.  At 100 TB a scan yields thousands of
+      splits and the fan-up is a no-op.
+    * format-branching pipelines (`mm_transcode`: four attach branches
+      unioned) MULTIPLY partitions — 4 × 32 tiny partitions cost more
+      in per-task Python-worker overhead than the codec work; the
+      coalesce (narrow, no shuffle) restores ~core-count tasks.  The
+      2× hysteresis keeps both paths no-ops for healthily-split
+      inputs, where Spark's own split sizing is the right answer."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    n = df.rdd.getNumPartitions()
+    if n < target:
+        return df.repartition(target)
+    if n > target * 2:
+        return df.coalesce(target)
+    return df
+
+
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary column (UTF-8 bytes of the text column —
     the stand-in for an arbitrary media payload) plus typed metadata."""
-    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+    return _fan_out(df).withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
         "payload_kind", F.lit("text/utf-8")
     )
 
@@ -913,7 +940,7 @@ def attach_png_subbyte_payload(
     def make_png(texts: pd.Series) -> pd.Series:
         return texts.map(lambda s: synthesize_png_subbyte(s, interlace))
 
-    return df.withColumn("payload", make_png(F.col(text_col))).withColumn(
+    return _fan_out(df).withColumn("payload", make_png(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/png")
     )
 
@@ -927,7 +954,7 @@ def attach_pgm_quantized_payload(
     def make_pgm(texts: pd.Series) -> pd.Series:
         return texts.map(synthesize_pgm_quantized)
 
-    return df.withColumn("payload", make_pgm(F.col(text_col))).withColumn(
+    return _fan_out(df).withColumn("payload", make_pgm(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/pgm")
     )
 
@@ -942,7 +969,7 @@ def attach_image_payload(
     def make_ppm(texts: pd.Series) -> pd.Series:
         return texts.map(synthesize_ppm)
 
-    return df.withColumn("payload", make_ppm(F.col(text_col))).withColumn(
+    return _fan_out(df).withColumn("payload", make_ppm(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/ppm")
     )
 
@@ -973,7 +1000,7 @@ def attach_png_payload(
             )
         )
 
-    return df.withColumn("payload", make_png(F.col(text_col))).withColumn(
+    return _fan_out(df).withColumn("payload", make_png(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/png")
     )
 
@@ -1018,7 +1045,7 @@ def extract_binary_features(
             out.insert(0, id_col, batch[id_col].values)
             yield out
 
-    narrow = df.select(id_col, payload_col)
+    narrow = _fan_out(df.select(id_col, payload_col))
     return narrow.mapInPandas(extract, schema=schema)
 
 
@@ -1065,7 +1092,7 @@ def resize(
             out["payload_kind"] = "image/resized"
             yield out
 
-    narrow = df.select(id_col, payload_col)
+    narrow = _fan_out(df.select(id_col, payload_col))
     return narrow.mapInPandas(do_resize, schema=RESIZE_SCHEMA)
 
 
@@ -1301,7 +1328,7 @@ def attach_video_payload(
     def make_y4m(texts: pd.Series) -> pd.Series:
         return texts.map(synthesize_y4m)
 
-    return df.withColumn("payload", make_y4m(F.col(text_col))).withColumn(
+    return _fan_out(df).withColumn("payload", make_y4m(F.col(text_col))).withColumn(
         "payload_kind", F.lit("video/y4m")
     )
 
@@ -1342,7 +1369,7 @@ def extract_video_frames(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(
         extract, schema=VIDEO_FRAME_SCHEMA
     )
 
@@ -1633,7 +1660,7 @@ def attach_audio_payload(
     def make_wav(texts: pd.Series) -> pd.Series:
         return texts.map(synthesize_wav)
 
-    return df.withColumn("payload", make_wav(F.col(text_col))).withColumn(
+    return _fan_out(df).withColumn("payload", make_wav(F.col(text_col))).withColumn(
         "payload_kind", F.lit("audio/wav")
     )
 
@@ -1700,7 +1727,7 @@ def extract_spectral_features(
             out.insert(0, id_col, batch[id_col].values)
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(
         extract, schema=SPECTRAL_SCHEMA
     )
 
@@ -1714,7 +1741,7 @@ def attach_tone_payload(
     def make_tone(texts: pd.Series) -> pd.Series:
         return texts.map(synthesize_tone)
 
-    return df.withColumn("payload", make_tone(F.col(text_col))).withColumn(
+    return _fan_out(df).withColumn("payload", make_tone(F.col(text_col))).withColumn(
         "payload_kind", F.lit("audio/wav")
     )
 
@@ -1823,7 +1850,7 @@ def augment(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(
         do_augment, schema=AUGMENT_SCHEMA
     )
 
@@ -1917,7 +1944,7 @@ def audio_augment(
                 rows, columns=[id_col, "op", payload_col, "n_samples", "sum_abs"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(
         do_augment, schema=AUDIO_AUGMENT_SCHEMA
     )
 
@@ -2182,7 +2209,7 @@ def attach_gif_payload(
     def make_gif(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: synthesize_gif(t, interlace=interlace))
 
-    return df.withColumn("payload", make_gif(F.col(text_col))).withColumn(
+    return _fan_out(df).withColumn("payload", make_gif(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/gif")
     )
 
@@ -2207,7 +2234,7 @@ def attach_jpeg_payload(
     def make_jpeg(texts: pd.Series) -> pd.Series:
         return texts.map(synthesize_jpeg)
 
-    return df.withColumn("payload", make_jpeg(F.col(text_col))).withColumn(
+    return _fan_out(df).withColumn("payload", make_jpeg(F.col(text_col))).withColumn(
         "payload_kind", F.lit("image/jpeg")
     )
 
@@ -2323,4 +2350,4 @@ def transcode_images(
     )
     if quarantine:
         schema += ", error string"
-    return df.select(id_col, payload_col).mapInPandas(transcode, schema=schema)
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(transcode, schema=schema)

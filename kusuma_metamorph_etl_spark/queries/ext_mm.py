@@ -214,7 +214,9 @@ def mm_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    payloads = docs.withColumn("payload", make_wav("doc_id", "text"))
+    payloads = multimodal._fan_out(docs).withColumn(
+        "payload", make_wav("doc_id", "text")
+    )
     fmt_by_dtype = {"int16": "pcm16", "uint8": "pcm8", "float32": "float32"}
 
     def extract(batches):
@@ -510,7 +512,7 @@ def mm_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(
+    return multimodal._fan_out(docs).mapInPandas(
         extract,
         "doc_id long, coding string, width int, height int,"
         " pixels_match_huffman boolean, arith_smaller boolean",

@@ -895,9 +895,17 @@ class TestPhash:
             assert bin(h0 ^ h).count("1") >= 18
 
     def test_near_dups_finds_planted_copies(self, spark, sf_small):
-        docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(40)
+        # copies are picked by VALUE (doc_id < 5), not by limit():
+        # attach_image_payload fans out through a repartition (r13), so
+        # an unordered limit() would pick different rows per evaluation
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").filter(
+            F.col("doc_id") < 40
+        )
         imgs = multimodal.attach_image_payload(docs).select("doc_id", "payload")
-        copies = imgs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        copies = (
+            imgs.filter(F.col("doc_id") < 5)
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        )
         pairs = multimodal.phash_near_dups(
             imgs.unionByName(copies), max_hamming=2
         )
@@ -905,10 +913,7 @@ class TestPhash:
             (r["a"], r["b"])
             for r in pairs.filter(F.col("b") >= 1_000_000).collect()
         }
-        expected = {
-            (r["doc_id"], r["doc_id"] + 1_000_000)
-            for r in imgs.limit(5).select("doc_id").collect()
-        }
+        expected = {(i, i + 1_000_000) for i in range(5)}
         assert expected <= found
 
 
