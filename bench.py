@@ -91,6 +91,7 @@ HEADLINE = [
     "sim_pq",  # PQ train + encode + ADC top-k, the compression ANN path
     "win_rank_family",  # r13 consolidation: 6 ranking fns, 1 shuffle
     "src_roundtrip_family",  # r13 consolidation: json/orc/text round-trips
+    "mm_jpeg_arithmetic",  # QM coder both ways + Huffman-twin equality
 ]
 
 
