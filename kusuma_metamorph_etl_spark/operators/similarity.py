@@ -88,6 +88,59 @@ def cosine_topk(
     )
 
 
+def incremental_topk_update(
+    cached: DataFrame,
+    queries: DataFrame,
+    new_batch: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT incremental top-k maintenance over a growing corpus (the
+    EDBT'20 interactive-session pattern): given the cached top-k of each
+    query against corpus C, fold in a new batch B by scoring ONLY the
+    |Q| × |B| fresh pairs and re-taking k over (cached ∪ fresh).
+
+    Why this is exact, not approximate: cosine is a per-pair score (no
+    corpus-dependent normalization), and top-k is taken under a TOTAL
+    order (cosine DESC, neighbor_id ASC — the same comparator
+    :func:`cosine_topk` uses), so any row of the true top-k over C ∪ B
+    is either in B (scored fresh) or was in the top-k over C (cached) —
+    a row outside the cached k was beaten by k rows that are all still
+    present in the merge.  That makes this the 100 TB shape for
+    append-only corpora: per ingest batch the work is |Q| × |B| narrow
+    scoring plus a k-row-per-query merge, never a rescan of C.
+
+    ``cached`` must carry (query_id, neighbor_id, cosine) at FULL
+    precision (round only at presentation) — rounding before the merge
+    would re-order boundary ties against a full recompute.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    b = new_batch.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    fresh = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    merged = cached.select("query_id", "neighbor_id", "cosine").unionByName(
+        fresh
+    )
+    return top_k_per_group(
+        merged,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+    )
+
+
 def cosine_topk_np(
     queries: DataFrame,
     corpus: DataFrame,

@@ -43,6 +43,28 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.cosine_topk(queries, emb, k=5)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
+@register("sim_topk_incremental", _TOPK_ORACLE)
+def sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT top-k over a growing corpus (r13; the EDBT'20
+    interactive-session maintenance pattern —
+    `operators/similarity.py::incremental_topk_update`): the corpus is
+    split into a base (75%) whose top-k is the "cached" result and an
+    append batch (25%, query rows excluded by construction); the update
+    scores ONLY queries × batch and merges with the cached k rows per
+    query.  The oracle is the FULL recompute over base ∪ batch — the
+    merge-correctness claim (top-k under a total order is mergeable) is
+    therefore hash-checked, not asserted: a boundary-tie mishandled, a
+    cached row rounded too early, or a batch row missed flips it."""
+    emb = t(spark, sf_dir, "embeddings")
+    is_batch = (F.col("vec_id") % 4 == 2) & (F.col("vec_id") % 25 != 0)
+    base, batch = emb.filter(~is_batch), emb.filter(is_batch)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)  # all inside base
+    cached = similarity.cosine_topk(queries, base, k=5)
+    out = similarity.incremental_topk_update(cached, queries, batch, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
 @register(
     "sim_cosine_pairs",
     f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

@@ -584,3 +584,38 @@ def test_pq_topk_partition_invariant_under_score_ties(spark):
     ]
     assert sorted(a) == sorted(b)
     assert len(a) == 5
+
+
+def test_incremental_topk_update_equals_full_recompute(spark):
+    """r13 (EDBT'20 maintenance pattern): cached-top-k ∪ fresh-batch
+    scores re-taken at k must EQUAL the full recompute over the union —
+    exercised on tie-adversarial data (duplicate vectors across base
+    and batch force cosine ties at the k boundary, so the total-order
+    comparator is what keeps the two paths identical)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        cosine_topk,
+        incremental_topk_update,
+    )
+
+    rng = random.Random(7)
+    # 12 distinct directions reused across 60 vectors -> massive ties
+    dirs = [
+        [rng.uniform(-1, 1) for _ in range(8)] for _ in range(12)
+    ]
+    rows = [(i, dirs[i % 12]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = emb.filter(F.col("vec_id") < 40)
+    batch = emb.filter(F.col("vec_id") >= 40)
+    queries = emb.filter(F.col("vec_id") % 10 == 0).filter(
+        F.col("vec_id") < 40
+    )
+    cached = cosine_topk(queries, base, k=4)
+    incr = incremental_topk_update(cached, queries, batch, k=4)
+    full = cosine_topk(queries, emb, k=4)
+    got = {tuple(r) for r in incr.select("query_id", "neighbor_id").collect()}
+    want = {tuple(r) for r in full.select("query_id", "neighbor_id").collect()}
+    assert got == want and len(want) == 4 * queries.count()
