@@ -29,6 +29,23 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 # A BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# Tiny valence lexicons for the lexicon-vote sentiment scorer (the
+# classic distributed-sentiment shape — EDBT'16 "Large Scale Sentiment
+# Analysis on Twitter with Spark" runs exactly this as its scan stage).
+# Same contract as STOPWORDS: deliberately small, public-domain-obvious
+# generic words; production pipelines plug a model scorer in through
+# the mapInPandas seam instead of growing these lists.
+POSITIVE_WORDS: tuple[str, ...] = (
+    "good", "great", "excellent", "happy", "love", "best", "wonderful",
+    "amazing", "positive", "success", "win", "improve", "benefit",
+    "easy", "fast", "clean", "strong", "helpful", "clear", "right",
+)
+NEGATIVE_WORDS: tuple[str, ...] = (
+    "bad", "terrible", "awful", "sad", "hate", "worst", "horrible",
+    "poor", "negative", "failure", "lose", "break", "harm", "hard",
+    "slow", "dirty", "weak", "useless", "wrong", "broken",
+)
+
 
 def words(text: Column) -> Column:
     """Whitespace tokens with empties dropped, so tabs/newlines separate
@@ -85,6 +102,43 @@ def language_id(text: Column) -> Column:
         .when((fr >= de) & (fr > 0), F.lit("fr"))
         .when(de > 0, F.lit("de"))
         .otherwise(F.lit("und"))
+    )
+
+
+def sentiment_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexicon-vote sentiment over whitespace tokens: per row the
+    positive/negative match counts, the polarity
+    ``(pos − neg) / max(pos + neg, 1)`` ∈ [−1, 1] (matched-token
+    normalization — length-invariant, exactly 0 for text matching no
+    valence word), and a 3-way label decided on the COUNTS, never the
+    float.  Scan-speed column expressions end to end (token
+    materialization first — the re-evaluation trap
+    :func:`quality_features` documents); the single division ships raw
+    per the cross-engine float policy."""
+    toked = df.select(
+        "*",
+        F.transform(
+            words(F.col(text_col)), lambda w: F.lower(w)
+        ).alias("__lw"),
+    )
+    lw = F.col("__lw")
+    n_pos = F.size(F.filter(lw, lambda w: w.isin(*POSITIVE_WORDS)))
+    n_neg = F.size(F.filter(lw, lambda w: w.isin(*NEGATIVE_WORDS)))
+    return (
+        toked.withColumn("n_pos", n_pos)
+        .withColumn("n_neg", n_neg)
+        .withColumn(
+            "polarity",
+            (F.col("n_pos") - F.col("n_neg")).cast("double")
+            / F.greatest(F.col("n_pos") + F.col("n_neg"), F.lit(1)),
+        )
+        .withColumn(
+            "sentiment",
+            F.when(F.col("n_pos") > F.col("n_neg"), F.lit("positive"))
+            .when(F.col("n_neg") > F.col("n_pos"), F.lit("negative"))
+            .otherwise(F.lit("neutral")),
+        )
+        .drop("__lw")
     )
 
 

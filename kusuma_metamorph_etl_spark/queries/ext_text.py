@@ -452,6 +452,45 @@ def txt_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.language_id(F.col("text")).alias("lang_pred"))
 
+# SQL list literals built from the SAME python tuples the engine scans
+# with — one source of truth for both sides of the hash compare.
+_POS_SQL = ",".join(f"'{w}'" for w in text.POSITIVE_WORDS)
+_NEG_SQL = ",".join(f"'{w}'" for w in text.NEGATIVE_WORDS)
+
+@register(
+    "txt_sentiment",
+    f"""WITH v AS (
+          SELECT doc_id, {_W_LOWER} AS w FROM documents),
+        c AS (
+          SELECT doc_id,
+                 len(list_filter(w, x -> x IN ({_POS_SQL}))) AS n_pos,
+                 len(list_filter(w, x -> x IN ({_NEG_SQL}))) AS n_neg
+          FROM v)
+        SELECT doc_id,
+               CAST(n_pos AS INTEGER) AS n_pos,
+               CAST(n_neg AS INTEGER) AS n_neg,
+               CAST(n_pos - n_neg AS DOUBLE)
+                   / greatest(n_pos + n_neg, 1) AS polarity,
+               CASE WHEN n_pos > n_neg THEN 'positive'
+                    WHEN n_neg > n_pos THEN 'negative'
+                    ELSE 'neutral' END AS sentiment
+        FROM c""",
+)
+def txt_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-vote sentiment scoring (r13; the EDBT'16
+    sentiment-on-Spark scan stage — `operators/text.py::
+    sentiment_scores`): positive/negative valence counts over the
+    engine's exact token rule, matched-token-normalized polarity, and a
+    count-decided 3-way label.  Scan-speed column expressions — the
+    cheap affect pre-filter next to `txt_quality`/`txt_gopher_filter`
+    in a training-data pipeline; model scorers plug in via the
+    mapInPandas seam.  The single division ships raw (bit-identical
+    cross-engine per the float policy)."""
+    docs = t(spark, sf_dir, "documents")
+    return text.sentiment_scores(docs).select(
+        "doc_id", "n_pos", "n_neg", "polarity", "sentiment"
+    )
+
 @register(
     "txt_fingerprint",
     """SELECT doc_id,

@@ -132,15 +132,16 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-13 WINDOW: basis 12; 260 registered (r12 VERDICT Next #2
+# ROUND-13 WINDOW: basis 12; 261 registered (r12 VERDICT Next #2
 # consolidations: win_lag_lead/win_ntile/win_rank_dense/win_cume_dist →
 # win_rank_family, src_json_roundtrip/src_orc_roundtrip/
 # src_text_roundtrip → src_roundtrip_family — net −5, defusing the
 # r8-evidence bulge; +mm_jpeg_arithmetic, the graduated SOF9 QM-coder
-# path, and +sim_topk_incremental, exact top-k maintenance — both
-# funded by that headroom).  4 zero-evidence rows lead the cut,
+# path, +sim_topk_incremental (exact top-k maintenance) and
+# +txt_sentiment (lexicon-vote scoring) — all funded by that
+# headroom).  5 zero-evidence rows lead the cut,
 # then the 22 remaining r7-evidence rows (6 rounds stale — the age
-# guard trips without this rotation), then 24 of the 49-row r8 cohort
+# guard trips without this rotation), then 23 of the 49-row r8 cohort
 # PRE-ROTATED so r14's due cohort shrinks to ~25 rows instead of
 # consuming its entire window (r12 VERDICT "What's wrong" #1).  An
 # evidence-age guard (tests/test_registry_window.py) fails the build
@@ -166,8 +167,8 @@ _PRIORITY_BASIS_ROUND = 12
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Empty this round: 4 zero-evidence rows + the 22-row r7 cohort
-# + 24 pre-rotated r8 rows fill the window exactly.
+# Empty this round: 5 zero-evidence rows + the 22-row r7 cohort
+# + 23 pre-rotated r8 rows fill the window exactly.
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
@@ -294,6 +295,7 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 _PRIORITY: tuple[str, ...] = (
     "src_roundtrip_family",
     "win_rank_family",
+    "txt_sentiment",
     "sim_topk_incremental",
     "mm_jpeg_arithmetic",
     "win_frame_agg",
@@ -341,8 +343,8 @@ _PRIORITY: tuple[str, ...] = (
     "ts_rolling",
     "evt_rate_anomaly",
     "ts_rolling_distinct",
-    "evt_ab_lift",
   # ---- window cut ----
+    "evt_ab_lift",
     "evt_streaks",
     "evt_cohort_ltv",
     "ts_ewma",
@@ -555,8 +557,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_cms_counts",
 )
 
-# summary: 260 registered; 0 latest-red; 4 zero-evidence;
-# window holds 0 red + 4 zero-evidence rows; spilled past the cut: []
+# summary: 261 registered; 0 latest-red; 5 zero-evidence;
+# window holds 0 red + 5 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

@@ -1284,3 +1284,28 @@ class TestWeightedSample:
             ).collect()
         )
         assert remerged == direct
+
+
+def test_sentiment_scores_hand_computed(spark):
+    """r13 lexicon-vote sentiment: counts/polarity/label against
+    hand-computed values, incl. the no-match neutral (polarity exactly
+    0, not NaN) and case-insensitive matching."""
+    from kusuma_metamorph_etl_spark.operators.text import sentiment_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "Good good bad day"),  # 2 pos, 1 neg -> +1/3
+            (2, "the weather is grey"),  # no valence words -> neutral 0
+            (3, "TERRIBLE awful stuff"),  # 0 pos, 2 neg -> -1.0
+            (4, "love and hate"),  # tie -> neutral, polarity 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_pos"], r["n_neg"], r["polarity"], r["sentiment"])
+        for r in sentiment_scores(df).collect()
+    }
+    assert got[1] == (2, 1, 1.0 / 3.0, "positive")
+    assert got[2] == (0, 0, 0.0, "neutral")
+    assert got[3] == (0, 2, -1.0, "negative")
+    assert got[4] == (1, 1, 0.0, "neutral")
