@@ -132,29 +132,25 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-13 WINDOW: basis 12; 261 registered (r12 VERDICT Next #2
-# consolidations: win_lag_lead/win_ntile/win_rank_dense/win_cume_dist →
-# win_rank_family, src_json_roundtrip/src_orc_roundtrip/
-# src_text_roundtrip → src_roundtrip_family — net −5, defusing the
-# r8-evidence bulge; +mm_jpeg_arithmetic, the graduated SOF9 QM-coder
-# path, +sim_topk_incremental (exact top-k maintenance) and
-# +txt_sentiment (lexicon-vote scoring) — all funded by that
-# headroom).  5 zero-evidence rows lead the cut,
-# then the 22 remaining r7-evidence rows (6 rounds stale — the age
-# guard trips without this rotation), then 23 of the 49-row r8 cohort
-# PRE-ROTATED so r14's due cohort shrinks to ~25 rows instead of
-# consuming its entire window (r12 VERDICT "What's wrong" #1).  An
-# evidence-age guard (tests/test_registry_window.py) fails the build
-# when any row's latest evidence is older than the derived rotation
-# budget (ceil(rows/50), currently 6), a bulge guard fails it when the
-# projected post-window oldest cohort exceeds 44 rows, and
-# compute_priority carries a CUT-REPAIR pass so a glued rows-only/_err
-# pair can never straddle the 50-cut.  REGEN AFTER EVERY REGISTRATION;
-# the window guard test is the backstop, run it before every commit.
+# ROUND-14 WINDOW: basis 13; the 26-row r8-evidence cohort (due this
+# round — MAX_EVIDENCE_AGE = 6) leads the cut, then 24 of the 47-row
+# r9 cohort PRE-ROTATED (r13 VERDICT Next #6) so r15's due cohort
+# shrinks to ~23 rows.  The age guard now scopes to REGISTERED rows
+# only: ids retired by consolidation (win_lag_lead et al →
+# win_rank_family in r13) keep stale CORRECTNESS evidence forever but
+# cannot be re-proven — their family row carries the rotation duty.
+# An evidence-age guard (tests/test_registry_window.py) fails the
+# build when any registered row's latest evidence is older than the
+# derived rotation budget (ceil(rows/50), currently 6), a bulge guard
+# fails it when the projected post-window oldest cohort exceeds 44
+# rows, and compute_priority carries a CUT-REPAIR pass so a glued
+# rows-only/_err pair can never straddle the 50-cut.  REGEN AFTER
+# EVERY REGISTRATION; the window guard test is the backstop, run it
+# before every commit.
 #
-# r14 builder checklist: once the driver lands CORRECTNESS_r13.json,
-# bump _PRIORITY_BASIS_ROUND to 13, regenerate with
-# `python tools/make_window.py --through-round 13`, and re-paste
+# r15 builder checklist: once the driver lands CORRECTNESS_r14.json,
+# bump _PRIORITY_BASIS_ROUND to 14, regenerate with
+# `python tools/make_window.py --through-round 14`, and re-paste
 # (defer only if new zero-evidence registrations overflow the window).
 # Registry ceiling policy (ENFORCED since r12 by
 # tests/test_registry_window.py::test_registry_under_rotation_ceiling):
@@ -163,12 +159,12 @@ _LOADED = False
 # message must name the retired/merged row.
 # ---------------------------------------------------------------------------
 
-_PRIORITY_BASIS_ROUND = 12
+_PRIORITY_BASIS_ROUND = 13
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Empty this round: 5 zero-evidence rows + the 22-row r7 cohort
-# + 23 pre-rotated r8 rows fill the window exactly.
+# Empty this round: the 26-row r8 cohort + 24 pre-rotated r9 rows fill
+# the window exactly.
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
@@ -293,57 +289,6 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    "src_roundtrip_family",
-    "win_rank_family",
-    "txt_sentiment",
-    "sim_topk_incremental",
-    "mm_jpeg_arithmetic",
-    "win_frame_agg",
-    "proj_explode",
-    "cond_when_chain",
-    "cond_null_default",
-    "dedup_substring",
-    "dedup_substring_err",
-    "dedup_substring_removal",
-    "dedup_substring_removal_err",
-    "dedup_minhash_incr",
-    "dedup_minhash_incr_err",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_attribution_join",
-    "stream_dedup_first",
-    "evt_dedup_window",
-    "evt_paths",
-    "ts_gapfill",
-    "scd2_merge",
-    "cdc_apply",
-    "graph_pagerank",
-    "samp_group_k",
-    "src_schema_evolution",
-    "src_csv_badrecords",
-    "fn_surrogate_key",
-    "txt_keywords",
-    "txt_perplexity",
-    "txt_search_and",
-    "txt_unigram_roundtrip",
-    "txt_fix_mojibake",
-    "dedup_normalized",
-    "dedup_normalized_nfkc",
-    "dedup_normalized_nfkc_err",
-    "dedup_semantic",
-    "dedup_semantic_err",
-    "dedup_cc_incremental",
-    "sim_ivf_persisted_err",
-    "mm_augment",
-    "mm_audio_augment",
-    "mm_gif_features",
-    "mm_jpeg_features",
-    "mm_transcode",
-    "ts_rolling",
-    "evt_rate_anomaly",
-    "ts_rolling_distinct",
-  # ---- window cut ----
     "evt_ab_lift",
     "evt_streaks",
     "evt_cohort_ltv",
@@ -394,6 +339,7 @@ _PRIORITY: tuple[str, ...] = (
     "evt_stickiness",
     "graph_triangles",
     "join_skew_salted",
+  # ---- window cut ----
     "layout_zorder",
     "layout_compaction_plan",
     "graph_kcore",
@@ -555,6 +501,56 @@ _PRIORITY: tuple[str, ...] = (
     "agg_hll_mergeable",
     "agg_quantile_mergeable",
     "agg_cms_counts",
+    "src_roundtrip_family",
+    "win_frame_agg",
+    "win_rank_family",
+    "proj_explode",
+    "cond_when_chain",
+    "cond_null_default",
+    "src_schema_evolution",
+    "src_csv_badrecords",
+    "fn_surrogate_key",
+    "txt_sentiment",
+    "txt_keywords",
+    "txt_perplexity",
+    "txt_search_and",
+    "txt_unigram_roundtrip",
+    "txt_fix_mojibake",
+    "dedup_substring",
+    "dedup_substring_err",
+    "dedup_substring_removal",
+    "dedup_substring_removal_err",
+    "dedup_minhash_incr",
+    "dedup_minhash_incr_err",
+    "dedup_normalized",
+    "dedup_normalized_nfkc",
+    "dedup_normalized_nfkc_err",
+    "dedup_semantic",
+    "dedup_semantic_err",
+    "dedup_cc_incremental",
+    "sim_topk_incremental",
+    "sim_ivf_persisted_err",
+    "mm_augment",
+    "mm_audio_augment",
+    "mm_gif_features",
+    "mm_jpeg_features",
+    "mm_jpeg_arithmetic",
+    "mm_transcode",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_attribution_join",
+    "stream_dedup_first",
+    "evt_dedup_window",
+    "evt_paths",
+    "ts_gapfill",
+    "ts_rolling",
+    "evt_rate_anomaly",
+    "ts_rolling_distinct",
+    "scd2_merge",
+    "cdc_apply",
+    "graph_pagerank",
+    "samp_group_k",
 )
 
 # summary: 261 registered; 0 latest-red; 5 zero-evidence;

@@ -75,7 +75,14 @@ def test_overage_evidence_rows_are_seated_in_the_window():
     basis = registry._PRIORITY_BASIS_ROUND
     ev = registry.evidence_rounds(basis)
     window = set(registry._PRIORITY[:WINDOW])
-    overage = [n for n, rnd in ev.items() if basis - rnd >= budget]
+    registered = set(registry.queries())
+    # Retired/consolidated ids (e.g. win_lag_lead → win_rank_family in
+    # r13) keep their old CORRECTNESS evidence but can never be
+    # re-proven — the family row that replaced them carries the rotation
+    # duty, so the age guard applies to registered rows only.
+    overage = [
+        n for n, rnd in ev.items() if n in registered and basis - rnd >= budget
+    ]
     unseated = [n for n in overage if n not in window]
     assert not unseated, (
         f"rows with evidence older than the {budget}-round rotation "
