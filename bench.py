@@ -92,6 +92,8 @@ HEADLINE = [
     "win_rank_family",  # r13 consolidation: 6 ranking fns, 1 shuffle
     "src_roundtrip_family",  # r13 consolidation: json/orc/text round-trips
     "mm_jpeg_arithmetic",  # QM coder both ways + Huffman-twin equality
+    "dedup_cc_minhash",  # r14: banded-edge CC, the scale twin (exp 0.076)
+    "samp_dsir",  # r14: hashed-ngram importance fit + Gumbel top-k draw
 ]
 
 

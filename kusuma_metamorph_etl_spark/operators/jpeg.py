@@ -1532,6 +1532,34 @@ def _arith_decode_scan(
     return dec.consumed()
 
 
+def sos_offset(payload: bytes) -> int:
+    """Byte offset of the first SOS (0xFFDA) marker, found by walking the
+    marker stream segment-by-segment — every non-SOI/EOI/RSTn/TEM marker
+    carries a 2-byte big-endian segment length, so the walk can never be
+    fooled by an 0xFF 0xDA byte pair inside a preceding segment body
+    (possible in DQT/DHT tables at other qualities — the r13 ADVICE
+    hazard of a raw ``payload.index(b"\\xff\\xda")`` search)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    while i + 2 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected a marker at offset {i}")
+        # optional 0xFF fill bytes before the marker code (T.81 B.1.1.2)
+        while payload[i + 1] == 0xFF:
+            i += 1
+        marker = payload[i + 1]
+        if marker == 0xDA:
+            return i
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone marker, no segment body
+            continue
+        if i + 4 > len(payload):
+            break
+        i += 2 + struct.unpack(">H", payload[i + 2 : i + 4])[0]
+    raise ValueError("no SOS marker in payload")
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential AND progressive decoder → uint8 HxWx3 (or HxW
     grey); any integer-ratio sampling factors (4:4:4 / 4:2:0 / 4:2:2 /

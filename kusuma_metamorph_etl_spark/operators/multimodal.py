@@ -1242,6 +1242,14 @@ def decode_video(payload: bytes) -> dict[str, Any]:
             "(8..16 decode); inject a decoder via "
             "extract_binary_features(decoder=...)"
         )
+    if depth < 8:
+        # Mirror the encoder's 8..16 range check: a malformed depth tag
+        # (e.g. C420p7) must raise, not silently decode as 2-byte
+        # little-endian samples (r13 ADVICE).
+        raise ValueError(
+            f"Y4M colorspace {colorspace!r} declares {depth}-bit samples; "
+            "the Y4M bit-depth extension covers 8..16"
+        )
     if colorspace.startswith("mono"):
         plane_shapes = [("y", h, w)]
     elif colorspace.startswith("444"):

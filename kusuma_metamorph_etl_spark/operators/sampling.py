@@ -586,3 +586,117 @@ def weighted_sample(
         .limit(k)
         .drop("__score")
     )
+
+
+# --------------------------------------------------------- DSIR resampling
+
+def hashed_bucket(token: Column, n_buckets: int) -> Column:
+    """Engine-agnostic feature-hash bucket for a token: first 8 hex chars
+    of md5 as an integer, mod ``n_buckets`` — the same md5 construction
+    as :func:`hash_unit`, so the oracle replays it as
+    ``('0x' || substr(md5(w), 1, 8))::BIGINT % n`` (always non-negative:
+    the hash is an unsigned 32-bit value before the mod)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public
+    method): fit two add-one-smoothed hashed bag-of-words models, p over
+    the TARGET corpus and q over the RAW corpus, then score every raw
+    document ``log w(x) = Σ_b c_b(x) · (ln p_b − ln q_b)`` over its
+    hashed-token counts.  Returns ``(id_col, dsir_logw)`` for every raw
+    document (token-less documents score the empty product, logw = 0).
+
+    Scale shape: two token-count aggregations (one shuffle each, counts
+    partial-aggregate map-side), a ≤ ``n_buckets``-row log-ratio table
+    that BROADCASTS to the per-document scoring join, and one final
+    groupBy(id).  Nothing pairwise, nothing driver-side; the log-ratio
+    table is bounded by the bucket count, not the corpus."""
+    from kusuma_metamorph_etl_spark.operators.text import words
+
+    def bucket_counts(df: DataFrame, *keys: str) -> DataFrame:
+        toks = df.select(
+            *[F.col(k) for k in keys],
+            F.explode(words(F.col(text_col))).alias("__w"),
+        )
+        return toks.select(
+            *[F.col(k) for k in keys],
+            hashed_bucket(F.col("__w"), n_buckets).alias("__bucket"),
+        ).groupBy(*keys, "__bucket").agg(F.count(F.lit(1)).alias("__c"))
+
+    tcnt = bucket_counts(target).withColumnRenamed("__c", "__tc")
+    rcnt = bucket_counts(raw).withColumnRenamed("__c", "__rc")
+    ttot = tcnt.agg(F.sum("__tc").alias("__tt"))
+    rtot = rcnt.agg(F.sum("__rc").alias("__rt"))
+    logr = (
+        tcnt.join(rcnt, "__bucket", "full_outer")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "__bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("__tc"), F.lit(0)) + 1.0)
+                    / (F.col("__tt") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__rc"), F.lit(0)) + 1.0)
+                    / (F.col("__rt") + F.lit(float(n_buckets)))
+                )
+            ).alias("__logr"),
+        )
+    )
+    doc_logw = (
+        bucket_counts(raw, id_col)
+        .join(F.broadcast(logr), "__bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__c") * F.col("__logr")).alias("dsir_logw"))
+    )
+    return (
+        raw.select(id_col)
+        .join(doc_logw, id_col, "left")
+        .select(
+            id_col, F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw")
+        )
+    )
+
+
+def log_weighted_sample(
+    df: DataFrame, key: Column, log_weight: Column, k: int, seed: str = "42"
+) -> DataFrame:
+    """:func:`weighted_sample` in the LOG domain — the Gumbel-top-k form
+    DSIR itself uses: A-ES keeps the k smallest ``-ln(u)/w``, and
+    ``ln`` is monotone on that positive score, so ordering by
+    ``ln(-ln u) − ln w`` draws the identical sample while never
+    materializing ``w = exp(log_weight)`` (which overflows for the
+    corpus-scale log-ratio sums importance resampling produces).
+    Same content-keyed uniform, same TakeOrderedAndProject shape, same
+    per-slice mergeability as :func:`weighted_sample`."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    score = F.ln(-F.ln(u)) - log_weight.cast("double")
+    return (
+        df.filter(key.isNotNull() & log_weight.isNotNull())
+        .withColumn("__score", score)
+        .orderBy("__score", key)
+        .limit(k)
+        .drop("__score")
+    )

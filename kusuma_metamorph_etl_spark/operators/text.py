@@ -539,8 +539,8 @@ def normalize_url(url: Column, sort_params: bool = False) -> Column:
     string ordering == DuckDB's default binary collation, so engines
     agree), and rejoin.  Sorting whole ``k=v`` segments keeps duplicate
     keys (``a=1&a=2``) intact and is idempotent by construction.
-    Default OFF so the r8-registered `txt_url_normalize` oracle stays
-    byte-stable; `txt_url_normalize_v2` registers the sorted form.
+    Default OFF so the plain branch of `txt_url_normalize_family` stays
+    byte-stable; its 'sorted' branch registers this form.
 
     Still out of scope (the tokenizer-not-regexp seam): percent-decoding
     and IDN/punycode.

@@ -179,12 +179,81 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cc_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-collapse dedup ([EXT]): one surviving row per duplicate
     cluster (transitive lowest-id-wins — A≈B≈C drops B AND C even when
-    A≉C directly, which pairwise dedup cannot express)."""
+    A≉C directly, which pairwise dedup cannot express).
+
+    FIXTURE-SCALE edge generator: the exact inverted-index Jaccard join
+    is candidate-pair-bound (sf1.0 exponent 1.23, BENCH_SCALE.json; an
+    AllPairs prefix-filter rewrite was A/B'd in r14 and measured WORSE —
+    exponent 1.44 — because the probe corpus has no Zipfian boilerplate
+    for frequency-ordered prefixes to exclude).  The 100 TB path with
+    identical collapse semantics is `dedup_cc_minhash` below (banded
+    MinHash edges, exponent 0.13)."""
     from kusuma_metamorph_etl_spark.operators.graph import cluster_representatives
 
     docs = t(spark, sf_dir, "documents")
     edges = dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
     return cluster_representatives(docs, edges).select("doc_id", "source")
+
+@register("dedup_cc_minhash", None)  # xxhash64 banding — no DuckDB equivalent
+def dedup_cc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of `dedup_cc_representatives` (r13 VERDICT "What's
+    wrong" #1): the same transitive cluster-collapse, but edges come from
+    banded MinHash LSH verified by exact Jaccard ≥ 0.3
+    (`dedup.minhash_near_dups`, sf1.0 exponent ~0.13) instead of the
+    exact inverted-index join.  Verified edges are a SUBSET of the exact
+    Jaccard pairs, so every emitted cluster sits inside an exact cluster
+    and survivors are provably a SUPERSET of the exact survivors; the
+    `_err` gate pins that contract plus ≥80% drop recall.  2-row bands
+    (16 hashes × 8 bands) keep per-pair collision odds high at the 0.3
+    operating threshold."""
+    from kusuma_metamorph_etl_spark.operators.graph import cluster_representatives
+
+    docs = t(spark, sf_dir, "documents")
+    edges = dedup.minhash_near_dups(docs, threshold=0.3, bands=8).select("a", "b")
+    return cluster_representatives(docs, edges).select("doc_id", "source")
+
+@register(
+    "dedup_cc_minhash_err",
+    f"""WITH RECURSIVE {_CC_EDGES}
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)""",
+)
+def dedup_cc_minhash_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `dedup_cc_minhash`: emits the EXACT
+    cluster representatives (same recursive-CTE closure oracle as
+    `dedup_cc_representatives`) gated on two contracts — (a) the MinHash
+    path never drops a doc the exact closure keeps (survivor superset:
+    verified edges ⊆ exact pairs ⟹ each MinHash component refines an
+    exact component ⟹ a doc that loses to its MinHash-component min also
+    loses to the ≤-smaller exact-component min), and (b) ≥ 80% of the
+    exactly-dropped docs are still dropped under MinHash blocking."""
+    from kusuma_metamorph_etl_spark.operators.graph import cluster_representatives
+
+    docs = t(spark, sf_dir, "documents")
+    exact = cluster_representatives(
+        docs, dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
+    ).select("doc_id", "source")
+    mh = cluster_representatives(
+        docs,
+        dedup.minhash_near_dups(docs, threshold=0.3, bands=8).select("a", "b"),
+    ).select("doc_id")
+    superset_viol = exact.select("doc_id").join(mh, "doc_id", "left_anti")
+    stats = (
+        _n(docs, "n_all")
+        .crossJoin(_n(exact, "n_exact"))
+        .crossJoin(_n(mh, "n_mh"))
+        .crossJoin(_n(superset_viol, "n_viol"))
+    )
+    # Given the superset holds, dropped(mh) ⊆ dropped(exact), so the
+    # recall of drops is (n_all - n_mh) / (n_all - n_exact).
+    ok = (F.col("n_viol") == 0) & (
+        (F.col("n_all") == F.col("n_exact"))
+        | (
+            (F.col("n_all") - F.col("n_mh"))
+            >= 0.8 * (F.col("n_all") - F.col("n_exact"))
+        )
+    )
+    return _gate(exact, stats, ok)
 
 @register("dedup_minhash_lsh", None)  # xxhash64-based — no DuckDB equivalent
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

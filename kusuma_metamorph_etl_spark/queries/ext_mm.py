@@ -476,6 +476,7 @@ def mm_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         from kusuma_metamorph_etl_spark.operators.jpeg import (
             decode_jpeg,
             encode_jpeg,
+            sos_offset,
         )
         from kusuma_metamorph_etl_spark.operators.multimodal import (
             _synthesize_pixels,
@@ -487,7 +488,7 @@ def mm_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = _synthesize_pixels(txt)
                 aj = encode_jpeg(px, quality=95, arithmetic=True)
                 hj = encode_jpeg(px, quality=95)
-                header = aj[: aj.index(b"\xff\xda")]
+                header = aj[: sos_offset(aj)]
                 coding = (
                     "arith"
                     if b"\xff\xc9" in header and b"\xff\xcc" in header

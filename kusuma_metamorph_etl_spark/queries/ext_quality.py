@@ -929,6 +929,70 @@ def samp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
+    "samp_dsir",
+    f"""WITH tok AS (
+          SELECT doc_id, lang, unnest({_W_TEXT}) AS w FROM documents),
+        bk AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS bucket
+          FROM tok),
+        tc AS (SELECT bucket, count(*) AS c FROM bk WHERE lang = 'en'
+               GROUP BY 1),
+        rc AS (SELECT bucket, count(*) AS c FROM bk WHERE lang <> 'en'
+               GROUP BY 1),
+        lr AS (
+          SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+                 ln((COALESCE(tc.c, 0) + 1.0)
+                    / ((SELECT sum(c) FROM tc) + 1024.0))
+               - ln((COALESCE(rc.c, 0) + 1.0)
+                    / ((SELECT sum(c) FROM rc) + 1024.0)) AS logr
+          FROM tc FULL JOIN rc ON tc.bucket = rc.bucket),
+        dw AS (
+          SELECT doc_id, sum(c * logr) AS logw
+          FROM (SELECT doc_id, bucket, count(*) AS c FROM bk
+                WHERE lang <> 'en' GROUP BY 1, 2) db
+          JOIN lr USING (bucket)
+          GROUP BY doc_id),
+        pool AS (
+          SELECT d.doc_id, d.lang, d.source, COALESCE(dw.logw, 0.0) AS logw
+          FROM documents d LEFT JOIN dw USING (doc_id)
+          WHERE d.lang <> 'en')
+        SELECT doc_id, lang, source,
+               CAST(ROUND(logw, 6) AS DOUBLE) AS dsir_logw
+        FROM pool
+        ORDER BY ln(-ln((('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                         1, 8))::BIGINT + 0.5)
+                        / 4294967296.0)) - logw,
+                 doc_id
+        LIMIT 100""",
+)
+def samp_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling ([EXT] sampling; r13 VERDICT Next #5;
+    `operators/sampling.py::dsir_log_weights` + `log_weighted_sample` —
+    Xie et al., NeurIPS 2023): draw 100 non-English documents whose
+    hashed bag-of-words profile best matches the English target corpus,
+    with probability ∝ exp(Σ_b c_b·(ln p_b − ln q_b)) under add-one-
+    smoothed 1024-bucket models — the quality-/domain-matching half of
+    data mixing that the temperature/balance rows don't cover.  Every
+    stage is deterministic hashed counts, so the oracle replays the
+    featurize → fit → score → Gumbel-top-k pipeline end to end and the
+    emitted log-weights themselves are hash-checked (rounded to 6)."""
+    docs = t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    pool = raw.select("doc_id", "lang", "source").join(
+        sampling.dsir_log_weights(raw, target), "doc_id"
+    )
+    return sampling.log_weighted_sample(
+        pool, F.col("doc_id"), F.col("dsir_logw"), k=100
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round("dsir_logw", 6).alias("dsir_logw"),
+    )
+
+@register(
     "agg_kmv_diff",
     """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')

@@ -69,55 +69,14 @@ def txt_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.html_to_text(html).alias("text_clean")
     )
 
-@register(
-    "txt_url_normalize",
-    r"""WITH raw AS (
-          SELECT doc_id,
-                 CASE doc_id % 5
-                   WHEN 0 THEN 'HTTPS://Example.COM:443/item/' || doc_id
-                               || '?utm_source=feed&id=' || doc_id || '#top'
-                   WHEN 1 THEN 'http://Shop.example.com:80/p/' || doc_id || '/'
-                   WHEN 2 THEN 'http://a.example.net/?utm_a=1&utm_b=' || doc_id
-                   WHEN 3 THEN 'https://b.example.org/x?a=' || doc_id
-                               || '&gclid=z&b=2'
-                   ELSE 'https://c.example.net/deep/' || doc_id || '///'
-                 END AS url_raw
-          FROM documents),
-        s1 AS (SELECT doc_id, url_raw,
-                      regexp_replace(trim(url_raw), '#.*$', '') AS u FROM raw),
-        s2 AS (SELECT doc_id, url_raw,
-                      concat(lower(regexp_extract(u,
-                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
-                             regexp_replace(u,
-                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''))
-                          AS u FROM s1),
-        s3 AS (SELECT doc_id, url_raw,
-                      regexp_replace(
-                        regexp_replace(u, '^(http://[^/:?#]+):80([/?#]|$)',
-                                       '\1\2'),
-                        '^(https://[^/:?#]+):443([/?#]|$)', '\1\2')
-                          AS u FROM s2),
-        s4 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u,
-                        '([?&])(?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&)+',
-                        '\1', 'g') AS u FROM s3),
-        s5 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u,
-                        '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
-                          AS u FROM s4),
-        s6 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u, '[?&/ \t\n\f\r]+$', '') AS u FROM s5)
-        SELECT doc_id, url_raw, u AS url_norm FROM s6""",
-)
-def txt_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization ([EXT] crawl-dedup primitive;
-    `operators/text.py::normalize_url`): deterministic messy-URL
+def _url_plain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-URL variant of `txt_url_normalize_family`: deterministic
     synthesis from doc_id (each residue class exercises one rule —
     fragment+port+tracking, default port+trailing slash, multi-utm,
     mid-query gclid, slash run), normalized by the engine-portable
-    regexp chain.  The DuckDB mirror needs the 'g' flag on the
-    mid-query tracking step (RE2 replaces first-match by default;
-    Spark replaces all)."""
+    regexp chain (`operators/text.py::normalize_url`).  The DuckDB
+    mirror needs the 'g' flag on the mid-query tracking step (RE2
+    replaces first-match by default; Spark replaces all)."""
     docs = t(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     raw = (
@@ -240,62 +199,14 @@ def txt_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.extract_main_text(html).alias("text_main")
     )
 
-@register(
-    "txt_url_normalize_v2",
-    r"""WITH raw AS (
-          SELECT doc_id,
-                 CASE doc_id % 3
-                   WHEN 0 THEN 'https://ex.example.com/p/' || (doc_id % 20)
-                               || '?a=1&b=' || (doc_id % 20) || '&c=3'
-                   WHEN 1 THEN 'https://ex.example.com/p/' || (doc_id % 20)
-                               || '?c=3&a=1&b=' || (doc_id % 20)
-                   ELSE 'https://ex.example.com/p/' || (doc_id % 20)
-                        || '?b=' || (doc_id % 20) || '&utm_x=9&&c=3&a=1'
-                 END AS url_raw
-          FROM documents),
-        s1 AS (SELECT doc_id, url_raw,
-                      regexp_replace(trim(url_raw), '#.*$', '') AS u FROM raw),
-        s2 AS (SELECT doc_id, url_raw,
-                      concat(lower(regexp_extract(u,
-                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
-                             regexp_replace(u,
-                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''))
-                          AS u FROM s1),
-        s3 AS (SELECT doc_id, url_raw,
-                      regexp_replace(
-                        regexp_replace(u, '^(http://[^/:?#]+):80([/?#]|$)',
-                                       '\1\2'),
-                        '^(https://[^/:?#]+):443([/?#]|$)', '\1\2')
-                          AS u FROM s2),
-        s4 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u,
-                        '([?&])(?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&)+',
-                        '\1', 'g') AS u FROM s3),
-        s5 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u,
-                        '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
-                          AS u FROM s4),
-        s6 AS (SELECT doc_id, url_raw,
-                      regexp_replace(u, '[?&/ \t\n\f\r]+$', '') AS u FROM s5),
-        s7 AS (SELECT doc_id, url_raw,
-                      CASE WHEN regexp_extract(u, '^[^?]*\?(.*)$', 1) = ''
-                           THEN u
-                           ELSE regexp_extract(u, '^([^?]*)', 1) || '?' ||
-                                array_to_string(list_sort(list_filter(
-                                  string_split(regexp_extract(u,
-                                    '^[^?]*\?(.*)$', 1), '&'),
-                                  __x -> __x <> '')), '&')
-                      END AS u FROM s6)
-        SELECT doc_id, url_raw, u AS url_norm FROM s7""",
-)
-def txt_url_normalize_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization with query-param SORTING ([EXT] crawl-dedup;
-    `operators/text.py::normalize_url(sort_params=True)`, r8 advice #4):
-    three param orderings of the SAME page (plus a tracking param and an
-    empty segment in one variant) — the sorted canonical form collapses
-    all three to one dedup key where the r8 normalizer split them.
-    Split–filter–sort–rejoin, engine-portable (Spark binary string sort
-    == DuckDB binary collation)."""
+def _url_sorted_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-param-SORTING variant of `txt_url_normalize_family`
+    (`operators/text.py::normalize_url(sort_params=True)`, r8 advice
+    #4): three param orderings of the SAME page (plus a tracking param
+    and an empty segment in one variant) — the sorted canonical form
+    collapses all three to one dedup key where the r8 normalizer split
+    them.  Split–filter–sort–rejoin, engine-portable (Spark binary
+    string sort == DuckDB binary collation)."""
     docs = t(spark, sf_dir, "documents")
     p = (F.col("doc_id") % 20).cast("string")
     raw = (
@@ -325,6 +236,85 @@ def txt_url_normalize_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("url_raw"),
         text.normalize_url(raw, sort_params=True).alias("url_norm"),
     )
+
+@register(
+    "txt_url_normalize_family",
+    r"""WITH raw AS (
+          SELECT 'plain' AS variant, doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'HTTPS://Example.COM:443/item/' || doc_id
+                               || '?utm_source=feed&id=' || doc_id || '#top'
+                   WHEN 1 THEN 'http://Shop.example.com:80/p/' || doc_id || '/'
+                   WHEN 2 THEN 'http://a.example.net/?utm_a=1&utm_b=' || doc_id
+                   WHEN 3 THEN 'https://b.example.org/x?a=' || doc_id
+                               || '&gclid=z&b=2'
+                   ELSE 'https://c.example.net/deep/' || doc_id || '///'
+                 END AS url_raw
+          FROM documents
+          UNION ALL
+          SELECT 'sorted' AS variant, doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN 'https://ex.example.com/p/' || (doc_id % 20)
+                               || '?a=1&b=' || (doc_id % 20) || '&c=3'
+                   WHEN 1 THEN 'https://ex.example.com/p/' || (doc_id % 20)
+                               || '?c=3&a=1&b=' || (doc_id % 20)
+                   ELSE 'https://ex.example.com/p/' || (doc_id % 20)
+                        || '?b=' || (doc_id % 20) || '&utm_x=9&&c=3&a=1'
+                 END AS url_raw
+          FROM documents),
+        s1 AS (SELECT variant, doc_id, url_raw,
+                      regexp_replace(trim(url_raw), '#.*$', '') AS u FROM raw),
+        s2 AS (SELECT variant, doc_id, url_raw,
+                      concat(lower(regexp_extract(u,
+                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                             regexp_replace(u,
+                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''))
+                          AS u FROM s1),
+        s3 AS (SELECT variant, doc_id, url_raw,
+                      regexp_replace(
+                        regexp_replace(u, '^(http://[^/:?#]+):80([/?#]|$)',
+                                       '\1\2'),
+                        '^(https://[^/:?#]+):443([/?#]|$)', '\1\2')
+                          AS u FROM s2),
+        s4 AS (SELECT variant, doc_id, url_raw,
+                      regexp_replace(u,
+                        '([?&])(?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&)+',
+                        '\1', 'g') AS u FROM s3),
+        s5 AS (SELECT variant, doc_id, url_raw,
+                      regexp_replace(u,
+                        '[?&](?:(?:utm_[^=&]*|gclid|fbclid)=[^&]*&?)+$', '')
+                          AS u FROM s4),
+        s6 AS (SELECT variant, doc_id, url_raw,
+                      regexp_replace(u, '[?&/ \t\n\f\r]+$', '') AS u FROM s5),
+        s7 AS (SELECT variant, doc_id, url_raw,
+                      CASE WHEN variant = 'plain'
+                             OR regexp_extract(u, '^[^?]*\?(.*)$', 1) = ''
+                           THEN u
+                           ELSE regexp_extract(u, '^([^?]*)', 1) || '?' ||
+                                array_to_string(list_sort(list_filter(
+                                  string_split(regexp_extract(u,
+                                    '^[^?]*\?(.*)$', 1), '&'),
+                                  __x -> __x <> '')), '&')
+                      END AS u FROM s6)
+        SELECT variant, doc_id, url_raw, u AS url_norm FROM s7""",
+)
+def txt_url_normalize_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization ([EXT] crawl-dedup primitive) — both
+    normalizer modes in one tagged frame (consolidates the r8-green
+    rows `txt_url_normalize`/`txt_url_normalize_v2` under the
+    retire-one-per-addition registry policy, funding `samp_dsir`; the
+    r13 VERDICT Next #5 candidate pair).  The 'plain' branch drives
+    `normalize_url` over five messy-URL residue classes, the 'sorted'
+    branch drives `normalize_url(sort_params=True)` over three param
+    orderings of the same page — both APIs stay exercised and both
+    hash gates stay live under one driver slot."""
+    plain = _url_plain_frame(spark, sf_dir).select(
+        F.lit("plain").alias("variant"), "doc_id", "url_raw", "url_norm"
+    )
+    sorted_ = _url_sorted_frame(spark, sf_dir).select(
+        F.lit("sorted").alias("variant"), "doc_id", "url_raw", "url_norm"
+    )
+    return plain.unionByName(sorted_)
 
 @register(
     "txt_readability",

@@ -132,12 +132,20 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-14 WINDOW: basis 13; the 26-row r8-evidence cohort (due this
-# round — MAX_EVIDENCE_AGE = 6) leads the cut, then 24 of the 47-row
-# r9 cohort PRE-ROTATED (r13 VERDICT Next #6) so r15's due cohort
-# shrinks to ~23 rows.  The age guard now scopes to REGISTERED rows
+# ROUND-14 WINDOW: basis 13; 263 registered (+dedup_cc_minhash — the
+# MinHash-banded-edge scale twin of dedup_cc_representatives, r13
+# VERDICT "What's wrong" #1 — with its glued _err recall/superset
+# gate, sf1.0 exponent 0.076 vs the exact row's 1.10; +samp_dsir, DSIR
+# hashed-n-gram importance resampling per r13 VERDICT Next #5, funded
+# by consolidating txt_url_normalize + txt_url_normalize_v2 →
+# txt_url_normalize_family).  The 4 zero-evidence rows lead the cut,
+# then the 26-row r8-evidence cohort (due this round —
+# MAX_EVIDENCE_AGE = 6), then 20 of the 47-row r9 cohort PRE-ROTATED
+# (r13 VERDICT Next #6) so r15's due cohort shrinks to ~27 rows.  The
+# age guard now scopes to REGISTERED rows
 # only: ids retired by consolidation (win_lag_lead et al →
-# win_rank_family in r13) keep stale CORRECTNESS evidence forever but
+# win_rank_family in r13, the txt_url_normalize pair in r14) keep
+# stale CORRECTNESS evidence forever but
 # cannot be re-proven — their family row carries the rotation duty.
 # An evidence-age guard (tests/test_registry_window.py) fails the
 # build when any registered row's latest evidence is older than the
@@ -163,8 +171,8 @@ _PRIORITY_BASIS_ROUND = 13
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Empty this round: the 26-row r8 cohort + 24 pre-rotated r9 rows fill
-# the window exactly.
+# Empty this round: 4 zero-evidence rows + the 26-row r8 cohort + 20
+# pre-rotated r9 rows fill the window exactly.
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
@@ -289,6 +297,10 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
+    "txt_url_normalize_family",
+    "dedup_cc_minhash",
+    "dedup_cc_minhash_err",
+    "samp_dsir",
     "evt_ab_lift",
     "evt_streaks",
     "evt_cohort_ltv",
@@ -317,9 +329,7 @@ _PRIORITY: tuple[str, ...] = (
     "mart_mm_dataprep",
     "snk_jdbc_roundtrip",
     "txt_html_to_text",
-    "txt_url_normalize",
     "txt_html_main_text",
-    "txt_url_normalize_v2",
     "txt_readability",
     "txt_collocations",
     "txt_chunk_sentences",
@@ -337,9 +347,9 @@ _PRIORITY: tuple[str, ...] = (
     "evt_funnel_timing",
     "evt_rate_anomaly_seasonal",
     "evt_stickiness",
+  # ---- window cut ----
     "graph_triangles",
     "join_skew_salted",
-  # ---- window cut ----
     "layout_zorder",
     "layout_compaction_plan",
     "graph_kcore",

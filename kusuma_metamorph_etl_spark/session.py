@@ -74,10 +74,19 @@ def get_session(
     # On a real cluster memory comes from spark-submit and this is a
     # no-op.
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-    if mem and "PYSPARK_SUBMIT_ARGS" not in os.environ:
-        os.environ["PYSPARK_SUBMIT_ARGS"] = (
-            f"--driver-memory {mem} pyspark-shell"
-        )
+    if mem:
+        existing = os.environ.get("PYSPARK_SUBMIT_ARGS")
+        if existing is None:
+            os.environ["PYSPARK_SUBMIT_ARGS"] = (
+                f"--driver-memory {mem} pyspark-shell"
+            )
+        elif "--driver-memory" not in existing:
+            # A user-supplied PYSPARK_SUBMIT_ARGS (e.g. --packages) must
+            # not silently drop the heap knob — the sf1.0 OOM it exists
+            # to fix would reappear with no diagnostic (r13 ADVICE).
+            os.environ["PYSPARK_SUBMIT_ARGS"] = (
+                f"--driver-memory {mem} {existing}"
+            )
 
     builder = SparkSession.builder.appName(app_name).master(master)
     for key, value in _BASE_CONF.items():

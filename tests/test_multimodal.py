@@ -969,6 +969,15 @@ class TestY4m:
             multimodal.decode_video(  # deep mono past 16 gates too
                 b"YUV4MPEG2 W4 H1 F25:1 Cmono20\nFRAME\n" + b"\x00" * 8
             )
+        with pytest.raises(ValueError):
+            multimodal.decode_video(  # malformed sub-8 depth tag (r13
+                # ADVICE): must raise, not decode as 2-byte LE samples
+                b"YUV4MPEG2 W4 H1 F25:1 C420p7\nFRAME\n" + b"\x00" * 6
+            )
+        with pytest.raises(ValueError):
+            multimodal.decode_video(
+                b"YUV4MPEG2 W4 H1 F25:1 Cmono4\nFRAME\n" + b"\x00" * 4
+            )
 
     def test_depth_extended_mono_roundtrip(self):
         """Cmono10/Cmono16 (no 'p' — the r12 ADVICE gap: deep mono used
@@ -1602,6 +1611,37 @@ class TestJpeg:
             (24, 1, 3),
         )
         assert np.array_equal(decode_jpeg(encode_jpeg(grad, quality=95)), grad)
+
+    def test_sos_offset_walks_the_marker_stream(self):
+        """`sos_offset` must agree with a raw byte search on benign
+        streams, survive a crafted COM segment whose BODY contains the
+        0xFF 0xDA pair (where the raw search truncates early — the r13
+        ADVICE hazard), and reject non-JPEG input."""
+        import pytest
+        import struct
+
+        from kusuma_metamorph_etl_spark.operators.jpeg import (
+            encode_jpeg,
+            sos_offset,
+        )
+
+        payload = encode_jpeg(np.full((8, 8, 3), 99, dtype=np.uint8))
+        off = sos_offset(payload)
+        assert off == payload.index(b"\xff\xda")
+        assert payload[off : off + 2] == b"\xff\xda"
+
+        # splice a comment segment containing the SOS byte pair right
+        # after SOI: decoders must skip it as segment body
+        body = b"ab\xff\xdacd"
+        com = b"\xff\xfe" + struct.pack(">H", len(body) + 2) + body
+        crafted = payload[:2] + com + payload[2:]
+        assert sos_offset(crafted) == off + len(com)
+        assert crafted.index(b"\xff\xda") < sos_offset(crafted)
+
+        with pytest.raises(ValueError):
+            sos_offset(b"\x00\x01\x02")
+        with pytest.raises(ValueError):
+            sos_offset(payload[:off])  # header only, no SOS anywhere
 
     def test_noise_error_bounded_and_mean_preserved(self):
         from kusuma_metamorph_etl_spark.operators.jpeg import (

@@ -247,7 +247,7 @@ def probe(rows: list[str], record: bool) -> dict:
             "(tools/scale_probe.py docstring has the exact semantics); "
             "exponent = log(t_sf1.0/t_sf0.1)/log(10), 1.0 = linear"
         )
-        book.setdefault("runs", {}).setdefault("r13", {}).update(results)
+        book.setdefault("runs", {}).setdefault("r14", {}).update(results)
         path.write_text(json.dumps(book, indent=1, sort_keys=True) + "\n")
         print(f"recorded in {path}")
     return results
