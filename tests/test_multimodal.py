@@ -1610,7 +1610,14 @@ class TestJpeg:
             np.linspace(30, 220, 32).astype(np.uint8)[None, :, None],
             (24, 1, 3),
         )
-        assert np.array_equal(decode_jpeg(encode_jpeg(grad, quality=95)), grad)
+        # Constant blocks round-trip bit-exactly (DC-only).  A smooth
+        # gradient is *almost* exact at quality 95, but individual AC
+        # coefficients can land within BLAS float noise of a rounding
+        # boundary, and the matmul summation order differs across
+        # OpenBLAS builds — so the contract is a 1-LSB bound, not bit
+        # equality (observed: one column flipping by ±1 between hosts).
+        out = decode_jpeg(encode_jpeg(grad, quality=95)).astype(np.int64)
+        assert np.abs(out - grad.astype(np.int64)).max() <= 1
 
     def test_sos_offset_walks_the_marker_stream(self):
         """`sos_offset` must agree with a raw byte search on benign
