@@ -71,6 +71,87 @@ def incremental_dedup(
     )
 
 
+# ------------------------------------------------------------ Bloom prefilter
+
+
+def bloom_params_for(
+    n_rows: int, fpp: float = 0.01, cap_bits: int = 1 << 27
+) -> tuple[int, int]:
+    """Classic Bloom sizing ``(n_bits, n_hashes)`` for ``n_rows`` keys at
+    false-positive rate ``fpp``: ``m = -n·ln p / ln²2``, ``k = m/n·ln 2``
+    (Bloom 1970) — the derived-parameter companion to
+    :func:`sketches.bloom_sketch`'s fixed 1 M-bit default, same shape as
+    :func:`lsh_planes_for` / :func:`similarity.n_cells_for`.
+
+    ``m`` rounds up to a multiple of 64 (the sketch packs 64 bits/word)
+    and clamps to ``[64, cap_bits]``.  The cap keeps
+    :func:`sketches.bloom_probe`'s collected bitset bounded (2^27 bits =
+    16 MB broadcast); past ~13 M history keys the FP rate degrades
+    gracefully and the exact verify join in
+    :func:`bloom_incremental_dedup` still guarantees correctness — it
+    just prunes less.  Beyond that, shard the filter by key range."""
+    import math
+
+    if n_rows <= 0:
+        return 64, 1
+    m = int(-n_rows * math.log(max(1e-12, min(fpp, 0.5))) / (math.log(2) ** 2))
+    m = max(64, min(cap_bits, ((m + 63) // 64) * 64))
+    k = max(1, round(m / n_rows * math.log(2)))
+    return m, min(k, 16)
+
+
+def bloom_incremental_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """:func:`incremental_dedup` with a Bloom prefilter — the 100 TB
+    shape of the daily-ingest anti-join, composed from the mergeable
+    sketch primitives (:func:`sketches.bloom_sketch` /
+    :func:`sketches.bloom_probe`; :func:`sketches.bloom_prefilter_join`
+    is the INNER-join twin, this is the anti-join one).
+
+    A direct anti-join ships EVERY new-batch fingerprint into a shuffle
+    against the full history fingerprint table.  Here history compresses
+    into a Bloom bitset (~10 bits/doc at fpp=0.01 vs 128-bit md5 rows)
+    that probes the new batch as a broadcast narrow map — NO shuffle for
+    the definitely-fresh majority, which passes straight through; only
+    the maybe-seen sliver (true dups + ~fpp of the rest) pays the exact
+    verify anti-join.  Bloom filters have NO false negatives, so
+    prefilter + exact verify returns EXACTLY the anti-join's rows — the
+    output is oracle-hash-equal to :func:`incremental_dedup`, not an
+    approximation.  The history count that sizes the filter is one
+    count() action — the index-build step; persist the sketch table like
+    ``write_ivf_index`` persists centroids to amortize across batches
+    (bit-wise OR merges nightly increments without rescanning history).
+    """
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    hist = history_df.select(
+        fingerprint(F.col(text_col)).alias("__fp")
+    ).distinct()
+    n_bits, n_hashes = bloom_params_for(hist.count(), fpp)
+    sketch = bloom_sketch(hist, "__fp", n_bits=n_bits, n_hashes=n_hashes)
+    flagged = bloom_probe(
+        sketch,
+        new_df.withColumn("__fp", fingerprint(F.col(text_col))),
+        "__fp",
+        n_bits=n_bits,
+        n_hashes=n_hashes,
+        out="__maybe",
+    )
+    fresh = flagged.filter(~F.col("__maybe"))
+    verified = flagged.filter(F.col("__maybe")).join(
+        hist, on="__fp", how="left_anti"
+    )
+    return fresh.unionByName(verified).drop("__fp", "__maybe")
+
+
 # ----------------------------------------------------------------- shingles
 
 def token_shingles(toks: Column, n: int = 3) -> Column:

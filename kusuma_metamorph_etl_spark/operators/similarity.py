@@ -235,6 +235,24 @@ def cosine_pairs(
     )
 
 
+def n_cells_for(n_rows: int, floor: int = 16, cap: int = 65536) -> int:
+    """IVF cell count derived from corpus size: ``clamp(round(√n))``.
+
+    Why this exists (r13 scale probe → r14): with a FIXED cell count the
+    per-query candidate scan is ``n_probe/n_cells`` of the CORPUS, so
+    query cost grows linearly with corpus size — `sim_ivf_topk` measured
+    exponent 0.64 at the sf1.0 probe because 16 cells was tuned for
+    sf0.01.  The √n rule (the standard IVF sizing — cells and cell
+    occupancy both grow as √n) makes per-query cost ``n_probe · √n``:
+    sublinear, and the index build (one assignment pass) stays linear.
+    Same derived-parameter shape as :func:`dedup.lsh_planes_for`."""
+    import math
+
+    if n_rows <= 0:
+        return floor
+    return max(floor, min(cap, math.isqrt(n_rows)))
+
+
 def ivf_build(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -431,7 +449,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     refine_iters: int = 0,
 ) -> DataFrame:
@@ -439,7 +457,9 @@ def ivf_topk(
 
     Classic two-level ANN: partition the corpus into ``n_centroids``
     Voronoi cells, then each query scans only its ``n_probe`` nearest
-    cells.
+    cells.  ``n_centroids=None`` derives the cell count from the corpus
+    size (√n — :func:`n_cells_for`), keeping per-query cost sublinear
+    as the corpus grows.
 
     Plan: centroids broadcast everywhere (they are tiny); corpus pays one
     narrow pass to compute its cell id (no shuffle of vectors — the
@@ -449,6 +469,8 @@ def ivf_topk(
     :func:`write_ivf_index` + :func:`ivf_search` persist the assignment
     as a cell-partitioned layout and partition-prune each search.
     """
+    if n_centroids is None:
+        n_centroids = n_cells_for(corpus.count())
     centroids = ivf_build(corpus, n_centroids, id_col, vec_col, refine_iters)
     cells = _centroid_cells(centroids)
     # Corpus (probes=1) assigns through the SAME numpy path as
@@ -643,7 +665,7 @@ def lsh_topk(
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
@@ -659,6 +681,8 @@ def write_ivf_index(
     """
     import json
 
+    if n_centroids is None:
+        n_centroids = n_cells_for(corpus.count())
     centroids = ivf_build(corpus, n_centroids, id_col, vec_col, refine_iters)
     # numpy assignment — the ONE probes=1 corpus-assignment path (shared
     # with ivf_topk's corpus side, semantic_pairs, and

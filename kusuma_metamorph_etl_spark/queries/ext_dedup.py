@@ -58,6 +58,31 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = docs.filter(F.col("source") != "src0")
     return dedup.incremental_dedup(new, history).select("doc_id", "source")
 
+@register(
+    "dedup_bloom_incr",
+    """SELECT d.doc_id, d.source FROM documents d
+       WHERE d.source = 'src0'
+         AND NOT EXISTS (SELECT 1 FROM documents h
+                         WHERE h.source <> 'src0'
+                           AND md5(h.text) = md5(d.text))""",
+)
+def dedup_bloom_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup ([EXT] scale twin of
+    `dedup_incremental` — `operators/dedup.py::bloom_incremental_dedup`):
+    history compresses into a distributed (word_idx, bits) Bloom table
+    (~10 bits/doc at fpp=0.01) that the new batch probes map-side; only
+    the maybe-seen sliver pays the exact verify anti-join.  Bloom
+    filters have no false negatives and the verify join removes the
+    false positives, so the output — and therefore the SQL oracle — is
+    IDENTICAL to the plain anti-join's: same hash, not an `_err` bound.
+    """
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") == "src0")
+    history = docs.filter(F.col("source") != "src0")
+    return dedup.bloom_incremental_dedup(new, history).select(
+        "doc_id", "source"
+    )
+
 # ---------------------------------------------------------------- deduplication
 
 @register(

@@ -90,11 +90,15 @@ def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ivf_topk", None)  # index-dependent candidates — rows-only
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF index (16 cells, probe 4): each query
-    scans ~1/4 of the corpus (recall asserted in tests/)."""
+    """Approximate top-k via an IVF index (√n cells via `n_cells_for`,
+    probe 6, one Lloyd refinement): each query scans ~probe·√n vectors —
+    SUBLINEAR in corpus size, unlike the r13 fixed-16-cell tuning whose
+    sf1.0 probe measured exponent 0.64 (recall asserted in tests/)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    out = similarity.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    out = similarity.ivf_topk(
+        queries, emb, k=5, n_centroids=None, n_probe=6, refine_iters=1
+    )
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 @register(
@@ -180,11 +184,14 @@ def sim_lsh_topk_err(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_ivf_topk_err", _TOPK_ORACLE)
 def sim_ivf_topk_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-bindable companion to `sim_ivf_topk`: exact top-5 baseline
-    gated on IVF (16 cells, probe 4) recall ≥ 0.35
-    (tests/test_similarity.py contract; measured 0.55 at sf0.001)."""
+    gated on IVF (√n cells, probe 6, one Lloyd pass) recall ≥ 0.35
+    (tests/test_similarity.py contract; measured 0.72 at sf0.01 and
+    0.45 at sf0.1 under the derived sizing)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    approx = similarity.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    approx = similarity.ivf_topk(
+        queries, emb, k=5, n_centroids=None, n_probe=6, refine_iters=1
+    )
     return _topk_err(spark, sf_dir, approx, bound=0.35)
 
 @register("sim_cosine_topk_np_err", _TOPK_ORACLE)
@@ -235,8 +242,8 @@ def sim_ivf_persisted_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     tmp = tempfile.mkdtemp(prefix="ivf_index_")
     try:
-        similarity.write_ivf_index(emb, tmp, n_centroids=16)
-        approx = similarity.ivf_search(spark, tmp, queries, k=5, n_probe=4)
+        similarity.write_ivf_index(emb, tmp, n_centroids=None, refine_iters=1)
+        approx = similarity.ivf_search(spark, tmp, queries, k=5, n_probe=6)
         # materialize before the temp dir disappears: the gate compare
         # re-executes the plan, which must not dangle on deleted files
         approx = spark.createDataFrame(

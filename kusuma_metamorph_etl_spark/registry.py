@@ -132,7 +132,11 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-14 WINDOW: basis 13; 263 registered (+dedup_cc_minhash — the
+# ROUND-14 WINDOW: basis 13; 264 registered (+dedup_bloom_incr — the
+# Bloom-prefiltered anti-join twin of dedup_incremental, composed from
+# sketches.bloom_sketch/bloom_probe with bloom_params_for auto-sizing;
+# fully hash-oracle-green since Bloom has no false negatives and the
+# exact verify removes false positives; +dedup_cc_minhash — the
 # MinHash-banded-edge scale twin of dedup_cc_representatives, r13
 # VERDICT "What's wrong" #1 — with its glued _err recall/superset
 # gate, sf1.0 exponent 0.076 vs the exact row's 1.10; +samp_dsir, DSIR
@@ -293,11 +297,12 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
     return tuple(ordered)
 
 
-# Output of `python tools/make_window.py` at basis round 11 —
+# Output of `python tools/make_window.py` at basis round 13 —
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
     "txt_url_normalize_family",
+    "dedup_bloom_incr",
     "dedup_cc_minhash",
     "dedup_cc_minhash_err",
     "samp_dsir",
@@ -346,8 +351,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_png_palette",
     "evt_funnel_timing",
     "evt_rate_anomaly_seasonal",
-    "evt_stickiness",
   # ---- window cut ----
+    "evt_stickiness",
     "graph_triangles",
     "join_skew_salted",
     "layout_zorder",

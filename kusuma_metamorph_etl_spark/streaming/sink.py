@@ -90,6 +90,7 @@ def stream_dual_write(
     checkpoint_dir: str,
     run_date: dt.date | str | None = None,
     available_now: bool = True,
+    metrics_root: str | None = None,
 ):
     """Drive a streaming frame through the dual-write sink per micro-batch
     (same raw/legacy semantics as the batch :func:`sources.sinks.dual_write`,
@@ -123,6 +124,10 @@ def stream_dual_write(
         run_date = dt.date.today()
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if metrics_root is not None:
+            # One extra pass over the micro-batch buys the ops row; the
+            # persist keeps the dual write itself single-compute.
+            batch_df.persist()
         # raw: overwrite — trivially replay-idempotent.
         batch_df.write.mode("overwrite").parquet(raw_path)
         # legacy: the batch dual_write APPENDS, which duplicates rows when
@@ -138,6 +143,18 @@ def stream_dual_write(
             .partitionBy(DAY_DT, "__batch_id")
             .parquet(legacy_path)
         )
+        if metrics_root is not None:
+            from kusuma_metamorph_etl_spark.streaming.metrics import (
+                record_batch_metrics,
+            )
+
+            n = batch_df.count()
+            batch_df.unpersist()
+            # dual write republishes every input row to both sides
+            record_batch_metrics(
+                batch_df.sparkSession, metrics_root, "dual_write",
+                batch_id, rows_in=n, rows_out=n,
+            )
 
     return _run_foreach_batch(
         stream_df, write_batch, checkpoint_dir, available_now
@@ -233,6 +250,7 @@ def stream_heavy_hitters(
     summary_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    metrics_root: str | None = None,
 ):
     """Streaming Misra–Gries heavy-hitter rollup: every micro-batch
     appends its bounded (≤ partitions × (k+1) rows, incl. the per-partition total rows) MG partition summaries
@@ -256,12 +274,34 @@ def stream_heavy_hitters(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = _mg_partition_summaries(batch_df, item_col, k)
+        if metrics_root is not None:
+            s = s.persist()
         # One directory per batch, OVERWRITTEN: a replayed batch rewrites
         # its own summaries instead of appending a second copy (which
         # would double-count and break the lower-bound guarantee).
         s.write.mode("overwrite").parquet(
             f"{summary_path}/batch_id={batch_id}"
         )
+        if metrics_root is not None:
+            from kusuma_metamorph_etl_spark.streaming.metrics import (
+                record_batch_metrics,
+            )
+
+            # rows_in is exact and free: the summarizer embeds one
+            # n_part total-row per input partition — Σ n_part is the
+            # micro-batch's row count, no second pass over the input.
+            # rows_out counts only the counter rows (the merge input).
+            agg = s.agg(
+                F.sum("n_part").alias("n_in"),
+                F.count(F.when(F.col("n_part").isNull(), 1)).alias("n_out"),
+            ).first()
+            s.unpersist()
+            record_batch_metrics(
+                batch_df.sparkSession, metrics_root, "heavy_hitters",
+                batch_id, rows_in=int(agg["n_in"] or 0),
+                rows_out=int(agg["n_out"]),
+                state_rows=int(agg["n_out"]),  # the summary IS the state
+            )
 
     return _run_foreach_batch(
         stream_df, write_batch, checkpoint_dir, available_now

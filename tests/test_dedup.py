@@ -685,3 +685,73 @@ def test_lsh_planes_for_keeps_bucket_occupancy_constant():
     for n in (10_000, 1_000_000, 10**9):
         planes = lsh_planes_for(n)
         assert n / (1 << planes) <= 128
+
+
+# ------------------------------------------------------------ Bloom prefilter
+
+
+def test_bloom_params_for_sizing():
+    """Bloom 1970 sizing: ~9.6 bits/key and 7 hashes at fpp=0.01, word
+    granularity, floor and cap clamps."""
+    from kusuma_metamorph_etl_spark.operators.dedup import bloom_params_for
+
+    m, k = bloom_params_for(1000, fpp=0.01)
+    assert 9000 <= m <= 10_048 and m % 64 == 0
+    assert k == 7
+    assert bloom_params_for(0) == (64, 1)
+    m_cap, k_cap = bloom_params_for(10**12, fpp=0.01, cap_bits=1 << 20)
+    assert m_cap == 1 << 20 and k_cap == 1  # capped: degrade, never grow
+
+
+def test_bloom_autosized_no_false_negatives_and_bounded_fp(spark):
+    """`bloom_params_for`-sized sketch (the `sketches.bloom_sketch` /
+    `bloom_probe` primitives): every inserted key flags maybe (no false
+    negatives — the property the exactness of bloom_incremental_dedup
+    rests on); non-members flag at ~fpp."""
+    from kusuma_metamorph_etl_spark.operators.dedup import bloom_params_for
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    members = spark.range(0, 500).select(
+        F.md5(F.col("id").cast("string")).alias("key")
+    )
+    outsiders = spark.range(10_000, 12_000).select(
+        F.md5(F.col("id").cast("string")).alias("key")
+    )
+    m, k = bloom_params_for(500, fpp=0.01)
+    sketch = bloom_sketch(members, "key", n_bits=m, n_hashes=k)
+    flagged_in = bloom_probe(sketch, members, "key", m, k, out="maybe")
+    assert flagged_in.filter(~F.col("maybe")).count() == 0
+    fp = bloom_probe(sketch, outsiders, "key", m, k, out="maybe").filter(
+        F.col("maybe")
+    ).count()
+    assert fp / 2000 < 0.05  # sized for 0.01; generous noise margin
+
+
+def test_bloom_incremental_dedup_equals_plain_anti_join(spark, sf_small):
+    """The Bloom prefilter + exact verify must return EXACTLY the plain
+    anti-join's rows — the contract that makes dedup_bloom_incr a full
+    hash-oracle row rather than an _err bound."""
+    docs = _docs(spark, sf_small)
+    new = docs.filter(F.col("source") == "src0")
+    # plant: history also carries the text of every 3rd new doc under a
+    # shifted id, so the anti-join provably has rows to remove
+    history = docs.filter(F.col("source") != "src0").unionByName(
+        new.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("source", F.lit("srcH"))
+    )
+    plain = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(new, history).select("doc_id").collect()
+    }
+    bloomed = {
+        r["doc_id"]
+        for r in dedup.bloom_incremental_dedup(new, history)
+        .select("doc_id")
+        .collect()
+    }
+    assert bloomed == plain
+    assert len(plain) < new.count()  # the planted dups really dropped
