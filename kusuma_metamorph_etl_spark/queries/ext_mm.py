@@ -513,7 +513,9 @@ def mm_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return multimodal._fan_out(docs).mapInPandas(
+    # heavy=True: the QM arithmetic codec is genuinely CPU-bound per
+    # row — fan-up measured 1.5 s vs 16.5 s without (r14 A/B)
+    return multimodal._fan_out(docs, heavy=True).mapInPandas(
         extract,
         "doc_id long, coding string, width int, height int,"
         " pixels_match_huffman boolean, arith_smaller boolean",

@@ -3640,3 +3640,21 @@ class TestJpegArithmeticProgressive:
             bad[sof + 1] = m
             with pytest.raises(NotImplementedError):
                 decode_jpeg(bytes(bad))
+
+
+def test_fan_out_heavy_gate(spark):
+    """Partitioning contract of `_fan_out` (r14 A/B): under-split inputs
+    fan up to default parallelism ONLY for heavy (CPU-bound codec)
+    stages — for cheap stages the repartition shuffle of payload bytes
+    costs more than it buys (mm_binary_features 0.70 s vs 1.21 s);
+    over-split inputs always coalesce back (narrow)."""
+    from kusuma_metamorph_etl_spark.operators.multimodal import _fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    under = spark.range(0, 100).coalesce(1)
+    assert _fan_out(under).rdd.getNumPartitions() == 1  # cheap: untouched
+    assert _fan_out(under, heavy=True).rdd.getNumPartitions() == target
+    over = spark.range(0, 1000).repartition(target * 4)
+    assert _fan_out(over).rdd.getNumPartitions() == target
+    healthy = spark.range(0, 1000).repartition(target)
+    assert _fan_out(healthy).rdd.getNumPartitions() == target
