@@ -889,3 +889,42 @@ def test_y4m_depth_roundtrip_property(n, h, w, depth, seed):
     assert (video["width"], video["height"], video["n_frames"]) == (w, h, n)
     for k in range(n):
         assert np.array_equal(video["frames"][k]["y"], frames[k])
+
+
+@settings(max_examples=_ex(10), deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab é",  # tiny alphabet forces cross-list collisions
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    split=st.integers(min_value=0, max_value=25),
+    fpp=st.sampled_from([0.5, 0.05, 0.01]),
+)
+def test_bloom_incremental_dedup_always_equals_anti_join(texts, split, fpp):
+    """For ANY corpus split and ANY false-positive sizing (including a
+    deliberately awful fpp=0.5 that floods the verify join), the Bloom
+    prefilter + exact verify must return exactly the plain anti-join's
+    rows — no-false-negative composition, empty-side edges included."""
+    from kusuma_metamorph_etl_spark.operators.dedup import (
+        bloom_incremental_dedup,
+        incremental_dedup,
+    )
+
+    spark = _session()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else (
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    new = df.filter(F.col("doc_id") < split)
+    history = df.filter(F.col("doc_id") >= split)
+    plain = {r["doc_id"] for r in incremental_dedup(new, history).collect()}
+    bloomed = {
+        r["doc_id"]
+        for r in bloom_incremental_dedup(new, history, fpp=fpp).collect()
+    }
+    assert bloomed == plain
