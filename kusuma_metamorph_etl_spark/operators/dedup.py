@@ -132,9 +132,18 @@ def bloom_incremental_dedup(
         bloom_sketch,
     )
 
-    hist = history_df.select(
-        fingerprint(F.col(text_col)).alias("__fp")
-    ).distinct()
+    # One materialization of the history fingerprints serves all three
+    # actions (count, sketch build, verify anti-join): without it each
+    # action rescans history, and a history source that CHANGES between
+    # the sketch action and the verify action could surface a
+    # fingerprint the sketch never saw — probing definitely-absent and
+    # bypassing the verify join, breaking the hash-equality contract.
+    # MEMORY_AND_DISK: spills, never recomputes.
+    hist = (
+        history_df.select(fingerprint(F.col(text_col)).alias("__fp"))
+        .distinct()
+        .persist()
+    )
     n_bits, n_hashes = bloom_params_for(hist.count(), fpp)
     sketch = bloom_sketch(hist, "__fp", n_bits=n_bits, n_hashes=n_hashes)
     flagged = bloom_probe(

@@ -1034,6 +1034,7 @@ def extract_binary_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     schema: str = FEATURE_SCHEMA,
+    heavy: bool = False,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -1041,6 +1042,10 @@ def extract_binary_features(
     DataFrame holds one Arrow record batch; the payload column is dropped
     from the output so downstream shuffles never carry blobs.  ``schema``
     must list ``id_col`` first, then the decoder's feature keys.
+    ``heavy=True`` opts the stage into the `_fan_out` repartition fan-up
+    — pass it when ``decoder`` is genuinely CPU-bound per row (full JPEG
+    Huffman+IDCT measured 3.4x faster fanned-up; PPM/PNG header-grade
+    decodes measured FASTER without, r14 A/B).
     """
     feature_cols = [
         f.split()[0] for f in schema.split(",")[1:]
@@ -1053,7 +1058,7 @@ def extract_binary_features(
             out.insert(0, id_col, batch[id_col].values)
             yield out
 
-    narrow = _fan_out(df.select(id_col, payload_col))
+    narrow = _fan_out(df.select(id_col, payload_col), heavy=heavy)
     return narrow.mapInPandas(extract, schema=schema)
 
 
@@ -2250,9 +2255,12 @@ def attach_jpeg_payload(
     def make_jpeg(texts: pd.Series) -> pd.Series:
         return texts.map(synthesize_jpeg)
 
-    return _fan_out(df).withColumn("payload", make_jpeg(F.col(text_col))).withColumn(
-        "payload_kind", F.lit("image/jpeg")
-    )
+    # heavy=True: full JPEG encode (BT.601 + DCT + Huffman) is CPU-bound
+    # per row — the mm_jpeg_features A/B measured 2.2 s fanned-up vs
+    # 7.6 s without (r14); the cheap attaches stay coalesce-only.
+    return _fan_out(df, heavy=True).withColumn(
+        "payload", make_jpeg(F.col(text_col))
+    ).withColumn("payload_kind", F.lit("image/jpeg"))
 
 
 def transcode_images(

@@ -236,7 +236,7 @@ def cosine_pairs(
 
 
 def n_cells_for(n_rows: int, floor: int = 16, cap: int = 65536) -> int:
-    """IVF cell count derived from corpus size: ``clamp(round(√n))``.
+    """IVF cell count derived from corpus size: ``clamp(⌊√n⌋)``.
 
     Why this exists (r13 scale probe → r14): with a FIXED cell count the
     per-query candidate scan is ``n_probe/n_cells`` of the CORPUS, so

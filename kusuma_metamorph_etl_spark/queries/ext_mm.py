@@ -432,8 +432,10 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, turning the driver red.  Equality is deliberately NOT the
     contract: JPEG is lossy by design."""
     docs = t(spark, sf_dir, "documents")
+    # heavy=True: Huffman + dequantize + IDCT per document (r14 A/B:
+    # 2.2 s fanned-up vs 7.6 s on the single scan split)
     jpg = multimodal.extract_binary_features(
-        multimodal.attach_jpeg_payload(docs)
+        multimodal.attach_jpeg_payload(docs), heavy=True
     )
     ppm = multimodal.extract_binary_features(
         multimodal.attach_image_payload(docs)

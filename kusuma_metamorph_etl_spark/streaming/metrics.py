@@ -40,12 +40,6 @@ PROGRESS_SCHEMA = (
     "state_rows_removed long, n_state_operators int"
 )
 
-BATCH_METRICS_SCHEMA = (
-    "rows_in long, rows_out long, state_rows long, "
-    "query_name string, batch_id long"
-)
-
-
 def progress_rows(query: Any, query_name: str | None = None) -> list[dict]:
     """``query.recentProgress`` → one plain dict per micro-batch.
 
@@ -88,6 +82,11 @@ def progress_table(
     """The :func:`progress_rows` of one or more (finished or running)
     streaming queries as a DataFrame — joinable against
     :func:`read_batch_metrics` on ``(query_name, batch_id)``."""
+    if names is not None and len(names) != len(queries):
+        raise ValueError(
+            f"names ({len(names)}) must match queries ({len(queries)}) "
+            "one-to-one"
+        )
     rows: list[dict] = []
     for i, q in enumerate(queries):
         rows.extend(
@@ -114,6 +113,17 @@ def record_batch_metrics(
     caught.  The write is one tiny file per batch; at production batch
     cadences compact periodically like any other streaming side table.
     """
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_.\-]+", query_name):
+        # the name is interpolated into a partition DIRECTORY path —
+        # '/', '=', '%' etc. would split into bogus partition levels or
+        # URL-decode differently on read, breaking the (query_name,
+        # batch_id) join key against progress_table
+        raise ValueError(
+            f"query_name {query_name!r} must match [A-Za-z0-9_.-]+ "
+            "(it becomes a partition directory name)"
+        )
     row = [(int(rows_in), int(rows_out),
             None if state_rows is None else int(state_rows))]
     (

@@ -162,3 +162,25 @@ def test_progress_table_empty_query_list(spark):
     from kusuma_metamorph_etl_spark.streaming.metrics import progress_table
 
     assert progress_table(spark).count() == 0
+
+
+def test_metrics_input_validation(spark, tmp_path):
+    """Partition-hostile query names and misaligned name lists fail loud
+    instead of writing a misparsed layout / crashing mid-iteration."""
+    from kusuma_metamorph_etl_spark.streaming.metrics import (
+        progress_table,
+        record_batch_metrics,
+    )
+
+    for bad in ("raw/legacy", "a=b", "p%20q", ""):
+        with pytest.raises(ValueError):
+            record_batch_metrics(
+                spark, str(tmp_path), bad, 0, rows_in=1, rows_out=1
+            )
+
+    class _FakeQuery:
+        name = "q"
+        recentProgress = []
+
+    with pytest.raises(ValueError):
+        progress_table(spark, _FakeQuery(), _FakeQuery(), names=["one"])
