@@ -601,7 +601,7 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
@@ -614,12 +614,27 @@ def lsh_topk(
     of many planes (the naive setup) over-partitions and recall collapses
     when buckets hold fewer than k vectors.
 
+    ``n_planes=None`` derives the plane count from the corpus size
+    (``dedup.lsh_planes_for`` — constant expected bucket occupancy), the
+    same fixed-parameter fix the embedding-LSH dedup path got in r13:
+    with FIXED planes the per-table bucket count is fixed, so candidate
+    pairs per query grow linearly with the corpus and the whole top-k
+    degenerates toward brute force (sf1.0 probe measured exponent 0.54
+    at 4 planes; occupancy-derived planes keep the candidate set
+    ~constant per query).  Recall-critical deployments grow ``n_tables``
+    alongside, per the S-curve above.
+
     Plan shape: fixed fan-out explode (one row per table) → equi-join on
     (table, bucket) against the broadcast queries → per-pair dedup via
     groupBy (cosine is scored once per surviving pair) → top-k window over
     candidates only.  Comparisons drop from |Q|×|C| to the bucket-collision
     count, which is the 100 TB lever.
     """
+
+    if n_planes is None:
+        from kusuma_metamorph_etl_spark.operators.dedup import lsh_planes_for
+
+        n_planes = lsh_planes_for(corpus.count())
 
     def sig(df: DataFrame, out: str) -> DataFrame:
         tables = F.array(

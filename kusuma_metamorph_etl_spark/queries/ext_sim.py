@@ -143,11 +143,14 @@ def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_lsh_topk", None)  # xxhash64-derived hyperplanes — rows-only
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via multi-table random-hyperplane bucketing
-    (recall asserted against `sim_cosine_topk` in tests/)."""
+    """Approximate top-k via multi-table random-hyperplane bucketing;
+    plane count derived from corpus size (`dedup.lsh_planes_for`,
+    constant bucket occupancy — the r13 embedding-LSH fix applied to the
+    top-k path; identical to the historical 4 planes at gate scales).
+    Recall asserted against `sim_cosine_topk` in tests/."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    out = similarity.lsh_topk(queries, emb, k=5, n_planes=4, n_tables=8)
+    out = similarity.lsh_topk(queries, emb, k=5, n_planes=None, n_tables=8)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 def _topk_err(
@@ -175,10 +178,11 @@ def _topk_err(
 def sim_lsh_topk_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-bindable companion to `sim_lsh_topk`: exact top-5 baseline
     gated on hyperplane-LSH recall ≥ 0.5 (tests/test_similarity.py
-    contract; measured 0.74 at sf0.001)."""
+    contract; measured 0.74 at sf0.001 — derived planes == 4 at every
+    gate scale, so the bound carries over unchanged)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    approx = similarity.lsh_topk(queries, emb, k=5, n_planes=4, n_tables=8)
+    approx = similarity.lsh_topk(queries, emb, k=5, n_planes=None, n_tables=8)
     return _topk_err(spark, sf_dir, approx, bound=0.5)
 
 @register("sim_ivf_topk_err", _TOPK_ORACLE)
