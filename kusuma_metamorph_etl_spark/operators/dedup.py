@@ -1292,7 +1292,7 @@ def semantic_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 32,
+    n_clusters: int | None = 32,
     refine_iters: int = 2,
 ) -> DataFrame:
     """Near-dup pairs (a < b, cosine ≥ threshold) via SemDeDup-style
@@ -1321,6 +1321,17 @@ def semantic_pairs(
         ivf_build,
     )
 
+    if n_clusters is None:
+        # derived sizing (√n — similarity.n_cells_for): the docstring's
+        # "n_clusters scales WITH the corpus" made concrete.  A FIXED
+        # cluster count lets per-cell occupancy grow linearly and the
+        # Σ|cell|² verify quadratically (the sf1.0 probe read exponent
+        # 0.63 at the old fixed 32).
+        from kusuma_metamorph_etl_spark.operators.similarity import (
+            n_cells_for,
+        )
+
+        n_clusters = n_cells_for(df.count())
     centroids = ivf_build(df, n_clusters, id_col, vec_col, refine_iters)
     # probes=1: every vector lives in exactly one cell, so the cell join
     # emits each candidate pair once — no distinct pass needed (unlike
@@ -1361,7 +1372,7 @@ def semantic_dedup(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 32,
+    n_clusters: int | None = 32,
     refine_iters: int = 2,
 ) -> DataFrame:
     """SemDeDup: drop every row whose cosine to a LOWER-id row in the same

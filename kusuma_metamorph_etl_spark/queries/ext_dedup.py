@@ -808,7 +808,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed) so the row is rows-only; the oracle-bound contract lives in
     `dedup_semantic_err`."""
     emb = t(spark, sf_dir, "embeddings")
-    return dedup.semantic_dedup(emb, threshold=0.3).select("vec_id", "label")
+    return dedup.semantic_dedup(emb, threshold=0.3, n_clusters=None).select(
+        "vec_id", "label"
+    )
 
 @register(
     "dedup_semantic_err",
@@ -832,7 +834,9 @@ def dedup_semantic_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
-    sem = dedup.semantic_dedup(corpus, threshold=0.9).select("vec_id")
+    sem = dedup.semantic_dedup(corpus, threshold=0.9, n_clusters=None).select(
+        "vec_id"
+    )
     exact = dedup.embedding_dedup(corpus, threshold=0.9).select("vec_id")
     expected = emb.filter(F.col("vec_id") % 13 == 0).select(
         F.col("vec_id").alias("a"), (F.col("vec_id") + 1_000_000).alias("b")
