@@ -132,17 +132,23 @@ def bloom_incremental_dedup(
         bloom_sketch,
     )
 
-    # One materialization of the history fingerprints serves all three
-    # actions (count, sketch build, verify anti-join): without it each
-    # action rescans history, and a history source that CHANGES between
-    # the sketch action and the verify action could surface a
-    # fingerprint the sketch never saw — probing definitely-absent and
-    # bypassing the verify join, breaking the hash-equality contract.
-    # MEMORY_AND_DISK: spills, never recomputes.
+    # One eager materialization of the history fingerprints serves all
+    # three actions (count, sketch build, verify anti-join).  Why
+    # localCheckpoint and not persist(): persist is best-effort CACHING
+    # — a lost executor recomputes evicted partitions from the live
+    # source, so a history that changed between the sketch action and
+    # the verify action could surface a fingerprint the sketch never
+    # saw, which would probe definitely-absent, bypass the verify join,
+    # and break the hash-equality contract.  localCheckpoint truncates
+    # the lineage: the fingerprints are a true snapshot (a lost block
+    # fails LOUD instead of silently recomputing), and the blocks are
+    # reclaimed by the ContextCleaner once the result is consumed —
+    # persist()'s CacheManager entries would leak one cache per call
+    # until session shutdown (r14 review).
     hist = (
         history_df.select(fingerprint(F.col(text_col)).alias("__fp"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_bits, n_hashes = bloom_params_for(hist.count(), fpp)
     sketch = bloom_sketch(hist, "__fp", n_bits=n_bits, n_hashes=n_hashes)
@@ -1319,6 +1325,7 @@ def semantic_pairs(
     from kusuma_metamorph_etl_spark.operators.similarity import (
         assign_cells_np,
         ivf_build,
+        n_cells_for,
     )
 
     if n_clusters is None:

@@ -124,6 +124,10 @@ def record_batch_metrics(
             f"query_name {query_name!r} must match [A-Za-z0-9_.-]+ "
             "(it becomes a partition directory name)"
         )
+    # batch_id lands in the partition path too — coerce like the metric
+    # values so a float or numeric string cannot write 'batch_id=5.0'
+    # (and a hostile string fails loud in int())
+    batch_id = int(batch_id)
     row = [(int(rows_in), int(rows_out),
             None if state_rows is None else int(state_rows))]
     (
