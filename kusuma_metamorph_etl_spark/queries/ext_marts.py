@@ -374,32 +374,47 @@ def mart_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mart_mm_dataprep",
-    """WITH d AS (SELECT doc_id,
+    """WITH u AS (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 11 = 0),
+        d AS (SELECT doc_id, text,
                  CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS w,
                  CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS h
-          FROM documents),
+          FROM u),
         keep AS (SELECT * FROM d WHERE w >= 5 AND h >= 5),
+        surv AS (SELECT * FROM keep k
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM keep k2
+                   WHERE md5(k2.text) = md5(k.text)
+                     AND k2.doc_id < k.doc_id)),
         ops(op) AS (VALUES ('hflip'), ('rot90'))
        SELECT doc_id, op,
               CASE WHEN op = 'rot90' THEN h ELSE w END AS width,
               CASE WHEN op = 'rot90' THEN w ELSE h END AS height
-       FROM keep CROSS JOIN ops""",
+       FROM surv CROSS JOIN ops""",
 )
 def mart_mm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTIMODAL composition flagship: the image corpus-prep pipeline as
     one query — synthesize/ingest payloads → plant exact copies of every
     11th image (the dedup workload) → dimension quality filter over REAL
-    decodes (keep ≥5×5) → exact-pHash dedup (hamming 0; identical pixels
-    hash identically so every planted copy drops, lowest-id wins) →
+    decodes (keep ≥5×5) → exact image dedup (pHash hamming-0 BLOCKING +
+    byte-equality verify; identical pixels hash identically so every
+    planted copy drops, lowest-id wins) →
     deterministic augmentation fan-out (hflip + rot90) — each stage the
     registered operator (`mm_binary_features`, `mm_phash_dedup`,
     `mm_augment` individually), the WHOLE chain oracle-checked: the
     oracle recomputes the surviving (doc_id, op, dims) rows from the
     synthesis contract, so a copy surviving dedup, an over-aggressive
     drop, a wrong filter, or a wrong post-op dimension each change the
-    row set and flip the driver red.  (Natural hamming-0 collisions are
-    zero on this corpus — verified at both test scales — which is what
-    makes exact survivors SQL-predictable.)"""
+    row set and flip the driver red.  (The byte-equality verify is what
+    makes exact survivors SQL-predictable at EVERY scale: the r14
+    sf0.1 cross-scale sweep caught 16 natural 64-bit pHash collisions
+    among 5000 tiny images plus the fixture's planted text duplicates —
+    blocking-only dedup dropped them oracle-unpredictably; verified
+    dedup drops exactly the identical-pixel groups the oracle
+    recomputes as min-id per md5(text), since pixels ARE the repeated
+    md5 digest.)"""
     docs = t(spark, sf_dir, "documents")
     imgs = multimodal.attach_image_payload(docs).select("doc_id", "payload")
     copies = imgs.filter(F.col("doc_id") % 11 == 0).withColumn(
@@ -413,8 +428,22 @@ def mart_mm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("width") >= 5) & (F.col("height") >= 5)
     ).select("doc_id")
     kept = corpus.join(keep_ids, "doc_id")
+    # pHash hamming-0 is the BLOCKING stage; byte equality is the
+    # verify.  Without it, survivors depend on where 64-bit DCT-hash
+    # collisions fall — real at corpus scale and invisible at the
+    # sf0.01 driver gate (r14 cross-scale sweep).
+    cand = multimodal.phash_near_dups(kept, max_hamming=0)
+    fp = kept.select("doc_id", F.md5(F.col("payload")).alias("__pfp"))
     dropped = (
-        multimodal.phash_near_dups(kept, max_hamming=0)
+        cand.join(
+            fp.select(F.col("doc_id").alias("a"), F.col("__pfp").alias("__fa")),
+            "a",
+        )
+        .join(
+            fp.select(F.col("doc_id").alias("b"), F.col("__pfp").alias("__fb")),
+            "b",
+        )
+        .filter(F.col("__fa") == F.col("__fb"))
         .select(F.col("b").alias("doc_id"))
         .distinct()
     )
