@@ -873,7 +873,8 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_frame_agg",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
               SUM(l_quantity) OVER (PARTITION BY l_suppkey
-                                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                    ORDER BY l_shipdate, l_orderkey,
+                                             l_linenumber, l_quantity
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS running_qty
        FROM lineitem""",
@@ -881,11 +882,18 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-frame aggregate ([EXT] row): running per-supplier quantity.
     Frame sums integer-valued doubles so cross-engine association order
-    cannot perturb the value."""
+    cannot perturb the value.  `l_quantity` closes the ORDER BY into a
+    value-total order: the fixture plants duplicate (orderkey,
+    linenumber) rows (the dq workload), and the r14 sf0.1 cross-scale
+    sweep found two rows tying on (shipdate, orderkey, linenumber) with
+    DIFFERENT quantities — a running sum over an ambiguous order is
+    engine-dependent.  With quantity as the last key, any remaining tie
+    is value-identical, so the running-sum multiset is deterministic
+    under every valid ordering."""
     li = t(spark, sf_dir, "lineitem")
     window = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
