@@ -59,6 +59,21 @@ def get_session(
     when no cluster master is configured — on a real deployment the master
     comes from spark-submit and this argument is ignored.
     """
+    # Pin the PROCESS timezone, not only the Spark session timezone.
+    # `spark.sql.session.timeZone=UTC` (below) fixes SQL semantics, but
+    # PySpark's collect() boundary renders TimestampType through
+    # `datetime.fromtimestamp`, which uses the HOST zone — on a
+    # non-UTC host every collected timestamp shifts by the host offset
+    # while the data's semantics never moved (found by an r14
+    # TZ=Pacific/Kiritimati invariance sweep: 16 timestamp-emitting
+    # rows hash-diverged from the oracle by exactly +14 h).  Python's
+    # now()/today() (snapshot stamps, freshness checks) pin with it.
+    import time as _time
+
+    if os.environ.get("TZ") != "UTC":
+        os.environ["TZ"] = "UTC"
+        if hasattr(_time, "tzset"):
+            _time.tzset()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
