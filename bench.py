@@ -55,7 +55,6 @@ HEADLINE = [
     "stream_dedup_first",
     "mm_binary_features",  # Arrow mapInPandas decode path (VERDICT r5 #6)
     "mm_phash_dedup",  # decode + DCT + Hamming blocking end-to-end
-    "dedup_cc_representatives",  # pairs -> components -> survivors
     "evt_sessionize",  # user-partitioned window sessionization
     "txt_bpe_roundtrip",  # BPE train + distributed encode + decode gate
     "agg_hll_mergeable",  # sketch build + merge rollup (VERDICT r6 #6)

@@ -1334,10 +1334,6 @@ def semantic_pairs(
         # cluster count lets per-cell occupancy grow linearly and the
         # Σ|cell|² verify quadratically (the sf1.0 probe read exponent
         # 0.63 at the old fixed 32).
-        from kusuma_metamorph_etl_spark.operators.similarity import (
-            n_cells_for,
-        )
-
         n_clusters = n_cells_for(df.count())
     centroids = ivf_build(df, n_clusters, id_col, vec_col, refine_iters)
     # probes=1: every vector lives in exactly one cell, so the cell join

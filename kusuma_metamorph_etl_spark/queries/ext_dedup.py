@@ -195,29 +195,18 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
     return connected_components(edges).select("node", "component")
 
-@register(
-    "dedup_cc_representatives",
-    f"""WITH RECURSIVE {_CC_EDGES}
-        SELECT doc_id, source FROM documents
-        WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)""",
-)
-def dedup_cc_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-collapse dedup ([EXT]): one surviving row per duplicate
-    cluster (transitive lowest-id-wins — A≈B≈C drops B AND C even when
-    A≉C directly, which pairwise dedup cannot express).
+# `dedup_cc_representatives` (exact inverted-index Jaccard edges →
+# cluster collapse) was RETIRED in r15 (VERDICT r14 Next #3): its exact
+# closure is recomputed — and DuckDB-oracle-checked — inside
+# `dedup_cc_minhash_err` below, so the standalone row was redundant
+# evidence carrying the registry's only exponent-1.1 surface (the exact
+# edge generator is candidate-pair-bound; an AllPairs prefix-filter
+# rewrite was A/B'd in r14 and measured WORSE — exponent 1.44 — because
+# the probe corpus has no Zipfian boilerplate for frequency-ordered
+# prefixes to exclude).  The 100 TB path with identical collapse
+# semantics is `dedup_cc_minhash` (banded MinHash edges, sf1.0 exponent
+# 0.076).
 
-    FIXTURE-SCALE edge generator: the exact inverted-index Jaccard join
-    is candidate-pair-bound (sf1.0 exponent 1.23, BENCH_SCALE.json; an
-    AllPairs prefix-filter rewrite was A/B'd in r14 and measured WORSE —
-    exponent 1.44 — because the probe corpus has no Zipfian boilerplate
-    for frequency-ordered prefixes to exclude).  The 100 TB path with
-    identical collapse semantics is `dedup_cc_minhash` below (banded
-    MinHash edges, exponent 0.13)."""
-    from kusuma_metamorph_etl_spark.operators.graph import cluster_representatives
-
-    docs = t(spark, sf_dir, "documents")
-    edges = dedup.jaccard_pairs(docs, threshold=0.3).select("a", "b")
-    return cluster_representatives(docs, edges).select("doc_id", "source")
 
 @register("dedup_cc_minhash", None)  # xxhash64 banding — no DuckDB equivalent
 def dedup_cc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -171,7 +171,7 @@ _LOADED = False
 # message must name the retired/merged row.
 # ---------------------------------------------------------------------------
 
-_PRIORITY_BASIS_ROUND = 13
+_PRIORITY_BASIS_ROUND = 14
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
@@ -297,61 +297,10 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
     return tuple(ordered)
 
 
-# Output of `python tools/make_window.py` at basis round 13 —
+# Output of `python tools/make_window.py` at basis round 14 —
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    "txt_url_normalize_family",
-    "dedup_bloom_incr",
-    "dedup_cc_minhash",
-    "dedup_cc_minhash_err",
-    "samp_dsir",
-    "evt_ab_lift",
-    "evt_streaks",
-    "evt_cohort_ltv",
-    "ts_ewma",
-    "evt_attribution",
-    "evt_markov",
-    "ts_seasonal",
-    "evt_funnel_window",
-    "ts_ohlc",
-    "evt_session_stats",
-    "fn_winsorize",
-    "join_asof_nearest",
-    "src_warc_roundtrip",
-    "dq_outlier_flag",
-    "agg_heavy_hitters",
-    "samp_temperature",
-    "dq_psi_drift",
-    "samp_kfold",
-    "agg_bloom_join",
-    "dq_expectations",
-    "agg_kmv_intersect",
-    "agg_corr_matrix",
-    "samp_balance",
-    "mart_llm_dataprep",
-    "mart_rfm",
-    "mart_mm_dataprep",
-    "snk_jdbc_roundtrip",
-    "txt_html_to_text",
-    "txt_html_main_text",
-    "txt_readability",
-    "txt_collocations",
-    "txt_chunk_sentences",
-    "txt_wordpiece_roundtrip",
-    "dedup_substring_incr",
-    "dedup_substring_incr_err",
-    "dedup_semantic_incr",
-    "dedup_semantic_incr_err",
-    "sim_mmr",
-    "sim_mmr_err",
-    "sim_pq",
-    "sim_pq_err",
-    "mm_png_interlaced",
-    "mm_png_palette",
-    "evt_funnel_timing",
-    "evt_rate_anomaly_seasonal",
-  # ---- window cut ----
     "evt_stickiness",
     "graph_triangles",
     "join_skew_salted",
@@ -402,6 +351,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_exact",
     "dedup_ngram_jaccard",
+  # ---- window cut ----
     "dedup_embedding",
     "sim_cosine_topk",
     "sim_cosine_pairs",
@@ -429,7 +379,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_decontaminate",
     "dedup_containment",
     "dedup_cc_clusters",
-    "dedup_cc_representatives",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_err",
     "dedup_simhash",
@@ -566,10 +515,60 @@ _PRIORITY: tuple[str, ...] = (
     "cdc_apply",
     "graph_pagerank",
     "samp_group_k",
+    "snk_jdbc_roundtrip",
+    "txt_html_to_text",
+    "txt_html_main_text",
+    "txt_url_normalize_family",
+    "txt_readability",
+    "txt_collocations",
+    "txt_chunk_sentences",
+    "txt_wordpiece_roundtrip",
+    "dedup_bloom_incr",
+    "dedup_cc_minhash",
+    "dedup_cc_minhash_err",
+    "dedup_substring_incr",
+    "dedup_substring_incr_err",
+    "dedup_semantic_incr",
+    "dedup_semantic_incr_err",
+    "sim_mmr",
+    "sim_mmr_err",
+    "sim_pq",
+    "sim_pq_err",
+    "mm_png_interlaced",
+    "mm_png_palette",
+    "evt_ab_lift",
+    "evt_streaks",
+    "evt_funnel_timing",
+    "evt_cohort_ltv",
+    "ts_ewma",
+    "evt_attribution",
+    "evt_markov",
+    "ts_seasonal",
+    "evt_funnel_window",
+    "ts_ohlc",
+    "evt_session_stats",
+    "evt_rate_anomaly_seasonal",
+    "fn_winsorize",
+    "join_asof_nearest",
+    "src_warc_roundtrip",
+    "dq_outlier_flag",
+    "agg_heavy_hitters",
+    "samp_temperature",
+    "dq_psi_drift",
+    "samp_kfold",
+    "agg_bloom_join",
+    "dq_expectations",
+    "agg_kmv_intersect",
+    "agg_corr_matrix",
+    "samp_balance",
+    "samp_dsir",
+    "mart_llm_dataprep",
+    "mart_rfm",
+    "mart_mm_dataprep",
 )
 
-# summary: 261 registered; 0 latest-red; 5 zero-evidence;
-# window holds 0 red + 5 zero-evidence rows; spilled past the cut: []
+# summary: 263 registered; 0 latest-red; 0 zero-evidence;
+# window holds 0 red + 0 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

@@ -58,6 +58,17 @@ def get_session(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
     when no cluster master is configured — on a real deployment the master
     comes from spark-submit and this argument is ignored.
+
+    **Side effect:** the first call pins the *process* timezone to UTC
+    (``os.environ["TZ"] = "UTC"`` + ``time.tzset()``), changing
+    ``datetime.now()``/``date.today()`` behavior for any host application
+    embedding this library.  This is required for correct
+    timestamp rendering at PySpark's ``collect()`` boundary (see the
+    in-body comment).  Opt out with ``SPARK_GRAFT_NO_TZ_PIN=1`` if the
+    host owns its own timezone discipline — timestamp-emitting queries
+    on a non-UTC host will then diverge from the UTC oracle.  Note the
+    pin cannot retro-fix a JVM launched before the first call; a
+    ``RuntimeWarning`` is emitted in that case.
     """
     # Pin the PROCESS timezone, not only the Spark session timezone.
     # `spark.sql.session.timeZone=UTC` (below) fixes SQL semantics, but
@@ -70,7 +81,22 @@ def get_session(
     # now()/today() (snapshot stamps, freshness checks) pin with it.
     import time as _time
 
-    if os.environ.get("TZ") != "UTC":
+    if (
+        os.environ.get("TZ") != "UTC"
+        and not os.environ.get("SPARK_GRAFT_NO_TZ_PIN")
+    ):
+        if SparkSession.getActiveSession() is not None:
+            import warnings
+
+            warnings.warn(
+                "kusuma_metamorph_etl_spark pinned TZ=UTC after a JVM was "
+                "already launched; timestamps collected through the "
+                "pre-existing session may still render in the old host "
+                "zone.  Set TZ=UTC before the first SparkSession, or "
+                "SPARK_GRAFT_NO_TZ_PIN=1 to suppress the pin.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         os.environ["TZ"] = "UTC"
         if hasattr(_time, "tzset"):
             _time.tzset()

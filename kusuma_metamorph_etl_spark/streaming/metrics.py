@@ -60,7 +60,12 @@ def progress_rows(query: Any, query_name: str | None = None) -> list[dict]:
                 "query_name": name,
                 "batch_id": int(p["batchId"]),
                 "num_input_rows": int(p.get("numInputRows") or 0),
-                "sink_output_rows": int(sink.get("numOutputRows", -1)),
+                # -1 = "sink did not report" (some sinks emit JSON null)
+                "sink_output_rows": int(
+                    sink["numOutputRows"]
+                    if sink.get("numOutputRows") is not None
+                    else -1
+                ),
                 "state_rows_total": sum(
                     int(s.get("numRowsTotal") or 0) for s in state_ops
                 ),
@@ -142,8 +147,18 @@ def record_batch_metrics(
 def read_batch_metrics(spark: SparkSession, metrics_root: str) -> DataFrame:
     """The :func:`record_batch_metrics` side table, one row per
     (query_name, batch_id) — partition columns read back typed."""
+    from pyspark.sql import functions as F
+
     return (
         spark.read.option("basePath", metrics_root)
         .parquet(metrics_root)
-        .select("query_name", "batch_id", "rows_in", "rows_out", "state_rows")
+        # partition-column inference may type batch_id as int; cast so
+        # the surface matches PROGRESS_SCHEMA's declared long exactly
+        .select(
+            "query_name",
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "rows_in",
+            "rows_out",
+            "state_rows",
+        )
     )

@@ -126,35 +126,42 @@ def stream_dual_write(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if metrics_root is not None:
             # One extra pass over the micro-batch buys the ops row; the
-            # persist keeps the dual write itself single-compute.
+            # persist keeps the dual write itself single-compute.  The
+            # try/finally releases the cache even when a write throws —
+            # a foreachBatch retry persists afresh, so a leaked entry
+            # would otherwise live until session end.
             batch_df.persist()
-        # raw: overwrite — trivially replay-idempotent.
-        batch_df.write.mode("overwrite").parquet(raw_path)
-        # legacy: the batch dual_write APPENDS, which duplicates rows when
-        # foreachBatch replays a batch.  Partition by (DAY_DT, __batch_id)
-        # with dynamic partition overwrite instead: a replayed batch
-        # rewrites exactly its own partitions.  __batch_id is the declared
-        # idempotence key and reads back as a partition column.
-        (
-            stamp_snapshot(batch_df, run_date)
-            .withColumn("__batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(DAY_DT, "__batch_id")
-            .parquet(legacy_path)
-        )
-        if metrics_root is not None:
-            from kusuma_metamorph_etl_spark.streaming.metrics import (
-                record_batch_metrics,
+        try:
+            # raw: overwrite — trivially replay-idempotent.
+            batch_df.write.mode("overwrite").parquet(raw_path)
+            # legacy: the batch dual_write APPENDS, which duplicates rows
+            # when foreachBatch replays a batch.  Partition by
+            # (DAY_DT, __batch_id) with dynamic partition overwrite
+            # instead: a replayed batch rewrites exactly its own
+            # partitions.  __batch_id is the declared idempotence key and
+            # reads back as a partition column.
+            (
+                stamp_snapshot(batch_df, run_date)
+                .withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(DAY_DT, "__batch_id")
+                .parquet(legacy_path)
             )
+            if metrics_root is not None:
+                from kusuma_metamorph_etl_spark.streaming.metrics import (
+                    record_batch_metrics,
+                )
 
-            n = batch_df.count()
-            batch_df.unpersist()
-            # dual write republishes every input row to both sides
-            record_batch_metrics(
-                batch_df.sparkSession, metrics_root, "dual_write",
-                batch_id, rows_in=n, rows_out=n,
-            )
+                n = batch_df.count()
+                # dual write republishes every input row to both sides
+                record_batch_metrics(
+                    batch_df.sparkSession, metrics_root, "dual_write",
+                    batch_id, rows_in=n, rows_out=n,
+                )
+        finally:
+            if metrics_root is not None:
+                batch_df.unpersist()
 
     return _run_foreach_batch(
         stream_df, write_batch, checkpoint_dir, available_now

@@ -4,6 +4,21 @@ own SparkSession, one warm-up query, then N timed reps — removes the
 in-session cache/JIT interference `bench.py`'s shared session carries.
 
     python tools/isolated_reps.py scd2_merge stream_session --reps 5
+
+Target selection is STRUCTURAL (r14 VERDICT Next #2) — ``--select``
+computes the row set from committed artifacts instead of hand-picking:
+
+    top-10 most expensive rows of the latest ``BENCH_r{N}.json``
+    ∪ rows whose implementing code changed since the previous round
+      (git diff hunks mapped to query-function line spans; changed
+      operator/streaming/... modules mapped by reference scan)
+    ∪ every in-session mover whose median moved >1.5x between the two
+      latest ``BENCH_r{N}.json`` files (either direction)
+
+so a ">1.5x mover left unexplained" cannot fall outside the sidecar
+again.  ``--classify-against BENCH_r13.json`` appends a NOISE /
+REGRESSION verdict per row (isolated median vs that file's in-session
+median, 1.2x threshold — the accepted r14 protocol).
 """
 
 from __future__ import annotations
@@ -11,8 +26,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pathlib
+import re
 import subprocess
 import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
 
 _CHILD = r"""
 import json, sys, time
@@ -33,10 +52,142 @@ print("ISOLATED_RESULT " + json.dumps({"query": name, "reps": runs}))
 """
 
 
+def _bench_files() -> list[tuple[int, pathlib.Path]]:
+    out = []
+    for p in REPO.glob("BENCH_r*.json"):
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def _bench_queries(path: pathlib.Path) -> dict[str, float]:
+    d = json.loads(path.read_text())
+    parsed = d.get("parsed") or d
+    return {k: float(v) for k, v in (parsed.get("queries") or {}).items()}
+
+
+def _touched_rows(base_commit: str) -> set[str]:
+    """Rows whose implementing code changed since ``base_commit``.
+
+    Query-module hunks are mapped to the registered function whose
+    source span contains them; a changed non-query engine module maps to
+    every row whose function source references the module by name (the
+    queries import operators as ``from ...operators import dedup`` and
+    call ``dedup.x``, so a basename word-scan finds the users)."""
+    import inspect
+
+    diff = subprocess.run(
+        ["git", "diff", "--unified=0", f"{base_commit}..HEAD", "--",
+         "kusuma_metamorph_etl_spark/"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout
+    # file -> list of (new_start, new_count)
+    hunks: dict[str, list[tuple[int, int]]] = {}
+    cur = None
+    for line in diff.splitlines():
+        if line.startswith("+++ b/"):
+            cur = line[6:]
+            hunks.setdefault(cur, [])
+        elif line.startswith("@@") and cur:
+            m = re.search(r"\+(\d+)(?:,(\d+))?", line)
+            if m:
+                hunks[cur].append((int(m.group(1)), int(m.group(2) or 1)))
+
+    sys.path.insert(0, str(REPO))
+    from kusuma_metamorph_etl_spark import registry
+
+    qs = registry.queries()
+    spans = {}  # name -> (file, first_line, last_line)
+    sources = {}  # name -> source text
+    for name, fn in qs.items():
+        try:
+            src, start = inspect.getsourcelines(fn)
+            f = os.path.relpath(inspect.getsourcefile(fn), REPO)
+            spans[name] = (f, start, start + len(src) - 1)
+            sources[name] = "".join(src)
+        except (OSError, TypeError):
+            continue
+
+    touched: set[str] = set()
+    for f, ranges in hunks.items():
+        if f.startswith("kusuma_metamorph_etl_spark/queries/"):
+            for name, (qf, lo, hi) in spans.items():
+                if qf == f and any(lo <= s + max(c - 1, 0) and s <= hi
+                                   for s, c in ranges):
+                    touched.add(name)
+        else:
+            mod = pathlib.Path(f).stem  # e.g. operators/dedup.py -> dedup
+            pat = re.compile(rf"\b{re.escape(mod)}\b")
+            for name, src in sources.items():
+                if pat.search(src):
+                    touched.add(name)
+    return touched
+
+
+def select_targets(verbose: bool = True) -> list[str]:
+    """The structural target rule (module docstring).  Returns registered
+    rows only, sorted; prints each row's selection reason."""
+    files = _bench_files()
+    reasons: dict[str, list[str]] = {}
+    latest = prev = None
+    if files:
+        latest_round, latest_path = files[-1]
+        latest = _bench_queries(latest_path)
+        for name, _ in sorted(latest.items(), key=lambda kv: -kv[1])[:10]:
+            reasons.setdefault(name, []).append("top10-expensive")
+        if len(files) > 1:
+            prev_round, prev_path = files[-2]
+            prev = _bench_queries(prev_path)
+            for name in set(latest) & set(prev):
+                if prev[name] > 0:
+                    r = latest[name] / prev[name]
+                    if r > 1.5 or r < 1 / 1.5:
+                        reasons.setdefault(name, []).append(
+                            f"mover {r:.2f}x r{prev_round}->r{latest_round}"
+                        )
+        base = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", latest_path.name],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout.strip()
+        if base:
+            for name in _touched_rows(base):
+                reasons.setdefault(name, []).append("touched-code")
+
+    sys.path.insert(0, str(REPO))
+    from kusuma_metamorph_etl_spark import registry
+
+    registered = set(registry.queries())
+    targets = sorted(n for n in reasons if n in registered)
+    if verbose:
+        for name in targets:
+            print(f"select {name}: {', '.join(reasons[name])}")
+        dropped = sorted(n for n in reasons if n not in registered)
+        if dropped:
+            print(f"(unregistered, skipped: {', '.join(dropped)})")
+    return targets
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("queries", nargs="+")
+    ap.add_argument("queries", nargs="*")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--dry-run", action="store_true",
+        help="print the target set and exit without timing anything",
+    )
+    ap.add_argument(
+        "--select",
+        action="store_true",
+        help="add the structural target set (top-10 expensive ∪ touched "
+        "∪ >1.5x movers) to the positional queries",
+    )
+    ap.add_argument(
+        "--classify-against",
+        metavar="BENCH_rN.json",
+        help="append NOISE/REGRESSION verdicts vs that file's in-session "
+        "medians (1.2x threshold on the isolated median)",
+    )
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
@@ -51,8 +202,18 @@ def main() -> int:
     args = ap.parse_args()
     if args.record and not args.record_round:
         ap.error("--record requires --record-round")
+    queries = list(args.queries)
+    if args.select:
+        queries += [q for q in select_targets() if q not in queries]
+    if not queries:
+        ap.error("no queries given (pass names or --select)")
+    if args.dry_run:
+        print(json.dumps(queries))
+        return 0
+    if args.reps < 1:
+        ap.error("--reps must be >= 1")
     results = {}
-    for name in args.queries:
+    for name in queries:
         proc = subprocess.run(
             [sys.executable, "-c", _CHILD, name, args.sf_dir, str(args.reps)],
             capture_output=True,
@@ -71,6 +232,18 @@ def main() -> int:
         med = sorted(reps)[len(reps) // 2]
         results[name] = {"reps": reps, "median": med, "min": min(reps)}
         print(f"{name}: median={med} min={min(reps)} reps={reps}")
+    if args.classify_against:
+        baseline = _bench_queries(pathlib.Path(args.classify_against))
+        for name, r in results.items():
+            base = baseline.get(name)
+            if base is None or base <= 0:
+                r["verdict"] = "NO-BASELINE"
+                continue
+            ratio = round(r["median"] / base, 2)
+            r["vs_baseline"] = ratio
+            r["verdict"] = "NOISE" if ratio <= 1.2 else "REGRESSION"
+            print(f"{name}: {r['verdict']} (isolated {r['median']}s = "
+                  f"{ratio}x of {args.classify_against} median {base}s)")
     print(json.dumps(results))
     if args.record:
         _record(results, args.record_round, args.sf_dir)

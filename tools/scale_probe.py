@@ -50,7 +50,7 @@ FACTOR = 10
 # ranking), the set the r12 verdict names for the probe.
 PROBE_ROWS = [
     "graph_pagerank",
-    "dedup_cc_representatives",
+    "dedup_cc_minhash",  # r15: exact-edge row retired into its _err gate
     "mm_transcode",
     "mart_customer_sales_report",
     "sim_cosine_topk",
