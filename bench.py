@@ -93,6 +93,7 @@ HEADLINE = [
     "mm_jpeg_arithmetic",  # QM coder both ways + Huffman-twin equality
     "dedup_cc_minhash",  # r14: banded-edge CC, the scale twin (exp 0.076)
     "samp_dsir",  # r14: hashed-ngram importance fit + Gumbel top-k draw
+    "mart_domain_curation",  # r15: eTLD+1 rollup + broadcast filter-back
 ]
 
 

@@ -35,19 +35,46 @@ from kusuma_metamorph_etl_spark.operators.text import fingerprint, words
 # ----------------------------------------------------------------- exact
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    survivor_by: str | None = None,
 ) -> DataFrame:
-    """Keep the lowest-id representative per exact content fingerprint.
+    """Keep one representative per exact content fingerprint.
 
-    groupBy(md5) shuffles only (hash, id) pairs; the winning ids then
-    semi-join the original frame, so bodies move at most once.
+    Default survivor rule is lowest id.  ``survivor_by`` names a NUMERIC
+    column (e.g. a quality score) to prefer instead — highest value
+    wins, lowest id breaks ties — the RefinedWeb/FineWeb practice of
+    keeping the *best* copy of a duplicate cluster rather than an
+    arbitrary one.  Deterministic either way, so the result is
+    SQL-replayable (``row_number() OVER (PARTITION BY md5(text) ORDER BY
+    q DESC, id)``).
+
+    groupBy(md5) shuffles only (hash[, score], id) tuples; the winning
+    ids then semi-join the original frame, so bodies move at most once.
     """
-    keep = (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
-        .groupBy("__fp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
+    if survivor_by is None:
+        keep = (
+            df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+            .groupBy("__fp")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+    else:
+        # min(struct(-q, id)) == arg-max on (q, then lowest id) in ONE
+        # map-side-combinable aggregate — no window, no second shuffle.
+        keep = (
+            df.select(
+                fingerprint(F.col(text_col)).alias("__fp"),
+                F.struct(
+                    (-F.col(survivor_by)).alias("__negq"),
+                    F.col(id_col).alias("__id"),
+                ).alias("__key"),
+            )
+            .groupBy("__fp")
+            .agg(F.min("__key").alias("__w"))
+            .select(F.col("__w.__id").alias(id_col))
+        )
     return df.join(keep, on=id_col, how="left_semi")
 
 

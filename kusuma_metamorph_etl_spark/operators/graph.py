@@ -154,17 +154,51 @@ def cluster_representatives(
     id_col: str = "doc_id",
     a_col: str = "a",
     b_col: str = "b",
+    survivor_by: str | None = None,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into one surviving row per duplicate
     cluster: rows never appearing in ``pairs`` survive untouched; within
     each connected component only the minimum-id row survives (the same
     declared lowest-id-wins rule as ``dedup.exact_dedup``, now applied
     transitively — A≈B and B≈C drops both B and C even when A≉C
-    directly)."""
+    directly).
+
+    ``survivor_by`` names a NUMERIC column of ``df`` to prefer instead:
+    the highest-scoring member of each component survives, lowest id
+    breaking ties (keep-the-best-copy dedup à la RefinedWeb/FineWeb).
+    The arg-max runs over CLUSTERED ids only — scores join onto the
+    component label frame (nodes, not bodies), so the extra cost is one
+    keyed join + one map-side-combinable aggregate on the near-dup
+    sliver of the corpus."""
     components = connected_components(pairs, a_col, b_col)
-    losers = components.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
+    if survivor_by is None:
+        losers = components.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        scored = components.join(
+            df.select(
+                F.col(id_col).alias("node"), F.col(survivor_by).alias("__q")
+            ),
+            on="node",
+        )
+        # min(struct(-q, id)) == arg-max on (q, then lowest id); same
+        # single-aggregate trick as exact_dedup(survivor_by=...).
+        winners = (
+            scored.groupBy("component")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__q")).alias("__negq"),
+                        F.col("node").alias("__id"),
+                    )
+                ).alias("__w")
+            )
+            .select(F.col("__w.__id").alias("node"))
+        )
+        losers = components.join(winners, on="node", how="left_anti").select(
+            F.col("node").alias(id_col)
+        )
     return df.join(losers, on=id_col, how="left_anti")
 
 

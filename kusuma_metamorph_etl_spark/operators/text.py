@@ -588,6 +588,96 @@ def normalize_url(url: Column, sort_params: bool = False) -> Column:
     )
 
 
+# Two-level public suffixes the registrable-domain heuristic recognizes
+# (the high-traffic entries of the public-suffix list; the FULL list is
+# a data file, not an algorithm — swap this tuple for a broadcast lookup
+# against the published list when curating real crawls).
+_TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "org.au", "net.au",
+    "co.jp", "co.in", "co.nz", "co.kr", "co.za",
+    "com.br", "com.cn", "com.mx", "com.tr",
+)
+
+
+def registrable_domain(url: Column) -> Column:
+    """Registrable domain (eTLD+1) of a URL — the C4/RefinedWeb unit of
+    crawl curation: quality thresholds, dup-rate gates, and blocklists
+    all apply at domain grain, not page grain.
+
+    Deterministic regexp chain (Java regex == RE2, no lookaheads):
+    extract the host from the authority (userinfo and port stripped),
+    then keep the last TWO labels — or the last THREE when the host ends
+    in a recognized two-level public suffix (``co.uk`` &c., see
+    ``_TWO_LEVEL_SUFFIXES``).  A bare host (no dots, e.g. ``localhost``)
+    passes through unchanged.  Feed it :func:`normalize_url` output so
+    case/port variants are already collapsed."""
+    host = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
+    )
+    suffix_alt = "|".join(s.replace(".", r"\.") for s in _TWO_LEVEL_SUFFIXES)
+    three = F.regexp_extract(host, r"([^.]+\.(?:" + suffix_alt + r"))$", 1)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return (
+        F.when(three != "", three)
+        .when(two != "", two)
+        .otherwise(host)
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "domain",
+    url_col: str = "url_norm",
+    quality_col: str | None = "quality_score",
+) -> DataFrame:
+    """Per-domain crawl rollup: ``(domain, n_docs, n_urls, dup_rate,
+    mean_quality)`` — ONE keyed aggregate (count / exact distinct-URL /
+    avg all map-side-combinable on the domain key).  ``dup_rate`` is the
+    fraction of docs whose canonical URL is a repeat within the domain
+    (``1 - n_urls/n_docs``), the signal that flags mirror/boilerplate
+    farms.  Domain cardinality is tiny relative to docs at any corpus
+    size, so the output is broadcastable by construction."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(url_col).alias("n_urls"),
+    ]
+    if quality_col is not None:
+        aggs.append(F.avg(quality_col).alias("mean_quality"))
+    stats = df.groupBy(domain_col).agg(*aggs)
+    return stats.withColumn(
+        "dup_rate",
+        1.0 - F.col("n_urls").cast("double") / F.col("n_docs"),
+    )
+
+
+def curate_domains(
+    df: DataFrame,
+    domain_col: str = "domain",
+    url_col: str = "url_norm",
+    quality_col: str | None = "quality_score",
+    max_dup_rate: float = 0.3,
+    min_mean_quality: float | None = None,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """Domain-grain curation filter: compute :func:`domain_stats`, keep
+    domains passing the dup-rate ceiling / mean-quality floor /
+    blocklist, and semi-join the surviving domain list back onto the
+    docs.  The kept-domain frame is broadcast — at 100 TB the doc side
+    never shuffles for this filter."""
+    from pyspark.sql.functions import broadcast
+
+    stats = domain_stats(df, domain_col, url_col, quality_col)
+    kept = stats.filter(F.col("dup_rate") <= max_dup_rate)
+    if min_mean_quality is not None and quality_col is not None:
+        kept = kept.filter(F.col("mean_quality") >= min_mean_quality)
+    if blocklist:
+        kept = kept.filter(~F.col(domain_col).isin(*blocklist))
+    return df.join(
+        broadcast(kept.select(domain_col)), on=domain_col, how="left_semi"
+    )
+
+
 def readability(text: Column) -> Column:
     """Flesch–Kincaid grade level — the readability quality signal corpus
     curation pipelines filter/stratify on (edu-quality classifiers are

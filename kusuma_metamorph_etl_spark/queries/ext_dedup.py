@@ -9,7 +9,13 @@ from pyspark.sql import functions as F
 from kusuma_metamorph_etl_spark.operators import dedup, similarity, text
 from kusuma_metamorph_etl_spark.registry import register
 from kusuma_metamorph_etl_spark.sources.catalog import load_table as t
-from kusuma_metamorph_etl_spark.queries.ext_common import _SHINGLES, _W_TEXT, _gate, _n
+from kusuma_metamorph_etl_spark.queries.ext_common import (
+    _SHINGLES,
+    _W_LOWER,
+    _W_TEXT,
+    _gate,
+    _n,
+)
 
 @register(
     "dedup_decontaminate",
@@ -93,6 +99,51 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup — lowest-id representative per fingerprint."""
     docs = t(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs).select("doc_id")
+
+@register(
+    "dedup_exact_survivor",
+    f"""WITH q AS (
+          SELECT doc_id, text,
+                 length(text) AS n_chars,
+                 len({_W_TEXT}) AS n_tokens,
+                 len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                 len(list_filter({_W_LOWER},
+                     x -> x IN ('the','a','and','of','to','in','is','it')))
+                     AS n_stop
+          FROM documents),
+        s AS (SELECT doc_id, text,
+                 round(0.4 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * (CASE WHEN n_tokens > 0
+                                     THEN CAST(n_stop AS DOUBLE) / n_tokens
+                                     ELSE 0.0 END)
+                       + 0.3 * (1.0 - least((CASE WHEN n_chars > 0
+                                                  THEN CAST(n_punct AS DOUBLE)
+                                                       / n_chars
+                                                  ELSE 0.0 END) * 10.0, 1.0)),
+                       6) AS quality_score
+              FROM q),
+        r AS (SELECT doc_id, quality_score,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY quality_score DESC, doc_id)
+                         AS rn
+              FROM s)
+        SELECT doc_id, quality_score FROM r WHERE rn = 1""",
+)
+def dedup_exact_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority exact dedup ([EXT], r15): the highest
+    `txt_quality` composite score survives each exact-duplicate cluster,
+    lowest id breaking ties — the RefinedWeb/FineWeb keep-the-best-copy
+    rule (`dedup.exact_dedup(survivor_by=...)`), instead of the arbitrary
+    lowest-id representative.  Spark side is ONE map-side-combinable
+    arg-max aggregate (min of a (-q, id) struct) on (md5, score, id)
+    tuples; the oracle replays it as a row_number window, which is
+    deterministic because the score is rounded to 6 dp in both engines
+    and ties fall to doc_id."""
+    docs = t(spark, sf_dir, "documents")
+    scored = text.quality_features(docs)
+    return dedup.exact_dedup(scored, survivor_by="quality_score").select(
+        "doc_id", "quality_score"
+    )
 
 @register(
     "dedup_ngram_jaccard",

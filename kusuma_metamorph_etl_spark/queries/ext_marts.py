@@ -130,6 +130,114 @@ def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "url_norm", "n_tokens")
     )
 
+@register(
+    "mart_domain_curation",
+    f"""WITH q AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len({_W_TEXT}) AS n_tokens,
+                 len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                 len(list_filter({_W_LOWER},
+                     x -> x IN ('the','a','and','of','to','in','is','it')))
+                     AS n_stop
+          FROM documents),
+        s AS (SELECT doc_id,
+                 round(0.4 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * (CASE WHEN n_tokens > 0
+                                     THEN CAST(n_stop AS DOUBLE) / n_tokens
+                                     ELSE 0.0 END)
+                       + 0.3 * (1.0 - least((CASE WHEN n_chars > 0
+                                                  THEN CAST(n_punct AS DOUBLE)
+                                                       / n_chars
+                                                  ELSE 0.0 END) * 10.0, 1.0)),
+                       6) AS quality_score
+              FROM q),
+        u AS (
+          -- synthesized canonical URLs: the raw form only adds
+          -- '?utm_source=crawl&utm_id=N#f' junk that normalize_url
+          -- provably strips (the full normalization mirror lives in
+          -- mart_crawl_prep / txt_url_normalize_family; here the URL is
+          -- a pure function of doc_id, so the canonical form is exact
+          -- by construction, no fixture-content dependency)
+          SELECT doc_id, quality_score,
+                 CASE WHEN doc_id % 10 < 5
+                      THEN 'cdn' || (doc_id % 2) || '.dupfarm.com'
+                      WHEN doc_id % 10 = 5 THEN 'www.blockedsite.com'
+                      WHEN doc_id % 10 < 8 THEN 'news.goodnews.co.uk'
+                      ELSE 'a.misc' || (doc_id % 10) || '.org' END AS host,
+                 CASE WHEN doc_id % 10 < 5 THEN doc_id % 20
+                      ELSE doc_id END AS path
+          FROM s),
+        n AS (SELECT doc_id, quality_score, host,
+                     'https://' || host || '/p/' || path AS url_norm
+              FROM u),
+        d AS (SELECT doc_id, quality_score, url_norm,
+                     COALESCE(NULLIF(regexp_extract(host,
+                         '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|gov\\.uk|com\\.au|org\\.au|net\\.au|co\\.jp|co\\.in|co\\.nz|co\\.kr|co\\.za|com\\.br|com\\.cn|com\\.mx|com\\.tr))$',
+                         1), ''),
+                       NULLIF(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), ''),
+                       host) AS domain
+              FROM n),
+        st AS (SELECT domain, count(*) AS n_docs,
+                      count(DISTINCT url_norm) AS n_urls,
+                      avg(quality_score) AS mean_quality
+               FROM d GROUP BY domain),
+        k AS (SELECT domain FROM st
+              WHERE 1.0 - CAST(n_urls AS DOUBLE) / n_docs <= 0.3
+                AND mean_quality >= 0.05
+                AND domain NOT IN ('blockedsite.com'))
+        SELECT doc_id, domain FROM d JOIN k USING (domain)""",
+)
+def mart_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-grain crawl curation ([EXT], r15 — the C4/RefinedWeb unit
+    of filtering): synthesized hosts (a planted 50%-of-docs dup-farm
+    whose 20 URL paths repeat, a blocklisted site, a two-level-suffix
+    domain exercising the eTLD+1 heuristic, and clean long-tail
+    domains), canonicalized with `normalize_url`, rolled up per
+    REGISTRABLE domain (`text.registrable_domain` →
+    `text.domain_stats`: docs / distinct URLs / dup rate / mean
+    `txt_quality` score in ONE keyed aggregate), then filtered by
+    dup-rate ceiling + quality floor + blocklist and semi-joined back
+    with the kept-domain list BROADCAST (`text.curate_domains`) — the
+    doc side never shuffles.  The dup farm dies by measured dup rate,
+    the blocked domain by name; survivors keep their domain label."""
+    docs = t(spark, sf_dir, "documents")
+    scored = text.quality_features(docs)
+    m = F.col("doc_id") % 10
+    host = (
+        F.when(
+            m < 5,
+            F.concat(
+                F.lit("cdn"),
+                (F.col("doc_id") % 2).cast("string"),
+                F.lit(".dupfarm.com"),
+            ),
+        )
+        .when(m == 5, F.lit("www.blockedsite.com"))
+        .when(m < 8, F.lit("news.goodnews.co.uk"))
+        .otherwise(
+            F.concat(F.lit("a.misc"), m.cast("string"), F.lit(".org"))
+        )
+    )
+    path = F.when(m < 5, F.col("doc_id") % 20).otherwise(F.col("doc_id"))
+    url_raw = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), path.cast("string"),
+        F.lit("?utm_source=crawl&utm_id="),
+        F.col("doc_id").cast("string"), F.lit("#f"),
+    )
+    staged = scored.select(
+        "doc_id",
+        "quality_score",
+        text.normalize_url(url_raw).alias("url_norm"),
+    ).withColumn("domain", text.registrable_domain(F.col("url_norm")))
+    kept = text.curate_domains(
+        staged,
+        max_dup_rate=0.3,
+        min_mean_quality=0.05,
+        blocklist=["blockedsite.com"],
+    )
+    return kept.select("doc_id", "domain")
+
 _CANON = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"

@@ -301,6 +301,8 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
+    "dedup_exact_survivor",
+    "mart_domain_curation",
     "evt_stickiness",
     "graph_triangles",
     "join_skew_salted",
@@ -349,9 +351,9 @@ _PRIORITY: tuple[str, ...] = (
     "txt_tfidf",
     "txt_pii_scrub",
     "dedup_incremental",
+  # ---- window cut ----
     "dedup_exact",
     "dedup_ngram_jaccard",
-  # ---- window cut ----
     "dedup_embedding",
     "sim_cosine_topk",
     "sim_cosine_pairs",
@@ -567,8 +569,8 @@ _PRIORITY: tuple[str, ...] = (
     "mart_mm_dataprep",
 )
 
-# summary: 263 registered; 0 latest-red; 0 zero-evidence;
-# window holds 0 red + 0 zero-evidence rows; spilled past the cut: []
+# summary: 265 registered; 0 latest-red; 2 zero-evidence;
+# window holds 0 red + 2 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

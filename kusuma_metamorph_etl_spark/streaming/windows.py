@@ -20,10 +20,19 @@ from pyspark.sql import functions as F
 from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    source_options: dict[str, str] | None = None,
+) -> DataFrame:
     """events as an unbounded stream (parquet directory source), ``ts``
     normalized to µs TimestampType whatever physical type the files carry
     — the same adaptive conversion the batch catalog applies.
+
+    ``source_options`` passes FileStreamSource knobs through (e.g.
+    ``maxFilesPerTrigger`` to slice an ``availableNow`` replay into a
+    controlled number of micro-batches — the scale-probe protocol pins
+    batch count with it so per-batch cost is comparable across scales).
 
     FileStreamSource requires an explicit schema; it comes from a batch
     read of the same path (footer metadata only, no scan), so the stream
@@ -64,7 +73,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(_NANOS_CONF, "true")
     # FileStreamSource needs a directory or glob (a bare file path fails
     # basePath validation); the glob resolves to the single test file.
-    raw = spark.readStream.schema(batch_schema).parquet(f"{sf_dir}/events.parque[t]")
+    reader = spark.readStream.schema(batch_schema)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(f"{sf_dir}/events.parque[t]")
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -28,6 +28,57 @@ def test_exact_dedup_removes_content_duplicates(spark, sf_small):
     assert kept.count() == n_distinct
 
 
+def test_exact_dedup_survivor_by_keeps_best_copy(spark):
+    # Three copies of one text with different quality scores; two copies
+    # of another tied on quality (lowest id must break the tie); one
+    # singleton.  The max-quality copy survives, not the lowest id.
+    rows = [
+        (1, "alpha body", 0.2),
+        (2, "alpha body", 0.9),  # best copy, NOT lowest id
+        (3, "alpha body", 0.5),
+        (10, "beta body", 0.7),
+        (11, "beta body", 0.7),  # tie -> lowest id (10) wins
+        (20, "gamma body", 0.1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "q"])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.exact_dedup(df, survivor_by="q").collect()
+    )
+    assert kept == [2, 10, 20]
+    # Partition-layout invariance of the arg-max (struct-min) rule.
+    kept13 = sorted(
+        r["doc_id"]
+        for r in dedup.exact_dedup(df.repartition(13), survivor_by="q").collect()
+    )
+    assert kept13 == kept
+
+
+def test_cluster_representatives_survivor_by(spark):
+    from kusuma_metamorph_etl_spark.operators.graph import (
+        cluster_representatives,
+    )
+
+    # Component {1,2,3} via edges 1-2, 2-3 (transitive); component {7,8};
+    # 50 untouched.  Quality picks 3 (not min id 1) and ties in {7,8}
+    # fall to 7.
+    docs = spark.createDataFrame(
+        [(1, 0.3), (2, 0.5), (3, 0.9), (7, 0.4), (8, 0.4), (50, 0.0)],
+        ["doc_id", "q"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["a", "b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in cluster_representatives(docs, pairs, survivor_by="q").collect()
+    )
+    assert kept == [3, 7, 50]
+    # Default rule unchanged: lowest id per component.
+    kept_min = sorted(
+        r["doc_id"] for r in cluster_representatives(docs, pairs).collect()
+    )
+    assert kept_min == [1, 7, 50]
+
+
 def test_word_shingles_short_docs(spark):
     df = spark.createDataFrame(
         [(1, "one two"), (2, "one two three"), (3, "")], ["doc_id", "text"]

@@ -3658,3 +3658,59 @@ def test_fan_out_heavy_gate(spark):
     assert _fan_out(over).rdd.getNumPartitions() == target
     healthy = spark.range(0, 1000).repartition(target)
     assert _fan_out(healthy).rdd.getNumPartitions() == target
+
+
+def test_injected_native_decoder_composes_through_seam(spark, sf_small):
+    """The documented 100 TB escape hatch for the arithmetic-JPEG path
+    (`mm_jpeg_arithmetic` docstring; SCALE.md): bulk corpora inject a
+    NATIVE decoder through ``extract_binary_features(decoder=...)``
+    instead of the pure-Python QM coder.  This exercises the seam once
+    for real — a vectorized stand-in decoder (numpy feature math over
+    the decoded array, the shape a libjpeg-turbo binding would take)
+    must flow through the same Arrow ``mapInPandas`` plumbing and
+    produce output EQUAL to the default pure-Python path on a corpus of
+    genuine SOF9 arithmetic files."""
+    from kusuma_metamorph_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from kusuma_metamorph_etl_spark.operators.multimodal import (
+        _synthesize_pixels,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(12)
+    rows = [
+        (int(r["doc_id"]),
+         bytes(encode_jpeg(_synthesize_pixels(r["text"]), quality=95,
+                           arithmetic=True)))
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, payload binary")
+    # Every payload really is arithmetic-coded (SOF9 + DAC present).
+    for _, p in rows:
+        assert b"\xff\xc9" in p and b"\xff\xcc" in p
+
+    def native_standin(payload: bytes) -> dict:
+        # Stand-in for an injected native binding: same decoded pixels,
+        # features computed with vectorized numpy ops (not the
+        # image_features code path).
+        px = np.asarray(decode_jpeg(payload))
+        h, w = px.shape[:2]
+        ch = 1 if px.ndim == 2 else px.shape[2]
+        return {
+            "format": "jpeg",
+            "width": int(w),
+            "height": int(h),
+            "channels": int(ch),
+            "n_bytes": len(payload),
+            "mean_value": float(np.mean(px, dtype=np.float64)),
+            "content_md5": hashlib.md5(payload).hexdigest(),
+        }
+
+    default = multimodal.extract_binary_features(corpus, heavy=True)
+    injected = multimodal.extract_binary_features(
+        corpus, decoder=native_standin, heavy=True
+    )
+    d = {r["doc_id"]: r.asDict() for r in default.collect()}
+    i = {r["doc_id"]: r.asDict() for r in injected.collect()}
+    assert d == i and len(d) == 12

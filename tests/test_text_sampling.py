@@ -1309,3 +1309,86 @@ def test_sentiment_scores_hand_computed(spark):
     assert got[2] == (0, 0, 0.0, "neutral")
     assert got[3] == (0, 2, -1.0, "negative")
     assert got[4] == (1, 1, 0.0, "neutral")
+
+
+class TestDomainCuration:
+    """Domain-grain crawl curation (r15): eTLD+1 extraction, the
+    per-domain rollup, and the broadcast filter-back — with a PLANTED
+    skewed domain whose stats the rollup must read back exactly."""
+
+    def test_registrable_domain_extraction(self, spark):
+        from kusuma_metamorph_etl_spark.operators.text import (
+            registrable_domain,
+        )
+
+        cases = [
+            ("https://cdn1.dupfarm.com/p/3", "dupfarm.com"),
+            ("https://news.goodnews.co.uk/x", "goodnews.co.uk"),  # 2-level suffix
+            ("http://deep.a.b.example.org/", "example.org"),
+            ("https://user:pw@secure.example.com:8443/p", "example.com"),
+            ("https://localhost/admin", "localhost"),  # bare host passes through
+        ]
+        df = spark.createDataFrame(cases, ["url", "want"])
+        got = df.select(
+            "want", registrable_domain(F.col("url")).alias("got")
+        ).collect()
+        for r in got:
+            assert r["got"] == r["want"], r
+
+    @staticmethod
+    def _planted(spark):
+        # 40 docs: ids 0..39.  'hot.com' gets 20 docs over only 4 URLs
+        # (dup_rate 0.8); 'blocked.com' 4 docs unique; 'clean.co.uk' 16
+        # docs unique.
+        rows = []
+        for i in range(40):
+            if i < 20:
+                rows.append((i, f"https://a.hot.com/p/{i % 4}", 0.9))
+            elif i < 24:
+                rows.append((i, f"https://www.blocked.com/p/{i}", 0.9))
+            else:
+                rows.append((i, f"https://n.clean.co.uk/p/{i}", 0.5))
+        return spark.createDataFrame(rows, ["doc_id", "url_norm", "quality_score"])
+
+    def test_domain_stats_reads_planted_skew(self, spark):
+        from kusuma_metamorph_etl_spark.operators.text import (
+            domain_stats,
+            registrable_domain,
+        )
+
+        df = self._planted(spark).withColumn(
+            "domain", registrable_domain(F.col("url_norm"))
+        )
+        stats = {r["domain"]: r for r in domain_stats(df).collect()}
+        assert set(stats) == {"hot.com", "blocked.com", "clean.co.uk"}
+        hot = stats["hot.com"]
+        assert (hot["n_docs"], hot["n_urls"]) == (20, 4)
+        assert math.isclose(hot["dup_rate"], 0.8)
+        assert math.isclose(hot["mean_quality"], 0.9)
+        clean = stats["clean.co.uk"]
+        assert (clean["n_docs"], clean["n_urls"]) == (16, 16)
+        assert clean["dup_rate"] == 0.0
+
+    def test_curate_domains_filters_and_joins_back(self, spark):
+        from kusuma_metamorph_etl_spark.operators.text import (
+            curate_domains,
+            registrable_domain,
+        )
+
+        df = self._planted(spark).withColumn(
+            "domain", registrable_domain(F.col("url_norm"))
+        )
+        kept = curate_domains(
+            df, max_dup_rate=0.3, blocklist=["blocked.com"]
+        )
+        got = {r["domain"] for r in kept.collect()}
+        assert got == {"clean.co.uk"}  # hot.com by dup rate, blocked by name
+        assert kept.count() == 16
+        # Quality floor drops the low-quality domain when raised.
+        kept_q = curate_domains(
+            df, max_dup_rate=1.0, min_mean_quality=0.6, blocklist=[]
+        )
+        assert {r["domain"] for r in kept_q.collect()} == {
+            "hot.com",
+            "blocked.com",
+        }

@@ -175,6 +175,65 @@ for _ in range(reps):
 print("PROBE_RESULT " + json.dumps({"query": name, "reps": runs}))
 """
 
+# Streaming probe protocol (r14 VERDICT Next #4 — stream rows cannot run
+# through the batch noop-write child above).  Semantics pinned so the
+# exponent means the same thing as the batch rows':
+#
+# * the events table is STAGED into a fixed 8-file layout at BOTH
+#   scales, and the availableNow replay runs with maxFilesPerTrigger=2
+#   → exactly 4 micro-batches per run at every scale.  10x data thus
+#   means 10x ROWS PER BATCH (and, because user_id spans are key-shifted
+#   per copy, 10x STATE-STORE ROWS) — batch-count overhead is held
+#   constant instead of letting the file layout decide it.
+# * timing covers the full availableNow replay: source listing, state
+#   store get/put for every user, and the applyInPandasWithState
+#   handler.
+# * per-batch evidence rides along from the engine's own
+#   StreamingQueryProgress (streaming/metrics.py::progress_rows):
+#   (batch_id, input rows, state rows total) per micro-batch, recorded
+#   into BENCH_SCALE.json next to the seconds so the state axis of the
+#   scale-up is visible, not inferred.
+_STREAM_CHILD = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, "/root/repo")
+name, sf_dir, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+from kusuma_metamorph_etl_spark.session import get_session
+from kusuma_metamorph_etl_spark.streaming.stateful import sessionize_stream
+from kusuma_metamorph_etl_spark.streaming.windows import stream_events
+from kusuma_metamorph_etl_spark.streaming.metrics import progress_rows
+spark = get_session()
+spark.sparkContext.setLogLevel("ERROR")
+stage = tempfile.mkdtemp(prefix="probe_stream_")
+try:
+    (spark.read.parquet(f"{sf_dir}/events.parquet").repartition(8)
+        .write.mode("overwrite").parquet(f"{stage}/events.parquet"))
+    runs, progress = [], None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        q = (
+            sessionize_stream(
+                stream_events(spark, stage,
+                              source_options={"maxFilesPerTrigger": "2"}),
+                gap_seconds=1800,
+            )
+            .writeStream.format("noop").outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        runs.append(round(time.perf_counter() - t0, 3))
+        progress = [
+            {k: r[k] for k in
+             ("batch_id", "num_input_rows", "state_rows_total")}
+            for r in progress_rows(q, name)
+        ]
+    print("PROBE_RESULT " + json.dumps(
+        {"query": name, "reps": runs, "batches": progress}))
+finally:
+    shutil.rmtree(stage, ignore_errors=True)
+"""
+
+STREAM_ROWS = {"stream_sessionize_stateful": _STREAM_CHILD}
+
 
 def _run_child(script: str, args: list[str], timeout: int) -> str:
     # Provision the probe JVM like a real executor: the library default
@@ -204,23 +263,28 @@ def build() -> None:
     print(f"built {SF10}")
 
 
-def probe(rows: list[str], record: bool) -> dict:
+def probe(rows: list[str], record: bool, record_round: int = 0) -> dict:
     import math
 
     results = {}
     for name in rows:
+        child = STREAM_ROWS.get(name, _CHILD)
         per_sf = {}
+        batches = {}
         for sf_key, sf_dir, reps, timeout in (
             ("sf0.1", SF01, 2, 900),
             ("sf1.0", SF10, 2, 3600),
         ):
-            out = _run_child(_CHILD, [name, sf_dir, str(reps)], timeout)
+            out = _run_child(child, [name, sf_dir, str(reps)], timeout)
             line = next(
                 l for l in out.splitlines() if l.startswith("PROBE_RESULT ")
             )
-            reps_s = json.loads(line[len("PROBE_RESULT "):])["reps"]
+            payload = json.loads(line[len("PROBE_RESULT "):])
+            reps_s = payload["reps"]
             per_sf[sf_key] = min(reps_s)
             per_sf[sf_key + "_reps"] = reps_s
+            if payload.get("batches"):
+                batches[sf_key] = payload["batches"]
         ratio = per_sf["sf1.0"] / per_sf["sf0.1"]
         results[name] = {
             "sf0.1_sec": per_sf["sf0.1"],
@@ -233,6 +297,8 @@ def probe(rows: list[str], record: bool) -> dict:
                 "sf1.0": per_sf["sf1.0_reps"],
             },
         }
+        if batches:
+            results[name]["batches"] = batches
         r = results[name]
         print(
             f"{name}: sf0.1={r['sf0.1_sec']}s sf1.0={r['sf1.0_sec']}s "
@@ -245,9 +311,15 @@ def probe(rows: list[str], record: bool) -> dict:
             "fresh JVM per (query, sf); 1 warm-up + 2 reps, min taken; "
             "sf1.0 = 10x key-shifted replication of sf0.1 "
             "(tools/scale_probe.py docstring has the exact semantics); "
-            "exponent = log(t_sf1.0/t_sf0.1)/log(10), 1.0 = linear"
+            "exponent = log(t_sf1.0/t_sf0.1)/log(10), 1.0 = linear; "
+            "streaming rows: staged 8-file source, maxFilesPerTrigger=2 "
+            "=> fixed 4 micro-batches, 10x rows AND 10x state rows per "
+            "batch at sf1.0, per-batch (input, state) rows recorded "
+            "from StreamingQueryProgress (_STREAM_CHILD note)"
         )
-        book.setdefault("runs", {}).setdefault("r14", {}).update(results)
+        book.setdefault("runs", {}).setdefault(
+            f"r{record_round}", {}
+        ).update(results)
         path.write_text(json.dumps(book, indent=1, sort_keys=True) + "\n")
         print(f"recorded in {path}")
     return results
@@ -257,8 +329,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build", action="store_true")
     ap.add_argument("--record", action="store_true")
+    ap.add_argument(
+        "--record-round", type=int, default=0,
+        help="round key for --record (runs.r{N} in BENCH_SCALE.json)",
+    )
     ap.add_argument("queries", nargs="*", default=None)
     args = ap.parse_args()
+    if args.record and not args.record_round:
+        ap.error("--record requires --record-round")
     if args.build:
         build()
         if not args.record and not args.queries:
@@ -267,7 +345,7 @@ def main() -> int:
     if not pathlib.Path(SF10).exists():
         print("scaled dataset missing — run with --build first", file=sys.stderr)
         return 1
-    probe(rows, record=args.record)
+    probe(rows, record=args.record, record_round=args.record_round)
     return 0
 
 
