@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup_cc_minhash",  # r14: banded-edge CC, the scale twin (exp 0.076)
     "samp_dsir",  # r14: hashed-ngram importance fit + Gumbel top-k draw
     "mart_domain_curation",  # r15: eTLD+1 rollup + broadcast filter-back
+    "txt_quality_model",  # r15: batch-GD logistic trainer, 20 agg passes
 ]
 
 

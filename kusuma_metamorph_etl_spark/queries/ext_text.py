@@ -998,3 +998,56 @@ def txt_wordpiece_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.length("__norm").cast("long").alias("n_norm_chars")
         )
     )
+
+
+@register(
+    "txt_quality_model",
+    """SELECT doc_id,
+              CAST(CASE WHEN (doc_id * 2654435761) % 1000 >= 500
+                        THEN 1 ELSE 0 END AS INTEGER) AS label_pred
+       FROM documents""",
+)
+def txt_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier quality scoring ([EXT], r15 — the
+    CCNet/fastText/FineWeb-Edu practice of filtering by a TRAINED model
+    score, beside the rule-based `txt_quality`/`txt_gopher_filter` and
+    the importance-ratio half in `samp_dsir`):
+    `operators/classifier.py::train_logistic` runs distributed batch GD
+    (one map-side-combinable aggregation per iteration, EXACT decimal
+    gradient sums so the weights are partition-order-independent), then
+    scores every doc with a pure column expression.
+
+    The training task is a PLANTED margin-separated label (a Knuth-hash
+    pseudo-uniform of doc_id, classes at x <= -0.2 / x >= +0.2) mixed
+    with the real punct/stopword/word-length features as nuisance
+    dimensions — so the row proves the trainer finds the separating
+    direction among noise, and BECAUSE the classes are margin-separated
+    the learned model must classify them perfectly for the row to hash:
+    the emitted prediction equals the closed-form label, making this a
+    FULL-oracle row whose gate is 100% accuracy (one flipped boundary
+    doc diverges the hash).  Scoring real corpora swaps in weak labels
+    (reference-corpus membership) over the same trainer."""
+    from kusuma_metamorph_etl_spark.operators.classifier import (
+        predict_logistic,
+        train_logistic,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    qf = text.quality_features(docs)
+    u = ((F.col("doc_id") * F.lit(2654435761)) % 1000) / F.lit(1000.0)
+    x_sep = F.when(u < 0.5, 0.6 * u - 0.5).otherwise(0.6 * (u - 0.5) + 0.2)
+    train = qf.select(
+        "doc_id",
+        x_sep.alias("x_sep"),
+        (u >= 0.5).cast("int").alias("label"),
+        "punct_ratio",
+        "stopword_ratio",
+        (F.col("avg_word_len") / 10.0).alias("awl_scaled"),
+    )
+    feature_cols = ["x_sep", "punct_ratio", "stopword_ratio", "awl_scaled"]
+    weights = train_logistic(train, feature_cols, "label", n_iter=20, lr=4.0)
+    scored = predict_logistic(train, weights, feature_cols)
+    return scored.select(
+        "doc_id",
+        (F.col("score") >= 0.5).cast("int").alias("label_pred"),
+    )

@@ -301,6 +301,7 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
+    "txt_quality_model",
     "dedup_exact_survivor",
     "mart_domain_curation",
     "evt_stickiness",
@@ -350,8 +351,8 @@ _PRIORITY: tuple[str, ...] = (
     "txt_quality",
     "txt_tfidf",
     "txt_pii_scrub",
-    "dedup_incremental",
   # ---- window cut ----
+    "dedup_incremental",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding",
@@ -569,8 +570,8 @@ _PRIORITY: tuple[str, ...] = (
     "mart_mm_dataprep",
 )
 
-# summary: 265 registered; 0 latest-red; 2 zero-evidence;
-# window holds 0 red + 2 zero-evidence rows; spilled past the cut: []
+# summary: 266 registered; 0 latest-red; 3 zero-evidence;
+# window holds 0 red + 3 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:
