@@ -346,6 +346,45 @@ def group_fixed_size_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    total: int,
+    key: Column,
+    seed: str = "42",
+) -> DataFrame:
+    """Sample to a TARGET MIXTURE: ``round(total * w_g)`` rows from each
+    named group (fewer only when the group is smaller), drawn by content
+    hash order — the domain/source-mixture quota step of training-data
+    assembly (The Pile's per-source epochs, DoReMi's domain weights):
+    the caller states the mix, the sampler materializes it.
+
+    Groups absent from ``weights`` contribute NOTHING (an explicit mix
+    is a whitelist).  Mechanism = :func:`group_fixed_size_sample` with a
+    per-group quota instead of one k: one window ``row_number`` ordered
+    by the cross-engine md5 hash, quota resolved by a CASE chain on the
+    group value — partition-invariant, one group-keyed shuffle, and
+    SQL-replayable verbatim.  Quotas are rounded half-up from
+    ``total * w_g`` so the stated weights, not float banker's rounding,
+    decide the draw."""
+    from pyspark.sql import Window
+
+    quotas = {
+        g: int(total * w + 0.5) for g, w in weights.items()
+    }
+    quota: Column = F.lit(0)
+    for value, k in sorted(quotas.items()):
+        quota = F.when(F.col(group_col) == value, F.lit(k)).otherwise(quota)
+    h = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
 def hash_unit(key: Column, seed: str = "42") -> Column:
     """md5-derived uniform double in [0, 1) — the cross-engine analog of
     ``rand()`` keyed on content: first 8 hex chars of md5(seed|key) as an

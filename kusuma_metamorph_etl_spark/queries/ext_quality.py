@@ -389,6 +389,38 @@ def samp_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
+    "samp_domain_mix",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+                ) AS rn
+         FROM documents)
+       WHERE rn <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 20
+                             WHEN 'es' THEN 20 WHEN 'fr' THEN 10
+                             WHEN 'zh' THEN 10 ELSE 0 END""",
+)
+def samp_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture sampling ([EXT], r15): the caller states per-group
+    weights (The Pile per-source epochs / DoReMi domain weights made
+    operational) and the sampler draws ``round(total*w_g)`` rows per
+    group by content-hash order — here a 40/20/20/10/10 language mix
+    over ``lang`` with total 100 (`sampling.mixture_sample`; groups
+    smaller than their quota contribute what they have, exercised at
+    sf0.001 where per-lang counts sit under the quotas).  One group-
+    keyed window shuffle; partition-invariant; CASE-chain quotas
+    replayed verbatim by the oracle."""
+    docs = t(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        docs.select("doc_id", "lang"),
+        "lang",
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+        total=100,
+        key=F.col("doc_id"),
+    )
+
+@register(
     "dq_outlier_flag",
     """WITH b AS (
          SELECT o_orderpriority AS priority,

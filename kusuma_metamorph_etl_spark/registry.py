@@ -303,6 +303,7 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 _PRIORITY: tuple[str, ...] = (
     "txt_quality_model",
     "dedup_exact_survivor",
+    "samp_domain_mix",
     "mart_domain_curation",
     "evt_stickiness",
     "graph_triangles",
@@ -350,8 +351,8 @@ _PRIORITY: tuple[str, ...] = (
     "sort_limit",
     "txt_quality",
     "txt_tfidf",
-    "txt_pii_scrub",
   # ---- window cut ----
+    "txt_pii_scrub",
     "dedup_incremental",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -570,8 +571,8 @@ _PRIORITY: tuple[str, ...] = (
     "mart_mm_dataprep",
 )
 
-# summary: 266 registered; 0 latest-red; 3 zero-evidence;
-# window holds 0 red + 3 zero-evidence rows; spilled past the cut: []
+# summary: 267 registered; 0 latest-red; 4 zero-evidence;
+# window holds 0 red + 4 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

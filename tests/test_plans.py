@@ -649,3 +649,31 @@ def test_q19_q15_plan_contracts(spark, sf_small):
     assert "BroadcastHashJoin" in q15
     assert "SortMergeJoin" not in q15
     assert "GreaterThanOrEqual(l_shipdate" in q15  # quarter filter pushed
+
+
+def test_curate_domains_broadcasts_kept_list(spark, sf_small):
+    """The domain-curation filter-back must broadcast the kept-domain
+    list onto the docs (r15): a sort-merge or shuffled-hash join here
+    would shuffle the full doc side for a tiny domain table."""
+    from kusuma_metamorph_etl_spark.queries.ext_marts import (
+        mart_domain_curation,
+    )
+
+    plan = _plan(mart_domain_curation(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    # LeftSemi join back, never an inner join materializing stats cols.
+    assert "LeftSemi" in plan
+
+
+def test_exact_dedup_survivor_single_aggregate_no_window(spark, sf_small):
+    """survivor_by dedup must stay ONE map-side-combinable aggregate —
+    a Window rewrite would sort every group and lose partial
+    aggregation (the oracle uses row_number; the engine must not)."""
+    from kusuma_metamorph_etl_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").withColumn(
+        "q", F.length("text").cast("double")
+    )
+    plan = _plan(dedup.exact_dedup(docs, survivor_by="q"))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()

@@ -1392,3 +1392,39 @@ class TestDomainCuration:
             "hot.com",
             "blocked.com",
         }
+
+
+class TestMixtureSample:
+    """Target-mixture sampling: stated weights become exact per-group
+    quotas, small groups cap at their size, unnamed groups are excluded,
+    and the draw is partition-invariant."""
+
+    def test_quotas_cap_and_whitelist(self, spark):
+        rows = [(i, "a" if i < 50 else ("b" if i < 60 else "c"))
+                for i in range(70)]
+        df = spark.createDataFrame(rows, ["id", "g"])
+        out = sampling.mixture_sample(
+            df, "g", {"a": 0.6, "b": 0.4}, total=50, key=F.col("id")
+        )
+        counts = {r["g"]: r["n"] for r in
+                  out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"a": 30, "b": 10}  # b quota 20 capped at |b|=10
+        # 'c' never named -> excluded entirely.
+
+    def test_partition_invariance_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [(i, "x" if i % 2 else "y") for i in range(100)], ["id", "g"]
+        )
+        w = {"x": 0.5, "y": 0.5}
+        a = sorted(r["id"] for r in
+                   sampling.mixture_sample(df, "g", w, 40, F.col("id")).collect())
+        b = sorted(r["id"] for r in
+                   sampling.mixture_sample(
+                       df.repartition(17), "g", w, 40, F.col("id")).collect())
+        assert a == b and len(a) == 40
+
+    def test_half_up_rounding(self, spark):
+        df = spark.createDataFrame([(i, "a") for i in range(30)], ["id", "g"])
+        # 0.25 * 10 = 2.5 -> half-up 3, not banker's 2.
+        out = sampling.mixture_sample(df, "g", {"a": 0.25}, 10, F.col("id"))
+        assert out.count() == 3

@@ -199,6 +199,42 @@ def select_targets(verbose: bool = True, cap: int = 30) -> list[str]:
     return targets
 
 
+def isolated_baselines(exclude_round: int | None = None) -> dict[str, tuple[str, float]]:
+    """Per query: ``(round_key, median)`` from the NEWEST
+    ``BENCH_ISOLATED.json`` entry carrying that row (optionally excluding
+    the round being recorded, so a re-run never compares to itself)."""
+    path = REPO / "BENCH_ISOLATED.json"
+    if not path.exists():
+        return {}
+    book = json.loads(path.read_text())
+    out: dict[str, tuple[str, float]] = {}
+    for key in sorted(book, key=lambda k: int(k.lstrip("r"))):
+        if exclude_round is not None and key == f"r{exclude_round}":
+            continue
+        for name, entry in book[key].get("queries", {}).items():
+            med = entry.get("median")
+            if med:
+                out[name] = (key, float(med))
+    return out
+
+
+def classify(results: dict, exclude_round: int | None = None) -> None:
+    baselines = isolated_baselines(exclude_round)
+    for name, r in sorted(results.items()):
+        hit = baselines.get(name)
+        if hit is None:
+            r["verdict"] = "NO-ISOLATED-BASELINE"
+            print(f"{name}: NO-ISOLATED-BASELINE (median {r['median']}s "
+                  f"seeds the next comparison)")
+            continue
+        base_key, base = hit
+        ratio = round(r["median"] / base, 2)
+        r["vs_isolated"] = f"{ratio}x {base_key}"
+        r["verdict"] = "NOISE" if ratio <= 1.2 else "REGRESSION"
+        print(f"{name}: {r['verdict']} (isolated {r['median']}s = "
+              f"{ratio}x of {base_key} isolated median {base}s)")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
@@ -214,10 +250,17 @@ def main() -> int:
         "∪ >1.5x movers) to the positional queries",
     )
     ap.add_argument(
-        "--classify-against",
-        metavar="BENCH_rN.json",
-        help="append NOISE/REGRESSION verdicts vs that file's in-session "
-        "medians (1.2x threshold on the isolated median)",
+        "--classify",
+        action="store_true",
+        help="append NOISE/REGRESSION verdicts vs each row's NEWEST "
+        "prior BENCH_ISOLATED.json median (1.2x threshold) — isolated "
+        "numbers only compare against isolated numbers; fresh-JVM "
+        "medians run systematically slower than warm in-session bench "
+        "medians, so classifying against a BENCH_r{N}.json would mint "
+        "spurious REGRESSIONs on untouched sub-second rows (measured: "
+        "2-3x apparent inflation purely from the channel switch). Rows "
+        "with no prior isolated baseline get NO-ISOLATED-BASELINE and "
+        "seed the next round's comparison.",
     )
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -263,33 +306,8 @@ def main() -> int:
         med = sorted(reps)[len(reps) // 2]
         results[name] = {"reps": reps, "median": med, "min": min(reps)}
         print(f"{name}: median={med} min={min(reps)} reps={reps}")
-    if args.classify_against:
-        baseline = _bench_queries(pathlib.Path(args.classify_against))
-        try:
-            import bench
-
-            overridden = set(bench.EXTRA)
-        except Exception:
-            overridden = set()
-        for name, r in results.items():
-            base = baseline.get(name)
-            if name in overridden:
-                # bench.py times a special-cased callable for these rows
-                # (e.g. dedup_semantic_incr probes a session-cached
-                # PREBUILT index; the registered row rebuilds it inline),
-                # so an isolated-registered-row vs bench-median ratio
-                # compares two different computations.  Compare these
-                # rows across rounds WITHIN this sidecar instead.
-                r["verdict"] = "INCOMPARABLE (bench.EXTRA override)"
-                continue
-            if base is None or base <= 0:
-                r["verdict"] = "NO-BASELINE"
-                continue
-            ratio = round(r["median"] / base, 2)
-            r["vs_baseline"] = ratio
-            r["verdict"] = "NOISE" if ratio <= 1.2 else "REGRESSION"
-            print(f"{name}: {r['verdict']} (isolated {r['median']}s = "
-                  f"{ratio}x of {args.classify_against} median {base}s)")
+    if args.classify:
+        classify(results, exclude_round=args.record_round or None)
     print(json.dumps(results))
     if args.record:
         _record(results, args.record_round, args.sf_dir)
