@@ -509,6 +509,56 @@ def _plane(seed: int, j: int, dim: int) -> list[float]:
     return [rng.uniform(-1.0, 1.0) for _ in range(dim)]
 
 
+def projection_matrix(
+    out_dim: int, in_dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic Johnson–Lindenstrauss projection matrix: ``out_dim``
+    rows of ``in_dim`` uniform(-1,1) components (same Mersenne-Twister
+    seeding discipline as :func:`_plane`, offset so the two families
+    never share a row), scaled by ``1/sqrt(out_dim)`` so expected
+    squared norms are preserved.  Generated driver-side and shipped as
+    array literals — tiny (out_dim × in_dim doubles) at any corpus
+    size."""
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    return [
+        [c * scale for c in _plane(seed * 7919 + 104729, j, in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 42,
+    out_col: str = "rp",
+) -> DataFrame:
+    """Seeded random-projection dimensionality reduction (Johnson–
+    Lindenstrauss): attach a ``out_dim``-component double array whose
+    pairwise distances/angles approximate the original's — the standard
+    cheapening step BEFORE brute-force rerank or LSH when embeddings are
+    wide (project 1024→64, search, rerank survivors at full width).
+
+    Pure column expressions (one left-to-right ``dot`` fold per output
+    component against a literal matrix row), so projecting 100 TB is a
+    scan: no shuffle, no Python, and the fold order matches the SQL
+    oracle's summation exactly."""
+    m = projection_matrix(out_dim, _dim_of(df, vec_col), seed)
+    v = as_double(F.col(vec_col))
+    return df.withColumn(out_col, F.array(*[dot(v, F.lit(row)) for row in m]))
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    """Vector width from one row (embeddings are fixed-width by schema
+    contract; a bounded single-row peek, not a scan)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError(f"random_project: empty frame, cannot infer {vec_col} width")
+    return int(row["d"])
+
+
 def hyperplane_signature(
     vec: Column, n_planes: int = 16, dim: int = 64, seed: int = 42
 ) -> Column:

@@ -355,3 +355,57 @@ def sim_pq_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, codes, emb, books, k=5, shortlist=50
     )
     return _topk_err(spark, sf_dir, approx, bound=0.7)
+
+
+def _rp_sql() -> str:
+    """Oracle for `sim_random_projection`: the SAME driver-side seeded
+    matrix rows embedded as DuckDB list literals, so both engines fold
+    identical coefficients in identical order."""
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        projection_matrix,
+    )
+
+    m = projection_matrix(16, 64, seed=42)
+    lits = ["[" + ", ".join(repr(c) for c in row) + "]" for row in m[:4]]
+    full = ["[" + ", ".join(repr(c) for c in row) + "]" for row in m]
+    norm_terms = " + ".join(
+        f"pow(list_dot_product(e, {row}), 2)" for row in full
+    )
+    return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT vec_id,
+               round(list_dot_product(e, {lits[0]}), 6) AS p0,
+               round(list_dot_product(e, {lits[1]}), 6) AS p1,
+               round(list_dot_product(e, {lits[2]}), 6) AS p2,
+               round(list_dot_product(e, {lits[3]}), 6) AS p3,
+               round(sqrt({norm_terms}), 6) AS pnorm
+        FROM v"""
+
+
+@register("sim_random_projection", _rp_sql())
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random-projection dimensionality reduction ([EXT], r15 —
+    Johnson–Lindenstrauss): 64-d embeddings projected to 16-d with a
+    deterministic driver-side matrix (`similarity.random_project`), the
+    standard cheapening step before LSH/brute-force when embeddings are
+    wide.  Emits the first four components plus the projected norm,
+    rounded 6 dp; the oracle embeds the SAME matrix rows as list
+    literals, so a seeding, scaling (1/sqrt(k)), or fold-order bug
+    diverges the hash.  Distance-preservation (the JL point) is pinned
+    separately in tests: pairwise-cosine distortion tightening as
+    1/sqrt(k), and ≥0.95 planted-cluster recall after projection — the
+    near-dup use.  (Raw top-k recall on THIS corpus is not a meaningful
+    gate: its vectors are near-orthogonal with neighbor margins below
+    the k=16 JL error, so structure, not the operator, decides it.)"""
+    emb = t(spark, sf_dir, "embeddings")
+    rp = similarity.random_project(emb, "embedding", out_dim=16, seed=42)
+    p = F.col("rp")
+    return rp.select(
+        "vec_id",
+        F.round(p[0], 6).alias("p0"),
+        F.round(p[1], 6).alias("p1"),
+        F.round(p[2], 6).alias("p2"),
+        F.round(p[3], 6).alias("p3"),
+        F.round(
+            F.sqrt(F.aggregate(p, F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("pnorm"),
+    )

@@ -303,6 +303,7 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 _PRIORITY: tuple[str, ...] = (
     "txt_quality_model",
     "dedup_exact_survivor",
+    "sim_random_projection",
     "samp_domain_mix",
     "mart_domain_curation",
     "evt_stickiness",
@@ -350,8 +351,8 @@ _PRIORITY: tuple[str, ...] = (
     "dq_snapshot_stamp",
     "sort_limit",
     "txt_quality",
-    "txt_tfidf",
   # ---- window cut ----
+    "txt_tfidf",
     "txt_pii_scrub",
     "dedup_incremental",
     "dedup_exact",
@@ -571,8 +572,8 @@ _PRIORITY: tuple[str, ...] = (
     "mart_mm_dataprep",
 )
 
-# summary: 267 registered; 0 latest-red; 4 zero-evidence;
-# window holds 0 red + 4 zero-evidence rows; spilled past the cut: []
+# summary: 268 registered; 0 latest-red; 5 zero-evidence;
+# window holds 0 red + 5 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:
