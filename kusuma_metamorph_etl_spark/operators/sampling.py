@@ -373,13 +373,20 @@ def mixture_sample(
     quotas = {
         g: int(total * w + 0.5) for g, w in weights.items()
     }
+    # Prune unnamed/zero-quota groups BEFORE the window: the whitelist
+    # is a pushdown-able scan filter, so at corpus scale only the named
+    # groups' rows ever reach the group-keyed sort shuffle (a 5-domain
+    # mix over millions of domains would otherwise shuffle everything
+    # just to drop it at rn <= 0).
+    named = sorted(g for g, k in quotas.items() if k > 0)
+    pruned = df.filter(F.col(group_col).isin(named)) if named else df.limit(0)
     quota: Column = F.lit(0)
-    for value, k in sorted(quotas.items()):
-        quota = F.when(F.col(group_col) == value, F.lit(k)).otherwise(quota)
+    for value in named:
+        quota = F.when(F.col(group_col) == value, F.lit(quotas[value])).otherwise(quota)
     h = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
     w = Window.partitionBy(group_col).orderBy(h, key)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )

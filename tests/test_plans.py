@@ -677,3 +677,16 @@ def test_exact_dedup_survivor_single_aggregate_no_window(spark, sf_small):
     plan = _plan(dedup.exact_dedup(docs, survivor_by="q"))
     assert "Window" not in plan
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_mixture_sample_prunes_unnamed_groups_at_scan(spark, sf_small):
+    """The mixture whitelist must reach the parquet scan: only named
+    groups' rows may enter the window shuffle (r15 self-review — the
+    unpruned form shuffled every group just to drop it at rn <= 0)."""
+    from kusuma_metamorph_etl_spark.queries.ext_quality import (
+        samp_domain_mix,
+    )
+
+    plan = _plan(samp_domain_mix(spark, sf_small))
+    assert "PushedFilters" in plan
+    assert "In(lang" in plan
