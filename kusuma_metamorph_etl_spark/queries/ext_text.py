@@ -1053,3 +1053,71 @@ def txt_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("score") >= 0.5).cast("int").alias("label_pred"),
     )
+
+
+@register(
+    "txt_ccnet_buckets",
+    f"""WITH tok AS MATERIALIZED (
+          SELECT doc_id, lang, {_W_LOWER} AS w FROM documents),
+        big AS MATERIALIZED (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          FROM tok, unnest(range(1, len(w))) AS t(i)
+          WHERE len(w) >= 2),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS v FROM (
+                SELECT w1 AS t FROM big UNION SELECT w2 FROM big)),
+        lp AS (
+          SELECT b.doc_id,
+                 CAST(round(log2((coalesce(c2.c2, 0) + 1.0)
+                                 / (coalesce(c1.c1, 0) + (SELECT v FROM v))), 9)
+                      AS DECIMAL(38,9)) AS lp
+          FROM big b
+          LEFT JOIN c2 USING (w1, w2)
+          LEFT JOIN c1 USING (w1)),
+        s AS (
+          SELECT doc_id,
+                 round(CAST(-sum(lp) AS DOUBLE) / count(*), 6) AS bpb
+          FROM lp GROUP BY doc_id),
+        sl AS (SELECT s.doc_id, tok.lang, s.bpb
+               FROM s JOIN tok USING (doc_id)),
+        th AS (SELECT lang,
+                      round(quantile_cont(bpb, 1.0/3), 6) AS t1,
+                      round(quantile_cont(bpb, 2.0/3), 6) AS t2
+               FROM sl GROUP BY lang)
+        SELECT sl.doc_id, sl.lang,
+               CASE WHEN sl.bpb <= th.t1 THEN 'head'
+                    WHEN sl.bpb <= th.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sl JOIN th USING (lang)""",
+)
+def txt_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing ([EXT], r15 — Wenzek et al.
+    2020's signature move): per-LANGUAGE perplexity terciles split the
+    corpus into head / middle / tail quality tiers (head = lowest
+    bits-per-bigram third), the partition CCNet publishes and trainers
+    mix from.  Composes the registered bigram-LM scorer
+    (`text.bigram_lm_scores`, order-independent decimal log-sums) with
+    exact per-lang percentiles; tercile thresholds are rounded 6 dp in
+    BOTH engines so the boundary compare is bit-stable, and the
+    threshold frame (one row per language) broadcasts back onto the
+    scores — the doc side never shuffles for the labeling."""
+    from pyspark.sql.functions import broadcast
+
+    docs = t(spark, sf_dir, "documents")
+    scores = text.bigram_lm_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    th = scores.groupBy("lang").agg(
+        F.round(F.percentile("bits_per_bigram", F.lit(1.0 / 3)), 6).alias("t1"),
+        F.round(F.percentile("bits_per_bigram", F.lit(2.0 / 3)), 6).alias("t2"),
+    )
+    bpb = F.col("bits_per_bigram")
+    return scores.join(broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        F.when(bpb <= F.col("t1"), "head")
+        .when(bpb <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -302,6 +302,7 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
     "txt_quality_model",
+    "txt_ccnet_buckets",
     "dedup_exact_survivor",
     "sim_random_projection",
     "samp_domain_mix",
@@ -350,8 +351,8 @@ _PRIORITY: tuple[str, ...] = (
     "dq_duplicate_gate",
     "dq_snapshot_stamp",
     "sort_limit",
-    "txt_quality",
   # ---- window cut ----
+    "txt_quality",
     "txt_tfidf",
     "txt_pii_scrub",
     "dedup_incremental",
@@ -572,8 +573,8 @@ _PRIORITY: tuple[str, ...] = (
     "mart_mm_dataprep",
 )
 
-# summary: 268 registered; 0 latest-red; 5 zero-evidence;
-# window holds 0 red + 5 zero-evidence rows; spilled past the cut: []
+# summary: 269 registered; 0 latest-red; 6 zero-evidence;
+# window holds 0 red + 6 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:
