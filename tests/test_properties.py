@@ -928,3 +928,91 @@ def test_bloom_incremental_dedup_always_equals_anti_join(texts, split, fpp):
         for r in bloom_incremental_dedup(new, history, fpp=fpp).collect()
     }
     assert bloomed == plain
+
+
+# ---------------------------------------------------------------- r15 ops
+
+_HOST_LABEL = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+
+
+@settings(max_examples=_ex(12), deadline=None)
+@given(
+    labels=st.lists(_HOST_LABEL, min_size=1, max_size=5),
+    suffix=st.sampled_from(
+        ["", ".co.uk", ".com.au", ".co.jp", ".com", ".org", ".net"]
+    ),
+    path=st.text(alphabet="abcxyz019/._-", max_size=12),
+)
+def test_registrable_domain_is_host_suffix_and_stable(labels, suffix, path):
+    """For any synthesized URL: extraction never throws, the result is a
+    dot-suffix of the host (or the host itself), and re-extracting from
+    a URL built on the extracted domain is a fixpoint."""
+    from kusuma_metamorph_etl_spark.operators.text import registrable_domain
+
+    spark = _session()
+    host = ".".join(labels) + suffix
+    url = f"https://{host}/{path}"
+    df = spark.createDataFrame([(url,)], ["u"])
+    got = df.select(registrable_domain(F.col("u")).alias("d")).first()["d"]
+    assert got == host or host.endswith("." + got)
+    refetched = (
+        spark.createDataFrame([(f"https://{got}/x",)], ["u"])
+        .select(registrable_domain(F.col("u")).alias("d"))
+        .first()["d"]
+    )
+    assert refetched == got  # fixpoint: eTLD+1 of an eTLD+1 is itself
+
+
+@settings(max_examples=_ex(10), deadline=None)
+@given(
+    sizes=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=0, max_value=25),
+        min_size=1,
+        max_size=4,
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=3,
+    ),
+    total=st.integers(min_value=0, max_value=40),
+)
+def test_mixture_sample_quota_invariants(sizes, weights, total):
+    """Per-group output == min(group size, round-half-up quota); groups
+    outside the weight map never appear; whole draw partition-invariant."""
+    from kusuma_metamorph_etl_spark.operators.sampling import mixture_sample
+
+    spark = _session()
+    rows = []
+    i = 0
+    for g, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    if not rows:
+        rows = [(0, "zz")]  # keep a schema; 'zz' is never named
+    df = spark.createDataFrame(rows, ["id", "g"])
+    out = mixture_sample(df, "g", weights, total, F.col("id"))
+    got = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    for g, n_got in got.items():
+        assert g in weights
+        quota = int(total * weights[g] + 0.5)
+        assert n_got == min(quota, sizes.get(g, 0))
+    for g, w in weights.items():
+        quota = int(total * w + 0.5)
+        expect = min(quota, sizes.get(g, 0))
+        assert got.get(g, 0) == expect
+    re_ids = sorted(
+        r["id"]
+        for r in mixture_sample(
+            df.repartition(5), "g", weights, total, F.col("id")
+        ).collect()
+    )
+    assert re_ids == sorted(r["id"] for r in out.collect())
