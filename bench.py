@@ -94,7 +94,9 @@ HEADLINE = [
     "dedup_cc_minhash",  # r14: banded-edge CC, the scale twin (exp 0.076)
     "samp_dsir",  # r14: hashed-ngram importance fit + Gumbel top-k draw
     "mart_domain_curation",  # r15: eTLD+1 rollup + broadcast filter-back
-    "txt_quality_model",  # r15: batch-GD logistic trainer, 20 agg passes
+    "txt_quality_model",  # r15: batch-GD logistic trainer, 10 agg passes
+    "sim_random_projection",  # r15: JL matrix dot folds, pure scan
+    "txt_ccnet_buckets",  # r15: bigram-LM scores + per-lang terciles
 ]
 
 
