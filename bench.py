@@ -97,6 +97,7 @@ HEADLINE = [
     "txt_quality_model",  # r15: batch-GD logistic trainer, 10 agg passes
     "sim_random_projection",  # r15: JL matrix dot folds, pure scan
     "txt_ccnet_buckets",  # r15: bigram-LM scores + per-lang terciles
+    "sim_maxsim_topk",  # r15: late-interaction MaxSim, broadcast q-tokens
 ]
 
 

@@ -1312,3 +1312,71 @@ def pq_topk_rerank(
         order_by=[F.desc("cosine"), F.asc("neighbor_id")],
         k=k,
     )
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 3,
+    d_col: str = "dkey",
+    q_col: str = "qkey",
+    tok_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style MaxSim): score a
+    (query, doc) pair as ``Σ_{i∈q} max_{j∈d} cos(q_i, d_j)`` over TOKEN
+    embeddings, and return the top-``k`` docs per query — the
+    multi-vector scoring model that beats single-vector cosine on
+    fine-grained matches because every query token independently finds
+    its best counterpart.
+
+    Shape: the query token set (queries × tokens — small by definition;
+    production systems score a candidate set this way after ANN
+    prefilter) BROADCASTS against one scan of the doc tokens; the
+    per-token maxima then reduce in two map-side-combinable aggregates
+    (max is order-independent; the final sum runs over 9-dp-rounded
+    DECIMAL values — the same exact-sum discipline as the bigram-LM
+    scorer — so engines and partitionings agree bit-for-bit).  No
+    shuffle ever carries embedding arrays beyond the doc-token scan."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    q = query_tokens.select(
+        F.col(q_col),
+        F.col(tok_col).alias("__qtok"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    d = doc_tokens.select(
+        F.col(d_col),
+        F.col(vec_col).alias("__dvec"),
+    )
+    pairs = d.join(broadcast(q))
+    per_token = (
+        pairs.select(
+            q_col,
+            "__qtok",
+            d_col,
+            cosine(as_double(F.col("__qvec")), as_double(F.col("__dvec"))).alias(
+                "__cos"
+            ),
+        )
+        .groupBy(q_col, "__qtok", d_col)
+        .agg(F.max("__cos").alias("__maxc"))
+    )
+    scored = (
+        per_token.select(
+            q_col,
+            d_col,
+            F.round("__maxc", 9).cast("decimal(38,9)").alias("__maxc"),
+        )
+        .groupBy(q_col, d_col)
+        .agg(
+            F.round(F.sum("__maxc").cast("double"), 6).alias("maxsim"),
+            F.count(F.lit(1)).alias("n_query_tokens"),
+        )
+    )
+    w = Window.partitionBy(q_col).orderBy(F.desc("maxsim"), F.col(d_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -759,7 +759,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
-    "agg_kmv_intersect",
+    "agg_kmv_family",
     """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
        SELECT (SELECT count(*) FROM a) AS n_a,
@@ -767,19 +767,24 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
               (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
                   AS n_union,
               (SELECT count(*) FROM a JOIN b USING (o_custkey))
-                  AS n_intersection""",
+                  AS n_intersection,
+              (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                  AS n_difference""",
 )
-def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV/theta sketch set-intersection estimate ([EXT] mergeable
-    sketches; `operators/sketches.py::kmv_sketch/kmv_intersect`) — the
-    query HLL cannot answer: how many customers placed BOTH open and
-    filled orders, from two 256-hash sketches instead of the raw sets.
-    Emits the EXACT counts (oracle-computable) gated on all four KMV
-    estimates landing within their error bounds (10% for the direct
-    set estimates at k=256 where σ ≈ 1/√k ≈ 6%; 15% for the composed
-    intersection) — a regression in the sketch math empties the output
-    and flips the driver red."""
+def agg_kmv_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set algebra ([EXT] mergeable sketches) — r15
+    consolidation of the r7-green `agg_kmv_intersect` + `agg_kmv_diff`
+    under the retire-one policy (funding `sim_maxsim_topk`): BOTH the
+    intersection estimate (two k=256 sketches; the question HLL cannot
+    answer) and the difference estimate (k=1024 — the difference is
+    small, |A\\B| ≈ 68 of a ~1500 union at sf0.01, so its transfer
+    count carries σ ≈ 15% and the 0.35 band is ~2.3σ) in ONE gated
+    frame.  Emits the EXACT counts (oracle-computable) gated on every
+    estimate landing inside its error band — a regression in either
+    sketch-algebra path empties the output and flips the driver red.
+    `operators/sketches.py::kmv_sketch/kmv_intersect/kmv_difference`."""
     from kusuma_metamorph_etl_spark.operators.sketches import (
+        kmv_difference,
         kmv_intersect,
         kmv_sketch,
     )
@@ -787,8 +792,13 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    est = kmv_intersect(
+    est_i = kmv_intersect(
         kmv_sketch(a, "o_custkey", k=256), kmv_sketch(b, "o_custkey", k=256), k=256
+    )
+    est_d = kmv_difference(
+        kmv_sketch(a, "o_custkey", k=1024),
+        kmv_sketch(b, "o_custkey", k=1024),
+        k=1024,
     )
     da, db = a.distinct(), b.distinct()
     exact = (
@@ -796,8 +806,20 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(_n(db, "n_b"))
         .crossJoin(_n(da.unionByName(db).distinct(), "n_union"))
         .crossJoin(_n(da.join(db, "o_custkey"), "n_intersection"))
+        .crossJoin(_n(da.join(db, "o_custkey", "left_anti"), "n_difference"))
     )
-    stats = exact.crossJoin(F.broadcast(est))
+    stats = exact.crossJoin(
+        F.broadcast(
+            est_i.crossJoin(
+                est_d.select(
+                    F.col("est_a").alias("d_est_a"),
+                    F.col("est_b").alias("d_est_b"),
+                    F.col("est_union").alias("d_est_union"),
+                    "est_difference",
+                )
+            )
+        )
+    )
     within = (
         lambda e, x, tol: F.abs(F.col(e) - F.col(x)) <= tol * F.col(x)
     )
@@ -806,6 +828,10 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & within("est_b", "n_b", 0.10)
         & within("est_union", "n_union", 0.10)
         & within("est_intersection", "n_intersection", 0.15)
+        & within("d_est_a", "n_a", 0.06)
+        & within("d_est_b", "n_b", 0.06)
+        & within("d_est_union", "n_union", 0.06)
+        & within("est_difference", "n_difference", 0.35)
     )
     return _gate(exact, stats, ok)
 
@@ -1023,60 +1049,6 @@ def samp_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round("dsir_logw", 6).alias("dsir_logw"),
     )
-
-@register(
-    "agg_kmv_diff",
-    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
-        b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
-       SELECT (SELECT count(*) FROM a) AS n_a,
-              (SELECT count(*) FROM b) AS n_b,
-              (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
-                  AS n_union,
-              (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
-                  AS n_difference""",
-)
-def agg_kmv_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV/theta sketch set-DIFFERENCE estimate ([EXT] mergeable
-    sketches; `operators/sketches.py::kmv_difference` — completes the
-    theta algebra next to `agg_kmv_intersect`): customers with open but
-    never-filled orders, from two sketches instead of the raw sets.
-    Emits the EXACT counts gated on the estimates' error bounds — k=1024
-    because the difference is small (|A\\B| ≈ 68 of a ~1500 union at
-    sf0.01, so its transfer count ρ ≈ 46 carries σ ≈ 15%; the 0.35 band
-    is ~2.3σ, and the direct estimates at k=1024 get 0.06).  A
-    regression in the difference math empties the output and flips the
-    driver red."""
-    from kusuma_metamorph_etl_spark.operators.sketches import (
-        kmv_difference,
-        kmv_sketch,
-    )
-
-    orders = t(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    est = kmv_difference(
-        kmv_sketch(a, "o_custkey", k=1024),
-        kmv_sketch(b, "o_custkey", k=1024),
-        k=1024,
-    )
-    da, db = a.distinct(), b.distinct()
-    exact = (
-        _n(da, "n_a")
-        .crossJoin(_n(db, "n_b"))
-        .crossJoin(_n(da.unionByName(db).distinct(), "n_union"))
-        .crossJoin(_n(da.join(db, "o_custkey", "left_anti"), "n_difference"))
-    )
-    stats = exact.crossJoin(F.broadcast(est))
-    within = (
-        lambda e, x, tol: F.abs(F.col(e) - F.col(x)) <= tol * F.col(x)
-    )
-    ok = (
-        within("est_a", "n_a", 0.06)
-        & within("est_b", "n_b", 0.06)
-        & within("est_union", "n_union", 0.06)
-        & within("est_difference", "n_difference", 0.35)
-    )
-    return _gate(exact, stats, ok)
 
 @register(
     "dq_reconcile",

@@ -409,3 +409,57 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(p, F.lit(0.0), lambda a, x: a + x * x)), 6
         ).alias("pnorm"),
     )
+
+
+@register(
+    "sim_maxsim_topk",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        d AS (SELECT vec_id % 10 AS dkey, e FROM v),
+        q AS (SELECT (vec_id // 50) % 2 AS qkey, vec_id AS qtok, e FROM v
+              WHERE vec_id % 50 = 0),
+        pt AS (SELECT qkey, qtok, dkey, max({_COSINE}) AS maxc
+               FROM q a, d b
+               GROUP BY 1, 2, 3),
+        sc AS (SELECT qkey, dkey,
+                      round(CAST(sum(CAST(round(maxc, 9) AS DECIMAL(38,9)))
+                                 AS DOUBLE), 6) AS maxsim,
+                      count(*) AS n_query_tokens
+               FROM pt GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                          PARTITION BY qkey
+                          ORDER BY maxsim DESC, dkey) AS rank
+              FROM sc)
+        SELECT qkey, dkey, maxsim, n_query_tokens, rank
+        FROM r WHERE rank <= 3""",
+)
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval ([EXT], r15 — ColBERT-style MaxSim,
+    Khattab & Zaharia 2020): multi-vector scoring where every query
+    TOKEN independently finds its best doc-token cosine and the per-
+    token maxima sum to the pair score — the fine-grained matching
+    single-vector cosine flattens away.  Pseudo multi-vector sets are
+    derived from the embeddings table (doc token sets by `vec_id % 10`,
+    two query token sets from every 50th vector); the query side
+    BROADCASTS against one scan of the doc tokens, maxima and the
+    exact-decimal sum reduce map-side (`similarity.maxsim_topk` — same
+    9-dp-decimal sum discipline as the bigram LM, so engines and
+    partitionings agree bit-for-bit).
+
+    DECLARED exact token-level baseline (sf1.0 exponent 0.84, the
+    `sim_cosine_topk` shape: query tokens AND doc tokens both scale
+    with the corpus here, so work is |q|·|d|) — production ColBERT
+    scores a CANDIDATE set this way after an ANN prefilter, and the
+    registered prefilter paths (`sim_ivf_topk` / `sim_lsh_topk` over
+    pooled doc vectors) compose directly: prefilter top-N docs, then
+    `maxsim_topk(candidate_tokens, query_tokens)` — per-query cost
+    drops to |q| × N·tokens, independent of corpus size.  Funded by
+    consolidating `agg_kmv_intersect` + `agg_kmv_diff` →
+    `agg_kmv_family` under the retire-one policy."""
+    emb = t(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        (F.col("vec_id") % 10).alias("dkey"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.expr("vec_id div 50") % 2).alias("qkey"), "vec_id", "embedding"
+    )
+    return similarity.maxsim_topk(docs, queries, k=3)

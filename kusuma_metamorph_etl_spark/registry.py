@@ -305,7 +305,9 @@ _PRIORITY: tuple[str, ...] = (
     "txt_ccnet_buckets",
     "dedup_exact_survivor",
     "sim_random_projection",
+    "sim_maxsim_topk",
     "samp_domain_mix",
+    "agg_kmv_family",
     "mart_domain_curation",
     "evt_stickiness",
     "graph_triangles",
@@ -321,7 +323,6 @@ _PRIORITY: tuple[str, ...] = (
     "samp_mergeable",
     "dq_freshness",
     "samp_weighted",
-    "agg_kmv_diff",
     "sql_shipping_priority",
     "sql_local_supplier_volume",
     "sql_returned_items",
@@ -350,8 +351,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_str_value",
     "dq_duplicate_gate",
     "dq_snapshot_stamp",
-    "sort_limit",
   # ---- window cut ----
+    "sort_limit",
     "txt_quality",
     "txt_tfidf",
     "txt_pii_scrub",
@@ -564,7 +565,6 @@ _PRIORITY: tuple[str, ...] = (
     "samp_kfold",
     "agg_bloom_join",
     "dq_expectations",
-    "agg_kmv_intersect",
     "agg_corr_matrix",
     "samp_balance",
     "samp_dsir",
@@ -573,8 +573,8 @@ _PRIORITY: tuple[str, ...] = (
     "mart_mm_dataprep",
 )
 
-# summary: 269 registered; 0 latest-red; 6 zero-evidence;
-# window holds 0 red + 6 zero-evidence rows; spilled past the cut: []
+# summary: 269 registered; 0 latest-red; 8 zero-evidence;
+# window holds 0 red + 8 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

@@ -690,3 +690,15 @@ def test_mixture_sample_prunes_unnamed_groups_at_scan(spark, sf_small):
     plan = _plan(samp_domain_mix(spark, sf_small))
     assert "PushedFilters" in plan
     assert "In(lang" in plan
+
+
+def test_ccnet_buckets_broadcasts_thresholds(spark, sf_small):
+    """The per-language tercile frame (one row per language) must
+    broadcast back onto the scores — labeling may never shuffle the doc
+    side (r15)."""
+    from kusuma_metamorph_etl_spark.queries.ext_text import (
+        txt_ccnet_buckets,
+    )
+
+    plan = _plan(txt_ccnet_buckets(spark, sf_small))
+    assert "BroadcastHashJoin" in plan

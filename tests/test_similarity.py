@@ -746,3 +746,39 @@ class TestRandomProjection:
             hits += sum(proj[ids[t]][0] == proj[i][0] for t in top4)
             total += 4
         assert hits / total >= 0.95
+
+
+def test_maxsim_hand_computed(spark):
+    """MaxSim on a hand-checkable token layout: query tokens along the
+    axes; doc A holds both axes (score 2.0), doc B only one (1.0 + the
+    0.0 max against its orthogonal token = 1.0 total), doc C anti-
+    aligned on both axes — but each query token's MAX in C is the 0.0
+    orthogonal, so MaxSim reads 0.0, not -2.0 (per-token max forgives
+    anti-alignment; that's the late-interaction semantics)."""
+    from kusuma_metamorph_etl_spark.operators.similarity import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [
+            ("A", [1.0, 0.0]), ("A", [0.0, 1.0]),
+            ("B", [1.0, 0.0]), ("B", [0.0, -1.0]),
+            ("C", [-1.0, 0.0]), ("C", [0.0, -1.0]),
+        ],
+        "dkey string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, 1, [1.0, 0.0]), (0, 2, [0.0, 1.0])],
+        "qkey long, vec_id long, embedding array<double>",
+    )
+    got = {
+        r["dkey"]: (r["maxsim"], r["rank"], r["n_query_tokens"])
+        for r in maxsim_topk(docs, queries, k=3).collect()
+    }
+    assert got["A"] == (2.0, 1, 2)
+    assert got["B"] == (1.0, 2, 2)  # q2's best in B is 0.0 (orthogonal)
+    assert got["C"] == (0.0, 3, 2)
+    # Partition invariance of the decimal-sum scoring.
+    got13 = {
+        r["dkey"]: r["maxsim"]
+        for r in maxsim_topk(docs.repartition(13), queries, k=3).collect()
+    }
+    assert got13 == {k: v[0] for k, v in got.items()}
