@@ -1016,3 +1016,59 @@ def test_mixture_sample_quota_invariants(sizes, weights, total):
         ).collect()
     )
     assert re_ids == sorted(r["id"] for r in out.collect())
+
+
+@settings(max_examples=_ex(8), deadline=None)
+@given(
+    n_doc=st.integers(min_value=1, max_value=4),
+    n_tok=st.integers(min_value=1, max_value=4),
+    n_q=st.integers(min_value=1, max_value=3),
+    data=st.data(),
+)
+def test_maxsim_matches_python_oracle(n_doc, n_tok, n_q, data):
+    """maxsim_topk == the brute-force Python computation (sum over query
+    tokens of the max doc-token cosine, ranked desc with dkey tiebreak)
+    on arbitrary small integer-vector token sets."""
+    import math
+
+    from kusuma_metamorph_etl_spark.operators.similarity import maxsim_topk
+
+    spark = _session()
+    vec = st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+    ).filter(lambda v: any(v))  # zero vectors -> NULL cosine, tested separately
+    docs, d_map = [], {}
+    for d in range(n_doc):
+        d_map[d] = []
+        for _ in range(n_tok):
+            v = data.draw(vec)
+            docs.append((d, [float(x) for x in v]))
+            d_map[d].append(v)
+    qs, q_map = [], {}
+    for i in range(n_q):
+        v = data.draw(vec)
+        qs.append((0, i, [float(x) for x in v]))
+        q_map[i] = v
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    expect = {}
+    for d, toks in d_map.items():
+        s = sum(
+            round(max(cos(q, t) for t in toks), 9) for q in q_map.values()
+        )
+        expect[d] = round(s, 6)
+    order = sorted(expect, key=lambda d: (-expect[d], d))[:2]
+
+    docs_df = spark.createDataFrame(docs, "dkey long, embedding array<double>")
+    q_df = spark.createDataFrame(qs, "qkey long, vec_id long, embedding array<double>")
+    got = {
+        r["dkey"]: (r["maxsim"], r["rank"])
+        for r in maxsim_topk(docs_df, q_df, k=2).collect()
+    }
+    assert sorted(got) == sorted(order)
+    for rank, d in enumerate(order, start=1):
+        assert got[d][1] == rank
+        assert abs(got[d][0] - expect[d]) < 1e-6
