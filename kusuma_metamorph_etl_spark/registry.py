@@ -160,9 +160,9 @@ _LOADED = False
 # EVERY REGISTRATION; the window guard test is the backstop, run it
 # before every commit.
 #
-# r15 builder checklist: once the driver lands CORRECTNESS_r14.json,
-# bump _PRIORITY_BASIS_ROUND to 14, regenerate with
-# `python tools/make_window.py --through-round 14`, and re-paste
+# r16 builder checklist: once the driver lands CORRECTNESS_r15.json,
+# bump _PRIORITY_BASIS_ROUND to 15, regenerate with
+# `python tools/make_window.py --through-round 15`, and re-paste
 # (defer only if new zero-evidence registrations overflow the window).
 # Registry ceiling policy (ENFORCED since r12 by
 # tests/test_registry_window.py::test_registry_under_rotation_ceiling):
@@ -171,12 +171,13 @@ _LOADED = False
 # message must name the retired/merged row.
 # ---------------------------------------------------------------------------
 
-_PRIORITY_BASIS_ROUND = 14
+_PRIORITY_BASIS_ROUND = 15
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Empty this round: 4 zero-evidence rows + the 26-row r8 cohort + 20
-# pre-rotated r9 rows fill the window exactly.
+# Empty this round (r16 basis): 0 zero-evidence rows at regen time —
+# the window is the due r9/r10 cohorts; re-check after each new
+# registration (new rows enter zero-evidence and may force a spill).
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
@@ -297,61 +298,10 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
     return tuple(ordered)
 
 
-# Output of `python tools/make_window.py` at basis round 14 —
+# Output of `python tools/make_window.py` at basis round 15 —
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    "txt_quality_model",
-    "txt_ccnet_buckets",
-    "dedup_exact_survivor",
-    "sim_random_projection",
-    "sim_maxsim_topk",
-    "samp_domain_mix",
-    "agg_kmv_family",
-    "mart_domain_curation",
-    "evt_stickiness",
-    "graph_triangles",
-    "join_skew_salted",
-    "layout_zorder",
-    "layout_compaction_plan",
-    "graph_kcore",
-    "graph_kcore_err",
-    "layout_zonemap_scan",
-    "win_first_last",
-    "samp_epochs",
-    "dq_psi_categorical",
-    "samp_mergeable",
-    "dq_freshness",
-    "samp_weighted",
-    "sql_shipping_priority",
-    "sql_local_supplier_volume",
-    "sql_returned_items",
-    "sql_promo_revenue",
-    "sql_large_volume_customers",
-    "sql_late_shipment_priority",
-    "sql_disjunctive_revenue",
-    "sql_top_supplier",
-    "mart_crawl_prep",
-    "mart_user_engagement",
-    "mart_vector_curation",
-    "fil_conj",
-    "fil_isnull",
-    "join_left_equi",
-    "join_right_equi",
-    "join_inner_equi",
-    "agg_groupby_single",
-    "agg_groupby_multi",
-    "agg_sum_expr",
-    "agg_avg",
-    "agg_histogram",
-    "agg_approx_quantile",
-    "agg_approx_quantile_err",
-    "null_fillna_map",
-    "fn_date_math",
-    "fn_str_value",
-    "dq_duplicate_gate",
-    "dq_snapshot_stamp",
-  # ---- window cut ----
     "sort_limit",
     "txt_quality",
     "txt_tfidf",
@@ -402,6 +352,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_mode",
     "samp_interleave",
     "samp_shuffle",
+  # ---- window cut ----
     "samp_pack",
     "agg_percentile",
     "dq_reconcile",
@@ -571,10 +522,60 @@ _PRIORITY: tuple[str, ...] = (
     "mart_llm_dataprep",
     "mart_rfm",
     "mart_mm_dataprep",
+    "fil_conj",
+    "fil_isnull",
+    "join_left_equi",
+    "join_right_equi",
+    "join_inner_equi",
+    "agg_groupby_single",
+    "agg_groupby_multi",
+    "agg_sum_expr",
+    "agg_avg",
+    "agg_histogram",
+    "agg_approx_quantile",
+    "agg_approx_quantile_err",
+    "null_fillna_map",
+    "fn_date_math",
+    "fn_str_value",
+    "dq_duplicate_gate",
+    "dq_snapshot_stamp",
+    "txt_quality_model",
+    "txt_ccnet_buckets",
+    "dedup_exact_survivor",
+    "sim_random_projection",
+    "sim_maxsim_topk",
+    "evt_stickiness",
+    "graph_triangles",
+    "join_skew_salted",
+    "layout_zorder",
+    "layout_compaction_plan",
+    "graph_kcore",
+    "graph_kcore_err",
+    "layout_zonemap_scan",
+    "win_first_last",
+    "samp_domain_mix",
+    "samp_epochs",
+    "dq_psi_categorical",
+    "agg_kmv_family",
+    "samp_mergeable",
+    "dq_freshness",
+    "samp_weighted",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
+    "sql_returned_items",
+    "sql_promo_revenue",
+    "sql_large_volume_customers",
+    "sql_late_shipment_priority",
+    "sql_disjunctive_revenue",
+    "sql_top_supplier",
+    "mart_crawl_prep",
+    "mart_domain_curation",
+    "mart_user_engagement",
+    "mart_vector_curation",
 )
 
-# summary: 269 registered; 0 latest-red; 8 zero-evidence;
-# window holds 0 red + 8 zero-evidence rows; spilled past the cut: []
+# summary: 269 registered; 0 latest-red; 0 zero-evidence;
+# window holds 0 red + 0 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:
