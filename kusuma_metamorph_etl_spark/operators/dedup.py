@@ -44,11 +44,11 @@ def exact_dedup(
 
     Default survivor rule is lowest id.  ``survivor_by`` names a NUMERIC
     column (e.g. a quality score) to prefer instead — highest value
-    wins, lowest id breaks ties — the RefinedWeb/FineWeb practice of
-    keeping the *best* copy of a duplicate cluster rather than an
-    arbitrary one.  Deterministic either way, so the result is
-    SQL-replayable (``row_number() OVER (PARTITION BY md5(text) ORDER BY
-    q DESC, id)``).
+    wins, NULL scores lose to every scored row, lowest id breaks ties —
+    the RefinedWeb/FineWeb practice of keeping the *best* copy of a
+    duplicate cluster rather than an arbitrary one.  Deterministic
+    either way, so the result is SQL-replayable (``row_number() OVER
+    (PARTITION BY md5(text) ORDER BY q DESC NULLS LAST, id)``).
 
     groupBy(md5) shuffles only (hash[, score], id) tuples; the winning
     ids then semi-join the original frame, so bodies move at most once.
@@ -61,12 +61,16 @@ def exact_dedup(
             .select(id_col)
         )
     else:
-        # min(struct(-q, id)) == arg-max on (q, then lowest id) in ONE
-        # map-side-combinable aggregate — no window, no second shuffle.
+        # min(struct(q IS NULL, -q, id)) == arg-max on (q DESC NULLS
+        # LAST, then lowest id) in ONE map-side-combinable aggregate —
+        # no window, no second shuffle.  The leading null flag is load-
+        # bearing: Spark struct ordering sorts a NULL field FIRST, so
+        # without it a NULL score would beat every scored row.
         keep = (
             df.select(
                 fingerprint(F.col(text_col)).alias("__fp"),
                 F.struct(
+                    F.col(survivor_by).isNull().alias("__qnull"),
                     (-F.col(survivor_by)).alias("__negq"),
                     F.col(id_col).alias("__id"),
                 ).alias("__key"),

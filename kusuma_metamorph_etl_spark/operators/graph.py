@@ -164,8 +164,9 @@ def cluster_representatives(
     directly).
 
     ``survivor_by`` names a NUMERIC column of ``df`` to prefer instead:
-    the highest-scoring member of each component survives, lowest id
-    breaking ties (keep-the-best-copy dedup à la RefinedWeb/FineWeb).
+    the highest-scoring member of each component survives, NULL scores
+    lose to every scored member, lowest id breaking ties
+    (keep-the-best-copy dedup à la RefinedWeb/FineWeb).
     The arg-max runs over CLUSTERED ids only — scores join onto the
     component label frame (nodes, not bodies), so the extra cost is one
     keyed join + one map-side-combinable aggregate on the near-dup
@@ -182,13 +183,16 @@ def cluster_representatives(
             ),
             on="node",
         )
-        # min(struct(-q, id)) == arg-max on (q, then lowest id); same
-        # single-aggregate trick as exact_dedup(survivor_by=...).
+        # min(struct(q IS NULL, -q, id)) == arg-max on (q DESC NULLS
+        # LAST, then lowest id); same single-aggregate trick as
+        # exact_dedup(survivor_by=...) — the leading null flag keeps a
+        # NULL score from sorting first and winning the cluster.
         winners = (
             scored.groupBy("component")
             .agg(
                 F.min(
                     F.struct(
+                        F.col("__q").isNull().alias("__qnull"),
                         (-F.col("__q")).alias("__negq"),
                         F.col("node").alias("__id"),
                     )

@@ -610,16 +610,31 @@ def registrable_domain(url: Column) -> Column:
     then keep the last TWO labels — or the last THREE when the host ends
     in a recognized two-level public suffix (``co.uk`` &c., see
     ``_TWO_LEVEL_SUFFIXES``).  A bare host (no dots, e.g. ``localhost``)
-    passes through unchanged.  Feed it :func:`normalize_url` output so
-    case/port variants are already collapsed."""
+    passes through unchanged.  Address literals are NOT domains and pass
+    through whole (r16 ADVICE): a bracketed IPv6 authority
+    (``[2001:db8::1]``) is extracted before the generic host regex
+    (whose ``[^:]`` port stop would truncate it), and any host whose
+    LAST label is all digits (an IPv4 literal — no real TLD is numeric)
+    skips the label-suffix logic that would have clipped ``1.2.3.4`` to
+    ``3.4``.  A host that IS a bare public suffix (``co.uk``) also
+    passes through unchanged (the last-two-labels rule returns the host
+    itself — there is no +1 label to keep).  Feed it
+    :func:`normalize_url` output so case/port variants are already
+    collapsed."""
+    bracket = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]]*\])", 1
+    )
     host = F.regexp_extract(
         url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
     )
+    ipv4_tail = F.regexp_extract(host, r"\.([0-9]+)$", 1)
     suffix_alt = "|".join(s.replace(".", r"\.") for s in _TWO_LEVEL_SUFFIXES)
     three = F.regexp_extract(host, r"([^.]+\.(?:" + suffix_alt + r"))$", 1)
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return (
-        F.when(three != "", three)
+        F.when(bracket != "", bracket)
+        .when(ipv4_tail != "", host)
+        .when(three != "", three)
         .when(two != "", two)
         .otherwise(host)
     )
@@ -636,14 +651,23 @@ def domain_stats(
     avg all map-side-combinable on the domain key).  ``dup_rate`` is the
     fraction of docs whose canonical URL is a repeat within the domain
     (``1 - n_urls/n_docs``), the signal that flags mirror/boilerplate
-    farms.  Domain cardinality is tiny relative to docs at any corpus
-    size, so the output is broadcastable by construction."""
+    farms.  ``mean_quality`` is an ORDER-INDEPENDENT 6-dp decimal
+    average (``numeric.decimal_avg`` — r16 ADVICE: a plain float avg's
+    last ulp depends on partition order, so a mean sitting on the
+    curation floor could flip between partitionings/engines; oracle
+    mirror ``round(CAST(sum(CAST(q AS DECIMAL(38,6))) AS DOUBLE) /
+    count(q), 6)``).  Domain cardinality is tiny relative to docs at any
+    corpus size, so the output is broadcastable by construction."""
+    from kusuma_metamorph_etl_spark.functions.numeric import decimal_avg
+
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(url_col).alias("n_urls"),
     ]
     if quality_col is not None:
-        aggs.append(F.avg(quality_col).alias("mean_quality"))
+        aggs.append(
+            decimal_avg(F.col(quality_col), scale=6).alias("mean_quality")
+        )
     stats = df.groupBy(domain_col).agg(*aggs)
     return stats.withColumn(
         "dup_rate",

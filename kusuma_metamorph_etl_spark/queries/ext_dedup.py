@@ -124,7 +124,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM q),
         r AS (SELECT doc_id, quality_score,
                      row_number() OVER (PARTITION BY md5(text)
-                                        ORDER BY quality_score DESC, doc_id)
+                                        ORDER BY quality_score DESC NULLS LAST,
+                                                 doc_id)
                          AS rn
               FROM s)
         SELECT doc_id, quality_score FROM r WHERE rn = 1""",
@@ -135,7 +136,8 @@ def dedup_exact_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest id breaking ties — the RefinedWeb/FineWeb keep-the-best-copy
     rule (`dedup.exact_dedup(survivor_by=...)`), instead of the arbitrary
     lowest-id representative.  Spark side is ONE map-side-combinable
-    arg-max aggregate (min of a (-q, id) struct) on (md5, score, id)
+    arg-max aggregate (min of a (q IS NULL, -q, id) struct — the null
+    flag pins NULLS-LAST semantics, r16 ADVICE fix) on (md5, score, id)
     tuples; the oracle replays it as a row_number window, which is
     deterministic because the score is rounded to 6 dp in both engines
     and ties fall to doc_id."""

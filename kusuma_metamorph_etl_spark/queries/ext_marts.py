@@ -180,7 +180,9 @@ def mart_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM n),
         st AS (SELECT domain, count(*) AS n_docs,
                       count(DISTINCT url_norm) AS n_urls,
-                      avg(quality_score) AS mean_quality
+                      round(CAST(sum(CAST(quality_score AS DECIMAL(38,6)))
+                                 AS DOUBLE) / count(quality_score), 6)
+                          AS mean_quality
                FROM d GROUP BY domain),
         k AS (SELECT domain FROM st
               WHERE 1.0 - CAST(n_urls AS DOUBLE) / n_docs <= 0.3

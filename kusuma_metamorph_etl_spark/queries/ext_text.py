@@ -1003,7 +1003,7 @@ def txt_wordpiece_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "txt_quality_model",
     """SELECT doc_id,
-              CAST(CASE WHEN (doc_id * 2654435761) % 1000 >= 500
+              CAST(CASE WHEN ((doc_id % 1000) * 2654435761) % 1000 >= 500
                         THEN 1 ELSE 0 END AS INTEGER) AS label_pred
        FROM documents""",
 )
@@ -1026,7 +1026,17 @@ def txt_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted prediction equals the closed-form label, making this a
     FULL-oracle row whose gate is 100% accuracy (one flipped boundary
     doc diverges the hash).  Scoring real corpora swaps in weak labels
-    (reference-corpus membership) over the same trainer."""
+    (reference-corpus membership) over the same trainer.
+
+    The Knuth mix is reduced mod 1000 BEFORE the multiply (r16 ADVICE):
+    ``(id * k) % 1000 == ((id % 1000) * k) % 1000`` exactly for id >= 0,
+    and the reduced product stays < 2.7e12 — no int64 wrap at any
+    doc_id, where the unreduced form silently wrapped in Spark (and
+    raised in DuckDB) past doc_id ~ 3.5e9.  Convergence assumption:
+    n_iter=10 / lr=8 reaches 0 training errors on this margin-separated
+    task — verified empirically at sf0.001/0.01/0.1 (and 7 cores); a
+    larger corpus keeps the same margin geometry (the label depends
+    only on doc_id % 1000) but the bound is empirical, not proven."""
     from kusuma_metamorph_etl_spark.operators.classifier import (
         predict_logistic,
         train_logistic,
@@ -1034,7 +1044,9 @@ def txt_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     qf = text.quality_features(docs)
-    u = ((F.col("doc_id") * F.lit(2654435761)) % 1000) / F.lit(1000.0)
+    # reduce mod 1000 before the multiply: exact-equal to the unreduced
+    # Knuth mix for id >= 0, overflow-safe at any doc_id (r16 ADVICE)
+    u = (((F.col("doc_id") % 1000) * F.lit(2654435761)) % 1000) / F.lit(1000.0)
     x_sep = F.when(u < 0.5, 0.6 * u - 0.5).otherwise(0.6 * (u - 0.5) + 0.2)
     train = qf.select(
         "doc_id",

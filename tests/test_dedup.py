@@ -54,6 +54,44 @@ def test_exact_dedup_survivor_by_keeps_best_copy(spark):
     assert kept13 == kept
 
 
+def test_exact_dedup_survivor_by_null_scores_lose(spark):
+    # NULLS-LAST semantics (r16 ADVICE): a NULL quality must lose to any
+    # scored copy — without the struct null flag, Spark's struct
+    # ordering sorts the NULL field FIRST and the unscored row would
+    # win.  An all-NULL cluster falls back to lowest id.
+    rows = [
+        (1, "alpha body", None),  # unscored copy must NOT survive
+        (2, "alpha body", 0.1),
+        (10, "beta body", None),  # all-NULL cluster -> lowest id
+        (11, "beta body", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    kept = sorted(
+        r["doc_id"] for r in dedup.exact_dedup(df, survivor_by="q").collect()
+    )
+    assert kept == [2, 10]
+
+
+def test_cluster_representatives_survivor_by_null_scores_lose(spark):
+    from kusuma_metamorph_etl_spark.operators.graph import (
+        cluster_representatives,
+    )
+
+    # Same NULLS-LAST contract transitively: in component {1,2,3} the
+    # only scored member (3) survives even though 1 is the min id and 2
+    # is unscored; the all-NULL component {7,8} falls back to min id.
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, 0.2), (7, None), (8, None)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["a", "b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in cluster_representatives(docs, pairs, survivor_by="q").collect()
+    )
+    assert kept == [3, 7]
+
+
 def test_cluster_representatives_survivor_by(spark):
     from kusuma_metamorph_etl_spark.operators.graph import (
         cluster_representatives,

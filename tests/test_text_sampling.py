@@ -1327,6 +1327,15 @@ class TestDomainCuration:
             ("http://deep.a.b.example.org/", "example.org"),
             ("https://user:pw@secure.example.com:8443/p", "example.com"),
             ("https://localhost/admin", "localhost"),  # bare host passes through
+            # address literals are not domains (r16 ADVICE): IPv4 whole,
+            # not clipped to its last two octets; bracketed IPv6 whole,
+            # not truncated at the first ':'
+            ("http://1.2.3.4/p", "1.2.3.4"),
+            ("http://10.0.0.1:8080/p", "10.0.0.1"),
+            ("https://[2001:db8::1]/p", "[2001:db8::1]"),
+            ("https://u:p@[::1]:443/p", "[::1]"),
+            # a host that IS a bare public suffix has no +1 label to keep
+            ("https://co.uk/", "co.uk"),
         ]
         df = spark.createDataFrame(cases, ["url", "want"])
         got = df.select(
