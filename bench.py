@@ -98,6 +98,7 @@ HEADLINE = [
     "sim_random_projection",  # r15: JL matrix dot folds, pure scan
     "txt_ccnet_buckets",  # r15: bigram-LM scores + per-lang terciles
     "sim_maxsim_topk",  # r15: late-interaction MaxSim, broadcast q-tokens
+    "sim_maxsim_ann",  # r16: IVF-shortlisted MaxSim, the registered scale path
 ]
 
 

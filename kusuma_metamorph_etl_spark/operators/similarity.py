@@ -1322,6 +1322,7 @@ def maxsim_topk(
     q_col: str = "qkey",
     tok_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Late-interaction retrieval (ColBERT-style MaxSim): score a
     (query, doc) pair as ``Σ_{i∈q} max_{j∈d} cos(q_i, d_j)`` over TOKEN
@@ -1337,7 +1338,14 @@ def maxsim_topk(
     (max is order-independent; the final sum runs over 9-dp-rounded
     DECIMAL values — the same exact-sum discipline as the bigram-LM
     scorer — so engines and partitionings agree bit-for-bit).  No
-    shuffle ever carries embedding arrays beyond the doc-token scan."""
+    shuffle ever carries embedding arrays beyond the doc-token scan.
+
+    ``candidates`` — an optional ``(q_col, d_col)`` frame (small: |q|×N
+    rows from an ANN prefilter) — restricts scoring to those pairs: the
+    candidate list broadcasts onto the doc-token scan, so only candidate
+    docs' tokens are ever scored and per-query cost becomes
+    N·tokens-per-doc, independent of corpus size (the production
+    ColBERT shape; :func:`maxsim_ann_topk` wires the prefilter)."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
@@ -1350,7 +1358,12 @@ def maxsim_topk(
         F.col(d_col),
         F.col(vec_col).alias("__dvec"),
     )
-    pairs = d.join(broadcast(q))
+    if candidates is None:
+        pairs = d.join(broadcast(q))
+    else:
+        pairs = d.join(
+            broadcast(candidates.select(q_col, d_col)), on=d_col
+        ).join(broadcast(q), on=q_col)
     per_token = (
         pairs.select(
             q_col,
@@ -1379,4 +1392,77 @@ def maxsim_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def maxsim_ann_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 3,
+    n_candidates: int = 10,
+    d_col: str = "dkey",
+    q_col: str = "qkey",
+    tok_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    n_probe: int = 6,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """ANN-prefiltered MaxSim — the PRODUCTION ColBERT retrieval shape
+    (r16, the registered scale path beside :func:`maxsim_topk`'s exact
+    token-level baseline):
+
+    1. POOL: each token set collapses to its mean vector
+       (:func:`group_centroids` — posexplode/avg/re-assemble, no task
+       ever holds a full token set);
+    2. PREFILTER: an IVF index over the pooled DOC vectors
+       (:func:`ivf_topk`, √n-derived cells) shortlists the
+       ``n_candidates`` nearest doc centroids per pooled query —
+       per-query cost ~``n_probe·√n_docs`` instead of ``n_docs``;
+    3. RE-RANK: exact MaxSim over the CANDIDATE docs' tokens only
+       (:func:`maxsim_topk` with ``candidates=``) — per-query cost
+       ``|q|·n_candidates·tokens_per_doc``, independent of corpus size.
+
+    Doc and query keys live in separate namespaces, so query centroid
+    ids are offset out of the doc-key range before entering the shared
+    IVF id space (``ivf_topk`` excludes self-matches BY ID — an
+    un-offset qkey numerically equal to a dkey would silently lose that
+    doc from its own shortlist) and shifted back on the way out.
+
+    Same tie discipline as the exact row (score DESC, dkey ASC; 9-dp
+    decimal token sums) — so when the shortlist contains the true top-k,
+    the output EQUALS the exact row's, making doc-grain recall against
+    :func:`maxsim_topk` the natural quality gate (the registered
+    ``sim_maxsim_ann_err`` row pins it at ≥ 0.7)."""
+    # ivf id namespace: dkeys as-is, qkeys offset past any plausible key
+    _OFF = 1 << 40
+    dcent = group_centroids(doc_tokens, d_col, vec_col=vec_col).select(
+        F.col(d_col).alias(tok_col), F.col("centroid").alias(vec_col)
+    )
+    qcent = group_centroids(query_tokens, q_col, vec_col=vec_col).select(
+        (F.col(q_col) + F.lit(_OFF)).alias(tok_col),
+        F.col("centroid").alias(vec_col),
+    )
+    cands = ivf_topk(
+        qcent,
+        dcent,
+        k=n_candidates,
+        id_col=tok_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        refine_iters=refine_iters,
+    ).select(
+        (F.col("query_id") - F.lit(_OFF)).alias(q_col),
+        F.col("neighbor_id").alias(d_col),
+    )
+    return maxsim_topk(
+        doc_tokens,
+        query_tokens,
+        k=k,
+        d_col=d_col,
+        q_col=q_col,
+        tok_col=tok_col,
+        vec_col=vec_col,
+        candidates=cands,
     )

@@ -323,40 +323,94 @@ def ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("revenue", F.col("revenue").cast("double"))
 
 @register(
-    "evt_rate_anomaly",
+    "evt_rate_anomaly_family",
     """WITH d AS MATERIALIZED (
          SELECT event_type, CAST(ts AS DATE) AS day_dt,
                 count(*) AS n,
                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
          FROM events GROUP BY 1, 2, 4),
+       plain AS (
+         SELECT event_type, day_dt, CAST(n AS DOUBLE) AS v, ed FROM d),
+       dw AS (SELECT event_type, dayofweek(day_dt) + 1 AS dow,
+                     round(avg(n), 6) AS dow_mean
+              FROM d GROUP BY 1, 2),
+       ov AS (SELECT event_type, round(avg(n), 6) AS mean
+              FROM d GROUP BY 1),
+       seas AS (SELECT d.event_type, d.day_dt,
+                       round(d.n - round(dw.dow_mean - ov.mean, 6), 6) AS v,
+                       d.ed
+                FROM d
+                JOIN dw ON dw.event_type = d.event_type
+                       AND dw.dow = dayofweek(d.day_dt) + 1
+                JOIN ov ON ov.event_type = d.event_type),
+       u AS (SELECT 'plain' AS variant, * FROM plain
+             UNION ALL SELECT 'seasonal' AS variant, * FROM seas),
        w AS (
-         SELECT event_type, day_dt, n,
-           round(avg(n) OVER win, 6) AS baseline_mean,
-           round(stddev_samp(n) OVER win, 6) AS baseline_std,
-           count(n) OVER win AS baseline_n
-         FROM d
-         WINDOW win AS (PARTITION BY event_type ORDER BY ed
+         SELECT variant, event_type, day_dt, v,
+           round(avg(v) OVER win, 6) AS baseline_mean,
+           round(stddev_samp(v) OVER win, 6) AS baseline_std,
+           count(v) OVER win AS baseline_n
+         FROM u
+         WINDOW win AS (PARTITION BY variant, event_type ORDER BY ed
                         RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
-       SELECT event_type, day_dt, n, baseline_mean, baseline_std, baseline_n,
+       SELECT variant, event_type, day_dt, v,
+         baseline_mean, baseline_std, baseline_n,
          CASE WHEN baseline_n >= 7 AND baseline_std > 0
-              THEN round((n - baseline_mean) / baseline_std, 6) END AS z,
+              THEN round((v - baseline_mean) / baseline_std, 6) END AS z,
          abs(CASE WHEN baseline_n >= 7 AND baseline_std > 0
-              THEN round((n - baseline_mean) / baseline_std, 6) END) > 3.0
+              THEN round((v - baseline_mean) / baseline_std, 6) END) > 3.0
              AS is_anomaly
        FROM w""",
 )
-def evt_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily per-event-type volume anomaly flag ([EXT] time-series ops;
-    `operators/timeseries.py::rate_anomaly`): z-score against the
-    trailing 28-day baseline (current day excluded), NULL during cold
-    start — the retry-storm / dropped-producer detector."""
-    from kusuma_metamorph_etl_spark.operators.timeseries import rate_anomaly
+def evt_rate_anomaly_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection, plain + seasonal in one tagged frame —
+    r16 consolidation of the r8-green `evt_rate_anomaly` +
+    `evt_rate_anomaly_seasonal` under the retire-one policy (funding
+    `sim_maxsim_ann_err`).  Plain: daily per-event-type z-score against
+    the trailing 28-day baseline (current day excluded, NULL during cold
+    start) — the retry-storm / dropped-producer detector
+    (`operators/timeseries.py::rate_anomaly`).  Seasonal: the weekly
+    day-of-week profile removed BEFORE the same trailing z-score
+    (`seasonal_profile` → `rate_anomaly`), so a quiet Sunday reads as
+    normal and a Monday at Sunday volume reads as the anomaly.  Both
+    variants windowed in one pass (PARTITION BY variant, event_type)."""
+    from kusuma_metamorph_etl_spark.operators.timeseries import (
+        rate_anomaly,
+        seasonal_profile,
+    )
 
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day_dt")
     ).agg(F.count(F.lit(1)).alias("n"))
-    return rate_anomaly(daily, ["event_type"], "day_dt", "n")
+    plain = rate_anomaly(daily, ["event_type"], "day_dt", "n").select(
+        F.lit("plain").alias("variant"),
+        "event_type",
+        "day_dt",
+        F.col("n").cast("double").alias("v"),
+        "baseline_mean",
+        "baseline_std",
+        "baseline_n",
+        "z",
+        "is_anomaly",
+    )
+    des = seasonal_profile(daily, ["event_type"], "day_dt", "n").select(
+        "event_type", "day_dt", "deseasonalized"
+    )
+    seasonal = rate_anomaly(
+        des, ["event_type"], "day_dt", "deseasonalized"
+    ).select(
+        F.lit("seasonal").alias("variant"),
+        "event_type",
+        "day_dt",
+        F.col("deseasonalized").alias("v"),
+        "baseline_mean",
+        "baseline_std",
+        "baseline_n",
+        "z",
+        "is_anomaly",
+    )
+    return plain.unionByName(seasonal)
 
 @register(
     "ts_rolling_distinct",
@@ -761,62 +815,6 @@ def evt_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kusuma_metamorph_etl_spark.operators.events import session_stats
 
     return session_stats(t(spark, sf_dir, "events"), gap_seconds=1800)
-
-@register(
-    "evt_rate_anomaly_seasonal",
-    """WITH d AS MATERIALIZED (
-         SELECT event_type, CAST(ts AS DATE) AS day_dt,
-                count(*) AS n,
-                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
-         FROM events GROUP BY 1, 2, 4),
-       dw AS (SELECT event_type, dayofweek(day_dt) + 1 AS dow,
-                     round(avg(n), 6) AS dow_mean
-              FROM d GROUP BY 1, 2),
-       ov AS (SELECT event_type, round(avg(n), 6) AS mean
-              FROM d GROUP BY 1),
-       ds AS (SELECT d.event_type, d.day_dt, d.ed,
-                     round(d.n - round(dw.dow_mean - ov.mean, 6), 6) AS v
-              FROM d
-              JOIN dw ON dw.event_type = d.event_type
-                     AND dw.dow = dayofweek(d.day_dt) + 1
-              JOIN ov ON ov.event_type = d.event_type),
-       w AS (
-         SELECT event_type, day_dt, v,
-           round(avg(v) OVER win, 6) AS baseline_mean,
-           round(stddev_samp(v) OVER win, 6) AS baseline_std,
-           count(v) OVER win AS baseline_n
-         FROM ds
-         WINDOW win AS (PARTITION BY event_type ORDER BY ed
-                        RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
-       SELECT event_type, day_dt, v AS deseasonalized,
-         baseline_mean, baseline_std, baseline_n,
-         CASE WHEN baseline_n >= 7 AND baseline_std > 0
-              THEN round((v - baseline_mean) / baseline_std, 6) END AS z,
-         abs(CASE WHEN baseline_n >= 7 AND baseline_std > 0
-              THEN round((v - baseline_mean) / baseline_std, 6) END) > 3.0
-             AS is_anomaly
-       FROM w""",
-)
-def evt_rate_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonal-adjusted volume anomaly ([EXT] composition:
-    `seasonal_profile` → `rate_anomaly`): the weekly day-of-week profile
-    is removed BEFORE the trailing z-score, so a quiet Sunday reads as
-    normal and a Monday at Sunday volume reads as the anomaly — the
-    composition `ts_seasonal`'s docstring promises, oracle-checked end
-    to end."""
-    from kusuma_metamorph_etl_spark.operators.timeseries import (
-        rate_anomaly,
-        seasonal_profile,
-    )
-
-    ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day_dt")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    des = seasonal_profile(daily, ["event_type"], "day_dt", "n").select(
-        "event_type", "day_dt", "deseasonalized"
-    )
-    return rate_anomaly(des, ["event_type"], "day_dt", "deseasonalized")
 
 @register(
     "evt_stickiness",

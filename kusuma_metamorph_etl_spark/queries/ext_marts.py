@@ -562,6 +562,127 @@ def mart_mm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aug.select("doc_id", "op", "width", "height")
 
 @register(
+    "mart_paired_curation",
+    f"""WITH q AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len({_W_TEXT}) AS n_tokens,
+                 len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                 len(list_filter({_W_LOWER},
+                     x -> x IN ('the','a','and','of','to','in','is','it')))
+                     AS n_stop
+          FROM documents),
+        s AS (SELECT doc_id,
+                 round(0.4 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * (CASE WHEN n_tokens > 0
+                                     THEN CAST(n_stop AS DOUBLE) / n_tokens
+                                     ELSE 0.0 END)
+                       + 0.3 * (1.0 - least((CASE WHEN n_chars > 0
+                                                  THEN CAST(n_punct AS DOUBLE)
+                                                       / n_chars
+                                                  ELSE 0.0 END) * 10.0, 1.0)),
+                       6) AS quality_score
+              FROM q),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        d AS (SELECT doc_id,
+                 CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
+                 CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER)
+                     AS height
+              FROM documents),
+        p AS (SELECT s.doc_id, s.quality_score,
+                     CASE WHEN s.doc_id % 5 = 0 THEN s.doc_id + 1
+                          ELSE s.doc_id END AS img_id
+              FROM s),
+        pa AS (SELECT p.doc_id, p.quality_score,
+                      round(list_dot_product(ca.e, im.e)
+                            / (sqrt(list_dot_product(ca.e, ca.e))
+                               * sqrt(list_dot_product(im.e, im.e))), 6)
+                          AS agreement
+               FROM p
+               JOIN e ca ON ca.vec_id = p.doc_id
+               JOIN e im ON im.vec_id = p.img_id)
+        SELECT pa.doc_id, pa.agreement, pa.quality_score, d.width, d.height
+        FROM pa JOIN d USING (doc_id)
+        WHERE pa.quality_score >= 0.05
+          AND d.width >= 5 AND d.height >= 5
+          AND pa.agreement >= 0.5""",
+)
+def mart_paired_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-modality curation capstone ([EXT], r16 — the LAION/
+    DataComp practice of filtering (caption, image) pairs by cross-modal
+    AGREEMENT, the one signature LLM-data shape the registry's
+    primitives covered without an explicit composition row):
+
+    * PAIRS — each document is a caption paired with an image embedding;
+      every 5th pair is PLANTED MISMATCHED (its image embedding is the
+      NEXT document's — the shuffled-caption failure mode agreement
+      filtering exists to catch; matched pairs carry their own
+      embedding, so their agreement is the cosine self-score 1.0 while
+      mismatches score near 0 on these 64-dim vectors);
+    * CAPTION GATE — `text.quality_features` composite floor ≥ 0.05
+      (the `txt_quality` stage, same floor as `mart_domain_curation`);
+    * IMAGE GATE — REAL decode via `multimodal.attach_image_payload` →
+      `extract_binary_features` (Arrow `mapInPandas`), keep ≥5×5 (the
+      `mm_binary_features` stage; the oracle re-derives dimensions from
+      the synthesis contract);
+    * AGREEMENT GATE — `similarity.cosine` on the two embedding columns
+      rounded 6 dp BEFORE the ≥ 0.5 compare (both engines threshold
+      identical doubles), the `sim_cosine_pairs` contract applied
+      cross-modally.
+
+    All joins are id-equi (embedding arrays move once each, no
+    broadcast of the fact side); survivors emit (doc_id, agreement,
+    quality_score, width, height), fully SQL-replayable — a mismatch
+    surviving, a matched pair dropped, or a gate drifting flips the
+    hash.  Funded by consolidating `mm_png_subbyte` +
+    `mm_png_subbyte_interlaced` → `mm_png_subbyte_family` under the
+    retire-one policy."""
+    docs = t(spark, sf_dir, "documents")
+    scored = text.quality_features(docs).select("doc_id", "quality_score")
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = scored.select(
+        "doc_id",
+        "quality_score",
+        F.when(F.col("doc_id") % 5 == 0, F.col("doc_id") + 1)
+        .otherwise(F.col("doc_id"))
+        .alias("img_id"),
+    )
+    cap_emb = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cap_emb")
+    )
+    img_emb = emb.select(
+        F.col("vec_id").alias("img_id"), F.col("embedding").alias("img_emb")
+    )
+    agreed = (
+        pairs.join(cap_emb, "doc_id")
+        .join(img_emb, "img_id")
+        .select(
+            "doc_id",
+            "quality_score",
+            F.round(
+                similarity.cosine(
+                    similarity.as_double(F.col("cap_emb")),
+                    similarity.as_double(F.col("img_emb")),
+                ),
+                6,
+            ).alias("agreement"),
+        )
+    )
+    feats = multimodal.extract_binary_features(
+        multimodal.attach_image_payload(docs)
+    ).select("doc_id", "width", "height")
+    return (
+        agreed.join(feats, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.05)
+            & (F.col("width") >= 5)
+            & (F.col("height") >= 5)
+            & (F.col("agreement") >= 0.5)
+        )
+        .select("doc_id", "agreement", "quality_score", "width", "height")
+    )
+
+@register(
     "mart_vector_curation",
     """WITH pool AS (
          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

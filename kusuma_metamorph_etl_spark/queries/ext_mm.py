@@ -756,76 +756,58 @@ def mm_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
-    "mm_png_subbyte",
-    """SELECT doc_id,
+    "mm_png_subbyte_family",
+    """SELECT v.variant, doc_id,
               'png' AS format,
               CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
               CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
               CAST(1 AS INTEGER) AS channels
-       FROM documents""",
+       FROM documents
+       CROSS JOIN (SELECT unnest(['adam7', 'progressive']) AS variant) v""",
 )
-def mm_png_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL sub-byte-depth PNG decode ([EXT] multimodal — graduates the
-    1/2/4-bit seam the IHDR gate `operators/multimodal.py::_decode_png`
-    named since r5; 1-bit scans are common in real document corpora):
-    per-document greyscale payloads at a per-document depth ∈ {1,2,4}
-    (so one row exercises all three packings), scanlines filtered at
-    bpp=1 then unpacked MSB-first and presented at 8 bits via the exact
-    integer scaling 255//(2**depth-1).  Gate: the decoded pixel-array
-    md5 must equal the 8-bit quantized-PGM twin's byte-for-byte
-    (`pixel_md5_features` — a wrong bit order, stride, or scale factor
-    flips the digest); dimensions re-derived by the oracle."""
-    docs = t(spark, sf_dir, "documents")
-    png = multimodal.extract_binary_features(
-        multimodal.attach_png_subbyte_payload(docs),
-        decoder=multimodal.pixel_md5_features,
-        schema=multimodal.PIXEL_MD5_SCHEMA,
-    )
-    pgm = multimodal.extract_binary_features(
-        multimodal.attach_pgm_quantized_payload(docs),
-        decoder=multimodal.pixel_md5_features,
-        schema=multimodal.PIXEL_MD5_SCHEMA,
-    ).select("doc_id", F.col("pixel_md5").alias("pgm_md5"))
-    return (
-        png.join(pgm, "doc_id")
-        .filter(F.col("pixel_md5") == F.col("pgm_md5"))
-        .select("doc_id", "format", "width", "height", "channels")
-    )
-
-@register(
-    "mm_png_subbyte_interlaced",
-    """SELECT doc_id,
-              'png' AS format,
-              CAST(4 + octet_length(encode(text)) % 5 AS INTEGER) AS width,
-              CAST(4 + (7 * octet_length(encode(text))) % 5 AS INTEGER) AS height,
-              CAST(1 AS INTEGER) AS channels
-       FROM documents""",
-)
-def mm_png_subbyte_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL Adam7-interlaced sub-byte PNG decode ([EXT] multimodal —
-    graduates the LAST named PNG seam, the per-pass bit-packing gate
-    `operators/multimodal.py::_png_deinterlace` carried since r11): the
-    `mm_png_subbyte` payloads re-encoded with the interlace flag, every
-    pass packed independently at its REDUCED width (PNG spec 8.2 — the
+def mm_png_subbyte_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sub-byte-depth PNG decode, progressive + Adam7-interlaced in
+    one tagged frame — r16 consolidation of the r12-green
+    `mm_png_subbyte` + `mm_png_subbyte_interlaced` under the retire-one
+    policy (funding `mart_paired_curation`).  Progressive: per-document
+    greyscale payloads at a per-document depth ∈ {1,2,4} (one row
+    exercises all three packings), scanlines filtered at bpp=1 then
+    unpacked MSB-first and presented at 8 bits via the exact integer
+    scaling 255//(2**depth-1) (the 1/2/4-bit seam
+    `operators/multimodal.py::_decode_png` named since r5).  Interlaced:
+    the SAME payloads re-encoded with the interlace flag, every pass
+    packed independently at its REDUCED width (PNG spec 8.2 — the
     4–8-pixel synthetic canvases make most pass widths differ from the
     image width, exactly where a shared-width packing bug corrupts the
-    plane).  Gate: decoded pixel md5 equals the 8-bit quantized-PGM
-    twin byte-for-byte (`pixel_md5_features` — interlace bugs REORDER
-    rows, and means are permutation-invariant, so the digest is the
-    honest check; the r11 `mm_gif_interlaced` convention)."""
+    plane; `_png_deinterlace`).  Gate per variant: decoded pixel-array
+    md5 equals the 8-bit quantized-PGM twin's byte-for-byte
+    (`pixel_md5_features` — a wrong bit order, stride, scale factor, or
+    pass REORDERING flips the digest; means would be permutation-
+    invariant, so the digest is the honest check)."""
     docs = t(spark, sf_dir, "documents")
-    png = multimodal.extract_binary_features(
-        multimodal.attach_png_subbyte_payload(docs, interlace=True),
-        decoder=multimodal.pixel_md5_features,
-        schema=multimodal.PIXEL_MD5_SCHEMA,
-    )
     pgm = multimodal.extract_binary_features(
         multimodal.attach_pgm_quantized_payload(docs),
         decoder=multimodal.pixel_md5_features,
         schema=multimodal.PIXEL_MD5_SCHEMA,
     ).select("doc_id", F.col("pixel_md5").alias("pgm_md5"))
-    return (
-        png.join(pgm, "doc_id")
-        .filter(F.col("pixel_md5") == F.col("pgm_md5"))
-        .select("doc_id", "format", "width", "height", "channels")
-    )
+    out = None
+    for variant, interlace in (("progressive", False), ("adam7", True)):
+        png = multimodal.extract_binary_features(
+            multimodal.attach_png_subbyte_payload(docs, interlace=interlace),
+            decoder=multimodal.pixel_md5_features,
+            schema=multimodal.PIXEL_MD5_SCHEMA,
+        )
+        part = (
+            png.join(pgm, "doc_id")
+            .filter(F.col("pixel_md5") == F.col("pgm_md5"))
+            .select(
+                F.lit(variant).alias("variant"),
+                "doc_id",
+                "format",
+                "width",
+                "height",
+                "channels",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -153,36 +153,76 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
-    "join_asof_forward",
-    """WITH clicks AS (
+    "join_asof_directions",
+    """WITH clicks_l AS (
          SELECT event_id, user_id, ts, value FROM events
          WHERE event_type = 'click'),
-       purchases AS (
+       purchases_r AS (
          SELECT event_id AS purchase_id, user_id, ts,
                 value AS purchase_value
          FROM events WHERE event_type = 'purchase'
          QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                                    ORDER BY purchase_id) = 1)
-       SELECT l.event_id, l.user_id, l.ts, l.value,
-              r.purchase_id, r.purchase_value
-       FROM clicks l
-       ASOF LEFT JOIN purchases r
-         ON l.user_id = r.user_id AND r.ts >= l.ts""",
+                                    ORDER BY purchase_id) = 1),
+       fwd AS (
+         SELECT 'forward' AS direction,
+                l.event_id, l.user_id, l.ts, l.value,
+                r.purchase_id AS matched_id,
+                r.purchase_value AS matched_value
+         FROM clicks_l l
+         ASOF LEFT JOIN purchases_r r
+           ON l.user_id = r.user_id AND r.ts >= l.ts),
+       purchases_l AS (
+         SELECT event_id, user_id, ts, value FROM events
+         WHERE event_type = 'purchase'),
+       clicks_r AS (
+         SELECT event_id AS click_id, user_id, ts, value AS click_value
+         FROM events WHERE event_type = 'click'
+         QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                    ORDER BY click_id DESC) = 1),
+       nb AS (
+         SELECT l.event_id, r.click_id, r.click_value, r.ts AS rts
+         FROM purchases_l l ASOF LEFT JOIN clicks_r r
+           ON l.user_id = r.user_id AND r.ts <= l.ts),
+       nf AS (
+         SELECT l.event_id, r.click_id, r.click_value, r.ts AS rts
+         FROM purchases_l l ASOF LEFT JOIN clicks_r r
+           ON l.user_id = r.user_id AND r.ts >= l.ts),
+       near AS (
+         SELECT 'nearest' AS direction,
+                l.event_id, l.user_id, l.ts, l.value,
+           CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
+                     OR epoch_us(l.ts) - epoch_us(b.rts)
+                        <= epoch_us(f.rts) - epoch_us(l.ts))
+                THEN b.click_id ELSE f.click_id END AS matched_id,
+           CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
+                     OR epoch_us(l.ts) - epoch_us(b.rts)
+                        <= epoch_us(f.rts) - epoch_us(l.ts))
+                THEN b.click_value ELSE f.click_value END AS matched_value
+         FROM purchases_l l
+         JOIN nb b USING (event_id) JOIN nf f USING (event_id))
+       SELECT * FROM fwd UNION ALL SELECT * FROM near""",
 )
-def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FORWARD as-of join (`asof_join(direction="forward")`): each click
-    picks the user's next purchase at-or-after it — the lookahead twin of
-    `join_asof`, checked against DuckDB's native forward ASOF (>=);
-    equal-timestamp rights pre-deduped to the smallest id, matching the
-    operator's declared forward tie rule."""
+def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD + NEAREST as-of joins in one tagged frame — r16
+    consolidation of the r8-green `join_asof_forward` +
+    `join_asof_nearest` under the retire-one policy (funding
+    `sim_maxsim_ann`); the backward direction keeps its own row
+    (`join_asof`, a bench headline).  Forward: each click picks the
+    user's next purchase at-or-after it (`asof_join(direction=
+    "forward")`, equal-timestamp rights pre-deduped to the smallest id
+    per the operator's declared forward tie rule).  Nearest: each
+    purchase picks the click closest in absolute time, either side,
+    exact ties backward — both traversals share one shuffle (Exchange
+    reuse, two sorts).  Oracle: DuckDB native ASOF in both directions,
+    the nearest half combined by the same closest/tie rule."""
     from kusuma_metamorph_etl_spark.operators.joins import asof_join
     from kusuma_metamorph_etl_spark.operators.windows import top_k_per_group
 
     events = t(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
+    clicks_l = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", "value"
     )
-    purchases = top_k_per_group(
+    purchases_r = top_k_per_group(
         events.filter(F.col("event_type") == "purchase").select(
             F.col("event_id").alias("purchase_id"),
             "user_id",
@@ -193,15 +233,55 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.asc("purchase_id")],
         k=1,
     )
-    return asof_join(
-        clicks,
-        purchases,
+    fwd = asof_join(
+        clicks_l,
+        purchases_r,
         on=["user_id"],
         left_ts="ts",
         right_ts="ts",
         value_cols=["purchase_id", "purchase_value"],
         direction="forward",
+    ).select(
+        F.lit("forward").alias("direction"),
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("purchase_id").alias("matched_id"),
+        F.col("purchase_value").alias("matched_value"),
     )
+    purchases_l = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks_r = top_k_per_group(
+        events.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("click_value"),
+        ),
+        partition_by=["user_id", "ts"],
+        order_by=[F.desc("click_id")],
+        k=1,
+    )
+    near = asof_join(
+        purchases_l,
+        clicks_r,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id", "click_value"],
+        direction="nearest",
+    ).select(
+        F.lit("nearest").alias("direction"),
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("click_id").alias("matched_id"),
+        F.col("click_value").alias("matched_value"),
+    )
+    return fwd.unionByName(near)
 
 @register(
     "join_range",
@@ -447,70 +527,6 @@ def fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "priority", "price",
         F.round("price_winsorized", 6).alias("price_winsorized"),
-    )
-
-@register(
-    "join_asof_nearest",
-    """WITH purchases AS (
-         SELECT event_id, user_id, ts, value FROM events
-         WHERE event_type = 'purchase'),
-       clicks AS (
-         SELECT event_id AS click_id, user_id, ts, value AS click_value
-         FROM events WHERE event_type = 'click'
-         QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                                    ORDER BY click_id DESC) = 1),
-       b AS (
-         SELECT l.event_id, r.click_id, r.click_value, r.ts AS rts
-         FROM purchases l ASOF LEFT JOIN clicks r
-           ON l.user_id = r.user_id AND r.ts <= l.ts),
-       f AS (
-         SELECT l.event_id, r.click_id, r.click_value, r.ts AS rts
-         FROM purchases l ASOF LEFT JOIN clicks r
-           ON l.user_id = r.user_id AND r.ts >= l.ts)
-       SELECT l.event_id, l.user_id, l.ts, l.value,
-         CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
-                   OR epoch_us(l.ts) - epoch_us(b.rts)
-                      <= epoch_us(f.rts) - epoch_us(l.ts))
-              THEN b.click_id ELSE f.click_id END AS click_id,
-         CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
-                   OR epoch_us(l.ts) - epoch_us(b.rts)
-                      <= epoch_us(f.rts) - epoch_us(l.ts))
-              THEN b.click_value ELSE f.click_value END AS click_value
-       FROM purchases l
-       JOIN b USING (event_id) JOIN f USING (event_id)""",
-)
-def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEAREST as-of join (`asof_join(direction="nearest")`): each
-    purchase picks the user's click closest in absolute time, either
-    side, exact ties backward — both traversals share one shuffle
-    (Exchange reuse, two sorts).  Oracle: DuckDB backward + forward
-    native ASOF combined by the same closest/tie rule."""
-    from kusuma_metamorph_etl_spark.operators.joins import asof_join
-    from kusuma_metamorph_etl_spark.operators.windows import top_k_per_group
-
-    events = t(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    clicks = top_k_per_group(
-        events.filter(F.col("event_type") == "click").select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            "ts",
-            F.col("value").alias("click_value"),
-        ),
-        ["user_id", "ts"],
-        [F.col("click_id").desc()],
-        k=1,
-    ).drop("rn")
-    return asof_join(
-        purchases,
-        clicks,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        value_cols=["click_id", "click_value"],
-        direction="nearest",
     )
 
 @register(

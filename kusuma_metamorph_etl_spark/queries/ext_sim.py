@@ -448,11 +448,11 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECLARED exact token-level baseline (sf1.0 exponent 0.84, the
     `sim_cosine_topk` shape: query tokens AND doc tokens both scale
     with the corpus here, so work is |q|·|d|) — production ColBERT
-    scores a CANDIDATE set this way after an ANN prefilter, and the
-    registered prefilter paths (`sim_ivf_topk` / `sim_lsh_topk` over
-    pooled doc vectors) compose directly: prefilter top-N docs, then
-    `maxsim_topk(candidate_tokens, query_tokens)` — per-query cost
-    drops to |q| × N·tokens, independent of corpus size.  Funded by
+    scores a CANDIDATE set this way after an ANN prefilter, and that
+    composition is REGISTERED as `sim_maxsim_ann` (r16: pooled-centroid
+    IVF shortlist → exact MaxSim re-rank over candidate tokens only,
+    recall-gated by `sim_maxsim_ann_err`) — per-query re-rank cost
+    |q| × N·tokens, independent of corpus size.  Funded by
     consolidating `agg_kmv_intersect` + `agg_kmv_diff` →
     `agg_kmv_family` under the retire-one policy."""
     emb = t(spark, sf_dir, "embeddings")
@@ -463,3 +463,93 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("vec_id div 50") % 2).alias("qkey"), "vec_id", "embedding"
     )
     return similarity.maxsim_topk(docs, queries, k=3)
+
+
+def _maxsim_ann_sets(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Token-set derivation shared by the `sim_maxsim_ann*` rows: DOCS
+    scale with the corpus (consecutive 8-token sets, `vec_id div 8` —
+    the realistic multi-vector shape where doc COUNT grows and tokens
+    per doc stay bounded, unlike `sim_maxsim_topk`'s fixed-10-doc
+    derivation whose per-doc token sets grow instead), QUERIES are every
+    20th doc's token set."""
+    emb = t(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        F.expr("vec_id div 8").alias("dkey"), "vec_id", "embedding"
+    )
+    queries = docs.filter(F.col("dkey") % 20 == 0).select(
+        F.col("dkey").alias("qkey"), "vec_id", "embedding"
+    )
+    return docs, queries
+
+
+_MAXSIM_ANN_PARAMS = dict(k=3, n_candidates=35, n_probe=10, refine_iters=1)
+
+# Exact MaxSim top-3 over the `_maxsim_ann_sets` derivation — the
+# oracle of `sim_maxsim_ann_err` and the recall baseline both rows are
+# judged against (same decimal-sum/tie discipline as `sim_maxsim_topk`).
+_MAXSIM_ANN_EXACT = f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        d AS (SELECT vec_id // 8 AS dkey, e FROM v),
+        q AS (SELECT vec_id // 8 AS qkey, vec_id AS qtok, e FROM v
+              WHERE (vec_id // 8) % 20 = 0),
+        pt AS (SELECT qkey, qtok, dkey, max({_COSINE}) AS maxc
+               FROM q a, d b
+               GROUP BY 1, 2, 3),
+        sc AS (SELECT qkey, dkey,
+                      round(CAST(sum(CAST(round(maxc, 9) AS DECIMAL(38,9)))
+                                 AS DOUBLE), 6) AS maxsim,
+                      count(*) AS n_query_tokens
+               FROM pt GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                          PARTITION BY qkey
+                          ORDER BY maxsim DESC, dkey) AS rank
+              FROM sc)
+        SELECT qkey, dkey, maxsim, n_query_tokens, rank
+        FROM r WHERE rank <= 3"""
+
+
+@register("sim_maxsim_ann", None)  # IVF-shortlist-dependent — rows-only
+def sim_maxsim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-prefiltered MaxSim ([EXT], r16 — the registered scale path
+    the `sim_maxsim_topk` docstring promised beside its exact
+    exponent-0.84 baseline): pool each token set to its centroid
+    (`group_centroids`), IVF-shortlist 35 candidate docs per query over
+    the pooled doc vectors (√n-derived cells, probe 10), then EXACT
+    MaxSim re-rank over the candidate docs' tokens only
+    (`similarity.maxsim_ann_topk`) — per-query re-rank cost
+    |q|·35·tokens_per_doc, independent of corpus size, and prefilter
+    cost ~probe·√n_docs instead of n_docs.  Rows-only (the shortlist
+    depends on the IVF index); the quality claim is oracle-bound by
+    `sim_maxsim_ann_err`'s ≥0.7 doc-recall gate.  Funded by
+    consolidating `join_asof_forward` + `join_asof_nearest` →
+    `join_asof_directions` under the retire-one policy."""
+    docs, queries = _maxsim_ann_sets(spark, sf_dir)
+    return similarity.maxsim_ann_topk(docs, queries, **_MAXSIM_ANN_PARAMS)
+
+
+@register("sim_maxsim_ann_err", _MAXSIM_ANN_EXACT)
+def sim_maxsim_ann_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bindable companion to `sim_maxsim_ann`: exact MaxSim top-3
+    over the same doc/query token derivation (full-oracle SQL), gated on
+    the ANN path's doc-grain recall ≥ 0.7 against it — a broken
+    shortlist join, a drifted IVF assignment, or a re-rank that no
+    longer equals the exact scorer on common pairs empties the output
+    and flips the driver red.  Measured recall at (probe=10, 35
+    candidates): 0.917 / 0.917 / 0.795 at sf0.001/0.01/0.1 (pinned in
+    tests/test_similarity.py; candidate scores are value-identical to
+    the exact row's on every common pair, so the gate truly measures
+    shortlist containment, not float luck).  Funded by consolidating
+    `evt_rate_anomaly` + `evt_rate_anomaly_seasonal` →
+    `evt_rate_anomaly_family` under the retire-one policy."""
+    docs, queries = _maxsim_ann_sets(spark, sf_dir)
+    exact = similarity.maxsim_topk(docs, queries, k=3)
+    ann = similarity.maxsim_ann_topk(docs, queries, **_MAXSIM_ANN_PARAMS)
+    hit = exact.select("qkey", "dkey").join(
+        ann.select("qkey", "dkey"), ["qkey", "dkey"], "left_semi"
+    )
+    stats = _n(exact, "n_exact").crossJoin(_n(hit, "n_hit"))
+    ok = (F.col("n_exact") > 0) & (
+        F.col("n_hit") >= 0.7 * F.col("n_exact")
+    )
+    return _gate(exact, stats, ok)

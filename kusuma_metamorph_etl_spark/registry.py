@@ -175,9 +175,10 @@ _PRIORITY_BASIS_ROUND = 15
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Empty this round (r16 basis): 0 zero-evidence rows at regen time —
-# the window is the due r9/r10 cohorts; re-check after each new
-# registration (new rows enter zero-evidence and may force a spill).
+# Empty this round (r16 basis): the 6 zero-evidence r16 registrations
+# (sim_maxsim_ann/_err, mart_paired_curation + the three funding
+# consolidation family rows) lead the window; the due r9/r10 cohorts
+# fill the rest with room.
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
@@ -302,6 +303,12 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
+    "sim_maxsim_ann",
+    "sim_maxsim_ann_err",
+    "mm_png_subbyte_family",
+    "evt_rate_anomaly_family",
+    "join_asof_directions",
+    "mart_paired_curation",
     "sort_limit",
     "txt_quality",
     "txt_tfidf",
@@ -344,15 +351,14 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh_err",
     "mm_png_16bit",
     "mm_gif_interlaced",
-    "mm_png_subbyte",
     "fn_json_extract",
     "proj_unpivot",
+  # ---- window cut ----
     "src_jsonl_quarantine",
     "samp_fixed_k",
     "agg_mode",
     "samp_interleave",
     "samp_shuffle",
-  # ---- window cut ----
     "samp_pack",
     "agg_percentile",
     "dq_reconcile",
@@ -411,12 +417,10 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_spectral",
     "mm_audio_features",
     "mm_wav_formats",
-    "mm_png_subbyte_interlaced",
     "evt_funnel",
     "evt_sessionize",
     "evt_retention",
     "join_asof",
-    "join_asof_forward",
     "join_range",
     "join_fuzzy",
     "join_overlap",
@@ -467,7 +471,6 @@ _PRIORITY: tuple[str, ...] = (
     "evt_paths",
     "ts_gapfill",
     "ts_rolling",
-    "evt_rate_anomaly",
     "ts_rolling_distinct",
     "scd2_merge",
     "cdc_apply",
@@ -505,9 +508,7 @@ _PRIORITY: tuple[str, ...] = (
     "evt_funnel_window",
     "ts_ohlc",
     "evt_session_stats",
-    "evt_rate_anomaly_seasonal",
     "fn_winsorize",
-    "join_asof_nearest",
     "src_warc_roundtrip",
     "dq_outlier_flag",
     "agg_heavy_hitters",
@@ -574,8 +575,8 @@ _PRIORITY: tuple[str, ...] = (
     "mart_vector_curation",
 )
 
-# summary: 269 registered; 0 latest-red; 0 zero-evidence;
-# window holds 0 red + 0 zero-evidence rows; spilled past the cut: []
+# summary: 269 registered; 0 latest-red; 6 zero-evidence;
+# window holds 0 red + 6 zero-evidence rows; spilled past the cut: []
 
 
 def _ensure_loaded() -> None:

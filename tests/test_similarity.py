@@ -782,3 +782,103 @@ def test_maxsim_hand_computed(spark):
         for r in maxsim_topk(docs.repartition(13), queries, k=3).collect()
     }
     assert got13 == {k: v[0] for k, v in got.items()}
+
+
+def test_maxsim_candidates_restrict_scoring(spark):
+    """maxsim_topk(candidates=...) scores ONLY the listed (qkey, dkey)
+    pairs — a doc outside the candidate list cannot appear even when it
+    would win — and on listed pairs the scores are value-identical to
+    the unrestricted run (the re-rank is exact, not approximate)."""
+    from kusuma_metamorph_etl_spark.operators.similarity import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [
+            ("A", [1.0, 0.0]), ("A", [0.0, 1.0]),
+            ("B", [1.0, 0.0]), ("B", [0.0, -1.0]),
+            ("C", [-1.0, 0.0]), ("C", [0.0, -1.0]),
+        ],
+        "dkey string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, 1, [1.0, 0.0]), (0, 2, [0.0, 1.0])],
+        "qkey long, vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [(0, "B"), (0, "C")], "qkey long, dkey string"
+    )
+    got = {
+        r["dkey"]: (r["maxsim"], r["rank"])
+        for r in maxsim_topk(docs, queries, k=3, candidates=cands).collect()
+    }
+    # A (the true winner, score 2.0) is NOT a candidate -> absent; B and
+    # C keep their exact unrestricted scores and re-rank among themselves
+    assert "A" not in got
+    assert got["B"] == (1.0, 1)
+    assert got["C"] == (0.0, 2)
+
+
+def test_maxsim_ann_degenerates_to_exact(spark, sf_small):
+    """With every cell probed and the shortlist covering the whole doc
+    set, the ANN path must equal the exact row bit-for-bit — the same
+    full-coverage degeneracy contract the IVF/PQ rows pin."""
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        maxsim_ann_topk,
+        maxsim_topk,
+        n_cells_for,
+    )
+    from kusuma_metamorph_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    docs = emb.select(
+        F.expr("vec_id div 8").alias("dkey"), "vec_id", "embedding"
+    )
+    queries = docs.filter(F.col("dkey") % 20 == 0).select(
+        F.col("dkey").alias("qkey"), "vec_id", "embedding"
+    )
+    n_docs = docs.select("dkey").distinct().count()
+    exact = sorted(
+        (r["qkey"], r["rank"], r["dkey"], r["maxsim"])
+        for r in maxsim_topk(docs, queries, k=3).collect()
+    )
+    ann = sorted(
+        (r["qkey"], r["rank"], r["dkey"], r["maxsim"])
+        for r in maxsim_ann_topk(
+            docs,
+            queries,
+            k=3,
+            n_candidates=n_docs,
+            n_probe=n_cells_for(n_docs),
+            refine_iters=1,
+        ).collect()
+    )
+    assert ann == exact
+
+
+def test_maxsim_ann_recall_contract(spark, sf_small, sf_medium):
+    """The registered (probe=10, 35-candidate) config clears the
+    sim_maxsim_ann_err gate bound (doc-grain recall >= 0.7) at both
+    pytest scales — measured 0.917 (sf0.001) / 0.917 (sf0.01) at
+    registration time; deterministic, so a drop means the IVF
+    assignment or the shortlist join regressed, not noise."""
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        maxsim_ann_topk,
+        maxsim_topk,
+    )
+    from kusuma_metamorph_etl_spark.sources.catalog import load_table
+
+    for sf_dir in (sf_small, sf_medium):
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = emb.select(
+            F.expr("vec_id div 8").alias("dkey"), "vec_id", "embedding"
+        )
+        queries = docs.filter(F.col("dkey") % 20 == 0).select(
+            F.col("dkey").alias("qkey"), "vec_id", "embedding"
+        )
+        exact = maxsim_topk(docs, queries, k=3).select("qkey", "dkey")
+        ann = maxsim_ann_topk(
+            docs, queries, k=3, n_candidates=35, n_probe=10, refine_iters=1
+        ).select("qkey", "dkey")
+        n_exact = exact.count()
+        n_hit = exact.join(ann, ["qkey", "dkey"], "left_semi").count()
+        assert n_exact > 0
+        assert n_hit >= 0.7 * n_exact, (sf_dir, n_hit, n_exact)

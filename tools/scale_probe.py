@@ -24,6 +24,14 @@ Scale-up semantics (what "10x the data" means here):
 * embeddings: copy ``i`` rotates each vector by ``i`` positions — same
   norms and distribution, distinct directions, no artificial ties.
 
+PROTOCOL RULE (stated r16, honored since r15): every NEWLY REGISTERED
+bench-relevant row gets its sf1.0 exponent measured IN THE SAME ROUND
+it lands (``--record --record-round N <new rows...>``) — a row without
+a measured exponent is an unproven scale claim, and deferring the probe
+is how unproven claims accumulate.  Consolidation family rows inherit
+their members' exponents only when the family body is a pure union of
+the retired bodies; anything restructured re-probes.
+
 Usage:
 
     python tools/scale_probe.py --build           # once: writes .scale/sf1.0
