@@ -1361,17 +1361,32 @@ VIDEO_FRAME_SCHEMA = (
 
 
 def extract_video_frames(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], dict[str, Any]] | None = None,
 ) -> DataFrame:
     """Arrow-batched video decode: one output row per FRAME with stream
     metadata and per-frame luma mean — the real-decode replacement for
-    byte-slice frame sampling.  Payload dropped from the output."""
+    byte-slice frame sampling.  Payload dropped from the output.
+
+    ``decoder`` is the same injection seam ``extract_binary_features``
+    carries (r16, closing the image-only gap): a native binding
+    (ffmpeg/pyav) plugs in per payload and must return the
+    :func:`decode_video` dict shape — ``frames`` (list of plane dicts
+    with a ``y`` array), ``width``, ``height``, ``n_frames``.  The
+    Arrow ``mapInPandas`` plumbing, schema, and per-frame fan-out stay
+    identical either way (pinned by
+    tests/test_multimodal.py::test_injected_video_decoder_composes_through_seam).
+    """
+    if decoder is None:
+        decoder = decode_video
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
             for doc_id, payload in zip(batch[id_col], batch[payload_col]):
-                video = decode_video(payload)
+                video = decoder(payload)
                 for k, planes in enumerate(video["frames"]):
                     rows.append(
                         {

@@ -519,8 +519,11 @@ def sim_maxsim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     MaxSim re-rank over the candidate docs' tokens only
     (`similarity.maxsim_ann_topk`) — per-query re-rank cost
     |q|·35·tokens_per_doc, independent of corpus size, and prefilter
-    cost ~probe·√n_docs instead of n_docs.  Rows-only (the shortlist
-    depends on the IVF index); the quality claim is oracle-bound by
+    cost ~probe·√n_docs instead of n_docs.  Measured sf1.0 exponent
+    0.258 vs the exact baseline's 0.89 on the same derivation
+    (BENCH_SCALE.json r16) — the composition claim is now
+    evidence-backed.  Rows-only (the shortlist depends on the IVF
+    index); the quality claim is oracle-bound by
     `sim_maxsim_ann_err`'s ≥0.7 doc-recall gate.  Funded by
     consolidating `join_asof_forward` + `join_asof_nearest` →
     `join_asof_directions` under the retire-one policy."""
@@ -539,7 +542,11 @@ def sim_maxsim_ann_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates): 0.917 / 0.917 / 0.795 at sf0.001/0.01/0.1 (pinned in
     tests/test_similarity.py; candidate scores are value-identical to
     the exact row's on every common pair, so the gate truly measures
-    shortlist containment, not float luck).  Funded by consolidating
+    shortlist containment, not float luck).  DECLARED gate-cost note:
+    this row RUNS the exact baseline it emits (sf1.0 exponent 0.844,
+    like every `_err` companion of a linear exact row) — the production
+    path whose scaling matters is `sim_maxsim_ann` (0.258).  Funded by
+    consolidating
     `evt_rate_anomaly` + `evt_rate_anomaly_seasonal` →
     `evt_rate_anomaly_family` under the retire-one policy."""
     docs, queries = _maxsim_ann_sets(spark, sf_dir)

@@ -3714,3 +3714,82 @@ def test_injected_native_decoder_composes_through_seam(spark, sf_small):
     d = {r["doc_id"]: r.asDict() for r in default.collect()}
     i = {r["doc_id"]: r.asDict() for r in injected.collect()}
     assert d == i and len(d) == 12
+
+
+def test_injected_audio_decoder_composes_through_seam(spark, sf_small):
+    """The audio twin of the r15 image seam proof: a vectorized stand-in
+    audio decoder (numpy stats over the decoded samples, the shape a
+    libsndfile/ffmpeg binding would take) injected through
+    ``extract_binary_features(decoder=...)`` must flow through the same
+    Arrow ``mapInPandas`` plumbing and produce output EQUAL to the
+    default ``audio_features`` path on genuine WAV payloads."""
+    from kusuma_metamorph_etl_spark.operators.multimodal import (
+        attach_audio_payload,
+        audio_features,
+        decode_audio,
+        extract_binary_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(12)
+    corpus = attach_audio_payload(docs).select("doc_id", "payload")
+    schema = (
+        "doc_id long, format string, sample_rate int, channels int, "
+        "n_samples int, duration_ms double, n_bytes int, rms double"
+    )
+
+    def native_standin(payload: bytes) -> dict:
+        audio = decode_audio(payload)
+        s = np.asarray(audio["samples"], dtype=np.float64)
+        return {
+            "format": audio["format"],
+            "sample_rate": audio["sample_rate"],
+            "channels": audio["channels"],
+            "n_samples": audio["n_samples"],
+            "duration_ms": audio["duration_ms"],
+            "n_bytes": len(payload),
+            "rms": float(np.sqrt(np.mean(s * s))) if s.size else 0.0,
+        }
+
+    default = extract_binary_features(
+        corpus, decoder=audio_features, schema=schema
+    )
+    injected = extract_binary_features(
+        corpus, decoder=native_standin, schema=schema
+    )
+    d = {r["doc_id"]: r.asDict() for r in default.collect()}
+    i = {r["doc_id"]: r.asDict() for r in injected.collect()}
+    assert d == i and len(d) == 12
+
+
+def test_injected_video_decoder_composes_through_seam(spark, sf_small):
+    """``extract_video_frames(decoder=...)`` — the injection seam added
+    r16 so video carries the same native escape hatch as images and
+    audio: a stand-in returning the ``decode_video`` dict shape must
+    produce per-frame output EQUAL to the default pure-Python Y4M walk
+    on genuine synthesized streams."""
+    from kusuma_metamorph_etl_spark.operators.multimodal import (
+        attach_video_payload,
+        decode_video,
+        extract_video_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(12)
+    corpus = attach_video_payload(docs).select("doc_id", "payload")
+    calls = []
+
+    def native_standin(payload: bytes) -> dict:
+        video = decode_video(payload)
+        # same dict contract a pyav/ffmpeg binding would fill
+        return {
+            "frames": [{"y": np.asarray(f["y"])} for f in video["frames"]],
+            "width": video["width"],
+            "height": video["height"],
+            "n_frames": video["n_frames"],
+        }
+
+    default = extract_video_frames(corpus)
+    injected = extract_video_frames(corpus, decoder=native_standin)
+    key = ["doc_id", "frame_idx"]
+    d = {tuple(r[k] for k in key): r.asDict() for r in default.collect()}
+    i = {tuple(r[k] for k in key): r.asDict() for r in injected.collect()}
+    assert d == i and len(d) >= 12  # >=1 frame per doc
