@@ -702,3 +702,31 @@ def test_ccnet_buckets_broadcasts_thresholds(spark, sf_small):
 
     plan = _plan(txt_ccnet_buckets(spark, sf_small))
     assert "BroadcastHashJoin" in plan
+
+
+def test_maxsim_ann_broadcasts_everywhere_no_smj(spark, sf_small):
+    """The ANN-prefiltered MaxSim row (r16) must keep every join
+    broadcast: the candidate list (|q|*35 rows) and the query tokens
+    broadcast onto the doc-token scan, the IVF centroid assignment is a
+    map — a SortMergeJoin or cartesian anywhere means a fact-side
+    shuffle crept into the shortlist path."""
+    from kusuma_metamorph_etl_spark.queries.ext_sim import sim_maxsim_ann
+
+    plan = _plan(sim_maxsim_ann(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paired_curation_pushes_gates_before_output(spark, sf_small):
+    """mart_paired_curation (r16) must stay equi-join only: the planted
+    mismatch pairing, the embedding joins, and the decode-features join
+    are all id-keyed — any nested-loop/cartesian means the agreement
+    compare degenerated into a cross join."""
+    from kusuma_metamorph_etl_spark.queries.ext_marts import (
+        mart_paired_curation,
+    )
+
+    plan = _plan(mart_paired_curation(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1072,3 +1072,63 @@ def test_maxsim_matches_python_oracle(n_doc, n_tok, n_q, data):
     for rank, d in enumerate(order, start=1):
         assert got[d][1] == rank
         assert abs(got[d][0] - expect[d]) < 1e-6
+
+
+@settings(max_examples=_ex(8), deadline=None)
+@given(
+    n_doc=st.integers(min_value=2, max_value=5),
+    n_tok=st.integers(min_value=1, max_value=3),
+    data=st.data(),
+)
+def test_maxsim_candidates_equals_filter_then_rerank(n_doc, n_tok, data):
+    """maxsim_topk(candidates=C) == score EVERY pair, keep only pairs in
+    C, re-rank — on arbitrary small token sets and arbitrary candidate
+    subsets.  The restriction must change WHICH pairs are scored, never
+    the score of a surviving pair (the exact-re-rank contract the
+    sim_maxsim_ann_err gate leans on)."""
+    from kusuma_metamorph_etl_spark.operators.similarity import maxsim_topk
+
+    spark = _session()
+    vec = st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+    ).filter(lambda v: any(v))
+    docs = [
+        (d, [float(x) for x in data.draw(vec)])
+        for d in range(n_doc)
+        for _ in range(n_tok)
+    ]
+    qs = [(0, i, [float(x) for x in data.draw(vec)]) for i in range(2)]
+    cand_docs = sorted(
+        data.draw(
+            st.sets(
+                st.integers(min_value=0, max_value=n_doc - 1),
+                min_size=1,
+                max_size=n_doc,
+            )
+        )
+    )
+    docs_df = spark.createDataFrame(docs, "dkey long, embedding array<double>")
+    q_df = spark.createDataFrame(
+        qs, "qkey long, vec_id long, embedding array<double>"
+    )
+    cand_df = spark.createDataFrame(
+        [(0, d) for d in cand_docs], "qkey long, dkey long"
+    )
+    k = n_doc  # no truncation: compare the full restricted ranking
+    full = {
+        r["dkey"]: r["maxsim"]
+        for r in maxsim_topk(docs_df, q_df, k=k).collect()
+    }
+    expect_order = sorted(
+        ((d, full[d]) for d in cand_docs), key=lambda t: (-t[1], t[0])
+    )
+    got = sorted(
+        (
+            (r["rank"], r["dkey"], r["maxsim"])
+            for r in maxsim_topk(
+                docs_df, q_df, k=k, candidates=cand_df
+            ).collect()
+        )
+    )
+    assert [(d, m) for _, d, m in got] == expect_order
+    assert [r for r, _, _ in got] == list(range(1, len(cand_docs) + 1))
