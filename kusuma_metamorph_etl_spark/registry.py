@@ -132,21 +132,17 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-14 WINDOW: basis 13; 264 registered (+dedup_bloom_incr — the
-# Bloom-prefiltered anti-join twin of dedup_incremental, composed from
-# sketches.bloom_sketch/bloom_probe with bloom_params_for auto-sizing;
-# fully hash-oracle-green since Bloom has no false negatives and the
-# exact verify removes false positives; +dedup_cc_minhash — the
-# MinHash-banded-edge scale twin of dedup_cc_representatives, r13
-# VERDICT "What's wrong" #1 — with its glued _err recall/superset
-# gate, sf1.0 exponent 0.076 vs the exact row's 1.10; +samp_dsir, DSIR
-# hashed-n-gram importance resampling per r13 VERDICT Next #5, funded
-# by consolidating txt_url_normalize + txt_url_normalize_v2 →
-# txt_url_normalize_family).  The 4 zero-evidence rows lead the cut,
-# then the 26-row r8-evidence cohort (due this round —
-# MAX_EVIDENCE_AGE = 6), then 20 of the 47-row r9 cohort PRE-ROTATED
-# (r13 VERDICT Next #6) so r15's due cohort shrinks to ~27 rows.  The
-# age guard now scopes to REGISTERED rows
+# ROUND-16 WINDOW: basis 15; 269 registered (+sim_maxsim_ann/_err —
+# the ANN-prefiltered MaxSim scale path the r15 declaration promised,
+# measured sf1.0 exponent 0.258 vs the exact row's 0.89, recall-gated
+# ≥0.7; +mart_paired_curation — the LAION-style caption↔image
+# agreement filter; funded under the retire-one policy by THREE
+# consolidations: join_asof_forward+join_asof_nearest →
+# join_asof_directions, evt_rate_anomaly+evt_rate_anomaly_seasonal →
+# evt_rate_anomaly_family, mm_png_subbyte+mm_png_subbyte_interlaced →
+# mm_png_subbyte_family).  The 6 zero-evidence r16 rows lead the cut,
+# then the due r9/r10 cohorts.  The
+# age guard scopes to REGISTERED rows
 # only: ids retired by consolidation (win_lag_lead et al →
 # win_rank_family in r13, the txt_url_normalize pair in r14) keep
 # stale CORRECTNESS evidence forever but
