@@ -135,3 +135,22 @@ def test_customer_report_tier_boundaries_sf0001(spark, sf_small):
         | ((F.col("pr2") > 0.5) & (F.col("loyalty_tier") != "Bronze"))
     ).count()
     assert bad == 0
+
+
+def test_paired_curation_kills_every_planted_mismatch(spark, sf_small):
+    """mart_paired_curation's agreement gate (r16): every planted
+    mismatched pair (doc_id % 5 == 0 carries its neighbor's image
+    embedding) must die by MEASURED agreement — random 64-dim cosines
+    sit ~4σ below the 0.5 floor — while every surviving matched pair
+    reads agreement 1.0 (self-cosine) and respects both quality gates."""
+    from kusuma_metamorph_etl_spark.queries.ext_marts import (
+        mart_paired_curation,
+    )
+
+    out = mart_paired_curation(spark, sf_small).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["doc_id"] % 5 != 0, f"planted mismatch survived: {r}"
+        assert r["agreement"] == 1.0
+        assert r["quality_score"] >= 0.05
+        assert r["width"] >= 5 and r["height"] >= 5
