@@ -1433,7 +1433,24 @@ def maxsim_ann_topk(
     decimal token sums) — so when the shortlist contains the true top-k,
     the output EQUALS the exact row's, making doc-grain recall against
     :func:`maxsim_topk` the natural quality gate (the registered
-    ``sim_maxsim_ann_err`` row pins it at ≥ 0.7)."""
+    ``sim_maxsim_ann_err`` row pins it at ≥ 0.7).
+
+    Keys must be NUMERIC (the namespace offset is arithmetic) — unlike
+    :func:`maxsim_topk`, which takes any orderable key type.  String
+    keys raise immediately rather than failing deep inside the IVF
+    plan; hash or dictionary-encode them first."""
+    for frame, col, side in (
+        (doc_tokens, d_col, "doc"),
+        (query_tokens, q_col, "query"),
+    ):
+        kind = frame.schema[col].dataType.typeName()
+        if kind not in ("byte", "short", "integer", "long", "decimal"):
+            raise TypeError(
+                f"maxsim_ann_topk requires numeric {side} keys ({col} is "
+                f"{kind}): the query-key namespace offset is arithmetic — "
+                "hash or dictionary-encode non-numeric keys first, or use "
+                "maxsim_topk(candidates=...) with your own prefilter"
+            )
     # ivf id namespace: dkeys as-is, qkeys offset past any plausible key
     _OFF = 1 << 40
     dcent = group_centroids(doc_tokens, d_col, vec_col=vec_col).select(

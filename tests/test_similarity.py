@@ -882,3 +882,25 @@ def test_maxsim_ann_recall_contract(spark, sf_small, sf_medium):
         n_hit = exact.join(ann, ["qkey", "dkey"], "left_semi").count()
         assert n_exact > 0
         assert n_hit >= 0.7 * n_exact, (sf_dir, n_hit, n_exact)
+
+
+def test_maxsim_ann_rejects_string_keys(spark):
+    """maxsim_ann_topk's namespace offset is arithmetic, so string keys
+    must raise a clear TypeError up front instead of failing deep
+    inside the IVF plan (maxsim_topk itself accepts any key type)."""
+    import pytest
+
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        maxsim_ann_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [("A", 1, [1.0, 0.0]), ("B", 2, [0.0, 1.0])],
+        "dkey string, vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("A", 1, [1.0, 0.0])],
+        "qkey string, vec_id long, embedding array<double>",
+    )
+    with pytest.raises(TypeError, match="numeric doc keys"):
+        maxsim_ann_topk(docs, queries, k=1)
