@@ -1407,6 +1407,7 @@ def maxsim_ann_topk(
     n_centroids: int | None = None,
     n_probe: int = 6,
     refine_iters: int = 1,
+    persist_centroids: bool = False,
 ) -> DataFrame:
     """ANN-prefiltered MaxSim — the PRODUCTION ColBERT retrieval shape
     (r16, the registered scale path beside :func:`maxsim_topk`'s exact
@@ -1438,7 +1439,18 @@ def maxsim_ann_topk(
     Keys must be NUMERIC (the namespace offset is arithmetic) — unlike
     :func:`maxsim_topk`, which takes any orderable key type.  String
     keys raise immediately rather than failing deep inside the IVF
-    plan; hash or dictionary-encode them first."""
+    plan; hash or dictionary-encode them first.
+
+    ``persist_centroids`` — the index-build path takes ~4 actions over
+    the pooled doc frame (cell-count derivation, seed collect, Lloyd
+    pass, assignment scan), each re-running the pooling aggregation
+    when the frame is unpersisted.  At gate scales recompute WINS
+    (measured sf0.1 in-session A/B: ~2.2 s recompute vs ~2.8 s persist
+    — the pooling is trivial and cache materialization is not, the
+    `dedup_semantic_incr` trade again); on a bulk corpus the pooled
+    frame is n_docs×dim while each recompute is a full token-table
+    aggregation, so flip this on — or better, persist the index itself
+    across runs via :func:`write_ivf_index` on the pooled vectors."""
     for frame, col, side in (
         (doc_tokens, d_col, "doc"),
         (query_tokens, q_col, "query"),
@@ -1456,6 +1468,8 @@ def maxsim_ann_topk(
     dcent = group_centroids(doc_tokens, d_col, vec_col=vec_col).select(
         F.col(d_col).alias(tok_col), F.col("centroid").alias(vec_col)
     )
+    if persist_centroids:
+        dcent = dcent.persist()
     qcent = group_centroids(query_tokens, q_col, vec_col=vec_col).select(
         (F.col(q_col) + F.lit(_OFF)).alias(tok_col),
         F.col("centroid").alias(vec_col),

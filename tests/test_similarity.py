@@ -904,3 +904,32 @@ def test_maxsim_ann_rejects_string_keys(spark):
     )
     with pytest.raises(TypeError, match="numeric doc keys"):
         maxsim_ann_topk(docs, queries, k=1)
+
+
+def test_maxsim_ann_persist_centroids_identical(spark, sf_small):
+    """persist_centroids=True is a pure execution-strategy knob (the
+    100 TB amortization documented in the operator): the output must be
+    row-identical to the recompute default."""
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        maxsim_ann_topk,
+    )
+    from kusuma_metamorph_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    docs = emb.select(
+        F.expr("vec_id div 8").alias("dkey"), "vec_id", "embedding"
+    )
+    queries = docs.filter(F.col("dkey") % 20 == 0).select(
+        F.col("dkey").alias("qkey"), "vec_id", "embedding"
+    )
+    kw = dict(k=3, n_candidates=10, n_probe=6, refine_iters=1)
+    base = sorted(map(tuple, maxsim_ann_topk(docs, queries, **kw).collect()))
+    pers = sorted(
+        map(
+            tuple,
+            maxsim_ann_topk(
+                docs, queries, persist_centroids=True, **kw
+            ).collect(),
+        )
+    )
+    assert base == pers
