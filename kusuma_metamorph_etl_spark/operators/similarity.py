@@ -253,6 +253,55 @@ def n_cells_for(n_rows: int, floor: int = 16, cap: int = 65536) -> int:
     return max(floor, min(cap, math.isqrt(n_rows)))
 
 
+def maxsim_probe_for(n_cells: int, frac: float = 0.625, floor: int = 10) -> int:
+    """MaxSim-ANN probe count derived from the cell count: probe a
+    constant FRACTION of cells (default 5/8, the ratio the registered
+    row was calibrated at on the 16-cell floor — 10/16).
+
+    Why this exists (r16 verdict → r17): with a FIXED ``n_probe`` the
+    probed fraction shrinks as cells grow √n, and the measured doc-grain
+    recall of `sim_maxsim_ann` fell 0.917 → 0.917 → 0.795 across the
+    three driver scales — monotonically toward its 0.7 gate.  Holding
+    the fraction constant keeps the cell-containment half of recall
+    scale-independent while the probed CANDIDATE mass stays
+    ``frac · n_docs`` of a pooled (1-row-per-doc) scan — the cheap
+    stage; the expensive exact re-rank is bounded separately by
+    :func:`maxsim_candidates_for`.  Same derived-parameter discipline as
+    :func:`n_cells_for` / ``dedup.lsh_planes_for`` (r14 rule: no
+    registered ANN path carries a capacity constant tuned to fixture
+    scale)."""
+    import math
+
+    if n_cells <= 0:
+        return floor
+    return min(n_cells, max(floor, math.ceil(frac * n_cells)))
+
+
+def maxsim_candidates_for(
+    n_docs: int, coeff_tenths: int = 44, floor: int = 35, cap: int = 4096
+) -> int:
+    """MaxSim-ANN shortlist size derived from corpus size:
+    ``clamp(⌈4.4·√n_docs⌉)`` (``coeff_tenths``/10 — an integer number
+    of tenths so ``44·√2500/10`` is IEEE-exact 220, not 220.000…3),
+    calibrated so the sf0.01 fixture keeps its registration-time 35
+    (35/√62 ≈ 4.4) and the shortlist grows as √n — the true doc's
+    pooled-cosine rank among i.i.d. distractors grows with the corpus,
+    so a FIXED shortlist is a shrinking fraction (35 was 56% of the
+    sf0.01 corpus but 1.4% of sf1.0) and recall decays (fixed-vs-derived
+    recall/latency A/B at sf0.1 and sf1.0: BENCH_SCALE.json r17).  √n
+    keeps the exact re-rank cost per query
+    (``|q|·n_candidates·tokens_per_doc``) sublinear in the corpus; the
+    cap bounds the broadcast candidate list (|q|×N rows) at cluster
+    scale."""
+    import math
+
+    if n_docs <= 0:
+        return floor
+    return max(
+        floor, min(cap, math.ceil(coeff_tenths * math.sqrt(n_docs) / 10))
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -452,6 +501,7 @@ def ivf_topk(
     n_centroids: int | None = 16,
     n_probe: int = 4,
     refine_iters: int = 0,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -468,6 +518,14 @@ def ivf_topk(
     to ~``n_probe / n_centroids`` of brute force.  For a REUSED index,
     :func:`write_ivf_index` + :func:`ivf_search` persist the assignment
     as a cell-partitioned layout and partition-prune each search.
+
+    ``exclude_self`` (default True) drops pairs whose query id EQUALS the
+    neighbor id — the right default when queries are drawn from the
+    corpus itself and a vector's trivial self-match would waste a top-k
+    slot.  Pass False when query and corpus keys live in independent
+    namespaces that may collide numerically (e.g. query q's pooled
+    centroid searching DOC centroids in :func:`maxsim_ann_topk`): there
+    an id-equality filter would silently drop a legitimate neighbor.
     """
     if n_centroids is None:
         n_centroids = n_cells_for(corpus.count())
@@ -481,10 +539,11 @@ def ivf_topk(
     # Queries keep the plan-literal multi-probe ranking.
     c = assign_cells_np(corpus, centroids, "neighbor_id", id_col, vec_col)
     q = _assign_cells(queries, cells, "query_id", n_probe, id_col, vec_col)
+    joined = c.join(F.broadcast(q), on="cell")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = (
-        c.join(F.broadcast(q), on="cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        joined.select(
             "query_id",
             "neighbor_id",
             cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cosine"),
@@ -1399,13 +1458,13 @@ def maxsim_ann_topk(
     doc_tokens: DataFrame,
     query_tokens: DataFrame,
     k: int = 3,
-    n_candidates: int = 10,
+    n_candidates: int | None = None,
     d_col: str = "dkey",
     q_col: str = "qkey",
     tok_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int | None = None,
-    n_probe: int = 6,
+    n_probe: int | None = None,
     refine_iters: int = 1,
     persist_centroids: bool = False,
 ) -> DataFrame:
@@ -1422,24 +1481,32 @@ def maxsim_ann_topk(
        per-query cost ~``n_probe·√n_docs`` instead of ``n_docs``;
     3. RE-RANK: exact MaxSim over the CANDIDATE docs' tokens only
        (:func:`maxsim_topk` with ``candidates=``) — per-query cost
-       ``|q|·n_candidates·tokens_per_doc``, independent of corpus size.
+       ``|q|·n_candidates·tokens_per_doc``, sublinear in corpus size.
 
-    Doc and query keys live in separate namespaces, so query centroid
-    ids are offset out of the doc-key range before entering the shared
-    IVF id space (``ivf_topk`` excludes self-matches BY ID — an
-    un-offset qkey numerically equal to a dkey would silently lose that
-    doc from its own shortlist) and shifted back on the way out.
+    ``n_probe``/``n_candidates`` default to None = DERIVED from the
+    pooled corpus size (:func:`maxsim_probe_for` holds the probed-cell
+    fraction constant as cells grow √n; :func:`maxsim_candidates_for`
+    grows the shortlist as √n_docs) — the r14 derived-parameter rule
+    (`n_cells_for` / `lsh_planes_for`): fixture-tuned constants decay as
+    the corpus grows (measured recall 0.917/0.917/0.795 at the three
+    driver scales with the r16 fixed (10, 35); BENCH_SCALE.json r17
+    records the fixed-vs-derived recall/latency points at sf0.1/sf1.0).
+    Pass explicit ints to pin either knob.
+
+    Doc and query keys stay in their OWN namespaces end to end: the
+    prefilter searches doc centroids with ``exclude_self=False``, so a
+    qkey numerically equal to a dkey (the common "queries are drawn
+    from the corpus" shape) cannot be mistaken for a self-match and
+    silently dropped from its own shortlist.  (The r16 version offset
+    qkeys by 2^40 into a shared id space instead — unsound for 64-bit
+    hashed keys, where the offset could collide or overflow.)  Keys of
+    ANY orderable type work, like :func:`maxsim_topk` itself.
 
     Same tie discipline as the exact row (score DESC, dkey ASC; 9-dp
     decimal token sums) — so when the shortlist contains the true top-k,
     the output EQUALS the exact row's, making doc-grain recall against
     :func:`maxsim_topk` the natural quality gate (the registered
     ``sim_maxsim_ann_err`` row pins it at ≥ 0.7).
-
-    Keys must be NUMERIC (the namespace offset is arithmetic) — unlike
-    :func:`maxsim_topk`, which takes any orderable key type.  String
-    keys raise immediately rather than failing deep inside the IVF
-    plan; hash or dictionary-encode them first.
 
     ``persist_centroids`` — the index-build path takes ~4 actions over
     the pooled doc frame (cell-count derivation, seed collect, Lloyd
@@ -1450,29 +1517,26 @@ def maxsim_ann_topk(
     `dedup_semantic_incr` trade again); on a bulk corpus the pooled
     frame is n_docs×dim while each recompute is a full token-table
     aggregation, so flip this on — or better, persist the index itself
-    across runs via :func:`write_ivf_index` on the pooled vectors."""
-    for frame, col, side in (
-        (doc_tokens, d_col, "doc"),
-        (query_tokens, q_col, "query"),
-    ):
-        kind = frame.schema[col].dataType.typeName()
-        if kind not in ("byte", "short", "integer", "long", "decimal"):
-            raise TypeError(
-                f"maxsim_ann_topk requires numeric {side} keys ({col} is "
-                f"{kind}): the query-key namespace offset is arithmetic — "
-                "hash or dictionary-encode non-numeric keys first, or use "
-                "maxsim_topk(candidates=...) with your own prefilter"
-            )
-    # ivf id namespace: dkeys as-is, qkeys offset past any plausible key
-    _OFF = 1 << 40
+    across runs via :func:`write_ivf_index` on the pooled vectors.
+    The cached frame is released before this function returns (the
+    shortlist — the only consumer — is eagerly materialized via
+    ``localCheckpoint``, bounded at |q|×n_candidates id pairs), so
+    repeated calls cannot accumulate leaked cache entries."""
     dcent = group_centroids(doc_tokens, d_col, vec_col=vec_col).select(
         F.col(d_col).alias(tok_col), F.col("centroid").alias(vec_col)
     )
     if persist_centroids:
         dcent = dcent.persist()
+    if n_probe is None or n_candidates is None or n_centroids is None:
+        n_docs = dcent.count()
+        if n_centroids is None:
+            n_centroids = n_cells_for(n_docs)
+        if n_probe is None:
+            n_probe = maxsim_probe_for(n_centroids)
+        if n_candidates is None:
+            n_candidates = maxsim_candidates_for(n_docs)
     qcent = group_centroids(query_tokens, q_col, vec_col=vec_col).select(
-        (F.col(q_col) + F.lit(_OFF)).alias(tok_col),
-        F.col("centroid").alias(vec_col),
+        F.col(q_col).alias(tok_col), F.col("centroid").alias(vec_col)
     )
     cands = ivf_topk(
         qcent,
@@ -1483,10 +1547,18 @@ def maxsim_ann_topk(
         n_centroids=n_centroids,
         n_probe=n_probe,
         refine_iters=refine_iters,
+        exclude_self=False,
     ).select(
-        (F.col("query_id") - F.lit(_OFF)).alias(q_col),
+        F.col("query_id").alias(q_col),
         F.col("neighbor_id").alias(d_col),
     )
+    if persist_centroids:
+        # materialize the shortlist (its only upstream use of the cache),
+        # then release the pooled frame — ADVICE r16: a persist with no
+        # matching unpersist leaks one cached frame per call for the
+        # session's lifetime on the documented bulk-corpus use case.
+        cands = cands.localCheckpoint(eager=True)
+        dcent.unpersist()
     return maxsim_topk(
         doc_tokens,
         query_tokens,

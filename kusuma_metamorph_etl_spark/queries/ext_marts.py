@@ -618,7 +618,13 @@ def mart_paired_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       NEXT document's — the shuffled-caption failure mode agreement
       filtering exists to catch; matched pairs carry their own
       embedding, so their agreement is the cosine self-score 1.0 while
-      mismatches score near 0 on these 64-dim vectors);
+      mismatches score near 0 on these 64-dim vectors).  BOUNDARY
+      (ADVICE r16): when the HIGHEST doc_id is divisible by 5, its
+      planted img_id = doc_id + 1 has no embedding row, so that one
+      mismatch dies by the inner join rather than by measured
+      agreement — identically in both engines (the oracle replays the
+      same join), and the planted-mismatch pytest asserts zero
+      survivors either way;
     * CAPTION GATE — `text.quality_features` composite floor ≥ 0.05
       (the `txt_quality` stage, same floor as `mart_domain_curation`);
     * IMAGE GATE — REAL decode via `multimodal.attach_image_payload` →

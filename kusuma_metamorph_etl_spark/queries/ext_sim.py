@@ -484,7 +484,12 @@ def _maxsim_ann_sets(
     return docs, queries
 
 
-_MAXSIM_ANN_PARAMS = dict(k=3, n_candidates=35, n_probe=10, refine_iters=1)
+# r17: n_candidates/n_probe are DERIVED from the pooled corpus size
+# (similarity.maxsim_candidates_for / maxsim_probe_for — the r14
+# derived-parameter rule the r16 fixed (35, 10) violated; at the
+# sf0.01 fixture the derivation reproduces exactly (35, 10), so gate
+# recall there is unchanged by construction).
+_MAXSIM_ANN_PARAMS = dict(k=3, refine_iters=1)
 
 # Exact MaxSim top-3 over the `_maxsim_ann_sets` derivation — the
 # oracle of `sim_maxsim_ann_err` and the recall baseline both rows are
@@ -514,15 +519,23 @@ def sim_maxsim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN-prefiltered MaxSim ([EXT], r16 — the registered scale path
     the `sim_maxsim_topk` docstring promised beside its exact
     exponent-0.84 baseline): pool each token set to its centroid
-    (`group_centroids`), IVF-shortlist 35 candidate docs per query over
-    the pooled doc vectors (√n-derived cells, probe 10), then EXACT
-    MaxSim re-rank over the candidate docs' tokens only
-    (`similarity.maxsim_ann_topk`) — per-query re-rank cost
-    |q|·35·tokens_per_doc, independent of corpus size, and prefilter
-    cost ~probe·√n_docs instead of n_docs.  Measured sf1.0 exponent
-    0.258 vs the exact baseline's 0.89 on the same derivation
-    (BENCH_SCALE.json r16) — the composition claim is now
-    evidence-backed.  Rows-only (the shortlist depends on the IVF
+    (`group_centroids`), IVF-shortlist candidate docs per query over
+    the pooled doc vectors, then EXACT MaxSim re-rank over the
+    candidate docs' tokens only (`similarity.maxsim_ann_topk`) —
+    per-query re-rank cost |q|·n_candidates·tokens_per_doc, prefilter
+    cost ~probe·√n_docs instead of n_docs.  r17: every shortlist
+    parameter is DERIVED from corpus size (cells √n via `n_cells_for`,
+    probed-cell fraction held constant via `maxsim_probe_for`,
+    shortlist √n_docs via `maxsim_candidates_for`) — the r16 fixed
+    (probe=10, 35 candidates) violated the repo's r14 derived-parameter
+    rule and its recall decayed toward the gate as the corpus grew —
+    0.917/0.917/0.795 at the driver scales and 0.453 (gate-RED) at
+    sf1.0; derived holds 0.917/0.917/0.846/0.731 (BENCH_SCALE.json r17
+    `sim_maxsim_ann_recall` has the fixed-vs-derived recall/latency A/B
+    and miss attribution).  Measured sf1.0 exponent 0.364 at the
+    derived setting (r17; was 0.258 fixed — the √n shortlist growth
+    prices recall-at-scale into the exponent) vs the exact baseline's
+    0.89 on the same derivation.  Rows-only (the shortlist depends on the IVF
     index); the quality claim is oracle-bound by
     `sim_maxsim_ann_err`'s ≥0.7 doc-recall gate.  Funded by
     consolidating `join_asof_forward` + `join_asof_nearest` →
@@ -538,11 +551,17 @@ def sim_maxsim_ann_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN path's doc-grain recall ≥ 0.7 against it — a broken
     shortlist join, a drifted IVF assignment, or a re-rank that no
     longer equals the exact scorer on common pairs empties the output
-    and flips the driver red.  Measured recall at (probe=10, 35
-    candidates): 0.917 / 0.917 / 0.795 at sf0.001/0.01/0.1 (pinned in
-    tests/test_similarity.py; candidate scores are value-identical to
-    the exact row's on every common pair, so the gate truly measures
-    shortlist containment, not float luck).  DECLARED gate-cost note:
+    and flips the driver red.  Measured recall at the r17 DERIVED
+    shortlist (reproduces (probe=10, 35) at sf0.001/0.01, grows with
+    the corpus): 0.917 / 0.917 / 0.846 / 0.731 at
+    sf0.001/0.01/0.1/1.0 — the gate now holds at the scale the
+    exponent was measured, where the r16 FIXED (10, 35) read 0.453
+    (gate-RED; its 0.917/0.917/0.795 trend was real decay, not noise —
+    BENCH_SCALE.json r17 `sim_maxsim_ann_recall` has the full
+    fixed-vs-derived A/B and the sf1.0 miss attribution; candidate
+    scores are value-identical to the exact row's on every common
+    pair, so the gate truly measures shortlist containment, not float
+    luck).  DECLARED gate-cost note:
     this row RUNS the exact baseline it emits (sf1.0 exponent 0.844,
     like every `_err` companion of a linear exact row) — the production
     path whose scaling matters is `sim_maxsim_ann` (0.258).  Funded by

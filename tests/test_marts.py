@@ -142,7 +142,10 @@ def test_paired_curation_kills_every_planted_mismatch(spark, sf_small):
     mismatched pair (doc_id % 5 == 0 carries its neighbor's image
     embedding) must die by MEASURED agreement — random 64-dim cosines
     sit ~4σ below the 0.5 floor — while every surviving matched pair
-    reads agreement 1.0 (self-cosine) and respects both quality gates."""
+    reads agreement 1.0 (self-cosine) and respects both quality gates.
+    (Boundary, ADVICE r16: a corpus whose max doc_id % 5 == 0 kills
+    that one mismatch by the embedding inner join instead — same zero
+    survivors, asserted here either way.)"""
     from kusuma_metamorph_etl_spark.queries.ext_marts import (
         mart_paired_curation,
     )

@@ -855,11 +855,12 @@ def test_maxsim_ann_degenerates_to_exact(spark, sf_small):
 
 
 def test_maxsim_ann_recall_contract(spark, sf_small, sf_medium):
-    """The registered (probe=10, 35-candidate) config clears the
-    sim_maxsim_ann_err gate bound (doc-grain recall >= 0.7) at both
-    pytest scales — measured 0.917 (sf0.001) / 0.917 (sf0.01) at
-    registration time; deterministic, so a drop means the IVF
-    assignment or the shortlist join regressed, not noise."""
+    """The registered DERIVED config (r17 — reproduces (probe=10, 35
+    candidates) at these fixture sizes) clears the sim_maxsim_ann_err
+    gate bound (doc-grain recall >= 0.7) at both pytest scales —
+    measured 0.917 (sf0.001) / 0.917 (sf0.01) at registration time;
+    deterministic, so a drop means the IVF assignment, the shortlist
+    join, or the parameter derivation regressed, not noise."""
     from kusuma_metamorph_etl_spark.operators.similarity import (
         maxsim_ann_topk,
         maxsim_topk,
@@ -875,35 +876,69 @@ def test_maxsim_ann_recall_contract(spark, sf_small, sf_medium):
             F.col("dkey").alias("qkey"), "vec_id", "embedding"
         )
         exact = maxsim_topk(docs, queries, k=3).select("qkey", "dkey")
-        ann = maxsim_ann_topk(
-            docs, queries, k=3, n_candidates=35, n_probe=10, refine_iters=1
-        ).select("qkey", "dkey")
+        ann = maxsim_ann_topk(docs, queries, k=3, refine_iters=1).select(
+            "qkey", "dkey"
+        )
         n_exact = exact.count()
         n_hit = exact.join(ann, ["qkey", "dkey"], "left_semi").count()
         assert n_exact > 0
         assert n_hit >= 0.7 * n_exact, (sf_dir, n_hit, n_exact)
 
 
-def test_maxsim_ann_rejects_string_keys(spark):
-    """maxsim_ann_topk's namespace offset is arithmetic, so string keys
-    must raise a clear TypeError up front instead of failing deep
-    inside the IVF plan (maxsim_topk itself accepts any key type)."""
-    import pytest
-
+def test_maxsim_ann_string_keys_and_key_equal_queries(spark):
+    """r17: doc and query keys stay in their own namespaces end to end
+    (ivf_topk exclude_self=False), so (a) STRING keys work — the r16
+    arithmetic 2^40 offset that forced numeric keys (and could collide
+    or overflow on 64-bit hashed keys, ADVICE r16) is gone — and (b) a
+    query whose key EQUALS its source doc's key still retrieves that
+    doc: an id-equality self-match filter would have silently dropped
+    the best answer."""
     from kusuma_metamorph_etl_spark.operators.similarity import (
         maxsim_ann_topk,
     )
 
     docs = spark.createDataFrame(
-        [("A", 1, [1.0, 0.0]), ("B", 2, [0.0, 1.0])],
+        [("A", 1, [1.0, 0.0]), ("B", 2, [0.0, 1.0]), ("C", 3, [1.0, 1.0])],
         "dkey string, vec_id long, embedding array<double>",
     )
+    # query "A" is doc A's own token set — the key-collision shape
     queries = spark.createDataFrame(
         [("A", 1, [1.0, 0.0])],
         "qkey string, vec_id long, embedding array<double>",
     )
-    with pytest.raises(TypeError, match="numeric doc keys"):
-        maxsim_ann_topk(docs, queries, k=1)
+    got = {
+        r["rank"]: r["dkey"]
+        for r in maxsim_ann_topk(
+            docs, queries, k=1, n_candidates=3, n_probe=16, n_centroids=16
+        ).collect()
+    }
+    assert got == {1: "A"}
+
+
+def test_maxsim_derived_parameters(spark):
+    """maxsim_probe_for holds the probed-cell fraction (5/8, the
+    16-cell-floor calibration) and maxsim_candidates_for grows the
+    shortlist as sqrt(n_docs) from the 35 @ sf0.01 calibration — the
+    r14 derived-parameter rule applied to the r16 fixed (10, 35)."""
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        maxsim_candidates_for,
+        maxsim_probe_for,
+        n_cells_for,
+    )
+
+    # the sf0.001/sf0.01 fixture (62 docs) reproduces the r16 setting
+    assert n_cells_for(62) == 16
+    assert maxsim_probe_for(16) == 10
+    assert maxsim_candidates_for(62) == 35
+    # fraction holds as cells grow; shortlist grows as sqrt(n)
+    assert maxsim_probe_for(50) == 32  # sf1.0: 2500 docs -> 50 cells
+    assert maxsim_candidates_for(250) == 70  # sf0.1
+    assert maxsim_candidates_for(2500) == 220  # sf1.0
+    # floors/caps: tiny corpora never under-probe; broadcast list bounded
+    assert maxsim_probe_for(4) == 4
+    assert maxsim_probe_for(0) == 10
+    assert maxsim_candidates_for(0) == 35
+    assert maxsim_candidates_for(10**9) == 4096
 
 
 def test_maxsim_ann_persist_centroids_identical(spark, sf_small):
