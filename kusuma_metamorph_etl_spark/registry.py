@@ -156,9 +156,9 @@ _LOADED = False
 # EVERY REGISTRATION; the window guard test is the backstop, run it
 # before every commit.
 #
-# r16 builder checklist: once the driver lands CORRECTNESS_r15.json,
-# bump _PRIORITY_BASIS_ROUND to 15, regenerate with
-# `python tools/make_window.py --through-round 15`, and re-paste
+# r18 builder checklist: once the driver lands CORRECTNESS_r17.json,
+# bump _PRIORITY_BASIS_ROUND to 17, regenerate with
+# `python tools/make_window.py --through-round 17`, and re-paste
 # (defer only if new zero-evidence registrations overflow the window).
 # Registry ceiling policy (ENFORCED since r12 by
 # tests/test_registry_window.py::test_registry_under_rotation_ceiling):
@@ -167,14 +167,14 @@ _LOADED = False
 # message must name the retired/merged row.
 # ---------------------------------------------------------------------------
 
-_PRIORITY_BASIS_ROUND = 15
+_PRIORITY_BASIS_ROUND = 16
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
-# Empty this round (r16 basis): the 6 zero-evidence r16 registrations
-# (sim_maxsim_ann/_err, mart_paired_curation + the three funding
-# consolidation family rows) lead the window; the due r9/r10 cohorts
-# fill the rest with room.
+# Empty this round (r17 basis): zero latest-red and zero pre-existing
+# zero-evidence rows at rotation time — the window is pure oldest-cohort
+# rotation (r10/r11 due) plus any r17 registrations, which lead it with
+# room.
 DEFERRED_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
@@ -295,61 +295,10 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
     return tuple(ordered)
 
 
-# Output of `python tools/make_window.py` at basis round 15 —
+# Output of `python tools/make_window.py` at basis round 16 —
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    "sim_maxsim_ann",
-    "sim_maxsim_ann_err",
-    "mm_png_subbyte_family",
-    "evt_rate_anomaly_family",
-    "join_asof_directions",
-    "mart_paired_curation",
-    "sort_limit",
-    "txt_quality",
-    "txt_tfidf",
-    "txt_pii_scrub",
-    "dedup_incremental",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "sim_cosine_topk",
-    "sim_cosine_pairs",
-    "sim_group_centroid",
-    "mm_binary_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "mm_png_trns",
-    "fn_regexp_extract_all",
-    "samp_deterministic",
-    "samp_stratified",
-    "agg_approx_distinct",
-    "agg_approx_distinct_err",
-    "agg_pivot",
-    "dq_null_profile",
-    "txt_token_count",
-    "txt_language_id",
-    "txt_fingerprint",
-    "txt_rolling_fingerprint",
-    "txt_chunk",
-    "txt_gopher_filter",
-    "txt_repetition",
-    "txt_bpe_roundtrip",
-    "txt_char_entropy",
-    "dedup_decontaminate",
-    "dedup_containment",
-    "dedup_cc_clusters",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_err",
-    "dedup_simhash",
-    "dedup_simhash_err",
-    "dedup_embedding_lsh",
-    "dedup_embedding_lsh_err",
-    "mm_png_16bit",
-    "mm_gif_interlaced",
-    "fn_json_extract",
-    "proj_unpivot",
-  # ---- window cut ----
     "src_jsonl_quarantine",
     "samp_fixed_k",
     "agg_mode",
@@ -400,6 +349,7 @@ _PRIORITY: tuple[str, ...] = (
     "win_rownum_flag",
     "win_percent_rank",
     "setop_family",
+  # ---- window cut ----
     "sim_cosine_topk_np",
     "sim_cosine_topk_np_err",
     "sim_ivf_topk",
@@ -569,6 +519,56 @@ _PRIORITY: tuple[str, ...] = (
     "mart_domain_curation",
     "mart_user_engagement",
     "mart_vector_curation",
+    "sort_limit",
+    "txt_token_count",
+    "txt_quality",
+    "txt_language_id",
+    "txt_fingerprint",
+    "txt_rolling_fingerprint",
+    "txt_tfidf",
+    "txt_chunk",
+    "txt_gopher_filter",
+    "txt_repetition",
+    "txt_pii_scrub",
+    "txt_bpe_roundtrip",
+    "txt_char_entropy",
+    "dedup_decontaminate",
+    "dedup_incremental",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_cc_clusters",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_err",
+    "dedup_simhash",
+    "dedup_simhash_err",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_err",
+    "sim_cosine_topk",
+    "sim_cosine_pairs",
+    "sim_group_centroid",
+    "sim_maxsim_ann",
+    "sim_maxsim_ann_err",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_png_trns",
+    "mm_png_16bit",
+    "mm_gif_interlaced",
+    "mm_png_subbyte_family",
+    "evt_rate_anomaly_family",
+    "fn_json_extract",
+    "proj_unpivot",
+    "join_asof_directions",
+    "fn_regexp_extract_all",
+    "samp_deterministic",
+    "samp_stratified",
+    "agg_approx_distinct",
+    "agg_approx_distinct_err",
+    "agg_pivot",
+    "dq_null_profile",
+    "mart_paired_curation",
 )
 
 # summary: 269 registered; 0 latest-red; 6 zero-evidence;
