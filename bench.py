@@ -99,6 +99,7 @@ HEADLINE = [
     "txt_ccnet_buckets",  # r15: bigram-LM scores + per-lang terciles
     "sim_maxsim_topk",  # r15: late-interaction MaxSim, broadcast q-tokens
     "sim_maxsim_ann",  # r16: IVF-shortlisted MaxSim, the registered scale path
+    "mart_pretrain_batches",  # r17: curation + BPE gate + epochs + packing
 ]
 
 

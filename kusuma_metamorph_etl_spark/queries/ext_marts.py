@@ -347,6 +347,163 @@ def mart_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
+    "mart_pretrain_batches",
+    f"""WITH surviving AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT d.*, min(doc_id) OVER (PARTITION BY md5({_CANON})) AS keep_id
+            FROM documents d)
+          WHERE doc_id = keep_id),
+        tok AS (SELECT doc_id, text, source, lang, {_W_TEXT} AS w, {_W_LOWER} AS wl
+                FROM surviving),
+        m AS (
+          SELECT doc_id,
+                 (text IS NULL) AS is_null_text,
+                 len(w) AS n_tokens,
+                 CASE WHEN len(w) > 0
+                      THEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+                      ELSE 0.0 END AS avg_wl,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(len(regexp_extract_all(text,
+                               '[#@<>{{}}\\[\\]\\\\|~^]')) AS DOUBLE)
+                           / length(text)
+                      ELSE 0.0 END AS sym_ratio,
+                 CASE WHEN len(w) > 0
+                      THEN CAST(len(list_filter(wl,
+                               x -> x IN ('the','a','and','of','to','in','is','it')))
+                               AS DOUBLE) / len(w)
+                      ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN greatest(len(w) - 1, 0) > 0
+                      THEN round(1.0 - CAST(len(list_distinct(
+                               list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                              i -> concat_ws(' ', w[i], w[i+1]))))
+                               AS DOUBLE) / (len(w) - 1), 6)
+                      ELSE 0.0 END AS rep2
+          FROM tok),
+        kept AS (
+          SELECT t.doc_id, t.source, m.n_tokens
+          FROM tok t JOIN m USING (doc_id)
+          WHERE NOT (m.is_null_text OR m.n_tokens < 20 OR m.n_tokens > 100000
+                     OR m.avg_wl < 2.0 OR m.avg_wl > 12.0 OR m.sym_ratio > 0.12
+                     OR m.stop_ratio < 0.02 OR m.rep2 > 0.6)
+            AND t.lang = 'en'),
+        c AS (SELECT source, count(*)::DOUBLE AS n FROM kept GROUP BY source),
+        mn AS (SELECT min(n) AS nmin FROM c),
+        r AS (SELECT source,
+                     round(least(1.0, pow(n / (SELECT nmin FROM mn), -0.5)), 9)
+                         AS keep_rate
+              FROM c),
+        samp AS (
+          SELECT k.doc_id, k.source, k.n_tokens
+          FROM kept k JOIN r USING (source)
+          WHERE ('0x' || substr(md5('42|' || k.doc_id), 1, 8))::BIGINT
+                / 4294967296.0 < r.keep_rate),
+        ep AS (
+          SELECT doc_id, source, n_tokens, CAST(u.c AS INTEGER) AS epoch_copy
+          FROM (SELECT *,
+                       1 + CASE WHEN ('0x' || substr(md5('43|' || doc_id), 1, 8))
+                                     ::BIGINT / 4294967296.0 < 0.5
+                                THEN 1 ELSE 0 END AS n_copies
+                FROM samp) s, unnest(range(1, n_copies + 1)) AS u(c)),
+        o AS (SELECT *,
+                     md5('42' || md5(CAST(doc_id AS VARCHAR))
+                              || md5(CAST(epoch_copy AS VARCHAR))) AS h
+              FROM ep)
+        SELECT doc_id, epoch_copy, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY h
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens) / 4096) AS BIGINT) AS pack_id
+        FROM o""",
+)
+def mart_pretrain_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → TRAINING BATCHES capstone ([EXT], r17 — the end-to-end
+    composition the r16 verdict named as the one missing piece): the
+    `mart_llm_dataprep` curation chain (normalized exact dedup → Gopher
+    quality filter → language gate → temperature source rebalancing),
+    then a REAL trained BPE tokenizer (`operators/bpe.py`: merges
+    learned on the FILTERED corpus — the production order — distributed
+    Arrow-batched encode) gating every surviving row on lossless
+    round-trip exactly as `txt_bpe_roundtrip` does, then fractional-
+    epoch repetition (`samp_epochs` machinery, factor 1.5, its own seed
+    so the extra-copy draw is independent of the temperature draw),
+    laid out in the deterministic shuffle order and cut into 4096-token
+    training packs (`samp_pack` machinery keyed on (doc_id,
+    epoch_copy) so copies spread across the epoch).  Every stage is the
+    registered operator; the WHOLE chain is one full-oracle row — a
+    dedup regression, a quality-rule drift, a tokenizer corruption
+    (via the lossless gate), a changed epoch draw, or a moved pack
+    boundary each flips the hash.
+
+    Oracle contract note: the PACK WEIGHT is the whitespace token count
+    (`n_tokens`, SQL-replayable) — the BPE token count is
+    trained-vocabulary-dependent like every tokenizer output, so its
+    integrity is bound by the decode==normalized-text gate (the
+    `txt_bpe_roundtrip` binding) rather than emitted for hashing.
+
+    Plan shape: one dedup shuffle + scan-speed filters + tiny rate
+    broadcast (the `mart_llm_dataprep` audit), one bounded word-count
+    collect for the merge table (`ivf_build` pattern), Arrow-batched
+    encode, explode fan-out ∝ 1.5, and the pack prefix-sum's
+    full-width shuffle + ≤P-row broadcast — no single-task window
+    anywhere.  Funded by consolidating `txt_fingerprint` +
+    `txt_rolling_fingerprint` → `txt_fingerprint_family` under the
+    retire-one policy."""
+    from kusuma_metamorph_etl_spark.operators import bpe
+
+    docs = t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id", text.normalize_for_dedup(F.col("text")).alias("__canon")
+    )
+    keep_ids = (
+        canon.select("doc_id", F.md5("__canon").alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surviving = docs.join(keep_ids, "doc_id", "left_semi")
+    # same materialization point as mart_llm_dataprep (filter-pushdown
+    # trap + multi-branch reuse — see the audit note there); here the
+    # checkpointed frame additionally feeds the tokenizer's word-count
+    # aggregation, so it is read on FOUR plan branches.
+    quality_all = text.gopher_filter(surviving).localCheckpoint(eager=False)
+    english = (
+        quality_all.filter(F.col("keep"))
+        .filter(F.col("lang") == "en")
+        .drop("keep", "reject_reason")
+    )
+    sampled = sampling.temperature_sample(
+        english, "source", F.col("doc_id"), alpha=0.5
+    )
+    merges = bpe.bpe_train(sampled, n_merges=200)
+    encoded = bpe.bpe_encode(sampled, merges)
+    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    gated = (
+        encoded.withColumn("__norm", normalized)
+        .filter(bpe.bpe_decode(F.col("tokens")) == F.col("__norm"))
+        .select(
+            "doc_id",
+            "source",
+            text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    repeated = sampling.repeat_epochs(
+        gated, 1.5, F.col("doc_id"), seed="43"
+    )
+    packed = sampling.pack_sequences(
+        repeated,
+        budget=4096,
+        token_col="n_tokens",
+        seed="42",
+        key_cols=["doc_id", "epoch_copy"],
+    )
+    return packed.select(
+        "doc_id",
+        F.col("epoch_copy").cast("int").alias("epoch_copy"),
+        "source",
+        "n_tokens",
+        "pack_id",
+    )
+
+@register(
     "mart_rfm",
     f"""WITH per_cust AS (
           SELECT o_custkey AS custkey,

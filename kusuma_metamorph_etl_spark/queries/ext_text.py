@@ -482,7 +482,7 @@ def txt_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
-    "txt_fingerprint",
+    "txt_fingerprint_family",
     """SELECT doc_id,
               md5(text) AS fp,
               md5(concat_ws('|',
@@ -490,32 +490,25 @@ def txt_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
                   substring(text, 1, 64),
                   substring(text, length(text) // 2 + 1, 64),
                   substring(text, greatest(length(text) - 63, 1), 64)))
-                  AS sketch_fp
-       FROM documents""",
-)
-def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-content md5 + (length, head, middle, tail) locality sketch."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.fingerprint(F.col("text")).alias("fp"),
-        text.sketch_fingerprint(F.col("text")).alias("sketch_fp"),
-    )
-
-@register(
-    "txt_rolling_fingerprint",
-    """SELECT doc_id,
+                  AS sketch_fp,
               list_min(list_transform(
                   range(1, greatest(length(text) - 31, 1) + 1, 7),
                   i -> md5(substring(text, i, 32)))) AS rolling_fp
        FROM documents""",
 )
-def txt_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprint (min md5 over sampled
-    32-char windows) — stable under content movement."""
+def txt_fingerprint_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting family — r17 consolidation of the
+    long-green `txt_fingerprint` + `txt_rolling_fingerprint` under the
+    retire-one policy (funding `mart_pretrain_batches`); both bodies are
+    the pure union of the retired rows' projections over one scan.
+    Full-content md5, (length, head, middle, tail) locality sketch, and
+    the winnowing-style rolling-hash fingerprint (min md5 over sampled
+    32-char windows — stable under content movement)."""
     docs = t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.sketch_fingerprint(F.col("text")).alias("sketch_fp"),
         text.rolling_fingerprint(F.col("text"), window=32, stride=7).alias(
             "rolling_fp"
         ),

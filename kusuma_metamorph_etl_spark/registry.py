@@ -132,16 +132,17 @@ _LOADED = False
 # miscount; the basis round is pinned so the guard stays deterministic
 # after later CORRECTNESS files land.
 #
-# ROUND-16 WINDOW: basis 15; 269 registered (+sim_maxsim_ann/_err —
-# the ANN-prefiltered MaxSim scale path the r15 declaration promised,
-# measured sf1.0 exponent 0.258 vs the exact row's 0.89, recall-gated
-# ≥0.7; +mart_paired_curation — the LAION-style caption↔image
-# agreement filter; funded under the retire-one policy by THREE
-# consolidations: join_asof_forward+join_asof_nearest →
-# join_asof_directions, evt_rate_anomaly+evt_rate_anomaly_seasonal →
-# evt_rate_anomaly_family, mm_png_subbyte+mm_png_subbyte_interlaced →
-# mm_png_subbyte_family).  The 6 zero-evidence r16 rows lead the cut,
-# then the due r9/r10 cohorts.  The
+# ROUND-17 WINDOW: basis 16; 269 registered (+mart_pretrain_batches —
+# the corpus→training-batches capstone: llm_dataprep curation → trained
+# BPE lossless gate → epoch repetition → deterministic shuffle →
+# token-budget packing, one full-oracle row; funded under the
+# retire-one policy by consolidating txt_fingerprint +
+# txt_rolling_fingerprint → txt_fingerprint_family).  The 2
+# zero-evidence r17 rows lead the cut, then the due r10/r11 cohorts.
+# Also r17: sim_maxsim_ann's shortlist parameters are now DERIVED from
+# corpus size (maxsim_probe_for/maxsim_candidates_for — the fixed
+# (10, 35) measured recall 0.453 at sf1.0, gate-RED; derived holds
+# 0.731, BENCH_SCALE.json r17).  The
 # age guard scopes to REGISTERED rows
 # only: ids retired by consolidation (win_lag_lead et al →
 # win_rank_family in r13, the txt_url_normalize pair in r14) keep
@@ -299,6 +300,8 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
+    "txt_fingerprint_family",
+    "mart_pretrain_batches",
     "src_jsonl_quarantine",
     "samp_fixed_k",
     "agg_mode",
@@ -347,9 +350,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_stats",
     "win_rownum_topk",
     "win_rownum_flag",
+  # ---- window cut ----
     "win_percent_rank",
     "setop_family",
-  # ---- window cut ----
     "sim_cosine_topk_np",
     "sim_cosine_topk_np_err",
     "sim_ivf_topk",
@@ -523,8 +526,6 @@ _PRIORITY: tuple[str, ...] = (
     "txt_token_count",
     "txt_quality",
     "txt_language_id",
-    "txt_fingerprint",
-    "txt_rolling_fingerprint",
     "txt_tfidf",
     "txt_chunk",
     "txt_gopher_filter",

@@ -639,6 +639,55 @@ def test_llm_dataprep_pipeline_stages_compose(spark, sf_small):
     assert all(r["n_tokens"] >= 20 for r in rows)  # gopher floor held
 
 
+def test_pretrain_batches_capstone_invariants(spark, sf_small):
+    """mart_pretrain_batches (r17 capstone): the corpus→training-batches
+    chain must (a) emit exactly the llm-prep survivors × their epoch
+    copies — i.e. the BPE lossless gate drops NOTHING on the fixture
+    corpus, binding the tokenizer the way txt_bpe_roundtrip does; (b)
+    number epoch copies 1..2 with every doc present at copy 1 and a
+    strict subset at copy 2 (factor 1.5, independent seed); (c) cut
+    packs by the streaming prefix-sum rule — pack ids contiguous from
+    0 and every pack's token sum under budget + its largest straddler;
+    (d) be partition-invariant end to end (same rows after reading the
+    same inputs — determinism is content-keyed, re-asserted by the
+    second run inside one session)."""
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.queries.ext import (
+        mart_llm_dataprep,
+        mart_pretrain_batches,
+    )
+
+    out = mart_pretrain_batches(spark, sf_small)
+    rows = out.collect()
+    assert rows
+    prep_ids = {
+        r["doc_id"] for r in mart_llm_dataprep(spark, sf_small).collect()
+    }
+    copy1 = {r["doc_id"] for r in rows if r["epoch_copy"] == 1}
+    copy2 = {r["doc_id"] for r in rows if r["epoch_copy"] == 2}
+    # (a) lossless gate: every llm-prep survivor reaches the batch plan
+    assert copy1 == prep_ids
+    # (b) factor 1.5: all docs once, a proper hash-chosen subset twice
+    assert set() < copy2 < copy1
+    assert {r["epoch_copy"] for r in rows} == {1, 2}
+    # (c) packing: contiguous ids; budget respected up to one straddler
+    by_pack: dict[int, list[int]] = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    assert set(by_pack) == set(range(len(by_pack)))
+    for toks in by_pack.values():
+        assert sum(toks) < 4096 + max(toks)
+    # (d) deterministic: a second run reproduces identical assignments
+    again = {
+        (r["doc_id"], r["epoch_copy"], r["pack_id"])
+        for r in mart_pretrain_batches(spark, sf_small).collect()
+    }
+    assert again == {
+        (r["doc_id"], r["epoch_copy"], r["pack_id"]) for r in rows
+    }
+
+
 class TestInvertedIndex:
     def test_and_search_equals_direct_filter(self, spark, sf_small, tmp_path):
         from kusuma_metamorph_etl_spark.operators.text import (
