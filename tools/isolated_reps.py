@@ -12,11 +12,18 @@ computes the row set from committed artifacts instead of hand-picking:
     ∪ rows whose implementing code changed since the previous round
       (git diff hunks mapped to query-function line spans; changed
       operator/streaming/... modules mapped by reference scan)
-    ∪ every in-session mover whose median moved >1.5x between the two
-      latest ``BENCH_r{N}.json`` files (either direction)
+    ∪ every in-session mover whose median moved >1.5x between ANY two
+      consecutive ``BENCH_r{N}.json`` files (either direction) and has
+      no BENCH_ISOLATED.json verdict at-or-after the delta's later
+      round (r17: the driver's final bench lands after the round
+      closes, so its movers are classifiable only next round — the
+      unclassified sweep guarantees they surface then instead of
+      aging out)
 
 so a ">1.5x mover left unexplained" cannot fall outside the sidecar
-again.  ``--classify-against BENCH_r13.json`` appends a NOISE /
+again.  Queries-module hunks that land in no registered function span
+(shared helpers, oracle macros) conservatively select every registered
+row of that module (r17; the txt_quality_model label edit escape).  ``--classify-against BENCH_r13.json`` appends a NOISE /
 REGRESSION verdict per row (isolated median vs that file's in-session
 median, 1.2x threshold — the accepted r14 protocol).
 """
@@ -64,7 +71,27 @@ def _bench_files() -> list[tuple[int, pathlib.Path]]:
 def _bench_queries(path: pathlib.Path) -> dict[str, float]:
     d = json.loads(path.read_text())
     parsed = d.get("parsed") or d
-    return {k: float(v) for k, v in (parsed.get("queries") or {}).items()}
+    queries = parsed.get("queries")
+    if queries is None:
+        # Driver BENCH files from r14 on carry parsed=None with the raw
+        # bench stdout (front-truncated) in "tail" — silently returning
+        # {} here is what let the r15->r16 movers escape the r16 sidecar
+        # (r16 VERDICT #2): movers and top-10 were computed from the last
+        # PARSABLE round instead of the latest.  Recover the queries
+        # object from the tail by brace matching.
+        tail = d.get("tail") or ""
+        m = re.search(r'"queries"\s*:\s*\{', tail)
+        if m:
+            depth, i = 1, m.end()
+            while i < len(tail) and depth:
+                if tail[i] == "{":
+                    depth += 1
+                elif tail[i] == "}":
+                    depth -= 1
+                i += 1
+            if depth == 0:
+                queries = json.loads(tail[m.end() - 1 : i])
+    return {k: float(v) for k, v in (queries or {}).items()}
 
 
 def _touched_rows(base_commit: str) -> set[str]:
@@ -112,10 +139,21 @@ def _touched_rows(base_commit: str) -> set[str]:
     touched: set[str] = set()
     for f, ranges in hunks.items():
         if f.startswith("kusuma_metamorph_etl_spark/queries/"):
+            in_span = False
             for name, (qf, lo, hi) in spans.items():
                 if qf == f and any(lo <= s + max(c - 1, 0) and s <= hi
                                    for s, c in ranges):
                     touched.add(name)
+                    in_span = True
+            if not in_span:
+                # r16 escape (VERDICT #2): a hunk in a queries module
+                # that lands in NO registered span (module-level helper,
+                # shared constant, oracle macro) still changes behavior
+                # of rows in that module — conservatively select them
+                # all (the headline intersection + cap bound the cost).
+                touched.update(
+                    name for name, (qf, _, _) in spans.items() if qf == f
+                )
         else:
             mod = pathlib.Path(f).stem  # e.g. operators/dedup.py -> dedup
             pat = re.compile(rf"\b{re.escape(mod)}\b")
@@ -146,15 +184,41 @@ def select_targets(verbose: bool = True, cap: int = 30) -> list[str]:
         latest = _bench_queries(latest_path)
         for name, _ in sorted(latest.items(), key=lambda kv: -kv[1])[:10]:
             reasons.setdefault(name, []).append("top10-expensive")
-        if len(files) > 1:
-            prev_round, prev_path = files[-2]
+        # >1.5x movers from EVERY consecutive bench delta that still
+        # lack a fresh-JVM verdict at-or-after the delta's later round
+        # (r16 VERDICT #2: the mover set used to be computed only from
+        # the delta visible mid-round, so movers minted by the DRIVER's
+        # final BENCH_r{N}.json — which lands after the round closes —
+        # escaped the sidecar; sweeping all deltas against
+        # BENCH_ISOLATED closes them the round after they appear, and
+        # a mover can never silently age out unclassified).
+        closed_at: dict[str, int] = {}
+        iso_path = REPO / "BENCH_ISOLATED.json"
+        if iso_path.exists():
+            for key, entry in json.loads(iso_path.read_text()).items():
+                rnd = int(key.lstrip("r"))
+                for name in entry.get("queries", {}):
+                    closed_at[name] = max(closed_at.get(name, 0), rnd)
+        for (prev_round, prev_path), (cur_round, cur_path) in zip(
+            files, files[1:]
+        ):
+            if cur_round < 14:
+                # pre-structural-select era (the protocol started with
+                # the r14 verdict): those deltas were adjudicated
+                # in-verdict, not via the sidecar — sweeping them would
+                # resurface long-settled rounds.
+                continue
             prev = _bench_queries(prev_path)
-            for name in set(latest) & set(prev):
+            cur = _bench_queries(cur_path)
+            for name in set(cur) & set(prev):
                 if prev[name] > 0:
-                    r = latest[name] / prev[name]
-                    if r > 1.5 or r < 1 / 1.5:
+                    r = cur[name] / prev[name]
+                    if (r > 1.5 or r < 1 / 1.5) and closed_at.get(
+                        name, -1
+                    ) < cur_round:
                         reasons.setdefault(name, []).append(
-                            f"mover {r:.2f}x r{prev_round}->r{latest_round}"
+                            f"unclassified mover {r:.2f}x "
+                            f"r{prev_round}->r{cur_round}"
                         )
         base = subprocess.run(
             ["git", "log", "-1", "--format=%H", "--", latest_path.name],
@@ -179,7 +243,7 @@ def select_targets(verbose: bool = True, cap: int = 30) -> list[str]:
 
     def rank(name: str) -> tuple[int, str]:
         rs = reasons[name]
-        if any(r.startswith("mover") for r in rs):
+        if any("mover" in r for r in rs):
             return (0, name)
         if "top10-expensive" in rs:
             return (1, name)
