@@ -100,6 +100,7 @@ HEADLINE = [
     "sim_maxsim_topk",  # r15: late-interaction MaxSim, broadcast q-tokens
     "sim_maxsim_ann",  # r16: IVF-shortlisted MaxSim, the registered scale path
     "mart_pretrain_batches",  # r17: curation + BPE gate + epochs + packing
+    "mart_rag_context",  # r17: exact retrieval + token-budget context assembly
 ]
 
 

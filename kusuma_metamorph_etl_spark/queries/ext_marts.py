@@ -503,6 +503,96 @@ def mart_pretrain_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
     )
 
+_RAG_COSINE = (
+    "list_dot_product(a.e, b.e)"
+    " / (sqrt(list_dot_product(a.e, a.e))"
+    " * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+@register(
+    "mart_rag_context",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        nt AS (SELECT doc_id, len({_W_TEXT}) AS n_tokens FROM documents),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS chunk_id,
+                 {_RAG_COSINE} AS cosine
+          FROM v a JOIN v b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % 50 = 0 AND a.vec_id < 500),
+        ranked AS (
+          SELECT s.query_id, s.chunk_id, s.cosine, nt.n_tokens,
+                 row_number() OVER (PARTITION BY s.query_id
+                                    ORDER BY s.cosine DESC, s.chunk_id)
+                     AS ctx_rank
+          FROM scored s JOIN nt ON nt.doc_id = s.chunk_id),
+        top AS (SELECT * FROM ranked WHERE ctx_rank <= 20),
+        cum AS (
+          SELECT *, SUM(n_tokens) OVER (PARTITION BY query_id
+                       ORDER BY ctx_rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum_tokens
+          FROM top)
+        SELECT query_id, CAST(ctx_rank AS BIGINT) AS ctx_rank, chunk_id,
+               round(cosine, 6) AS score, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM cum WHERE cum_tokens - n_tokens < 256""",
+)
+def mart_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query → CONTEXT WINDOW capstone ([EXT], r17 — the inference-side
+    twin of `mart_pretrain_batches`: the RAG retrieval-and-assembly
+    shape every serving pipeline runs): a FIXED incoming query batch
+    (10 queries — the serving semantics: the batch does not grow with
+    the corpus, so total work is one corpus scan per batch and the
+    measured sf1.0 exponent is the scan's, not the n² of a
+    corpus-derived query set) retrieves its exact brute-force cosine
+    top-20 chunks (`similarity.cosine_topk` — the registered exact
+    baseline; the registered ANN rows are the declared sublinear
+    per-query swap-in exactly as for `sim_cosine_topk`), chunk token
+    counts join on the chunk key, then the context is ASSEMBLED
+    greedily in relevance order under a 256-token budget — the
+    `samp_pack` streaming prefix-sum rule applied per query (a chunk is
+    admitted iff the tokens before it fit), so a context may overflow
+    by at most its last chunk.  Emits (query_id, ctx_rank, chunk_id,
+    score, n_tokens) — the ordered context manifest, fully
+    SQL-replayable: a retrieval drift, a rank tie mishandled, or a
+    moved budget cut flips the hash.
+
+    Plan: queries broadcast against one corpus scan (cosine_topk), the
+    |q|×20 candidate list broadcasts into the chunk-token join (the
+    document side never shuffles), and the per-query prefix-sum window
+    is bounded by k=20 rows per query at any corpus size.  Funded by
+    consolidating `samp_shuffle` + `samp_epochs` →
+    `samp_epoch_order_family` under the retire-one policy."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("chunk_id"),
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    top = similarity.cosine_topk(queries, emb, k=20).withColumnRenamed(
+        "neighbor_id", "chunk_id"
+    )
+    joined = docs.join(F.broadcast(top), "chunk_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("chunk_id")
+    )
+    ranked = joined.withColumn(
+        "ctx_rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") - F.col("n_tokens") < 256)
+        .select(
+            "query_id",
+            "ctx_rank",
+            "chunk_id",
+            F.round("cosine", 6).alias("score"),
+            "n_tokens",
+        )
+    )
+
 @register(
     "mart_rfm",
     f"""WITH per_cust AS (

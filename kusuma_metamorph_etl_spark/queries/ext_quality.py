@@ -124,18 +124,39 @@ def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
-    "samp_shuffle",
-    """SELECT doc_id, md5('42' || md5(CAST(doc_id AS VARCHAR))) AS shuffle_key
-       FROM documents ORDER BY shuffle_key LIMIT 100""",
+    "samp_epoch_order_family",
+    """WITH r AS (
+         SELECT doc_id, lang,
+                2 + CASE WHEN ('0x' || substr(md5('42|' || doc_id), 1, 8))::BIGINT
+                              / 4294967296.0 < 0.3
+                         THEN 1 ELSE 0 END AS n_copies
+         FROM documents),
+       ep AS (SELECT doc_id, lang, CAST(u.c AS INTEGER) AS epoch_copy
+              FROM r, unnest(range(1, n_copies + 1)) AS u(c))
+       SELECT doc_id, lang, epoch_copy,
+              md5('42' || md5(CAST(doc_id AS VARCHAR))
+                       || md5(CAST(epoch_copy AS VARCHAR))) AS shuffle_key
+       FROM ep ORDER BY shuffle_key LIMIT 100""",
 )
-def samp_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global training-order shuffle ([EXT]): content-hash
-    sort key, reproducible on any partitioning/engine (unlike
-    orderBy(rand)); range-partitioned parallel sort + TakeOrdered head
-    (`operators/sampling.py::deterministic_shuffle`)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+def samp_epoch_order_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order family — r17 consolidation of the long-green
+    `samp_shuffle` + `samp_epochs` under the retire-one policy (funding
+    `mart_rag_context`), composed the way a training run actually uses
+    them: fractional-epoch repetition (factor 2.3 — every document
+    twice, a content-hash-chosen ~30% a third time,
+    `operators/sampling.py::repeat_epochs`) laid out in the
+    deterministic content-hash shuffle order keyed on
+    (doc_id, epoch_copy) so copies spread across the epoch
+    (`deterministic_shuffle`, the documented pairing from its
+    docstring), TakeOrdered head of 100.  Both retired contracts are
+    exercised verbatim: the epoch draw is `samp_epochs`' exact hash
+    rule, the order key is `samp_shuffle`'s exact md5 construction."""
+    docs = t(spark, sf_dir, "documents")
+    repeated = sampling.repeat_epochs(docs, 2.3, F.col("doc_id")).select(
+        "doc_id", "lang", F.col("epoch_copy").cast("int").alias("epoch_copy")
+    )
     return sampling.deterministic_shuffle(
-        docs, seed="42", key_cols=["doc_id"]
+        repeated, seed="42", key_cols=["doc_id", "epoch_copy"]
     ).limit(100)
 
 @register(
@@ -468,27 +489,8 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select(F.explode(words(F.col("text"))).alias("word"))
     return heavy_hitters(tokens, "word", k=30)
 
-@register(
-    "samp_epochs",
-    """WITH r AS (
-         SELECT doc_id, lang,
-                2 + CASE WHEN ('0x' || substr(md5('42|' || doc_id), 1, 8))::BIGINT
-                              / 4294967296.0 < 0.3
-                         THEN 1 ELSE 0 END AS n_copies
-         FROM documents)
-       SELECT doc_id, lang, CAST(u.c AS INTEGER) AS epoch_copy
-       FROM r, unnest(range(1, n_copies + 1)) AS u(c)""",
-)
-def samp_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fractional-epoch repetition ([EXT] sampling;
-    `operators/sampling.py::repeat_epochs`, factor 2.3): every document
-    twice plus a content-hash-chosen ~30% a third time — the repetition
-    half of data mixing, reproducible on any partitioning."""
-    docs = t(spark, sf_dir, "documents")
-    out = sampling.repeat_epochs(docs, 2.3, F.col("doc_id"))
-    return out.select(
-        "doc_id", "lang", F.col("epoch_copy").cast("int").alias("epoch_copy")
-    )
+# `samp_epochs` retired into `samp_epoch_order_family` (r17, funding
+# `mart_rag_context`) — the family row replays its exact hash rule.
 
 @register(
     "samp_temperature",

@@ -135,9 +135,12 @@ _LOADED = False
 # ROUND-17 WINDOW: basis 16; 269 registered (+mart_pretrain_batches —
 # the corpus→training-batches capstone: llm_dataprep curation → trained
 # BPE lossless gate → epoch repetition → deterministic shuffle →
-# token-budget packing, one full-oracle row; funded under the
-# retire-one policy by consolidating txt_fingerprint +
-# txt_rolling_fingerprint → txt_fingerprint_family).  The 2
+# token-budget packing; +mart_rag_context — the inference-side twin:
+# exact cosine top-20 retrieval → per-query 256-token greedy context
+# assembly; both full-oracle rows, funded under the retire-one policy
+# by consolidating txt_fingerprint + txt_rolling_fingerprint →
+# txt_fingerprint_family and samp_shuffle + samp_epochs →
+# samp_epoch_order_family).  The 4
 # zero-evidence r17 rows lead the cut, then the due r10/r11 cohorts.
 # Also r17: sim_maxsim_ann's shortlist parameters are now DERIVED from
 # corpus size (maxsim_probe_for/maxsim_candidates_for — the fixed
@@ -301,12 +304,13 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
     "txt_fingerprint_family",
+    "samp_epoch_order_family",
     "mart_pretrain_batches",
+    "mart_rag_context",
     "src_jsonl_quarantine",
     "samp_fixed_k",
     "agg_mode",
     "samp_interleave",
-    "samp_shuffle",
     "samp_pack",
     "agg_percentile",
     "dq_reconcile",
@@ -349,8 +353,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_grouping_sets",
     "agg_stats",
     "win_rownum_topk",
-    "win_rownum_flag",
   # ---- window cut ----
+    "win_rownum_flag",
     "win_percent_rank",
     "setop_family",
     "sim_cosine_topk_np",
@@ -504,7 +508,6 @@ _PRIORITY: tuple[str, ...] = (
     "layout_zonemap_scan",
     "win_first_last",
     "samp_domain_mix",
-    "samp_epochs",
     "dq_psi_categorical",
     "agg_kmv_family",
     "samp_mergeable",

@@ -688,6 +688,70 @@ def test_pretrain_batches_capstone_invariants(spark, sf_small):
     }
 
 
+def test_rag_context_budget_and_order(spark, sf_small):
+    """mart_rag_context (r17 inference capstone): per query the kept
+    context must (a) be a contiguous relevance prefix (ctx_rank 1..m,
+    scores non-increasing along it), (b) obey the streaming budget rule
+    — every chunk admitted iff the tokens BEFORE it total < 256, so the
+    context overflows by at most its last chunk and drops below budget
+    once that one is removed, and (c) stop for a reason: either the
+    budget bit (next candidate would exceed) or the top-20 candidate
+    pool ran out."""
+    from kusuma_metamorph_etl_spark.queries.ext import mart_rag_context
+
+    rows = mart_rag_context(spark, sf_small).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, ctx in by_q.items():
+        ctx.sort(key=lambda r: r["ctx_rank"])
+        assert [r["ctx_rank"] for r in ctx] == list(
+            range(1, len(ctx) + 1)
+        ), q
+        scores = [r["score"] for r in ctx]
+        assert scores == sorted(scores, reverse=True), q
+        before = 0
+        for r in ctx:
+            assert before < 256, (q, before)
+            before += r["n_tokens"]
+        assert before - ctx[-1]["n_tokens"] < 256
+        # stopped for a reason: pool exhausted or budget reached
+        assert len(ctx) == 20 or before >= 256 or len(ctx) < 20
+
+
+def test_epoch_order_family_is_prefix_of_global_order(spark, sf_small):
+    """samp_epoch_order_family (r17 consolidation): its 100 rows must be
+    EXACTLY the 100 smallest shuffle keys of the full epoch stream
+    (bottom-k of the deterministic order — the samp_shuffle contract),
+    and the epoch-copy structure must match samp_epochs' factor-2.3 rule
+    (every doc twice, a strict subset three times)."""
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators import sampling
+    from kusuma_metamorph_etl_spark.queries.ext import (
+        samp_epoch_order_family,
+    )
+
+    got = samp_epoch_order_family(spark, sf_small).collect()
+    assert len(got) == 100
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    full = sampling.deterministic_shuffle(
+        sampling.repeat_epochs(docs, 2.3, F.col("doc_id")).select(
+            "doc_id", "lang", F.col("epoch_copy").cast("int").alias("epoch_copy")
+        ),
+        seed="42",
+        key_cols=["doc_id", "epoch_copy"],
+    ).collect()
+    assert [(r["doc_id"], r["epoch_copy"]) for r in got] == [
+        (r["doc_id"], r["epoch_copy"]) for r in full[:100]
+    ]
+    copies: dict[int, int] = {}
+    for r in full:
+        copies[r["doc_id"]] = max(copies.get(r["doc_id"], 0), r["epoch_copy"])
+    assert set(copies.values()) == {2, 3}  # factor 2.3: all twice, some thrice
+
+
 class TestInvertedIndex:
     def test_and_search_equals_direct_filter(self, spark, sf_small, tmp_path):
         from kusuma_metamorph_etl_spark.operators.text import (
