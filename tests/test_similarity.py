@@ -941,6 +941,47 @@ def test_maxsim_derived_parameters(spark):
     assert maxsim_candidates_for(10**9) == 4096
 
 
+def test_maxsim_ann_derived_recall_perfect_on_clustered_corpus(spark):
+    """The measured 0.731 sf1.0 recall floor comes from the probe
+    corpus's directionally-i.i.d. rotated-replica vectors (pooled cosine
+    of the maxsim-rank-2/3 docs is weakly informative among random
+    distractors — BENCH_SCALE.json r17 attribution).  On CLUSTERED
+    embeddings — the realistic shape ANN is built for — the derived
+    shortlist must recall the exact top-3 PERFECTLY: 500 docs in 5
+    tight clusters, every query's true top-3 are same-cluster docs
+    whose pooled centroids dominate the shortlist ranking."""
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        maxsim_ann_topk,
+        maxsim_topk,
+    )
+
+    rows = []
+    for d in range(500):
+        c = d % 5
+        for t in range(4):
+            vec = [0.0] * 8
+            vec[c] = 10.0
+            vec[5] = 0.001 * (d % 100)
+            vec[6] = 0.0001 * t
+            rows.append((d, d * 4 + t, vec))
+    docs = spark.createDataFrame(
+        rows, "dkey long, vec_id long, embedding array<double>"
+    )
+    queries = docs.filter(F.col("dkey") % 100 == 0).select(
+        F.col("dkey").alias("qkey"), "vec_id", "embedding"
+    )
+    exact = {
+        (r["qkey"], r["dkey"])
+        for r in maxsim_topk(docs, queries, k=3).collect()
+    }
+    ann = {
+        (r["qkey"], r["dkey"])
+        for r in maxsim_ann_topk(docs, queries, k=3, refine_iters=1).collect()
+    }
+    assert exact  # 5 queries x 3
+    assert exact == ann
+
+
 def test_maxsim_ann_persist_centroids_identical(spark, sf_small):
     """persist_centroids=True is a pure execution-strategy knob (the
     100 TB amortization documented in the operator): the output must be
