@@ -565,14 +565,19 @@ def mart_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     docs = t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("chunk_id"),
-        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.col("doc_id").alias("chunk_id"), "text"
     )
     queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     top = similarity.cosine_topk(queries, emb, k=20).withColumnRenamed(
         "neighbor_id", "chunk_id"
     )
-    joined = docs.join(F.broadcast(top), "chunk_id")
+    # broadcast-join the |q|x20 candidate list BEFORE tokenizing, so
+    # token_count evaluates on the survivors only, not every document
+    joined = (
+        docs.join(F.broadcast(top), "chunk_id")
+        .withColumn("n_tokens", text.token_count(F.col("text")).cast("long"))
+        .drop("text")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("chunk_id")
     )
