@@ -530,6 +530,17 @@ def ivf_topk(
     if n_centroids is None:
         n_centroids = n_cells_for(corpus.count())
     centroids = ivf_build(corpus, n_centroids, id_col, vec_col, refine_iters)
+    if not centroids:
+        # empty corpus seeds zero centroids (hash-order seeding seeds
+        # min(|corpus|, k)); the plan-literal cell ranking would embed a
+        # VOID-typed array and raise a baffling AnalysisException deep in
+        # analysis (r17 edge sweep) — an empty corpus has no neighbors,
+        # so return the empty result with the contract schema instead.
+        q = queries.select(F.col(id_col).alias("query_id"))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"))
+        return q.crossJoin(c).withColumn(
+            "cosine", F.lit(None).cast("double")
+        ).limit(0)
     cells = _centroid_cells(centroids)
     # Corpus (probes=1) assigns through the SAME numpy path as
     # write_ivf_index / incremental_semantic_pairs — one implementation

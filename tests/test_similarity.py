@@ -982,6 +982,36 @@ def test_maxsim_ann_derived_recall_perfect_on_clustered_corpus(spark):
     assert exact == ann
 
 
+def test_ivf_and_maxsim_ann_empty_corpus_returns_empty(spark):
+    """An EMPTY corpus must yield an empty result, not a baffling
+    VOID-typed AnalysisException from the plan-literal cell ranking
+    (r17 edge sweep): zero docs seed zero IVF centroids, and 'no
+    neighbors' is the correct answer for every query."""
+    from kusuma_metamorph_etl_spark.operators.similarity import (
+        ivf_topk,
+        maxsim_ann_topk,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = ivf_topk(queries, empty, k=3)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine",
+    ]
+    docs = spark.createDataFrame(
+        [], "dkey long, vec_id long, embedding array<double>"
+    )
+    qtok = spark.createDataFrame(
+        [(1, 1, [1.0, 0.0])], "qkey long, vec_id long, embedding array<double>"
+    )
+    assert maxsim_ann_topk(docs, qtok, k=3).collect() == []
+
+
 def test_maxsim_ann_persist_centroids_identical(spark, sf_small):
     """persist_centroids=True is a pure execution-strategy knob (the
     100 TB amortization documented in the operator): the output must be
