@@ -267,6 +267,12 @@ def pack_sequences(
 
     from pyspark.sql import Window
 
+    if budget <= 0:
+        # fail fast: budget 0 otherwise dies mid-execution with a cryptic
+        # ANSI DIVIDE_BY_ZERO, and a negative budget silently emits
+        # garbage negative pack ids (r17 edge sweep)
+        raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
+
     spark = df.sparkSession
     num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 

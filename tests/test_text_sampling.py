@@ -1286,6 +1286,18 @@ def test_chunk_sentences_hand_computed(spark):
         chunk_sentences(df, n_sentences=3, overlap=3)
 
 
+def test_pack_sequences_rejects_nonpositive_budget(spark):
+    """r17 edge sweep: budget=0 used to die mid-execution with a cryptic
+    ANSI DIVIDE_BY_ZERO and a negative budget silently emitted garbage
+    NEGATIVE pack ids — both must fail fast at the API boundary."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, n long")
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="budget must be positive"):
+            sampling.pack_sequences(df, budget=bad, token_col="n", key_cols=["id"])
+
+
 def test_pack_sequences_deterministic_with_duplicate_keys(spark):
     """r9 review: key_cols that don't uniquely identify rows tie on the
     sort hash; the secondary length sort must make pack boundaries a
