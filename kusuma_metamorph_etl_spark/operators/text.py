@@ -786,6 +786,15 @@ def chunk_tokens(
     slice → array_join): a narrow fan-out, no shuffle, so it scales as a
     projection.  Chunk count = 1 if n ≤ window else ceil((n-window)/stride)+1
     (the last chunk may be short; every token lands in ≥1 chunk)."""
+    if window < 1 or stride < 1:
+        # fail fast: stride 0 otherwise dies mid-execution with a cryptic
+        # ANSI DIVIDE_BY_ZERO, a negative stride walks backwards emitting
+        # negative chunk indices, and window 0 emits empty chunks
+        # (r17 edge sweep)
+        raise ValueError(
+            f"chunk_tokens: window and stride must be >= 1, got "
+            f"window={window}, stride={stride}"
+        )
     w = words(F.col(text_col))
     n = F.size(w)
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(

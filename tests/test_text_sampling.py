@@ -1258,6 +1258,21 @@ def test_normalize_url_sort_params(spark):
     assert kept == "https://ex.com/p?c=3&a=1"
 
 
+def test_chunk_tokens_rejects_degenerate_window_stride(spark):
+    """r17 edge sweep: stride=0 used to die mid-execution with a cryptic
+    ANSI DIVIDE_BY_ZERO, a negative stride walked backwards emitting
+    NEGATIVE chunk indices, and window=0 emitted empty chunks — all must
+    fail fast at the API boundary."""
+    import pytest
+
+    from kusuma_metamorph_etl_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for w, s in ((4, 0), (4, -2), (0, 2)):
+        with pytest.raises(ValueError, match="window and stride"):
+            chunk_tokens(df, window=w, stride=s)
+
+
 def test_chunk_sentences_hand_computed(spark):
     from kusuma_metamorph_etl_spark.operators.text import chunk_sentences
 
