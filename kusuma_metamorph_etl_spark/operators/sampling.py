@@ -470,6 +470,10 @@ def kfold_assign(
     any md5-capable engine (the cross-validation / sharded-eval split
     primitive; folds are disjoint and exhaustive by construction).
     Narrow column expression, no shuffle."""
+    if k < 1:
+        # fail fast: k=0 otherwise dies mid-execution with a cryptic ANSI
+        # REMAINDER_BY_ZERO; negative k emits negative folds (r17 edge sweep)
+        raise ValueError(f"kfold_assign: k must be >= 1, got {k}")
     h = F.conv(
         F.substring(F.md5(F.concat_ws("|", F.lit(seed), key.cast("string"))), 1, 8),
         16,

@@ -321,6 +321,10 @@ def heavy_hitters(
     (≤ partitions × (k+1) rows — the cheap side of the SCALE.md
     cache-lifetime policy), so no third scan computes the count.
     """
+    if k < 1:
+        # fail fast: a non-positive k makes the frequency-> n/k threshold
+        # meaningless and silently returned an empty frame (r17 edge sweep)
+        raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
     summaries = _mg_partition_summaries(df, item_col, k).localCheckpoint(
         eager=False
     )

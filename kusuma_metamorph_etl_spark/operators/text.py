@@ -251,6 +251,10 @@ def token_ngrams(w: Column, n: int) -> Column:
     attribute reference, not the tokenizer expression, or every copy
     re-evaluates (the 18x trap documented at
     ``operators/dedup.py::token_shingles``)."""
+    if n < 1:
+        # fail fast: n=0 silently emitted nonsense empty-string "grams"
+        # (and garbage repetition fractions downstream — r17 edge sweep)
+        raise ValueError(f"token_ngrams: n must be >= 1, got {n}")
     cnt = F.size(w) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), cnt),

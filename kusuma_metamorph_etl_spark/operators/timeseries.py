@@ -118,6 +118,11 @@ def rolling(
     ``value_col`` may be DECIMAL for exact (order-independent) rolling
     sums; the emitted sum/avg are cast to double for schema uniformity.
     """
+    if days < 1:
+        # fail fast: a non-positive trailing window inverts the RANGE
+        # frame and silently emits NULL sums / zero counts for every row
+        # (r17 edge sweep)
+        raise ValueError(f"rolling: days must be >= 1, got {days}")
     p = out_prefix or f"{value_col}_{days}d"
     w = (
         Window.partitionBy(*key_cols)

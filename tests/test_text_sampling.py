@@ -1577,3 +1577,36 @@ class TestMixtureSample:
         # 0.25 * 10 = 2.5 -> half-up 3, not banker's 2.
         out = sampling.mixture_sample(df, "g", {"a": 0.25}, 10, F.col("id"))
         assert out.count() == 3
+
+
+def test_degenerate_parameter_guards_r17(spark):
+    """r17 edge sweep, batch 2: kfold_assign(k=0) died with a cryptic
+    REMAINDER_BY_ZERO (negative k emitted negative folds),
+    heavy_hitters(k<=0) silently returned an empty frame,
+    token_ngrams(n=0) emitted nonsense empty-string grams, and
+    rolling(days<=0) inverted the RANGE frame into all-NULL windows —
+    each now raises ValueError at the API boundary."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.sketches import heavy_hitters
+    from kusuma_metamorph_etl_spark.operators.text import token_ngrams
+    from kusuma_metamorph_etl_spark.operators.timeseries import rolling
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        sampling.kfold_assign(df, F.col("id"), k=0)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        sampling.kfold_assign(df, F.col("id"), k=-3)
+    toks = spark.createDataFrame([("a",)], ["word"])
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        heavy_hitters(toks, "word", k=0)
+    with pytest.raises(ValueError, match="n must be >= 1"):
+        token_ngrams(F.col("w"), 0)
+    ts = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0)], "k long, d string, v double"
+    ).select("k", F.col("d").cast("date").alias("d"), "v")
+    with pytest.raises(ValueError, match="days must be >= 1"):
+        rolling(ts, ["k"], "d", "v", days=0)
+    with pytest.raises(ValueError, match="days must be >= 1"):
+        rolling(ts, ["k"], "d", "v", days=-7)
