@@ -177,6 +177,10 @@ def sessionize(
     runs on integer microseconds (``unix_micros``) so there is no float
     boundary ambiguity; ties order by (ts, event id) for determinism.
     """
+    if gap_seconds < 1:
+        # fail fast: a zero/negative inactivity gap silently degrades to
+        # one session per event (r17 edge sweep)
+        raise ValueError(f"sessionize: gap_seconds must be >= 1, got {gap_seconds}")
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
     new_session = (
@@ -255,6 +259,13 @@ def dedup_within_window(
     the keys (single shuffle, no global window), then keep
     ``row_number() == 1`` per (keys, burst).
     """
+    if window_seconds < 1:
+        # fail fast: a zero/negative window silently dedups nothing
+        # (r17 edge sweep)
+        raise ValueError(
+            f"dedup_within_window: window_seconds must be >= 1, got "
+            f"{window_seconds}"
+        )
     w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
     prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
     new_burst = (

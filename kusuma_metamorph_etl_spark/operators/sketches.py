@@ -380,6 +380,16 @@ def bloom_sketch(
     associative/commutative/idempotent, so re-merging a slice is
     harmless).
     """
+    if n_bits < 1 or n_hashes < 1:
+        # fail fast: n_bits=0 dies mid-execution with a cryptic ANSI
+        # REMAINDER_BY_ZERO, negative n_bits emits garbage negative
+        # words, and n_hashes=0 silently builds an EMPTY sketch whose
+        # probes would FALSE-NEGATIVE — the one error a Bloom filter
+        # must never make (r17 edge sweep)
+        raise ValueError(
+            f"bloom_sketch: n_bits and n_hashes must be >= 1, got "
+            f"n_bits={n_bits}, n_hashes={n_hashes}"
+        )
     keys = keys or []
     positions = F.array(
         *[

@@ -161,3 +161,32 @@ def test_stickiness_dau_mau(spark):
     assert got["2024-01-02"].dau == 2
     assert got["2024-01-03"].dau == 1
     assert got["2024-01-03"].stickiness == round(1 / 3, 6)
+
+
+def test_degenerate_window_guards_r17(spark):
+    """r17 edge sweep, batch 3: sessionize(gap<=0) silently degraded to
+    one session per event, dedup_within_window(window<=0) silently
+    deduped nothing, and bloom_sketch(n_bits=0 / n_hashes=0) either died
+    with a cryptic REMAINDER_BY_ZERO or silently built an EMPTY sketch
+    whose probes would false-negative — each now raises ValueError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.events import (
+        dedup_within_window,
+        sessionize,
+    )
+    from kusuma_metamorph_etl_spark.operators.sketches import bloom_sketch
+
+    ev = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00")],
+        "user_id long, event_id long, ts string",
+    ).select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="gap_seconds must be >= 1"):
+        sessionize(ev, gap_seconds=0)
+    with pytest.raises(ValueError, match="window_seconds must be >= 1"):
+        dedup_within_window(ev, keys=["user_id"], window_seconds=-5)
+    vals = spark.createDataFrame([("a",)], ["v"])
+    for bits, h in ((0, 5), (-64, 5), (64, 0)):
+        with pytest.raises(ValueError, match="n_bits and n_hashes"):
+            bloom_sketch(vals, "v", n_bits=bits, n_hashes=h)
