@@ -410,6 +410,13 @@ def _band_table(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     the joinable LSH index representation (this is also the frame a
     production pipeline PERSISTS as its corpus index: append-only,
     partitionable by band_idx)."""
+    if n_hashes < 1 or bands < 1:
+        # fail fast: n_hashes=0 raised a bare "exprs should not be empty"
+        # AssertionError and bands=0 a raw ZeroDivisionError (r17 edge sweep)
+        raise ValueError(
+            f"n_hashes and bands must be >= 1, got n_hashes={n_hashes}, "
+            f"bands={bands}"
+        )
     if n_hashes % bands != 0:
         raise ValueError(
             f"n_hashes ({n_hashes}) must be divisible by bands ({bands}) "
@@ -477,6 +484,15 @@ def minhash_near_dups(
     vanishing fraction of a huge corpus; at test scale the extra joins
     cost more than they save, hence opt-in.
     """
+    if n_hashes < 1 or bands < 1:
+        # fail fast at the public entry: a non-positive n_hashes otherwise
+        # dies inside signature construction with a bare "exprs should
+        # not be empty" AssertionError (r17 edge sweep); _band_table
+        # carries the same guard for the incremental callers
+        raise ValueError(
+            f"n_hashes and bands must be >= 1, got n_hashes={n_hashes}, "
+            f"bands={bands}"
+        )
     shingles = shingle_table(df, text_col, id_col, n)
     candidates = _lsh_candidates_from_shingles(shingles, id_col, n_hashes, bands)
     # Shingle sets are distinct per doc, so |intersect| is the exact

@@ -248,6 +248,15 @@ def pagerank(
     data size — at cluster scale the per-round shuffle dominates and
     this one-join-one-agg round is the minimal shape).
     """
+    if not 0.0 <= damping <= 1.0:
+        # fail fast: damping outside [0, 1] silently emits out-of-theory
+        # ranks (negative teleport mass) — still summing to 1, so nothing
+        # downstream would notice (r17 edge sweep).  The boundaries are
+        # well-defined: 0 = uniform teleport only, 1 = pure power
+        # iteration.
+        raise ValueError(f"pagerank: damping must be in [0, 1], got {damping}")
+    if n_iter < 0:
+        raise ValueError(f"pagerank: n_iter must be >= 0, got {n_iter}")
     _ckpt = _checkpointer(edges, checkpoint_dir, eager=False)
 
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)

@@ -844,3 +844,18 @@ def test_bloom_incremental_dedup_equals_plain_anti_join(spark, sf_small):
     }
     assert bloomed == plain
     assert len(plain) < new.count()  # the planted dups really dropped
+
+
+def test_minhash_rejects_nonpositive_hashes_or_bands(spark):
+    """r17 edge sweep, batch 4: n_hashes=0 raised a bare 'exprs should
+    not be empty' AssertionError and bands=0 a raw ZeroDivisionError —
+    both now a clear ValueError ahead of the existing divisibility
+    check."""
+    import pytest
+
+    from kusuma_metamorph_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for nh, nb in ((0, 4), (16, 0), (-8, 4)):
+        with pytest.raises(ValueError, match="must be >= 1"):
+            dedup.minhash_near_dups(docs, n_hashes=nh, bands=nb)

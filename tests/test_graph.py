@@ -444,3 +444,21 @@ def test_kcore_raises_on_round_budget_exhaustion(spark):
         kcore(df, k=2, max_iter=3)
     # and with budget it converges to the empty core
     assert kcore(df, k=2, max_iter=50).count() == 0
+
+
+def test_pagerank_rejects_out_of_range_damping(spark):
+    """r17 edge sweep, batch 4: damping outside [0, 1] silently emitted
+    out-of-theory ranks (negative teleport mass) that still summed to 1,
+    so nothing downstream would notice — now a ValueError.  The [0, 1]
+    boundaries stay legal (0 = uniform teleport, 1 = pure power
+    iteration)."""
+    import pytest
+
+    from kusuma_metamorph_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
+    for bad in (1.5, -0.1):
+        with pytest.raises(ValueError, match="damping must be in"):
+            pagerank(edges, damping=bad)
+    with pytest.raises(ValueError, match="n_iter must be >= 0"):
+        pagerank(edges, n_iter=-1)
