@@ -84,6 +84,11 @@ def range_join(
             "inner; see docstring for the left-anti composition"
         )
     keys = on or []
+    if chunk_seconds < 1:
+        # fail fast: chunk 0 dies mid-execution with a cryptic ANSI
+        # DIVIDE_BY_ZERO and a negative chunk walks a nonsense grid
+        # (r17 edge sweep)
+        raise ValueError(f"chunk_seconds must be >= 1, got {chunk_seconds}")
     chunk = F.lit(chunk_seconds)
     p = points.withColumn(
         "__chunk", F.floor(F.unix_timestamp(F.col(point_col)) / chunk)
@@ -132,6 +137,11 @@ def interval_overlap_join(
     keys = on or []
     ll, lu = left_bounds
     rl, ru = right_bounds
+    if chunk_seconds < 1:
+        # fail fast: chunk 0 dies mid-execution with a cryptic ANSI
+        # DIVIDE_BY_ZERO and a negative chunk walks a nonsense grid
+        # (r17 edge sweep)
+        raise ValueError(f"chunk_seconds must be >= 1, got {chunk_seconds}")
     chunk = F.lit(chunk_seconds)
 
     def chunked(frame: DataFrame, lo: str, hi: str) -> DataFrame:
@@ -264,6 +274,12 @@ def asof_join(
     order_b = [F.asc("__ts"), F.asc("__side"), F.asc("__rtb")]
     # forward: walk time backwards so "last seen" = next at-or-after
     order_f = [F.desc("__ts"), F.asc("__side"), F.desc("__rtb")]
+    if tolerance is not None and tolerance.lstrip().startswith("-"):
+        # fail fast: a negative tolerance silently matches nothing
+        # (r17 edge sweep); "0 seconds" stays legal (exact-ts-only)
+        raise ValueError(
+            f"asof_join: tolerance must be non-negative, got {tolerance!r}"
+        )
     delta = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
 
     def _carry(order) -> Column:

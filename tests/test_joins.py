@@ -374,3 +374,42 @@ def test_asof_nearest_exact_tie_and_tolerance(spark):
         direction="nearest", tolerance="5 minutes",
     ).collect()
     assert got3[0]["px"] == 2.0
+
+
+def test_join_degenerate_parameter_guards_r17(spark):
+    """r17 edge sweep, batch 5: a NEGATIVE asof tolerance silently
+    matched nothing ("0 seconds" stays legal — exact-timestamp-only),
+    and chunk_seconds=0 in range/interval-overlap joins died
+    mid-execution with a cryptic ANSI DIVIDE_BY_ZERO (negative chunks
+    walked a nonsense grid) — each now raises ValueError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.joins import (
+        asof_join,
+        interval_overlap_join,
+        range_join,
+    )
+
+    ts = lambda s: F.col(s).cast("timestamp")
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10")], "k long, ts string"
+    ).select("k", ts("ts").alias("ts"))
+    r = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:08", 5.0)], "k long, ts string, v double"
+    ).select("k", ts("ts").alias("ts"), "v")
+    with pytest.raises(ValueError, match="tolerance must be non-negative"):
+        asof_join(l, r, on=["k"], value_cols=["v"], tolerance="-5 seconds")
+    a = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "id long, s string, e string",
+    ).select("id", ts("s").alias("s"), ts("e").alias("e"))
+    b = spark.createDataFrame(
+        [(2, "2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+        "id2 long, s2 string, e2 string",
+    ).select("id2", ts("s2").alias("s2"), ts("e2").alias("e2"))
+    for cs in (0, -10):
+        with pytest.raises(ValueError, match="chunk_seconds must be >= 1"):
+            interval_overlap_join(a, b, ("s", "e"), ("s2", "e2"), chunk_seconds=cs)
+        with pytest.raises(ValueError, match="chunk_seconds must be >= 1"):
+            range_join(l, a, "ts", "s", "e", chunk_seconds=cs)
