@@ -171,7 +171,7 @@ _LOADED = False
 # message must name the retired/merged row.
 # ---------------------------------------------------------------------------
 
-_PRIORITY_BASIS_ROUND = 16
+_PRIORITY_BASIS_ROUND = 17
 
 # Hand-picked spills when zero-evidence rows outnumber the 50-slot
 # window; each entry names the in-window sibling that covers its family.
@@ -299,61 +299,10 @@ def compute_priority(through_round: int | None = None) -> tuple[str, ...]:
     return tuple(ordered)
 
 
-# Output of `python tools/make_window.py` at basis round 16 —
+# Output of `python tools/make_window.py` at basis round 17 —
 # regenerate and re-paste each round after the driver lands
 # CORRECTNESS_r{N}.json.
 _PRIORITY: tuple[str, ...] = (
-    "txt_fingerprint_family",
-    "samp_epoch_order_family",
-    "mart_pretrain_batches",
-    "mart_rag_context",
-    "src_jsonl_quarantine",
-    "samp_fixed_k",
-    "agg_mode",
-    "samp_interleave",
-    "samp_pack",
-    "agg_percentile",
-    "dq_reconcile",
-    "sql_waiting_orders",
-    "sql_customer_distribution",
-    "sql_small_qty_revenue",
-    "sql_sales_opportunity",
-    "sql_min_cost_supplier",
-    "sql_part_value_share",
-    "sql_part_supplier_counts",
-    "sql_concentrated_suppliers",
-    "sql_forecast_revenue",
-    "sql_volume_shipping",
-    "sql_market_share",
-    "sql_product_profit",
-    "sql_priority_lines",
-    "mart_streaming_quality",
-    "mart_supplier_performance",
-    "mart_product_performance",
-    "mart_customer_sales_report",
-    "src_parquet_scan",
-    "src_csv_infer",
-    "sql_pricing_summary",
-    "src_inline_schema",
-    "src_rest_json",
-    "snk_dual_write",
-    "proj_family",
-    "proj_normalize_names",
-    "expr_arith",
-    "expr_discount_amount",
-    "proj_cast",
-    "fil_scalar_family",
-    "join_broadcast",
-    "join_disambig",
-    "join_semi_anti",
-    "agg_count_distinct",
-    "agg_count_star",
-    "agg_global_count",
-    "agg_rollup_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "win_rownum_topk",
-  # ---- window cut ----
     "win_rownum_flag",
     "win_percent_rank",
     "setop_family",
@@ -404,6 +353,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_normalized",
     "dedup_normalized_nfkc",
     "dedup_normalized_nfkc_err",
+  # ---- window cut ----
     "dedup_semantic",
     "dedup_semantic_err",
     "dedup_cc_incremental",
@@ -573,7 +523,60 @@ _PRIORITY: tuple[str, ...] = (
     "agg_pivot",
     "dq_null_profile",
     "mart_paired_curation",
+    "src_parquet_scan",
+    "src_csv_infer",
+    "sql_pricing_summary",
+    "src_inline_schema",
+    "src_rest_json",
+    "snk_dual_write",
+    "proj_family",
+    "proj_normalize_names",
+    "expr_arith",
+    "expr_discount_amount",
+    "proj_cast",
+    "fil_scalar_family",
+    "join_broadcast",
+    "join_disambig",
+    "join_semi_anti",
+    "agg_count_distinct",
+    "agg_count_star",
+    "agg_global_count",
+    "agg_rollup_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "win_rownum_topk",
+    "txt_fingerprint_family",
+    "src_jsonl_quarantine",
+    "samp_fixed_k",
+    "agg_mode",
+    "samp_interleave",
+    "samp_epoch_order_family",
+    "samp_pack",
+    "agg_percentile",
+    "dq_reconcile",
+    "sql_waiting_orders",
+    "sql_customer_distribution",
+    "sql_small_qty_revenue",
+    "sql_sales_opportunity",
+    "sql_min_cost_supplier",
+    "sql_part_value_share",
+    "sql_part_supplier_counts",
+    "sql_concentrated_suppliers",
+    "sql_forecast_revenue",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_product_profit",
+    "sql_priority_lines",
+    "mart_pretrain_batches",
+    "mart_rag_context",
+    "mart_streaming_quality",
+    "mart_supplier_performance",
+    "mart_product_performance",
+    "mart_customer_sales_report",
 )
+
+# summary: 269 registered; 0 latest-red; 0 zero-evidence;
+# window holds 0 red + 0 zero-evidence rows; spilled past the cut: []
 
 # summary: 269 registered; 0 latest-red; 6 zero-evidence;
 # window holds 0 red + 6 zero-evidence rows; spilled past the cut: []
