@@ -274,12 +274,25 @@ def asof_join(
     order_b = [F.asc("__ts"), F.asc("__side"), F.asc("__rtb")]
     # forward: walk time backwards so "last seen" = next at-or-after
     order_f = [F.desc("__ts"), F.asc("__side"), F.desc("__rtb")]
-    if tolerance is not None and tolerance.lstrip().startswith("-"):
+    if tolerance is not None:
         # fail fast: a negative tolerance silently matches nothing
-        # (r17 edge sweep); "0 seconds" stays legal (exact-ts-only)
-        raise ValueError(
-            f"asof_join: tolerance must be non-negative, got {tolerance!r}"
+        # (r17 edge sweep); "0 seconds" stays legal (exact-ts-only).
+        # EVALUATE the interval rather than sniffing a leading "-"
+        # (r17 ADVICE): compound forms like "0 minutes -5 seconds" are
+        # negative without a leading minus.  Sign is probed by adding
+        # the interval to a fixed epoch on a 1-row local frame — legal
+        # for both day-time and year-month interval types, costs one
+        # driver-local job at plan-build time.
+        epoch = F.to_timestamp(F.lit("2000-01-01"))
+        negative = (
+            left.sparkSession.range(1)
+            .select((epoch + F.expr(f"INTERVAL {tolerance}") < epoch).alias("n"))
+            .head()[0]
         )
+        if negative:
+            raise ValueError(
+                f"asof_join: tolerance must be non-negative, got {tolerance!r}"
+            )
     delta = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
 
     def _carry(order) -> Column:

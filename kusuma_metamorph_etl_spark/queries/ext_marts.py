@@ -568,7 +568,18 @@ def mart_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("chunk_id"), "text"
     )
     queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
-    top = similarity.cosine_topk(queries, emb, k=20).withColumnRenamed(
+    # Restrict the chunk corpus to DOC-BACKED embeddings BEFORE the
+    # top-k cut (r17 ADVICE): the oracle ranks AFTER joining the token
+    # table, so an embedding without a documents row must not consume a
+    # top-20 slot.  A semi-join on the id keeps that semantics exact
+    # (the later inner join can no longer drop ranked rows); at scale
+    # the id column is pruned to a single-column scan and the join
+    # co-partitions on the shared id key (bucket both tables by id in a
+    # real lake and this is shuffle-free).
+    corpus = emb.join(
+        docs.select(F.col("chunk_id").alias("vec_id")), "vec_id", "semi"
+    )
+    top = similarity.cosine_topk(queries, corpus, k=20).withColumnRenamed(
         "neighbor_id", "chunk_id"
     )
     # broadcast-join the |q|x20 candidate list BEFORE tokenizing, so

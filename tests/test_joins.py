@@ -400,6 +400,16 @@ def test_join_degenerate_parameter_guards_r17(spark):
     ).select("k", ts("ts").alias("ts"), "v")
     with pytest.raises(ValueError, match="tolerance must be non-negative"):
         asof_join(l, r, on=["k"], value_cols=["v"], tolerance="-5 seconds")
+    # compound negative without a leading minus (r17 ADVICE): the
+    # evaluated-sign guard must catch it too
+    with pytest.raises(ValueError, match="tolerance must be non-negative"):
+        asof_join(
+            l, r, on=["k"], value_cols=["v"], tolerance="0 minutes -5 seconds"
+        )
+    # zero-net compound stays legal (exact-ts-only semantics)
+    asof_join(
+        l, r, on=["k"], value_cols=["v"], tolerance="1 minutes -60 seconds"
+    )
     a = spark.createDataFrame(
         [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
         "id long, s string, e string",
