@@ -452,6 +452,15 @@ def assign_cells_np(
         vn[vn == 0] = 1.0
         return pd.Series(((v / vn) @ bc.value.T).argmax(axis=1).astype("int32"))
 
+    # Marked non-deterministic (it is not — but the marker stops the
+    # optimizer's filter pushdown from DUPLICATING the evaluation: the
+    # downstream equi-join on `cell` implies isnotnull(cell), and the
+    # pushed filter otherwise lands BELOW the projection, yielding two
+    # ArrowEvalPython nodes per assignment — every corpus vector paid
+    # the Python round-trip and the broadcast matmul twice (guide §4.4;
+    # observed in the r18 before-plans of every assign_cells_np caller).
+    cell_of = cell_of.asNondeterministic()
+
     v = as_double(F.col(vec_col))
     return df.select(
         F.col(id_col).alias(out),
@@ -1477,7 +1486,6 @@ def maxsim_ann_topk(
     n_centroids: int | None = None,
     n_probe: int | None = None,
     refine_iters: int = 1,
-    persist_centroids: bool = False,
 ) -> DataFrame:
     """ANN-prefiltered MaxSim — the PRODUCTION ColBERT retrieval shape
     (r16, the registered scale path beside :func:`maxsim_topk`'s exact
@@ -1519,25 +1527,24 @@ def maxsim_ann_topk(
     :func:`maxsim_topk` the natural quality gate (the registered
     ``sim_maxsim_ann_err`` row pins it at ≥ 0.7).
 
-    ``persist_centroids`` — the index-build path takes ~4 actions over
-    the pooled doc frame (cell-count derivation, seed collect, Lloyd
-    pass, assignment scan), each re-running the pooling aggregation
-    when the frame is unpersisted.  At gate scales recompute WINS
-    (measured sf0.1 in-session A/B: ~2.2 s recompute vs ~2.8 s persist
-    — the pooling is trivial and cache materialization is not, the
-    `dedup_semantic_incr` trade again); on a bulk corpus the pooled
-    frame is n_docs×dim while each recompute is a full token-table
-    aggregation, so flip this on — or better, persist the index itself
-    across runs via :func:`write_ivf_index` on the pooled vectors.
-    The cached frame is released before this function returns (the
-    shortlist — the only consumer — is eagerly materialized via
-    ``localCheckpoint``, bounded at |q|×n_candidates id pairs), so
-    repeated calls cannot accumulate leaked cache entries."""
+    The pooled doc frame is ``localCheckpoint``-ed EAGERLY (r18, guide
+    §1.2 step 1 / §5): the index-build path takes ~4 passes over it
+    (cell-count derivation, seed collect, Lloyd pass, assignment scan in
+    the final plan) and each pass over the LAZY frame re-runs the full
+    token-table pooling aggregation — a whole-corpus scan + shuffle.
+    Materializing the pooled proxy once (n_docs×dim doubles — the small
+    side by construction, the §8 "decide with small rows" shape) turns
+    three redundant corpus aggregations into local-block reads; the
+    checkpoint is per-call state, rebuilt from the inputs on every
+    invocation, and is released from the block manager by the
+    ContextCleaner when the returned plan is dropped.  (The r17
+    ``persist_centroids`` flag — recompute-vs-persist, measured a wash
+    at gate scales because lazy ``persist()`` still paid the pooling
+    once per *concurrent* action — is subsumed and removed; measured
+    r18 sf0.1 in-session: construct 2.3 s → ~0.9 s, execute unchanged.)"""
     dcent = group_centroids(doc_tokens, d_col, vec_col=vec_col).select(
         F.col(d_col).alias(tok_col), F.col("centroid").alias(vec_col)
-    )
-    if persist_centroids:
-        dcent = dcent.persist()
+    ).localCheckpoint(eager=True)
     if n_probe is None or n_candidates is None or n_centroids is None:
         n_docs = dcent.count()
         if n_centroids is None:
@@ -1563,13 +1570,6 @@ def maxsim_ann_topk(
         F.col("query_id").alias(q_col),
         F.col("neighbor_id").alias(d_col),
     )
-    if persist_centroids:
-        # materialize the shortlist (its only upstream use of the cache),
-        # then release the pooled frame — ADVICE r16: a persist with no
-        # matching unpersist leaks one cached frame per call for the
-        # session's lifetime on the documented bulk-corpus use case.
-        cands = cands.localCheckpoint(eager=True)
-        dcent.unpersist()
     return maxsim_topk(
         doc_tokens,
         query_tokens,

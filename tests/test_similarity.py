@@ -1012,12 +1012,17 @@ def test_ivf_and_maxsim_ann_empty_corpus_returns_empty(spark):
     assert maxsim_ann_topk(docs, qtok, k=3).collect() == []
 
 
-def test_maxsim_ann_persist_centroids_identical(spark, sf_small):
-    """persist_centroids=True is a pure execution-strategy knob (the
-    100 TB amortization documented in the operator): the output must be
-    row-identical to the recompute default."""
+def test_maxsim_ann_checkpoint_is_pure_strategy(spark, sf_small):
+    """The r18 eager localCheckpoint of the pooled doc frame is a pure
+    execution-strategy change: maxsim_ann_topk must be row-identical to
+    the same pipeline composed by hand WITHOUT the checkpoint
+    (group_centroids → ivf_topk shortlist → candidate-restricted
+    maxsim_topk re-rank, all lazy)."""
     from kusuma_metamorph_etl_spark.operators.similarity import (
+        group_centroids,
+        ivf_topk,
         maxsim_ann_topk,
+        maxsim_topk,
     )
     from kusuma_metamorph_etl_spark.sources.catalog import load_table
 
@@ -1028,14 +1033,30 @@ def test_maxsim_ann_persist_centroids_identical(spark, sf_small):
     queries = docs.filter(F.col("dkey") % 20 == 0).select(
         F.col("dkey").alias("qkey"), "vec_id", "embedding"
     )
-    kw = dict(k=3, n_candidates=10, n_probe=6, refine_iters=1)
-    base = sorted(map(tuple, maxsim_ann_topk(docs, queries, **kw).collect()))
-    pers = sorted(
+    kw = dict(n_candidates=10, n_probe=6)
+    base = sorted(
+        map(tuple, maxsim_ann_topk(docs, queries, k=3, refine_iters=1, **kw).collect())
+    )
+
+    dcent = group_centroids(docs, "dkey").select(
+        F.col("dkey").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    qcent = group_centroids(queries, "qkey").select(
+        F.col("qkey").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    cands = ivf_topk(
+        qcent,
+        dcent,
+        k=kw["n_candidates"],
+        n_centroids=None,
+        n_probe=kw["n_probe"],
+        refine_iters=1,
+        exclude_self=False,
+    ).select(F.col("query_id").alias("qkey"), F.col("neighbor_id").alias("dkey"))
+    lazy = sorted(
         map(
             tuple,
-            maxsim_ann_topk(
-                docs, queries, persist_centroids=True, **kw
-            ).collect(),
+            maxsim_topk(docs, queries, k=3, candidates=cands).collect(),
         )
     )
-    assert base == pers
+    assert base == lazy
