@@ -484,6 +484,16 @@ def mart_pretrain_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             text.token_count(F.col("text")).cast("long").alias("n_tokens"),
         )
+        # r18 (guide §1.2 step 1 / §5): pack_sequences reads its input on
+        # THREE plan paths — the quantile-bounds action, the in-bucket
+        # cumsum branch, and the bucket-offsets broadcast branch — and
+        # each re-ran the Arrow-batched BPE encode + lossless-gate pass
+        # (the whole curation chain's most expensive stage; the r18
+        # before-plan shows the full encode subtree twice in the FINAL
+        # plan alone).  Checkpointing the narrow post-gate proxy
+        # (doc_id, source, n_tokens — the §8 "decide with small rows"
+        # shape) runs the encode exactly once per invocation.
+        .localCheckpoint(eager=False)
     )
     repeated = sampling.repeat_epochs(
         gated, 1.5, F.col("doc_id"), seed="43"
