@@ -556,7 +556,15 @@ def mm_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_attach(docs, multimodal.attach_gif_payload, fmt == 2))
         .unionByName(_attach(docs, multimodal.attach_jpeg_payload, fmt == 3))
     )
-    out = multimodal.transcode_images(mixed, to="png")
+    # r18 (guide §1.2 step 1 / §5): `out` feeds TWO plan branches — the
+    # join's probe side and the `redecoded` feature pass — and each
+    # branch re-ran the whole synthesize→encode→sniff→transcode Python
+    # chain (the before-plan shows the 4-way union + MapInPandas subtree
+    # twice).  A lazy localCheckpoint materializes the transcoded rows
+    # once per invocation; both branches then read local blocks.
+    out = multimodal.transcode_images(mixed, to="png").localCheckpoint(
+        eager=False
+    )
     redecoded = multimodal.extract_binary_features(out).select(
         "doc_id", F.col("mean_value").alias("png_mean")
     )
