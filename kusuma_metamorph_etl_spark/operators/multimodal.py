@@ -1463,6 +1463,13 @@ def phash_signatures(
     def ph(payloads: pd.Series) -> pd.Series:
         return payloads.map(phash)
 
+    # Non-deterministic marker (guide §4.4): downstream blocking joins
+    # imply isnotnull(phash); the pushed filter otherwise lands below the
+    # projection and DUPLICATES the ArrowEvalPython node — every image
+    # paid the decode+DCT twice (r18 before-plan: 8 ph(make_ppm(..))
+    # evaluations in mm_phash_dedup's plan for one logical pass).
+    ph = ph.asNondeterministic()
+
     return df.select(F.col(id_col), ph(F.col(payload_col)).alias("phash"))
 
 
