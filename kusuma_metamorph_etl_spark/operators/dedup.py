@@ -1030,7 +1030,12 @@ def _extend_match_udf(k: int):
             out["length"].append(left + k + right)
         return pd.DataFrame(out)
 
-    return extend
+    # Non-deterministic marker (guide §4.4): the `length >= min_len`
+    # filter on the result struct otherwise gets pushed below the
+    # star-expansion projection and DUPLICATES this ArrowEvalPython node
+    # — the r18 before-plan ran extend(__ta, __tb, ..) twice per
+    # candidate pair (nodes 48+51), doubling the span-extension work.
+    return extend.asNondeterministic()
 
 
 def substring_pairs(
