@@ -789,9 +789,14 @@ def embedding_lsh_pairs(
     # with vectors riding the exploded join; -> ~2.5s warm after the
     # signature stage moved to the broadcast-numpy path (plan-literal
     # planes cost a multi-second codegen compile per query).
+    # One signature pass, not two: both self-join sides read the same
+    # materialized (id, tbl, bucket) frame — without sharing, each side
+    # re-runs the MapInPandas hyperplane pass over the FULL vector corpus
+    # (r18 before-plan: sigs() at nodes 6 and 11).  Lazy localCheckpoint,
+    # ContextCleaner-released (the persist-leak lesson in substring_pairs).
+    sigs = sig(df, "a").localCheckpoint(eager=False)
     cand = (
-        sig(df, "a")
-        .join(sig(df, "b"), on=["tbl", "bucket"])
+        sigs.join(sigs.withColumnRenamed("a", "b"), on=["tbl", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
