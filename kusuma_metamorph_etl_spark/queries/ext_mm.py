@@ -315,7 +315,11 @@ def mm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped in-query, turning the driver compare red on a wrong
     transform."""
     docs = t(spark, sf_dir, "documents")
-    png = multimodal.attach_png_payload(docs)
+    # One synthesis pass: both consumers (original-features witness and
+    # the augment fan-out) read the materialized payload frame — without
+    # sharing, make_png ran once per join branch (r18 before-plan nodes
+    # 2 and 8).  Lazy localCheckpoint, ContextCleaner-released.
+    png = multimodal.attach_png_payload(docs).localCheckpoint(eager=False)
     orig = multimodal.extract_binary_features(png).select(
         "doc_id", F.col("mean_value").alias("orig_mean")
     )
@@ -357,7 +361,9 @@ def mm_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     docs = t(spark, sf_dir, "documents")
-    wav = multimodal.attach_audio_payload(docs)
+    # Shared synthesis pass — same §4 single-evaluation shape as
+    # mm_augment above.
+    wav = multimodal.attach_audio_payload(docs).localCheckpoint(eager=False)
 
     def orig_abs_sum(payload: bytes) -> dict:
         audio = multimodal.decode_audio(payload)
