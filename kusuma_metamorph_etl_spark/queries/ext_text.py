@@ -1110,8 +1110,16 @@ def txt_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     docs = t(spark, sf_dir, "documents")
-    scores = text.bigram_lm_scores(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
+    # One scoring pass: the tercile aggregation AND the labeling join
+    # both read the narrow (doc_id, bits_per_bigram, lang) frame —
+    # without sharing, the whole bigram-LM subtree (tokenize, bigram +
+    # unigram counts, vocab, per-doc log-sum) ran TWICE (r18 before-plan:
+    # nodes 1-56 duplicated at 58-113; 40 Exchanges total).  Lazy
+    # localCheckpoint, ContextCleaner-released.
+    scores = (
+        text.bigram_lm_scores(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     th = scores.groupBy("lang").agg(
         F.round(F.percentile("bits_per_bigram", F.lit(1.0 / 3)), 6).alias("t1"),
