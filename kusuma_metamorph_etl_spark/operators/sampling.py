@@ -690,8 +690,21 @@ def dsir_log_weights(
             hashed_bucket(F.col("__w"), n_buckets).alias("__bucket"),
         ).groupBy(*keys, "__bucket").agg(F.count(F.lit(1)).alias("__c"))
 
-    tcnt = bucket_counts(target).withColumnRenamed("__c", "__tc")
-    rcnt = bucket_counts(raw).withColumnRenamed("__c", "__rc")
+    # Tokenize each corpus ONCE (guide §2.2): the r18 before-plan ran the
+    # raw explode+hash pipeline three times (global counts, total-token
+    # scalar, per-doc scoring counts) and the target pipeline twice
+    # (counts + total).  The per-doc raw counts are the finest grain, so
+    # the global raw distribution ROLLS UP from them (sum over docs is
+    # exactly the global count); both total-token scalars roll up from
+    # the ≤n_buckets-row count frames.  The two shared frames are lazily
+    # localCheckpointed (ContextCleaner-released).
+    raw_doc = bucket_counts(raw, id_col).localCheckpoint(eager=False)
+    tcnt = (
+        bucket_counts(target)
+        .withColumnRenamed("__c", "__tc")
+        .localCheckpoint(eager=False)
+    )
+    rcnt = raw_doc.groupBy("__bucket").agg(F.sum("__c").alias("__rc"))
     ttot = tcnt.agg(F.sum("__tc").alias("__tt"))
     rtot = rcnt.agg(F.sum("__rc").alias("__rt"))
     logr = (
@@ -713,8 +726,7 @@ def dsir_log_weights(
         )
     )
     doc_logw = (
-        bucket_counts(raw, id_col)
-        .join(F.broadcast(logr), "__bucket")
+        raw_doc.join(F.broadcast(logr), "__bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("__c") * F.col("__logr")).alias("dsir_logw"))
     )
