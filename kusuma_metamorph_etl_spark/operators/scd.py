@@ -130,33 +130,53 @@ def scd2_merge(
         diff = ~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}"))
         changed = diff if changed is None else (changed | diff)
 
-    u_cols = [*key, *[F.col(f"u.{a}").alias(a) for a in attrs]]
-    c_cols = [*key, *[F.col(f"c.{a}").alias(a) for a in attrs]]
-    c_from = F.col("c.valid_from").alias("valid_from")
+    # Run the dimension x batch full join ONCE: the four output branches
+    # each filtered `cmp` directly, so Catalyst re-ran the join (and both
+    # input scans) per branch — the r18 before-plan held four copies of
+    # the join subtree, 12 scans of the dimension table.  One flat
+    # projection resolves the side-qualified attributes, presence
+    # markers, change flag and effective date (eff may reference ``u.``,
+    # so it must resolve here), then a lazy localCheckpoint
+    # (ContextCleaner-released) shares the materialized diff and the
+    # branches become narrow filters.  eqNullSafe never yields NULL, so
+    # the change flag is always boolean.
+    flat = cmp.select(
+        *[F.col(k) for k in key],
+        *[F.col(f"c.{a}").alias(f"__ca_{a}") for a in attrs],
+        *[F.col(f"u.{a}").alias(f"__ua_{a}") for a in attrs],
+        F.col("c.valid_from").alias("__c_from"),
+        exists_c.alias("__ec"),
+        exists_u.alias("__eu"),
+        changed.alias("__ch"),
+        eff.alias("__eff"),
+    ).localCheckpoint(eager=False)
+
+    u_cols = [*key, *[F.col(f"__ua_{a}").alias(a) for a in attrs]]
+    c_cols = [*key, *[F.col(f"__ca_{a}").alias(a) for a in attrs]]
+    c_from = F.col("__c_from").alias("valid_from")
 
     # A full-join row falls into exactly one case:
-    case_changed = exists_c & exists_u & changed
+    case_changed = F.col("__ec") & F.col("__eu") & F.col("__ch")
     closed_now = (
-        # eff must resolve inside this select (it may reference ``u.``).
-        cmp.filter(case_changed)
-        .select(*c_cols, c_from, eff.alias("valid_to"))
+        flat.filter(case_changed)
+        .select(*c_cols, c_from, F.col("__eff").alias("valid_to"))
         .withColumn("is_current", F.lit(False))
     )
     new_open = (
-        cmp.filter(case_changed)
-        .select(*u_cols, eff.alias("valid_from"))
+        flat.filter(case_changed)
+        .select(*u_cols, F.col("__eff").alias("valid_from"))
         .withColumn("valid_to", F.lit(OPEN_END).cast("date"))
         .withColumn("is_current", F.lit(True))
     )
     unchanged = (
-        cmp.filter(exists_c & (~exists_u | ~changed))
+        flat.filter(F.col("__ec") & (~F.col("__eu") | ~F.col("__ch")))
         .select(*c_cols, c_from)
         .withColumn("valid_to", F.lit(OPEN_END).cast("date"))
         .withColumn("is_current", F.lit(True))
     )
     inserted = (
-        cmp.filter(~exists_c & exists_u)
-        .select(*u_cols, eff.alias("valid_from"))
+        flat.filter(~F.col("__ec") & F.col("__eu"))
+        .select(*u_cols, F.col("__eff").alias("valid_from"))
         .withColumn("valid_to", F.lit(OPEN_END).cast("date"))
         .withColumn("is_current", F.lit(True))
     )
