@@ -1050,7 +1050,16 @@ def bigram_lm_scores(
             .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         )
 
-    train = bigrams(train_df if train_df is not None else df)
+    # Tokenize once (guide §2.2): the bigram table feeds FOUR consumers
+    # (bigram counts, left-context counts, both vocab-union legs) plus
+    # the scoring side when self-scoring — without sharing, Catalyst
+    # re-ran the zip+explode tokenize pipeline per consumer (r18
+    # before-plan of txt_perplexity: 5 document scans, each under its
+    # own Generate).  Lazy localCheckpoint, ContextCleaner-released;
+    # the oracle SQL declares the same shape (`big AS MATERIALIZED`).
+    train = bigrams(
+        train_df if train_df is not None else df
+    ).localCheckpoint(eager=False)
     c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (
@@ -1059,7 +1068,7 @@ def bigram_lm_scores(
         .agg(F.countDistinct("t").alias("v"))
     )
     scored = (
-        bigrams(df)
+        (train if train_df is None else bigrams(df))
         .join(c2, on=["w1", "w2"], how="left")
         .join(c1, on="w1", how="left")
         .crossJoin(F.broadcast(vocab))
