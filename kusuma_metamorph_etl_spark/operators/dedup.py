@@ -1398,10 +1398,14 @@ def semantic_pairs(
     # multi-table LSH where a pair can collide in several tables).  The
     # assignment is the broadcast-numpy path (plan-literal centroids
     # cost a multi-second codegen compile at 32×64 — see
-    # `assign_cells_np`), and the b side is a RENAME of the a side so
-    # the assignment evaluates once per vector and the self-join reuses
-    # the exchange.
-    a = assign_cells_np(df, centroids, "a", id_col, vec_col)
+    # `assign_cells_np`).  The b side is a RENAME of the a side, but a
+    # DataFrame self-join does NOT share the branch: the r18 before-plan
+    # ran the cell-assignment ArrowEvalPython once per join side over
+    # the full corpus.  Lazy localCheckpoint materializes the assigned
+    # frame once (ContextCleaner-released); both sides read it.
+    a = assign_cells_np(df, centroids, "a", id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     b = a.select(
         F.col("a").alias("b"), F.col("a_v").alias("b_v"), "cell"
     )
