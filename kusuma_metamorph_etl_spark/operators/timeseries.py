@@ -58,6 +58,12 @@ def gapfill(
     distinguish observed from imputed.
     """
     v, d = value_col, date_col
+    # The series feeds BOTH the spine-extent aggregation and the
+    # spine join; callers pass an aggregated daily series, so without
+    # sharing that upstream aggregation runs twice (ts_gapfill's r18
+    # before-plan scanned orders once per consumer).  Lazy
+    # localCheckpoint, ContextCleaner-released.
+    df = df.localCheckpoint(eager=False)
     spine = (
         df.groupBy(*key_cols)
         .agg(F.min(d).alias("_lo"), F.max(d).alias("_hi"))
@@ -288,6 +294,13 @@ def ewma(
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
+    # The input series feeds BOTH the fan-out and the observed-day
+    # join-back; callers pass an aggregated daily series, and without
+    # sharing that upstream aggregation runs twice (ts_ewma's r18
+    # before-plan scanned+aggregated orders once per consumer — the
+    # oracle SQL declares the same share as `agg AS MATERIALIZED`).
+    # Lazy localCheckpoint, ContextCleaner-released.
+    df = df.localCheckpoint(eager=False)
     decay = 1.0 - alpha
     d = _epoch_day(F.col(date_col))
     off = F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__off")
