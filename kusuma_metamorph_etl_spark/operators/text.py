@@ -759,7 +759,16 @@ def tf_idf(
     action anywhere.  idf = ln((N + 1) / (df + 1)) (smoothed).
     """
     tok = df.select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # One tokenize+count pass: document frequency ROLLS UP from the
+    # (doc, term, tf) frame, and without sharing the explode+groupBy
+    # pipeline ran once for the join side and once under the rollup
+    # (r18 before-plan of txt_tfidf: 3 document scans, 2 under their own
+    # explode).  Lazy localCheckpoint, ContextCleaner-released.
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.countDistinct(id_col).alias("n_docs"))
     return (
