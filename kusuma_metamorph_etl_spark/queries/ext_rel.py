@@ -636,8 +636,15 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches on the grouped counts and exact-decimal revenue."""
     from kusuma_metamorph_etl_spark.operators.skew import salted_join
 
-    li = t(spark, sf_dir, "lineitem").withColumnRenamed(
-        "l_partkey", "p_partkey"
+    # Project BEFORE salting: with_salt hashes every column it is given,
+    # so passing the full fact row forced an 11-column ReadSchema (r18
+    # before-plan) — the salt basis must not defeat scan pruning.  The
+    # salt stays deterministic over the carried columns and salting is
+    # semantics-invisible (the oracle is the plain join).
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_extendedprice",
+        "l_discount",
     )
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = salted_join(li, part, on=["p_partkey"], how="inner", buckets=8)
