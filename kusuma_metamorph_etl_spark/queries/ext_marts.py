@@ -1115,16 +1115,24 @@ def mart_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kusuma_metamorph_etl_spark.operators.timeseries import rate_anomaly
 
     ev = t(spark, sf_dir, "events")
+    # Share ONE burst-dedup pass across both consumers (r18, guide §2.2):
+    # the session branch and the anomaly-baseline branch both read the
+    # dedup survivors, but as separate lazy branches each re-ran the
+    # full events shuffle + two lag/running-sum windows + group-limit
+    # (r18 before-plan: nodes 1-14 duplicated at 21-38; the hoped-for
+    # AQE exchange reuse never fires because the anti-join side prunes
+    # `value` and pushes isnotnull(event_type), so the subtrees differ).
+    # Lazy localCheckpoint of the narrow 5-column survivor frame halves
+    # the event-stream window passes; ContextCleaner releases the blocks.
     ded = dedup_within_window(
         ev, keys=["user_id", "event_type"], window_seconds=600
-    )
+    ).localCheckpoint(eager=False)
     sess = sessionize(
         ded, gap_seconds=1800, keep_cols=["event_type", "value"]
     )
     # volume baseline from ded, not sess: sessionize only adds a column,
     # so the counts are identical and this branch skips the second
-    # (user-keyed) window; the dedup window's shuffle is byte-identical
-    # on both branches and AQE reuses the exchange.
+    # (user-keyed) window.
     daily = ded.groupBy(
         "event_type", F.to_date("ts").alias("day_dt")
     ).agg(F.count(F.lit(1)).alias("n"))
