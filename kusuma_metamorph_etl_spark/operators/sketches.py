@@ -420,6 +420,18 @@ def merge_bloom(sketches: DataFrame, keys: list[str] | None = None) -> DataFrame
     return sketches.groupBy(*keys, "word").agg(F.bit_or("bits").alias("bits"))
 
 
+# Above this many 64-bit words (512 KB) the bitset ships as a broadcast
+# variable + Arrow-batched membership UDF; at or below it the bitset is a
+# single array<bigint> plan literal and the whole test is native
+# getbit/element_at expressions inside the scan's codegen span (r18,
+# guide §4.1).  The cutoff is a shipping-cost bound, not a tuning knob:
+# a plan literal rides the per-stage task binary and the explain text,
+# so a 16 MB `bloom_params_for`-capped bitset stays on the broadcast
+# path, while every query-scale sketch (1 M bits = 16 K words) probes
+# with zero Python boundary.
+_NATIVE_BITSET_MAX_WORDS = 1 << 16
+
+
 def bloom_probe(
     sketch: DataFrame,
     probes: DataFrame,
@@ -436,23 +448,54 @@ def bloom_probe(
     where the exact join afterwards removes the false positives.
 
     Plan: the sketch is collected once (bounded by construction:
-    ≤ ``n_bits/64`` rows — 16 K longs for 1 M bits, a 128 KB bitset) and
-    broadcast to executors as a numpy word array; probe positions are
-    computed JVM-side with the SAME ``xxhash64`` expressions as the
-    build (so build/probe hashing cannot drift), and the bit tests run
-    vectorized over Arrow batches.  No shuffle on the probe side at all
-    — the probe is a narrow map, exactly what a scan pre-filter must be.
+    ≤ ``n_bits/64`` rows — 16 K longs for 1 M bits, a 128 KB bitset);
+    probe positions are computed JVM-side with the SAME ``xxhash64``
+    expressions as the build (so build/probe hashing cannot drift).  Up
+    to ``_NATIVE_BITSET_MAX_WORDS`` the bit tests are native
+    ``getbit(element_at(bitset, pos >> 6), pos & 63)`` expressions over
+    an ``array<bigint>`` literal — whole-stage-codegen'd, no Python
+    boundary at all (r18: the pandas-UDF test cost one Arrow round-trip
+    per fact row; `agg_bloom_join`'s two ArrowEvalPython nodes are
+    gone).  Larger bitsets keep the broadcast numpy array + Arrow UDF —
+    a multi-MB literal would bloat every stage's task binary.  Either
+    way there is no shuffle on the probe side — the probe is a narrow
+    map, exactly what a scan pre-filter must be.
     """
+    n_words = (n_bits + 63) >> 6
+    collected = sketch.select("word", "bits").collect()
+
+    def position(j: int):
+        return F.pmod(F.xxhash64(F.col(value_col), F.lit(j)), F.lit(n_bits))
+
+    if n_words <= _NATIVE_BITSET_MAX_WORDS:
+        words = [0] * n_words
+        for row in collected:
+            words[int(row["word"])] = int(row["bits"])
+        # One server-side parse of the whole array literal.  F.lit(words)
+        # would round-trip py4j once PER ELEMENT (~1.3 ms each — 20 s for
+        # a 16 K-word bitset, measured r18); the SQL parser ingests the
+        # same array in ~10 ms and constant-folds it to one Literal.
+        bitset = F.expr(
+            "array(" + ",".join(f"{w}L" for w in words) + ")"
+        )
+        member = F.lit(True)
+        for j in range(n_hashes):
+            p = position(j)
+            word = F.element_at(bitset, F.shiftright(p, 6).cast("int") + 1)
+            member = member & (F.getbit(word, p % 64) == 1)
+        return probes.withColumn(out, member)
+
     import numpy as np
 
-    n_words = (n_bits + 63) >> 6
-    words = np.zeros(n_words, dtype=np.uint64)
-    for row in sketch.select("word", "bits").collect():
-        words[int(row["word"])] = np.uint64(int(row["bits"]) & 0xFFFFFFFFFFFFFFFF)
-    bc = probes.sparkSession.sparkContext.broadcast(words)
+    words_np = np.zeros(n_words, dtype=np.uint64)
+    for row in collected:
+        words_np[int(row["word"])] = np.uint64(
+            int(row["bits"]) & 0xFFFFFFFFFFFFFFFF
+        )
+    bc = probes.sparkSession.sparkContext.broadcast(words_np)
 
     @F.pandas_udf("boolean")
-    def member(pos_lists: pd.Series) -> pd.Series:
+    def member_udf(pos_lists: pd.Series) -> pd.Series:
         w = bc.value
         mat = np.array(pos_lists.tolist(), dtype=np.int64)
         if mat.size == 0:
@@ -460,13 +503,8 @@ def bloom_probe(
         hit = (w[mat >> 6] >> (mat & 63).astype(np.uint64)) & np.uint64(1)
         return pd.Series(hit.all(axis=1))
 
-    positions = F.array(
-        *[
-            F.pmod(F.xxhash64(F.col(value_col), F.lit(j)), F.lit(n_bits))
-            for j in range(n_hashes)
-        ]
-    )
-    return probes.withColumn(out, member(positions))
+    positions = F.array(*[position(j) for j in range(n_hashes)])
+    return probes.withColumn(out, member_udf(positions))
 
 
 def bloom_prefilter_join(

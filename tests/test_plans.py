@@ -334,6 +334,9 @@ def test_bloom_probe_is_narrow_on_the_fact(spark, sf_small):
     plan = _plan(kept)
     assert "Exchange" not in plan
     assert "Join" not in plan
+    # query-scale bitsets probe with native getbit/element_at expressions
+    # — no Python boundary on the fact scan at all (r18, guide §4.1)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_collocations_totals_ride_as_broadcast(spark, sf_small):

@@ -242,6 +242,25 @@ class TestBloom:
             map(tuple, direct.collect())
         )
 
+    def test_native_and_broadcast_probe_paths_agree(self, spark, monkeypatch):
+        # bloom_probe picks a native getbit/element_at expression for
+        # small bitsets and a broadcast + Arrow UDF above
+        # _NATIVE_BITSET_MAX_WORDS (r18); both paths must produce
+        # bit-identical membership for the same sketch.
+        from kusuma_metamorph_etl_spark.operators import sketches
+
+        keys = self._keys(spark, 0, 1000)
+        probe = self._keys(spark, 500, 1500)
+        sk = sketches.bloom_sketch(keys, "k", n_bits=1 << 14)
+        native = sorted(
+            map(tuple, sketches.bloom_probe(sk, probe, "k", n_bits=1 << 14).collect())
+        )
+        monkeypatch.setattr(sketches, "_NATIVE_BITSET_MAX_WORDS", 0)
+        broadcast = sorted(
+            map(tuple, sketches.bloom_probe(sk, probe, "k", n_bits=1 << 14).collect())
+        )
+        assert native == broadcast
+
     def test_prefilter_join_equals_plain_join(self, spark, sf_small):
         from kusuma_metamorph_etl_spark.operators.sketches import (
             bloom_prefilter_join,
