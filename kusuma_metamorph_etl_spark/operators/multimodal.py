@@ -1487,7 +1487,17 @@ def phash_near_dups(
     """
     from kusuma_metamorph_etl_spark.operators.dedup import hamming_blocked_pairs
 
-    sigs = phash_signatures(df, id_col, payload_col)
+    # Both pigeonhole-blocking self-join sides consume the signature
+    # frame; without materialization each side re-runs the full
+    # decode → grayscale → DCT Arrow chain over every image (r18
+    # plan: 3 ArrowEvalPython nodes per side in mm_phash_dedup).  The
+    # (id, phash) frame is two fixed-width columns — tiny next to the
+    # payloads — so this is the dedup_embedding_lsh signature-sharing
+    # trade, NOT the reverted hamming_blocked_pairs-level one (SimHash
+    # signatures are a cheap codegen'd SQL pipeline that recomputes
+    # faster than it materializes; the pHash chain is heavyweight
+    # Python).  Lazy localCheckpoint, ContextCleaner-released.
+    sigs = phash_signatures(df, id_col, payload_col).localCheckpoint(eager=False)
     return hamming_blocked_pairs(sigs, _PHASH_BITS, max_hamming, id_col, "phash")
 
 

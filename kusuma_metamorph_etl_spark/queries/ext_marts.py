@@ -810,7 +810,15 @@ def mart_mm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_ids = feats.filter(
         (F.col("width") >= 5) & (F.col("height") >= 5)
     ).select("doc_id")
-    kept = corpus.join(keep_ids, "doc_id")
+    # Every downstream stage re-reads the surviving corpus WITH payloads
+    # (pHash blocking, both byte-fingerprint join sides, the survivor
+    # anti-join, the augment fan-out) and `extract_binary_features`
+    # deliberately drops payloads, so each consumer otherwise re-runs
+    # the payload-synthesis Arrow chain from the documents scan — the
+    # r18 before-plan carried 48 ArrowEvalPython nodes for what is
+    # logically ONE ingest pass.  Lazy localCheckpoint of the 2-column
+    # (doc_id, payload) frame, ContextCleaner-released (guide §2.2/§4).
+    kept = corpus.join(keep_ids, "doc_id").localCheckpoint(eager=False)
     # pHash hamming-0 is the BLOCKING stage; byte equality is the
     # verify.  Without it, survivors depend on where 64-bit DCT-hash
     # collisions fall — real at corpus scale and invisible at the
