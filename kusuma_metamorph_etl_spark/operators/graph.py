@@ -516,12 +516,21 @@ def triangles_per_vertex(
     ordered by the orientation rank).
     """
     e = edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    # Three shared frames are lazily localCheckpointed (r18, guide §2.2):
+    # without them the plan re-derives `und` for both degree-union sides
+    # plus the orientation join, `oriented` for both wedge self-join
+    # sides plus the closure probe, and `tri` for all three corner-union
+    # branches — 9 copies of the dedup/degree/orientation pipeline in
+    # one plan (139 Exchanges / 90 source scans before; the corner
+    # branches are narrow column picks after).  Each frame is 2-3 long
+    # columns, ContextCleaner-released.
     und = (
         e.filter(F.col("x") != F.col("y"))
         .select(
             F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -539,7 +548,7 @@ def triangles_per_vertex(
         # the dst endpoint's (degree, id) rank, carried so wedge pairs
         # order and the closure edge's orientation is known v→w
         F.when(a_lower, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=False)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     rank_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
         (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
@@ -552,7 +561,7 @@ def triangles_per_vertex(
     closer = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w")
     )
-    tri = wedges.join(closer, on=["v", "w"])
+    tri = wedges.join(closer, on=["v", "w"]).localCheckpoint(eager=False)
     corners = (
         tri.select(F.col("u").alias("node"))
         .unionAll(tri.select(F.col("v").alias("node")))

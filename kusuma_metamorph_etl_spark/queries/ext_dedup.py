@@ -586,6 +586,11 @@ def dedup_substring_incr_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only meaningful when incremental and batch drop the same hot
     # hashes (r8 self-review — differing defaults made the gate
     # corpus-size-dependent)
+    # NOT shared via localCheckpoint: the pair set feeds the recovered
+    # filter and the symmetric-difference side, but materializing it
+    # measured slower in every interleaved A/B pairing (r18) — the two
+    # consumers recompute in parallel on idle cores while a checkpoint
+    # serializes them behind the batch pipeline.
     inc = dedup.incremental_substring_pairs(new, docs, min_len=64, max_df=50)
     expected = eligible.select(
         (F.col("doc_id") + 2_000_000).alias("a"),
@@ -816,17 +821,32 @@ def dedup_normalized_nfkc_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(F.col("text"), _FW_SRC, _FW_DST).alias("text"),
     )
     corpus = docs.unionByName(planted)
-    survivors = dedup.exact_dedup(
-        corpus.select(
-            "doc_id",
-            text.normalize_for_dedup(F.col("text"), nfkc=True).alias("text"),
+    # Both dedup survivor frames feed three consumers each (the alive
+    # filter, the two exceptAll directions, and the gate output); the
+    # NFKC fold is a per-document Python pass, so without sharing the
+    # plan re-ran it once per consumer (12 ArrowEvalPython nodes in the
+    # r18 sweep).  Lazy localCheckpoint of the 1-column survivor lists.
+    survivors = (
+        dedup.exact_dedup(
+            corpus.select(
+                "doc_id",
+                text.normalize_for_dedup(F.col("text"), nfkc=True).alias(
+                    "text"
+                ),
+            )
         )
-    ).select("doc_id")
-    expected = dedup.exact_dedup(
-        docs.select(
-            "doc_id", text.normalize_for_dedup(F.col("text")).alias("text")
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    expected = (
+        dedup.exact_dedup(
+            docs.select(
+                "doc_id", text.normalize_for_dedup(F.col("text")).alias("text")
+            )
         )
-    ).select("doc_id")
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
     stats = (
         _n(planted, "n_planted")
         .crossJoin(_n(survivors.filter(F.col("doc_id") >= 2_000_000), "n_alive"))
@@ -876,8 +896,13 @@ def dedup_semantic_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
-    sem = dedup.semantic_dedup(corpus, threshold=0.9, n_clusters=None).select(
-        "vec_id"
+    # The survivor list feeds the alive filter AND the superset
+    # anti-join; sharing it stops the second full semantic-dedup pass
+    # (cell-assign Arrow chain + in-cell pairing) — guide §2.2.
+    sem = (
+        dedup.semantic_dedup(corpus, threshold=0.9, n_clusters=None)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
     )
     exact = dedup.embedding_dedup(corpus, threshold=0.9).select("vec_id")
     expected = emb.filter(F.col("vec_id") % 13 == 0).select(

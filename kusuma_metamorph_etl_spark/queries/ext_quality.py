@@ -794,6 +794,16 @@ def agg_kmv_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # NOT shared via localCheckpoint: each side's key frame feeds four
+    # sketch builds and five exact-count branches (76 Exchanges / 36
+    # scans), but checkpointing the distinct frames measured a clear
+    # 2.3-2.4× LOSS across two interleaved fresh-JVM A/B rounds (r18) —
+    # the materialization barrier serializes nine branches that
+    # otherwise recompute in parallel from a pruned 2-column scan, the
+    # same recompute-beats-materialize result as the MinHash band
+    # table.  At 100 TB the sketches would be PERSISTED per-slice
+    # artifacts merged via merge_kmv (the operator docstring's shape),
+    # not per-query rebuilds.
     est_i = kmv_intersect(
         kmv_sketch(a, "o_custkey", k=256), kmv_sketch(b, "o_custkey", k=256), k=256
     )
