@@ -101,6 +101,8 @@ HEADLINE = [
     "sim_maxsim_ann",  # r16: IVF-shortlisted MaxSim, the registered scale path
     "mart_pretrain_batches",  # r17: curation + BPE gate + epochs + packing
     "mart_rag_context",  # r17: exact retrieval + token-budget context assembly
+    "mart_mm_dataprep",  # r18: image ingest->dedup->augment, shared kept corpus
+    "graph_triangles",  # r18: degree-oriented wedge closure, shared frames
 ]
 
 
