@@ -124,6 +124,156 @@ def global_percent_rank(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: list[Column],
+    n_tiles: int,
+    out_col: str,
+    descending: bool = False,
+    low_cardinality: bool | None = None,
+    cardinality_threshold: int = 100_000,
+) -> DataFrame:
+    """Exact global ``NTILE(n) OVER (ORDER BY value [DESC], tiebreaks)``
+    without a single-partition window (VERDICT r18 Next #3: the RFM /
+    engagement-tier ntiles sorted the full customer/user grain in ONE
+    task).
+
+    Requires ``(value_col, *tiebreaks)`` to be a TOTAL order (the
+    registered callers all append a unique key — the same discipline
+    Spark needs for a deterministic ntile).  ntile is row_number
+    arithmetic: with n rows in k tiles, the first ``n % k`` tiles hold
+    ``n div k + 1`` rows and the rest ``n div k`` (SQL standard; Spark
+    ``NTile`` and DuckDB agree), so an exact global row_number plus the
+    total gives the exact tile.  Row numbers come from the same
+    two-regime scaffold as :func:`global_percent_rank`:
+
+    * **high cardinality** (default for continuous metrics): rows are
+      range-bucketed by deterministic quantile bounds
+      (``quantile_bucket`` — equal values always share a bucket, so the
+      in-bucket ``row_number`` over (value, tiebreaks) is globally
+      consistent), offsets prefix-sum over the ≤P-row bucket-totals
+      frame, ``rn = offset + rn_in_bucket``.
+    * **low cardinality** (tiers, counts, small enums): the per-value
+      offset map is a tiny distinct-value window broadcast back
+      (null-safe join, as in the percent_rank broadcast path), and the
+      within-value ``row_number`` runs partitioned BY the value.  A
+      single hot value still lands in one window partition; if a real
+      corpus ever concentrates most rows on one value, sub-bucket the
+      tiebreak inside that value with the same quantile/offset scaffold
+      (documented seam, same as the percent_rank skew regime).
+
+    Both regimes emit zero unpartitioned WindowExec over row-scale
+    frames; the only global windows run on ≤P bucket rows or ≤d distinct
+    values.
+    """
+    if low_cardinality is None:
+        probe = df.agg(F.approx_count_distinct(value_col).alias("d")).first()
+        low_cardinality = (probe["d"] or 0) <= cardinality_threshold
+    rn_col, total_col = "__gn_rn", "__gn_total"
+    if low_cardinality:
+        with_rn = _row_number_broadcast_offsets(
+            df, value_col, tiebreaks, descending, rn_col, total_col
+        )
+    else:
+        with_rn = _row_number_range_partitioned(
+            df, value_col, tiebreaks, descending, rn_col, total_col
+        )
+    k = F.lit(int(n_tiles)).cast("long")
+    n = F.col(total_col)
+    rn = F.col(rn_col)
+    # long/long division yields double; cast truncates toward zero ==
+    # floor for the non-negative counts here (exact below 2^53 rows).
+    q = (n / k).cast("long")
+    r = n % k
+    # First r tiles hold q+1 rows; q == 0 (n < k) keeps every row in the
+    # first branch (boundary == n), so the greatest() guard never changes
+    # a used value — it only keeps the dead branch free of div-by-zero.
+    boundary = (q + F.lit(1)) * r
+    q_safe = F.greatest(q, F.lit(1).cast("long"))
+    tile = F.when(
+        rn <= boundary, ((rn + q) / (q + F.lit(1))).cast("long")
+    ).otherwise(r + ((rn - boundary + q_safe - F.lit(1)) / q_safe).cast("long"))
+    return with_rn.withColumn(out_col, tile.cast("int")).drop(rn_col, total_col)
+
+
+def _row_number_broadcast_offsets(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: list[Column],
+    descending: bool,
+    rn_col: str,
+    total_col: str,
+) -> DataFrame:
+    """Low-cardinality global row_number: broadcast per-value offsets +
+    within-value row_number (partitioned window)."""
+    order = F.desc(value_col) if descending else F.asc(value_col)
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    tiny_window = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total_window = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        F.col(value_col).alias("__rank_value"),
+        F.coalesce(F.sum("__cnt").over(tiny_window), F.lit(0)).alias("__before"),
+        F.sum("__cnt").over(total_window).alias(total_col),
+    )
+    in_value = Window.partitionBy(value_col).orderBy(*tiebreaks)
+    return (
+        df.withColumn("__rn_in_value", F.row_number().over(in_value))
+        .join(
+            F.broadcast(offsets),
+            on=F.col(value_col).eqNullSafe(F.col("__rank_value")),
+            how="left",
+        )
+        .withColumn(rn_col, F.col("__before") + F.col("__rn_in_value"))
+        .drop("__rank_value", "__before", "__rn_in_value")
+    )
+
+
+def _row_number_range_partitioned(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: list[Column],
+    descending: bool,
+    rn_col: str,
+    total_col: str,
+) -> DataFrame:
+    """High-cardinality global row_number: quantile-bucket rows, number
+    within buckets over the full (value, tiebreaks) order, add the
+    ≤P-row prefix-summed bucket offsets."""
+    from kusuma_metamorph_etl_spark.operators.partitioning import (
+        bucket_offsets,
+        quantile_bucket,
+    )
+
+    spark = df.sparkSession
+    num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    bucketed, n_buckets = quantile_bucket(df, value_col, num_parts)
+    if n_buckets <= 2:
+        # Collapsed quantiles: ties dominate — the broadcast-offsets
+        # regime handles exactly that shape (and a pathological
+        # hot-value-plus-huge-tail column would need the documented
+        # distinct-bucketed seam, as in global_percent_rank).
+        return _row_number_broadcast_offsets(
+            df, value_col, tiebreaks, descending, rn_col, total_col
+        )
+    order = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    in_bkt = Window.partitionBy("__bkt").orderBy(order, *tiebreaks)
+    offsets = bucket_offsets(
+        bucketed, "__bkt", F.lit(1), ascending=not descending
+    )
+    return (
+        bucketed.withColumn("__rn_in_bkt", F.row_number().over(in_bkt))
+        .join(F.broadcast(offsets), on="__bkt")
+        .withColumn(rn_col, F.col("__bkt_offset") + F.col("__rn_in_bkt"))
+        .withColumnRenamed("__total", total_col)
+        .drop("__bkt", "__rn_in_bkt", "__bkt_offset")
+    )
+
+
 def _percent_rank_broadcast_map(
     df: DataFrame, value_col: str, out_col: str, descending: bool
 ) -> DataFrame:

@@ -640,12 +640,18 @@ def mart_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency (days to the fixed RUN_DATE snapshot) / frequency / exact-
     decimal monetary, each quintiled with a deterministic custkey
     tie-break (r_score 1 = most recent; f/m 1 = heaviest).  The ntile
-    windows are global by design — they run on the CUSTOMER grain
-    (post-aggregation), which is orders-of-magnitude smaller than the
-    fact table; the same two-regime rank machinery as
-    `win_percent_rank` is the escape hatch if the customer dimension
-    itself outgrows a sort."""
+    windows run on the CUSTOMER grain — smaller than the fact table but
+    NOT small at 100 TB, so an unpartitioned `F.ntile` window (which
+    sorts the whole grain in one task) is out: each score routes
+    through `global_ntile` (r19, VERDICT r18 Next #3) — exact ntile via
+    quantile-bucketed global row numbers, the same two-regime scaffold
+    as `win_percent_rank`.  The per-customer aggregate is shared via
+    one lazy localCheckpoint: each of the three scores runs a bounded
+    quantile/cardinality probe (a driver action), and without the
+    materialization every probe would re-run the full orders scan +
+    aggregation (§2.2)."""
     from kusuma_metamorph_etl_spark.functions.numeric import decimal_sum
+    from kusuma_metamorph_etl_spark.operators.windows import global_ntile
 
     orders = t(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -654,20 +660,26 @@ def mart_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         decimal_sum(F.col("o_totalprice")).alias("monetary"),
+    ).localCheckpoint(eager=False)
+    # Key shapes are known (skip the cardinality probe action): recency
+    # is bounded by the order-date span in days and frequency by the max
+    # orders-per-customer — both tiny distinct sets; monetary is a
+    # near-continuous decimal sum.
+    scored = global_ntile(
+        per_cust, "recency_days", [F.asc("custkey")], 5, "r_score",
+        descending=False, low_cardinality=True,
     )
-    from pyspark.sql import Window
-
-    r_w = Window.orderBy("recency_days", "custkey")
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
-    return per_cust.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+    scored = global_ntile(
+        scored, "frequency", [F.asc("custkey")], 5, "f_score",
+        descending=True, low_cardinality=True,
+    )
+    scored = global_ntile(
+        scored, "monetary", [F.asc("custkey")], 5, "m_score",
+        descending=True, low_cardinality=False,
+    )
+    return scored.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 @register(
@@ -714,15 +726,20 @@ def mart_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     `mart_llm_dataprep`): sessionization, consecutive-day streaks, and
     snapshot recency composed into one per-user profile with an
     events-quartile engagement tier.  Every stage is the registered
-    operator; the ntile runs on the post-agg USER grain.  One
-    user-keyed shuffle feeds sessionize and the per-user rollup; the
-    streak branch reuses the day-grain collapse."""
-    from pyspark.sql import Window
-
+    operator; the tier quartile runs on the post-agg USER grain — which
+    at 100 TB is itself large, so it routes through `global_ntile`
+    (r19, VERDICT r18 Next #3) instead of an unpartitioned `F.ntile`
+    window that would sort every user in one task.  n_events is a
+    per-user count (small distinct set → broadcast-offsets regime,
+    probe skipped).  One user-keyed shuffle feeds sessionize and the
+    per-user rollup; the streak branch reuses the day-grain collapse;
+    the 3-join profile is shared via a lazy localCheckpoint so the
+    ntile's offset map doesn't re-run the whole join tree."""
     from kusuma_metamorph_etl_spark.operators.events import (
         activity_streaks,
         sessionize,
     )
+    from kusuma_metamorph_etl_spark.operators.windows import global_ntile
 
     ev = t(spark, sf_dir, "events")
     sess = sessionize(ev, gap_seconds=1800)
@@ -743,16 +760,20 @@ def mart_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(RUN_DATE).cast("date"), F.to_date(F.max("ts"))
         ).alias("recency_days")
     )
-    joined = per_user.join(st, "user").join(last, "user")
-    tier_w = Window.orderBy(F.desc("n_events"), F.asc("user"))
-    return joined.select(
+    joined = (
+        per_user.join(st, "user").join(last, "user").localCheckpoint(eager=False)
+    )
+    return global_ntile(
+        joined, "n_events", [F.asc("user")], 4, "engagement_tier",
+        descending=True, low_cardinality=True,
+    ).select(
         "user",
         "n_events",
         "n_sessions",
         "longest_streak",
         "n_active_days",
         "recency_days",
-        F.ntile(4).over(tier_w).alias("engagement_tier"),
+        "engagement_tier",
     )
 
 @register(

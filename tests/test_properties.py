@@ -114,6 +114,45 @@ def test_global_percent_rank_matches_window(values):
         assert got == reference, f"low_cardinality={low_card}"
 
 
+@settings(max_examples=_ex(12), deadline=None)
+@given(
+    values=st.lists(
+        st.one_of(st.integers(min_value=-5, max_value=5), st.none()),
+        min_size=1,
+        max_size=40,
+    ),
+    n_tiles=st.integers(min_value=1, max_value=7),
+    descending=st.booleans(),
+)
+def test_global_ntile_matches_window(values, n_tiles, descending):
+    """Both global_ntile regimes (broadcast offsets, range-partitioned
+    row numbers) equal Spark's own single-partition NTILE over the same
+    total order — heavy ties, nulls, n < k, and both directions."""
+    from kusuma_metamorph_etl_spark.operators.windows import global_ntile
+
+    spark = _session()
+    df = spark.createDataFrame(
+        [(i, None if v is None else float(v)) for i, v in enumerate(values)],
+        "i long, v double",
+    )
+    order = F.desc("v") if descending else F.asc("v")
+    reference = {
+        r["i"]: r["nt"]
+        for r in df.withColumn(
+            "nt", F.ntile(n_tiles).over(Window.orderBy(order, F.asc("i")))
+        ).collect()
+    }
+    for low_card in (True, False):
+        got = {
+            r["i"]: r["nt"]
+            for r in global_ntile(
+                df, "v", [F.asc("i")], n_tiles, "nt",
+                descending=descending, low_cardinality=low_card,
+            ).collect()
+        }
+        assert got == reference, f"low_cardinality={low_card}"
+
+
 @settings(max_examples=_ex(10), deadline=None)
 @given(
     cents=st.lists(

@@ -1,9 +1,9 @@
-"""Dump `.explain("formatted")` for headline queries to plans/r18/.
+"""Dump `.explain("formatted")` for headline queries to plans/r19/.
 
 Usage:
     python tools/explain_dump.py <suffix> [query ...]
 
-Writes plans/r18/<query>_<suffix>.txt for each named query (default: every
+Writes plans/r19/<query>_<suffix>.txt for each named query (default: every
 headline query in bench.py that is a plain registry query).  Construction
 runs any eager driver-side work the operator does; the file captures the
 final DataFrame's formatted physical plan.
@@ -34,7 +34,7 @@ def main() -> int:
         names = [n for n in HEADLINE if n not in EXTRA]
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r18"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r19"
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
