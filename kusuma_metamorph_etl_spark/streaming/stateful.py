@@ -165,13 +165,17 @@ def first_event_stream(
         elif already_emitted and max_ns is not None:
             state.update((1, deadline))  # fresh activity re-arms the TTL
 
-    src = events
+    # Only the 5 output columns feed the handler — anything else on the
+    # input (e.g. the fat props payload) would ride the shuffle and the
+    # Arrow boundary for nothing (guide §4.1; applyInPandasWithState
+    # ships every input column).
+    src = events.select("user_id", "event_type", "event_id", "ts", "value")
     timeout_conf = GroupStateTimeout.NoTimeout
     if state_ttl is not None:
         # EventTimeTimeout requires a watermark; it drives the timeout
         # clock only (no late-row pre-filtering here — see the watermark
         # contract in the docstring).
-        src = events.withWatermark("ts", late_tolerance)
+        src = src.withWatermark("ts", late_tolerance)
         timeout_conf = GroupStateTimeout.EventTimeTimeout
 
     return src.groupBy(*KEYS).applyInPandasWithState(
@@ -284,11 +288,18 @@ def sessionize_stream(
         out["session_idx"] = labels
         yield out
 
-    src = events
+    # The handler reads exactly (user_id, event_id, ts); everything else
+    # (event_type, value, the fat props payload) would still ride the
+    # user_id shuffle AND the Arrow JVM→Python transfer row-by-row,
+    # because applyInPandasWithState ships every input column to the
+    # handler (guide §4.1 — Spark cannot see which columns the Python
+    # function touches).  Project first: shuffle bytes and the Python
+    # boundary carry 3 narrow columns instead of the whole event row.
+    src = events.select("user_id", "event_id", "ts")
     timeout_conf = GroupStateTimeout.NoTimeout
     if state_ttl is not None:
         # watermark = TTL clock only — contract in first_event_stream
-        src = events.withWatermark("ts", late_tolerance)
+        src = src.withWatermark("ts", late_tolerance)
         timeout_conf = GroupStateTimeout.EventTimeTimeout
 
     return src.groupBy("user_id").applyInPandasWithState(
@@ -370,11 +381,13 @@ def dedup_window_stream(
         if not out.empty:
             yield out
 
-    src = events
+    # Same §4.1 projection as first_event_stream: the handler touches
+    # only the 5 output columns.
+    src = events.select("user_id", "event_type", "event_id", "ts", "value")
     timeout_conf = GroupStateTimeout.NoTimeout
     if state_ttl is not None:
         # watermark = TTL clock only — contract in first_event_stream
-        src = events.withWatermark("ts", late_tolerance)
+        src = src.withWatermark("ts", late_tolerance)
         timeout_conf = GroupStateTimeout.EventTimeTimeout
 
     return src.groupBy("user_id", "event_type").applyInPandasWithState(
