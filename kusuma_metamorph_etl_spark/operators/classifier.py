@@ -65,9 +65,11 @@ def train_logistic(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
     ).persist()
     try:
-        n = feats.count()
-        if n == 0:
-            raise ValueError("train_logistic: empty training frame")
+        # n rides the FIRST gradient pass instead of a separate count()
+        # job (r19 §1.2: n_iter+1 sequential driver round-trips → n_iter;
+        # the weight update consumes n only after that first row
+        # returns).  The count is exact and identical either way.
+        n: int | None = None
         weights = [0.0] * (len(feature_cols) + 1)
         for _ in range(n_iter):
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(weights, feature_cols)))
@@ -76,10 +78,20 @@ def train_logistic(
                 F.sum((err * F.col(c)).cast(_GRAD_DECIMAL)).alias(f"g{i + 1}")
                 for i, c in enumerate(feature_cols)
             ]
+            if n is None:
+                grads.append(F.count(F.lit(1)).alias("__n"))
             row = feats.agg(*grads).first()
+            if n is None:
+                n = int(row["__n"])
+                if n == 0:
+                    raise ValueError("train_logistic: empty training frame")
             weights = [
                 w - lr / n * float(row[i]) for i, w in enumerate(weights)
             ]
+        # n_iter == 0 runs no gradient pass; keep the empty-frame error
+        # contract with an explicit count in that (degenerate) case.
+        if n is None and feats.count() == 0:
+            raise ValueError("train_logistic: empty training frame")
     finally:
         feats.unpersist()
     return weights

@@ -284,42 +284,56 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: empty edge list (no nodes to rank)")
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    # Every node rides the round's ONE aggregation via a zero-mass seed
+    # row, so the aggregate's output already contains every node and the
+    # old per-round `nodes LEFT JOIN agg` re-attachment (a second
+    # node-keyed shuffle join in EVERY one of the n_iter rounds) is gone
+    # (r19, VERDICT r18 Next #6).  Adding 0.0 to an IEEE sum is an
+    # identity (and the empty-group case becomes an exact 0.0, the same
+    # value the old coalesce supplied), so ranks are bit-equal up to the
+    # sum's already-nondeterministic partial order; oracle green across
+    # sf0.01/sf0.1/7-core.
+    zero_seed = nodes.select(F.col("node").alias("dst"), F.lit(0.0).alias("c"))
     for _ in range(n_iter):
         # One pass: matched rows emit pr*p toward their dst; a dangling
         # node (no out-edges → no match) emits its whole pr into the
         # NULL-dst group, which IS the dangling mass.
+        contrib = ranks.join(
+            norm, ranks["node"] == norm["src"], "left"
+        ).select(
+            "dst",
+            F.when(F.col("src").isNull(), F.col("pr"))
+            .otherwise(F.col("pr") * F.col("p"))
+            .alias("c"),
+        )
         agg = _ckpt(
-            ranks.join(norm, ranks["node"] == norm["src"], "left")
+            contrib.unionByName(zero_seed)
             .groupBy("dst")
-            .agg(
-                F.sum(
-                    F.when(F.col("src").isNull(), F.col("pr")).otherwise(
-                        F.col("pr") * F.col("p")
-                    )
-                ).alias("mass")
-            )
+            .agg(F.sum("c").alias("mass"))
         )
-        dangling = agg.filter(F.col("dst").isNull()).select(
-            F.coalesce(F.sum("mass"), F.lit(0.0)).alias("dangling_mass")
+        # The dangling mass is ONE bounded scalar per round.  Fetching
+        # it with first() makes the SAME driver action materialize the
+        # round's lazy checkpoint AND return the scalar — one job per
+        # round where the old BroadcastExchange + crossJoin shape paid
+        # two (checkpoint materialization, then the broadcast build).
+        # The value is bit-identical to what the broadcast carried, and
+        # a bounded 1-row collect is the same budget class as the
+        # approxQuantile/bloom driver fetches elsewhere in this repo.
+        d_row = (
+            agg.filter(F.col("dst").isNull())
+            .select(F.coalesce(F.sum("mass"), F.lit(0.0)).alias("dm"))
+            .first()
         )
+        dangling_mass = float(d_row["dm"]) if d_row is not None else 0.0
         ranks = (
-            nodes.join(
-                agg.withColumnRenamed("dst", "node").filter(
-                    F.col("node").isNotNull()
-                ),
-                on="node",
-                how="left",
-            )
-            .crossJoin(F.broadcast(dangling))
+            agg.filter(F.col("dst").isNotNull())
+            .withColumnRenamed("dst", "node")
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (
-                        F.coalesce("mass", F.lit(0.0))
-                        + F.col("dangling_mass") / F.lit(float(n))
-                    )
+                    * (F.col("mass") + F.lit(dangling_mass / float(n)))
                 ).alias("pr"),
             )
         )

@@ -462,6 +462,12 @@ def bloom_probe(
     map, exactly what a scan pre-filter must be.
     """
     n_words = (n_bits + 63) >> 6
+    # Driver budget note (VERDICT r18 #4): this collect is bounded by
+    # construction at n_bits/64 longs — 16 MB at the bloom_params_for
+    # cap, far under spark.driver.maxResultSize — but it IS a per-call
+    # driver round-trip on a scan-prefilter path; callers probing many
+    # sketches per job should persist/reuse the collected words rather
+    # than re-collect per probe.
     collected = sketch.select("word", "bits").collect()
 
     def position(j: int):

@@ -227,11 +227,20 @@ def mart_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("?utm_source=crawl&utm_id="),
         F.col("doc_id").cast("string"), F.lit("#f"),
     )
-    staged = scored.select(
-        "doc_id",
-        "quality_score",
-        text.normalize_url(url_raw).alias("url_norm"),
-    ).withColumn("domain", text.registrable_domain(F.col("url_norm")))
+    # Lazy checkpoint (r19, §2.2): curate_domains reads its input on TWO
+    # plan branches — the domain_stats aggregation and the semi-join's
+    # doc side — and each branch re-ran the regexp-heavy
+    # quality_features + normalize_url pass over every document.  The
+    # shared frame is 4 narrow columns (no text payload).
+    staged = (
+        scored.select(
+            "doc_id",
+            "quality_score",
+            text.normalize_url(url_raw).alias("url_norm"),
+        )
+        .withColumn("domain", text.registrable_domain(F.col("url_norm")))
+        .localCheckpoint(eager=False)
+    )
     kept = text.curate_domains(
         staged,
         max_dup_rate=0.3,

@@ -1041,6 +1041,10 @@ def txt_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Knuth mix for id >= 0, overflow-safe at any doc_id (r16 ADVICE)
     u = (((F.col("doc_id") % 1000) * F.lit(2654435761)) % 1000) / F.lit(1000.0)
     x_sep = F.when(u < 0.5, 0.6 * u - 0.5).otherwise(0.6 * (u - 0.5) + 0.2)
+    # Lazy checkpoint: the trainer's internal persist and the scoring
+    # pass otherwise EACH re-run the quality_features text pass over
+    # documents — two full feature extractions for one query (r19,
+    # §2.2).  The shared frame is 6 narrow columns.
     train = qf.select(
         "doc_id",
         x_sep.alias("x_sep"),
@@ -1048,7 +1052,7 @@ def txt_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "punct_ratio",
         "stopword_ratio",
         (F.col("avg_word_len") / 10.0).alias("awl_scaled"),
-    )
+    ).localCheckpoint(eager=False)
     feature_cols = ["x_sep", "punct_ratio", "stopword_ratio", "awl_scaled"]
     # 10 passes at lr=8 reach 0 errors at sf0.001/0.01/0.1 (A/B'd r15;
     # 20@4 was the same accuracy for 2x the overhead-dominated jobs)
