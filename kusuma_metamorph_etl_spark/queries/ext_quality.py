@@ -311,7 +311,14 @@ def agg_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     per_day = sketches.cms_sketch(proxy, "event_type", depth, width, keys=["day"])
     merged = sketches.merge_cms(per_day.drop("day"))
-    exact = proxy.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    # exact feeds THREE consumers (estimate probe list, gate join, total
+    # roll-up); checkpoint the ≤|event_types|-row frame so the proxy is
+    # aggregated once, not three times.
+    exact = (
+        proxy.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
     est = sketches.cms_estimate(
         merged, exact.select("event_type"), "event_type", depth, width
     )
