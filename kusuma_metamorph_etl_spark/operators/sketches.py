@@ -461,6 +461,25 @@ def bloom_probe(
     way there is no shuffle on the probe side — the probe is a narrow
     map, exactly what a scan pre-filter must be.
     """
+    return probes.withColumn(
+        out, _bloom_member_column(probes, sketch, value_col, n_bits, n_hashes)
+    )
+
+
+def _bloom_member_column(
+    probes: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    n_bits: int,
+    n_hashes: int,
+):
+    """The membership test as a bare Column — shared by
+    :func:`bloom_probe` (withColumn contract) and
+    :func:`bloom_prefilter_join`, which applies it DIRECTLY as a filter
+    predicate: `withColumn(out).filter(out)` makes the optimizer push a
+    duplicated copy of the whole expression (literal included) below
+    the projection — the §4.4 duplication shape, one extra copy of the
+    up-to-512KB bitset literal in the plan (r19, plan-verified)."""
     n_words = (n_bits + 63) >> 6
     # Driver budget note (VERDICT r18 #4): this collect is bounded by
     # construction at n_bits/64 longs — 16 MB at the bloom_params_for
@@ -506,7 +525,7 @@ def bloom_probe(
             )
             == 1,
         )
-        return probes.withColumn(out, member)
+        return member
 
     import numpy as np
 
@@ -527,7 +546,7 @@ def bloom_probe(
         return pd.Series(hit.all(axis=1))
 
     positions = F.array(*[position(j) for j in range(n_hashes)])
-    return probes.withColumn(out, member_udf(positions))
+    return member_udf(positions)
 
 
 def bloom_prefilter_join(
@@ -568,9 +587,14 @@ def bloom_prefilter_join(
             "unmatched fact rows the pre-filter would drop"
         )
     sketch = bloom_sketch(dim.select(on), on, n_bits, n_hashes)
-    kept = bloom_probe(sketch, fact, on, n_bits, n_hashes, out="__maybe").filter(
-        F.col("__maybe")
-    ).drop("__maybe")
+    # Filter DIRECTLY on the membership expression: the old
+    # withColumn("__maybe").filter(...).drop(...) shape made the
+    # optimizer push a second full copy of the expression — bitset
+    # literal included — below the projection (§4.4 duplication;
+    # plan-verified: forall/getbit now appear exactly once).
+    kept = fact.filter(
+        _bloom_member_column(fact, sketch, on, n_bits, n_hashes)
+    )
     return kept.join(dim, on=on, how=how)
 
 

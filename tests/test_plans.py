@@ -339,6 +339,34 @@ def test_bloom_probe_is_narrow_on_the_fact(spark, sf_small):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_bloom_prefilter_references_bitset_literal_once(spark, sf_small):
+    # r19 (ADVICE r18): the bitset array literal must appear exactly ONCE
+    # in the executed plan.  Two shapes used to duplicate it: the
+    # per-hash conjunct chain (n_hashes copies, one per getbit) and the
+    # withColumn+filter prefilter (optimizer pushes a full second copy of
+    # the expression below the projection).  forall + a direct filter
+    # predicate leave one forall/getbit — one literal.
+    from pyspark.sql import functions as F
+
+    from kusuma_metamorph_etl_spark.operators.sketches import (
+        bloom_prefilter_join,
+    )
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_small}/customer.parquet")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    plan = _plan(bloom_prefilter_join(orders, dim, "o_custkey", n_bits=1 << 14))
+    # One membership expression on the fact filter; constraint
+    # propagation infers a twin onto the dim side of the equi-join (it
+    # did for the old shape too).  The pin is: at most one copy per
+    # side, never the old per-hash/per-projection fan-out (5+ per site).
+    assert 1 <= plan.count("getbit") <= 2, plan.count("getbit")
+    fact_subtree = plan.split("FileScan", 1)[0]
+    assert fact_subtree.count("getbit") <= 1, fact_subtree
+
+
 def test_collocations_totals_ride_as_broadcast(spark, sf_small):
     from kusuma_metamorph_etl_spark.operators.text import collocations
 
@@ -733,3 +761,42 @@ def test_paired_curation_pushes_gates_before_output(spark, sf_small):
     plan = _plan(mart_paired_curation(spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rfm_ntiles_are_not_single_partition_windows(spark, sf_small):
+    # r19 (VERDICT r18 Next #3): the three RFM quintiles and the
+    # engagement tier must NOT run Spark's ntile in an unpartitioned
+    # window (one task sorting the whole customer/user grain).  After
+    # global_ntile, no native ntile window remains at all, and the
+    # monetary score's continuous-key regime shows the quantile-bucketed
+    # row_number window.
+    from kusuma_metamorph_etl_spark.queries.ext_marts import (
+        mart_rfm,
+        mart_user_engagement,
+    )
+
+    plan = _plan(mart_rfm(spark, sf_small))
+    assert "ntile(" not in plan
+    assert "windowspecdefinition(__bkt" in plan  # monetary: range regime
+    plan2 = _plan(mart_user_engagement(spark, sf_small))
+    assert "ntile(" not in plan2
+
+
+def test_sessionize_stream_prunes_input_columns(spark, sf_small):
+    # r19 (guide §4.1): applyInPandasWithState ships every input column
+    # to the Python handler; the operator must project to the columns
+    # the handler reads before the user-key shuffle — the fat `props`
+    # payload (and value/event_type for sessionize) must not appear
+    # anywhere in the analyzed streaming plan.
+    from kusuma_metamorph_etl_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+    from kusuma_metamorph_etl_spark.streaming.windows import stream_events
+
+    out = sessionize_stream(stream_events(spark, sf_small), gap_seconds=1800)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in analyzed
+    # the projection sits below the stateful operator, so the payload
+    # columns are pruned from the shuffle + Arrow boundary
+    head = analyzed.split("Project", 1)[0]
+    assert "props" not in head
